@@ -1,0 +1,35 @@
+"""Query registry: every implemented operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible)
+a DuckDB oracle SQL string with IDENTICAL output column names.
+
+Submodules add themselves to QUERIES/ORACLES; ``__spark_entry__.py``
+re-exports these for the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a query (and optional oracle SQL) to the registry."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import all query submodules (idempotent)."""
+    from oakstore_spark.queries import relational  # noqa: F401
+    from oakstore_spark.queries import timeseries  # noqa: F401
+    from oakstore_spark.queries import llm  # noqa: F401

@@ -1,0 +1,3 @@
+from oakstore_spark.sources.tables import TABLES, register_views, table
+
+__all__ = ["TABLES", "table", "register_views"]

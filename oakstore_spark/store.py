@@ -1,0 +1,316 @@
+"""Keyed timeseries store on PySpark + partitioned Parquet.
+
+A Spark-native re-expression of the reference's store semantics
+(/root/reference/oakstore/store.py, 267 lines — cited per-method below).
+The public surface matches the reference:
+
+    store = Store("/path", cols={...}, index="DATE")
+    store["MSFT"] = df                 # create item (fails if exists)
+    store["MSFT"] += df                # append + dedup (old wins)
+    pdf = store["MSFT"][d1:d2]         # inclusive time-range query -> pandas
+    sdf = store["MSFT"].df(d1, d2)     # same, lazy Spark DataFrame (EXT)
+
+Deliberate, documented deviations from the reference (SURVEY.md §4):
+- metadata is JSON, not pickle (store.py:109-128);
+- declared dtypes are actually CAST, not merely checked (the reference's
+  astype return value is discarded, store.py:167-168);
+- append dedups on the DATE key (the documented intent, README.md:47),
+  not on full row values ignoring the index (store.py:229-230);
+- an unbounded query has no upper bound (the reference defaults end to
+  ``datetime.now()``, silently hiding future-dated rows, store.py:253);
+- append rewrites via write-temp-then-swap so a crash cannot corrupt the
+  item (the reference overwrites in place, store.py:231-236).
+
+Scale design (100 TB): each item is a Parquet table hive-partitioned by
+``_oak_year=YYYY`` with files sorted by the index column, so a time-range
+query needs only (a) partition pruning on the year bound, (b) parquet
+row-group min/max pruning on the index — both Catalyst built-ins. Writes
+range-repartition by the index so partition files are non-overlapping in
+time, and cap files at ~1M rows (the reference's chunk size,
+store.py:27). No collect() anywhere in the write/append/query paths —
+everything is a lazy plan until the terminal action.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import uuid
+from datetime import datetime
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from oakstore_spark.errors import ItemKeyError, SchemaError
+from oakstore_spark.schema import DEFAULT_COLUMN_SCHEMA, DEFAULT_INDEX_NAME, Metadata
+from oakstore_spark.session import get_spark
+
+_KEY_REGEX = re.compile(r"^[-a-zA-Z0-9_.]+\Z")  # parity: store.py:28
+_ITEMS_DIR = "items"  # parity: store.py:29
+_METADATA_FILE = "_metadata.json"
+_PARTITION_COL = "_oak_year"
+_MAX_RECORDS_PER_FILE = 1_000_000  # parity: store.py:27 (_DEFAULT_CHUNK_SIZE)
+
+
+class Item:
+    """Lazy handle bound to (key, store); existence is checked only at
+    read/append time (parity: store.py:49-71)."""
+
+    def __init__(self, *, key: str, store: "Store") -> None:
+        self._key = key
+        self._store = store
+
+    def __iadd__(self, data) -> "Item":
+        self._store._append(key=self._key, data=data)
+        return self
+
+    def __getitem__(self, sl: slice) -> pd.DataFrame:
+        # parity: store.py:61-68 — step unsupported, bounds must be datetime
+        if sl.step is not None:
+            raise KeyError("step not supported")
+        if sl.start is not None and not isinstance(sl.start, datetime):
+            raise KeyError("start must be a datetime")
+        if sl.stop is not None and not isinstance(sl.stop, datetime):
+            raise KeyError("stop must be a datetime")
+        return self._store._query(key=self._key, start=sl.start, end=sl.stop)
+
+    def df(self, start: datetime | None = None, end: datetime | None = None) -> DataFrame:
+        """EXT: the same inclusive range query as ``[start:end]`` but
+        returned as a lazy Spark DataFrame (the scale-friendly surface —
+        the reference only materializes to pandas, store.py:181)."""
+        return self._store._scan(key=self._key, start=start, end=end)
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}(key={self._key!r}, store={self._store!r})"
+
+
+class Store:
+    """Directory of independent timeseries items sharing one declared schema.
+
+    Parity: store.py:74-128. ``base_path`` holds ``_metadata.json`` and an
+    ``items/`` dir with one Parquet table per uppercase key.
+    """
+
+    def __init__(
+        self,
+        base_path: Path | str = "./data",
+        cols: dict[str, type] | None = None,
+        index: str | None = None,
+        spark: SparkSession | None = None,
+    ) -> None:
+        self._spark = spark or get_spark()
+        self._base_path = Path(base_path)
+        self._base_path.mkdir(parents=True, exist_ok=True)
+        self._items_path = self._base_path / _ITEMS_DIR
+        self._items_path.mkdir(parents=True, exist_ok=True)
+
+        # parity: store.py:97-128 — explicit schema conflicts with a stored
+        # one -> SchemaError; absent both -> default OHLCV schema.
+        new_meta: Metadata | None = None
+        if not (cols is None and index is None):
+            new_meta = Metadata.build(cols or DEFAULT_COLUMN_SCHEMA, index or DEFAULT_INDEX_NAME)
+
+        self._metadata_path = self._base_path / _METADATA_FILE
+        if self._metadata_path.exists():
+            loaded = Metadata.load(self._metadata_path)
+            if new_meta is not None and loaded != new_meta:
+                raise SchemaError(
+                    f"loaded metadata {loaded!r} does not match provided metadata {new_meta!r}"
+                )
+            self._metadata = loaded
+        else:
+            self._metadata = new_meta or Metadata.build(DEFAULT_COLUMN_SCHEMA, DEFAULT_INDEX_NAME)
+            self._metadata.save(self._metadata_path)
+
+    # -- public dunder surface (parity: store.py:130-139) -----------------
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}(base_path={str(self._base_path)!r})"
+
+    def __getitem__(self, key: str) -> Item:
+        return Item(key=key, store=self)
+
+    def __setitem__(self, key: str, data) -> None:
+        # assigning an Item back is the __iadd__ round-trip no-op
+        # (parity: store.py:136-139)
+        if isinstance(data, Item):
+            return
+        self._write(key=key, data=data)
+
+    def keys(self) -> list[str]:
+        """EXT: list existing item keys."""
+        if not self._items_path.exists():
+            return []
+        return sorted(p.name for p in self._items_path.iterdir() if p.is_dir())
+
+    # -- key handling (parity: store.py:183-194) ---------------------------
+
+    @staticmethod
+    def _validate_key(key: str) -> bool:
+        return _KEY_REGEX.match(key) is not None
+
+    def _item_path(self, key: str) -> Path:
+        if not self._validate_key(key):
+            raise ItemKeyError(f"invalid key {key.upper()}")
+        return self._items_path / key.upper()
+
+    # -- schema normalization (parity: store.py:141-174) -------------------
+
+    def _normalize(self, data) -> DataFrame:
+        """Project + rename-to-upper + cast + index coercion, as one lazy plan.
+
+        Matches _to_internal_type's observable behavior (case-insensitive
+        matching, missing column -> SchemaError, extra columns dropped,
+        uppercased names) but actually applies the declared casts. An
+        uncastable value raises SchemaError at action time via a guarded
+        cast — kept lazy and distributed (no extra validation pass).
+        """
+        idx = self._metadata.index_name
+        if isinstance(data, pd.DataFrame):
+            pdf = data.copy()
+            pdf.index = pd.to_datetime(pdf.index)
+            pdf.index.name = idx
+            pdf = pdf.reset_index()
+            sdf = self._spark.createDataFrame(pdf)
+        elif isinstance(data, DataFrame):
+            sdf = data
+        else:
+            raise SchemaError(f"unsupported input type {type(data).__name__}")
+
+        by_upper = {c.upper(): c for c in sdf.columns}
+        missing = [c for c in self._metadata.column_schema if c not in by_upper]
+        if missing:
+            raise SchemaError("data does not match store schema")
+        if idx.upper() not in by_upper:
+            raise SchemaError(f"data has no index column {idx!r}")
+
+        def guarded_cast(src: str, target, name: str):
+            casted = F.col(src).cast(target)
+            return (
+                F.when(
+                    F.col(src).isNotNull() & casted.isNull(),
+                    F.raise_error(F.format_string(f"SchemaError: column {name} not castable: %s", F.col(src).cast("string"))),
+                )
+                .otherwise(casted)
+                .alias(name)
+            )
+
+        cols = [guarded_cast(by_upper[idx.upper()], "timestamp", idx)]
+        for name in self._metadata.column_schema:
+            cols.append(guarded_cast(by_upper[name], self._metadata.spark_type(name), name))
+        return sdf.select(*cols)
+
+    # -- physical layout ----------------------------------------------------
+
+    def _layout_for_write(self, sdf: DataFrame) -> DataFrame:
+        """Range-partition by the index so written files are time-disjoint
+        and sorted — the Spark analogue of the reference's sorted 1M-row
+        Dask chunks (store.py:174): gives parquet row-group min/max stats
+        maximal pruning power on range queries."""
+        idx = self._metadata.index_name
+        return (
+            sdf.withColumn(_PARTITION_COL, F.year(F.col(idx)))
+            .repartitionByRange(F.col(idx))
+            .sortWithinPartitions(idx)
+        )
+
+    def _write_parquet(self, sdf: DataFrame, path: Path) -> None:
+        (
+            self._layout_for_write(sdf)
+            .write.option("maxRecordsPerFile", _MAX_RECORDS_PER_FILE)
+            .partitionBy(_PARTITION_COL)
+            .parquet(str(path), mode="errorifexists")
+        )
+
+    # -- write (parity: store.py:196-212) ----------------------------------
+
+    def _write(self, *, key: str, data) -> None:
+        path = self._item_path(key)
+        if path.exists():
+            raise ValueError(f"key={key.upper()} already exists")
+        self._write_parquet(self._normalize(data), path)
+
+    # -- append + dedup (parity: store.py:214-236) --------------------------
+
+    def _append(self, *, key: str, data) -> None:
+        path = self._item_path(key)
+        if not path.exists():
+            raise ValueError(f"key={key.upper()} does not exist, (use write instead?)")
+
+        idx = self._metadata.index_name
+        new = self._normalize(data).withColumn("_oak_prio", F.lit(1))
+        old = self._read_raw(path).withColumn("_oak_prio", F.lit(0))
+
+        # Dedup on the index key, old-wins — the *intended* semantics
+        # (README.md:39-48; the reference's value-only drop_duplicates at
+        # store.py:229-230 is a flagged bug). row_number is deterministic:
+        # ties break by priority then full row value.
+        value_cols = list(self._metadata.column_schema)
+        w = Window.partitionBy(idx).orderBy("_oak_prio", *value_cols)
+        combined = (
+            old.unionByName(new)
+            .withColumn("_oak_rn", F.row_number().over(w))
+            .filter(F.col("_oak_rn") == 1)
+            .drop("_oak_prio", "_oak_rn")
+        )
+
+        # Atomic rewrite: write to a temp sibling, then swap directories.
+        # (On cloud storage this would be a Delta MERGE / commit-protocol
+        # rename; local-FS rename is atomic enough for the parity surface.)
+        tmp = self._items_path / f".tmp-{key.upper()}-{uuid.uuid4().hex}"
+        trash = self._items_path / f".trash-{key.upper()}-{uuid.uuid4().hex}"
+        self._write_parquet(combined, tmp)
+        os.rename(path, trash)
+        os.rename(tmp, path)
+        shutil.rmtree(trash)
+
+    # -- query (parity: store.py:238-267) -----------------------------------
+
+    def _read_raw(self, path: Path) -> DataFrame:
+        idx = self._metadata.index_name
+        cols = [idx, *self._metadata.column_schema]
+        return self._spark.read.parquet(str(path)).select(*cols)
+
+    def _scan(self, *, key: str, start: datetime | None, end: datetime | None) -> DataFrame:
+        path = self._item_path(key)
+        if not path.exists():
+            raise ValueError(f"key={key.upper()} does not exist")
+
+        idx = self._metadata.index_name
+        sdf = self._spark.read.parquet(str(path))
+        # Explicit partition-pruning predicate on the year dir plus the
+        # exact inclusive range on the index (store.py:255-266 pushes
+        # row-group filters then re-filters exactly; Spark's parquet
+        # source gives us both, the year bound adds directory pruning).
+        if start is not None:
+            sdf = sdf.filter((F.col(_PARTITION_COL) >= start.year) & (F.col(idx) >= F.lit(start)))
+        if end is not None:
+            sdf = sdf.filter((F.col(_PARTITION_COL) <= end.year) & (F.col(idx) <= F.lit(end)))
+        return sdf.select(idx, *self._metadata.column_schema).orderBy(idx)
+
+    def _query(self, *, key: str, start: datetime | None, end: datetime | None) -> pd.DataFrame:
+        pdf = self._scan(key=key, start=start, end=end).toPandas()
+        return pdf.set_index(self._metadata.index_name)
+
+    # -- EXT: cross-section over many items ---------------------------------
+
+    def read_multi(self, keys: list[str] | None = None,
+                   start: datetime | None = None, end: datetime | None = None) -> DataFrame:
+        """Union of item scans with a ``KEY`` column — the multi-series
+        read the reference lacks (items are fully independent there,
+        SURVEY.md §1.1). Stays lazy; per-item pruning still applies."""
+        keys = keys if keys is not None else self.keys()
+        if not keys:
+            raise ValueError("no items to read")
+        parts = [
+            self._scan(key=k, start=start, end=end).withColumn("KEY", F.lit(k.upper()))
+            for k in keys
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out

@@ -1,0 +1,172 @@
+"""Store parity tests — the reference's cases (tests/test_store.py:35-82)
+plus the pinned intended semantics for dedup / casts (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+
+from oakstore_spark import ItemKeyError, SchemaError, Store
+
+
+def test_create_store(tmp_path, spark):
+    base = tmp_path / "data"
+    Store(base_path=base, spark=spark)
+    assert base.exists()
+    assert (base / "items").exists()
+    assert (base / "_metadata.json").exists()
+
+
+def test_schema_conflict_raises(tmp_path, spark):
+    base = tmp_path / "data"
+    Store(base_path=base, cols={"PRICE": float}, index="TS", spark=spark)
+    with pytest.raises(SchemaError):
+        Store(base_path=base, cols={"OTHER": int}, index="TS", spark=spark)
+    # reopening with no explicit schema is fine
+    s = Store(base_path=base, spark=spark)
+    assert s._metadata.index_name == "TS"
+
+
+def test_write_and_read_back(store, ohlcv_data):
+    store["MSFT"] = ohlcv_data
+    out = store["MSFT"][:]
+    assert len(out) == len(ohlcv_data)
+    assert list(out.columns) == ["OPEN", "HIGH", "LOW", "CLOSE", "VOLUME"]
+    assert out.index.name == "DATE"
+    assert out.index.is_monotonic_increasing
+    # value equality vs the pandas truth (sorted by date)
+    truth = ohlcv_data.sort_index()
+    assert (out["CLOSE"].to_numpy() == truth["Close"].to_numpy()).all()
+    assert (out["VOLUME"].to_numpy() == truth["Volume"].to_numpy()).all()
+
+
+def test_write_existing_key_raises(store, ohlcv_data):
+    store["MSFT"] = ohlcv_data.head(10)
+    with pytest.raises(ValueError):
+        store["MSFT"] = ohlcv_data.head(10)
+
+
+def test_range_query(store, ohlcv_data):
+    store["MSFT"] = ohlcv_data
+    d1, d2 = datetime(2000, 1, 1), datetime(2004, 12, 31)
+    out = store["MSFT"][d1:d2]
+    truth = ohlcv_data.sort_index().loc[d1:d2]
+    assert len(out) == len(truth)
+    assert out.index.min() >= pd.Timestamp(d1)
+    assert out.index.max() <= pd.Timestamp(d2)
+    # inclusive bounds: query exactly one known date
+    some = ohlcv_data.index[100].to_pydatetime()
+    one = store["MSFT"][some:some]
+    assert len(one) == 1
+    # open slices
+    assert len(store["MSFT"][d1:]) == len(ohlcv_data.sort_index().loc[d1:])
+    assert len(store["MSFT"][:d2]) == len(ohlcv_data.sort_index().loc[:d2])
+    # far-future empty
+    assert len(store["MSFT"][datetime(3000, 1, 1):]) == 0
+
+
+def test_slice_validation(store, ohlcv_data):
+    store["MSFT"] = ohlcv_data.head(10)
+    with pytest.raises(KeyError):
+        store["MSFT"][datetime(2020, 1, 1):datetime(2021, 1, 1):2]
+    with pytest.raises(KeyError):
+        store["MSFT"]["2020":]
+
+
+def test_append_idempotent(store, ohlcv_data):
+    # reference case tests/test_store.py:65-68 — write 10 rows, append full
+    store["MSFT"] = ohlcv_data.head(10)
+    store["MSFT"] += ohlcv_data
+    out = store["MSFT"][:]
+    assert len(out) == len(ohlcv_data)
+    # appending the same data again changes nothing
+    store["MSFT"] += ohlcv_data
+    assert len(store["MSFT"][:]) == len(ohlcv_data)
+
+
+def test_append_old_wins_on_same_date(store, ohlcv_data):
+    store["MSFT"] = ohlcv_data.head(10)
+    conflicting = ohlcv_data.head(3).copy()
+    conflicting["Close"] = 999.0
+    store["MSFT"] += conflicting
+    out = store["MSFT"][:]
+    assert len(out) == 10  # no duplicate dates
+    assert (out["CLOSE"].head(3).to_numpy() != 999.0).all()  # old values kept
+
+
+def test_append_missing_key_raises(store, ohlcv_data):
+    with pytest.raises(ValueError):
+        store["NOPE"] += ohlcv_data.head(5)
+
+
+def test_query_missing_key_raises(store):
+    with pytest.raises(ValueError):
+        store["NOPE"][:]
+
+
+@pytest.mark.parametrize("key", ["MSFT", "msft", "BRK.A", "A-B_c.1"])
+def test_valid_keys(store, ohlcv_data, key):
+    store[key] = ohlcv_data.head(5)
+    assert len(store[key.upper()][:]) == 5  # keys are case-insensitive
+
+
+@pytest.mark.parametrize("key", ["foo bar", "*foo", "#foo", ""])
+def test_invalid_keys_raise(store, ohlcv_data, key):
+    with pytest.raises(ItemKeyError):
+        store[key] = ohlcv_data.head(5)
+
+
+def test_schema_normalization(store, ohlcv_data):
+    # lowercase/mixed names + extra column dropped + string dates coerced
+    dirty = ohlcv_data.head(20).copy()
+    dirty.columns = ["open", "High", "LOW", "cLoSe", "volume"]
+    dirty["extra"] = 1
+    dirty.index = dirty.index.astype(str)
+    store["X"] = dirty
+    out = store["X"][:]
+    assert list(out.columns) == ["OPEN", "HIGH", "LOW", "CLOSE", "VOLUME"]
+    assert len(out) == 20
+
+
+def test_missing_column_raises(store, ohlcv_data):
+    with pytest.raises(SchemaError):
+        store["X"] = ohlcv_data.head(5).drop(columns=["Close"])
+
+
+def test_cast_actually_applied(store, ohlcv_data):
+    # reference only *checks* castability (store.py:167-168); we cast.
+    d = ohlcv_data.head(5).copy()
+    d["Volume"] = d["Volume"].astype(float)  # float in, bigint declared
+    store["X"] = d
+    out = store["X"][:]
+    assert str(out["VOLUME"].dtype) == "int64"
+
+
+def test_custom_schema(tmp_path, spark):
+    s = Store(base_path=tmp_path / "d", cols={"PRICE": float, "QTY": int}, index="TS", spark=spark)
+    df = pd.DataFrame(
+        {"price": [1.5, 2.5], "qty": [10, 20]},
+        index=pd.DatetimeIndex(["2024-01-01", "2024-01-02"], name="ts"),
+    )
+    s["ITEM1"] = df
+    out = s["ITEM1"][:]
+    assert list(out.columns) == ["PRICE", "QTY"]
+    assert out.index.name == "TS"
+
+
+def test_spark_df_input_and_lazy_read(store, spark, ohlcv_data):
+    pdf = ohlcv_data.head(50).reset_index().rename(columns={"Date": "DATE"})
+    sdf = spark.createDataFrame(pdf)
+    store["SPARKIN"] = sdf
+    lazy = store["SPARKIN"].df(datetime(1986, 1, 1), datetime(1987, 1, 1))
+    assert lazy.count() == len(ohlcv_data.head(50).loc[:"1987-01-01"])
+
+
+def test_read_multi(store, ohlcv_data):
+    store["A"] = ohlcv_data.head(5)
+    store["B"] = ohlcv_data.head(7)
+    out = store.read_multi()
+    assert out.count() == 12
+    assert set(r["KEY"] for r in out.select("KEY").distinct().collect()) == {"A", "B"}
