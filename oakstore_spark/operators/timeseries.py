@@ -1,0 +1,164 @@
+"""Timeseries operators: resample, rolling windows, as-of join,
+sessionization.
+
+The reference stores timeseries but has NO query operators beyond the
+range scan (SURVEY.md §2: aggregations/windows/joins ABSENT). These are
+the natural EXT layer for a timeseries store, built Spark-first:
+
+- resample  -> groupBy(date_trunc)/agg: map-side partial aggregation,
+  one shuffle on (keys, bucket), no window state;
+- rolling   -> Window.partitionBy(keys).orderBy(ts).rowsBetween: one
+  shuffle on keys, sort within partitions (Tungsten sort, spillable);
+- asof_join -> union + last(ignorenulls) window. This is the 100 TB
+  strategy: a range/theta join would explode or broadcast; the union
+  form is ONE shuffle on the join keys and a single ordered pass, and
+  AQE handles skewed keys. Semantics: for each left row, the latest
+  right row with right.ts <= left.ts (backward) per key;
+- sessionize -> lag + cumulative sum of gap-breaks (two window passes
+  over the same partitioning — Catalyst reuses the exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    interval: str,
+    keys: list[str],
+    aggs: list[Column],
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Tumbling-window aggregation: truncate ts to `interval` (a
+    date_trunc unit: 'hour', 'day', 'week', ...) and aggregate."""
+    bucket = F.date_trunc(interval, F.col(ts_col)).alias(bucket_col)
+    return df.groupBy(bucket, *keys).agg(*aggs)
+
+
+def resample_ohlcv(
+    df: DataFrame, ts_col: str, interval: str, keys: list[str] | None = None
+) -> DataFrame:
+    """Downsample an OHLCV series to a coarser bar: first/max/min/last/sum.
+
+    first/last are made deterministic by ordering on the timestamp via
+    min_by/max_by (not Spark's order-sensitive first()/last())."""
+    keys = keys or []
+    return resample(
+        df,
+        ts_col,
+        interval,
+        keys,
+        [
+            F.min_by("OPEN", ts_col).alias("OPEN"),
+            F.max("HIGH").alias("HIGH"),
+            F.min("LOW").alias("LOW"),
+            F.max_by("CLOSE", ts_col).alias("CLOSE"),
+            F.sum("VOLUME").alias("VOLUME"),
+        ],
+    )
+
+
+def rolling(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    exprs: dict[str, Column],
+    n_rows: int,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Trailing n-row window per key: adds one column per (name, agg expr).
+
+    `exprs` maps output column name -> aggregate Column (e.g. F.avg('v')).
+    Ordering is (ts, *tiebreak) so results are deterministic under ties.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in (order_tiebreak or [])]]
+    w = W.partitionBy(*keys).orderBy(*order).rowsBetween(-(n_rows - 1), 0)
+    out = df
+    for name, expr in exprs.items():
+        out = out.withColumn(name, expr.over(w))
+    return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by: list[str],
+    value_cols: list[str],
+    direction: str = "backward",
+    right_ts_as: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the value columns of the latest
+    right row with right.ts <= left.ts (backward; 'forward' = earliest
+    right.ts >= left.ts), matched per `by` keys. Left rows with no match
+    get nulls.
+
+    Implementation: union both sides with a side marker, then a single
+    `last(value, ignorenulls=True)` running window ordered by
+    (ts, side) — right rows sort before left rows at equal ts, so the
+    match is inclusive. One shuffle on `by`, no range-join explosion.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    carried = list(value_cols)
+    right_sel = right.select(*by, ts_col, *value_cols)
+    if right_ts_as is not None:
+        right_sel = right_sel.withColumn(right_ts_as, F.col(ts_col))
+        carried.append(right_ts_as)
+
+    left_only = [c for c in left.columns if c not in (*by, ts_col)]
+    l2 = left.select(
+        *by,
+        ts_col,
+        *left_only,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right_sel.schema[c].dataType).alias(c) for c in carried],
+    )
+    r2 = right_sel.select(
+        *by,
+        ts_col,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
+        F.lit(0).alias("_side"),
+        *carried,
+    )
+    unioned = l2.unionByName(r2)
+
+    if direction == "backward":
+        order = [F.col(ts_col).asc(), F.col("_side").asc()]
+    else:
+        order = [F.col(ts_col).desc(), F.col("_side").asc()]
+    w = W.partitionBy(*by).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+
+    filled = unioned.select(
+        *by,
+        ts_col,
+        *left_only,
+        "_side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when
+    the time since the previous event exceeds `gap_seconds`."""
+    w = W.partitionBy(*keys).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.col(ts_col).cast("double") - prev.cast("double")) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = W.partitionBy(*keys).orderBy(ts_col).rowsBetween(W.unboundedPreceding, 0)
+    return df.withColumn(session_col, F.sum(is_new).over(running).cast("bigint"))

@@ -1,1 +1,154 @@
-"""Timeseries EXT operators over the events table (filled in batch 2)."""
+"""Timeseries EXT operators over the events table, with DuckDB oracles.
+
+Covers: tumbling-window resample, trailing row-frame rolling aggregates,
+gap-based sessionization, and the as-of join (DuckDB's native ASOF JOIN
+is the oracle for our union+window implementation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oakstore_spark.operators.timeseries import asof_join, resample, rolling, sessionize
+from oakstore_spark.queries import register
+from oakstore_spark.sources import table
+
+
+@register(
+    "q_resample_hourly",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+             AS bucket_epoch,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bucket is exposed as epoch seconds (bigint) so the value compare is
+    # precision-independent (events.ts is nanosecond parquet; see sources)
+    e = table(spark, sf_dir, "events")
+    out = resample(
+        e,
+        "ts",
+        "hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        ],
+    )
+    return out.select(
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "avg_value",
+    )
+
+
+@register(
+    "q_rolling_avg_user",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS roll_sum_cents,
+           count(*)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS roll_n
+    FROM events
+    """,
+)
+def q_rolling_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    # exact-integer rolling sums (cents): sliding-window float
+    # accumulation differs between engines at rounding boundaries, so the
+    # compared values are kept integral — exact in both.
+    e = e.withColumn("value_cents", F.round(F.col("value") * 100).cast("bigint"))
+    out = rolling(
+        e,
+        "ts",
+        ["user_id"],
+        {"roll_sum_cents": F.sum("value_cents"), "roll_n": F.count(F.lit(1))},
+        n_rows=10,
+        order_tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "roll_sum_cents",
+        "roll_n",
+    )
+
+
+@register(
+    "q_sessionize_users",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    s = sessionize(e, "ts", ["user_id"], gap_seconds=1800)
+    return s.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q_asof_purchase_view",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           (epoch_us(p.ts) - epoch_us(v.ts)) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        ts_col="ts",
+        by=["user_id"],
+        value_cols=["view_id"],
+        right_ts_as="view_ts",
+    )
+    return joined.select(
+        "purchase_id",
+        "view_id",
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("lag_us"),
+    )

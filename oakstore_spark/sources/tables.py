@@ -10,6 +10,8 @@ pre-materialize.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = [
     "region",
@@ -26,8 +28,21 @@ TABLES = [
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan of one synthetic table."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Lazy parquet scan of one synthetic table.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects; we read nanos as long (runtime conf, works on any
+    caller-supplied session) and convert to a microsecond timestamp with
+    integer division (``div`` — a double division would lose precision
+    above 2^53 ns). Sub-microsecond precision is truncated, matching
+    DuckDB's ``epoch_us`` floor semantics.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,91 @@
+"""Unit tests for timeseries operators not fully covered by the DuckDB
+oracle (forward as-of, OHLCV resample on store data)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from oakstore_spark.operators.timeseries import asof_join, resample_ohlcv, sessionize
+
+
+@pytest.fixture
+def trades(spark):
+    pdf = pd.DataFrame(
+        {
+            "sym": ["A", "A", "A", "B"],
+            "ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 10:00:05",
+                                  "2024-01-01 10:01:00", "2024-01-01 10:00:03"]),
+            "px": [10.0, 11.0, 12.0, 50.0],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+@pytest.fixture
+def quotes(spark):
+    pdf = pd.DataFrame(
+        {
+            "sym": ["A", "A", "B", "B"],
+            "ts": pd.to_datetime(["2024-01-01 09:59:59", "2024-01-01 10:00:05",
+                                  "2024-01-01 10:00:04", "2024-01-01 10:02:00"]),
+            "bid": [9.5, 10.5, 49.0, 51.0],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_asof_backward(spark, trades, quotes):
+    out = asof_join(trades, quotes, "ts", ["sym"], ["bid"]).toPandas()
+    out = out.sort_values(["sym", "ts"]).reset_index(drop=True)
+    # A@10:00:00 -> quote 09:59:59; A@10:00:05 -> equal-ts quote (inclusive);
+    # A@10:01:00 -> still 10:00:05; B@10:00:03 -> no earlier quote -> null
+    assert out.loc[0, "bid"] == 9.5
+    assert out.loc[1, "bid"] == 10.5
+    assert out.loc[2, "bid"] == 10.5
+    assert pd.isna(out.loc[3, "bid"])
+
+
+def test_asof_forward(spark, trades, quotes):
+    out = asof_join(trades, quotes, "ts", ["sym"], ["bid"], direction="forward").toPandas()
+    out = out.sort_values(["sym", "ts"]).reset_index(drop=True)
+    # A@10:00:00 -> next quote 10:00:05; A@10:01:00 -> none -> null;
+    # B@10:00:03 -> 10:00:04
+    assert out.loc[0, "bid"] == 10.5
+    assert out.loc[1, "bid"] == 10.5
+    assert pd.isna(out.loc[2, "bid"])
+    assert out.loc[3, "bid"] == 49.0
+
+
+def test_resample_ohlcv(store, ohlcv_data):
+    store["MSFT"] = ohlcv_data
+    daily = store["MSFT"].df()
+    monthly = resample_ohlcv(daily, "DATE", "month").toPandas().set_index("bucket_ts").sort_index()
+    truth = ohlcv_data.sort_index().resample("MS").agg(
+        {"Open": "first", "High": "max", "Low": "min", "Close": "last", "Volume": "sum"}
+    ).dropna()
+    assert len(monthly) == len(truth)
+    assert (monthly["OPEN"].to_numpy() == truth["Open"].to_numpy()).all()
+    assert (monthly["CLOSE"].to_numpy() == truth["Close"].to_numpy()).all()
+    assert (monthly["VOLUME"].to_numpy() == truth["Volume"].to_numpy()).all()
+
+
+def test_sessionize_basic(spark):
+    pdf = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:10", "2024-01-01 11:30",
+                 "2024-01-01 11:40", "2024-01-01 10:00"]
+            ),
+        }
+    )
+    out = sessionize(spark.createDataFrame(pdf), "ts", ["u"], gap_seconds=1800)
+    got = {(r["u"], r["ts"].isoformat()): r["session_id"] for r in out.collect()}
+    assert got[(1, "2024-01-01T10:00:00")] == 1
+    assert got[(1, "2024-01-01T10:10:00")] == 1
+    assert got[(1, "2024-01-01T11:30:00")] == 2  # 80-min gap
+    assert got[(1, "2024-01-01T11:40:00")] == 2
+    assert got[(2, "2024-01-01T10:00:00")] == 1
