@@ -1,0 +1,76 @@
+"""Text-analysis operators: language ID, quality scoring, token stats,
+fingerprinting — all built-in JVM expressions (the 100 TB hot path has
+no Python in it).
+
+The heuristics are deliberately simple and *deterministic* — every
+expression here has an exactly-mirrorable DuckDB form so the operators
+are oracle-checkable end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from oakstore_spark.functions.text import fingerprint_md5, token_count
+
+# language marker-word profiles (lowercase, \b-anchored alternations);
+# keep in sync with the oracle SQL in queries/llm.py
+LANG_PATTERNS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in)\b",
+    "fr": r"\b(le|la|les|et|des|une)\b",
+    "de": r"\b(der|die|und|das|ist|nicht)\b",
+    "es": r"\b(el|los|las|es|una|y)\b",
+}
+CJK_PATTERN = "[一-鿿]"
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    lw = F.lower(F.col(col) if isinstance(col, str) else col)
+    return {lang: F.regexp_count(lw, F.lit(pat)) for lang, pat in LANG_PATTERNS.items()}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Predicted language: CJK presence wins, else argmax of marker-word
+    counts with fixed tie order en > fr > de > es."""
+    lw = F.lower(F.col(col) if isinstance(col, str) else col)
+    s = lang_scores(col)
+    return (
+        F.when(F.regexp_count(lw, F.lit(CJK_PATTERN)) > 0, F.lit("zh"))
+        .when((s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] >= s["es"]), F.lit("en"))
+        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["es"]), F.lit("fr"))
+        .when(s["de"] >= s["es"], F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score from token count, punctuation ratio
+    and English stopword density. Denominators are guarded (blank text
+    scores 0) so ANSI mode cannot raise divide-by-zero."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    n_chars = F.length(c)
+    punct = n_chars - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9\s]", ""))
+    punct_ratio = punct / F.nullif(n_chars.cast("double"), F.lit(0.0))
+    stop_ratio = F.regexp_count(F.lower(c), F.lit(LANG_PATTERNS["en"])) / F.nullif(
+        n_tok.cast("double"), F.lit(0.0)
+    )
+    score = (
+        0.3 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + 0.4 * (1.0 - punct_ratio)
+        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+    )
+    return F.coalesce(score, F.lit(0.0))
+
+
+def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document derived stats: tokens, quality, fingerprint, lang."""
+    return df.withColumns(
+        {
+            "n_tokens": token_count(text_col),
+            "quality": quality_score(text_col),
+            "fingerprint": fingerprint_md5(text_col),
+            "pred_lang": lang_id(text_col),
+        }
+    )

@@ -1,1 +1,202 @@
-"""LLM-data-pipeline EXT operators over documents/embeddings (batch 3)."""
+"""LLM-data-pipeline EXT operators over documents/embeddings, with
+DuckDB oracles mirroring every expression exactly.
+
+Oracle-checked: token stats, exact dedup, content fingerprints, quality
+buckets, lang-id confusion, MinHash-LSH near-dup pairs (oracle = exact
+O(n^2) jaccard — the LSH side must find the same pairs), brute-force
+cosine top-k. Rows-only: SimHash near-dup, LSH ANN top-k (approximate by
+design; pinned against brute force in pytest instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oakstore_spark.functions.text import fingerprint_md5, token_count
+from oakstore_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_near_dup_pairs,
+)
+from oakstore_spark.operators.similarity import ann_cosine_topk, cosine_topk
+from oakstore_spark.operators.text import lang_id, quality_score
+from oakstore_spark.queries import register
+from oakstore_spark.sources import table
+
+# normalized text, as one reusable SQL fragment (mirrors
+# functions.text.normalize_text exactly)
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_TOKCOUNT_SQL = (
+    "CASE WHEN len(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+
+@register(
+    "q_doc_token_stats",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum({_TOKCOUNT_SQL}) AS BIGINT) AS total_tokens,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "q_exact_dedup_docs",
+    oracle="""
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+           count(*) - 1 AS n_dupes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q_fingerprint_docs",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
+
+
+@register(
+    "q_quality_buckets",
+    oracle=f"""
+    WITH scored AS (
+      SELECT coalesce(
+        0.3 * least(({_TOKCOUNT_SQL}) / 100.0, 1.0)
+        + 0.4 * (1.0 - (len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                        / nullif(CAST(len(text) AS DOUBLE), 0.0))
+        + 0.3 * least((len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b'))
+                        / nullif(CAST(({_TOKCOUNT_SQL}) AS DOUBLE), 0.0)) * 5.0, 1.0),
+        0.0) AS quality
+      FROM documents
+    )
+    SELECT CAST(floor(quality * 10) AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           round(avg(quality), 4) AS avg_quality
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(quality_score("text").alias("quality"))
+    return scored.groupBy(
+        F.floor(F.col("quality") * 10).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
+@register(
+    "q_lang_id_confusion",
+    oracle="""
+    WITH scores AS (
+      SELECT lang,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des|une)\\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht)\\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\\b(el|los|las|es|una|y)\\b')) AS s_es,
+             len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN s_zh > 0 THEN 'zh'
+                WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                WHEN s_de >= s_es THEN 'de'
+                ELSE 'es' END AS pred_lang,
+           count(*) AS n_docs
+    FROM scores
+    GROUP BY 1, 2
+    """,
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("lang", lang_id("text").alias("pred_lang")).groupBy(
+        "lang", "pred_lang"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "q_minhash_near_dup",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len({_NORM_SQL}) - 2, 1) + 1),
+               i -> substr({_NORM_SQL}, i, 3))) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))
+                 / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))
+          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.85
+    """,
+)
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.85)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "q_knn_top1",
+    oracle="""
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    QUALIFY row_number() OVER (
+      PARTITION BY a.vec_id
+      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id
+    ) = 1
+    """,
+)
+def q_knn_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    out = cosine_topk(e, e.select(F.col("vec_id").alias("query_id"), "embedding"), k=1)
+    return out.select("query_id", "vec_id", F.round("sim", 6).alias("sim"))
+
+
+# --- approximate ops: rows-only driver check, pinned vs brute in pytest --
+
+@register("q_simhash_near_dup")
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@register("q_ann_topk")
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_cosine_topk(e, queries, k=10, dim=64)

@@ -171,29 +171,54 @@ class Store:
         """
         idx = self._metadata.index_name
         if isinstance(data, pd.DataFrame):
-            pdf = data.copy()
-            pdf.index = pd.to_datetime(pdf.index)
-            pdf.index.name = idx
-            pdf = pdf.reset_index()
-            sdf = self._spark.createDataFrame(pdf)
-        elif isinstance(data, DataFrame):
-            sdf = data
-        else:
-            raise SchemaError(f"unsupported input type {type(data).__name__}")
+            return self._normalize_pandas(data)
+        if isinstance(data, DataFrame):
+            return self._normalize_spark(data)
+        raise SchemaError(f"unsupported input type {type(data).__name__}")
 
-        by_upper = {c.upper(): c for c in sdf.columns}
-        missing = [c for c in self._metadata.column_schema if c not in by_upper]
-        if missing:
+    def _check_columns(self, columns: list[str]) -> dict[str, str]:
+        by_upper = {c.upper(): c for c in columns}
+        if any(c not in by_upper for c in self._metadata.column_schema):
             raise SchemaError("data does not match store schema")
+        return by_upper
+
+    def _normalize_pandas(self, data: pd.DataFrame) -> DataFrame:
+        """Driver-side normalization for pandas input — validates (and,
+        unlike the reference, actually applies) the declared casts eagerly,
+        raising SchemaError like the reference does (store.py:165-172)."""
+        idx = self._metadata.index_name
+        by_upper = self._check_columns(list(data.columns))
+        pdf = pd.DataFrame(index=data.index)
+        try:
+            for name in self._metadata.column_schema:
+                pdf[name] = data[by_upper[name]].astype(self._metadata.py_type(name))
+            pdf.index = pd.to_datetime(data.index)
+        except (ValueError, TypeError) as e:
+            raise SchemaError("data does not match store schema") from e
+        pdf.index.name = idx
+        return self._spark.createDataFrame(pdf.reset_index())
+
+    def _normalize_spark(self, sdf: DataFrame) -> DataFrame:
+        """Lazy, distributed normalization for Spark input. ANSI casts
+        would abort the whole job with an engine error, so each cast is a
+        try_cast guarded by raise_error naming the offending column/value
+        (fires at action time on the executor that sees the bad row)."""
+        idx = self._metadata.index_name
+        by_upper = self._check_columns(sdf.columns)
         if idx.upper() not in by_upper:
             raise SchemaError(f"data has no index column {idx!r}")
 
         def guarded_cast(src: str, target, name: str):
-            casted = F.col(src).cast(target)
+            casted = F.col(src).try_cast(target)
             return (
                 F.when(
                     F.col(src).isNotNull() & casted.isNull(),
-                    F.raise_error(F.format_string(f"SchemaError: column {name} not castable: %s", F.col(src).cast("string"))),
+                    F.raise_error(
+                        F.format_string(
+                            f"SchemaError: column {name} not castable: %s",
+                            F.col(src).try_cast("string"),
+                        )
+                    ),
                 )
                 .otherwise(casted)
                 .alias(name)

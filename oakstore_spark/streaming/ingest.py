@@ -1,0 +1,90 @@
+"""Structured Streaming ingest — the EXT replacement for the reference's
+batch append-rewrite (SURVEY.md §2: streaming ABSENT; append at
+/root/reference/oakstore/store.py:214-236 rewrites the whole item).
+
+Pattern: ``readStream`` over a file source -> watermark on the event
+time -> dedup / windowed aggregation -> ``writeStream`` with
+``trigger(availableNow=True)`` for batch-incremental runs. Late data is
+handled by the watermark: events older than the threshold are dropped
+from stateful ops instead of growing state without bound — the property
+that keeps state bounded on an unbounded 100 TB/day stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# file-source schema for the events table (ts arrives as nanos-int64 in
+# the synthetic parquet; see sources/tables.py for the batch equivalent)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of events with the ns->us timestamp conversion."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def ingest_events_stream(
+    events: DataFrame,
+    dest_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+):
+    """Exactly-once-ish ingest: watermarked dedup on event_id, partitioned
+    parquet sink. Returns the started query (caller awaits termination).
+
+    ``dropDuplicatesWithinWatermark`` keeps only watermark-bounded state —
+    the streaming analogue of the store's append dedup (old wins: a
+    replayed event_id within the watermark window is dropped)."""
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return (
+        deduped.withColumn("_oak_date", F.to_date("ts"))
+        .writeStream.format("parquet")
+        .option("path", dest_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("_oak_date")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hourly_counts_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (the streaming form of
+    queries/timeseries.q_resample_hourly). Returns the streaming
+    DataFrame; attach a sink + trigger to run."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("bucket_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

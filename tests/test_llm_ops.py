@@ -1,0 +1,117 @@
+"""Unit tests for dedup/similarity operators — the approximate paths the
+DuckDB oracle can't check (planted-duplicate recall, ANN recall vs brute
+force, simhash behavior)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oakstore_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_near_dup_pairs,
+)
+from oakstore_spark.operators.similarity import ann_cosine_topk, cosine_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from a sunny windowsill and the birds sing in the garden outside"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("quick", "swift")),  # near dup of 0
+        (3, "completely different content about databases and query engines here"),
+        (4, "Totally unrelated short text."),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, "doc_id", "text").toPandas()
+    assert len(out) == 4  # 5 docs, one exact dup collapses
+    dup_row = out[out.n_dupes > 0]
+    assert len(dup_row) == 1
+    assert dup_row.iloc[0]["keep_id"] == 0
+
+
+def test_minhash_planted(spark, docs):
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).toPandas()
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert (0, 1) in got  # exact dup: jaccard 1.0
+    assert (0, 2) in got and (1, 2) in got  # near dup
+    assert all(3 not in p and 4 not in p for p in got)
+
+
+def test_simhash(spark, docs):
+    pairs = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8).toPandas()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.itertuples()}
+    assert got[(0, 1)] == 0  # identical token sets
+    assert (0, 2) in got  # one token differs -> small hamming
+    assert (0, 3) not in got and (0, 4) not in got
+
+
+def _clustered_vectors(n_pairs: int, dim: int, seed: int = 7):
+    """n_pairs base vectors + a tightly perturbed twin for each."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_pairs):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in v))
+        v = [x / nrm for x in v]
+        twin = [x + rng.gauss(0, 0.02) for x in v]
+        rows.append((i * 2, v))
+        rows.append((i * 2 + 1, twin))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(_clustered_vectors(60, 32), schema).cache()
+
+
+def test_cosine_topk_finds_twins(spark, clustered):
+    queries = clustered.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = cosine_topk(clustered, queries, k=1).toPandas()
+    # each vector's nearest neighbor is its twin (ids 2i <-> 2i+1)
+    twin = {int(r.query_id): int(r.vec_id) for r in out.itertuples()}
+    hits = sum(1 for q, v in twin.items() if v == (q ^ 1))
+    assert hits == len(twin)
+
+
+def test_ann_recall_on_twins(spark, clustered):
+    queries = clustered.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_cosine_topk(clustered, queries, k=1, dim=32).toPandas()
+    twin = {int(r.query_id): int(r.vec_id) for r in out.itertuples()}
+    # cos ~0.999 twins: multi-table LSH recall should be essentially 1
+    hits = sum(1 for q, v in twin.items() if v == (q ^ 1))
+    assert hits >= 0.95 * 60
+
+
+def test_ann_subset_of_brute(spark, clustered):
+    queries = clustered.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = cosine_topk(clustered, queries, k=10).toPandas()
+    ann = ann_cosine_topk(clustered, queries, k=10, dim=32).toPandas()
+    # ann sims must be exact (same cosine), and ann top-1 == brute top-1
+    b1 = brute[brute["rank"] == 1].set_index("query_id")["vec_id"]
+    a1 = ann[ann["rank"] == 1].set_index("query_id")["vec_id"]
+    assert (b1 == a1).all()

@@ -170,3 +170,24 @@ def test_read_multi(store, ohlcv_data):
     out = store.read_multi()
     assert out.count() == 12
     assert set(r["KEY"] for r in out.select("KEY").distinct().collect()) == {"A", "B"}
+
+
+def test_uncastable_pandas_raises_schema_error(store, ohlcv_data):
+    bad = ohlcv_data.head(5).copy()
+    bad["Volume"] = ["x", "y", "z", "w", "v"]
+    with pytest.raises(SchemaError):
+        store["BAD"] = bad
+
+
+def test_uncastable_spark_raises_at_action(store, spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "DATE": pd.to_datetime(["2024-01-01"]),
+            "OPEN": [1.0], "HIGH": [1.0], "LOW": [1.0], "CLOSE": [1.0],
+            "VOLUME": ["not_a_number"],
+        }
+    )
+    with pytest.raises(Exception, match="SchemaError"):
+        store["BAD2"] = spark.createDataFrame(pdf)
