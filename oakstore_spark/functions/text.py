@@ -41,13 +41,23 @@ def normalize_text(col: Column | str) -> Column:
 
 def char_ngrams(col: Column | str, n: int, distinct: bool = True) -> Column:
     """Character n-gram shingles of a string (JVM-side: sequence +
-    transform + substring; no exploding)."""
-    c = _c(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))),
-        lambda i: F.substring(c, i, n),
-    )
-    return F.array_distinct(grams) if distinct else grams
+    transform + substring; no exploding).
+
+    The input expression is bound ONCE as a lambda variable of a
+    1-element ``transform`` before the per-position loop. Without this,
+    a computed input (e.g. ``normalize_text``) is inlined into the inner
+    lambda and re-evaluated for EVERY shingle position — O(len^2) regex
+    work per document (observed 10x+ on the minhash pipeline).
+    """
+
+    def grams(c: Column) -> Column:
+        g = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))),
+            lambda i: F.substring(c, i, n),
+        )
+        return F.array_distinct(g) if distinct else g
+
+    return F.element_at(F.transform(F.array(_c(col)), grams), 1)
 
 
 def fingerprint_md5(col: Column | str) -> Column:

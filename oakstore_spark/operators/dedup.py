@@ -1,22 +1,32 @@
 """Deduplication operators for LLM training-data pipelines.
 
-Exact, near-exact (normalized), MinHash+LSH and SimHash near-dup — all
-designed for the 100 TB regime:
+Exact, near-exact (normalized), MinHash+LSH, SimHash and exact n-gram
+Jaccard — all designed for the 100 TB regime:
 
 - exact/normalized dedup: one hash-shuffle on the content digest; the
   digest (md5) is computed map-side so the shuffle carries 32 bytes, not
   documents;
 - MinHash+LSH: the standard shingle -> minhash signature -> banded
-  bucket -> candidate-join -> exact-verify pipeline. Everything up to the
-  bucket join is per-row JVM expressions (no Python, no explode of
-  shingles); the only shuffles are the band-bucket join (keys are 8-byte
-  hashes) and the verify join. Cost is O(n * bands) candidate rows, never
-  O(n^2) — the brute-force pair join the oracle uses is exactly what this
-  avoids;
-- SimHash: 64-bit signature via bit-vote over token hashes (computed with
-  JVM array expressions), candidate pairs via the pigeonhole band trick
-  (hamming distance <= k pairs must agree on one of k+1 bit-chunks),
-  verified with exact popcount.
+  bucket -> candidate-join -> exact-verify pipeline. Each shingle string
+  is hashed to a 64-bit value ONCE (JVM `xxhash64`); the n_hashes minhash
+  components are then derived from those longs with a vectorized
+  Kirsch-Mitzenmacher multiply-add in a pandas UDF (uint64 wraparound —
+  numpy, not per-row Python). The only shuffles are the band-bucket join
+  (keys are 8-byte hashes) and the verify join. Cost is O(n * bands)
+  candidate rows, never O(n^2) — the brute-force pair join the oracle
+  uses is exactly what this avoids;
+- SimHash: 64-bit signature via bit-vote over token hashes (tokens
+  hashed once JVM-side, bit-vote vectorized in numpy), candidate pairs
+  via the pigeonhole band trick (hamming distance <= k pairs must agree
+  on one of k+1 bit-chunks), verified with exact popcount;
+- n-gram Jaccard: EXACT near-dup pairs via an inverted-index join on
+  shingles (explode distinct shingles, equi-join, count common, jaccard
+  = common / (|a| + |b| - common)). Linear in pairs-sharing-a-gram, not
+  O(n^2); ``max_df`` optionally drops ultra-common grams (hot keys) at a
+  documented cost to exactness.
+
+Signature DataFrames feeding multiple joins are persisted — otherwise
+Spark re-derives the whole signature subtree once per join branch.
 
 Skew note: a degenerate band key (e.g. many near-empty docs) creates a
 hot bucket; ``max_bucket_size`` drops pathological buckets explicitly —
@@ -25,8 +35,12 @@ at scale you would also rely on AQE skew-join splitting.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.storagelevel import StorageLevel
 
 from oakstore_spark.functions.text import char_ngrams, normalize_text, tokens
 
@@ -47,35 +61,54 @@ def exact_dedup(
     )
 
 
+def _km_constants(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Odd multipliers + offsets for h_i = a_i * h + b_i (mod 2^64)."""
+    rng = np.random.RandomState(seed)
+
+    def u64(n: int) -> np.ndarray:
+        hi = rng.randint(0, 1 << 32, size=n).astype(np.uint64)
+        lo = rng.randint(0, 1 << 32, size=n).astype(np.uint64)
+        return (hi << np.uint64(32)) | lo
+
+    return u64(n_hashes) | np.uint64(1), u64(n_hashes)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n_hashes: int = 96,
     shingle_n: int = 3,
+    seed: int = 7,
 ) -> DataFrame:
     """(id, shingles, sig): char-shingle the normalized text and minhash
-    it under ``n_hashes`` independent hash functions — xxhash64(x, seed)
-    per seed, no multiply/mod arithmetic (ANSI-overflow-safe)."""
+    it under ``n_hashes`` hash functions.
+
+    Each distinct shingle is hashed once (JVM ``xxhash64`` — the only
+    pass over string data); the pandas UDF then computes
+    min_i(a_i * h + b_i mod 2^64) for all i in one numpy broadcast per
+    row (~shingles x n_hashes uint64 ops, vectorized)."""
+    a_const, b_const = _km_constants(n_hashes, seed)
     norm = normalize_text(text_col)
-    shingled = df.select(
+    hashed = df.select(
         F.col(id_col).alias("id"),
         char_ngrams(norm, shingle_n).alias("shingles"),
-    )
+    ).withColumn("_h", F.transform(F.col("shingles"), lambda s: F.xxhash64(s)))
 
-    # one-arg lambda factory: a two-arg lambda would make transform() pass
-    # the ARRAY INDEX as the second argument, silently collapsing all
-    # n_hashes functions into one position-dependent hash
-    def _hasher(seed: int):
-        return lambda x: F.xxhash64(x, F.lit(seed))
+    @pandas_udf("array<long>")
+    def derive_sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            if hv.size == 0:
+                sig = b_const
+            else:
+                # (shingles x n_hashes) wraparound multiply-add, min-reduce
+                sig = (hv[:, None] * a_const[None, :] + b_const[None, :]).min(axis=0)
+            out.append(np.ascontiguousarray(sig).view(np.int64))
+        return pd.Series(out)
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), _hasher(i)))
-            for i in range(n_hashes)
-        ]
-    ).alias("sig")
-    return shingled.select("id", "shingles", sig)
+    return hashed.select("id", "shingles", derive_sig("_h").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -105,7 +138,11 @@ def minhash_lsh_pairs(
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    # persisted: feeds the band explode, both sides of the candidate
+    # join, the signature prefilter and the shingle verify
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     banded = sigs.select(
         "id",
@@ -181,36 +218,93 @@ def minhash_lsh_pairs(
     return verified
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >=
+    threshold) via an inverted-index join — no O(n^2) cross join.
+
+    For each doc: the distinct char n-gram set of the normalized text.
+    Explode to (id, gram) postings, self-join on gram, count common
+    grams per pair, then jaccard = common / (|a| + |b| - common).
+
+    Scale: cost is sum over grams of df(gram)^2 — fine when no gram is
+    ubiquitous. ``max_df`` drops grams appearing in more than that many
+    docs (hot-key control); with it set the result can MISS pairs whose
+    overlap is concentrated in dropped grams, so leave it None when an
+    exact answer is required. At 100 TB you would run minhash_lsh_pairs
+    first and use this only to verify candidates.
+    """
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(char_ngrams(normalize_text(text_col), shingle_n)).alias("gram"),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+
+    postings = grams
+    if max_df is not None:
+        dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+        postings = grams.join(dfreq, "gram").filter(F.col("_df") <= max_df).drop("_df")
+
+    a, b = postings.alias("a"), postings.alias("b")
+    common = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64
 ) -> DataFrame:
     """(id, simhash): 64-bit SimHash of the whitespace tokens.
 
-    Bit-vote with JVM array expressions: for each bit position, sum +-1
-    votes (token hash bit set -> +1) across distinct tokens; bit is 1 if
-    the vote is positive. No Python UDF.
+    Tokens are hashed once JVM-side (`xxhash64`); the bit-vote (for each
+    bit position, sum +-1 votes across tokens; bit is 1 if positive) runs
+    as a vectorized numpy kernel in a pandas UDF — not 64 interpreted
+    expression passes, not per-row Python.
     """
+    if bits != 64:
+        raise ValueError("simhash_signatures supports bits=64 only")
     toks = F.array_distinct(tokens(normalize_text(text_col)))
-    # SQL expr: the Python shiftright/shiftleft wrappers only accept a
-    # literal int shift amount, but here the shift is the lambda variable
-    sim = F.expr(
-        f"""
-        aggregate(
-          zip_with(
-            transform(sequence(0, {bits - 1}),
-              b -> aggregate(transform(_toks, t -> xxhash64(t)), 0,
-                     (acc, h) -> acc + if((shiftright(h, b) & 1) = 1, 1, -1))),
-            sequence(0, {bits - 1}),
-            (v, b) -> if(v > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))
-          ),
-          cast(0 as bigint),
-          (acc, x) -> acc | x
-        )
-        """
+    hashed = df.select(F.col(id_col).alias("id"), toks.alias("_t")).withColumn(
+        "_h", F.transform(F.col("_t"), lambda t: F.xxhash64(t))
     )
-    return df.withColumn("_toks", toks).select(
-        F.col(id_col).alias("id"), sim.alias("simhash")
-    )
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def vote(hs: pd.Series) -> pd.Series:
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, h in enumerate(hs):
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            if hv.size == 0:
+                out[i] = 0
+                continue
+            ones = ((hv[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+            sig_bits = (2 * ones > hv.size).astype(np.uint64)
+            v = int((sig_bits << shifts).sum())  # exact: disjoint bits
+            out[i] = v - (1 << 64) if v >= (1 << 63) else v
+        return pd.Series(out)
+
+    return hashed.select("id", vote("_h").alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -228,7 +322,10 @@ def simhash_near_dup_pairs(
     """
     k = max_hamming + 1
     chunk = bits // k
-    sigs = simhash_signatures(df, id_col, text_col, bits)
+    # persisted: both sides of the chunk self-join re-derive it otherwise
+    sigs = simhash_signatures(df, id_col, text_col, bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     mask = (1 << chunk) - 1
     banded = sigs.select(

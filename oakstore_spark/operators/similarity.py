@@ -1,30 +1,44 @@
 """Similarity search over embedding columns (array<float>).
 
-- brute-force cosine top-k: the exactness baseline. One broadcast of the
-  query set, one pass over the corpus, per-query top-k via window — at
-  100 TB this is the correct plan when the query set is small (the corpus
-  is scanned once, never shuffled; only (n_queries x k) rows survive).
+- brute-force cosine top-k: the exactness baseline. The query set is
+  materialized driver-side once (the moral equivalent of a broadcast),
+  then the corpus is scanned ONCE, distributed, with an Arrow-batched
+  ``mapInPandas`` doing the scoring as a numpy matmul (BLAS) — at 100 TB
+  this is the correct plan when the query set is small: no shuffle of the
+  corpus, only (n_chunks x k x n_queries) candidate rows survive to the
+  final global top-k window.
 - LSH-bucketed ANN: random-hyperplane signatures, multi-table banding.
-  The corpus is signed once (JVM expressions over a broadcast hyperplane
-  matrix), candidates come from equi-joins on small integer bucket keys,
-  exact cosine re-ranks only the candidates. Sub-linear candidate volume
-  at the cost of bounded recall loss — the scale path when the query set
-  is itself large.
+  The corpus is signed once (one numpy matmul per Arrow batch against the
+  (tables*bits x dim) plane matrix), candidates come from equi-joins on
+  small integer bucket keys, exact cosine re-ranks only the candidates.
+  Sub-linear candidate volume at the cost of bounded recall loss — the
+  scale path when the query set is itself large.
 
-No Python UDFs anywhere: dot products over a few dozen hyperplanes are
-`aggregate`/`zip_with` expressions the codegen vectorizes fine.
+Python appears only as vectorized Arrow-batched numpy kernels (matmuls,
+sign-bit packing) — never row-at-a-time UDFs. The per-candidate exact
+re-rank stays JVM-side (`aggregate`/`zip_with`) because candidate sets
+are small by construction.
 """
 
 from __future__ import annotations
 
 import math
 import random
+from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 from oakstore_spark.functions.vectors import cosine_similarity
+
+# cap the per-chunk score matrix at ~4M doubles (32 MB) so 32 concurrent
+# tasks stay well inside executor memory even with 100k-row query sets
+_MAX_SCORE_CELLS = 4_000_000
 
 
 def cosine_topk(
@@ -39,34 +53,69 @@ def cosine_topk(
 
     Output: (query_id, vec_id, sim, rank<=k); self-matches (same id)
     excluded. Deterministic tie-break on (sim desc, vec_id asc).
+
+    Execution: queries -> driver (small side), corpus scanned once via
+    ``mapInPandas``; each Arrow batch computes a normalized matmul and
+    emits its local top-(k+8) per query; a global window keeps exact k.
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+    if id_col == query_id_col:
+        raise ValueError("id_col and query_id_col must differ")
+    q_pdf = queries.select(query_id_col, vec_col).toPandas()
+    q_ids = q_pdf[query_id_col].to_numpy()
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    if len(q_pdf) == 0:
+        return corpus.sparkSession.createDataFrame([], out_schema).withColumn(
+            "rank", F.lit(1).cast("bigint")
         )
-    )
-    scored = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(q)
-        .filter(F.col(id_col) != F.col("_qid"))
-        .withColumn("sim", cosine_similarity(F.col(vec_col), F.col("_qvec")))
-    )
-    w = W.partitionBy("_qid").orderBy(F.col("sim").desc(), F.col(id_col))
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    QnT = np.ascontiguousarray((Q / qn[:, None]).T)  # dim x m
+    m = Q.shape[0]
+    # +8 slack so sim-ties at the local cutoff can't drop the row the
+    # global deterministic tie-break (vec_id asc) would have kept
+    local_k = k + 8
+    chunk_rows = max(1, _MAX_SCORE_CELLS // m)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk_rows):
+                part = pdf.iloc[lo : lo + chunk_rows]
+                n = len(part)
+                B = np.stack([np.asarray(v, dtype=np.float64) for v in part[vec_col]])
+                bn = np.linalg.norm(B, axis=1)
+                bn[bn == 0] = 1.0
+                S = (B / bn[:, None]) @ QnT  # n x m
+                kk = min(local_k, n)
+                top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # kk x m
+                ids = part[id_col].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.repeat(q_ids, kk),
+                        id_col: ids[top.T.ravel()],
+                        "sim": np.take_along_axis(S, top, axis=0).T.ravel(),
+                    }
+                )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(scan, out_schema)
+    w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        cand.filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
-        .select(
-            F.col("_qid").alias(query_id_col),
-            id_col,
-            "sim",
-            "rank",
-        )
+        .select(query_id_col, id_col, "sim", "rank")
     )
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes (Box-Muller on seeded PRNG —
-    no numpy dependency in the operator path)."""
+    no RNG state shipped to executors, just the literal matrix)."""
     rng = random.Random(seed)
     planes = []
     for _ in range(n_planes):
@@ -89,28 +138,32 @@ def signed_buckets(
     seed: int = 42,
 ) -> DataFrame:
     """Add ``_bucket_<t>`` integer columns: sign-bit signatures under
-    ``n_tables`` independent hyperplane sets (JVM-only arithmetic)."""
-    planes = _hyperplanes(dim, n_tables * bits_per_table, seed)
-    out = df
-    for t in range(n_tables):
-        bits = []
-        for b in range(bits_per_table):
-            plane = planes[t * bits_per_table + b]
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col).cast("array<double>"),
-                    F.array(*[F.lit(x) for x in plane]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-        key = bits[0]
-        for bit in bits[1:]:
-            key = key + bit
-        out = out.withColumn(f"_bucket_{t}", key.cast("int"))
-    return out
+    ``n_tables`` independent hyperplane sets.
+
+    All ``n_tables * bits_per_table`` dot products happen as ONE numpy
+    matmul per Arrow batch (vs. one interpreted expression tree per
+    plane); input columns pass through untouched.
+    """
+    P = np.asarray(_hyperplanes(dim, n_tables * bits_per_table, seed)).T  # dim x planes
+    pow2 = (1 << np.arange(bits_per_table)).astype(np.int64)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(f"_bucket_{t}", T.IntegerType()) for t in range(n_tables)]
+    )
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (B @ P) >= 0  # n x (tables*bits)
+            out = pdf.copy()
+            for t in range(n_tables):
+                chunk = bits[:, t * bits_per_table : (t + 1) * bits_per_table]
+                out[f"_bucket_{t}"] = (chunk @ pow2).astype(np.int32)
+            yield out
+
+    return df.mapInPandas(sign, out_schema)
 
 
 def ann_cosine_topk(
@@ -184,7 +237,11 @@ def embedding_near_dup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, via self-join on LSH buckets +
-    exact verify (the embedding-space analogue of minhash_lsh_pairs)."""
+    exact verify (the embedding-space analogue of minhash_lsh_pairs).
+
+    The signed long-form is persisted: it feeds both sides of the
+    self-join and would otherwise be signed twice.
+    """
     signed = signed_buckets(corpus, vec_col, dim, n_tables, bits_per_table, seed)
     long = signed.select(
         id_col,
@@ -197,7 +254,7 @@ def embedding_near_dup_pairs(
                 ]
             )
         ).alias("tb"),
-    ).select(id_col, vec_col, "tb.tbl", "tb.bkt")
+    ).select(id_col, vec_col, "tb.tbl", "tb.bkt").persist(StorageLevel.MEMORY_AND_DISK)
 
     l, r = long.alias("l"), long.alias("r")
     cand = (
