@@ -17,9 +17,14 @@ from oakstore_spark.functions.text import fingerprint_md5, token_count
 from oakstore_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
-from oakstore_spark.operators.similarity import ann_cosine_topk, cosine_topk
+from oakstore_spark.operators.similarity import (
+    ann_cosine_topk,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
 from oakstore_spark.operators.text import lang_id, quality_score
 from oakstore_spark.queries import register
 from oakstore_spark.sources import table
@@ -183,6 +188,56 @@ def q_knn_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     out = cosine_topk(e, e.select(F.col("vec_id").alias("query_id"), "embedding"), k=1)
     return out.select("query_id", "vec_id", F.round("sim", 6).alias("sim"))
+
+
+@register(
+    "q_ngram_jaccard_dup",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len({_NORM_SQL}) - 2, 1) + 1),
+               i -> substr({_NORM_SQL}, i, 3))) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))
+                 / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))
+          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8
+    """,
+)
+def q_ngram_jaccard_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard dedup (inverted-index join) — unlike
+    q_minhash_near_dup this has zero false negatives; the oracle is the
+    same brute-force jaccard the LSH path approximates candidate
+    generation for."""
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "q_embed_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.9
+    """,
+)
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH candidates + exact verify).
+    The synthetic corpus plants no pairs above 0.9 so the exact oracle
+    is empty at any SF; recall on planted twins is pinned in pytest
+    (test_llm_ops.py::test_embed_near_dup_twins)."""
+    e = table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(e, threshold=0.9, dim=64)
+    return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
 # --- approximate ops: rows-only driver check, pinned vs brute in pytest --

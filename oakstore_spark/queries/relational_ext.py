@@ -1,0 +1,307 @@
+"""Extended operator coverage: set operations, cube/grouping sets,
+range/interval joins, scalar function suites (string/date/math/json/
+array), approximate aggregates.
+
+All EXT — the reference has none of these (SURVEY.md §2: evidence
+/root/reference/oakstore/store.py:1-267 is the entire engine). Every
+query is declarative DataFrame/SQL so Catalyst handles pushdown and
+join selection; interval joins are expressed as equi-joins on derived
+bucket keys (broadcast band table / time-bucket explode) so they hash-
+join at 100 TB instead of falling back to nested loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oakstore_spark.queries import register
+from oakstore_spark.sources import register_views, table
+
+
+# --- TPC-H Q6 style: tight filter + single agg (pushdown showcase) -------
+
+@register(
+    "q06_discount_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --- CUBE -----------------------------------------------------------------
+
+@register(
+    "q_cube_qty",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+# --- GROUPING SETS via the SQL surface (same text runs on both engines) --
+
+_GROUPING_SETS_SQL = """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("q_grouping_sets_sql", oracle=_GROUPING_SETS_SQL)
+def q_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# --- set operations: INTERSECT / EXCEPT ----------------------------------
+
+@register(
+    "q_intersect_repeat_buyers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def q_intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.intersect(y97)
+
+
+@register(
+    "q_except_lapsed_buyers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def q_except_lapsed_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    # subtract = EXCEPT DISTINCT (exceptAll would only cancel per-occurrence)
+    return y96.subtract(y97)
+
+
+# --- interval join against a broadcast band table ------------------------
+
+_BANDS = [("budget", 0.0, 930.0), ("mid", 930.0, 970.0), ("premium", 970.0, 10_000_000.0)]
+
+
+@register(
+    "q_range_join_price_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 0.0, 930.0), ('mid', 930.0, 970.0),
+             ('premium', 970.0, 10000000.0)
+    )
+    SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+)
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (interval) join: the band table is tiny -> broadcast, so
+    the range predicate evaluates map-side (BroadcastNestedLoopJoin over
+    3 rows == a filter); the fact side never shuffles."""
+    p = table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= F.col("lo")) & (p.p_retailprice < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+# --- self range-join on time (bucketed -> equi-join, no nested loop) -----
+
+@register(
+    "q_range_join_events",
+    oracle="""
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE
+    GROUP BY a.user_id
+    """,
+)
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of same-user events within 1 minute. The naive form is an
+    inequality self-join (nested loop at scale); here each left row is
+    exploded into its minute bucket and the NEXT one, the join is an
+    EQUI-join on (user_id, bucket) — hash-partitionable, AQE-skew-
+    splittable — and the exact window predicate is the residual filter.
+    A pair is matched exactly once: b's bucket equals either a's or a's+1.
+    """
+    e = table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_micros("ts") / F.lit(60_000_000))
+    a = e.select(
+        F.col("user_id"),
+        F.col("ts").alias("ts_a"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bkt"),
+    )
+    b = e.select(F.col("user_id"), F.col("ts").alias("ts_b"), bucket.alias("bkt"))
+    return (
+        a.join(b, ["user_id", "bkt"])
+        .filter(
+            (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 MINUTE"))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --- JSON scalar functions ------------------------------------------------
+
+@register(
+    "q_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- array functions over embeddings -------------------------------------
+
+@register(
+    "q_array_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(max(len(embedding)) AS INT) AS max_dim,
+           round(avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[])))), 4) AS avg_norm,
+           round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_first
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oakstore_spark.functions.vectors import norm2
+
+    e = table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.max(F.size("embedding")).alias("max_dim"),
+        F.round(F.avg(norm2("embedding")), 4).alias("avg_norm"),
+        F.round(F.avg(F.element_at("embedding", 1).cast("double")), 4).alias("avg_first"),
+    )
+
+
+# --- string/date/math scalar suite ---------------------------------------
+
+@register(
+    "q_scalar_funcs",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           concat(o_orderstatus, '-', substr(o_orderpriority, 1, 1)) AS grp,
+           count(*) AS n,
+           round(avg(sqrt(o_totalprice)), 4) AS avg_sqrt_price,
+           round(sum(abs(o_totalprice - 200000.0)), 2) AS sum_abs_dev,
+           CAST(max(length(o_orderpriority)) AS BIGINT) AS max_pri_len
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+            F.concat(
+                F.col("o_orderstatus"), F.lit("-"), F.substring("o_orderpriority", 1, 1)
+            ).alias("grp"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.sqrt("o_totalprice")), 4).alias("avg_sqrt_price"),
+            # sum (not avg) of exact-cent deviations: the sum stays on a
+            # cent boundary so round(.,2) never hits a half-tie, while an
+            # avg routinely lands on x.xx5 and tie-breaks engine-specific
+            F.round(F.sum(F.abs(F.col("o_totalprice") - 200000.0)), 2).alias("sum_abs_dev"),
+            F.max(F.length("o_orderpriority")).cast("bigint").alias("max_pri_len"),
+        )
+    )
+
+
+# --- approximate aggregates (HLL values are engine-specific -> rows-only;
+#     the <10% relative-error bound is pinned in pytest) -------------------
+
+@register("q_approx_distinct")
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.countDistinct("l_partkey").alias("n_exact"),
+        F.approx_count_distinct("l_partkey").alias("n_approx"),
+        F.round(
+            F.abs(F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey"))
+            / F.countDistinct("l_partkey"),
+            4,
+        ).alias("rel_err"),
+    )
