@@ -243,9 +243,11 @@ def embedding_near_dup_pairs(
     self-join and would otherwise be signed twice.
     """
     signed = signed_buckets(corpus, vec_col, dim, n_tables, bits_per_table, seed)
+    # postings carry ONLY (id, table, bucket): the candidate shuffle and
+    # the pair-distinct move 16-byte keys, never embedding payloads —
+    # vectors are joined back once per verified-candidate side below
     long = signed.select(
         id_col,
-        vec_col,
         F.explode(
             F.array(
                 *[
@@ -254,7 +256,7 @@ def embedding_near_dup_pairs(
                 ]
             )
         ).alias("tb"),
-    ).select(id_col, vec_col, "tb.tbl", "tb.bkt").persist(StorageLevel.MEMORY_AND_DISK)
+    ).select(id_col, "tb.tbl", "tb.bkt").persist(StorageLevel.MEMORY_AND_DISK)
 
     l, r = long.alias("l"), long.alias("r")
     cand = (
@@ -267,13 +269,41 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"l.{vec_col}").alias("vec_a"),
-            F.col(f"r.{vec_col}").alias("vec_b"),
         )
         .distinct()
     )
-    return (
-        cand.withColumn("sim", cosine_similarity("vec_a", "vec_b"))
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", "sim")
+    vecs = corpus.select(id_col, vec_col)
+    cand = cand.join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")), "id_a"
+    ).join(
+        vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")), "id_b"
     )
+
+    # exact verify vectorized per Arrow batch: candidate volume is
+    # O(n * tables * bucket_size) and interpreted per-pair zip_with
+    # cosines dominated the query (~26s -> ~2s at 5k vectors)
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", corpus.schema[id_col].dataType),
+            T.StructField("id_b", corpus.schema[id_col].dataType),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec_a"]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec_b"]])
+            na = np.linalg.norm(A, axis=1)
+            nb = np.linalg.norm(B, axis=1)
+            na[na == 0] = 1.0
+            nb[nb == 0] = 1.0
+            sim = (A * B).sum(axis=1) / (na * nb)
+            keep = sim >= threshold
+            out = pdf.loc[keep, ["id_a", "id_b"]].copy()
+            out["sim"] = sim[keep]
+            yield out
+
+    return cand.mapInPandas(verify, out_schema)
