@@ -74,3 +74,40 @@ def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "pred_lang": lang_id(text_col),
         }
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int,
+    overlap_chars: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the pre-tokenization unit for LLM training pipelines.
+
+    Chunk k starts at 1 + k*stride (stride = chunk - overlap) while the
+    start is <= len - overlap (always >= 1 chunk), so consecutive chunks
+    share ``overlap_chars`` characters and every character is covered.
+    Pure JVM expressions (sequence + transform + substring + posexplode);
+    the input column is bound once via a 1-element transform (same
+    O(len^2) re-evaluation hazard as char_ngrams).
+
+    Output: (id, chunk_idx 0-based, chunk_text).
+    """
+    if overlap_chars >= chunk_chars:
+        raise ValueError("overlap_chars must be < chunk_chars")
+    stride = chunk_chars - overlap_chars
+
+    def chunks(c: Column) -> Column:
+        starts = F.sequence(
+            F.lit(1),
+            F.greatest(F.length(c) - F.lit(overlap_chars), F.lit(1)),
+            F.lit(stride),
+        )
+        return F.transform(starts, lambda s: F.substring(c, s, chunk_chars))
+
+    arr = F.element_at(F.transform(F.array(F.col(text_col)), chunks), 1)
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(arr).alias("chunk_idx", "chunk_text")
+    )

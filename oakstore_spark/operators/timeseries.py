@@ -162,3 +162,40 @@ def sessionize(
     ).otherwise(F.lit(0))
     running = W.partitionBy(*keys).orderBy(ts_col).rowsBetween(W.unboundedPreceding, 0)
     return df.withColumn(session_col, F.sum(is_new).over(running).cast("bigint"))
+
+
+def gapfill(
+    df: DataFrame,
+    bucket_col: str,
+    keys: list[str],
+    step: str,
+    fills: dict[str, object] | None = None,
+    ffill_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fill missing buckets of a resampled series (one row per
+    (keys, bucket) expected). Each key group gets a dense timestamp grid
+    from its min to its max bucket (``step`` is a SQL interval literal,
+    e.g. "INTERVAL 1 HOUR"); missing rows appear with nulls, then
+    constant fills and/or forward-fill (last non-null) are applied.
+
+    Scale: the grid is generated per key from a tiny bounds aggregate
+    (sequence + explode — no driver loop) and the join is an equi-join on
+    (keys, bucket); forward-fill is one ordered window pass per key.
+    """
+    bounds = df.groupBy(*keys).agg(
+        F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx")
+    )
+    grid = bounds.select(
+        *keys, F.explode(F.expr(f"sequence(_mn, _mx, {step})")).alias(bucket_col)
+    )
+    out = grid.join(df, [*keys, bucket_col], "left")
+    for c, v in (fills or {}).items():
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    for c in ffill_cols or []:
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(bucket_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out

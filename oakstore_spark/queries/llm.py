@@ -191,6 +191,37 @@ def q_knn_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_chunk_docs",
+    oracle="""
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(len(text) - 100, 1), 400)) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 400 AS BIGINT) AS chunk_idx,
+           CAST(len(substr(text, CAST(s AS INT), 500)) AS BIGINT) AS n_chars,
+           md5(substr(text, CAST(s AS INT), 500)) AS digest
+    FROM starts
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunking (500 chars, 100 overlap) — the pre-tokenizer
+    unit of an LLM data pipeline; md5 digests make the value compare
+    content-exact without shipping chunk bodies through the harness."""
+    from oakstore_spark.operators.text import chunk_documents
+
+    d = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, "doc_id", "text", chunk_chars=500, overlap_chars=100)
+    return chunks.select(
+        F.col("id").alias("doc_id"),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.length("chunk_text").cast("bigint").alias("n_chars"),
+        F.md5("chunk_text").alias("digest"),
+    )
+
+
+@register(
     "q_ngram_jaccard_dup",
     oracle=f"""
     WITH sh AS (

@@ -121,6 +121,86 @@ def q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_lag_returns",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER w, 2) AS delta,
+           round((value - lag(value) OVER w) / nullif(lag(value) OVER w, 0.0), 6)
+             AS ret
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lag_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / first-difference / percent return — the classic timeseries
+    window trio (one shuffle on user_id, one ordered pass)."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - prev, 2).alias("delta"),
+        F.round((F.col("value") - prev) / F.nullif(prev, F.lit(0.0)), 6).alias("ret"),
+    )
+
+
+@register(
+    "q_gapfill_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(b) AS mn, max(b) AS mx FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT event_type,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    )
+    SELECT CAST(epoch(grid.bucket) AS BIGINT) AS bucket_epoch,
+           grid.event_type,
+           coalesce(n, 0) AS n_events,
+           coalesce(cents, 0) AS sum_cents
+    FROM grid LEFT JOIN hourly
+      ON hourly.event_type = grid.event_type AND hourly.b = grid.bucket
+    """,
+)
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event_type with zero-filled gaps —
+    resample + gapfill (grid generated per key from a bounds aggregate;
+    integer cents keep the value compare exact)."""
+    from oakstore_spark.operators.timeseries import gapfill
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    hourly = resample(
+        e,
+        "ts",
+        "hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("sum_cents")],
+    )
+    filled = gapfill(
+        hourly,
+        "bucket_ts",
+        ["event_type"],
+        "INTERVAL 1 HOUR",
+        fills={"n_events": 0, "sum_cents": 0},
+    )
+    return filled.select(
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+@register(
     "q_asof_purchase_view",
     oracle="""
     SELECT p.event_id AS purchase_id,

@@ -3,5 +3,15 @@ from oakstore_spark.streaming.ingest import (
     ingest_events_stream,
     read_events_stream,
 )
+from oakstore_spark.streaming.stateful import (
+    running_user_totals,
+    session_window_stats,
+)
 
-__all__ = ["read_events_stream", "ingest_events_stream", "hourly_counts_stream"]
+__all__ = [
+    "read_events_stream",
+    "ingest_events_stream",
+    "hourly_counts_stream",
+    "session_window_stats",
+    "running_user_totals",
+]

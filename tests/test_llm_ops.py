@@ -188,3 +188,24 @@ def test_ann_subset_of_brute(spark, clustered):
     b1 = brute[brute["rank"] == 1].set_index("query_id")["vec_id"]
     a1 = ann[ann["rank"] == 1].set_index("query_id")["vec_id"]
     assert (b1 == a1).all()
+
+
+def test_chunk_documents_coverage(spark):
+    from oakstore_spark.operators.text import chunk_documents
+
+    rows = [(1, "x" * 1000), (2, "short"), (3, "y" * 500), (4, "z" * 501)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, "doc_id", "text", chunk_chars=500, overlap_chars=100)
+    pdf = out.toPandas()
+    by_id = {i: g.sort_values("chunk_idx") for i, g in pdf.groupby("id")}
+    # 1000 chars, stride 400: starts 1,401,801 -> 3 chunks; last is 200 chars
+    assert [len(t) for t in by_id[1].chunk_text] == [500, 500, 200]
+    # reassembly: drop the 100-char overlap from every chunk after the first
+    full = by_id[1].chunk_text.iloc[0] + "".join(
+        t[100:] for t in by_id[1].chunk_text.iloc[1:]
+    )
+    assert full == "x" * 1000
+    assert list(by_id[2].chunk_text) == ["short"]  # shorter than one chunk
+    assert len(by_id[3]) == 1  # exactly chunk-size -> one chunk
+    assert len(by_id[4]) == 2  # one char over -> tail chunk (overlap+1)
+    assert len(by_id[4].chunk_text.iloc[1]) == 101

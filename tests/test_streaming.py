@@ -8,11 +8,14 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
+from oakstore_spark.operators.timeseries import sessionize
 from oakstore_spark.sources import table
 from oakstore_spark.streaming import (
     hourly_counts_stream,
     ingest_events_stream,
     read_events_stream,
+    running_user_totals,
+    session_window_stats,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -69,3 +72,76 @@ def test_streaming_hourly_counts_match_batch(spark, tmp_path, events_src):
     assert emitted.count() == got.count()
     assert emitted.filter(F.col("n_events") != F.col("batch_n")).count() == 0
     assert got.count() > 0
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path, events_src):
+    """Built-in session_window (30 min gap): session-window aggregation
+    supports only append output, which emits a session once the watermark
+    passes its end — so the emitted set is the watermark-closed PREFIX of
+    the batch sessions. Every emitted session must match the batch
+    gap-sessionize operator exactly on (user, start, n_events)."""
+    stream = read_events_stream(spark, events_src)
+    agg = session_window_stats(stream, gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_window_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, session_start, n_events FROM session_window_test"
+    )
+    batch = sessionize(table(spark, SF_DIR, "events"), "ts", ["user_id"], gap_seconds=1800)
+    batch_sessions = batch.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("batch_n"),
+    )
+    joined = got.join(batch_sessions, ["user_id", "session_start"])
+    assert got.count() > 0
+    assert joined.count() == got.count()  # every emitted session exists in batch
+    assert joined.filter(F.col("n_events") != F.col("batch_n")).count() == 0
+
+
+def test_streaming_running_totals_stateful(spark, tmp_path, events_src):
+    """applyInPandasWithState accumulator: after the stream drains, the
+    last emitted running total per user equals the batch aggregate —
+    state must survive across micro-batches (maxFilesPerTrigger splits
+    the source into several)."""
+    # split source into multiple files to force multiple micro-batches
+    src = table(spark, SF_DIR, "events")
+    multi = str(tmp_path / "multi_src")
+    src.repartition(4).write.parquet(multi)
+    stream = (
+        spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 1).parquet(multi)
+    )
+    totals = running_user_totals(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("running_totals_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # the final (largest) emitted total per user is the full aggregate
+    got = spark.sql(
+        """
+        SELECT user_id, max(n_events) AS n_events,
+               max(total_value) AS total_value
+        FROM running_totals_test GROUP BY user_id
+        """
+    )
+    batch = src.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    joined = got.alias("g").join(batch.alias("b"), "user_id")
+    assert joined.count() == batch.count()
+    mism = joined.filter(
+        (F.col("g.n_events") != F.col("b.n_events"))
+        | (F.abs(F.col("g.total_value") - F.col("b.total_value")) > 1e-6)
+    )
+    assert mism.count() == 0

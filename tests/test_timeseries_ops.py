@@ -89,3 +89,26 @@ def test_sessionize_basic(spark):
     assert got[(1, "2024-01-01T11:30:00")] == 2  # 80-min gap
     assert got[(1, "2024-01-01T11:40:00")] == 2
     assert got[(2, "2024-01-01T10:00:00")] == 1
+
+
+def test_gapfill_dense_and_ffill(spark):
+    from oakstore_spark.operators.timeseries import gapfill
+    import pandas as pd
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1, 10.0),
+        ("a", "2024-01-01 03:00:00", 2, 30.0),  # 2 missing hours
+        ("b", "2024-01-01 01:00:00", 5, 50.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "bucket", "n", "v"]).withColumn(
+        "bucket", F.col("bucket").cast("timestamp")
+    )
+    out = gapfill(
+        df, "bucket", ["k"], "INTERVAL 1 HOUR", fills={"n": 0}, ffill_cols=["v"]
+    ).orderBy("k", "bucket").toPandas()
+    a = out[out.k == "a"]
+    assert len(a) == 4  # 00,01,02,03 dense
+    assert list(a.n) == [1, 0, 0, 2]  # zero-filled
+    assert list(a.v) == [10.0, 10.0, 10.0, 30.0]  # forward-filled
+    b = out[out.k == "b"]
+    assert len(b) == 1 and b.iloc[0].n == 5
