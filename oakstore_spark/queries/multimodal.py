@@ -1,0 +1,106 @@
+"""Multimodal-column coverage: binary content processed through the
+Arrow-batched mapInPandas extractors (operators/multimodal.py).
+
+The container has no media libraries, so the decode step is a
+deterministic fake (documented there) — but the Spark-side plumbing
+(binary columns, mapInPandas schemas/batching, 1-to-many frame
+explosion) is real, and everything derivable from raw bytes (sizes,
+durations, chunk digests) is oracle-checked against DuckDB blob
+functions. The synthetic media table is the documents table with
+``content = utf-8 bytes of text`` — deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oakstore_spark.operators.multimodal import (
+    audio_metadata,
+    extract_image_features,
+    sample_video_frames,
+)
+from oakstore_spark.queries import register
+from oakstore_spark.sources import table
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (media_id, content binary): the opaque-binary-column
+    shape real pipelines carry for images/audio/video."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+
+
+@register(
+    "q_audio_duration",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           round(octet_length(CAST(text AS BLOB)) / 32000.0, 6) AS duration_sec
+    FROM documents
+    """,
+)
+def q_audio_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata over binary content (16-bit mono PCM assumption):
+    byte math is fully oracle-checkable even with the decode stubbed."""
+    out = audio_metadata(_media(spark, sf_dir))
+    return out.select(
+        "media_id", "n_bytes", F.round("duration_sec", 6).alias("duration_sec")
+    )
+
+
+@register(
+    "q_image_meta",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+           CAST(min(octet_length(CAST(text AS BLOB))) AS BIGINT) AS min_bytes,
+           CAST(max(octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_bytes
+    FROM documents
+    """,
+)
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature extraction end-to-end; the oracle checks the
+    byte-derived columns (the fake decode's width/height/features are
+    engine-side only — their shape is pinned in pytest)."""
+    feats = extract_image_features(_media(spark, sf_dir))
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
+
+
+@register(
+    "q_video_frames",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, text FROM documents
+      WHERE len(text) = octet_length(CAST(text AS BLOB))  -- ASCII only
+    ), idx AS (
+      SELECT media_id, text,
+             unnest(generate_series(
+               0, greatest(len(text) // 4096, 1) - 1, 10)) AS frame_idx
+      FROM media
+    )
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(substr(text, CAST(frame_idx * 4096 + 1 AS INT), 4096)) AS frame_md5
+    FROM idx
+    """,
+)
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-to-many frame sampling (every 10th 4KB chunk), proving the
+    mapInPandas explosion contract end-to-end. Restricted to ASCII docs:
+    DuckDB has no BLOB slicing, so the oracle slices VARCHAR — identical
+    to byte slicing only when chars == bytes. (Unicode handling of the
+    operator itself is pinned in pytest.)"""
+    d = table(spark, sf_dir, "documents").filter(
+        F.length("text") == F.octet_length("text")
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    return sample_video_frames(media, every_n=10)

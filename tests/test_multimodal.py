@@ -54,3 +54,20 @@ def test_audio_metadata(spark):
     out = audio_metadata(df).toPandas()
     assert (out["duration_sec"] == 1.0).all()  # 32000 bytes / (2*16000)
     assert (out["sample_rate"] == 16000).all()
+
+
+def test_video_frames_multibyte_bytes_not_chars(spark):
+    """Frame chunking must operate on BYTES: a multibyte doc's chunk
+    boundaries differ from its char boundaries."""
+    import hashlib
+
+    text = "汉" * 3000  # 3 bytes/char in UTF-8 -> 9000 bytes, 2 chunks
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"]).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    out = sample_video_frames(df, every_n=1).toPandas().sort_values("frame_idx")
+    raw = text.encode("utf-8")
+    assert len(out) == len(raw) // 4096  # 2 full 4KB chunks
+    for r in out.itertuples():
+        expect = hashlib.md5(raw[r.frame_idx * 4096 : (r.frame_idx + 1) * 4096]).hexdigest()
+        assert r.frame_md5 == expect
