@@ -1,0 +1,46 @@
+"""Skew-aware join helpers.
+
+AQE's skew-join splitting (on in session.py) handles most skew at
+runtime by splitting oversized shuffle partitions. ``salted_join`` is
+the explicit fallback for the cases AQE can't fix — e.g. one key so hot
+that even a split partition's build side won't fit, or a non-AQE
+engine path. Salting changes the DISTRIBUTION, never the result: the
+left side scatters each row to one of ``n_salts`` sub-keys, the right
+side replicates each row to all of them, so every original match pair
+still meets exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "_oak_salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on ``on`` with an added salt key: left rows get a
+    uniform salt in [0, n_salts), right rows are exploded n_salts times.
+    A hot key's rows thus spread over n_salts shuffle partitions instead
+    of one. Cost: the right side shuffles n_salts times its size — use
+    with left = the big/skewed fact side, right = the smaller side.
+
+    Supports inner and left joins (the semantics where per-row
+    replication composes safely with the salt scatter).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join does not support how={how!r}")
+    # salt from a hash of the join key + a per-row uniform component:
+    # rand() is fine because the salt value never affects the RESULT,
+    # only which of the n replicas a row meets its matches on
+    salted_left = left.withColumn(_SALT, (F.rand(seed=42) * n_salts).cast("int"))
+    salted_right = right.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_left.join(salted_right, [*on, _SALT], how).drop(_SALT)

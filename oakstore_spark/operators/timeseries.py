@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def resample(
@@ -199,3 +200,43 @@ def gapfill(
         )
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def groupwise_zscore(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    out_cols: list[str],
+    z_col: str = "z",
+) -> DataFrame:
+    """Per-key z-score via ``applyInPandas`` (grouped-map pandas UDF) —
+    the batch demonstration of the grouped-pandas surface (streaming
+    analogue: applyInPandasWithState in streaming/stateful.py).
+
+    Sample stddev (ddof=1, matching SQL stddev_samp); groups with zero
+    or undefined stddev produce null z. One shuffle on the keys; each
+    group is normalized vectorized in pandas. At 100 TB prefer the pure
+    window-function form for this particular op — this exists for the
+    cases where the per-group logic ISN'T expressible in SQL (model
+    scoring, per-group sklearn transforms, ...).
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema_fields = [df.schema[c] for c in out_cols + keys]
+    out_schema = T.StructType(
+        list(schema_fields) + [T.StructField(z_col, T.DoubleType())]
+    )
+    cols = out_cols + keys
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf[value_col].std(ddof=1)
+        m = pdf[value_col].mean()
+        out = pdf[cols].copy()
+        if s and not np.isnan(s):
+            out[z_col] = (pdf[value_col] - m) / s
+        else:
+            out[z_col] = np.nan
+        return out
+
+    return df.groupBy(*keys).applyInPandas(norm, out_schema)

@@ -305,3 +305,138 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+# --- TPC-H Q10 style: returned-item revenue (4-way join + top-k) ---------
+
+@register(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- TPC-H Q13 style: LEFT OUTER join + double aggregation ---------------
+
+@register(
+    "q13_order_count_dist",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # non-null count
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- TPC-H Q18 style: HAVING over a join aggregate + top-k ---------------
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, round(sum(l_quantity), 2) AS total_qty
+    FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_custkey, o_orderkey
+    HAVING sum(l_quantity) > 300
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)  # HAVING
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --- FULL OUTER join: year-over-year customer activity -------------------
+
+@register(
+    "q_full_outer_yoy",
+    oracle="""
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+           coalesce(n96, 0) AS n_1996,
+           coalesce(n97, 0) AS n_1997
+    FROM (SELECT o_custkey, count(*) AS n96 FROM orders
+          WHERE year(o_orderdate) = 1996 GROUP BY 1) a
+    FULL OUTER JOIN
+         (SELECT o_custkey, count(*) AS n97 FROM orders
+          WHERE year(o_orderdate) = 1997 GROUP BY 1) b
+      ON a.o_custkey = b.o_custkey
+    """,
+)
+def q_full_outer_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .groupBy(F.col("o_custkey").alias("ck96"))
+        .agg(F.count(F.lit(1)).alias("n96"))
+    )
+    b = (
+        o.filter(F.year("o_orderdate") == 1997)
+        .groupBy(F.col("o_custkey").alias("ck97"))
+        .agg(F.count(F.lit(1)).alias("n97"))
+    )
+    return a.join(b, a.ck96 == b.ck97, "full_outer").select(
+        F.coalesce("ck96", "ck97").alias("custkey"),
+        F.coalesce("n96", F.lit(0)).alias("n_1996"),
+        F.coalesce("n97", F.lit(0)).alias("n_1997"),
+    )

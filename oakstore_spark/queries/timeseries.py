@@ -232,3 +232,24 @@ def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("lag_us"),
     )
+
+
+@register(
+    "q_zscore_events",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER w)
+                 / nullif(stddev_samp(value) OVER w, 0.0), 4) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def q_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score through the grouped-map pandas UDF surface
+    (applyInPandas); the oracle is the pure-SQL window form — both must
+    agree exactly."""
+    from oakstore_spark.operators.timeseries import groupwise_zscore
+
+    e = table(spark, sf_dir, "events")
+    out = groupwise_zscore(e, ["user_id"], "value", ["event_id"])
+    return out.select("event_id", "user_id", F.round("z", 4).alias("z"))

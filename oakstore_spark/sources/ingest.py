@@ -1,0 +1,70 @@
+"""CSV/JSON ingest helpers — the EXT source formats beyond parquet
+(SURVEY.md §2 sources row; the reference reads only parquet plus a
+test-only yfinance download, /root/reference/oakstore/store.py:260-264,
+testing/yfinance.py:6-19).
+
+Always pass an explicit schema in production: schema inference reads the
+data twice and infers from a sample — on 100 TB that is both a full
+extra scan and a correctness risk (a late file with a wider type breaks
+the inferred schema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan. With an explicit schema the read is single-pass and
+    filters/pruning push into the scan like any other source."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines scan (one object per line — the splittable layout;
+    multiLine JSON is not splittable and caps parallelism at one task
+    per file)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "errorifexists",
+    **options: str,
+) -> None:
+    """Uniform sink: parquet (default) / csv / json, optionally
+    hive-partitioned. Partition columns should be low-cardinality
+    (a high-cardinality partitionBy creates a small-file explosion)."""
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
