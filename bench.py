@@ -46,6 +46,11 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        finally:
+            # operators persist() intermediates (LSH signatures, prefix
+            # postings); drop them so queries are timed independently and
+            # cache memory doesn't accumulate across the whole suite
+            spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({

@@ -30,6 +30,20 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("bigint")
 
 
+# BPE-ish segmentation: a letter run is ~one token, each digit is its
+# own token (GPT-2-style), every other non-space char is a token. The
+# char classes are ASCII so Java (Spark) and RE2 (DuckDB) agree exactly.
+BPE_TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Approximate BPE token count (bigint): non-overlapping matches of
+    ``BPE_TOKEN_PATTERN`` — a cheap, deterministic stand-in for a real
+    tokenizer's token count, good for length filtering and cost
+    estimates in a training-data pipeline."""
+    return F.regexp_count(_c(col), F.lit(BPE_TOKEN_PATTERN)).cast("bigint")
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for dedup: lowercase, strip non-alphanumerics,
     collapse whitespace."""

@@ -62,6 +62,33 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bpe_token_stats",
+    oracle=r"""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))) AS BIGINT)
+             AS total_bpe_tokens,
+           CAST(max(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))) AS BIGINT)
+             AS max_bpe_tokens,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (letter runs / digit singles / punct) —
+    the tokenizer-cost estimate of an LLM pipeline, vs the whitespace
+    counter in q_doc_token_stats."""
+    from oakstore_spark.functions.text import bpe_token_count
+
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(bpe_token_count("text")).alias("total_bpe_tokens"),
+        F.max(bpe_token_count("text")).alias("max_bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
     "q_exact_dedup_docs",
     oracle="""
     SELECT md5(text) AS digest, min(doc_id) AS keep_id,
