@@ -262,13 +262,31 @@ class Store:
     # -- append + dedup (parity: store.py:214-236) --------------------------
 
     def _append(self, *, key: str, data) -> None:
+        """Append + dedup touching ONLY the year partitions the new data
+        lands in.
+
+        A new row can collide only with an old row sharing its DATE —
+        same DATE ⇒ same year partition — so partitions outside the new
+        data's year set are provably unaffected and are never read or
+        rewritten. Append cost is therefore O(touched partitions), not
+        O(table size): the property that keeps appends viable on a
+        100 TB item (the reference rewrites the whole item every append,
+        store.py:214-236).
+        """
         path = self._item_path(key)
         if not path.exists():
             raise ValueError(f"key={key.upper()} does not exist, (use write instead?)")
 
         idx = self._metadata.index_name
         new = self._normalize(data).withColumn("_oak_prio", F.lit(1))
-        old = self._read_raw(path).withColumn("_oak_prio", F.lit(0))
+        # metadata-scale action: the distinct years of the incoming batch
+        years = [r[0] for r in new.select(F.year(F.col(idx))).distinct().collect()]
+        old = (
+            self._spark.read.parquet(str(path))
+            .filter(F.col(_PARTITION_COL).isin(years))  # partition pruning
+            .select(idx, *self._metadata.column_schema)
+            .withColumn("_oak_prio", F.lit(0))
+        )
 
         # Dedup on the index key, old-wins — the *intended* semantics
         # (README.md:39-48; the reference's value-only drop_duplicates at
@@ -283,14 +301,21 @@ class Store:
             .drop("_oak_prio", "_oak_rn")
         )
 
-        # Atomic rewrite: write to a temp sibling, then swap directories.
-        # (On cloud storage this would be a Delta MERGE / commit-protocol
-        # rename; local-FS rename is atomic enough for the parity surface.)
+        # Write the touched partitions to a temp sibling, then swap each
+        # year directory in. (On cloud storage this would be a Delta
+        # MERGE / commit-protocol rename; local-FS renames are atomic
+        # per-partition — the cross-partition window is narrower than the
+        # reference's full in-place rewrite, which has no safe point.)
         tmp = self._items_path / f".tmp-{key.upper()}-{uuid.uuid4().hex}"
         trash = self._items_path / f".trash-{key.upper()}-{uuid.uuid4().hex}"
         self._write_parquet(combined, tmp)
-        os.rename(path, trash)
-        os.rename(tmp, path)
+        trash.mkdir()
+        for part_dir in sorted(tmp.glob(f"{_PARTITION_COL}=*")):
+            dest = path / part_dir.name
+            if dest.exists():
+                os.rename(dest, trash / part_dir.name)
+            os.rename(part_dir, dest)
+        shutil.rmtree(tmp)
         shutil.rmtree(trash)
 
     # -- query (parity: store.py:238-267) -----------------------------------

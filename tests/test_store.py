@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -191,3 +192,53 @@ def test_uncastable_spark_raises_at_action(store, spark):
     )
     with pytest.raises(Exception, match="SchemaError"):
         store["BAD2"] = spark.createDataFrame(pdf)
+
+
+def test_append_prunes_untouched_partitions(store, tmp_path):
+    """Appending 2021 data must not rewrite the 2020 partition files."""
+    import os
+
+    idx = pd.date_range("2020-06-01", periods=400, freq="D")  # spans 2020+2021
+    df = pd.DataFrame(
+        {
+            "Open": np.arange(400.0),
+            "High": np.arange(400.0),
+            "Low": np.arange(400.0),
+            "Close": np.arange(400.0),
+            "Volume": np.arange(400),
+        },
+        index=idx,
+    )
+    store["PART"] = df
+    item_dir = store._item_path("PART")
+    files_2020 = sorted((item_dir / "_oak_year=2020").rglob("*.parquet"))
+    before = {str(f): (f.stat().st_mtime_ns, f.stat().st_ino) for f in files_2020}
+    assert before
+
+    extra = pd.DataFrame(
+        {
+            "Open": [1.0], "High": [1.0], "Low": [1.0], "Close": [1.0], "Volume": [1],
+        },
+        index=pd.DatetimeIndex([pd.Timestamp("2021-12-01")]),
+    )
+    store["PART"] += extra
+    after = {str(f): (f.stat().st_mtime_ns, f.stat().st_ino)
+             for f in sorted((item_dir / "_oak_year=2020").rglob("*.parquet"))}
+    assert after == before  # 2020 partition untouched, byte-for-byte same files
+    out = store["PART"][:]
+    assert len(out) == 401
+    assert out.loc[pd.Timestamp("2021-12-01")]["OPEN"] == 1.0
+
+
+def test_append_new_year_partition(store):
+    idx = pd.date_range("2020-01-01", periods=10, freq="D")
+    df = pd.DataFrame(
+        {"Open": np.ones(10), "High": np.ones(10), "Low": np.ones(10),
+         "Close": np.ones(10), "Volume": np.ones(10, dtype=int)},
+        index=idx,
+    )
+    store["NY"] = df
+    later = df.copy()
+    later.index = idx + pd.DateOffset(years=5)
+    store["NY"] += later
+    assert len(store["NY"][:]) == 20
