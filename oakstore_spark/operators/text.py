@@ -111,3 +111,29 @@ def chunk_documents(
     return df.select(
         F.col(id_col).alias("id"), F.posexplode(arr).alias("chunk_idx", "chunk_text")
     )
+
+
+def register_split_sentences_udtf(df_spark) -> None:
+    """Register the ``split_sentences`` Python UDTF (one row per
+    non-blank '.'-delimited sentence, with its raw split index).
+
+    UDTFs are the table-function surface (SURVEY.md §2: UDF/UDAF/UDTF
+    ABSENT in the reference) — used from SQL as
+    ``FROM docs, LATERAL split_sentences(text) t``. Row-at-a-time
+    Python: fine for a surface demonstration and low row counts; for the
+    100 TB hot path prefer the JVM-side chunk_documents/split exprs.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):  # noqa: ANN001
+            import re
+
+            if text is None:
+                return
+            for i, part in enumerate(re.split(r"\.\s+", text)):
+                if part.strip():
+                    yield i, part
+
+    df_spark.udtf.register("split_sentences", SplitSentences)

@@ -313,3 +313,33 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann_cosine_topk(e, queries, k=10, dim=64)
+
+
+@register(
+    "q_split_sentences_udtf",
+    oracle=r"""
+    WITH split AS (
+      SELECT doc_id, regexp_split_to_array(text, '\.\s+') AS arr FROM documents
+    ), z AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(arr))) AS i,
+             unnest(arr) AS sentence
+      FROM split
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, sentence
+    FROM z WHERE len(trim(sentence)) > 0
+    """,
+)
+def q_split_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: lateral table function emitting one row per
+    sentence; the oracle re-derives the identical split with DuckDB's
+    regexp_split_to_array + zipped unnest."""
+    from oakstore_spark.operators.text import register_split_sentences_udtf
+    from oakstore_spark.sources import register_views
+
+    register_split_sentences_udtf(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT doc_id, t.sent_idx, t.sentence "
+        "FROM documents, LATERAL split_sentences(text) t"
+    )
