@@ -1,0 +1,85 @@
+"""Physical-plan audits: the scale properties (partition pruning, filter
+pushdown, column pruning, broadcast joins) must be visible in the plan,
+not assumed. These guard against regressions that stay correct but stop
+scaling (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_store_range_query_prunes_partitions(store):
+    idx = pd.date_range("2019-06-01", periods=900, freq="D")  # 2019-2021
+    df = pd.DataFrame(
+        {"Open": np.ones(900), "High": np.ones(900), "Low": np.ones(900),
+         "Close": np.ones(900), "Volume": np.ones(900, dtype=int)},
+        index=idx,
+    )
+    store["PRUNE"] = df
+    scan = store["PRUNE"].df(pd.Timestamp("2020-02-01"), pd.Timestamp("2020-03-01"))
+    plan = plan_of(scan)
+    # year-partition pruning reaches the scan...
+    assert "PartitionFilters" in plan and "_oak_year" in plan
+    # ...and the exact DATE range is pushed to parquet row groups
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(DATE" in plan and "LessThanOrEqual(DATE" in plan
+
+
+def test_q01_pushdown_and_column_pruning(spark):
+    from oakstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = plan_of(QUERIES["q01_pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan reads only the 7 needed columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema  # unused column stays unread
+    assert "l_quantity" in read_schema
+
+
+def test_q03_broadcasts_dimensions(spark):
+    from oakstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = plan_of(QUERIES["q03_shipping_priority"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter pushed
+
+
+def test_asof_join_is_single_shuffle_union(spark):
+    """The as-of join must not contain a nested-loop or cartesian join —
+    it compiles to union + window (one exchange on the keys)."""
+    from oakstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = plan_of(QUERIES["q_asof_purchase_view"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_events_is_equi_join(spark):
+    """The bucketed time self-join must be a hash-partitionable equi-join
+    (SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin), never a pure
+    nested loop over the inequality predicate."""
+    from oakstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = plan_of(QUERIES["q_range_join_events"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
