@@ -449,3 +449,66 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster_id) with
+    cluster_id = min id in the component. This is the step that turns
+    pairwise near-dup output into keep/drop decisions (keep the cluster
+    representative, drop the rest).
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round, a node takes the min of its label and its
+    neighbors' labels; converges in O(component diameter) rounds. Each
+    round is one shuffle (join on node id) — the standard scalable CC
+    formulation (hash-to-min). The driver loop only collects a single
+    convergence counter per round; labels stay distributed. Near-dup
+    components are tiny in practice (dup clusters, not social graphs),
+    so rounds ~ 2-4.
+    """
+    # undirected edge list, both directions
+    e1 = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    e2 = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = e1.unionByName(e2).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+
+    pinned = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pinned.count()
+    labels = pinned
+
+    for _ in range(max_iterations):
+        # min label among neighbors, per node
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst_id"),
+                       F.col("dst") == F.col("dst_id"))
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        # carry the old label through so convergence is checked from the
+        # same cached frame (no extra join per round)
+        stepped = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.col("cluster_id").alias("_old"),
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = stepped.filter(F.col("cluster_id") != F.col("_old")).count()
+        pinned.unpersist()
+        pinned = stepped
+        labels = stepped.select("id", "cluster_id")
+        if changed == 0:
+            break
+    return labels.select("id", "cluster_id")

@@ -226,6 +226,146 @@ def ann_cosine_topk(
     )
 
 
+def _spherical_kmeans(
+    X: np.ndarray, n_centroids: int, n_iter: int, seed: int
+) -> np.ndarray:
+    """Driver-side spherical k-means on a SAMPLE (the IVF coarse
+    quantizer). Returns unit-norm centroids (n_centroids x dim). The
+    quantizer is tiny by design — at 100 TB you still train it on a
+    ~100k-row sample; only assignment is distributed."""
+    n = len(X)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, n)
+    C = Xn[rng.choice(n, size=k, replace=False)]
+    for _ in range(n_iter):
+        assign = (Xn @ C.T).argmax(axis=1)
+        for c in range(k):
+            members = Xn[assign == c]
+            if len(members) == 0:
+                C[c] = Xn[rng.randint(n)]  # re-seed empty cell
+            else:
+                mean = members.mean(axis=0)
+                C[c] = mean / max(np.linalg.norm(mean), 1e-12)
+    return C
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    sample_size: int = 100_000,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second ANN scale path
+    next to LSH (`ann_cosine_topk`).
+
+    1. Train a spherical-kmeans coarse quantizer on a driver-side sample.
+    2. One distributed pass assigns every corpus vector a ``_cell``
+       (numpy argmax-matmul per Arrow batch) — at scale this is the
+       index-build you persist/write once and reuse per query batch.
+    3. Each query probes its ``n_probe`` nearest cells; candidates come
+       from a broadcast equi-join on the small integer cell key, so the
+       corpus is never shuffled; candidate volume ~ n * n_probe /
+       n_centroids per query instead of n.
+    4. Exact cosine re-ranks candidates (numpy, Arrow-batched);
+       a global window keeps k with deterministic tie-break.
+    """
+    sample_pdf = corpus.select(vec_col).limit(sample_size).toPandas()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]])
+    C = _spherical_kmeans(X, n_centroids, n_iter, seed)  # c x dim
+    CT = np.ascontiguousarray(C.T)
+
+    cell_schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField(vec_col, corpus.schema[vec_col].dataType),
+            T.StructField("_cell", T.IntegerType()),
+        ]
+    )
+
+    def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+            out = pdf[[id_col, vec_col]].copy()
+            out["_cell"] = (Bn @ CT).argmax(axis=1).astype(np.int32)
+            yield out
+
+    indexed = corpus.select(id_col, vec_col).mapInPandas(assign_cells, cell_schema)
+
+    # probe: queries are the small side -> rank cells driver-side,
+    # broadcast the (query, cell, qvec) long-form
+    q_pdf = queries.select(query_id_col, vec_col).toPandas()
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    spark = corpus.sparkSession
+    if len(q_pdf) == 0:
+        return spark.createDataFrame([], out_schema).withColumn(
+            "rank", F.lit(1).cast("bigint")
+        )
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    probe = min(n_probe, C.shape[0])
+    top_cells = np.argsort(-(Qn @ C.T), axis=1)[:, :probe]  # m x probe
+    qids = q_pdf[query_id_col].tolist()  # python scalars for createDataFrame
+    qvecs = [np.asarray(v, dtype=np.float64).tolist() for v in q_pdf[vec_col]]
+    probe_rows = [
+        (qids[i], int(c), qvecs[i])
+        for i in range(len(q_pdf))
+        for c in top_cells[i]
+    ]
+    probe_df = spark.createDataFrame(
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("_qid", queries.schema[query_id_col].dataType),
+                T.StructField("_cell", T.IntegerType()),
+                T.StructField("_qvec", queries.schema[vec_col].dataType),
+            ]
+        ),
+    )
+
+    cand = indexed.join(F.broadcast(probe_df), "_cell").filter(
+        F.col(id_col) != F.col("_qid")
+    )
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_qvec"]])
+            na = np.maximum(np.linalg.norm(A, axis=1), 1e-12)
+            nb = np.maximum(np.linalg.norm(B, axis=1), 1e-12)
+            out = pdf[["_qid", id_col]].copy()
+            out.columns = [query_id_col, id_col]
+            out["sim"] = (A * B).sum(axis=1) / (na * nb)
+            yield out
+
+    scored = cand.mapInPandas(rerank, out_schema)
+    w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float,

@@ -298,12 +298,66 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len({_NORM_SQL}) - 2, 1) + 1),
+               i -> substr({_NORM_SQL}, i, 3))) AS s
+      FROM documents
+    ), pr AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.85
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pr
+      UNION
+      SELECT id_b, id_a FROM pr
+    ), reach(id, root) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> cluster assignment (the
+    keep/drop step of a dedup pipeline). Spark side: MinHash-LSH pairs +
+    iterative min-label propagation; oracle: exact-jaccard pairs + a
+    recursive-CTE transitive closure. An ITERATIVE graph algorithm,
+    still value-checked end-to-end."""
+    from oakstore_spark.operators.dedup import dedup_clusters
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.85)
+    return dedup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
 # --- approximate ops: rows-only driver check, pinned vs brute in pytest --
 
 @register("q_simhash_near_dup")
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@register("q_ivf_topk")
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN top-k (approximate by design -> rows-only driver check;
+    recall pinned vs brute force in tests/test_llm_ops.py)."""
+    from oakstore_spark.operators.similarity import ivf_cosine_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_cosine_topk(e, queries, k=10, dim=64, n_centroids=32, n_probe=6)
 
 
 @register("q_ann_topk")

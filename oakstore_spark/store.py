@@ -346,6 +346,50 @@ class Store:
         pdf = self._scan(key=key, start=start, end=end).toPandas()
         return pdf.set_index(self._metadata.index_name)
 
+    # -- EXT: maintenance ----------------------------------------------------
+
+    def compact(self, key: str, min_files_per_partition: int = 2) -> int:
+        """Rewrite fragmented year partitions into few sorted files.
+
+        Repeated appends leave one file-set per append in each touched
+        partition; small files tax scan planning and parquet footer
+        reads. Partitions with more than ``min_files_per_partition``
+        parquet files are re-sorted and rewritten (same temp-and-swap as
+        append); others are untouched. Returns the number of partitions
+        compacted. The 100 TB operational pattern: run periodically,
+        per-partition, off the write path.
+        """
+        path = self._item_path(key)
+        if not path.exists():
+            raise ValueError(f"key={key.upper()} does not exist")
+        idx = self._metadata.index_name
+
+        fragmented = [
+            d for d in sorted(path.glob(f"{_PARTITION_COL}=*"))
+            if len(list(d.glob("*.parquet"))) > min_files_per_partition
+        ]
+        if not fragmented:
+            return 0
+        years = [int(d.name.split("=", 1)[1]) for d in fragmented]
+
+        combined = (
+            self._spark.read.parquet(str(path))
+            .filter(F.col(_PARTITION_COL).isin(years))
+            .select(idx, *self._metadata.column_schema)
+        )
+        tmp = self._items_path / f".tmp-{key.upper()}-{uuid.uuid4().hex}"
+        trash = self._items_path / f".trash-{key.upper()}-{uuid.uuid4().hex}"
+        self._write_parquet(combined, tmp)
+        trash.mkdir()
+        for part_dir in sorted(tmp.glob(f"{_PARTITION_COL}=*")):
+            dest = path / part_dir.name
+            if dest.exists():
+                os.rename(dest, trash / part_dir.name)
+            os.rename(part_dir, dest)
+        shutil.rmtree(tmp)
+        shutil.rmtree(trash)
+        return len(fragmented)
+
     # -- EXT: cross-section over many items ---------------------------------
 
     def read_multi(self, keys: list[str] | None = None,

@@ -158,6 +158,22 @@ def test_ann_recall_on_twins(spark, clustered):
     assert hits >= 0.95 * 60
 
 
+def test_ivf_recall_on_twins(spark, clustered):
+    from oakstore_spark.operators.similarity import ivf_cosine_topk
+
+    queries = clustered.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_cosine_topk(
+        clustered, queries, k=1, dim=32, n_centroids=16, n_probe=4
+    ).toPandas()
+    twin = {int(r.query_id): int(r.vec_id) for r in out.itertuples()}
+    # a twin is a ~0.999-cosine copy: it quantizes to the same cell, so
+    # probing the query's own cell must recover it
+    hits = sum(1 for q, v in twin.items() if v == (q ^ 1))
+    assert hits >= 0.95 * 60
+
+
 def test_embed_near_dup_twins(spark, clustered):
     import numpy as np
 
@@ -209,3 +225,18 @@ def test_chunk_documents_coverage(spark):
     assert len(by_id[3]) == 1  # exactly chunk-size -> one chunk
     assert len(by_id[4]) == 2  # one char over -> tail chunk (overlap+1)
     assert len(by_id[4].chunk_text.iloc[1]) == 101
+
+
+def test_dedup_clusters_components(spark):
+    from oakstore_spark.operators.dedup import dedup_clusters
+
+    # two chains and a triangle: {1-2-3-4}, {10-11}, {20-21-22 triangle}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    out = dedup_clusters(pairs).toPandas()
+    got = dict(zip(out.id, out.cluster_id))
+    assert {got[1], got[2], got[3], got[4]} == {1}
+    assert {got[10], got[11]} == {10}
+    assert {got[20], got[21], got[22]} == {20}

@@ -242,3 +242,32 @@ def test_append_new_year_partition(store):
     later.index = idx + pd.DateOffset(years=5)
     store["NY"] += later
     assert len(store["NY"][:]) == 20
+
+
+def test_compact_merges_small_files(store, monkeypatch):
+    """Fragmentation comes from the per-file record cap splitting large
+    writes (appends self-compact the partitions they touch); shrink the
+    cap to force many small files, then compact must merge them."""
+    import oakstore_spark.store as store_mod
+
+    monkeypatch.setattr(store_mod, "_MAX_RECORDS_PER_FILE", 10)
+    idx = pd.date_range("2020-01-01", periods=60, freq="D")
+    df = pd.DataFrame(
+        {"Open": np.arange(60.0), "High": np.ones(60), "Low": np.ones(60),
+         "Close": np.ones(60), "Volume": np.ones(60, dtype=int)},
+        index=idx,
+    )
+    store["CMP"] = df
+    part = store._item_path("CMP") / "_oak_year=2020"
+    before_files = len(list(part.glob("*.parquet")))
+    assert before_files > 2  # 60 rows / 10-row cap
+    pre = store["CMP"][:]
+
+    monkeypatch.setattr(store_mod, "_MAX_RECORDS_PER_FILE", 1_000_000)
+    n = store.compact("CMP")
+    assert n == 1
+    after_files = len(list(part.glob("*.parquet")))
+    assert after_files < before_files
+    post = store["CMP"][:]
+    pd.testing.assert_frame_equal(pre, post)  # data identical
+    assert store.compact("CMP") == 0  # already compact -> no-op
