@@ -32,6 +32,7 @@ def load_all() -> None:
     """Import all query submodules (idempotent)."""
     from oakstore_spark.queries import relational  # noqa: F401
     from oakstore_spark.queries import relational_ext  # noqa: F401
+    from oakstore_spark.queries import tpch_ext  # noqa: F401
     from oakstore_spark.queries import timeseries  # noqa: F401
     from oakstore_spark.queries import llm  # noqa: F401
     from oakstore_spark.queries import multimodal  # noqa: F401
