@@ -202,6 +202,62 @@ def gapfill(
     return out
 
 
+def continuous_aggregate(
+    raw: DataFrame,
+    ts_col: str,
+    interval: str,
+    keys: list[str],
+    aggs: list[Column],
+    complete_before,
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Rollup of COMPLETE buckets only: buckets whose end is at or
+    before ``complete_before`` (a timestamp). This is the materialize
+    step of a hypertable-style continuous aggregate — run it
+    incrementally (only buckets newer than the last materialized one)
+    and append to a rollup table.
+    """
+    bucket = F.date_trunc(interval, F.col(ts_col))
+    cutoff_bucket = F.date_trunc(interval, F.lit(complete_before))
+    return (
+        raw.filter(bucket < cutoff_bucket)
+        .groupBy(bucket.alias(bucket_col), *keys)
+        .agg(*aggs)
+    )
+
+
+def realtime_aggregate(
+    rollup: DataFrame,
+    raw: DataFrame,
+    ts_col: str,
+    interval: str,
+    keys: list[str],
+    aggs: list[Column],
+    complete_before,
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Serve a rollup query with fresh data: union the PRECOMPUTED
+    rollup (complete buckets, from ``continuous_aggregate``) with an
+    on-the-fly aggregation of only the raw TAIL (buckets at/after the
+    materialization cutoff).
+
+    The 100 TB pattern (TimescaleDB real-time continuous aggregates,
+    druid-style lambda serving): the heavy scan is amortized into the
+    materialized rollup; each query aggregates only the recent sliver,
+    so query cost is O(tail), not O(history). Correctness requires the
+    tail filter to use the same bucket boundary as the materialize
+    step — both sides truncate ``complete_before`` to the bucket grid.
+    """
+    bucket = F.date_trunc(interval, F.col(ts_col))
+    cutoff_bucket = F.date_trunc(interval, F.lit(complete_before))
+    tail = (
+        raw.filter(bucket >= cutoff_bucket)
+        .groupBy(bucket.alias(bucket_col), *keys)
+        .agg(*aggs)
+    )
+    return rollup.unionByName(tail)
+
+
 def groupwise_zscore(
     df: DataFrame,
     keys: list[str],

@@ -235,6 +235,45 @@ def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_continuous_aggregate",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+             AS bucket_epoch,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: precomputed rollup of
+    complete buckets + on-the-fly aggregation of only the raw tail.
+    The union must be indistinguishable from aggregating all of raw
+    (the oracle does exactly that) — including at the cutoff boundary,
+    which falls mid-bucket on purpose."""
+    from oakstore_spark.operators.timeseries import (
+        continuous_aggregate,
+        realtime_aggregate,
+    )
+
+    e = table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ]
+    cutoff = "2024-01-25 12:34:56"
+    rollup = continuous_aggregate(e, "ts", "hour", ["event_type"], aggs, cutoff)
+    out = realtime_aggregate(rollup, e, "ts", "hour", ["event_type"], aggs, cutoff)
+    return out.select(
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
     "q_zscore_events",
     oracle="""
     SELECT event_id, user_id,

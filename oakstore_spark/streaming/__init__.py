@@ -1,6 +1,7 @@
 from oakstore_spark.streaming.ingest import (
     hourly_counts_stream,
     ingest_events_stream,
+    sliding_counts_stream,
     read_events_stream,
 )
 from oakstore_spark.streaming.stateful import (
@@ -12,6 +13,7 @@ __all__ = [
     "read_events_stream",
     "ingest_events_stream",
     "hourly_counts_stream",
+    "sliding_counts_stream",
     "session_window_stats",
     "running_user_totals",
 ]

@@ -88,3 +88,27 @@ def hourly_counts_stream(
             "sum_value",
         )
     )
+
+
+def sliding_counts_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window aggregation: each event lands in
+    window/slide overlapping windows (4 for the defaults). State per
+    key is bounded by watermark + window length; append mode emits a
+    window once the watermark passes its end. The batch equivalent is
+    an explode over the same window set (see tests) — both must agree
+    exactly on every closed window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )

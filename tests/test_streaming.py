@@ -145,3 +145,102 @@ def test_streaming_running_totals_stateful(spark, tmp_path, events_src):
         | (F.abs(F.col("g.total_value") - F.col("b.total_value")) > 1e-6)
     )
     assert mism.count() == 0
+
+
+def test_streaming_sliding_counts_match_batch(spark, tmp_path, events_src):
+    from oakstore_spark.streaming import sliding_counts_stream
+
+    stream = read_events_stream(spark, events_src)
+    agg = sliding_counts_stream(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_counts_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sliding_counts_test")
+    batch = (
+        table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("batch_n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "batch_n")
+    )
+    emitted = got.join(batch, ["win_start", "event_type"])
+    assert got.count() > 0
+    assert emitted.count() == got.count()
+    assert emitted.filter(F.col("n_events") != F.col("batch_n")).count() == 0
+    # sliding: some instant must be covered by >1 window (overlap real)
+    assert got.select("win_start").distinct().count() > got.select(
+        F.date_trunc("hour", "win_start")
+    ).distinct().count()
+
+
+def test_streaming_late_data_dropped(spark, tmp_path):
+    """An event older than the watermark arriving in a later micro-batch
+    must NOT be counted: its window is already closed. This is the
+    bounded-state guarantee that makes the aggregation safe on an
+    unbounded stream."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from oakstore_spark.streaming import hourly_counts_stream
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = pd.Timestamp("2024-06-01 00:30:00").value  # ns epoch
+
+    def write_file(name, ids, hours, mtime):
+        pdf = pd.DataFrame(
+            {
+                "event_id": np.asarray(ids, dtype=np.int64),
+                "ts": np.asarray(
+                    [base + int(h * 3600e9) for h in hours], dtype=np.int64
+                ),
+                "user_id": np.zeros(len(ids), dtype=np.int64),
+                "event_type": ["click"] * len(ids),
+                "value": np.ones(len(ids)),
+                "props": ["{}"] * len(ids),
+            }
+        )
+        path = src / name
+        pdf.to_parquet(path, index=False)
+        os.utime(path, (mtime, mtime))
+
+    # 8 bulk files, 10 events each, spread over hours 0..19; the stream
+    # reads 4 files per micro-batch -> bulk fills batches 0-1, the late
+    # file arrives alone in batch 2. The watermark computed from a batch
+    # is applied one batch LATER (batch 0's max event time governs batch
+    # 2's filter), so the late row must land >=2 batches after the bulk.
+    for i in range(8):
+        write_file(
+            f"bulk-{i}.parquet",
+            range(i * 10, i * 10 + 10),
+            [h % 20 for h in range(i * 10, i * 10 + 10)],
+            1_700_000_000 + i * 1000,
+        )
+    write_file("late.parquet", [99_999], [0], 1_700_000_000 + 10_000)
+
+    stream = read_events_stream(spark, str(src))
+    agg = hourly_counts_stream(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select * from late_drop_test where bucket_ts = timestamp '2024-06-01 00:00:00'"
+    ).toPandas()
+    # hour-0 window: bulk contributed exactly 4 events (h % 20 == 0);
+    # the late replay of hour 0 must be dropped, not double-counted
+    assert len(got) == 1
+    bulk_hour0 = sum(1 for h in range(80) if h % 20 == 0)
+    assert int(got.n_events.iloc[0]) == bulk_hour0

@@ -112,3 +112,41 @@ def test_gapfill_dense_and_ffill(spark):
     assert list(a.v) == [10.0, 10.0, 10.0, 30.0]  # forward-filled
     b = out[out.k == "b"]
     assert len(b) == 1 and b.iloc[0].n == 5
+
+
+def test_continuous_aggregate_materialized_path(spark, tmp_path):
+    """Materialize the rollup to parquet, read it back, union the raw
+    tail: must equal aggregating all of raw directly."""
+    from oakstore_spark.operators.timeseries import (
+        continuous_aggregate,
+        realtime_aggregate,
+        resample,
+    )
+
+    idx = pd.date_range("2024-03-01", periods=200, freq="17min")
+    pdf = pd.DataFrame({"ts": idx, "k": ["a", "b"] * 100, "v": range(200)})
+    raw = spark.createDataFrame(pdf)
+    aggs = lambda: [  # noqa: E731 - fresh Column objects per use
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+    ]
+    cutoff = "2024-03-02 07:11:00"  # mid-bucket on purpose
+
+    rollup_path = str(tmp_path / "rollup")
+    continuous_aggregate(raw, "ts", "hour", ["k"], aggs(), cutoff).write.parquet(
+        rollup_path
+    )
+    served = realtime_aggregate(
+        spark.read.parquet(rollup_path), raw, "ts", "hour", ["k"], aggs(), cutoff
+    )
+    full = resample(raw, "ts", "hour", ["k"], aggs())
+
+    got = served.orderBy("bucket_ts", "k").toPandas()
+    want = full.orderBy("bucket_ts", "k").toPandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want[got.columns].reset_index(drop=True)
+    )
+    # the tail scan really is a sliver: rollup covers everything strictly
+    # before the cutoff bucket
+    n_rollup = spark.read.parquet(rollup_path).count()
+    assert n_rollup == served.filter(F.col("bucket_ts") < F.lit("2024-03-02 07:00:00")).count()
