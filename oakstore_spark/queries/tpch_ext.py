@@ -421,3 +421,212 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# --- Q2 style: groupwise-min + join-back (min-cost supplier) -------------
+# The driver schema has no partsupp; the supply relation is derived from
+# lineitem: cost(part, supplier) = min extendedprice ever charged.
+
+@register(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice) AS ps_cost
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           round(ps_cost, 2) AS min_cost
+    FROM part, supply, supplier, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND p_size < 10
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND ps_cost = (
+          SELECT min(ps_cost) FROM supply, supplier, nation, region
+          WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+            AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+            AND r_name = 'EUROPE')
+    """,
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every small part, the EUROPE supplier(s)
+    achieving the minimum supply cost. The correlated scalar subquery
+    becomes a window-min over the region-filtered supply relation + an
+    equality filter (one shuffle on p_partkey; every dimension side is
+    broadcast, so the only shuffled input is the aggregated supply)."""
+    from pyspark.sql.window import Window
+
+    l = table(spark, sf_dir, "lineitem")
+    supply = l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("l_extendedprice").alias("ps_cost"))
+
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+
+    joined = supply.join(
+        F.broadcast(eur), F.col("ps_suppkey") == F.col("s_suppkey")
+    ).join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("_min", F.min("ps_cost").over(w))
+        .filter(F.col("ps_cost") == F.col("_min"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("ps_cost", 2).alias("min_cost"),
+        )
+    )
+
+
+# --- Q11 style: grouped HAVING against a scalar subquery -----------------
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH nat_lines AS (
+        SELECT l_partkey, l_quantity, l_extendedprice, l_discount
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_7'
+    )
+    SELECT l_partkey AS partkey,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+    FROM nat_lines
+    GROUP BY 1
+    HAVING sum(l_quantity) > (SELECT sum(l_quantity) * 0.002 FROM nat_lines)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts holding a disproportionate share of one
+    nation's supplied volume. The HAVING threshold is a scalar subquery
+    over the SAME filtered relation — computed once and broadcast; the
+    threshold compares integral quantity sums (exact in doubles), so the
+    cut is engine-order independent."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    lines = l.join(F.broadcast(nat), l.l_suppkey == F.col("s_suppkey"))
+    grouped = lines.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum("l_quantity").alias("_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "part_value"
+        ),
+    )
+    total = lines.agg((F.sum("l_quantity") * 0.002).alias("_thresh"))
+    return (
+        grouped.join(F.broadcast(total))
+        .filter(F.col("_qty") > F.col("_thresh"))
+        .select(
+            "partkey", F.col("_qty").cast("bigint").alias("sum_qty"), "part_value"
+        )
+    )
+
+
+# --- Q20 style: nested semi join through an aggregated subquery ----------
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      AND s_suppkey IN (
+          SELECT l_suppkey FROM lineitem, part
+          WHERE l_partkey = p_partkey AND p_name LIKE 'small%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey
+          HAVING sum(l_quantity) > 45)
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who moved bulk volume
+    (>45 units of a single 'small%' part since 1996). The IN-subquery
+    compiles to groupBy + filter + LEFT SEMI join; part and nation are
+    broadcast, and the shipdate filter is pushed into the lineitem scan."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    bulk = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 45)
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(bulk, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+# --- Q21 style: EXISTS + NOT EXISTS over the same fact table -------------
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole late supplier on a multi-supplier
+    finished order (shipped >60 days after ordering). The oracle keeps
+    the declarative EXISTS / NOT EXISTS spec; the Spark plan rewrites
+    both correlated subqueries into ONE pass — window counts of distinct
+    suppliers and distinct LATE suppliers per order (single shuffle on
+    l_orderkey) — then filters late lines where n_supp > 1 and
+    n_late_supp == 1. Orders and supplier are broadcast."""
+    from pyspark.sql.window import Window
+
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lo = l.join(
+        F.broadcast(o.select("o_orderkey", "o_orderdate")),
+        l.l_orderkey == F.col("o_orderkey"),
+    ).withColumn(
+        "_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = lo.withColumn(
+        "_n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "_n_late_supp",
+        F.size(F.collect_set(F.when(F.col("_late"), F.col("l_suppkey"))).over(w)),
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        flagged.filter(
+            F.col("_late") & (F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
