@@ -1,5 +1,6 @@
 from oakstore_spark.functions.vectors import cosine_similarity, dot, norm2
 from oakstore_spark.functions.text import (
+    char_ngram_codes,
     char_ngrams,
     fingerprint_md5,
     normalize_text,
@@ -11,6 +12,7 @@ __all__ = [
     "cosine_similarity",
     "dot",
     "norm2",
+    "char_ngram_codes",
     "char_ngrams",
     "fingerprint_md5",
     "normalize_text",

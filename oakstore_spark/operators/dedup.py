@@ -44,7 +44,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 from pyspark.storagelevel import StorageLevel
 
-from oakstore_spark.functions.text import char_ngrams, normalize_text, tokens
+from oakstore_spark.functions.text import char_ngram_codes, normalize_text, tokens
 
 
 def exact_dedup(
@@ -86,16 +86,19 @@ def minhash_signatures(
     """(id, shingles, sig): char-shingle the normalized text and minhash
     it under ``n_hashes`` hash functions.
 
-    Each distinct shingle is hashed once (JVM ``xxhash64`` — the only
-    pass over string data); the pandas UDF then computes
-    min_i(a_i * h + b_i mod 2^64) for all i in one numpy broadcast per
-    row (~shingles x n_hashes uint64 ops, vectorized)."""
+    Shingles are injective int32 gram codes (see
+    :func:`~oakstore_spark.functions.text.char_ngram_codes` — one
+    vectorized Arrow kernel, no per-shingle string allocation); the
+    signature UDF computes min_i(a_i * code + b_i mod 2^64) for all i in
+    one numpy broadcast per row (~shingles x n_hashes uint64 ops). The
+    random odd 64-bit multipliers spread the narrow code range over the
+    full hash space, so minima stay uniform."""
     a_const, b_const = _km_constants(n_hashes, seed)
-    norm = normalize_text(text_col)
+    codes_udf = char_ngram_codes(shingle_n)
     hashed = df.select(
         F.col(id_col).alias("id"),
-        char_ngrams(norm, shingle_n).alias("shingles"),
-    ).withColumn("_h", F.transform(F.col("shingles"), lambda s: F.xxhash64(s)))
+        codes_udf(normalize_text(text_col)).alias("shingles"),
+    )
 
     @pandas_udf("array<long>")
     def derive_sig(hs: pd.Series) -> pd.Series:
@@ -110,7 +113,7 @@ def minhash_signatures(
             out.append(np.ascontiguousarray(sig).view(np.int64))
         return pd.Series(out)
 
-    return hashed.select("id", "shingles", derive_sig("_h").alias("sig"))
+    return hashed.select("id", "shingles", derive_sig("shingles").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -252,36 +255,174 @@ def ngram_jaccard_pairs(
     Hot keys are structurally avoided (prefixes hold the RAREST grams).
     At 100 TB you would additionally bucket by n_grams range to bound
     the candidate join's skew.
+
+    Representation: grams are INJECTIVE int32 codes (7 bits/char over
+    the normalized [a-z0-9 ] alphabet — see
+    :func:`oakstore_spark.functions.text.char_ngram_codes`), so "exact"
+    here means exact, and every join/shuffle key is 4 bytes. The
+    normalized 3-gram key space is tiny (<= 37^3 ~ 51k codes), so the
+    document-frequency table is collected and BROADCAST as a numpy
+    lookup array and the rarity-sorted gram list + prefix are computed
+    MAP-SIDE (one pandas UDF + a ``slice``) — no window sort, no
+    explode-join-regroup shuffle of the full posting list. The only
+    shuffles left are the tiny dfreq aggregation (map-side partial agg
+    compresses each partition to <= |code space| rows) and the
+    prefix-posting self-join.
     """
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        char_ngrams(normalize_text(text_col), shingle_n).alias("grams"),
-    ).withColumn("n_grams", F.size("grams"))
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    codes_udf = char_ngram_codes(shingle_n)
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"),
+            codes_udf(normalize_text(text_col)).alias("codes"),
+        )
+        .withColumn("n_grams", F.size("codes"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
-    posts = grams.select("id", "n_grams", F.explode("grams").alias("gram"))
-    dfreq = posts.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+    dfreq = grams.select(F.explode("codes").alias("code")).groupBy("code").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    freq_rows = dfreq.collect()  # <= ~51k rows at shingle_n=3
+    n_docs = grams.count()
+    universe = len(freq_rows)
 
-    w = W.partitionBy("id").orderBy(F.col("_df").asc(), F.col("gram").asc())
-    prefix_len = F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
-    # persisted: both sides of the candidate self-join — without this the
-    # df-join + window re-run twice
-    prefix = (
-        posts.join(F.broadcast(dfreq), "gram")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= prefix_len)
-        .select("id", "n_grams", "gram")
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", df.schema[id_col].dataType),
+            T.StructField("id_b", df.schema[id_col].dataType),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+
+    # DENSE-UNIVERSE path: when the distinct-gram space is tiny (synthetic
+    # / template corpora; here <= 37^shingle_n but often just a few
+    # hundred codes), every doc shares most grams with every other doc and
+    # prefix filtering cannot prune — the inverted-index join explodes
+    # into millions of candidates that each need a verify. The right
+    # algorithm is then a BLOCKED BITMAP BRUTE FORCE: docs become 0/1
+    # rows of an (n_docs x universe) matrix; intersections for a row
+    # block against everything are ONE sgemm (exact: counts < 2^24 in
+    # float32). The full matrix is broadcast (n*U*4 bytes, capped below)
+    # and each partition gemms only its own block — O(N^2/P) work, fully
+    # vectorized, no shuffle at all. Sparse universes (real text) take
+    # the prefix-filter path below instead.
+    if (
+        universe <= 4096
+        and n_docs <= broadcast_verify_max_docs
+        and n_docs * universe * 4 <= 500_000_000
+    ):
+        code_space = np.sort(np.asarray([int(r["code"]) for r in freq_rows]))
+
+        def to_matrix(code_arrays: list) -> np.ndarray:
+            lens = np.fromiter((len(c) for c in code_arrays), np.int64, len(code_arrays))
+            cat = np.concatenate(code_arrays) if len(code_arrays) else np.empty(0, np.int64)
+            m = np.zeros((len(code_arrays), code_space.size), dtype=np.float32)
+            m[np.repeat(np.arange(len(code_arrays)), lens),
+              np.searchsorted(code_space, np.asarray(cat, dtype=np.int64))] = 1.0
+            return m
+
+        doc_rows = grams.select("id", "codes").collect()
+        ids_all = np.asarray([r["id"] for r in doc_rows])
+        mat = to_matrix([np.asarray(r["codes"], dtype=np.int64) for r in doc_rows])
+        sizes_all = mat.sum(axis=1).astype(np.int64)
+        bc_mat = df.sparkSession.sparkContext.broadcast(
+            (ids_all, mat, sizes_all, code_space)
+        )
+
+        def dense_pairs(batches):
+            ids_full, a_full, sz_full, space = bc_mat.value
+
+            def blockify(arrays):
+                lens = np.fromiter((len(c) for c in arrays), np.int64, len(arrays))
+                cat = np.concatenate(arrays)
+                m = np.zeros((len(arrays), space.size), dtype=np.float32)
+                m[np.repeat(np.arange(len(arrays)), lens),
+                  np.searchsorted(space, np.asarray(cat, dtype=np.int64))] = 1.0
+                return m
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for lo in range(0, len(pdf), 1024):
+                    chunk = pdf.iloc[lo : lo + 1024]
+                    blk = blockify([np.asarray(c, dtype=np.int64) for c in chunk["codes"]])
+                    ids_blk = chunk["id"].to_numpy()
+                    inter = (blk @ a_full.T).astype(np.int64)
+                    sz_blk = blk.sum(axis=1).astype(np.int64)
+                    jac = inter / (sz_blk[:, None] + sz_full[None, :] - inter)
+                    hit = (jac >= threshold) & (ids_blk[:, None] < ids_full[None, :])
+                    bi, aj = np.nonzero(hit)
+                    yield pd.DataFrame(
+                        {
+                            "id_a": ids_blk[bi],
+                            "id_b": ids_full[aj],
+                            "jaccard": jac[bi, aj],
+                        }
+                    )
+
+        # spread row blocks across the cluster: the persisted grams frame
+        # inherits the (few) input-scan partitions, which would serialize
+        # the gemm onto one or two tasks
+        nparts = max(df.sparkSession.sparkContext.defaultParallelism, 4)
+        return (
+            grams.select("id", "codes")
+            .repartition(nparts)
+            .mapInPandas(dense_pairs, out_schema)
+        )
+
+    max_code = (1 << (7 * shingle_n)) + (shingle_n << (7 * (shingle_n - 1))) + 1
+    ftab = np.zeros(max_code + 1, dtype=np.int64)
+    for row in freq_rows:
+        ftab[row["code"]] = row["_df"]
+    bc_freq = df.sparkSession.sparkContext.broadcast(ftab)
+
+    @pandas_udf("array<int>")
+    def rarity_sort(codes_s: pd.Series) -> pd.Series:
+        tab = bc_freq.value
+        out = []
+        for c in codes_s:
+            cv = np.asarray(c, dtype=np.int64)
+            order = np.lexsort((cv, tab[cv]))  # (_df asc, code asc)
+            out.append(cv[order].astype(np.int32))
+        return pd.Series(out)
+
+    prefix_len = (
+        F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
+    ).cast("int")
+    # persisted: both sides of the candidate self-join AND the verify map
+    sorted_grams = grams.select(
+        "id", "n_grams", rarity_sort("codes").alias("codes_r")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    prefix = sorted_grams.select(
+        "id",
+        "n_grams",
+        F.posexplode(F.slice("codes_r", 1, prefix_len)).alias("pos", "code"),
+    )
 
     a, b = prefix.alias("a"), prefix.alias("b")
+    # overlap threshold alpha: J >= t  <=>  |x & y| >= t/(1+t) * (|x|+|y|)
+    alpha = F.ceil(
+        F.lit(threshold)
+        * (F.col("a.n_grams") + F.col("b.n_grams"))
+        / F.lit(1.0 + threshold)
+    )
     cand = (
         a.join(
             b,
-            (F.col("a.gram") == F.col("b.gram"))
+            (F.col("a.code") == F.col("b.code"))
             & (F.col("a.id") < F.col("b.id"))
             # length-ratio pruning: J >= t forces t*|longer| <= |shorter|
             & (F.least("a.n_grams", "b.n_grams")
-               >= threshold * F.greatest("a.n_grams", "b.n_grams")),
+               >= threshold * F.greatest("a.n_grams", "b.n_grams"))
+            # PPJoin position filter: grams at/after position pos (0-based
+            # in the rarity order) bound the remaining possible overlap
+            & (
+                F.least(
+                    F.col("a.n_grams") - F.col("a.pos"),
+                    F.col("b.n_grams") - F.col("b.pos"),
+                )
+                >= alpha
+            ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -291,24 +432,14 @@ def ngram_jaccard_pairs(
     # passes millions of candidates; both interpreted array_intersect
     # AND shipping each doc's gram array once per pair (candidates x
     # ~1KB through the shuffle + Arrow) dominated the query. When the
-    # corpus is small enough, broadcast one (id -> sorted gram-hash
-    # array) map instead and verify candidate batches of BARE ID PAIRS
-    # (16 bytes/row) with numpy searchsorted. 64-bit gram hashing makes
-    # a jaccard miscount a ~2^-64-per-gram-pair event — negligible.
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", df.schema[id_col].dataType),
-            T.StructField("id_b", df.schema[id_col].dataType),
-            T.StructField("jaccard", T.DoubleType()),
-        ]
-    )
-    n_docs = grams.count()  # materializes the persist; cheap afterwards
-
+    # corpus is small enough, broadcast one (id -> gram-code array) map
+    # instead and verify candidate batches of BARE ID PAIRS (16
+    # bytes/row): group by id_a, concatenate the partners' code arrays,
+    # one vectorized isin + segmented reduceat per group — O(total
+    # partner grams) numpy work instead of a Python iteration per pair.
     if n_docs <= broadcast_verify_max_docs:
-        rows = grams.select(
-            "id", F.sort_array(F.transform("grams", lambda g: F.xxhash64(g))).alias("h")
-        ).collect()
-        gram_map = {r["id"]: np.asarray(r["h"], dtype=np.int64) for r in rows}
+        rows = sorted_grams.select("id", "codes_r").collect()
+        gram_map = {r["id"]: np.asarray(r["codes_r"], dtype=np.int32) for r in rows}
         bc = df.sparkSession.sparkContext.broadcast(gram_map)
 
         def verify_bc(batches):
@@ -316,24 +447,37 @@ def ngram_jaccard_pairs(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                jac = np.empty(len(pdf))
-                ids_a, ids_b = pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy()
-                for i in range(len(pdf)):
-                    ha, hb = gm[ids_a[i]], gm[ids_b[i]]
-                    pos = np.searchsorted(ha, hb)
-                    pos[pos == ha.size] = ha.size - 1
-                    inter = int((ha[pos] == hb).sum())
-                    jac[i] = inter / (ha.size + hb.size - inter)
-                keep = jac >= threshold
-                out = pdf.loc[keep, ["id_a", "id_b"]].copy()
-                out["jaccard"] = jac[keep]
-                yield out
+                keep_a, keep_b, keep_j = [], [], []
+                for aid, grp in pdf.groupby("id_a", sort=False):
+                    ha = gm[aid]
+                    ids_b = grp["id_b"].to_numpy()
+                    partners = [gm[i] for i in ids_b]
+                    lens = np.fromiter(
+                        (p.size for p in partners), np.int64, len(partners)
+                    )
+                    cat = np.concatenate(partners)
+                    hits = np.isin(cat, ha)
+                    starts = np.zeros(len(partners), dtype=np.int64)
+                    np.cumsum(lens[:-1], out=starts[1:])
+                    inter = np.add.reduceat(hits, starts)
+                    jac = inter / (ha.size + lens - inter)
+                    sel = jac >= threshold
+                    keep_a.append(np.full(int(sel.sum()), aid))
+                    keep_b.append(ids_b[sel])
+                    keep_j.append(jac[sel])
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(keep_a),
+                        "id_b": np.concatenate(keep_b),
+                        "jaccard": np.concatenate(keep_j),
+                    }
+                )
 
-        return cand.mapInPandas(verify_bc, out_schema)
+        return cand.repartition("id_a").mapInPandas(verify_bc, out_schema)
 
-    # large-corpus fallback: join the gram arrays to each pair
-    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
-    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    # large-corpus fallback: join the gram-code arrays to each pair
+    ga = sorted_grams.select(F.col("id").alias("id_a"), F.col("codes_r").alias("g_a"))
+    gb = sorted_grams.select(F.col("id").alias("id_b"), F.col("codes_r").alias("g_b"))
     joined = cand.join(ga, "id_a").join(gb, "id_b")
 
     def verify(batches):
@@ -342,9 +486,8 @@ def ngram_jaccard_pairs(
                 continue
             jac = np.empty(len(pdf))
             for i, (a_g, b_g) in enumerate(zip(pdf["g_a"], pdf["g_b"])):
-                sa, sb = set(a_g), set(b_g)  # already distinct
-                inter = len(sa & sb)
-                jac[i] = inter / (len(sa) + len(sb) - inter)
+                inter = np.isin(np.asarray(b_g), np.asarray(a_g)).sum()
+                jac[i] = inter / (len(a_g) + len(b_g) - inter)
             keep = jac >= threshold
             out = pdf.loc[keep, ["id_a", "id_b"]].copy()
             out["jaccard"] = jac[keep]
@@ -456,59 +599,107 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 50,
+    driver_cc_max_edges: int = 10_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster_id) with
     cluster_id = min id in the component. This is the step that turns
     pairwise near-dup output into keep/drop decisions (keep the cluster
     representative, drop the rest).
 
-    Iterative min-label propagation: every node starts labeled with its
-    own id; each round, a node takes the min of its label and its
-    neighbors' labels; converges in O(component diameter) rounds. Each
-    round is one shuffle (join on node id) — the standard scalable CC
-    formulation (hash-to-min). The driver loop only collects a single
-    convergence counter per round; labels stay distributed. Near-dup
-    components are tiny in practice (dup clusters, not social graphs),
-    so rounds ~ 2-4.
-    """
-    # undirected edge list, both directions
-    e1 = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    e2 = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = e1.unionByName(e2).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    Size-adaptive, like the verify step of :func:`ngram_jaccard_pairs`:
+    the pair list of a near-dup pipeline is orders of magnitude smaller
+    than the corpus (it holds only documents that HAVE a near-duplicate),
+    so up to ``driver_cc_max_edges`` the bare (src, dst) edge list — 16
+    bytes/edge, ~160 MB at the 10M default — is collected and solved
+    with vectorized min-label + pointer-jumping in numpy (O(E) per
+    round, rounds ~ log diameter; milliseconds at millions of edges).
+    Beyond the threshold, a distributed hash-to-min loop: every node
+    starts labeled with its own id; each round, nodes send their label
+    to every neighbor and each node keeps the min of its own label and
+    the incoming ones. Converges in O(component diameter) rounds;
+    near-dup components are tiny (dup clusters, not social graphs), so
+    rounds ~ 2-4.
 
-    pinned = (
+    Per-round plan cost of the distributed path is kept minimal:
+    - edges are persisted pre-hash-partitioned on ``src`` and labels come
+      out of a ``groupBy(id)`` with the same hash partitioning, so the
+      per-round join reuses both partitionings (no edge reshuffle);
+    - the round is ONE new shuffle (messages into the groupBy-min) and
+      ONE action;
+    - convergence is read off the same action via a monotone invariant:
+      min-updates can only lower labels, so ``sum(label)`` strictly
+      decreases until the fixpoint — equal sum == converged. No second
+      "count changed" job, no old-vs-new join.
+    """
+    id_type = pairs.schema[id_a].dataType
+    raw = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_edges = raw.count()
+
+    if n_edges <= driver_cc_max_edges:
+        spark = pairs.sparkSession
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
+        )
+        if n_edges == 0:
+            raw.unpersist()
+            return spark.createDataFrame([], schema)
+        epdf = raw.toPandas()
+        raw.unpersist()
+        src = epdf["src"].to_numpy()
+        dst = epdf["dst"].to_numpy()
+        # factorize: np.unique sorts ascending, so index order == id order
+        # and min-index labels map back to min-id cluster representatives
+        ids, idx = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        s_idx, d_idx = idx[: len(src)], idx[len(src):]
+        labels = np.arange(len(ids))
+        for _ in range(max_iterations):
+            new = labels.copy()
+            np.minimum.at(new, s_idx, labels[d_idx])
+            np.minimum.at(new, d_idx, labels[s_idx])
+            new = np.minimum(new, new[new])  # pointer jump: label(label(v))
+            if np.array_equal(new, labels):
+                break
+            labels = new
+        out = pd.DataFrame({"id": ids, "cluster_id": ids[labels]})
+        return spark.createDataFrame(out, schema)
+
+    # undirected edge list, both directions
+    edges = (
+        raw.unionByName(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("cluster_id", F.col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pinned.count()
-    labels = pinned
+    # sum over a distributed monotone quantity; decimal avoids bigint
+    # overflow for large id domains
+    chk = [
+        F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    prev = labels.agg(*chk).collect()[0]
 
     for _ in range(max_iterations):
-        # min label among neighbors, per node
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("id", "dst_id"),
-                       F.col("dst") == F.col("dst_id"))
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
+        msgs = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), "cluster_id"
         )
-        # carry the old label through so convergence is checked from the
-        # same cached frame (no extra join per round)
         stepped = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.col("cluster_id").alias("_old"),
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
+            msgs.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = stepped.filter(F.col("cluster_id") != F.col("_old")).count()
-        pinned.unpersist()
-        pinned = stepped
-        labels = stepped.select("id", "cluster_id")
-        if changed == 0:
+        cur = stepped.agg(*chk).collect()[0]
+        labels.unpersist()
+        labels = stepped
+        if cur["s"] == prev["s"] and cur["n"] == prev["n"]:
             break
+        prev = cur
     return labels.select("id", "cluster_id")
