@@ -92,11 +92,14 @@ def asof_join(
     value_cols: list[str],
     direction: str = "backward",
     right_ts_as: str | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the value columns of the latest
     right row with right.ts <= left.ts (backward; 'forward' = earliest
     right.ts >= left.ts), matched per `by` keys. Left rows with no match
-    get nulls.
+    get nulls. ``tolerance_seconds`` nulls out matches farther than the
+    tolerance from the left timestamp (pandas ``merge_asof``-style),
+    compared on exact integer microseconds.
 
     Implementation: union both sides with a side marker, then a single
     `last(value, ignorenulls=True)` running window ordered by
@@ -105,6 +108,10 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+
+    drop_rts = None
+    if tolerance_seconds is not None and right_ts_as is None:
+        right_ts_as = drop_rts = "_asof_rts"
 
     carried = list(value_cols)
     right_sel = right.select(*by, ts_col, *value_cols)
@@ -142,7 +149,24 @@ def asof_join(
         "_side",
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(right_ts_as))
+        )
+        within = gap <= F.lit(int(tolerance_seconds * 1_000_000))
+        out = out.select(
+            *by,
+            ts_col,
+            *left_only,
+            *[
+                F.when(within, F.col(c)).alias(c)
+                for c in carried
+                if c != drop_rts
+            ],
+        )
+    return out
 
 
 def sessionize(

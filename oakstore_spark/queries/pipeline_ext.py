@@ -1,0 +1,258 @@
+"""Pipeline-utility operator coverage: deterministic sampling, quantile
+bucketing, time-RANGE window frames, tolerance as-of joins, corpus
+n-gram frequency scoring.
+
+All EXT — the reference (375 LoC total, `/root/reference/oakstore/
+store.py:1-267` is the entire engine) has none of these; they are the
+operations a large-scale training-data pipeline needs around the core
+store. Every query is declarative DataFrame/SQL (Catalyst handles
+pushdown/broadcast); the only shuffles are the stated aggregations.
+
+Oracle-parity notes (the driver hash-matches values at sf0.01):
+- sampling is ENGINE-PORTABLE deterministic: md5 of the key's decimal
+  string — no rand(), no engine-specific hash;
+- decile ordering uses exact integer cents (`round(sum*100)::bigint`),
+  so window ties resolve identically in Spark and DuckDB regardless of
+  float summation order;
+- the trailing-window frame compares epoch seconds as doubles in both
+  engines; the as-of tolerance compares exact integer microseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from oakstore_spark.queries import register
+from oakstore_spark.sources import table
+
+
+# --- deterministic hash sampling -----------------------------------------
+
+@register(
+    "q_hash_sample",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_sampled,
+           round(sum(o_totalprice), 2) AS sample_revenue
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/8 sample via content hashing (md5 of the key's
+    decimal string, first hex nibble in {0,1}) — reproducible across
+    engines, runs, and partitionings, unlike rand()-based TABLESAMPLE.
+    The sampling predicate is map-side; the only shuffle is the tiny
+    per-priority aggregation. This is the sampling pattern for
+    train/eval splits in data pipelines: membership is a pure function
+    of the row key."""
+    o = table(spark, sf_dir, "orders")
+    nibble = F.substring(F.md5(F.encode(F.col("o_orderkey").cast("string"), "UTF-8")), 1, 1)
+    return (
+        o.filter(nibble.isin("0", "1"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("o_totalprice"), 2).alias("sample_revenue"),
+        )
+    )
+
+
+# --- ntile quantile bucketing --------------------------------------------
+
+@register(
+    "q_ntile_spend_deciles",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS spend_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           count(*) AS n_customers,
+           CAST(sum(spend_cents) AS BIGINT) AS decile_spend_cents
+    FROM (
+        SELECT o_custkey, spend_cents,
+               ntile(10) OVER (ORDER BY spend_cents, o_custkey) AS decile
+        FROM spend
+    )
+    GROUP BY decile
+    """,
+)
+def q_ntile_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend deciles. Ordering and sums use exact integer cents
+    (doubles only pass through one round()), so the ntile cut points are
+    engine-order independent; the tie-break on o_custkey makes the
+    window total order unique. Single shuffle for the groupBy; the
+    global ntile is a single-partition sort of one row per customer —
+    at 100 TB you would pre-aggregate per range bucket and assign
+    deciles from a quantile sketch instead."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("spend_cents")
+    )
+    w = W.orderBy("spend_cents", "o_custkey")
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("spend_cents").alias("decile_spend_cents"),
+        )
+    )
+
+
+# --- time-RANGE window frame ---------------------------------------------
+
+@register(
+    "q_trailing_1h_window",
+    oracle="""
+    SELECT event_id,
+           count(*) OVER w AS n_1h,
+           round(sum(value) OVER w, 2) AS sum_1h
+    FROM events
+    WHERE event_type = 'view'
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY CAST(epoch(ts) AS DOUBLE)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_trailing_1h_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing one-hour activity (count + value sum) per
+    user — a RANGE frame keyed on time, not row position: sparse,
+    irregular event streams get correct wall-clock windows. Both
+    engines order on epoch seconds as a double (microsecond fraction
+    preserved), so frame boundaries agree exactly. One shuffle on
+    user_id; the frame is evaluated in a single sorted pass per
+    partition."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+# --- as-of join with tolerance (DuckDB native ASOF oracle) ----------------
+
+@register(
+    "q_asof_tolerance",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purch AS (
+        SELECT user_id, ts, max(value) AS pvalue
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id,
+           CASE WHEN p.ts IS NOT NULL AND c.ts - p.ts <= INTERVAL 1 DAY
+                THEN round(p.pvalue, 2) END AS last_purchase_value
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the value of the user's most recent prior
+    purchase, but only if it happened within the last day (pandas
+    merge_asof tolerance semantics). The oracle is DuckDB's NATIVE
+    ASOF LEFT JOIN; the Spark side is the union + running-last window
+    formulation (one shuffle on user_id, no range-join explosion —
+    operators/timeseries.py asof_join). The right side is
+    pre-aggregated per (user_id, ts) so equal-timestamp ties are
+    deterministic in both engines."""
+    from oakstore_spark.operators.timeseries import asof_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    joined = asof_join(
+        clicks,
+        purch,
+        ts_col="ts",
+        by=["user_id"],
+        value_cols=["pvalue"],
+        direction="backward",
+        tolerance_seconds=86400,
+    )
+    return joined.select(
+        "event_id", "user_id", F.round("pvalue", 2).alias("last_purchase_value")
+    )
+
+
+# --- corpus bigram frequency mass ----------------------------------------
+
+_NORM = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+
+@register(
+    "q_bigram_mass",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM w WHERE len(ws) >= 2
+    ), cnt AS (
+        SELECT bg, count(*) AS c FROM bg GROUP BY 1
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(c) AS BIGINT) AS freq_mass
+    FROM bg JOIN cnt USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def q_bigram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-flavored document scoring without floats: each
+    document's word bigrams are weighted by their CORPUS frequency, and
+    the document reports total bigram count and total frequency mass
+    (exact BIGINTs — high mass/bigram means boilerplate-like text, low
+    means rare constructions; the integer form keeps the oracle
+    hash-exact where a log-prob would be engine-rounding-dependent).
+    Two shuffles: the corpus bigram count (map-side partial agg) and
+    the per-doc rollup; the count join broadcasts when small."""
+    from oakstore_spark.functions.text import normalize_text
+
+    d = table(spark, sf_dir, "documents")
+    words = F.split(normalize_text("text"), " ")
+
+    # bind the computed word array ONCE as a lambda variable: referencing
+    # `words` directly inside the inner transform would re-inline (and
+    # re-evaluate) the normalize+split expression per bigram position
+    # after Catalyst's projection collapse
+    def _bigrams(ws):
+        return F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bigrams = F.element_at(F.transform(F.array(words), _bigrams), 1)
+    bg = d.select(F.col("doc_id"), F.explode(bigrams).alias("bg"))
+    cnt = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(cnt, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c").cast("bigint").alias("freq_mass"),
+        )
+    )

@@ -59,6 +59,27 @@ def test_asof_forward(spark, trades, quotes):
     assert out.loc[3, "bid"] == 49.0
 
 
+def test_asof_tolerance(spark, trades, quotes):
+    # 3-second tolerance: only matches within 3s survive; the rest null
+    out = asof_join(
+        trades, quotes, "ts", ["sym"], ["bid"], tolerance_seconds=3
+    ).toPandas()
+    out = out.sort_values(["sym", "ts"]).reset_index(drop=True)
+    # A@10:00:00 -> 09:59:59 is 1s back -> kept; A@10:00:05 -> equal ts ->
+    # kept; A@10:01:00 -> 10:00:05 is 55s back -> nulled; B@10:00:03 -> no
+    # earlier quote -> null
+    assert out.loc[0, "bid"] == 9.5
+    assert out.loc[1, "bid"] == 10.5
+    assert pd.isna(out.loc[2, "bid"])
+    assert pd.isna(out.loc[3, "bid"])
+    # carried right-ts column is nulled past tolerance too
+    out2 = asof_join(
+        trades, quotes, "ts", ["sym"], ["bid"],
+        right_ts_as="qts", tolerance_seconds=3,
+    ).toPandas().sort_values(["sym", "ts"]).reset_index(drop=True)
+    assert pd.isna(out2.loc[2, "qts"]) and pd.notna(out2.loc[1, "qts"])
+
+
 def test_resample_ohlcv(store, ohlcv_data):
     store["MSFT"] = ohlcv_data
     daily = store["MSFT"].df()
