@@ -460,10 +460,20 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB quantile_cont). At 100 TB switch to approx_percentile and a
     rows-only check — exact percentile needs a full sort per group."""
     l = table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    # one percentile aggregate with an array of fractions: the per-group
+    # value buffer is built and sorted ONCE instead of once per fraction
+    ps = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(ps.alias("_ps"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("_ps")[0], 4).alias("p50"),
+            F.round(F.col("_ps")[1], 4).alias("p90"),
+            F.round(F.col("_ps")[2], 4).alias("p99"),
+        )
     )
 
 

@@ -4,6 +4,9 @@ from oakstore_spark.streaming.ingest import (
     sliding_counts_stream,
     read_events_stream,
 )
+from oakstore_spark.streaming.joins import (
+    click_purchase_attribution_stream,
+)
 from oakstore_spark.streaming.stateful import (
     running_user_totals,
     session_window_stats,
@@ -16,4 +19,5 @@ __all__ = [
     "sliding_counts_stream",
     "session_window_stats",
     "running_user_totals",
+    "click_purchase_attribution_stream",
 ]

@@ -178,6 +178,50 @@ def test_streaming_sliding_counts_match_batch(spark, tmp_path, events_src):
     ).distinct().count()
 
 
+def test_streaming_stream_stream_join_matches_batch(spark, tmp_path, events_src):
+    from oakstore_spark.streaming import click_purchase_attribution_stream
+
+    stream = read_events_stream(spark, events_src)
+    # watermark far wider than the dataset span: no state eviction, so the
+    # stream result must equal the batch interval join exactly
+    joined = click_purchase_attribution_stream(
+        stream, max_gap="30 minutes", watermark="365 days"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select purchase_id, click_id, value, gap_seconds from ss_join_test")
+
+    e = table(spark, SF_DIR, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 minutes")),
+    ).select("purchase_id", "click_id", "value",
+             ((F.unix_micros("pts") - F.unix_micros("cts")) / 1e6).alias("gap_seconds"))
+    assert got.count() > 0
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
 def test_streaming_late_data_dropped(spark, tmp_path):
     """An event older than the watermark arriving in a later micro-batch
     must NOT be counted: its window is already closed. This is the
