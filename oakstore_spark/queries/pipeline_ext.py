@@ -256,3 +256,136 @@ def q_bigram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("freq_mass"),
         )
     )
+
+
+# --- ranking window-function suite ----------------------------------------
+
+@register(
+    "q_rank_funcs",
+    oracle="""
+    WITH nat AS (
+        SELECT n_name, s_suppkey, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    )
+    SELECT n_name, s_suppkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(s_suppkey) OVER w AS poorest,
+           nth_value(s_suppkey, 2) OVER w AS second_poorest,
+           lag(s_suppkey, 1, CAST(-1 AS BIGINT)) OVER w AS prev_supp,
+           lead(s_suppkey, 1, CAST(-1 AS BIGINT)) OVER w AS next_supp
+    FROM nat
+    WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def q_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/navigation window-function suite in one pass: six
+    functions share ONE window definition, so Spark evaluates them in a
+    single sort of each nation partition (check: one Window node in the
+    plan, not six). Order key (acctbal, suppkey) is a unique total
+    order - every function is engine-deterministic. nth_value/lag/lead
+    defaults exercise the null paths. Note nth_value uses the default
+    running frame in BOTH engines (null until 2 rows have arrived)."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    nat = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "n_name", "s_suppkey", "s_acctbal"
+    )
+    w = W.partitionBy("n_name").orderBy("s_acctbal", "s_suppkey")
+    return nat.select(
+        "n_name",
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("s_suppkey").over(w).alias("poorest"),
+        F.nth_value("s_suppkey", 2).over(w).alias("second_poorest"),
+        F.lag("s_suppkey", 1, -1).over(w).alias("prev_supp"),
+        F.lead("s_suppkey", 1, -1).over(w).alias("next_supp"),
+    )
+
+
+# --- ordered string aggregation -------------------------------------------
+
+@register(
+    "q_string_agg_regions",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations,
+           count(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_string_agg_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): collect + sort + join
+    beats a nondeterministic concat - collect_list order is undefined
+    under parallel merge, so the sort inside the aggregate expression
+    is what makes the result reproducible across partitionings."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+# --- end-to-end quality-filter pipeline -----------------------------------
+
+@register(
+    "q_quality_filter_pipeline",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               length(text) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                         / length(text) END AS punct_ratio
+        FROM documents
+    ), decided AS (
+        SELECT doc_id, lang,
+               CASE
+                 WHEN n_tokens < 5 THEN 'drop:too_short'
+                 WHEN punct_ratio > 0.1 THEN 'drop:punct'
+                 WHEN lang NOT IN ('en', 'de', 'fr') THEN 'drop:lang'
+                 ELSE 'keep'
+               END AS decision
+        FROM scored
+    )
+    SELECT decision, lang, count(*) AS n_docs
+    FROM decided
+    GROUP BY decision, lang
+    """,
+)
+def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A complete keep/drop filter pass over the corpus - the decision
+    breakdown a training-data pipeline reports after each filter stage.
+    First matching rule wins (CASE semantics), all rules computed in one
+    map-side projection; the only shuffle is the tiny decision rollup.
+    At 100 TB this shape is the per-stage audit table you persist next
+    to the filtered output."""
+    d = table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    punct = F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+        .cast("double") / F.length("text")
+    )
+    decision = (
+        F.when(n_tokens < 5, F.lit("drop:too_short"))
+        .when(punct > 0.1, F.lit("drop:punct"))
+        .when(~F.col("lang").isin("en", "de", "fr"), F.lit("drop:lang"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        d.select(F.col("lang"), decision.alias("decision"))
+        .groupBy("decision", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -83,3 +83,14 @@ def test_range_join_events_is_equi_join(spark):
     plan = plan_of(QUERIES["q_range_join_events"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_rank_funcs_single_window_node(spark):
+    """Six ranking/navigation functions over one window spec must
+    evaluate in ONE Window operator (one sort per partition), not six."""
+    from oakstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = plan_of(QUERIES["q_rank_funcs"](spark, SF_DIR))
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2
+    assert "percent_rank" in plan and "cume_dist" in plan

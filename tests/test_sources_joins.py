@@ -36,6 +36,17 @@ def test_json_roundtrip(spark, tmp_path):
     assert back.subtract(src).count() == 0 and src.subtract(back).count() == 0
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    # ORC: the third columnar format next to parquet/delta-less layout;
+    # same pushdown/pruning machinery applies
+    src = table(spark, SF_DIR, "supplier")
+    p = str(tmp_path / "supplier_orc")
+    write_table(src, p, fmt="orc")
+    back = spark.read.orc(p)
+    assert back.count() == src.count()
+    assert back.subtract(src).count() == 0 and src.subtract(back).count() == 0
+
+
 def test_salted_join_same_result(spark):
     # heavy skew: 90% of left rows share one key
     left = spark.range(0, 2000).select(
