@@ -187,40 +187,71 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # cheap prefilter on the fixed-width signatures (96 longs) before the
-    # expensive shingle-set join: estimated jaccard = matching components
-    sg = sigs.select("id", "sig")
-    prefiltered = (
-        cand.join(sg.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
-        .join(sg.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
-        .withColumn(
-            "est_j",
-            F.aggregate(
-                F.zip_with("sig_a", "sig_b", lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0))),
-                F.lit(0),
-                lambda acc, x: acc + x,
-            )
-            / F.lit(float(n_hashes)),
+    # prefilter + exact verify in ONE Arrow pass over bare id pairs:
+    # signatures and shingle sets are broadcast as numpy maps (the
+    # near-dup candidate side is always small relative to the corpus),
+    # so there is no signature/shingle join and no interpreted per-pair
+    # zip_with over 96-long arrays. The signature prefilter (estimated
+    # jaccard >= threshold - margin, sd ~0.03 at 96 hashes) discards
+    # most candidates before the exact set intersection; both steps are
+    # vectorized per id_a group (sig compare = one 2-D equality, set
+    # intersection = isin + segmented reduceat).
+    sig_rows = sigs.collect()
+    sig_map = {
+        r["id"]: (
+            np.asarray(r["sig"], dtype=np.int64),
+            np.asarray(r["shingles"], dtype=np.int64),
         )
-        .filter(F.col("est_j") >= threshold - estimate_margin)
-        .select("id_a", "id_b")
+        for r in sig_rows
+    }
+    bc = df.sparkSession.sparkContext.broadcast(sig_map)
+    lo_cut = threshold - estimate_margin
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", df.schema[id_col].dataType),
+            T.StructField("id_b", df.schema[id_col].dataType),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
     )
 
-    sh = sigs.select("id", "shingles")
-    verified = (
-        prefiltered.join(
-            sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a"
-        )
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return verified
+    def verify(batches):
+        gm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep_a, keep_b, keep_j = [], [], []
+            for aid, grp in pdf.groupby("id_a", sort=False):
+                sig_a, sh_a = gm[aid]
+                ids_b = grp["id_b"].to_numpy()
+                sig_b = np.stack([gm[i][0] for i in ids_b])
+                est = (sig_b == sig_a[None, :]).sum(axis=1) / n_hashes
+                cut = est >= lo_cut
+                if not cut.any():
+                    continue
+                sel_ids = ids_b[cut]
+                partners = [gm[i][1] for i in sel_ids]
+                lens = np.fromiter((p.size for p in partners), np.int64, len(partners))
+                cat = np.concatenate(partners)
+                hits = np.isin(cat, sh_a)
+                starts = np.zeros(len(partners), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                inter = np.add.reduceat(hits, starts)
+                jac = inter / (sh_a.size + lens - inter)
+                ok = jac >= threshold
+                keep_a.append(np.full(int(ok.sum()), aid))
+                keep_b.append(sel_ids[ok])
+                keep_j.append(jac[ok])
+            if keep_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(keep_a),
+                        "id_b": np.concatenate(keep_b),
+                        "jaccard": np.concatenate(keep_j),
+                    }
+                )
+
+    return cand.repartition("id_a").mapInPandas(verify, out_schema)
 
 
 def ngram_jaccard_pairs(

@@ -375,6 +375,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 12,
     bits_per_table: int = 6,
     seed: int = 42,
+    broadcast_verify_max_vecs: int = 500_000,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, via self-join on LSH buckets +
     exact verify (the embedding-space analogue of minhash_lsh_pairs).
@@ -412,22 +413,64 @@ def embedding_near_dup_pairs(
         )
         .distinct()
     )
-    vecs = corpus.select(id_col, vec_col)
-    cand = cand.join(
-        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")), "id_a"
-    ).join(
-        vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")), "id_b"
-    )
-
-    # exact verify vectorized per Arrow batch: candidate volume is
-    # O(n * tables * bucket_size) and interpreted per-pair zip_with
-    # cosines dominated the query (~26s -> ~2s at 5k vectors)
     out_schema = T.StructType(
         [
             T.StructField("id_a", corpus.schema[id_col].dataType),
             T.StructField("id_b", corpus.schema[id_col].dataType),
             T.StructField("sim", T.DoubleType()),
         ]
+    )
+
+    n_vecs = corpus.count()
+    if n_vecs <= broadcast_verify_max_vecs:
+        # verify on BARE ID PAIRS against a broadcast normalized matrix:
+        # no vector join-backs, and each id_a group scores all its
+        # partners with one gather + one row-matrix dot
+        rows = corpus.select(id_col, vec_col).collect()
+        ids = np.asarray([r[id_col] for r in rows])
+        Vm = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+        norms = np.linalg.norm(Vm, axis=1)
+        norms[norms == 0] = 1.0
+        order = np.argsort(ids)
+        ids_sorted, Vs, ns = ids[order], Vm[order], norms[order]
+        bc = corpus.sparkSession.sparkContext.broadcast((ids_sorted, Vs, ns))
+
+        def verify_bc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids_s, V, nrm = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                keep_a, keep_b, keep_s = [], [], []
+                for aid, grp in pdf.groupby("id_a", sort=False):
+                    ai = np.searchsorted(ids_s, aid)
+                    va, na = V[ai], nrm[ai]
+                    ids_b = grp["id_b"].to_numpy()
+                    bi = np.searchsorted(ids_s, ids_b)
+                    # elementwise-multiply + axis-sum, NOT a BLAS dot:
+                    # summation order must match the join-back verify and
+                    # the SQL oracle bit-for-bit
+                    sim = (V[bi] * va[None, :]).sum(axis=1) / (nrm[bi] * na)
+                    ok = sim >= threshold
+                    keep_a.append(np.full(int(ok.sum()), aid))
+                    keep_b.append(ids_b[ok])
+                    keep_s.append(sim[ok])
+                if keep_a:
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.concatenate(keep_a),
+                            "id_b": np.concatenate(keep_b),
+                            "sim": np.concatenate(keep_s),
+                        }
+                    )
+
+        return cand.repartition("id_a").mapInPandas(verify_bc, out_schema)
+
+    # large-corpus fallback: join the vectors back to each candidate pair
+    vecs = corpus.select(id_col, vec_col)
+    cand = cand.join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")), "id_a"
+    ).join(
+        vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")), "id_b"
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
