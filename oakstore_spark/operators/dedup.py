@@ -94,26 +94,44 @@ def minhash_signatures(
     random odd 64-bit multipliers spread the narrow code range over the
     full hash space, so minima stay uniform."""
     a_const, b_const = _km_constants(n_hashes, seed)
-    codes_udf = char_ngram_codes(shingle_n)
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        codes_udf(normalize_text(text_col)).alias("shingles"),
-    )
+    n = shingle_n
+    short_base = 1 << (7 * n)
 
-    @pandas_udf("array<long>")
-    def derive_sig(hs: pd.Series) -> pd.Series:
-        out = []
-        for h in hs:
-            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-            if hv.size == 0:
-                sig = b_const
+    # ONE fused Arrow pass: shingle codes + signature from the same numpy
+    # buffers (two chained pandas UDFs would ship the shingle arrays
+    # JVM->Python->JVM->Python; fusing halves the Arrow traffic and the
+    # Python invocations)
+    @pandas_udf("struct<shingles: array<int>, sig: array<long>>")
+    def shingle_and_sign(texts):
+        sh_out, sig_out = [], []
+        for t in texts:
+            b = np.frombuffer(
+                (t or "").encode("ascii", "replace"), dtype=np.uint8
+            ).astype(np.int64)
+            length = b.size
+            if length >= n:
+                h = np.zeros(length - n + 1, dtype=np.int64)
+                for k in range(n):
+                    h = (h << 7) | b[k : length - n + 1 + k]
+                codes = np.unique(h)
             else:
-                # (shingles x n_hashes) wraparound multiply-add, min-reduce
-                sig = (hv[:, None] * a_const[None, :] + b_const[None, :]).min(axis=0)
-            out.append(np.ascontiguousarray(sig).view(np.int64))
-        return pd.Series(out)
+                packed = 0
+                for k in range(length):
+                    packed = (packed << 7) | int(b[k])
+                codes = np.asarray(
+                    [short_base + (length << (7 * (n - 1))) + packed], dtype=np.int64
+                )
+            hv = codes.view(np.uint64)
+            # (shingles x n_hashes) wraparound multiply-add, min-reduce
+            sig = (hv[:, None] * a_const[None, :] + b_const[None, :]).min(axis=0)
+            sh_out.append(codes.astype(np.int32))
+            sig_out.append(np.ascontiguousarray(sig).view(np.int64))
+        return pd.DataFrame({"shingles": sh_out, "sig": sig_out})
 
-    return hashed.select("id", "shingles", derive_sig("shingles").alias("sig"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        shingle_and_sign(normalize_text(text_col)).alias("ss"),
+    ).select("id", "ss.shingles", "ss.sig")
 
 
 def minhash_lsh_pairs(
