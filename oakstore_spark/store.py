@@ -390,6 +390,43 @@ class Store:
         shutil.rmtree(trash)
         return len(fragmented)
 
+    def stats(self, key: str) -> dict:
+        """EXT: operational stats for one item — row count, time bounds,
+        partition/file counts. One aggregate scan (parquet footers serve
+        the count; min/max read only the index column) plus a directory
+        listing. The table an operator checks before/after compact()."""
+        path = self._item_path(key)
+        if not path.exists():
+            raise ValueError(f"key={key.upper()} does not exist")
+        idx = self._metadata.index_name
+        part_dirs = sorted(path.glob(f"{_PARTITION_COL}=*"))
+        n_files = sum(len(list(d.glob("*.parquet"))) for d in part_dirs)
+        row = (
+            self._read_raw(path)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(idx).alias("lo"),
+                F.max(idx).alias("hi"),
+            )
+            .collect()[0]
+        )
+        return {
+            "key": key.upper(),
+            "rows": row["n"],
+            "min_ts": row["lo"],
+            "max_ts": row["hi"],
+            "partitions": len(part_dirs),
+            "files": n_files,
+        }
+
+    def delete(self, key: str) -> None:
+        """EXT: drop an item entirely (missing key -> ValueError, matching
+        the reference's exists/not-exists error convention)."""
+        path = self._item_path(key)
+        if not path.exists():
+            raise ValueError(f"key={key.upper()} does not exist")
+        shutil.rmtree(path)
+
     # -- EXT: cross-section over many items ---------------------------------
 
     def read_multi(self, keys: list[str] | None = None,

@@ -271,3 +271,25 @@ def test_compact_merges_small_files(store, monkeypatch):
     post = store["CMP"][:]
     pd.testing.assert_frame_equal(pre, post)  # data identical
     assert store.compact("CMP") == 0  # already compact -> no-op
+
+
+def test_stats_and_delete(store):
+    idx = pd.date_range("2021-01-01", periods=30, freq="D")
+    df = pd.DataFrame(
+        {"Open": np.arange(30.0), "High": np.ones(30), "Low": np.ones(30),
+         "Close": np.ones(30), "Volume": np.ones(30, dtype=int)},
+        index=idx,
+    )
+    store["STAT"] = df
+    st = store.stats("STAT")
+    assert st["key"] == "STAT" and st["rows"] == 30
+    assert st["min_ts"] == pd.Timestamp("2021-01-01")
+    assert st["max_ts"] == pd.Timestamp("2021-01-30")
+    assert st["partitions"] == 1 and st["files"] >= 1
+
+    store.delete("STAT")
+    assert "STAT" not in store.keys()
+    with pytest.raises(ValueError):
+        store.stats("STAT")
+    with pytest.raises(ValueError):
+        store.delete("STAT")
