@@ -355,6 +355,9 @@ def ngram_jaccard_pairs(
     # and each partition gemms only its own block — O(N^2/P) work, fully
     # vectorized, no shuffle at all. Sparse universes (real text) take
     # the prefix-filter path below instead.
+    if n_docs == 0:
+        return df.sparkSession.createDataFrame([], out_schema)
+
     if (
         universe <= 4096
         and n_docs <= broadcast_verify_max_docs

@@ -1,0 +1,90 @@
+"""Degenerate-input behavior of the dedup/similarity operators: empty
+corpora, single documents, all-identical documents. These are the shapes
+a 100 TB pipeline hits constantly at the per-partition level (an empty
+filter result, one straggler doc), so none of them may throw."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from oakstore_spark.operators.dedup import (
+    dedup_clusters,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+
+
+def _docs(spark, texts):
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    return spark.createDataFrame(pdf, "doc_id bigint, text string")
+
+
+@pytest.fixture
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id bigint, text string")
+
+
+def test_ngram_pairs_empty_corpus(spark, empty_docs):
+    out = ngram_jaccard_pairs(empty_docs, "doc_id", "text", threshold=0.8)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "jaccard"]
+
+
+def test_ngram_pairs_single_doc(spark):
+    out = ngram_jaccard_pairs(
+        _docs(spark, ["the quick brown fox jumps"]), "doc_id", "text", threshold=0.8
+    )
+    assert out.count() == 0
+
+
+def test_ngram_pairs_identical_docs(spark):
+    out = ngram_jaccard_pairs(
+        _docs(spark, ["same text here"] * 4), "doc_id", "text", threshold=0.99
+    ).toPandas()
+    # 4 identical docs -> C(4,2)=6 pairs at jaccard exactly 1.0
+    assert len(out) == 6
+    assert (out["jaccard"] == 1.0).all()
+
+
+def test_ngram_pairs_short_and_empty_strings(spark):
+    # <n-length and empty normalized strings use the length-tagged code
+    out = ngram_jaccard_pairs(
+        _docs(spark, ["", "a", "a", "ab"]), "doc_id", "text", threshold=0.99
+    ).toPandas()
+    # the two "a" docs are the only identical pair
+    assert len(out) == 1
+    assert {out.loc[0, "id_a"], out.loc[0, "id_b"]} == {1, 2}
+
+
+def test_minhash_pairs_empty_and_identical(spark, empty_docs):
+    assert minhash_lsh_pairs(empty_docs, "doc_id", "text").count() == 0
+    out = minhash_lsh_pairs(
+        _docs(spark, ["repeated body of text"] * 3), "doc_id", "text", threshold=0.9
+    ).toPandas()
+    assert len(out) == 3 and (out["jaccard"] == 1.0).all()
+
+
+def test_simhash_pairs_empty(spark, empty_docs):
+    assert simhash_near_dup_pairs(empty_docs, "doc_id", "text").count() == 0
+
+
+def test_exact_dedup_empty(spark, empty_docs):
+    assert exact_dedup(empty_docs, "doc_id", "text").count() == 0
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    out = dedup_clusters(pairs)
+    assert out.count() == 0
+    assert out.columns == ["id", "cluster_id"]
+
+
+def test_dedup_clusters_two_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    out = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
