@@ -3,6 +3,7 @@ from oakstore_spark.streaming.ingest import (
     ingest_events_stream,
     sliding_counts_stream,
     read_events_stream,
+    stream_append_to_store,
 )
 from oakstore_spark.streaming.joins import (
     click_purchase_attribution_stream,
@@ -20,4 +21,5 @@ __all__ = [
     "session_window_stats",
     "running_user_totals",
     "click_purchase_attribution_stream",
+    "stream_append_to_store",
 ]

@@ -112,3 +112,44 @@ def sliding_counts_stream(
             "n_events",
         )
     )
+
+
+def stream_append_to_store(
+    stream: DataFrame,
+    store,
+    key: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    dedup_key: str = "event_id",
+):
+    """Incremental append of a stream INTO a Store item — the streaming
+    form of the reference's batch append (``store[k] += df``, which
+    rewrites the whole item per call: /root/reference/oakstore/
+    store.py:214-236). Here each micro-batch goes through the store's
+    own append path, which rewrites only the touched year partitions,
+    and ``dropDuplicatesWithinWatermark`` bounds replay dedup state.
+
+    The stream must already carry the store's schema (index column +
+    declared columns). First batch creates the item; later batches
+    append with the store's old-wins DATE dedup on top of the
+    watermark-scoped exactly-once-ish id dedup.
+    """
+    deduped = stream.withWatermark(
+        store._metadata.index_name, watermark
+    ).dropDuplicatesWithinWatermark([dedup_key]) if dedup_key else stream
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        data = batch_df.drop(dedup_key) if dedup_key else batch_df
+        if data.isEmpty():
+            return
+        if key.upper() in store.keys():
+            store[key] += data
+        else:
+            store[key] = data
+
+    return (
+        deduped.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

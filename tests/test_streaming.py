@@ -288,3 +288,34 @@ def test_streaming_late_data_dropped(spark, tmp_path):
     assert len(got) == 1
     bulk_hour0 = sum(1 for h in range(80) if h % 20 == 0)
     assert int(got.n_events.iloc[0]) == bulk_hour0
+
+
+def test_stream_append_into_store(spark, tmp_path, events_src):
+    """foreachBatch incremental append into the Store layout: the
+    streaming form of `store[k] += df`. Multiple micro-batches must
+    land exactly the batch rows (single user -> unique TS, so the
+    store's old-wins DATE dedup keeps everything)."""
+    from oakstore_spark import Store
+    from oakstore_spark.streaming import stream_append_to_store
+
+    batch = table(spark, SF_DIR, "events")
+    uid = batch.filter(F.col("event_type") == "view").groupBy("user_id").count() \
+        .orderBy(F.col("count").desc()).first()["user_id"]
+
+    store = Store(str(tmp_path / "store"), cols={"Value": float}, index="TS")
+    stream = (
+        read_events_stream(spark, events_src)
+        .filter((F.col("event_type") == "view") & (F.col("user_id") == uid))
+        .select("event_id", F.col("ts").alias("TS"), F.col("value").alias("Value"))
+    )
+    q = stream_append_to_store(stream, store, "USR", str(tmp_path / "ckpt_sas"))
+    q.awaitTermination(120)
+
+    got = store["USR"][:]
+    want = (
+        batch.filter((F.col("event_type") == "view") & (F.col("user_id") == uid))
+        .select("ts", "value").toPandas().sort_values("ts")
+    )
+    assert len(got) == len(want)
+    assert list(got.index) == list(want["ts"])
+    assert got["VALUE"].to_numpy() == pytest.approx(want["value"].to_numpy())
