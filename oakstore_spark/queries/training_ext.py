@@ -1,0 +1,333 @@
+"""Training-data-pipeline coverage, batch 2: unpivot/melt, explode-based
+corpus statistics (document frequency, TF-IDF), stratified deterministic
+sampling, exact-dup survivorship (canonical-record election), and int8
+embedding quantization.
+
+All EXT — the reference (`/root/reference/oakstore/store.py:1-267` is the
+entire engine) has none of these. Scale notes per query in docstrings;
+the common theme is that everything before the final (tiny) aggregation
+is map-side or a single keyed shuffle, so each plan survives a 1000×
+scale-up unchanged.
+
+Oracle-parity notes (see memory: rounding ties, HUGEINT, ANSI):
+- averages of exact-integer sums only (deterministic division, no
+  order-dependent float accumulation before a round);
+- the quantization error is floored to integer 1e-8 units PER VECTOR so
+  the cross-vector sum is exact integer arithmetic in both engines;
+- DuckDB ``sum(BIGINT)`` is HUGEINT → wrapped in ``CAST(... AS BIGINT)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from oakstore_spark.queries import register
+from oakstore_spark.sources import table
+
+
+# --- unpivot / melt -------------------------------------------------------
+
+@register(
+    "q_unpivot_measures",
+    oracle="""
+    SELECT measure,
+           count(*) AS n_rows,
+           round(sum(val), 2) AS total_val
+    FROM (
+        SELECT 'l_extendedprice' AS measure, l_extendedprice AS val FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY measure
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape via the native ``unpivot`` operator (Spark
+    compiles it to a generate/expand node — one pass over the scan, no
+    join, no shuffle until the 3-group aggregation). The melt itself is
+    map-side, so at 100 TB it costs exactly one scan; only 3 rows cross
+    the final exchange. Oracle uses the portable UNION ALL spelling."""
+    li = table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        [],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return melted.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("val"), 2).alias("total_val"),
+    )
+
+
+# --- explode: corpus document frequency -----------------------------------
+
+@register(
+    "q_word_doc_freq",
+    oracle="""
+    SELECT word,
+           count(DISTINCT doc_id) AS df
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY df DESC, word
+    LIMIT 20
+    """,
+)
+def q_word_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index statistic: per-word document frequency via
+    ``explode(split(...))``, then a distinct-aggregate. The explode is
+    map-side; the only shuffle is on the word key (vocabulary-sized —
+    tiny vs corpus). Deterministic top-20 via the (df DESC, word) total
+    order. At 100 TB the same plan holds: partial distinct per
+    partition, exchange only (word, doc_id) pairs."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), "word")
+        .limit(20)
+    )
+
+
+# --- TF-IDF top term per document -----------------------------------------
+
+_TFIDF_SCORE = "CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"
+
+@register(
+    "q_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM toks WHERE word <> '' GROUP BY doc_id, word
+    ),
+    dfreq AS (
+        SELECT word, count(DISTINCT doc_id) AS df
+        FROM toks WHERE word <> '' GROUP BY word
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, word AS top_term, round(score, 6) AS tfidf
+    FROM (
+        SELECT tf.doc_id, tf.word,
+               {_TFIDF_SCORE} AS score,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY {_TFIDF_SCORE} DESC, tf.word
+               ) AS rn
+        FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    )
+    WHERE rn = 1
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-distinctive term per document by TF-IDF. Term frequency is a
+    (doc, word) aggregation; document frequency is a vocabulary-sized
+    distinct-aggregate that gets BROADCAST back onto the tf rows (no
+    second corpus shuffle), as does the single-row corpus count. The
+    per-doc argmax is one window over the doc key. Score arithmetic is
+    identical double ops from identical integers in both engines, so the
+    (score DESC, word) tie-break elects the same winner."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (
+        F.col("tf").cast("double")
+        * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+    )
+    win = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("word").alias("top_term"),
+            F.round("score", 6).alias("tfidf"),
+        )
+    )
+
+
+# --- stratified deterministic sampling ------------------------------------
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_sampled,
+           round(CAST(sum(n_chars) AS BIGINT) / CAST(count(*) AS DOUBLE), 2)
+               AS avg_chars
+    FROM documents
+    WHERE (lang = 'en'
+           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3'))
+       OR (lang <> 'en'
+           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')
+    GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling at different rates (1/4 for 'en', 1/16
+    otherwise) with ENGINE-PORTABLE deterministic membership: md5 of the
+    key's decimal string, first hex nibble. This is how training
+    pipelines rebalance language mixes reproducibly — membership is a
+    pure function of the row key, stable across runs, engines, and
+    partitionings (unlike rand()/sampleBy). Entirely map-side except the
+    5-row aggregation. The average divides an exact integer sum, so no
+    order-dependent float accumulation precedes the round."""
+    docs = table(spark, sf_dir, "documents")
+    nibble = F.substring(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 1
+    )
+    keep = (
+        ((F.col("lang") == "en") & nibble.isin("0", "1", "2", "3"))
+        | ((F.col("lang") != "en") & (nibble == "0"))
+    )
+    return (
+        docs.filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(
+                F.sum("n_chars").cast("bigint")
+                / F.count(F.lit(1)).cast("double"),
+                2,
+            ).alias("avg_chars"),
+        )
+    )
+
+
+# --- exact-dup survivorship (canonical-record election) -------------------
+
+@register(
+    "q_dedup_survivors",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY md5(text)
+                   ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship after exact dedup: within each content-hash group
+    elect one canonical record (longest, then lowest doc_id) and report
+    kept/dropped per source. One shuffle on the 128-bit content hash —
+    uniformly distributed, so no skew at any scale; the window state per
+    group is the duplicate-set size (bounded). This is the keep/drop
+    audit step that follows ``exact_dedup`` in a real pipeline."""
+    docs = table(spark, sf_dir, "documents")
+    win = W.partitionBy(F.md5(F.encode("text", "UTF-8"))).orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(win))
+    kept = F.col("rn") == 1
+    return ranked.groupBy("source").agg(
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(~kept, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
+
+
+# --- int8 embedding quantization ------------------------------------------
+
+@register(
+    "q_int8_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT label,
+               vec,
+               list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+        FROM v
+    ),
+    err AS (
+        SELECT label,
+               CASE WHEN scale = 0 THEN 0.0
+                    ELSE list_sum(list_transform(vec,
+                        x -> abs(x - floor(x / scale + 0.5) * scale)))
+               END AS vec_err
+        FROM scaled
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(sum(CAST(floor(vec_err * 100000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS err_units
+    FROM err
+    GROUP BY label
+    """,
+)
+def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|x|/127,
+    q = round(x/scale)) with total absolute reconstruction error per
+    label — the compression step before shipping embeddings to an ANN
+    index. Spark side is an Arrow-batched numpy kernel in
+    ``mapInPandas`` (vectorized float64 matops; HOF expressions are
+    interpreted and ~10× slower — see similarity.py). Map-side until
+    the per-label aggregation. The per-vector error is floored to
+    integer 1e-8 units BEFORE the cross-vector sum, so the group
+    aggregation is exact integer math in both engines (no
+    accumulation-order sensitivity)."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+
+    def quantize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            scale = np.abs(mat).max(axis=1) / 127.0
+            safe = np.where(scale == 0.0, 1.0, scale)[:, None]
+            deq = np.floor(mat / safe + 0.5) * safe
+            err = np.abs(mat - deq).sum(axis=1)
+            err = np.where(scale == 0.0, 0.0, err)
+            units = np.floor(err * 1e8 + 0.5).astype(np.int64)
+            yield pd.DataFrame(
+                {"label": pdf["label"], "unit": units}
+            )
+
+    per_vec = emb.select("label", "embedding").mapInPandas(
+        quantize, "label int, unit long"
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("unit").cast("bigint").alias("err_units"),
+    )
