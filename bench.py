@@ -58,8 +58,66 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "store": bench_store(spark, sf),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
+
+
+def bench_store(spark, sf: str) -> dict[str, float]:
+    """Reference-surface throughput: time Store write / dedup-append /
+    range-slice on a synthetic OHLCV frame with 20M×sf rows (sf0.1 →
+    2M rows — ~200× the largest dataset the reference ever exercised,
+    `/root/reference/testing/yfinance.py:7`, ~10k rows). Informational
+    (not part of "value"): the reference publishes no numbers to compare
+    against (BASELINE.md), so these are the record of OUR store-op cost
+    at each SF."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from oakstore_spark.store import Store
+
+    try:
+        rows = max(10_000, int(20_000_000 * float(sf)))
+    except ValueError:
+        rows = 100_000
+    idx = pd.date_range("2000-01-01", periods=rows, freq="min")
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "Open": rng.random(rows) * 100,
+            "High": rng.random(rows) * 100 + 100,
+            "Low": rng.random(rows) * 50,
+            "Close": rng.random(rows) * 100,
+            "Volume": rng.integers(0, 1_000_000, rows),
+        },
+        index=idx,
+    )
+    out: dict[str, float] = {"rows": float(rows)}
+    d = tempfile.mkdtemp(prefix="oakspark_bench_")
+    try:
+        t0 = time.time()
+        store = Store(d)
+        store["BENCH"] = df
+        out["write_sec"] = round(time.time() - t0, 3)
+
+        # append = 10% fresh tail + 10% overlap the dedup must drop
+        tail = df.iloc[-rows // 10 :]
+        fresh = tail.copy()
+        fresh.index = fresh.index + pd.Timedelta(minutes=rows // 10)
+        t0 = time.time()
+        store["BENCH"] += pd.concat([tail, fresh])
+        out["append_sec"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        sliced = store["BENCH"][idx[rows // 3] : idx[2 * rows // 3]]
+        out["slice_sec"] = round(time.time() - t0, 3)
+        out["slice_rows"] = float(len(sliced))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":

@@ -262,6 +262,45 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- rolling median (order-statistic window frame) ------------------------
+
+@register(
+    "q_rolling_median",
+    oracle="""
+    SELECT user_id, event_id,
+           round(median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 24 PRECEDING AND CURRENT ROW), 6) AS med25
+    FROM events
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 25-row median per user — the robust-statistics sibling of
+    the rolling mean (spike-resistant signal smoothing). Spark refuses
+    aggregate ``median`` over a window frame, so the frame's values are
+    gathered with ``collect_list`` (bounded: ≤25 elements) and the
+    interpolated order statistic is computed with array expressions —
+    all JVM-side, one shuffle on user_id. The (ts, event_id) ordering
+    key is a total order, so frame contents are engine-independent."""
+    ev = table(spark, sf_dir, "events")
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, W.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("value").over(win))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2.0
+    med = F.when(n % 2 == 1, odd).otherwise(even)
+    return ev.select(
+        "user_id", "event_id", F.round(med, 6).alias("med25")
+    )
+
+
 # --- int8 embedding quantization ------------------------------------------
 
 @register(

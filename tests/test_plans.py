@@ -124,3 +124,28 @@ def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_unpivot_is_single_shuffle_expand(spark):
+    """The melt must compile to a map-side Expand (no join, no extra
+    exchange) — one shuffle total, for the 3-group aggregation."""
+    from oakstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = plan_of(QUERIES["q_unpivot_measures"](spark, SF_DIR))
+    assert "Expand" in plan
+    # one Exchange node in the tree (details section repeats the name)
+    assert plan.count("+- Exchange") == 1
+
+
+def test_tfidf_broadcasts_vocab_and_count(spark):
+    """Document frequency (vocabulary-sized) and the corpus count
+    (1 row) must come back as broadcast joins — the corpus-sized tf
+    side is never reshuffled for the join."""
+    from oakstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = plan_of(QUERIES["q_tfidf_top_terms"](spark, SF_DIR))
+    assert plan.count("+- BroadcastHashJoin") == 1  # tf ⋈ doc-frequency
+    assert plan.count("+- BroadcastNestedLoopJoin") == 1  # × 1-row count
+    assert "SortMergeJoin" not in plan
