@@ -262,6 +262,86 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- null semantics (three-valued logic, null groups, null-safe eq) -------
+
+@register(
+    "q_null_semantics",
+    oracle="""
+    SELECT COALESCE(status_n, 'UNKNOWN') AS status,
+           count(*) AS n_rows,
+           count(status_n) AS n_nonnull,
+           CAST(sum(CASE WHEN status_n IS NOT DISTINCT FROM 'F'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_f
+    FROM (SELECT nullif(o_orderstatus, 'O') AS status_n FROM orders)
+    GROUP BY status_n
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic coverage: NULLs synthesized with ``nullif``,
+    grouped (the NULL group must survive), counted both ways
+    (``count(*)`` vs ``count(col)``), and compared null-safely
+    (Spark ``<=>`` ≡ SQL ``IS NOT DISTINCT FROM``). All map-side except
+    the 3-group aggregation."""
+    o = table(spark, sf_dir, "orders")
+    status_n = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        o.select(status_n.alias("status_n"))
+        .groupBy("status_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("status_n").alias("n_nonnull"),
+            F.sum(F.col("status_n").eqNullSafe("F").cast("int"))
+            .cast("bigint")
+            .alias("n_nullsafe_f"),
+        )
+        .select(
+            F.coalesce("status_n", F.lit("UNKNOWN")).alias("status"),
+            "n_rows",
+            "n_nonnull",
+            "n_nullsafe_f",
+        )
+    )
+
+
+# --- exact decimal money arithmetic ---------------------------------------
+
+@register(
+    "q_decimal_money",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+    )
+    SELECT yr,
+           count(*) AS n_orders,
+           CAST(CAST(CAST(sum(c) AS DECIMAL(38,0)) / 100 AS DECIMAL(38,2))
+                AS DOUBLE) AS revenue_dec
+    FROM cents
+    GROUP BY yr
+    """,
+)
+def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal money aggregation — the fixed-point path financial
+    rollups need, where float accumulation order must not show up in the
+    ledger. Doubles become integer cents once (map-side), the sum is
+    exact integer/decimal arithmetic, and the result is quantized to
+    DECIMAL(38,2) identically in both engines (surfaced as double only
+    because DuckDB's pandas bridge floats wide decimals). One shuffle."""
+    o = table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    return cents.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("c").cast("decimal(38,0)") / 100)
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("revenue_dec"),
+    )
+
+
 # --- rolling median (order-statistic window frame) ------------------------
 
 @register(

@@ -5,7 +5,9 @@ same configs are what we would set cluster-side for a 1000-executor run
 against ~100 TB:
 
 - AQE on (runtime coalescing, skew-join splitting) so static
-  ``shuffle.partitions`` only needs to be an upper bound;
+  ``shuffle.partitions`` only needs to be an upper bound; runtime bloom
+  filters (`spark.sql.optimizer.runtime.bloomFilter.enabled`, on by
+  default in Spark 4) prune the probe side of selective large joins;
 - Arrow on for every pandas boundary (collect + Pandas UDFs);
 - UTC session timezone so timestamp semantics match the parquet data and
   the DuckDB oracle, independent of host TZ;
