@@ -119,13 +119,14 @@ def register_split_sentences_udtf(df_spark) -> None:
 
     UDTFs are the table-function surface (SURVEY.md §2: UDF/UDAF/UDTF
     ABSENT in the reference) — used from SQL as
-    ``FROM docs, LATERAL split_sentences(text) t``. Row-at-a-time
-    Python: fine for a surface demonstration and low row counts; for the
-    100 TB hot path prefer the JVM-side chunk_documents/split exprs.
+    ``FROM docs, LATERAL split_sentences(text) t``. Arrow-optimized
+    (``useArrow=True``) so rows cross the Python boundary in columnar
+    batches, not one by one; for the 100 TB hot path still prefer the
+    JVM-side chunk_documents/split exprs.
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="sent_idx int, sentence string")
+    @udtf(returnType="sent_idx int, sentence string", useArrow=True)
     class SplitSentences:
         def eval(self, text: str):  # noqa: ANN001
             import re
