@@ -93,6 +93,9 @@ def minhash_signatures(
     one numpy broadcast per row (~shingles x n_hashes uint64 ops). The
     random odd 64-bit multipliers spread the narrow code range over the
     full hash space, so minima stay uniform."""
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    df = widen_partitions(df)
     a_const, b_const = _km_constants(n_hashes, seed)
     n = shingle_n
     short_base = 1 << (7 * n)
@@ -134,6 +137,85 @@ def minhash_signatures(
     ).select("id", "ss.shingles", "ss.sig")
 
 
+def _minhash_pairs_driver(
+    spark,
+    sig_rows,
+    out_schema,
+    threshold: float,
+    n_hashes: int,
+    bands: int,
+    rows_per_band: int,
+    estimate_margin: float,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Small-corpus fast path: banding, candidate generation, prefilter
+    and exact verify all happen driver-side in numpy on the collected
+    signature rows (which the distributed path collects anyway for its
+    broadcast verify map). Banding groups on the EXACT r-tuple of
+    signature values — equivalent-or-stricter than the distributed
+    path's xxhash64(r-tuple) bucket key (hash collisions only ever ADD
+    candidates), and the exact-jaccard verify makes the final output
+    identical either way."""
+    if not sig_rows:
+        return spark.createDataFrame([], out_schema)
+    # sort by real id so positional order == id order (makes id_a < id_b
+    # fall out of positional triu pairs)
+    sig_rows = sorted(sig_rows, key=lambda row: row["id"])
+    ids = np.asarray([row["id"] for row in sig_rows])
+    S = np.stack([np.asarray(row["sig"], np.int64) for row in sig_rows])
+    shingles = [np.asarray(row["shingles"], np.int64) for row in sig_rows]
+    n = len(sig_rows)
+    pair_keys = []
+    for b in range(bands):
+        block = np.ascontiguousarray(
+            S[:, b * rows_per_band : (b + 1) * rows_per_band]
+        )
+        _, inv, counts = np.unique(
+            block, axis=0, return_inverse=True, return_counts=True
+        )
+        order = np.argsort(inv, kind="stable")
+        start = 0
+        for c in counts:
+            if c > 1 and (max_bucket_size is None or c <= max_bucket_size):
+                members = order[start : start + c]  # ascending positions
+                ii, jj = np.triu_indices(c, k=1)
+                pair_keys.append(members[ii].astype(np.int64) * n + members[jj])
+            start += c
+    if not pair_keys:
+        return spark.createDataFrame([], out_schema)
+    pk = np.unique(np.concatenate(pair_keys))
+    ai, bi = pk // n, pk % n
+    # column-wise match count: ~pk.size-sized temporaries per hash
+    # instead of two (pairs x n_hashes) gathers — the giant gathers hit
+    # fresh-mmap page faults on every call (~5 s at 500k candidates;
+    # this form is ~0.3 s for identical arithmetic)
+    hits = np.zeros(pk.size, dtype=np.int32)
+    for k in range(n_hashes):
+        col = S[:, k]
+        hits += col[ai] == col[bi]
+    cut = hits / n_hashes >= threshold - estimate_margin
+    ai, bi = ai[cut], bi[cut]
+    keep_a, keep_b, keep_j = [], [], []
+    for x, y in zip(ai, bi):
+        sa, sb = shingles[x], shingles[y]
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        jac = inter / (sa.size + sb.size - inter)
+        if jac >= threshold:
+            keep_a.append(x)
+            keep_b.append(y)
+            keep_j.append(jac)
+    if not keep_a:
+        return spark.createDataFrame([], out_schema)
+    pdf = pd.DataFrame(
+        {
+            "id_a": ids[keep_a],
+            "id_b": ids[keep_b],
+            "jaccard": np.asarray(keep_j, dtype=np.float64),
+        }
+    )
+    return spark.createDataFrame(pdf, out_schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -144,6 +226,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
     estimate_margin: float = 0.1,
+    driver_pairs_max_docs: int = 200_000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -161,6 +244,34 @@ def minhash_lsh_pairs(
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("id_a", df.schema[id_col].dataType),
+            T.StructField("id_b", df.schema[id_col].dataType),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+    # two-tier strategy: below the threshold the whole pipeline after
+    # signing runs driver-side in numpy (the distributed path collects
+    # every signature for its broadcast verify map anyway, so the
+    # driver already holds the data — skipping the persist, the band
+    # explode and the candidate self-join saves ~2/3 of the wall time);
+    # above it, the banding/join/verify path below scales out
+    if df.count() <= driver_pairs_max_docs:
+        sig_rows = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n).collect()
+        return _minhash_pairs_driver(
+            df.sparkSession,
+            sig_rows,
+            pair_schema,
+            threshold,
+            n_hashes,
+            bands,
+            r,
+            estimate_margin,
+            max_bucket_size,
+        )
+
     # persisted: feeds the band explode, both sides of the candidate
     # join, the signature prefilter and the shingle verify
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n).persist(
@@ -318,6 +429,9 @@ def ngram_jaccard_pairs(
     compresses each partition to <= |code space| rows) and the
     prefix-posting self-join.
     """
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    df = widen_partitions(df)
     codes_udf = char_ngram_codes(shingle_n)
     grams = (
         df.select(
@@ -560,6 +674,9 @@ def simhash_signatures(
     """
     if bits != 64:
         raise ValueError("simhash_signatures supports bits=64 only")
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    df = widen_partitions(df)
     toks = F.array_distinct(tokens(normalize_text(text_col)))
     hashed = df.select(F.col(id_col).alias("id"), toks.alias("_t")).withColumn(
         "_h", F.transform(F.col("_t"), lambda t: F.xxhash64(t))

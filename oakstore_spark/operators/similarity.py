@@ -103,7 +103,11 @@ def cosine_topk(
                     }
                 )
 
-    cand = corpus.select(id_col, vec_col).mapInPandas(scan, out_schema)
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    cand = widen_partitions(corpus.select(id_col, vec_col)).mapInPandas(
+        scan, out_schema
+    )
     w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (
         cand.filter(F.col(id_col) != F.col(query_id_col))
@@ -144,6 +148,9 @@ def signed_buckets(
     matmul per Arrow batch (vs. one interpreted expression tree per
     plane); input columns pass through untouched.
     """
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    df = widen_partitions(df)
     P = np.asarray(_hyperplanes(dim, n_tables * bits_per_table, seed)).T  # dim x planes
     pow2 = (1 << np.arange(bits_per_table)).astype(np.int64)
     out_schema = T.StructType(
@@ -301,7 +308,11 @@ def ivf_cosine_topk(
             out["_cell"] = (Bn @ CT).argmax(axis=1).astype(np.int32)
             yield out
 
-    indexed = corpus.select(id_col, vec_col).mapInPandas(assign_cells, cell_schema)
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    indexed = widen_partitions(corpus.select(id_col, vec_col)).mapInPandas(
+        assign_cells, cell_schema
+    )
 
     # probe: queries are the small side -> rank cells driver-side,
     # broadcast the (query, cell, qvec) long-form

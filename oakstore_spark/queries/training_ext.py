@@ -443,7 +443,9 @@ def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"label": pdf["label"], "unit": units}
             )
 
-    per_vec = emb.select("label", "embedding").mapInPandas(
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    per_vec = widen_partitions(emb.select("label", "embedding")).mapInPandas(
         quantize, "label int, unit long"
     )
     return per_vec.groupBy("label").agg(
