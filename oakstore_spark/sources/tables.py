@@ -30,18 +30,26 @@ TABLES = [
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one synthetic table.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; we read nanos as long (runtime conf, works on any
-    caller-supplied session) and convert to a microsecond timestamp with
-    integer division (``div`` — a double division would lose precision
-    above 2^53 ns). Sub-microsecond precision is truncated, matching
-    DuckDB's ``epoch_us`` floor semantics.
+    ``events.ts`` normalization: the synthetic parquet stores
+    ``timestamp[us]`` with no timezone, which Spark reads as
+    ``TIMESTAMP_NTZ`` — a type rejected by ``unix_micros``, RANGE window
+    frames, and ``cast(.. as double)``. The session timezone is pinned
+    to UTC (session.py), so casting NTZ -> ``timestamp`` (TIMESTAMP_LTZ)
+    is instant-preserving and keeps the DuckDB oracle comparison exact.
+    A nanos-as-long branch is kept for robustness against
+    TIMESTAMP(NANOS) parquet (``div`` keeps integer precision above
+    2^53 ns; sub-microsecond precision truncates, matching DuckDB's
+    ``epoch_us`` floor semantics).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -16,12 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# file-source schema for the events table (ts arrives as nanos-int64 in
-# the synthetic parquet; see sources/tables.py for the batch equivalent)
+# file-source schema for the events table (ts is timestamp[us] with no
+# timezone in the synthetic parquet -> TIMESTAMP_NTZ in Spark; see
+# sources/tables.py for the batch equivalent of the normalization)
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -31,14 +32,14 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
-    """File-source stream of events with the ns->us timestamp conversion."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream of events, normalized to a UTC ``timestamp``
+    event-time column (watermarks require TIMESTAMP, not NTZ)."""
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 4)
         .parquet(src_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def ingest_events_stream(

@@ -236,15 +236,16 @@ def test_streaming_late_data_dropped(spark, tmp_path):
 
     src = tmp_path / "late_src"
     src.mkdir()
-    base = pd.Timestamp("2024-06-01 00:30:00").value  # ns epoch
+    base = pd.Timestamp("2024-06-01 00:30:00")
 
     def write_file(name, ids, hours, mtime):
         pdf = pd.DataFrame(
             {
                 "event_id": np.asarray(ids, dtype=np.int64),
-                "ts": np.asarray(
-                    [base + int(h * 3600e9) for h in hours], dtype=np.int64
-                ),
+                # timestamp[us] no-tz, matching the synthetic testdata layout
+                "ts": pd.Series(
+                    [base + pd.Timedelta(hours=h) for h in hours]
+                ).astype("datetime64[us]"),
                 "user_id": np.zeros(len(ids), dtype=np.int64),
                 "event_type": ["click"] * len(ids),
                 "value": np.ones(len(ids)),
