@@ -253,12 +253,13 @@ def minhash_lsh_pairs(
         ]
     )
     # two-tier strategy: below the threshold the whole pipeline after
-    # signing runs driver-side in numpy (the distributed path collects
-    # every signature for its broadcast verify map anyway, so the
-    # driver already holds the data — skipping the persist, the band
-    # explode and the candidate self-join saves ~2/3 of the wall time);
-    # above it, the banding/join/verify path below scales out
-    if df.count() <= driver_pairs_max_docs:
+    # signing runs driver-side in numpy (band explode + candidate
+    # self-join + shuffle round-trips cost more than the arithmetic at
+    # this size); above it, the banding/join/verify path below scales
+    # out with NO driver materialization. The routing count is bounded:
+    # limit(max+1) stops the scan as soon as the corpus is provably big
+    # instead of counting all of it.
+    if df.limit(driver_pairs_max_docs + 1).count() <= driver_pairs_max_docs:
         sig_rows = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n).collect()
         return _minhash_pairs_driver(
             df.sparkSession,
@@ -316,24 +317,15 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # prefilter + exact verify in ONE Arrow pass over bare id pairs:
-    # signatures and shingle sets are broadcast as numpy maps (the
-    # near-dup candidate side is always small relative to the corpus),
-    # so there is no signature/shingle join and no interpreted per-pair
-    # zip_with over 96-long arrays. The signature prefilter (estimated
-    # jaccard >= threshold - margin, sd ~0.03 at 96 hashes) discards
-    # most candidates before the exact set intersection; both steps are
-    # vectorized per id_a group (sig compare = one 2-D equality, set
-    # intersection = isin + segmented reduceat).
-    sig_rows = sigs.collect()
-    sig_map = {
-        r["id"]: (
-            np.asarray(r["sig"], dtype=np.int64),
-            np.asarray(r["shingles"], dtype=np.int64),
-        )
-        for r in sig_rows
-    }
-    bc = df.sparkSession.sparkContext.broadcast(sig_map)
+    # prefilter + exact verify WITHOUT materializing the corpus anywhere:
+    # the persisted (id, sig, shingles) relation is hash-joined onto the
+    # candidate pairs twice (on id_a, then id_b) — two shuffles keyed by
+    # doc id, each side bounded per-partition, so this survives a corpus
+    # no driver could hold. The joined rows then verify in one Arrow
+    # pass: the signature prefilter (estimated jaccard >= threshold -
+    # margin, sd ~0.03 at 96 hashes) is a single 2-D equality over the
+    # stacked signature matrices; only survivors pay the exact shingle
+    # intersection.
     lo_cut = threshold - estimate_margin
 
     out_schema = T.StructType(
@@ -344,43 +336,49 @@ def minhash_lsh_pairs(
         ]
     )
 
+    sa = sigs.select(
+        F.col("id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    joined = cand.join(sa, "id_a").join(sb, "id_b")
+
     def verify(batches):
-        gm = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            sig_a = np.stack([np.asarray(s, dtype=np.int64) for s in pdf["sig_a"]])
+            sig_b = np.stack([np.asarray(s, dtype=np.int64) for s in pdf["sig_b"]])
+            est = (sig_a == sig_b).sum(axis=1) / n_hashes
+            idx = np.nonzero(est >= lo_cut)[0]
+            if idx.size == 0:
+                continue
             keep_a, keep_b, keep_j = [], [], []
-            for aid, grp in pdf.groupby("id_a", sort=False):
-                sig_a, sh_a = gm[aid]
-                ids_b = grp["id_b"].to_numpy()
-                sig_b = np.stack([gm[i][0] for i in ids_b])
-                est = (sig_b == sig_a[None, :]).sum(axis=1) / n_hashes
-                cut = est >= lo_cut
-                if not cut.any():
-                    continue
-                sel_ids = ids_b[cut]
-                partners = [gm[i][1] for i in sel_ids]
-                lens = np.fromiter((p.size for p in partners), np.int64, len(partners))
-                cat = np.concatenate(partners)
-                hits = np.isin(cat, sh_a)
-                starts = np.zeros(len(partners), dtype=np.int64)
-                np.cumsum(lens[:-1], out=starts[1:])
-                inter = np.add.reduceat(hits, starts)
-                jac = inter / (sh_a.size + lens - inter)
-                ok = jac >= threshold
-                keep_a.append(np.full(int(ok.sum()), aid))
-                keep_b.append(sel_ids[ok])
-                keep_j.append(jac[ok])
+            sh_a_col, sh_b_col = pdf["sh_a"], pdf["sh_b"]
+            for i in idx:
+                a = np.asarray(sh_a_col.iat[i], dtype=np.int64)
+                b = np.asarray(sh_b_col.iat[i], dtype=np.int64)
+                inter = int(np.isin(b, a, assume_unique=True).sum())
+                jac = inter / (a.size + b.size - inter)
+                if jac >= threshold:
+                    keep_a.append(pdf["id_a"].iat[i])
+                    keep_b.append(pdf["id_b"].iat[i])
+                    keep_j.append(jac)
             if keep_a:
                 yield pd.DataFrame(
                     {
-                        "id_a": np.concatenate(keep_a),
-                        "id_b": np.concatenate(keep_b),
-                        "jaccard": np.concatenate(keep_j),
+                        "id_a": keep_a,
+                        "id_b": keep_b,
+                        "jaccard": np.asarray(keep_j, dtype=np.float64),
                     }
                 )
 
-    return cand.repartition("id_a").mapInPandas(verify, out_schema)
+    return joined.mapInPandas(verify, out_schema)
 
 
 def ngram_jaccard_pairs(

@@ -105,6 +105,44 @@ def q_ntile_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_spend_deciles_sketch")
+def q_spend_deciles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe sibling of ``q_ntile_spend_deciles``: decile membership
+    from ``approx_percentile`` cut points instead of a global ntile —
+    NO single-partition sort anywhere in the plan. The sketch (one
+    KLL-style aggregate, map-side partial) yields 9 cut points; each
+    customer's decile is then a map-side array scan over the broadcast
+    one-row cut-point relation. Rows-only driver check (sketch bucket
+    boundaries are engine-specific); tests/test_plans.py pins the
+    no-global-sort plan and bucket-count balance vs the exact ntile."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("spend_cents")
+    )
+    cuts = spend.agg(
+        F.percentile_approx(
+            "spend_cents",
+            F.array(*[F.lit(i / 10) for i in range(1, 10)]),
+            F.lit(10_000),
+        ).alias("cuts")
+    )
+    # decile = 1 + number of cut points strictly below this spend
+    decile = F.aggregate(
+        "cuts",
+        F.lit(1).cast("bigint"),
+        lambda acc, c: acc + F.when(F.col("spend_cents") > c, 1).otherwise(0),
+    )
+    return (
+        spend.join(F.broadcast(cuts))
+        .withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("spend_cents").alias("decile_spend_cents"),
+        )
+    )
+
+
 # --- time-RANGE window frame ---------------------------------------------
 
 @register(
@@ -248,8 +286,11 @@ def q_bigram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = F.element_at(F.transform(F.array(words), _bigrams), 1)
     bg = d.select(F.col("doc_id"), F.explode(bigrams).alias("bg"))
     cnt = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    # cnt is vocabulary-sized (distinct bigrams), orders of magnitude
+    # smaller than the exploded corpus side — broadcast it so the
+    # corpus-sized bg relation never shuffles on the bigram key
     return (
-        bg.join(cnt, "bg")
+        bg.join(F.broadcast(cnt), "bg")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

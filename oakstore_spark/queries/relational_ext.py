@@ -477,6 +477,32 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_approx_percentiles")
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe sibling of ``q_percentiles``: ``approx_percentile``
+    (KLL-style sketch, mergeable map-side partials, bounded memory per
+    group) instead of the exact per-group full sort. Rows-only driver
+    check (sketch outputs are engine-specific); the pytest bound pins
+    relative error vs the exact percentiles (pattern of
+    q_approx_distinct)."""
+    l = table(spark, sf_dir, "lineitem")
+    ps = F.percentile_approx(
+        "l_extendedprice",
+        F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+        F.lit(10_000),
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(ps.alias("_ps"))
+        .select(
+            "l_returnflag",
+            F.col("_ps")[0].alias("p50"),
+            F.col("_ps")[1].alias("p90"),
+            F.col("_ps")[2].alias("p99"),
+        )
+    )
+
+
 # --- statistical aggregates ----------------------------------------------
 
 @register(

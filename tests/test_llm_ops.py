@@ -57,6 +57,23 @@ def test_minhash_planted(spark, docs):
     assert all(3 not in p and 4 not in p for p in got)
 
 
+def test_minhash_distributed_path_matches_driver(spark, docs):
+    """Forcing the join-based distributed verify (driver_pairs_max_docs=0)
+    must give exactly the driver-path pairs+jaccards: same banding, same
+    prefilter, same exact verify — only the execution strategy differs
+    (no corpus materialization on the driver)."""
+    kw = dict(threshold=0.8, n_hashes=96, bands=12)
+    drv = minhash_lsh_pairs(docs, "doc_id", "text", **kw).toPandas()
+    dist = minhash_lsh_pairs(
+        docs, "doc_id", "text", driver_pairs_max_docs=0, **kw
+    ).toPandas()
+    got_d = {(r.id_a, r.id_b): r.jaccard for r in drv.itertuples()}
+    got_x = {(r.id_a, r.id_b): r.jaccard for r in dist.itertuples()}
+    assert got_d.keys() == got_x.keys()
+    for k in got_d:
+        assert got_d[k] == pytest.approx(got_x[k])
+
+
 def test_simhash(spark, docs):
     pairs = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8).toPandas()
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.itertuples()}

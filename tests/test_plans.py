@@ -138,6 +138,56 @@ def test_unpivot_is_single_shuffle_expand(spark):
     assert plan.count("+- Exchange") == 1
 
 
+def test_bigram_mass_broadcasts_count(spark):
+    """The vocabulary-sized bigram-count relation must broadcast: the
+    corpus-sized exploded side shuffles once (for the per-doc rollup),
+    never on the bigram key."""
+    from oakstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = plan_of(QUERIES["q_bigram_mass"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    """The sketch sibling must stay within 1% relative error of the
+    exact interpolated percentiles (accuracy=10000 gives ~1e-4 rank
+    error; 1% value error is a loose, stable bound)."""
+    from oakstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = QUERIES["q_percentiles"](spark, SF_DIR).toPandas().set_index("l_returnflag")
+    approx = (
+        QUERIES["q_approx_percentiles"](spark, SF_DIR).toPandas().set_index("l_returnflag")
+    )
+    assert set(exact.index) == set(approx.index)
+    for flag in exact.index:
+        for c in ("p50", "p90", "p99"):
+            e, a = float(exact.loc[flag, c]), float(approx.loc[flag, c])
+            assert abs(a - e) / e < 0.01, (flag, c, e, a)
+
+
+def test_sketch_deciles_no_global_sort_and_balanced(spark):
+    """The sketch decile assignment must plan with NO single-partition
+    global sort (the scale defect of exact ntile) and still produce
+    near-balanced buckets."""
+    from oakstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["q_spend_deciles_sketch"](spark, SF_DIR)
+    plan = plan_of(df)
+    import re
+
+    assert "+- Window" not in plan  # no window-function path
+    assert not re.search(r"\bntile\(", plan)
+    assert "+- Sort" not in plan  # no sort anywhere, global or local
+    got = df.toPandas().sort_values("decile")
+    assert list(got["decile"]) == list(range(1, 11))
+    n = got["n_customers"].to_numpy()
+    assert n.max() <= 1.25 * n.min()  # sketch buckets stay near-balanced
+
+
 def test_tfidf_broadcasts_vocab_and_count(spark):
     """Document frequency (vocabulary-sized) and the corpus count
     (1 row) must come back as broadcast joins — the corpus-sized tf
