@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from oakstore_spark.operators.multimodal import (
     audio_metadata,
@@ -71,6 +72,55 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.min("n_bytes").alias("min_bytes"),
         F.max("n_bytes").alias("max_bytes"),
+    )
+
+
+@register("q_png_decode_features")
+def q_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: each document's first 1024 text
+    bytes become a 32x32 grayscale PNG (stdlib encoder, worker-side,
+    deterministic), which ``extract_image_features`` then decodes with
+    the pure-Python PNG decoder — true dimensions and band-luma
+    features, no digest fake anywhere on this path. Rows-only driver
+    check (the band means are pinned exactly in tests/test_multimodal
+    .py); decode runs map-side, binaries never shuffle."""
+    from oakstore_spark.operators.multimodal import (
+        encode_gray_png,
+        extract_image_features,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    _enc = encode_gray_png
+
+    def make_png(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            content = []
+            for text in pdf["text"]:
+                buf = text.encode("utf-8")[:1024]
+                px = _np.frombuffer(buf.ljust(1024, b"\x00"), dtype=_np.uint8)
+                content.append(_enc(px.reshape(32, 32)))
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "content": content}
+            )
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    media = d.select("doc_id", "text").mapInPandas(make_png, media_schema)
+    feats = extract_image_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("band0"),
+        F.round(F.element_at("features", 8), 6).alias("band7"),
     )
 
 
