@@ -21,6 +21,17 @@ Deliberate, documented deviations from the reference (SURVEY.md §4):
 - append rewrites via write-temp-then-swap so a crash cannot corrupt the
   item (the reference overwrites in place, store.py:231-236).
 
+Commit protocols (EXT): ``commit_protocol="rename"`` (default) uses the
+local-FS atomic directory swap above. ``commit_protocol="manifest"``
+uses a Delta-style manifest log instead: every write/append/compact
+lands files in a fresh immutable ``_data/<generation>/`` directory and
+then publishes ONE new ``_manifests/vNNNNNNNN.json`` mapping each year
+to its current directory — the single-object write that IS the commit,
+which is atomic on object storage (S3/GCS PUT) where directory renames
+are not. Readers resolve the latest manifest; superseded generations
+stay readable until ``vacuum()``. Items self-describe their protocol
+(presence of ``_manifests/``), so any Store instance reads both.
+
 Scale design (100 TB): each item is a Parquet table hive-partitioned by
 ``_oak_year=YYYY`` with files sorted by the index column, so a time-range
 query needs only (a) partition pruning on the year bound, (b) parquet
@@ -33,6 +44,7 @@ everything is a lazy plan until the terminal action.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -54,6 +66,8 @@ _ITEMS_DIR = "items"  # parity: store.py:29
 _METADATA_FILE = "_metadata.json"
 _PARTITION_COL = "_oak_year"
 _MAX_RECORDS_PER_FILE = 1_000_000  # parity: store.py:27 (_DEFAULT_CHUNK_SIZE)
+_MANIFESTS_DIR = "_manifests"  # manifest-protocol commit log
+_DATA_DIR = "_data"  # manifest-protocol immutable generations
 
 
 class Item:
@@ -101,7 +115,11 @@ class Store:
         cols: dict[str, type] | None = None,
         index: str | None = None,
         spark: SparkSession | None = None,
+        commit_protocol: str = "rename",
     ) -> None:
+        if commit_protocol not in ("rename", "manifest"):
+            raise ValueError(f"unknown commit_protocol {commit_protocol!r}")
+        self._commit_protocol = commit_protocol
         self._spark = spark or get_spark()
         self._base_path = Path(base_path)
         self._base_path.mkdir(parents=True, exist_ok=True)
@@ -251,12 +269,57 @@ class Store:
             .parquet(str(path), mode="errorifexists")
         )
 
+    # -- manifest protocol (EXT) --------------------------------------------
+
+    @staticmethod
+    def _is_manifest_item(path: Path) -> bool:
+        return (path / _MANIFESTS_DIR).is_dir()
+
+    def _latest_manifest(self, path: Path) -> tuple[int, dict[str, str]]:
+        """(version, {year -> generation dir relpath}) of the last commit."""
+        versions = sorted(
+            int(p.stem[1:]) for p in (path / _MANIFESTS_DIR).glob("v*.json")
+        )
+        if not versions:
+            raise ValueError(f"no committed manifest under {path}")
+        v = versions[-1]
+        doc = json.loads((path / _MANIFESTS_DIR / f"v{v:08d}.json").read_text())
+        return v, doc["years"]
+
+    def _commit_manifest(self, path: Path, version: int, years: dict[str, str]) -> None:
+        """Publish one manifest object — THE commit point. Local FS gets
+        write-temp-then-rename; on object storage this maps to a single
+        atomic PUT of the versioned manifest key."""
+        doc = {"protocol": "manifest-v1", "version": version, "years": years}
+        target = path / _MANIFESTS_DIR / f"v{version:08d}.json"
+        tmp = target.with_name(f".{target.name}.tmp")
+        tmp.write_text(json.dumps(doc, sort_keys=True))
+        os.rename(tmp, target)
+
+    def _write_generation(self, path: Path, sdf: DataFrame) -> dict[str, str]:
+        """Write one immutable data generation; returns its year map."""
+        gen = uuid.uuid4().hex
+        gen_dir = path / _DATA_DIR / gen
+        self._write_parquet(sdf, gen_dir)
+        return {
+            d.name.split("=", 1)[1]: f"{_DATA_DIR}/{gen}/{d.name}"
+            for d in sorted(gen_dir.glob(f"{_PARTITION_COL}=*"))
+        }
+
+    def _manifest_paths(self, path: Path, mapping: dict[str, str]) -> list[str]:
+        return [str(path / rel) for _, rel in sorted(mapping.items())]
+
     # -- write (parity: store.py:196-212) ----------------------------------
 
     def _write(self, *, key: str, data) -> None:
         path = self._item_path(key)
         if path.exists():
             raise ValueError(f"key={key.upper()} already exists")
+        if self._commit_protocol == "manifest":
+            (path / _MANIFESTS_DIR).mkdir(parents=True)
+            years = self._write_generation(path, self._normalize(data))
+            self._commit_manifest(path, 1, years)
+            return
         self._write_parquet(self._normalize(data), path)
 
     # -- append + dedup (parity: store.py:214-236) --------------------------
@@ -281,12 +344,25 @@ class Store:
         new = self._normalize(data).withColumn("_oak_prio", F.lit(1))
         # metadata-scale action: the distinct years of the incoming batch
         years = [r[0] for r in new.select(F.year(F.col(idx))).distinct().collect()]
-        old = (
-            self._spark.read.parquet(str(path))
-            .filter(F.col(_PARTITION_COL).isin(years))  # partition pruning
-            .select(idx, *self._metadata.column_schema)
-            .withColumn("_oak_prio", F.lit(0))
-        )
+        manifest = self._is_manifest_item(path)
+        if manifest:
+            version, mapping = self._latest_manifest(path)
+            touched = {str(y): mapping[str(y)] for y in years if str(y) in mapping}
+            if touched:
+                old = (
+                    self._spark.read.parquet(*self._manifest_paths(path, touched))
+                    .select(idx, *self._metadata.column_schema)
+                    .withColumn("_oak_prio", F.lit(0))
+                )
+            else:
+                old = new.limit(0)
+        else:
+            old = (
+                self._spark.read.parquet(str(path))
+                .filter(F.col(_PARTITION_COL).isin(years))  # partition pruning
+                .select(idx, *self._metadata.column_schema)
+                .withColumn("_oak_prio", F.lit(0))
+            )
 
         # Dedup on the index key, old-wins — the *intended* semantics
         # (README.md:39-48; the reference's value-only drop_duplicates at
@@ -301,11 +377,19 @@ class Store:
             .drop("_oak_prio", "_oak_rn")
         )
 
+        if manifest:
+            # immutable generation + one-object manifest publish: the
+            # commit is a single atomic write even on object storage;
+            # superseded year dirs stay readable until vacuum()
+            new_years = self._write_generation(path, combined)
+            self._commit_manifest(path, version + 1, {**mapping, **new_years})
+            return
+
         # Write the touched partitions to a temp sibling, then swap each
-        # year directory in. (On cloud storage this would be a Delta
-        # MERGE / commit-protocol rename; local-FS renames are atomic
-        # per-partition — the cross-partition window is narrower than the
-        # reference's full in-place rewrite, which has no safe point.)
+        # year directory in. (Local-FS renames are atomic per-partition —
+        # the cross-partition window is narrower than the reference's
+        # full in-place rewrite, which has no safe point; for object
+        # storage use commit_protocol="manifest" above.)
         tmp = self._items_path / f".tmp-{key.upper()}-{uuid.uuid4().hex}"
         trash = self._items_path / f".trash-{key.upper()}-{uuid.uuid4().hex}"
         self._write_parquet(combined, tmp)
@@ -323,7 +407,25 @@ class Store:
     def _read_raw(self, path: Path) -> DataFrame:
         idx = self._metadata.index_name
         cols = [idx, *self._metadata.column_schema]
+        if self._is_manifest_item(path):
+            _, mapping = self._latest_manifest(path)
+            if not mapping:
+                return self._empty_item_df()
+            return self._spark.read.parquet(
+                *self._manifest_paths(path, mapping)
+            ).select(*cols)
         return self._spark.read.parquet(str(path)).select(*cols)
+
+    def _empty_item_df(self) -> DataFrame:
+        import pyspark.sql.types as T
+
+        idx = self._metadata.index_name
+        fields = [T.StructField(idx, T.TimestampType())]
+        fields += [
+            T.StructField(c, self._metadata.spark_type(c))
+            for c in self._metadata.column_schema
+        ]
+        return self._spark.createDataFrame([], T.StructType(fields))
 
     def _scan(self, *, key: str, start: datetime | None, end: datetime | None) -> DataFrame:
         path = self._item_path(key)
@@ -331,6 +433,26 @@ class Store:
             raise ValueError(f"key={key.upper()} does not exist")
 
         idx = self._metadata.index_name
+        if self._is_manifest_item(path):
+            # manifest-side pruning: only year dirs intersecting the range
+            # even reach the scan's file listing (the manifest is the file
+            # index, like Delta's log-driven file skipping)
+            _, mapping = self._latest_manifest(path)
+            keep = {
+                y: rel
+                for y, rel in mapping.items()
+                if (start is None or int(y) >= start.year)
+                and (end is None or int(y) <= end.year)
+            }
+            if not keep:
+                return self._empty_item_df().orderBy(idx)
+            sdf = self._spark.read.parquet(*self._manifest_paths(path, keep))
+            if start is not None:
+                sdf = sdf.filter(F.col(idx) >= F.lit(start))
+            if end is not None:
+                sdf = sdf.filter(F.col(idx) <= F.lit(end))
+            return sdf.select(idx, *self._metadata.column_schema).orderBy(idx)
+
         sdf = self._spark.read.parquet(str(path))
         # Explicit partition-pruning predicate on the year dir plus the
         # exact inclusive range on the index (store.py:255-266 pushes
@@ -364,6 +486,22 @@ class Store:
             raise ValueError(f"key={key.upper()} does not exist")
         idx = self._metadata.index_name
 
+        if self._is_manifest_item(path):
+            version, mapping = self._latest_manifest(path)
+            frag = {
+                y: rel
+                for y, rel in mapping.items()
+                if len(list((path / rel).glob("*.parquet"))) > min_files_per_partition
+            }
+            if not frag:
+                return 0
+            combined = self._spark.read.parquet(
+                *self._manifest_paths(path, frag)
+            ).select(idx, *self._metadata.column_schema)
+            new_years = self._write_generation(path, combined)
+            self._commit_manifest(path, version + 1, {**mapping, **new_years})
+            return len(frag)
+
         fragmented = [
             d for d in sorted(path.glob(f"{_PARTITION_COL}=*"))
             if len(list(d.glob("*.parquet"))) > min_files_per_partition
@@ -390,6 +528,34 @@ class Store:
         shutil.rmtree(trash)
         return len(fragmented)
 
+    def vacuum(self, key: str) -> int:
+        """Manifest protocol only: delete year directories no manifest
+        version newer than the latest references, plus superseded
+        manifest files. Returns the number of year dirs removed. Safe to
+        run concurrently with readers of the LATEST version (their files
+        are never touched); readers pinned to older versions must finish
+        first — same contract as Delta's VACUUM retention."""
+        path = self._item_path(key)
+        if not path.exists():
+            raise ValueError(f"key={key.upper()} does not exist")
+        if not self._is_manifest_item(path):
+            return 0
+        version, mapping = self._latest_manifest(path)
+        live = {str(path / rel) for rel in mapping.values()}
+        removed = 0
+        data_root = path / _DATA_DIR
+        for gen_dir in sorted(data_root.iterdir()):
+            for ydir in sorted(gen_dir.glob(f"{_PARTITION_COL}=*")):
+                if str(ydir) not in live:
+                    shutil.rmtree(ydir)
+                    removed += 1
+            if not any(gen_dir.iterdir()):
+                gen_dir.rmdir()
+        for m in (path / _MANIFESTS_DIR).glob("v*.json"):
+            if int(m.stem[1:]) < version:
+                m.unlink()
+        return removed
+
     def stats(self, key: str) -> dict:
         """EXT: operational stats for one item — row count, time bounds,
         partition/file counts. One aggregate scan (parquet footers serve
@@ -399,7 +565,11 @@ class Store:
         if not path.exists():
             raise ValueError(f"key={key.upper()} does not exist")
         idx = self._metadata.index_name
-        part_dirs = sorted(path.glob(f"{_PARTITION_COL}=*"))
+        if self._is_manifest_item(path):
+            _, mapping = self._latest_manifest(path)
+            part_dirs = [path / rel for rel in mapping.values()]
+        else:
+            part_dirs = sorted(path.glob(f"{_PARTITION_COL}=*"))
         n_files = sum(len(list(d.glob("*.parquet"))) for d in part_dirs)
         row = (
             self._read_raw(path)

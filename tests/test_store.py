@@ -293,3 +293,129 @@ def test_stats_and_delete(store):
         store.stats("STAT")
     with pytest.raises(ValueError):
         store.delete("STAT")
+
+
+# -- manifest commit protocol (EXT: object-storage-safe commits) ----------
+
+@pytest.fixture
+def mstore(tmp_path, spark):
+    from oakstore_spark import Store
+
+    return Store(base_path=tmp_path / "mdata", spark=spark, commit_protocol="manifest")
+
+
+def test_manifest_write_read_append_parity(mstore, store, ohlcv_data):
+    """The manifest protocol must be observationally identical to the
+    rename protocol: same rows, same dedup semantics, same slices."""
+    for s in (mstore, store):
+        s["MSFT"] = ohlcv_data.head(100)
+        s["MSFT"] += ohlcv_data.head(150)  # 100 overlap (old wins) + 50 new
+    a = mstore["MSFT"][:]
+    b = store["MSFT"][:]
+    pd.testing.assert_frame_equal(a, b)
+    lo, hi = ohlcv_data.index[10], ohlcv_data.index[60]
+    pd.testing.assert_frame_equal(mstore["MSFT"][lo:hi], store["MSFT"][lo:hi])
+
+
+def test_manifest_commit_is_single_object(mstore):
+    """Append must publish exactly ONE new manifest file and leave every
+    pre-existing data file byte-identical (no renames, no rewrites) —
+    the property that makes the commit atomic on object storage."""
+    idx = pd.date_range("2020-06-01", periods=400, freq="D")  # 2020+2021
+    df = pd.DataFrame(
+        {"Open": np.arange(400.0), "High": np.arange(400.0), "Low": np.arange(400.0),
+         "Close": np.arange(400.0), "Volume": np.arange(400)},
+        index=idx,
+    )
+    mstore["PART"] = df
+    item = mstore._item_path("PART")
+    manifests = sorted((item / "_manifests").glob("v*.json"))
+    assert len(manifests) == 1
+    data_files = {str(f): f.stat().st_mtime_ns for f in item.rglob("*.parquet")}
+
+    extra = pd.DataFrame(
+        {"Open": [1.0], "High": [1.0], "Low": [1.0], "Close": [1.0], "Volume": [1]},
+        index=pd.DatetimeIndex([pd.Timestamp("2021-12-01")]),
+    )
+    mstore["PART"] += extra
+
+    manifests2 = sorted((item / "_manifests").glob("v*.json"))
+    assert len(manifests2) == 2  # one new commit object
+    after = {str(f): f.stat().st_mtime_ns for f in item.rglob("*.parquet")}
+    for f, m in data_files.items():
+        assert after[f] == m  # all old files still present, untouched
+    out = mstore["PART"][:]
+    assert len(out) == 401
+    assert out.loc[pd.Timestamp("2021-12-01")]["OPEN"] == 1.0
+
+
+def test_manifest_uncommitted_generation_invisible(mstore):
+    """A data generation without a manifest commit (a crashed writer)
+    must be invisible to readers — the manifest IS the truth."""
+    idx = pd.date_range("2022-01-01", periods=10, freq="D")
+    df = pd.DataFrame(
+        {"Open": np.ones(10), "High": np.ones(10), "Low": np.ones(10),
+         "Close": np.ones(10), "Volume": np.ones(10, dtype=int)},
+        index=idx,
+    )
+    mstore["CR"] = df
+    # simulate a crashed writer: a new generation lands, no commit
+    stray = df.copy(); stray["Open"] = 777.0
+    mstore._write_generation(mstore._item_path("CR"), mstore._normalize(stray))
+    out = mstore["CR"][:]
+    assert len(out) == 10
+    assert (out["OPEN"].to_numpy() == 1.0).all()  # stray data not visible
+
+
+def test_manifest_vacuum_removes_superseded(mstore, ohlcv_data):
+    mstore["V"] = ohlcv_data.head(50)
+    mstore["V"] += ohlcv_data.head(80)  # supersedes the touched years
+    item = mstore._item_path("V")
+    pre = mstore["V"][:]
+    removed = mstore.vacuum("V")
+    assert removed >= 1  # old year dirs gone
+    assert len(sorted((item / "_manifests").glob("v*.json"))) == 1  # latest only
+    pd.testing.assert_frame_equal(mstore["V"][:], pre)  # data unchanged
+    assert mstore.vacuum("V") == 0  # idempotent
+
+
+def test_manifest_compact_and_stats(mstore, monkeypatch):
+    import oakstore_spark.store as store_mod
+
+    idx = pd.date_range("2021-01-01", periods=30, freq="D")
+    df = pd.DataFrame(
+        {"Open": np.arange(30.0), "High": np.ones(30), "Low": np.ones(30),
+         "Close": np.ones(30), "Volume": np.ones(30, dtype=int)},
+        index=idx,
+    )
+    monkeypatch.setattr(store_mod, "_MAX_RECORDS_PER_FILE", 7)
+    mstore["CMP"] = df
+    for i in range(3):
+        chunk = df.iloc[i * 10 : (i + 1) * 10].copy()
+        chunk.index = chunk.index + pd.Timedelta(days=180 + i)
+        mstore["CMP"] += chunk
+    monkeypatch.setattr(store_mod, "_MAX_RECORDS_PER_FILE", 1_000_000)
+    st = mstore.stats("CMP")
+    assert st["rows"] == 60 and st["partitions"] >= 1
+    pre = mstore["CMP"][:]
+    n = mstore.compact("CMP")
+    assert n >= 1
+    pd.testing.assert_frame_equal(mstore["CMP"][:], pre)
+    st2 = mstore.stats("CMP")
+    assert st2["files"] < st["files"]
+    mstore.vacuum("CMP")
+    pd.testing.assert_frame_equal(mstore["CMP"][:], pre)
+
+
+def test_manifest_autodetect_cross_instance(mstore, tmp_path, spark, ohlcv_data):
+    """A default-protocol Store instance opening the same base path must
+    read and append manifest items correctly (items self-describe)."""
+    from oakstore_spark import Store
+
+    mstore["X"] = ohlcv_data.head(20)
+    plain = Store(base_path=tmp_path / "mdata", spark=spark)  # default rename
+    assert len(plain["X"][:]) == 20
+    plain["X"] += ohlcv_data.head(30)
+    assert len(plain["X"][:]) == 30
+    item = mstore._item_path("X")
+    assert len(sorted((item / "_manifests").glob("v*.json"))) == 2
