@@ -341,6 +341,95 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- approximate ops: rows-only driver check, pinned vs brute in pytest --
 
+@register(
+    "q_ttr_repetition",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), c AS (
+        SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(count(*) * 1.0 / sum(c), 6) AS ttr,
+           round(max(c) * 1.0 / sum(c), 6) AS top_word_share
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_ttr_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics — the Gopher/C4-style quality
+    signals (type-token ratio; share of the single most frequent word).
+    Plan shape for 100 TB: explode -> partial-agg on (doc, word) -> one
+    doc-keyed rollup; both aggregations map-side-combine before their
+    shuffle, and no corpus-global state exists at all (contrast
+    q_bigram_mass, which joins a corpus vocabulary)."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    c = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    return c.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("ttr"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_word_share"),
+    )
+
+
+@register(
+    "q_gopher_quality_flags",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, source, word, count(*) AS c FROM w GROUP BY 1, 2, 3, 4
+    ), m AS (
+        SELECT doc_id, lang, source,
+               sum(c) AS n_words,
+               count(*) * 1.0 / sum(c) AS ttr,
+               sum(len(word) * c) * 1.0 / sum(c) AS mean_word_len
+        FROM c GROUP BY 1, 2, 3
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_words < 50 THEN 1 ELSE 0 END) AS BIGINT) AS flag_short,
+           CAST(sum(CASE WHEN ttr < 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS flag_repetitive,
+           CAST(sum(CASE WHEN mean_word_len < 3 OR mean_word_len > 10
+                    THEN 1 ELSE 0 END) AS BIGINT) AS flag_word_len
+    FROM m GROUP BY lang, source
+    """,
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules document filter audit: per (lang, source), how many
+    docs trip each pretraining-quality rule (too short, repetitive
+    vocabulary, out-of-range mean word length). The rollup an operator
+    reads before deciding drop thresholds for a 100 TB crawl. Same
+    two-stage map-side-combining agg shape as q_ttr_repetition; the
+    final (lang, source) rollup is tiny."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", "lang", "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    c = w.groupBy("doc_id", "lang", "source", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = c.groupBy("doc_id", "lang", "source").agg(
+        F.sum("c").alias("n_words"),
+        (F.count(F.lit(1)) / F.sum("c")).alias("ttr"),
+        (F.sum(F.length("word") * F.col("c")) / F.sum("c")).alias("mean_word_len"),
+    )
+    return m.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_words") < 50, 1).otherwise(0)).alias("flag_short"),
+        F.sum(F.when(F.col("ttr") < 0.25, 1).otherwise(0)).alias("flag_repetitive"),
+        F.sum(
+            F.when(
+                (F.col("mean_word_len") < 3) | (F.col("mean_word_len") > 10), 1
+            ).otherwise(0)
+        ).alias("flag_word_len"),
+    )
+
+
 @register("q_simhash_near_dup")
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")

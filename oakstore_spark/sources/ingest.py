@@ -51,6 +51,23 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """ORC scan — same predicate-pushdown/column-pruning story as
+    parquet (ORC carries stripe-level min/max + bloom indexes that
+    Spark's OrcScan uses for filter skipping)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
 def write_table(
     df: DataFrame,
     path: str,
@@ -59,7 +76,7 @@ def write_table(
     mode: str = "errorifexists",
     **options: str,
 ) -> None:
-    """Uniform sink: parquet (default) / csv / json, optionally
+    """Uniform sink: parquet (default) / orc / csv / json, optionally
     hive-partitioned. Partition columns should be low-cardinality
     (a high-cardinality partitionBy creates a small-file explosion)."""
     writer = df.write.format(fmt).mode(mode)

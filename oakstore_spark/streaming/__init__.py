@@ -7,6 +7,7 @@ from oakstore_spark.streaming.ingest import (
 )
 from oakstore_spark.streaming.joins import (
     click_purchase_attribution_stream,
+    enrich_stream_static,
 )
 from oakstore_spark.streaming.stateful import (
     running_user_totals,
@@ -21,5 +22,6 @@ __all__ = [
     "session_window_stats",
     "running_user_totals",
     "click_purchase_attribution_stream",
+    "enrich_stream_static",
     "stream_append_to_store",
 ]

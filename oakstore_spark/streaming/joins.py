@@ -66,3 +66,25 @@ def click_purchase_attribution_stream(
         "value",
         (gap / F.lit(1_000_000.0)).alias("gap_seconds"),
     )
+
+
+def enrich_stream_static(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream
+    joins against a STATIC dimension (no watermark, no join state — the
+    dimension is re-resolved per micro-batch, so an updated dim table is
+    picked up on the next trigger).
+
+    ``broadcast=True`` hints the dim side so every micro-batch is a
+    map-side hash join: the streaming side never shuffles, which is the
+    only sane plan when the stream is the 100 TB/day firehose and the
+    dimension is user/product metadata. Set False only for a dimension
+    too large to broadcast (then pre-bucket both sides on the key).
+    Left join keeps events with no dimension row (cold-start users).
+    """
+    d = F.broadcast(dim) if broadcast else dim
+    return events.join(d, on=key, how="left")

@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from oakstore_spark.operators.joins import salted_join
 from oakstore_spark.sources import table
-from oakstore_spark.sources.ingest import read_csv, read_json, write_table
+from oakstore_spark.sources.ingest import read_csv, read_json, read_orc, write_table
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -42,9 +42,12 @@ def test_orc_roundtrip(spark, tmp_path):
     src = table(spark, SF_DIR, "supplier")
     p = str(tmp_path / "supplier_orc")
     write_table(src, p, fmt="orc")
-    back = spark.read.orc(p)
+    back = read_orc(spark, p)
     assert back.count() == src.count()
     assert back.subtract(src).count() == 0 and src.subtract(back).count() == 0
+    # pushdown reaches the ORC scan like parquet
+    plan = back.filter(F.col("s_suppkey") == 3)._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "s_suppkey" in plan
 
 
 def test_salted_join_same_result(spark):

@@ -222,6 +222,39 @@ def test_streaming_stream_stream_join_matches_batch(spark, tmp_path, events_src)
     assert batch.exceptAll(got).count() == 0
 
 
+def test_stream_static_enrichment_matches_batch(spark, tmp_path, events_src):
+    """Stream-static left join against a per-user dimension: every
+    emitted row must match the batch join; no watermark needed (the
+    static side carries no state)."""
+    from oakstore_spark.streaming import enrich_stream_static
+
+    batch = table(spark, SF_DIR, "events")
+    dim = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events"),
+        F.sum("value").alias("user_value"),
+    )
+    stream = read_events_stream(spark, events_src)
+    enriched = enrich_stream_static(stream, dim).select(
+        "event_id", "user_id", "user_events", "user_value"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("ss_static_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sst"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from ss_static_test")
+    want = batch.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", "user_events", "user_value"
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_streaming_late_data_dropped(spark, tmp_path):
     """An event older than the watermark arriving in a later micro-batch
     must NOT be counted: its window is already closed. This is the
