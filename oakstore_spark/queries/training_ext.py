@@ -452,3 +452,163 @@ def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("unit").cast("bigint").alias("err_units"),
     )
+
+
+# --- benchmark decontamination (n-gram overlap vs eval set) ---------------
+
+@register(
+    "q_decontaminate",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ), grams AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(ws) - 1),
+                                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        FROM words WHERE len(ws) >= 3
+    ), eval_grams AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id < 20
+    ), hits AS (
+        SELECT DISTINCT grams.doc_id, grams.source
+        FROM grams JOIN eval_grams USING (g)
+        WHERE grams.doc_id >= 20
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(count(h.doc_id) AS BIGINT) AS n_contaminated
+    FROM (SELECT doc_id, source FROM documents WHERE doc_id >= 20) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    GROUP BY d.source
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    3-gram with a (small) eval set — the pre-training hygiene step that
+    keeps test benchmarks out of the corpus. The eval side's distinct
+    grams are inherently small (benchmarks are KBs, corpora are TBs),
+    so the overlap check is a BROADCAST semi join against the exploded
+    corpus grams: the 100 TB side streams map-side, never shuffles on
+    the gram key, and dedups per doc before the per-source rollup."""
+    d = table(spark, sf_dir, "documents")
+
+    def grams_of(df):
+        # bind the split word array ONCE as a lambda variable (same trap
+        # as q_bigram_mass: referencing the split expression inside the
+        # inner transform would re-split the text per gram position)
+        def _grams(ws):
+            return F.when(
+                F.size(ws) >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ws) - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(ws, i + 1),
+                        F.element_at(ws, i + 2),
+                        F.element_at(ws, i + 3),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        g = F.element_at(F.transform(F.array(F.split("text", " ")), _grams), 1)
+        return df.select("doc_id", "source", F.explode(g).alias("g"))
+
+    eval_grams = (
+        grams_of(d.filter(F.col("doc_id") < 20)).select("g").distinct()
+    )
+    corpus = d.filter(F.col("doc_id") >= 20)
+    hits = (
+        grams_of(corpus)
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        corpus.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+    )
+
+
+# --- sequence packing (token-budget bucketing) ----------------------------
+
+@register(
+    "q_pack_sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT)
+                   AS pack_id
+        FROM toks
+    )
+    SELECT source, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY source, pack_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: stream documents (per source, in doc_id order)
+    into ~2048-token training sequences — pack id = floor(preceding
+    cumulative tokens / budget), the standard streaming concat-and-cut
+    packing. One window sort per source partition (sources are parallel;
+    at 100 TB you pack per shuffle-partition instead of per logical
+    source, same expression); the rollup is map-side-combining."""
+    from oakstore_spark.functions.text import token_count
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", token_count("text").alias("n_tokens"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0).cast(
+            "bigint"
+        ),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
+# --- embedding mean-pooling per label -------------------------------------
+
+@register(
+    "q_embed_mean_pool",
+    oracle="""
+    WITH flat AS (
+        SELECT label,
+               unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS dim_idx
+        FROM embeddings
+    )
+    SELECT label, CAST(dim_idx - 1 AS INT) AS dim_idx,
+           round(avg(v), 6) AS mean_v
+    FROM flat GROUP BY label, dim_idx
+    """,
+)
+def q_embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid (mean-pooled embedding), emitted long-form as
+    (label, dim, mean): posexplode -> two-level hash agg. The explode
+    multiplies rows by dim (64) but partial aggregation collapses each
+    (label, dim) map-side before the shuffle, so shuffle volume is
+    n_labels x dim regardless of corpus size. (The wide-form
+    alternative — elementwise array aggregate — needs a custom UDAF;
+    long-form keeps it whole-stage-codegen JVM arithmetic.)"""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select("label", F.posexplode("embedding").alias("dim_idx", "v"))
+    return flat.groupBy("label", "dim_idx").agg(
+        F.round(F.avg("v"), 6).alias("mean_v")
+    )
