@@ -34,8 +34,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    # warm-up: JVM + parquet footer caches
+    # warm-up: JVM + parquet footer caches, AND the Python worker pool —
+    # daemon/worker spin-up otherwise bills ~3-5 s to whichever
+    # Pandas-UDF query happens to run first
     run_query(qs["q01_pricing_summary"](spark, sf_dir))
+
+    def _noop_batches(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, 3200, 1, 32).toDF("id").mapInPandas(
+        _noop_batches, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(qs):

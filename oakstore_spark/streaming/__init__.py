@@ -11,6 +11,7 @@ from oakstore_spark.streaming.joins import (
 )
 from oakstore_spark.streaming.stateful import (
     running_user_totals,
+    running_user_totals_tws,
     session_window_stats,
 )
 
@@ -21,6 +22,7 @@ __all__ = [
     "sliding_counts_stream",
     "session_window_stats",
     "running_user_totals",
+    "running_user_totals_tws",
     "click_purchase_attribution_stream",
     "enrich_stream_static",
     "stream_append_to_store",

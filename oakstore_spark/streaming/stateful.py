@@ -93,3 +93,41 @@ def running_user_totals(events: DataFrame, key_col: str = "user_id") -> DataFram
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_totals_tws(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """The same per-user accumulator on ``transformWithStateInPandas`` —
+    Spark 4's successor stateful API (typed ValueState handles, explicit
+    init/close lifecycle, optional timers/TTL). Kept semantically
+    identical to ``running_user_totals`` so the differential test can
+    pin old-API/new-API/batch agreement three ways.
+
+    Scale note: state is one (count, sum) ValueState row per user in the
+    RocksDB-backed store, updated per micro-batch — identical bounded
+    footprint to the legacy path, but the handle API lets a 100 TB/day
+    pipeline add TTL eviction for dormant keys without restructuring."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _TOTALS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType=_TOTALS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
