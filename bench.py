@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+short JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"sf": ..., "n_queries": N, ...}.  Per-query timings are written to
+BENCH_DETAIL.json (the driver keeps only a ~2000-byte stdout tail, so
+the stdout line must stay small).
 
 Each query is forced end-to-end with the noop sink (full execution, no
 driver-side collect skew). One warm-up run of the flagship query first so
@@ -64,29 +66,38 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
     store = bench_store(spark, sf)
-    result = {
+    # Full record (all per-query timings + store-throughput section) goes
+    # to BENCH_DETAIL.json.  The stdout contract is ONE SHORT JSON line:
+    # the driver captures only a bounded stdout *tail* (~2000 bytes,
+    # measured via len(BENCH_r02.json["tail"])), and the full per-query
+    # dict overflowed it two rounds running (parsed=null).  Aggregate-only
+    # keeps the line < 300 bytes with room to spare.
+    detail = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "store": store,
     }
-    # Full record (incl. store-throughput section) to a file; the stdout
-    # contract is ONE short JSON line the driver can parse from a bounded
-    # stdout tail (~3 KB) — r1's line with embedded store dict overflowed
-    # it and the driver recorded parsed=null.
-    detail = dict(result, store=store)
     Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
         json.dumps(detail, indent=1) + "\n"
     )
+    n_err = sum(1 for t in timings.values() if t < 0)
+    result = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": detail["sf"],
+        "n_queries": len(timings),
+        "n_errors": n_err,
+        "store_write_sec": store.get("write_sec"),
+        "store_append_sec": store.get("append_sec"),
+        "store_slice_sec": store.get("slice_sec"),
+        "detail": "BENCH_DETAIL.json",
+    }
     line = json.dumps(result, separators=(",", ":"))
-    if len(line) > 2600:  # keep only the slowest queries if ever too long
-        worst = dict(
-            sorted(timings.items(), key=lambda kv: -abs(kv[1]))[:40]
-        )
-        result["queries"] = worst
-        result["queries_truncated_see"] = "BENCH_DETAIL.json"
-        line = json.dumps(result, separators=(",", ":"))
+    assert len(line) < 1000, f"stdout line too long ({len(line)} bytes)"
     sys.stdout.flush()
     print(line)
 

@@ -16,3 +16,9 @@ class SchemaError(OakStoreError):
 
 class ItemKeyError(OakStoreError):
     """Item key fails the key-charset rule."""
+
+
+class ConcurrentCommitError(OakStoreError):
+    """EXT (manifest protocol): another writer published the manifest
+    version this writer was about to publish. The caller should re-read
+    the latest manifest and retry its commit on top of it."""

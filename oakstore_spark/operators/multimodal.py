@@ -75,65 +75,74 @@ def decode_png(data: bytes):
 
     if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    pos, w, h, idat = 8, None, None, b""
-    bitd = ct = interlace = None
-    while pos + 8 <= len(data):
-        ln, typ = struct.unpack(">I4s", data[pos : pos + 8])
-        pos += 8
-        chunk = data[pos : pos + ln]
-        pos += ln + 4  # skip CRC
-        if typ == b"IHDR":
-            w, h, bitd, ct, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", chunk
-            )
-        elif typ == b"IDAT":
-            idat += chunk
-        elif typ == b"IEND":
-            break
-    if w is None or bitd != 8 or interlace != 0 or ct not in (0, 2, 6):
-        return None
-    nch = {0: 1, 2: 3, 6: 4}[ct]
-    stride = w * nch
-    raw = zlib.decompress(idat)
-    if len(raw) < h * (stride + 1):
-        return None
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    rpos = 0
-    for y in range(h):
-        f = raw[rpos]
-        rpos += 1
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=rpos)
-        rpos += stride
-        if f == 0:  # None
-            cur = line.copy()
-        elif f == 2:  # Up (uint8 add wraps mod 256, per spec)
-            cur = line + prev
-        elif f in (1, 3, 4):  # Sub / Average / Paeth
-            cur = np.zeros(stride, dtype=np.uint8)
-            for i in range(stride):
-                a = int(cur[i - nch]) if i >= nch else 0
-                b = int(prev[i])
-                c = int(prev[i - nch]) if i >= nch else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + b) // 2
-                else:
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                cur[i] = (int(line[i]) + pred) & 0xFF
-        else:
+    # Corrupt payloads that still carry the 8-byte magic (truncated
+    # IHDR -> struct.error, torn IDAT -> zlib.error, short scanline
+    # buffer -> ValueError/IndexError) must return None, not raise:
+    # the extract_image_features decode ladder and the documented
+    # contract both depend on graceful degradation, and an exception
+    # escaping a mapInPandas closure fails the whole Spark task.
+    try:
+        pos, w, h, idat = 8, None, None, b""
+        bitd = ct = interlace = None
+        while pos + 8 <= len(data):
+            ln, typ = struct.unpack(">I4s", data[pos : pos + 8])
+            pos += 8
+            chunk = data[pos : pos + ln]
+            pos += ln + 4  # skip CRC
+            if typ == b"IHDR":
+                w, h, bitd, ct, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", chunk
+                )
+            elif typ == b"IDAT":
+                idat += chunk
+            elif typ == b"IEND":
+                break
+        if w is None or bitd != 8 or interlace != 0 or ct not in (0, 2, 6):
             return None
-        out[y] = cur
-        prev = cur
-    px = out.reshape(h, w, nch).astype(np.float64)
-    if nch == 1:
-        gray = px[:, :, 0]
-    else:  # ITU-R 601 luma; alpha (ct 6) ignored
-        gray = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
-    return int(w), int(h), gray
+        nch = {0: 1, 2: 3, 6: 4}[ct]
+        stride = w * nch
+        raw = zlib.decompress(idat)
+        if len(raw) < h * (stride + 1):
+            return None
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        rpos = 0
+        for y in range(h):
+            f = raw[rpos]
+            rpos += 1
+            line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=rpos)
+            rpos += stride
+            if f == 0:  # None
+                cur = line.copy()
+            elif f == 2:  # Up (uint8 add wraps mod 256, per spec)
+                cur = line + prev
+            elif f in (1, 3, 4):  # Sub / Average / Paeth
+                cur = np.zeros(stride, dtype=np.uint8)
+                for i in range(stride):
+                    a = int(cur[i - nch]) if i >= nch else 0
+                    b = int(prev[i])
+                    c = int(prev[i - nch]) if i >= nch else 0
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + b) // 2
+                    else:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[i] = (int(line[i]) + pred) & 0xFF
+            else:
+                return None
+            out[y] = cur
+            prev = cur
+        px = out.reshape(h, w, nch).astype(np.float64)
+        if nch == 1:
+            gray = px[:, :, 0]
+        else:  # ITU-R 601 luma; alpha (ct 6) ignored
+            gray = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+        return int(w), int(h), gray
+    except (struct.error, zlib.error, ValueError, IndexError):
+        return None
 
 
 def encode_gray_png(pixels) -> bytes:

@@ -1,0 +1,81 @@
+"""Driver-visible streaming proof: run the Structured Streaming ingest
+path end-to-end (availableNow trigger) inside a registry query, then
+aggregate the sink output as a batch DataFrame that a DuckDB oracle can
+check against the raw events table.
+
+Streaming was pytest-only through round 2 (CORRECTNESS has no streaming
+row by nature — the driver collects batch DataFrames).  This entry puts
+ONE oracle-checked row for the streaming path into CORRECTNESS: if the
+watermarked-dedup ingest (`streaming/ingest.py`) drops, duplicates, or
+mangles a single row, the per-type counts/sums diverge from the oracle.
+
+Scale note: the ingest itself is the production shape (file stream ->
+watermark -> dropDuplicatesWithinWatermark -> partitioned parquet sink,
+`trigger(availableNow=True)` for batch-incremental runs).  The generous
+watermark here ("3650 days") exists only to make the fixture-scale run
+deterministic regardless of micro-batch file order; a real deployment
+uses a tight watermark sized to actual lateness so dedup state stays
+bounded.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oakstore_spark.queries import register
+from oakstore_spark.streaming import ingest_events_stream, read_events_stream
+
+
+@register(
+    "q_stream_ingest_counts",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow streaming ingest of events -> parquet sink -> batch
+    aggregate over the sink.  Exact match vs the oracle on raw events
+    proves the streaming path is lossless and exactly-once at this SF
+    (event_ids are unique in the synthetic data, so the watermarked
+    dedup must be an identity map)."""
+    base = (
+        Path(tempfile.gettempdir())
+        / f"oakspark_stream_{Path(sf_dir.rstrip('/')).name}"
+    )
+    # fixed per-SF scratch dir, cleared each call: streaming parquet
+    # sinks are append-only with checkpoint state, so a stale sink from
+    # a previous run would double-count
+    shutil.rmtree(base, ignore_errors=True)
+    src = base / "src"
+    src.mkdir(parents=True)
+    # file stream sources list a directory
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+
+    stream = read_events_stream(spark, str(src))
+    q = ingest_events_stream(
+        stream,
+        str(base / "sink"),
+        str(base / "ckpt"),
+        watermark="3650 days",
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(str(base / "sink"))
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )

@@ -16,6 +16,29 @@ from oakstore_spark.sources import table
 
 
 @register(
+    "q_zscore_events",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER w)
+                 / nullif(stddev_samp(value) OVER w, 0.0), 4) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def q_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score through the grouped-map pandas UDF surface
+    (applyInPandas); the oracle is the pure-SQL window form — both must
+    agree exactly.  Registered first in this module so it lands inside
+    the driver's bounded correctness window this round (it was the one
+    timeseries entry without a driver row after rounds 1-2)."""
+    from oakstore_spark.operators.timeseries import groupwise_zscore
+
+    e = table(spark, sf_dir, "events")
+    out = groupwise_zscore(e, ["user_id"], "value", ["event_id"])
+    return out.select("event_id", "user_id", F.round("z", 4).alias("z"))
+
+
+@register(
     "q_resample_hourly",
     oracle="""
     SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
@@ -273,22 +296,3 @@ def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_zscore_events",
-    oracle="""
-    SELECT event_id, user_id,
-           round((value - avg(value) OVER w)
-                 / nullif(stddev_samp(value) OVER w, 0.0), 4) AS z
-    FROM events
-    WINDOW w AS (PARTITION BY user_id)
-    """,
-)
-def q_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user z-score through the grouped-map pandas UDF surface
-    (applyInPandas); the oracle is the pure-SQL window form — both must
-    agree exactly."""
-    from oakstore_spark.operators.timeseries import groupwise_zscore
-
-    e = table(spark, sf_dir, "events")
-    out = groupwise_zscore(e, ["user_id"], "value", ["event_id"])
-    return out.select("event_id", "user_id", F.round("z", 4).alias("z"))

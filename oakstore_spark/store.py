@@ -48,6 +48,7 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 from datetime import datetime
 from pathlib import Path
@@ -57,7 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from oakstore_spark.errors import ItemKeyError, SchemaError
+from oakstore_spark.errors import ConcurrentCommitError, ItemKeyError, SchemaError
 from oakstore_spark.schema import DEFAULT_COLUMN_SCHEMA, DEFAULT_INDEX_NAME, Metadata
 from oakstore_spark.session import get_spark
 
@@ -287,14 +288,28 @@ class Store:
         return v, doc["years"]
 
     def _commit_manifest(self, path: Path, version: int, years: dict[str, str]) -> None:
-        """Publish one manifest object — THE commit point. Local FS gets
-        write-temp-then-rename; on object storage this maps to a single
-        atomic PUT of the versioned manifest key."""
+        """Publish one manifest object — THE commit point. The publish is
+        put-if-absent: ``os.link`` from a fully-written temp file to the
+        versioned target is atomic AND fails with EEXIST if another
+        writer already published this version, in which case the loser
+        gets ConcurrentCommitError and must retry from the new latest
+        version (Delta's protocol; a plain rename would silently replace
+        the winner's commit and lose its data generation). On object
+        storage this maps to a conditional PUT (If-None-Match: *) of the
+        versioned manifest key."""
         doc = {"protocol": "manifest-v1", "version": version, "years": years}
         target = path / _MANIFESTS_DIR / f"v{version:08d}.json"
-        tmp = target.with_name(f".{target.name}.tmp")
+        tmp = target.with_name(f".{target.name}.{uuid.uuid4().hex}.tmp")
         tmp.write_text(json.dumps(doc, sort_keys=True))
-        os.rename(tmp, target)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"manifest v{version} already committed by another writer "
+                f"under {path}; re-read latest and retry"
+            ) from None
+        finally:
+            tmp.unlink(missing_ok=True)
 
     def _write_generation(self, path: Path, sdf: DataFrame) -> dict[str, str]:
         """Write one immutable data generation; returns its year map."""
@@ -528,13 +543,30 @@ class Store:
         shutil.rmtree(trash)
         return len(fragmented)
 
-    def vacuum(self, key: str) -> int:
+    @staticmethod
+    def _is_marker(p: Path) -> bool:
+        """Job-marker / crash debris that never carries data: Spark's
+        _SUCCESS + .crc sidecars, and our own .tmp commit staging."""
+        return (
+            p.name == "_SUCCESS"
+            or p.name.endswith(".crc")
+            or (p.name.startswith(".") and p.name.endswith(".tmp"))
+        )
+
+    def vacuum(self, key: str, retention_sec: float = 3600.0) -> int:
         """Manifest protocol only: delete year directories no manifest
         version newer than the latest references, plus superseded
-        manifest files. Returns the number of year dirs removed. Safe to
-        run concurrently with readers of the LATEST version (their files
-        are never touched); readers pinned to older versions must finish
-        first — same contract as Delta's VACUUM retention."""
+        manifest files and stale commit debris. Returns the number of
+        year dirs removed.
+
+        Writer safety: an in-flight append/compact writes its data
+        generation FIRST and commits the manifest after, so a non-live
+        year dir younger than ``retention_sec`` may belong to a commit
+        that hasn't published yet — it is kept (Delta's retention check;
+        pass ``retention_sec=0`` only when no writer can be in flight).
+        Safe concurrently with readers of the LATEST version (their
+        files are never touched); readers pinned to older versions must
+        finish within the retention horizon."""
         path = self._item_path(key)
         if not path.exists():
             raise ValueError(f"key={key.upper()} does not exist")
@@ -542,18 +574,27 @@ class Store:
             return 0
         version, mapping = self._latest_manifest(path)
         live = {str(path / rel) for rel in mapping.values()}
+        cutoff = time.time() - retention_sec
         removed = 0
         data_root = path / _DATA_DIR
         for gen_dir in sorted(data_root.iterdir()):
+            if not gen_dir.is_dir():
+                continue
             for ydir in sorted(gen_dir.glob(f"{_PARTITION_COL}=*")):
-                if str(ydir) not in live:
+                if str(ydir) not in live and ydir.stat().st_mtime <= cutoff:
                     shutil.rmtree(ydir)
                     removed += 1
-            if not any(gen_dir.iterdir()):
+            rest = list(gen_dir.iterdir())
+            if all(self._is_marker(p) for p in rest):
+                for p in rest:
+                    p.unlink()
                 gen_dir.rmdir()
         for m in (path / _MANIFESTS_DIR).glob("v*.json"):
             if int(m.stem[1:]) < version:
                 m.unlink()
+        for tmp in (path / _MANIFESTS_DIR).glob(".*.tmp"):
+            if tmp.stat().st_mtime <= cutoff:
+                tmp.unlink()
         return removed
 
     def stats(self, key: str) -> dict:

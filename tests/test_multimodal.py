@@ -181,3 +181,23 @@ def test_video_frames_multibyte_bytes_not_chars(spark):
     for r in out.itertuples():
         expect = hashlib.md5(raw[r.frame_idx * 4096 : (r.frame_idx + 1) * 4096]).hexdigest()
         assert r.frame_md5 == expect
+
+
+def test_decode_png_corrupt_bytes_return_none_not_raise():
+    """Contract (ADVICE r2): any payload with the PNG magic but corrupt
+    innards (truncated IHDR, torn IDAT, short scanlines) must return
+    None so the extract_image_features decode ladder can degrade — an
+    exception here would fail the whole Spark task."""
+    import numpy as np
+
+    from oakstore_spark.operators.multimodal import decode_png, encode_gray_png
+
+    good = encode_gray_png(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    for cut in (9, 12, 20, 33, len(good) - 5):
+        out = decode_png(good[:cut])
+        assert out is None or len(out) == 3
+    torn = bytearray(good)
+    torn[35] ^= 0xFF  # flip a byte inside the IDAT deflate stream
+    out = decode_png(bytes(torn))
+    assert out is None or len(out) == 3
+    assert decode_png(b"\x89PNG\r\n\x1a\n") is None  # magic only

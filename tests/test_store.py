@@ -3,6 +3,8 @@ plus the pinned intended semantics for dedup / casts (SURVEY.md §4)."""
 
 from __future__ import annotations
 
+import os
+import time
 from datetime import datetime
 
 import numpy as np
@@ -372,11 +374,11 @@ def test_manifest_vacuum_removes_superseded(mstore, ohlcv_data):
     mstore["V"] += ohlcv_data.head(80)  # supersedes the touched years
     item = mstore._item_path("V")
     pre = mstore["V"][:]
-    removed = mstore.vacuum("V")
+    removed = mstore.vacuum("V", retention_sec=0)
     assert removed >= 1  # old year dirs gone
     assert len(sorted((item / "_manifests").glob("v*.json"))) == 1  # latest only
     pd.testing.assert_frame_equal(mstore["V"][:], pre)  # data unchanged
-    assert mstore.vacuum("V") == 0  # idempotent
+    assert mstore.vacuum("V", retention_sec=0) == 0  # idempotent
 
 
 def test_manifest_compact_and_stats(mstore, monkeypatch):
@@ -403,7 +405,7 @@ def test_manifest_compact_and_stats(mstore, monkeypatch):
     pd.testing.assert_frame_equal(mstore["CMP"][:], pre)
     st2 = mstore.stats("CMP")
     assert st2["files"] < st["files"]
-    mstore.vacuum("CMP")
+    mstore.vacuum("CMP", retention_sec=0)
     pd.testing.assert_frame_equal(mstore["CMP"][:], pre)
 
 
@@ -419,3 +421,59 @@ def test_manifest_autodetect_cross_instance(mstore, tmp_path, spark, ohlcv_data)
     assert len(plain["X"][:]) == 30
     item = mstore._item_path("X")
     assert len(sorted((item / "_manifests").glob("v*.json"))) == 2
+
+
+def test_manifest_commit_put_if_absent(mstore, ohlcv_data):
+    """Two writers racing to publish the same manifest version: the
+    second publish must fail loudly (ConcurrentCommitError), never
+    silently replace the winner's commit (Delta put-if-absent rule)."""
+    from oakstore_spark.errors import ConcurrentCommitError
+
+    mstore["RACE"] = ohlcv_data.head(20)
+    item = mstore._item_path("RACE")
+    v, years = mstore._latest_manifest(item)
+    # writer A wins version v+1
+    mstore._commit_manifest(item, v + 1, years)
+    # writer B read version v too and tries to publish the same v+1
+    with pytest.raises(ConcurrentCommitError):
+        mstore._commit_manifest(item, v + 1, years)
+    # loser's temp staging must not linger
+    assert not list((item / "_manifests").glob(".*.tmp"))
+
+
+def test_vacuum_retention_protects_inflight_writer(mstore, ohlcv_data):
+    """An uncommitted generation (writer mid-commit, or crashed moments
+    ago) is younger than the retention horizon -> vacuum must keep it;
+    retention_sec=0 (offline maintenance) removes it."""
+    mstore["INF"] = ohlcv_data.head(20)
+    item = mstore._item_path("INF")
+    stray = ohlcv_data.head(10).copy()
+    mstore._write_generation(item, mstore._normalize(stray))
+    n_gens = len(list((item / "_data").iterdir()))
+    assert mstore.vacuum("INF") == 0  # default retention: kept
+    assert len(list((item / "_data").iterdir())) == n_gens
+    assert mstore.vacuum("INF", retention_sec=0) >= 1  # offline: removed
+    out = mstore["INF"][:]
+    assert len(out) == 20  # committed data intact
+
+
+def test_vacuum_cleans_marker_debris(mstore, ohlcv_data):
+    """Superseded generation dirs hold only _SUCCESS/.crc markers after
+    their year dirs are removed — vacuum must delete the markers and the
+    empty generation dir (r2 left them forever), plus stale manifest
+    .tmp files."""
+    mstore["DEB"] = ohlcv_data.head(50)
+    mstore["DEB"] += ohlcv_data.head(80)
+    item = mstore._item_path("DEB")
+    # a crashed commit's staging file, old enough to be past retention
+    stale = item / "_manifests" / ".v99999999.json.deadbeef.tmp"
+    stale.write_text("{}")
+    os.utime(stale, (time.time() - 7200, time.time() - 7200))
+    assert mstore.vacuum("DEB", retention_sec=0) >= 1
+    live_gens = {
+        p.split("/", 2)[1]
+        for p in mstore._latest_manifest(item)[1].values()
+    }
+    on_disk = {d.name for d in (item / "_data").iterdir()}
+    assert on_disk == live_gens  # no empty superseded gen dirs remain
+    assert not list((item / "_manifests").glob(".*.tmp"))
