@@ -7,8 +7,11 @@ runs first, so PNG payloads get true width/height/features with no
 media libraries installed. Non-PNG formats try PIL if present;
 otherwise they fall back to a DETERMINISTIC FAKE derived from the
 content digest (clearly marked below) so the pipeline stays runnable on
-arbitrary bytes. Audio/video decode remains stubbed (no soundfile/
-ffmpeg in this container). Everything Spark-side is real and tested:
+arbitrary bytes. Audio decode is likewise REAL for RIFF/WAV (pure
+struct chunk walk: fmt -> channels/rate/bits, data -> frame count and
+duration), with the assumed-PCM16 fake only as the non-RIFF fallback.
+Video decode remains stubbed (no ffmpeg in this container).
+Everything Spark-side is real and tested:
 schemas, the mapInPandas batch contract (iterator of pandas DataFrames
 in/out), and partition behavior.
 
@@ -55,8 +58,80 @@ AUDIO_META_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType()),
         T.StructField("duration_sec", T.DoubleType()),
         T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
     ]
 )
+
+
+def decode_wav(data: bytes):
+    """REAL pure-stdlib RIFF/WAV header decode: returns
+    ``(n_channels, sample_rate, bits, n_frames, duration_sec)`` for a
+    PCM WAVE payload, or ``None`` for anything else (non-RIFF bytes,
+    non-PCM codecs, corrupt/truncated chunks — same graceful-degrade
+    contract as decode_png). Chunk walk per the RIFF spec: 'fmt ' gives
+    channels/rate/bits/block-align, 'data' gives the payload length;
+    duration = frames / rate with frames = data_len // block_align."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    try:
+        pos, fmt, data_len = 12, None, None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            pos += 8
+            chunk = data[pos : pos + ln]
+            pos += ln + (ln & 1)  # RIFF chunks are word-aligned
+            if cid == b"fmt " and len(chunk) >= 16:
+                fmt = struct.unpack("<HHIIHH", chunk[:16])
+            elif cid == b"data":
+                data_len = ln
+        if fmt is None or data_len is None:
+            return None
+        audio_fmt, nch, rate, _byte_rate, block_align, bits = fmt
+        if audio_fmt != 1 or block_align == 0 or rate == 0:
+            return None  # PCM only
+        n_frames = data_len // block_align
+        return int(nch), int(rate), int(bits), int(n_frames), n_frames / rate
+    except (struct.error, ValueError):
+        return None
+
+
+def encode_wav_pcm16(samples, sample_rate: int, n_channels: int = 1) -> bytes:
+    """Minimal stdlib RIFF/WAVE writer (PCM 16-bit little-endian): the
+    synthetic-payload generator for exercising the REAL ``decode_wav``
+    path where no true audio bytes exist (tests, q_wav_decode_meta).
+    ``samples`` is a 1-D int16 array of interleaved frames."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype="<i2")
+    data = x.tobytes()
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        n_channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        16,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
 
 
 def decode_png(data: bytes):
@@ -283,22 +358,48 @@ def audio_metadata(
     content_col: str = "content",
     assumed_rate: int = 16000,
 ) -> DataFrame:
-    """Duration/sample-rate metadata. FAKE: assumes 16-bit mono PCM at
-    ``assumed_rate`` — duration = n_bytes / (2 * rate). Real path:
-    soundfile/librosa behind the same schema."""
+    """Duration/sample-rate metadata via a decode ladder: REAL RIFF/WAV
+    header parse first (``decode_wav`` — true channels/rate/bits/frames,
+    codec='pcm_wav'); non-RIFF payloads fall back to the documented
+    deterministic assumption of 16-bit mono PCM at ``assumed_rate``
+    (codec='assumed_pcm16', duration = n_bytes / (2 * rate))."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
         for pdf in it:
-            n = pdf[content_col].map(lambda b: len(bytes(b)))
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                content = bytes(content)
+                dec = decode_wav(content)
+                if dec is not None:
+                    nch, rate, bits, _n_frames, dur = dec
+                    rows.append(
+                        (int(mid), len(content), dur, rate, nch, bits, "pcm_wav")
+                    )
+                else:
+                    rows.append(
+                        (
+                            int(mid),
+                            len(content),
+                            len(content) / (2.0 * assumed_rate),
+                            assumed_rate,
+                            1,
+                            16,
+                            "assumed_pcm16",
+                        )
+                    )
             yield _pd.DataFrame(
-                {
-                    "media_id": pdf[id_col].astype("int64"),
-                    "n_bytes": n.astype("int64"),
-                    "duration_sec": n / (2.0 * assumed_rate),
-                    "sample_rate": assumed_rate,
-                }
+                rows,
+                columns=[
+                    "media_id",
+                    "n_bytes",
+                    "duration_sec",
+                    "sample_rate",
+                    "n_channels",
+                    "bits",
+                    "codec",
+                ],
             )
 
     return df.select(id_col, content_col).mapInPandas(batches, AUDIO_META_SCHEMA)

@@ -154,3 +154,80 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
     )
     return sample_video_frames(media, every_n=10)
+
+
+@register(
+    "q_wav_decode_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 2 AS INT) AS n_channels,
+           CAST(list_extract([8000, 16000, 22050, 44100],
+                             CAST(doc_id % 4 AS INT) + 1) AS INT)
+             AS sample_rate,
+           CAST(16 AS INT) AS bits,
+           CAST(octet_length(CAST(text AS BLOB)) % 997 + 100 AS BIGINT)
+             AS n_frames,
+           (octet_length(CAST(text AS BLOB)) % 997 + 100)
+             / CAST(list_extract([8000, 16000, 22050, 44100],
+                                 CAST(doc_id % 4 AS INT) + 1) AS DOUBLE)
+             AS duration_sec
+    FROM documents
+    """,
+)
+def q_wav_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: each document becomes a synthetic
+    PCM16 WAV (stdlib RIFF writer, worker-side, deterministic — rate
+    and channel count derived from doc_id, frame count from the text
+    byte length), which ``decode_wav`` then parses back. The oracle
+    recomputes every field from the same arithmetic, so a single wrong
+    byte in either the encoder or the chunk-walk decoder is a hash
+    mismatch — the audio analogue of the PNG roundtrip. Decode runs
+    map-side; binaries never shuffle."""
+    from oakstore_spark.operators.multimodal import decode_wav, encode_wav_pcm16
+
+    RATES = (8000, 16000, 22050, 44100)
+
+    def make_and_decode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                rate = RATES[doc_id % 4]
+                nch = 1 + doc_id % 2
+                n_frames = len(text.encode("utf-8")) % 997 + 100
+                samples = _np.zeros(n_frames * nch, dtype=_np.int16)
+                wav = encode_wav_pcm16(samples, rate, nch)
+                dec = decode_wav(wav)
+                assert dec is not None, f"roundtrip failed for doc {doc_id}"
+                d_nch, d_rate, d_bits, d_frames, d_dur = dec
+                # raw IEEE division: bigint/int inputs give the identical
+                # double in DuckDB, so no rounding (round() half-even vs
+                # half-away diverges at the last kept digit)
+                rows.append((doc_id, d_nch, d_rate, d_bits, d_frames, d_dur))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_channels",
+                    "sample_rate",
+                    "bits",
+                    "n_frames",
+                    "duration_sec",
+                ],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("bits", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("duration_sec", T.DoubleType()),
+        ]
+    )
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", "text").mapInPandas(make_and_decode, schema)

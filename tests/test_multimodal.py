@@ -201,3 +201,60 @@ def test_decode_png_corrupt_bytes_return_none_not_raise():
     out = decode_png(bytes(torn))
     assert out is None or len(out) == 3
     assert decode_png(b"\x89PNG\r\n\x1a\n") is None  # magic only
+
+
+def test_wav_roundtrip_exact():
+    """encode_wav_pcm16 -> decode_wav must recover every header field
+    exactly (channels, rate, bits, frame count, duration)."""
+    import numpy as np
+
+    from oakstore_spark.operators.multimodal import decode_wav, encode_wav_pcm16
+
+    for rate, nch, frames in [(8000, 1, 100), (44100, 2, 4410), (22050, 1, 1)]:
+        samples = np.arange(frames * nch, dtype=np.int16)
+        wav = encode_wav_pcm16(samples, rate, nch)
+        dec = decode_wav(wav)
+        assert dec == (nch, rate, 16, frames, frames / rate)
+
+
+def test_wav_corrupt_bytes_return_none_not_raise():
+    """Same graceful-degrade contract as decode_png: RIFF magic with
+    corrupt innards returns None (never raises into the Spark task)."""
+    import numpy as np
+
+    from oakstore_spark.operators.multimodal import decode_wav, encode_wav_pcm16
+
+    good = encode_wav_pcm16(np.zeros(64, dtype=np.int16), 16000)
+    assert decode_wav(b"not riff at all") is None
+    assert decode_wav(b"RIFF\x00\x00\x00\x00WAVE") is None  # no chunks
+    for cut in (13, 20, 30, 43):
+        out = decode_wav(good[:cut])
+        assert out is None or len(out) == 5
+    # non-PCM codec id must be rejected, not misparsed
+    import struct
+
+    mutant = bytearray(good)
+    mutant[20:22] = struct.pack("<H", 3)  # IEEE float codec
+    assert decode_wav(bytes(mutant)) is None
+
+
+def test_audio_metadata_real_wav_ladder(spark):
+    """audio_metadata must take the REAL decode rung for RIFF payloads
+    (true rate/channels, codec='pcm_wav') and the documented assumed
+    fallback for everything else."""
+    import numpy as np
+
+    from oakstore_spark.operators.multimodal import audio_metadata, encode_wav_pcm16
+
+    wav = encode_wav_pcm16(np.zeros(32000, dtype=np.int16), 32000)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"x" * 32000))],
+        "media_id long, content binary",
+    )
+    out = audio_metadata(df).toPandas().set_index("media_id")
+    assert out.loc[1, "codec"] == "pcm_wav"
+    assert out.loc[1, "sample_rate"] == 32000
+    assert out.loc[1, "duration_sec"] == 1.0
+    assert out.loc[2, "codec"] == "assumed_pcm16"
+    assert out.loc[2, "sample_rate"] == 16000
+    assert out.loc[2, "duration_sec"] == 1.0
