@@ -173,10 +173,9 @@ def signed_buckets(
     return df.mapInPandas(sign, out_schema)
 
 
-def ann_cosine_topk(
+def ann_candidates(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -185,12 +184,10 @@ def ann_cosine_topk(
     bits_per_table: int = 6,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates share an LSH bucket with the query
-    in >= 1 of ``n_tables`` tables; exact cosine re-ranks candidates.
-
-    Recall at cos~0.9 with 12x6 defaults is >0.99; tune
-    (n_tables, bits_per_table) for the corpus density.
-    """
+    """Candidate (corpus, query) pairs sharing an LSH bucket in >= 1 of
+    ``n_tables`` tables — the pruning stage of :func:`ann_cosine_topk`,
+    exposed so tests can pin the candidate count sub-quadratic (the
+    property that makes ANN cheaper than brute force at scale)."""
     c_signed = signed_buckets(corpus, vec_col, dim, n_tables, bits_per_table, seed)
     q_signed = signed_buckets(
         queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")),
@@ -218,11 +215,42 @@ def ann_cosine_topk(
     c_long = melt(c_signed, [id_col, vec_col])
     q_long = melt(q_signed, ["_qid", "_qvec"])
 
-    cand = (
+    return (
         c_long.join(F.broadcast(q_long), ["tbl", "bkt"])
         .filter(F.col(id_col) != F.col("_qid"))
         .select(id_col, vec_col, "_qid", "_qvec")
         .distinct()
+    )
+
+
+def ann_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_tables: int = 12,
+    bits_per_table: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket with the query
+    in >= 1 of ``n_tables`` tables; exact cosine re-ranks candidates.
+
+    Recall at cos~0.9 with 12x6 defaults is >0.99; tune
+    (n_tables, bits_per_table) for the corpus density.
+    """
+    cand = ann_candidates(
+        corpus,
+        queries,
+        dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        n_tables=n_tables,
+        bits_per_table=bits_per_table,
+        seed=seed,
     )
     scored = cand.withColumn("sim", cosine_similarity(F.col(vec_col), F.col("_qvec")))
     w = W.partitionBy("_qid").orderBy(F.col("sim").desc(), F.col(id_col))

@@ -145,14 +145,21 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    # Broadcast-reduce BOTH shuffle inputs before the big l<->o join:
+    # lineitem shrinks by the PROMO part filter (map-side, no shuffle),
+    # customers shrink to the ASIA region before joining orders. The
+    # orderkey shuffle then moves only rows that can still qualify —
+    # the plan shape that survives a 100x scale-up.
+    lf = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    cf = c.join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key")).join(
+        F.broadcast(r), F.col("n1_region") == F.col("r_regionkey")
+    )
+    joined = lf.join(o, lf.l_orderkey == o.o_orderkey).join(
+        cf, F.col("o_custkey") == cf.c_custkey
     )
     return (
         joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
@@ -457,12 +464,6 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, so the only shuffled input is the aggregated supply)."""
     from pyspark.sql.window import Window
 
-    l = table(spark, sf_dir, "lineitem")
-    supply = l.groupBy(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).agg(F.min("l_extendedprice").alias("ps_cost"))
-
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -470,6 +471,27 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
     )
     p = table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+
+    # Semi-filter lineitem by BOTH broadcast dimension key sets BEFORE
+    # the (partkey, suppkey) aggregation: only rows of surviving pairs
+    # reach the shuffle, and min() over a pair's rows is unchanged by
+    # dropping other pairs entirely. At 100 TB this is the difference
+    # between shuffling every lineitem group and shuffling ~(selectivity
+    # of small parts x EUROPE suppliers) of them.
+    l = table(spark, sf_dir, "lineitem")
+    lf = l.join(
+        F.broadcast(p.select("p_partkey")),
+        l.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(eur.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    supply = lf.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("l_extendedprice").alias("ps_cost"))
 
     joined = supply.join(
         F.broadcast(eur), F.col("ps_suppkey") == F.col("s_suppkey")

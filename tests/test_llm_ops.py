@@ -257,3 +257,135 @@ def test_dedup_clusters_components(spark):
     assert {got[1], got[2], got[3], got[4]} == {1}
     assert {got[10], got[11]} == {10}
     assert {got[20], got[21], got[22]} == {20}
+
+
+def test_ngram_join_fallback_matches_broadcast(spark, docs):
+    """broadcast_verify_max_docs=0 disables BOTH the gemm path and the
+    broadcast verify, forcing the join-based large-corpus fallback — the
+    path that actually runs at 100 TB. It must emit exactly the gated
+    path's pairs and jaccards (only execution strategy differs)."""
+    gated = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).toPandas()
+    dist = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8, broadcast_verify_max_docs=0
+    ).toPandas()
+    got_g = {(r.id_a, r.id_b): r.jaccard for r in gated.itertuples()}
+    got_d = {(r.id_a, r.id_b): r.jaccard for r in dist.itertuples()}
+    assert got_g.keys() == got_d.keys() and len(got_g) > 0
+    for k in got_g:
+        assert got_g[k] == pytest.approx(got_d[k])
+
+
+def test_dedup_clusters_distributed_fallback_matches_driver(spark):
+    """driver_cc_max_edges=0 forces the distributed min-label-propagation
+    loop; it must produce the identical component assignment as the
+    driver union-find on the same graph (chains + triangle + isolate
+    pair, plus a 2-hop star that needs >1 propagation round)."""
+    from oakstore_spark.operators.dedup import dedup_clusters
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22),
+             (30, 31), (31, 32), (32, 33), (33, 34), (34, 35)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    drv = dedup_clusters(pairs).toPandas()
+    dist = dedup_clusters(pairs, driver_cc_max_edges=0).toPandas()
+    got_drv = dict(zip(drv.id, drv.cluster_id))
+    got_dist = dict(zip(dist.id, dist.cluster_id))
+    assert got_drv == got_dist
+    assert {got_dist[30], got_dist[35]} == {30}  # long chain converged
+
+
+def test_embed_near_dup_join_fallback_matches_broadcast(spark, clustered):
+    """broadcast_verify_max_vecs=0 forces the join-based verify (no
+    normalized-matrix broadcast); pairs and sims must match the gated
+    path exactly."""
+    gated = embedding_near_dup_pairs(clustered, threshold=0.98, dim=32).toPandas()
+    dist = embedding_near_dup_pairs(
+        clustered, threshold=0.98, dim=32, broadcast_verify_max_vecs=0
+    ).toPandas()
+    got_g = {(r.id_a, r.id_b): r.sim for r in gated.itertuples()}
+    got_d = {(r.id_a, r.id_b): r.sim for r in dist.itertuples()}
+    assert got_g.keys() == got_d.keys() and len(got_g) >= 50
+    for k in got_g:
+        assert got_g[k] == pytest.approx(got_d[k], abs=1e-9)
+
+
+# Stated ANN quality bounds (the contract the defaults must keep):
+# mean recall@10 vs exact brute force, on the dense-clusters fixture
+# (each query has >= 10 genuinely-near neighbors; the twins fixture has
+# only 1, which makes recall@10 measure noise retrieval instead).
+ANN_RECALL_AT_10_MIN = 0.9
+IVF_RECALL_AT_10_MIN = 0.9
+
+
+@pytest.fixture(scope="module")
+def dense_clusters(spark):
+    """8 clusters x 15 unit vectors: within-cluster cosine ~0.995+,
+    cross-cluster ~0 — every vector's true top-10 is same-cluster."""
+    import math
+    import random as _random
+
+    rng = _random.Random(123)
+    rows = []
+    vid = 0
+    for _c in range(8):
+        center = [rng.gauss(0, 1) for _ in range(32)]
+        nrm = math.sqrt(sum(x * x for x in center))
+        center = [x / nrm for x in center]
+        for _m in range(15):
+            v = [x + rng.gauss(0, 0.05) for x in center]
+            rows.append((vid, v))
+            vid += 1
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).cache()
+
+
+def _recall_at_10(brute_pdf, approx_pdf) -> float:
+    truth = brute_pdf.groupby("query_id")["vec_id"].apply(set)
+    got = approx_pdf.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth.index
+    ]
+    return sum(recalls) / len(recalls)
+
+
+def test_ann_recall_at_10_bound(spark, dense_clusters):
+    queries = dense_clusters.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = cosine_topk(dense_clusters, queries, k=10).toPandas()
+    ann = ann_cosine_topk(dense_clusters, queries, k=10, dim=32).toPandas()
+    assert _recall_at_10(brute, ann) >= ANN_RECALL_AT_10_MIN
+
+
+def test_ivf_recall_at_10_bound(spark, dense_clusters):
+    from oakstore_spark.operators.similarity import ivf_cosine_topk
+
+    queries = dense_clusters.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = cosine_topk(dense_clusters, queries, k=10).toPandas()
+    ivf = ivf_cosine_topk(
+        dense_clusters, queries, k=10, dim=32, n_centroids=16, n_probe=4
+    ).toPandas()
+    assert _recall_at_10(brute, ivf) >= IVF_RECALL_AT_10_MIN
+
+
+def test_ann_candidates_subquadratic(spark, clustered):
+    """The LSH bucketing must PRUNE: candidate pairs well under the
+    n_corpus * n_queries cross product (here every query is in the
+    corpus, so brute force would score 120*60 = 7200 pairs). If this
+    ratio creeps toward 1.0 the ANN path has degenerated into brute
+    force with extra shuffles."""
+    from oakstore_spark.operators.similarity import ann_candidates
+
+    queries = clustered.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n_corpus = clustered.count()
+    n_queries = queries.count()
+    n_cand = ann_candidates(clustered, queries, dim=32).count()
+    assert n_cand < 0.5 * n_corpus * n_queries
