@@ -135,27 +135,35 @@ def bench_store(spark, sf: str) -> dict[str, float]:
         index=idx,
     )
     out: dict[str, float] = {"rows": float(rows)}
-    d = tempfile.mkdtemp(prefix="oakspark_bench_")
-    try:
-        t0 = time.time()
-        store = Store(d)
-        store["BENCH"] = df
-        out["write_sec"] = round(time.time() - t0, 3)
+    # append = 10% fresh tail + 10% overlap the dedup must drop
+    tail = df.iloc[-rows // 10 :]
+    fresh = tail.copy()
+    fresh.index = fresh.index + pd.Timedelta(minutes=rows // 10)
+    appendix = pd.concat([tail, fresh])
 
-        # append = 10% fresh tail + 10% overlap the dedup must drop
-        tail = df.iloc[-rows // 10 :]
-        fresh = tail.copy()
-        fresh.index = fresh.index + pd.Timedelta(minutes=rows // 10)
-        t0 = time.time()
-        store["BENCH"] += pd.concat([tail, fresh])
-        out["append_sec"] = round(time.time() - t0, 3)
+    for proto, prefix in (("rename", ""), ("manifest", "manifest_")):
+        d = tempfile.mkdtemp(prefix=f"oakspark_bench_{proto}_")
+        try:
+            t0 = time.time()
+            store = Store(d, commit_protocol=proto)
+            store["BENCH"] = df
+            out[f"{prefix}write_sec"] = round(time.time() - t0, 3)
 
-        t0 = time.time()
-        sliced = store["BENCH"][idx[rows // 3] : idx[2 * rows // 3]]
-        out["slice_sec"] = round(time.time() - t0, 3)
-        out["slice_rows"] = float(len(sliced))
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+            t0 = time.time()
+            store["BENCH"] += appendix
+            out[f"{prefix}append_sec"] = round(time.time() - t0, 3)
+
+            t0 = time.time()
+            sliced = store["BENCH"][idx[rows // 3] : idx[2 * rows // 3]]
+            out[f"{prefix}slice_sec"] = round(time.time() - t0, 3)
+            out[f"{prefix}slice_rows"] = float(len(sliced))
+
+            if proto == "manifest":
+                t0 = time.time()
+                store.vacuum("BENCH", retention_sec=0)
+                out["manifest_vacuum_sec"] = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
     return out
 
 
