@@ -1,0 +1,102 @@
+"""Corpus-curation operators for training-data pipelines: unigram
+language-model scoring, PII redaction, and deterministic balanced
+domain mixing.
+
+All three are JVM-side (built-in functions only — no Python UDFs in any
+hot path) and shuffle nothing bigger than a vocabulary or a per-group
+count table:
+
+- ``unigram_logprob``: the classic two-pass corpus LM score (pass 1
+  aggregates term frequencies — vocabulary-sized, pass 2 scores docs
+  against the BROADCAST vocabulary). The cheap perplexity proxy used to
+  rank web documents before the expensive model-based filters run.
+- ``redact_pii``: map-side regex scrubbing (emails/phones -> typed
+  placeholder tokens), the compliance step before text ships to
+  training. Pure ``regexp_replace`` — no shuffle at all.
+- ``balanced_mix_sample``: downsample every domain to (approximately)
+  the size of the smallest via a DETERMINISTIC content-hash threshold —
+  membership is a pure function of the row key, reproducible across
+  engines/runs/partitionings, and the filter is map-side (the only
+  shuffles are two vocabulary-sized count aggregations). This is the
+  scale-correct shape: an exact per-group row_number rank would shuffle
+  the full corpus into per-domain windows; the hash threshold trades
+  +-binomial noise in the kept count for zero corpus shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM: ``avg over tokens of ln(count(term) / total_tokens)``.
+    Low scores = rare-token-heavy documents (gibberish, boilerplate
+    explosions); the standard cheap quality signal.
+
+    Two passes over the tokenized corpus: a term-frequency aggregation
+    (output is vocabulary-sized), then a broadcast join of the log-prob
+    table back onto the token stream and a per-doc aggregation. No
+    corpus-sized shuffle: tokens join the vocab map-side.
+    """
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = tf.agg(F.sum("n").alias("t"))
+    probs = tf.crossJoin(F.broadcast(tot)).select(
+        "term", F.log(F.col("n") / F.col("t")).alias("logp")
+    )
+    return toks.join(F.broadcast(probs), "term").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("logp").alias("avg_logprob"),
+    )
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub emails then phone numbers into typed placeholders. Both
+    patterns are RE2-compatible (no backrefs/lookaround) so the exact
+    same regexes run on any engine for verification."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+def balanced_mix_sample(
+    df: DataFrame, group_col: str, id_col: str
+) -> DataFrame:
+    """Deterministically downsample every group to ~the smallest group's
+    size: keep a row iff the first 8 hex chars of ``md5(id)`` fall below
+    the group's keep-fraction threshold. The threshold string is the
+    8-hex-digit form of ``floor(min_count/group_count * 16^8)``, so the
+    comparison is a plain string compare on uniformly-distributed hex —
+    identical in any engine with md5.
+
+    Kept counts are binomial around the target (not exact) — the price
+    of a map-side filter instead of a full per-group rank shuffle."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("c"))
+    m = counts.agg(F.min("c").alias("m"))
+    frac = counts.crossJoin(F.broadcast(m)).select(
+        group_col,
+        (F.col("m") / F.col("c")).alias("f"),
+        F.lpad(
+            F.lower(F.hex(F.floor(F.col("m") / F.col("c") * F.lit(4294967296)))),
+            8,
+            "0",
+        ).alias("thr"),
+    )
+    keyhex = F.substring(
+        F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 8
+    )
+    return (
+        df.join(F.broadcast(frac), group_col)
+        .filter((F.col("f") >= 1.0) | (keyhex < F.col("thr")))
+        .drop("f", "thr")
+    )

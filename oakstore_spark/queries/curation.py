@@ -1,0 +1,165 @@
+"""Corpus-curation queries (operators/curation.py) plus the grouped-agg
+pandas UDAF surface, each with a DuckDB oracle."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oakstore_spark.operators.curation import (
+    EMAIL_RE,
+    PHONE_RE,
+    balanced_mix_sample,
+    redact_pii,
+    unigram_logprob,
+)
+from oakstore_spark.queries import register
+from oakstore_spark.sources import table
+
+
+@register(
+    "q_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t AS term
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      WHERE t <> ''
+    ), tf AS (
+      SELECT term, count(*) AS n FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT sum(n) AS t FROM tf
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(n / t)), 4) AS avg_logprob
+    FROM tok JOIN tf USING (term), tot
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap perplexity proxy: mean unigram log-prob per document under
+    the corpus's own term distribution (two-pass, broadcast vocab)."""
+    d = table(spark, sf_dir, "documents")
+    out = unigram_logprob(d)
+    return out.select(
+        "doc_id", "n_tokens", F.round("avg_logprob", 4).alias("avg_logprob")
+    )
+
+
+@register(
+    "q_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(
+                 regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g'))
+             AS redacted_md5,
+           CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS INT) AS n_phones
+    FROM aug
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing end-to-end: deterministic synthetic emails/phones
+    are appended to each doc (the corpus has none), redacted map-side,
+    and the md5 of the redacted text is compared across engines — one
+    divergent character in either regex engine's output is a mismatch.
+    Patterns are RE2-safe so Java regex and RE2 agree."""
+    d = table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        F.md5(F.encode(redact_pii("t"), "UTF-8")).alias("redacted_md5"),
+        F.regexp_count("t", F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("t", F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+    )
+
+
+@register(
+    "q_domain_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS c FROM documents GROUP BY 1
+    ), m AS (
+      SELECT min(c) AS m FROM counts
+    ), thr AS (
+      SELECT lang, m / c AS f,
+             lpad(lower(to_hex(CAST(floor(m / c * 4294967296) AS BIGINT))),
+                  8, '0') AS t8
+      FROM counts, m
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM documents JOIN thr USING (lang)
+    WHERE f >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < t8
+    GROUP BY lang
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced domain mixing: every lang downsampled to ~the smallest
+    lang's size via the deterministic md5-threshold filter (map-side; no
+    corpus shuffle). The oracle re-derives the exact same kept set, so
+    n_kept AND the id checksum must match row-for-row."""
+    d = table(spark, sf_dir, "documents")
+    kept = balanced_mix_sample(d, "lang", "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+@register(
+    "q_weighted_avg_udaf",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT) * (user_id % 10 + 1))
+             / CAST(sum(user_id % 10 + 1) AS DOUBLE) AS w_avg_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_weighted_avg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED_AGG pandas UDF surface (the one UDF shape the suite
+    did not yet exercise): a weighted mean implemented as a vectorized
+    Arrow aggregation. Weights and values are integral (cents,
+    user_id%10+1) so both engines' sums are exact and the final division
+    is the identical IEEE op — no rounding tolerance needed."""
+
+    @F.pandas_udf("double")
+    def wavg(cents: pd.Series, w: pd.Series) -> float:
+        return float((cents * w).sum() / w.sum())
+
+    # Spark disallows mixing group-agg pandas UDFs with built-in
+    # aggregates in one agg(), so the row count is a pandas UDF too
+    @F.pandas_udf("long")
+    def pcount(cents: pd.Series) -> int:
+        return int(len(cents))
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.col("user_id") % 10 + 1).alias("w"),
+    )
+    return e.groupBy("event_type").agg(
+        pcount("cents").alias("n_events"),
+        wavg("cents", "w").alias("w_avg_cents"),
+    )

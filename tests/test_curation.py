@@ -1,0 +1,66 @@
+"""Unit tests for corpus-curation operators (operators/curation.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from oakstore_spark.operators.curation import (
+    balanced_mix_sample,
+    redact_pii,
+    unigram_logprob,
+)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: 6 tokens total; 'a' x3, 'b' x2, 'c' x1
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    out = unigram_logprob(df).toPandas().set_index("doc_id")
+    p = {"a": 3 / 6, "b": 2 / 6, "c": 1 / 6}
+    exp1 = (2 * math.log(p["a"]) + math.log(p["b"])) / 3
+    exp2 = (math.log(p["a"]) + math.log(p["b"]) + math.log(p["c"])) / 3
+    assert out.loc[1, "n_tokens"] == 3
+    assert out.loc[1, "avg_logprob"] == pytest.approx(exp1)
+    assert out.loc[2, "avg_logprob"] == pytest.approx(exp2)
+
+
+def test_unigram_logprob_skips_empty_tokens(spark):
+    df = spark.createDataFrame([(1, "x  x")], ["doc_id", "text"])
+    out = unigram_logprob(df).toPandas()
+    assert out.iloc[0]["n_tokens"] == 2  # double space -> no empty term
+    assert out.iloc[0]["avg_logprob"] == pytest.approx(0.0)  # p(x)=1
+
+
+def test_redact_pii(spark):
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org now"),
+        (2, "call 555-0199 or 555-12345"),  # second is 5 digits: no \b match
+        (3, "clean text"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = df.select("id", redact_pii("t").alias("r")).toPandas().set_index("id")
+    assert out.loc[1, "r"] == "mail <EMAIL> now"
+    assert out.loc[2, "r"] == "call <PHONE> or 555-12345"
+    assert out.loc[3, "r"] == "clean text"
+
+
+def test_balanced_mix_sample_deterministic_and_balanced(spark):
+    # 3 groups with skewed sizes 400/200/50 -> all downsample toward 50
+    rows = [(i, "g%d" % (0 if i < 400 else (1 if i < 600 else 2))) for i in range(650)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept1 = balanced_mix_sample(df, "lang", "doc_id").toPandas()
+    kept2 = balanced_mix_sample(df, "lang", "doc_id").toPandas()
+    # deterministic: identical kept set across runs
+    assert sorted(kept1.doc_id) == sorted(kept2.doc_id)
+    sizes = kept1.groupby("lang").size()
+    assert sizes["g2"] == 50  # smallest group: kept whole (f >= 1)
+    # binomial tolerance: target 50, n=400/200 draws -> ~50 +- 3.5 sigma
+    for g in ("g0", "g1"):
+        assert 25 <= sizes[g] <= 80, (g, sizes[g])
+    # membership is a pure function of the id: repartitioning can't change it
+    kept3 = balanced_mix_sample(df.repartition(7), "lang", "doc_id").toPandas()
+    assert sorted(kept3.doc_id) == sorted(kept1.doc_id)
