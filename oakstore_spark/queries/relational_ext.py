@@ -525,3 +525,28 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
     )
+
+
+# --- LATERAL correlated subquery (same text runs on both engines) --------
+
+_LATERAL_SQL = """
+    SELECT n_name, c_name, round(c_acctbal, 2) AS acctbal
+    FROM nation, LATERAL (
+      SELECT c_name, c_acctbal
+      FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_name
+      LIMIT 2
+    )
+"""
+
+
+@register("q_lateral_top2_customers", oracle=_LATERAL_SQL)
+def q_lateral_top2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 customers per nation by
+    balance, ties broken by name). Spark decorrelates this into a
+    ranked-window plan under the hood — the SQL-surface feature matters
+    for porting existing analytics, and the one SQL text runs verbatim
+    on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

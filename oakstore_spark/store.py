@@ -287,6 +287,51 @@ class Store:
         doc = json.loads((path / _MANIFESTS_DIR / f"v{v:08d}.json").read_text())
         return v, doc["years"]
 
+    def versions(self, key: str) -> list[int]:
+        """EXT (manifest protocol): committed manifest versions still
+        present on disk — the time-travel index. Superseded versions
+        disappear once :meth:`vacuum` runs (same lifecycle as Delta's
+        log retention). Rename-protocol items have no version history
+        (every append rewrites in place) -> empty list."""
+        path = self._item_path(key)
+        if not path.exists():
+            raise ValueError(f"key={key.upper()} does not exist")
+        if not self._is_manifest_item(path):
+            return []
+        return sorted(
+            int(p.stem[1:]) for p in (path / _MANIFESTS_DIR).glob("v*.json")
+        )
+
+    def snapshot(self, key: str, version: int) -> DataFrame:
+        """EXT: time travel — lazy DataFrame of the item AS OF a
+        committed manifest ``version``. Reads exactly the generation
+        files that manifest references; immutable generations make old
+        snapshots exact, not approximations. Raises ValueError if the
+        version was never committed or has been vacuumed away."""
+        path = self._item_path(key)
+        if not path.exists():
+            raise ValueError(f"key={key.upper()} does not exist")
+        if not self._is_manifest_item(path):
+            raise ValueError(
+                f"key={key.upper()} uses the rename protocol (no history)"
+            )
+        mpath = path / _MANIFESTS_DIR / f"v{version:08d}.json"
+        if not mpath.exists():
+            raise ValueError(
+                f"key={key.upper()} has no version {version} "
+                f"(committed: {self.versions(key)})"
+            )
+        mapping = json.loads(mpath.read_text())["years"]
+        idx = self._metadata.index_name
+        cols = [idx, *self._metadata.column_schema]
+        if not mapping:
+            return self._empty_item_df().orderBy(idx)
+        return (
+            self._spark.read.parquet(*self._manifest_paths(path, mapping))
+            .select(*cols)
+            .orderBy(idx)
+        )
+
     def _commit_manifest(self, path: Path, version: int, years: dict[str, str]) -> None:
         """Publish one manifest object — THE commit point. The publish is
         put-if-absent: ``os.link`` from a fully-written temp file to the

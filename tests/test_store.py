@@ -477,3 +477,24 @@ def test_vacuum_cleans_marker_debris(mstore, ohlcv_data):
     on_disk = {d.name for d in (item / "_data").iterdir()}
     assert on_disk == live_gens  # no empty superseded gen dirs remain
     assert not list((item / "_manifests").glob(".*.tmp"))
+
+
+def test_manifest_time_travel(mstore, ohlcv_data):
+    """snapshot(key, v) must reproduce the item exactly as of manifest
+    version v; vacuum retires old versions from the history."""
+    mstore["TT"] = ohlcv_data.head(50)
+    v1 = mstore["TT"][:]
+    mstore["TT"] += ohlcv_data.head(80)
+    assert mstore.versions("TT") == [1, 2]
+    snap1 = mstore.snapshot("TT", 1).toPandas()
+    assert len(snap1) == 50
+    pd.testing.assert_frame_equal(
+        snap1.set_index("DATE"), v1, check_freq=False, check_names=False
+    )
+    assert mstore.snapshot("TT", 2).count() == 80
+    with pytest.raises(ValueError, match="no version 9"):
+        mstore.snapshot("TT", 9)
+    mstore.vacuum("TT", retention_sec=0)
+    assert mstore.versions("TT") == [2]
+    with pytest.raises(ValueError, match="no version 1"):
+        mstore.snapshot("TT", 1)
