@@ -403,3 +403,136 @@ def audio_metadata(
             )
 
     return df.select(id_col, content_col).mapInPandas(batches, AUDIO_META_SCHEMA)
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+
+def decode_avi(data: bytes):
+    """REAL pure-stdlib AVI header decode: returns ``(width, height,
+    n_frames, usec_per_frame)`` from the 'avih' main header of a
+    RIFF/'AVI ' container, or ``None`` for non-AVI / corrupt payloads
+    (same graceful-degrade contract as decode_png / decode_wav). Walks
+    RIFF chunks; 'LIST'/'hdrl' is itself walked for the 'avih' chunk
+    (AVIMAINHEADER per the public AVI RIFF spec: dwMicroSecPerFrame,
+    ..., dwTotalFrames at offset 16, dwWidth/dwHeight at 32/36)."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+
+    def find_avih(buf: bytes) -> bytes | None:
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + ln]
+            if cid == b"avih":
+                return body
+            if cid == b"LIST" and body[:4] in (b"hdrl", b"strl"):
+                got = find_avih(body[4:])
+                if got is not None:
+                    return got
+            pos += 8 + ln + (ln & 1)
+        return None
+
+    try:
+        avih = find_avih(data[12:])
+        if avih is None or len(avih) < 40:
+            return None
+        usec_per_frame = struct.unpack("<I", avih[0:4])[0]
+        n_frames = struct.unpack("<I", avih[16:20])[0]
+        width = struct.unpack("<I", avih[32:36])[0]
+        height = struct.unpack("<I", avih[36:40])[0]
+        if usec_per_frame == 0:
+            return None
+        return int(width), int(height), int(n_frames), int(usec_per_frame)
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
+def encode_avi_header(
+    width: int, height: int, n_frames: int, fps: int
+) -> bytes:
+    """Minimal stdlib RIFF/'AVI ' writer: hdrl LIST holding one
+    AVIMAINHEADER ('avih') plus an empty 'movi' LIST — enough container
+    for :func:`decode_avi` to recover every header field. The synthetic-
+    payload generator for tests and q_avi_decode_meta (no ffmpeg in the
+    container; frame payloads are out of scope by design)."""
+    import struct
+
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec,  # dwMicroSecPerFrame
+        0,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0,  # dwFlags
+        n_frames,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        0,  # dwSuggestedBufferSize
+        width,  # dwWidth
+        height,  # dwHeight
+        0, 0, 0, 0,  # dwReserved
+    )
+    avih_chunk = b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"hdrl" + avih_chunk
+    hdrl_list = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    movi_list = b"LIST" + struct.pack("<I", 4) + b"movi"
+    body = b"AVI " + hdrl_list + movi_list
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def video_metadata(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    assumed_fps: float = 30.0,
+    assumed_frame_bytes: int = 4096,
+) -> DataFrame:
+    """Width/height/frames/fps metadata via the decode ladder: REAL AVI
+    header parse first (codec='avi'); non-RIFF payloads fall back to the
+    documented deterministic assumption (fixed-size chunks as frames at
+    ``assumed_fps``, codec='assumed_chunks' — the contract
+    sample_video_frames uses)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                content = bytes(content)
+                dec = decode_avi(content)
+                if dec is not None:
+                    w, h, nf, usec = dec
+                    fps = 1_000_000.0 / usec
+                    rows.append(
+                        (int(mid), len(content), w, h, nf,
+                         fps, nf * usec / 1_000_000.0, "avi")
+                    )
+                else:
+                    nf = max(len(content) // assumed_frame_bytes, 1)
+                    rows.append(
+                        (int(mid), len(content), 0, 0, nf,
+                         assumed_fps, nf / assumed_fps, "assumed_chunks")
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=["media_id", "n_bytes", "width", "height",
+                         "n_frames", "fps", "duration_sec", "codec"],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, VIDEO_META_SCHEMA)

@@ -231,3 +231,67 @@ def q_wav_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", "text").mapInPandas(make_and_decode, schema)
+
+
+@register(
+    "q_avi_decode_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(160 + (doc_id % 8) * 40 AS INT) AS width,
+           CAST(120 + (doc_id % 5) * 24 AS INT) AS height,
+           CAST(octet_length(CAST(text AS BLOB)) % 523 + 24 AS BIGINT)
+             AS n_frames,
+           (octet_length(CAST(text AS BLOB)) % 523 + 24)
+             * CAST(floor(1000000 / list_extract([12, 24, 25, 30],
+                                        CAST(doc_id % 4 AS INT) + 1)) AS BIGINT)
+             / 1000000.0 AS duration_sec
+    FROM documents
+    """,
+)
+def q_avi_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode end-to-end: a synthetic RIFF/AVI
+    header is built per document (width/height/fps derived from doc_id,
+    frame count from the text byte length), then ``decode_avi`` walks
+    the container back out. The oracle recomputes every field from the
+    same arithmetic — incl. duration through the integer
+    microseconds-per-frame the header actually stores (floor(1e6/fps)),
+    so a misparsed avih offset is a hash mismatch. Decode is map-side;
+    binaries never shuffle."""
+    from oakstore_spark.operators.multimodal import decode_avi, encode_avi_header
+
+    FPS = (12, 24, 25, 30)
+
+    def make_and_decode(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                w = 160 + (doc_id % 8) * 40
+                h = 120 + (doc_id % 5) * 24
+                nf = len(text.encode("utf-8")) % 523 + 24
+                avi = encode_avi_header(w, h, nf, FPS[doc_id % 4])
+                dec = decode_avi(avi)
+                assert dec is not None, f"roundtrip failed for doc {doc_id}"
+                d_w, d_h, d_nf, d_usec = dec
+                rows.append(
+                    (doc_id, d_w, d_h, d_nf, d_nf * d_usec / 1_000_000.0)
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_frames",
+                         "duration_sec"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("duration_sec", T.DoubleType()),
+        ]
+    )
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", "text").mapInPandas(make_and_decode, schema)

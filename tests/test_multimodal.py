@@ -258,3 +258,44 @@ def test_audio_metadata_real_wav_ladder(spark):
     assert out.loc[2, "codec"] == "assumed_pcm16"
     assert out.loc[2, "sample_rate"] == 16000
     assert out.loc[2, "duration_sec"] == 1.0
+
+
+def test_avi_roundtrip_exact():
+    """encode_avi_header -> decode_avi must recover width/height/frames
+    and the exact integer microseconds-per-frame the header stores."""
+    from oakstore_spark.operators.multimodal import decode_avi, encode_avi_header
+
+    for w, h, nf, fps in [(320, 240, 120, 24), (1920, 1080, 1, 30), (160, 120, 50000, 12)]:
+        assert decode_avi(encode_avi_header(w, h, nf, fps)) == (
+            w, h, nf, 1_000_000 // fps
+        )
+
+
+def test_avi_corrupt_bytes_return_none_not_raise():
+    from oakstore_spark.operators.multimodal import decode_avi, encode_avi_header
+
+    good = encode_avi_header(320, 240, 120, 24)
+    assert decode_avi(b"RIFF\x08\x00\x00\x00WAVEdata") is None  # wrong form
+    for cut in (11, 13, 20, 30, 50):
+        out = decode_avi(good[:cut])
+        assert out is None or len(out) == 4
+    torn = bytearray(good)
+    torn[16:20] = b"\xff\xff\xff\xff"  # absurd LIST size
+    assert decode_avi(bytes(torn)) is None or len(decode_avi(bytes(torn))) == 4
+
+
+def test_video_metadata_real_avi_ladder(spark):
+    from oakstore_spark.operators.multimodal import encode_avi_header, video_metadata
+
+    avi = encode_avi_header(640, 480, 240, 24)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"x" * 8192))],
+        "media_id long, content binary",
+    )
+    out = video_metadata(df).toPandas().set_index("media_id")
+    assert out.loc[1, "codec"] == "avi"
+    assert (out.loc[1, "width"], out.loc[1, "height"]) == (640, 480)
+    assert out.loc[1, "n_frames"] == 240
+    assert out.loc[1, "duration_sec"] == pytest.approx(240 * (1_000_000 // 24) / 1e6)
+    assert out.loc[2, "codec"] == "assumed_chunks"
+    assert out.loc[2, "n_frames"] == 2  # 8192 / 4096
