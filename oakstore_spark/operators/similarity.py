@@ -529,3 +529,73 @@ def embedding_near_dup_pairs(
             yield out
 
     return cand.mapInPandas(verify, out_schema)
+
+
+def pca_project(
+    corpus: DataFrame,
+    dim: int,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    whiten: bool = False,
+    sample_rows: int = 100_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Sample-trained PCA projection of an embedding column: the
+    standard compaction step before ANN indexing (smaller vectors =
+    smaller index + faster distance kernels) and, with ``whiten=True``,
+    the decorrelation step that makes per-dimension quantizers valid.
+
+    Same scale shape as the IVF coarse quantizer
+    (:func:`_spherical_kmeans`): the (mean, components) pair is trained
+    driver-side on a bounded reservoir sample — PCA of 100 TB does not
+    need 100 TB, a ~100k-row sample pins the principal subspace — and
+    then BROADCAST; the projection itself is one numpy matmul per Arrow
+    batch, map-side, no shuffle. Deterministic: seeded sample, SVD sign
+    fixed by forcing each component's largest-|coordinate| entry
+    positive.
+    """
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    sample = corpus.select(vec_col)
+    n = sample.count()
+    if n > sample_rows:
+        sample = sample.sample(fraction=min(1.0, sample_rows * 1.1 / n), seed=seed)
+    X = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in sample.collect()]
+    )
+    mean = X.mean(axis=0)
+    _u, s, vt = np.linalg.svd(X - mean, full_matrices=False)
+    comps = vt[:out_dim]  # out_dim x dim
+    # sign convention so retraining on a similar sample flips nothing
+    flip = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    if whiten:
+        # scale by 1/sigma of each retained component (sample stddev)
+        denom = s[:out_dim] / math.sqrt(max(len(X) - 1, 1))
+        comps = comps / np.maximum(denom, 1e-12)[:, None]
+    P = comps.T.copy()  # dim x out_dim
+
+    out_schema = T.StructType(
+        [
+            T.StructField("pid", corpus.schema[id_col].dataType),
+            T.StructField("projected", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Y = (B - mean) @ P
+            yield pd.DataFrame(
+                {"pid": pdf[id_col], "projected": list(Y.astype(np.float32))}
+            )
+
+    return (
+        widen_partitions(corpus.select(id_col, vec_col))
+        .mapInPandas(project, out_schema)
+        .withColumnRenamed("pid", id_col)
+    )

@@ -486,3 +486,24 @@ def q_split_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, t.sent_idx, t.sentence "
         "FROM documents, LATERAL split_sentences(text) t"
     )
+
+
+@register("q_pca_project")
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-trained PCA compaction of the embeddings table (64 -> 8
+    dims): train on a bounded sample driver-side, broadcast the
+    projection, apply as one matmul per Arrow batch — no corpus shuffle.
+    Rows-only driver check (SVD is not SQL-expressible); the planted-
+    subspace variance/whitening properties are pinned in
+    tests/test_llm_ops.py::test_pca_project_recovers_planted_subspace."""
+    from oakstore_spark.operators.similarity import pca_project
+
+    e = table(spark, sf_dir, "embeddings")
+    out = pca_project(e, dim=64, out_dim=8)
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("projected", i + 1), 4).alias(f"pc{i}")
+            for i in range(8)
+        ],
+    )

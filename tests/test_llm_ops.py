@@ -389,3 +389,36 @@ def test_ann_candidates_subquadratic(spark, clustered):
     n_queries = queries.count()
     n_cand = ann_candidates(clustered, queries, dim=32).count()
     assert n_cand < 0.5 * n_corpus * n_queries
+
+
+def test_pca_project_recovers_planted_subspace(spark):
+    """Vectors living in a planted 3-dim subspace of R^16 (+ tiny
+    noise): a 3-component PCA must capture ~all variance, and whitening
+    must make the projected covariance ~identity."""
+    import numpy as np
+
+    from oakstore_spark.operators.similarity import pca_project
+
+    rng = np.random.default_rng(7)
+    basis = np.linalg.qr(rng.normal(size=(16, 3)))[0]  # orthonormal 16x3
+    Z = rng.normal(size=(300, 3)) * np.array([5.0, 2.0, 1.0])
+    X = Z @ basis.T + rng.normal(scale=0.01, size=(300, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pca_project(df, dim=16, out_dim=3).toPandas()
+    Y = np.stack([np.asarray(v, dtype=np.float64) for v in out.projected])
+    # variance captured: projected variance ~ total variance
+    assert Y.var(axis=0).sum() == pytest.approx(X.var(axis=0).sum(), rel=0.01)
+    # determinism incl. sign convention
+    out2 = pca_project(df, dim=16, out_dim=3).toPandas()
+    Y2 = np.stack([np.asarray(v, dtype=np.float64) for v in out2.projected])
+    ids = out.vec_id.to_numpy().argsort()
+    ids2 = out2.vec_id.to_numpy().argsort()
+    assert np.allclose(Y[ids], Y2[ids2])
+
+    W_ = pca_project(df, dim=16, out_dim=3, whiten=True).toPandas()
+    Yw = np.stack([np.asarray(v, dtype=np.float64) for v in W_.projected])
+    cov = np.cov(Yw.T)
+    assert np.allclose(cov, np.eye(3), atol=0.05)
