@@ -320,3 +320,39 @@ def groupwise_zscore(
         return out
 
     return df.groupBy(*keys).applyInPandas(norm, out_schema)
+
+
+def refresh_continuous_aggregate(
+    rollup: DataFrame,
+    raw: DataFrame,
+    changes: DataFrame,
+    ts_col: str,
+    interval: str,
+    keys: list[str],
+    aggs: list[Column],
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Incremental refresh of a materialized rollup after late/new raw
+    rows arrive: recompute ONLY the buckets the change set touches.
+
+    ``dirty`` = distinct buckets of ``changes`` (tiny: late data lands
+    in a handful of recent buckets) — broadcast twice: an anti-join
+    drops the stale versions of those buckets from the rollup, and a
+    semi-join prunes the raw scan to just the dirty buckets before
+    re-aggregating them from scratch (aggregation from raw, not
+    delta-merging the old rollup row, so non-decomposable aggs like
+    count(distinct) stay exact). Everything else in the rollup is
+    untouched — at 100 TB the refresh cost is proportional to the
+    lateness window, not the table; with date-partitioned raw the
+    semi-join prunes at the partition level.
+    """
+    bucket = F.date_trunc(interval, F.col(ts_col))
+    dirty = changes.select(bucket.alias(bucket_col)).distinct()
+    fresh = (
+        raw.withColumn(bucket_col, bucket)
+        .join(F.broadcast(dirty), bucket_col, "left_semi")
+        .groupBy(bucket_col, *keys)
+        .agg(*aggs)
+    )
+    kept = rollup.join(F.broadcast(dirty), bucket_col, "left_anti")
+    return kept.unionByName(fresh)

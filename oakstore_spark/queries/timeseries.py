@@ -296,3 +296,48 @@ def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "q_incremental_refresh",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+             AS bucket_epoch,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate refresh end-to-end: materialize
+    a rollup from a stale snapshot (events minus a simulated late
+    batch), then refresh ONLY the late rows' buckets against the full
+    raw table. The refreshed rollup must be value-identical to a
+    from-scratch aggregation of all events (the oracle) — if the dirty-
+    bucket anti/semi-join logic drops, duplicates, or misses a bucket,
+    the hash diverges."""
+    from oakstore_spark.operators.timeseries import refresh_continuous_aggregate
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "cents_v", F.round(F.col("value") * 100).cast("bigint")
+    )
+    late = e.filter(F.col("event_id") % 7 == 0)  # the "late batch"
+    stale_raw = e.filter(F.col("event_id") % 7 != 0)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents_v").cast("bigint").alias("cents"),
+    ]
+    stale_rollup = stale_raw.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"), "event_type"
+    ).agg(*aggs)
+    refreshed = refresh_continuous_aggregate(
+        stale_rollup, e, late, "ts", "hour", ["event_type"], aggs
+    )
+    return refreshed.select(
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "event_type",
+        "n_events",
+        "cents",
+    )

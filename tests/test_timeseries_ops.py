@@ -171,3 +171,40 @@ def test_continuous_aggregate_materialized_path(spark, tmp_path):
     # before the cutoff bucket
     n_rollup = spark.read.parquet(rollup_path).count()
     assert n_rollup == served.filter(F.col("bucket_ts") < F.lit("2024-03-02 07:00:00")).count()
+
+
+def test_refresh_continuous_aggregate_equals_full_recompute(spark):
+    """Late rows touch 2 of 4 buckets: refresh must recompute exactly
+    those and leave the rest byte-identical to the stale rollup."""
+    from datetime import datetime
+
+    from oakstore_spark.operators.timeseries import refresh_continuous_aggregate
+
+    rows = []
+    for h in range(4):
+        for i in range(10):
+            rows.append((h * 100 + i, datetime(2024, 1, 1, h, i), "a", 1.0))
+    raw_initial = spark.createDataFrame(rows, "id long, ts timestamp, k string, v double")
+    late = spark.createDataFrame(
+        [(9001, datetime(2024, 1, 1, 1, 30), "a", 5.0),
+         (9002, datetime(2024, 1, 1, 3, 30), "b", 7.0)],
+        "id long, ts timestamp, k string, v double",
+    )
+    full = raw_initial.unionByName(late)
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")]
+
+    stale = raw_initial.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_ts"), "k"
+    ).agg(*aggs)
+    refreshed = refresh_continuous_aggregate(
+        stale, full, late, "ts", "hour", ["k"], aggs
+    ).toPandas().sort_values(["bucket_ts", "k"]).reset_index(drop=True)
+    scratch = full.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_ts"), "k"
+    ).agg(*aggs).toPandas().sort_values(["bucket_ts", "k"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(refreshed, scratch)
+    # buckets 1 and 3 recomputed (bucket 3 gains the new 'b' group),
+    # buckets 0 and 2 kept untouched: 4 'a' rows + 1 'b' row
+    assert len(refreshed) == 5
