@@ -332,6 +332,47 @@ class Store:
             .orderBy(idx)
         )
 
+    def diff(self, key: str, v_from: int, v_to: int) -> DataFrame:
+        """EXT: CDC between two committed manifest versions — the rows
+        inserted between ``v_from`` and ``v_to`` (appends are the only
+        mutation, and the index-keyed old-wins dedup means a row's first
+        version is authoritative, so the diff is pure inserts).
+
+        Manifest-driven file skipping: only year partitions whose
+        generation path CHANGED between the two manifests are read on
+        either side — untouched years never reach the scan, so the diff
+        cost tracks the write volume between the versions, not the table
+        size. The changed years' new generations are anti-joined on the
+        index against the same years as of ``v_from``."""
+        path = self._item_path(key)
+        for v in (v_from, v_to):
+            if not (path / _MANIFESTS_DIR / f"v{v:08d}.json").exists():
+                raise ValueError(
+                    f"key={key.upper()} has no version {v} "
+                    f"(committed: {self.versions(key)})"
+                )
+        m_from = json.loads(
+            (path / _MANIFESTS_DIR / f"v{v_from:08d}.json").read_text()
+        )["years"]
+        m_to = json.loads(
+            (path / _MANIFESTS_DIR / f"v{v_to:08d}.json").read_text()
+        )["years"]
+        changed = {y: rel for y, rel in m_to.items() if m_from.get(y) != rel}
+        idx = self._metadata.index_name
+        cols = [idx, *self._metadata.column_schema]
+        if not changed:
+            return self._empty_item_df()
+        new_side = self._spark.read.parquet(
+            *self._manifest_paths(path, changed)
+        ).select(*cols)
+        old_rels = {y: m_from[y] for y in changed if y in m_from}
+        if not old_rels:
+            return new_side.orderBy(idx)
+        old_side = self._spark.read.parquet(
+            *self._manifest_paths(path, old_rels)
+        ).select(idx)
+        return new_side.join(old_side, idx, "left_anti").orderBy(idx)
+
     def _commit_manifest(self, path: Path, version: int, years: dict[str, str]) -> None:
         """Publish one manifest object — THE commit point. The publish is
         put-if-absent: ``os.link`` from a fully-written temp file to the

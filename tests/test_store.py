@@ -498,3 +498,17 @@ def test_manifest_time_travel(mstore, ohlcv_data):
     assert mstore.versions("TT") == [2]
     with pytest.raises(ValueError, match="no version 1"):
         mstore.snapshot("TT", 1)
+
+
+def test_manifest_diff_cdc(mstore, ohlcv_data):
+    """diff(v1, v2) returns exactly the rows inserted between the two
+    versions (CDC over the manifest history)."""
+    mstore["CDC"] = ohlcv_data.head(50)
+    mstore["CDC"] += ohlcv_data.head(80)  # +30 new index keys
+    d = mstore.diff("CDC", 1, 2).toPandas()
+    assert len(d) == 30
+    expected = ohlcv_data.iloc[50:80]
+    assert set(d["DATE"]) == set(expected.index)
+    assert mstore.diff("CDC", 2, 2).count() == 0
+    with pytest.raises(ValueError, match="no version 7"):
+        mstore.diff("CDC", 1, 7)
