@@ -446,45 +446,66 @@ class Store:
         # metadata-scale action: the distinct years of the incoming batch
         years = [r[0] for r in new.select(F.year(F.col(idx))).distinct().collect()]
         manifest = self._is_manifest_item(path)
-        if manifest:
-            version, mapping = self._latest_manifest(path)
-            touched = {str(y): mapping[str(y)] for y in years if str(y) in mapping}
-            if touched:
-                old = (
-                    self._spark.read.parquet(*self._manifest_paths(path, touched))
-                    .select(idx, *self._metadata.column_schema)
-                    .withColumn("_oak_prio", F.lit(0))
-                )
-            else:
-                old = new.limit(0)
-        else:
-            old = (
-                self._spark.read.parquet(str(path))
-                .filter(F.col(_PARTITION_COL).isin(years))  # partition pruning
-                .select(idx, *self._metadata.column_schema)
-                .withColumn("_oak_prio", F.lit(0))
-            )
 
         # Dedup on the index key, old-wins — the *intended* semantics
         # (README.md:39-48; the reference's value-only drop_duplicates at
         # store.py:229-230 is a flagged bug). row_number is deterministic:
         # ties break by priority then full row value.
         value_cols = list(self._metadata.column_schema)
-        w = Window.partitionBy(idx).orderBy("_oak_prio", *value_cols)
-        combined = (
-            old.unionByName(new)
-            .withColumn("_oak_rn", F.row_number().over(w))
-            .filter(F.col("_oak_rn") == 1)
-            .drop("_oak_prio", "_oak_rn")
-        )
+
+        def dedup(old: DataFrame) -> DataFrame:
+            w = Window.partitionBy(idx).orderBy("_oak_prio", *value_cols)
+            return (
+                old.unionByName(new)
+                .withColumn("_oak_rn", F.row_number().over(w))
+                .filter(F.col("_oak_rn") == 1)
+                .drop("_oak_prio", "_oak_rn")
+            )
 
         if manifest:
-            # immutable generation + one-object manifest publish: the
-            # commit is a single atomic write even on object storage;
-            # superseded year dirs stay readable until vacuum()
-            new_years = self._write_generation(path, combined)
-            self._commit_manifest(path, version + 1, {**mapping, **new_years})
-            return
+            # Optimistic concurrency: recompute against the LATEST
+            # manifest each attempt — a racing writer that won the
+            # version we targeted may have changed the very years we
+            # touch, so the losing append must re-read and re-dedup, not
+            # just re-publish (Delta's commit-retry semantics). The
+            # failed attempt's generation is unreferenced debris that
+            # vacuum() collects past its retention horizon.
+            last_err: Exception | None = None
+            for _attempt in range(5):
+                version, mapping = self._latest_manifest(path)
+                touched = {
+                    str(y): mapping[str(y)] for y in years if str(y) in mapping
+                }
+                if touched:
+                    old = (
+                        self._spark.read.parquet(
+                            *self._manifest_paths(path, touched)
+                        )
+                        .select(idx, *self._metadata.column_schema)
+                        .withColumn("_oak_prio", F.lit(0))
+                    )
+                else:
+                    old = new.limit(0)
+                # immutable generation + one-object manifest publish: the
+                # commit is a single atomic write even on object storage;
+                # superseded year dirs stay readable until vacuum()
+                new_years = self._write_generation(path, dedup(old))
+                try:
+                    self._commit_manifest(
+                        path, version + 1, {**mapping, **new_years}
+                    )
+                    return
+                except ConcurrentCommitError as e:
+                    last_err = e
+            raise last_err
+
+        old = (
+            self._spark.read.parquet(str(path))
+            .filter(F.col(_PARTITION_COL).isin(years))  # partition pruning
+            .select(idx, *self._metadata.column_schema)
+            .withColumn("_oak_prio", F.lit(0))
+        )
+        combined = dedup(old)
 
         # Write the touched partitions to a temp sibling, then swap each
         # year directory in. (Local-FS renames are atomic per-partition —

@@ -512,3 +512,29 @@ def test_manifest_diff_cdc(mstore, ohlcv_data):
     assert mstore.diff("CDC", 2, 2).count() == 0
     with pytest.raises(ValueError, match="no version 7"):
         mstore.diff("CDC", 1, 7)
+
+
+def test_manifest_append_retries_on_commit_race(mstore, ohlcv_data, monkeypatch):
+    """A racing writer steals the manifest version our append targeted:
+    the append must re-read the NEW latest manifest, recompute the
+    dedup against it, and publish the next version — not fail, and not
+    clobber the winner (optimistic concurrency with retry)."""
+    import json
+
+    mstore["RA"] = ohlcv_data.head(50)
+    real_commit = Store._commit_manifest
+    stolen = {"done": False}
+
+    def racing_commit(self, path, version, years):
+        if not stolen["done"]:
+            stolen["done"] = True
+            prev = json.loads(
+                (path / "_manifests" / f"v{version - 1:08d}.json").read_text()
+            )["years"]
+            real_commit(self, path, version, prev)  # the other writer wins
+        return real_commit(self, path, version, years)
+
+    monkeypatch.setattr(Store, "_commit_manifest", racing_commit)
+    mstore["RA"] += ohlcv_data.head(80)
+    assert mstore.versions("RA") == [1, 2, 3]  # v2 = winner, v3 = our retry
+    assert len(mstore["RA"][:]) == 80  # all rows present after the retry
