@@ -1,3 +1,4 @@
+from oakstore_spark.sources.datasource import OakStoreDataSource
 from oakstore_spark.sources.tables import TABLES, register_views, table
 
-__all__ = ["TABLES", "table", "register_views"]
+__all__ = ["TABLES", "table", "register_views", "OakStoreDataSource"]

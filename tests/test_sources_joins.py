@@ -70,3 +70,86 @@ def test_salted_left_join_keeps_unmatched(spark):
     salted = salted_join(left, right, ["k"], n_salts=4, how="left").select("k", "lv", "rv")
     assert salted.count() == plain.count()
     assert salted.subtract(plain).count() == 0 and plain.subtract(salted).count() == 0
+
+
+def test_oakstore_datasource_reads_item(spark, tmp_path):
+    """spark.read.format('oakstore') must return the same rows as the
+    store's own reader, for both commit protocols."""
+    import numpy as np
+    import pandas as pd
+
+    from oakstore_spark import Store
+    from oakstore_spark.sources.datasource import OakStoreDataSource
+
+    spark.dataSource.register(OakStoreDataSource)
+    idx = pd.date_range("2020-06-01", periods=400, freq="D")  # spans 2 years
+    df = pd.DataFrame(
+        {"Open": np.arange(400.0), "High": np.arange(400.0),
+         "Low": np.arange(400.0), "Close": np.arange(400.0),
+         "Volume": np.arange(400)},
+        index=idx,
+    )
+    for proto in ("rename", "manifest"):
+        base = tmp_path / f"ds_{proto}"
+        s = Store(base_path=base, spark=spark, commit_protocol=proto)
+        s["ITEM"] = df
+        out = (
+            spark.read.format("oakstore")
+            .option("path", str(base))
+            .option("key", "item")
+            .load()
+        )
+        assert out.count() == 400
+        assert set(out.columns) == {"DATE", "OPEN", "HIGH", "LOW", "CLOSE", "VOLUME"}
+        total = out.agg(F.sum("VOLUME")).collect()[0][0]
+        assert total == sum(range(400))
+
+
+def test_oakstore_datasource_filter_pushdown_prunes(spark, tmp_path):
+    """Range predicates on the index must be absorbed by the source:
+    year dirs outside the bounds never become input partitions, and the
+    residual row filter is exact (inclusive/exclusive respected)."""
+    from datetime import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from oakstore_spark import Store
+    from oakstore_spark.sources.datasource import OakStoreDataSource, OakStoreReader
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    spark.dataSource.register(OakStoreDataSource)
+    base = tmp_path / "ds_push"
+    s = Store(base_path=base, spark=spark)
+    idx = pd.date_range("2019-01-01", periods=1100, freq="D")  # 2019-2022
+    df = pd.DataFrame(
+        {"Open": np.ones(1100), "High": np.ones(1100), "Low": np.ones(1100),
+         "Close": np.ones(1100), "Volume": np.ones(1100, dtype=int)},
+        index=idx,
+    )
+    s["P"] = df
+
+    # unit-level: reader prunes year dirs from the pushed bounds
+    reader = OakStoreReader(
+        base / "items" / "P", "DATE",
+        spark.read.format("oakstore").option("path", str(base))
+        .option("key", "P").load().schema,
+    )
+    rest = list(reader.pushFilters([
+        GreaterThanOrEqual(("DATE",), datetime(2020, 3, 1)),
+        LessThan(("DATE",), datetime(2021, 2, 1)),
+    ]))
+    assert rest == []  # both absorbed
+    years = {p.file_path.split("_oak_year=")[1].split("/")[0]
+             for p in reader.partitions()}
+    assert years == {"2020", "2021"}  # 2019 + 2022 pruned at planning
+
+    # end-to-end: values match a pandas slice, bounds exact
+    out = (
+        spark.read.format("oakstore")
+        .option("path", str(base)).option("key", "P").load()
+        .filter((F.col("DATE") >= datetime(2020, 3, 1))
+                & (F.col("DATE") < datetime(2021, 2, 1)))
+    )
+    expected = df.loc[datetime(2020, 3, 1):datetime(2021, 1, 31)]
+    assert out.count() == len(expected)
