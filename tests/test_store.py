@@ -538,3 +538,19 @@ def test_manifest_append_retries_on_commit_race(mstore, ohlcv_data, monkeypatch)
     mstore["RA"] += ohlcv_data.head(80)
     assert mstore.versions("RA") == [1, 2, 3]  # v2 = winner, v3 = our retry
     assert len(mstore["RA"][:]) == 80  # all rows present after the retry
+
+
+def test_manifest_diff_ignores_compaction(mstore, ohlcv_data, monkeypatch):
+    """Compaction rewrites year partitions without changing content —
+    CDC must report zero inserted rows across a compact-only version."""
+    import oakstore_spark.store as store_mod
+
+    monkeypatch.setattr(store_mod, "_MAX_RECORDS_PER_FILE", 7)
+    mstore["CMP2"] = ohlcv_data.head(30)
+    mstore["CMP2"] += ohlcv_data.head(60)
+    monkeypatch.setattr(store_mod, "_MAX_RECORDS_PER_FILE", 1_000_000)
+    v_before = max(mstore.versions("CMP2"))
+    assert mstore.compact("CMP2") >= 1
+    v_after = max(mstore.versions("CMP2"))
+    assert v_after == v_before + 1
+    assert mstore.diff("CMP2", v_before, v_after).count() == 0
