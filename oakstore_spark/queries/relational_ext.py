@@ -550,3 +550,38 @@ def q_lateral_top2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines."""
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# --- VARIANT semi-structured type (Spark 4) -------------------------------
+
+@register(
+    "q_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(count(CASE WHEN json_extract_string(props, '$.missing')
+                           IS NOT NULL THEN 1 END) AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through Spark 4's VARIANT type: parse once
+    into the binary variant encoding, then typed path extraction
+    (variant_get / try_variant_get) — the engine-native path for
+    schema-on-read columns, vs the string re-parse of
+    get_json_object in q_json_props. Absent paths yield NULL through
+    try_variant_get, never an error."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json("props")
+    )
+    return e.groupBy("event_type").agg(
+        F.sum(F.variant_get("v", "$.k", "bigint")).cast("bigint").alias("sum_k"),
+        F.max(F.variant_get("v", "$.k", "bigint")).cast("bigint").alias("max_k"),
+        F.count(F.try_variant_get("v", "$.missing", "string"))
+        .cast("bigint")
+        .alias("n_missing"),
+    )

@@ -341,3 +341,37 @@ def q_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "cents",
     )
+
+
+@register(
+    "q_session_window_builtin",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id,
+           CAST(sum(is_new) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+)
+def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN gap-based session operator (F.session_window in
+    a batch groupBy) vs the lag/cumsum formulation the oracle uses —
+    same semantics, different machinery (session merge inside the
+    aggregation, no analytic window pass). Boundary per Spark: a gap of
+    exactly the timeout STARTS a new session, hence >= in the oracle."""
+    e = table(spark, sf_dir, "events")
+    per_session = e.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+    )
