@@ -612,3 +612,90 @@ def q_embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.groupBy("label", "dim_idx").agg(
         F.round(F.avg("v"), 6).alias("mean_v")
     )
+
+
+# --- end-to-end curation pipeline (compose the stages) --------------------
+
+@register(
+    "q_training_set_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, text,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+      FROM documents
+      WHERE lang = 'en' AND doc_id >= 20
+    ), keep_ids AS (
+      SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)
+    ), deduped AS (
+      SELECT base.* FROM base JOIN keep_ids USING (doc_id)
+    ), words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+      FROM words WHERE len(ws) >= 3
+    ), eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id < 20
+    ), contaminated AS (
+      SELECT DISTINCT grams.doc_id FROM grams JOIN eval_grams USING (g)
+      WHERE grams.doc_id >= 20
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens
+    FROM deduped
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    GROUP BY source
+    """,
+)
+def q_training_set_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE composed query — the shape a
+    real pre-training data build runs nightly: language filter ->
+    exact dedup (keep lowest doc_id per content hash) -> benchmark
+    decontamination (drop docs sharing a word-3-gram with the eval set)
+    -> per-source token accounting. Every stage reuses the registered
+    operator (filters map-side; dedup shuffles 16-byte digests;
+    decontamination is a broadcast semi-join), so the composition adds
+    no new shuffle beyond its parts."""
+    from oakstore_spark.functions.text import token_count
+    from oakstore_spark.operators.dedup import exact_dedup
+
+    d = table(spark, sf_dir, "documents")
+    base = d.filter((F.col("lang") == "en") & (F.col("doc_id") >= 20))
+    keep = exact_dedup(base, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = base.join(keep, "doc_id", "left_semi")
+
+    def grams_of(df):
+        def _grams(ws):
+            return F.when(
+                F.size(ws) >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ws) - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(ws, i + 1),
+                        F.element_at(ws, i + 2),
+                        F.element_at(ws, i + 3),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        g = F.element_at(F.transform(F.array(F.split("text", " ")), _grams), 1)
+        return df.select("doc_id", F.explode(g).alias("g"))
+
+    eval_grams = grams_of(d.filter(F.col("doc_id") < 20)).select("g").distinct()
+    contaminated = (
+        grams_of(d.filter(F.col("doc_id") >= 20))
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
+    )
