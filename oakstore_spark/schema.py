@@ -59,16 +59,42 @@ def _type_name(tp: type | str) -> str:
 
 @dataclass(frozen=True)
 class Metadata:
-    """Declared store schema: uppercase column name -> canonical type name."""
+    """Declared store schema: uppercase column name -> canonical type
+    name, plus read-time defaults for columns added after data was
+    written (EXT schema evolution: the default fills the column for any
+    parquet file that predates it — metadata-only, no rewrite)."""
 
     column_schema: dict[str, str]
     index_name: str
+    defaults: dict[str, object] = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.defaults is None:
+            object.__setattr__(self, "defaults", {})
 
     @staticmethod
-    def build(cols: dict[str, type | str], index: str) -> "Metadata":
+    def build(
+        cols: dict[str, type | str],
+        index: str,
+        defaults: dict[str, object] | None = None,
+    ) -> "Metadata":
         return Metadata(
             column_schema={c.upper(): _type_name(t) for c, t in cols.items()},
             index_name=index,
+            defaults={c.upper(): v for c, v in (defaults or {}).items()},
+        )
+
+    def with_column(
+        self, name: str, tp: type | str, default: object
+    ) -> "Metadata":
+        """Evolved copy: one new column with a read-time default."""
+        name = name.upper()
+        if name in self.column_schema or name == self.index_name.upper():
+            raise SchemaError(f"column {name} already exists")
+        return Metadata(
+            column_schema={**self.column_schema, name: _type_name(tp)},
+            index_name=self.index_name,
+            defaults={**self.defaults, name: default},
         )
 
     def spark_type(self, col: str) -> T.DataType:
@@ -78,15 +104,19 @@ class Metadata:
         return _NAME_TO_PY[self.column_schema[col]]
 
     def to_json(self) -> str:
-        return json.dumps(
-            {"version": 1, "column_schema": self.column_schema, "index_name": self.index_name},
-            sort_keys=True,
-        )
+        doc = {"version": 1, "column_schema": self.column_schema, "index_name": self.index_name}
+        if self.defaults:
+            doc["defaults"] = self.defaults
+        return json.dumps(doc, sort_keys=True)
 
     @staticmethod
     def from_json(text: str) -> "Metadata":
         obj = json.loads(text)
-        return Metadata(column_schema=dict(obj["column_schema"]), index_name=obj["index_name"])
+        return Metadata(
+            column_schema=dict(obj["column_schema"]),
+            index_name=obj["index_name"],
+            defaults=dict(obj.get("defaults", {})),
+        )
 
     def save(self, path: Path) -> None:
         path.write_text(self.to_json())

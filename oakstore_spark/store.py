@@ -197,7 +197,10 @@ class Store:
 
     def _check_columns(self, columns: list[str]) -> dict[str, str]:
         by_upper = {c.upper(): c for c in columns}
-        if any(c not in by_upper for c in self._metadata.column_schema):
+        missing = [c for c in self._metadata.column_schema if c not in by_upper]
+        # evolved columns (add_column) may be absent from input — their
+        # declared default fills them; anything else missing is an error
+        if any(c not in self._metadata.defaults for c in missing):
             raise SchemaError("data does not match store schema")
         return by_upper
 
@@ -210,7 +213,13 @@ class Store:
         pdf = pd.DataFrame(index=data.index)
         try:
             for name in self._metadata.column_schema:
-                pdf[name] = data[by_upper[name]].astype(self._metadata.py_type(name))
+                if name in by_upper:
+                    src = data[by_upper[name]]
+                else:  # evolved column absent from input -> default
+                    src = pd.Series(
+                        self._metadata.defaults[name], index=data.index
+                    )
+                pdf[name] = src.astype(self._metadata.py_type(name))
             pdf.index = pd.to_datetime(data.index)
         except (ValueError, TypeError) as e:
             raise SchemaError("data does not match store schema") from e
@@ -245,7 +254,16 @@ class Store:
 
         cols = [guarded_cast(by_upper[idx.upper()], "timestamp", idx)]
         for name in self._metadata.column_schema:
-            cols.append(guarded_cast(by_upper[name], self._metadata.spark_type(name), name))
+            if name in by_upper:
+                cols.append(
+                    guarded_cast(by_upper[name], self._metadata.spark_type(name), name)
+                )
+            else:  # evolved column absent from input -> default
+                cols.append(
+                    F.lit(self._metadata.defaults[name])
+                    .cast(self._metadata.spark_type(name))
+                    .alias(name)
+                )
         return sdf.select(*cols)
 
     # -- physical layout ----------------------------------------------------
@@ -326,11 +344,10 @@ class Store:
         cols = [idx, *self._metadata.column_schema]
         if not mapping:
             return self._empty_item_df().orderBy(idx)
-        return (
-            self._spark.read.parquet(*self._manifest_paths(path, mapping))
-            .select(*cols)
-            .orderBy(idx)
+        raw = self._spark.read.schema(self._declared_read_schema()).parquet(
+            *self._manifest_paths(path, mapping)
         )
+        return self._fill_defaults(raw).select(*cols).orderBy(idx)
 
     def diff(self, key: str, v_from: int, v_to: int) -> DataFrame:
         """EXT: CDC between two committed manifest versions — the rows
@@ -362,13 +379,15 @@ class Store:
         cols = [idx, *self._metadata.column_schema]
         if not changed:
             return self._empty_item_df()
-        new_side = self._spark.read.parquet(
-            *self._manifest_paths(path, changed)
+        new_side = self._fill_defaults(
+            self._spark.read.schema(self._declared_read_schema()).parquet(
+                *self._manifest_paths(path, changed)
+            )
         ).select(*cols)
         old_rels = {y: m_from[y] for y in changed if y in m_from}
         if not old_rels:
             return new_side.orderBy(idx)
-        old_side = self._spark.read.parquet(
+        old_side = self._spark.read.schema(self._declared_read_schema()).parquet(
             *self._manifest_paths(path, old_rels)
         ).select(idx)
         return new_side.join(old_side, idx, "left_anti").orderBy(idx)
@@ -478,8 +497,10 @@ class Store:
                 }
                 if touched:
                     old = (
-                        self._spark.read.parquet(
-                            *self._manifest_paths(path, touched)
+                        self._fill_defaults(
+                            self._spark.read.schema(
+                                self._declared_read_schema()
+                            ).parquet(*self._manifest_paths(path, touched))
                         )
                         .select(idx, *self._metadata.column_schema)
                         .withColumn("_oak_prio", F.lit(0))
@@ -500,7 +521,11 @@ class Store:
             raise last_err
 
         old = (
-            self._spark.read.parquet(str(path))
+            self._fill_defaults(
+                self._spark.read.schema(self._declared_read_schema()).parquet(
+                    str(path)
+                )
+            )
             .filter(F.col(_PARTITION_COL).isin(years))  # partition pruning
             .select(idx, *self._metadata.column_schema)
             .withColumn("_oak_prio", F.lit(0))
@@ -526,17 +551,58 @@ class Store:
 
     # -- query (parity: store.py:238-267) -----------------------------------
 
+    def add_column(self, name: str, tp: type | str, default) -> None:
+        """EXT schema evolution: add a column with a read-time default —
+        METADATA-ONLY, like Delta's ADD COLUMN. No file is rewritten:
+        parquet written before the evolution simply lacks the column,
+        and every read path scans with the declared schema (absent
+        columns surface as null) then coalesces the default in. New
+        writes/appends may omit the column too (the default fills it at
+        normalization) or provide it explicitly.
+
+        Semantics note: the default back-fills NULLs in the evolved
+        column wherever they occur — this store's columns are
+        non-nullable by construction (normalization casts from concrete
+        input), so null == "file predates the column"."""
+        evolved = self._metadata.with_column(name, tp, default)
+        # crash-safe swap: metadata is one small JSON object
+        tmp = self._metadata_path.with_name(f".{_METADATA_FILE}.{uuid.uuid4().hex}.tmp")
+        tmp.write_text(evolved.to_json())
+        os.replace(tmp, self._metadata_path)
+        self._metadata = evolved
+
+    def _declared_read_schema(self):
+        import pyspark.sql.types as T
+
+        idx = self._metadata.index_name
+        fields = [T.StructField(idx, T.TimestampType())]
+        fields += [
+            T.StructField(c, self._metadata.spark_type(c))
+            for c in self._metadata.column_schema
+        ]
+        return T.StructType(fields)
+
+    def _fill_defaults(self, sdf: DataFrame) -> DataFrame:
+        for c, v in self._metadata.defaults.items():
+            sdf = sdf.withColumn(
+                c, F.coalesce(F.col(c), F.lit(v).cast(self._metadata.spark_type(c)))
+            )
+        return sdf
+
     def _read_raw(self, path: Path) -> DataFrame:
         idx = self._metadata.index_name
         cols = [idx, *self._metadata.column_schema]
+        sch = self._declared_read_schema()
         if self._is_manifest_item(path):
             _, mapping = self._latest_manifest(path)
             if not mapping:
                 return self._empty_item_df()
-            return self._spark.read.parquet(
+            raw = self._spark.read.schema(sch).parquet(
                 *self._manifest_paths(path, mapping)
-            ).select(*cols)
-        return self._spark.read.parquet(str(path)).select(*cols)
+            )
+        else:
+            raw = self._spark.read.schema(sch).parquet(str(path))
+        return self._fill_defaults(raw).select(*cols)
 
     def _empty_item_df(self) -> DataFrame:
         import pyspark.sql.types as T
@@ -568,14 +634,20 @@ class Store:
             }
             if not keep:
                 return self._empty_item_df().orderBy(idx)
-            sdf = self._spark.read.parquet(*self._manifest_paths(path, keep))
+            sdf = self._fill_defaults(
+                self._spark.read.schema(self._declared_read_schema()).parquet(
+                    *self._manifest_paths(path, keep)
+                )
+            )
             if start is not None:
                 sdf = sdf.filter(F.col(idx) >= F.lit(start))
             if end is not None:
                 sdf = sdf.filter(F.col(idx) <= F.lit(end))
             return sdf.select(idx, *self._metadata.column_schema).orderBy(idx)
 
-        sdf = self._spark.read.parquet(str(path))
+        sdf = self._fill_defaults(
+            self._spark.read.schema(self._declared_read_schema()).parquet(str(path))
+        )
         # Explicit partition-pruning predicate on the year dir plus the
         # exact inclusive range on the index (store.py:255-266 pushes
         # row-group filters then re-filters exactly; Spark's parquet
@@ -617,8 +689,10 @@ class Store:
             }
             if not frag:
                 return 0
-            combined = self._spark.read.parquet(
-                *self._manifest_paths(path, frag)
+            combined = self._fill_defaults(
+                self._spark.read.schema(self._declared_read_schema()).parquet(
+                    *self._manifest_paths(path, frag)
+                )
             ).select(idx, *self._metadata.column_schema)
             new_years = self._write_generation(path, combined)
             self._commit_manifest(path, version + 1, {**mapping, **new_years})
@@ -633,7 +707,11 @@ class Store:
         years = [int(d.name.split("=", 1)[1]) for d in fragmented]
 
         combined = (
-            self._spark.read.parquet(str(path))
+            self._fill_defaults(
+                self._spark.read.schema(self._declared_read_schema()).parquet(
+                    str(path)
+                )
+            )
             .filter(F.col(_PARTITION_COL).isin(years))
             .select(idx, *self._metadata.column_schema)
         )

@@ -554,3 +554,57 @@ def test_manifest_diff_ignores_compaction(mstore, ohlcv_data, monkeypatch):
     v_after = max(mstore.versions("CMP2"))
     assert v_after == v_before + 1
     assert mstore.diff("CMP2", v_before, v_after).count() == 0
+
+
+def test_schema_evolution_add_column(tmp_path, spark, ohlcv_data):
+    """add_column is metadata-only: old files read back with the
+    default, new appends may omit or provide the column, compaction
+    materializes it, and a reopened instance sees the evolved schema."""
+    base = tmp_path / "evolve"
+    s = Store(base_path=base, spark=spark)
+    s["E"] = ohlcv_data.head(50)
+
+    s.add_column("SPLIT_FACTOR", float, 1.0)
+    out = s["E"][:]
+    assert "SPLIT_FACTOR" in out.columns
+    assert (out["SPLIT_FACTOR"] == 1.0).all()  # pre-evolution rows filled
+
+    # append WITHOUT the new column -> default fills it
+    s["E"] += ohlcv_data.head(60)
+    # append WITH the new column -> provided values win
+    extra = ohlcv_data.iloc[60:70].copy()
+    extra["Split_Factor"] = 2.0
+    s["E"] += extra
+    out = s["E"][:]
+    assert len(out) == 70
+    assert (out["SPLIT_FACTOR"].iloc[:60] == 1.0).all()
+    assert (out["SPLIT_FACTOR"].iloc[60:] == 2.0).all()
+
+    # range query + lazy scan also carry the evolved column
+    lazy = s["E"].df()
+    assert "SPLIT_FACTOR" in lazy.columns
+
+    # reopened instance loads the evolved schema from JSON
+    s2 = Store(base_path=base, spark=spark)
+    assert "SPLIT_FACTOR" in s2._metadata.column_schema
+    assert s2._metadata.defaults["SPLIT_FACTOR"] == 1.0
+    assert len(s2["E"][:]) == 70
+
+    # duplicate add refused
+    with pytest.raises(SchemaError):
+        s.add_column("split_factor", float, 3.0)
+
+
+def test_schema_evolution_manifest_and_snapshot(tmp_path, spark, ohlcv_data):
+    """Evolution composes with the manifest protocol: snapshots of
+    pre-evolution versions read with the default; diff stays exact."""
+    base = tmp_path / "evolve_m"
+    s = Store(base_path=base, spark=spark, commit_protocol="manifest")
+    s["M"] = ohlcv_data.head(50)
+    s.add_column("ADJ", float, 0.0)
+    s["M"] += ohlcv_data.head(80)
+    snap1 = s.snapshot("M", 1).toPandas()
+    assert (snap1["ADJ"] == 0.0).all() and len(snap1) == 50
+    d = s.diff("M", 1, 2)
+    assert d.count() == 30
+    assert "ADJ" in d.columns
