@@ -63,13 +63,13 @@ class OakStoreDataSource(DataSource):
     def name(cls) -> str:
         return "oakstore"
 
-    def _meta(self) -> tuple[str, dict[str, str]]:
+    def _meta(self) -> tuple[str, dict[str, str], dict]:
         base = Path(self.options["path"])
         doc = json.loads((base / "_metadata.json").read_text())
-        return doc["index_name"], doc["column_schema"]
+        return doc["index_name"], doc["column_schema"], doc.get("defaults", {})
 
     def schema(self) -> T.StructType:
-        idx, cols = self._meta()
+        idx, cols, _defaults = self._meta()
         fields = [T.StructField(idx, T.TimestampType())]
         fields += [
             T.StructField(name, _NAME_TO_SPARK[tname]) for name, tname in cols.items()
@@ -79,8 +79,8 @@ class OakStoreDataSource(DataSource):
     def reader(self, schema: T.StructType) -> DataSourceReader:
         base = Path(self.options["path"])
         key = self.options["key"].upper()
-        idx, _cols = self._meta()
-        return OakStoreReader(base / "items" / key, idx, schema)
+        idx, _cols, defaults = self._meta()
+        return OakStoreReader(base / "items" / key, idx, schema, defaults)
 
     def simpleStreamReader(self, schema: T.StructType):  # noqa: N802
         base = Path(self.options["path"])
@@ -91,15 +91,22 @@ class OakStoreDataSource(DataSource):
                 "streaming CDC reads require commit_protocol='manifest' "
                 f"(item {key} has no manifest history)"
             )
-        idx, _cols = self._meta()
-        return OakStoreStreamReader(item, idx, schema)
+        idx, _cols, defaults = self._meta()
+        return OakStoreStreamReader(item, idx, schema, defaults)
 
 
 class OakStoreReader(DataSourceReader):
-    def __init__(self, item_path: Path, index_name: str, schema: T.StructType):
+    def __init__(
+        self,
+        item_path: Path,
+        index_name: str,
+        schema: T.StructType,
+        defaults: dict | None = None,
+    ):
         self._item = item_path
         self._idx = index_name
         self._schema = schema
+        self._defaults = defaults or {}
         self._lo: datetime | None = None  # inclusive
         self._hi: datetime | None = None  # inclusive
         self._lo_strict = False
@@ -175,7 +182,17 @@ class OakStoreReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         cols = [f.name for f in self._schema.fields]
-        table = pq.read_table(partition.file_path, columns=cols)
+        pf = pq.ParquetFile(partition.file_path)
+        present = [c for c in cols if c in pf.schema_arrow.names]
+        table = pq.read_table(partition.file_path, columns=present)
+        # evolved columns absent from pre-evolution files: fill the
+        # declared default (same contract as the store's read path)
+        for c in cols:
+            if c not in present:
+                table = table.append_column(
+                    c, pa.array([self._defaults.get(c)] * len(table))
+                )
+        table = table.select(cols)
         # Spark's Arrow bridge accepts only microsecond timestamps; the
         # parquet column may come back as ns (and tz-naive)
         arrow_types = {
@@ -226,10 +243,17 @@ class OakStoreStreamReader(SimpleDataSourceStreamReader):
     between the offsets are read, via pyarrow directly (no Spark jobs
     from inside the streaming planner thread)."""
 
-    def __init__(self, item_path: Path, index_name: str, schema: T.StructType):
+    def __init__(
+        self,
+        item_path: Path,
+        index_name: str,
+        schema: T.StructType,
+        defaults: dict | None = None,
+    ):
         self._item = item_path
         self._idx = index_name
         self._cols = [f.name for f in schema.fields]
+        self._defaults = defaults or {}
 
     def _mapping(self, version: int) -> dict[str, str]:
         if version == 0:
@@ -258,9 +282,12 @@ class OakStoreStreamReader(SimpleDataSourceStreamReader):
         m_to = self._mapping(v_to)
         changed = {y: rel for y, rel in m_to.items() if m_from.get(y) != rel}
         for year in sorted(changed):
-            new = pq.read_table(
-                str(self._item / changed[year]), columns=self._cols
-            ).to_pandas()
+            t = pq.read_table(str(self._item / changed[year]))
+            new = t.to_pandas()
+            for c in self._cols:  # evolved columns -> declared default
+                if c not in new.columns:
+                    new[c] = self._defaults.get(c)
+            new = new[self._cols]
             if year in m_from:
                 # anti-join BEFORE any tz normalization so both sides
                 # compare in the same (stored) frame

@@ -204,3 +204,31 @@ def test_oakstore_datasource_cdc_stream(spark, tmp_path):
     out2 = spark.read.parquet(sink)
     assert out2.count() == 60  # exactly the 10 inserts arrived
     assert out2.select("DATE").distinct().count() == 60  # no replays
+
+
+def test_oakstore_datasource_reads_evolved_schema(spark, tmp_path):
+    """Pre-evolution parquet read through format('oakstore') must fill
+    the declared default for the added column."""
+    import numpy as np
+    import pandas as pd
+
+    from oakstore_spark import Store
+    from oakstore_spark.sources.datasource import OakStoreDataSource
+
+    spark.dataSource.register(OakStoreDataSource)
+    base = tmp_path / "ds_evolved"
+    s = Store(base_path=base, spark=spark)
+    idx = pd.date_range("2023-01-01", periods=20, freq="D")
+    df = pd.DataFrame(
+        {"Open": np.ones(20), "High": np.ones(20), "Low": np.ones(20),
+         "Close": np.ones(20), "Volume": np.ones(20, dtype=int)},
+        index=idx,
+    )
+    s["EV"] = df
+    s.add_column("ADJ", float, 3.5)
+    out = (
+        spark.read.format("oakstore")
+        .option("path", str(base)).option("key", "EV").load()
+    )
+    pdf = out.toPandas()
+    assert (pdf["ADJ"] == 3.5).all() and len(pdf) == 20
