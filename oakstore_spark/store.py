@@ -739,27 +739,38 @@ class Store:
         )
 
     def vacuum(self, key: str, retention_sec: float = 3600.0) -> int:
-        """Manifest protocol only: delete year directories no manifest
-        version newer than the latest references, plus superseded
-        manifest files and stale commit debris. Returns the number of
-        year dirs removed.
+        """Delete storage no reader can reach. Manifest items: year
+        directories no manifest version newer than the latest
+        references, superseded manifest files, stale commit debris.
+        Rename items: orphaned ``.tmp-KEY-*`` / ``.trash-KEY-*``
+        staging directories left by a writer that crashed mid-append or
+        mid-compact. Returns the number of directories removed.
 
-        Writer safety: an in-flight append/compact writes its data
-        generation FIRST and commits the manifest after, so a non-live
-        year dir younger than ``retention_sec`` may belong to a commit
-        that hasn't published yet — it is kept (Delta's retention check;
-        pass ``retention_sec=0`` only when no writer can be in flight).
-        Safe concurrently with readers of the LATEST version (their
-        files are never touched); readers pinned to older versions must
-        finish within the retention horizon."""
+        Writer safety: an in-flight append/compact stages data FIRST
+        and publishes after, so staging/generation paths younger than
+        ``retention_sec`` may belong to a commit in flight — they are
+        kept (Delta's retention check; pass ``retention_sec=0`` only
+        when no writer can be in flight). Safe concurrently with
+        readers of the LATEST version (their files are never touched);
+        readers pinned to older versions must finish within the
+        retention horizon."""
         path = self._item_path(key)
         if not path.exists():
             raise ValueError(f"key={key.upper()} does not exist")
+        cutoff = time.time() - retention_sec
         if not self._is_manifest_item(path):
-            return 0
+            removed = 0
+            for stage in self._items_path.glob(f".tmp-{key.upper()}-*"):
+                if stage.stat().st_mtime <= cutoff:
+                    shutil.rmtree(stage, ignore_errors=True)
+                    removed += 1
+            for stage in self._items_path.glob(f".trash-{key.upper()}-*"):
+                if stage.stat().st_mtime <= cutoff:
+                    shutil.rmtree(stage, ignore_errors=True)
+                    removed += 1
+            return removed
         version, mapping = self._latest_manifest(path)
         live = {str(path / rel) for rel in mapping.values()}
-        cutoff = time.time() - retention_sec
         removed = 0
         data_root = path / _DATA_DIR
         for gen_dir in sorted(data_root.iterdir()):

@@ -608,3 +608,23 @@ def test_schema_evolution_manifest_and_snapshot(tmp_path, spark, ohlcv_data):
     d = s.diff("M", 1, 2)
     assert d.count() == 30
     assert "ADJ" in d.columns
+
+
+def test_vacuum_cleans_crashed_rename_staging(store, ohlcv_data):
+    """A writer that crashed mid-append leaves .tmp-/.trash- staging
+    dirs; vacuum removes them past the retention horizon and leaves
+    fresh ones (possible in-flight writers) alone."""
+    store["VC"] = ohlcv_data.head(10)
+    stale_tmp = store._items_path / ".tmp-VC-deadbeef"
+    stale_trash = store._items_path / ".trash-VC-deadbeef"
+    fresh_tmp = store._items_path / ".tmp-VC-cafebabe"
+    for d in (stale_tmp, stale_trash, fresh_tmp):
+        d.mkdir()
+    old = time.time() - 7200
+    os.utime(stale_tmp, (old, old))
+    os.utime(stale_trash, (old, old))
+    assert store.vacuum("VC") == 2  # default retention removes only stale
+    assert not stale_tmp.exists() and not stale_trash.exists()
+    assert fresh_tmp.exists()  # possible in-flight writer: kept
+    assert store.vacuum("VC", retention_sec=0) == 1  # offline: fresh too
+    assert len(store["VC"][:]) == 10
