@@ -38,10 +38,13 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    DataSourceArrowWriter,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _MANIFESTS_DIR_NAME = "_manifests"
+_DATA_DIR_NAME = "_data"
 
 _NAME_TO_SPARK = {
     "double": T.DoubleType(),
@@ -81,6 +84,36 @@ class OakStoreDataSource(DataSource):
         key = self.options["key"].upper()
         idx, _cols, defaults = self._meta()
         return OakStoreReader(base / "items" / key, idx, schema, defaults)
+
+    def writer(self, schema: T.StructType, overwrite: bool):
+        """Python DataSources only accept Append/Overwrite save modes;
+        the store's errorifexists create maps onto mode('append') to a
+        key that does not exist yet (append-to-existing and overwrite
+        are refused — dedup-append lives in ``store[k] += df``)."""
+        import uuid as _uuid
+
+        if overwrite:
+            raise ValueError(
+                "mode('overwrite') unsupported: store items are immutable "
+                "once created (reference errorifexists semantics); use "
+                "Store.delete + rewrite, or append via store[k] += df"
+            )
+        base = Path(self.options["path"])
+        key = self.options["key"].upper()
+        idx, cols, _defaults = self._meta()
+        declared = {idx} | set(cols)
+        if set(f.name for f in schema.fields) != declared:
+            raise ValueError(
+                f"DataFrame columns {sorted(f.name for f in schema.fields)} "
+                f"must match the store schema {sorted(declared)} exactly "
+                "(normalize/cast upstream)"
+            )
+        item = base / "items" / key
+        if (item / _MANIFESTS_DIR_NAME).exists() or any(
+            item.glob("_oak_year=*")
+        ):
+            raise ValueError(f"key={key} already exists")
+        return OakStoreBatchWriter(item, idx, _uuid.uuid4().hex)
 
     def simpleStreamReader(self, schema: T.StructType):  # noqa: N802
         base = Path(self.options["path"])
@@ -312,3 +345,82 @@ class OakStoreStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
         return list(self._rows_between(start["version"], end["version"]))
+
+
+@dataclass
+class _WriteCommit(WriterCommitMessage):
+    years: list  # [(year, generation-relative file name), ...]
+
+
+class OakStoreBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("oakstore")`` — distributed bulk CREATE of a
+    store item, always under the manifest protocol so the commit story
+    is exact: every task writes its files into one shared immutable
+    generation directory (invisible — no manifest references it yet);
+    the driver-side ``commit()`` publishes manifest v1 as a single
+    object only after every task succeeded, and ``abort()`` removes the
+    orphan generation. A reader can never observe a torn table.
+
+    Invariants vs ``Store.__setitem__``: rows are year-bucketed and
+    sorted per file (parquet row-group min/max stays effective);
+    GLOBAL disjointness of files is the caller's layout choice
+    (repartitionByRange on the index upstream) — the store's read paths
+    do not require it. Dedup/append semantics stay with
+    ``store[k] += df``; this writer is the parallel initial-load path.
+    """
+
+    def __init__(self, item_path: Path, index_name: str, gen: str):
+        self._item = item_path
+        self._idx = index_name
+        self._gen = gen
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        by_year: dict[int, list] = {}
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch])
+            years = pc.year(tbl[self._idx])
+            for y in pc.unique(years).to_pylist():
+                by_year.setdefault(y, []).append(
+                    tbl.filter(pc.equal(years, y))
+                )
+        out = []
+        for y, tables in by_year.items():
+            merged = pa.concat_tables(tables).sort_by(self._idx)
+            fname = f"part-{_uuid.uuid4().hex}.parquet"
+            ydir = self._item / _DATA_DIR_NAME / self._gen / f"_oak_year={y}"
+            ydir.mkdir(parents=True, exist_ok=True)
+            pq.write_table(merged, str(ydir / fname), compression="snappy")
+            out.append((int(y), fname))
+        return _WriteCommit(years=out)
+
+    def commit(self, messages):
+        years = sorted({y for m in messages if m for y, _f in m.years})
+        mapping = {
+            str(y): f"{_DATA_DIR_NAME}/{self._gen}/_oak_year={y}" for y in years
+        }
+        mdir = self._item / _MANIFESTS_DIR_NAME
+        mdir.mkdir(parents=True, exist_ok=True)
+        doc = {"protocol": "manifest-v1", "version": 1, "years": mapping}
+        tmp = mdir / f".v00000001.json.{self._gen}.tmp"
+        tmp.write_text(json.dumps(doc, sort_keys=True))
+        try:
+            import os
+
+            os.link(tmp, mdir / "v00000001.json")  # put-if-absent
+        except FileExistsError:
+            raise RuntimeError(
+                f"item {self._item.name} was created concurrently"
+            ) from None
+        finally:
+            tmp.unlink(missing_ok=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self._item / _DATA_DIR_NAME / self._gen, ignore_errors=True)

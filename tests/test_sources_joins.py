@@ -232,3 +232,53 @@ def test_oakstore_datasource_reads_evolved_schema(spark, tmp_path):
     )
     pdf = out.toPandas()
     assert (pdf["ADJ"] == 3.5).all() and len(pdf) == 20
+
+
+def test_oakstore_datasource_bulk_write(spark, tmp_path):
+    """Distributed bulk create through df.write.format('oakstore'):
+    the item commits atomically under the manifest protocol and reads
+    back identically through the Store AND the batch DataSource."""
+    from datetime import datetime
+
+    import pytest
+
+    from oakstore_spark import Store
+    from oakstore_spark.sources.datasource import OakStoreDataSource
+
+    spark.dataSource.register(OakStoreDataSource)
+    base = tmp_path / "ds_write"
+    Store(base_path=base, spark=spark)  # lays down _metadata.json
+
+    df = (
+        spark.range(0, 1000)
+        .select(
+            F.expr("timestamp'2020-01-01' + make_interval(0,0,0,id)").alias("DATE"),
+            (F.col("id") * 1.0).alias("OPEN"),
+            (F.col("id") * 1.0).alias("HIGH"),
+            (F.col("id") * 1.0).alias("LOW"),
+            (F.col("id") * 1.0).alias("CLOSE"),
+            F.col("id").alias("VOLUME"),
+        )
+        .repartitionByRange(4, "DATE")
+    )
+    (
+        df.write.format("oakstore").mode("append")
+        .option("path", str(base)).option("key", "BULK").save()
+    )
+    s = Store(base_path=base, spark=spark)
+    out = s["BULK"][:]
+    assert len(out) == 1000
+    assert out["VOLUME"].sum() == sum(range(1000))
+    # readable through the DataSource batch reader too
+    via_ds = (
+        spark.read.format("oakstore")
+        .option("path", str(base)).option("key", "BULK").load()
+    )
+    assert via_ds.count() == 1000
+    # store semantics preserved: slice + append still work
+    # rows 0..98 carry dates before 2020-04-09 (= 2020-01-01 + 99 days)
+    assert len(s["BULK"][datetime(2020, 4, 9):]) == 1000 - 99
+    with pytest.raises(Exception, match="already exists"):
+        df.write.format("oakstore").mode("append").option(
+            "path", str(base)
+        ).option("key", "BULK").save()
