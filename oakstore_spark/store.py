@@ -392,7 +392,36 @@ class Store:
         ).select(idx)
         return new_side.join(old_side, idx, "left_anti").orderBy(idx)
 
-    def _commit_manifest(self, path: Path, version: int, years: dict[str, str]) -> None:
+    def history(self, key: str) -> list[dict]:
+        """EXT (manifest protocol): the commit log as data — one entry
+        per surviving manifest version with its operation and commit
+        time (DESCRIBE HISTORY parity). Rename items have no log."""
+        path = self._item_path(key)
+        if not path.exists():
+            raise ValueError(f"key={key.upper()} does not exist")
+        if not self._is_manifest_item(path):
+            return []
+        out = []
+        for v in self.versions(key):
+            mpath = path / _MANIFESTS_DIR / f"v{v:08d}.json"
+            doc = json.loads(mpath.read_text())
+            out.append(
+                {
+                    "version": v,
+                    "operation": doc.get("operation", "unknown"),
+                    "committed_at": doc.get("committed_at", mpath.stat().st_mtime),
+                    "n_years": len(doc["years"]),
+                }
+            )
+        return out
+
+    def _commit_manifest(
+        self,
+        path: Path,
+        version: int,
+        years: dict[str, str],
+        operation: str = "append",
+    ) -> None:
         """Publish one manifest object — THE commit point. The publish is
         put-if-absent: ``os.link`` from a fully-written temp file to the
         versioned target is atomic AND fails with EEXIST if another
@@ -402,7 +431,13 @@ class Store:
         the winner's commit and lose its data generation). On object
         storage this maps to a conditional PUT (If-None-Match: *) of the
         versioned manifest key."""
-        doc = {"protocol": "manifest-v1", "version": version, "years": years}
+        doc = {
+            "protocol": "manifest-v1",
+            "version": version,
+            "years": years,
+            "operation": operation,
+            "committed_at": time.time(),
+        }
         target = path / _MANIFESTS_DIR / f"v{version:08d}.json"
         tmp = target.with_name(f".{target.name}.{uuid.uuid4().hex}.tmp")
         tmp.write_text(json.dumps(doc, sort_keys=True))
@@ -438,7 +473,7 @@ class Store:
         if self._commit_protocol == "manifest":
             (path / _MANIFESTS_DIR).mkdir(parents=True)
             years = self._write_generation(path, self._normalize(data))
-            self._commit_manifest(path, 1, years)
+            self._commit_manifest(path, 1, years, operation="write")
             return
         self._write_parquet(self._normalize(data), path)
 
@@ -695,7 +730,9 @@ class Store:
                 )
             ).select(idx, *self._metadata.column_schema)
             new_years = self._write_generation(path, combined)
-            self._commit_manifest(path, version + 1, {**mapping, **new_years})
+            self._commit_manifest(
+                path, version + 1, {**mapping, **new_years}, operation="compact"
+            )
             return len(frag)
 
         fragmented = [

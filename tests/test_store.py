@@ -628,3 +628,20 @@ def test_vacuum_cleans_crashed_rename_staging(store, ohlcv_data):
     assert fresh_tmp.exists()  # possible in-flight writer: kept
     assert store.vacuum("VC", retention_sec=0) == 1  # offline: fresh too
     assert len(store["VC"][:]) == 10
+
+
+def test_manifest_history_log(mstore, ohlcv_data, monkeypatch):
+    """history() is the commit log: one entry per surviving version with
+    its operation; vacuum trims it with the versions."""
+    import oakstore_spark.store as store_mod
+
+    monkeypatch.setattr(store_mod, "_MAX_RECORDS_PER_FILE", 7)
+    mstore["H"] = ohlcv_data.head(30)
+    mstore["H"] += ohlcv_data.head(60)
+    monkeypatch.setattr(store_mod, "_MAX_RECORDS_PER_FILE", 1_000_000)
+    mstore.compact("H")
+    ops = [h["operation"] for h in mstore.history("H")]
+    assert ops == ["write", "append", "compact"]
+    assert all(h["committed_at"] > 0 and h["n_years"] >= 1 for h in mstore.history("H"))
+    mstore.vacuum("H", retention_sec=0)
+    assert [h["version"] for h in mstore.history("H")] == [3]
