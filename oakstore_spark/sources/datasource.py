@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass
+import time
 from datetime import datetime, timezone
 from pathlib import Path
 
@@ -406,7 +407,13 @@ class OakStoreBatchWriter(DataSourceArrowWriter):
         }
         mdir = self._item / _MANIFESTS_DIR_NAME
         mdir.mkdir(parents=True, exist_ok=True)
-        doc = {"protocol": "manifest-v1", "version": 1, "years": mapping}
+        doc = {
+            "protocol": "manifest-v1",
+            "version": 1,
+            "years": mapping,
+            "operation": "bulk_write",
+            "committed_at": time.time(),
+        }
         tmp = mdir / f".v00000001.json.{self._gen}.tmp"
         tmp.write_text(json.dumps(doc, sort_keys=True))
         try:
