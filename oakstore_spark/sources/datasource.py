@@ -55,6 +55,29 @@ _NAME_TO_SPARK = {
 }
 
 
+def _resolve_path(p: str) -> Path:
+    """Option values arrive as plain paths from the reader API but as
+    file: URIs from SQL `CREATE TABLE ... USING oakstore` — accept both."""
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return Path(unquote(urlparse(p).path))
+    return Path(p)
+
+
+def _base_option(options) -> Path:
+    """The store base dir: `store_path` (SQL-safe — Spark strips/renames
+    the special `path` option for catalog tables) or `path`."""
+    p = options.get("store_path") or options.get("path")
+    if not p:
+        # NOTE: `CREATE TABLE ... USING oakstore` catalog tables reach
+        # the source with EMPTY options in this Spark build (catalog
+        # option passthrough for Python data sources is not wired); the
+        # SQL route is load() + createOrReplaceTempView.
+        raise ValueError("option 'path' (or 'store_path') is required")
+    return _resolve_path(p)
+
+
 @dataclass
 class _FilePartition(InputPartition):
     file_path: str
@@ -68,7 +91,7 @@ class OakStoreDataSource(DataSource):
         return "oakstore"
 
     def _meta(self) -> tuple[str, dict[str, str], dict]:
-        base = Path(self.options["path"])
+        base = _base_option(self.options)
         doc = json.loads((base / "_metadata.json").read_text())
         return doc["index_name"], doc["column_schema"], doc.get("defaults", {})
 
@@ -81,7 +104,7 @@ class OakStoreDataSource(DataSource):
         return T.StructType(fields)
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
-        base = Path(self.options["path"])
+        base = _base_option(self.options)
         key = self.options["key"].upper()
         idx, _cols, defaults = self._meta()
         return OakStoreReader(base / "items" / key, idx, schema, defaults)
@@ -99,7 +122,7 @@ class OakStoreDataSource(DataSource):
                 "once created (reference errorifexists semantics); use "
                 "Store.delete + rewrite, or append via store[k] += df"
             )
-        base = Path(self.options["path"])
+        base = _base_option(self.options)
         key = self.options["key"].upper()
         idx, cols, _defaults = self._meta()
         declared = {idx} | set(cols)
@@ -117,7 +140,7 @@ class OakStoreDataSource(DataSource):
         return OakStoreBatchWriter(item, idx, _uuid.uuid4().hex)
 
     def simpleStreamReader(self, schema: T.StructType):  # noqa: N802
-        base = Path(self.options["path"])
+        base = _base_option(self.options)
         key = self.options["key"].upper()
         item = base / "items" / key
         if not (item / _MANIFESTS_DIR_NAME).is_dir():
