@@ -163,3 +163,119 @@ def q_weighted_avg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pcount("cents").alias("n_events"),
         wavg("cents", "w").alias("w_avg_cents"),
     )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week,
+                                  date_trunc('week', e.ts)) / 7) AS BIGINT)
+               AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT CAST(epoch(cohort_week) AS BIGINT) AS cohort_epoch,
+           week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted once per (cohort, week-offset) they were active in — the
+    standard growth-analytics rollup. Two aggregations over events plus
+    one join on user_id; the cohort relation is user-sized (small), so
+    it broadcasts."""
+    from oakstore_spark.sources import table as _table
+
+    e = _table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.unix_timestamp("cohort_week").alias("cohort_epoch"), "week_offset"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+@register(
+    "q_shingle_dup_ratio",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ws) - 3),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                    || ws[i+3] || ' ' || ws[i+4])) AS sh
+      FROM words WHERE len(ws) >= 5
+    ), df AS (
+      SELECT sh, count(*) AS n_docs FROM shingles GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           round(avg(CASE WHEN n_docs > 1 THEN 1.0 ELSE 0.0 END), 4)
+             AS dup_ratio
+    FROM shingles JOIN df USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def q_shingle_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repetition signal: the fraction of a document's
+    distinct 5-gram word shingles that also occur in at least one other
+    document (C4-style 'seen elsewhere' boilerplate detector). One
+    explode + document-frequency aggregation + join back on the
+    shingle; at 100 TB the df relation is the shuffle — hash-partition
+    on the 64-bit shingle hash, never the raw string."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+
+    def _sh(w):
+        return F.when(
+            F.size(w) >= 5,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 5),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                    F.element_at(w, i + 3),
+                    F.element_at(w, i + 4),
+                    F.element_at(w, i + 5),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    sh = F.element_at(F.transform(F.array(ws), _sh), 1)
+    shingles = (
+        d.select("doc_id", F.explode(sh).alias("sh")).distinct()
+    )
+    df_rel = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        shingles.join(df_rel, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.avg(F.when(F.col("n_docs") > 1, 1.0).otherwise(0.0)), 4
+            ).alias("dup_ratio"),
+        )
+    )
