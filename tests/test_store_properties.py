@@ -86,3 +86,68 @@ def test_append_idempotent(pstore, base):
     out = pstore[key][:]
     assert len(out) == len(df)
     assert (out["OPEN"].to_numpy() == df["Open"].to_numpy()).all()
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_store_model_random_op_sequences(tmp_path, spark, seed):
+    """Model-based check: a random interleaving of append / compact /
+    vacuum / add_column over both protocols must keep the store's
+    content equal to a driver-side pandas model applying the same
+    semantics (index-keyed dedup old-wins; evolved columns default)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    proto = "manifest" if seed % 2 else "rename"
+    s = Store(
+        base_path=tmp_path / f"model_{seed}",
+        cols={"A": float, "B": int},
+        index="TS",
+        spark=spark,
+        commit_protocol=proto,
+    )
+
+    def frame(n, start_day):
+        idx = pd.date_range("2021-01-01", periods=400, freq="D")[
+            start_day : start_day + n
+        ]
+        return pd.DataFrame(
+            {"A": rng.random(len(idx)), "B": rng.integers(0, 100, len(idx))},
+            index=idx,
+        )
+
+    model = None
+    evolved = []
+    first = frame(30, int(rng.integers(0, 300)))
+    s["K"] = first
+    model = first.copy()
+    model.columns = ["A", "B"]
+
+    for _step in range(8):
+        op = rng.choice(["append", "append", "compact", "vacuum", "evolve"])
+        if op == "append":
+            f = frame(int(rng.integers(1, 40)), int(rng.integers(0, 300)))
+            s["K"] += f
+            fm = f.copy()
+            fm.columns = ["A", "B"]
+            for c, dv in evolved:
+                fm[c] = dv
+            model = pd.concat([model, fm])
+            model = model[~model.index.duplicated(keep="first")]
+        elif op == "compact":
+            s.compact("K")
+        elif op == "vacuum":
+            s.vacuum("K", retention_sec=0)
+        elif op == "evolve" and len(evolved) < 2:
+            cname = f"X{len(evolved)}"
+            dv = float(len(evolved) + 1)
+            s.add_column(cname, float, dv)
+            evolved.append((cname, dv))
+            model[cname] = dv
+
+        out = s["K"][:]
+        expect = model.sort_index()
+        assert list(out.index) == list(expect.index), (op, _step)
+        for c in out.columns:
+            assert np.allclose(out[c].to_numpy(), expect[c].to_numpy()), (
+                op, _step, c,
+            )
