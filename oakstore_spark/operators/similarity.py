@@ -599,3 +599,143 @@ def pca_project(
         .mapInPandas(project, out_schema)
         .withColumnRenamed("pid", id_col)
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    dim: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    sample_rows: int = 20_000,
+    seed: int = 42,
+):
+    """Distributed spherical k-means: warm-start centroids from a
+    driver-side sample (:func:`_spherical_kmeans`), then Lloyd
+    iterations over the FULL corpus — the iterative-algorithm pattern
+    done the Spark way:
+
+    - each iteration broadcasts the (k x dim) centroid matrix and runs
+      ONE corpus pass: an Arrow-batched kernel assigns every vector
+      (one BLAS matmul per batch) and emits per-batch PARTIAL sums
+      (k rows of (cluster, count, sum-vector) per batch — map-side
+      combine, so the shuffle/collect is O(batches*k), never O(rows));
+    - the driver reduces the partials (numpy, k x dim — tiny),
+      renormalizes, and checks centroid movement for convergence;
+    - iteration count is bounded and data-independent per pass: total
+      cost = passes x one-scan, no multi-job graph per iteration.
+
+    Returns ``(centroids, assign_fn)`` where ``centroids`` is the final
+    unit-norm (k x dim) array and ``assign_fn(df)`` maps a DataFrame to
+    (id, cluster, sim) using the final centroids.
+    """
+    sample = corpus.select(vec_col)
+    n = sample.count()
+    if n == 0:
+        raise ValueError("empty corpus")
+    if n > sample_rows:
+        sample = sample.sample(fraction=min(1.0, sample_rows * 1.1 / n), seed=seed)
+    X = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in sample.collect()]
+    )
+    # maximin (k-means++-style) seeding on the sample: greedy
+    # farthest-point picks one seed per natural cluster instead of the
+    # uniform draw that routinely merges two clusters and splits another
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    chosen = [int(rng.randint(len(Xn)))]
+    for _ in range(min(k, len(Xn)) - 1):
+        sims = Xn @ Xn[chosen].T
+        chosen.append(int(sims.max(axis=1).argmin()))
+    C = Xn[chosen].copy()
+    # Lloyd on the sample to polish the warm start
+    for _ in range(5):
+        a = (Xn @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            m = Xn[a == c]
+            if len(m):
+                v = m.mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+    if len(C) < k:  # corpus smaller than k
+        C = np.vstack([C, Xn[: k - len(C)]])
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("vsum", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    spark = corpus.sparkSession
+    vecs = corpus.select(vec_col)
+    for _it in range(max_iter):
+        bc = spark.sparkContext.broadcast(C)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cb = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+                assign = (Bn @ Cb.T).argmax(axis=1)
+                rows = []
+                for c in np.unique(assign):
+                    members = Bn[assign == c]
+                    rows.append((int(c), len(members), list(members.sum(axis=0))))
+                yield pd.DataFrame(rows, columns=["cluster", "n", "vsum"])
+
+        agg = vecs.mapInPandas(partials, partial_schema).collect()
+        new_C = C.copy()
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
+        for r in agg:
+            sums[r["cluster"]] += np.asarray(r["vsum"])
+            counts[r["cluster"]] += r["n"]
+        for c in range(k):
+            if counts[c] > 0:
+                new_C[c] = sums[c] / max(np.linalg.norm(sums[c]), 1e-12)
+        move = float(np.abs(new_C - C).max())
+        C = new_C
+        if move < tol:
+            break
+
+    final = C
+
+    def assign_fn(df: DataFrame) -> DataFrame:
+        bc2 = df.sparkSession.sparkContext.broadcast(final)
+        out_schema = T.StructType(
+            [
+                T.StructField("aid", df.schema[id_col].dataType),
+                T.StructField("cluster", T.IntegerType()),
+                T.StructField("sim", T.DoubleType()),
+            ]
+        )
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cb = bc2.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+                S = Bn @ Cb.T
+                a = S.argmax(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "aid": pdf[id_col],
+                        "cluster": a.astype(np.int32),
+                        "sim": S[np.arange(len(a)), a],
+                    }
+                )
+
+        return (
+            df.select(id_col, vec_col)
+            .mapInPandas(assign, out_schema)
+            .withColumnRenamed("aid", id_col)
+        )
+
+    return final, assign_fn

@@ -507,3 +507,22 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(8)
         ],
     )
+
+
+@register("q_kmeans_clusters")
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means over the embeddings table
+    (maximin-seeded sample warm start -> broadcast-centroid Lloyd
+    passes with map-side partial sums -> final assignment). Rows-only
+    driver check (iterative, not SQL-expressible); planted-cluster
+    purity == 1.0 and seed-determinism are pinned in
+    tests/test_llm_ops.py::test_kmeans_refine_recovers_clusters."""
+    from oakstore_spark.operators.similarity import kmeans_refine
+
+    e = table(spark, sf_dir, "embeddings")
+    _C, assign = kmeans_refine(e, dim=64, k=16, max_iter=5)
+    out = assign(e)
+    return out.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("sim"), 4).alias("avg_sim"),
+    )

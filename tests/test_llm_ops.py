@@ -422,3 +422,27 @@ def test_pca_project_recovers_planted_subspace(spark):
     Yw = np.stack([np.asarray(v, dtype=np.float64) for v in W_.projected])
     cov = np.cov(Yw.T)
     assert np.allclose(cov, np.eye(3), atol=0.05)
+
+
+def test_kmeans_refine_recovers_clusters(spark, dense_clusters):
+    """8 planted clusters: the distributed refinement must converge to
+    centroids that assign every vector to its planted cluster (perfect
+    purity on this fixture) and be deterministic under the seed."""
+    import numpy as np
+
+    from oakstore_spark.operators.similarity import kmeans_refine
+
+    C, assign = kmeans_refine(dense_clusters, dim=32, k=8)
+    assert C.shape == (8, 32)
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+    out = assign(dense_clusters).toPandas()
+    out["planted"] = out.vec_id // 15
+    purity = (
+        out.groupby("planted")["cluster"]
+        .agg(lambda s: s.value_counts().iloc[0] / len(s))
+        .min()
+    )
+    assert purity == 1.0
+    # same seed -> identical centroids
+    C2, _ = kmeans_refine(dense_clusters, dim=32, k=8)
+    assert np.allclose(C, C2)
