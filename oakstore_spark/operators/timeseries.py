@@ -106,11 +106,11 @@ def asof_join(
     (ts, side) — right rows sort before left rows at equal ts, so the
     match is inclusive. One shuffle on `by`, no range-join explosion.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
 
     drop_rts = None
-    if tolerance_seconds is not None and right_ts_as is None:
+    if (tolerance_seconds is not None or direction == "nearest") and right_ts_as is None:
         right_ts_as = drop_rts = "_asof_rts"
 
     carried = list(value_cols)
@@ -136,20 +136,62 @@ def asof_join(
     )
     unioned = l2.unionByName(r2)
 
-    if direction == "backward":
-        order = [F.col(ts_col).asc(), F.col("_side").asc()]
+    if direction == "nearest":
+        # Both directions from ONE union: the backward running-last and
+        # the forward running-first share the hash partitioning on `by`
+        # (one exchange; the opposite sort orders cost one extra sort,
+        # not a second shuffle), then each left row keeps whichever
+        # match is closer in time — ties go backward (the earlier row).
+        w_b = (
+            W.partitionBy(*by)
+            .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        w_f = (
+            W.partitionBy(*by)
+            .orderBy(F.col(ts_col).desc(), F.col("_side").asc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        filled = unioned.select(
+            *by,
+            ts_col,
+            *left_only,
+            "_side",
+            *[F.last(c, ignorenulls=True).over(w_b).alias(f"_b_{c}") for c in carried],
+            *[F.last(c, ignorenulls=True).over(w_f).alias(f"_f_{c}") for c in carried],
+        ).filter(F.col("_side") == 1)
+        lts = F.unix_micros(F.col(ts_col))
+        d_b = lts - F.unix_micros(F.col(f"_b_{right_ts_as}"))
+        d_f = F.unix_micros(F.col(f"_f_{right_ts_as}")) - lts
+        take_b = F.col(f"_f_{right_ts_as}").isNull() | (
+            F.col(f"_b_{right_ts_as}").isNotNull() & (d_b <= d_f)
+        )
+        out = filled.select(
+            *by,
+            ts_col,
+            *left_only,
+            *[
+                F.when(take_b, F.col(f"_b_{c}"))
+                .otherwise(F.col(f"_f_{c}"))
+                .alias(c)
+                for c in carried
+            ],
+        )
     else:
-        order = [F.col(ts_col).desc(), F.col("_side").asc()]
-    w = W.partitionBy(*by).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+        if direction == "backward":
+            order = [F.col(ts_col).asc(), F.col("_side").asc()]
+        else:
+            order = [F.col(ts_col).desc(), F.col("_side").asc()]
+        w = W.partitionBy(*by).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
 
-    filled = unioned.select(
-        *by,
-        ts_col,
-        *left_only,
-        "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
-    )
-    out = filled.filter(F.col("_side") == 1).drop("_side")
+        filled = unioned.select(
+            *by,
+            ts_col,
+            *left_only,
+            "_side",
+            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        )
+        out = filled.filter(F.col("_side") == 1).drop("_side")
 
     if tolerance_seconds is not None:
         gap = F.abs(

@@ -375,3 +375,65 @@ def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
         F.sum("n").alias("n_events"),
     )
+
+
+@register(
+    "q_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT * FROM events WHERE event_type = 'view'),
+         b AS (
+           SELECT p.event_id, v.event_id AS b_id, v.ts AS b_ts
+           FROM p ASOF LEFT JOIN v
+             ON p.user_id = v.user_id AND p.ts >= v.ts
+         ),
+         f AS (
+           SELECT p.event_id, v.event_id AS f_id, v.ts AS f_ts
+           FROM p ASOF LEFT JOIN v
+             ON p.user_id = v.user_id AND p.ts <= v.ts
+         )
+    SELECT p.event_id AS purchase_id,
+           CASE WHEN f_ts IS NULL
+                  OR (b_ts IS NOT NULL
+                      AND epoch_us(p.ts) - epoch_us(b_ts)
+                          <= epoch_us(f_ts) - epoch_us(p.ts))
+                THEN b_id ELSE f_id END AS view_id,
+           CASE WHEN f_ts IS NULL
+                  OR (b_ts IS NOT NULL
+                      AND epoch_us(p.ts) - epoch_us(b_ts)
+                          <= epoch_us(f_ts) - epoch_us(p.ts))
+                THEN epoch_us(p.ts) - epoch_us(b_ts)
+                ELSE epoch_us(f_ts) - epoch_us(p.ts) END AS gap_us
+    FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each purchase matched to the temporally
+    CLOSEST view either side, ties to the earlier one. One shuffle on
+    user_id; both direction windows share the exchange. The oracle
+    emulates nearest with DuckDB's two directional ASOF joins plus the
+    same tie rule."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        ts_col="ts",
+        by=["user_id"],
+        value_cols=["view_id"],
+        direction="nearest",
+        right_ts_as="view_ts",
+    )
+    return joined.select(
+        "purchase_id",
+        "view_id",
+        (
+            F.abs(F.unix_micros("ts") - F.unix_micros("view_ts"))
+        ).alias("gap_us"),
+    )

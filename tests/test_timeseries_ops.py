@@ -208,3 +208,35 @@ def test_refresh_continuous_aggregate_equals_full_recompute(spark):
     # buckets 1 and 3 recomputed (bucket 3 gains the new 'b' group),
     # buckets 0 and 2 kept untouched: 4 'a' rows + 1 'b' row
     assert len(refreshed) == 5
+
+
+def test_asof_join_nearest_direction(spark):
+    """nearest picks the closer match either side; exact ties go to the
+    earlier (backward) row; one-sided cases degrade to that side."""
+    from datetime import datetime
+
+    from oakstore_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0, 10)),   # back@8 (d2) vs fwd@13 (d3) -> back
+         (1, datetime(2024, 1, 1, 0, 0, 12)),   # back@8 (d4) vs fwd@13 (d1) -> fwd
+         (1, datetime(2024, 1, 1, 0, 0, 3)),    # tie: back@1 (d2) vs fwd@5? no: back@1 d2, fwd@5 d2 -> tie -> back
+         (2, datetime(2024, 1, 1, 0, 0, 1))],   # no backward -> fwd
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0, 1), 101),
+         (1, datetime(2024, 1, 1, 0, 0, 5), 105),
+         (1, datetime(2024, 1, 1, 0, 0, 8), 108),
+         (1, datetime(2024, 1, 1, 0, 0, 13), 113),
+         (2, datetime(2024, 1, 1, 0, 0, 9), 209)],
+        "k long, ts timestamp, v long",
+    )
+    out = asof_join(
+        left, right, ts_col="ts", by=["k"], value_cols=["v"], direction="nearest"
+    ).toPandas().sort_values("ts").reset_index(drop=True)
+    by_ts = {r.ts.second: r.v for r in out.itertuples()}
+    assert by_ts[10] == 108   # 2s back beats 3s fwd
+    assert by_ts[12] == 113   # 1s fwd beats 4s back
+    assert by_ts[3] == 101    # exact tie (2s both) -> backward
+    assert by_ts[1] == 209    # key 2: nothing backward -> forward
