@@ -100,3 +100,47 @@ def balanced_mix_sample(
         .filter((F.col("f") >= 1.0) | (keyhex < F.col("thr")))
         .drop("f", "thr")
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Data-profiling rollup: one row per column with null count, exact
+    distinct count, and a value range — numeric columns profile their
+    values, timestamps their epoch seconds, strings their lengths (a
+    uniform double range for every type).
+
+    ONE aggregation pass computes every metric (a single row of
+    2 + 3*n_cols aggregates — partial/final hash agg, no per-column
+    scans), then a stack() unpivot emits the long form. At 100 TB this
+    is the cheapest complete profile possible: one scan, one exchange
+    of a single row. Exact distinct counts make the profile
+    oracle-checkable; swap in approx_count_distinct when cardinality
+    precision is not needed.
+    """
+    from pyspark.sql import types as T
+
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            v = F.unix_timestamp(F.col(c)).cast("double")
+        elif isinstance(dt, T.StringType):
+            v = F.length(F.col(c)).cast("double")
+        else:
+            v = F.col(c).cast("double")
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(v).alias(f"_mn_{c}"),
+            F.max(v).alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) "
+            "as (column, n_nulls, n_distinct, vmin, vmax)"
+        )
+    )

@@ -279,3 +279,53 @@ def q_shingle_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+@register(
+    "q_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS column,
+           count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS vmin,
+           CAST(max(o_orderkey) AS DOUBLE) AS vmax
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+           count(DISTINCT o_totalprice),
+           round(min(o_totalprice), 4), round(max(o_totalprice), 4)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           count(CASE WHEN o_orderdate IS NULL THEN 1 END),
+           count(DISTINCT o_orderdate),
+           CAST(epoch(min(o_orderdate)) AS DOUBLE),
+           CAST(epoch(max(o_orderdate)) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+           count(DISTINCT o_orderpriority),
+           CAST(min(len(o_orderpriority)) AS DOUBLE),
+           CAST(max(len(o_orderpriority)) AS DOUBLE)
+    FROM orders
+    """,
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (operators/curation.profile_table) over a
+    representative column mix: integer key, double measure, timestamp,
+    string. The oracle recomputes each column's profile independently."""
+    from oakstore_spark.operators.curation import profile_table
+
+    o = table(spark, sf_dir, "orders")
+    out = profile_table(
+        o, ["o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    )
+    return out.select(
+        "column",
+        "n_nulls",
+        "n_distinct",
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"),
+    )
