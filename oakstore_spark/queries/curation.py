@@ -329,3 +329,46 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vmin", 4).alias("vmin"),
         F.round("vmax", 4).alias("vmax"),
     )
+
+
+@register(
+    "q_winnow_fingerprints",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS nt
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(nt) - 4, 1) + 1),
+                            i -> substr(md5(substr(nt, i, 5)), 1, 16)) AS hs
+      FROM t
+    ), m AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                 i -> list_min(list_slice(hs, i,
+                        i + least(4, len(hs)) - 1))))) AS fps
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS INT) AS n_fp,
+           md5(array_to_string(fps, '')) AS fp_checksum
+    FROM m
+    """,
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection over every document — compared
+    by count AND an order-independent checksum of the selected hash
+    set, so one wrongly-selected window minimum on either engine is a
+    mismatch. Entirely array expressions: map-side, no shuffle."""
+    from oakstore_spark.operators.text import winnow_fingerprints
+
+    d = table(spark, sf_dir, "documents")
+    out = winnow_fingerprints(d)
+    return out.select(
+        "doc_id",
+        F.size("fps").cast("int").alias("n_fp"),
+        F.md5(F.encode(F.concat_ws("", "fps"), "UTF-8")).alias("fp_checksum"),
+    )
