@@ -268,21 +268,51 @@ class Store:
 
     # -- physical layout ----------------------------------------------------
 
-    def _layout_for_write(self, sdf: DataFrame) -> DataFrame:
+    def _layout_for_write(
+        self, sdf: DataFrame, cluster_by: list[str] | None = None
+    ) -> DataFrame:
         """Range-partition by the index so written files are time-disjoint
         and sorted — the Spark analogue of the reference's sorted 1M-row
         Dask chunks (store.py:174): gives parquet row-group min/max stats
-        maximal pruning power on range queries."""
+        maximal pruning power on range queries.
+
+        ``cluster_by`` re-sorts files by the given value columns instead
+        (then the index as tiebreak): file/row-group min-max stats
+        tighten on THOSE columns, so scans filtering on them skip files
+        — at the cost of looser index stats inside each year (year-level
+        partition pruning is unaffected). Use for items queried mostly
+        by value predicates; time-slice-heavy items keep the default."""
         idx = self._metadata.index_name
+        if cluster_by:
+            # range-partition AND sort on the cluster columns: each task
+            # (hence each written file) owns a disjoint slice of the
+            # clustered value space — within-partition sorting alone
+            # would leave every file spanning the full range. The sort
+            # LEADS with the partition column: the partitioned writer
+            # requires ordering by it and would otherwise insert its own
+            # sort, discarding the clustering order entirely.
+            return (
+                sdf.withColumn(_PARTITION_COL, F.year(F.col(idx)))
+                .repartitionByRange(*[F.col(c) for c in cluster_by])
+                .sortWithinPartitions(_PARTITION_COL, *cluster_by, idx)
+            )
+        # (_oak_year, idx) ordering == idx ordering (the year is a
+        # monotone function of the index), stated explicitly so the
+        # writer's required ordering is satisfied without an extra sort
         return (
             sdf.withColumn(_PARTITION_COL, F.year(F.col(idx)))
             .repartitionByRange(F.col(idx))
-            .sortWithinPartitions(idx)
+            .sortWithinPartitions(_PARTITION_COL, idx)
         )
 
-    def _write_parquet(self, sdf: DataFrame, path: Path) -> None:
+    def _write_parquet(
+        self,
+        sdf: DataFrame,
+        path: Path,
+        cluster_by: list[str] | None = None,
+    ) -> None:
         (
-            self._layout_for_write(sdf)
+            self._layout_for_write(sdf, cluster_by)
             .write.option("maxRecordsPerFile", _MAX_RECORDS_PER_FILE)
             .partitionBy(_PARTITION_COL)
             .parquet(str(path), mode="errorifexists")
@@ -451,11 +481,16 @@ class Store:
         finally:
             tmp.unlink(missing_ok=True)
 
-    def _write_generation(self, path: Path, sdf: DataFrame) -> dict[str, str]:
+    def _write_generation(
+        self,
+        path: Path,
+        sdf: DataFrame,
+        cluster_by: list[str] | None = None,
+    ) -> dict[str, str]:
         """Write one immutable data generation; returns its year map."""
         gen = uuid.uuid4().hex
         gen_dir = path / _DATA_DIR / gen
-        self._write_parquet(sdf, gen_dir)
+        self._write_parquet(sdf, gen_dir, cluster_by=cluster_by)
         return {
             d.name.split("=", 1)[1]: f"{_DATA_DIR}/{gen}/{d.name}"
             for d in sorted(gen_dir.glob(f"{_PARTITION_COL}=*"))
@@ -699,7 +734,12 @@ class Store:
 
     # -- EXT: maintenance ----------------------------------------------------
 
-    def compact(self, key: str, min_files_per_partition: int = 2) -> int:
+    def compact(
+        self,
+        key: str,
+        min_files_per_partition: int = 2,
+        cluster_by: list[str] | None = None,
+    ) -> int:
         """Rewrite fragmented year partitions into few sorted files.
 
         Repeated appends leave one file-set per append in each touched
@@ -709,11 +749,24 @@ class Store:
         append); others are untouched. Returns the number of partitions
         compacted. The 100 TB operational pattern: run periodically,
         per-partition, off the write path.
+
+        ``cluster_by=[col, ...]`` additionally re-CLUSTERS the data:
+        every partition is rewritten (the fragmentation gate is
+        bypassed — clustering is the point) with files sorted by the
+        given value columns, tightening their file/row-group min-max
+        stats so value-predicate scans skip files
+        (``_layout_for_write`` documents the trade-off).
         """
         path = self._item_path(key)
         if not path.exists():
             raise ValueError(f"key={key.upper()} does not exist")
         idx = self._metadata.index_name
+        if cluster_by is not None:
+            cluster_by = [c.upper() for c in cluster_by]
+            unknown = [c for c in cluster_by if c not in self._metadata.column_schema]
+            if unknown:
+                raise SchemaError(f"unknown cluster_by columns {unknown}")
+            min_files_per_partition = 0
 
         if self._is_manifest_item(path):
             version, mapping = self._latest_manifest(path)
@@ -729,7 +782,7 @@ class Store:
                     *self._manifest_paths(path, frag)
                 )
             ).select(idx, *self._metadata.column_schema)
-            new_years = self._write_generation(path, combined)
+            new_years = self._write_generation(path, combined, cluster_by=cluster_by)
             self._commit_manifest(
                 path, version + 1, {**mapping, **new_years}, operation="compact"
             )
@@ -754,7 +807,7 @@ class Store:
         )
         tmp = self._items_path / f".tmp-{key.upper()}-{uuid.uuid4().hex}"
         trash = self._items_path / f".trash-{key.upper()}-{uuid.uuid4().hex}"
-        self._write_parquet(combined, tmp)
+        self._write_parquet(combined, tmp, cluster_by=cluster_by)
         trash.mkdir()
         for part_dir in sorted(tmp.glob(f"{_PARTITION_COL}=*")):
             dest = path / part_dir.name

@@ -645,3 +645,52 @@ def test_manifest_history_log(mstore, ohlcv_data, monkeypatch):
     assert all(h["committed_at"] > 0 and h["n_years"] >= 1 for h in mstore.history("H"))
     mstore.vacuum("H", retention_sec=0)
     assert [h["version"] for h in mstore.history("H")] == [3]
+
+
+def test_compact_cluster_by_tightens_file_stats(store, monkeypatch):
+    """cluster_by rewrites files sorted by the value column: per-file
+    CLOSE ranges shrink from each-file-spans-everything to a partition
+    of the value space (the stat tightening that lets value-predicate
+    scans skip files)."""
+    import pyarrow.parquet as pq
+
+    import oakstore_spark.store as store_mod
+
+    rng = np.random.default_rng(5)
+    idx = pd.date_range("2022-01-01", periods=300, freq="D")
+    df = pd.DataFrame(
+        {"Open": np.ones(300), "High": np.ones(300), "Low": np.ones(300),
+         "Close": rng.permutation(300).astype(float),
+         "Volume": np.ones(300, dtype=int)},
+        index=idx,
+    )
+    monkeypatch.setattr(store_mod, "_MAX_RECORDS_PER_FILE", 60)
+    store["CLU"] = df
+
+    def close_width_sum():
+        item = store._item_path("CLU")
+        total, n = 0.0, 0
+        for f in sorted(item.rglob("*.parquet")):
+            md = pq.read_metadata(f)
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index("CLOSE")
+            lo = min(md.row_group(i).column(ci).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(ci).statistics.max
+                     for i in range(md.num_row_groups))
+            total += hi - lo
+            n += 1
+        return total, n
+
+    before, n_files = close_width_sum()
+    assert n_files >= 4  # the 60-row cap actually split files
+    pre = store["CLU"][:]
+    assert store.compact("CLU", cluster_by=["close"]) >= 1
+    after, n_after = close_width_sum()
+    assert n_after >= 4
+    # date-sorted files each span ~the full CLOSE range; clustered files
+    # partition it -> summed width drops by at least 2x
+    assert after < before / 2, (before, after)
+    pd.testing.assert_frame_equal(store["CLU"][:], pre)  # content unchanged
+    with pytest.raises(SchemaError):
+        store.compact("CLU", cluster_by=["nope"])
