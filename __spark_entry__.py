@@ -29,9 +29,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["q01_pricing_summary"](spark, _SMOKE_SF_DIR)
 
 
+def _rotation_order(names: list[str]) -> list[str]:
+    """Self-rotating registry order: the driver's correctness gate
+    checks a bounded window from the FRONT of this dict, so queries are
+    ordered by how much driver verification they have — never-checked
+    first, then ascending by (times checked, last round checked).
+    Every round the window automatically covers whatever accumulated
+    the least hard signal; no manual reordering between rounds."""
+    import glob
+    import json
+
+    checked: dict[str, list[int]] = {}
+    for p in sorted(glob.glob(str(Path(_REPO) / "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(Path(p).stem.split("_r")[-1])
+            for name in json.load(open(p)):
+                checked.setdefault(name, []).append(rnd)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+    reg_pos = {n: i for i, n in enumerate(names)}
+    return sorted(
+        names,
+        key=lambda n: (
+            len(checked.get(n, [])),
+            max(checked.get(n, [0])),
+            reg_pos[n],
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_q.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered by
+    driver-verification history (least-verified first; see
+    _rotation_order)."""
+    order = _rotation_order(list(_q.QUERIES))
+    return {n: _q.QUERIES[n] for n in order}
 
 
 def oracle_sql() -> dict[str, str]:
