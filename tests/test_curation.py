@@ -64,3 +64,17 @@ def test_balanced_mix_sample_deterministic_and_balanced(spark):
     # membership is a pure function of the id: repartitioning can't change it
     kept3 = balanced_mix_sample(df.repartition(7), "lang", "doc_id").toPandas()
     assert sorted(kept3.doc_id) == sorted(kept1.doc_id)
+
+
+def test_profile_table_counts_nulls_and_types(spark):
+    from oakstore_spark.operators.curation import profile_table
+
+    df = spark.createDataFrame(
+        [(1, None, "ab"), (2, 2.5, None), (None, 3.5, "abcd")],
+        "k long, v double, s string",
+    )
+    out = profile_table(df).toPandas().set_index("column")
+    assert out.loc["k", "n_nulls"] == 1 and out.loc["k", "n_distinct"] == 2
+    assert out.loc["v", "n_nulls"] == 1
+    assert (out.loc["v", "vmin"], out.loc["v", "vmax"]) == (2.5, 3.5)
+    assert (out.loc["s", "vmin"], out.loc["s", "vmax"]) == (2.0, 4.0)  # lengths

@@ -199,3 +199,18 @@ def test_tfidf_broadcasts_vocab_and_count(spark):
     assert plan.count("+- BroadcastHashJoin") == 1  # tf ⋈ doc-frequency
     assert plan.count("+- BroadcastNestedLoopJoin") == 1  # × 1-row count
     assert "SortMergeJoin" not in plan
+
+
+def test_join_strategy_hints_respected(spark):
+    """The engine exposes all three equi-join strategies; hints must
+    survive planning (broadcast is the optimizer default for small
+    sides, merge/shuffle_hash are the scale escape hatches when the
+    build side can't fit or stats mislead)."""
+    a = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    b = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    merge_plan = a.join(b.hint("merge"), "k")._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in merge_plan
+    shuffle_plan = a.join(b.hint("shuffle_hash"), "k")._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in shuffle_plan
+    bcast_plan = a.join(b.hint("broadcast"), "k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bcast_plan
