@@ -694,3 +694,29 @@ def test_compact_cluster_by_tightens_file_stats(store, monkeypatch):
     pd.testing.assert_frame_equal(store["CLU"][:], pre)  # content unchanged
     with pytest.raises(SchemaError):
         store.compact("CLU", cluster_by=["nope"])
+
+
+def test_manifest_reader_never_sees_torn_state(mstore, ohlcv_data):
+    """Readers racing a mid-flight append must observe either the old
+    or the new committed version — never a partial write (the manifest
+    is the single commit point)."""
+    import threading
+
+    mstore["TORN"] = ohlcv_data.head(50)
+    observed = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            observed.append(len(mstore["TORN"][:]))
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        mstore["TORN"] += ohlcv_data.head(80)
+        mstore["TORN"] += ohlcv_data.head(110)
+    finally:
+        stop.set()
+        t.join(30)
+    assert set(observed) <= {50, 80, 110}, sorted(set(observed))
+    assert len(observed) >= 3  # the reader actually raced the appends
