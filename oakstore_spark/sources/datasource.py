@@ -315,10 +315,17 @@ class OakStoreStreamReader(SimpleDataSourceStreamReader):
     def _mapping(self, version: int) -> dict[str, str]:
         if version == 0:
             return {}
-        doc = json.loads(
-            (self._item / _MANIFESTS_DIR_NAME / f"v{version:08d}.json").read_text()
-        )
-        return doc["years"]
+        mpath = self._item / _MANIFESTS_DIR_NAME / f"v{version:08d}.json"
+        if not mpath.exists():
+            # the checkpointed offset was vacuumed away — re-reading from
+            # version 0 would silently re-emit the whole item as inserts,
+            # so fail loudly; the operator restarts with a fresh
+            # checkpoint (and a retention window longer than downtime)
+            raise ValueError(
+                f"manifest v{version} no longer exists (vacuumed); "
+                "restart the stream from a fresh checkpoint"
+            )
+        return json.loads(mpath.read_text())["years"]
 
     def _latest_version(self) -> int:
         versions = [

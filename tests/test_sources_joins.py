@@ -282,3 +282,53 @@ def test_oakstore_datasource_bulk_write(spark, tmp_path):
         df.write.format("oakstore").mode("append").option(
             "path", str(base)
         ).option("key", "BULK").save()
+
+
+def test_oakstore_cdc_vacuumed_offset_fails_loudly(spark, tmp_path):
+    """A checkpoint pointing at a vacuumed manifest version must raise
+    (silent fallback would re-emit the whole item as fresh inserts)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from oakstore_spark import Store
+    from oakstore_spark.sources.datasource import OakStoreStreamReader
+
+    base = tmp_path / "cdc_vac"
+    s = Store(base_path=base, spark=spark, commit_protocol="manifest")
+    idx = pd.date_range("2022-01-01", periods=30, freq="D")
+    df = pd.DataFrame(
+        {"Open": np.ones(30), "High": np.ones(30), "Low": np.ones(30),
+         "Close": np.ones(30), "Volume": np.ones(30, dtype=int)},
+        index=idx,
+    )
+    s["V"] = df
+    s["V"] += pd.concat([df]).iloc[:10]  # v2 (no new rows, but a commit)
+    s.vacuum("V", retention_sec=0)  # drops v1
+    reader = OakStoreStreamReader(
+        s._item_path("V"), "DATE",
+        spark.read.parquet(str(s._item_path("V") / "_data")).schema,
+    )
+    with pytest.raises(ValueError, match="vacuumed"):
+        reader.readBetweenOffsets({"version": 1}, {"version": 2})
+
+
+def test_oakstore_bulk_write_empty_dataframe(spark, tmp_path):
+    """Bulk-creating from an empty DataFrame commits an empty manifest
+    that reads back as an empty item (not an error)."""
+    from oakstore_spark import Store
+    from oakstore_spark.sources.datasource import OakStoreDataSource
+
+    spark.dataSource.register(OakStoreDataSource)
+    base = tmp_path / "ds_empty"
+    Store(base_path=base, spark=spark)
+    empty = spark.createDataFrame(
+        [], "DATE timestamp, OPEN double, HIGH double, LOW double, "
+            "CLOSE double, VOLUME long"
+    )
+    (
+        empty.write.format("oakstore").mode("append")
+        .option("path", str(base)).option("key", "EMPTY").save()
+    )
+    s = Store(base_path=base, spark=spark)
+    assert len(s["EMPTY"][:]) == 0
