@@ -144,3 +144,55 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             "as (column, n_nulls, n_distinct, vmin, vmax)"
         )
     )
+
+
+def target_mix_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tokens_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Deterministic downsampling to a TARGET TOKEN MIXTURE: given
+    desired token-share weights per group (e.g. {"en": 0.6, "zh": 0.4}),
+    compute per-group keep fractions ``f_g = c * target_g / tokens_g``
+    with the largest feasible scale ``c = min_g tokens_g / target_g``
+    (so the binding group keeps everything and every other group
+    downsamples toward the target proportion), then apply the same
+    md5-threshold membership filter as :func:`balanced_mix_sample` —
+    map-side, engine-reproducible, no corpus shuffle.
+
+    Kept token counts are binomial around the target shares; groups
+    absent from ``targets`` are dropped (weight 0).
+    """
+    tgt = F.create_map(
+        *[x for kv in targets.items() for x in (F.lit(kv[0]), F.lit(float(kv[1])))]
+    )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.sum(tokens_col).cast("double").alias("toks"))
+        .withColumn("tgt", tgt[F.col(group_col)])
+        .filter(F.col("tgt").isNotNull() & (F.col("tgt") > 0))
+    )
+    c = counts.agg(F.min(F.col("toks") / F.col("tgt")).alias("c"))
+    frac = counts.crossJoin(F.broadcast(c)).select(
+        group_col,
+        (F.col("c") * F.col("tgt") / F.col("toks")).alias("f"),
+        F.lpad(
+            F.lower(
+                F.hex(
+                    F.floor(F.col("c") * F.col("tgt") / F.col("toks") * F.lit(4294967296))
+                )
+            ),
+            8,
+            "0",
+        ).alias("thr"),
+    )
+    keyhex = F.substring(
+        F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 8
+    )
+    return (
+        df.join(F.broadcast(frac), group_col)
+        .filter((F.col("f") >= 1.0) | (keyhex < F.col("thr")))
+        .drop("f", "thr")
+    )

@@ -372,3 +372,56 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fps").cast("int").alias("n_fp"),
         F.md5(F.encode(F.concat_ws("", "fps"), "UTF-8")).alias("fp_checksum"),
     )
+
+
+@register(
+    "q_target_mix",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+      FROM documents
+    ), counts AS (
+      SELECT lang, CAST(sum(toks) AS DOUBLE) AS toks,
+             CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.3
+                       WHEN 'de' THEN 0.2 END AS tgt
+      FROM tok GROUP BY lang
+    ), feasible AS (
+      SELECT * FROM counts WHERE tgt IS NOT NULL AND tgt > 0
+    ), scale AS (
+      SELECT min(toks / tgt) AS c FROM feasible
+    ), thr AS (
+      SELECT lang, c * tgt / toks AS f,
+             lpad(lower(to_hex(CAST(floor(c * tgt / toks * 4294967296)
+                                    AS BIGINT))), 8, '0') AS t8
+      FROM feasible, scale
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(toks) AS BIGINT) AS kept_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM tok JOIN thr USING (lang)
+    WHERE f >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < t8
+    GROUP BY lang
+    """,
+)
+def q_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted target mixture (en 50% / zh 30% / de 20% of kept
+    tokens): the binding domain keeps everything, the rest downsample
+    deterministically toward the target shares. Exact kept-set parity
+    with the oracle (counts, token sums, and id checksum)."""
+    from oakstore_spark.functions.text import token_count
+    from oakstore_spark.operators.curation import target_mix_sample
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "toks", token_count("text")
+    )
+    kept = target_mix_sample(
+        d, "lang", "doc_id", "toks", {"en": 0.5, "zh": 0.3, "de": 0.2}
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("toks").cast("bigint").alias("kept_tokens"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )

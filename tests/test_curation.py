@@ -78,3 +78,32 @@ def test_profile_table_counts_nulls_and_types(spark):
     assert out.loc["v", "n_nulls"] == 1
     assert (out.loc["v", "vmin"], out.loc["v", "vmax"]) == (2.5, 3.5)
     assert (out.loc["s", "vmin"], out.loc["s", "vmax"]) == (2.0, 4.0)  # lengths
+
+
+def test_target_mix_sample_hits_token_shares(spark):
+    """Synthetic corpus with lopsided token mass: kept token shares
+    land near the requested mixture, the binding group keeps all rows,
+    and membership is deterministic."""
+    rows = []
+    did = 0
+    for g, n_docs, toks in (("a", 400, 100), ("b", 100, 100), ("c", 50, 100)):
+        for _ in range(n_docs):
+            rows.append((did, g, toks))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, g string, toks long")
+    from oakstore_spark.operators.curation import target_mix_sample
+
+    targets = {"a": 0.4, "b": 0.4, "c": 0.2}
+    kept = target_mix_sample(df, "g", "doc_id", "toks", targets).toPandas()
+    tok_by_g = kept.groupby("g")["toks"].sum()
+    # binding group: b has 10000 tokens / 0.4 target -> c = 25000; c's
+    # quota = 5000 = all of c -> both b and c keep everything
+    assert tok_by_g["b"] == 10_000
+    assert tok_by_g["c"] == 5_000
+    # a downsamples toward 10000 tokens (binomial: 100 draws, p=0.25)
+    assert 6_000 <= tok_by_g["a"] <= 14_000, tok_by_g["a"]
+    kept2 = target_mix_sample(df, "g", "doc_id", "toks", targets).toPandas()
+    assert sorted(kept2.doc_id) == sorted(kept.doc_id)
+    # absent group weight -> dropped entirely
+    kept3 = target_mix_sample(df, "g", "doc_id", "toks", {"a": 1.0}).toPandas()
+    assert set(kept3.g) == {"a"}
