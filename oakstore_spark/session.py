@@ -44,9 +44,6 @@ def get_spark(app_name: str = "oakstore_spark", shuffle_partitions: int | None =
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # lets Python DataSources (sources/datasource.py) absorb range
-        # predicates at planning time instead of post-scan re-filtering
-        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

@@ -15,7 +15,11 @@ properties a custom source must get right at 100 TB:
   column are absorbed by the source — whole YEAR partitions outside the
   bounds are pruned from the file listing (never become tasks), and the
   per-file reader passes the residual range to pyarrow as a row filter.
-  Spark re-applies nothing the source absorbed.
+  Spark re-applies nothing the source absorbed. Requires
+  ``spark.sql.python.filterPushdown.enabled=true`` — set it per session
+  where oakstore-source reads run, NOT globally: measured ~20% planning
+  overhead on EVERY query when the flag is on (it inserts an extra
+  planning phase), so the engine's default session leaves it off.
 
 The reader yields Arrow ``RecordBatch`` objects (zero-copy into Spark's
 Arrow pipeline), never Python rows.

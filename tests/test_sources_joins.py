@@ -82,6 +82,7 @@ def test_oakstore_datasource_reads_item(spark, tmp_path):
     from oakstore_spark.sources.datasource import OakStoreDataSource
 
     spark.dataSource.register(OakStoreDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     idx = pd.date_range("2020-06-01", periods=400, freq="D")  # spans 2 years
     df = pd.DataFrame(
         {"Open": np.arange(400.0), "High": np.arange(400.0),
@@ -119,6 +120,7 @@ def test_oakstore_datasource_filter_pushdown_prunes(spark, tmp_path):
     from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
 
     spark.dataSource.register(OakStoreDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     base = tmp_path / "ds_push"
     s = Store(base_path=base, spark=spark)
     idx = pd.date_range("2019-01-01", periods=1100, freq="D")  # 2019-2022
@@ -216,6 +218,7 @@ def test_oakstore_datasource_reads_evolved_schema(spark, tmp_path):
     from oakstore_spark.sources.datasource import OakStoreDataSource
 
     spark.dataSource.register(OakStoreDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     base = tmp_path / "ds_evolved"
     s = Store(base_path=base, spark=spark)
     idx = pd.date_range("2023-01-01", periods=20, freq="D")
