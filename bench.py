@@ -49,20 +49,32 @@ def main() -> None:
         _noop_batches, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in sorted(qs):
+    def time_once(name: str) -> float:
         t0 = time.time()
         try:
             run_query(qs[name](spark, sf_dir))
-            timings[name] = round(time.time() - t0, 2)
+            return round(time.time() - t0, 2)
         except Exception as e:  # noqa: BLE001
             print(f"bench error {name}: {e}", file=sys.stderr)
-            timings[name] = -1.0
+            return -1.0
         finally:
             # operators persist() intermediates (LSH signatures, prefix
             # postings); drop them so queries are timed independently and
             # cache memory doesn't accumulate across the whole suite
             spark.catalog.clearCache()
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        t1 = time_once(name)
+        # min-of-two for non-trivial queries: single-shot wall times at
+        # this scale carry 10-20% run-to-run noise (GC, page cache),
+        # which otherwise swamps real per-round regressions; sub-0.3s
+        # queries are stable enough to keep the suite's wall cost down
+        if t1 >= 0.3:
+            t2 = time_once(name)
+            timings[name] = min(t1, t2) if t2 >= 0 else t1
+        else:
+            timings[name] = t1
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
     store = bench_store(spark, sf)
