@@ -31,14 +31,12 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import all query submodules (idempotent).
 
-    Import order sets registry order, and registry order is the order
-    the driver's bounded correctness window (~first 50 entries) walks.
-    The order ROTATES each round so every query family accumulates
-    driver-verified rows across consecutive rounds: round 1 ended with
-    the LLM modules unchecked, round 2 led with them (leaving the
-    relational/TPC-H 45 to a judge re-run), so round 3 leads with the
-    relational/timeseries/TPC-H block and parks the LLM modules (all
-    driver-green in CORRECTNESS_r02.json) at the back.
+    Import order only sets the REGISTRATION order (a stable tiebreak).
+    The order the driver's bounded correctness window actually walks is
+    produced by ``__spark_entry__._rotation_order``, which sorts
+    queries by their accumulated driver-verification history
+    (never-checked first) — so the window self-rotates each round with
+    no manual reordering here.
     """
     from oakstore_spark.queries import relational  # noqa: F401
     from oakstore_spark.queries import relational_ext  # noqa: F401
