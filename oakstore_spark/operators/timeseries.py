@@ -398,3 +398,39 @@ def refresh_continuous_aggregate(
     )
     kept = rollup.join(F.broadcast(dirty), bucket_col, "left_anti")
     return kept.unionByName(fresh)
+
+
+def grouped_ewma(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    alpha: float,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average, recursive form
+    (``y_0 = x_0; y_t = alpha*x_t + (1-alpha)*y_{t-1}``) — inherently
+    sequential per key, so it runs as a grouped-map pandas UDF
+    (pandas ``ewm(adjust=False)``, a C loop) over one shuffle on the
+    keys. The standard smoothing pass for noisy metrics/sensor streams;
+    window functions cannot express the recursion.
+    Returns keys + ``rn`` (1-based time rank per key) + ``ewma``."""
+    from pyspark.sql import types as T
+
+    order_cols = [ts_col, *(order_tiebreak or [])]
+    fields = [df.schema[k] for k in keys]
+    out_schema = T.StructType(
+        [*fields, T.StructField("rn", T.LongType()), T.StructField("ewma", T.DoubleType())]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        y = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        out = pdf[keys].copy()
+        out["rn"] = range(1, len(pdf) + 1)
+        out["ewma"] = y.to_numpy()
+        return out
+
+    return df.select(*keys, *order_cols, value_col).groupBy(*keys).applyInPandas(
+        kernel, out_schema
+    )

@@ -437,3 +437,36 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.unix_micros("ts") - F.unix_micros("view_ts"))
         ).alias("gap_us"),
     )
+
+
+@register(
+    "q_ewma_user",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), rec AS (
+      SELECT user_id, rn, value AS y FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, 0.3 * o.value + 0.7 * r.y
+      FROM ordered o JOIN rec r
+        ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, rn, round(y, 6) AS ewma FROM rec
+    """,
+)
+def q_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=0.3) — a genuinely recursive analytic: the
+    Spark side runs the pandas C recursion per key (grouped-map UDF,
+    one shuffle), and the ORACLE is a recursive CTE stepping the same
+    recurrence row by row. Both evaluate alpha*x + (1-alpha)*y_prev in
+    the same order, so values agree to rounding."""
+    from oakstore_spark.operators.timeseries import grouped_ewma
+
+    e = table(spark, sf_dir, "events")
+    out = grouped_ewma(
+        e, "ts", ["user_id"], "value", alpha=0.3, order_tiebreak=["event_id"]
+    )
+    return out.select("user_id", "rn", F.round("ewma", 6).alias("ewma"))
