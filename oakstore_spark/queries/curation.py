@@ -425,3 +425,40 @@ def q_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks").cast("bigint").alias("kept_tokens"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+@register(
+    "q_train_val_test_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang, doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM assigned
+    GROUP BY lang, split
+    """,
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment: the first md5
+    byte of the doc id partitions the hash space at 0xcc (204/256) and
+    0xe6 (230/256). Membership is a pure function of the id — map-side,
+    stable across runs/engines/partitionings, and adding documents never
+    reassigns existing ones (the property random splits lack)."""
+    d = table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 2)
+    assigned = d.select(
+        "lang",
+        "doc_id",
+        F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test").alias("split"),
+    )
+    return assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
