@@ -85,3 +85,41 @@ def write_table(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    target_shard_mb: int = 64,
+    compression: str = "gzip",
+    sample_rows: int = 2_000,
+    seed: int = 42,
+) -> int:
+    """Training-data delivery: write the DataFrame as size-targeted
+    compressed JSONL shards (the layout data loaders stream). Spark's
+    writer caps files by ROW count, so the byte target is translated:
+    a bounded sample estimates the mean serialized row size, and
+    ``maxRecordsPerFile`` is set to ``target_bytes / mean_row_bytes``
+    (shards land within ~2x of target under realistic size variance —
+    exact byte packing would force a single-writer pass). Rows are
+    spread with a round-robin repartition sized to the estimated total
+    so shard count, not input partitioning, drives file layout.
+    Returns the estimated rows-per-shard cap used."""
+    n = df.count()
+    if n == 0:
+        df.write.mode("overwrite").option("compression", compression).json(path)
+        return 0
+    sample = df.limit(sample_rows).toJSON().collect()
+    mean_row = max(sum(len(r) + 1 for r in sample) / max(len(sample), 1), 1.0)
+    if compression == "gzip":
+        mean_row /= 4  # conservative text-compression estimate
+    rows_per_shard = max(int(target_shard_mb * 1024 * 1024 / mean_row), 1)
+    n_shards = max((n + rows_per_shard - 1) // rows_per_shard, 1)
+    (
+        df.repartition(int(n_shards))
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", rows_per_shard)
+        .json(path)
+    )
+    return rows_per_shard

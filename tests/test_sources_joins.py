@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import functions as F
 
 from oakstore_spark.operators.joins import salted_join
@@ -335,3 +337,19 @@ def test_oakstore_bulk_write_empty_dataframe(spark, tmp_path):
     )
     s = Store(base_path=base, spark=spark)
     assert len(s["EMPTY"][:]) == 0
+
+
+def test_export_jsonl_shards_roundtrip_and_sizing(spark, tmp_path):
+    from oakstore_spark.sources import table
+    from oakstore_spark.sources.ingest import export_jsonl_shards
+
+    d = table(spark, "/root/testdata/sf0.01", "documents")
+    out = str(tmp_path / "shards")
+    export_jsonl_shards(d, out, target_shard_mb=1, compression="gzip")
+    files = sorted(Path(out).glob("part-*.json.gz"))
+    assert len(files) >= 1
+    back = spark.read.json(out)
+    assert back.count() == d.count()
+    assert set(back.columns) == set(d.columns)
+    # no shard wildly over target (2x tolerance per the estimator doc)
+    assert max(f.stat().st_size for f in files) < 2 * 1024 * 1024
