@@ -481,6 +481,40 @@ class Store:
         finally:
             tmp.unlink(missing_ok=True)
 
+    def fsck(self, key: str) -> dict:
+        """EXT: integrity check of an item against its manifest — are
+        all referenced data files present, and does each live year dir
+        contain exactly the files the writer left? Returns
+        ``{"ok": bool, "missing": [...], "years_checked": N}``. Detects
+        partial deletions (someone rm'd inside a live generation) and
+        interrupted restores before a query fails mid-scan. Rename
+        items (no manifest inventory) get a structural check only:
+        every year dir must hold at least one parquet file."""
+        path = self._item_path(key)
+        if not path.exists():
+            raise ValueError(f"key={key.upper()} does not exist")
+        missing: list[str] = []
+        if not self._is_manifest_item(path):
+            years = sorted(path.glob(f"{_PARTITION_COL}=*"))
+            for ydir in years:
+                if not any(ydir.glob("*.parquet")):
+                    missing.append(str(ydir))
+            return {
+                "ok": not missing,
+                "missing": missing,
+                "years_checked": len(years),
+            }
+        _, mapping = self._latest_manifest(path)
+        for year, rel in sorted(mapping.items()):
+            ydir = path / rel
+            if not ydir.is_dir() or not any(ydir.glob("*.parquet")):
+                missing.append(str(ydir))
+        return {
+            "ok": not missing,
+            "missing": missing,
+            "years_checked": len(mapping),
+        }
+
     def _write_generation(
         self,
         path: Path,

@@ -720,3 +720,25 @@ def test_manifest_reader_never_sees_torn_state(mstore, ohlcv_data):
         t.join(30)
     assert set(observed) <= {50, 80, 110}, sorted(set(observed))
     assert len(observed) >= 3  # the reader actually raced the appends
+
+
+def test_fsck_detects_deleted_live_files(mstore, store, ohlcv_data):
+    """fsck is green on a healthy item and flags a live year dir whose
+    parquet files were deleted out from under the manifest."""
+    import shutil as _shutil
+
+    mstore["FS"] = ohlcv_data.head(50)
+    assert mstore.fsck("FS") == {"ok": True, "missing": [], "years_checked": 1}
+    _, mapping = mstore._latest_manifest(mstore._item_path("FS"))
+    victim = mstore._item_path("FS") / next(iter(mapping.values()))
+    for f in victim.glob("*.parquet"):
+        f.unlink()
+    rep = mstore.fsck("FS")
+    assert not rep["ok"] and rep["missing"] == [str(victim)]
+
+    store["FS2"] = ohlcv_data.head(30)
+    assert store.fsck("FS2")["ok"]
+    ydir = next(store._item_path("FS2").glob("_oak_year=*"))
+    for f in ydir.glob("*.parquet"):
+        f.unlink()
+    assert not store.fsck("FS2")["ok"]
