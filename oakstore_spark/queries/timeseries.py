@@ -470,3 +470,58 @@ def q_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "ts", ["user_id"], "value", alpha=0.3, order_tiebreak=["event_id"]
     )
     return out.select("user_id", "rn", F.round("ewma", 6).alias("ewma"))
+
+
+@register(
+    "q_point_in_time_features",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           v.event_id AS last_view_id,
+           c.event_id AS last_click_id,
+           round(coalesce(v.value, 0.0) + coalesce(c.value, 0.0), 4)
+             AS feat_sum
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join: a label spine (purchases)
+    enriched with the latest value of EACH feature table as of the
+    spine timestamp — no feature leakage from the future. Composes the
+    union+window as-of join once per feature table; every pass shuffles
+    on the same user_id key, so AQE reuses the partitioning."""
+    e = table(spark, sf_dir, "events")
+    spine = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("last_view_id"),
+        F.col("value").alias("view_value"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("event_id").alias("last_click_id"),
+        F.col("value").alias("click_value"),
+    )
+    step1 = asof_join(
+        spine, views, ts_col="ts", by=["user_id"],
+        value_cols=["last_view_id", "view_value"],
+    )
+    step2 = asof_join(
+        step1, clicks, ts_col="ts", by=["user_id"],
+        value_cols=["last_click_id", "click_value"],
+    )
+    return step2.select(
+        "purchase_id",
+        "last_view_id",
+        "last_click_id",
+        F.round(
+            F.coalesce(F.col("view_value"), F.lit(0.0))
+            + F.coalesce(F.col("click_value"), F.lit(0.0)),
+            4,
+        ).alias("feat_sum"),
+    )

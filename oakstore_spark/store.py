@@ -445,6 +445,33 @@ class Store:
             )
         return out
 
+    def restore(self, key: str, version: int) -> int:
+        """EXT: roll the item back to an earlier committed version —
+        METADATA-ONLY, like Delta's RESTORE: the old version's year
+        mapping is re-published as a NEW manifest version (generations
+        are immutable, so nothing is copied; the rolled-back state and
+        the history both survive). Fails if the target version was
+        vacuumed. Returns the new version number."""
+        path = self._item_path(key)
+        if not path.exists():
+            raise ValueError(f"key={key.upper()} does not exist")
+        if not self._is_manifest_item(path):
+            raise ValueError(
+                f"key={key.upper()} uses the rename protocol (no history)"
+            )
+        mpath = path / _MANIFESTS_DIR / f"v{version:08d}.json"
+        if not mpath.exists():
+            raise ValueError(
+                f"key={key.upper()} has no version {version} "
+                f"(committed: {self.versions(key)})"
+            )
+        mapping = json.loads(mpath.read_text())["years"]
+        latest, _cur = self._latest_manifest(path)
+        # restored generations must survive the next vacuum: they are
+        # referenced by the NEW latest manifest, so the live set is right
+        self._commit_manifest(path, latest + 1, mapping, operation="restore")
+        return latest + 1
+
     def _commit_manifest(
         self,
         path: Path,

@@ -742,3 +742,20 @@ def test_fsck_detects_deleted_live_files(mstore, store, ohlcv_data):
     for f in ydir.glob("*.parquet"):
         f.unlink()
     assert not store.fsck("FS2")["ok"]
+
+
+def test_manifest_restore_rolls_back(mstore, ohlcv_data):
+    """restore() re-publishes an old version's mapping as the new
+    latest (metadata-only rollback); vacuum keeps the restored data."""
+    mstore["RB"] = ohlcv_data.head(50)
+    mstore["RB"] += ohlcv_data.head(80)
+    assert len(mstore["RB"][:]) == 80
+    new_v = mstore.restore("RB", 1)
+    assert new_v == 3
+    assert len(mstore["RB"][:]) == 50  # rolled back
+    ops = [h["operation"] for h in mstore.history("RB")]
+    assert ops == ["write", "append", "restore"]
+    mstore.vacuum("RB", retention_sec=0)
+    assert len(mstore["RB"][:]) == 50  # restored generation survived
+    with pytest.raises(ValueError, match="no version 9"):
+        mstore.restore("RB", 9)
