@@ -240,3 +240,49 @@ def test_asof_join_nearest_direction(spark):
     assert by_ts[12] == 113   # 1s fwd beats 4s back
     assert by_ts[3] == 101    # exact tie (2s both) -> backward
     assert by_ts[1] == 209    # key 2: nothing backward -> forward
+
+
+def test_asof_nearest_differential_vs_pandas(spark):
+    """Randomized differential: direction='nearest' must agree with
+    pandas merge_asof(direction='nearest') per key (timestamps drawn
+    continuous so exact ties — where tie-break conventions could differ
+    — don't occur)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(99)
+    base = pd.Timestamp("2024-01-01")
+
+    def frame(n, vcol):
+        ts = base + pd.to_timedelta(
+            np.sort(rng.choice(10_000_000, size=n, replace=False)), unit="us"
+        )
+        return pd.DataFrame(
+            {"k": rng.integers(0, 4, n), "ts": ts, vcol: np.arange(n)}
+        )
+
+    left = frame(300, "lid")
+    right = frame(200, "val")
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    from oakstore_spark.operators.timeseries import asof_join
+
+    got = (
+        asof_join(sl, sr, ts_col="ts", by=["k"], value_cols=["val"],
+                  direction="nearest")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    expect = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts"),
+        on="ts",
+        by="k",
+        direction="nearest",
+    ).sort_values("lid").reset_index(drop=True)
+    got_map = dict(zip(got.lid, got.val))
+    exp_map = dict(zip(expect.lid, expect.val))
+    for lid in exp_map:
+        e, g = exp_map[lid], got_map[lid]
+        assert (pd.isna(e) and pd.isna(g)) or e == g, (lid, e, g)
