@@ -353,3 +353,31 @@ def test_export_jsonl_shards_roundtrip_and_sizing(spark, tmp_path):
     assert set(back.columns) == set(d.columns)
     # no shard wildly over target (2x tolerance per the estimator doc)
     assert max(f.stat().st_size for f in files) < 2 * 1024 * 1024
+
+
+def test_json_ingest_quarantines_corrupt_records(spark, tmp_path):
+    """Real feeds carry malformed lines: PERMISSIVE mode + an explicit
+    _corrupt_record column keeps good rows flowing and quarantines the
+    bad ones for inspection instead of failing the job (FAILFAST) or
+    silently dropping them (DROPMALFORMED)."""
+    src = tmp_path / "feed.jsonl"
+    src.write_text(
+        '{"id": 1, "v": 10.5}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "v": 20.5}\n'
+        '{"id": 3, "v": "not_a_number"}\n'
+    )
+    df = read_json(
+        spark,
+        str(src),
+        schema="id bigint, v double, _corrupt_record string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()  # required: corrupt-record queries need the full row materialized
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2
+    assert sorted(r["id"] for r in good.collect()) == [1, 2]
+    assert bad.count() == 2  # the non-JSON line and the bad cast
+    assert any("NOT JSON" in r["_corrupt_record"] for r in bad.collect())
+    df.unpersist()
