@@ -88,3 +88,46 @@ def test_dedup_clusters_two_components(spark):
     )
     out = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_correctness_comparator_detects_mutations():
+    """The oracle comparator itself must catch every mutation class it
+    claims to check (guards against a harness that vacuously passes)."""
+    import importlib.util
+    from pathlib import Path
+
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "check_correctness",
+        Path(__file__).resolve().parent.parent / "tools" / "check_correctness.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    compare = mod.compare
+
+    base = pd.DataFrame({"k": [1, 2, 3], "v": [1.5, 2.5, 3.5], "s": list("abc")})
+    assert compare("ok", base.copy(), base.copy()) == []
+
+    short = base.iloc[:2].copy()
+    assert any("rowcount" in p for p in compare("rows", short, base))
+
+    renamed = base.rename(columns={"v": "w"})
+    assert any("columns" in p for p in compare("cols", renamed, base))
+
+    flipped = base.copy()
+    flipped.loc[1, "v"] = 9.9
+    assert any("float-MISMATCH" in p for p in compare("float", flipped, base))
+
+    tweaked = base.copy()
+    tweaked.loc[0, "s"] = "z"
+    assert any(p.startswith("value col=s") for p in compare("str", tweaked, base))
+
+    # row order must NOT matter (canonicalization)
+    shuffled = base.iloc[[2, 0, 1]].reset_index(drop=True)
+    assert compare("order", shuffled, base) == []
+    # tiny float noise is reported as inexact, not silently passed
+    noisy = base.copy()
+    noisy["v"] = noisy["v"] + 1e-13
+    out = compare("noise", noisy, base)
+    assert out and all("inexact" in p for p in out)
