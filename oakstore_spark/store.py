@@ -575,7 +575,15 @@ class Store:
 
     # -- append + dedup (parity: store.py:214-236) --------------------------
 
-    def _append(self, *, key: str, data) -> None:
+    def upsert(self, key: str, data) -> None:
+        """EXT: append with NEW-WINS dedup — the corrections path.
+        ``store[k] += df`` keeps the first-written row on index
+        collisions (the reference's intent); ``upsert`` replaces it
+        with the incoming row (MERGE ... WHEN MATCHED THEN UPDATE).
+        Same partition-pruned cost profile as append."""
+        self._append(key=key, data=data, new_wins=True)
+
+    def _append(self, *, key: str, data, new_wins: bool = False) -> None:
         """Append + dedup touching ONLY the year partitions the new data
         lands in.
 
@@ -592,7 +600,10 @@ class Store:
             raise ValueError(f"key={key.upper()} does not exist, (use write instead?)")
 
         idx = self._metadata.index_name
-        new = self._normalize(data).withColumn("_oak_prio", F.lit(1))
+        # priority orders the dedup: old-wins (append, reference intent)
+        # gives old rows prio 0 < new 1; new-wins (upsert) inverts it
+        new_prio = 0 if new_wins else 1
+        new = self._normalize(data).withColumn("_oak_prio", F.lit(new_prio))
         # metadata-scale action: the distinct years of the incoming batch
         years = [r[0] for r in new.select(F.year(F.col(idx))).distinct().collect()]
         manifest = self._is_manifest_item(path)
@@ -634,7 +645,7 @@ class Store:
                             ).parquet(*self._manifest_paths(path, touched))
                         )
                         .select(idx, *self._metadata.column_schema)
-                        .withColumn("_oak_prio", F.lit(0))
+                        .withColumn("_oak_prio", F.lit(1 - new_prio))
                     )
                 else:
                     old = new.limit(0)
@@ -659,7 +670,7 @@ class Store:
             )
             .filter(F.col(_PARTITION_COL).isin(years))  # partition pruning
             .select(idx, *self._metadata.column_schema)
-            .withColumn("_oak_prio", F.lit(0))
+            .withColumn("_oak_prio", F.lit(1 - new_prio))
         )
         combined = dedup(old)
 

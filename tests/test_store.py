@@ -759,3 +759,19 @@ def test_manifest_restore_rolls_back(mstore, ohlcv_data):
     assert len(mstore["RB"][:]) == 50  # restored generation survived
     with pytest.raises(ValueError, match="no version 9"):
         mstore.restore("RB", 9)
+
+
+def test_upsert_new_wins(store, mstore, ohlcv_data):
+    """upsert replaces colliding index rows with the incoming values
+    (new wins) under both protocols; append still keeps old."""
+    for s in (store, mstore):
+        s["UP"] = ohlcv_data.head(10)
+        fix = ohlcv_data.head(3).copy()
+        fix["Close"] = 777.0
+        s.upsert("UP", fix)
+        out = s["UP"][:]
+        assert len(out) == 10
+        assert (out["CLOSE"].head(3) == 777.0).all()  # corrected
+        assert (out["CLOSE"].iloc[3:] != 777.0).all()  # untouched
+        s["UP"] += fix.assign(Close=111.0)  # append: old (corrected) wins
+        assert (s["UP"][:]["CLOSE"].head(3) == 777.0).all()
