@@ -996,6 +996,68 @@ class Store:
             raise ValueError(f"key={key.upper()} does not exist")
         shutil.rmtree(path)
 
+    def delete_range(self, key: str, start: datetime, end: datetime) -> int:
+        """EXT: delete rows with ``start <= index <= end`` (inclusive,
+        matching the query bounds). Partition-pruned like append: only
+        year partitions intersecting the range are rewritten (filtered
+        to the surviving rows); everything else is untouched. Manifest
+        items commit a new version ("delete" in the history — and since
+        generations are immutable, the deleted rows remain reachable
+        through snapshot()/restore() until vacuum). Returns the number
+        of rows deleted."""
+        path = self._item_path(key)
+        if not path.exists():
+            raise ValueError(f"key={key.upper()} does not exist")
+        idx = self._metadata.index_name
+        years = list(range(start.year, end.year + 1))
+        in_range = (F.col(idx) >= F.lit(start)) & (F.col(idx) <= F.lit(end))
+
+        if self._is_manifest_item(path):
+            version, mapping = self._latest_manifest(path)
+            touched = {str(y): mapping[str(y)] for y in years if str(y) in mapping}
+            if not touched:
+                return 0
+            scan = self._fill_defaults(
+                self._spark.read.schema(self._declared_read_schema()).parquet(
+                    *self._manifest_paths(path, touched)
+                )
+            ).select(idx, *self._metadata.column_schema)
+            n_del = scan.filter(in_range).count()
+            if n_del == 0:
+                return 0
+            survivors = scan.filter(~in_range)
+            new_years = self._write_generation(path, survivors)
+            # a touched year whose rows ALL died has no new dir: remove
+            # it from the mapping instead of carrying the old data
+            merged = {
+                y: rel for y, rel in {**mapping, **new_years}.items()
+                if y not in touched or y in new_years
+            }
+            self._commit_manifest(path, version + 1, merged, operation="delete")
+            return n_del
+
+        scan = self._fill_defaults(
+            self._spark.read.schema(self._declared_read_schema()).parquet(str(path))
+        ).filter(F.col(_PARTITION_COL).isin(years))
+        n_del = scan.filter(in_range).count()
+        if n_del == 0:
+            return 0
+        survivors = scan.filter(~in_range).select(idx, *self._metadata.column_schema)
+        tmp = self._items_path / f".tmp-{key.upper()}-{uuid.uuid4().hex}"
+        trash = self._items_path / f".trash-{key.upper()}-{uuid.uuid4().hex}"
+        self._write_parquet(survivors, tmp)
+        trash.mkdir()
+        for y in years:
+            dest = path / f"{_PARTITION_COL}={y}"
+            if dest.exists():
+                os.rename(dest, trash / dest.name)
+            src = tmp / f"{_PARTITION_COL}={y}"
+            if src.exists():
+                os.rename(src, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(trash)
+        return n_del
+
     # -- EXT: cross-section over many items ---------------------------------
 
     def read_multi(self, keys: list[str] | None = None,

@@ -775,3 +775,35 @@ def test_upsert_new_wins(store, mstore, ohlcv_data):
         assert (out["CLOSE"].iloc[3:] != 777.0).all()  # untouched
         s["UP"] += fix.assign(Close=111.0)  # append: old (corrected) wins
         assert (s["UP"][:]["CLOSE"].head(3) == 777.0).all()
+
+
+def test_delete_range_inclusive_and_pruned(store, mstore, ohlcv_data):
+    """delete_range removes exactly the inclusive window under both
+    protocols; untouched years keep their files (rename protocol), and
+    manifest history records the delete."""
+    import os as _os
+
+    data = ohlcv_data.head(600)  # spans ~1986-1988
+    for s in (store, mstore):
+        s["DR"] = data
+        lo = data.index[100].to_pydatetime()
+        hi = data.index[199].to_pydatetime()
+        n = s.delete_range("DR", lo, hi)
+        assert n == 100
+        out = s["DR"][:]
+        assert len(out) == 500
+        assert not ((out.index >= lo) & (out.index <= hi)).any()
+        assert s.delete_range("DR", lo, hi) == 0  # idempotent
+
+    # rename protocol: a year fully outside the range is untouched
+    item = store._item_path("DR")
+    late_year = sorted(item.glob("_oak_year=*"))[-1]
+    before = {f.name: f.stat().st_mtime_ns for f in late_year.glob("*.parquet")}
+    lo2 = data.index[0].to_pydatetime()
+    store.delete_range("DR", lo2, lo2)
+    after = {f.name: f.stat().st_mtime_ns for f in late_year.glob("*.parquet")}
+    assert before == after
+
+    assert [h["operation"] for h in mstore.history("DR")][-1] == "delete"
+    # time travel still sees the pre-delete rows
+    assert mstore.snapshot("DR", 1).count() == 600
