@@ -462,3 +462,74 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+@register(
+    "q_term_pmi",
+    oracle="""
+    WITH docterms AS (
+      SELECT DISTINCT doc_id, t AS term
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      WHERE t <> ''
+    ), n_docs AS (
+      SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM docterms
+    ), tf AS (
+      SELECT term, count(*) AS df FROM docterms GROUP BY 1
+    ), pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+      FROM docterms a JOIN docterms b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2
+    )
+    SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
+           round(ln((n_ab / n) / ((fa.df / n) * (fb.df / n))), 4) AS pmi
+    FROM pairs
+    JOIN tf fa ON fa.term = term_a
+    JOIN tf fb ON fb.term = term_b
+    CROSS JOIN n_docs
+    WHERE n_ab >= 50
+    """,
+)
+def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of term pairs co-occurring in the
+    same document — the classic collocation/association score. Distinct
+    doc-term pairs self-join PER DOCUMENT (never a global cross join;
+    at 100 TB you additionally cap per-doc distinct terms and hash the
+    pair key), document frequencies broadcast back onto the pair
+    counts."""
+    d = table(spark, sf_dir, "documents")
+    docterms = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    n_docs = docterms.select("doc_id").distinct().count()
+    tf = docterms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    a = docterms.select("doc_id", F.col("term").alias("term_a"))
+    b = docterms.select("doc_id", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 50)
+    )
+    fa = tf.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    fb = tf.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    n = float(n_docs)
+    return (
+        pairs.join(F.broadcast(fa), "term_a")
+        .join(F.broadcast(fb), "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.lit(n))
+                    / ((F.col("df_a") / F.lit(n)) * (F.col("df_b") / F.lit(n)))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
