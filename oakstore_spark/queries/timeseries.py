@@ -525,3 +525,47 @@ def q_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("feat_sum"),
     )
+
+
+@register(
+    "q_conversion_lag_histogram",
+    oracle="""
+    WITH conv AS (
+      SELECT p.event_id, epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND p.ts >= v.ts
+    )
+    SELECT CAST(least(floor(lag_us / 3600000000.0), 24) AS BIGINT)
+             AS lag_hours_bucket,
+           count(*) AS n_conversions
+    FROM conv
+    GROUP BY 1
+    """,
+)
+def q_conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: as-of join (each purchase's latest prior view) into
+    an hour-bucketed conversion-lag histogram, capped at 24h+ — the
+    attribution-lag distribution a growth team reads daily. Inner as-of
+    (unconverted purchases drop out), pure integer bucketing."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    j = asof_join(
+        purchases, views, ts_col="ts", by=["user_id"],
+        value_cols=["view_id"], right_ts_as="view_ts",
+    ).filter(F.col("view_id").isNotNull())
+    lag_us = F.unix_micros("ts") - F.unix_micros("view_ts")
+    return (
+        j.select(
+            F.least(F.floor(lag_us / 3_600_000_000.0), F.lit(24))
+            .cast("bigint")
+            .alias("lag_hours_bucket")
+        )
+        .groupBy("lag_hours_bucket")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+    )
