@@ -162,7 +162,16 @@ def winnow_fingerprints(
     posexplode+window formulation at sf0.01). Fingerprints are emitted
     as the zero-padded 16-hex-char strings, on which lexicographic
     order == the uint64 order — so any engine with md5 reproduces the
-    selection exactly. Map-side; no shuffle.
+    selection exactly.
+
+    Two scale levers: (a) gram hashes are memoized per task — natural
+    text repeats most k-grams, so the md5 call count drops from
+    O(total chars) to O(distinct grams) (~6x fewer at sf0.1); (b) a
+    small input relation (fewer splits than cores, e.g. one parquet
+    file) is round-robin rebalanced to defaultParallelism first so the
+    kernel uses every core — at real scale the scan already has
+    thousands of splits and the rebalance is skipped, keeping the op
+    map-side with no shuffle.
     Returns (id_col, fps array<string> sorted)."""
     import hashlib
 
@@ -182,14 +191,22 @@ def winnow_fingerprints(
         import pandas as pd
 
         md5 = hashlib.md5
+        memo: dict = {}
         for pdf in batches:
+            if len(memo) > 2_000_000:  # bound task memory (~200 MB worst case)
+                memo.clear()
             ids, fp_lists = [], []
             for did, nt in zip(pdf["_id"], pdf["_nt"]):
                 b = nt.encode("utf-8")
                 n = max(len(b) - (k - 1), 1)
                 hs = np.empty(n, dtype=np.uint64)
                 for i in range(n):
-                    hs[i] = int.from_bytes(md5(b[i : i + k]).digest()[:8], "big")
+                    g = b[i : i + k]
+                    h = memo.get(g)
+                    if h is None:
+                        h = int.from_bytes(md5(g).digest()[:8], "big")
+                        memo[g] = h
+                    hs[i] = h
                 if n >= w:
                     mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(
                         axis=1
@@ -204,4 +221,7 @@ def winnow_fingerprints(
     nt = df.select(
         F.col(id_col).alias("_id"), normalize_text(text_col).alias("_nt")
     )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if nt.rdd.getNumPartitions() < par:
+        nt = nt.repartition(par)
     return nt.mapInPandas(kernel, out_schema).withColumnRenamed("wid", id_col)

@@ -286,3 +286,49 @@ def test_asof_nearest_differential_vs_pandas(spark):
     for lid in exp_map:
         e, g = exp_map[lid], got_map[lid]
         assert (pd.isna(e) and pd.isna(g)) or e == g, (lid, e, g)
+
+
+def test_grouped_ewma_carry_across_arrow_batches(spark):
+    """grouped_ewma's mapInPandas kernel carries (key, y, rn) state
+    across Arrow batch boundaries. Force 7-row batches so every
+    partition splits mid-group, and pin exact parity with pandas'
+    groupby().ewm(adjust=False) ground truth."""
+    import numpy as np
+    import pandas as pd
+
+    from oakstore_spark.operators.timeseries import grouped_ewma
+
+    rng = np.random.default_rng(7)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.permutation(n), unit="s"),
+            "v": rng.normal(0, 10, n),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        got = (
+            grouped_ewma(sdf, "ts", ["k"], "v", alpha=0.3)
+            .toPandas()
+            .sort_values(["k", "rn"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    exp = pdf.sort_values(["k", "ts"]).reset_index(drop=True)
+    exp["ewma"] = exp.groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=0.3, adjust=False).mean()
+    )
+    exp["rn"] = exp.groupby("k").cumcount() + 1
+    exp = exp.sort_values(["k", "rn"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["rn"].to_numpy() == exp["rn"].to_numpy()).all()
+    np.testing.assert_allclose(
+        got["ewma"].to_numpy(), exp["ewma"].to_numpy(), rtol=1e-12
+    )
