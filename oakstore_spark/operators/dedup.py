@@ -870,3 +870,82 @@ def dedup_clusters(
             break
         prev = cur
     return labels.select("id", "cluster_id")
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_words: int = 8,
+) -> DataFrame:
+    """Span-level exact-substring deduplication at word granularity (the
+    ExactSubstr idea from Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", word-block form): chop every document into
+    consecutive non-overlapping ``block_words``-word blocks, find blocks
+    whose exact text repeats anywhere in the corpus, and KEEP only the
+    first occurrence (lowest (doc_id, block_idx)) — every later repeat
+    is cut out of its document. Unlike the document-level dedup family
+    (exact/minhash/simhash/jaccard, above), this removes repeated
+    boilerplate SPANS from otherwise-unique documents.
+
+    Plan (the 100 TB shape — no Python in the hot path):
+    1. block construction is pure JVM array algebra on the split words:
+       ``transform(sequence(...), i -> concat_ws(' ', slice(words, ...)))``
+       then one ``posexplode`` — no window, no shuffle;
+    2. global repeat detection groups the 32-byte md5 of each block
+       (map-side partial agg; the shuffle carries digests + one packed
+       first-occurrence key, never block text);
+    3. survivors join back on the digest (AQE handles the skew of a
+       viral block) and each document reassembles with
+       ``array_sort(collect_list(struct(idx, text)))`` — one shuffle on
+       doc_id, the same key the scan is usually already bucketed by.
+
+    The first-occurrence rule packs (doc_id, block_idx) into a single
+    orderable BIGINT (doc_id * 2^20 + idx, idx < 2^20 asserted) so the
+    keeper is a plain ``min`` — SQL-portable for the oracle.
+
+    Returns (id_col, clean_text, n_blocks, n_kept) — n_kept < n_blocks
+    flags documents that lost at least one repeated span.
+    """
+    words = F.split(normalize_text(text_col), " ")
+    n_blocks = F.greatest(
+        F.ceil(F.size(words) / F.lit(block_words)).cast("long"), F.lit(1)
+    )
+    block_texts = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * block_words + 1, block_words)
+        ),
+    )
+    blocks = df.select(
+        F.col(id_col), F.posexplode(block_texts).alias("block_idx", "block_text")
+    ).withColumn("digest", F.md5("block_text"))
+    # packed first-occurrence key: doc-major, block-minor
+    packed = (F.col(id_col).cast("long") * (1 << 20)) + F.col("block_idx")
+    firsts = blocks.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min(packed).alias("keeper")
+    )
+    kept = (
+        blocks.join(firsts, "digest")
+        .where((F.col("cnt") == 1) | (packed == F.col("keeper")))
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("block_idx", "block_text"))
+                    ),
+                    lambda s: s["block_text"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    totals = df.select(F.col(id_col), n_blocks.alias("n_blocks"))
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_blocks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )

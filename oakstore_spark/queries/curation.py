@@ -533,3 +533,62 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@register(
+    "q_span_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS nt
+      FROM documents
+    ), w AS (
+      SELECT doc_id, str_split(nt, ' ') AS ws,
+             greatest(CAST(ceil(len(str_split(nt, ' ')) / 8.0) AS BIGINT),
+                      1) AS n_blocks
+      FROM t
+    ), b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, n_blocks),
+               i -> struct_pack(
+                 bi := i,
+                 bt := array_to_string(
+                         list_slice(ws, CAST(i * 8 + 1 AS BIGINT),
+                                    CAST(i * 8 + 8 AS BIGINT)), ' ')
+               ))) AS s
+      FROM w
+    ), bx AS (
+      SELECT doc_id, s.bi AS block_idx, s.bt AS block_text FROM b
+    ), f AS (
+      SELECT block_text, count(*) AS cnt,
+             min(doc_id * 1048576 + block_idx) AS keeper
+      FROM bx GROUP BY 1
+    ), kept AS (
+      SELECT bx.doc_id,
+             string_agg(bx.block_text, ' ' ORDER BY bx.block_idx)
+               AS clean_text,
+             count(*) AS n_kept
+      FROM bx JOIN f USING (block_text)
+      WHERE f.cnt = 1 OR bx.doc_id * 1048576 + bx.block_idx = f.keeper
+      GROUP BY bx.doc_id
+    )
+    SELECT w.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           w.n_blocks,
+           coalesce(k.n_kept, 0) AS n_kept
+    FROM w LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (Lee et al. ExactSubstr, word-
+    block form): repeated 8-word blocks are cut from every document
+    except their first corpus occurrence. Compared by the FULL
+    reassembled text of every document, so one wrongly kept/cut block
+    on either engine mismatches. See operators/dedup.py:span_dedup for
+    the 100 TB plan shape (JVM block algebra, digest-only shuffle,
+    doc_id reassembly)."""
+    from oakstore_spark.operators.dedup import span_dedup
+
+    d = table(spark, sf_dir, "documents")
+    return span_dedup(d, "doc_id", "text", block_words=8)

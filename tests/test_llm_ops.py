@@ -446,3 +446,37 @@ def test_kmeans_refine_recovers_clusters(spark, dense_clusters):
     # same seed -> identical centroids
     C2, _ = kmeans_refine(dense_clusters, dim=32, k=8)
     assert np.allclose(C, C2)
+
+
+def test_span_dedup_cuts_repeats_keeps_first(spark):
+    """Planted 8-word boilerplate shared by three docs: the first
+    occurrence (lowest doc_id, lowest block_idx) survives, the later
+    two are cut; unique spans are untouched; a doc that is ENTIRELY
+    repeated text is emptied."""
+    from oakstore_spark.operators.dedup import span_dedup
+
+    boiler = "subscribe to our newsletter for all the updates"  # 8 words
+    uniq = {
+        1: "alpha bravo charlie delta echo foxtrot golf hotel",
+        2: "india juliet kilo lima mike november oscar papa",
+        3: "quebec romeo sierra tango uniform victor whiskey xray",
+    }
+    rows = [
+        (1, f"{uniq[1]} {boiler}"),          # boiler at block 1 -> kept (first)
+        (2, f"{boiler} {uniq[2]}"),          # boiler at block 0 -> cut
+        (3, f"{uniq[3]} {boiler}"),          # cut
+        (4, boiler),                          # doc is ONLY the repeat -> emptied
+    ]
+    out = {
+        r.doc_id: r
+        for r in span_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]), block_words=8
+        ).collect()
+    }
+    assert out[1].clean_text == f"{uniq[1]} {boiler}"
+    assert out[1].n_blocks == 2 and out[1].n_kept == 2
+    assert out[2].clean_text == uniq[2]
+    assert out[2].n_kept == 1
+    assert out[3].clean_text == uniq[3]
+    assert out[4].clean_text == "" and out[4].n_kept == 0
+    assert out[4].n_blocks == 1
