@@ -689,3 +689,64 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
         )
     )
+
+
+@register(
+    "q_compound_growth_sql",
+    oracle="""
+    WITH RECURSIVE y AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(sum(o_totalprice) AS DOUBLE) AS rev,
+             row_number() OVER (ORDER BY CAST(year(o_orderdate) AS INT))
+               AS rn
+      FROM orders GROUP BY 1
+    ), idx(rn, yr, rev, i) AS (
+      SELECT rn, yr, rev, CAST(100.0 AS DOUBLE) FROM y WHERE rn = 1
+      UNION ALL
+      SELECT y.rn, y.yr, y.rev, idx.i * (y.rev / idx.rev)
+      FROM idx JOIN y ON y.rn = idx.rn + 1
+    )
+    SELECT yr, round(rev, 2) AS rev, round(i, 4) AS comp_index FROM idx
+    """,
+)
+def q_compound_growth_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new SQL surface in Spark 4): a compounded yearly
+    revenue index I_1 = 100, I_n = I_{n-1} * (rev_n / rev_{n-1}) — the
+    recurrence is genuinely sequential (like EWMA), here expressed in
+    PURE SQL with ``WITH RECURSIVE`` and checked against DuckDB running
+    the SAME recursion. Both engines multiply identical doubles in
+    identical order, so values agree exactly.
+
+    Scale note: Spark executes one micro-job per recursion step, so
+    recursion must be over a SMALL derived relation with bounded depth
+    — here the per-year aggregate (computed once, cached, depth ~= #
+    years), never the fact table. The 80-month variant measured 16 s
+    against a cached relation purely on per-iteration scheduling; for
+    long chains use grouped_ewma-style mapInPandas carry instead
+    (operators/timeseries.py)."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    y = (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.sum("o_totalprice").cast("double").alias("rev"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("yr")))
+    )
+    # the recursion re-reads this relation once per step; the returned
+    # DataFrame is lazy, so the cache must outlive this function (a
+    # ~7-row cached relation; dropped with the temp view on reuse)
+    y.cache().count()
+    y.createOrReplaceTempView("_oak_yearly_rev")
+    return spark.sql(
+        """
+        WITH RECURSIVE idx(rn, yr, rev, i) AS (
+          SELECT rn, yr, rev, CAST(100.0 AS DOUBLE)
+          FROM _oak_yearly_rev WHERE rn = 1
+          UNION ALL
+          SELECT y.rn, y.yr, y.rev, idx.i * (y.rev / idx.rev)
+          FROM idx JOIN _oak_yearly_rev y ON y.rn = idx.rn + 1
+        )
+        SELECT yr, round(rev, 2) AS rev, round(i, 4) AS comp_index
+        FROM idx
+        """
+    )
