@@ -123,3 +123,27 @@ def export_jsonl_shards(
         .json(path)
     )
     return rows_per_shard
+
+
+def read_binary_files(
+    spark,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Opaque-media ingest via Spark's ``binaryFile`` source: one row
+    per file with (path, modificationTime, length, content BINARY) —
+    the front door for image/audio/video corpora, feeding the
+    multimodal decode kernels (operators/multimodal.py) downstream.
+
+    Scale notes: ``pathGlobFilter`` prunes non-matching files at LISTING
+    time (they are never opened); each file must fit in one task
+    (the source does not split files), which matches media objects —
+    shard giant archives upstream. Listing parallelizes across the
+    driver-side thread pool and file reads across executors."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)

@@ -299,3 +299,44 @@ def test_video_metadata_real_avi_ladder(spark):
     assert out.loc[1, "duration_sec"] == pytest.approx(240 * (1_000_000 // 24) / 1e6)
     assert out.loc[2, "codec"] == "assumed_chunks"
     assert out.loc[2, "n_frames"] == 2  # 8192 / 4096
+
+
+def test_binary_file_source_ingest_and_decode(spark, tmp_path):
+    """binaryFile-source ingest of a mixed media directory: the glob
+    prunes non-matching files at listing time, content arrives as an
+    opaque binary column, and the pure-stdlib decoders recover the
+    exact media properties written."""
+    import numpy as np
+
+    from oakstore_spark.operators.multimodal import (
+        decode_png,
+        decode_wav,
+        encode_gray_png,
+        encode_wav_pcm16,
+    )
+    from oakstore_spark.sources import read_binary_files
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.png").write_bytes(
+        encode_gray_png(np.arange(48, dtype=np.uint8).reshape(6, 8))
+    )
+    (media / "b.png").write_bytes(
+        encode_gray_png(np.zeros((3, 5), dtype=np.uint8))
+    )
+    (media / "c.wav").write_bytes(
+        encode_wav_pcm16(np.zeros(400, dtype=np.int16), sample_rate=8000)
+    )
+    (media / "junk.txt").write_bytes(b"not media")
+
+    pngs = read_binary_files(spark, str(media), glob="*.png")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in pngs.collect()}
+    assert set(rows) == {"a.png", "b.png"}  # txt + wav pruned by glob
+    w, h, gray = decode_png(bytes(rows["a.png"].content))
+    assert (w, h) == (8, 6) and gray.shape == (6, 8)
+    assert rows["a.png"].length == len(bytes(rows["a.png"].content))
+
+    wavs = read_binary_files(spark, str(media), glob="*.wav").collect()
+    assert len(wavs) == 1
+    n_ch, rate, bits, n_frames, dur = decode_wav(bytes(wavs[0].content))
+    assert (n_ch, rate, bits, n_frames) == (1, 8000, 16, 400)
