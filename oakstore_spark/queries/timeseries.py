@@ -8,6 +8,7 @@ is the oracle for our union+window implementation).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from oakstore_spark.operators.timeseries import asof_join, resample, rolling, sessionize
@@ -568,4 +569,71 @@ def q_conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("lag_hours_bucket")
         .agg(F.count(F.lit(1)).alias("n_conversions"))
+    )
+
+
+@register(
+    "q_scd2_user_state",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), seg AS (
+      SELECT user_id, ts, event_type,
+             sum(CASE WHEN prev_type IS NULL
+                        OR prev_type <> event_type THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS seg_id
+      FROM o
+    ), spans AS (
+      SELECT user_id, seg_id, min(event_type) AS state,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM seg GROUP BY user_id, seg_id
+    )
+    SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg_id)
+             AS valid_to,
+           n_events
+    FROM spans
+    """,
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval build: collapse each user's event stream
+    into contiguous same-event-type runs with (valid_from, valid_to]
+    validity — the standard islands-and-gaps construction for slowly
+    changing dimensions (lag -> change flag -> running-sum segment id
+    -> lead for the closing bound; NULL valid_to = current state).
+    Three window passes + one agg all over the SAME user_id hash
+    partitioning, so Catalyst reuses one exchange end to end."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "seg_id", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+    )
+    spans = seg.groupBy("user_id", "seg_id").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("seg_id")
+    return spans.select(
+        "user_id",
+        F.col("seg_id").cast("bigint").alias("seg_id"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
     )
