@@ -54,9 +54,10 @@ from datetime import datetime
 from pathlib import Path
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from oakstore_spark.errors import ConcurrentCommitError, ItemKeyError, SchemaError
 from oakstore_spark.schema import DEFAULT_COLUMN_SCHEMA, DEFAULT_INDEX_NAME, Metadata
@@ -268,8 +269,65 @@ class Store:
 
     # -- physical layout ----------------------------------------------------
 
+    def _zorder_expr(self, sdf: DataFrame, cols: list[str]) -> Column:
+        """Z-value (Morton code) of the given numeric/temporal columns:
+        each value is min-max scaled to a ``bits``-wide integer rank
+        (one small stats job over the data being rewritten), and the
+        ranks' bits are interleaved into one orderable LONG — a static
+        JVM expression tree (shiftright/and/or per bit), no UDF. Nulls
+        rank 0. Strings are rejected: a truncated-prefix rank would
+        silently break locality, so the caller should cluster on an
+        explicit numeric surrogate instead."""
+        n = len(cols)
+        bits = max(1, min(16, 63 // n))
+        for c in cols:
+            dt = sdf.schema[c].dataType
+            if not isinstance(
+                dt,
+                (
+                    T.NumericType,
+                    T.TimestampType,
+                    T.TimestampNTZType,
+                    T.DateType,
+                ),
+            ):
+                raise SchemaError(
+                    f"zorder column {c} has non-orderable-numeric type {dt}"
+                )
+        aggs = []
+        for c in cols:
+            d = F.col(c).cast("double")
+            aggs += [F.min(d).alias(f"mn_{c}"), F.max(d).alias(f"mx_{c}")]
+        row = sdf.agg(*aggs).first()
+        levels = (1 << bits) - 1
+        z = F.lit(0).cast("long")
+        for i, c in enumerate(cols):
+            mn = row[f"mn_{c}"]
+            mx = row[f"mx_{c}"]
+            if mn is None:  # all-null column: contributes nothing
+                continue
+            span = (mx - mn) or 1.0
+            scaled = F.least(
+                F.lit(levels).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    (
+                        (F.col(c).cast("double") - F.lit(float(mn)))
+                        / F.lit(float(span))
+                        * levels
+                    ).cast("long"),
+                ),
+            )
+            for b in range(bits):
+                bit = F.shiftright(scaled, b).bitwiseAND(F.lit(1).cast("long"))
+                z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+        return z
+
     def _layout_for_write(
-        self, sdf: DataFrame, cluster_by: list[str] | None = None
+        self,
+        sdf: DataFrame,
+        cluster_by: list[str] | None = None,
+        zorder: bool = False,
     ) -> DataFrame:
         """Range-partition by the index so written files are time-disjoint
         and sorted — the Spark analogue of the reference's sorted 1M-row
@@ -281,8 +339,26 @@ class Store:
         tighten on THOSE columns, so scans filtering on them skip files
         — at the cost of looser index stats inside each year (year-level
         partition pruning is unaffected). Use for items queried mostly
-        by value predicates; time-slice-heavy items keep the default."""
+        by value predicates; time-slice-heavy items keep the default.
+
+        ``zorder=True`` interleaves the cluster columns onto a Z-curve
+        instead of sorting them lexicographically: linear multi-column
+        clustering gives the SECOND column no locality (every file
+        spans its full range), while the Z-curve tiles the value space
+        so a conjunctive box predicate on ALL cluster columns skips
+        files on every dimension at once (the Delta/Iceberg OPTIMIZE
+        ZORDER layout). Single-column clustering should stay linear —
+        the curve only pays off across >= 2 dimensions."""
         idx = self._metadata.index_name
+        if cluster_by and zorder:
+            z = self._zorder_expr(sdf, cluster_by)
+            return (
+                sdf.withColumn(_PARTITION_COL, F.year(F.col(idx)))
+                .withColumn("_oak_z", z)
+                .repartitionByRange(F.col("_oak_z"))
+                .sortWithinPartitions(_PARTITION_COL, "_oak_z", idx)
+                .drop("_oak_z")
+            )
         if cluster_by:
             # range-partition AND sort on the cluster columns: each task
             # (hence each written file) owns a disjoint slice of the
@@ -310,9 +386,10 @@ class Store:
         sdf: DataFrame,
         path: Path,
         cluster_by: list[str] | None = None,
+        zorder: bool = False,
     ) -> None:
         (
-            self._layout_for_write(sdf, cluster_by)
+            self._layout_for_write(sdf, cluster_by, zorder)
             .write.option("maxRecordsPerFile", _MAX_RECORDS_PER_FILE)
             .partitionBy(_PARTITION_COL)
             .parquet(str(path), mode="errorifexists")
@@ -547,11 +624,12 @@ class Store:
         path: Path,
         sdf: DataFrame,
         cluster_by: list[str] | None = None,
+        zorder: bool = False,
     ) -> dict[str, str]:
         """Write one immutable data generation; returns its year map."""
         gen = uuid.uuid4().hex
         gen_dir = path / _DATA_DIR / gen
-        self._write_parquet(sdf, gen_dir, cluster_by=cluster_by)
+        self._write_parquet(sdf, gen_dir, cluster_by=cluster_by, zorder=zorder)
         return {
             d.name.split("=", 1)[1]: f"{_DATA_DIR}/{gen}/{d.name}"
             for d in sorted(gen_dir.glob(f"{_PARTITION_COL}=*"))
@@ -811,6 +889,7 @@ class Store:
         key: str,
         min_files_per_partition: int = 2,
         cluster_by: list[str] | None = None,
+        zorder: bool = False,
     ) -> int:
         """Rewrite fragmented year partitions into few sorted files.
 
@@ -828,7 +907,14 @@ class Store:
         given value columns, tightening their file/row-group min-max
         stats so value-predicate scans skip files
         (``_layout_for_write`` documents the trade-off).
+
+        ``zorder=True`` (with >= 2 ``cluster_by`` columns) lays files
+        on the Morton curve of those columns instead of a linear sort —
+        conjunctive box predicates then prune on every clustered
+        dimension at once. See ``_layout_for_write``/``_zorder_expr``.
         """
+        if zorder and not cluster_by:
+            raise ValueError("zorder=True requires cluster_by columns")
         path = self._item_path(key)
         if not path.exists():
             raise ValueError(f"key={key.upper()} does not exist")
@@ -854,7 +940,9 @@ class Store:
                     *self._manifest_paths(path, frag)
                 )
             ).select(idx, *self._metadata.column_schema)
-            new_years = self._write_generation(path, combined, cluster_by=cluster_by)
+            new_years = self._write_generation(
+                path, combined, cluster_by=cluster_by, zorder=zorder
+            )
             self._commit_manifest(
                 path, version + 1, {**mapping, **new_years}, operation="compact"
             )
@@ -879,7 +967,7 @@ class Store:
         )
         tmp = self._items_path / f".tmp-{key.upper()}-{uuid.uuid4().hex}"
         trash = self._items_path / f".trash-{key.upper()}-{uuid.uuid4().hex}"
-        self._write_parquet(combined, tmp, cluster_by=cluster_by)
+        self._write_parquet(combined, tmp, cluster_by=cluster_by, zorder=zorder)
         trash.mkdir()
         for part_dir in sorted(tmp.glob(f"{_PARTITION_COL}=*")):
             dest = path / part_dir.name

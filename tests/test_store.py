@@ -807,3 +807,68 @@ def test_delete_range_inclusive_and_pruned(store, mstore, ohlcv_data):
     assert [h["operation"] for h in mstore.history("DR")][-1] == "delete"
     # time travel still sees the pre-delete rows
     assert mstore.snapshot("DR", 1).count() == 600
+
+
+def test_compact_zorder_prunes_boxes_better_than_linear(store, monkeypatch):
+    """Z-order vs linear multi-column clustering: for a conjunctive box
+    predicate on (HIGH, VOLUME), linear cluster_by=['high','volume']
+    gives VOLUME no locality (every file spans its full range), so all
+    files in the HIGH slice overlap the box; the Morton layout tiles
+    both dimensions, so at most a few tiles overlap. Counted directly
+    from parquet footer min/max stats."""
+    import pyarrow.parquet as pq
+
+    import oakstore_spark.store as store_mod
+
+    rng = np.random.default_rng(11)
+    n = 1600
+    idx = pd.date_range("2022-01-01", periods=n, freq="h")
+    df = pd.DataFrame(
+        {
+            "Open": np.ones(n),
+            "High": rng.uniform(0.0, 100.0, n),
+            "Low": np.ones(n),
+            "Close": np.ones(n),
+            "Volume": rng.integers(0, 100_000, n),
+        },
+        index=idx,
+    )
+    monkeypatch.setattr(store_mod, "_MAX_RECORDS_PER_FILE", 100)
+    store["ZORD"] = df
+    pre = store["ZORD"][:]
+
+    def overlapping_files(h_lo, h_hi, v_lo, v_hi):
+        item = store._item_path("ZORD")
+        hit, total = 0, 0
+        for f in sorted(item.rglob("*.parquet")):
+            md = pq.read_metadata(f)
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            hi_i, vo_i = names.index("HIGH"), names.index("VOLUME")
+            h0 = min(md.row_group(i).column(hi_i).statistics.min
+                     for i in range(md.num_row_groups))
+            h1 = max(md.row_group(i).column(hi_i).statistics.max
+                     for i in range(md.num_row_groups))
+            v0 = min(md.row_group(i).column(vo_i).statistics.min
+                     for i in range(md.num_row_groups))
+            v1 = max(md.row_group(i).column(vo_i).statistics.max
+                     for i in range(md.num_row_groups))
+            total += 1
+            if h1 >= h_lo and h0 <= h_hi and v1 >= v_lo and v0 <= v_hi:
+                hit += 1
+        return hit, total
+
+    box = (0.0, 25.0, 0, 25_000)  # lowest quarter of both dimensions
+
+    assert store.compact("ZORD", cluster_by=["high", "volume"]) >= 1
+    linear_hit, linear_total = overlapping_files(*box)
+    assert linear_total >= 8
+
+    assert store.compact("ZORD", cluster_by=["high", "volume"], zorder=True) >= 1
+    z_hit, z_total = overlapping_files(*box)
+    assert z_total >= 8
+    # the curve must beat the linear layout decisively on the 2-D box
+    assert z_hit * 2 <= linear_hit, (z_hit, linear_hit)
+    pd.testing.assert_frame_equal(store["ZORD"][:], pre)  # content unchanged
+
+    with pytest.raises(ValueError):
+        store.compact("ZORD", zorder=True)  # needs cluster_by
