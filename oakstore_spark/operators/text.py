@@ -225,3 +225,185 @@ def winnow_fingerprints(
     if nt.rdd.getNumPartitions() < par:
         nt = nt.repartition(par)
     return nt.mapInPandas(kernel, out_schema).withColumnRenamed("wid", id_col)
+
+
+def train_bpe(
+    df,
+    text_col: str = "text",
+    n_merges: int = 20,
+    min_pair_freq: int = 2,
+    driver_vocab_max: int = 200_000,
+):
+    """Byte-pair-encoding MERGE TRAINING, distributed (Sennrich et al.
+    2016 -- the algorithm behind GPT/Llama-style tokenizers; the
+    BPE-ish regex counter in functions/text.py only APPLIES a
+    tokenization, this LEARNS the merge table from the corpus).
+
+    The 100 TB shape: the corpus is touched ONCE -- a single
+    explode+groupBy collapses it to the (word, freq) VOCABULARY
+    relation, and all ``n_merges`` iterations run over that vocabulary
+    (orders of magnitude smaller, persisted, replaced each round):
+
+      per round: adjacent symbol pairs exploded with word frequency as
+      weight -> one small agg -> argmax pair (count desc, then
+      lexicographic -- deterministic under ties) -> merge applied to
+      each word's symbol array by an Arrow-batched kernel.
+
+    Each round is one shuffle of (pair, weight) rows + one map pass
+    over the vocabulary; the corpus itself never re-shuffles. Pairs are
+    keyed "left|right" -- symbols are [a-z0-9]+ or "</w>", so the pipe
+    is unambiguous. Stops early when no pair reaches
+    ``min_pair_freq``. Words start as character symbols + a "</w>"
+    end-of-word sentinel, so merges never cross word boundaries.
+
+    Driver fast path: after the corpus collapses to (word, freq), a
+    vocabulary under ``driver_vocab_max`` rows is collected and the
+    merge loop runs in-process (each distributed round otherwise pays
+    ~2 s of agg + Python-worker latency for what is dict arithmetic on
+    a few thousand rows — measured 19 s vs 2 s for 10 merges at sf0.1).
+    The distributed loop remains the >gate path and is CI-forced with
+    exact parity (tests/test_curation.py). The gate bounds driver
+    memory: 200k words x ~100 B is ~20 MB; real web-scale vocabularies
+    exceed it and take the distributed loop.
+
+    Returns (merges, vocab): ``merges`` a DataFrame
+    (rank, left, right, pair_freq) in merge order; ``vocab`` the final
+    (word, freq, symbols array<string>) relation (persisted on the
+    distributed path; caller unpersists)."""
+    from pyspark.sql import types as T
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.functions.text import normalize_text
+
+    spark = df.sparkSession
+    word_freq = (
+        df.select(
+            F.explode(F.split(normalize_text(text_col), " ")).alias("word")
+        )
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+    merge_out_schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("left", T.StringType()),
+            T.StructField("right", T.StringType()),
+            T.StructField("pair_freq", T.LongType()),
+        ]
+    )
+    vocab_out_schema = T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("freq", T.LongType()),
+            T.StructField("symbols", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    if word_freq.count() <= driver_vocab_max:
+        rows = word_freq.collect()
+        freqs = {r["word"]: int(r["freq"]) for r in rows}
+        symbolized = {w: [*w, "</w>"] for w in freqs}
+        local_merges: list[tuple[int, str, str, int]] = []
+        for rank in range(n_merges):
+            counts: dict[tuple[str, str], int] = {}
+            for w, syms in symbolized.items():
+                fw = freqs[w]
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + fw
+            if not counts:
+                break
+            (left, right), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0] + "|" + kv[0][1])
+            )
+            if cnt < min_pair_freq:
+                break
+            local_merges.append((rank, left, right, cnt))
+            for w, syms in symbolized.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        merged.append(left + right)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                symbolized[w] = merged
+        merges_df = spark.createDataFrame(local_merges, merge_out_schema)
+        vocab_df = spark.createDataFrame(
+            [(w, freqs[w], symbolized[w]) for w in sorted(freqs)],
+            vocab_out_schema,
+        )
+        return merges_df, vocab_df
+
+    vocab = word_freq.select(
+        "word",
+        "freq",
+        F.concat(
+            F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0),
+            F.array(F.lit("</w>")),
+        ).alias("symbols"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    vocab.count()
+
+    merge_schema = vocab_out_schema
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        adjacent = F.element_at(
+            F.transform(
+                F.array(F.col("symbols")),
+                lambda ss: F.transform(
+                    F.sequence(F.lit(1), F.size(ss) - 1),
+                    lambda i: F.concat_ws(
+                        "|", F.element_at(ss, i), F.element_at(ss, i + 1)
+                    ),
+                ),
+            ),
+            1,
+        )
+        pairs = vocab.where(F.size("symbols") >= 2).select(
+            "freq", F.explode(adjacent).alias("pair")
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_pair_freq:
+            break
+        left, right = top[0]["pair"].split("|", 1)
+        merges.append((rank, left, right, int(top[0]["cnt"])))
+
+        def apply_merge(batches, _l=left, _r=right):
+            for pdf in batches:
+                out_syms = []
+                for syms in pdf["symbols"]:
+                    syms = list(syms)
+                    merged = []
+                    i = 0
+                    n = len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == _l and syms[i + 1] == _r:
+                            merged.append(_l + _r)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    out_syms.append(merged)
+                pdf = pdf.copy()
+                pdf["symbols"] = out_syms
+                yield pdf
+
+        new_vocab = vocab.mapInPandas(apply_merge, merge_schema).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        new_vocab.count()
+        vocab.unpersist()
+        vocab = new_vocab
+
+    merges_df = spark.createDataFrame(merges, merge_out_schema)
+    return merges_df, vocab

@@ -592,3 +592,20 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return span_dedup(d, "doc_id", "text", block_words=8)
+
+
+@register("q_bpe_train_merges")  # iterative: no single-SQL oracle; exact
+# single-node/distributed parity pinned in tests/test_curation.py
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al.): learn the
+    first 16 merges from the corpus. One corpus pass collapses to the
+    (word, freq) vocabulary; the merge loop runs on the vocabulary only
+    (driver fast path under the size gate, distributed explode+agg loop
+    above it — operators/text.py:train_bpe). Deterministic: ties break
+    on (count desc, 'left|right' asc), so the merge table is stable
+    across engines and partitionings."""
+    from oakstore_spark.operators.text import train_bpe
+
+    d = table(spark, sf_dir, "documents")
+    merges, vocab = train_bpe(d, "text", n_merges=16)
+    return merges

@@ -107,3 +107,75 @@ def test_target_mix_sample_hits_token_shares(spark):
     # absent group weight -> dropped entirely
     kept3 = target_mix_sample(df, "g", "doc_id", "toks", {"a": 1.0}).toPandas()
     assert set(kept3.g) == {"a"}
+
+
+def test_train_bpe_matches_reference_implementation(spark):
+    """Distributed BPE merge training must reproduce the classic
+    single-node algorithm exactly: same merge sequence (tie-break =
+    count desc, then lexicographic on the 'left|right' key) and same
+    final symbolization of every word."""
+    from oakstore_spark.operators.text import train_bpe
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider wider new new",
+    ]
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    # driver_vocab_max=0 forces the DISTRIBUTED loop (the >gate path
+    # that runs at web scale); the driver fast path is checked below
+    merges_df, vocab_df = train_bpe(
+        sdf, "text", n_merges=12, min_pair_freq=2, driver_vocab_max=0
+    )
+    got_merges = [
+        (r["rank"], r["left"], r["right"], r["pair_freq"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    got_vocab = {
+        r["word"]: list(r["symbols"]) for r in vocab_df.collect()
+    }
+    vocab_df.unpersist()
+
+    # single-node reference (Sennrich-style on a word-frequency dict)
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    symbolized = {w: list(w) + ["</w>"] for w in freqs}
+    exp_merges = []
+    for rank in range(12):
+        counts: dict[tuple, int] = {}
+        for w, syms in symbolized.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freqs[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0] + "|" + kv[0][1]))
+        if best[1] < 2:
+            break
+        (l, r), c = best
+        exp_merges.append((rank, l, r, c))
+        for w, syms in symbolized.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            symbolized[w] = merged
+
+    assert got_merges == exp_merges, (got_merges, exp_merges)
+    assert got_vocab == symbolized
+
+    # driver fast path (default gate) must agree with the distributed loop
+    fast_m, fast_v = train_bpe(sdf, "text", n_merges=12, min_pair_freq=2)
+    fast_merges = [
+        (r["rank"], r["left"], r["right"], r["pair_freq"])
+        for r in fast_m.orderBy("rank").collect()
+    ]
+    fast_vocab = {r["word"]: list(r["symbols"]) for r in fast_v.collect()}
+    assert fast_merges == exp_merges
+    assert fast_vocab == symbolized
