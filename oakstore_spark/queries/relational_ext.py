@@ -750,3 +750,33 @@ def q_compound_growth_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM idx
         """
     )
+
+
+@register("q_hll_mergeable_sketches")  # Datasketches binary: engine-
+# specific, no DuckDB oracle; merge-vs-direct equality + error bound
+# pinned in tests/test_plans.py
+def q_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-AGGREGATABLE distinct counting (the pattern that makes rollups
+    and continuous aggregates mergeable at 100 TB): per-event-type HLL
+    sketches of user_id (``hll_sketch_agg``), estimated per group, then
+    UNIONED into one corpus-wide sketch (``hll_union_agg``) WITHOUT
+    touching the raw data again — pre-aggregated shards/days/partitions
+    merge in O(sketch bytes). HLL register-max merging is
+    order-independent, so the merged estimate is deterministic and
+    exactly equals a direct global sketch (pinned in pytest).
+    approx_count_distinct (q_approx_distinct) gives only a scalar —
+    sketches are the storable, mergeable form."""
+    e = table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk")
+    )
+    groups = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
+            "approx_users"
+        )
+    ).select(F.lit("ALL").alias("event_type"), "approx_users")
+    return groups.unionByName(merged)

@@ -214,3 +214,25 @@ def test_join_strategy_hints_respected(spark):
     assert "ShuffledHashJoin" in shuffle_plan
     bcast_plan = a.join(b.hint("broadcast"), "k")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in bcast_plan
+
+
+def test_hll_sketch_merge_equals_direct_and_bounded_error(spark):
+    """The union of per-group HLL sketches must estimate EXACTLY what a
+    direct global sketch estimates (register-max merging is
+    order-independent), and land within 5% of the exact distinct
+    count."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk")
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).first()["est"]
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("est")
+    ).first()["est"]
+    exact = e.select("user_id").distinct().count()
+    assert merged == direct, (merged, direct)
+    assert abs(merged - exact) / exact < 0.05, (merged, exact)
