@@ -196,3 +196,31 @@ def target_mix_sample(
         .filter((F.col("f") >= 1.0) | (keyhex < F.col("thr")))
         .drop("f", "thr")
     )
+
+
+def filter_with_metrics(df, predicate, metric_cols: dict | None = None):
+    """Quality-filter a relation while OBSERVING what was dropped — in
+    the SAME pass, with zero extra jobs (Spark's Observation API
+    attaches accumulator-backed metrics to the plan; a separate
+    count()-before/count()-after costs two more full scans at 100 TB).
+
+    Returns (filtered_df, observation). After the caller runs ANY
+    action on filtered_df, ``observation.get`` yields
+    {"n_in": rows seen, "n_kept": rows passing, ...} plus one
+    ``sum_<name>`` per entry of ``metric_cols`` (a {name: Column}
+    of pre-filter quantities to account, e.g. token counts).
+
+    The pipeline-governance primitive: every curation stage reports
+    retention without a second scan."""
+    from pyspark.sql import Observation
+
+    keep = predicate.cast("int")
+    aggs = [
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(keep).alias("n_kept"),
+    ]
+    for name, col in (metric_cols or {}).items():
+        aggs.append(F.sum(col).alias(f"sum_{name}"))
+    obs = Observation()
+    observed = df.observe(obs, *aggs)
+    return observed.filter(predicate), obs

@@ -179,3 +179,25 @@ def test_train_bpe_matches_reference_implementation(spark):
     fast_vocab = {r["word"]: list(r["symbols"]) for r in fast_v.collect()}
     assert fast_merges == exp_merges
     assert fast_vocab == symbolized
+
+
+def test_filter_with_metrics_single_pass_accounting(spark):
+    """Observation metrics must report pre-filter volume and kept rows
+    from the SAME action that produced the filtered result — no second
+    scan."""
+    from oakstore_spark.operators.curation import filter_with_metrics
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    total = d.count()
+    kept_df, obs = filter_with_metrics(
+        d,
+        F.col("n_chars") >= 200,
+        metric_cols={"chars": F.col("n_chars")},
+    )
+    kept = kept_df.count()  # the single action
+    m = obs.get
+    assert m["n_in"] == total
+    assert m["n_kept"] == kept
+    exact_chars = d.agg(F.sum("n_chars")).first()[0]
+    assert m["sum_chars"] == exact_chars
