@@ -353,3 +353,74 @@ def test_stream_append_into_store(spark, tmp_path, events_src):
     assert len(got) == len(want)
     assert list(got.index) == list(want["ts"])
     assert got["VALUE"].to_numpy() == pytest.approx(want["value"].to_numpy())
+
+
+def test_timer_based_session_close(spark, tmp_path):
+    """transformWithStateInPandas with EVENT-TIME TIMERS: sessions are
+    emitted exactly when they close — either a later event arrives past
+    the gap (on-arrival split) or the watermark passes last_ts + gap
+    (timer fire). A key whose session the watermark never passes stays
+    open and is NOT emitted.
+
+    The TWS protocol needs the protobuf package; where it is absent
+    (this container) the operator must FAIL FAST at construction with
+    an actionable message — that contract is pinned here and the full
+    streaming scenario runs wherever protobuf exists."""
+    import datetime as dt
+
+    from oakstore_spark.streaming.stateful import session_close_on_timer
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            session_close_on_timer(
+                spark.readStream.schema("user_id long, ts timestamp, value double")
+                .parquet(str(tmp_path))
+                .withWatermark("ts", "5 seconds"),
+                gap_sec=60,
+            )
+        return
+
+    def ts(h, m, s):
+        return dt.datetime(2024, 3, 1, h, m, s)
+
+    src = str(tmp_path / "timer_src")
+    schema = "user_id long, ts timestamp, value double"
+    # file 1: user 1 session A (2 events), user 2 session A (1 event)
+    f1 = [(1, ts(10, 0, 0), 1.0), (1, ts(10, 0, 30), 1.0), (2, ts(10, 0, 10), 1.0)]
+    # file 2: user 1 again, 9.5 min later -> past the 60 s gap
+    f2 = [(1, ts(10, 10, 0), 1.0)]
+    # file 3: watermark pusher (its own session never closes)
+    f3 = [(99, ts(11, 0, 0), 1.0)]
+    for i, rows in enumerate([f1, f2, f3]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+        .withWatermark("ts", "5 seconds")
+    )
+    out = session_close_on_timer(stream, gap_sec=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("timer_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_timer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.n_events, r.session_start, r.session_end)
+        for r in spark.sql("SELECT * FROM timer_sessions").collect()
+    }
+    expected = {
+        (1, 2, ts(10, 0, 0), ts(10, 0, 30)),   # closed on-arrival by f2
+        (1, 1, ts(10, 10, 0), ts(10, 10, 0)),  # closed by timer via f3
+        (2, 1, ts(10, 0, 10), ts(10, 0, 10)),  # closed by timer
+    }
+    assert got == expected, got  # user 99's open session must be absent
