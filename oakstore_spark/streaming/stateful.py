@@ -263,3 +263,77 @@ def session_close_on_timer(
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+def session_close_on_timeout(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The same timer-closed sessions as ``session_close_on_timer`` on
+    the LEGACY stateful API (``applyInPandasWithState`` +
+    ``EventTimeTimeout``) — which needs no protobuf side-channel, so it
+    runs everywhere the TWS path cannot (and its differential test runs
+    in THIS environment; the two operators emit identical rows where
+    both work). Semantics: a key's state times out when the watermark
+    passes ``setTimeoutTimestamp(last_ts + gap)``; the timed-out call
+    emits the closed session and removes state. Arrivals past the gap
+    split on arrival, exactly as in the TWS variant."""
+    out_schema = (
+        "user_id bigint, n_events bigint, "
+        "session_start timestamp, session_end timestamp"
+    )
+    state_schema = "n bigint, start_ms bigint, last_ms bigint"
+    gap_ms = gap_sec * 1000
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, start_ms, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                }
+            )
+            return
+        n, start_ms, last_ms = state.get if state.exists else (0, None, None)
+        closed: list[tuple[int, int, int]] = []
+        for pdf in pdfs:
+            ts_ms = sorted(
+                int(v) for v in (pdf[ts_col].astype("int64") // 1_000_000)
+            )
+            for t in ts_ms:
+                if last_ms is not None and t - last_ms > gap_ms:
+                    closed.append((n, start_ms, last_ms))
+                    n, start_ms, last_ms = 0, None, None
+                n += 1
+                start_ms = t if start_ms is None else min(start_ms, t)
+                last_ms = t if last_ms is None else max(last_ms, t)
+        if last_ms is not None:
+            state.update((n, start_ms, last_ms))
+            state.setTimeoutTimestamp(last_ms + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "n_events": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="ms") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="ms") for c in closed],
+                }
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -424,3 +424,53 @@ def test_timer_based_session_close(spark, tmp_path):
         (2, 1, ts(10, 0, 10), ts(10, 0, 10)),  # closed by timer
     }
     assert got == expected, got  # user 99's open session must be absent
+
+
+def test_timeout_based_session_close_legacy_api(spark, tmp_path):
+    """applyInPandasWithState + EventTimeTimeout: identical session-
+    closing semantics to the TWS timer operator, runnable WITHOUT
+    protobuf — sessions close when the watermark passes last_ts + gap
+    (timeout fire) or when a later event arrives past the gap
+    (on-arrival split); a session the watermark never passes stays
+    open and unemitted."""
+    import datetime as dt
+
+    from oakstore_spark.streaming.stateful import session_close_on_timeout
+
+    def ts(h, m, s):
+        return dt.datetime(2024, 3, 1, h, m, s)
+
+    src = str(tmp_path / "timeout_src")
+    schema = "user_id long, ts timestamp, value double"
+    f1 = [(1, ts(10, 0, 0), 1.0), (1, ts(10, 0, 30), 1.0), (2, ts(10, 0, 10), 1.0)]
+    f2 = [(1, ts(10, 10, 0), 1.0)]
+    f3 = [(99, ts(11, 0, 0), 1.0)]
+    for i, rows in enumerate([f1, f2, f3]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+        .withWatermark("ts", "5 seconds")
+    )
+    out = session_close_on_timeout(stream, gap_sec=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("timeout_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_timeout"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.n_events, r.session_start, r.session_end)
+        for r in spark.sql("SELECT * FROM timeout_sessions").collect()
+    }
+    expected = {
+        (1, 2, ts(10, 0, 0), ts(10, 0, 30)),   # closed on-arrival by f2
+        (1, 1, ts(10, 10, 0), ts(10, 10, 0)),  # closed by timeout via f3
+        (2, 1, ts(10, 0, 10), ts(10, 0, 10)),  # closed by timeout
+    }
+    assert got == expected, got  # user 99's open session must be absent
