@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from oakstore_spark.operators.curation import (
@@ -609,3 +610,111 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     merges, vocab = train_bpe(d, "text", n_merges=16)
     return merges
+
+
+@register(
+    "q_chi2_lang_source",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+      FROM documents GROUP BY lang, source
+    ), tot AS (
+      SELECT sum(o) AS n FROM obs
+    ), margins AS (
+      SELECT o.lang, o.source, o.o,
+             sum(o.o) OVER (PARTITION BY o.lang) AS row_tot,
+             sum(o.o) OVER (PARTITION BY o.source) AS col_tot
+      FROM obs o
+    )
+    SELECT round(sum(pow(o - row_tot * col_tot / n, 2)
+                     / (row_tot * col_tot / n)), 4) AS chi2,
+           CAST((count(DISTINCT lang) - 1)
+                * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+           CAST(sum(o) AS BIGINT) AS n_docs
+    FROM margins, tot
+    """,
+)
+def q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test of the lang x source contingency
+    table (is language distribution independent of corpus source? —
+    the drift/stratification check run before mixing training data).
+    One groupBy builds the observed table; expected counts come from
+    window-sum margins over that TINY aggregate, so the corpus is
+    scanned once regardless of table dimensions. Zero-count cells
+    contribute nothing on either engine (absent rows = absent terms)."""
+    d = table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    margins = (
+        obs.withColumn("row_tot", F.sum("o").over(W.partitionBy("lang")))
+        .withColumn("col_tot", F.sum("o").over(W.partitionBy("source")))
+        .crossJoin(obs.agg(F.sum("o").alias("n")))
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return margins.agg(
+        F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 4).alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.sum("o").cast("bigint").alias("n_docs"),
+    )
+
+
+@register(
+    "q_ks_two_sample",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), tot AS (
+      SELECT CAST(sum(a) AS DOUBLE) AS na, CAST(sum(b) AS DOUBLE) AS nb
+      FROM s
+    ), ecdf AS (
+      SELECT sum(a) OVER w / na AS fa, sum(b) OVER w / nb AS fb
+      FROM s, tot
+      WINDOW w AS (ORDER BY value
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT round(max(abs(fa - fb)), 6) AS ks_d,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b
+    FROM ecdf, tot
+    """,
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample statistic (distribution drift
+    between purchase and view values): both samples interleave into one
+    ordered pass; a RANGE frame makes each cumulative count include ALL
+    tied values, which is the correct right-continuous ECDF on both
+    engines. The ORDER BY value window is a global sort — the same
+    documented exact-by-design caveat as q_percentiles; the deployment
+    path for huge samples is binned ECDF on an approx-quantile grid."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    s = e.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("b"),
+    )
+    tot = s.agg(
+        F.sum("a").cast("double").alias("na"),
+        F.sum("b").cast("double").alias("nb"),
+    )
+    w = W.orderBy("value").rangeBetween(W.unboundedPreceding, 0)
+    ecdf = s.crossJoin(tot).select(
+        (F.sum("a").over(w) / F.col("na")).alias("fa"),
+        (F.sum("b").over(w) / F.col("nb")).alias("fb"),
+        "na",
+        "nb",
+    )
+    return ecdf.agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_d"),
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+    )

@@ -637,3 +637,67 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("valid_to"),
         "n_events",
     )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, median(value) AS med
+      FROM events GROUP BY user_id
+    ), dev AS (
+      SELECT e.user_id, e.event_id, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (user_id)
+    ), mad AS (
+      SELECT user_id, median(adev) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN m.mad > 0
+                          AND abs(d.value - d.med) > 3.5 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(max(CASE WHEN m.mad > 0
+                          THEN abs(d.value - d.med) / (1.4826 * m.mad)
+                          ELSE 0 END), 4) AS max_robust_z
+    FROM dev d JOIN mad m USING (user_id)
+    GROUP BY d.user_id
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-key anomaly detection: modified z-score on the MEDIAN
+    ABSOLUTE DEVIATION (the outlier rule that, unlike mean/stddev
+    z-scores, is not itself dragged by the outliers). Two exact-median
+    passes + the flagging join, all hash-partitioned on user_id —
+    Catalyst reuses one exchange; the oracle recomputes the identical
+    medians. (Exact per-GROUP medians shuffle only each group, never
+    globally — the global-sort caveat of q_percentiles doesn't apply.)"""
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    med = e.groupBy("user_id").agg(F.median("value").alias("med"))
+    dev = e.join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.median("adev").alias("mad"))
+    k = 1.4826
+    flagged = dev.join(mad, "user_id")
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                (F.col("mad") > 0)
+                & (F.abs(F.col("value") - F.col("med")) > 3.5 * k * F.col("mad")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("mad") > 0,
+                    F.abs(F.col("value") - F.col("med")) / (k * F.col("mad")),
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("max_robust_z"),
+    )
