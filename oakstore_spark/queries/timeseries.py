@@ -701,3 +701,103 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("max_robust_z"),
     )
+
+
+@register(
+    "q_ohlc_candles",
+    oracle="""
+    SELECT user_id,
+           date_trunc('day', ts) AS bucket,
+           round(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                                || lpad(CAST(event_id AS VARCHAR), 10, '0')),
+                 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                                || lpad(CAST(event_id AS VARCHAR), 10, '0')),
+                 4) AS close,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM events
+    GROUP BY user_id, date_trunc('day', ts)
+    """,
+)
+def q_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick construction — THE resample of the reference's OHLCV
+    domain (its stored columns are literally Open/High/Low/Close/
+    Volume): first/last by event time via min_by/max_by inside one hash
+    aggregate, no window pass and no sort. First/last ties are made
+    deterministic on both engines by a zero-padded (epoch_us, event_id)
+    string key — lexicographic order == numeric order."""
+    e = table(spark, sf_dir, "events")
+    tkey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    return e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("bucket")
+    ).agg(
+        F.round(F.min_by("value", tkey), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max_by("value", tkey), 4).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+    )
+
+
+@register(
+    "q_twap_daily",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, ts, value,
+             date_trunc('day', ts) AS bucket,
+             epoch_us(ts) AS t_us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id,
+                                                   date_trunc('day', ts)
+                                      ORDER BY ts, event_id) AS next_us,
+             epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY) AS bucket_end
+    FROM events
+    ), weighted AS (
+      SELECT user_id, bucket, value,
+             coalesce(next_us, bucket_end) - t_us AS w_us
+      FROM obs
+    )
+    SELECT user_id, bucket,
+           round(sum(value * w_us) / sum(w_us), 4) AS twap,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM weighted GROUP BY user_id, bucket
+    """,
+)
+def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price over irregular observations: each
+    value holds until the NEXT observation (lead) or the bucket end, so
+    sparse ticks don't under-weight quiet periods the way a plain AVG
+    does. One window pass + one agg over the same (user_id, day) hash
+    partitioning — Catalyst reuses the exchange."""
+    e = table(spark, sf_dir, "events")
+    obs = e.select(
+        "user_id",
+        "value",
+        F.date_trunc("day", "ts").alias("bucket"),
+        F.unix_micros("ts").alias("t_us"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+    w = W.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    weighted = obs.select(
+        "user_id",
+        "bucket",
+        "value",
+        (
+            F.coalesce(
+                F.lead("t_us").over(w),
+                F.unix_micros(F.col("bucket") + F.expr("INTERVAL 1 DAY")),
+            )
+            - F.col("t_us")
+        ).alias("w_us"),
+    )
+    return weighted.groupBy("user_id", "bucket").agg(
+        F.round(F.sum(F.col("value") * F.col("w_us")) / F.sum("w_us"), 4).alias(
+            "twap"
+        ),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
