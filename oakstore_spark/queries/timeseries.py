@@ -801,3 +801,43 @@ def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_obs"),
     )
+
+
+@register(
+    "q_max_drawdown",
+    oracle="""
+    WITH runmax AS (
+      SELECT user_id, ts, event_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS peak
+      FROM events
+    )
+    SELECT user_id,
+           round(min((value - peak) / peak), 6) AS max_drawdown,
+           round(max(peak), 4) AS peak_value
+    FROM runmax
+    WHERE peak > 0
+    GROUP BY user_id
+    """,
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series (the canonical risk stat over the
+    reference's price-series domain): running peak via a ROWS
+    UNBOUNDED PRECEDING max — a streaming-friendly O(1)-state frame,
+    NOT a re-scan per row — then the most negative peak-relative dip.
+    One user_id exchange shared by window and aggregate."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    r = e.select(
+        "user_id", "value", F.max("value").over(w).alias("peak")
+    ).where(F.col("peak") > 0)
+    return r.groupBy("user_id").agg(
+        F.round(
+            F.min((F.col("value") - F.col("peak")) / F.col("peak")), 6
+        ).alias("max_drawdown"),
+        F.round(F.max("peak"), 4).alias("peak_value"),
+    )

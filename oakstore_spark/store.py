@@ -100,6 +100,40 @@ class Item:
         the reference only materializes to pandas, store.py:181)."""
         return self._store._scan(key=self._key, start=start, end=end)
 
+    def resample(
+        self,
+        interval: str,
+        start: datetime | None = None,
+        end: datetime | None = None,
+    ) -> DataFrame:
+        """EXT: downsample the item to ``interval`` candles ('hour',
+        'day', 'week', 'month', ...) — the operation a timeseries store
+        exists for, pushed into the engine instead of
+        ``to_pandas().resample()``. For the OHLCV column shape, OPEN/
+        CLOSE take the first/last stored row by index (min_by/max_by on
+        the index — one hash aggregate, no sort), HIGH/LOW take max/min,
+        all other numeric columns sum (VOLUME semantics). Partition +
+        row-group pruning from the optional range bounds still applies;
+        at 100 TB the scan reads only the touched years. Returns a lazy
+        DataFrame keyed by the truncated index, ascending."""
+        sdf = self._store._scan(key=self._key, start=start, end=end)
+        idx = self._store._metadata.index_name
+        bucket = F.date_trunc(interval, F.col(idx)).alias(idx)
+        aggs = []
+        for name in self._store._metadata.column_schema:
+            up = name.upper()
+            if up == "OPEN":
+                aggs.append(F.min_by(name, F.col(idx)).alias(name))
+            elif up == "CLOSE":
+                aggs.append(F.max_by(name, F.col(idx)).alias(name))
+            elif up == "HIGH":
+                aggs.append(F.max(name).alias(name))
+            elif up == "LOW":
+                aggs.append(F.min(name).alias(name))
+            else:
+                aggs.append(F.sum(name).alias(name))
+        return sdf.groupBy(bucket).agg(*aggs).orderBy(idx)
+
     def __repr__(self) -> str:
         return f"{type(self).__name__}(key={self._key!r}, store={self._store!r})"
 

@@ -872,3 +872,24 @@ def test_compact_zorder_prunes_boxes_better_than_linear(store, monkeypatch):
 
     with pytest.raises(ValueError):
         store.compact("ZORD", zorder=True)  # needs cluster_by
+
+
+def test_item_resample_matches_pandas(store, ohlcv_data):
+    """Item.resample('month') must agree with pandas' resample using the
+    same OHLCV semantics (open=first, high=max, low=min, close=last,
+    volume=sum) on the stored data."""
+    store["RSMP"] = ohlcv_data
+    got = (
+        store["RSMP"].resample("month").toPandas().set_index("DATE").sort_index()
+    )
+    exp = ohlcv_data.resample("MS").agg(
+        {"Open": "first", "High": "max", "Low": "min", "Close": "last",
+         "Volume": "sum"}
+    )
+    exp = exp.dropna()  # months with no business days at the edges
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got["OPEN"].to_numpy(), exp["Open"].to_numpy())
+    np.testing.assert_allclose(got["HIGH"].to_numpy(), exp["High"].to_numpy())
+    np.testing.assert_allclose(got["LOW"].to_numpy(), exp["Low"].to_numpy())
+    np.testing.assert_allclose(got["CLOSE"].to_numpy(), exp["Close"].to_numpy())
+    np.testing.assert_allclose(got["VOLUME"].to_numpy(), exp["Volume"].to_numpy())
