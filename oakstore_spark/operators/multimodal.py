@@ -536,3 +536,71 @@ def video_metadata(
             )
 
     return df.select(id_col, content_col).mapInPandas(batches, VIDEO_META_SCHEMA)
+
+
+def decode_jpeg_meta(data: bytes):
+    """REAL pure-stdlib JPEG header scan: walks the marker stream to the
+    first SOF0-SOF15 frame header and returns (width, height,
+    n_components, progressive) — dimensions without a DCT decode, the
+    metadata pass a media pipeline runs on billions of images before
+    deciding what to fully decode. Returns ``None`` for non-JPEG or
+    corrupt/truncated streams (same graceful-degrade contract as
+    decode_png/decode_wav/decode_avi). Marker walk per ITU T.81: skip
+    padding FFs, length-prefixed segments, stop at SOS/EOI."""
+    import struct
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":  # SOI
+        return None
+    try:
+        pos = 2
+        n = len(data)
+        while pos + 4 <= n:
+            if data[pos] != 0xFF:
+                return None
+            # skip fill bytes
+            while pos < n and data[pos] == 0xFF:
+                pos += 1
+            if pos >= n:
+                return None
+            marker = data[pos]
+            pos += 1
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue  # standalone markers, no length
+            if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
+                return None
+            (seg_len,) = struct.unpack(">H", data[pos : pos + 2])
+            if seg_len < 2 or pos + seg_len > n:
+                return None
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                precision, h, w, comps = struct.unpack(
+                    ">BHHB", data[pos + 2 : pos + 8]
+                )
+                if precision not in (8, 12, 16) or not w or not h:
+                    return None
+                progressive = marker in (0xC2, 0xC6, 0xCA, 0xCE)
+                return int(w), int(h), int(comps), bool(progressive)
+            pos += seg_len
+        return None
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
+def encode_jpeg_header(
+    width: int, height: int, n_components: int = 3, progressive: bool = False
+) -> bytes:
+    """Minimal stdlib JPEG header writer (SOI + JFIF APP0 + one SOF
+    segment + SOS + EOI) — enough marker structure for
+    :func:`decode_jpeg_meta` to recover the frame geometry. Synthetic-
+    fixture counterpart, same pattern as encode_avi_header."""
+    import struct
+
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    comps = b"".join(
+        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(n_components)
+    )
+    sof = sof_marker + struct.pack(
+        ">HBHHB", 8 + 3 * n_components, 8, height, width, n_components
+    ) + comps
+    sos = b"\xff\xda" + struct.pack(">H", 2)
+    return b"\xff\xd8" + app0 + sof + sos + b"\xff\xd9"

@@ -295,3 +295,66 @@ def q_avi_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", "text").mapInPandas(make_and_decode, schema)
+
+
+@register(
+    "q_jpeg_decode_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(32 + (doc_id % 50) * 16 AS INT) AS width,
+           CAST(24 + (doc_id % 37) * 12 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INT)
+             AS n_components,
+           CAST(doc_id % 3 = 0 AS BOOLEAN) AS progressive
+    FROM documents
+    """,
+)
+def q_jpeg_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG header decode end-to-end: a deterministic SOI/APP0/SOF
+    marker stream per document (geometry derived from doc_id), parsed
+    back by the ITU T.81 marker walk in ``decode_jpeg_meta``. The
+    oracle recomputes every field from the same arithmetic — one wrong
+    byte in writer or walker is a hash mismatch. The metadata-only scan
+    is the pass an image pipeline runs on billions of files BEFORE
+    choosing what to fully decode; map-side, binaries never shuffle."""
+    from oakstore_spark.operators.multimodal import (
+        decode_jpeg_meta,
+        encode_jpeg_header,
+    )
+
+    def make_and_decode(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 32 + (doc_id % 50) * 16
+                h = 24 + (doc_id % 37) * 12
+                c = 1 if doc_id % 5 == 0 else 3
+                prog = doc_id % 3 == 0
+                dec = decode_jpeg_meta(encode_jpeg_header(w, h, c, prog))
+                assert dec is not None, f"roundtrip failed for doc {doc_id}"
+                rows.append((doc_id, *dec))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_components",
+                    "progressive",
+                ],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_components", T.IntegerType()),
+            T.StructField("progressive", T.BooleanType()),
+        ]
+    )
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(make_and_decode, schema)

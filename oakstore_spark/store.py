@@ -1198,3 +1198,21 @@ class Store:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def sql(self, query: str, keys: list[str] | None = None) -> DataFrame:
+        """EXT: run Spark SQL over store items as named relations — each
+        item (default: all) is registered as a temp view under its
+        uppercase key, then ``query`` executes against them. The SQL
+        front door the reference lacks entirely (SURVEY.md §2: no query
+        language — only the datetime slice):
+
+            store.sql("SELECT a.DATE, a.CLOSE / b.CLOSE AS ratio "
+                      "FROM MSFT a JOIN IBM b USING (DATE)")
+
+        Views are lazy scans through the same pruning path as slicing
+        (partition + row-group), so a WHERE on the index column still
+        prunes years at 100 TB — Catalyst pushes the predicate into the
+        scan the view wraps."""
+        for k in (keys if keys is not None else self.keys()):
+            self._scan(key=k, start=None, end=None).createOrReplaceTempView(k.upper())
+        return self._spark.sql(query)

@@ -340,3 +340,27 @@ def test_binary_file_source_ingest_and_decode(spark, tmp_path):
     assert len(wavs) == 1
     n_ch, rate, bits, n_frames, dur = decode_wav(bytes(wavs[0].content))
     assert (n_ch, rate, bits, n_frames) == (1, 8000, 16, 400)
+
+
+def test_jpeg_meta_roundtrip_and_corruption():
+    """encode_jpeg_header -> decode_jpeg_meta recovers the exact frame
+    geometry for baseline and progressive frames; corrupt payloads
+    (bad magic, truncation, SOS-before-SOF) return None, never raise."""
+    from oakstore_spark.operators.multimodal import (
+        decode_jpeg_meta,
+        encode_jpeg_header,
+    )
+
+    for w, h, c, prog in [(640, 480, 3, False), (31, 7, 1, True)]:
+        got = decode_jpeg_meta(encode_jpeg_header(w, h, c, prog))
+        assert got == (w, h, c, prog), got
+
+    good = encode_jpeg_header(64, 32, 3)
+    assert decode_jpeg_meta(b"not a jpeg") is None
+    assert decode_jpeg_meta(good[:6]) is None  # truncated mid-APP0
+    assert decode_jpeg_meta(good[:2]) is None  # bare SOI
+    # SOS with no SOF before it
+    assert decode_jpeg_meta(b"\xff\xd8\xff\xda\x00\x02\xff\xd9") is None
+    # every prefix must degrade gracefully
+    for i in range(len(good)):
+        decode_jpeg_meta(good[:i])

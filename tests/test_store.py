@@ -893,3 +893,20 @@ def test_item_resample_matches_pandas(store, ohlcv_data):
     np.testing.assert_allclose(got["LOW"].to_numpy(), exp["Low"].to_numpy())
     np.testing.assert_allclose(got["CLOSE"].to_numpy(), exp["Close"].to_numpy())
     np.testing.assert_allclose(got["VOLUME"].to_numpy(), exp["Volume"].to_numpy())
+
+
+def test_store_sql_joins_items(store, ohlcv_data):
+    """Store.sql registers items as named relations: a two-item join
+    with an index predicate must agree with the sliced pandas data."""
+    store["AAA"] = ohlcv_data
+    store["BBB"] = ohlcv_data * 2.0
+    out = store.sql(
+        """
+        SELECT a.DATE, b.CLOSE / a.CLOSE AS ratio
+        FROM AAA a JOIN BBB b USING (DATE)
+        WHERE a.DATE >= TIMESTAMP '2010-01-01'
+        """
+    ).toPandas()
+    expected_rows = (ohlcv_data.index >= "2010-01-01").sum()
+    assert len(out) == expected_rows
+    np.testing.assert_allclose(out["ratio"].to_numpy(), 2.0)
