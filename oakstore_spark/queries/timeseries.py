@@ -724,10 +724,14 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candlestick construction — THE resample of the reference's OHLCV
     domain (its stored columns are literally Open/High/Low/Close/
-    Volume): first/last by event time via min_by/max_by inside one hash
-    aggregate, no window pass and no sort. First/last ties are made
-    deterministic on both engines by a zero-padded (epoch_us, event_id)
-    string key — lexicographic order == numeric order."""
+    Volume): first/last by event time via min_by/max_by inside ONE
+    aggregate over one shuffle — no window pass, no per-group re-scan.
+    Ties are deterministic on both engines via a zero-padded
+    (epoch_us, event_id) string key (lexicographic == numeric order);
+    the string buffer makes Spark pick SortAggregate over
+    HashAggregate (partition-LOCAL sort by group key, plan-pinned) —
+    still a single exchange, unlike a window formulation which would
+    also carry running state per row."""
     e = table(spark, sf_dir, "events")
     tkey = F.concat(
         F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),

@@ -236,3 +236,32 @@ def test_hll_sketch_merge_equals_direct_and_bounded_error(spark):
     exact = e.select("user_id").distinct().count()
     assert merged == direct, (merged, direct)
     assert abs(merged - exact) / exact < 0.05, (merged, exact)
+
+
+def test_ohlc_candles_plan_single_exchange_no_window(spark):
+    """Candlestick construction must stay ONE aggregate over ONE
+    exchange with no Window operator. (min_by/max_by with a string tie
+    key evaluates as SortAggregate — a partition-local sort by group
+    key; acceptable. A window formulation would add running state and a
+    second pass.)"""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_ohlc_candles"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Aggregate" in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange (") == 1, plan  # tree nodes, not detail dups
+
+
+def test_fuzzy_match_pairs_distinct_names_not_rows(spark):
+    """The fuzzy-match join must consume the distinct-name aggregate on
+    BOTH sides (an aggregate below each join input), never the raw part
+    scan — pairing raw rows is quadratic in corpus size."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_fuzzy_name_match"](spark, SF_DIR)
+    plan = plan_of(df)
+    # two grouping aggregates (one per join side, possibly deduped via
+    # exchange reuse) must appear between scan and join
+    assert plan.count("HashAggregate") >= 2
+    assert "levenshtein" in plan
