@@ -407,3 +407,80 @@ def train_bpe(
 
     merges_df = spark.createDataFrame(merges, merge_out_schema)
     return merges_df, vocab
+
+
+def apply_bpe(
+    df,
+    merges,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+):
+    """Apply a learned BPE merge table (from :func:`train_bpe`) to a
+    corpus: each word re-symbolizes from characters + '</w>' and the
+    merges replay IN RANK ORDER — exactly the encoder every BPE
+    tokenizer ships. The merge table is tiny (one row per merge), so it
+    collects once and broadcasts inside the Arrow kernel closure; the
+    corpus maps in place, no shuffle. Per-task memoization caches each
+    distinct word's final symbolization (natural text repeats words, so
+    the replay cost is O(distinct words), not O(tokens)).
+
+    Returns df + ``out_col`` (array<string> of BPE symbols, '</w>'
+    terminated per word)."""
+    from pyspark.sql import types as T
+
+    from oakstore_spark.functions.text import normalize_text
+
+    ranked = [
+        (r["left"], r["right"])
+        for r in merges.orderBy("rank").select("left", "right").collect()
+    ]
+
+    in_cols = [f.name for f in df.schema.fields]
+
+    def kernel(batches):
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+
+        def encode_word(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is not None:
+                return got
+            syms = [*w, "</w>"]
+            for left, right in ranked:
+                if len(syms) < 2:
+                    break
+                merged, i = [], 0
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                        merged.append(left + right)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                syms = merged
+            memo[w] = syms
+            return syms
+
+        for pdf in batches:
+            toks = []
+            for nt in pdf["_nt"]:
+                out: list[str] = []
+                if nt:
+                    for w in nt.split(" "):
+                        out.extend(encode_word(w))
+                toks.append(out)
+            res = pdf[in_cols].copy()
+            res[out_col] = toks
+            yield res
+
+    with_nt = df.withColumn("_nt", normalize_text(text_col))
+    return (
+        with_nt.mapInPandas(
+            kernel,
+            T.StructType(
+                [*df.schema.fields, T.StructField(out_col, T.ArrayType(T.StringType()))]
+            ),
+        )
+    )

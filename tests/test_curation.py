@@ -201,3 +201,47 @@ def test_filter_with_metrics_single_pass_accounting(spark):
     assert m["n_kept"] == kept
     exact_chars = d.agg(F.sum("n_chars")).first()[0]
     assert m["sum_chars"] == exact_chars
+
+
+def test_apply_bpe_encodes_with_learned_merges(spark):
+    """apply_bpe must replay the learned merges exactly: encoding the
+    TRAINING corpus reproduces each word's final training
+    symbolization; an unseen word merges only where learned pairs
+    apply."""
+    from oakstore_spark.operators.text import apply_bpe, train_bpe
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider wider new new",
+    ]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges, vocab = train_bpe(sdf, "text", n_merges=12, min_pair_freq=2)
+    final_syms = {r["word"]: list(r["symbols"]) for r in vocab.collect()}
+
+    enc = apply_bpe(sdf, merges, "text").collect()
+    for r in enc:
+        expect: list[str] = []
+        for w in texts[r["doc_id"]].split():
+            expect.extend(final_syms[w])
+        assert list(r["bpe_tokens"]) == expect, (r["doc_id"], r["bpe_tokens"])
+
+    unseen = spark.createDataFrame([(0, "lowest")], ["doc_id", "text"])
+    (row,) = apply_bpe(unseen, merges, "text").collect()
+    # replay by hand on the reference merges
+    syms = [*"lowest", "</w>"]
+    for m in merges.orderBy("rank").collect():
+        left, right = m["left"], m["right"]
+        merged, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                merged.append(left + right)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        syms = merged
+    assert list(row["bpe_tokens"]) == syms

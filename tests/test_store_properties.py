@@ -123,7 +123,9 @@ def test_store_model_random_op_sequences(tmp_path, spark, seed):
     model.columns = ["A", "B"]
 
     for _step in range(8):
-        op = rng.choice(["append", "append", "compact", "vacuum", "evolve"])
+        op = rng.choice(
+            ["append", "append", "compact", "zorder", "vacuum", "evolve"]
+        )
         if op == "append":
             f = frame(int(rng.integers(1, 40)), int(rng.integers(0, 300)))
             s["K"] += f
@@ -135,6 +137,9 @@ def test_store_model_random_op_sequences(tmp_path, spark, seed):
             model = model[~model.index.duplicated(keep="first")]
         elif op == "compact":
             s.compact("K")
+        elif op == "zorder":
+            # value-space reclustering must never change CONTENT
+            s.compact("K", cluster_by=["A", "B"], zorder=True)
         elif op == "vacuum":
             s.vacuum("K", retention_sec=0)
         elif op == "evolve" and len(evolved) < 2:
