@@ -216,6 +216,87 @@ def _minhash_pairs_driver(
     return spark.createDataFrame(pdf, out_schema)
 
 
+def _band_explode(sigs: DataFrame, bands: int, r: int) -> DataFrame:
+    """(id, band, bkey): one row per LSH band, bkey = xxhash64 of the
+    band's signature slice. Shared by the full-corpus and the
+    incremental (index-join) paths so both bucket identically."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws("|", *[F.col("sig")[b * r + j] for j in range(r)])
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bkey")
+
+
+def _verify_candidates(
+    cand: DataFrame,
+    sigs_a: DataFrame,
+    sigs_b: DataFrame,
+    out_schema,
+    threshold: float,
+    lo_cut: float,
+    n_hashes: int,
+) -> DataFrame:
+    """Signature prefilter + exact shingle verify without materializing
+    any corpus: the (id, sig, shingles) relations hash-join onto the
+    candidate pairs (two shuffles keyed by doc id), then one Arrow pass
+    runs the estimated-jaccard 2-D equality prefilter and only
+    survivors pay the exact intersection."""
+    sa = sigs_a.select(
+        F.col("id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    sb = sigs_b.select(
+        F.col("id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    joined = cand.join(sa, "id_a").join(sb, "id_b")
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sig_a = np.stack([np.asarray(s, dtype=np.int64) for s in pdf["sig_a"]])
+            sig_b = np.stack([np.asarray(s, dtype=np.int64) for s in pdf["sig_b"]])
+            est = (sig_a == sig_b).sum(axis=1) / n_hashes
+            idx = np.nonzero(est >= lo_cut)[0]
+            if idx.size == 0:
+                continue
+            keep_a, keep_b, keep_j = [], [], []
+            sh_a_col, sh_b_col = pdf["sh_a"], pdf["sh_b"]
+            for i in idx:
+                a = np.asarray(sh_a_col.iat[i], dtype=np.int64)
+                b = np.asarray(sh_b_col.iat[i], dtype=np.int64)
+                inter = int(np.isin(b, a, assume_unique=True).sum())
+                jac = inter / (a.size + b.size - inter)
+                if jac >= threshold:
+                    keep_a.append(pdf["id_a"].iat[i])
+                    keep_b.append(pdf["id_b"].iat[i])
+                    keep_j.append(jac)
+            if keep_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": keep_a,
+                        "id_b": keep_b,
+                        "jaccard": np.asarray(keep_j, dtype=np.float64),
+                    }
+                )
+
+    return joined.mapInPandas(verify, out_schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -279,22 +360,7 @@ def minhash_lsh_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
 
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws("|", *[F.col("sig")[b * r + j] for j in range(r)])
-                        ).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bkey")
+    banded = _band_explode(sigs, bands, r)
 
     if max_bucket_size is not None:
         counts = banded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("_n"))
@@ -336,49 +402,7 @@ def minhash_lsh_pairs(
         ]
     )
 
-    sa = sigs.select(
-        F.col("id").alias("id_a"),
-        F.col("sig").alias("sig_a"),
-        F.col("shingles").alias("sh_a"),
-    )
-    sb = sigs.select(
-        F.col("id").alias("id_b"),
-        F.col("sig").alias("sig_b"),
-        F.col("shingles").alias("sh_b"),
-    )
-    joined = cand.join(sa, "id_a").join(sb, "id_b")
-
-    def verify(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            sig_a = np.stack([np.asarray(s, dtype=np.int64) for s in pdf["sig_a"]])
-            sig_b = np.stack([np.asarray(s, dtype=np.int64) for s in pdf["sig_b"]])
-            est = (sig_a == sig_b).sum(axis=1) / n_hashes
-            idx = np.nonzero(est >= lo_cut)[0]
-            if idx.size == 0:
-                continue
-            keep_a, keep_b, keep_j = [], [], []
-            sh_a_col, sh_b_col = pdf["sh_a"], pdf["sh_b"]
-            for i in idx:
-                a = np.asarray(sh_a_col.iat[i], dtype=np.int64)
-                b = np.asarray(sh_b_col.iat[i], dtype=np.int64)
-                inter = int(np.isin(b, a, assume_unique=True).sum())
-                jac = inter / (a.size + b.size - inter)
-                if jac >= threshold:
-                    keep_a.append(pdf["id_a"].iat[i])
-                    keep_b.append(pdf["id_b"].iat[i])
-                    keep_j.append(jac)
-            if keep_a:
-                yield pd.DataFrame(
-                    {
-                        "id_a": keep_a,
-                        "id_b": keep_b,
-                        "jaccard": np.asarray(keep_j, dtype=np.float64),
-                    }
-                )
-
-    return joined.mapInPandas(verify, out_schema)
+    return _verify_candidates(cand, sigs, sigs, out_schema, threshold, lo_cut, n_hashes)
 
 
 def ngram_jaccard_pairs(
@@ -961,3 +985,89 @@ def span_dedup(
         "n_blocks",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
     )
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.85,
+    n_hashes: int = 96,
+    bands: int = 12,
+    shingle_n: int = 3,
+    estimate_margin: float = 0.1,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: check an arriving batch against a
+    PERSISTED signature index without re-signing or re-pairing the old
+    corpus — the operational shape at 100 TB, where re-running
+    ``minhash_lsh_pairs`` over corpus+batch would redo a month of work
+    to admit a day of data.
+
+    ``index`` is the (id, shingles, sig) relation from
+    :func:`minhash_signatures` (persist it as parquet; append each
+    admitted batch's signatures to keep it current). The arriving batch
+    signs once; its band buckets join (a) the INDEX's band buckets for
+    new-vs-old pairs and (b) themselves for new-vs-new pairs. Both
+    candidate sets verify through the same signature-prefilter +
+    exact-shingle pass as the full pipeline, so results are EXACTLY
+    what the full recompute would emit for pairs touching the batch
+    (pinned in pytest). Old-vs-old pairs are by definition already
+    known and never recomputed.
+
+    Output: (id_a, id_b, jaccard, vs_index boolean). Signatures must
+    share n_hashes/shingle_n/seed with the index build.
+    """
+    if n_hashes % bands:
+        raise ValueError("bands must divide n_hashes")
+    r = n_hashes // bands
+    lo_cut = threshold - estimate_margin
+
+    sig_new = minhash_signatures(
+        new_df, id_col, text_col, n_hashes, shingle_n
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_new.count()
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", new_df.schema[id_col].dataType),
+            T.StructField("id_b", new_df.schema[id_col].dataType),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+
+    b_new = _band_explode(sig_new, bands, r)
+    b_old = _band_explode(index, bands, r)
+
+    # new-vs-old: every bucket collision, orientation (new=a, old=b)
+    cand_old = (
+        b_new.alias("l")
+        .join(
+            b_old.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    vs_old = _verify_candidates(
+        cand_old, sig_new, index, out_schema, threshold, lo_cut, n_hashes
+    ).withColumn("vs_index", F.lit(True))
+
+    # new-vs-new: ordered pairs within the batch
+    cand_new = (
+        b_new.alias("l")
+        .join(
+            b_new.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    vs_new = _verify_candidates(
+        cand_new, sig_new, sig_new, out_schema, threshold, lo_cut, n_hashes
+    ).withColumn("vs_index", F.lit(False))
+
+    return vs_old.unionByName(vs_new)

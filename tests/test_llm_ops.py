@@ -480,3 +480,62 @@ def test_span_dedup_cuts_repeats_keeps_first(spark):
     assert out[3].clean_text == uniq[3]
     assert out[4].clean_text == "" and out[4].n_kept == 0
     assert out[4].n_blocks == 1
+
+
+def test_incremental_minhash_matches_full_recompute(spark, tmp_path):
+    """Incremental dedup against a persisted signature index must emit
+    EXACTLY the pairs a full recompute over old+new finds that touch
+    the new batch — new-vs-index and new-vs-new both — while never
+    re-pairing the old corpus."""
+    from oakstore_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from a sunny windowsill and the birds sing in the garden outside"
+    )
+    old_rows = [
+        (0, base),
+        (1, "completely different content about databases and query engines"),
+        (2, "yet another unrelated document discussing storage formats"),
+    ]
+    new_rows = [
+        (10, base.replace("quick", "swift")),      # near dup of OLD 0
+        (11, "fresh unique text with no duplicate anywhere in the corpus"),
+        (12, base.replace("quick", "swift")),      # exact dup of NEW 10
+    ]
+    old_df = spark.createDataFrame(old_rows, ["doc_id", "text"])
+    new_df = spark.createDataFrame(new_rows, ["doc_id", "text"])
+
+    # build + persist the index as parquet (the operational shape)
+    idx_path = str(tmp_path / "sig_index")
+    minhash_signatures(old_df, "doc_id", "text").write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    inc = incremental_minhash_pairs(
+        new_df, index, "doc_id", "text", threshold=0.8
+    ).toPandas()
+    inc_pairs = {
+        tuple(sorted((int(a), int(b)))) for a, b in zip(inc.id_a, inc.id_b)
+    }
+
+    full = minhash_lsh_pairs(
+        old_df.unionByName(new_df), "doc_id", "text", threshold=0.8
+    ).toPandas()
+    full_pairs = {
+        tuple(sorted((int(a), int(b)))) for a, b in zip(full.id_a, full.id_b)
+    }
+    expected = {p for p in full_pairs if p[0] >= 10 or p[1] >= 10}
+    assert inc_pairs == expected, (inc_pairs, expected)
+    assert (0, 10) in inc_pairs and (10, 12) in inc_pairs
+    # orientation flags: the old-corpus hit is marked vs_index, the
+    # in-batch dup is not
+    flags = {
+        tuple(sorted((int(a), int(b)))): bool(v)
+        for a, b, v in zip(inc.id_a, inc.id_b, inc.vs_index)
+    }
+    assert flags[(0, 10)] is True
+    assert flags[(10, 12)] is False
