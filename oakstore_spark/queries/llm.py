@@ -526,3 +526,51 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("sim"), 4).alias("avg_sim"),
     )
+
+
+@register(
+    "q_incremental_near_dup",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, doc_id % 5 = 0 AS is_new,
+             list_distinct(list_transform(
+               range(1, greatest(len({_NORM_SQL}) - 2, 1) + 1),
+               i -> substr({_NORM_SQL}, i, 3))) AS s
+      FROM documents
+    )
+    SELECT least(a.doc_id, b.doc_id) AS id_a,
+           greatest(a.doc_id, b.doc_id) AS id_b,
+           round(len(list_intersect(a.s, b.s))
+                 / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE),
+                 6) AS jaccard,
+           (a.is_new <> b.is_new) AS vs_index
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE (a.is_new OR b.is_new)
+      AND len(list_intersect(a.s, b.s))
+          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.85
+    """,
+)
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission: docs with doc_id % 5 == 0 play
+    the ARRIVING batch, the rest the already-deduped corpus whose
+    persisted signature index is all the batch ever touches
+    (operators/dedup.py:incremental_minhash_pairs). The oracle
+    brute-forces exact jaccard over every batch-touching pair — so the
+    incremental banding must find exactly what a full recompute would."""
+    from oakstore_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_signatures,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 5 == 0)
+    index = minhash_signatures(
+        d.where(F.col("doc_id") % 5 != 0), "doc_id", "text"
+    )
+    pairs = incremental_minhash_pairs(new, index, "doc_id", "text", threshold=0.85)
+    return pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+        "vs_index",
+    )
