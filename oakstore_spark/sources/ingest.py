@@ -233,3 +233,48 @@ def export_webdataset_shards(
     return spark.createDataFrame(
         [(e["shard"], e["n_samples"], e["n_bytes"]) for e in entries], schema
     )
+
+
+def read_webdataset(spark, path: str) -> DataFrame:
+    """Ingest WebDataset tar shards back into a relation: one row per
+    member, (shard, key, ext, content binary). Shards arrive whole
+    through the ``binaryFile`` source (a shard is one task — exactly the
+    sequential-read contract the format is built for) and untar in an
+    Arrow-batched kernel; downstream can pivot exts to columns or route
+    members to the multimodal decoders. No shuffle; listing-time glob
+    keeps non-tar files out of the scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("shard", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("ext", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def untar(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            shards, keys, exts, contents = [], [], [], []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                name = p.rsplit("/", 1)[-1]
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                    for m in tar.getmembers():
+                        if not m.isfile():
+                            continue
+                        stem, _, ext = m.name.rpartition(".")
+                        shards.append(name)
+                        keys.append(stem or m.name)
+                        exts.append(ext)
+                        contents.append(tar.extractfile(m).read())
+            yield pd.DataFrame(
+                {"shard": shards, "key": keys, "ext": exts, "content": contents}
+            )
+
+    files = read_binary_files(spark, path, glob="*.tar")
+    return files.select("path", "content").mapInPandas(untar, out_schema)

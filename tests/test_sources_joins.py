@@ -416,3 +416,26 @@ def test_webdataset_shard_export_roundtrip(spark, tmp_path):
     for key, text, img in rows:
         assert seen[f"{key}.txt"] == text.encode()
         assert seen[f"{key}.png"] == img
+
+
+def test_webdataset_read_back(spark, tmp_path):
+    """export -> read_webdataset round-trip: every member returns with
+    its key/ext and byte-exact content."""
+    from oakstore_spark.sources.ingest import (
+        export_webdataset_shards,
+        read_webdataset,
+    )
+
+    rows = [(f"s{i}", f"body {i}", bytes([i, i + 1])) for i in range(13)]
+    df = spark.createDataFrame(rows, "key string, text string, img binary")
+    out = str(tmp_path / "wds2")
+    export_webdataset_shards(
+        df, out, "key", shard_rows=5, content_cols={"text": "txt", "img": "bin"}
+    ).collect()
+
+    back = read_webdataset(spark, out).collect()
+    got = {(r.key, r.ext): bytes(r.content) for r in back}
+    assert len(back) == 26
+    for key, text, img in rows:
+        assert got[(key, "txt")] == text.encode()
+        assert got[(key, "bin")] == img
