@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Scale headroom probe: run the store write/append/slice path and a set
+of headline operators on SYNTHETIC data ~10x the sf0.1 bench volume
+(generated distributed via spark.range — no testdata dependency), and
+print one JSON line of per-op wall times + rows/sec. Evidence for the
+SCALING.md claims: the shapes that must stay linear (hash agg, window
+over keys, as-of union+window, EWMA carry kernel, store round-trip) get
+a measured point at a volume where a quadratic or driver-funnel mistake
+would be unmissable.
+
+Usage: python tools/scale_probe.py [--rows 20000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import Window as W  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from oakstore_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20_000_000)
+    args = ap.parse_args()
+    n = args.rows
+    spark = get_spark("oakstore_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict[str, float] = {"rows": n}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        out[name + "_sec"] = round(dt, 2)
+        out[name + "_rows_per_sec"] = round(n / dt)
+
+    # synthetic events: 200k users, minute-spaced timestamps, skewed types
+    ev = (
+        spark.range(0, n, 1, 64)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 200_000).alias("user_id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + F.col("id") * 60_000_000
+            ).alias("ts"),
+            (F.hash("id") % 1000 / 10.0).alias("value"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("view"), F.lit("click"),
+                        F.lit("purchase")),
+                (F.col("id") % 4 + 1).cast("int"),
+            ).alias("event_type"),
+        )
+    )
+    ev.persist()
+    timed("materialize", lambda: ev.count())
+
+    def noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    timed("hash_agg", lambda: noop(
+        ev.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)), F.sum("value"), F.avg("value")
+        )
+    ))
+    timed("window_rolling", lambda: noop(
+        ev.withColumn(
+            "r",
+            F.avg("value").over(
+                W.partitionBy("user_id").orderBy("ts").rowsBetween(-10, 0)
+            ),
+        )
+    ))
+
+    from oakstore_spark.operators.timeseries import asof_join, grouped_ewma
+
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("vid")
+    )
+    timed("asof_join", lambda: noop(
+        asof_join(purchases, views, ts_col="ts", by=["user_id"],
+                  value_cols=["vid"])
+    ))
+    timed("ewma_kernel", lambda: noop(
+        grouped_ewma(ev, "ts", ["user_id"], "value", alpha=0.3)
+    ))
+
+    # store round-trip at probe volume (one OHLCV-shaped item)
+    import pandas as pd  # noqa: F401
+
+    from oakstore_spark import Store
+
+    sdir = tempfile.mkdtemp(prefix="oak_probe_")
+    store = Store(base_path=sdir, spark=spark,
+                  cols={"V": float}, index="TS")
+    frame = ev.select(
+        F.col("ts").alias("TS"), F.col("value").alias("V")
+    ).where(F.col("event_id") % 10 == 0)  # 1/10th => ~n/10 rows, 1 item
+    store_rows = frame.count()
+    t0 = time.time()
+    store._write(key="PROBE", data=frame)
+    out["store_write_sec"] = round(time.time() - t0, 2)
+    out["store_write_rows_per_sec"] = round(store_rows / (time.time() - t0))
+    t0 = time.time()
+    got = store["PROBE"].df().count()
+    out["store_scan_sec"] = round(time.time() - t0, 2)
+    assert got == store_rows, (got, store_rows)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
