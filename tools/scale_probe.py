@@ -31,6 +31,9 @@ from oakstore_spark.session import get_spark  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=20_000_000)
+    ap.add_argument("--docs", type=int, default=0,
+                    help="also probe distributed minhash dedup on this many "
+                         "synthetic docs (>200k forces the distributed path)")
     args = ap.parse_args()
     n = args.rows
     spark = get_spark("oakstore_scale_probe")
@@ -118,6 +121,38 @@ def main() -> None:
     got = store["PROBE"].df().count()
     out["store_scan_sec"] = round(time.time() - t0, 2)
     assert got == store_rows, (got, store_rows)
+
+    if args.docs:
+        from oakstore_spark.operators.dedup import minhash_lsh_pairs
+
+        nd = args.docs
+        # diverse tokens (hex of per-position hashes): a tiny shared
+        # vocabulary would make every doc near-identical in shingle
+        # space and melt the LSH buckets — realistic corpora are
+        # diverse, so the probe's must be too. Every 50th doc is an
+        # exact duplicate of its predecessor to give verify real hits.
+        base = spark.range(0, nd, 1, 64).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.hex(F.hash((F.col("id") - (F.col("id") % 50 == 49).cast("long")) * 131 + k))
+                    for k in range(24)
+                ],
+            ).alias("text"),
+        )
+        docs = base
+        docs.persist()
+        docs.count()
+        t0 = time.time()
+        n_pairs = minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.85
+        ).count()
+        dt = time.time() - t0
+        out["dedup_docs"] = nd
+        out["dedup_pairs"] = n_pairs
+        out["dedup_sec"] = round(dt, 2)
+        out["dedup_docs_per_sec"] = round(nd / dt)
 
     print(json.dumps(out))
 
