@@ -31,6 +31,10 @@ from oakstore_spark.session import get_spark  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=20_000_000)
+    ap.add_argument("--vecs", type=int, default=0,
+                    help="also probe ANN: IVF top-10 for 100 queries over "
+                         "this many synthetic 64-d vectors, with recall@10 "
+                         "vs exact brute force")
     ap.add_argument("--docs", type=int, default=0,
                     help="also probe distributed minhash dedup on this many "
                          "synthetic docs (>200k forces the distributed path)")
@@ -153,6 +157,57 @@ def main() -> None:
         out["dedup_pairs"] = n_pairs
         out["dedup_sec"] = round(dt, 2)
         out["dedup_docs_per_sec"] = round(nd / dt)
+
+    if args.vecs:
+        from oakstore_spark.operators.similarity import (
+            cosine_topk,
+            ivf_cosine_topk,
+        )
+
+        nv, dim = args.vecs, 64
+        # clustered vectors (1000 centers + 20% noise): embedding spaces
+        # ARE clustered — uniform random vectors are IVF's degenerate
+        # worst case (neighbors scatter over all cells) and measure
+        # nothing realistic.
+        cluster = F.col("id") % 1000
+        vecs = spark.range(0, nv, 1, 64).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (
+                    (F.hash(cluster * 13 + j) % 1000 / 500.0 - 1.0)
+                    + (F.hash(F.col("id") * 97 + j) % 1000 / 2500.0 - 0.2)
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        vecs.persist()
+        vecs.count()
+        qs = vecs.where(F.col("vec_id") % (nv // 100) == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        qs.persist()
+        nq = qs.count()
+        t0 = time.time()
+        approx = ivf_cosine_topk(
+            vecs, qs, k=10, dim=dim, n_centroids=256, n_probe=16
+        )
+        approx_rows = approx.collect()
+        dt = time.time() - t0
+        out["ann_vecs"] = nv
+        out["ann_queries"] = nq
+        out["ann_ivf_sec"] = round(dt, 2)
+        t0 = time.time()
+        exact_rows = cosine_topk(vecs, qs, k=10).collect()
+        out["ann_brute_sec"] = round(time.time() - t0, 2)
+        exact = {}
+        for r in exact_rows:
+            exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = tot = 0
+        for r in approx_rows:
+            if r["vec_id"] in exact.get(r["query_id"], set()):
+                hits += 1
+        tot = sum(len(v) for v in exact.values())
+        out["ann_recall_at_10"] = round(hits / tot, 4) if tot else None
 
     print(json.dumps(out))
 
