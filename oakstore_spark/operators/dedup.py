@@ -997,6 +997,7 @@ def incremental_minhash_pairs(
     bands: int = 12,
     shingle_n: int = 3,
     estimate_margin: float = 0.1,
+    driver_pairs_max_docs: int = 200_000,
 ) -> DataFrame:
     """INCREMENTAL near-dup detection: check an arriving batch against a
     PERSISTED signature index without re-signing or re-pairing the old
@@ -1026,7 +1027,7 @@ def incremental_minhash_pairs(
     sig_new = minhash_signatures(
         new_df, id_col, text_col, n_hashes, shingle_n
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    sig_new.count()
+    n_new = sig_new.count()
 
     out_schema = T.StructType(
         [
@@ -1035,6 +1036,36 @@ def incremental_minhash_pairs(
             T.StructField("jaccard", T.DoubleType()),
         ]
     )
+
+    # driver fast path (same gate policy as minhash_lsh_pairs): under the
+    # gate, banding the combined signature rows in numpy beats four
+    # distributed joins' fixed costs; pairs then filter to batch-touching
+    # and re-orient. Identical output — the distributed path is CI-forced.
+    if (
+        index.limit(driver_pairs_max_docs + 1).count() + n_new
+        <= driver_pairs_max_docs
+    ):
+        spark = new_df.sparkSession
+        new_rows = sig_new.collect()
+        new_ids = {row["id"] for row in new_rows}
+        pairs = _minhash_pairs_driver(
+            spark, new_rows + index.collect(), out_schema, threshold,
+            n_hashes, bands, r, estimate_margin, None,
+        )
+        # pair volume is tiny (near-dups only); filter + orient in-driver
+        # rather than via an isin() over up to 200k literal ids
+        kept = [
+            (
+                p["id_a"], p["id_b"], p["jaccard"],
+                not (p["id_a"] in new_ids and p["id_b"] in new_ids),
+            )
+            for p in pairs.collect()
+            if p["id_a"] in new_ids or p["id_b"] in new_ids
+        ]
+        sig_new.unpersist()
+        return spark.createDataFrame(
+            kept, out_schema.add("vs_index", T.BooleanType())
+        )
 
     b_new = _band_explode(sig_new, bands, r)
     b_old = _band_explode(index, bands, r)

@@ -564,9 +564,13 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     new = d.where(F.col("doc_id") % 5 == 0)
+    # persist the index relation: operationally it IS a persisted
+    # artifact (parquet); an unpersisted plan would re-sign the corpus
+    # once per join branch (measured 3x the signature cost)
     index = minhash_signatures(
         d.where(F.col("doc_id") % 5 != 0), "doc_id", "text"
-    )
+    ).persist()
+    index.count()
     pairs = incremental_minhash_pairs(new, index, "doc_id", "text", threshold=0.85)
     return pairs.select(
         F.least("id_a", "id_b").alias("id_a"),

@@ -521,6 +521,15 @@ def test_incremental_minhash_matches_full_recompute(spark, tmp_path):
     inc_pairs = {
         tuple(sorted((int(a), int(b)))) for a, b in zip(inc.id_a, inc.id_b)
     }
+    # the distributed (above-gate) path must agree exactly
+    dist = incremental_minhash_pairs(
+        new_df, index, "doc_id", "text", threshold=0.8,
+        driver_pairs_max_docs=0,
+    ).toPandas()
+    dist_pairs = {
+        tuple(sorted((int(a), int(b)))) for a, b in zip(dist.id_a, dist.id_b)
+    }
+    assert dist_pairs == inc_pairs
 
     full = minhash_lsh_pairs(
         old_df.unionByName(new_df), "doc_id", "text", threshold=0.8
