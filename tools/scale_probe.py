@@ -158,6 +158,17 @@ def main() -> None:
         out["dedup_sec"] = round(dt, 2)
         out["dedup_docs_per_sec"] = round(nd / dt)
 
+        from oakstore_spark.operators.dedup import span_dedup
+
+        t0 = time.time()
+        cut = span_dedup(docs).agg(
+            F.sum(F.col("n_blocks") - F.col("n_kept"))
+        ).first()[0]
+        dt = time.time() - t0
+        out["span_dedup_sec"] = round(dt, 2)
+        out["span_dedup_docs_per_sec"] = round(nd / dt)
+        out["span_blocks_cut"] = int(cut)
+
     if args.vecs:
         from oakstore_spark.operators.similarity import (
             cosine_topk,
