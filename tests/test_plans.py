@@ -265,3 +265,25 @@ def test_fuzzy_match_pairs_distinct_names_not_rows(spark):
     # exchange reuse) must appear between scan and join
     assert plan.count("HashAggregate") >= 2
     assert "levenshtein" in plan
+
+
+def test_dynamic_partition_pruning_on_year_layout(spark, tmp_path):
+    """Dynamic partition pruning must fire on the hive year-partitioned
+    layout the store writes: joining the fact scan to a FILTERED dim on
+    the partition column injects a dynamicpruning subquery into the
+    scan's PartitionFilters — at 100 TB the join's build side decides
+    at runtime which year directories are read at all."""
+    d = str(tmp_path / "dpp_fact")
+    spark.range(0, 50_000).select(
+        F.col("id"),
+        (F.col("id") % 5 + 2018).alias("yr"),
+        (F.col("id") * 1.0).alias("v"),
+    ).write.partitionBy("yr").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = spark.createDataFrame(
+        [(2019, "keep"), (2020, "keep"), (2021, "drop")], ["yr", "tag"]
+    )
+    j = fact.join(dim.where(F.col("tag") == "keep"), "yr").agg(F.sum("v"))
+    plan = plan_of(j)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "PartitionFilters" in plan
