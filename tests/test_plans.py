@@ -287,3 +287,35 @@ def test_dynamic_partition_pruning_on_year_layout(spark, tmp_path):
     plan = plan_of(j)
     assert "dynamicpruning" in plan.lower(), plan
     assert "PartitionFilters" in plan
+
+
+def test_runtime_bloom_filter_injected_on_shuffle_join(spark, tmp_path):
+    """When a selective dim filter feeds a SHUFFLE join, Spark's runtime
+    bloom filter must inject a might_contain pre-filter on the fact
+    scan side — at 100 TB this drops most fact rows before the
+    exchange. (Thresholds lowered to fire at test scale; broadcast
+    disabled because a broadcast join subsumes the optimization.)"""
+    fact_p = str(tmp_path / "bf_fact")
+    dim_p = str(tmp_path / "bf_dim")
+    spark.range(0, 100_000).select(
+        F.col("id"), (F.col("id") % 1000).alias("k"), (F.col("id") * 1.0).alias("v")
+    ).write.parquet(fact_p)
+    spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    ).write.parquet(dim_p)
+    fact, dim = spark.read.parquet(fact_p), spark.read.parquet(dim_p)
+
+    tweaked = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tweaked}
+    try:
+        for k, v in tweaked.items():
+            spark.conf.set(k, v)
+        j = fact.join(dim.where(F.col("grp") == 3), "k").agg(F.sum("v"))
+        plan = plan_of(j)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in plan, plan
