@@ -319,3 +319,36 @@ def test_runtime_bloom_filter_injected_on_shuffle_join(spark, tmp_path):
         for k, v in saved.items():
             spark.conf.set(k, v)
     assert "might_contain" in plan, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE must mark and split the skewed partition of a hot-key join
+    at runtime (SortMergeJoin(skew=true) in the final adaptive plan) —
+    the mechanism SCALING.md leans on for hot LSH buckets and viral
+    span digests. Thresholds lowered so the fixture-scale hot key
+    qualifies; restored afterwards."""
+    tweaked = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tweaked}
+    try:
+        for k, v in tweaked.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, 7)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").agg(F.count(F.lit(1)))
+        j.collect()  # AQE decides skew handling at runtime
+        plan = plan_of(j)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "skew=true" in plan, plan
