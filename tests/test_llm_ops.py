@@ -548,3 +548,25 @@ def test_incremental_minhash_matches_full_recompute(spark, tmp_path):
     }
     assert flags[(0, 10)] is True
     assert flags[(10, 12)] is False
+
+
+def test_span_dedup_null_empty_and_short_docs(spark):
+    """Null text, empty text, and sub-block-size docs must survive
+    span_dedup without crashing: null/empty normalize to zero kept
+    content; short unique docs pass through verbatim."""
+    from oakstore_spark.operators.dedup import span_dedup
+
+    rows = [(1, None), (2, ""), (3, "   "), (4, "tiny doc"), (5, "tiny doc")]
+    out = {
+        r.doc_id: r
+        for r in span_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            block_words=8,
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[4].clean_text == "tiny doc"  # first occurrence kept
+    assert out[5].clean_text == ""          # exact dup cut entirely
+    for i in (1, 2, 3):
+        assert out[i].n_kept <= 1  # degenerate docs never gain content
+        assert out[i].clean_text in ("", None) or out[i].clean_text == ""
