@@ -699,3 +699,47 @@ def q_training_set_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
     )
+
+
+@register(
+    "q_feature_hashing",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+               '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), bucketed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64
+               AS bucket
+      FROM terms WHERE term <> ''
+    )
+    SELECT doc_id, CAST(bucket AS INT) AS bucket,
+           count(*) AS n_terms
+    FROM bucketed GROUP BY doc_id, bucket
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (feature hashing): terms map to a FIXED 64-dim
+    bucket space via a hash, no vocabulary pass, no fit step — the
+    standard unbounded-cardinality categorical encoder for streaming/
+    huge corpora. Bucket = first 8 md5 hex chars mod 64 so both engines
+    hash identically (Spark's xxhash64 and DuckDB's hash are different
+    functions — a portable encoder must pin the hash). Entirely JVM:
+    explode + conv + agg; long-form (doc, bucket, count) output is the
+    sparse-vector representation."""
+    from oakstore_spark.functions.text import normalize_text
+
+    d = table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(normalize_text("text"), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint") % 64
+    )
+    return terms.select("doc_id", bucket.cast("int").alias("bucket")).groupBy(
+        "doc_id", "bucket"
+    ).agg(F.count(F.lit(1)).alias("n_terms"))
