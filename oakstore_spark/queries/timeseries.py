@@ -845,3 +845,40 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_drawdown"),
         F.round(F.max("peak"), 4).alias("peak_value"),
     )
+
+
+@register(
+    "q_regr_user_trend",
+    oracle="""
+    SELECT user_id,
+           CAST(regr_count(value, epoch_us(ts) / 86400000000.0) AS BIGINT)
+             AS n,
+           round(regr_slope(value, epoch_us(ts) / 86400000000.0), 6)
+             AS slope_per_day,
+           round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 4)
+             AS intercept,
+           round(regr_r2(value, epoch_us(ts) / 86400000000.0), 6) AS r2
+    FROM events
+    GROUP BY user_id
+    HAVING regr_count(value, epoch_us(ts) / 86400000000.0) >= 2
+    """,
+)
+def q_regr_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key OLS trend with the SQL regression aggregate family
+    (regr_slope/intercept/r2/count): is each user's value drifting, and
+    how fast per day? Single-pass partial-aggregable moments — the
+    regression runs inside one hash aggregate, no window, no matrix
+    library. Time is epoch days (double) so slopes are per-day."""
+    e = table(spark, sf_dir, "events")
+    x = (F.unix_micros("ts") / 86400000000.0).alias("x")
+    base = e.select("user_id", F.col("value").alias("y"), x)
+    return (
+        base.groupBy("user_id")
+        .agg(
+            F.regr_count("y", "x").cast("bigint").alias("n"),
+            F.round(F.regr_slope("y", "x"), 6).alias("slope_per_day"),
+            F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        )
+        .where(F.col("n") >= 2)
+    )
