@@ -844,3 +844,42 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_fuzzy_row_pairs"),
         F.min("d").cast("int").alias("min_dist"),
     )
+
+
+@register(
+    "q_higher_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             avg(l_discount) AS mu,
+             avg(l_discount * l_discount) AS m2r,
+             avg(l_discount * l_discount * l_discount) AS m3r,
+             avg(l_discount * l_discount * l_discount * l_discount) AS m4r,
+             bool_or(l_discount > 0.09) AS any_deep_discount,
+             bool_and(l_quantity < 100) AS all_qty_small
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((m3r - 3 * mu * m2r + 2 * mu * mu * mu)
+                 / pow(m2r - mu * mu, 1.5), 4) AS skew,
+           round((m4r - 4 * mu * m3r + 6 * mu * mu * m2r
+                  - 3 * mu * mu * mu * mu)
+                 / pow(m2r - mu * mu, 2) - 3, 4) AS kurt,
+           any_deep_discount, all_qty_small
+    FROM m
+    """,
+)
+def q_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment + boolean aggregates: Spark's skewness/kurtosis are
+    POPULATION (g1, excess g2) statistics, DuckDB's are sample
+    bias-corrected — so the oracle recomputes the population forms from
+    raw moment algebra (E[x^k] expansions), which pins the exact
+    formula, not just a number. bool_or/bool_and cover the boolean
+    aggregate family. All partial-aggregable; one hash agg."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_discount"), 4).alias("skew"),
+        F.round(F.kurtosis("l_discount"), 4).alias("kurt"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bool_and(F.col("l_quantity") < 100).alias("all_qty_small"),
+    )
