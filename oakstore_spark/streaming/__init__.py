@@ -5,6 +5,7 @@ from oakstore_spark.streaming.ingest import (
     read_events_stream,
     stream_append_to_store,
 )
+from oakstore_spark.streaming.dedup import dedup_admission_stream
 from oakstore_spark.streaming.joins import (
     click_purchase_attribution_stream,
     enrich_stream_static,
@@ -12,6 +13,8 @@ from oakstore_spark.streaming.joins import (
 from oakstore_spark.streaming.stateful import (
     running_user_totals,
     running_user_totals_tws,
+    session_close_on_timeout,
+    session_close_on_timer,
     session_window_stats,
 )
 
@@ -26,4 +29,7 @@ __all__ = [
     "click_purchase_attribution_stream",
     "enrich_stream_static",
     "stream_append_to_store",
+    "dedup_admission_stream",
+    "session_close_on_timeout",
+    "session_close_on_timer",
 ]

@@ -1,0 +1,96 @@
+"""Streaming near-duplicate ADMISSION: the end-to-end pipeline a
+training-data ingest runs — every arriving micro-batch is checked
+against the persisted signature index of everything admitted so far
+(operators/dedup.py:incremental_minhash_pairs), survivors are appended
+to the corpus AND their signatures to the index, duplicates are turned
+away at the door. The old corpus is never re-signed; per-batch cost
+tracks batch size.
+
+Replay safety: foreachBatch can re-deliver a batch after a failure, so
+every write lands in a ``batch=<id>`` subdirectory with overwrite mode
+— a replayed batch overwrites its own previous output instead of
+double-admitting (the same idempotence pattern as stream_append_to_store's
+old-wins dedup)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_admission_stream(
+    stream: DataFrame,
+    corpus_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.85,
+):
+    """Start (availableNow) the admission pipeline; returns the handle.
+
+    Per micro-batch: (1) near-dup pairs vs the current index and within
+    the batch; (2) rejects = any doc matching the index, or the
+    HIGHER-id side of an in-batch pair (keep-first-by-id); (3) admitted
+    docs append to ``corpus_dir/batch=<id>``, their signatures to
+    ``index_dir/batch=<id>`` — the index the NEXT batch reads."""
+    from oakstore_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_signatures,
+    )
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            idx_root = Path(index_dir)
+            have_index = idx_root.exists() and any(idx_root.glob("batch=*"))
+            batch_ids = {r[0] for r in batch_df.select(id_col).collect()}
+            if have_index:
+                index = spark.read.parquet(str(idx_root / "batch=*"))
+                pairs = incremental_minhash_pairs(
+                    batch_df, index, id_col, text_col, threshold=threshold
+                ).collect()
+            else:
+                # first batch: only in-batch dedup; reuse the operator
+                # with an empty index relation
+                empty = minhash_signatures(
+                    batch_df.limit(0), id_col, text_col
+                )
+                pairs = incremental_minhash_pairs(
+                    batch_df, empty, id_col, text_col, threshold=threshold
+                ).collect()
+            rejects = set()
+            for p in pairs:
+                a, b = p["id_a"], p["id_b"]
+                a_new, b_new = a in batch_ids, b in batch_ids
+                if a_new and b_new:
+                    rejects.add(max(a, b))  # keep-first-by-id in batch
+                elif a_new:
+                    rejects.add(a)
+                elif b_new:
+                    rejects.add(b)
+            admitted = (
+                batch_df.where(~F.col(id_col).isin(rejects))
+                if rejects
+                else batch_df
+            )
+            admitted = admitted.persist()
+            admitted.write.mode("overwrite").parquet(
+                f"{corpus_dir}/batch={batch_id}"
+            )
+            minhash_signatures(admitted, id_col, text_col).write.mode(
+                "overwrite"
+            ).parquet(f"{index_dir}/batch={batch_id}")
+            admitted.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

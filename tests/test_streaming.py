@@ -474,3 +474,57 @@ def test_timeout_based_session_close_legacy_api(spark, tmp_path):
         (2, 1, ts(10, 0, 10), ts(10, 0, 10)),  # closed by timeout
     }
     assert got == expected, got  # user 99's open session must be absent
+
+
+def test_streaming_dedup_admission(spark, tmp_path):
+    """End-to-end streaming near-dup admission: across three
+    micro-batches, only FIRST occurrences are admitted — later
+    near-dups are rejected whether their original arrived in an earlier
+    batch (index hit) or the same batch (keep-first) — and the
+    signature index ends up holding exactly the admitted docs."""
+    from oakstore_spark.streaming.dedup import dedup_admission_stream
+
+    base_a = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from a sunny windowsill and the birds sing outside in the garden"
+    )
+    base_b = (
+        "completely different content about columnar storage engines and "
+        "distributed query planning with adaptive execution at scale"
+    )
+    uniq = "a third unique document describing streaming watermarks in detail"
+    f1 = [(1, base_a), (2, base_b)]
+    f2 = [(3, base_a.replace("quick", "swift")), (4, uniq)]        # 3 dups idx
+    f3 = [(5, uniq.replace("third", "3rd")), (6, base_b + " x"),    # both dup idx
+          (7, "never seen before text about bloom filters and sketches"),
+          (8, "never seen before text about bloom filters and sketches")]  # 8 dups 7 in-batch
+    src = str(tmp_path / "adm_src")
+    for i, rows in enumerate([f1, f2, f3]):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f"{src}/f{i}")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = dedup_admission_stream(
+        stream,
+        corpus_dir=str(tmp_path / "corpus"),
+        index_dir=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt_adm"),
+        threshold=0.8,
+    )
+    q.awaitTermination(180)
+
+    admitted = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "corpus" / "batch=*")).collect()
+    }
+    assert admitted == {1, 2, 4, 7}, admitted
+    index_ids = {
+        r.id
+        for r in spark.read.parquet(str(tmp_path / "index" / "batch=*")).collect()
+    }
+    assert index_ids == admitted
