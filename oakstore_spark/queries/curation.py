@@ -718,3 +718,195 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("na").cast("bigint").alias("n_a"),
         F.max("nb").cast("bigint").alias("n_b"),
     )
+
+
+@register(
+    "q_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, user_id) AS rk,
+             count(*) OVER () AS n_keys,
+             sum(cnt) OVER () AS n_rows
+      FROM c
+    )
+    SELECT CAST(max(n_rows) AS BIGINT) AS n_rows,
+           CAST(max(n_keys) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           round(max(cnt) * max(n_keys) / CAST(max(n_rows) AS DOUBLE), 4)
+             AS skew_ratio,
+           round(sum(CASE WHEN rk <= ceil(0.01 * n_keys) THEN cnt
+                          ELSE 0 END) / CAST(max(n_rows) AS DOUBLE), 6)
+             AS top1pct_share
+    FROM ranked
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic — the pre-flight check before any
+    large groupBy/join: per-key counts (one hash agg over the corpus),
+    then max/avg ratio and the row share held by the hottest 1% of
+    keys. At 100 TB the expensive part is the single count-by-key agg
+    (map-side partial combine, tiny output); the ranking window runs
+    over the ALREADY-AGGREGATED key table (n_keys rows, not n_rows),
+    so the global sort it implies is on the small relation. A
+    skew_ratio >> 1 or a fat top1pct_share says: salt this key or rely
+    on AQE skew-join before shipping the pipeline."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = c.select(
+        "cnt",
+        F.row_number().over(W.orderBy(F.desc("cnt"), "user_id")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_keys"),
+        F.sum("cnt").over(W.partitionBy()).alias("n_rows"),
+    )
+    return ranked.agg(
+        F.max("n_rows").cast("bigint").alias("n_rows"),
+        F.max("n_keys").cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.round(
+            F.max("cnt") * F.max("n_keys") / F.max("n_rows").cast("double"), 4
+        ).alias("skew_ratio"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rk") <= F.ceil(0.01 * F.col("n_keys")), F.col("cnt")
+                ).otherwise(F.lit(0))
+            )
+            / F.max("n_rows").cast("double"),
+            6,
+        ).alias("top1pct_share"),
+    )
+
+
+@register(
+    "q_quality_weighted_sample",
+    oracle="""
+    WITH mx AS (
+      SELECT CAST(max(n_chars) AS DOUBLE) AS max_chars FROM documents
+    ), scored AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS u,
+             n_chars / max_chars AS w
+      FROM documents, mx
+    )
+    SELECT lang,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN u < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(avg(CASE WHEN u < w THEN 1.0 ELSE 0.0 END), 6) AS kept_share
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling — the curation move that
+    upsamples high-quality documents without a shuffle or an RNG: each
+    doc is kept with probability proportional to its quality weight
+    (here n_chars / corpus max), decided by comparing the weight to a
+    content-derived uniform u = first-8-md5-hex(doc_id) / 2^32. Fully
+    map-side per doc (the max() is a 1-row broadcast), reproducible
+    across engines AND across reruns at 100 TB — resampling a corpus
+    never changes which docs survive, which keeps downstream caches and
+    dedup indexes valid. md5 is pinned because Spark xxhash64 and
+    DuckDB hash() differ (q_feature_hashing, training_ext.py)."""
+    d = table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("n_chars").cast("double").alias("max_chars"))
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double") / F.lit(4294967296.0)
+    scored = d.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        u.alias("u"),
+        (F.col("n_chars") / F.col("max_chars")).alias("w"),
+    )
+    kept = F.when(F.col("u") < F.col("w"), 1).otherwise(0)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.round(F.avg(kept.cast("double")), 6).alias("kept_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_source_overlap",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT source, t AS term
+      FROM documents, unnest(string_split(lower(text), ' ')) AS u(t)
+      WHERE t <> ''
+    ), sizes AS (
+      SELECT source, count(*) AS n FROM tok GROUP BY 1
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      FROM tok a JOIN tok b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_common,
+           round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    ORDER BY jaccard DESC, src_a, src_b LIMIT 30
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary-overlap matrix — the contamination /
+    redundancy diagnostic run before mixing corpus sources: distinct
+    (source, term) pairs (one explode + distinct, shuffled by term),
+    self-joined on term with source<source to count shared vocabulary,
+    then Jaccard against per-source vocabulary sizes. The self-join is
+    term-partitioned, so each term's source list meets locally; with S
+    sources a term contributes at most S(S-1)/2 pairs — bounded by the
+    (small) source count, not the corpus. The per-source size relation
+    is S rows and broadcast. Top pairs by Jaccard surface sources that
+    are near-mirrors of each other (crawl duplicates) before they
+    double-count in the training mix."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    sizes = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb")))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "src_a", "src_b")
+        .limit(30)
+    )
