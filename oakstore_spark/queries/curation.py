@@ -910,3 +910,109 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "src_a", "src_b")
         .limit(30)
     )
+
+
+@register(
+    "q_spearman_corr",
+    oracle="""
+    WITH r AS (
+      SELECT rank() OVER (ORDER BY l_quantity)
+               + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rx,
+             rank() OVER (ORDER BY l_extendedprice)
+               + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0
+               AS ry
+      FROM lineitem
+    )
+    SELECT round(corr(rx, ry), 6) AS spearman_rho,
+           count(*) AS n_rows
+    FROM r
+    """,
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (monotonic association, robust to
+    outliers where q_stats_agg's Pearson is not): Pearson over AVERAGE
+    ranks, where average rank = min-rank + (tie_count-1)/2 — the
+    standard tie correction, computed with a rank() window plus a
+    count() partition window per variable. The two ORDER BY windows
+    are global sorts (same exact-by-design caveat as q_percentiles);
+    the deployment path at 100 TB is ranking on an approx-quantile
+    grid, which turns each sort into a broadcast binary-search. The
+    final corr() is a single-pass mergeable aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    rx = F.rank().over(W.orderBy("l_quantity")) + (
+        F.count(F.lit(1)).over(W.partitionBy("l_quantity")) - 1
+    ) / 2.0
+    ry = F.rank().over(W.orderBy("l_extendedprice")) + (
+        F.count(F.lit(1)).over(W.partitionBy("l_extendedprice")) - 1
+    ) / 2.0
+    r = li.select(rx.alias("rx"), ry.alias("ry"))
+    return r.agg(
+        F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q_mann_whitney",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), r AS (
+      SELECT a,
+             rank() OVER (ORDER BY value)
+               + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS rk
+      FROM s
+    ), agg AS (
+      SELECT CAST(sum(a) AS DOUBLE) AS na,
+             CAST(sum(1 - a) AS DOUBLE) AS nb,
+             sum(CASE WHEN a = 1 THEN rk ELSE 0 END) AS ra
+      FROM r
+    )
+    SELECT round(ra - na * (na + 1) / 2, 2) AS u_stat,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           round(((ra - na * (na + 1) / 2) - na * nb / 2)
+                 / sqrt(na * nb * (na + nb + 1) / 12.0), 6) AS z_approx
+    FROM agg
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (nonparametric sibling of
+    q_ks_two_sample, for 'does one group stochastically dominate'):
+    average ranks over the pooled sample, U from the rank sum of group
+    A, plus the large-sample normal z approximation. One ORDER BY
+    window over the pooled values (exact-by-design global sort, same
+    caveat family as q_percentiles) and one tiny final aggregate. The
+    tie-corrected average rank uses the same rank()+count() windows as
+    q_spearman_corr."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    s = e.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("a"),
+    )
+    rk = F.rank().over(W.orderBy("value")) + (
+        F.count(F.lit(1)).over(W.partitionBy("value")) - 1
+    ) / 2.0
+    r = s.select("a", rk.alias("rk"))
+    agg = r.agg(
+        F.sum("a").cast("double").alias("na"),
+        F.sum(1 - F.col("a")).cast("double").alias("nb"),
+        F.sum(F.when(F.col("a") == 1, F.col("rk")).otherwise(0.0)).alias("ra"),
+    )
+    u = F.col("ra") - F.col("na") * (F.col("na") + 1) / 2
+    return agg.select(
+        F.round(u, 2).alias("u_stat"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(
+            (u - F.col("na") * F.col("nb") / 2)
+            / F.sqrt(
+                F.col("na") * F.col("nb") * (F.col("na") + F.col("nb") + 1) / 12.0
+            ),
+            6,
+        ).alias("z_approx"),
+    )
