@@ -245,3 +245,97 @@ def test_apply_bpe_encodes_with_learned_merges(spark):
                 i += 1
         syms = merged
     assert list(row["bpe_tokens"]) == syms
+
+
+# --- rank statistics + curation diagnostics (queries/curation.py) --------
+# Each query reads <sf_dir>/<table>.parquet; a tmp dir with tiny
+# hand-built tables makes the expectations exactly computable.
+
+
+@pytest.fixture(scope="module")
+def stats_sf_dir(spark, tmp_path_factory):
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("stats_sf")
+    # lineitem: extendedprice strictly monotonic in quantity, no ties
+    pd.DataFrame(
+        {
+            "l_quantity": [float(q) for q in range(1, 9)],
+            "l_extendedprice": [float(q * q) for q in range(1, 9)],
+        }
+    ).to_parquet(d / "lineitem.parquet")
+    # events: every purchase value above every view value; user 1 hot
+    ts = pd.to_datetime("2024-01-01")
+    pd.DataFrame(
+        {
+            "event_id": range(10),
+            "ts": [ts] * 10,
+            "user_id": [1] * 6 + [2, 2, 3, 3],
+            "event_type": ["purchase"] * 3 + ["view"] * 4 + ["error"] * 3,
+            "value": [10.0, 11.0, 12.0, 1.0, 2.0, 3.0, 4.0, 0.0, 0.0, 0.0],
+        }
+    ).to_parquet(d / "events.parquet")
+    # documents: srcA == srcB vocab exactly; srcC disjoint
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta", "beta alpha", "gamma delta"],
+            "lang": ["en", "en", "en"],
+            "source": ["srcA", "srcB", "srcC"],
+            "n_chars": [10, 10, 0],
+        }
+    ).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_spearman_perfect_monotonic(spark, stats_sf_dir):
+    from oakstore_spark.queries.curation import q_spearman_corr
+
+    row = q_spearman_corr(spark, stats_sf_dir).collect()[0]
+    assert row["spearman_rho"] == pytest.approx(1.0)
+    assert row["n_rows"] == 8
+
+
+def test_mann_whitney_fully_separated(spark, stats_sf_dir):
+    from oakstore_spark.queries.curation import q_mann_whitney
+
+    row = q_mann_whitney(spark, stats_sf_dir).collect()[0]
+    # all purchases above all views -> U = na*nb (maximal), z > 0
+    assert row["n_a"] == 3 and row["n_b"] == 4
+    assert row["u_stat"] == pytest.approx(12.0)
+    assert row["z_approx"] > 0
+
+
+def test_skew_profile_hot_key(spark, stats_sf_dir):
+    from oakstore_spark.queries.curation import q_skew_profile
+
+    row = q_skew_profile(spark, stats_sf_dir).collect()[0]
+    assert row["n_rows"] == 10 and row["n_keys"] == 3
+    assert row["max_cnt"] == 6
+    # ceil(0.01*3)=1 -> hottest key (6 rows) holds the top-1% share
+    assert row["top1pct_share"] == pytest.approx(0.6)
+    assert row["skew_ratio"] == pytest.approx(6 * 3 / 10, abs=1e-4)
+
+
+def test_quality_weighted_sample_extremes(spark, stats_sf_dir):
+    from oakstore_spark.queries.curation import q_quality_weighted_sample
+
+    row = q_quality_weighted_sample(spark, stats_sf_dir).collect()[0]
+    # weight(n_chars=10)=1.0 -> u<1 always keeps; weight(0)=0 never
+    assert row["lang"] == "en"
+    assert row["n_total"] == 3 and row["n_kept"] == 2
+
+
+def test_source_overlap_mirror_sources(spark, stats_sf_dir):
+    from oakstore_spark.queries.curation import q_source_overlap
+
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in q_source_overlap(spark, stats_sf_dir).collect()
+    }
+    # identical vocab -> jaccard 1.0; disjoint srcC never pairs
+    assert out[("srcA", "srcB")]["jaccard"] == pytest.approx(1.0)
+    assert out[("srcA", "srcB")]["n_common"] == 2
+    assert all(
+        "srcC" not in pair for pair in out
+    ), "disjoint source must produce no overlap rows"
