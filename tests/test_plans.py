@@ -352,3 +352,38 @@ def test_aqe_splits_skewed_join_partitions(spark):
         for k, v in saved.items():
             spark.conf.set(k, v)
     assert "skew=true" in plan, plan
+
+
+def test_source_overlap_broadcasts_sizes_no_cartesian(spark):
+    """q_source_overlap: the per-source vocabulary-size relation (S rows)
+    must broadcast onto the pair counts, and the term self-join must be
+    an equi-join (hash/sort-merge on term), never a cartesian."""
+    from oakstore_spark.queries.curation import q_source_overlap
+
+    plan = plan_of(q_source_overlap(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_weighted_sample_broadcasts_scalar_max(spark):
+    """q_quality_weighted_sample: the 1-row corpus-max relation joins as
+    a broadcast nested loop (scalar broadcast), keeping the per-doc keep
+    decision fully map-side — no shuffle of the documents relation
+    before the final small groupBy."""
+    from oakstore_spark.queries.curation import q_quality_weighted_sample
+
+    plan = plan_of(q_quality_weighted_sample(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_profile_windows_run_on_aggregated_keys(spark):
+    """q_skew_profile: the ranking window must consume the OUTPUT of the
+    count-by-key hash aggregate (tiny key table), not the raw events —
+    i.e. the plan has a partial+final HashAggregate below the Window."""
+    from oakstore_spark.queries.curation import q_skew_profile
+
+    plan = plan_of(q_skew_profile(spark, SF_DIR))
+    assert "Window" in plan and "HashAggregate" in plan
+    # the raw-events scan must prune to the single key column
+    assert "ReadSchema: struct<user_id" in plan
