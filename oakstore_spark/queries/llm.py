@@ -578,3 +578,83 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("jaccard", 6).alias("jaccard"),
         "vs_index",
     )
+
+
+@register(
+    "q_rrf_hybrid",
+    oracle="""
+    WITH txt AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t = 'hash')) AS tf
+      FROM documents
+    ), txtr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY tf DESC, doc_id) AS rtext
+      FROM txt WHERE tf > 0 QUALIFY rtext <= 100
+    ), vecr AS (
+      SELECT b.vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY list_cosine_similarity(
+                 CAST(b.embedding AS DOUBLE[]),
+                 CAST(a.embedding AS DOUBLE[])) DESC, b.vec_id) AS rvec
+      FROM embeddings b,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+      WHERE b.vec_id != 0 QUALIFY rvec <= 100
+    )
+    SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+           CAST(t.rtext AS BIGINT) AS rtext,
+           CAST(v.rvec AS BIGINT) AS rvec,
+           round(COALESCE(1.0 / (60 + t.rtext), 0)
+                 + COALESCE(1.0 / (60 + v.rvec), 0), 6) AS rrf
+    FROM txtr t FULL OUTER JOIN vecr v ON t.doc_id = v.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion (RRF, k=60): a
+    lexical leg (term-frequency ranking for the query term 'hash') and
+    a vector leg (exact cosine top-100 against a probe embedding,
+    through the same ``cosine_topk`` operator the ANN family verifies
+    against) fuse by summing 1/(60+rank), the score used by hybrid
+    search engines — rank-only fusion needs no score calibration
+    between BM25-ish and cosine scales. Both legs here are exact so
+    the DuckDB oracle can replay them; in deployment each leg is the
+    ALREADY-BOUNDED top-k of an inverted index / ANN probe, so the
+    fusion join touches k rows per leg, not the corpus. RRF itself is
+    integer-rank arithmetic — engine-exact, no float-order risk. The
+    full-outer join keeps docs found by only one leg (rank columns
+    stay null, contributing 0)."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    toks = F.split(F.lower(F.col("text")), " ")
+    tf = F.size(F.filter(toks, lambda t: t == F.lit("hash")))
+    txt = d.select("doc_id", tf.alias("tf")).where(F.col("tf") > 0)
+    from pyspark.sql import Window as _W
+
+    txtr = (
+        txt.withColumn(
+            "rtext",
+            F.row_number().over(_W.orderBy(F.desc("tf"), "doc_id")),
+        )
+        .where(F.col("rtext") <= 100)
+        .select("doc_id", F.col("rtext").cast("bigint").alias("rtext"))
+    )
+    probe = e.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    vecr = cosine_topk(e, probe, k=100).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("rvec"),
+    )
+    fused = txtr.join(vecr, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("rtext")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("rvec")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select("doc_id", "rtext", "rvec", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+    )
