@@ -59,6 +59,68 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED bigram log-probability — the next
+    rung above :func:`unigram_logprob` on the cheap-LM quality ladder
+    (Jelinek-Mercer smoothing):
+
+        score(doc) = avg over bigram positions of
+                     ln(lam * c(w1,w2)/c(w1)  +  (1-lam) * c(w2)/T)
+
+    where counts are corpus-wide. The unigram back-off term keeps every
+    position finite (any bigram present in a doc has c >= 1 anyway, but
+    the mixture is the standard form and what a held-out scorer needs).
+
+    Scale shape: two vocabulary-sized aggregations (unigram + bigram
+    counts), then the per-position stream joins both count relations on
+    their keys. The joins run as plain equi-joins — Spark broadcasts
+    them when the vocab is small and shuffles on the join key when it
+    is not; either way nothing wider than (w1, w2) ever shuffles, and
+    the final per-doc rollup is a map-side-combinable hash agg.
+
+    The caller should pass pre-normalized text (single-space separated)
+    so token positions agree with any external verifier.
+    """
+    ws = df.select(id_col, F.split(F.col(text_col), " ").alias("ws"))
+    toks = ws.select(id_col, F.explode("ws").alias("term"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cu"))
+    tot = uni.agg(F.sum("cu").alias("t"))
+    bg = ws.filter(F.size("ws") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.expr("transform(slice(ws, 1, size(ws) - 1), (w, i) -> struct(w AS w1, ws[i + 1] AS w2))")
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    u1 = uni.select(F.col("term").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("cu").alias("cu2"))
+    # Score each DISTINCT bigram once (all joins here are vocab-sized),
+    # then hit the corpus-sized position stream with a single join.
+    bigram_logp = (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                F.lit(lam) * F.col("cb") / F.col("cu1")
+                + F.lit(1.0 - lam) * F.col("cu2") / F.col("t")
+            ).alias("logp"),
+        )
+    )
+    scored = bg.join(bigram_logp, ["w1", "w2"]).select(id_col, "logp")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("logp").alias("avg_logprob"),
+    )
+
+
 def redact_pii(col: Column | str) -> Column:
     """Scrub emails then phone numbers into typed placeholders. Both
     patterns are RE2-compatible (no backrefs/lookaround) so the exact

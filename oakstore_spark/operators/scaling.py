@@ -27,3 +27,67 @@ def widen_partitions(df: DataFrame, min_ratio: float = 1.0) -> DataFrame:
     if df.rdd.getNumPartitions() < int(min_ratio * target):
         return df.repartition(target)
     return df
+
+
+def assign_contiguous_ids(
+    df: DataFrame,
+    order_col: str,
+    id_name: str = "seq_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign GLOBAL contiguous 1-based ids in ``order_col`` order
+    without ever funneling the data through one task — the scalable
+    zipWithIndex every sharding/row-numbering pipeline needs.
+
+    A naive ``row_number() OVER (ORDER BY ...)`` plans an empty-key
+    Window: ALL rows exchange into a SINGLE partition and one task
+    sorts the universe — the canonical 100 TB scale-killer. Instead:
+
+    1. range-partition on ``order_col`` + sort within partitions
+       (a normal parallel exchange; pinned with ``persist`` so both
+       downstream jobs see the identical partitioning),
+    2. one lightweight count-per-partition job (emits one row per
+       partition),
+    3. cumulative offsets for each partition are computed on the driver
+       (``num_partitions`` integers) and closed over by an Arrow-batched
+       kernel that emits ``offset + running local row index``.
+
+    ``order_col`` must be unique for the numbering to be deterministic
+    (ties may straddle batch order inside a partition).
+    """
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .persist()
+    )
+    counts = dict(
+        part.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    offsets = {}
+    running = 0
+    for pid in sorted(counts):
+        offsets[pid] = running
+        running += counts[pid]
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(id_name, T.LongType(), False)]
+    )
+
+    def emit(batches):
+        pid = TaskContext.get().partitionId()
+        seen = offsets.get(pid, 0)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[id_name] = range(seen + 1, seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return part.mapInPandas(emit, schema)

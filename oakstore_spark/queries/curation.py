@@ -12,6 +12,7 @@ from oakstore_spark.operators.curation import (
     EMAIL_RE,
     PHONE_RE,
     balanced_mix_sample,
+    bigram_logprob,
     redact_pii,
     unigram_logprob,
 )
@@ -45,6 +46,57 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = unigram_logprob(d)
     return out.select(
         "doc_id", "n_tokens", F.round("avg_logprob", 4).alias("avg_logprob")
+    )
+
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "q_bigram_lm_interp",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+    ), uni AS (
+      SELECT u AS term, count(*) AS cu FROM w, unnest(ws) AS t(u) GROUP BY 1
+    ), tot AS (
+      SELECT sum(cu) AS t FROM uni
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+      FROM w WHERE len(ws) >= 2
+    ), bc AS (
+      SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(0.75 * cb / cu1.cu + 0.25 * cu2.cu / t)), 4)
+             AS avg_logprob
+    FROM bg
+    JOIN bc USING (w1, w2)
+    JOIN uni cu1 ON bg.w1 = cu1.term
+    JOIN uni cu2 ON bg.w2 = cu2.term, tot
+    GROUP BY doc_id
+    """,
+)
+def q_bigram_lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (Jelinek-Mercer) bigram LM document scoring — the
+    next quality signal above ``q_unigram_logprob``: each document's
+    mean ln(0.75*P(w2|w1) + 0.25*P(w2)) under corpus-wide counts. Two
+    vocab-sized aggregations + key equi-joins; nothing wider than a
+    bigram ever shuffles. The oracle steps the identical mixture, so
+    values must agree to the rounded digit."""
+    from oakstore_spark.functions.text import normalize_text
+
+    d = table(spark, sf_dir, "documents")
+    norm = d.select("doc_id", normalize_text("text").alias("text"))
+    out = bigram_logprob(norm)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_logprob", 4).alias("avg_logprob")
     )
 
 

@@ -743,3 +743,146 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.select("doc_id", bucket.cast("int").alias("bucket")).groupBy(
         "doc_id", "bucket"
     ).agg(F.count(F.lit(1)).alias("n_terms"))
+
+
+_CMS_D = 4
+_CMS_W = 512
+
+
+@register(
+    "q_cms_heavy_hitters",
+    oracle=f"""
+    WITH terms AS (
+      SELECT unnest(string_split_regex(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+               '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), terms2 AS (
+      SELECT term FROM terms WHERE term <> ''
+    ), cells AS (
+      SELECT r,
+             CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term),
+                                  1, 8)) AS BIGINT) % {_CMS_W} AS bucket,
+             count(*) AS c
+      FROM terms2, range(0, {_CMS_D}) rr(r)
+      GROUP BY 1, 2
+    ), probes AS (
+      SELECT term, count(*) AS exact_n
+      FROM terms2 GROUP BY 1
+      ORDER BY exact_n DESC, term ASC LIMIT 20
+    )
+    SELECT term,
+           CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(min(c) AS BIGINT) AS cms_est
+    FROM probes, range(0, {_CMS_D}) rr(r)
+    JOIN cells ON cells.r = rr.r
+     AND cells.bucket = CAST(('0x' || substr(md5(CAST(rr.r AS VARCHAR)
+                              || ':' || term), 1, 8)) AS BIGINT) % {_CMS_W}
+    GROUP BY term, exact_n
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, probed on the corpus's 20
+    most frequent terms. The sketch is a 4x512 counter grid:
+    every token increments one bucket per hash row; a term's estimate is
+    the MIN over its row buckets — never below the true count, above it
+    only through collisions. The whole sketch is one tiny aggregate
+    (d*w cells regardless of corpus size) and estimates are a broadcast
+    join against it, which is why CMS is the standard one-pass,
+    mergeable, fixed-memory frequency structure at 100 TB (per-partition
+    partial grids combine by cell-wise addition inside the hash agg).
+    The hash is pinned to md5 hex (as in q_feature_hashing) so DuckDB
+    rebuilds the IDENTICAL grid — estimates, not just bounds, must
+    match. Exact counts ride along for the error-visible comparison."""
+    from oakstore_spark.functions.text import normalize_text
+
+    d = table(spark, sf_dir, "documents")
+    terms = d.select(
+        F.explode(F.split(normalize_text("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+
+    def bucket(row_col, term_col):
+        key = F.concat(row_col.cast("string"), F.lit(":"), term_col)
+        return (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+            % _CMS_W
+        )
+
+    rows = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("r")
+    cells = (
+        terms.select("term", rows)
+        .select("r", bucket(F.col("r"), F.col("term")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("term"))
+        .limit(20)
+    )
+    probe_cells = probes.select(
+        "term", "exact_n", rows
+    ).withColumn("bucket", bucket(F.col("r"), F.col("term")))
+    return (
+        probe_cells.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+        .select("term", "exact_n", "cms_est")
+    )
+
+
+@register(
+    "q_assign_ids",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS seq_id
+    FROM documents
+    """,
+)
+def q_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed contiguous row numbering (scalable zipWithIndex):
+    range-partition + local sort + per-partition offset arithmetic
+    instead of the empty-key Window that would drag 100 TB through ONE
+    task. The oracle is the exact global row_number, so every id must
+    land identically; the plan contains a rangepartitioning exchange
+    and NO Window / single-partition sort (pinned in
+    tests/test_plans.py)."""
+    from oakstore_spark.operators.scaling import assign_contiguous_ids
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return assign_contiguous_ids(d, "doc_id")
+
+
+@register(
+    "q_fixed_count_sample",
+    oracle="""
+    SELECT doc_id, lang, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= 30
+    """,
+)
+def q_fixed_count_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-n-per-group deterministic sampling: rank rows inside each
+    stratum by md5 of the key (a reproducible shuffle order — no rand())
+    and keep the first 30. Complements the rate-based samplers
+    (q_stratified_sample keeps ~p*n with binomial noise, map-side; this
+    keeps exactly n at the cost of one per-stratum window shuffle —
+    fine when strata counts are the thing being pinned, e.g. eval-set
+    carving). Oracle replays the identical ordering, so the kept SET
+    matches row-for-row, not just per-group counts."""
+    d = table(spark, sf_dir, "documents")
+    win = W.partitionBy("lang").orderBy(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(win).alias("rk"))
+        .filter(F.col("rk") <= 30)
+    )

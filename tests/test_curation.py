@@ -339,3 +339,77 @@ def test_source_overlap_mirror_sources(spark, stats_sf_dir):
     assert all(
         "srcC" not in pair for pair in out
     ), "disjoint source must produce no overlap rows"
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from oakstore_spark.operators.curation import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    # uni: a=3 b=2 T=5; bigrams: (a,b)=2 (b,a)=1
+    p_ab = 0.75 * 2 / 3 + 0.25 * 2 / 5      # 0.6
+    p_ba = 0.75 * 1 / 2 + 0.25 * 3 / 5      # 0.525
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["avg_logprob"] == pytest.approx(
+        (math.log(p_ab) + math.log(p_ba)) / 2
+    )
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_logprob"] == pytest.approx(math.log(p_ab))
+
+
+def test_cms_estimates_never_undercount_and_bounded(spark):
+    from oakstore_spark.queries.training_ext import _CMS_W, q_cms_heavy_hitters
+
+    rows = q_cms_heavy_hitters(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    # total token mass bounds the classic CMS overcount: err <= 2N/w whp
+    import duckdb
+
+    n_tokens = duckdb.sql(
+        "SELECT count(*) FROM ("
+        "SELECT unnest(string_split_regex(trim(regexp_replace("
+        "regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+        "'\\s+', ' ', 'g')), ' ')) AS t "
+        "FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        ") WHERE t <> ''"
+    ).fetchone()[0]
+    bound = 2 * n_tokens / _CMS_W + 1
+    for r in rows:
+        assert r["cms_est"] >= r["exact_n"], "CMS must never undercount"
+        assert r["cms_est"] - r["exact_n"] <= bound
+
+
+def test_assign_contiguous_ids_matches_global_row_number(spark):
+    import random
+
+    from oakstore_spark.operators.scaling import assign_contiguous_ids
+
+    keys = list(range(1000))
+    random.Random(7).shuffle(keys)
+    df = spark.createDataFrame(
+        [(k, k * 2.5) for k in keys], ["k", "v"]
+    ).repartition(7)
+    out = assign_contiguous_ids(df, "k", num_partitions=5)
+    got = sorted((r["k"], r["seq_id"]) for r in out.collect())
+    assert got == [(k, k + 1) for k in range(1000)]
+    # payload column rides along untouched
+    row = out.filter(F.col("k") == 500).collect()[0]
+    assert row["v"] == 1250.0 and row["seq_id"] == 501
+
+
+def test_fixed_count_sample_exact_n_and_deterministic(spark):
+    from oakstore_spark.queries.training_ext import q_fixed_count_sample
+
+    a = q_fixed_count_sample(spark, "/root/testdata/sf0.001").collect()
+    b = q_fixed_count_sample(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_lang = {}
+    for r in a:
+        per_lang.setdefault(r["lang"], []).append(r["rk"])
+    for lang, rks in per_lang.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 30

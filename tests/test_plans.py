@@ -387,3 +387,14 @@ def test_skew_profile_windows_run_on_aggregated_keys(spark):
     assert "Window" in plan and "HashAggregate" in plan
     # the raw-events scan must prune to the single key column
     assert "ReadSchema: struct<user_id" in plan
+
+
+def test_assign_ids_no_window_no_single_partition(spark):
+    """q_assign_ids must number rows via rangepartitioning + offsets,
+    never the empty-key Window that funnels everything into one task."""
+    from oakstore_spark.queries.training_ext import q_assign_ids
+
+    plan = plan_of(q_assign_ids(spark, SF_DIR))
+    assert "rangepartitioning" in plan
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
