@@ -658,3 +658,155 @@ def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(20)
     )
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "q_phrase_search",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+      FROM w WHERE len(ws) >= 2
+    ), top AS (
+      SELECT w1, w2 FROM bg GROUP BY w1, w2
+      ORDER BY count(*) DESC, w1, w2 LIMIT 1
+    ), tok AS (
+      SELECT doc_id,
+             unnest(ws) AS term,
+             unnest(range(0, len(ws))) AS pos
+      FROM w
+    )
+    SELECT t1.doc_id,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM tok t1
+    JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+    JOIN top ON t1.term = top.w1 AND t2.term = top.w2
+    GROUP BY t1.doc_id
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index phrase search: build (doc, pos, term)
+    postings, elect the corpus's most frequent bigram as the probe
+    phrase (deterministic tiebreak), and count exact adjacent-position
+    phrase hits per document — the IR primitive behind quoted-phrase
+    retrieval. The adjacency join is keyed on (doc_id, pos), i.e. it
+    co-partitions by document and never pairs tokens across documents,
+    so candidate volume stays linear in corpus size; the probe phrase
+    is a 1-row broadcast. In a served system the postings relation is
+    the thing you persist (bucketed by term); here it is derived
+    in-query so the oracle can replay it exactly."""
+    from oakstore_spark.functions.text import normalize_text
+
+    d = table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split(normalize_text("text"), " ").alias("ws"))
+    tok = ws.select(
+        "doc_id", F.posexplode("ws").alias("pos", "term")
+    )
+    bg = ws.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1),"
+                " (w, i) -> struct(w AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("p.w1", "p.w2")
+    top = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(1)
+        .select("w1", "w2")
+    )
+    t1 = tok.alias("t1")
+    t2 = tok.alias("t2")
+    hits = (
+        t1.join(F.broadcast(top), F.col("t1.term") == F.col("w1"))
+        .join(
+            t2,
+            (F.col("t1.doc_id") == F.col("t2.doc_id"))
+            & (F.col("t2.pos") == F.col("t1.pos") + 1),
+        )
+        .filter(F.col("t2.term") == F.col("w2"))
+    )
+    return hits.groupBy(F.col("t1.doc_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, g
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - 3),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                      || ws[i+3] || ' ' || ws[i+4])) AS g
+        FROM w WHERE len(ws) >= 5
+      )
+    ), first_seen AS (
+      SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS novel_frac
+    FROM sh JOIN first_seen USING (g)
+    GROUP BY doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty scoring: what fraction of a document's distinct
+    word 5-gram shingles appear for the FIRST time at this document
+    (streaming the corpus in doc_id order)? Low novelty = boilerplate /
+    near-copies of earlier material; dataset-curation pipelines use
+    this to downweight templated text without running pairwise dedup.
+    One shingle-keyed aggregation (min first-seen doc) joined back onto
+    the per-doc shingle sets — both shuffles key on the shingle string,
+    nothing quadratic, no windows. The oracle replays the identical
+    shingling."""
+    from oakstore_spark.functions.text import normalize_text
+
+    d = table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split(normalize_text("text"), " ").alias("ws"))
+    sh = (
+        ws.filter(F.size("ws") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(ws, 1, size(ws) - 4), (w, i) ->"
+                    " concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    first_seen = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novel_frac"),
+        )
+    )

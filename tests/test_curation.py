@@ -413,3 +413,56 @@ def test_fixed_count_sample_exact_n_and_deterministic(spark):
     for lang, rks in per_lang.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))
         assert len(rks) <= 30
+
+
+@pytest.fixture(scope="module")
+def phrase_sf_dir(spark, tmp_path_factory):
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("phrase_sf")
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "x y x y",              # bigrams: (x,y)x2 (y,x)x1
+                "x y",                  # (x,y)x1
+                "a b c d e f",          # 5-gram shingle source
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [7, 3, 11],
+        }
+    ).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_phrase_search_counts_adjacent_hits(spark, phrase_sf_dir):
+    from oakstore_spark.queries.llm import q_phrase_search
+
+    # top bigram is (x, y) with 3 occurrences; phrase hits per doc:
+    out = {r["doc_id"]: r["n_hits"] for r in
+           q_phrase_search(spark, phrase_sf_dir).collect()}
+    assert out == {1: 2, 2: 1}
+
+
+def test_ngram_novelty_first_doc_wins(spark, tmp_path_factory):
+    import pandas as pd
+
+    from oakstore_spark.queries.llm import q_ngram_novelty
+
+    d = tmp_path_factory.mktemp("novelty_sf")
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a b c d e f", "a b c d e x"],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [11, 11],
+        }
+    ).to_parquet(d / "documents.parquet")
+    out = {r["doc_id"]: r for r in
+           q_ngram_novelty(spark, str(d)).collect()}
+    # doc1: shingles {"a b c d e","b c d e f"} both first here -> 1.0
+    # doc2: {"a b c d e" (seen in doc1), "b c d e x" (new)} -> 0.5
+    assert out[1]["n_shingles"] == 2 and out[1]["novel_frac"] == 1.0
+    assert out[2]["n_shingles"] == 2 and out[2]["novel_frac"] == 0.5
