@@ -739,3 +739,79 @@ def kmeans_refine(
         )
 
     return final, assign_fn
+
+
+def semdedup(
+    corpus: DataFrame,
+    dim: int,
+    k: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): prune SEMANTIC
+    duplicates by clustering the embedding space and comparing pairs
+    only WITHIN each cluster — the trick that turns an O(n^2) pairwise
+    cosine sweep into k independent O((n/k)^2) problems that all run in
+    parallel. The de-facto semantic-level dedup for web-scale training
+    corpora (applied after exact/minhash dedup, which miss paraphrases).
+
+    Pipeline: :func:`kmeans_refine` fits spherical k-means (broadcast
+    centroids, map-side partial sums), the assignment joins each vector
+    to its cluster, then one ``applyInPandas`` per cluster runs the
+    dense pairwise kernel and applies the deterministic keep-first rule:
+    walking ids ascending, a vector is dropped iff its cosine to an
+    ALREADY-KEPT earlier vector is >= ``threshold`` (so one survivor per
+    near-dup group, and a chain a~b~c with a kept drops both even when
+    sim(a,c) < threshold only if b also clears a — the greedy rule the
+    paper uses, id-ordered for reproducibility).
+
+    At 100 TB the knob is ``k``: cluster count scales with corpus size
+    to bound (n/k)^2 per task; cluster skew is bounded because spherical
+    k-means on normalized embeddings yields roughly balanced Voronoi
+    cells, and a hot cluster can be recursively re-clustered.
+
+    Returns (id, cluster, kept) for every input row.
+    """
+    _, assign_fn = kmeans_refine(
+        corpus, dim, k, id_col=id_col, vec_col=vec_col,
+        max_iter=max_iter, seed=seed,
+    )
+    assigned = assign_fn(corpus).select(id_col, "cluster")
+    with_vec = corpus.select(id_col, vec_col).join(assigned, id_col)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("oid", corpus.schema[id_col].dataType),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("kept", T.BooleanType()),
+        ]
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        m = len(pdf)
+        if m == 1:
+            return pd.DataFrame(
+                {"oid": pdf[id_col], "cluster": pdf["cluster"], "kept": [True]}
+            )
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        S = Xn @ Xn.T
+        kept = np.zeros(m, dtype=bool)
+        kept_idx: list[int] = []
+        for i in range(m):
+            if not kept_idx or S[i, kept_idx].max() < threshold:
+                kept[i] = True
+                kept_idx.append(i)
+        return pd.DataFrame(
+            {"oid": pdf[id_col], "cluster": pdf["cluster"], "kept": kept}
+        )
+
+    return (
+        with_vec.groupBy("cluster")
+        .applyInPandas(prune, out_schema)
+        .withColumnRenamed("oid", id_col)
+    )

@@ -810,3 +810,22 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novel_frac"),
         )
     )
+
+
+@register("q_semdedup")
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication over the embeddings table:
+    spherical k-means partitions the space, then each cluster prunes
+    pairs with cosine >= 0.93 keeping the lowest id (one dense kernel
+    per cluster — k independent O((n/k)^2) tasks instead of one O(n^2)
+    sweep). Rows-only driver check (k-means is iterative); the planted
+    exact-twin recovery contract is pinned in
+    tests/test_llm_ops.py::test_semdedup_drops_planted_twins."""
+    from oakstore_spark.operators.similarity import semdedup
+
+    e = table(spark, sf_dir, "embeddings")
+    marked = semdedup(e, dim=64, k=16, threshold=0.93, max_iter=5)
+    return marked.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+    )

@@ -570,3 +570,38 @@ def test_span_dedup_null_empty_and_short_docs(spark):
     for i in (1, 2, 3):
         assert out[i].n_kept <= 1  # degenerate docs never gain content
         assert out[i].clean_text in ("", None) or out[i].clean_text == ""
+
+
+def test_semdedup_drops_planted_twins(spark):
+    """3 well-separated clusters; each has one exact-twin pair planted.
+    SemDeDup must keep exactly one of each twin pair (the lower id) and
+    every non-duplicated vector."""
+    import numpy as np
+
+    from oakstore_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(3, 16)
+    rows = []
+    vid = 0
+    twins = []
+    for c in range(3):
+        base = centers[c]
+        for j in range(20):
+            v = base + rng.normal(0, 0.1, 16)
+            rows.append((vid, [float(x) for x in v]))
+            if j == 0:
+                twins.append((vid, vid + 1000))
+                rows.append((vid + 1000, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(4)
+    out = {r["vec_id"]: r for r in
+           semdedup(df, dim=16, k=3, threshold=0.999, seed=3).collect()}
+    assert len(out) == 63
+    for lo, hi in twins:
+        assert out[lo]["kept"] is True, f"lower twin {lo} must survive"
+        assert out[hi]["kept"] is False, f"exact twin {hi} must be pruned"
+        assert out[lo]["cluster"] == out[hi]["cluster"]
+    # nothing else pruned at a 0.999 threshold with sigma=0.05 noise
+    n_kept = sum(1 for r in out.values() if r["kept"])
+    assert n_kept == 60
