@@ -7,6 +7,8 @@ is the oracle for our union+window implementation).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -881,4 +883,75 @@ def q_regr_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.regr_r2("y", "x"), 6).alias("r2"),
         )
         .where(F.col("n") >= 2)
+    )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the sequence-mining primitive behind funnel discovery
+    and session modeling): lag each user's time-ordered stream by one,
+    then count (prev -> next) pairs. One shuffle on user_id for the
+    window, then a tiny (|types|^2) aggregation. The (ts, event_id)
+    ordering is a total order, so both engines walk identical
+    sequences."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    return seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_time_decay_engagement",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS mx FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value * exp(-ln(2) / (7 * 86400.0)
+                 * (epoch(mx) - epoch(ts)))), 4) AS decayed_value
+    FROM events, m
+    GROUP BY user_id
+    """,
+)
+def q_time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay scoring (7-day half-life): recent activity
+    counts fully, week-old activity counts half — the standard recency
+    weighting for engagement/freshness ranking. The reference horizon is
+    the corpus max timestamp (one broadcast scalar), the decay weight is
+    pure map-side arithmetic, and the rollup is one hash agg — at any
+    scale this is exactly one scan + one keyed exchange. Contrast with
+    grouped_ewma, which needs sequential per-key recursion; decay
+    against a FIXED horizon is order-free and therefore embarrassingly
+    parallel."""
+    e = table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("mx"))
+    lam = math.log(2.0) / (7 * 86400.0)
+    age = F.col("mx").cast("double") - F.col("ts").cast("double")
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.exp(-F.lit(lam) * age)), 4)
+              .alias("decayed_value"),
+        )
     )

@@ -105,6 +105,17 @@ def main() -> None:
         grouped_ewma(ev, "ts", ["user_id"], "value", alpha=0.3)
     ))
 
+    from oakstore_spark.operators.scaling import assign_contiguous_ids
+
+    def probe_assign_ids() -> None:
+        ids = assign_contiguous_ids(
+            ev.select("event_id", "value"), "event_id", num_partitions=64
+        )
+        # spot-check the global contract at volume: max id == row count
+        assert ids.agg(F.max("seq_id")).collect()[0][0] == n
+
+    timed("assign_contiguous_ids", probe_assign_ids)
+
     # store round-trip at probe volume (one OHLCV-shaped item)
     import pandas as pd  # noqa: F401
 
