@@ -1068,3 +1068,49 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_approx"),
     )
+
+
+@register(
+    "q_token_budget_carve",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(trim(text), '\\S+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c
+    WHERE cum_tokens - n_tokens < 3000
+    """,
+)
+def q_token_budget_carve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus carving: per language, admit documents in a
+    deterministic md5-shuffled order until ~3000 tokens are taken (a doc
+    is admitted iff the budget is not yet exhausted when it arrives —
+    the standard way training mixes pin per-source token budgets rather
+    than doc counts). One per-stratum running-sum window; membership is
+    a pure function of the data, so reruns and engines agree on the
+    exact kept set. At scale the window shuffles only (lang) strata —
+    same shape as q_fixed_count_sample but budgeted in tokens."""
+    from oakstore_spark.functions.text import token_count
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", token_count("text").alias("n_tokens"))
+    win = (
+        W.partitionBy("lang")
+        .orderBy(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(win))
+    return c.where(F.col("cum_tokens") - F.col("n_tokens") < 3000).select(
+        "doc_id", "lang", "n_tokens", "cum_tokens"
+    )

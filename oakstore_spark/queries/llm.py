@@ -727,16 +727,25 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select("w1", "w2")
     )
-    t1 = tok.alias("t1")
-    t2 = tok.alias("t2")
-    hits = (
-        t1.join(F.broadcast(top), F.col("t1.term") == F.col("w1"))
-        .join(
-            t2,
-            (F.col("t1.doc_id") == F.col("t2.doc_id"))
-            & (F.col("t2.pos") == F.col("t1.pos") + 1),
-        )
-        .filter(F.col("t2.term") == F.col("w2"))
+    # Each postings side is cut to ONE term's posting list (a broadcast
+    # semi-filter) BEFORE the positional join — the join then moves two
+    # posting lists, never the corpus-wide token stream. This is exactly
+    # how a served phrase query runs: fetch the two posting lists, merge
+    # on (doc, pos+1).
+    t1 = (
+        tok.join(F.broadcast(top.select("w1")), tok.term == F.col("w1"))
+        .select("doc_id", "pos")
+        .alias("t1")
+    )
+    t2 = (
+        tok.join(F.broadcast(top.select("w2")), tok.term == F.col("w2"))
+        .select("doc_id", "pos")
+        .alias("t2")
+    )
+    hits = t1.join(
+        t2,
+        (F.col("t1.doc_id") == F.col("t2.doc_id"))
+        & (F.col("t2.pos") == F.col("t1.pos") + 1),
     )
     return hits.groupBy(F.col("t1.doc_id").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_hits")

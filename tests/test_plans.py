@@ -398,3 +398,38 @@ def test_assign_ids_no_window_no_single_partition(spark):
     assert "rangepartitioning" in plan
     assert "Window" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Bucketing is THE shuffle-elimination lever for repeated big-big
+    joins at 100 TB: two tables bucketed+sorted on the join key with the
+    same bucket count must sort-merge join with NO hashpartitioning
+    exchange on either side (co-located partitions, scan-to-join)."""
+    import uuid
+
+    left = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    ln = f"bkt_l_{uuid.uuid4().hex[:8]}"
+    rn = f"bkt_r_{uuid.uuid4().hex[:8]}"
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (left.write.bucketBy(8, "k").sortBy("k")
+             .option("path", str(tmp_path / "l")).saveAsTable(ln))
+        (right.write.bucketBy(8, "k").sortBy("k")
+             .option("path", str(tmp_path / "r")).saveAsTable(rn))
+        joined = spark.table(ln).join(spark.table(rn), "k")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, (
+            "bucketed join must not reshuffle either side"
+        )
+        assert joined.count() == 50_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql(f"DROP TABLE IF EXISTS {ln}")
+        spark.sql(f"DROP TABLE IF EXISTS {rn}")
