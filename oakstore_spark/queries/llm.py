@@ -720,28 +720,22 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("p.w1", "p.w2")
-    top = (
+    # The probe phrase is ONE row — resolve it eagerly so the bigram
+    # aggregation runs exactly once (leaving it lazy in two join inputs
+    # would execute the whole subtree twice), then each postings side is
+    # cut to one term's posting list by a PUSHED-DOWN literal filter
+    # before the positional join. The join moves two posting lists,
+    # never the corpus-wide token stream — exactly how a served phrase
+    # query runs: fetch the two posting lists, merge on (doc, pos+1).
+    w1, w2 = (
         bg.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), "w1", "w2")
         .limit(1)
-        .select("w1", "w2")
+        .collect()[0][:2]
     )
-    # Each postings side is cut to ONE term's posting list (a broadcast
-    # semi-filter) BEFORE the positional join — the join then moves two
-    # posting lists, never the corpus-wide token stream. This is exactly
-    # how a served phrase query runs: fetch the two posting lists, merge
-    # on (doc, pos+1).
-    t1 = (
-        tok.join(F.broadcast(top.select("w1")), tok.term == F.col("w1"))
-        .select("doc_id", "pos")
-        .alias("t1")
-    )
-    t2 = (
-        tok.join(F.broadcast(top.select("w2")), tok.term == F.col("w2"))
-        .select("doc_id", "pos")
-        .alias("t2")
-    )
+    t1 = tok.where(F.col("term") == w1).select("doc_id", "pos").alias("t1")
+    t2 = tok.where(F.col("term") == w2).select("doc_id", "pos").alias("t2")
     hits = t1.join(
         t2,
         (F.col("t1.doc_id") == F.col("t2.doc_id"))

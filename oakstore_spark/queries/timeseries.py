@@ -955,3 +955,41 @@ def q_time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("decayed_value"),
         )
     )
+
+
+@register(
+    "q_running_distinct_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT CAST(epoch(date_trunc('day', first_ts)) AS BIGINT) AS day_epoch,
+             count(*) AS new_users
+      FROM firsts GROUP BY 1
+    )
+    SELECT day_epoch,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day_epoch) AS BIGINT)
+             AS cum_users
+    FROM daily
+    """,
+)
+def q_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over time — the aggregate neither engine
+    supports as a window function — via the standard first-touch
+    rewrite: a distinct user contributes exactly once, at its first
+    event, so per-day new-user counts cumsum into the exact running
+    distinct total. The heavy work is one (user_id) hash agg over the
+    corpus; the cumulative window runs over the DAYS relation (tiny),
+    so the global-ordered window is safe at any corpus size — the
+    anti-pattern (window over raw events with a distinct set in state)
+    never materializes."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    daily = firsts.groupBy(
+        F.unix_timestamp(F.date_trunc("day", "first_ts")).alias("day_epoch")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = W.orderBy("day_epoch").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day_epoch", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )

@@ -886,3 +886,71 @@ def q_fixed_count_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(win).alias("rk"))
         .filter(F.col("rk") <= 30)
     )
+
+
+@register(
+    "q_fim_transform",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n,
+             1 + CAST(floor(length(text) * (CAST(('0x' ||
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':a'), 1, 8))
+                 AS BIGINT) % 1000) / 2500.0) AS INT) AS cut1_raw
+      FROM documents WHERE length(text) >= 20
+    ), c AS (
+      SELECT doc_id, text, n, cut1_raw AS cut1,
+             cut1_raw + 1 + CAST(floor((n - cut1_raw) * (CAST(('0x' ||
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':b'), 1, 8))
+                 AS BIGINT) % 1000) / 2000.0) AS INT) AS cut2
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(cut1 AS INT) AS prefix_len,
+           CAST(cut2 - cut1 AS INT) AS middle_len,
+           CAST(n - cut2 AS INT) AS suffix_len,
+           md5('<PRE>' || substr(text, 1, cut1) || '<SUF>'
+               || substr(text, cut2 + 1) || '<MID>'
+               || substr(text, cut1 + 1, cut2 - cut1)) AS fim_md5
+    FROM c
+    """,
+)
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) training transformation (Bavarian et al.
+    2022): split each document at two DETERMINISTIC pseudo-random cut
+    points (md5-derived fractions of the length — max 40% prefix, then
+    up to half the remainder as middle) and re-serialize as
+    PRE/SUF/MID order, the exact preprocessing used to teach code
+    models infilling. Pure map-side string arithmetic — zero shuffles
+    at any corpus size. Both engines rebuild the reordered string and
+    md5 it, so one off-by-one in either substring math is a hash
+    mismatch."""
+    d = table(spark, sf_dir, "documents").where(F.length("text") >= 20)
+    n = F.length("text")
+
+    def frac(salt: str, mod: int, den: float):
+        key = F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt))
+        h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % mod
+        return h / F.lit(den)
+
+    cut1 = (F.lit(1) + F.floor(n * frac("a", 1000, 2500.0))).cast("int")
+    cut2 = (
+        cut1 + 1 + F.floor((n - cut1) * frac("b", 1000, 2000.0))
+    ).cast("int")
+    pre = F.substring(F.col("text"), F.lit(1), cut1)
+    mid = F.substring(F.col("text"), cut1 + 1, cut2 - cut1)
+    suf = F.substring(F.col("text"), cut2 + 1, n - cut2)
+    return d.select(
+        "doc_id",
+        cut1.alias("prefix_len"),
+        (cut2 - cut1).alias("middle_len"),
+        (n - cut2).cast("int").alias("suffix_len"),
+        F.md5(
+            F.encode(
+                F.concat(
+                    F.lit("<PRE>"), pre, F.lit("<SUF>"), suf,
+                    F.lit("<MID>"), mid,
+                ),
+                "UTF-8",
+            )
+        ).alias("fim_md5"),
+    )
