@@ -809,18 +809,19 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     rows = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("r")
+    # One corpus pass total: aggregate exact term counts first
+    # (vocab-sized), then build the grid by summing COUNTS of the
+    # distinct terms into their buckets — cell-wise identical to
+    # incrementing per token, but the d-way row fan-out and the md5
+    # hashing run over the vocabulary, not the token stream.
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
     cells = (
-        terms.select("term", rows)
-        .select("r", bucket(F.col("r"), F.col("term")).alias("bucket"))
+        tf.select("term", "exact_n", rows)
+        .select("r", bucket(F.col("r"), F.col("term")).alias("bucket"), "exact_n")
         .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("exact_n").alias("c"))
     )
-    probes = (
-        terms.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.desc("exact_n"), F.asc("term"))
-        .limit(20)
-    )
+    probes = tf.orderBy(F.desc("exact_n"), F.asc("term")).limit(20)
     probe_cells = probes.select(
         "term", "exact_n", rows
     ).withColumn("bucket", bucket(F.col("r"), F.col("term")))
