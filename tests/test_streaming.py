@@ -528,3 +528,65 @@ def test_streaming_dedup_admission(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "index" / "batch=*")).collect()
     }
     assert index_ids == admitted
+
+
+def test_streaming_cms_merge_equals_batch(spark, tmp_path):
+    """Mergeable-sketch contract: the cell-wise sum of per-micro-batch
+    partial CMS grids must equal the grid one batch job builds over the
+    union of all batches (addition is associative/commutative), and the
+    served estimates must never undercount true frequencies."""
+    from oakstore_spark.streaming.sketches import (
+        cms_estimate,
+        cms_merged_grid,
+        cms_partial_grid,
+        cms_stream,
+    )
+
+    # three files -> three micro-batches; skewed key distribution
+    all_rows = []
+    fid = 0
+    src = str(tmp_path / "cms_src")
+    for chunk in range(3):
+        rows = [(i + chunk * 1000, (i * i + chunk) % 37) for i in range(200)]
+        all_rows += rows
+        spark.createDataFrame(rows, "event_id long, user_id long").coalesce(
+            1
+        ).write.parquet(f"{src}/f{fid}")
+        fid += 1
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = cms_stream(
+        stream,
+        key_col="user_id",
+        grid_dir=str(tmp_path / "grids"),
+        checkpoint_dir=str(tmp_path / "ckpt_cms"),
+    )
+    q.awaitTermination(180)
+
+    batch_df = spark.createDataFrame(all_rows, "event_id long, user_id long")
+    merged = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in cms_merged_grid(spark, str(tmp_path / "grids")).collect()
+    }
+    direct = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in cms_partial_grid(batch_df, "user_id").collect()
+    }
+    assert merged == direct, "merged partials must equal the one-shot grid"
+
+    probes = batch_df.select("user_id").distinct()
+    est = {
+        r["user_id"]: r["cms_est"]
+        for r in cms_estimate(
+            cms_merged_grid(spark, str(tmp_path / "grids")), probes, "user_id"
+        ).collect()
+    }
+    from collections import Counter
+
+    exact = Counter(u for _, u in all_rows)
+    for u, n in exact.items():
+        assert est[u] >= n, f"undercount for key {u}"
