@@ -832,3 +832,22 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
     )
+
+
+@register("q_compression_ratio")
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) DEFLATE compression-ratio profile + count of
+    suspiciously-compressible docs (< 0.35 — template/boilerplate
+    territory). Rows-only (zlib is not replayable in SQL); hand-pinned
+    values in tests/test_llm_ops.py::test_compression_ratio_signal."""
+    from oakstore_spark.operators.text import compression_ratio
+
+    d = table(spark, sf_dir, "documents")
+    r = d.select(
+        "lang", "source", compression_ratio(d, "text").alias("ratio")
+    )
+    return r.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+        F.sum(F.when(F.col("ratio") < 0.35, 1).otherwise(0)).alias("n_suspect"),
+    )

@@ -605,3 +605,35 @@ def test_semdedup_drops_planted_twins(spark):
     # nothing else pruned at a 0.999 threshold with sigma=0.05 noise
     n_kept = sum(1 for r in out.values() if r["kept"])
     assert n_kept == 60
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text must compress far below natural-looking text,
+    and the exact values must match a local zlib reference."""
+    import zlib
+
+    from oakstore_spark.operators.text import compression_ratio
+
+    rep = "spam " * 200
+    nat = ("the quarterly report outlines revenue growth across twelve "
+           "regional markets with varied seasonal demand patterns and "
+           "currency headwinds affecting consolidated margins this year ")
+    nat = (nat * 3)[: len(rep)]
+    df = spark.createDataFrame(
+        [(1, rep), (2, nat), (3, ""), (4, None)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["ratio"]
+        for r in df.select(
+            "doc_id", compression_ratio(df, "text").alias("ratio")
+        ).collect()
+    }
+
+    def ref(t):
+        b = t.encode()
+        return len(zlib.compress(b, 6)) / len(b)
+
+    assert got[1] == pytest.approx(ref(rep))
+    assert got[2] == pytest.approx(ref(nat))
+    assert got[1] < 0.05 < 0.2 < got[2]
+    assert got[3] == 1.0 and got[4] is None
