@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=0,
                     help="also probe distributed minhash dedup on this many "
                          "synthetic docs (>200k forces the distributed path)")
+    ap.add_argument("--textdocs", type=int, default=0,
+                    help="also probe the JVM text family (token stats, "
+                         "unigram/bigram LM scoring, 5-gram novelty) on "
+                         "this many synthetic 40-word docs")
     args = ap.parse_args()
     n = args.rows
     spark = get_spark("oakstore_scale_probe")
@@ -179,6 +183,62 @@ def main() -> None:
         out["span_dedup_sec"] = round(dt, 2)
         out["span_dedup_docs_per_sec"] = round(nd / dt)
         out["span_blocks_cut"] = int(cut)
+
+    if args.textdocs:
+        # natural-ish synthetic prose: 40 words drawn from a 64-word
+        # vocabulary by per-position hashes (JVM-only generation)
+        nt = args.textdocs
+        vocab = [f"w{i:02d}" for i in range(64)]
+        arr = F.array(*[F.lit(w) for w in vocab])
+        tdocs = spark.range(0, nt, 1, 64).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(
+                        arr,
+                        (F.pmod(F.hash(F.col("id") * 131 + k), F.lit(64)) + 1).cast("int"),
+                    )
+                    for k in range(40)
+                ],
+            ).alias("text"),
+        )
+        tdocs.persist()
+        tdocs.count()
+
+        from oakstore_spark.functions.text import token_count
+        from oakstore_spark.operators.curation import (
+            bigram_logprob,
+            unigram_logprob,
+        )
+
+        def ttimed(name: str, fn) -> None:
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            out[name + "_sec"] = round(dt, 2)
+            out[name + "_docs_per_sec"] = round(nt / dt)
+
+        ttimed("text_token_stats", lambda: tdocs.agg(
+            F.sum(token_count("text"))).collect())
+        ttimed("text_unigram_lm", lambda: noop(unigram_logprob(tdocs)))
+        ttimed("text_bigram_lm", lambda: noop(bigram_logprob(tdocs)))
+
+        def novelty() -> None:
+            ws = tdocs.select("doc_id", F.split("text", " ").alias("ws"))
+            sh = ws.select(
+                "doc_id",
+                F.explode(F.expr(
+                    "transform(slice(ws, 1, size(ws) - 4), (w, i) ->"
+                    " concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))"
+                )).alias("g"),
+            ).distinct()
+            fs = sh.groupBy("g").agg(F.min("doc_id").alias("fd"))
+            noop(sh.join(fs, "g").groupBy("doc_id").agg(
+                F.sum(F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0))))
+
+        ttimed("text_ngram_novelty", novelty)
+        out["text_docs"] = nt
 
     if args.vecs:
         from oakstore_spark.operators.similarity import (
