@@ -604,3 +604,84 @@ def encode_jpeg_header(
     ) + comps
     sos = b"\xff\xda" + struct.pack(">H", 2)
     return b"\xff\xd8" + app0 + sof + sos + b"\xff\xd9"
+
+
+def decode_wav_samples(data: bytes):
+    """REAL pure-stdlib PCM16 WAV SAMPLE decode: returns
+    ``(n_channels, sample_rate, samples)`` where ``samples`` is the
+    interleaved int16 numpy array from the data chunk, or ``None`` for
+    anything that isn't a clean 16-bit PCM RIFF payload (same
+    graceful-degrade contract as decode_wav/decode_png). This is the
+    step past header metadata: actual waveform access for DSP feature
+    extraction."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    try:
+        pos, fmt, payload = 12, None, None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            pos += 8
+            chunk = data[pos : pos + ln]
+            pos += ln + (ln & 1)
+            if cid == b"fmt " and len(chunk) >= 16:
+                fmt = struct.unpack("<HHIIHH", chunk[:16])
+            elif cid == b"data":
+                payload = chunk
+        if fmt is None or payload is None:
+            return None
+        audio_fmt, nch, rate, _br, block_align, bits = fmt
+        if audio_fmt != 1 or bits != 16 or block_align == 0 or rate == 0:
+            return None
+        usable = len(payload) - (len(payload) % 2)
+        samples = np.frombuffer(payload[:usable], dtype="<i2")
+        return int(nch), int(rate), samples
+    except (struct.error, ValueError):
+        return None
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Waveform-level DSP features per audio payload: RMS energy and
+    zero-crossing count over the decoded PCM16 samples (mono or
+    channel-interleaved treated as one stream). The classic cheap
+    audio-quality/speech-vs-noise signals of a media curation pipeline.
+    Arrow-batched mapInPandas; payload bytes never shuffle; undecodable
+    payloads emit nulls rather than failing the task."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("n_zero_cross", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                dec = decode_wav_samples(bytes(content))
+                if dec is None or len(dec[2]) == 0:
+                    rows.append((int(mid), None, None, None))
+                    continue
+                _nch, _rate, s = dec
+                x = s.astype(np.float64)
+                rms = float(np.sqrt(np.mean(x * x)))
+                neg = s < 0
+                zc = int(np.count_nonzero(neg[:-1] != neg[1:]))
+                rows.append((int(mid), len(s), rms, zc))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "rms", "n_zero_cross"]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema)

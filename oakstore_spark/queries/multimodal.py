@@ -358,3 +358,72 @@ def q_jpeg_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id").mapInPandas(make_and_decode, schema)
+
+
+@register(
+    "q_audio_features",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             octet_length(CAST(text AS BLOB)) % 997 + 100 AS n
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n, i,
+             CAST((doc_id * 7 + i * 13) % 2048 - 1024 AS BIGINT) AS v
+      FROM base, unnest(range(0, n)) t(i)
+    ), z AS (
+      SELECT doc_id, n, v,
+             CASE WHEN (lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0)
+                       <> (v < 0)
+                  THEN 1 ELSE 0 END AS zc
+      FROM s
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           round(sqrt(avg(CAST(v * v AS DOUBLE))), 4) AS rms,
+           CAST(sum(zc) AS BIGINT) AS n_zero_cross
+    FROM z
+    GROUP BY doc_id, n
+    """,
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform DSP features through REAL audio bytes: each doc becomes
+    a PCM16 WAV whose samples are a deterministic ramp
+    ``(doc_id*7 + i*13) % 2048 - 1024`` (stdlib RIFF writer), the
+    sample-level decoder reads the waveform back out of the bytes, and
+    RMS energy + zero-crossing count come from numpy. The oracle
+    replays the ramp arithmetic in SQL — so the encoder, the chunk
+    walk, the int16 byte order, AND the feature math all have to agree
+    for the hash to match. One step deeper than q_wav_decode_meta
+    (headers): this proves byte-exact WAVEFORM access. Map-side; audio
+    bytes never shuffle."""
+    from oakstore_spark.operators.multimodal import (
+        audio_features,
+        encode_wav_pcm16,
+    )
+
+    d = table(spark, sf_dir, "documents")
+
+    def make_wav(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                n = len(text.encode("utf-8")) % 997 + 100
+                i = _np.arange(n, dtype=_np.int64)
+                samples = ((doc_id * 7 + i * 13) % 2048 - 1024).astype(
+                    _np.int16
+                )
+                rows.append((doc_id, encode_wav_pcm16(samples, 16000, 1)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.select("doc_id", "text").mapInPandas(
+        make_wav, "media_id long, content binary"
+    )
+    out = audio_features(media)
+    return out.select(
+        "media_id", "n_samples", F.round("rms", 4).alias("rms"), "n_zero_cross"
+    )

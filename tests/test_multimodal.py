@@ -364,3 +364,49 @@ def test_jpeg_meta_roundtrip_and_corruption():
     # every prefix must degrade gracefully
     for i in range(len(good)):
         decode_jpeg_meta(good[:i])
+
+
+def test_decode_wav_samples_roundtrip_and_corruption(spark):
+    import numpy as np
+
+    from oakstore_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav_pcm16,
+    )
+
+    s = np.array([0, 100, -100, 32767, -32768, 5], dtype=np.int16)
+    wav = encode_wav_pcm16(s, 22050, 1)
+    nch, rate, got = decode_wav_samples(wav)
+    assert (nch, rate) == (1, 22050)
+    assert np.array_equal(got, s)
+    # stereo interleave survives
+    wav2 = encode_wav_pcm16(s, 8000, 2)
+    nch2, rate2, got2 = decode_wav_samples(wav2)
+    assert (nch2, rate2) == (2, 8000) and np.array_equal(got2, s)
+    # graceful degrade: garbage, truncated, non-PCM16
+    assert decode_wav_samples(b"not riff at all") is None
+    assert decode_wav_samples(wav[:20]) is None
+
+
+def test_audio_features_hand_values(spark):
+    import numpy as np
+
+    from oakstore_spark.operators.multimodal import (
+        audio_features,
+        encode_wav_pcm16,
+    )
+
+    s = np.array([1, -1, 1, -1], dtype=np.int16)    # rms 1, 3 crossings
+    flat = np.array([7, 7, 7], dtype=np.int16)      # rms 7, 0 crossings
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav_pcm16(s, 16000, 1))),
+            (2, bytearray(encode_wav_pcm16(flat, 16000, 1))),
+            (3, bytearray(b"junk")),
+        ],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert got[1]["rms"] == pytest.approx(1.0) and got[1]["n_zero_cross"] == 3
+    assert got[2]["rms"] == pytest.approx(7.0) and got[2]["n_zero_cross"] == 0
+    assert got[3]["rms"] is None and got[3]["n_samples"] is None
