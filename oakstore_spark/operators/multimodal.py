@@ -685,3 +685,73 @@ def audio_features(
             )
 
     return df.select(id_col, content_col).mapInPandas(batches, schema)
+
+
+def resize_image_thumbnails(
+    df: DataFrame,
+    out_h: int = 8,
+    out_w: int = 8,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Image RESIZE through real bytes: decode each PNG payload
+    (``decode_png``), box-downsample the luma plane to ``out_h x out_w``
+    by exact block averaging (each output cell = mean of its input
+    block; edge blocks absorb the remainder rows/cols), and emit the
+    thumbnail as a flat float array plus its overall mean. This is the
+    resize step of an image-curation pipeline (dedup thumbprints,
+    NSFW/quality model inputs) done the Spark way: Arrow-batched
+    mapInPandas, payload bytes never shuffle, undecodable payloads
+    yield null thumbnails instead of failing the task.
+
+    Block averaging (not nearest-neighbor) so the thumbnail is a
+    DETERMINISTIC pure function of every input pixel — pinned against a
+    numpy reference in pytest."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("thumb", T.ArrayType(T.DoubleType())),
+            T.StructField("thumb_mean", T.DoubleType()),
+        ]
+    )
+    _png = decode_png
+
+    def _block_mean(gray, oh, ow):
+        h, w = gray.shape
+        ys = [h * i // oh for i in range(oh + 1)]
+        xs = [w * j // ow for j in range(ow + 1)]
+        out = np.empty((oh, ow), dtype=np.float64)
+        for i in range(oh):
+            for j in range(ow):
+                out[i, j] = gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+        return out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                dec = _png(bytes(content))
+                if dec is None or dec[0] < 1 or dec[1] < 1:
+                    rows.append((int(mid), None, None, None, None))
+                    continue
+                w, h, gray = dec
+                th = _block_mean(gray, out_h, out_w)
+                rows.append(
+                    (
+                        int(mid),
+                        int(w),
+                        int(h),
+                        [float(x) for x in th.ravel()],
+                        float(th.mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "thumb", "thumb_mean"],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema)

@@ -427,3 +427,45 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id", "n_samples", F.round("rms", 4).alias("rms"), "n_zero_cross"
     )
+
+
+@register("q_image_thumbnails")
+def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE end-to-end: each document's first 1024 text bytes
+    become a 32x32 grayscale PNG (same worker-side generator as
+    q_png_decode_features), and ``resize_image_thumbnails`` decodes the
+    bytes and block-averages the luma plane down to an 8x8 thumbprint.
+    Rows-only driver check (PNG inflate is not SQL-replayable); exact
+    block-mean parity vs a numpy reference is pinned in
+    tests/test_multimodal.py. Decode + resize run map-side; binaries
+    never shuffle."""
+    from oakstore_spark.operators.multimodal import (
+        encode_gray_png,
+        resize_image_thumbnails,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    _enc = encode_gray_png
+
+    def make_png(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                buf = text.encode("utf-8")[:1024]
+                px = _np.frombuffer(buf.ljust(1024, b"\x00"), dtype=_np.uint8)
+                rows.append((int(doc_id), _enc(px.reshape(32, 32))))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.select("doc_id", "text").mapInPandas(
+        make_png, "media_id long, content binary"
+    )
+    out = resize_image_thumbnails(media, 8, 8)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("thumb_mean", 4).alias("thumb_mean"),
+    )

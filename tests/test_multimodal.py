@@ -410,3 +410,32 @@ def test_audio_features_hand_values(spark):
     assert got[1]["rms"] == pytest.approx(1.0) and got[1]["n_zero_cross"] == 3
     assert got[2]["rms"] == pytest.approx(7.0) and got[2]["n_zero_cross"] == 0
     assert got[3]["rms"] is None and got[3]["n_samples"] is None
+
+
+def test_resize_thumbnail_exact_block_means(spark):
+    import numpy as np
+
+    from oakstore_spark.operators.multimodal import (
+        encode_gray_png,
+        resize_image_thumbnails,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (20, 12), dtype=np.uint8)   # not divisible by 8
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_gray_png(img))), (2, bytearray(b"nope"))],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r for r in
+           resize_image_thumbnails(df, 8, 8).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (12, 20)
+    g = img.astype(np.float64)
+    ys = [20 * i // 8 for i in range(9)]
+    xs = [12 * j // 8 for j in range(9)]
+    ref = [
+        g[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+        for i in range(8) for j in range(8)
+    ]
+    assert got[1]["thumb"] == pytest.approx(ref)
+    assert got[1]["thumb_mean"] == pytest.approx(float(np.mean(ref)))
+    assert got[2]["thumb"] is None
