@@ -955,3 +955,29 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fim_md5"),
     )
+
+
+@register(
+    "q_global_sample_topk",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 100
+    """,
+)
+def q_global_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-K global deterministic sample: rank the whole corpus by
+    md5(key) and take the first 100. Spark compiles orderBy+limit to
+    TakeOrderedAndProject — each partition keeps its local top-K in a
+    bounded heap and the driver merges K-sized heaps, so there is NO
+    global sort and NO single-partition exchange even though the result
+    is a total-order prefix (plan-pinned in tests/test_plans.py). The
+    md5 order makes the sample reproducible across runs/engines — the
+    global-quota sibling of q_fixed_count_sample's per-group quotas."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang")
+        .orderBy(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), "doc_id")
+        .limit(100)
+    )

@@ -433,3 +433,13 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.sql(f"DROP TABLE IF EXISTS {ln}")
         spark.sql(f"DROP TABLE IF EXISTS {rn}")
+
+
+def test_global_sample_compiles_to_take_ordered(spark):
+    """orderBy+limit must plan as TakeOrderedAndProject (bounded per-
+    partition heaps + K-merge), never a global Sort feeding a Limit."""
+    from oakstore_spark.queries.training_ext import q_global_sample_topk
+
+    plan = plan_of(q_global_sample_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
