@@ -883,3 +883,37 @@ def q_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
         F.bool_and(F.col("l_quantity") < 100).alias("all_qty_small"),
     )
+
+
+@register("q_theta_audience_overlap")
+def q_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via THETA sketches — the sketch family that
+    supports full SET ALGEBRA (union/intersection/difference), which
+    HLL cannot: per-event-type distinct-user sketches are tiny,
+    mergeable, storable aggregates, and "users who did A and B" is
+    sketch intersection instead of a corpus-wide distinct self-join.
+    The deployment pattern at 100 TB: sketch per (type, day) partition
+    once, answer any boolean audience combination later without
+    touching raw data. Rows-only (sketch estimates are approximate);
+    the estimate-vs-exact error bound is pinned in
+    tests/test_llm_ops.py::test_theta_overlap_error_bounded."""
+    e = table(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    v = sk.where(F.col("event_type") == "view").select(
+        F.col("sk").alias("sk_a"), F.col("exact_distinct").alias("n_a")
+    )
+    p = sk.where(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("sk_b"), F.col("exact_distinct").alias("n_b")
+    )
+    both = v.crossJoin(p).select(
+        F.lit("view∩purchase").alias("audience"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))
+        ).cast("bigint").alias("est_users"),
+        "n_a",
+        "n_b",
+    )
+    return both

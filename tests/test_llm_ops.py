@@ -637,3 +637,23 @@ def test_compression_ratio_signal(spark):
     assert got[2] == pytest.approx(ref(nat))
     assert got[1] < 0.05 < 0.2 < got[2]
     assert got[3] == 1.0 and got[4] is None
+
+
+def test_theta_overlap_error_bounded(spark):
+    """Theta-sketch intersection estimate must land within 5% of the
+    exact view∩purchase distinct-user count at fixture scale."""
+    import duckdb
+
+    from oakstore_spark.queries.relational_ext import q_theta_audience_overlap
+
+    row = q_theta_audience_overlap(spark, "/root/testdata/sf0.01").collect()[0]
+    exact = duckdb.sql(
+        "SELECT count(*) FROM ("
+        " SELECT user_id FROM read_parquet('/root/testdata/sf0.01/events.parquet')"
+        " WHERE event_type='view'"
+        " INTERSECT"
+        " SELECT user_id FROM read_parquet('/root/testdata/sf0.01/events.parquet')"
+        " WHERE event_type='purchase')"
+    ).fetchone()[0]
+    assert exact > 0
+    assert abs(row["est_users"] - exact) / exact <= 0.05, (row["est_users"], exact)
