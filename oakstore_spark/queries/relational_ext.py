@@ -917,3 +917,37 @@ def q_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
     )
     return both
+
+
+@register("q_kll_mergeable_quantiles")
+def q_kll_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORABLE, re-aggregatable quantiles via DataSketches KLL (the
+    quantile analogue of q_hll_mergeable_sketches): build one KLL
+    sketch per return flag (a bounded-memory, map-side-combinable
+    aggregate you would persist per partition/day), then fold the group
+    sketches into a GLOBAL sketch with the binary merge inside a
+    higher-order reduce — no second pass over the data — and read
+    global quantiles off the merged sketch. This is the 100 TB quantile
+    deployment shape: sketch once per partition, answer later quantile
+    queries (any combination of partitions) from merges alone.
+    Rows-only (sketch internals are randomized/engine-specific); the
+    merged-vs-exact error bound is pinned in
+    tests/test_llm_ops.py::test_kll_merged_quantiles_error_bounded."""
+    l = table(spark, sf_dir, "lineitem")
+    per_flag = l.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("l_extendedprice", F.lit(2048)).alias("sk")
+    )
+    arr = per_flag.agg(F.collect_list("sk").alias("arr"))
+    merged = F.reduce(
+        F.expr("slice(arr, 2, size(arr) - 1)"),
+        F.col("arr")[0],
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    return arr.select(
+        F.size("arr").alias("n_sketches"),
+        F.round(F.kll_sketch_get_quantile_double(merged, F.lit(0.5)), 2)
+          .alias("p50"),
+        F.round(F.kll_sketch_get_quantile_double(merged, F.lit(0.9)), 2)
+          .alias("p90"),
+        F.kll_sketch_get_n_double(merged).alias("n_items"),
+    )

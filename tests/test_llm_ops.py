@@ -657,3 +657,22 @@ def test_theta_overlap_error_bounded(spark):
     ).fetchone()[0]
     assert exact > 0
     assert abs(row["est_users"] - exact) / exact <= 0.05, (row["est_users"], exact)
+
+
+def test_kll_merged_quantiles_error_bounded(spark):
+    """Folding per-group KLL sketches must reproduce GLOBAL quantiles:
+    n_items exact, p50/p90 within 1% of the true quantiles (KLL k=2048
+    guarantees ~0.55% rank error at 99% confidence)."""
+    import duckdb
+
+    from oakstore_spark.queries.relational_ext import q_kll_mergeable_quantiles
+
+    row = q_kll_mergeable_quantiles(spark, "/root/testdata/sf0.01").collect()[0]
+    exact_n, p50, p90 = duckdb.sql(
+        "SELECT count(*), quantile_cont(l_extendedprice, 0.5),"
+        " quantile_cont(l_extendedprice, 0.9)"
+        " FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet')"
+    ).fetchone()
+    assert row["n_items"] == exact_n
+    assert abs(row["p50"] - p50) / p50 <= 0.01
+    assert abs(row["p90"] - p90) / p90 <= 0.01
