@@ -951,3 +951,43 @@ def q_kll_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
           .alias("p90"),
         F.kll_sketch_get_n_double(merged).alias("n_items"),
     )
+
+
+@register(
+    "q_bitmap_exact_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type, count(DISTINCT user_id) FROM events
+    """,
+)
+def q_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting that is also MERGEABLE: bucketed roaring-
+    style bitmaps (bitmap_construct_agg over bit positions, one bitmap
+    per 32k-id bucket) count distinct users per event type, and the
+    GLOBAL distinct count comes from OR-merging the stored per-type
+    bitmaps — no second scan, no approximation. This is the middle
+    ground between countDistinct (exact, but partials can't be reused)
+    and HLL/theta (mergeable, but approximate): store per-partition
+    bitmaps once, answer any union's exact distinct later. Fully
+    oracle-checked because, unlike sketches, the answer is exact."""
+    e = table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("bkt"),
+        F.bitmap_bit_position("user_id").alias("pos"),
+    )
+    per_bucket = b.groupBy("event_type", "bkt").agg(
+        F.bitmap_construct_agg("pos").alias("bm")
+    )
+    per_type = per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_distinct")
+    )
+    merged = (
+        per_bucket.groupBy("bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct"))
+        .select(F.lit("__all__").alias("event_type"), "n_distinct")
+    )
+    return per_type.unionByName(merged)
