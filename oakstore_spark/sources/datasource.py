@@ -372,11 +372,13 @@ class OakStoreStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         latest = self._latest_version()
-        # materialized list, not a generator: Spark's prefetch cache
-        # copy.copy()s the iterator for replay, which a generator can't
-        # survive; CDC batches are bounded by one append's volume
+        # materialize, then hand back a LIST ITERATOR: the prefetch
+        # wrapper needs a real iterator (its empty-batch validation
+        # calls next()), and its replay path copy.copy()s it — both of
+        # which a list_iterator supports and a generator does not. CDC
+        # batches are bounded by one append's volume.
         rows = list(self._rows_between(start["version"], latest))
-        return rows, {"version": latest}
+        return iter(rows), {"version": latest}
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
         return list(self._rows_between(start["version"], end["version"]))

@@ -590,3 +590,54 @@ def test_streaming_cms_merge_equals_batch(spark, tmp_path):
     exact = Counter(u for _, u in all_rows)
     for u, n in exact.items():
         assert est[u] >= n, f"undercount for key {u}"
+
+
+def test_store_replication_converges(spark, tmp_path):
+    """Store-to-store replication over the manifest CDC stream: after
+    genesis + two appends (including overlap that the source dedups),
+    re-running the replication stream from the same checkpoint leaves
+    the target item EXACTLY equal to the source item; a further no-op
+    rerun changes nothing (idempotent apply)."""
+    import numpy as np
+    import pandas as pd
+
+    from oakstore_spark import Store
+    from oakstore_spark.streaming.replicate import replicate_item_stream
+
+    src = Store(base_path=tmp_path / "src", spark=spark,
+                commit_protocol="manifest")
+    idx = pd.date_range("2022-01-01", periods=40, freq="D")
+    df = pd.DataFrame(
+        {"Open": np.arange(40.0), "High": np.arange(40.0),
+         "Low": np.arange(40.0), "Close": np.arange(40.0),
+         "Volume": np.arange(40)},
+        index=idx,
+    )
+    src["REPL"] = df
+
+    tgt = Store(base_path=tmp_path / "tgt", spark=spark)  # rename protocol
+    ckpt = str(tmp_path / "ckpt_repl")
+
+    def sync():
+        q = replicate_item_stream(
+            spark, str(tmp_path / "src"), "REPL", tgt, ckpt
+        )
+        q.awaitTermination(120)
+
+    sync()
+    assert tgt["REPL"].df().count() == 40
+
+    # two appends: one pure-new, one overlapping (source drops the dupes)
+    tail = df.iloc[-5:]
+    newer = df.copy().iloc[:10]
+    newer.index = newer.index + pd.Timedelta(days=60)
+    src["REPL"] += pd.concat([tail, newer])
+    sync()
+
+    a = src["REPL"][:].reset_index(drop=False)
+    b = tgt["REPL"][:].reset_index(drop=False)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(b) == 50
+
+    sync()  # no new versions -> no change
+    assert tgt["REPL"].df().count() == 50
