@@ -851,3 +851,59 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("ratio"), 4).alias("avg_ratio"),
         F.sum(F.when(F.col("ratio") < 0.35, 1).otherwise(0)).alias("n_suspect"),
     )
+
+
+@register(
+    "q_arrow_vector_norms",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(sqrt(list_sum(list_transform(
+                 CAST(embedding AS DOUBLE[]), x -> x * x)))), 4)
+             AS avg_l2_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInArrow UDF surface (the one Python batch API the suite
+    did not yet exercise): L2 norms computed straight off pyarrow
+    RecordBatches — zero pandas materialization, zero copy into Python
+    objects; the Arrow list array's flat values buffer feeds one numpy
+    reshape+einsum per batch. For wide numeric kernels this path
+    strictly dominates mapInPandas (no Series boxing); the rollup per
+    label is a plain JVM hash agg. Oracle recomputes the identical
+    float64 arithmetic from the same float32 inputs."""
+    import numpy as np
+    import pyarrow as pa
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def norms(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            # flat float32 buffer -> (n, dim) float64 view
+            n = len(emb)
+            flat = emb.combine_chunks() if hasattr(emb, "combine_chunks") else emb
+            # flatten() honors any slice offset on the list array,
+            # unlike .values which exposes the whole child buffer
+            vals = np.asarray(flat.flatten(), dtype=np.float64)
+            X = vals.reshape(n, -1)
+            nr = np.sqrt(np.einsum("ij,ij->i", X, X))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(nr, type=pa.float64())],
+                names=["vec_id", "l2"],
+            )
+
+    normed = e.select("vec_id", "embedding").mapInArrow(
+        norms, "vec_id long, l2 double"
+    )
+    return (
+        normed.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("l2"), 4).alias("avg_l2_norm"),
+        )
+    )
