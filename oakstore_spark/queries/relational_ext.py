@@ -991,3 +991,78 @@ def q_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("__all__").alias("event_type"), "n_distinct")
     )
     return per_type.unionByName(merged)
+
+
+@register(
+    "q_entity_clusters",
+    oracle="""
+    WITH RECURSIVE names AS MATERIALIZED (
+      SELECT p_name,
+             split_part(p_name, ' ', 2) AS blk,
+             CAST(('0x' || substr(md5(p_name), 1, 15)) AS BIGINT) AS hid,
+             count(*) AS n_rows
+      FROM part GROUP BY 1, 2, 3
+    ), pr AS MATERIALIZED (
+      SELECT a.hid AS id_a, b.hid AS id_b
+      FROM names a JOIN names b
+        ON a.blk = b.blk AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pr
+      UNION
+      SELECT id_b, id_a FROM pr
+    ), reach(id, root) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+    ), comp AS (
+      SELECT id, min(root) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_names,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           min(p_name) AS rep_name
+    FROM comp JOIN names ON names.hid = comp.id
+    GROUP BY cluster_id
+    """,
+)
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy matching
+    (q_fuzzy_name_match's distinct-name + levenshtein<=2 blocking)
+    feeds connected components (operators/dedup.dedup_clusters — the
+    same min-label machinery as document dedup), producing entity
+    clusters with a representative name and the total row mass each
+    entity covers. Names become stable BIGINT node ids via an md5
+    prefix (deterministic in both engines, no global window needed);
+    the oracle resolves the identical graph with a recursive-CTE
+    closure. Composition proof: matching operator + graph operator
+    reused unchanged across domains."""
+    from oakstore_spark.operators.dedup import dedup_clusters
+
+    p = table(spark, sf_dir, "part")
+    names = p.groupBy(
+        F.col("p_name"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("blk"),
+        F.conv(F.substring(F.md5("p_name"), 1, 15), 16, 10)
+          .cast("bigint").alias("hid"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    a, b = names.alias("a"), names.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(F.levenshtein("a.p_name", "b.p_name") <= 2)
+        .select(F.col("a.hid").alias("id_a"), F.col("b.hid").alias("id_b"))
+    )
+    comp = dedup_clusters(pairs)
+    return (
+        comp.join(names, comp["id"] == names["hid"])
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_names"),
+            F.sum("n_rows").alias("n_rows"),
+            F.min("p_name").alias("rep_name"),
+        )
+    )
