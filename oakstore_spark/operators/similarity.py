@@ -815,3 +815,96 @@ def semdedup(
         .applyInPandas(prune, out_schema)
         .withColumnRenamed("oid", id_col)
     )
+
+
+def contrastive_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Contrastive training-pair mining: for every query vector, the
+    exact best POSITIVE (highest-cosine corpus vector sharing its
+    label) and exact best HARD NEGATIVE (highest-cosine vector of a
+    DIFFERENT label — the pairs that actually teach a metric model).
+
+    Same execution shape as :func:`cosine_topk`: queries (with labels)
+    broadcast to a one-scan Arrow kernel; each batch emits per-query
+    per-leg local argmaxes, merged exactly by a deterministic
+    ``min(struct(-sim, id))`` aggregate — ties resolve to the lower id,
+    matching the oracle's (sim DESC, id ASC) ranking. One corpus scan
+    total regardless of label count; nothing wider than (query, id,
+    sim) shuffles.
+    """
+    q_pdf = queries.select(query_id_col, vec_col, label_col).toPandas()
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField("leg", T.StringType()),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    if len(q_pdf) == 0:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    q_ids = q_pdf[query_id_col].to_numpy()
+    q_labels = q_pdf[label_col].to_numpy()
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    QnT = np.ascontiguousarray((Q / qn[:, None]).T)
+    m = Q.shape[0]
+    chunk_rows = max(1, _MAX_SCORE_CELLS // m)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk_rows):
+                part = pdf.iloc[lo : lo + chunk_rows]
+                B = np.stack([np.asarray(v, dtype=np.float64) for v in part[vec_col]])
+                bn = np.linalg.norm(B, axis=1)
+                bn[bn == 0] = 1.0
+                S = (B / bn[:, None]) @ QnT  # n x m
+                ids = part[id_col].to_numpy()
+                labels = part[label_col].to_numpy()
+                # self-matches can never win either leg
+                S = S.copy()
+                S[ids[:, None] == q_ids[None, :]] = -np.inf
+                same = labels[:, None] == q_labels[None, :]  # n x m
+                rows = []
+                for leg, mask in (("pos", same), ("neg", ~same)):
+                    Sm = np.where(mask, S, -np.inf)
+                    best = Sm.argmax(axis=0)  # per query
+                    sims = Sm[best, np.arange(m)]
+                    ok = np.isfinite(sims)
+                    if ok.any():
+                        rows.append(
+                            pd.DataFrame(
+                                {
+                                    query_id_col: q_ids[ok],
+                                    "leg": leg,
+                                    id_col: ids[best[ok]],
+                                    "sim": sims[ok],
+                                }
+                            )
+                        )
+                if rows:
+                    yield pd.concat(rows, ignore_index=True)
+
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    cand = widen_partitions(
+        corpus.select(id_col, vec_col, label_col)
+    ).mapInPandas(scan, out_schema)
+    best = F.min(F.struct((-F.col("sim")).alias("ns"), F.col(id_col).alias("i")))
+    return (
+        cand.groupBy(query_id_col, "leg")
+        .agg(best.alias("b"))
+        .select(
+            query_id_col,
+            "leg",
+            F.col("b.i").alias(id_col),
+            (-F.col("b.ns")).alias("sim"),
+        )
+    )

@@ -907,3 +907,56 @@ def q_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l2"), 4).alias("avg_l2_norm"),
         )
     )
+
+
+@register(
+    "q_contrastive_pairs",
+    oracle="""
+    WITH s AS (
+      SELECT a.vec_id AS query_id, a.label AS ql,
+             b.vec_id AS cid, b.label AS cl,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id % 5 = 0
+    ), pos AS (
+      SELECT query_id, cid, sim FROM s WHERE ql = cl
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, cid) = 1
+    ), neg AS (
+      SELECT query_id, cid, sim FROM s WHERE ql <> cl
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, cid) = 1
+    )
+    SELECT query_id,
+           pos.cid AS pos_id, round(pos.sim, 6) AS pos_sim,
+           neg.cid AS neg_id, round(neg.sim, 6) AS neg_sim
+    FROM pos JOIN neg USING (query_id)
+    """,
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining for embedding-model training: every 5th
+    vector becomes an anchor and gets its exact best same-label
+    POSITIVE and best different-label HARD NEGATIVE by cosine — one
+    corpus scan for both legs (operators/similarity.contrastive_pairs).
+    The oracle re-derives both argmaxes from the full O(n^2) similarity
+    relation, so the kernel's masking, self-exclusion, and
+    deterministic tie-breaks are all value-checked."""
+    from oakstore_spark.operators.similarity import contrastive_pairs
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    mined = contrastive_pairs(e, queries)
+    pos = mined.where(F.col("leg") == "pos").select(
+        "query_id",
+        F.col("vec_id").alias("pos_id"),
+        F.round("sim", 6).alias("pos_sim"),
+    )
+    neg = mined.where(F.col("leg") == "neg").select(
+        "query_id",
+        F.col("vec_id").alias("neg_id"),
+        F.round("sim", 6).alias("neg_sim"),
+    )
+    return pos.join(neg, "query_id")

@@ -676,3 +676,27 @@ def test_kll_merged_quantiles_error_bounded(spark):
     assert row["n_items"] == exact_n
     assert abs(row["p50"] - p50) / p50 <= 0.01
     assert abs(row["p90"] - p90) / p90 <= 0.01
+
+
+def test_contrastive_pairs_planted(spark, clustered):
+    """On the twin fixture (labels = pair parity), each anchor's
+    positive must be its exact twin and its hard negative must carry a
+    different label with strictly lower similarity."""
+    from oakstore_spark.operators.similarity import contrastive_pairs
+
+    labeled = clustered.withColumn(
+        "label", (F.col("vec_id") / 2).cast("int") % 3
+    )
+    queries = labeled.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    mined = contrastive_pairs(labeled, queries).collect()
+    by_q = {}
+    for r in mined:
+        by_q.setdefault(r["query_id"], {})[r["leg"]] = r
+    lab = {r["vec_id"]: r["label"] for r in labeled.collect()}
+    assert len(by_q) == 60
+    for q, legs in by_q.items():
+        assert legs["pos"]["vec_id"] == q + 1, "positive must be the twin"
+        assert lab[legs["neg"]["vec_id"]] != lab[q]
+        assert legs["neg"]["sim"] < legs["pos"]["sim"]
