@@ -928,14 +928,16 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").where(F.length("text") >= 20)
     n = F.length("text")
 
-    def frac(salt: str, mod: int, den: float):
+    def hsalt(salt: str, mod: int):
         key = F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt))
-        h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % mod
-        return h / F.lit(den)
+        return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % mod
 
-    cut1 = (F.lit(1) + F.floor(n * frac("a", 1000, 2500.0))).cast("int")
+    # multiply in exact integers FIRST, divide once — the identical
+    # association the oracle uses ((n*h)/den, one double rounding), so
+    # floor can never land on a different side of a boundary than SQL
+    cut1 = (F.lit(1) + F.floor(n * hsalt("a", 1000) / F.lit(2500.0))).cast("int")
     cut2 = (
-        cut1 + 1 + F.floor((n - cut1) * frac("b", 1000, 2000.0))
+        cut1 + 1 + F.floor((n - cut1) * hsalt("b", 1000) / F.lit(2000.0))
     ).cast("int")
     pre = F.substring(F.col("text"), F.lit(1), cut1)
     mid = F.substring(F.col("text"), cut1 + 1, cut2 - cut1)
