@@ -131,3 +131,19 @@ def test_correctness_comparator_detects_mutations():
     noisy["v"] = noisy["v"] + 1e-13
     out = compare("noise", noisy, base)
     assert out and all("inexact" in p for p in out)
+
+
+def test_examples_run_clean(spark):
+    """The examples/ scripts must stay runnable (they are the quickstart
+    surface a migrating user hits first)."""
+    import subprocess
+    import sys
+
+    for script in ("examples/quickstart_store.py",
+                   "examples/curation_pipeline.py"):
+        r = subprocess.run(
+            [sys.executable, script],
+            capture_output=True, text=True, timeout=600,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, f"{script} failed:\n{r.stderr[-2000:]}"
