@@ -1114,3 +1114,55 @@ def q_token_budget_carve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.where(F.col("cum_tokens") - F.col("n_tokens") < 3000).select(
         "doc_id", "lang", "n_tokens", "cum_tokens"
     )
+
+
+@register(
+    "q_weighted_reservoir",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars + 1 AS w,
+             ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) + 1) / 4294967296.0) / (n_chars + 1) AS k
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(w AS BIGINT) AS w,
+           CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS INT) AS rk
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): each row gets key ln(u)/w with u an md5-derived uniform, and
+    the K largest keys are the sample — inclusion probability
+    proportional to weight, no replacement, and (because u is a pure
+    function of the row key) fully deterministic and engine-replayable,
+    unlike rand()-based reservoirs. Complements the Bernoulli
+    quality-weighted sampler (independent keeps, random size) with the
+    exact-size-K variant. Map-side keys + TakeOrderedAndProject — no
+    global sort, no reservoir state. The ln/divide expression is
+    written identically in both engines so the ranking agrees
+    bit-for-bit."""
+    d = table(spark, sf_dir, "documents")
+    w = (F.col("n_chars") + 1).cast("bigint")
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    k = F.log((h + 1) / F.lit(4294967296.0)) / w
+    keyed = d.select("doc_id", "lang", w.alias("w"), k.alias("k"))
+    return (
+        keyed.orderBy(F.desc("k"), "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            "lang",
+            "w",
+            F.row_number()
+            .over(W.orderBy(F.desc("k"), "doc_id"))
+            .cast("int")
+            .alias("rk"),
+        )
+    )
