@@ -908,3 +908,146 @@ def contrastive_pairs(
             (-F.col("b.ns")).alias("sim"),
         )
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    dim: int,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    sample_size: int = 100_000,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> None:
+    """BUILD step of the persisted IVF index (the build-once /
+    search-many deployment shape ``ivf_cosine_topk`` only simulates
+    in-query): train the spherical-kmeans coarse quantizer on a sample,
+    assign every corpus vector its cell in one distributed pass, and
+    persist
+
+      - ``<index_dir>/centroids`` — (cell, centroid) parquet (tiny),
+      - ``<index_dir>/vectors``   — (id, vec) parquet PARTITIONED BY
+        ``_cell``, so a search that probes p cells lists and reads only
+        p directories out of ``n_centroids`` (partition pruning at the
+        file-listing level, before any row is touched).
+
+    Rebuild cost is one corpus scan; the index then amortizes over
+    every future query batch.
+    """
+    sample_pdf = corpus.select(vec_col).limit(sample_size).toPandas()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]])
+    C = _spherical_kmeans(X, n_centroids, n_iter, seed)
+    CT = np.ascontiguousarray(C.T)
+
+    spark = corpus.sparkSession
+    cent_rows = [(int(i), [float(x) for x in C[i]]) for i in range(C.shape[0])]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+    cell_schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField(vec_col, corpus.schema[vec_col].dataType),
+            T.StructField("_cell", T.IntegerType()),
+        ]
+    )
+
+    def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+            out = pdf[[id_col, vec_col]].copy()
+            out["_cell"] = (Bn @ CT).argmax(axis=1).astype(np.int32)
+            yield out
+
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    (
+        widen_partitions(corpus.select(id_col, vec_col))
+        .mapInPandas(assign_cells, cell_schema)
+        .write.mode("overwrite")
+        .partitionBy("_cell")
+        .parquet(f"{index_dir}/vectors")
+    )
+
+
+def search_ivf_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_probe: int = 8,
+) -> DataFrame:
+    """SEARCH step over a persisted IVF index: rank cells per query
+    against the (tiny) centroid table, scan ONLY the probed cell
+    partitions of the vectors table (an ``isin`` filter on the
+    partition column — pruned at listing time), broadcast the (query,
+    cell, qvec) probes onto them, exact-rerank, and keep top-k with the
+    deterministic (sim desc, id asc) tie-break. No rebuild, no corpus
+    shuffle; per-batch cost ~ p/n_centroids of the corpus."""
+    cent = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent])
+
+    q_pdf = queries.select(query_id_col, vec_col).toPandas()
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    if len(q_pdf) == 0:
+        return spark.createDataFrame([], out_schema).withColumn(
+            "rank", F.lit(1).cast("bigint")
+        )
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    probe = min(n_probe, C.shape[0])
+    top_cells = np.argsort(-(Qn @ C.T), axis=1)[:, :probe]
+    qids = q_pdf[query_id_col].tolist()
+    qvecs = [np.asarray(v, dtype=np.float64).tolist() for v in q_pdf[vec_col]]
+    probe_rows = [
+        (qids[i], int(c), qvecs[i])
+        for i in range(len(q_pdf))
+        for c in top_cells[i]
+    ]
+    probe_df = spark.createDataFrame(
+        probe_rows, "_qid long, _cell int, _qvec array<double>"
+    )
+    cells = sorted({int(c) for row in top_cells for c in row})
+
+    vectors = spark.read.parquet(f"{index_dir}/vectors").where(
+        F.col("_cell").isin(cells)
+    )
+    cand = vectors.join(F.broadcast(probe_df), "_cell").filter(
+        F.col(id_col) != F.col("_qid")
+    )
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_qvec"]])
+            na = np.maximum(np.linalg.norm(A, axis=1), 1e-12)
+            nb = np.maximum(np.linalg.norm(B, axis=1), 1e-12)
+            out = pdf[["_qid", id_col]].copy()
+            out.columns = [query_id_col, id_col]
+            out["sim"] = (A * B).sum(axis=1) / (na * nb)
+            yield out
+
+    scored = cand.mapInPandas(rerank, out_schema)
+    w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )

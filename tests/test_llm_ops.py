@@ -700,3 +700,36 @@ def test_contrastive_pairs_planted(spark, clustered):
         assert legs["pos"]["vec_id"] == q + 1, "positive must be the twin"
         assert lab[legs["neg"]["vec_id"]] != lab[q]
         assert legs["neg"]["sim"] < legs["pos"]["sim"]
+
+
+def test_persisted_ivf_index_build_search(spark, clustered, tmp_path):
+    """Build-once / search-many: a persisted IVF index must recover the
+    planted twins across TWO independent searches with no rebuild, and
+    the probed-cell filter must reach the scan as a partition filter."""
+    import contextlib
+    import io
+
+    from oakstore_spark.operators.similarity import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(clustered, dim=32, index_dir=idx, n_centroids=16)
+
+    queries = clustered.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for _ in range(2):  # second search: index reused, nothing rebuilt
+        out = search_ivf_index(spark, idx, queries, k=1, n_probe=4)
+        twin = {int(r["query_id"]): int(r["vec_id"]) for r in out.collect()}
+        hits = sum(1 for q, v in twin.items() if v == (q ^ 1))
+        assert hits >= 0.95 * 60
+
+    # partition pruning: _cell filter must appear in PartitionFilters
+    out = search_ivf_index(spark, idx, queries.limit(5), k=1, n_probe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "_cell" in plan
