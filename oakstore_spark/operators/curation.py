@@ -286,3 +286,64 @@ def filter_with_metrics(df, predicate, metric_cols: dict | None = None):
     obs = Observation()
     observed = df.observe(obs, *aggs)
     return observed.filter(predicate), obs
+
+
+def fit_logistic_irls(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_iter: int = 8,
+    ridge: float = 1e-6,
+):
+    """In-engine model training: logistic regression fit by distributed
+    IRLS (iteratively reweighted least squares) — the model-based
+    quality-filter step of a curation pipeline, trained WITHOUT leaving
+    Spark or sampling down.
+
+    Per iteration, ONE pass over the data computes the k x k weighted
+    Gram matrix X'WX and the k-vector X'Wz as per-row outer products
+    summed by Spark's hash aggregate (k = len(features)+1 incl.
+    intercept, so the shuffled state is k*(k+1) doubles — independent
+    of row count); the driver solves the k x k system. Iterations are
+    bounded and data-independent: total cost = n_iter scans. This is
+    the same partial-aggregation shape as kmeans_refine and the regr_*
+    family — the pattern for ANY fixed-dimension iterative fit at
+    100 TB.
+
+    Returns the (k+1,) numpy weight vector [intercept, *coefs].
+    """
+    import numpy as np
+
+    k = len(feature_cols) + 1
+    w = np.zeros(k)
+    x_cols = [F.lit(1.0).alias("_x0")] + [
+        F.col(c).cast("double").alias(f"_x{i+1}")
+        for i, c in enumerate(feature_cols)
+    ]
+    base = df.select(*x_cols, F.col(label_col).cast("double").alias("_y"))
+    xs = [f"_x{i}" for i in range(k)]
+
+    for _ in range(n_iter):
+        wb = [float(v) for v in w]
+        eta = sum(F.col(xs[i]) * F.lit(wb[i]) for i in range(k))
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        # clamp so the working weight never degenerates
+        mu = F.least(F.greatest(mu, F.lit(1e-10)), F.lit(1.0 - 1e-10))
+        wt = mu * (F.lit(1.0) - mu)
+        z = eta + (F.col("_y") - mu) / wt
+        aggs = []
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(
+                    F.sum(wt * F.col(xs[i]) * F.col(xs[j])).alias(f"g_{i}_{j}")
+                )
+            aggs.append(F.sum(wt * F.col(xs[i]) * z).alias(f"b_{i}"))
+        row = base.agg(*aggs).collect()[0]
+        G = np.zeros((k, k))
+        b = np.zeros(k)
+        for i in range(k):
+            for j in range(i, k):
+                G[i, j] = G[j, i] = row[f"g_{i}_{j}"]
+            b[i] = row[f"b_{i}"]
+        w = np.linalg.solve(G + ridge * np.eye(k), b)
+    return w

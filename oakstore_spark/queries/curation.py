@@ -1166,3 +1166,43 @@ def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rk"),
         )
     )
+
+
+@register("q_quality_classifier")
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering trained IN-ENGINE: a logistic
+    regression fit by distributed IRLS (operators/curation.
+    fit_logistic_irls — per iteration one scan producing a k x k Gram
+    partial-aggregate, driver solves) on simple text features, with the
+    label a held-out rule (above-median doc length). The fitted model
+    then scores the corpus and the query reports per-lang accuracy +
+    score mass. Rows-only (an iterative fit is not SQL-expressible);
+    planted-rule recovery is pinned in
+    tests/test_curation.py::test_irls_recovers_planted_rule."""
+    from oakstore_spark.operators.curation import fit_logistic_irls
+
+    d = table(spark, sf_dir, "documents")
+    med = d.agg(F.expr("percentile(n_chars, 0.5)").alias("med"))
+    feats = d.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        "lang",
+        (F.length("text") / 1000.0).alias("f_len"),
+        (
+            F.regexp_count("text", F.lit(r"[^a-zA-Z0-9\s]")).cast("double")
+            / (F.length("text") + 1)
+        ).alias("f_punct"),
+        (F.col("n_chars") > F.col("med")).cast("double").alias("y"),
+    )
+    w = fit_logistic_irls(feats, ["f_len", "f_punct"], "y", n_iter=6)
+    eta = (
+        F.lit(float(w[0]))
+        + F.lit(float(w[1])) * F.col("f_len")
+        + F.lit(float(w[2])) * F.col("f_punct")
+    )
+    scored = feats.withColumn("p", F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)))
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("y") == (F.col("p") > 0.5).cast("double")).cast("int")
+        ).alias("n_correct"),
+    )

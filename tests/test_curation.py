@@ -466,3 +466,35 @@ def test_ngram_novelty_first_doc_wins(spark, tmp_path_factory):
     # doc2: {"a b c d e" (seen in doc1), "b c d e x" (new)} -> 0.5
     assert out[1]["n_shingles"] == 2 and out[1]["novel_frac"] == 1.0
     assert out[2]["n_shingles"] == 2 and out[2]["novel_frac"] == 0.5
+
+
+def test_irls_recovers_planted_rule(spark):
+    """Distributed IRLS must separate a linearly separable planted rule
+    (y = x1 > 3) with near-perfect training accuracy and a positive
+    learned slope on the informative feature."""
+    import numpy as np
+
+    from oakstore_spark.operators.curation import fit_logistic_irls
+
+    rng = np.random.default_rng(3)
+    x1 = rng.uniform(0, 6, 400)
+    x2 = rng.uniform(0, 1, 400)          # noise feature
+    y = (x1 > 3).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)],
+        ["x1", "x2", "y"],
+    )
+    w = fit_logistic_irls(df, ["x1", "x2"], "y", n_iter=8)
+    assert w[1] > 0, "slope on the informative feature must be positive"
+    eta = w[0] + w[1] * x1 + w[2] * x2
+    acc = float(np.mean((eta > 0) == (y > 0.5)))
+    assert acc >= 0.98, acc
+
+
+def test_quality_classifier_beats_chance(spark):
+    from oakstore_spark.queries.curation import q_quality_classifier
+
+    rows = q_quality_classifier(spark, "/root/testdata/sf0.001").collect()
+    n = sum(r["n_docs"] for r in rows)
+    correct = sum(r["n_correct"] for r in rows)
+    assert correct / n >= 0.75, (correct, n)
