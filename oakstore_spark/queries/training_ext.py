@@ -983,3 +983,46 @@ def q_global_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "q_target_encoding",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             sum(CAST(round(value * 100) AS BIGINT)) AS s_cents,
+             count(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id,
+           round((s_cents - CAST(round(value * 100) AS BIGINT))
+                 / CAST(n - 1 AS DOUBLE) / 100.0, 6) AS te
+    FROM events JOIN g USING (event_type)
+    """,
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the standard high-cardinality
+    categorical feature for tabular models, with the LOO correction
+    that prevents the row's own label from leaking into its feature:
+    te(row) = (group_sum - own_value) / (group_count - 1). One
+    vocabulary-sized aggregate broadcast back onto the rows; integer
+    cents keep both engines' sums exact so the final division is the
+    identical IEEE op."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    g = e.groupBy("event_type").agg(
+        F.sum("cents").alias("s_cents"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        e.join(F.broadcast(g), "event_type")
+        .select(
+            "event_id",
+            F.round(
+                (F.col("s_cents") - F.col("cents"))
+                / (F.col("n") - 1).cast("double")
+                / F.lit(100.0),
+                6,
+            ).alias("te"),
+        )
+    )
