@@ -487,3 +487,89 @@ def grouped_ewma(
         .sortWithinPartitions(*keys, *order_cols)
     )
     return parted.mapInPandas(kernel, out_schema)
+
+
+def grouped_cusum(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    allowance: int,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-key one-sided CUSUM drift statistic over an INTEGER value
+    column: ``s_0 = max(0, x_0 - k); s_t = max(0, s_{t-1} + x_t - k)``
+    — the classic sequential change-point detector (alarms when s
+    exceeds a threshold), and like EWMA a true recursion no window
+    frame can express.
+
+    Same bounded-memory execution as :func:`grouped_ewma` (one key
+    shuffle + sort + a mapInPandas kernel carrying state across Arrow
+    batches), but the recursion itself is VECTORIZED via the reset
+    identity ``s_t = c_t - min(0, min_prefix(c_t))`` with ``c`` the
+    running sum of deviations — per batch it is one grouped cumsum +
+    one grouped cummin, no Python loop. Deviations are exact integers,
+    so the identity's reassociation is lossless and any external
+    verifier stepping the textbook recursion gets bit-identical values.
+
+    Returns keys + ``rn`` + ``cusum`` (int64, same unit as the input).
+    """
+    order_cols = [ts_col, *(order_tiebreak or [])]
+    fields = [df.schema[k] for k in keys]
+    out_schema = T.StructType(
+        [*fields, T.StructField("rn", T.LongType()), T.StructField("cusum", T.LongType())]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        carry_key: tuple | None = None
+        carry_c = 0
+        carry_m = 0
+        carry_rn = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True)
+            g = pdf.groupby(list(keys), sort=False)
+            d = pdf[value_col].to_numpy(dtype=np.int64) - allowance
+            c = g[value_col].cumsum().to_numpy(dtype=np.int64) - (
+                (g.cumcount().to_numpy() + 1) * allowance
+            )
+            rn = (g.cumcount() + 1).to_numpy(dtype=np.int64)
+            first_key = tuple(pdf.iloc[0][k] for k in keys)
+            cont = np.zeros(len(pdf), dtype=bool)
+            if carry_key is not None and first_key == carry_key:
+                for_len = len(pdf)
+                cont = np.ones(for_len, dtype=bool)
+                for k_, kv in zip(keys, carry_key):
+                    cont &= (pdf[k_] == kv).to_numpy()
+                c = np.where(cont, c + carry_c, c)
+                rn = np.where(cont, rn + carry_rn, rn)
+            # running min of c per group (after the carry offset)
+            cm = (
+                pd.Series(c).groupby(g.ngroup().to_numpy(), sort=False)
+                .cummin()
+                .to_numpy()
+            )
+            m = np.minimum(cm, 0)
+            if cont.any():
+                m = np.where(cont, np.minimum(m, carry_m), m)
+            s = c - m
+            out = pdf[list(keys)].copy()
+            out["rn"] = rn
+            out["cusum"] = s
+            carry_key = tuple(pdf.iloc[-1][k] for k in keys)
+            carry_c = int(c[-1])
+            carry_m = int(m[-1])
+            carry_rn = int(rn[-1])
+            yield out
+            del d
+
+    parted = (
+        df.select(*keys, *order_cols, value_col)
+        .repartition(*[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys, *order_cols)
+    )
+    return parted.mapInPandas(kernel, out_schema)

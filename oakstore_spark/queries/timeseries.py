@@ -993,3 +993,47 @@ def q_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day_epoch", "new_users", F.sum("new_users").over(w).alias("cum_users")
     )
+
+
+@register(
+    "q_cusum_user",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), rec AS (
+      SELECT user_id, rn,
+             greatest(CAST(0 AS BIGINT), cents - 5000) AS s
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn,
+             greatest(CAST(0 AS BIGINT), r.s + o.cents - 5000)
+      FROM ordered o JOIN rec r
+        ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(rn AS BIGINT) AS rn,
+           CAST(s AS BIGINT) AS cusum
+    FROM rec
+    """,
+)
+def q_cusum_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM drift detection (allowance k = 50.00):
+    the sequential change-point statistic s = max(0, s_prev + x - k),
+    run through the bounded-memory carry kernel
+    (operators/timeseries.grouped_cusum — vectorized via the
+    reset identity s = c - min(0, min_prefix(c)) over exact integer
+    cents). The ORACLE steps the textbook recursion row by row in a
+    recursive CTE; integer arithmetic makes the two formulations
+    bit-identical."""
+    from oakstore_spark.operators.timeseries import grouped_cusum
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    return grouped_cusum(
+        e, "ts", ["user_id"], "cents", allowance=5000,
+        order_tiebreak=["event_id"],
+    )

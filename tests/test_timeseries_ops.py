@@ -332,3 +332,49 @@ def test_grouped_ewma_carry_across_arrow_batches(spark):
     np.testing.assert_allclose(
         got["ewma"].to_numpy(), exp["ewma"].to_numpy(), rtol=1e-12
     )
+
+
+def test_grouped_cusum_carry_across_arrow_batches(spark):
+    """grouped_cusum's carry kernel must reproduce the textbook
+    sequential recursion exactly with 7-row Arrow batches splitting
+    every group across batch boundaries (integer arithmetic -> exact)."""
+    import numpy as np
+    import pandas as pd
+
+    from oakstore_spark.operators.timeseries import grouped_cusum
+
+    rng = np.random.default_rng(11)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.permutation(n), unit="s"),
+            "v": rng.integers(-50, 80, n),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        got = (
+            grouped_cusum(sdf, "ts", ["k"], "v", allowance=10)
+            .toPandas()
+            .sort_values(["k", "rn"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    exp_rows = []
+    for k, grp in pdf.sort_values(["k", "ts"]).groupby("k"):
+        s = 0
+        for rn, v in enumerate(grp["v"], start=1):
+            s = max(0, s + int(v) - 10)
+            exp_rows.append((k, rn, s))
+    exp = pd.DataFrame(exp_rows, columns=["k", "rn", "cusum"]).sort_values(
+        ["k", "rn"]
+    ).reset_index(drop=True)
+    assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
+    assert (got["rn"].to_numpy() == exp["rn"].to_numpy()).all()
+    assert (got["cusum"].to_numpy() == exp["cusum"].to_numpy()).all()
