@@ -1206,3 +1206,56 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("y") == (F.col("p") > 0.5).cast("double")).cast("int")
         ).alias("n_correct"),
     )
+
+
+@register(
+    "q_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM events
+      WHERE CAST(round(value * 100) AS BIGINT) >= 1
+    ), o AS (
+      SELECT event_type, digit, count(*) AS obs FROM d GROUP BY 1, 2
+    ), n AS (
+      SELECT event_type, sum(obs) AS n FROM o GROUP BY 1
+    )
+    SELECT o.event_type,
+           CAST(n.n AS BIGINT) AS n_values,
+           round(sum(pow(obs - n.n * log10(1.0 + 1.0 / digit), 2)
+                     / (n.n * log10(1.0 + 1.0 / digit))), 4) AS chi2
+    FROM o JOIN n ON o.event_type = n.event_type
+    GROUP BY o.event_type, n.n
+    """,
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensics: the first-significant-digit distribution
+    of each event type's values against the log10(1+1/d) expectation,
+    summarized as a chi-square statistic — the classic screen for
+    fabricated or truncated numeric feeds in data-quality audits. The
+    first digit comes from the INTEGER cents' decimal string (identical
+    formatting in both engines — no float log10 edge cases at powers of
+    ten), so digit counts are exact and the statistic is a
+    deterministic formula over them. Two tiny aggregations; the scan is
+    the only corpus-sized work."""
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    d = e.select(
+        "event_type",
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"),
+    ).where(cents >= 1)
+    o = d.groupBy("event_type", "digit").agg(F.count(F.lit(1)).alias("obs"))
+    n = o.groupBy("event_type").agg(F.sum("obs").alias("n"))
+    exp = F.col("n") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        o.join(n, "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.round(F.sum(F.pow(F.col("obs") - exp, 2) / exp), 4).alias("chi2")
+        )
+        .select(
+            "event_type", F.col("n").cast("bigint").alias("n_values"), "chi2"
+        )
+    )
