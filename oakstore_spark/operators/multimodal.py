@@ -755,3 +755,63 @@ def resize_image_thumbnails(
             )
 
     return df.select(id_col, content_col).mapInPandas(batches, schema)
+
+
+def encode_mjpeg_avi(frames: list, width: int, height: int, fps: int) -> bytes:
+    """Minimal stdlib motion-JPEG AVI writer: the same hdrl/avih
+    container as :func:`encode_avi_header` but with a REAL 'movi' LIST
+    holding one '00dc' compressed-video chunk per frame payload —
+    enough structure for :func:`decode_avi_frames` to walk actual frame
+    boundaries (the synthetic-fixture counterpart for true
+    frame-extraction tests; pair with :func:`encode_jpeg_header` frames
+    so per-frame geometry decodes too)."""
+    import struct
+
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec, 0, 0, 0, len(frames), 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    avih_chunk = b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"hdrl" + avih_chunk
+    hdrl_list = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    movi = b"movi"
+    for fb in frames:
+        movi += b"00dc" + struct.pack("<I", len(fb)) + fb
+        if len(fb) & 1:
+            movi += b"\x00"  # RIFF word alignment
+    movi_list = b"LIST" + struct.pack("<I", len(movi)) + movi
+    body = b"AVI " + hdrl_list + movi_list
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(data: bytes):
+    """REAL AVI frame extraction: walk the RIFF tree to the 'movi' LIST
+    and return the list of video-frame payloads ('00dc'/'00db' chunk
+    bodies, in stream order), or ``None`` for non-AVI/corrupt bytes
+    (graceful-degrade contract of the other decoders). With an MJPEG
+    stream each payload is a standalone JPEG — feed
+    :func:`decode_jpeg_meta` for per-frame geometry."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    try:
+        frames: list[bytes] = []
+
+        def walk(buf: bytes) -> None:
+            pos = 0
+            while pos + 8 <= len(buf):
+                cid = buf[pos : pos + 4]
+                (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                body = buf[pos + 8 : pos + 8 + ln]
+                if cid == b"LIST":
+                    walk(body[4:])
+                elif cid in (b"00dc", b"00db"):
+                    frames.append(body)
+                pos += 8 + ln + (ln & 1)
+
+        walk(data[12:])
+        return frames
+    except (struct.error, ValueError):
+        return None

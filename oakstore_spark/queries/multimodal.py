@@ -469,3 +469,69 @@ def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round("thumb_mean", 4).alias("thumb_mean"),
     )
+
+
+@register(
+    "q_mjpeg_frame_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(16 * (doc_id % 4 + 1) AS INT) AS width,
+           CAST(16 * (doc_id % 3 + 1) AS INT) AS height,
+           CAST(CASE WHEN (doc_id + i) % 2 = 0 THEN 3 ELSE 1 END AS INT)
+             AS n_components
+    FROM documents, unnest(range(0, CAST(doc_id % 5 + 1 AS INT))) t(i)
+    """,
+)
+def q_mjpeg_frame_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction end-to-end: each document becomes a
+    motion-JPEG AVI (hdrl header + a movi LIST of '00dc' chunks, one
+    standalone JPEG per frame — stdlib writer), ``decode_avi_frames``
+    walks the RIFF tree back to the actual frame payload boundaries,
+    and ``decode_jpeg_meta`` reads each frame's geometry from its SOF
+    marker. The oracle recomputes every field from the generating
+    arithmetic, so the container writer, the movi chunk walk (incl.
+    RIFF word alignment), and the per-frame JPEG marker walk must all
+    agree. This retires the last synthetic-fake multimodal path: frame
+    sampling now operates on true container structure. Map-side; one
+    output row per (doc, frame)."""
+    from oakstore_spark.operators.multimodal import (
+        decode_avi_frames,
+        decode_jpeg_meta,
+        encode_jpeg_header,
+        encode_mjpeg_avi,
+    )
+
+    d = table(spark, sf_dir, "documents")
+
+    def roundtrip(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 16 * (doc_id % 4 + 1)
+                h = 16 * (doc_id % 3 + 1)
+                n_frames = doc_id % 5 + 1
+                frames = [
+                    encode_jpeg_header(w, h, 3 if (doc_id + i) % 2 == 0 else 1)
+                    for i in range(n_frames)
+                ]
+                avi = encode_mjpeg_avi(frames, w, h, 25)
+                got = decode_avi_frames(avi)
+                assert got is not None and len(got) == n_frames
+                for i, fb in enumerate(got):
+                    fw, fh, ncomp, _prog = decode_jpeg_meta(fb)
+                    rows.append((doc_id, i, fw, fh, ncomp))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height", "n_components",
+                ],
+            )
+
+    return d.select("doc_id").mapInPandas(
+        roundtrip,
+        "media_id long, frame_idx int, width int, height int, n_components int",
+    )

@@ -439,3 +439,25 @@ def test_resize_thumbnail_exact_block_means(spark):
     assert got[1]["thumb"] == pytest.approx(ref)
     assert got[1]["thumb_mean"] == pytest.approx(float(np.mean(ref)))
     assert got[2]["thumb"] is None
+
+
+def test_mjpeg_avi_roundtrip_and_corruption(spark):
+    from oakstore_spark.operators.multimodal import (
+        decode_avi,
+        decode_avi_frames,
+        encode_jpeg_header,
+        encode_mjpeg_avi,
+    )
+
+    # odd-length frame forces the RIFF word-alignment path
+    f_odd = encode_jpeg_header(32, 16, 1)   # 1-component header is odd-length
+    assert len(f_odd) % 2 == 1
+    f_even = encode_jpeg_header(48, 32, 3)
+    avi = encode_mjpeg_avi([f_odd, f_even, f_odd], 48, 32, 30)
+    assert decode_avi(avi) == (48, 32, 3, 33333)
+    frames = decode_avi_frames(avi)
+    assert frames == [f_odd, f_even, f_odd]
+    # degrade contract
+    assert decode_avi_frames(b"RIFFxxxxWAVE") is None
+    assert decode_avi_frames(b"short") is None
+    assert decode_avi_frames(encode_mjpeg_avi([], 8, 8, 10)) == []
