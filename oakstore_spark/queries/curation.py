@@ -1259,3 +1259,78 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.col("n").cast("bigint").alias("n_values"), "chi2"
         )
     )
+
+
+@register(
+    "q_dataset_fingerprint",
+    oracle="""
+    SELECT 'documents' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(('0x' || substr(md5(
+                 CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source
+                 || '|' || CAST(n_chars AS VARCHAR) || '|' || md5(text)),
+                 1, 15)) AS BIGINT)) % 4611686018427387904 AS BIGINT)
+             AS checksum
+    FROM documents
+    UNION ALL
+    SELECT 'events',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(('0x' || substr(md5(
+                 CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+                 || '|' || event_type || '|'
+                 || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)),
+                 1, 15)) AS BIGINT)) % 4611686018427387904 AS BIGINT)
+    FROM events
+    """,
+)
+def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable dataset fingerprinting: an ORDER-INDEPENDENT
+    checksum (sum of per-row md5-derived bigints over a canonical '|'
+    serialization) plus the row count, per table — how two pipeline
+    runs prove they produced the IDENTICAL dataset without sorting or
+    diffing 100 TB (commutative sum => any partitioning/order gives the
+    same value; any changed/dropped/added row almost surely changes
+    it). Floats enter as integer cents and text as its md5 so the
+    serialization is engine-exact; accumulation runs in exact
+    DECIMAL(38) (HUGEINT on the oracle) and folds to bigint with one
+    modulus so no row count can overflow it. Map-side hash + one
+    single-row agg per table."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "events")
+
+    def row_hash(*cols):
+        key = F.concat_ws("|", *cols)
+        return F.conv(F.substring(F.md5(F.encode(key, "UTF-8")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+
+    docs = d.select(
+        row_hash(
+            F.col("doc_id").cast("string"),
+            "lang",
+            "source",
+            F.col("n_chars").cast("string"),
+            F.md5(F.encode("text", "UTF-8")),
+        ).alias("h")
+    ).agg(
+        F.lit("documents").alias("tbl"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(4611686018427387904))
+        .cast("bigint")
+        .alias("checksum"),
+    )
+    evs = e.select(
+        row_hash(
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").cast("string"),
+        ).alias("h")
+    ).agg(
+        F.lit("events").alias("tbl"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(4611686018427387904))
+        .cast("bigint")
+        .alias("checksum"),
+    )
+    return docs.unionByName(evs).select("tbl", "n_rows", "checksum")
