@@ -1334,3 +1334,70 @@ def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("checksum"),
     )
     return docs.unionByName(evs).select("tbl", "n_rows", "checksum")
+
+
+@register(
+    "q_psi_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT CASE WHEN source IN ('src0','src1','src2') THEN 'a' ELSE 'b' END AS grp,
+             least(CAST(n_chars // 200 AS INT), 9) AS bin
+      FROM documents
+    ), counts AS (
+      SELECT grp, bin, count(*) AS c FROM binned GROUP BY 1, 2
+    ), tot AS (
+      SELECT sum(CASE WHEN grp = 'a' THEN c ELSE 0 END) AS na,
+             sum(CASE WHEN grp = 'b' THEN c ELSE 0 END) AS nb
+      FROM counts
+    ), wide AS (
+      SELECT bin,
+             greatest(sum(CASE WHEN grp = 'a' THEN c ELSE 0 END), 1) AS ca,
+             greatest(sum(CASE WHEN grp = 'b' THEN c ELSE 0 END), 1) AS cb
+      FROM counts GROUP BY bin
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           round(sum((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+                 * ln((ca / CAST(na AS DOUBLE))
+                      / (cb / CAST(nb AS DOUBLE)))), 6) AS psi
+    FROM wide, tot
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between one source cohort and the
+    rest of the corpus over binned document lengths — THE industry drift
+    gauge (PSI < 0.1 stable, > 0.25 shifted), completing the drift
+    family next to KS (continuous) and chi-square (categorical). Fixed
+    200-char floor-division bins capped at 10; a side missing from a
+    bin floors at count 1 (the standard PSI smoothing keeping the log
+    finite). Everything past the binning scan is a tiny exact-integer
+    aggregate; the (pa-pb)*ln(pa/pb) terms use the identical division
+    order in both engines."""
+    d = table(spark, sf_dir, "documents")
+    binned = d.select(
+        F.when(F.col("source").isin("src0", "src1", "src2"), "a")
+        .otherwise("b").alias("grp"),
+        F.least(F.floor(F.col("n_chars") / 200).cast("int"), F.lit(9)).alias("bin"),
+    )
+    counts = binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.sum(F.when(F.col("grp") == "a", F.col("c")).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("grp") == "b", F.col("c")).otherwise(0)).alias("nb"),
+    )
+    wide = counts.groupBy("bin").agg(
+        F.greatest(
+            F.sum(F.when(F.col("grp") == "a", F.col("c")).otherwise(0)), F.lit(1)
+        ).alias("ca"),
+        F.greatest(
+            F.sum(F.when(F.col("grp") == "b", F.col("c")).otherwise(0)), F.lit(1)
+        ).alias("cb"),
+    )
+    pa = F.col("ca") / F.col("na").cast("double")
+    pb = F.col("cb") / F.col("nb").cast("double")
+    return (
+        wide.crossJoin(F.broadcast(tot))
+        .select(((pa - pb) * F.log(pa / pb)).alias("term"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.round(F.sum("term"), 6).alias("psi"),
+        )
+    )
