@@ -1401,3 +1401,70 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term"), 6).alias("psi"),
         )
     )
+
+
+@register(
+    "q_heldout_perplexity",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_train
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, is_train, t AS term
+      FROM split, unnest(string_split(text, ' ')) AS u(t)
+      WHERE t <> ''
+    ), tf AS (
+      SELECT term, count(*) AS n FROM tok WHERE is_train GROUP BY 1
+    ), tot AS (
+      SELECT sum(n) AS t, count(*) AS v FROM tf
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_eval_tokens,
+           round(avg(ln((coalesce(n, 0) + 1) / (t + v + 1.0))), 4)
+             AS avg_logprob
+    FROM tok LEFT JOIN tf USING (term), tot
+    WHERE NOT is_train
+    """,
+)
+def q_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT language-model evaluation — the honest version of the
+    in-corpus LM scores: unigram counts are fit on a deterministic
+    md5-hash 50/50-ish train split (first hex nibble < '8') and the
+    EVAL split is scored under add-one (Laplace) smoothing, so unseen
+    eval tokens contribute ln(1/(T+V+1)) instead of crashing the score
+    — the train/eval hygiene every data-quality perplexity gate needs.
+    Same scale shape as unigram_logprob (vocab-sized count relation
+    joined onto the eval token stream); the split predicate is a pure
+    row-key function so both engines fit on the identical corpus."""
+    d = table(spark, sf_dir, "documents")
+    is_train = (
+        F.substring(
+            F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 1
+        )
+        < "8"
+    )
+    tok = d.select(
+        is_train.alias("is_train"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = tok.where("is_train").groupBy("term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = tf.agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("v"))
+    return (
+        tok.where(~F.col("is_train"))
+        .join(tf, "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_tokens"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.coalesce(F.col("n"), F.lit(0)) + 1)
+                        / (F.col("t") + F.col("v") + F.lit(1.0))
+                    )
+                ),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -140,7 +140,8 @@ def test_examples_run_clean(spark):
     import sys
 
     for script in ("examples/quickstart_store.py",
-                   "examples/curation_pipeline.py"):
+                   "examples/curation_pipeline.py",
+                   "examples/timeseries_analytics.py"):
         r = subprocess.run(
             [sys.executable, script],
             capture_output=True, text=True, timeout=600,
