@@ -1066,3 +1066,52 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p_name").alias("rep_name"),
         )
     )
+
+
+@register(
+    "q_sql_udf_functions",
+    oracle="""
+    WITH words AS (
+      SELECT lang,
+             unnest(string_split(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')),
+               ' ')) AS w
+      FROM documents
+    )
+    SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+    FROM words WHERE w <> ''
+    GROUP BY lang, w
+    ORDER BY n DESC, lang, w
+    LIMIT 15
+    """,
+)
+def q_sql_udf_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 SQL-DEFINED function surface: a scalar SQL UDF
+    (text normalization declared in SQL, not Python — it inlines into
+    the plan like any expression, full codegen, no serialization
+    boundary) plus a SQL TABLE function invoked through LATERAL — the
+    catalog-resident, language-neutral way to package reusable logic.
+    The query tokenizes documents entirely through the two SQL
+    functions; the oracle inlines the identical expressions."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION norm_text(s STRING) "
+        "RETURNS STRING RETURN "
+        r"trim(regexp_replace(regexp_replace(lower(s), '[^a-z0-9\\s]', ''),"
+        r" '\\s+', ' '))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION words_of(s STRING) "
+        "RETURNS TABLE(w STRING) RETURN SELECT explode(split(s, ' '))"
+    )
+    return spark.sql(
+        """
+        SELECT lang, w, count(*) AS n
+        FROM (SELECT lang, norm_text(text) AS nt FROM documents) d,
+             LATERAL words_of(nt)
+        WHERE w <> ''
+        GROUP BY lang, w
+        ORDER BY n DESC, lang, w
+        LIMIT 15
+        """
+    )
