@@ -1115,3 +1115,71 @@ def q_sql_udf_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 15
         """
     )
+
+
+@register(
+    "q_sql_scripting_bisection",
+    oracle="""
+    WITH RECURSIVE stats AS (
+      SELECT max(o_totalprice) AS mx, count(*) AS n FROM orders
+    ), rec(i, lo, hi) AS (
+      SELECT 0, CAST(0 AS DOUBLE), mx FROM stats
+      UNION ALL
+      SELECT i + 1,
+             CASE WHEN (SELECT count(*) FROM orders
+                        WHERE o_totalprice > (lo + hi) / 2) * 10
+                       > (SELECT n FROM stats)
+                  THEN (lo + hi) / 2 ELSE lo END,
+             CASE WHEN (SELECT count(*) FROM orders
+                        WHERE o_totalprice > (lo + hi) / 2) * 10
+                       > (SELECT n FROM stats)
+                  THEN hi ELSE (lo + hi) / 2 END
+      FROM rec WHERE i < 12
+    )
+    SELECT round((lo + hi) / 2, 6) AS threshold,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_totalprice > (lo + hi) / 2) AS BIGINT) AS n_above
+    FROM rec WHERE i = 12
+    """,
+)
+def q_sql_scripting_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 procedural SQL: BEGIN/DECLARE/WHILE/IF):
+    a scripted bisection that searches the ~90th-percentile order-value
+    threshold by re-aggregating the table each step — the
+    driver-orchestrated iterative pattern (like IRLS/k-means) expressed
+    entirely in SQL, no Python control flow. 12 steps, each one
+    aggregate scan; bisection state is two doubles. The oracle replays
+    the IDENTICAL 12 steps in a recursive CTE with correlated aggregate
+    subqueries — integer count comparisons make every branch decision
+    engine-exact, so the final threshold matches to the rounded digit."""
+    from oakstore_spark.sources import table as _t
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE lo DOUBLE DEFAULT 0.0;
+          DECLARE hi DOUBLE;
+          DECLARE n BIGINT;
+          DECLARE c BIGINT;
+          DECLARE mid DOUBLE;
+          DECLARE i INT DEFAULT 0;
+          SET hi = (SELECT max(o_totalprice) FROM orders);
+          SET n = (SELECT count(*) FROM orders);
+          WHILE i < 12 DO
+            SET mid = (lo + hi) / 2;
+            SET c = (SELECT count(*) FROM orders WHERE o_totalprice > mid);
+            IF c * 10 > n THEN
+              SET lo = mid;
+            ELSE
+              SET hi = mid;
+            END IF;
+            SET i = i + 1;
+          END WHILE;
+          SET mid = (lo + hi) / 2;
+          SET c = (SELECT count(*) FROM orders WHERE o_totalprice > mid);
+          SELECT round(mid, 6) AS threshold, c AS n_above;
+        END
+        """
+    )
