@@ -1183,3 +1183,57 @@ def q_sql_scripting_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@register(
+    "q_collated_match",
+    oracle="""
+    WITH mangled AS (
+      SELECT p_partkey, p_name,
+             CASE WHEN p_partkey % 3 = 0 THEN upper(p_name)
+                  WHEN p_partkey % 3 = 1 THEN p_name
+                  ELSE concat(upper(substr(p_name, 1, 1)),
+                              substr(p_name, 2)) END AS entered
+      FROM part
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN entered = p_name THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN lower(entered) = lower(p_name) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_ci
+    FROM mangled
+    """,
+)
+def q_collated_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string COLLATIONS: the same comparison under binary vs
+    UTF8_LCASE collation — the engine-level answer to the lower()-
+    both-sides idiom (a collated comparison keeps original strings,
+    pushes down, and applies to joins/group-bys uniformly). Synthetic
+    case-mangled entries (upper/original/title-case by key) are matched
+    against the canonical names both ways; the case-insensitive count
+    must exceed the binary count. The oracle expresses the UTF8_LCASE
+    semantics via lower() equality — for ASCII the two definitions
+    coincide exactly. Parameterized SQL (:mod named marker) rides along
+    as the second Spark-4 surface in this entry."""
+    from oakstore_spark.sources import table as _t
+
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        WITH mangled AS (
+          SELECT p_partkey, p_name,
+                 CASE WHEN p_partkey % :mod = 0 THEN upper(p_name)
+                      WHEN p_partkey % :mod = 1 THEN p_name
+                      ELSE concat(upper(substr(p_name, 1, 1)),
+                                  substr(p_name, 2)) END AS entered
+          FROM part
+        )
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN entered = p_name THEN 1 ELSE 0 END) AS n_exact,
+               sum(CASE WHEN entered COLLATE UTF8_LCASE
+                             = p_name COLLATE UTF8_LCASE
+                        THEN 1 ELSE 0 END) AS n_ci
+        FROM mangled
+        """,
+        args={"mod": 3},
+    )
