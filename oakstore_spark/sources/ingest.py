@@ -278,3 +278,43 @@ def read_webdataset(spark, path: str) -> DataFrame:
 
     files = read_binary_files(spark, path, glob="*.tar")
     return files.select("path", "content").mapInPandas(untar, out_schema)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Native XML scan (built into Spark 4 — no spark-xml package):
+    every ``row_tag`` element becomes a row; nested elements/attributes
+    map to structs. Schema inference needs an extra pass, so production
+    ingest should pass an explicit ``schema`` like the CSV/JSON paths.
+    XML splits per FILE (not per block) — shard large feeds into many
+    files for parallelism."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "error",
+) -> None:
+    """Native XML sink (one ``row_tag`` element per row under
+    ``root_tag``) — the interchange format for feeds that still speak
+    XML; pair with :func:`read_xml` for byte-stable round-trips."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )

@@ -439,3 +439,28 @@ def test_webdataset_read_back(spark, tmp_path):
     for key, text, img in rows:
         assert got[(key, "txt")] == text.encode()
         assert got[(key, "bin")] == img
+
+
+def test_xml_roundtrip_with_schema(spark, tmp_path):
+    """Native XML source/sink: typed round-trip with an explicit schema
+    (no inference pass) and nested-struct mapping."""
+    from pyspark.sql import functions as F
+
+    from oakstore_spark.sources.ingest import read_xml, write_xml
+
+    df = spark.range(50).select(
+        F.col("id"),
+        F.concat(F.lit("name_"), F.col("id")).alias("name"),
+        F.struct(
+            (F.col("id") * 2).alias("x"), (F.col("id") % 7).alias("y")
+        ).alias("meta"),
+    )
+    p = str(tmp_path / "xml_out")
+    write_xml(df, p, row_tag="item", root_tag="items")
+    back = read_xml(
+        spark, p, row_tag="item",
+        schema="id BIGINT, name STRING, meta STRUCT<x: BIGINT, y: BIGINT>",
+    )
+    a = sorted(df.collect(), key=lambda r: r["id"])
+    b = sorted(back.collect(), key=lambda r: r["id"])
+    assert a == b
