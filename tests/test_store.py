@@ -910,3 +910,24 @@ def test_store_sql_joins_items(store, ohlcv_data):
     expected_rows = (ohlcv_data.index >= "2010-01-01").sum()
     assert len(out) == expected_rows
     np.testing.assert_allclose(out["ratio"].to_numpy(), 2.0)
+
+
+def test_metadata_columns_expose_file_provenance(spark, store, ohlcv_data):
+    """File-level lineage via the _metadata hidden columns: a
+    multi-year item exposes which physical file each row came from —
+    the provenance hook audits use to trace bad rows to their shard
+    (file_path, not file_name: one task writing several partition dirs
+    reuses the same basename)."""
+    from pyspark.sql import functions as F
+
+    store["PROV"] = ohlcv_data.iloc[:2000]  # spans multiple years
+    item_path = store._item_path("PROV")
+    df = spark.read.parquet(str(item_path)).select(
+        "DATE", F.col("_metadata.file_path").alias("src_file")
+    )
+    files = df.select("src_file").distinct().count()
+    assert files >= 2, "year partitioning must produce multiple files"
+    # every row maps to exactly one file and counts reconcile
+    assert df.count() == 2000
+    per_file = df.groupBy("src_file").count().collect()
+    assert sum(r["count"] for r in per_file) == 2000
