@@ -515,3 +515,45 @@ def compression_ratio(df: DataFrame, text_col: str = "text") -> "Column":
         return texts.map(one)
 
     return ratio(F.col(text_col))
+
+
+def register_melt_struct_udtf(spark) -> None:
+    """Register ``melt_struct`` — a POLYMORPHIC Python UDTF: its output
+    schema is computed per call site by a static ``analyze`` method
+    from the argument's actual struct type (one output row per numeric
+    field, emitting the field name and its double value). This is the
+    Spark 4 polymorphic-UDTF surface: the same function melts ANY
+    struct without a declared schema, the compile-time contract coming
+    from ``analyze`` instead of a string literal. Arrow-optimized."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    @udtf(useArrow=True)
+    class MeltStruct:
+        @staticmethod
+        def analyze(arg: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(arg.dataType, StructType):
+                raise ValueError("melt_struct expects a struct argument")
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField("field", StringType()),
+                        StructField("value", DoubleType()),
+                    ]
+                )
+            )
+
+        def eval(self, row):  # noqa: ANN001
+            if row is None:
+                return
+            for name in row.__fields__:
+                v = row[name]
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    yield name, float(v)
+
+    spark.udtf.register("melt_struct", MeltStruct)

@@ -1026,3 +1026,38 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("te"),
         )
     )
+
+
+@register(
+    "q_melt_struct_udtf",
+    oracle="""
+    SELECT event_id, field, round(value, 6) AS value
+    FROM (
+      SELECT event_id, 'user_id' AS field, CAST(user_id AS DOUBLE) AS value
+      FROM events
+      UNION ALL
+      SELECT event_id, 'value', value FROM events
+    )
+    """,
+)
+def q_melt_struct_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF: ``melt_struct``'s output schema is
+    derived at plan time by its static ``analyze`` method from the
+    argument's struct type — no declared schema string; the same
+    function melts any struct's numeric fields to (field, value) rows.
+    Applied via LATERAL to a struct built from each event. Oracle is
+    the equivalent UNION ALL melt."""
+    from oakstore_spark.operators.text import register_melt_struct_udtf
+    from oakstore_spark.sources import table as _t
+
+    register_melt_struct_udtf(spark)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_id, field, round(value, 6) AS value
+        FROM (SELECT event_id,
+                     struct(CAST(user_id AS DOUBLE) AS user_id, value) AS s
+              FROM events) e,
+             LATERAL melt_struct(s)
+        """
+    )
