@@ -100,6 +100,27 @@ class Item:
         the reference only materializes to pandas, store.py:181)."""
         return self._store._scan(key=self._key, start=start, end=end)
 
+    def pandas_api(
+        self, start: datetime | None = None, end: datetime | None = None
+    ):
+        """EXT: the item as a pandas-on-Spark frame (DATE index, sorted)
+        — the drop-in pandas UX the reference's users already write
+        (``.rolling()``, ``.resample()``, column math), distributed.
+
+        Scale caveat, stated honestly: pandas-on-Spark operations over
+        the GLOBAL index (rolling/shift without a grouping) plan an
+        empty-key Window and funnel to one partition — fine for a
+        single item's slice, wrong for the 100 TB path. For partitioned
+        work use the engine operators (``Item.resample``,
+        ``operators/timeseries``) which shuffle only on keys.
+        """
+        return (
+            self.df(start, end)
+            .pandas_api()
+            .set_index(self._store._metadata.index_name)
+            .sort_index()
+        )
+
     def resample(
         self,
         interval: str,

@@ -931,3 +931,26 @@ def test_metadata_columns_expose_file_provenance(spark, store, ohlcv_data):
     assert df.count() == 2000
     per_file = df.groupBy("src_file").count().collect()
     assert sum(r["count"] for r in per_file) == 2000
+
+
+def test_item_pandas_api_bridge(spark, store, ohlcv_data):
+    """The pandas-on-Spark bridge: an item slice behaves like the
+    reference's pandas frame (DATE index, rolling mean, column math)
+    while staying distributed until materialization."""
+    import pandas as pd
+
+    store["PSB"] = ohlcv_data.iloc[:500]
+    psdf = store["PSB"].pandas_api(
+        pd.Timestamp("1986-06-01"), pd.Timestamp("1987-06-01")
+    )
+    roll = psdf["CLOSE"].rolling(5).mean()
+    got = roll.to_pandas()
+    ref = (
+        store["PSB"][pd.Timestamp("1986-06-01"):pd.Timestamp("1987-06-01")]
+        ["CLOSE"].rolling(5).mean()
+    )
+    assert len(got) == len(ref)
+    pd.testing.assert_series_equal(
+        got.sort_index(), ref.sort_index(), check_names=False,
+        check_freq=False,
+    )
