@@ -90,3 +90,44 @@ def q_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cents"),
     )
+
+
+@register(
+    "q_store_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-parity STORE surface itself under the oracle gate:
+    the events fixture is written into a Store item (schema-normalized,
+    range-partitioned sorted parquet), an INCLUSIVE time slice is read
+    back through the pruned scan path, and the slice aggregate must
+    equal DuckDB aggregating the raw fixture over the same bounds — so
+    write normalization, the partition/row-group pruned read, and
+    inclusive-bound semantics are all value-checked end-to-end (until
+    now the store had pytest + bench coverage but no driver-visible
+    oracle row)."""
+    import tempfile
+    from datetime import datetime
+
+    from oakstore_spark import Store
+    from oakstore_spark.sources import table
+
+    d = table(spark, sf_dir, "events").select(
+        F.col("ts").alias("TS"), F.col("value").alias("VALUE")
+    )
+    base = tempfile.mkdtemp(prefix="oak_q_roundtrip_")
+    store = Store(base_path=base, spark=spark,
+                  cols={"VALUE": float}, index="TS")
+    store._write(key="EVENTS", data=d)
+    sl = store["EVENTS"].df(datetime(2024, 1, 10), datetime(2024, 1, 20))
+    return sl.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("VALUE") * 100).cast("bigint")).alias("sum_cents"),
+    )
