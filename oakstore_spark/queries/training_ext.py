@@ -1034,9 +1034,9 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, field, round(value, 6) AS value
     FROM (
       SELECT event_id, 'user_id' AS field, CAST(user_id AS DOUBLE) AS value
-      FROM events
+      FROM events WHERE event_id % 10 = 0
       UNION ALL
-      SELECT event_id, 'value', value FROM events
+      SELECT event_id, 'value', value FROM events WHERE event_id % 10 = 0
     )
     """,
 )
@@ -1045,8 +1045,10 @@ def q_melt_struct_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived at plan time by its static ``analyze`` method from the
     argument's struct type — no declared schema string; the same
     function melts any struct's numeric fields to (field, value) rows.
-    Applied via LATERAL to a struct built from each event. Oracle is
-    the equivalent UNION ALL melt."""
+    Applied via LATERAL on a 1-in-10 deterministic sample — a Python
+    UDTF evaluates per ROW even with Arrow transfer, so the surface
+    demo is size-bounded (the JVM unpivot operator, q_unpivot_measures,
+    is the hot-path melt). Oracle is the equivalent UNION ALL melt."""
     from oakstore_spark.operators.text import register_melt_struct_udtf
     from oakstore_spark.sources import table as _t
 
@@ -1057,7 +1059,7 @@ def q_melt_struct_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, field, round(value, 6) AS value
         FROM (SELECT event_id,
                      struct(CAST(user_id AS DOUBLE) AS user_id, value) AS s
-              FROM events) e,
+              FROM events WHERE event_id % 10 = 0) e,
              LATERAL melt_struct(s)
         """
     )
