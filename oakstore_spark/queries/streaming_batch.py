@@ -113,7 +113,6 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     inclusive-bound semantics are all value-checked end-to-end (until
     now the store had pytest + bench coverage but no driver-visible
     oracle row)."""
-    import tempfile
     from datetime import datetime
 
     from oakstore_spark import Store
@@ -122,7 +121,13 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "events").select(
         F.col("ts").alias("TS"), F.col("value").alias("VALUE")
     )
-    base = tempfile.mkdtemp(prefix="oak_q_roundtrip_")
+    # fixed per-SF scratch dir, cleared each call (no tempdir leakage
+    # across repeated invocations — same pattern as the streaming query)
+    base = (
+        Path(tempfile.gettempdir())
+        / f"oakspark_store_rt_{Path(sf_dir.rstrip('/')).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
     store = Store(base_path=base, spark=spark,
                   cols={"VALUE": float}, index="TS")
     store._write(key="EVENTS", data=d)
