@@ -109,6 +109,26 @@ def main() -> None:
         grouped_ewma(ev, "ts", ["user_id"], "value", alpha=0.3)
     ))
 
+    # sketch family at volume: every one is a single scan into a
+    # fixed-size aggregate state — the persist-once/query-later shapes
+    from oakstore_spark.streaming.sketches import cms_partial_grid
+
+    timed("cms_grid", lambda: cms_partial_grid(ev, "user_id").count())
+    timed("bitmap_exact_distinct", lambda: noop(
+        ev.select(
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")))
+    ))
+    timed("theta_sketch_distinct", lambda: noop(
+        ev.groupBy("event_type").agg(
+            F.expr("theta_sketch_agg(user_id)").alias("sk")
+        ).agg(F.expr("theta_sketch_estimate(theta_union_agg(sk))"))
+    ))
+
     from oakstore_spark.operators.scaling import assign_contiguous_ids
 
     def probe_assign_ids() -> None:
