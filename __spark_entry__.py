@@ -29,24 +29,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["q01_pricing_summary"](spark, _SMOKE_SF_DIR)
 
 
-def _rotation_order(names: list[str]) -> list[str]:
-    """Self-rotating registry order: the driver's correctness gate
-    checks a bounded window from the FRONT of this dict, so queries are
-    ordered by how much driver verification they have — never-checked
-    first, then ascending by (times checked, last round checked).
-    Every round the window automatically covers whatever accumulated
-    the least hard signal; no manual reordering between rounds."""
+def _load_check_history(repo_dir: str) -> dict[str, list[int]]:
+    """Which rounds gave each query a driver CORRECTNESS row."""
     import glob
     import json
 
     checked: dict[str, list[int]] = {}
-    for p in sorted(glob.glob(str(Path(_REPO) / "CORRECTNESS_r*.json"))):
+    for p in sorted(glob.glob(str(Path(repo_dir) / "CORRECTNESS_r*.json"))):
         try:
             rnd = int(Path(p).stem.split("_r")[-1])
             for name in json.load(open(p)):
                 checked.setdefault(name, []).append(rnd)
         except (ValueError, OSError, json.JSONDecodeError):
             continue
+    return checked
+
+
+def _rotation_order(
+    names: list[str], checked: dict[str, list[int]] | None = None
+) -> list[str]:
+    """Self-rotating registry order: the driver's correctness gate
+    checks a bounded window from the FRONT of this dict, so queries are
+    ordered by how much driver verification they have — never-checked
+    first, then ascending by (times checked, last round checked).
+    Every round the window automatically covers whatever accumulated
+    the least hard signal; no manual reordering between rounds.
+    (``checked`` injectable for the unit test; defaults to the repo's
+    CORRECTNESS_r*.json history.)"""
+    if checked is None:
+        checked = _load_check_history(_REPO)
     reg_pos = {n: i for i, n in enumerate(names)}
     return sorted(
         names,

@@ -148,3 +148,24 @@ def test_examples_run_clean(spark):
             cwd="/root/repo",
         )
         assert r.returncode == 0, f"{script} failed:\n{r.stderr[-2000:]}"
+
+
+def test_rotation_order_prioritizes_unverified():
+    """The self-rotating registry must put never-driver-checked queries
+    first, then least-checked, then least-RECENTLY-checked, with
+    registration order as the stable tiebreak — this is what guarantees
+    every query accumulates a driver CORRECTNESS row across rounds."""
+    import __spark_entry__ as e
+
+    names = ["a", "b", "c", "d", "e"]
+    history = {
+        "a": [1, 2],      # checked twice
+        "b": [2],         # once, recently
+        "c": [1],         # once, long ago
+        # d, e never checked
+    }
+    got = e._rotation_order(names, history)
+    assert got == ["d", "e", "c", "b", "a"]
+    # real invocation (file-backed history) keeps all names exactly once
+    full = e._rotation_order(names)
+    assert sorted(full) == sorted(names)
