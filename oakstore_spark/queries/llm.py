@@ -960,3 +960,82 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sim", 6).alias("neg_sim"),
     )
     return pos.join(neg, "query_id")
+
+
+# rank-biased overlap weights: W[m] = (1-p) * sum_{d=m..K} p^(d-1)/d — a
+# matched doc first present in both prefixes at depth m contributes W[m]
+_RBO_P, _RBO_K = 0.9, 20
+_RBO_W = [
+    (1 - _RBO_P) * sum(_RBO_P ** (d - 1) / d for d in range(m, _RBO_K + 1))
+    for m in range(1, _RBO_K + 1)
+]
+_RBO_W_SQL = "[" + ", ".join(repr(w) for w in _RBO_W) + "]"
+
+
+@register(
+    "q_rbo_rankings",
+    oracle=f"""
+    WITH txt AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t = 'hash')) AS tf
+      FROM documents
+    ), txtr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS ra
+      FROM txt WHERE tf > 0
+      QUALIFY ra <= {_RBO_K}
+    ), vecr AS (
+      SELECT b.vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY list_cosine_similarity(
+                 CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rb
+      FROM embeddings a JOIN embeddings b ON b.vec_id != 0
+      WHERE a.vec_id = 0
+      QUALIFY rb <= {_RBO_K}
+    ), matched AS (
+      SELECT greatest(ra, rb) AS m FROM txtr JOIN vecr USING (doc_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+           round(coalesce(sum(list_extract({_RBO_W_SQL}, m)), 0.0), 6)
+             AS rbo
+    FROM matched
+    """,
+)
+def q_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the lexical and
+    vector retrieval legs — the principled top-weighted similarity
+    measure between two rankings (agreement near rank 1 counts most;
+    p=0.9, depth 20). Computed via the per-document closed form: a doc
+    present in both prefixes first at depth m = max(rank_a, rank_b)
+    contributes W[m] = (1-p)*sum_(d>=m) p^(d-1)/d, so the whole metric
+    is one join of two bounded top-k lists + a 20-constant broadcast
+    lookup — no per-depth iteration, nothing corpus-sized after the
+    legs. The identical weight literals are inlined into both engines."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window as _W
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    tf = F.size(F.filter(toks, lambda t: t == F.lit("hash")))
+    txtr = (
+        d.select("doc_id", tf.alias("tf"))
+        .where(F.col("tf") > 0)
+        .withColumn("ra", F.row_number().over(_W.orderBy(F.desc("tf"), "doc_id")))
+        .where(F.col("ra") <= _RBO_K)
+        .select("doc_id", "ra")
+    )
+    probe = e.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    vecr = cosine_topk(e, probe, k=_RBO_K).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").cast("int").alias("rb")
+    )
+    w_arr = F.array(*[F.lit(w) for w in _RBO_W])
+    matched = txtr.join(vecr, "doc_id").select(
+        F.element_at(w_arr, F.greatest("ra", "rb").cast("int")).alias("w")
+    )
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.coalesce(F.sum("w"), F.lit(0.0)), 6).alias("rbo"),
+    )
