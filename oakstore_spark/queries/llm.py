@@ -1039,3 +1039,81 @@ def q_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlap"),
         F.round(F.coalesce(F.sum("w"), F.lit(0.0)), 6).alias("rbo"),
     )
+
+
+@register(
+    "q_ndcg_vector_leg",
+    oracle=f"""
+    WITH rel AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t = 'hash')) AS r
+      FROM documents
+    ), vecr AS (
+      SELECT b.vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY list_cosine_similarity(
+                 CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rk
+      FROM embeddings a JOIN embeddings b ON b.vec_id != 0
+      WHERE a.vec_id = 0
+      QUALIFY rk <= {_RBO_K}
+    ), dcg AS (
+      SELECT sum((pow(2, coalesce(rel.r, 0)) - 1) / log2(rk + 1)) AS dcg
+      FROM vecr LEFT JOIN rel USING (doc_id)
+    ), ideal AS (
+      SELECT sum((pow(2, r) - 1) / log2(rk + 1)) AS idcg
+      FROM (SELECT r, row_number() OVER (ORDER BY r DESC, doc_id) AS rk
+            FROM rel QUALIFY rk <= {_RBO_K})
+    )
+    SELECT round(dcg, 6) AS dcg,
+           round(idcg, 6) AS idcg,
+           round(dcg / idcg, 6) AS ndcg
+    FROM dcg, ideal
+    """,
+)
+def q_ndcg_vector_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@20 of the vector retrieval leg against graded lexical
+    relevance (rel = term frequency of the probe term) — THE standard
+    graded ranking-quality metric: gains (2^rel - 1) discounted by
+    log2(rank+1), normalized by the ideal ordering's DCG. Both the
+    ranked leg and the ideal list are bounded top-k relations, so cost
+    past the leg itself is k rows; the discount/gain arithmetic is the
+    identical expression in both engines."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window as _W
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    rel = d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: t == F.lit("hash"))).alias("r"),
+    )
+    probe = e.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    vecr = cosine_topk(e, probe, k=_RBO_K).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("rk")
+    )
+    gain = (F.pow(F.lit(2.0), F.coalesce(F.col("r"), F.lit(0))) - 1) / F.log2(
+        F.col("rk") + 1
+    )
+    dcg = (
+        vecr.join(rel, "doc_id", "left").agg(F.sum(gain).alias("dcg"))
+    )
+    ideal = (
+        rel.withColumn(
+            "rk", F.row_number().over(_W.orderBy(F.desc("r"), "doc_id"))
+        )
+        .where(F.col("rk") <= _RBO_K)
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("r")) - 1) / F.log2(F.col("rk") + 1)
+            ).alias("idcg")
+        )
+    )
+    return dcg.crossJoin(F.broadcast(ideal)).select(
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
