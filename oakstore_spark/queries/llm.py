@@ -1117,3 +1117,74 @@ def q_ndcg_vector_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg", 6).alias("idcg"),
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
     )
+
+
+@register(
+    "q_retrieval_eval",
+    oracle="""
+    WITH probes AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 50 = 0
+    ), ranked AS (
+      SELECT p.vec_id AS qid, b.label = p.label AS rel,
+             row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(
+                 CAST(p.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rk
+      FROM probes p JOIN embeddings b ON b.vec_id <> p.vec_id
+      QUALIFY rk <= 10
+    ), per_q AS (
+      SELECT qid,
+             coalesce(min(CASE WHEN rel THEN rk END), 0) AS first_rel,
+             max(CASE WHEN rel THEN 1 ELSE 0 END) AS hit
+      FROM ranked GROUP BY qid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(CASE WHEN first_rel > 0
+                          THEN 1.0 / first_rel ELSE 0.0 END), 6) AS mrr,
+           round(avg(CAST(hit AS DOUBLE)), 6) AS hit_rate
+    FROM per_q
+    """,
+)
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-retrieval evaluation against label ground truth: for a
+    deterministic probe set, exact cosine top-10 (the same cosine_topk
+    kernel the ANN family verifies against), relevance = same label,
+    reported as MRR and hit-rate@10 — the metrics every retrieval
+    training loop tracks. Per-query work is a bounded top-k; the rollup
+    is a probe-set-sized aggregate. Completes the IR eval family next
+    to RBO and nDCG."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ranked = cosine_topk(e, probes, k=10)
+    labels = e.select("vec_id", "label")
+    qlab = e.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    per_q = (
+        ranked.join(labels, "vec_id")
+        .join(qlab, "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("label") == F.col("qlabel"), F.col("rank"))),
+                F.lit(0),
+            ).alias("first_rel"),
+            F.max(
+                F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+            ).alias("hit"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(
+            F.avg(
+                F.when(F.col("first_rel") > 0, 1.0 / F.col("first_rel"))
+                .otherwise(0.0)
+            ),
+            6,
+        ).alias("mrr"),
+        F.round(F.avg(F.col("hit").cast("double")), 6).alias("hit_rate"),
+    )
