@@ -44,3 +44,38 @@ def salted_join(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return salted_left.join(salted_right, [*on, _SALT], how).drop(_SALT)
+
+
+def bloom_prefiltered_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_buckets: int = 1 << 20,
+    how: str = "inner",
+) -> DataFrame:
+    """Bloom-style semi-reduction before a join: hash the SMALL side's
+    keys into ``n_buckets`` buckets, broadcast the DISTINCT occupied
+    buckets, and semi-join the big side on its bucket BEFORE the real
+    join — the manual form of the runtime bloom filter AQE injects, for
+    the places automatic injection cannot reach (Python DataSources,
+    already-exchanged inputs, predicates the optimizer declines).
+
+    This is a single-hash bloom filter realized with DataFrame
+    primitives (bit membership = broadcast-hash semi join on the bucket
+    id): no false negatives ever, false-positive rate ~ |small|/
+    n_buckets, broadcast payload = one long per occupied bucket.
+    Correctness is unconditional — the pre-filter only removes rows the
+    join would drop anyway, so the result EQUALS the plain join (fully
+    oracle-checkable) while the big-side shuffle carries only matching
+    + false-positive rows.
+    """
+    from pyspark.sql import functions as F
+
+    bpos = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+    occupied = small.select(bpos.alias("_bpos")).distinct()
+    pre = (
+        big.withColumn("_bpos", bpos)
+        .join(F.broadcast(occupied), "_bpos", "leftsemi")
+        .drop("_bpos")
+    )
+    return pre.join(small, key, how)

@@ -1237,3 +1237,40 @@ def q_collated_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"mod": 3},
     )
+
+
+@register(
+    "q_bloom_prefiltered_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit bloom pre-filtered join (operators/joins.
+    bloom_prefiltered_join): a selective customer subset's keys hash
+    into a broadcast set of occupied bloom buckets that drops
+    non-matching orders BEFORE the join (a single-hash bloom realized
+    as a broadcast semi-join — no false negatives), so the result is
+    EXACTLY the plain join's (full oracle) while at scale the big-side
+    shuffle carries only matching + false-positive rows. The semi-join
+    pre-filter's presence in the plan is pinned in
+    tests/test_plans.py."""
+    from oakstore_spark.operators.joins import bloom_prefiltered_join
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    joined = bloom_prefiltered_join(o, c, "o_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

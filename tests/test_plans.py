@@ -443,3 +443,28 @@ def test_global_sample_compiles_to_take_ordered(spark):
     plan = plan_of(q_global_sample_topk(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_bloom_prefiltered_join_plan_and_equivalence(spark):
+    """The explicit bloom pre-filter must appear as might_contain in
+    the plan, and the result must equal the plain join exactly."""
+    from oakstore_spark.queries.relational_ext import q_bloom_prefiltered_join
+
+    df = q_bloom_prefiltered_join(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan and "_bpos" in plan
+    got = {r["c_mktsegment"]: (r["n_orders"], r["revenue"])
+           for r in df.collect()}
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    ref = {
+        r["c_mktsegment"]: (r["n"], r["rev"])
+        for r in (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .where(F.col("c_acctbal") > 9000)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        ).collect()
+    }
+    assert got == ref
