@@ -1274,3 +1274,27 @@ def q_bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@register(
+    "q_two_phase_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users FROM events
+    GROUP BY event_type
+    """,
+)
+def q_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-phase distinct aggregation — the skew cure for
+    COUNT(DISTINCT) on hot group keys: phase 1 dedups on the FULL
+    (group, value) pair (the exchange spreads a hot group across
+    partitions by value, and partial aggregation collapses duplicates
+    map-side), phase 2 counts the deduped pairs per group. A direct
+    distinct-aggregate keeps one in-memory set per group in each task —
+    a hot key concentrates its whole value universe in one place; the
+    two-phase form never materializes a per-group set at all. Result is
+    definitionally the plain COUNT(DISTINCT)."""
+    e = table(spark, sf_dir, "events")
+    pairs = e.select("event_type", "user_id").distinct()
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
