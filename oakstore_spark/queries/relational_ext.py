@@ -1298,3 +1298,39 @@ def q_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "q_map_type_explode",
+    oracle="""
+    SELECT key,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS total
+    FROM (
+      SELECT 'k' AS key, CAST(json_extract(props, '$.k') AS BIGINT) AS v
+      FROM events
+      UNION ALL
+      SELECT 'user_bucket', user_id % 10 FROM events
+    )
+    GROUP BY key
+    """,
+)
+def q_map_type_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed processing end-to-end: the JSON props parse into a
+    typed ``map<string,bigint>`` (from_json — schema-checked, not
+    stringly), a derived entry merges in via map_concat, and
+    explode(map) emits one row per entry for a per-key rollup. The
+    complex-type family's map leg (structs/arrays/variant covered
+    elsewhere); everything is JVM expressions — parse, merge and
+    explode are map-side, the aggregate is keys-sized. Oracle replays
+    the entries as a UNION ALL."""
+    e = table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    merged = F.map_concat(
+        m, F.create_map(F.lit("user_bucket"), F.col("user_id") % 10)
+    )
+    return (
+        e.select(F.explode(merged).alias("key", "v"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+    )
