@@ -1334,3 +1334,44 @@ def q_map_type_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
     )
+
+
+@register(
+    "q_hof_array_suite",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x)))), 4) AS avg_l1,
+           CAST(sum(len(list_filter(CAST(embedding AS DOUBLE[]),
+                                    x -> x > 0))) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
+                                              x -> abs(x) > 0.2)) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_big
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_hof_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order-function suite on array columns — aggregate
+    (lambda fold), filter, and exists — the JVM-side way to compute
+    over vectors without any Python: L1 norm as a fold, positive-
+    component counts, and an any-large-component flag, rolled up per
+    label. transform/filter appear throughout the suite; this entry
+    pins the FOLD (F.aggregate) and EXISTS forms explicitly. All
+    codegen'd lambdas; nothing leaves the JVM."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    l1 = F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + F.abs(x))
+    n_pos = F.size(F.filter(emb, lambda x: x > 0))
+    has_big = F.exists(emb, lambda x: F.abs(x) > 0.2)
+    return (
+        e.select("label", l1.alias("l1"), n_pos.alias("np"), has_big.alias("hb"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("l1"), 4).alias("avg_l1"),
+            F.sum("np").cast("bigint").alias("n_pos"),
+            F.sum(F.when(F.col("hb"), 1).otherwise(0)).alias("n_with_big"),
+        )
+    )
