@@ -1188,3 +1188,42 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mrr"),
         F.round(F.avg(F.col("hit").cast("double")), 6).alias("hit_rate"),
     )
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle=r"""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text,
+                 '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+           CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END)
+             AS BIGINT) AS ws_tokens,
+           round(sum(len(regexp_extract_all(text,
+                 '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')))
+                 / CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END)
+                        AS DOUBLE), 4) AS fertility
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — subword tokens per whitespace
+    word, THE multilingual tokenizer-equity diagnostic (a language with
+    2x fertility pays 2x the context budget per sentence; vocabulary
+    decisions are made on exactly this table). Exact integer token
+    counts from the two JVM counters already oracle-pinned
+    individually; the ratio divides exact sums."""
+    from oakstore_spark.functions.text import bpe_token_count, token_count
+
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(bpe_token_count("text")).alias("bpe_tokens"),
+        F.sum(token_count("text")).alias("ws_tokens"),
+        F.round(
+            F.sum(bpe_token_count("text"))
+            / F.sum(token_count("text")).cast("double"),
+            4,
+        ).alias("fertility"),
+    )
