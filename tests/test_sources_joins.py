@@ -464,3 +464,30 @@ def test_xml_roundtrip_with_schema(spark, tmp_path):
     a = sorted(df.collect(), key=lambda r: r["id"])
     b = sorted(back.collect(), key=lambda r: r["id"])
     assert a == b
+
+
+def test_bloom_prefiltered_join_random_equivalence(spark):
+    """Property: for random key sets (including keys on only one side
+    and duplicate keys), the bloom-prefiltered join equals the plain
+    join exactly — blooms may pass false positives into the join but
+    never drop a matching row."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from oakstore_spark.operators.joins import bloom_prefiltered_join
+
+    rng = random.Random(13)
+    for trial in range(3):
+        big_rows = [(rng.randrange(0, 200), i) for i in range(2000)]
+        small_rows = [(k, f"v{k}") for k in rng.sample(range(0, 300), 40)]
+        big = spark.createDataFrame(big_rows, ["k", "payload"])
+        small = spark.createDataFrame(small_rows, ["k", "tag"])
+        # tiny bucket space forces real false positives through the filter
+        got = sorted(
+            map(tuple, bloom_prefiltered_join(
+                big, small, "k", n_buckets=16
+            ).collect())
+        )
+        ref = sorted(map(tuple, big.join(small, "k").collect()))
+        assert got == ref, f"trial {trial} diverged"
