@@ -311,6 +311,19 @@ def main() -> None:
         tot = sum(len(v) for v in exact.values())
         out["ann_recall_at_10"] = round(hits / tot, 4) if tot else None
 
+        # contrastive mining at the same volume: one corpus scan for
+        # both legs (positives + hard negatives) over labeled vectors
+        from oakstore_spark.operators.similarity import contrastive_pairs
+
+        labeled = vecs.withColumn("label", (F.col("vec_id") % 1000).cast("int"))
+        lq = labeled.where(F.col("vec_id") % (nv // 100) == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding", "label"
+        )
+        t0 = time.time()
+        n_mined = contrastive_pairs(labeled, lq).count()
+        out["contrastive_sec"] = round(time.time() - t0, 2)
+        out["contrastive_pairs"] = int(n_mined)
+
     print(json.dumps(out))
 
 
