@@ -64,14 +64,41 @@ def bloom_prefiltered_join(
     primitives (bit membership = broadcast-hash semi join on the bucket
     id): no false negatives ever, false-positive rate ~ |small|/
     n_buckets, broadcast payload = one long per occupied bucket.
-    Correctness is unconditional — the pre-filter only removes rows the
-    join would drop anyway, so the result EQUALS the plain join (fully
+    For inner/semi joins the pre-filter only removes rows the join
+    would drop anyway, so the result EQUALS the plain join (fully
     oracle-checkable) while the big-side shuffle carries only matching
-    + false-positive rows.
+    + false-positive rows. Outer/anti joins must KEEP non-matching
+    big-side rows, so the semi pre-reduction is unsound there —
+    rejected with ValueError rather than silently dropping rows.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    bpos = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+    if how not in ("inner", "semi", "leftsemi", "left_semi"):
+        raise ValueError(
+            "bloom_prefiltered_join is only sound for inner/semi joins "
+            f"(the pre-filter drops big-side rows how={how!r} must keep)"
+        )
+    # xxhash64 is type-sensitive: hashing int 5 and bigint 5 gives
+    # different buckets even though the equi-join would coerce and match
+    # them. Hash one common type on both sides.
+    bt, st = big.schema[key].dataType, small.schema[key].dataType
+    if bt == st:
+        hash_type = None
+    elif isinstance(bt, T.IntegralType) and isinstance(st, T.IntegralType):
+        hash_type = "bigint"
+    elif isinstance(bt, T.NumericType) and isinstance(st, T.NumericType):
+        # equal-after-join-coercion values cast equal on both sides;
+        # double rounding can only MERGE buckets (adds false positives,
+        # never false negatives)
+        hash_type = "double"
+    else:
+        raise ValueError(
+            f"key {key!r} has incompatible types on the two sides "
+            f"({bt.simpleString()} vs {st.simpleString()}); cast before joining"
+        )
+    hkey = F.col(key).cast(hash_type) if hash_type else F.col(key)
+    bpos = F.pmod(F.xxhash64(hkey), F.lit(n_buckets))
     occupied = small.select(bpos.alias("_bpos")).distinct()
     pre = (
         big.withColumn("_bpos", bpos)

@@ -29,6 +29,18 @@ def widen_partitions(df: DataFrame, min_ratio: float = 1.0) -> DataFrame:
     return df
 
 
+def _range_sorted(df: DataFrame, n: int, order_col: str) -> DataFrame:
+    """The parallel exchange stage of :func:`assign_contiguous_ids`,
+    kept separate so its plan shape (rangepartitioning exchange, no
+    Window, no SinglePartition) stays pin-able in tests even though the
+    public entry point truncates lineage with a local checkpoint."""
+    from pyspark.sql import functions as F
+
+    return df.repartitionByRange(n, F.col(order_col)).sortWithinPartitions(
+        order_col
+    )
+
+
 def assign_contiguous_ids(
     df: DataFrame,
     order_col: str,
@@ -44,8 +56,12 @@ def assign_contiguous_ids(
     sorts the universe — the canonical 100 TB scale-killer. Instead:
 
     1. range-partition on ``order_col`` + sort within partitions
-       (a normal parallel exchange; pinned with ``persist`` so both
-       downstream jobs see the identical partitioning),
+       (a normal parallel exchange; pinned with an eager
+       ``localCheckpoint`` so both downstream jobs see the identical
+       partitioning — and, unlike a CacheManager ``persist``, the
+       blocks are released by the ContextCleaner once the returned
+       plan is garbage collected instead of leaking executor storage
+       for the session's lifetime),
     2. one lightweight count-per-partition job (emits one row per
        partition),
     3. cumulative offsets for each partition are computed on the driver
@@ -61,11 +77,10 @@ def assign_contiguous_ids(
 
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    part = (
-        df.repartitionByRange(n, F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .persist()
-    )
+    # lazy local checkpoint: the counts job below is the first action, so
+    # it materializes the blocks as a side effect (no extra scan), and
+    # the final job reads the SAME partitioning from those blocks
+    part = _range_sorted(df, n, order_col).localCheckpoint(eager=False)
     counts = dict(
         part.groupBy(F.spark_partition_id().alias("pid"))
         .count()

@@ -860,6 +860,12 @@ def contrastive_pairs(
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # row order after widen_partitions' round-robin repartition is
+            # nondeterministic; sort by id so argmax's first-occurrence
+            # rule breaks within-chunk sim ties to the LOWER id — the
+            # global min(struct(-sim, id)) merge can then always recover
+            # the (sim DESC, id ASC) winner the oracle ranks by
+            pdf = pdf.sort_values(id_col, kind="mergesort", ignore_index=True)
             for lo in range(0, len(pdf), chunk_rows):
                 part = pdf.iloc[lo : lo + chunk_rows]
                 B = np.stack([np.asarray(v, dtype=np.float64) for v in part[vec_col]])
@@ -996,11 +1002,18 @@ def search_ivf_index(
     cent = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
     C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent])
 
+    # id / query-id types come from the PERSISTED index and the queries
+    # relation (build_ivf_index writes the corpus schema through), so a
+    # store built with non-bigint ids searches without miscasts
+    all_vectors = spark.read.parquet(f"{index_dir}/vectors")
+    id_type = all_vectors.schema[id_col].dataType
+    qid_type = queries.schema[query_id_col].dataType
+
     q_pdf = queries.select(query_id_col, vec_col).toPandas()
     out_schema = T.StructType(
         [
-            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
-            T.StructField(id_col, T.LongType()),
+            T.StructField(query_id_col, qid_type),
+            T.StructField(id_col, id_type),
             T.StructField("sim", T.DoubleType()),
         ]
     )
@@ -1019,14 +1032,17 @@ def search_ivf_index(
         for i in range(len(q_pdf))
         for c in top_cells[i]
     ]
-    probe_df = spark.createDataFrame(
-        probe_rows, "_qid long, _cell int, _qvec array<double>"
+    probe_schema = T.StructType(
+        [
+            T.StructField("_qid", qid_type),
+            T.StructField("_cell", T.IntegerType()),
+            T.StructField("_qvec", T.ArrayType(T.DoubleType())),
+        ]
     )
+    probe_df = spark.createDataFrame(probe_rows, probe_schema)
     cells = sorted({int(c) for row in top_cells for c in row})
 
-    vectors = spark.read.parquet(f"{index_dir}/vectors").where(
-        F.col("_cell").isin(cells)
-    )
+    vectors = all_vectors.where(F.col("_cell").isin(cells))
     cand = vectors.join(F.broadcast(probe_df), "_cell").filter(
         F.col(id_col) != F.col("_qid")
     )

@@ -47,36 +47,42 @@ def dedup_admission_stream(
         try:
             idx_root = Path(index_dir)
             have_index = idx_root.exists() and any(idx_root.glob("batch=*"))
-            batch_ids = {r[0] for r in batch_df.select(id_col).collect()}
             if have_index:
                 index = spark.read.parquet(str(idx_root / "batch=*"))
-                pairs = incremental_minhash_pairs(
-                    batch_df, index, id_col, text_col, threshold=threshold
-                ).collect()
             else:
                 # first batch: only in-batch dedup; reuse the operator
                 # with an empty index relation
-                empty = minhash_signatures(
+                index = minhash_signatures(
                     batch_df.limit(0), id_col, text_col
                 )
-                pairs = incremental_minhash_pairs(
-                    batch_df, empty, id_col, text_col, threshold=threshold
-                ).collect()
-            rejects = set()
-            for p in pairs:
-                a, b = p["id_a"], p["id_b"]
-                a_new, b_new = a in batch_ids, b in batch_ids
-                if a_new and b_new:
-                    rejects.add(max(a, b))  # keep-first-by-id in batch
-                elif a_new:
-                    rejects.add(a)
-                elif b_new:
-                    rejects.add(b)
-            admitted = (
-                batch_df.where(~F.col(id_col).isin(rejects))
-                if rejects
-                else batch_df
+            pairs = incremental_minhash_pairs(
+                batch_df, index, id_col, text_col, threshold=threshold
             )
+            # Rejects stay a DataFrame end-to-end — no driver-side sets,
+            # no isin() literal list, so a huge availableNow catch-up
+            # batch with a high dup rate can't blow up the driver/plan.
+            #   vs_index pair  -> the batch-side doc must go; taking BOTH
+            #     sides is safe because index ids never occur in the
+            #     batch relation, so the anti-join ignores them.
+            #   in-batch pair  -> id_a < id_b on both operator paths
+            #     (distributed join keys on l.id < r.id; the driver fast
+            #     path sorts rows by id before triu), so keep-first-by-id
+            #     means rejecting id_b.
+            rejects = (
+                pairs.where(F.col("vs_index"))
+                .select(
+                    F.explode(F.array("id_a", "id_b")).alias(id_col)
+                )
+                .unionByName(
+                    pairs.where(~F.col("vs_index")).select(
+                        F.col("id_b").alias(id_col)
+                    )
+                )
+            )
+            # no broadcast hint: AQE broadcasts small reject sets at
+            # runtime, and a huge catch-up reject set shuffles instead
+            # of being forced through the driver
+            admitted = batch_df.join(rejects.distinct(), id_col, "left_anti")
             admitted = admitted.persist()
             admitted.write.mode("overwrite").parquet(
                 f"{corpus_dir}/batch={batch_id}"

@@ -399,6 +399,10 @@ def test_assign_contiguous_ids_matches_global_row_number(spark):
     # payload column rides along untouched
     row = out.filter(F.col("k") == 500).collect()[0]
     assert row["v"] == 1250.0 and row["seq_id"] == 501
+    # no session-lifetime storage leak: the partitioning pin is a local
+    # checkpoint (ContextCleaner-released on GC), never a CacheManager
+    # persist that only an explicit unpersist would free
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 def test_fixed_count_sample_exact_n_and_deterministic(spark):

@@ -702,6 +702,42 @@ def test_contrastive_pairs_planted(spark, clustered):
         assert legs["neg"]["sim"] < legs["pos"]["sim"]
 
 
+def test_contrastive_pairs_duplicate_embedding_ties(spark):
+    """Equal-similarity ties must resolve to the LOWEST id even when the
+    tied duplicates land in the same Arrow chunk in arbitrary row order
+    (round-robin repartition shuffles positions) — the (sim DESC, id ASC)
+    contract the oracle ranks by. Ids descend in input order so a
+    position-based argmax would pick the HIGHER id."""
+    import numpy as np
+
+    from oakstore_spark.operators.similarity import contrastive_pairs
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # 30 duplicate triples: ids (3g, 3g+1, 3g+2) share one embedding and
+    # one label; appended in DESCENDING id order within each group
+    for g in range(30):
+        v = [float(x) for x in rng.normal(size=8)]
+        for i in (2, 1, 0):
+            rows.append((3 * g + i, v, g % 2))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    # query = a fresh vector per group direction; same label -> its best
+    # positive is the duplicate triple, tied three ways
+    queries = corpus.where(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 1000).alias("query_id"), "embedding", "label"
+    )
+    mined = contrastive_pairs(corpus, queries).collect()
+    pos = {r["query_id"]: r["vec_id"] for r in mined if r["leg"] == "pos"}
+    for qid, vid in pos.items():
+        g = (qid - 1000) // 3
+        # the query's own embedding equals the triple's; self-match is
+        # impossible (query ids are disjoint), so the winner must be the
+        # lowest id of the tied triple
+        assert vid == 3 * g, f"query {qid}: tie broke to {vid}, want {3 * g}"
+
+
 def test_persisted_ivf_index_build_search(spark, clustered, tmp_path):
     """Build-once / search-many: a persisted IVF index must recover the
     planted twins across TWO independent searches with no rebuild, and
@@ -733,3 +769,38 @@ def test_persisted_ivf_index_build_search(spark, clustered, tmp_path):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "_cell" in plan
+
+
+def test_persisted_ivf_index_string_ids(spark, clustered, tmp_path):
+    """The search schema must derive id types from the persisted index
+    and the queries relation — a store built with STRING ids (which
+    build_ivf_index happily persists) must search correctly, not fail
+    or miscast against a hardcoded bigint."""
+    from pyspark.sql import types as T
+
+    from oakstore_spark.operators.similarity import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    named = clustered.select(
+        F.concat(F.lit("doc-"), F.format_string("%04d", "vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    idx = str(tmp_path / "ivf_str")
+    build_ivf_index(named, dim=32, index_dir=idx, n_centroids=16)
+    queries = named.limit(20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = search_ivf_index(spark, idx, queries, k=1, n_probe=4)
+    assert isinstance(out.schema["vec_id"].dataType, T.StringType)
+    assert isinstance(out.schema["query_id"].dataType, T.StringType)
+    rows = out.collect()
+    assert len(rows) == 20
+    # twin layout: doc-NNNN's nearest neighbor is its xor-1 twin
+    hits = sum(
+        1
+        for r in rows
+        if int(r["vec_id"][4:]) == int(r["query_id"][4:]) ^ 1
+    )
+    assert hits >= 18

@@ -391,11 +391,21 @@ def test_skew_profile_windows_run_on_aggregated_keys(spark):
 
 def test_assign_ids_no_window_no_single_partition(spark):
     """q_assign_ids must number rows via rangepartitioning + offsets,
-    never the empty-key Window that funnels everything into one task."""
+    never the empty-key Window that funnels everything into one task.
+    The public entry truncates lineage with a local checkpoint (so its
+    cache is GC-released, not leaked), so the exchange stage is pinned
+    via the internal _range_sorted plan and the final plan is pinned
+    Window/SinglePartition-free."""
+    from oakstore_spark.operators.scaling import _range_sorted
     from oakstore_spark.queries.training_ext import q_assign_ids
+    from oakstore_spark.sources.tables import table
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id")
+    stage = plan_of(_range_sorted(docs, 8, "doc_id"))
+    assert "rangepartitioning" in stage
+    assert "Window" not in stage and "SinglePartition" not in stage
 
     plan = plan_of(q_assign_ids(spark, SF_DIR))
-    assert "rangepartitioning" in plan
     assert "Window" not in plan
     assert "SinglePartition" not in plan
 

@@ -491,3 +491,49 @@ def test_bloom_prefiltered_join_random_equivalence(spark):
         )
         ref = sorted(map(tuple, big.join(small, "k").collect()))
         assert got == ref, f"trial {trial} diverged"
+
+
+def test_bloom_prefiltered_join_mixed_key_types(spark):
+    """xxhash64 is type-sensitive: an int-vs-bigint key pair used to
+    land in different buckets and get silently dropped (false negative)
+    even though the equi-join coerces and matches them. The hash must
+    use one common type on both sides."""
+    import pytest
+
+    from oakstore_spark.operators.joins import bloom_prefiltered_join
+
+    big = spark.createDataFrame([(k, k * 10) for k in range(50)], "k int, payload long")
+    small = spark.createDataFrame([(5, "a"), (17, "b")], "k long, tag string")
+    got = sorted(
+        map(tuple, bloom_prefiltered_join(big, small, "k", n_buckets=1 << 20).collect())
+    )
+    ref = sorted(map(tuple, big.join(small, "k").collect()))
+    assert got == ref and len(got) == 2
+
+    # int vs double keys: both numeric, hash on double
+    small_d = spark.createDataFrame([(5.0, "a")], "k double, tag string")
+    got_d = sorted(map(tuple, bloom_prefiltered_join(big, small_d, "k").collect()))
+    assert got_d == sorted(map(tuple, big.join(small_d, "k").collect()))
+    assert len(got_d) == 1
+
+    # incompatible types are an error, not a silent empty result
+    small_s = spark.createDataFrame([("5", "a")], "k string, tag string")
+    with pytest.raises(ValueError, match="incompatible"):
+        bloom_prefiltered_join(big, small_s, "k")
+
+
+def test_bloom_prefiltered_join_rejects_outer_how(spark):
+    """The semi pre-reduction drops big-side rows an outer/anti join
+    must keep — those ``how`` values are rejected, not silently wrong."""
+    import pytest
+
+    from oakstore_spark.operators.joins import bloom_prefiltered_join
+
+    big = spark.createDataFrame([(1, "x")], ["k", "payload"])
+    small = spark.createDataFrame([(1, "y")], ["k", "tag"])
+    for bad in ("left", "left_outer", "full", "right", "left_anti", "anti"):
+        with pytest.raises(ValueError, match="inner/semi"):
+            bloom_prefiltered_join(big, small, "k", how=bad)
+    # the sound hows still work
+    assert bloom_prefiltered_join(big, small, "k", how="inner").count() == 1
+    assert bloom_prefiltered_join(big, small, "k", how="leftsemi").count() == 1

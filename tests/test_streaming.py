@@ -529,6 +529,17 @@ def test_streaming_dedup_admission(spark, tmp_path):
     }
     assert index_ids == admitted
 
+    # scale contract: the reject path must stay distributed — an anti-join
+    # against a rejects relation, never a collected set + isin() literal
+    # list (which would blow up the driver on a big catch-up batch)
+    import inspect
+
+    import oakstore_spark.streaming.dedup as _sd
+
+    src_text = inspect.getsource(_sd.dedup_admission_stream)
+    assert ".isin(" not in src_text and ".collect()" not in src_text
+    assert "left_anti" in src_text
+
 
 def test_streaming_cms_merge_equals_batch(spark, tmp_path):
     """Mergeable-sketch contract: the cell-wise sum of per-micro-batch
