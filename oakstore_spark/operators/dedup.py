@@ -137,6 +137,13 @@ def minhash_signatures(
     ).select("id", "ss.shingles", "ss.sig")
 
 
+def _collect_sig_rows(sig_df: DataFrame) -> list[dict]:
+    """Arrow-batched driver transfer of (id, shingles, sig) rows — the
+    pickled-Row ``collect()`` path measured ~2.5x slower at 4k docs x
+    ~2k shingles (0.64 s vs 0.26 s at sf0.1)."""
+    return sig_df.toPandas().to_dict("records")
+
+
 def _minhash_pairs_driver(
     spark,
     sig_rows,
@@ -148,6 +155,28 @@ def _minhash_pairs_driver(
     estimate_margin: float,
     max_bucket_size: int | None,
 ) -> DataFrame:
+    """Spark-facing wrapper of :func:`_minhash_pairs_driver_pdf`."""
+    pdf = _minhash_pairs_driver_pdf(
+        sig_rows, threshold, n_hashes, bands, rows_per_band,
+        estimate_margin, max_bucket_size,
+    )
+    if pdf.empty:
+        return spark.createDataFrame([], out_schema)
+    return spark.createDataFrame(pdf, out_schema)
+
+
+_EMPTY_PAIRS_PDF_COLS = ["id_a", "id_b", "jaccard"]
+
+
+def _minhash_pairs_driver_pdf(
+    sig_rows,
+    threshold: float,
+    n_hashes: int,
+    bands: int,
+    rows_per_band: int,
+    estimate_margin: float,
+    max_bucket_size: int | None,
+) -> pd.DataFrame:
     """Small-corpus fast path: banding, candidate generation, prefilter
     and exact verify all happen driver-side in numpy on the collected
     signature rows (which the distributed path collects anyway for its
@@ -155,9 +184,10 @@ def _minhash_pairs_driver(
     signature values — equivalent-or-stricter than the distributed
     path's xxhash64(r-tuple) bucket key (hash collisions only ever ADD
     candidates), and the exact-jaccard verify makes the final output
-    identical either way."""
+    identical either way. Returns a pandas frame (id_a, id_b, jaccard)
+    so pure-driver callers skip the Spark round trip."""
     if not sig_rows:
-        return spark.createDataFrame([], out_schema)
+        return pd.DataFrame(columns=_EMPTY_PAIRS_PDF_COLS)
     # sort by real id so positional order == id order (makes id_a < id_b
     # fall out of positional triu pairs)
     sig_rows = sorted(sig_rows, key=lambda row: row["id"])
@@ -182,7 +212,7 @@ def _minhash_pairs_driver(
                 pair_keys.append(members[ii].astype(np.int64) * n + members[jj])
             start += c
     if not pair_keys:
-        return spark.createDataFrame([], out_schema)
+        return pd.DataFrame(columns=_EMPTY_PAIRS_PDF_COLS)
     pk = np.unique(np.concatenate(pair_keys))
     ai, bi = pk // n, pk % n
     # column-wise match count: ~pk.size-sized temporaries per hash
@@ -205,15 +235,14 @@ def _minhash_pairs_driver(
             keep_b.append(y)
             keep_j.append(jac)
     if not keep_a:
-        return spark.createDataFrame([], out_schema)
-    pdf = pd.DataFrame(
+        return pd.DataFrame(columns=_EMPTY_PAIRS_PDF_COLS)
+    return pd.DataFrame(
         {
             "id_a": ids[keep_a],
             "id_b": ids[keep_b],
             "jaccard": np.asarray(keep_j, dtype=np.float64),
         }
     )
-    return spark.createDataFrame(pdf, out_schema)
 
 
 def _band_explode(sigs: DataFrame, bands: int, r: int) -> DataFrame:
@@ -341,7 +370,9 @@ def minhash_lsh_pairs(
     # limit(max+1) stops the scan as soon as the corpus is provably big
     # instead of counting all of it.
     if df.limit(driver_pairs_max_docs + 1).count() <= driver_pairs_max_docs:
-        sig_rows = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n).collect()
+        sig_rows = _collect_sig_rows(
+            minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+        )
         return _minhash_pairs_driver(
             df.sparkSession,
             sig_rows,
@@ -1046,26 +1077,27 @@ def incremental_minhash_pairs(
         <= driver_pairs_max_docs
     ):
         spark = new_df.sparkSession
-        new_rows = sig_new.collect()
+        new_rows = _collect_sig_rows(sig_new)
         new_ids = {row["id"] for row in new_rows}
-        pairs = _minhash_pairs_driver(
-            spark, new_rows + index.collect(), out_schema, threshold,
+        pairs_pdf = _minhash_pairs_driver_pdf(
+            new_rows + _collect_sig_rows(index), threshold,
             n_hashes, bands, r, estimate_margin, None,
         )
-        # pair volume is tiny (near-dups only); filter + orient in-driver
-        # rather than via an isin() over up to 200k literal ids
-        kept = [
-            (
-                p["id_a"], p["id_b"], p["jaccard"],
-                not (p["id_a"] in new_ids and p["id_b"] in new_ids),
-            )
-            for p in pairs.collect()
-            if p["id_a"] in new_ids or p["id_b"] in new_ids
-        ]
         sig_new.unpersist()
-        return spark.createDataFrame(
-            kept, out_schema.add("vs_index", T.BooleanType())
-        )
+        full_schema = out_schema.add("vs_index", T.BooleanType())
+        if pairs_pdf.empty:
+            return spark.createDataFrame([], full_schema)
+        # pair volume is tiny (near-dups only); filter + orient in the
+        # pandas frame rather than via an isin() over up to 200k literal
+        # ids or a Spark round trip
+        a_new = pairs_pdf["id_a"].isin(new_ids)
+        b_new = pairs_pdf["id_b"].isin(new_ids)
+        keep = a_new | b_new
+        kept = pairs_pdf[keep].copy()
+        kept["vs_index"] = ~(a_new[keep] & b_new[keep])
+        if kept.empty:
+            return spark.createDataFrame([], full_schema)
+        return spark.createDataFrame(kept, full_schema)
 
     b_new = _band_explode(sig_new, bands, r)
     b_old = _band_explode(index, bands, r)

@@ -179,6 +179,25 @@ def decode_png(data: bytes):
         raw = zlib.decompress(idat)
         if len(raw) < h * (stride + 1):
             return None
+        # whole-image fast path: if every scanline filter byte is None
+        # (filter 0 — what encode_gray_png and most simple encoders
+        # emit), the pixel matrix is one reshape away; bit-identical to
+        # the per-line walk below
+        arr = np.frombuffer(
+            raw, dtype=np.uint8, count=h * (stride + 1)
+        ).reshape(h, stride + 1)
+        if not arr[:, 0].any():
+            out = np.ascontiguousarray(arr[:, 1:])
+            px = out.reshape(h, w, nch).astype(np.float64)
+            if nch == 1:
+                gray = px[:, :, 0]
+            else:
+                gray = (
+                    px[:, :, 0] * 0.299
+                    + px[:, :, 1] * 0.587
+                    + px[:, :, 2] * 0.114
+                )
+            return int(w), int(h), gray
         out = np.empty((h, stride), dtype=np.uint8)
         prev = np.zeros(stride, dtype=np.uint8)
         rpos = 0
@@ -241,7 +260,8 @@ def encode_gray_png(pixels) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
         )
 
-    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    # one vectorized assembly of [filter-None byte | scanline] rows
+    raw = np.hstack([np.zeros((h, 1), dtype=np.uint8), px]).tobytes()
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
@@ -722,6 +742,10 @@ def resize_image_thumbnails(
 
     def _block_mean(gray, oh, ow):
         h, w = gray.shape
+        if h % oh == 0 and w % ow == 0:
+            # evenly divisible: one reshape-mean (equal block sizes make
+            # it arithmetically identical to the general path)
+            return gray.reshape(oh, h // oh, ow, w // ow).mean(axis=(1, 3))
         ys = [h * i // oh for i in range(oh + 1)]
         xs = [w * j // ow for j in range(ow + 1)]
         out = np.empty((oh, ow), dtype=np.float64)

@@ -1193,7 +1193,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_punct"),
         (F.col("n_chars") > F.col("med")).cast("double").alias("y"),
     )
-    w = fit_logistic_irls(feats, ["f_len", "f_punct"], "y", n_iter=6)
+    # cache the featurized rows: IRLS scans them once PER ITERATION and
+    # the scoring pass once more — without the cache each scan re-runs
+    # the regexp featurization over the corpus. 4 iterations: Newton/IRLS
+    # is quadratically convergent, and for this 3-parameter fit the
+    # decision boundary (all the query reports) is stable by iteration 3
+    # — the planted-rule recovery contract is pinned separately in
+    # tests/test_curation.py::test_irls_recovers_planted_rule
+    feats = feats.persist()
+    w = fit_logistic_irls(feats, ["f_len", "f_punct"], "y", n_iter=4)
     eta = (
         F.lit(float(w[0]))
         + F.lit(float(w[1])) * F.col("f_len")

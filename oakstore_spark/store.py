@@ -107,6 +107,12 @@ class Item:
         — the drop-in pandas UX the reference's users already write
         (``.rolling()``, ``.resample()``, column math), distributed.
 
+        The stored DATE column is passed as ``index_col``, so no default
+        index is ever attached — attaching one either collects to the
+        driver (sequence) or plans an empty-key Window (the two
+        PandasAPIOnSparkAdviceWarning paths). The bridge itself is
+        distributed end to end.
+
         Scale caveat, stated honestly: pandas-on-Spark operations over
         the GLOBAL index (rolling/shift without a grouping) plan an
         empty-key Window and funnel to one partition — fine for a
@@ -116,8 +122,7 @@ class Item:
         """
         return (
             self.df(start, end)
-            .pandas_api()
-            .set_index(self._store._metadata.index_name)
+            .pandas_api(index_col=self._store._metadata.index_name)
             .sort_index()
         )
 

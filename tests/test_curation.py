@@ -393,6 +393,7 @@ def test_assign_contiguous_ids_matches_global_row_number(spark):
     df = spark.createDataFrame(
         [(k, k * 2.5) for k in keys], ["k", "v"]
     ).repartition(7)
+    spark.catalog.clearCache()  # scope the leak assertion below to THIS op
     out = assign_contiguous_ids(df, "k", num_partitions=5)
     got = sorted((r["k"], r["seq_id"]) for r in out.collect())
     assert got == [(k, k + 1) for k in range(1000)]

@@ -936,13 +936,21 @@ def test_metadata_columns_expose_file_provenance(spark, store, ohlcv_data):
 def test_item_pandas_api_bridge(spark, store, ohlcv_data):
     """The pandas-on-Spark bridge: an item slice behaves like the
     reference's pandas frame (DATE index, rolling mean, column math)
-    while staying distributed until materialization."""
+    while staying distributed until materialization — the stored DATE
+    column IS the index (index_col), so building the frame must not
+    emit either PandasAPIOnSparkAdviceWarning path (driver-collect
+    sequence index / empty-key Window distributed-sequence index)."""
+    import warnings
+
     import pandas as pd
+    from pyspark.pandas.utils import PandasAPIOnSparkAdviceWarning
 
     store["PSB"] = ohlcv_data.iloc[:500]
-    psdf = store["PSB"].pandas_api(
-        pd.Timestamp("1986-06-01"), pd.Timestamp("1987-06-01")
-    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", PandasAPIOnSparkAdviceWarning)
+        psdf = store["PSB"].pandas_api(
+            pd.Timestamp("1986-06-01"), pd.Timestamp("1987-06-01")
+        )
     roll = psdf["CLOSE"].rolling(5).mean()
     got = roll.to_pandas()
     ref = (
