@@ -162,7 +162,12 @@ def main() -> None:
     assert got == store_rows, (got, store_rows)
 
     if args.docs:
-        from oakstore_spark.operators.dedup import minhash_lsh_pairs
+        from oakstore_spark.operators.dedup import (
+            _band_explode,
+            incremental_minhash_pairs,
+            minhash_lsh_pairs,
+            minhash_signatures,
+        )
 
         nd = args.docs
         # diverse tokens (hex of per-position hashes): a tiny shared
@@ -192,6 +197,56 @@ def main() -> None:
         out["dedup_pairs"] = n_pairs
         out["dedup_sec"] = round(dt, 2)
         out["dedup_docs_per_sec"] = round(nd / dt)
+
+        # candidate-pair ratio: how many ordered pairs the LSH banding
+        # actually surfaces for verification, as a fraction of the n^2/2
+        # all-pairs space — THE sub-quadratic claim, measured (the same
+        # bound test_ann_candidates_subquadratic pins at fixture scale)
+        sigs = minhash_signatures(docs, "doc_id", "text").persist()
+        sigs.count()
+        bnd = _band_explode(sigs, 12, 8)
+        n_cand = (
+            bnd.alias("l")
+            .join(
+                bnd.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bkey") == F.col("r.bkey"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select("l.id", "r.id")
+            .distinct()
+            .count()
+        )
+        sigs.unpersist()
+        out["dedup_candidates"] = n_cand
+        out["dedup_candidate_ratio"] = round(
+            n_cand / (nd * (nd - 1) / 2), 10
+        )
+
+        # incremental admission at volume: 10% of the corpus arrives as
+        # a batch against the persisted signature index of the other 90%
+        # (> the 200k driver gate, so this runs the distributed
+        # band-join path). The batch split doc_id % 10 == 9 contains
+        # every planted duplicate (ids = 49 mod 50) while their
+        # originals (= 48 mod 50) stay in the index — so the expected
+        # vs-index pair count equals the planted-dup count. Admission
+        # cost must track the BATCH, not the corpus.
+        idx_dir = tempfile.mkdtemp(prefix="oak_probe_sigidx_")
+        minhash_signatures(
+            docs.where(F.col("doc_id") % 10 != 9), "doc_id", "text"
+        ).write.mode("overwrite").parquet(idx_dir)
+        index = spark.read.parquet(idx_dir)
+        batch = docs.where(F.col("doc_id") % 10 == 9)
+        nb = batch.count()
+        t0 = time.time()
+        n_inc = incremental_minhash_pairs(
+            batch, index, "doc_id", "text", threshold=0.85
+        ).count()
+        dt = time.time() - t0
+        out["incremental_batch_docs"] = nb
+        out["incremental_pairs"] = n_inc
+        out["incremental_sec"] = round(dt, 2)
+        out["incremental_batch_docs_per_sec"] = round(nb / dt)
 
         from oakstore_spark.operators.dedup import span_dedup
 
