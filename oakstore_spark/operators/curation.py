@@ -26,6 +26,7 @@ count table:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -161,6 +162,64 @@ def balanced_mix_sample(
         df.join(F.broadcast(frac), group_col)
         .filter((F.col("f") >= 1.0) | (keyhex < F.col("thr")))
         .drop("f", "thr")
+    )
+
+
+def ks_binned_stat(
+    df: DataFrame,
+    value_col: str,
+    a_col: str,
+    b_col: str,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Two-sample KS on a fixed-width binned ECDF — the scale path for
+    the exact statistic's global-sort window (same pattern as the
+    percentile→KLL sibling). ``a_col``/``b_col`` are 0/1 sample
+    indicators over ``value_col``.
+
+    Execution shape at 100 TB: one min/max + count aggregate, one
+    corpus hash-agg into ``n_bins`` bins (map-side combinable), then
+    the cumulative window runs over the ``n_bins``-row bin table only.
+    No corpus sort, no corpus window.
+
+    The binned statistic evaluates |F_a - F_b| exactly at bin RIGHT
+    edges (where the binned and true ECDFs coincide), so
+
+        D_binned <= D_exact <= D_binned + max_bin(share_a + share_b)
+
+    — within any bin the true ECDF difference can exceed the edge value
+    by at most that bin's mass in either sample. The bound is returned
+    as ``max_bin_mass`` so every answer carries its own error bar; the
+    bracket is pinned against the exact sibling in pytest.
+    """
+    mm = df.agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.sum(a_col).cast("double").alias("na"),
+        F.sum(b_col).cast("double").alias("nb"),
+    ).collect()[0]
+    lo, hi, na, nb = mm["lo"], mm["hi"], mm["na"], mm["nb"]
+    width = (float(hi) - float(lo)) / n_bins if hi is not None else 1.0
+    if not width:
+        width = 1.0
+    bin_id = F.least(
+        F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width)),
+        F.lit(n_bins - 1),
+    )
+    binned = df.groupBy(bin_id.alias("bin")).agg(
+        F.sum(a_col).alias("ca"), F.sum(b_col).alias("cb")
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    ecdf = binned.select(
+        (F.sum("ca").over(w) / F.lit(na)).alias("fa"),
+        (F.sum("cb").over(w) / F.lit(nb)).alias("fb"),
+        (F.col("ca") / F.lit(na) + F.col("cb") / F.lit(nb)).alias("mass"),
+    )
+    return ecdf.agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_d"),
+        F.lit(int(na)).cast("bigint").alias("n_a"),
+        F.lit(int(nb)).cast("bigint").alias("n_b"),
+        F.round(F.max("mass"), 6).alias("max_bin_mass"),
     )
 
 

@@ -13,6 +13,7 @@ from oakstore_spark.operators.curation import (
     PHONE_RE,
     balanced_mix_sample,
     bigram_logprob,
+    ks_binned_stat,
     redact_pii,
     unigram_logprob,
 )
@@ -770,6 +771,34 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("na").cast("bigint").alias("n_a"),
         F.max("nb").cast("bigint").alias("n_b"),
     )
+
+
+@register("q_ks_binned")
+def q_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned-ECDF Kolmogorov-Smirnov — the DEPLOYMENT path for
+    q_ks_two_sample's documented global-sort caveat (the same
+    exact→sketch pattern as percentiles→KLL): one min/max+counts agg,
+    one corpus-sized hash agg into ``n_bins`` fixed-width bins, then
+    the ECDF difference evaluated at bin edges over the 256-row bin
+    table (the only window runs on the AGGREGATED bins, like
+    q_skew_profile's ranking — never the corpus). Provable bracket,
+    pinned in tests/test_curation.py::test_ks_binned_brackets_exact:
+
+        ks_d(binned) <= ks_d(exact) <= ks_d(binned) + max_bin_mass
+
+    where ``max_bin_mass`` = max over bins of (share_a + share_b) —
+    reported alongside the statistic so every answer carries its own
+    error bound. Rows-only (the bin table is engine-replayable but the
+    statistic is already exact-checked via its sibling)."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    s = e.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("b"),
+    )
+    return ks_binned_stat(s, "value", "a", "b", n_bins=256)
 
 
 @register(

@@ -406,6 +406,36 @@ def test_assign_contiguous_ids_matches_global_row_number(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def test_ks_binned_brackets_exact(spark):
+    """The binned-ECDF KS must bracket the exact statistic:
+    D_binned <= D_exact <= D_binned + max_bin_mass — the self-reported
+    error bound makes the sketch trustworthy without the exact sibling's
+    global sort. Also checked on a synthetic shifted pair where the true
+    D is large, so the bracket is exercised away from zero."""
+    from oakstore_spark.operators.curation import ks_binned_stat
+    from oakstore_spark.queries.curation import q_ks_binned, q_ks_two_sample
+
+    sf = "/root/testdata/sf0.01"
+    exact = q_ks_two_sample(spark, sf).collect()[0]
+    binned = q_ks_binned(spark, sf).collect()[0]
+    assert binned["n_a"] == exact["n_a"] and binned["n_b"] == exact["n_b"]
+    assert binned["ks_d"] <= exact["ks_d"] + 1e-6
+    assert exact["ks_d"] - binned["ks_d"] <= binned["max_bin_mass"] + 1e-6
+    # 256 fixed-width bins over this value range: the bound itself is tight
+    assert binned["max_bin_mass"] < 0.1
+
+    # synthetic: N(0-ish) vs shifted — exact D computable in closed form
+    # from the ECDFs; use integer grids so both engines see exact values
+    rows = [(float(i % 100), 1, 0) for i in range(1000)] + [
+        (float(i % 100) + 30.0, 0, 1) for i in range(1000)
+    ]
+    s = spark.createDataFrame(rows, "value double, a int, b int")
+    got = ks_binned_stat(s, "value", "a", "b", n_bins=130).collect()[0]
+    # true D: samples are uniform on [0,99] and [30,129] -> D = 0.30
+    assert abs(got["ks_d"] - 0.30) <= got["max_bin_mass"] + 1e-6
+    assert got["ks_d"] <= 0.30 + 1e-6
+
+
 def test_fixed_count_sample_exact_n_and_deterministic(spark):
     from oakstore_spark.queries.training_ext import q_fixed_count_sample
 
