@@ -616,6 +616,28 @@ def q_embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- end-to-end curation pipeline (compose the stages) --------------------
 
+def _word3_grams(df: DataFrame) -> DataFrame:
+    """(doc_id, g): every word-3-gram of each doc — the decontamination
+    join key shared by the composed pipelines."""
+
+    def _grams(ws):
+        return F.when(
+            F.size(ws) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(ws, i + 1),
+                    F.element_at(ws, i + 2),
+                    F.element_at(ws, i + 3),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    g = F.element_at(F.transform(F.array(F.split("text", " ")), _grams), 1)
+    return df.select("doc_id", F.explode(g).alias("g"))
+
+
 @register(
     "q_training_set_pipeline",
     oracle="""
@@ -669,32 +691,126 @@ def q_training_set_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = base.join(keep, "doc_id", "left_semi")
 
-    def grams_of(df):
-        def _grams(ws):
-            return F.when(
-                F.size(ws) >= 3,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(ws) - 3),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(ws, i + 1),
-                        F.element_at(ws, i + 2),
-                        F.element_at(ws, i + 3),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-
-        g = F.element_at(F.transform(F.array(F.split("text", " ")), _grams), 1)
-        return df.select("doc_id", F.explode(g).alias("g"))
-
-    eval_grams = grams_of(d.filter(F.col("doc_id") < 20)).select("g").distinct()
+    eval_grams = (
+        _word3_grams(d.filter(F.col("doc_id") < 20)).select("g").distinct()
+    )
     contaminated = (
-        grams_of(d.filter(F.col("doc_id") >= 20))
+        _word3_grams(d.filter(F.col("doc_id") >= 20))
         .join(F.broadcast(eval_grams), "g", "left_semi")
         .select("doc_id")
         .distinct()
     )
     clean = deduped.join(contaminated, "doc_id", "left_anti")
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
+    )
+
+
+_E2E_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_E2E_TOKS = (
+    "CASE WHEN len(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+
+@register(
+    "q_curation_e2e",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, text, {_E2E_TOKS} AS toks
+      FROM documents
+      WHERE lang = 'en' AND doc_id >= 20
+    ), keep_ids AS (
+      SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)
+    ), ded AS (
+      SELECT base.* FROM base JOIN keep_ids USING (doc_id)
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len({_E2E_NORM}) - 2, 1) + 1),
+               i -> substr({_E2E_NORM}, i, 3))) AS s
+      FROM ded
+    ), nd_rejects AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+            >= 0.85
+    ), words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+      FROM words WHERE len(ws) >= 3
+    ), eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id < 20
+    ), contaminated AS (
+      SELECT DISTINCT grams.doc_id FROM grams JOIN eval_grams USING (g)
+      WHERE grams.doc_id >= 20
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens
+    FROM ded
+    WHERE doc_id NOT IN (SELECT doc_id FROM nd_rejects)
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND toks >= 10
+      AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+          IN ('0','1','2','3','4','5','6','7')
+    GROUP BY source
+    """,
+)
+def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation chain as one composed, fully-oracled query —
+    one rung deeper than q_training_set_pipeline: language filter →
+    exact dedup (keep-min-id per content hash) → NEAR-dup rejection
+    (minhash LSH + exact-jaccard verify at 0.85; reject the higher id
+    of every verified pair) → length quality gate (≥10 tokens) →
+    benchmark decontamination (word-3-gram overlap with the doc_id<20
+    eval set) → deterministic 1/2 mix (md5-nibble membership) →
+    per-source token accounting. Every stage is the registered
+    operator; the composition's only corpus-sized shuffles are the
+    content-hash agg and the minhash band joins — everything else is
+    map-side or a broadcast semi/anti join. Tracked round-over-round in
+    BENCH_DETAIL as the cross-operator regression canary."""
+    from oakstore_spark.functions.text import token_count
+    from oakstore_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+    d = table(spark, sf_dir, "documents")
+    base = d.filter((F.col("lang") == "en") & (F.col("doc_id") >= 20))
+    keep = exact_dedup(base, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    ded = base.join(keep, "doc_id", "left_semi")
+
+    # near-dup: id_a < id_b on both operator paths, so keep-first-by-id
+    # means rejecting every id_b
+    pairs = minhash_lsh_pairs(ded, "doc_id", "text", threshold=0.85)
+    nd_rejects = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+
+    eval_grams = (
+        _word3_grams(d.filter(F.col("doc_id") < 20)).select("g").distinct()
+    )
+    contaminated = (
+        _word3_grams(d.filter(F.col("doc_id") >= 20))
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    nibble = F.substring(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 1
+    )
+    clean = (
+        ded.join(nd_rejects, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+        .where(token_count("text") >= 10)
+        .where(nibble.isin(*"01234567"))
+    )
     return clean.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
