@@ -626,6 +626,360 @@ def encode_jpeg_header(
     return b"\xff\xd8" + app0 + sof + sos + b"\xff\xd9"
 
 
+# --- baseline JPEG (ITU T.81) pixel codec, grayscale ----------------------
+# Standard tables from T.81 Annex K (public spec data): the luminance
+# quantization matrix and the canonical DC/AC luminance Huffman tables.
+
+_JPEG_QLUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict:
+    """symbol -> (code, length), canonical assignment per T.81 C.2."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    C = np.zeros((8, 8))
+    for u in range(8):
+        a = np.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            C[u, x] = a * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return C
+
+
+def _jpeg_quality_table(quality: int):
+    import numpy as np
+
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    tbl = (np.asarray(_JPEG_QLUMA, dtype=np.int64) * scale + 50) // 100
+    return np.clip(tbl, 1, 255).reshape(8, 8)
+
+
+def encode_jpeg_baseline_gray(pixels, quality: int = 75) -> bytes:
+    """Minimal stdlib baseline-JPEG encoder (grayscale, one component,
+    standard Annex-K Huffman + quality-scaled luminance quant table):
+    the synthetic-payload generator for exercising the REAL
+    ``decode_jpeg_pixels`` below, same pattern as encode_gray_png /
+    encode_wav_pcm16. Output is spec-conformant (decodable by any JPEG
+    decoder). Accepts a (h, w) uint8 array."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
+    Q = _jpeg_quality_table(quality)
+    C = _jpeg_dct_matrix()
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    out_bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def put(code: int, nbits: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << nbits) | (code & ((1 << nbits) - 1))
+        nacc += nbits
+        while nacc >= 8:
+            byte = (acc >> (nacc - 8)) & 0xFF
+            out_bits.append(byte)
+            if byte == 0xFF:
+                out_bits.append(0x00)  # byte stuffing
+            nacc -= 8
+            acc &= (1 << nacc) - 1
+
+    def put_val(v: int) -> tuple[int, int]:
+        """(category, magnitude bits) of a nonzero coefficient."""
+        s = int(abs(v)).bit_length()
+        bits = v if v > 0 else v + (1 << s) - 1
+        return s, bits
+
+    prev_dc = 0
+    blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            B = blocks[by, bx].astype(np.float64) - 128.0
+            coeff = C @ B @ C.T
+            qz = np.round(coeff / Q).astype(np.int64)
+            zz = qz.ravel()[_JPEG_ZIGZAG]
+            # DC: category + magnitude bits of the diff
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            if diff == 0:
+                c, ln = dc_codes[0]
+                put(c, ln)
+            else:
+                s, bits = put_val(diff)
+                c, ln = dc_codes[s]
+                put(c, ln)
+                put(bits, s)
+            # AC: (run, size) symbols with ZRL and EOB
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]  # ZRL
+                    put(c, ln)
+                    run -= 16
+                s, bits = put_val(v)
+                c, ln = ac_codes[(run << 4) | s]
+                put(c, ln)
+                put(bits, s)
+                run = 0
+            if last_nz < 63:
+                c, ln = ac_codes[0x00]  # EOB
+                put(c, ln)
+    if nacc:  # pad the final partial byte with 1s per spec
+        pad = 8 - nacc
+        acc = (acc << pad) | ((1 << pad) - 1)
+        byte = acc & 0xFF
+        out_bits.append(byte)
+        if byte == 0xFF:
+            out_bits.append(0x00)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dqt = seg(0xDB, b"\x00" + bytes(int(Q.ravel()[z]) for z in _JPEG_ZIGZAG))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht_dc = seg(
+        0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    )
+    dht_ac = seg(
+        0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+        + bytes(out_bits) + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_pixels(data: bytes):
+    """REAL pure-stdlib baseline-JPEG PIXEL decode (the last rung past
+    :func:`decode_jpeg_meta`'s header scan): Huffman entropy decode →
+    dequantize → inverse zigzag → 2-D IDCT → level shift, returning
+    ``(width, height, gray)`` with ``gray`` a float64 (h, w) array of
+    integer-rounded luma in [0, 255]. Supports what
+    :func:`encode_jpeg_baseline_gray` emits and any other
+    single-component 8-bit baseline stream without restart markers;
+    anything else (progressive, chroma, RSTn) returns ``None`` — same
+    graceful-degrade contract as decode_png. Cites reference parity:
+    the reference has no media decode at all (store.py:1-267); this is
+    the EXT multimodal surface."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    try:
+        pos, n = 2, len(data)
+        qtables: dict[int, np.ndarray] = {}
+        htables: dict[tuple[int, int], dict] = {}
+        w = h = None
+        q_id = dc_id = ac_id = None
+        scan_start = None
+        while pos + 4 <= n:
+            while pos < n and data[pos] == 0xFF:
+                pos += 1
+            if pos >= n:
+                return None
+            marker = data[pos]
+            pos += 1
+            if marker == 0xD9:
+                return None  # EOI before SOS
+            (seg_len,) = struct.unpack(">H", data[pos : pos + 2])
+            if seg_len < 2 or pos + seg_len > n:
+                return None
+            body = data[pos + 2 : pos + seg_len]
+            if marker == 0xDB:  # DQT (possibly several tables)
+                bp = 0
+                while bp < len(body):
+                    pq, tq = body[bp] >> 4, body[bp] & 0xF
+                    if pq != 0:  # 16-bit tables unsupported
+                        return None
+                    vals = np.frombuffer(
+                        body[bp + 1 : bp + 65], dtype=np.uint8
+                    ).astype(np.float64)
+                    tbl = np.zeros(64)
+                    tbl[_JPEG_ZIGZAG] = vals
+                    qtables[tq] = tbl.reshape(8, 8)
+                    bp += 65
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                bp = 0
+                while bp < len(body):
+                    tc, th = body[bp] >> 4, body[bp] & 0xF
+                    bits = list(body[bp + 1 : bp + 17])
+                    nv = sum(bits)
+                    vals = list(body[bp + 17 : bp + 17 + nv])
+                    codes = _jpeg_canonical_codes(bits, vals)
+                    # invert to (length, code) -> symbol for decoding
+                    htables[(tc, th)] = {
+                        (ln, code): sym for sym, (code, ln) in codes.items()
+                    }
+                    bp += 17 + nv
+            elif marker == 0xC0:  # SOF0 baseline
+                precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+                if precision != 8 or ncomp != 1:
+                    return None
+                cid, sampling, q_id = body[6], body[7], body[8]
+                if sampling != 0x11:
+                    return None
+            elif 0xC1 <= marker <= 0xCF and marker != 0xC4:
+                return None  # non-baseline frame
+            elif marker == 0xDA:  # SOS
+                ns = body[0]
+                if ns != 1 or w is None:
+                    return None
+                dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+                scan_start = pos + seg_len
+                break
+            pos += seg_len
+        if scan_start is None or q_id not in qtables:
+            return None
+        dc_tab = htables.get((0, dc_id))
+        ac_tab = htables.get((1, ac_id))
+        if dc_tab is None or ac_tab is None:
+            return None
+        Q = qtables[q_id]
+
+        # unstuff the entropy stream up to EOI
+        raw = bytearray()
+        p = scan_start
+        while p < n:
+            b = data[p]
+            if b == 0xFF:
+                nxt = data[p + 1] if p + 1 < n else 0xD9
+                if nxt == 0x00:
+                    raw.append(0xFF)
+                    p += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    return None  # restart markers unsupported
+                break  # EOI or another marker ends the scan
+            raw.append(b)
+            p += 1
+        stream = bytes(raw)
+        nbits_total = len(stream) * 8
+        bitpos = 0
+
+        def read_bit() -> int:
+            nonlocal bitpos
+            if bitpos >= nbits_total:
+                raise ValueError("bitstream exhausted")
+            byte = stream[bitpos >> 3]
+            bit = (byte >> (7 - (bitpos & 7))) & 1
+            bitpos += 1
+            return bit
+
+        def read_bits(k: int) -> int:
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | read_bit()
+            return v
+
+        def read_symbol(tab: dict) -> int:
+            code = 0
+            for ln in range(1, 17):
+                code = (code << 1) | read_bit()
+                sym = tab.get((ln, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid huffman code")
+
+        def extend(v: int, s: int) -> int:
+            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        C = _jpeg_dct_matrix()
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        out = np.zeros((ph, pw))
+        prev_dc = 0
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                zz = np.zeros(64, dtype=np.int64)
+                s = read_symbol(dc_tab)
+                diff = extend(read_bits(s), s) if s else 0
+                prev_dc += diff
+                zz[0] = prev_dc
+                k = 1
+                while k < 64:
+                    rs = read_symbol(ac_tab)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = rs >> 4, rs & 0xF
+                    k += run
+                    if k > 63 or size == 0:
+                        raise ValueError("bad AC run")
+                    zz[k] = extend(read_bits(size), size)
+                    k += 1
+                coeff = np.zeros(64)
+                coeff[_JPEG_ZIGZAG] = zz
+                block = C.T @ (coeff.reshape(8, 8) * Q) @ C
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        gray = np.clip(np.round(out + 128.0), 0, 255)
+        return int(w), int(h), gray[:h, :w]
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
 def decode_wav_samples(data: bytes):
     """REAL pure-stdlib PCM16 WAV SAMPLE decode: returns
     ``(n_channels, sample_rate, samples)`` where ``samples`` is the
@@ -714,19 +1068,20 @@ def resize_image_thumbnails(
     id_col: str = "media_id",
     content_col: str = "content",
 ) -> DataFrame:
-    """Image RESIZE through real bytes: decode each PNG payload
-    (``decode_png``), box-downsample the luma plane to ``out_h x out_w``
-    by exact block averaging (each output cell = mean of its input
-    block; edge blocks absorb the remainder rows/cols), and emit the
-    thumbnail as a flat float array plus its overall mean. This is the
-    resize step of an image-curation pipeline (dedup thumbprints,
-    NSFW/quality model inputs) done the Spark way: Arrow-batched
-    mapInPandas, payload bytes never shuffle, undecodable payloads
-    yield null thumbnails instead of failing the task.
+    """Image RESIZE through real bytes: decode each payload — PNG
+    (``decode_png``) first, then baseline JPEG
+    (``decode_jpeg_pixels``) — box-downsample the luma plane to
+    ``out_h x out_w`` by exact block averaging (each output cell = mean
+    of its input block; edge blocks absorb the remainder rows/cols),
+    and emit the thumbnail as a flat float array plus its overall mean.
+    This is the resize step of an image-curation pipeline (dedup
+    thumbprints, NSFW/quality model inputs) done the Spark way:
+    Arrow-batched mapInPandas, payload bytes never shuffle, undecodable
+    payloads yield null thumbnails instead of failing the task.
 
     Block averaging (not nearest-neighbor) so the thumbnail is a
     DETERMINISTIC pure function of every input pixel — pinned against a
-    numpy reference in pytest."""
+    numpy reference in pytest for BOTH formats."""
     import numpy as np
 
     schema = T.StructType(
@@ -739,6 +1094,11 @@ def resize_image_thumbnails(
         ]
     )
     _png = decode_png
+    _jpg = decode_jpeg_pixels
+
+    def _decode_any(content: bytes):
+        dec = _png(content)
+        return dec if dec is not None else _jpg(content)
 
     def _block_mean(gray, oh, ow):
         h, w = gray.shape
@@ -758,7 +1118,7 @@ def resize_image_thumbnails(
         for pdf in it:
             rows = []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
-                dec = _png(bytes(content))
+                dec = _decode_any(bytes(content))
                 if dec is None or dec[0] < 1 or dec[1] < 1:
                     rows.append((int(mid), None, None, None, None))
                     continue

@@ -471,6 +471,52 @@ def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_jpeg_thumbnails")
+def q_jpeg_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG PIXEL decode end-to-end: each document's first 1024
+    text bytes become a 32x32 grayscale image, compressed through the
+    real spec-conformant baseline encoder (Annex-K Huffman + quantized
+    DCT), then ``resize_image_thumbnails`` entropy-decodes, IDCTs and
+    block-averages the luma down to an 8x8 thumbprint — the compressed-
+    pixel rung above q_image_thumbnails' PNG path. Rows-only driver
+    check (Huffman+DCT is not SQL-replayable); exact parity vs an
+    independent numpy reference of the full lossy pipeline is pinned in
+    tests/test_multimodal.py. Decode runs map-side in Arrow batches;
+    binaries never shuffle."""
+    from oakstore_spark.operators.multimodal import (
+        encode_jpeg_baseline_gray,
+        resize_image_thumbnails,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    _enc = encode_jpeg_baseline_gray
+
+    def make_jpeg(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                buf = text.encode("utf-8")[:1024]
+                px = _np.frombuffer(buf.ljust(1024, b"\x00"), dtype=_np.uint8)
+                rows.append((int(doc_id), _enc(px.reshape(32, 32), 85)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    media = widen_partitions(d.select("doc_id", "text")).mapInPandas(
+        make_jpeg, "media_id long, content binary"
+    )
+    out = resize_image_thumbnails(media, 8, 8)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("thumb_mean", 4).alias("thumb_mean"),
+    )
+
+
 @register(
     "q_mjpeg_frame_meta",
     oracle="""

@@ -461,3 +461,117 @@ def test_mjpeg_avi_roundtrip_and_corruption(spark):
     assert decode_avi_frames(b"RIFFxxxxWAVE") is None
     assert decode_avi_frames(b"short") is None
     assert decode_avi_frames(encode_mjpeg_avi([], 8, 8, 10)) == []
+
+
+def test_jpeg_pixel_codec_exact_reference_parity():
+    """decode_jpeg_pixels must reproduce the lossy baseline pipeline
+    EXACTLY: for encoder output, the decoded luma equals an independent
+    numpy model (FDCT -> quantize -> dequantize -> IDCT -> round/clip)
+    bit-for-bit, across even/odd/padded geometries."""
+    import numpy as np
+
+    from oakstore_spark.operators.multimodal import (
+        _jpeg_dct_matrix,
+        _jpeg_quality_table,
+        decode_jpeg_meta,
+        decode_jpeg_pixels,
+        encode_jpeg_baseline_gray,
+    )
+
+    rng = np.random.default_rng(3)
+    C = _jpeg_dct_matrix()
+    for (h, w), q in [((8, 8), 85), ((32, 32), 75), ((24, 40), 85),
+                      ((33, 17), 50), ((1, 1), 95)]:
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        blob = encode_jpeg_baseline_gray(px, quality=q)
+        assert decode_jpeg_meta(blob) == (w, h, 1, False)
+        dw, dh, gray = decode_jpeg_pixels(blob)
+        assert (dw, dh) == (w, h) and gray.shape == (h, w)
+        Q = _jpeg_quality_table(q).astype(np.float64)
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        pad = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge").astype(
+            np.float64
+        )
+        exp = np.zeros((ph, pw))
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                B = pad[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+                qz = np.round((C @ B @ C.T) / Q)
+                exp[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                    C.T @ (qz * Q) @ C
+                )
+        exp = np.clip(np.round(exp + 128.0), 0, 255)[:h, :w]
+        assert np.array_equal(exp, gray), (h, w, q)
+
+    # smooth content survives q95 losslessly (DCT of a linear ramp is
+    # concentrated in low frequencies the q95 table keeps exactly)
+    gx = np.tile(np.arange(64, dtype=np.uint8) * 2, (64, 1))
+    d = decode_jpeg_pixels(encode_jpeg_baseline_gray(gx, quality=95))[2]
+    assert np.abs(d - gx).max() == 0
+
+
+def test_jpeg_pixel_corruption_returns_none_not_raise():
+    import numpy as np
+
+    from oakstore_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline_gray,
+        encode_jpeg_header,
+    )
+
+    rng = np.random.default_rng(5)
+    blob = encode_jpeg_baseline_gray(
+        rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    )
+    assert decode_jpeg_pixels(b"") is None
+    assert decode_jpeg_pixels(b"\x89PNG\r\n\x1a\n") is None
+    assert decode_jpeg_pixels(blob[:24]) is None
+    assert decode_jpeg_pixels(b"\xff\xd8" + b"junk" * 8) is None
+    # header-only stream (no tables, no entropy data) degrades to None
+    assert decode_jpeg_pixels(encode_jpeg_header(32, 16, 1)) is None
+    # 3-component / progressive headers are out of scope -> None
+    assert decode_jpeg_pixels(encode_jpeg_header(32, 16, 3)) is None
+    # torn entropy bytes must never raise
+    for cut in (len(blob) // 2, len(blob) - 3):
+        torn = bytearray(blob)
+        torn[cut] ^= 0x55
+        decode_jpeg_pixels(bytes(torn))  # None or garbage, no exception
+
+
+def test_resize_thumbnails_jpeg_block_mean_parity(spark):
+    """Thumbnails over JPEG payloads: the 8x8 block means of the
+    thumbnail must equal the block means of the reference-reconstructed
+    (lossy) pixels EXACTLY — pinning the decode ladder's JPEG rung and
+    the resize math together, with PNG and JPEG payloads mixed in one
+    relation."""
+    import numpy as np
+    import pytest
+
+    from oakstore_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_gray_png,
+        encode_jpeg_baseline_gray,
+        resize_image_thumbnails,
+    )
+
+    rng = np.random.default_rng(11)
+    px_jpg = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    px_png = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_jpeg_baseline_gray(px_jpg, quality=85))),
+        (2, bytearray(encode_gray_png(px_png))),
+        (3, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in resize_image_thumbnails(df, 8, 8).collect()}
+
+    # JPEG rung: reference = decoded (lossy) pixels' exact block means
+    ref_pixels = decode_jpeg_pixels(bytes(rows[0][1]))[2]
+    ref = ref_pixels.reshape(8, 4, 8, 4).mean(axis=(1, 3))
+    assert got[1]["width"] == 32 and got[1]["height"] == 32
+    assert got[1]["thumb"] == pytest.approx(list(ref.ravel()))
+    # PNG rung still works in the same relation
+    assert got[2]["width"] == 24 and got[2]["height"] == 16
+    assert got[2]["thumb"] is not None
+    # junk degrades to nulls
+    assert got[3]["thumb"] is None
