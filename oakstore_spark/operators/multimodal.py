@@ -750,7 +750,12 @@ def encode_jpeg_baseline_gray(pixels, quality: int = 75) -> bytes:
         for bx in range(pw // 8):
             B = blocks[by, bx].astype(np.float64) - 128.0
             coeff = C @ B @ C.T
-            qz = np.round(coeff / Q).astype(np.int64)
+            # baseline entropy coding caps coefficient categories at 10
+            # bits (|v| <= 1023); an extreme block at high quality can
+            # otherwise produce category 11 and an unencodable symbol
+            qz = np.clip(
+                np.round(coeff / Q).astype(np.int64), -1023, 1023
+            )
             zz = qz.ravel()[_JPEG_ZIGZAG]
             # DC: category + magnitude bits of the diff
             diff = int(zz[0]) - prev_dc

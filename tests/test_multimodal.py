@@ -509,6 +509,15 @@ def test_jpeg_pixel_codec_exact_reference_parity():
     d = decode_jpeg_pixels(encode_jpeg_baseline_gray(gx, quality=95))[2]
     assert np.abs(d - gx).max() == 0
 
+    # adversarial max-frequency block at quality 100: the coefficient
+    # clamp to baseline's 10-bit category cap must keep this encodable
+    # (it used to KeyError), and the checkerboard survives exactly
+    cb = np.zeros((8, 8), dtype=np.uint8)
+    cb[::2, 1::2] = 255
+    cb[1::2, ::2] = 255
+    d = decode_jpeg_pixels(encode_jpeg_baseline_gray(cb, quality=100))[2]
+    assert np.abs(d - cb).max() == 0
+
 
 def test_jpeg_pixel_corruption_returns_none_not_raise():
     import numpy as np
