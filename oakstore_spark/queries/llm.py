@@ -189,11 +189,17 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
              AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      AND 100 * least(len(a.s), len(b.s)) >= 85 * greatest(len(a.s), len(b.s))
     WHERE len(list_intersect(a.s, b.s))
           / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.85
     """,
 )
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle note (applies to every brute-force jaccard oracle here):
+    the join's length prefilter is LOSSLESS — jaccard >= t implies
+    |A∩B| <= min(|A|,|B|) and |A∪B| >= max(|A|,|B|), hence
+    min >= t*max — it only spares DuckDB most of the expensive
+    list_intersect evaluations (measured ~2x on the e2e chain)."""
     d = table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.85)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -263,6 +269,7 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
              AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      AND 10 * least(len(a.s), len(b.s)) >= 8 * greatest(len(a.s), len(b.s))
     WHERE len(list_intersect(a.s, b.s))
           / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8
     """,
@@ -310,6 +317,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), pr AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        AND 100 * least(len(a.s), len(b.s)) >= 85 * greatest(len(a.s), len(b.s))
       WHERE len(list_intersect(a.s, b.s))
             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.85
     ), edges AS MATERIALIZED (
@@ -571,6 +579,7 @@ def _incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                  6) AS jaccard,
            (a.is_new <> b.is_new) AS vs_index
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      AND 100 * least(len(a.s), len(b.s)) >= 85 * greatest(len(a.s), len(b.s))
     WHERE (a.is_new OR b.is_new)
       AND len(list_intersect(a.s, b.s))
           / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.85

@@ -737,6 +737,7 @@ _E2E_TOKS = (
     ), nd_rejects AS (
       SELECT DISTINCT b.doc_id
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        AND 100 * least(len(a.s), len(b.s)) >= 85 * greatest(len(a.s), len(b.s))
       WHERE len(list_intersect(a.s, b.s))
             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
             >= 0.85
