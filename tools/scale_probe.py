@@ -42,6 +42,11 @@ def main() -> None:
                     help="also probe the JVM text family (token stats, "
                          "unigram/bigram LM scoring, 5-gram novelty) on "
                          "this many synthetic 40-word docs")
+    ap.add_argument("--streamrows", type=int, default=0,
+                    help="also probe Structured Streaming: this many "
+                         "synthetic events through a watermarked tumbling "
+                         "window agg and the streaming dedup admission "
+                         "path, availableNow over multi-file input")
     args = ap.parse_args()
     n = args.rows
     spark = get_spark("oakstore_scale_probe")
@@ -314,6 +319,60 @@ def main() -> None:
 
         ttimed("text_ngram_novelty", novelty)
         out["text_docs"] = nt
+
+    if args.streamrows:
+        # Structured Streaming at volume: watermarked tumbling-window
+        # counts over a multi-file availableNow source — the measured
+        # point for SCALING.md's "streaming state is watermark-bounded"
+        # claim (state rows = live windows x keys, never input rows).
+        import shutil
+
+        ns = args.streamrows
+        sdir = tempfile.mkdtemp(prefix="oak_probe_stream_")
+        src = f"{sdir}/src"
+        ckpt = f"{sdir}/ckpt"
+        outp = f"{sdir}/out"
+        # 1000 users, 10 ms event spacing -> ~60 events per
+        # (10-min window, user) group, so the probe exercises the
+        # map-side partial agg + bounded state, not a degenerate
+        # one-row-per-group shape
+        (
+            spark.range(0, ns, 1, 64)
+            .select(
+                F.col("id").alias("event_id"),
+                (F.col("id") % 1_000).alias("user_id"),
+                F.timestamp_micros(
+                    F.lit(1_700_000_000_000_000) + F.col("id") * 10_000
+                ).alias("ts"),
+            )
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp"
+        ).option("maxFilesPerTrigger", 16).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "10 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        t0 = time.time()
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        emitted = spark.read.parquet(outp).count()
+        out["stream_rows"] = ns
+        out["stream_window_agg_sec"] = round(dt, 2)
+        out["stream_rows_per_sec"] = round(ns / dt)
+        out["stream_windows_emitted"] = int(emitted)
+        shutil.rmtree(sdir, ignore_errors=True)
 
     if args.vecs:
         from oakstore_spark.operators.similarity import (
