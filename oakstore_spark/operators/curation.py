@@ -199,7 +199,11 @@ def ks_binned_stat(
         F.sum(b_col).cast("double").alias("nb"),
     ).collect()[0]
     lo, hi, na, nb = mm["lo"], mm["hi"], mm["na"], mm["nb"]
-    width = (float(hi) - float(lo)) / n_bins if hi is not None else 1.0
+    if hi is None or not na or not nb:
+        raise ValueError(
+            "ks_binned_stat requires non-empty samples on both indicators"
+        )
+    width = (float(hi) - float(lo)) / n_bins
     if not width:
         width = 1.0
     bin_id = F.least(
