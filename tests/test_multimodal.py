@@ -584,3 +584,55 @@ def test_resize_thumbnails_jpeg_block_mean_parity(spark):
     assert got[2]["thumb"] is not None
     # junk degrades to nulls
     assert got[3]["thumb"] is None
+
+
+def test_jpeg_pixel_codec_property_random_shapes():
+    """Property (hypothesis): for ANY geometry/quality/content, encode →
+    decode reproduces the independent numpy model of the lossy pipeline
+    bit-for-bit, geometry round-trips, and output stays in [0, 255].
+    Pure-Python path — no Spark — so shrinkage is cheap."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oakstore_spark.operators.multimodal import (
+        _jpeg_dct_matrix,
+        _jpeg_quality_table,
+        decode_jpeg_pixels,
+        encode_jpeg_baseline_gray,
+    )
+
+    C = _jpeg_dct_matrix()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        q=st.integers(1, 100),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, q, seed):
+        px = np.random.default_rng(seed).integers(
+            0, 256, (h, w), dtype=np.uint8
+        )
+        blob = encode_jpeg_baseline_gray(px, quality=q)
+        dw, dh, gray = decode_jpeg_pixels(blob)
+        assert (dw, dh) == (w, h) and gray.shape == (h, w)
+        assert gray.min() >= 0 and gray.max() <= 255
+        Q = _jpeg_quality_table(q).astype(np.float64)
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        pad = np.pad(
+            px, ((0, ph - h), (0, pw - w)), mode="edge"
+        ).astype(np.float64)
+        exp = np.zeros((ph, pw))
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                B = pad[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+                qz = np.clip(np.round((C @ B @ C.T) / Q), -1023, 1023)
+                exp[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                    C.T @ (qz * Q) @ C
+                )
+        exp = np.clip(np.round(exp + 128.0), 0, 255)[:h, :w]
+        assert np.array_equal(exp, gray)
+
+    check()
