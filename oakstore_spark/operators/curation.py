@@ -191,7 +191,13 @@ def ks_binned_stat(
     by at most that bin's mass in either sample. The bound is returned
     as ``max_bin_mass`` so every answer carries its own error bar; the
     bracket is pinned against the exact sibling in pytest.
+
+    NULL values carry no order position, so rows with a null
+    ``value_col`` are EXCLUDED from both the counts and the bins (they
+    would otherwise land in a NULL bin the cumulative window orders
+    first, silently skewing the statistic toward -inf).
     """
+    df = df.where(F.col(value_col).isNotNull())
     mm = df.agg(
         F.min(value_col).alias("lo"),
         F.max(value_col).alias("hi"),

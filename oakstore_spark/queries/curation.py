@@ -1222,14 +1222,18 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_punct"),
         (F.col("n_chars") > F.col("med")).cast("double").alias("y"),
     )
-    # cache the featurized rows: IRLS scans them once PER ITERATION and
-    # the scoring pass once more — without the cache each scan re-runs
-    # the regexp featurization over the corpus. 4 iterations: Newton/IRLS
-    # is quadratically convergent, and for this 3-parameter fit the
-    # decision boundary (all the query reports) is stable by iteration 3
-    # — the planted-rule recovery contract is pinned separately in
+    # pin the featurized rows: IRLS scans them once PER ITERATION and
+    # the scoring pass once more — without the pin each scan re-runs
+    # the regexp featurization over the corpus. Lazy localCheckpoint
+    # (materialized by IRLS's first collect), NOT persist(): the blocks
+    # are ContextCleaner-released when the plan is GC'd, so repeated
+    # invocations outside bench's clearCache don't leak executor
+    # storage. 4 iterations: Newton/IRLS is quadratically convergent,
+    # and for this 3-parameter fit the decision boundary (all the query
+    # reports) is stable by iteration 3 — the planted-rule recovery
+    # contract is pinned separately in
     # tests/test_curation.py::test_irls_recovers_planted_rule
-    feats = feats.persist()
+    feats = feats.localCheckpoint(eager=False)
     w = fit_logistic_irls(feats, ["f_len", "f_punct"], "y", n_iter=4)
     eta = (
         F.lit(float(w[0]))

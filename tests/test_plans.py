@@ -409,6 +409,24 @@ def test_assign_ids_no_window_no_single_partition(spark):
     assert "Window" not in plan
     assert "SinglePartition" not in plan
 
+    # the checkpoint could hide a pre-truncation Window from plan_of, so
+    # also pin at source level (docstring/comments stripped via ast)
+    # that the numbering path IS the range-sorted stage checked above,
+    # with no Window anywhere before the truncation
+    import ast
+    import inspect
+    import textwrap
+
+    from oakstore_spark.operators import scaling
+
+    fn = ast.parse(
+        textwrap.dedent(inspect.getsource(scaling.assign_contiguous_ids))
+    ).body[0]
+    body = fn.body[1:] if isinstance(fn.body[0], ast.Expr) else fn.body
+    code = "\n".join(ast.unparse(stmt) for stmt in body)
+    assert "_range_sorted(" in code
+    assert "Window" not in code and "row_number" not in code
+
 
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     """Bucketing is THE shuffle-elimination lever for repeated big-big

@@ -49,9 +49,9 @@ def main() -> None:
     )
     t_old = sum(old[k] for k in common)
     t_new = sum(new[k] for k in common)
+    pct = f" ({(t_new - t_old) / t_old * 100:+.1f}%)" if t_old else ""
     print(
-        f"common {len(common)} queries: {t_old:.1f}s -> {t_new:.1f}s "
-        f"({(t_new - t_old) / t_old * 100:+.1f}%)"
+        f"common {len(common)} queries: {t_old:.1f}s -> {t_new:.1f}s{pct}"
     )
     only_new = sorted(set(new) - set(old))
     if only_new:

@@ -252,6 +252,9 @@ def main() -> None:
         out["incremental_pairs"] = n_inc
         out["incremental_sec"] = round(dt, 2)
         out["incremental_batch_docs_per_sec"] = round(nb / dt)
+        import shutil as _shutil
+
+        _shutil.rmtree(idx_dir, ignore_errors=True)
 
         from oakstore_spark.operators.dedup import span_dedup
 
