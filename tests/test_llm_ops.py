@@ -728,14 +728,30 @@ def test_contrastive_pairs_duplicate_embedding_ties(spark):
     queries = corpus.where(F.col("vec_id") % 3 == 0).select(
         (F.col("vec_id") + 1000).alias("query_id"), "embedding", "label"
     )
-    mined = contrastive_pairs(corpus, queries).collect()
-    pos = {r["query_id"]: r["vec_id"] for r in mined if r["leg"] == "pos"}
-    for qid, vid in pos.items():
-        g = (qid - 1000) // 3
-        # the query's own embedding equals the triple's; self-match is
-        # impossible (query ids are disjoint), so the winner must be the
-        # lowest id of the tied triple
-        assert vid == 3 * g, f"query {qid}: tie broke to {vid}, want {3 * g}"
+    def check() -> None:
+        mined = contrastive_pairs(corpus, queries).collect()
+        pos = {r["query_id"]: r["vec_id"] for r in mined if r["leg"] == "pos"}
+        assert len(pos) == 30
+        for qid, vid in pos.items():
+            g = (qid - 1000) // 3
+            # the query's own embedding equals the triple's; self-match
+            # is impossible (query ids are disjoint), so the winner must
+            # be the lowest id of the tied triple
+            assert vid == 3 * g, f"query {qid}: tie broke to {vid}, want {3 * g}"
+
+    check()
+    # force 7-row Arrow batches so tied duplicates straddle chunk
+    # boundaries: per-chunk argmaxes must still merge to the lowest id
+    # via the global min(struct(-sim, id))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        check()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
 def test_persisted_ivf_index_build_search(spark, clustered, tmp_path):
