@@ -668,6 +668,120 @@ _JPEG_AC_VALS = [
 ]
 
 
+_JPEG_QCHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+_JPEG_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS_C = list(range(12))
+_JPEG_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+class _JpegBitWriter:
+    """Entropy-stream bit accumulator with FF byte stuffing and the
+    pad-with-1s finish, shared by the gray and color encoders."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def put(self, code: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (code & ((1 << nbits) - 1))
+        self.nacc += nbits
+        while self.nacc >= 8:
+            byte = (self.acc >> (self.nacc - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nacc -= 8
+            self.acc &= (1 << self.nacc) - 1
+
+    def finish(self) -> bytes:
+        if self.nacc:
+            pad = 8 - self.nacc
+            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.nacc = 0, 0
+        return bytes(self.out)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category, magnitude bits) of a nonzero coefficient."""
+    s = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _jpeg_encode_block(writer, zz, prev_dc: int, dc_codes, ac_codes) -> int:
+    """Entropy-encode one zigzagged quantized block; returns its DC for
+    the component's predictor chain."""
+    diff = int(zz[0]) - prev_dc
+    if diff == 0:
+        c, ln = dc_codes[0]
+        writer.put(c, ln)
+    else:
+        s, bits = _jpeg_magnitude(diff)
+        c, ln = dc_codes[s]
+        writer.put(c, ln)
+        writer.put(bits, s)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            writer.put(c, ln)
+            run -= 16
+        s, bits = _jpeg_magnitude(v)
+        c, ln = ac_codes[(run << 4) | s]
+        writer.put(c, ln)
+        writer.put(bits, s)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        writer.put(c, ln)
+    return int(zz[0])
+
+
+def _jpeg_quantize_block(block, C, Q):
+    """Level-shifted FDCT + quantize + zigzag for one 8x8 float block;
+    coefficients clamp to baseline's 10-bit category cap."""
+    import numpy as np
+
+    coeff = C @ (block - 128.0) @ C.T
+    qz = np.clip(np.round(coeff / Q).astype(np.int64), -1023, 1023)
+    return qz.ravel()[_JPEG_ZIGZAG]
+
+
 def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict:
     """symbol -> (code, length), canonical assignment per T.81 C.2."""
     out = {}
@@ -693,13 +807,19 @@ def _jpeg_dct_matrix():
     return C
 
 
-def _jpeg_quality_table(quality: int):
+def _jpeg_quality_table(quality: int, base=None):
     import numpy as np
 
     q = min(max(int(quality), 1), 100)
     scale = 5000 // q if q < 50 else 200 - 2 * q
-    tbl = (np.asarray(_JPEG_QLUMA, dtype=np.int64) * scale + 50) // 100
+    tbl = (
+        np.asarray(base or _JPEG_QLUMA, dtype=np.int64) * scale + 50
+    ) // 100
     return np.clip(tbl, 1, 255).reshape(8, 8)
+
+
+def _jpeg_quality_table_chroma(quality: int):
+    return _jpeg_quality_table(quality, base=_JPEG_QCHROMA)
 
 
 def encode_jpeg_baseline_gray(pixels, quality: int = 75) -> bytes:
@@ -716,85 +836,22 @@ def encode_jpeg_baseline_gray(pixels, quality: int = 75) -> bytes:
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
+    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge").astype(
+        np.float64
+    )
     Q = _jpeg_quality_table(quality)
     C = _jpeg_dct_matrix()
     dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
 
-    out_bits = bytearray()
-    acc = 0
-    nacc = 0
-
-    def put(code: int, nbits: int) -> None:
-        nonlocal acc, nacc
-        acc = (acc << nbits) | (code & ((1 << nbits) - 1))
-        nacc += nbits
-        while nacc >= 8:
-            byte = (acc >> (nacc - 8)) & 0xFF
-            out_bits.append(byte)
-            if byte == 0xFF:
-                out_bits.append(0x00)  # byte stuffing
-            nacc -= 8
-            acc &= (1 << nacc) - 1
-
-    def put_val(v: int) -> tuple[int, int]:
-        """(category, magnitude bits) of a nonzero coefficient."""
-        s = int(abs(v)).bit_length()
-        bits = v if v > 0 else v + (1 << s) - 1
-        return s, bits
-
+    wr = _JpegBitWriter()
     prev_dc = 0
-    blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
     for by in range(ph // 8):
         for bx in range(pw // 8):
-            B = blocks[by, bx].astype(np.float64) - 128.0
-            coeff = C @ B @ C.T
-            # baseline entropy coding caps coefficient categories at 10
-            # bits (|v| <= 1023); an extreme block at high quality can
-            # otherwise produce category 11 and an unencodable symbol
-            qz = np.clip(
-                np.round(coeff / Q).astype(np.int64), -1023, 1023
+            zz = _jpeg_quantize_block(
+                padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], C, Q
             )
-            zz = qz.ravel()[_JPEG_ZIGZAG]
-            # DC: category + magnitude bits of the diff
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            if diff == 0:
-                c, ln = dc_codes[0]
-                put(c, ln)
-            else:
-                s, bits = put_val(diff)
-                c, ln = dc_codes[s]
-                put(c, ln)
-                put(bits, s)
-            # AC: (run, size) symbols with ZRL and EOB
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = ac_codes[0xF0]  # ZRL
-                    put(c, ln)
-                    run -= 16
-                s, bits = put_val(v)
-                c, ln = ac_codes[(run << 4) | s]
-                put(c, ln)
-                put(bits, s)
-                run = 0
-            if last_nz < 63:
-                c, ln = ac_codes[0x00]  # EOB
-                put(c, ln)
-    if nacc:  # pad the final partial byte with 1s per spec
-        pad = 8 - nacc
-        acc = (acc << pad) | ((1 << pad) - 1)
-        byte = acc & 0xFF
-        out_bits.append(byte)
-        if byte == 0xFF:
-            out_bits.append(0x00)
+            prev_dc = _jpeg_encode_block(wr, zz, prev_dc, dc_codes, ac_codes)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
@@ -810,7 +867,107 @@ def encode_jpeg_baseline_gray(pixels, quality: int = 75) -> bytes:
     sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
     return (
         b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
-        + bytes(out_bits) + b"\xff\xd9"
+        + wr.finish() + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_baseline_color(
+    rgb, quality: int = 75, subsample: str = "420"
+) -> bytes:
+    """Minimal stdlib baseline-JPEG COLOR encoder: BT.601 RGB→YCbCr,
+    chroma subsampling ("420" = 2x2 box-mean, the near-universal web
+    shape, or "444"), Annex-K luma + chroma quant/Huffman tables, and
+    the interleaved MCU scan (4:2:0 MCU = 4 Y blocks + Cb + Cr over a
+    16x16 tile). Spec-conformant output; the synthetic-payload
+    generator for the 3-component rungs of ``decode_jpeg_pixels``.
+    Accepts an (h, w, 3) uint8 array."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = px.shape
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    Y = 0.299 * r + 0.587 * g + 0.114 * b
+    Cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    Cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    if subsample == "420":
+        hy, vy = 2, 2
+    elif subsample == "444":
+        hy, vy = 1, 1
+    else:
+        raise ValueError(f"unsupported subsample {subsample!r}")
+    mcu_w, mcu_h = 8 * hy, 8 * vy
+    ew = -(-w // mcu_w) * mcu_w
+    eh = -(-h // mcu_h) * mcu_h
+
+    def pad(plane, th, tw):
+        return np.pad(
+            plane, ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+
+    Yp = pad(Y, eh, ew)
+    if subsample == "420":
+        # 2x2 box-mean on the padded plane so chroma dims divide by 8
+        Cbp = pad(Cb, eh, ew).reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+        Crp = pad(Cr, eh, ew).reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+    else:
+        Cbp, Crp = pad(Cb, eh, ew), pad(Cr, eh, ew)
+
+    QL = _jpeg_quality_table(quality)
+    QC = _jpeg_quality_table_chroma(quality)
+    C = _jpeg_dct_matrix()
+    dc_l = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_l = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_c = _jpeg_canonical_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    ac_c = _jpeg_canonical_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+
+    wr = _JpegBitWriter()
+    prev = [0, 0, 0]  # per-component DC predictors (Y, Cb, Cr)
+    for my in range(eh // mcu_h):
+        for mx in range(ew // mcu_w):
+            for bv in range(vy):
+                for bh in range(hy):
+                    y0 = my * mcu_h + bv * 8
+                    x0 = mx * mcu_w + bh * 8
+                    zz = _jpeg_quantize_block(
+                        Yp[y0 : y0 + 8, x0 : x0 + 8], C, QL
+                    )
+                    prev[0] = _jpeg_encode_block(wr, zz, prev[0], dc_l, ac_l)
+            for ci, plane in ((1, Cbp), (2, Crp)):
+                zz = _jpeg_quantize_block(
+                    plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8], C, QC
+                )
+                prev[ci] = _jpeg_encode_block(wr, zz, prev[ci], dc_c, ac_c)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dqt = seg(
+        0xDB,
+        b"\x00" + bytes(int(QL.ravel()[z]) for z in _JPEG_ZIGZAG)
+        + b"\x01" + bytes(int(QC.ravel()[z]) for z in _JPEG_ZIGZAG),
+    )
+    samp_y = (hy << 4) | vy
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        + b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
+        + b"\x11" + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0x3F, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + wr.finish() + b"\xff\xd9"
     )
 
 
@@ -819,10 +976,13 @@ def decode_jpeg_pixels(data: bytes):
     :func:`decode_jpeg_meta`'s header scan): Huffman entropy decode →
     dequantize → inverse zigzag → 2-D IDCT → level shift, returning
     ``(width, height, gray)`` with ``gray`` a float64 (h, w) array of
-    integer-rounded luma in [0, 255]. Supports what
-    :func:`encode_jpeg_baseline_gray` emits and any other
-    single-component 8-bit baseline stream without restart markers;
-    anything else (progressive, chroma, RSTn) returns ``None`` — same
+    integer-rounded luma in [0, 255]. Supports 8-bit baseline streams
+    with 1 component (grayscale) or 3 components with the interleaved
+    MCU scan — 4:4:4, 4:2:0, 4:2:2, any sampling in {1,2} per axis with
+    full-resolution luma (chroma blocks are entropy-decoded to advance
+    the bitstream and discarded; the luma plane IS the feature input of
+    this pipeline). Progressive frames, restart markers, 16-bit quant
+    tables, and subsampled-luma exotics return ``None`` — same
     graceful-degrade contract as decode_png. Cites reference parity:
     the reference has no media decode at all (store.py:1-267); this is
     the EXT multimodal surface."""
@@ -837,7 +997,7 @@ def decode_jpeg_pixels(data: bytes):
         qtables: dict[int, np.ndarray] = {}
         htables: dict[tuple[int, int], dict] = {}
         w = h = None
-        q_id = dc_id = ac_id = None
+        comps: list[dict] = []
         scan_start = None
         while pos + 4 <= n:
             while pos < n and data[pos] == 0xFF:
@@ -880,28 +1040,51 @@ def decode_jpeg_pixels(data: bytes):
                     bp += 17 + nv
             elif marker == 0xC0:  # SOF0 baseline
                 precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-                if precision != 8 or ncomp != 1:
+                if precision != 8 or ncomp not in (1, 3):
                     return None
-                cid, sampling, q_id = body[6], body[7], body[8]
-                if sampling != 0x11:
-                    return None
+                comps = []
+                for ci in range(ncomp):
+                    cid = body[6 + 3 * ci]
+                    samp = body[7 + 3 * ci]
+                    tq = body[8 + 3 * ci]
+                    ch, cv = samp >> 4, samp & 0xF
+                    if ch not in (1, 2) or cv not in (1, 2):
+                        return None
+                    comps.append({"cid": cid, "h": ch, "v": cv, "tq": tq})
             elif 0xC1 <= marker <= 0xCF and marker != 0xC4:
                 return None  # non-baseline frame
             elif marker == 0xDA:  # SOS
                 ns = body[0]
-                if ns != 1 or w is None:
+                if w is None or ns != len(comps):
                     return None
-                dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+                by_cid = {c["cid"]: c for c in comps}
+                for si in range(ns):
+                    scid = body[1 + 2 * si]
+                    tids = body[2 + 2 * si]
+                    if scid not in by_cid:
+                        return None
+                    by_cid[scid]["dc"] = tids >> 4
+                    by_cid[scid]["ac"] = tids & 0xF
                 scan_start = pos + seg_len
                 break
             pos += seg_len
-        if scan_start is None or q_id not in qtables:
+        if scan_start is None:
             return None
-        dc_tab = htables.get((0, dc_id))
-        ac_tab = htables.get((1, ac_id))
-        if dc_tab is None or ac_tab is None:
-            return None
-        Q = qtables[q_id]
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        if len(comps) == 1:
+            if (comps[0]["h"], comps[0]["v"]) != (1, 1):
+                return None
+        elif (comps[0]["h"], comps[0]["v"]) != (hmax, vmax):
+            return None  # only full-resolution luma is materialized
+        for c in comps:
+            if c["tq"] not in qtables:
+                return None
+            c["Q"] = qtables[c["tq"]]
+            c["dc_tab"] = htables.get((0, c["dc"]))
+            c["ac_tab"] = htables.get((1, c["ac"]))
+            if c["dc_tab"] is None or c["ac_tab"] is None:
+                return None
 
         # unstuff the entropy stream up to EOI
         raw = bytearray()
@@ -951,34 +1134,61 @@ def decode_jpeg_pixels(data: bytes):
             return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
         C = _jpeg_dct_matrix()
-        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-        out = np.zeros((ph, pw))
-        prev_dc = 0
-        for by in range(ph // 8):
-            for bx in range(pw // 8):
-                zz = np.zeros(64, dtype=np.int64)
-                s = read_symbol(dc_tab)
-                diff = extend(read_bits(s), s) if s else 0
-                prev_dc += diff
-                zz[0] = prev_dc
-                k = 1
-                while k < 64:
-                    rs = read_symbol(ac_tab)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = rs >> 4, rs & 0xF
-                    k += run
-                    if k > 63 or size == 0:
-                        raise ValueError("bad AC run")
-                    zz[k] = extend(read_bits(size), size)
-                    k += 1
-                coeff = np.zeros(64)
-                coeff[_JPEG_ZIGZAG] = zz
-                block = C.T @ (coeff.reshape(8, 8) * Q) @ C
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+
+        def decode_block(comp) -> np.ndarray:
+            """One entropy-decoded, dequantized, IDCT'd 8x8 block; also
+            advances the component's DC predictor."""
+            zz = np.zeros(64, dtype=np.int64)
+            s = read_symbol(comp["dc_tab"])
+            diff = extend(read_bits(s), s) if s else 0
+            comp["prev_dc"] = comp.get("prev_dc", 0) + diff
+            zz[0] = comp["prev_dc"]
+            k = 1
+            while k < 64:
+                rs = read_symbol(comp["ac_tab"])
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = rs >> 4, rs & 0xF
+                k += run
+                if k > 63 or size == 0:
+                    raise ValueError("bad AC run")
+                zz[k] = extend(read_bits(size), size)
+                k += 1
+            coeff = np.zeros(64)
+            coeff[_JPEG_ZIGZAG] = zz
+            return C.T @ (coeff.reshape(8, 8) * comp["Q"]) @ C
+
+        luma = comps[0]
+        if len(comps) == 1:
+            # non-interleaved single-component scan: plain 8x8 grid
+            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+            out = np.zeros((ph, pw))
+            for by in range(ph // 8):
+                for bx in range(pw // 8):
+                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        decode_block(luma)
+                    )
+        else:
+            # interleaved MCU scan: per MCU, each component contributes
+            # h x v blocks in raster order; only the full-resolution
+            # luma plane is materialized, chroma blocks are decoded to
+            # advance the bitstream and discarded
+            mcu_w, mcu_h = 8 * hmax, 8 * vmax
+            mcus_x, mcus_y = -(-w // mcu_w), -(-h // mcu_h)
+            out = np.zeros((mcus_y * mcu_h, mcus_x * mcu_w))
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for comp in comps:
+                        for bv in range(comp["v"]):
+                            for bh in range(comp["h"]):
+                                block = decode_block(comp)
+                                if comp is luma:
+                                    y0 = my * mcu_h + bv * 8
+                                    x0 = mx * mcu_w + bh * 8
+                                    out[y0 : y0 + 8, x0 : x0 + 8] = block
         gray = np.clip(np.round(out + 128.0), 0, 255)
         return int(w), int(h), gray[:h, :w]
     except (struct.error, ValueError, IndexError):

@@ -636,3 +636,64 @@ def test_jpeg_pixel_codec_property_random_shapes():
         assert np.array_equal(exp, gray)
 
     check()
+
+
+def test_jpeg_color_codec_exact_luma_parity():
+    """3-component baseline JPEG (4:4:4 and 4:2:0 MCU interleave):
+    decoded luma must equal the independent numpy model of the Y-channel
+    pipeline bit-for-bit (chroma blocks advance the bitstream but never
+    touch the luma plane), across odd/padded geometries."""
+    import numpy as np
+
+    from oakstore_spark.operators.multimodal import (
+        _jpeg_dct_matrix,
+        _jpeg_quality_table,
+        decode_jpeg_meta,
+        decode_jpeg_pixels,
+        encode_jpeg_baseline_color,
+    )
+
+    rng = np.random.default_rng(9)
+    C = _jpeg_dct_matrix()
+
+    def y_model(Y, q, mcu):
+        Q = _jpeg_quality_table(q).astype(np.float64)
+        h, w = Y.shape
+        eh, ew = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+        pad = np.pad(Y, ((0, eh - h), (0, ew - w)), mode="edge")
+        exp = np.zeros((eh, ew))
+        for by in range(eh // 8):
+            for bx in range(ew // 8):
+                B = pad[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+                qz = np.clip(np.round((C @ B @ C.T) / Q), -1023, 1023)
+                exp[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                    C.T @ (qz * Q) @ C
+                )
+        return np.clip(np.round(exp + 128.0), 0, 255)[:h, :w]
+
+    for (h, w), sub, mcu, q in [
+        ((24, 40), "444", 8, 80),
+        ((24, 40), "420", 16, 80),
+        ((17, 33), "420", 16, 60),
+        ((8, 8), "444", 8, 95),
+        ((50, 18), "420", 16, 40),
+    ]:
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        blob = encode_jpeg_baseline_color(rgb, quality=q, subsample=sub)
+        assert decode_jpeg_meta(blob) == (w, h, 3, False)
+        dw, dh, gray = decode_jpeg_pixels(blob)
+        assert (dw, dh) == (w, h) and gray.shape == (h, w)
+        r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+        Y = 0.299 * r + 0.587 * g + 0.114 * b
+        assert np.array_equal(y_model(Y, q, mcu), gray), (h, w, sub, q)
+
+    # corruption contract holds for color streams too
+    blob = encode_jpeg_baseline_color(
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    )
+    from oakstore_spark.operators.multimodal import decode_jpeg_pixels as djp
+
+    assert djp(blob[:30]) is None
+    torn = bytearray(blob)
+    torn[len(torn) // 2] ^= 0x55
+    djp(bytes(torn))  # None or garbage, never an exception
