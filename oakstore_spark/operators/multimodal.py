@@ -277,20 +277,23 @@ def extract_image_features(
     """Decode + featurize image binaries, Arrow-batched.
 
     Decode ladder, per payload: (1) REAL pure-stdlib PNG decode
-    (``decode_png`` above — no media libs needed); (2) PIL for other
-    formats when installed; (3) DETERMINISTIC FAKE (width/height/
-    features derived from the content digest) so the pipeline stays
-    runnable on arbitrary bytes. Features are ``IMAGE_FEATURE_DIM``
-    horizontal-band luma means in [0, 1] on every path.
+    (``decode_png`` above — no media libs needed); (2) REAL pure-stdlib
+    baseline-JPEG luma decode (``decode_jpeg_pixels``, gray or color);
+    (3) PIL for other formats when installed; (4) DETERMINISTIC FAKE
+    (width/height/features derived from the content digest) so the
+    pipeline stays runnable on arbitrary bytes. Features are
+    ``IMAGE_FEATURE_DIM`` horizontal-band luma means in [0, 1] on every
+    path.
 
     The batch closure is fully self-contained (no references to this
-    module except the shipped-by-value ``decode_png``) so cloudpickle
+    module except the shipped-by-value decoders) so cloudpickle
     ships it by value — Python workers don't need oakstore_spark
     importable on their path.
     """
     id_name, content_name = id_col, content_col
     dim = IMAGE_FEATURE_DIM
     _png = decode_png
+    _jpg = decode_jpeg_pixels
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -313,19 +316,23 @@ def extract_image_features(
             rows = []
             for mid, content in zip(pdf[id_name], pdf[content_name]):
                 content = bytes(content)
-                decoded = _png(content)
-                if decoded is not None:  # real PNG decode
+                decoded = _png(content) or _jpg(content)
+                feats = None
+                if decoded is not None:  # real PNG or baseline-JPEG luma
                     w, h, gray = decoded
                     feats = band_feats(gray)
                 elif _Image is not None:
                     import io
 
-                    img = _Image.open(io.BytesIO(content))
-                    w, h = img.size
-                    feats = band_feats(
-                        _np.asarray(img.convert("L"), dtype=_np.float64)
-                    )
-                else:  # DETERMINISTIC FAKE (non-PNG, no PIL)
+                    try:
+                        img = _Image.open(io.BytesIO(content))
+                        w, h = img.size
+                        feats = band_feats(
+                            _np.asarray(img.convert("L"), dtype=_np.float64)
+                        )
+                    except Exception:  # noqa: BLE001 — junk bytes degrade
+                        feats = None
+                if feats is None:  # DETERMINISTIC FAKE (undecodable)
                     digest = _hashlib.md5(content).digest()
                     w = 64 + digest[0] % 192
                     h = 64 + digest[1] % 192

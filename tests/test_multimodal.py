@@ -95,6 +95,16 @@ def test_image_features_real_png_path(spark):
     }
     rows = [(k, encode_png(v)) for k, v in imgs.items()]
     rows.append((4, b"\x00\x01binary-not-png" * 100))  # fake fallback
+    # rung 2 of the ladder: a real color baseline JPEG decodes to its
+    # true luma (band means computed from the DECODED pixels)
+    from oakstore_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline_color,
+    )
+
+    jpg_rgb = rng.randint(0, 256, (32, 48, 3)).astype(np.uint8)
+    jpg_blob = encode_jpeg_baseline_color(jpg_rgb, quality=85)
+    rows.append((5, jpg_blob))
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -103,6 +113,13 @@ def test_image_features_real_png_path(spark):
     )
     df = spark.createDataFrame(rows, schema).repartition(2)
     out = extract_image_features(df).toPandas().set_index("media_id")
+    assert int(out.loc[5, "width"]) == 48 and int(out.loc[5, "height"]) == 32
+    jpg_luma = decode_jpeg_pixels(jpg_blob)[2]
+    want5 = [
+        float(b.mean()) / 255.0
+        for b in np.array_split(jpg_luma, IMAGE_FEATURE_DIM, axis=0)
+    ]
+    assert list(out.loc[5, "features"]) == pytest.approx(want5, abs=1e-6)
     for k, px in imgs.items():
         hh, ww = px.shape[:2]
         assert int(out.loc[k, "width"]) == ww
