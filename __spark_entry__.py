@@ -29,8 +29,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["q01_pricing_summary"](spark, _SMOKE_SF_DIR)
 
 
+def _row_is_green(row: object) -> bool:
+    """A driver CORRECTNESS row counts as verification only if it
+    succeeded: ``err`` must be null or the by-design ``'no_oracle'``
+    (rows-only check), and neither match flag may be False.  An errored
+    or hash-mismatched row is NOT verification — those queries must
+    sort as never-checked so the rotation window re-runs them."""
+    if not isinstance(row, dict):
+        return False
+    return (
+        row.get("err") in (None, "no_oracle")
+        and row.get("rows_match") is not False
+        and row.get("schema_match") is not False
+        and row.get("hash_match") is not False
+    )
+
+
 def _load_check_history(repo_dir: str) -> dict[str, list[int]]:
-    """Which rounds gave each query a driver CORRECTNESS row."""
+    """Which rounds gave each query a GREEN driver CORRECTNESS row
+    (errored/mismatched rows are skipped — see _row_is_green)."""
     import glob
     import json
 
@@ -38,9 +55,10 @@ def _load_check_history(repo_dir: str) -> dict[str, list[int]]:
     for p in sorted(glob.glob(str(Path(repo_dir) / "CORRECTNESS_r*.json"))):
         try:
             rnd = int(Path(p).stem.split("_r")[-1])
-            for name in json.load(open(p)):
-                checked.setdefault(name, []).append(rnd)
-        except (ValueError, OSError, json.JSONDecodeError):
+            for name, row in json.load(open(p)).items():
+                if _row_is_green(row):
+                    checked.setdefault(name, []).append(rnd)
+        except (ValueError, OSError, json.JSONDecodeError, AttributeError):
             continue
     return checked
 
@@ -62,8 +80,8 @@ def _rotation_order(
     return sorted(
         names,
         key=lambda n: (
-            len(checked.get(n, [])),
-            max(checked.get(n, [0])),
+            len(checked.get(n) or ()),
+            max(checked.get(n) or (0,)),
             reg_pos[n],
         ),
     )

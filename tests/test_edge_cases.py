@@ -169,3 +169,46 @@ def test_rotation_order_prioritizes_unverified():
     # real invocation (file-backed history) keeps all names exactly once
     full = e._rotation_order(names)
     assert sorted(full) == sorted(names)
+
+
+def test_rotation_treats_errored_rows_as_never_checked():
+    """A driver CORRECTNESS row that ERRORED (traceback in ``err``) or
+    hash-mismatched must NOT count as verification: _row_is_green
+    rejects it, so _load_check_history skips it and the query sorts
+    ahead of once-passed queries — exactly how q_range_join_events'
+    stale r01 failure self-heals (VERDICT r4 ask #2)."""
+    import __spark_entry__ as e
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 5, "oracle_rows": 5, "err": None}
+    rows_only = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "spark_rows": 5, "oracle_rows": None,
+                 "err": "no_oracle"}
+    errored = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None,
+               "err": "Traceback (most recent call last): ..."}
+    mismatched = {"rows_match": True, "schema_match": True,
+                  "hash_match": False, "spark_rows": 5, "oracle_rows": 5,
+                  "err": None}
+    assert e._row_is_green(green)
+    assert e._row_is_green(rows_only)  # rows-only IS a by-design check
+    assert not e._row_is_green(errored)
+    assert not e._row_is_green(mismatched)
+    assert not e._row_is_green(None)
+
+    # an errored row must sort before once-passed queries
+    names = ["passed_early", "errored_early", "never"]
+    history = {"passed_early": [1], "errored_early": []}
+    got = e._rotation_order(names, history)
+    assert got.index("errored_early") < got.index("passed_early")
+    assert got.index("never") < got.index("passed_early")
+
+    # end-to-end: the real file-backed history must place
+    # q_range_join_events (errored r01, never green since) in the
+    # never-checked block, i.e. inside the driver's 50-wide window.
+    checked = e._load_check_history(e._REPO)
+    assert "q_range_join_events" not in checked or not checked[
+        "q_range_join_events"
+    ]
+    order = list(e.queries())
+    assert order.index("q_range_join_events") < 50
