@@ -283,12 +283,15 @@ def extract_image_features(
     (width/height/features derived from the content digest) so the
     pipeline stays runnable on arbitrary bytes. Features are
     ``IMAGE_FEATURE_DIM`` horizontal-band luma means in [0, 1] on every
-    path.
+    path. JPEGs above ``decode_jpeg_pixels``' pixel cap (2 MP) skip the
+    pure-Python rung and go straight to PIL/fake, so a multi-megapixel
+    photo never stalls a task in bit-at-a-time entropy decode.
 
-    The batch closure is fully self-contained (no references to this
-    module except the shipped-by-value decoders) so cloudpickle
-    ships it by value — Python workers don't need oakstore_spark
-    importable on their path.
+    Worker-import note: ``decode_png`` is self-contained, but
+    ``decode_jpeg_pixels`` references module-level Huffman/DCT helpers,
+    so cloudpickle ships it by reference — Python workers need
+    ``oakstore_spark`` importable (true in local mode and in any
+    deployment that ships the package, e.g. ``--py-files``).
     """
     id_name, content_name = id_col, content_col
     dim = IMAGE_FEATURE_DIM
@@ -978,7 +981,7 @@ def encode_jpeg_baseline_color(
     )
 
 
-def decode_jpeg_pixels(data: bytes):
+def decode_jpeg_pixels(data: bytes, max_pixels: int = 1 << 21):
     """REAL pure-stdlib baseline-JPEG PIXEL decode (the last rung past
     :func:`decode_jpeg_meta`'s header scan): Huffman entropy decode →
     dequantize → inverse zigzag → 2-D IDCT → level shift, returning
@@ -990,9 +993,25 @@ def decode_jpeg_pixels(data: bytes):
     the bitstream and discarded; the luma plane IS the feature input of
     this pipeline). Progressive frames, restart markers, 16-bit quant
     tables, and subsampled-luma exotics return ``None`` — same
-    graceful-degrade contract as decode_png. Cites reference parity:
-    the reference has no media decode at all (store.py:1-267); this is
-    the EXT multimodal surface."""
+    graceful-degrade contract as decode_png.
+
+    ``max_pixels`` (default 2 MP) bounds both wall-clock and memory:
+    bit-at-a-time entropy decode in Python is fine for thumbnails and
+    test fixtures but would take minutes on a multi-megapixel photo,
+    and a crafted SOF claiming 65535x65535 would otherwise allocate a
+    ~34 GB plane. Frames above the cap return ``None`` so callers
+    degrade to PIL (when installed) or the deterministic fake instead
+    of stalling the Spark task. ``MemoryError`` is in the degrade set
+    for the same reason.
+
+    NOTE: this function references module-level tables/helpers
+    (``_JPEG_ZIGZAG``, ``_jpeg_canonical_codes``, ``_jpeg_dct_matrix``),
+    so cloudpickle ships it BY REFERENCE — workers calling it (e.g. via
+    ``extract_image_features``) need ``oakstore_spark`` importable,
+    unlike the dependency-free ``decode_png``.
+
+    Cites reference parity: the reference has no media decode at all
+    (store.py:1-267); this is the EXT multimodal surface."""
     import struct
 
     import numpy as np
@@ -1049,6 +1068,8 @@ def decode_jpeg_pixels(data: bytes):
                 precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
                 if precision != 8 or ncomp not in (1, 3):
                     return None
+                if w == 0 or h == 0 or w * h > max_pixels:
+                    return None  # see max_pixels in the docstring
                 comps = []
                 for ci in range(ncomp):
                     cid = body[6 + 3 * ci]
@@ -1198,7 +1219,7 @@ def decode_jpeg_pixels(data: bytes):
                                     out[y0 : y0 + 8, x0 : x0 + 8] = block
         gray = np.clip(np.round(out + 128.0), 0, 255)
         return int(w), int(h), gray[:h, :w]
-    except (struct.error, ValueError, IndexError):
+    except (struct.error, ValueError, IndexError, MemoryError):
         return None
 
 

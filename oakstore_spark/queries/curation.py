@@ -723,7 +723,8 @@ def q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT value,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
              CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
-      FROM events WHERE event_type IN ('purchase', 'view')
+      FROM events
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
     ), tot AS (
       SELECT CAST(sum(a) AS DOUBLE) AS na, CAST(sum(b) AS DOUBLE) AS nb
       FROM s
@@ -744,11 +745,17 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     between purchase and view values): both samples interleave into one
     ordered pass; a RANGE frame makes each cumulative count include ALL
     tied values, which is the correct right-continuous ECDF on both
-    engines. The ORDER BY value window is a global sort — the same
-    documented exact-by-design caveat as q_percentiles; the deployment
-    path for huge samples is binned ECDF on an approx-quantile grid."""
+    engines. NULL values are excluded up front — the same sample
+    definition as the binned sibling ``ks_binned_stat`` (which drops
+    NULL bins by construction), so the two agree on n_a/n_b and the
+    bracket assertions hold even with nullable inputs; without the
+    filter, nulls-ordered-first would also skew the exact ECDF. The
+    ORDER BY value window is a global sort — the same documented
+    exact-by-design caveat as q_percentiles; the deployment path for
+    huge samples is binned ECDF on an approx-quantile grid."""
     e = table(spark, sf_dir, "events").where(
         F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
     )
     s = e.select(
         "value",

@@ -544,7 +544,16 @@ def _incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus side (doc_id % 5 != 0) and persist the signature index
     as parquet in a process-lifetime scratch dir; later calls read the
     artifact. Signatures are deterministic, so the read-back relation
-    is bit-identical to an in-plan recompute."""
+    is bit-identical to an in-plan recompute.
+
+    The scratch dir is removed at interpreter exit (atexit) — mkdtemp
+    does not auto-clean, so without this every process run would leave
+    a signature index on disk forever. Cache staleness caveat: the
+    cache keys on ``sf_dir`` path only; regenerating the documents
+    table under the same path within one process would serve a stale
+    index (fine here — testdata is immutable per run)."""
+    import atexit
+    import shutil
     import tempfile
 
     from oakstore_spark.operators.dedup import minhash_signatures
@@ -552,6 +561,7 @@ def _incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _INC_INDEX_DIRS.get(sf_dir)
     if path is None:
         path = tempfile.mkdtemp(prefix="oak_incdup_idx_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         corpus = table(spark, sf_dir, "documents").where(
             F.col("doc_id") % 5 != 0
         )

@@ -44,6 +44,7 @@ def dedup_admission_stream(
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
+        pairs = None
         try:
             idx_root = Path(index_dir)
             have_index = idx_root.exists() and any(idx_root.glob("batch=*"))
@@ -55,9 +56,14 @@ def dedup_admission_stream(
                 index = minhash_signatures(
                     batch_df.limit(0), id_col, text_col
                 )
+            # persist: the rejects relation below unions two branches
+            # over `pairs`, and on the distributed path exchange reuse
+            # is not guaranteed to cover the signature + band-join +
+            # verify pipeline — without this it can evaluate twice per
+            # micro-batch.
             pairs = incremental_minhash_pairs(
                 batch_df, index, id_col, text_col, threshold=threshold
-            )
+            ).persist()
             # Rejects stay a DataFrame end-to-end — no driver-side sets,
             # no isin() literal list, so a huge availableNow catch-up
             # batch with a high dup rate can't blow up the driver/plan.
@@ -92,6 +98,8 @@ def dedup_admission_stream(
             ).parquet(f"{index_dir}/batch={batch_id}")
             admitted.unpersist()
         finally:
+            if pairs is not None:
+                pairs.unpersist()
             batch_df.unpersist()
 
     return (

@@ -564,6 +564,45 @@ def test_jpeg_pixel_corruption_returns_none_not_raise():
         decode_jpeg_pixels(bytes(torn))  # None or garbage, no exception
 
 
+def test_jpeg_pixel_cap_rejects_huge_and_zero_dims():
+    """A crafted SOF claiming 65535x65535 must return None FAST (no
+    ~34 GB allocation, no minutes of bit-at-a-time decode), and a
+    legitimate frame above the default 2 MP cap must degrade to None so
+    extract_image_features falls through to PIL/fake instead of
+    stalling the task (ADVICE r4). Zero dims likewise."""
+    import struct
+    import time
+
+    import numpy as np
+
+    from oakstore_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    blob = encode_jpeg_baseline_gray(
+        rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    )
+
+    def with_sof_dims(b: bytes, w: int, h: int) -> bytes:
+        i = b.find(b"\xff\xc0")
+        assert i >= 0
+        out = bytearray(b)
+        # SOF0 body: len(2) precision(1) height(2) width(2) ...
+        out[i + 5 : i + 9] = struct.pack(">HH", h, w)
+        return bytes(out)
+
+    t0 = time.monotonic()
+    assert decode_jpeg_pixels(with_sof_dims(blob, 65535, 65535)) is None
+    assert time.monotonic() - t0 < 1.0
+    assert decode_jpeg_pixels(with_sof_dims(blob, 0, 16)) is None
+    assert decode_jpeg_pixels(with_sof_dims(blob, 16, 0)) is None
+    # explicit cap override: the same 16x16 frame above a tiny cap
+    assert decode_jpeg_pixels(blob, max_pixels=100) is None
+    assert decode_jpeg_pixels(blob) is not None  # under the default cap
+
+
 def test_resize_thumbnails_jpeg_block_mean_parity(spark):
     """Thumbnails over JPEG payloads: the 8x8 block means of the
     thumbnail must equal the block means of the reference-reconstructed
