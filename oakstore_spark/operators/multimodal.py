@@ -1442,3 +1442,165 @@ def decode_avi_frames(data: bytes):
         return frames
     except (struct.error, ValueError):
         return None
+
+
+def video_frame_luma(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-frame PIXEL statistics from real video bytes — the
+    composition of the two rungs built separately in r3/r4:
+    :func:`decode_avi_frames` walks the RIFF/movi container to each
+    frame payload, and :func:`decode_jpeg_pixels` entropy-decodes the
+    payload's baseline-JPEG luma plane. Emits one row per (payload,
+    frame) with integer pixel sums plus derived mean/std:
+
+        mean = sum_luma / n_px
+        std  = sqrt((n_px*sum_sq_luma - sum_luma^2) / n_px^2)
+
+    The sums are EXACT int64 (decoded luma is integer-valued), and the
+    mean/std association is the one-division integer-products-first
+    form, so a SQL oracle replaying planted frame patterns reproduces
+    the doubles bit-for-bit (see q_video_frame_luma).
+
+    Degrade contract: a payload that isn't a decodable AVI emits one
+    row with null frame_idx/stats; a frame whose JPEG pixel decode
+    fails (progressive, torn, above the pixel cap) keeps its frame_idx
+    with null stats. Arrow-batched mapInPandas, map-side only — video
+    bytes never shuffle, frames of one payload never cross tasks.
+
+    Reference parity: the reference has no media decode at all
+    (store.py:1-267); EXT multimodal surface for video curation.
+    """
+    import math
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_px", T.LongType()),
+            T.StructField("sum_luma", T.LongType()),
+            T.StructField("sum_sq_luma", T.LongType()),
+            T.StructField("mean_luma", T.DoubleType()),
+            T.StructField("std_luma", T.DoubleType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    _avi = decode_avi_frames
+    _jpg = decode_jpeg_pixels
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                mid = int(mid)
+                frames = _avi(bytes(content))
+                if frames is None:
+                    rows.append((mid,) + (None,) * 8)
+                    continue
+                for idx, payload in enumerate(frames):
+                    dec = _jpg(payload)
+                    if dec is None:
+                        rows.append((mid, idx) + (None,) * 7)
+                        continue
+                    w, h, gray = dec
+                    px = gray.astype(_np.int64)
+                    n = int(px.size)
+                    s = int(px.sum())
+                    ss = int((px * px).sum())
+                    mean = s / n
+                    std = math.sqrt((n * ss - s * s) / (n * n))
+                    rows.append((mid, idx, int(w), int(h), n, s, ss, mean, std))
+            yield _pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema)
+
+
+def audio_spectral_features(
+    df: DataFrame,
+    frame_len: int = 64,
+    n_bands: int = 4,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Spectral rung above :func:`audio_features`' waveform RMS /
+    zero-crossings (the audio analog of the PNG→JPEG image ladder):
+    STFT the decoded PCM16 stream with non-overlapping rectangular
+    frames of ``frame_len`` samples (numpy real FFT, Arrow-batched,
+    map-side), then report energy-weighted spectral centroid and
+    band-energy concentration over the whole payload:
+
+    - ``n_frames``       — full frames in the stream (tail discarded)
+    - ``centroid_bin``   — sum(b * E_b) / sum(E_b) over FFT bins
+      b = 1..frame_len/2 (DC excluded), energies summed across frames
+    - ``dominant_band``  — argmax of the ``n_bands`` contiguous band
+      energies over those bins (ties -> lowest band), band of bin b
+      being ``(b-1) // (frame_len/2/n_bands)``
+    - ``dominant_share`` — dominant band energy / total energy
+    - ``total_energy``   — sum of |X_b|^2 over bins 1..frame_len/2
+
+    A pure tone exactly on bin k concentrates all energy there, so
+    centroid_bin == k and dominant_share == 1 up to float eps — which
+    is what makes the planted-tone oracle of q_audio_spectral exact.
+    Undecodable payloads or streams shorter than one frame emit nulls
+    rather than failing the task (same degrade contract as the other
+    decoders). Payload bytes never shuffle.
+    """
+    half = frame_len // 2
+    band_w = max(half // n_bands, 1)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("centroid_bin", T.DoubleType()),
+            T.StructField("dominant_band", T.IntegerType()),
+            T.StructField("dominant_share", T.DoubleType()),
+            T.StructField("total_energy", T.DoubleType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    _wav = decode_wav_samples
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                mid = int(mid)
+                dec = _wav(bytes(content))
+                if dec is None:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                _nch, _rate, s = dec
+                nf = len(s) // frame_len
+                if nf == 0:
+                    rows.append((mid, 0, None, None, None, None))
+                    continue
+                x = s[: nf * frame_len].astype(_np.float64)
+                spec = _np.fft.rfft(x.reshape(nf, frame_len), axis=1)
+                e = (spec.real**2 + spec.imag**2)[:, 1 : half + 1].sum(axis=0)
+                total = float(e.sum())
+                if total <= 0.0:
+                    rows.append((mid, nf, None, None, None, 0.0))
+                    continue
+                bins = _np.arange(1, half + 1, dtype=_np.float64)
+                centroid = float((bins * e).sum() / total)
+                bands = _np.add.reduceat(
+                    e, _np.arange(0, half, band_w)
+                )[:n_bands]
+                dom = int(bands.argmax())
+                rows.append(
+                    (mid, nf, centroid, dom, float(bands[dom] / total), total)
+                )
+            yield _pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema)

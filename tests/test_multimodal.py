@@ -753,3 +753,112 @@ def test_jpeg_color_codec_exact_luma_parity():
     torn = bytearray(blob)
     torn[len(torn) // 2] ^= 0x55
     djp(bytes(torn))  # None or garbage, never an exception
+
+
+def test_video_frame_luma_exact_and_degrade(spark):
+    """video_frame_luma composes the RIFF walk with the JPEG pixel
+    decode: planted blockwise-constant q100 frames round-trip EXACTLY
+    (DC-only, quant=1), so integer sums and the one-division mean/std
+    must equal the closed form; undecodable containers emit one null
+    row; a torn frame keeps its frame_idx with null stats."""
+    import math
+
+    from oakstore_spark.operators.multimodal import (
+        encode_jpeg_baseline_gray,
+        encode_mjpeg_avi,
+        video_frame_luma,
+    )
+
+    vals = [[10, 200, 55, 127], [0, 255, 128, 99]]
+    frames = []
+    for vs in vals:
+        img = np.zeros((16, 16), dtype=np.uint8)
+        for b, v in enumerate(vs):
+            by, bx = divmod(b, 2)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+        frames.append(encode_jpeg_baseline_gray(img, quality=100))
+    good = encode_mjpeg_avi(frames, 16, 16, 25)
+    # payload 2: second frame torn mid-entropy-stream
+    torn_frame = bytearray(frames[1])
+    torn_frame[len(torn_frame) // 2] ^= 0x55
+    half_torn = encode_mjpeg_avi([frames[0], bytes(torn_frame)], 16, 16, 25)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(half_torn)),
+         (3, bytearray(b"not an avi at all"))],
+        "media_id long, content binary",
+    )
+    out = video_frame_luma(df).orderBy("media_id", "frame_idx").collect()
+
+    by_key = {(r.media_id, r.frame_idx): r for r in out}
+    for i, vs in enumerate(vals):
+        r = by_key[(1, i)]
+        s, ss = 64 * sum(vs), 64 * sum(v * v for v in vs)
+        assert (r.n_px, r.sum_luma, r.sum_sq_luma) == (256, s, ss)
+        assert r.width == 16 and r.height == 16
+        assert r.mean_luma == s / 256
+        assert r.std_luma == math.sqrt((256 * ss - s * s) / 65536.0)
+    # torn second frame: frame 0 decodes, frame 1 has null stats or
+    # garbage-but-bounded stats (Huffman may still resync); container
+    # row count is pinned either way
+    assert (2, 0) in by_key and by_key[(2, 0)].sum_luma is not None
+    assert (2, 1) in by_key
+    # non-AVI payload degrades to a single null row
+    r3 = [r for r in out if r.media_id == 3]
+    assert len(r3) == 1 and r3[0].frame_idx is None and r3[0].n_px is None
+
+
+def test_audio_spectral_tone_and_numpy_parity(spark):
+    """audio_spectral_features: (a) planted on-bin tones recover the
+    closed form exactly (centroid==k, dominant_share==1); (b) arbitrary
+    random PCM agrees with an independent numpy STFT model to float
+    tolerance; (c) junk bytes and sub-frame streams degrade to nulls."""
+    from oakstore_spark.operators.multimodal import (
+        audio_spectral_features,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(77)
+    rand = rng.integers(-3000, 3000, 64 * 3 + 17).astype(np.int16)
+
+    def tone(k, amp, nf):
+        i = np.arange(64 * nf)
+        if k == 32:
+            return (amp * ((-1) ** (i % 2))).astype(np.int16)
+        pat = np.array([1, 0, -1, 0], dtype=np.int64)
+        return (amp * pat[i % 4]).astype(np.int16)
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav_pcm16(tone(16, 777, 2), 16000, 1))),
+            (2, bytearray(encode_wav_pcm16(tone(32, 300, 3), 16000, 1))),
+            (3, bytearray(encode_wav_pcm16(rand, 8000, 1))),
+            (4, bytearray(b"RIFFjunkjunkjunk")),
+            (5, bytearray(encode_wav_pcm16(rand[:10], 8000, 1))),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {
+        r.media_id: r
+        for r in audio_spectral_features(df, 64, 4).collect()
+    }
+    assert rows[1].n_frames == 2 and round(rows[1].centroid_bin, 6) == 16.0
+    assert rows[1].dominant_band == 1 and round(rows[1].dominant_share, 6) == 1.0
+    assert rows[2].n_frames == 3 and round(rows[2].centroid_bin, 6) == 32.0
+    assert rows[2].dominant_band == 3 and round(rows[2].dominant_share, 6) == 1.0
+
+    # numpy reference model over the random stream
+    x = rand[: 3 * 64].astype(np.float64).reshape(3, 64)
+    spec = np.fft.rfft(x, axis=1)
+    e = (spec.real**2 + spec.imag**2)[:, 1:33].sum(axis=0)
+    bins = np.arange(1, 33, dtype=np.float64)
+    want_centroid = float((bins * e).sum() / e.sum())
+    bands = np.add.reduceat(e, np.arange(0, 32, 8))
+    assert rows[3].n_frames == 3
+    assert abs(rows[3].centroid_bin - want_centroid) < 1e-9
+    assert rows[3].dominant_band == int(bands.argmax())
+    assert abs(rows[3].dominant_share - float(bands.max() / e.sum())) < 1e-12
+    assert abs(rows[3].total_energy - float(e.sum())) / e.sum() < 1e-12
+
+    assert rows[4].n_frames is None  # undecodable
+    assert rows[5].n_frames == 0 and rows[5].centroid_bin is None  # < 1 frame
