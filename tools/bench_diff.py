@@ -5,6 +5,14 @@ set, regressions above a ratio threshold, biggest wins, and the current
 tail — the round-over-round regression check the per-round JSON alone
 can't show.
 
+Flagged regressions are automatically RE-TIMED solo (min-of-3, fresh
+SparkSession, same noop sink as bench.py) and adjudicated: suite-run
+wall times carry 10-50% single-query noise (GC, page cache, neighboring
+queries), and in r4 six TPC-H queries false-alarmed at ~2x purely from a
+load burst mid-suite. The solo number is the truth; each flagged query
+prints as either `noise (solo=...)` or `REGRESSION (solo=...)`. Disable
+with --no-retime (e.g. when the data dir for the old run is gone).
+
 Usage:
   python tools/bench_diff.py OLD NEW [--ratio 1.2] [--min-sec 0.5]
   python tools/bench_diff.py ca22791:BENCH_DETAIL.json BENCH_DETAIL.json
@@ -31,6 +39,53 @@ def load(spec: str) -> dict:
     return json.loads(Path(spec).read_text())
 
 
+def solo_retime(names: list[str]) -> dict[str, float]:
+    """Min-of-3 solo wall time per query on a fresh SparkSession at
+    $SPARK_GRAFT_SF_DIR — the adjudication measurement for suite-run
+    noise. Mirrors bench.py: noop sink, warm-up of JVM + Python worker
+    pool first, clearCache between runs."""
+    import os
+    import time
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo))
+    import __spark_entry__ as entrymod
+    from oakstore_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("oakstore_bench_retime")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.time() - t0
+        spark.catalog.clearCache()
+        return dt
+
+    run("q01_pricing_summary")  # JVM + codegen warm-up
+
+    def _noop_batches(it):
+        yield from it
+
+    spark.range(0, 3200, 1, 32).toDF("id").mapInPandas(
+        _noop_batches, "id long"
+    ).write.format("noop").mode("overwrite").save()  # worker pool warm-up
+
+    out: dict[str, float] = {}
+    for name in names:
+        if name not in qs:
+            continue
+        try:
+            out[name] = round(min(run(name) for _ in range(3)), 2)
+        except Exception as e:  # noqa: BLE001
+            print(f"retime error {name}: {e}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
@@ -40,6 +95,9 @@ def main() -> None:
     ap.add_argument("--min-sec", type=float, default=0.5,
                     help="ignore regressions below this absolute time")
     ap.add_argument("--top", type=int, default=10)
+    ap.add_argument("--no-retime", action="store_true",
+                    help="skip the solo min-of-3 adjudication of "
+                         "flagged regressions")
     args = ap.parse_args()
 
     old = load(args.old)["queries"]
@@ -65,8 +123,25 @@ def main() -> None:
     )
     print(f"\nregressions >{args.ratio}x (and >={args.min_sec}s):"
           + ("" if regs else " none"))
+    solo = {}
+    if regs and not args.no_retime:
+        solo = solo_retime([k for _, k in regs[: args.top]])
+    n_noise = n_real = 0
     for r, k in regs[: args.top]:
-        print(f"  {k}: {old[k]:.2f} -> {new[k]:.2f} ({r:.2f}x)")
+        verdict = ""
+        if k in solo:
+            # adjudicate against the OLD number: a solo min-of-3 back at
+            # (or under) ratio x old means the suite run was noisy, not
+            # the code slower
+            if solo[k] <= old[k] * args.ratio:
+                verdict = f"  -> noise (solo={solo[k]:.2f}s)"
+                n_noise += 1
+            else:
+                verdict = f"  -> REGRESSION (solo={solo[k]:.2f}s)"
+                n_real += 1
+        print(f"  {k}: {old[k]:.2f} -> {new[k]:.2f} ({r:.2f}x){verdict}")
+    if solo:
+        print(f"  adjudicated: {n_noise} noise, {n_real} real")
 
     wins = sorted(((old[k] - new[k], k) for k in common), reverse=True)
     print("\nbiggest wins:")

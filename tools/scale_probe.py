@@ -42,6 +42,11 @@ def main() -> None:
                     help="also probe the JVM text family (token stats, "
                          "unigram/bigram LM scoring, 5-gram novelty) on "
                          "this many synthetic 40-word docs")
+    ap.add_argument("--spandocs", type=int, default=0,
+                    help="also probe span/ExactSubstr dedup at volume: "
+                         "this many synthetic docs, every 7th carrying a "
+                         "planted boilerplate block; asserts exact "
+                         "planted-span recovery (cuts == planted - 1)")
     ap.add_argument("--streamrows", type=int, default=0,
                     help="also probe Structured Streaming: this many "
                          "synthetic events through a watermarked tumbling "
@@ -322,6 +327,46 @@ def main() -> None:
 
         ttimed("text_ngram_novelty", novelty)
         out["text_docs"] = nt
+
+    if args.spandocs:
+        # span/ExactSubstr dedup at volume with PLANTED-SPAN recovery:
+        # each doc is 24 globally-unique hash words (3 full 8-word
+        # blocks); every 7th doc appends one shared 8-word boilerplate
+        # block, block-aligned. The keeper rule (first occurrence by
+        # packed (doc_id, block_idx)) must cut EXACTLY planted-1
+        # blocks — digest-shuffle block algebra verified at volume, not
+        # just fixture scale.
+        from oakstore_spark.operators.dedup import span_dedup
+
+        nsd = args.spandocs
+        boiler = " ".join(f"spanmark{j}" for j in range(8))
+        sdocs = spark.range(0, nsd, 1, 64).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[F.hex(F.hash(F.col("id") * 131 + k)) for k in range(24)],
+                F.when(F.col("id") % 7 == 0, F.lit(boiler)),
+            ).alias("text"),
+        )
+        sdocs.persist()
+        sdocs.count()
+        n_planted = (nsd + 6) // 7
+        t0 = time.time()
+        span_cut = span_dedup(sdocs).agg(
+            F.sum(F.col("n_blocks") - F.col("n_kept"))
+        ).first()[0]
+        dt = time.time() - t0
+        out["span_probe_docs"] = nsd
+        out["span_probe_sec"] = round(dt, 2)
+        out["span_probe_docs_per_sec"] = round(nsd / dt)
+        out["span_planted_expected"] = n_planted - 1
+        out["span_planted_cut"] = int(span_cut)
+        if int(span_cut) != n_planted - 1:
+            raise SystemExit(
+                f"span_dedup planted recovery FAILED: cut {span_cut}, "
+                f"expected {n_planted - 1}"
+            )
+        sdocs.unpersist()
 
     if args.streamrows:
         # Structured Streaming at volume: watermarked tumbling-window
