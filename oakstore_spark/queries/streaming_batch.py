@@ -136,3 +136,98 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.round(F.col("VALUE") * 100).cast("bigint")).alias("sum_cents"),
     )
+
+
+_STREAM_SINK_DIRS: dict[str, str] = {}
+
+
+def _ensure_stream_sink(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once/query-many streaming SINK fixture: run the
+    availableNow ingest (same path as q_stream_ingest_counts) into a
+    per-process scratch sink and cache the path — downstream batch
+    queries over the sink table (rollup shapes, etc.) then price at
+    their aggregation cost, not at re-running the stream. The dir is
+    cleared at first build (stale append-only sinks double-count) and
+    removed at interpreter exit."""
+    import atexit
+
+    path = _STREAM_SINK_DIRS.get(sf_dir)
+    if path is not None:
+        return path
+    base = (
+        Path(tempfile.gettempdir())
+        / f"oakspark_streamsink_{Path(sf_dir.rstrip('/')).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, str(base), ignore_errors=True)
+    src = base / "src"
+    src.mkdir(parents=True)
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_events_stream(spark, str(src))
+        q = ingest_events_stream(
+            stream,
+            str(base / "sink"),
+            str(base / "ckpt"),
+            watermark="3650 days",
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _STREAM_SINK_DIRS[sf_dir] = str(base / "sink")
+    return _STREAM_SINK_DIRS[sf_dir]
+
+
+@register(
+    "q_stream_rollup_counts",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_num,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(day_num, -1) AS day_num,
+           count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM s
+    GROUP BY ROLLUP (event_type, day_num)
+    """,
+)
+def q_stream_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set shapes over the STREAMING SINK table (r4 verdict ask
+    #7): the availableNow ingest's parquet sink — built once per
+    process by _ensure_stream_sink, exactly-once by the same watermarked
+    dedup q_stream_ingest_counts oracle-proves — is aggregated with
+    ROLLUP (event_type, event day): per-(type, day) counts, per-type
+    subtotals, and the grand total in ONE pass (Spark expands grouping
+    sets inside the hash aggregate — no self-union of scans). The
+    oracle replays the rollup on the RAW events table, so the streamed
+    sink must be row-identical to the source for every grouping level
+    to match. Day key is integer epoch-days (oracle-parity rule:
+    BIGINT, not timestamps); NULL group keys from the rollup are
+    sentinel-coalesced identically on both sides."""
+    sink = _ensure_stream_sink(spark, sf_dir)
+    s = spark.read.parquet(sink).select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+        .cast("bigint")
+        .alias("day_num"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        s.rollup("event_type", "day_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day_num", F.lit(-1)).alias("day_num"),
+            "n_events",
+            "sum_cents",
+        )
+    )

@@ -962,3 +962,73 @@ def test_item_pandas_api_bridge(spark, store, ohlcv_data):
         got.sort_index(), ref.sort_index(), check_names=False,
         check_freq=False,
     )
+
+
+def test_compact_while_querying_manifest(mstore, monkeypatch):
+    """Delta-style OPTIMIZE-vs-readers isolation on the manifest
+    protocol: compact() commits a NEW manifest version and never deletes
+    the files of prior generations (only vacuum does), so (a) a lazy
+    snapshot handle captured BEFORE the compaction still materializes
+    bit-identical data AFTER it, (b) readers racing a compaction in
+    another thread always see exactly the committed rows — no partial
+    file-set is ever visible, and (c) post-compact fresh reads return
+    the same data from fewer files."""
+    import threading
+
+    import oakstore_spark.store as store_mod
+
+    idx = pd.date_range("2022-01-01", periods=60, freq="D")
+    df = pd.DataFrame(
+        {"Open": np.arange(60.0), "High": np.ones(60), "Low": np.ones(60),
+         "Close": np.ones(60), "Volume": np.ones(60, dtype=int)},
+        index=idx,
+    )
+    monkeypatch.setattr(store_mod, "_MAX_RECORDS_PER_FILE", 7)
+    mstore["OPT"] = df.iloc[:20]
+    for i in (1, 2):
+        mstore["OPT"] += df.iloc[i * 20 : (i + 1) * 20]
+    item = mstore._item_path("OPT")
+    reference = mstore["OPT"][:]
+    assert len(reference) == 60
+    pre_version = mstore.versions("OPT")[-1]
+    pre_snapshot = mstore.snapshot("OPT", pre_version)  # LAZY handle
+    n_files_before = len(list(item.rglob("*.parquet")))
+
+    # (b) readers race the compaction from another thread; every read
+    # must equal the reference exactly (same rows, same values)
+    errors: list[Exception] = []
+    stop = threading.Event()
+
+    def reader() -> None:
+        while not stop.is_set():
+            try:
+                got = mstore["OPT"][:]
+                pd.testing.assert_frame_equal(got, reference)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        monkeypatch.setattr(store_mod, "_MAX_RECORDS_PER_FILE", 1_000_000)
+        n_compacted = mstore.compact("OPT")
+        assert n_compacted >= 1
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not errors, f"concurrent reader diverged: {errors[0]}"
+
+    # (a) the pre-compact snapshot handle still reads the OLD generation
+    pre = pre_snapshot.toPandas().set_index(mstore._metadata.index_name)
+    pre.index.name = reference.index.name
+    pd.testing.assert_frame_equal(pre, reference, check_freq=False)
+
+    # (c) fresh read: same data, fewer live files in the new manifest
+    pd.testing.assert_frame_equal(mstore["OPT"][:], reference)
+    post_version = mstore.versions("OPT")[-1]
+    assert post_version > pre_version
+    live = len(mstore._manifest_paths(
+        item, mstore._latest_manifest(item)[1]
+    ))
+    assert live < n_files_before
