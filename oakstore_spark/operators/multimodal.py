@@ -1604,3 +1604,71 @@ def audio_spectral_features(
             yield _pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, content_col).mapInPandas(batches, schema)
+
+
+def audio_silence_stats(
+    df: DataFrame,
+    frame_len: int = 64,
+    threshold: float = 0.0,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Silence segmentation over decoded PCM16 audio — the
+    voice-activity-style curation signal (trim silence, drop dead air,
+    bound segment lengths): frame the stream into non-overlapping
+    ``frame_len``-sample frames, mark a frame silent when its RMS is
+    <= ``threshold``, and report per payload:
+
+    - ``n_frames``            — full frames (tail discarded)
+    - ``n_silent``            — frames at/below the RMS threshold
+    - ``longest_silent_run``  — longest consecutive silent stretch
+
+    Run-length logic is per-payload numpy inside the Arrow batch (a
+    payload's frames never cross tasks, so no window/shuffle is needed
+    — the gaps-and-islands SQL the oracle uses is replayed map-side).
+    Undecodable payloads emit nulls; sub-frame streams emit zeros.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_silent", T.LongType()),
+            T.StructField("longest_silent_run", T.LongType()),
+        ]
+    )
+    _wav = decode_wav_samples
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                mid = int(mid)
+                dec = _wav(bytes(content))
+                if dec is None:
+                    rows.append((mid, None, None, None))
+                    continue
+                s = dec[2]
+                nf = len(s) // frame_len
+                if nf == 0:
+                    rows.append((mid, 0, 0, 0))
+                    continue
+                x = s[: nf * frame_len].astype(_np.float64)
+                rms = _np.sqrt((x * x).reshape(nf, frame_len).mean(axis=1))
+                silent = rms <= threshold
+                n_silent = int(silent.sum())
+                longest = run = 0
+                for flag in silent:
+                    run = run + 1 if flag else 0
+                    longest = max(longest, run)
+                rows.append((mid, nf, n_silent, longest))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "n_silent", "longest_silent_run",
+                ],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema)

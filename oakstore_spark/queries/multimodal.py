@@ -727,3 +727,172 @@ def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dominant_band",
         F.round("dominant_share", 4).alias("dominant_share"),
     )
+
+
+@register(
+    "q_video_scene_cuts",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, CAST(i AS INT) AS frame_idx
+      FROM documents, unnest(range(0, doc_id % 4 + 2)) t(i)
+    ), m AS (
+      SELECT doc_id, frame_idx,
+             (CAST((doc_id * 31 + frame_idx * 17) % 256
+                 + (doc_id * 31 + frame_idx * 17 + 11) % 256
+                 + (doc_id * 31 + frame_idx * 17 + 22) % 256
+                 + (doc_id * 31 + frame_idx * 17 + 33) % 256 AS BIGINT)
+              / 4.0) AS mean_luma
+      FROM f
+    ), d AS (
+      SELECT doc_id, frame_idx, mean_luma,
+             mean_luma - lag(mean_luma)
+               OVER (PARTITION BY doc_id ORDER BY frame_idx) AS delta
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 4 + 2 AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN abs(delta) > 40.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cuts,
+           round(max(abs(delta)), 4) AS max_delta
+    FROM d GROUP BY doc_id
+    """,
+)
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over DECODED video pixels: the planted-frame
+    MJPEG fixture of q_video_frame_luma (2-5 frames per doc here), run
+    through ``video_frame_luma``, then a frame-ordered LAG window on
+    the per-frame mean luma flags |delta| > 40 as a cut — the shot-
+    boundary heuristic of a video curation pipeline, composed from the
+    real container walk + JPEG pixel decode + a JVM window over the
+    per-frame relation (pixels reduce map-side to one row per frame
+    BEFORE the shuffle; the window partitions by media_id). Quality-100
+    blockwise-constant frames round-trip exactly, so the oracle replays
+    frame means, lag deltas, and the cut rule bit-for-bit from the
+    generating arithmetic."""
+    from oakstore_spark.operators.multimodal import (
+        encode_jpeg_baseline_gray,
+        encode_mjpeg_avi,
+        video_frame_luma,
+    )
+    from oakstore_spark.operators.scaling import widen_partitions
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    _enc_jpg, _enc_avi = encode_jpeg_baseline_gray, encode_mjpeg_avi
+
+    def make_avi(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                frames = []
+                for i in range(doc_id % 4 + 2):
+                    img = _np.zeros((16, 16), dtype=_np.uint8)
+                    for b in range(4):
+                        by, bx = divmod(b, 2)
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            doc_id * 31 + i * 17 + b * 11
+                        ) % 256
+                    frames.append(_enc_jpg(img, quality=100))
+                rows.append((doc_id, _enc_avi(frames, 16, 16, 25)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = widen_partitions(d.select("doc_id")).mapInPandas(
+        make_avi, "media_id long, content binary"
+    )
+    per_frame = video_frame_luma(media).select(
+        "media_id", "frame_idx", "mean_luma"
+    )
+    w = W.partitionBy("media_id").orderBy("frame_idx")
+    deltas = per_frame.withColumn(
+        "delta", F.col("mean_luma") - F.lag("mean_luma").over(w)
+    )
+    return deltas.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(
+            F.when(F.abs("delta") > 40.0, 1).otherwise(0)
+        ).cast("bigint").alias("n_cuts"),
+        F.round(F.max(F.abs("delta")), 4).alias("max_delta"),
+    )
+
+
+@register(
+    "q_audio_silence",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             ((doc_id + i) % 3 = 0) AS silent
+      FROM documents, unnest(range(0, doc_id % 5 + 2)) t(i)
+    ), runs AS (
+      SELECT doc_id,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM f WHERE silent
+    ), longest AS (
+      SELECT doc_id, max(run_len) AS longest_run FROM (
+        SELECT doc_id, count(*) AS run_len FROM runs GROUP BY doc_id, grp
+      ) GROUP BY doc_id
+    ), counts AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_silent
+      FROM f WHERE silent GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(d.doc_id % 5 + 2 AS BIGINT) AS n_frames,
+           CAST(coalesce(c.n_silent, 0) AS BIGINT) AS n_silent,
+           CAST(coalesce(l.longest_run, 0) AS BIGINT)
+             AS longest_silent_run
+    FROM documents d
+    LEFT JOIN counts c ON d.doc_id = c.doc_id
+    LEFT JOIN longest l ON d.doc_id = l.doc_id
+    """,
+)
+def q_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation over DECODED audio: each doc becomes a PCM16
+    WAV of 2-6 64-sample frames where frame i is all-zero iff
+    (doc_id + i) % 3 == 0 and carries the bin-16 tone otherwise;
+    ``audio_silence_stats`` decodes the bytes, computes per-frame RMS
+    map-side, and reduces to silent-frame count + longest consecutive
+    silent run per payload. The oracle replays the planted silence
+    pattern with textbook gaps-and-islands SQL (row_number group key)
+    — so the waveform decode, the framing, the RMS threshold, AND the
+    run-length logic must all agree. Map-side only: a payload's frames
+    never cross tasks, so no shuffle carries audio."""
+    from oakstore_spark.operators.multimodal import (
+        audio_silence_stats,
+        encode_wav_pcm16,
+    )
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    d = table(spark, sf_dir, "documents")
+    _enc = encode_wav_pcm16
+
+    def make_wav(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        pat16 = _np.array([1, 0, -1, 0], dtype=_np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                amp = 200 + doc_id % 800
+                frames = []
+                for i in range(doc_id % 5 + 2):
+                    if (doc_id + i) % 3 == 0:
+                        frames.append(_np.zeros(64, dtype=_np.int16))
+                    else:
+                        j = _np.arange(64)
+                        frames.append(
+                            (amp * pat16[j % 4]).astype(_np.int16)
+                        )
+                rows.append(
+                    (doc_id, _enc(_np.concatenate(frames), 16000, 1))
+                )
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = widen_partitions(d.select("doc_id")).mapInPandas(
+        make_wav, "media_id long, content binary"
+    )
+    return audio_silence_stats(media, frame_len=64, threshold=0.0)

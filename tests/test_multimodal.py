@@ -862,3 +862,38 @@ def test_audio_spectral_tone_and_numpy_parity(spark):
 
     assert rows[4].n_frames is None  # undecodable
     assert rows[5].n_frames == 0 and rows[5].centroid_bin is None  # < 1 frame
+
+
+def test_audio_silence_stats_runs_and_degrade(spark):
+    """Run-length edges for audio_silence_stats: leading/trailing/full
+    silent runs, no silence at all, junk bytes -> nulls, sub-frame
+    stream -> zeros."""
+    from oakstore_spark.operators.multimodal import (
+        audio_silence_stats,
+        encode_wav_pcm16,
+    )
+
+    tone = np.tile(np.array([500, 0, -500, 0], dtype=np.int16), 16)
+    zero = np.zeros(64, dtype=np.int16)
+
+    def wav(frames):
+        return bytearray(encode_wav_pcm16(np.concatenate(frames), 8000, 1))
+
+    df = spark.createDataFrame(
+        [
+            (1, wav([zero, tone, zero, zero])),   # runs 1, 2 (trailing)
+            (2, wav([tone, tone])),                # no silence
+            (3, wav([zero, zero, zero])),          # fully silent
+            (4, bytearray(b"junk")),               # undecodable
+            (5, wav([tone[:1]])),                  # sub-frame
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in audio_silence_stats(df, 64, 0.0).collect()}
+    assert (rows[1].n_frames, rows[1].n_silent,
+            rows[1].longest_silent_run) == (4, 3, 2)
+    assert (rows[2].n_silent, rows[2].longest_silent_run) == (0, 0)
+    assert (rows[3].n_frames, rows[3].n_silent,
+            rows[3].longest_silent_run) == (3, 3, 3)
+    assert rows[4].n_frames is None
+    assert (rows[5].n_frames, rows[5].longest_silent_run) == (0, 0)
