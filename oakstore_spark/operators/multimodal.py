@@ -981,7 +981,9 @@ def encode_jpeg_baseline_color(
     )
 
 
-def decode_jpeg_pixels(data: bytes, max_pixels: int = 1 << 21):
+def decode_jpeg_pixels(
+    data: bytes, max_pixels: int = 1 << 21, return_planes: bool = False
+):
     """REAL pure-stdlib baseline-JPEG PIXEL decode (the last rung past
     :func:`decode_jpeg_meta`'s header scan): Huffman entropy decode →
     dequantize → inverse zigzag → 2-D IDCT → level shift, returning
@@ -994,6 +996,14 @@ def decode_jpeg_pixels(data: bytes, max_pixels: int = 1 << 21):
     this pipeline). Progressive frames, restart markers, 16-bit quant
     tables, and subsampled-luma exotics return ``None`` — same
     graceful-degrade contract as decode_png.
+
+    ``return_planes=True`` additionally materializes EVERY component's
+    raw post-IDCT plane (level-shifted +128, UNROUNDED float64, at the
+    component's natural subsampled resolution, padded to whole blocks)
+    and returns ``(width, height, gray, comps, planes)`` where
+    ``comps`` is the per-component metadata list (sampling factors
+    h/v). This is the hook :func:`decode_jpeg_rgb` uses to reconstruct
+    color — the default luma-only return is unchanged.
 
     ``max_pixels`` (default 2 MP) bounds both wall-clock and memory:
     bit-at-a-time entropy decode in Python is fine for thumbnails and
@@ -1199,17 +1209,27 @@ def decode_jpeg_pixels(data: bytes, max_pixels: int = 1 << 21):
                     out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                         decode_block(luma)
                     )
+            planes = [out + 128.0] if return_planes else None
         else:
             # interleaved MCU scan: per MCU, each component contributes
             # h x v blocks in raster order; only the full-resolution
-            # luma plane is materialized, chroma blocks are decoded to
-            # advance the bitstream and discarded
+            # luma plane is materialized by default — chroma blocks are
+            # decoded to advance the bitstream and (unless
+            # return_planes) discarded
             mcu_w, mcu_h = 8 * hmax, 8 * vmax
             mcus_x, mcus_y = -(-w // mcu_w), -(-h // mcu_h)
             out = np.zeros((mcus_y * mcu_h, mcus_x * mcu_w))
+            chroma_planes = (
+                [
+                    np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
+                    for c in comps[1:]
+                ]
+                if return_planes
+                else None
+            )
             for my in range(mcus_y):
                 for mx in range(mcus_x):
-                    for comp in comps:
+                    for ci, comp in enumerate(comps):
                         for bv in range(comp["v"]):
                             for bh in range(comp["h"]):
                                 block = decode_block(comp)
@@ -1217,7 +1237,17 @@ def decode_jpeg_pixels(data: bytes, max_pixels: int = 1 << 21):
                                     y0 = my * mcu_h + bv * 8
                                     x0 = mx * mcu_w + bh * 8
                                     out[y0 : y0 + 8, x0 : x0 + 8] = block
+                                elif return_planes:
+                                    p = chroma_planes[ci - 1]
+                                    y0 = (my * comp["v"] + bv) * 8
+                                    x0 = (mx * comp["h"] + bh) * 8
+                                    p[y0 : y0 + 8, x0 : x0 + 8] = block
+            if return_planes:
+                planes = [out + 128.0] + [p + 128.0 for p in chroma_planes]
         gray = np.clip(np.round(out + 128.0), 0, 255)
+        if return_planes:
+            meta = [{"h": c["h"], "v": c["v"]} for c in comps]
+            return int(w), int(h), gray[:h, :w], meta, planes
         return int(w), int(h), gray[:h, :w]
     except (struct.error, ValueError, IndexError, MemoryError):
         return None
@@ -1672,3 +1702,50 @@ def audio_silence_stats(
             )
 
     return df.select(id_col, content_col).mapInPandas(batches, schema)
+
+
+def decode_jpeg_rgb(data: bytes, max_pixels: int = 1 << 21):
+    """Full COLOR output from the baseline-JPEG codec — the rung above
+    :func:`decode_jpeg_pixels`' luma plane: entropy-decode every
+    component (the pixel decoder already walks chroma blocks; here they
+    are materialized via ``return_planes``), nearest-replicate
+    subsampled chroma up to luma resolution, and convert JFIF YCbCr to
+    RGB:
+
+        R = Y + 1.402 (Cr-128)
+        G = Y - 0.344136 (Cb-128) - 0.714136 (Cr-128)
+        B = Y + 1.772 (Cb-128)
+
+    each channel finished with HALF-UP rounding ``floor(x + 0.5)`` then
+    clipped to [0, 255] — half-up (not numpy's half-even) because it is
+    the SQL-portable rounding (DuckDB ``floor(x + 0.5)``), which keeps
+    planted-color oracles bit-exact (q_jpeg_rgb_stats). Grayscale
+    streams replicate the luma plane. Returns ``(width, height, rgb)``
+    with ``rgb`` an (h, w, 3) float64 array of integer values, or
+    ``None`` under exactly decode_jpeg_pixels' degrade contract."""
+    import numpy as np
+
+    dec = decode_jpeg_pixels(data, max_pixels=max_pixels, return_planes=True)
+    if dec is None:
+        return None
+    w, h, _gray, meta, planes = dec
+    yp = planes[0][:h, :w]
+    if len(planes) == 1:
+        g = np.clip(np.floor(yp + 0.5), 0, 255)
+        return w, h, np.repeat(g[:, :, None], 3, axis=2)
+    hmax = max(c["h"] for c in meta)
+    vmax = max(c["v"] for c in meta)
+    ups = []
+    for c, p in zip(meta[1:], planes[1:]):
+        fx, fy = hmax // c["h"], vmax // c["v"]
+        if fy > 1:
+            p = np.repeat(p, fy, axis=0)
+        if fx > 1:
+            p = np.repeat(p, fx, axis=1)
+        ups.append(p[:h, :w])
+    cb, cr = ups[0] - 128.0, ups[1] - 128.0
+    out = np.empty((h, w, 3))
+    out[:, :, 0] = yp + 1.402 * cr
+    out[:, :, 1] = yp - 0.344136 * cb - 0.714136 * cr
+    out[:, :, 2] = yp + 1.772 * cb
+    return w, h, np.clip(np.floor(out + 0.5), 0, 255)

