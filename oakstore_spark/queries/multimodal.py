@@ -990,3 +990,165 @@ def q_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, width int, height int, "
         "r_mean long, g_mean long, b_mean long",
     )
+
+
+@register(
+    "q_media_curation_e2e",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN CAST(list_extract([23, 29, 37],
+                            CAST((doc_id // 17) % 3 AS INT) + 1) AS BIGINT)
+                  ELSE doc_id END AS e
+      FROM documents
+    ), vf AS (
+      SELECT doc_id, e, i,
+             CASE WHEN e % 11 = 0
+                  THEN 4 * ((e * 31 + i * 17) % 256)
+                  ELSE (e * 31 + i * 17) % 256
+                     + (e * 31 + i * 17 + 11) % 256
+                     + (e * 31 + i * 17 + 22) % 256
+                     + (e * 31 + i * 17 + 33) % 256
+             END AS s
+      FROM base, unnest(range(0, e % 3 + 1)) t(i)
+    ), fp AS (
+      SELECT doc_id, e,
+             string_agg(CAST(s AS VARCHAR), ':' ORDER BY i) AS fp
+      FROM vf GROUP BY doc_id, e
+    ), au AS (
+      SELECT doc_id,
+             sum(CASE WHEN e % 13 = 0 OR (e + i) % 3 = 0
+                      THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE) AS silent_ratio
+      FROM base, unnest(range(0, e % 5 + 2)) t(i)
+      GROUP BY doc_id, e
+    ), grp AS (
+      SELECT fp, min(doc_id) AS keeper, count(*) AS n_fp
+      FROM fp GROUP BY fp
+    )
+    SELECT f.doc_id AS media_id, f.fp,
+           CASE WHEN f.e % 11 = 0 THEN 'blank_video'
+                WHEN a.silent_ratio > 0.6 THEN 'silent_audio'
+                WHEN g.n_fp > 1 AND f.doc_id <> g.keeper THEN 'dup'
+                ELSE 'kept' END AS verdict
+    FROM fp f
+    JOIN au a ON f.doc_id = a.doc_id
+    JOIN grp g ON f.fp = g.fp
+    """,
+)
+def q_media_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END multimodal curation composite (the media analog of
+    q_curation_e2e): every doc becomes a REAL MJPEG video + PCM16 audio
+    pair; the pipeline then (1) decodes per-frame pixel stats and drops
+    BLANK videos (every frame zero-variance — planted for e%11==0),
+    (2) decodes audio and drops mostly-SILENT payloads (silent ratio
+    > 0.6 — planted full silence for e%13==0), (3) exact-dedups on a
+    DECODED-CONTENT fingerprint (frame mean-luma sequence; every 17th
+    doc re-renders one of 3 prototypes, so collisions are planted and
+    the first occurrence by doc_id survives). One verdict per doc with
+    blank > silent > dup > kept precedence. The oracle replays the
+    WHOLE chain — effective-id seeding, planted frame arithmetic,
+    silence pattern, fingerprint grouping, keeper rule — so every
+    decode path AND every curation rule must agree at once: the
+    cross-operator regression canary for the multimodal family.
+    Decode is map-side; only one fingerprint row per doc shuffles."""
+    from pyspark.sql import Window as W  # noqa: F401  (symmetry w/ scene cuts)
+
+    from oakstore_spark.operators.multimodal import (
+        audio_silence_stats,
+        encode_jpeg_baseline_gray,
+        encode_mjpeg_avi,
+        encode_wav_pcm16,
+        video_frame_luma,
+    )
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    d = table(spark, sf_dir, "documents")
+    _enc_jpg, _enc_avi, _enc_wav = (
+        encode_jpeg_baseline_gray, encode_mjpeg_avi, encode_wav_pcm16,
+    )
+
+    def make_media(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        protos = (23, 29, 37)
+        pat16 = _np.array([1, 0, -1, 0], dtype=_np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                e = protos[(doc_id // 17) % 3] if doc_id % 17 == 0 else doc_id
+                frames = []
+                for i in range(e % 3 + 1):
+                    img = _np.zeros((16, 16), dtype=_np.uint8)
+                    if e % 11 == 0:  # planted BLANK frame
+                        img[:, :] = (e * 31 + i * 17) % 256
+                    else:
+                        for b in range(4):
+                            by, bx = divmod(b, 2)
+                            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                                e * 31 + i * 17 + b * 11
+                            ) % 256
+                    frames.append(_enc_jpg(img, quality=100))
+                avi = _enc_avi(frames, 16, 16, 25)
+                amp = 200 + e % 800
+                chunks = []
+                for i in range(e % 5 + 2):
+                    if e % 13 == 0 or (e + i) % 3 == 0:  # planted silence
+                        chunks.append(_np.zeros(64, dtype=_np.int16))
+                    else:
+                        j = _np.arange(64)
+                        chunks.append((amp * pat16[j % 4]).astype(_np.int16))
+                wav = _enc_wav(_np.concatenate(chunks), 16000, 1)
+                rows.append((doc_id, avi, wav))
+            yield _pd.DataFrame(rows, columns=["media_id", "video", "audio"])
+
+    media = widen_partitions(d.select("doc_id")).mapInPandas(
+        make_media, "media_id long, video binary, audio binary"
+    )
+    v = video_frame_luma(
+        media.select("media_id", F.col("video").alias("content"))
+    )
+    vstats = v.groupBy("media_id").agg(
+        F.max("std_luma").alias("max_std"),
+        F.concat_ws(
+            ":",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "frame_idx",
+                            (F.col("sum_luma") / F.lit(64))
+                            .cast("long")
+                            .alias("s"),
+                        )
+                    )
+                ),
+                lambda x: x["s"].cast("string"),
+            ),
+        ).alias("fp"),
+    )
+    a = audio_silence_stats(
+        media.select("media_id", F.col("audio").alias("content"))
+    ).select(
+        "media_id",
+        (F.col("n_silent") / F.col("n_frames")).alias("silent_ratio"),
+    )
+    j = vstats.join(a, "media_id")
+    grp = j.groupBy("fp").agg(
+        F.min("media_id").alias("keeper"), F.count(F.lit(1)).alias("n_fp")
+    )
+    return j.join(grp, "fp").select(
+        "media_id",
+        "fp",
+        F.when(F.col("max_std") == 0.0, F.lit("blank_video"))
+        .when(F.col("silent_ratio") > 0.6, F.lit("silent_audio"))
+        .when(
+            (F.col("n_fp") > 1) & (F.col("media_id") != F.col("keeper")),
+            F.lit("dup"),
+        )
+        .otherwise(F.lit("kept"))
+        .alias("verdict"),
+    )
