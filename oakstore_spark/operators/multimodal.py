@@ -1556,15 +1556,21 @@ def audio_spectral_features(
     df: DataFrame,
     frame_len: int = 64,
     n_bands: int = 4,
+    window: str = "rect",
+    hop: int | None = None,
     id_col: str = "media_id",
     content_col: str = "content",
 ) -> DataFrame:
     """Spectral rung above :func:`audio_features`' waveform RMS /
     zero-crossings (the audio analog of the PNG→JPEG image ladder):
-    STFT the decoded PCM16 stream with non-overlapping rectangular
-    frames of ``frame_len`` samples (numpy real FFT, Arrow-batched,
-    map-side), then report energy-weighted spectral centroid and
-    band-energy concentration over the whole payload:
+    STFT the decoded PCM16 stream with ``frame_len``-sample frames
+    advanced by ``hop`` samples (default ``frame_len`` = no overlap;
+    ``hop=frame_len//2`` gives the standard 50% overlap), optionally
+    ``window="hann"``-tapered (periodic Hann — the production STFT
+    shape; the ``"rect"`` default keeps the on-bin planted-tone oracle
+    exact), numpy real FFT, Arrow-batched, map-side. Reports
+    energy-weighted spectral centroid and band-energy concentration
+    over the whole payload:
 
     - ``n_frames``       — full frames in the stream (tail discarded)
     - ``centroid_bin``   — sum(b * E_b) / sum(E_b) over FFT bins
@@ -1582,8 +1588,13 @@ def audio_spectral_features(
     rather than failing the task (same degrade contract as the other
     decoders). Payload bytes never shuffle.
     """
+    if window not in ("rect", "hann"):
+        raise ValueError(f"unsupported window {window!r}")
     half = frame_len // 2
     band_w = max(half // n_bands, 1)
+    step = frame_len if hop is None else int(hop)
+    if step < 1:
+        raise ValueError(f"hop must be >= 1, got {hop!r}")
 
     schema = T.StructType(
         [
@@ -1602,6 +1613,12 @@ def audio_spectral_features(
         import numpy as _np
         import pandas as _pd
 
+        taper = (
+            0.5
+            - 0.5 * _np.cos(2 * _np.pi * _np.arange(frame_len) / frame_len)
+            if window == "hann"
+            else None
+        )
         for pdf in it:
             rows = []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
@@ -1611,12 +1628,21 @@ def audio_spectral_features(
                     rows.append((mid, None, None, None, None, None))
                     continue
                 _nch, _rate, s = dec
-                nf = len(s) // frame_len
+                nf = (
+                    (len(s) - frame_len) // step + 1
+                    if len(s) >= frame_len
+                    else 0
+                )
                 if nf == 0:
                     rows.append((mid, 0, None, None, None, None))
                     continue
-                x = s[: nf * frame_len].astype(_np.float64)
-                spec = _np.fft.rfft(x.reshape(nf, frame_len), axis=1)
+                base = _np.arange(nf)[:, None] * step
+                x = s.astype(_np.float64)[
+                    base + _np.arange(frame_len)[None, :]
+                ]
+                if taper is not None:
+                    x = x * taper
+                spec = _np.fft.rfft(x, axis=1)
                 e = (spec.real**2 + spec.imag**2)[:, 1 : half + 1].sum(axis=0)
                 total = float(e.sum())
                 if total <= 0.0:

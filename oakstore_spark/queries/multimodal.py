@@ -1152,3 +1152,63 @@ def q_media_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("kept"))
         .alias("verdict"),
     )
+
+
+@register(
+    "q_audio_spectral_hann",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(2 * (doc_id % 4 + 1) - 1 AS BIGINT) AS n_frames,
+           round(16.0, 4) AS centroid_bin,
+           CAST(1 AS INT) AS dominant_band,
+           round(5.0 / 6.0, 4) AS dominant_share
+    FROM documents
+    """,
+)
+def q_audio_spectral_hann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape STFT — periodic Hann window, 50% overlap — with
+    a closed-form oracle: a tone exactly on bin 16 under a Hann taper
+    puts energy ONLY at bins 15/16/17 with |X| ratios 1:2:1, so the
+    centroid stays exactly 16 by symmetry, the dominant band (bins
+    9..16 — holding k and k-1 but not k+1) carries energy share
+    (4+1)/(4+2) = 5/6 exactly, and 50% overlap of 64*(doc_id%4+1)
+    samples yields 2*(doc_id%4+1)-1 frames. Every doc varies amplitude
+    and length; the windowing, the overlap framing, AND the band
+    arithmetic must all agree with the closed form to 4 decimals."""
+    from oakstore_spark.operators.multimodal import (
+        audio_spectral_features,
+        encode_wav_pcm16,
+    )
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    d = table(spark, sf_dir, "documents")
+    _enc = encode_wav_pcm16
+
+    def make_wav(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        pat16 = _np.array([1, 0, -1, 0], dtype=_np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                amp = 200 + doc_id % 800
+                n = 64 * (doc_id % 4 + 1)
+                i = _np.arange(n)
+                s = (amp * pat16[i % 4]).astype(_np.int16)
+                rows.append((doc_id, _enc(s, 16000, 1)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = widen_partitions(d.select("doc_id")).mapInPandas(
+        make_wav, "media_id long, content binary"
+    )
+    out = audio_spectral_features(
+        media, frame_len=64, n_bands=4, window="hann", hop=32
+    )
+    return out.select(
+        "media_id", "n_frames",
+        F.round("centroid_bin", 4).alias("centroid_bin"),
+        "dominant_band",
+        F.round("dominant_share", 4).alias("dominant_share"),
+    )

@@ -986,3 +986,52 @@ def test_jpeg_rgb_decode_exact_parity():
     torn = bytearray(blob)
     torn[len(torn) // 2] ^= 0x55
     decode_jpeg_rgb(bytes(torn))  # None or garbage, never an exception
+
+
+def test_audio_spectral_hann_overlap_numpy_parity(spark):
+    """Hann window + 50% overlap path agrees with an independent numpy
+    STFT model on arbitrary random PCM, and the rect/no-overlap default
+    is unchanged by the framing refactor (same frames as reshape)."""
+    from oakstore_spark.operators.multimodal import (
+        audio_spectral_features,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(123)
+    rand = rng.integers(-8000, 8000, 64 * 4 + 29).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav_pcm16(rand, 16000, 1)))],
+        "media_id long, content binary",
+    )
+    got = audio_spectral_features(
+        df, 64, 4, window="hann", hop=32
+    ).collect()[0]
+
+    w = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(64) / 64)
+    starts = range(0, len(rand) - 64 + 1, 32)
+    E = np.zeros(32)
+    for st in starts:
+        X = np.fft.rfft(rand[st : st + 64].astype(np.float64) * w)
+        E += (X.real**2 + X.imag**2)[1:33]
+    bins = np.arange(1, 33, dtype=np.float64)
+    bands = np.add.reduceat(E, np.arange(0, 32, 8))
+    assert got.n_frames == len(list(starts))
+    assert abs(got.centroid_bin - float((bins * E).sum() / E.sum())) < 1e-9
+    assert got.dominant_band == int(bands.argmax())
+    assert abs(got.dominant_share - float(bands.max() / E.sum())) < 1e-12
+
+    # rect default equals the pre-refactor reshape framing
+    r = audio_spectral_features(df, 64, 4).collect()[0]
+    x = rand[: 4 * 64].astype(np.float64).reshape(4, 64)
+    spec = np.fft.rfft(x, axis=1)
+    E2 = (spec.real**2 + spec.imag**2)[:, 1:33].sum(axis=0)
+    assert r.n_frames == 4
+    assert abs(r.total_energy - float(E2.sum())) / E2.sum() < 1e-12
+
+    # guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        audio_spectral_features(df, 64, 4, window="hamming")
+    with _pytest.raises(ValueError):
+        audio_spectral_features(df, 64, 4, hop=0)
