@@ -47,6 +47,12 @@ def main() -> None:
                          "this many synthetic docs, every 7th carrying a "
                          "planted boilerplate block; asserts exact "
                          "planted-span recovery (cuts == planted - 1)")
+    ap.add_argument("--mediadocs", type=int, default=0,
+                    help="also probe the multimodal decode family: this "
+                         "many synthetic MJPEG-AVI + PCM16-WAV payloads "
+                         "through video_frame_luma and "
+                         "audio_silence_stats with exact planted "
+                         "blank-frame / silent-frame recovery")
     ap.add_argument("--streamrows", type=int, default=0,
                     help="also probe Structured Streaming: this many "
                          "synthetic events through a watermarked tumbling "
@@ -367,6 +373,103 @@ def main() -> None:
                 f"expected {n_planted - 1}"
             )
         sdocs.unpersist()
+
+    if args.mediadocs:
+        # multimodal decode family at volume: real MJPEG/JPEG + WAV
+        # payloads generated worker-side, decoded through the
+        # pure-Python codec rungs. Planted recovery: every 10th doc's
+        # video is blank (both frames zero-variance) and every doc has
+        # exactly one silent audio frame — the decode path must recover
+        # both counts exactly or it is mangling pixels/samples at scale.
+        from pyspark import StorageLevel
+
+        from oakstore_spark.operators.multimodal import (
+            audio_silence_stats,
+            video_frame_luma,
+        )
+
+        nm = args.mediadocs
+
+        def gen_media(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            from oakstore_spark.operators.multimodal import (
+                encode_jpeg_baseline_gray,
+                encode_mjpeg_avi,
+                encode_wav_pcm16,
+            )
+
+            pat16 = _np.array([1, 0, -1, 0], dtype=_np.int64)
+            for pdf in batches:
+                rows = []
+                for mid in pdf["id"]:
+                    mid = int(mid)
+                    frames = []
+                    for i in range(2):
+                        img = _np.zeros((16, 16), dtype=_np.uint8)
+                        if mid % 10 == 0:  # planted BLANK
+                            img[:, :] = (mid * 31 + i * 17) % 256
+                        else:
+                            for b in range(4):
+                                by, bx = divmod(b, 2)
+                                img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                                    mid * 31 + i * 17 + b * 11
+                                ) % 256
+                        frames.append(encode_jpeg_baseline_gray(img, 100))
+                    avi = encode_mjpeg_avi(frames, 16, 16, 25)
+                    amp = 200 + mid % 800
+                    chunks = [
+                        _np.zeros(64, dtype=_np.int16)
+                        if (mid + i) % 3 == 0
+                        else (amp * pat16[_np.arange(64) % 4]).astype(
+                            _np.int16
+                        )
+                        for i in range(3)
+                    ]
+                    wav = encode_wav_pcm16(
+                        _np.concatenate(chunks), 16000, 1
+                    )
+                    rows.append((mid, avi, wav))
+                yield _pd.DataFrame(
+                    rows, columns=["media_id", "video", "audio"]
+                )
+
+        media = spark.range(0, nm, 1, 64).mapInPandas(
+            gen_media, "media_id long, video binary, audio binary"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        media.count()  # generation billed here, not to the decode legs
+
+        t0 = time.time()
+        blank = video_frame_luma(
+            media.select("media_id", F.col("video").alias("content"))
+        ).agg(
+            F.sum(F.when(F.col("std_luma") == 0.0, 1).otherwise(0))
+        ).first()[0]
+        dt = time.time() - t0
+        want_blank = 2 * ((nm + 9) // 10)
+        out["media_docs"] = nm
+        out["video_decode_sec"] = round(dt, 2)
+        out["video_decode_docs_per_sec"] = round(nm / dt)
+        out["video_blank_frames"] = int(blank)
+        if int(blank) != want_blank:
+            raise SystemExit(
+                f"video planted recovery FAILED: {blank} != {want_blank}"
+            )
+
+        t0 = time.time()
+        silent = audio_silence_stats(
+            media.select("media_id", F.col("audio").alias("content"))
+        ).agg(F.sum("n_silent")).first()[0]
+        dt = time.time() - t0
+        out["audio_decode_sec"] = round(dt, 2)
+        out["audio_decode_docs_per_sec"] = round(nm / dt)
+        out["audio_silent_frames"] = int(silent)
+        if int(silent) != nm:
+            raise SystemExit(
+                f"audio planted recovery FAILED: {silent} != {nm}"
+            )
+        media.unpersist()
 
     if args.streamrows:
         # Structured Streaming at volume: watermarked tumbling-window
