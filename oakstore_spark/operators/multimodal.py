@@ -358,11 +358,16 @@ def sample_video_frames(
 ) -> DataFrame:
     """One output row per sampled frame (1-to-many mapInPandas).
 
-    FAKE frame extraction: the 'video' is treated as fixed-size chunks of
-    the byte stream; each sampled chunk's md5 stands in for the decoded
-    frame. Real path would use pyav/ffmpeg over the same contract.
+    Decode ladder: a payload that parses as a RIFF/AVI container gets
+    REAL frame extraction (``decode_avi_frames`` walks the movi LIST to
+    true payload boundaries; each sampled frame's md5 is the digest of
+    the ACTUAL frame bytes). Anything else falls back to the documented
+    fixed-size-chunk fake (4096-byte chunks of the raw stream) so the
+    operator stays total over arbitrary bytes — and stays
+    oracle-checkable via DuckDB blob slicing on that path.
     """
     chunk = 4096
+    _avi = decode_avi_frames
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -373,6 +378,14 @@ def sample_video_frames(
             rows = []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 content = bytes(content)
+                frames = _avi(content)
+                if frames:  # REAL container walk
+                    for idx in range(0, len(frames), every_n):
+                        rows.append(
+                            (int(mid), idx,
+                             _hashlib.md5(frames[idx]).hexdigest())
+                        )
+                    continue
                 n_frames = max(len(content) // chunk, 1)
                 for idx in range(0, n_frames, every_n):
                     frame = content[idx * chunk : (idx + 1) * chunk]

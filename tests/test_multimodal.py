@@ -1035,3 +1035,32 @@ def test_audio_spectral_hann_overlap_numpy_parity(spark):
         audio_spectral_features(df, 64, 4, window="hamming")
     with _pytest.raises(ValueError):
         audio_spectral_features(df, 64, 4, hop=0)
+
+
+def test_sample_video_frames_real_avi_ladder(spark):
+    """sample_video_frames must walk REAL AVI containers to true frame
+    payload digests (not chunk digests), while non-AVI bytes keep the
+    documented chunk-fake contract (pinned elsewhere)."""
+    import hashlib
+
+    from oakstore_spark.operators.multimodal import (
+        encode_jpeg_header,
+        encode_mjpeg_avi,
+        sample_video_frames,
+    )
+
+    frames = [encode_jpeg_header(32, 16, 1) for _ in range(5)]
+    # make each frame's bytes distinct so digests discriminate
+    frames = [f + bytes([i]) for i, f in enumerate(frames)]
+    avi = encode_mjpeg_avi(frames, 32, 16, 25)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi))], "media_id long, content binary"
+    )
+    out = (
+        sample_video_frames(df, every_n=2)
+        .toPandas()
+        .sort_values("frame_idx")
+    )
+    assert out["frame_idx"].tolist() == [0, 2, 4]
+    for r in out.itertuples():
+        assert r.frame_md5 == hashlib.md5(frames[r.frame_idx]).hexdigest()
