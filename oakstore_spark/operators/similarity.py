@@ -1067,3 +1067,65 @@ def search_ivf_index(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "sim", "rank")
     )
+
+
+def add_to_ivf_index(
+    new_vectors: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """INCREMENTAL-ADD step of the persisted IVF index (the index-
+    maintenance shape that makes build-once/search-many viable on a
+    growing corpus — the ANN analog of ``incremental_minhash_pairs``):
+    read back the (tiny) trained centroid table, assign each arriving
+    vector its cell in one map-side pass, and APPEND to the
+    cell-partitioned vectors table. Searches see the new vectors
+    immediately through the same listing-time partition pruning; the
+    quantizer is NOT retrained, so add cost tracks the BATCH, never the
+    corpus.
+
+    Operational note (documented trade-off): under heavy distribution
+    drift the frozen quantizer's cells go unbalanced and recall decays —
+    monitor per-cell counts (a one-line groupBy over the partition
+    column) and rebuild with ``build_ivf_index`` when skew crosses your
+    threshold. Same pattern as re-banding a minhash signature index.
+    """
+    spark = new_vectors.sparkSession
+    cent = (
+        spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
+    )
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent])
+    CT = np.ascontiguousarray(C.T)
+
+    cell_schema = T.StructType(
+        [
+            T.StructField(id_col, new_vectors.schema[id_col].dataType),
+            T.StructField(vec_col, new_vectors.schema[vec_col].dataType),
+            T.StructField("_cell", T.IntegerType()),
+        ]
+    )
+
+    def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Bn = B / np.maximum(
+                np.linalg.norm(B, axis=1, keepdims=True), 1e-12
+            )
+            out = pdf[[id_col, vec_col]].copy()
+            out["_cell"] = (Bn @ CT).argmax(axis=1).astype(np.int32)
+            yield out
+
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    (
+        widen_partitions(new_vectors.select(id_col, vec_col))
+        .mapInPandas(assign_cells, cell_schema)
+        .write.mode("append")
+        .partitionBy("_cell")
+        .parquet(f"{index_dir}/vectors")
+    )

@@ -1269,3 +1269,76 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fertility"),
     )
+
+
+_IVF_INDEX_DIRS: dict[str, str] = {}
+
+
+def _incremental_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once/add-once fixture for q_ivf_persisted_incremental:
+    train + persist the IVF index on the corpus side (vec_id % 5 != 0),
+    then incrementally ADD the arriving batch (vec_id % 5 == 0) through
+    ``add_to_ivf_index`` — the quantizer is never retrained and the
+    corpus never rescanned. Scratch dir is process-cached and removed
+    at interpreter exit (same pattern as _incremental_index)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from oakstore_spark.operators.similarity import (
+        add_to_ivf_index,
+        build_ivf_index,
+    )
+
+    path = _IVF_INDEX_DIRS.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="oak_ivf_idx_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        e = table(spark, sf_dir, "embeddings")
+        build_ivf_index(
+            e.where(F.col("vec_id") % 5 != 0),
+            dim=64,
+            index_dir=path,
+            n_centroids=16,
+        )
+        add_to_ivf_index(e.where(F.col("vec_id") % 5 == 0), path)
+        _IVF_INDEX_DIRS[sf_dir] = path
+    return path
+
+
+@register(
+    "q_ivf_persisted_incremental",
+    oracle="""
+    SELECT vec_id + 1000000 AS query_id, vec_id AS top1_id,
+           round(1.0, 4) AS sim
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def q_ivf_persisted_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF index MAINTENANCE under the oracle gate: vectors
+    with vec_id % 5 == 0 are ADDED to the already-built corpus index by
+    ``add_to_ivf_index`` (cell assignment against the frozen quantizer
+    + append to the cell-partitioned store — add cost tracks the batch,
+    never the corpus), and the planted proof is that searching for an
+    added vector's own embedding must return THAT vector at sim 1.0:
+    the query ranks cells with the same argmax the add step used, so
+    listing-time partition pruning must land on exactly the partition
+    the add wrote, for every query. A wrong cell assignment, a lost
+    append, or broken pruning each break the hash. Search scans only
+    n_probe of 16 cell directories (PartitionFilters, pinned in
+    tests/test_llm_ops.py for the same index layout). Query ids are
+    shifted by 1e6 so the search's self-match exclusion (id != qid)
+    doesn't hide the planted copies."""
+    from oakstore_spark.operators.similarity import search_ivf_index
+
+    idx = _incremental_ivf_index(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("query_id"), "embedding"
+    )
+    out = search_ivf_index(spark, idx, queries, k=1, n_probe=2)
+    return out.select(
+        "query_id",
+        F.col("vec_id").alias("top1_id"),
+        F.round("sim", 4).alias("sim"),
+    )

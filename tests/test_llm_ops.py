@@ -820,3 +820,49 @@ def test_persisted_ivf_index_string_ids(spark, clustered, tmp_path):
         if int(r["vec_id"][4:]) == int(r["query_id"][4:]) ^ 1
     )
     assert hits >= 18
+
+
+def test_ivf_incremental_add_finds_new_vectors(spark, clustered, tmp_path):
+    """add_to_ivf_index: vectors appended against the FROZEN quantizer
+    must be findable by search immediately (cell assignment at add time
+    == cell ranking at search time), twins across the build/add
+    boundary included; the base index files are untouched (append, not
+    rewrite)."""
+    from oakstore_spark.operators.similarity import (
+        add_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    base = clustered.filter(F.col("vec_id") % 2 == 0)   # even half
+    batch = clustered.filter(F.col("vec_id") % 2 == 1)  # odd half (twins)
+    idx = str(tmp_path / "ivf_inc")
+    build_ivf_index(base, dim=32, index_dir=idx, n_centroids=8)
+    import glob
+
+    files_before = set(glob.glob(f"{idx}/vectors/**/*.parquet",
+                                 recursive=True))
+    add_to_ivf_index(batch, idx)
+    files_after = set(glob.glob(f"{idx}/vectors/**/*.parquet",
+                                recursive=True))
+    assert files_before < files_after  # pure append
+
+    # searching an even vector must now surface its ODD twin (which
+    # only exists through the incremental add); shift qids so the
+    # self-exclusion can't interfere with twin ranking
+    queries = base.select(
+        (F.col("vec_id") + 10_000).alias("query_id"), "embedding"
+    )
+    out = search_ivf_index(spark, idx, queries, k=2, n_probe=3).toPandas()
+    top = out[out["rank"] == 1]
+    hits = sum(
+        1 for r in top.itertuples()
+        if int(r.vec_id) in (int(r.query_id) - 10_000,
+                             (int(r.query_id) - 10_000) ^ 1)
+    )
+    assert hits == len(top)  # self or twin at rank 1 for every query
+    twin_rank12 = set()
+    for r in out.itertuples():
+        if int(r.vec_id) == (int(r.query_id) - 10_000) ^ 1:
+            twin_rank12.add(int(r.query_id))
+    assert len(twin_rank12) >= 0.95 * top.shape[0]  # added twins found
