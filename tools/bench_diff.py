@@ -124,16 +124,39 @@ def main() -> None:
     print(f"\nregressions >{args.ratio}x (and >={args.min_sec}s):"
           + ("" if regs else " none"))
     solo = {}
+    anchor = 1.0
     if regs and not args.no_retime:
-        solo = solo_retime([k for _, k in regs[: args.top]])
+        flagged = [k for _, k in regs[: args.top]]
+        # calibration anchors: the most suite-stable mid-range queries.
+        # The OLD run happened on a different day/machine-state; if the
+        # anchors (whose code certainly didn't regress — they were
+        # stable in THIS suite run) retime uniformly slower, that shift
+        # is environment drift and must not be billed to the flagged
+        # queries. anchor = median(solo/old) over them.
+        anchors = [
+            k for k in sorted(
+                (k for k in common
+                 if 0.4 <= old[k] <= 2.0 and k not in flagged),
+                key=lambda k: abs(new[k] / old[k] - 1),
+            )[:5]
+        ]
+        solo = solo_retime(flagged + anchors)
+        ratios = sorted(
+            solo[k] / old[k] for k in anchors if k in solo and old[k] > 0
+        )
+        if ratios:
+            anchor = max(1.0, ratios[len(ratios) // 2])
+        if anchor > 1.1:
+            print(f"  [environment drift: anchors retime at "
+                  f"{anchor:.2f}x their old numbers — thresholds scaled]")
     n_noise = n_real = 0
     for r, k in regs[: args.top]:
         verdict = ""
         if k in solo:
-            # adjudicate against the OLD number: a solo min-of-3 back at
-            # (or under) ratio x old means the suite run was noisy, not
-            # the code slower
-            if solo[k] <= old[k] * args.ratio:
+            # adjudicate against the OLD number scaled by the anchor
+            # drift: a solo min-of-3 back under ratio x old x anchor
+            # means suite noise / machine drift, not slower code
+            if solo[k] <= old[k] * args.ratio * anchor:
                 verdict = f"  -> noise (solo={solo[k]:.2f}s)"
                 n_noise += 1
             else:
