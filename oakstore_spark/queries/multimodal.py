@@ -1105,9 +1105,14 @@ def q_media_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((doc_id, avi, wav))
             yield _pd.DataFrame(rows, columns=["media_id", "video", "audio"])
 
+    # persist: the video and audio branches below would otherwise each
+    # re-run the generation kernel (pure-Python JPEG/AVI/WAV encoding —
+    # the most expensive stage of this query). The harness clears the
+    # cache between queries; payloads are ~2 KB/doc so the footprint is
+    # tiny relative to executor memory at any SF.
     media = widen_partitions(d.select("doc_id")).mapInPandas(
         make_media, "media_id long, video binary, audio binary"
-    )
+    ).persist()
     v = video_frame_luma(
         media.select("media_id", F.col("video").alias("content"))
     )
@@ -1136,7 +1141,9 @@ def q_media_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         (F.col("n_silent") / F.col("n_frames")).alias("silent_ratio"),
     )
-    j = vstats.join(a, "media_id")
+    # persist: the fingerprint-group derivation AND the final verdict
+    # join both consume j — without this the decode branches run twice
+    j = vstats.join(a, "media_id").persist()
     grp = j.groupBy("fp").agg(
         F.min("media_id").alias("keeper"), F.count(F.lit(1)).alias("n_fp")
     )
