@@ -1788,3 +1788,142 @@ def decode_jpeg_rgb(data: bytes, max_pixels: int = 1 << 21):
     out[:, :, 1] = yp - 0.344136 * cb - 0.714136 * cr
     out[:, :, 2] = yp + 1.772 * cb
     return w, h, np.clip(np.floor(out + 0.5), 0, 255)
+
+
+def image_phash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Perceptual hash (pHash) per image payload — the standard
+    image-dedup signature: decode (PNG → baseline JPEG ladder), box-
+    resample the luma plane to 32x32, 2-D DCT, keep the low-frequency
+    8x8 corner (DC dropped), threshold against its median → 64 sign
+    bits packed into one BIGINT. Identical images always collide;
+    near-identical images differ in few bits (hamming distance — pair
+    via a groupBy on the hash for exact dedup, or band the bits for
+    near-dup, same shape as simhash banding in operators/dedup.py).
+    Arrow-batched map-side; undecodable payloads yield NULL hashes.
+    """
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+    _png = decode_png
+    _jpg = decode_jpeg_pixels
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = np.arange(32)
+        D = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 64) * np.sqrt(
+            2.0 / 32
+        )
+        D[0, :] = np.sqrt(1.0 / 32)
+
+        def box32(gray):
+            h, w = gray.shape
+            ys = [h * i // 32 for i in range(33)]
+            xs = [w * j // 32 for j in range(33)]
+            out = np.empty((32, 32))
+            for i in range(32):
+                for j in range(32):
+                    out[i, j] = gray[
+                        ys[i]:max(ys[i + 1], ys[i] + 1),
+                        xs[j]:max(xs[j + 1], xs[j] + 1),
+                    ].mean()
+            return out
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                content = bytes(content)
+                dec = _png(content) or _jpg(content)
+                if dec is None or dec[0] < 1 or dec[1] < 1:
+                    rows.append((int(mid), None, None, None))
+                    continue
+                w, h, gray = dec
+                coeff = D @ box32(gray) @ D.T
+                low = coeff[:8, :8].ravel()[1:]  # drop DC
+                med = np.median(low)
+                bits = np.concatenate(([False], low > med))
+                phash = 0
+                for b in bits:
+                    phash = (phash << 1) | int(b)
+                # wrap to signed 64-bit for the LongType column
+                if phash >= 1 << 63:
+                    phash -= 1 << 64
+                rows.append((int(mid), int(w), int(h), phash))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "phash"]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema)
+
+
+def resample_pcm(
+    df: DataFrame,
+    dst_rate: int,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Sample-rate conversion over decoded PCM16 audio (the
+    rate-normalization step every audio training pipeline needs before
+    batching): linear interpolation at positions ``j * src/dst``
+    seconds, computed INTEGER-FIRST so the arithmetic is SQL-portable —
+
+        num = j * src_rate;  k = num // dst;  f = (num % dst) / dst
+        out[j] = s[k]            if f == 0
+               = s[k]*(1-f) + s[k+1]*f   otherwise
+
+    with ``n_out = (n_in - 1) * dst // src + 1`` output positions (the
+    last never reads past the stream). One row per output sample
+    (media_id, idx, val) — a planted linear-ramp fixture makes the
+    whole chain exactly replayable in SQL (q_audio_resample).
+    Mono streams only (multi-channel payloads emit nothing, same skip
+    contract as sub-frame streams elsewhere); undecodable payloads
+    emit a single null row. Map-side Arrow batches; audio bytes never
+    shuffle, a payload's samples never cross tasks."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("idx", T.LongType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    _wav = decode_wav_samples
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                mid = int(mid)
+                dec = _wav(bytes(content))
+                if dec is None:
+                    rows.append((mid, None, None))
+                    continue
+                nch, src_rate, s = dec
+                if nch != 1 or len(s) < 2:
+                    continue
+                x = s.astype(_np.float64)
+                n_out = (len(s) - 1) * dst_rate // src_rate + 1
+                j = _np.arange(n_out, dtype=_np.int64)
+                num = j * src_rate
+                k = num // dst_rate
+                rem = num % dst_rate
+                f = rem / float(dst_rate)
+                k2 = _np.minimum(k + 1, len(s) - 1)
+                val = _np.where(
+                    rem == 0, x[k], x[k] * (1.0 - f) + x[k2] * f
+                )
+                rows.extend(zip([mid] * n_out, j.tolist(), val.tolist()))
+            yield _pd.DataFrame(rows, columns=["media_id", "idx", "val"])
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema)

@@ -1219,3 +1219,131 @@ def q_audio_spectral_hann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dominant_band",
         F.round("dominant_share", 4).alias("dominant_share"),
     )
+
+
+@register(
+    "q_phash_dedup",
+    oracle="""
+    SELECT a.doc_id AS keep_id, CAST(1 AS BIGINT) AS n_dupes
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 10 = 8
+    """,
+)
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup end-to-end: each doc renders a 32x32
+    grayscale PNG from md5-expanded bytes of an EFFECTIVE id — docs
+    with doc_id % 10 == 9 re-render their predecessor's image, planting
+    one exact-duplicate pair per decade — then ``image_phash`` decodes
+    the real PNG bytes, box-resamples, DCTs, and packs the 64 sign bits;
+    grouping on the hash must recover EXACTLY the planted pairs
+    (identical pixels => identical hash; distinct md5-noise images
+    collide with probability ~n²/2^60, nil at any SF here). The oracle
+    is the planted-pair closed form — a single accidental collision or
+    a nondeterministic bit anywhere in the decode→DCT→pack chain breaks
+    the hash match. Map-side decode; one (hash) row per doc shuffles."""
+    from oakstore_spark.operators.multimodal import (
+        encode_gray_png,
+        image_phash,
+    )
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    d = table(spark, sf_dir, "documents")
+    _enc = encode_gray_png
+
+    def make_png(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                eid = doc_id - 1 if doc_id % 10 == 9 else doc_id
+                buf = b"".join(
+                    _hashlib.md5(f"{eid}:{i}".encode()).digest()
+                    for i in range(64)
+                )  # 1024 deterministic bytes
+                px = _np.frombuffer(buf, dtype=_np.uint8).reshape(32, 32)
+                rows.append((doc_id, _enc(px)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = widen_partitions(d.select("doc_id")).mapInPandas(
+        make_png, "media_id long, content binary"
+    )
+    hashes = image_phash(media)
+    groups = hashes.groupBy("phash").agg(
+        F.min("media_id").alias("keep_id"),
+        (F.count(F.lit(1)) - 1).alias("n_dupes"),
+    )
+    return groups.where(F.col("n_dupes") > 0).select("keep_id", "n_dupes")
+
+
+@register(
+    "q_audio_resample",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(doc_id % 200 - 100 AS BIGINT) AS a,
+             CAST(doc_id % 7 - 3 AS BIGINT) AS b,
+             CAST(40 + doc_id % 50 AS BIGINT) AS n
+      FROM documents
+    ), o AS (
+      SELECT doc_id, a, b, n, j,
+             (j * 16000) // 12000 AS k,
+             (j * 16000) % 12000 AS rem
+      FROM p, unnest(range(0, ((n - 1) * 12000) // 16000 + 1)) t(j)
+    )
+    SELECT doc_id AS media_id, CAST(j AS BIGINT) AS idx,
+           round(CASE WHEN rem = 0 THEN CAST(a + b * k AS DOUBLE)
+                      ELSE (a + b * k) * (1.0 - rem / 12000.0)
+                           + (a + b * k + b) * (rem / 12000.0)
+                 END, 6) AS val
+    FROM o
+    """,
+)
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-rate conversion end-to-end with an EXACT oracle: each doc
+    becomes a PCM16 WAV carrying the integer ramp a + b*i at 16 kHz
+    (values bounded well inside int16), ``resample_pcm`` decodes the
+    bytes and linearly resamples to 12 kHz with integer-first position
+    arithmetic, and — because linear interpolation of a linear ramp is
+    closed-form — the oracle replays every output sample: same k/rem
+    integer split, same (1-f)/f association, same rounding. A wrong
+    byte order in the decode, an off-by-one in the resample positions,
+    or a different interpolation association all break the hash. One
+    row per output sample; decode + resample map-side."""
+    from oakstore_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        resample_pcm,
+    )
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    d = table(spark, sf_dir, "documents")
+    _enc = encode_wav_pcm16
+
+    def make_wav(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                a = doc_id % 200 - 100
+                b = doc_id % 7 - 3
+                n = 40 + doc_id % 50
+                s = (a + b * _np.arange(n, dtype=_np.int64)).astype(
+                    _np.int16
+                )
+                rows.append((doc_id, _enc(s, 16000, 1)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = widen_partitions(d.select("doc_id")).mapInPandas(
+        make_wav, "media_id long, content binary"
+    )
+    out = resample_pcm(media, dst_rate=12000)
+    return out.select(
+        "media_id", "idx", F.round("val", 6).alias("val")
+    )

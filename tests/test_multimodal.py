@@ -1064,3 +1064,69 @@ def test_sample_video_frames_real_avi_ladder(spark):
     assert out["frame_idx"].tolist() == [0, 2, 4]
     for r in out.itertuples():
         assert r.frame_md5 == hashlib.md5(frames[r.frame_idx]).hexdigest()
+
+
+def test_image_phash_invariance_and_hamming(spark):
+    """pHash contract: identical payloads collide exactly; a small
+    local edit moves FEW bits (hamming < 16 of 64); a different image
+    is far (hamming > 16); junk bytes yield null hash."""
+    from oakstore_spark.operators.multimodal import image_phash
+
+    rng = np.random.RandomState(42)
+    base = rng.randint(0, 256, (32, 32), dtype=np.uint8)
+    tweaked = base.copy()  # local brightness bump: few low-freq bits move
+    tweaked[:8, :8] = np.clip(
+        tweaked[:8, :8].astype(int) + 40, 0, 255
+    ).astype(np.uint8)
+    other = rng.randint(0, 256, (32, 32), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, encode_png(base)),
+            (2, encode_png(base)),      # exact dup of 1
+            (3, encode_png(tweaked)),   # near dup of 1
+            (4, encode_png(other)),     # unrelated
+            (5, b"junk bytes"),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in image_phash(df).collect()}
+    assert rows[1].phash == rows[2].phash
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert 0 < ham(rows[1].phash, rows[3].phash) < 16
+    assert ham(rows[1].phash, rows[4].phash) > 16
+    assert rows[5].phash is None
+
+
+def test_resample_pcm_matches_numpy_interp(spark):
+    """resample_pcm's integer-first linear interpolation must agree
+    with numpy.interp on arbitrary PCM to float tolerance, hit the
+    documented n_out, skip multi-channel payloads, and null junk."""
+    from oakstore_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        resample_pcm,
+    )
+
+    rng = np.random.default_rng(5)
+    s = rng.integers(-20000, 20000, 101).astype(np.int16)
+    stereo = rng.integers(-100, 100, 40).astype(np.int16)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav_pcm16(s, 16000, 1))),
+            (2, bytearray(encode_wav_pcm16(stereo, 16000, 2))),
+            (3, bytearray(b"junk")),
+        ],
+        "media_id long, content binary",
+    )
+    out = resample_pcm(df, dst_rate=12000).toPandas()
+    got = out[out.media_id == 1].sort_values("idx")
+    n_out = (len(s) - 1) * 12000 // 16000 + 1
+    assert got["idx"].tolist() == list(range(n_out))
+    t = np.arange(n_out) * 16000 / 12000
+    want = np.interp(t, np.arange(len(s)), s.astype(np.float64))
+    assert np.allclose(got["val"].to_numpy(), want, atol=1e-9)
+    assert len(out[out.media_id == 2]) == 0       # stereo skipped
+    junk = out[out.media_id == 3]
+    assert len(junk) == 1 and junk["idx"].isna().all()
