@@ -1927,3 +1927,70 @@ def resample_pcm(
             yield _pd.DataFrame(rows, columns=["media_id", "idx", "val"])
 
     return df.select(id_col, content_col).mapInPandas(batches, schema)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 10,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    bits: int = 64,
+) -> DataFrame:
+    """IMAGE near-dup pairs from perceptual hashes — the pigeonhole
+    banding of ``simhash_near_dup_pairs`` (operators/dedup.py) applied
+    to :func:`image_phash` output: split the 64-bit hash into
+    ``ceil(bits/(max_hamming+1))``-bit chunks (any pair within hamming
+    k must agree exactly on >= 1 of the k+1 chunks), equi-join per
+    chunk, verify with popcount. Sub-quadratic: candidates are pairs
+    colliding on a chunk, never the full cross product — the 100 TB
+    image-dedup shape (near-identical crops / re-encodes / brightness
+    shifts land within a few bits of each other; unrelated images sit
+    near hamming 32).
+    """
+    k = max_hamming + 1
+    chunk = -(-bits // k)
+    sigs = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("ph")
+    )
+
+    mask = (1 << chunk) - 1
+    banded = sigs.select(
+        "id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("ph"), i * chunk)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("ckey"),
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "ph", "cc.chunk_id", "cc.ckey")
+
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.ckey") == F.col("r.ckey"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.ph").alias("ph_a"),
+            F.col("r.ph").alias("ph_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

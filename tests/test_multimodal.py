@@ -1130,3 +1130,41 @@ def test_resample_pcm_matches_numpy_interp(spark):
     assert len(out[out.media_id == 2]) == 0       # stereo skipped
     junk = out[out.media_id == 3]
     assert len(junk) == 1 and junk["idx"].isna().all()
+
+
+def test_phash_near_dup_banding(spark):
+    """Banded pHash pairing: planted brightness-shifted copies (hamming
+    ~10) are found; unrelated noise images (hamming ~32) are not; the
+    banding misses nothing an exhaustive popcount over all hashes would
+    find at the same threshold (pigeonhole completeness)."""
+    from oakstore_spark.operators.multimodal import (
+        image_phash,
+        phash_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(12):
+        base = rng.randint(0, 256, (32, 32), dtype=np.uint8)
+        rows.append((2 * i, encode_png(base)))
+        near = base.copy()
+        near[:8, :8] = np.clip(
+            near[:8, :8].astype(int) + 40, 0, 255
+        ).astype(np.uint8)
+        rows.append((2 * i + 1, encode_png(near)))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    hashes = image_phash(df).cache()
+    got = phash_near_dup_pairs(hashes, max_hamming=14).toPandas()
+    pairs = {(int(r.id_a), int(r.id_b)) for r in got.itertuples()}
+
+    # exhaustive reference at the same threshold
+    hs = {r.media_id: r.phash for r in hashes.collect()}
+    want = {
+        (a, b)
+        for a in hs
+        for b in hs
+        if a < b and bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1") <= 14
+    }
+    assert pairs == want
+    # every planted twin pair present
+    assert all((2 * i, 2 * i + 1) in pairs for i in range(12))
