@@ -1168,3 +1168,83 @@ def test_phash_near_dup_banding(spark):
     assert pairs == want
     # every planted twin pair present
     assert all((2 * i, 2 * i + 1) in pairs for i in range(12))
+
+
+def test_webdataset_media_roundtrip_decodes(spark, tmp_path):
+    """Full delivery-loop composition: real AVI + WAV payloads exported
+    as WebDataset tar shards, re-ingested through read_webdataset, and
+    DECODED — frame stats and silence stats after the tar round-trip
+    must equal a direct decode of the original payloads (tar framing
+    is byte-transparent for binary members)."""
+    from oakstore_spark.operators.multimodal import (
+        audio_silence_stats,
+        encode_jpeg_baseline_gray,
+        encode_mjpeg_avi,
+        encode_wav_pcm16,
+        video_frame_luma,
+    )
+    from oakstore_spark.sources.ingest import (
+        export_webdataset_shards,
+        read_webdataset,
+    )
+
+    rows = []
+    for mid in range(6):
+        frames = [
+            encode_jpeg_baseline_gray(
+                np.full((16, 16), (mid * 9 + i * 5) % 256, dtype=np.uint8),
+                quality=100,
+            )
+            for i in range(mid % 2 + 1)
+        ]
+        avi = encode_mjpeg_avi(frames, 16, 16, 25)
+        tone = np.tile(
+            np.array([300 + mid, 0, -(300 + mid), 0], dtype=np.int16), 32
+        )
+        wav = encode_wav_pcm16(
+            np.concatenate([tone, np.zeros(64, dtype=np.int16)]), 16000, 1
+        )
+        rows.append((mid, bytearray(avi), bytearray(wav)))
+    media = spark.createDataFrame(
+        rows, "media_id long, video binary, audio binary"
+    )
+
+    out_dir = str(tmp_path / "wds")
+    export_webdataset_shards(
+        media.withColumn("key", F.col("media_id").cast("string")),
+        out_dir,
+        key_col="key",
+        shard_rows=3,
+        content_cols={"video": "avi", "audio": "wav"},
+    )
+    back = read_webdataset(spark, out_dir)
+    vids = back.where(F.col("ext") == "avi").select(
+        F.col("key").cast("long").alias("media_id"), "content"
+    )
+    auds = back.where(F.col("ext") == "wav").select(
+        F.col("key").cast("long").alias("media_id"), "content"
+    )
+
+    def key_stats(df):
+        return {
+            (r.media_id, r.frame_idx): (r.sum_luma, r.std_luma)
+            for r in df.collect()
+        }
+
+    direct_v = key_stats(video_frame_luma(
+        media.select("media_id", F.col("video").alias("content"))))
+    rt_v = key_stats(video_frame_luma(vids))
+    assert direct_v == rt_v and len(rt_v) == sum(m % 2 + 1 for m in range(6))
+
+    direct_a = {
+        r.media_id: (r.n_frames, r.n_silent, r.longest_silent_run)
+        for r in audio_silence_stats(
+            media.select("media_id", F.col("audio").alias("content"))
+        ).collect()
+    }
+    rt_a = {
+        r.media_id: (r.n_frames, r.n_silent, r.longest_silent_run)
+        for r in audio_silence_stats(auds).collect()
+    }
+    assert direct_a == rt_a
+    assert all(v == (3, 1, 1) for v in rt_a.values())  # planted layout
