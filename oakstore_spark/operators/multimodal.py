@@ -1,19 +1,21 @@
 """Multimodal columns: image/audio/video as opaque binary columns with
 typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-Image decode is REAL for PNG: a pure-stdlib decoder (zlib inflate +
-scanline unfilter, all five PNG filter types, 8-bit gray/RGB/RGBA)
-runs first, so PNG payloads get true width/height/features with no
-media libraries installed. Non-PNG formats try PIL if present;
-otherwise they fall back to a DETERMINISTIC FAKE derived from the
-content digest (clearly marked below) so the pipeline stays runnable on
-arbitrary bytes. Audio decode is likewise REAL for RIFF/WAV (pure
-struct chunk walk: fmt -> channels/rate/bits, data -> frame count and
-duration), with the assumed-PCM16 fake only as the non-RIFF fallback.
-Video decode remains stubbed (no ffmpeg in this container).
-Everything Spark-side is real and tested:
-schemas, the mapInPandas batch contract (iterator of pandas DataFrames
-in/out), and partition behavior.
+Decode is REAL, pure-stdlib, for every format in this module's ladder:
+PNG (zlib inflate + all five scanline filters, 8-bit gray/RGB/RGBA),
+baseline JPEG (Huffman entropy decode → dequant → IDCT; luma via
+``decode_jpeg_pixels`` — capped at 2 MP/frame — and full RGB via
+``decode_jpeg_rgb``), RIFF/WAV (header metadata AND int16 sample
+decode, feeding waveform/spectral/silence/resample features), and
+MJPEG-AVI (movi chunk walk to true frame payloads, composed with the
+JPEG decoder for per-frame pixel statistics). Spec-conformant gray and
+color JPEG encoders, a PNG writer, a PCM16 RIFF writer, and an MJPEG
+muxer generate test fixtures. PIL is tried for formats outside the
+ladder when installed; the DETERMINISTIC FAKE derived from the content
+digest (clearly marked below) remains only as the final fallback so
+every operator stays total over arbitrary bytes. Everything Spark-side
+is real and tested: schemas, the mapInPandas batch contract (iterator
+of pandas DataFrames in/out), and partition behavior.
 
 Scale design: binary payloads never shuffle — extractors run map-side on
 whatever partitioning the source has; outputs are small typed rows. For

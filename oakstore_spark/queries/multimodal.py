@@ -1,13 +1,17 @@
 """Multimodal-column coverage: binary content processed through the
 Arrow-batched mapInPandas extractors (operators/multimodal.py).
 
-The container has no media libraries, so the decode step is a
-deterministic fake (documented there) — but the Spark-side plumbing
-(binary columns, mapInPandas schemas/batching, 1-to-many frame
-explosion) is real, and everything derivable from raw bytes (sizes,
-durations, chunk digests) is oracle-checked against DuckDB blob
-functions. The synthetic media table is the documents table with
-``content = utf-8 bytes of text`` — deterministic on both engines.
+The container has no media libraries, but decode is REAL for every
+format these queries exercise — pure-stdlib PNG inflate, baseline-JPEG
+entropy decode (luma and full RGB), RIFF/WAV sample decode, MJPEG-AVI
+frame extraction — with the deterministic digest fake remaining only as
+the fallback for bytes that match no known container. Fixture payloads
+are generated worker-side from closed-form planted arithmetic (constant
+8x8 blocks at q100, on-bin int16 tones, linear ramps — fixed points of
+each lossy chain), so DuckDB oracles replay entire encode→container→
+decode→feature pipelines bit-exactly. Early queries keep the simpler
+byte-derived shape: the documents table with ``content = utf-8 bytes
+of text``, oracle-checked against DuckDB blob functions.
 """
 
 from __future__ import annotations
