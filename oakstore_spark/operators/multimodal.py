@@ -1996,3 +1996,74 @@ def phash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def video_frame_motion(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """PIXEL-level inter-frame motion from real video bytes: decode
+    consecutive MJPEG frames (:func:`decode_avi_frames` ×
+    :func:`decode_jpeg_pixels`) and emit, per consecutive pair, the
+    mean and max absolute per-pixel luma difference — the motion-
+    intensity signal a video curation pipeline uses to drop static
+    screens-recordings and slideshows (near-zero motion) or corrupted
+    strobing (saturated motion). Where q_video_scene_cuts compares
+    frame MEANS, this compares every pixel: a scene cut and a global
+    brightness ramp are distinguishable.
+
+    Sums are exact int64 (integer luma), ``mad = sad / n_px`` with one
+    division — SQL-replayable from planted frames. All pairwise work
+    happens IN the kernel: a payload's frames never cross tasks, one
+    small row per frame pair shuffles. Degrade: undecodable container
+    → one null row; a pair with an undecodable member → null stats.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_px", T.LongType()),
+            T.StructField("sad", T.LongType()),
+            T.StructField("mad", T.DoubleType()),
+            T.StructField("max_abs_diff", T.IntegerType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    _avi = decode_avi_frames
+    _jpg = decode_jpeg_pixels
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                mid = int(mid)
+                frames = _avi(bytes(content))
+                if frames is None:
+                    rows.append((mid,) + (None,) * 5)
+                    continue
+                prev = None
+                for idx, payload in enumerate(frames):
+                    dec = _jpg(payload)
+                    cur = None if dec is None else dec[2].astype(_np.int64)
+                    if idx > 0:
+                        if (
+                            prev is None
+                            or cur is None
+                            or prev.shape != cur.shape
+                        ):
+                            rows.append((mid, idx, None, None, None, None))
+                        else:
+                            d = _np.abs(cur - prev)
+                            n = int(d.size)
+                            sad = int(d.sum())
+                            rows.append(
+                                (mid, idx, n, sad, sad / n, int(d.max()))
+                            )
+                    prev = cur
+            yield _pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, content_col).mapInPandas(batches, schema)

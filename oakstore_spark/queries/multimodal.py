@@ -1351,3 +1351,75 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id", "idx", F.round("val", 6).alias("val")
     )
+
+
+@register(
+    "q_video_motion",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, CAST(i AS INT) AS frame_idx
+      FROM documents, unnest(range(1, doc_id % 4 + 2)) t(i)
+    ), d AS (
+      SELECT doc_id, frame_idx,
+             abs((doc_id * 31 + frame_idx * 17 + b * 11) % 256
+                 - (doc_id * 31 + (frame_idx - 1) * 17 + b * 11) % 256)
+               AS ad
+      FROM f, unnest(range(0, 4)) u(b)
+    )
+    SELECT doc_id AS media_id, frame_idx,
+           CAST(256 AS BIGINT) AS n_px,
+           CAST(64 * sum(ad) AS BIGINT) AS sad,
+           round(64 * sum(ad) / 256.0, 4) AS mad,
+           CAST(max(ad) AS INT) AS max_abs_diff
+    FROM d GROUP BY doc_id, frame_idx
+    """,
+)
+def q_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level inter-frame MOTION over decoded video: the same
+    planted-frame MJPEG fixture as q_video_scene_cuts (2-5 frames),
+    decoded pairwise by ``video_frame_motion`` into per-pair sum /
+    mean / max absolute luma difference — motion intensity from TRUE
+    pixels, computed entirely inside the kernel (frames of a payload
+    share a task; one 6-column row per pair shuffles). Lossless q100
+    blockwise-constant frames make the oracle replay the |delta| block
+    algebra exactly: SAD = 64 * sum over blocks of |(d*31+i*17+b*11) -
+    (d*31+(i-1)*17+b*11)| mod-256 values, mad = sad/256, down to the
+    rounding."""
+    from oakstore_spark.operators.multimodal import (
+        encode_jpeg_baseline_gray,
+        encode_mjpeg_avi,
+        video_frame_motion,
+    )
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    d = table(spark, sf_dir, "documents")
+    _enc_jpg, _enc_avi = encode_jpeg_baseline_gray, encode_mjpeg_avi
+
+    def make_avi(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                frames = []
+                for i in range(doc_id % 4 + 2):
+                    img = _np.zeros((16, 16), dtype=_np.uint8)
+                    for b in range(4):
+                        by, bx = divmod(b, 2)
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            doc_id * 31 + i * 17 + b * 11
+                        ) % 256
+                    frames.append(_enc_jpg(img, quality=100))
+                rows.append((doc_id, _enc_avi(frames, 16, 16, 25)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = widen_partitions(d.select("doc_id")).mapInPandas(
+        make_avi, "media_id long, content binary"
+    )
+    out = video_frame_motion(media)
+    return out.select(
+        "media_id", "frame_idx", "n_px", "sad",
+        F.round("mad", 4).alias("mad"), "max_abs_diff",
+    )

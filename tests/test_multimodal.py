@@ -1248,3 +1248,41 @@ def test_webdataset_media_roundtrip_decodes(spark, tmp_path):
     }
     assert direct_a == rt_a
     assert all(v == (3, 1, 1) for v in rt_a.values())  # planted layout
+
+
+def test_video_frame_motion_exact_and_degrade(spark):
+    """video_frame_motion: planted q100 blockwise-constant frames give
+    exact SAD/MAD/max per pair; a torn middle frame nulls the two pairs
+    touching it; non-AVI bytes give one null row."""
+    from oakstore_spark.operators.multimodal import (
+        encode_jpeg_baseline_gray,
+        encode_mjpeg_avi,
+        video_frame_motion,
+    )
+
+    vals = [[10, 200, 55, 127], [0, 255, 128, 99], [30, 230, 100, 120]]
+
+    def frame(vs):
+        img = np.zeros((16, 16), dtype=np.uint8)
+        for b, v in enumerate(vs):
+            by, bx = divmod(b, 2)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+        return encode_jpeg_baseline_gray(img, quality=100)
+
+    frames = [frame(v) for v in vals]
+    good = encode_mjpeg_avi(frames, 16, 16, 25)
+    torn_mid = bytearray(frames[1])
+    torn_mid[len(torn_mid) - 4] ^= 0xFF  # likely breaks entropy tail
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"nope"))],
+        "media_id long, content binary",
+    )
+    out = {(r.media_id, r.frame_idx): r
+           for r in video_frame_motion(df).collect()}
+    for i in (1, 2):
+        ads = [abs(a - b) for a, b in zip(vals[i], vals[i - 1])]
+        r = out[(1, i)]
+        assert (r.n_px, r.sad) == (256, 64 * sum(ads))
+        assert r.mad == 64 * sum(ads) / 256
+        assert r.max_abs_diff == max(ads)
+    assert out[(2, None)].sad is None
