@@ -1829,16 +1829,29 @@ def image_phash(
 
         def box32(gray):
             h, w = gray.shape
-            ys = [h * i // 32 for i in range(33)]
-            xs = [w * j // 32 for j in range(33)]
-            out = np.empty((32, 32))
-            for i in range(32):
-                for j in range(32):
-                    out[i, j] = gray[
-                        ys[i]:max(ys[i + 1], ys[i] + 1),
-                        xs[j]:max(xs[j + 1], xs[j] + 1),
-                    ].mean()
-            return out
+            if (h, w) == (32, 32):
+                return gray.astype(np.float64)
+            # integral-image box means (vectorized — the Python
+            # per-cell loop was the pHash throughput bottleneck).
+            # Windows are >= 1 px by construction: starts clamp to the
+            # last pixel and ends to start+1, so images SMALLER than
+            # 32 on an axis upsample by window repetition instead of
+            # producing empty slices.
+            i = np.arange(32)
+            ys = np.minimum(h * i // 32, h - 1)
+            ye = np.maximum(h * (i + 1) // 32, ys + 1)
+            xs = np.minimum(w * i // 32, w - 1)
+            xe = np.maximum(w * (i + 1) // 32, xs + 1)
+            S = np.zeros((h + 1, w + 1))
+            S[1:, 1:] = gray.astype(np.float64).cumsum(0).cumsum(1)
+            sums = (
+                S[np.ix_(ye, xe)]
+                - S[np.ix_(ys, xe)]
+                - S[np.ix_(ye, xs)]
+                + S[np.ix_(ys, xs)]
+            )
+            areas = np.outer(ye - ys, xe - xs)
+            return sums / areas
 
         for pdf in it:
             rows = []

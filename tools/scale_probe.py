@@ -471,6 +471,58 @@ def main() -> None:
             )
         media.unpersist()
 
+        # image dedup at volume: one 32x32 PNG per doc from md5-noise
+        # of an EFFECTIVE id (every 10th doc re-renders its
+        # predecessor), pHash + hash groupBy must find EXACTLY the
+        # planted pairs — the image-dedup path (decode -> DCT -> hash
+        # -> shuffle on hash) measured end-to-end.
+        from oakstore_spark.operators.multimodal import image_phash
+
+        def gen_png(batches):
+            import hashlib as _hashlib
+
+            import numpy as _np
+            import pandas as _pd
+
+            from oakstore_spark.operators.multimodal import encode_gray_png
+
+            for pdf in batches:
+                rows = []
+                for mid in pdf["id"]:
+                    mid = int(mid)
+                    eid = mid - 1 if mid % 10 == 9 else mid
+                    buf = b"".join(
+                        _hashlib.md5(f"{eid}:{i}".encode()).digest()
+                        for i in range(64)
+                    )
+                    px = _np.frombuffer(buf, dtype=_np.uint8).reshape(32, 32)
+                    rows.append((mid, encode_gray_png(px)))
+                yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+        imgs = spark.range(0, nm, 1, 64).mapInPandas(
+            gen_png, "media_id long, content binary"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        imgs.count()
+        t0 = time.time()
+        n_dup_groups = (
+            image_phash(imgs)
+            .groupBy("phash")
+            .count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        dt = time.time() - t0
+        want_groups = nm // 10  # one (10k+8, 10k+9) pair per decade
+        out["image_phash_sec"] = round(dt, 2)
+        out["image_phash_docs_per_sec"] = round(nm / dt)
+        out["image_dup_groups"] = int(n_dup_groups)
+        if int(n_dup_groups) != want_groups:
+            raise SystemExit(
+                f"phash planted recovery FAILED: {n_dup_groups} != "
+                f"{want_groups}"
+            )
+        imgs.unpersist()
+
     if args.streamrows:
         # Structured Streaming at volume: watermarked tumbling-window
         # counts over a multi-file availableNow source — the measured
