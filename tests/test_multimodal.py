@@ -1286,3 +1286,26 @@ def test_video_frame_motion_exact_and_degrade(spark):
         assert r.mad == 64 * sum(ads) / 256
         assert r.max_abs_diff == max(ads)
     assert out[(2, None)].sad is None
+
+
+def test_image_phash_small_images_no_nan(spark):
+    """Images smaller than 32px on an axis must hash (windows clamp to
+    >= 1 px and upsample by repetition) — the pre-vectorization code
+    produced NaN means there. Identical small images still collide."""
+    from oakstore_spark.operators.multimodal import image_phash
+
+    rng = np.random.RandomState(9)
+    tiny = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    thin = rng.randint(0, 256, (7, 40), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, encode_png(tiny)),
+            (2, encode_png(tiny)),
+            (3, encode_png(thin)),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in image_phash(df).collect()}
+    assert rows[1].phash is not None and rows[3].phash is not None
+    assert rows[1].phash == rows[2].phash
+    assert rows[1].phash != rows[3].phash
