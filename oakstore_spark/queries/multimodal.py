@@ -1423,3 +1423,68 @@ def q_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "frame_idx", "n_px", "sad",
         F.round("mad", 4).alias("mad"), "max_abs_diff",
     )
+
+
+@register(
+    "q_phash_near_dup",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 10 = 8
+    """,
+)
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image pairs through banded perceptual hashing:
+    docs with doc_id % 10 == 9 re-render their predecessor's image with
+    a +20 top-half brightness shift (a re-encode/levels-tweak stand-in)
+    — hamming <= 8 from the original across the ENTIRE id domain, while
+    the minimum distance between unrelated noise images is 12 (both
+    measured exhaustively over all 12.5M pairs at the sf0.1 domain), so
+    ``phash_near_dup_pairs`` at max_hamming=10 must surface EXACTLY the
+    planted (10k+8, 10k+9) pairs: the oracle is the closed-form pair
+    list, and a missed band collision, a popcount bug, or a
+    nondeterministic hash bit each break it. Pigeonhole banding keeps
+    the join sub-quadratic (11 chunks of ~6 bits); decode + hash run
+    map-side, only (id, hash) rows shuffle."""
+    from oakstore_spark.operators.multimodal import (
+        encode_gray_png,
+        image_phash,
+        phash_near_dup_pairs,
+    )
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    d = table(spark, sf_dir, "documents")
+    _enc = encode_gray_png
+
+    def make_png(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        def noise(eid):
+            buf = b"".join(
+                _hashlib.md5(f"{eid}:{i}".encode()).digest()
+                for i in range(64)
+            )
+            return _np.frombuffer(buf, dtype=_np.uint8).reshape(32, 32)
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 10 == 9:  # perturbed re-render of predecessor
+                    px = noise(doc_id - 1).copy()
+                    px[:16, :] = _np.clip(
+                        px[:16, :].astype(int) + 20, 0, 255
+                    ).astype(_np.uint8)
+                else:
+                    px = noise(doc_id)
+                rows.append((doc_id, _enc(px)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = widen_partitions(d.select("doc_id")).mapInPandas(
+        make_png, "media_id long, content binary"
+    )
+    pairs = phash_near_dup_pairs(image_phash(media), max_hamming=10)
+    return pairs.select("id_a", "id_b")
