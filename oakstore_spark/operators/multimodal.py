@@ -1962,10 +1962,17 @@ def phash_near_dup_pairs(
     shifts land within a few bits of each other; unrelated images sit
     near hamming 32).
     """
+    from pyspark import StorageLevel
+
     k = max_hamming + 1
     chunk = -(-bits // k)
-    sigs = hashes.where(F.col(hash_col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.col(hash_col).alias("ph")
+    # persisted: both sides of the chunk self-join would otherwise
+    # re-run the upstream decode + DCT + hash (same rationale as
+    # simhash_near_dup_pairs, operators/dedup.py)
+    sigs = (
+        hashes.where(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(hash_col).alias("ph"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     mask = (1 << chunk) - 1
