@@ -381,7 +381,9 @@ def sample_video_frames(
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 content = bytes(content)
                 frames = _avi(content)
-                if frames:  # REAL container walk
+                if frames is not None:  # REAL container walk
+                    # a valid-but-EMPTY AVI ([]) is a real container
+                    # with zero frames -> zero rows, NOT the chunk fake
                     for idx in range(0, len(frames), every_n):
                         rows.append(
                             (int(mid), idx,
@@ -1546,7 +1548,10 @@ def video_frame_luma(
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 mid = int(mid)
                 frames = _avi(bytes(content))
-                if frames is None:
+                if not frames:
+                    # undecodable (None) OR a valid-but-empty container
+                    # ([]) both degrade to one null row — the payload
+                    # must never silently vanish from the output
                     rows.append((mid,) + (None,) * 8)
                     continue
                 for idx, payload in enumerate(frames):
@@ -1592,7 +1597,9 @@ def audio_spectral_features(
       b = 1..frame_len/2 (DC excluded), energies summed across frames
     - ``dominant_band``  — argmax of the ``n_bands`` contiguous band
       energies over those bins (ties -> lowest band), band of bin b
-      being ``(b-1) // (frame_len/2/n_bands)``
+      being ``min((b-1) // (frame_len//2//n_bands), n_bands-1)`` —
+      the LAST band absorbs the remainder bins when ``n_bands`` does
+      not divide ``frame_len//2``, so every bin competes
     - ``dominant_share`` — dominant band energy / total energy
     - ``total_energy``   — sum of |X_b|^2 over bins 1..frame_len/2
 
@@ -1606,6 +1613,10 @@ def audio_spectral_features(
     if window not in ("rect", "hann"):
         raise ValueError(f"unsupported window {window!r}")
     half = frame_len // 2
+    if n_bands < 1 or n_bands > half:
+        raise ValueError(
+            f"n_bands must be in 1..{half} for frame_len={frame_len}, got {n_bands}"
+        )
     band_w = max(half // n_bands, 1)
     step = frame_len if hop is None else int(hop)
     if step < 1:
@@ -1665,9 +1676,12 @@ def audio_spectral_features(
                     continue
                 bins = _np.arange(1, half + 1, dtype=_np.float64)
                 centroid = float((bins * e).sum() / total)
+                # exactly n_bands segments; reduceat's final segment
+                # runs to the end of the array, so the last band
+                # absorbs the remainder bins when n_bands ∤ half
                 bands = _np.add.reduceat(
-                    e, _np.arange(0, half, band_w)
-                )[:n_bands]
+                    e, _np.arange(n_bands) * band_w
+                )
                 dom = int(bands.argmax())
                 rows.append(
                     (mid, nf, centroid, dom, float(bands[dom] / total), total)
@@ -1961,8 +1975,16 @@ def phash_near_dup_pairs(
     image-dedup shape (near-identical crops / re-encodes / brightness
     shifts land within a few bits of each other; unrelated images sit
     near hamming 32).
+
+    The signatures relation is persisted for the duration of the
+    returned plan; the handle rides on the result via
+    ``track_persisted`` — call ``unpersist_deps(result)`` after the
+    last action (or ``spark.catalog.clearCache()``) in a long-lived
+    session.
     """
     from pyspark import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
 
     k = max_hamming + 1
     chunk = -(-bits // k)
@@ -2011,11 +2033,12 @@ def phash_near_dup_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return (
+    out = (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return track_persisted(out, sigs)
 
 
 def video_frame_motion(
@@ -2062,7 +2085,10 @@ def video_frame_motion(
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 mid = int(mid)
                 frames = _avi(bytes(content))
-                if frames is None:
+                if not frames:
+                    # undecodable OR empty container -> one null row
+                    # (a 1-frame video still yields zero PAIR rows,
+                    # which is inherent to pairwise motion)
                     rows.append((mid,) + (None,) * 5)
                     continue
                 prev = None

@@ -106,3 +106,28 @@ def assign_contiguous_ids(
             yield pdf
 
     return part.mapInPandas(emit, schema)
+
+
+def track_persisted(out: DataFrame, *handles: DataFrame) -> DataFrame:
+    """Attach persisted upstream relations to ``out`` so a long-lived
+    session can free them once ``out`` is consumed (persisted handles
+    the operator needed for its internal multi-branch plan cannot be
+    unpersisted inline — the returned DataFrame still depends on them).
+    Harnesses that ``spark.catalog.clearCache()`` between queries need
+    nothing; everyone else calls :func:`unpersist_deps`."""
+    deps = list(getattr(out, "_oakstore_persisted", ()))
+    deps.extend(handles)
+    out._oakstore_persisted = deps
+    return out
+
+
+def unpersist_deps(df: DataFrame, blocking: bool = False) -> int:
+    """Free every persisted relation :func:`track_persisted` attached to
+    ``df``. Call after the LAST action on ``df`` — unpersisting earlier
+    silently recomputes the upstream on the next action. Returns the
+    number of handles released."""
+    deps = list(getattr(df, "_oakstore_persisted", ()))
+    for h in deps:
+        h.unpersist(blocking)
+    df._oakstore_persisted = []
+    return len(deps)

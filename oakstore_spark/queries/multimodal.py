@@ -1303,7 +1303,7 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CASE WHEN rem = 0 THEN CAST(a + b * k AS DOUBLE)
                       ELSE (a + b * k) * (1.0 - rem / 12000.0)
                            + (a + b * k + b) * (rem / 12000.0)
-                 END, 6) AS val
+                 END, 6) + 0 AS val
     FROM o
     """,
 )
@@ -1348,8 +1348,12 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_wav, "media_id long, content binary"
     )
     out = resample_pcm(media, dst_rate=12000)
+    # ``+ 0.0`` normalizes IEEE signed zero on BOTH sides: DuckDB's
+    # round() keeps the sign of a tiny negative residue (-1.1e-16 ->
+    # -0.0) while Spark's F.round (BigDecimal HALF_UP) yields +0.0;
+    # numerically equal but byte-hash different in the driver compare.
     return out.select(
-        "media_id", "idx", F.round("val", 6).alias("val")
+        "media_id", "idx", (F.round("val", 6) + F.lit(0.0)).alias("val")
     )
 
 
@@ -1440,7 +1444,10 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     — hamming <= 8 from the original across the ENTIRE id domain, while
     the minimum distance between unrelated noise images is 12 (both
     measured exhaustively over all 12.5M pairs at the sf0.1 domain), so
-    ``phash_near_dup_pairs`` at max_hamming=10 must surface EXACTLY the
+    ``phash_near_dup_pairs`` at max_hamming=8 (the planted bound, NOT
+    the midpoint 10 — at larger SFs the unrelated-pair count grows
+    quadratically, so the widest margin against an accidental unrelated
+    collision wins) must surface EXACTLY the
     planted (10k+8, 10k+9) pairs: the oracle is the closed-form pair
     list, and a missed band collision, a popcount bug, or a
     nondeterministic hash bit each break it. Pigeonhole banding keeps
@@ -1486,5 +1493,5 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = widen_partitions(d.select("doc_id")).mapInPandas(
         make_png, "media_id long, content binary"
     )
-    pairs = phash_near_dup_pairs(image_phash(media), max_hamming=10)
+    pairs = phash_near_dup_pairs(image_phash(media), max_hamming=8)
     return pairs.select("id_a", "id_b")

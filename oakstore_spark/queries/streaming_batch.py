@@ -20,6 +20,7 @@ bounded.
 
 from __future__ import annotations
 
+import hashlib
 import shutil
 import tempfile
 from pathlib import Path
@@ -154,10 +155,10 @@ def _ensure_stream_sink(spark: SparkSession, sf_dir: str) -> str:
     path = _STREAM_SINK_DIRS.get(sf_dir)
     if path is not None:
         return path
-    base = (
-        Path(tempfile.gettempdir())
-        / f"oakspark_streamsink_{Path(sf_dir.rstrip('/')).name}"
-    )
+    # keyed by a hash of the FULL sf_dir path, matching the cache key:
+    # two data dirs sharing a basename must not rmtree each other's sink
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    base = Path(tempfile.gettempdir()) / f"oakspark_streamsink_{tag}"
     shutil.rmtree(base, ignore_errors=True)
     atexit.register(shutil.rmtree, str(base), ignore_errors=True)
     src = base / "src"

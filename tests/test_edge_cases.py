@@ -132,6 +132,17 @@ def test_correctness_comparator_detects_mutations():
     out = compare("noise", noisy, base)
     assert out and all("inexact" in p for p in out)
 
+    # signed zero: numpy == says -0.0 == 0.0 but the driver hashes
+    # bytes where they differ — the checker must flag it HARD (the
+    # exact class that slipped through in r5's q_audio_resample).
+    szero_s = pd.DataFrame({"v": [0.0, 1.5, float("nan")]})
+    szero_o = pd.DataFrame({"v": [-0.0, 1.5, float("nan")]})
+    out = compare("szero", szero_s, szero_o)
+    assert any(p.startswith("signed-zero") for p in out)
+    # matching NaNs alone must not trip the signbit check
+    nan_only = pd.DataFrame({"v": [1.0, float("nan")]})
+    assert compare("nan", nan_only.copy(), nan_only.copy()) == []
+
 
 def test_examples_run_clean(spark):
     """The examples/ scripts must stay runnable (they are the quickstart
@@ -204,12 +215,10 @@ def test_rotation_treats_errored_rows_as_never_checked():
     assert got.index("errored_early") < got.index("passed_early")
     assert got.index("never") < got.index("passed_early")
 
-    # end-to-end: the real file-backed history must place
-    # q_range_join_events (errored r01, never green since) in the
-    # never-checked block, i.e. inside the driver's 50-wide window.
+    # end-to-end: the mechanism worked — q_range_join_events (errored
+    # r01) was resorted into the r05 driver window and now HAS a green
+    # row, so the real file-backed history must count it as checked.
     checked = e._load_check_history(e._REPO)
-    assert "q_range_join_events" not in checked or not checked[
-        "q_range_join_events"
-    ]
-    order = list(e.queries())
-    assert order.index("q_range_join_events") < 50
+    assert checked.get("q_range_join_events"), (
+        "q_range_join_events should have a green driver row after r05"
+    )

@@ -1309,3 +1309,77 @@ def test_image_phash_small_images_no_nan(spark):
     assert rows[1].phash is not None and rows[3].phash is not None
     assert rows[1].phash == rows[2].phash
     assert rows[1].phash != rows[3].phash
+
+
+def test_empty_avi_container_degrades_not_vanishes(spark):
+    """A VALID-but-EMPTY AVI (real RIFF tree, zero movi frames) must
+    degrade explicitly, never silently vanish (ADVICE r5): frame-stat
+    operators emit one null row; sample_video_frames recognizes the
+    real container (zero rows — NOT the 4096-byte chunk fake, which
+    would fabricate frames from header bytes)."""
+    from oakstore_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi_header,
+        sample_video_frames,
+        video_frame_luma,
+        video_frame_motion,
+    )
+
+    empty = encode_avi_header(16, 16, 0, 25)
+    assert decode_avi_frames(empty) == []  # the fixture really is []
+
+    df = spark.createDataFrame(
+        [(1, bytearray(empty))], "media_id long, content binary"
+    )
+    luma = video_frame_luma(df).collect()
+    assert len(luma) == 1 and luma[0].frame_idx is None
+    motion = video_frame_motion(df).collect()
+    assert len(motion) == 1 and motion[0].frame_idx is None
+    sampled = sample_video_frames(df).collect()
+    assert sampled == []  # real container walk, zero frames
+
+
+def test_spectral_bands_cover_remainder_bins(spark):
+    """n_bands that does not divide frame_len//2 must still give every
+    bin a band (last band absorbs the remainder, ADVICE r5): a tone on
+    the TOP bin (32 of half=32, in no band before the fix at n_bands=3)
+    must dominate band 2 with share 1."""
+    from oakstore_spark.operators.multimodal import (
+        audio_spectral_features,
+        encode_wav_pcm16,
+    )
+
+    n = 64
+    j = np.arange(n)
+    tone = (1000 * np.cos(np.pi * j)).astype(np.int16)  # bin 32 (Nyquist)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav_pcm16(tone, 16000, 1)))],
+        "media_id long, content binary",
+    )
+    out = audio_spectral_features(df, frame_len=64, n_bands=3).collect()[0]
+    assert out.centroid_bin == pytest.approx(32.0)
+    assert out.dominant_band == 2
+    assert out.dominant_share == pytest.approx(1.0)
+    with pytest.raises(ValueError):
+        audio_spectral_features(df, frame_len=64, n_bands=33).collect()
+
+
+def test_phash_near_dup_unpersist_deps(spark):
+    """phash_near_dup_pairs persists its signatures relation; the
+    handle must ride on the result so a long-lived session can free it
+    (ADVICE r5) — unpersist_deps drops the storage level back to NONE."""
+    from oakstore_spark.operators.multimodal import phash_near_dup_pairs
+    from oakstore_spark.operators.scaling import unpersist_deps
+
+    hashes = spark.createDataFrame(
+        [(1, 0), (2, 3), (3, 0x0F0F0F0F0F0F0F0F)],
+        "media_id long, phash long",
+    )
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2)}
+    deps = pairs._oakstore_persisted
+    assert deps and all(d.storageLevel.useMemory for d in deps)
+    assert unpersist_deps(pairs) == len(deps)
+    assert all(not d.storageLevel.useMemory for d in deps)
+    assert pairs._oakstore_persisted == []

@@ -61,6 +61,16 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
                 tag = "float-inexact" if close else "float-MISMATCH"
                 idx = np.where(~(both_nan | (a == b)))[0][:3]
                 problems.append(f"{tag} col={c} examples={[ (a[i], b[i]) for i in idx ]}")
+            elif len(a) and np.any(
+                (np.signbit(a) != np.signbit(b)) & ~both_nan
+            ):
+                # The driver hashes bytes/strings where -0.0 != 0.0 even
+                # though numpy == says equal. Surface it as a hard fail.
+                idx = np.where((np.signbit(a) != np.signbit(b)) & ~both_nan)[0][:3]
+                problems.append(
+                    f"signed-zero col={c} examples={[ (a[i], b[i]) for i in idx ]}"
+                    " (driver byte-hash would mismatch)"
+                )
         else:
             if not sv.astype(str).equals(ov.astype(str)):
                 bad = (sv.astype(str) != ov.astype(str))
