@@ -1134,3 +1134,73 @@ def incremental_minhash_pairs(
     ).withColumn("vs_index", F.lit(False))
 
     return vs_old.unionByName(vs_new)
+
+
+def line_dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """Corpus-level LINE deduplication (the C4/RefinedWeb rung between
+    document-level ``exact_dedup`` and word-block ``span_dedup``): any
+    line whose exact text occurs more than once ANYWHERE in the corpus
+    survives only at its first occurrence (lowest (doc_id, line_pos));
+    every later repeat is cut from its document. This is the operator
+    that strips boilerplate navigation/footer/cookie lines that repeat
+    across a web crawl while each *page* is still unique.
+
+    Blank-after-trim lines are always kept — deduping them would gut
+    document formatting for zero dedup value (and they would otherwise
+    all collapse into one global survivor).
+
+    Plan (same digest-shuffle shape as :func:`span_dedup` — the 100 TB
+    path has no Python and never shuffles line text twice):
+    1. ``posexplode(split(text, delim))`` — map-side, no shuffle;
+    2. global first-occurrence per line groups the 32-byte md5 digest
+       (map-side partial agg; the shuffle carries digest + one packed
+       BIGINT key, never the line text);
+    3. survivors join back on the digest (AQE splits a viral line's
+       skew) and documents reassemble with one shuffle on doc id.
+
+    The packed key is doc_id * 2^20 + line_pos (line_pos < 2^20
+    asserted at plan level via the sequence bound) so the keeper is a
+    plain ``min`` — SQL-portable for the oracle.
+
+    Returns (id_col, clean_text, n_lines, n_kept); n_kept < n_lines
+    flags documents that lost at least one repeated line.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    ).withColumn("digest", F.md5("line"))
+    packed = (F.col(id_col).cast("long") * (1 << 20)) + F.col("pos")
+    blank = F.trim(F.col("line")) == ""
+    firsts = lines.where(~blank).groupBy("digest").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min(packed).alias("keeper")
+    )
+    kept = (
+        lines.join(firsts, "digest", "left")
+        .where(blank | F.col("cnt").isNull() | (packed == F.col("keeper")))
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                delim,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), delim)).cast("long").alias("n_lines"),
+    )
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

@@ -1,0 +1,270 @@
+"""Character-n-gram language identification (Cavnar & Trenkle 1994,
+"N-Gram-Based Text Categorization" — public knowledge).
+
+Replaces the r1 marker-word heuristic (``operators/text.py:lang_id``,
+kept as the cheap fallback) with the real thing: per-language TOP-K
+character-trigram RANK PROFILES trained distributed, then per-document
+out-of-place distance scored with pure JVM built-ins.
+
+Spark-first shape, 100 TB notes:
+
+- **Training** is one shuffle keyed by (lang, gram) — partial
+  aggregation map-side, then a per-language row_number over the
+  *aggregated* gram counts (distinct trigrams per language are bounded
+  ~10^4-10^5 regardless of corpus size, so the per-lang window runs
+  over a tiny relation even when the labeled corpus is petabytes).
+- **Scoring** shuffles once keyed by doc id (the doc-profile window),
+  then joins the BROADCAST profile table (n_langs * top_k rows) — no
+  second big shuffle; the distance aggregation reuses the doc-id
+  partitioning.
+- No Python in either path: trigram extraction is
+  ``sequence``/``transform``/``substring``, ranking is ``row_number``,
+  distance is ``sum(coalesce(abs(...)))``, argmin is a struct ``min``.
+
+Reference parity: the reference (store.py:1-267) has no text operators
+at all; this is EXT surface mandated by the LLM-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Original seed sentences (written for this repo — deterministic
+# fixture, not copied from any corpus). ASCII-only on purpose: the
+# planted-recovery oracle needs byte-identical normalization in Spark
+# and DuckDB, and unicode regex classes differ between engines. Real
+# deployments would train on an accented corpus via
+# ``train_lang_profiles`` directly.
+SEED_SENTENCES: dict[str, list[str]] = {
+    "en": [
+        "the quick brown fox jumps over the lazy dog near the river",
+        "she walked through the quiet garden while the rain kept falling",
+        "every morning the old baker carries fresh bread to the market",
+        "children love stories about dragons and castles in distant lands",
+        "the weather this winter has been colder than anyone expected",
+        "he found an old map hidden inside the wooden desk drawer",
+        "our neighbors planted tomatoes and beans behind their small house",
+        "the train arrives at the station exactly seven minutes late",
+        "we must send the letter before the office closes this evening",
+        "nobody knows why the lights went out during the long storm",
+        "they were singing old songs together until the fire burned low",
+        "i think that you should ask someone who knows the answer",
+    ],
+    "fr": [
+        "le renard brun saute par dessus le chien pres de la riviere",
+        "elle marche dans le jardin calme pendant que la pluie tombe",
+        "chaque matin le vieux boulanger porte du pain frais au marche",
+        "les enfants aiment les histoires de dragons et de chateaux lointains",
+        "le temps cet hiver a ete plus froid que prevu selon tous",
+        "il a trouve une vieille carte cachee dans le tiroir du bureau",
+        "nos voisins ont plante des tomates derriere leur petite maison",
+        "le train arrive a la gare avec sept minutes de retard",
+        "nous devons envoyer la lettre avant que le bureau ne ferme",
+        "personne ne sait pourquoi les lumieres se sont eteintes hier soir",
+        "ils chantaient de vieilles chansons ensemble pres du feu mourant",
+        "je pense que tu devrais demander a quelqu'un qui connait la reponse",
+    ],
+    "de": [
+        "der braune fuchs springt ueber den faulen hund am fluss entlang",
+        "sie ging durch den stillen garten waehrend der regen weiter fiel",
+        "jeden morgen bringt der alte baecker frisches brot zum markt",
+        "kinder lieben geschichten ueber drachen und burgen in fernen laendern",
+        "das wetter in diesem winter war kaelter als alle erwartet hatten",
+        "er fand eine alte karte versteckt in der schublade des tisches",
+        "unsere nachbarn pflanzten tomaten und bohnen hinter ihrem kleinen haus",
+        "der zug kommt genau sieben minuten zu spaet am bahnhof an",
+        "wir muessen den brief schicken bevor das buero heute abend schliesst",
+        "niemand weiss warum die lichter waehrend des sturms ausgegangen sind",
+        "sie sangen gemeinsam alte lieder bis das feuer niedergebrannt war",
+        "ich denke dass du jemanden fragen solltest der die antwort kennt",
+    ],
+    "es": [
+        "el zorro marron salta sobre el perro perezoso cerca del rio",
+        "ella camina por el jardin tranquilo mientras la lluvia sigue cayendo",
+        "cada manana el viejo panadero lleva pan fresco al mercado",
+        "los ninos aman las historias de dragones y castillos lejanos",
+        "el clima este invierno ha sido mas frio de lo esperado",
+        "encontro un viejo mapa escondido dentro del cajon del escritorio",
+        "nuestros vecinos plantaron tomates y frijoles detras de su casa",
+        "el tren llega a la estacion con siete minutos de retraso",
+        "debemos enviar la carta antes de que cierre la oficina",
+        "nadie sabe por que se apagaron las luces durante la tormenta",
+        "cantaban viejas canciones juntos hasta que el fuego se apago",
+        "creo que deberias preguntar a alguien que sepa la respuesta",
+    ],
+    "it": [
+        "la volpe marrone salta sopra il cane pigro vicino al fiume",
+        "lei cammina nel giardino tranquillo mentre la pioggia continua a cadere",
+        "ogni mattina il vecchio fornaio porta il pane fresco al mercato",
+        "i bambini amano le storie di draghi e castelli in terre lontane",
+        "il tempo questo inverno e stato piu freddo del previsto",
+        "ha trovato una vecchia mappa nascosta nel cassetto della scrivania",
+        "i nostri vicini hanno piantato pomodori dietro la loro piccola casa",
+        "il treno arriva alla stazione con sette minuti di ritardo",
+        "dobbiamo spedire la lettera prima che chiuda l'ufficio stasera",
+        "nessuno sa perche le luci si sono spente durante il temporale",
+        "cantavano vecchie canzoni insieme finche il fuoco non si spense",
+        "penso che dovresti chiedere a qualcuno che conosca la risposta",
+    ],
+    "pt": [
+        "a raposa marrom pula sobre o cachorro preguicoso perto do rio",
+        "ela caminha pelo jardim tranquilo enquanto a chuva continua caindo",
+        "toda manha o velho padeiro leva pao fresco ao mercado",
+        "as criancas adoram historias de dragoes e castelos em terras distantes",
+        "o clima neste inverno tem sido mais frio do que o esperado",
+        "ele encontrou um mapa antigo escondido na gaveta da escrivaninha",
+        "nossos vizinhos plantaram tomates e feijao atras da casa pequena",
+        "o trem chega na estacao com sete minutos de atraso",
+        "precisamos enviar a carta antes que o escritorio feche hoje",
+        "ninguem sabe por que as luzes se apagaram durante a tempestade",
+        "cantavam velhas cancoes juntos ate que o fogo se apagou",
+        "acho que voce deveria perguntar a alguem que saiba a resposta",
+    ],
+}
+
+
+def seed_corpus(spark: SparkSession) -> DataFrame:
+    """The built-in labeled seed corpus as (lang, text) — one row per
+    seed sentence. Tiny by construction; callers with a real labeled
+    corpus pass their own DataFrame to :func:`train_lang_profiles`."""
+    rows = [
+        (lang, s) for lang, sents in SEED_SENTENCES.items() for s in sents
+    ]
+    return spark.createDataFrame(rows, "lang string, text string")
+
+
+def _normalized(col: Column) -> Column:
+    # lowercase, collapse non-letter runs to single spaces, pad with
+    # one space each side so trigrams see word boundaries (the CT
+    # padding trick). \p{L} keeps accented letters on the real path;
+    # the oracle fixtures stay ASCII so both engines agree.
+    return F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(col), r"[^\p{L}]+", " ")),
+        F.lit(" "),
+    )
+
+
+def char_trigrams(col: Column | str) -> Column:
+    """Array of overlapping character trigrams of the normalized text
+    (empty array below 3 chars — guards sequence() from a negative
+    range). Pure JVM: sequence + transform + substring."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def grams(s: Column) -> Column:
+        return F.when(
+            F.length(s) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - 2),
+                lambda i: F.substring(s, i, 3),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # bind the normalized string once (single-element transform idiom,
+    # same as chunk_documents) so it is not recomputed per trigram
+    return F.element_at(
+        F.transform(F.array(_normalized(c)), grams), 1
+    )
+
+
+def train_lang_profiles(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    top_k: int = 300,
+) -> DataFrame:
+    """Distributed Cavnar-Trenkle training: (lang, gram, rank) rows for
+    the ``top_k`` most frequent character trigrams of each language,
+    rank 1 = most frequent, ties broken by gram ascending (determinism
+    contract — every rank is reproducible cross-engine)."""
+    counts = (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(char_trigrams(text_col)).alias("gram"),
+        )
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("gram").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("lang", "gram", "rank")
+    )
+
+
+def classify_lang(
+    df: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    doc_top_k: int = 300,
+    penalty: int | None = None,
+) -> DataFrame:
+    """Score each document against every language profile with the
+    out-of-place distance: rank the doc's own top trigrams, then
+    sum |doc_rank - lang_rank| over them (a gram absent from the
+    language profile costs ``penalty``, default = profile size). Output
+    one row per doc: (id, pred_lang, oop_distance); docs whose
+    normalized text has no trigram (blank/symbol-only) degrade to a
+    null pred_lang row rather than vanishing.
+
+    Plan shape: one shuffle by doc id for the doc-profile window, then
+    broadcast joins against the tiny profile table; the distance agg
+    reuses the doc-id partitioning. Ties (same distance) break on lang
+    ascending via the struct min."""
+    if penalty is None:
+        penalty = doc_top_k
+
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    doc_counts = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(char_trigrams(text_col)).alias("gram"),
+        )
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("n").desc(), F.col("gram").asc()
+    )
+    doc_grams = (
+        doc_counts.withColumn("doc_rank", F.row_number().over(w))
+        .where(F.col("doc_rank") <= doc_top_k)
+        .select("id", "gram", "doc_rank")
+    )
+
+    langs = profiles.select("lang").distinct()
+    scored = (
+        doc_grams.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(profiles.withColumnRenamed("rank", "lang_rank")),
+            ["lang", "gram"],
+            "left",
+        )
+        .groupBy("id", "lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("doc_rank") - F.col("lang_rank")),
+                    F.lit(penalty),
+                )
+            ).alias("oop")
+        )
+    )
+    best = scored.groupBy("id").agg(
+        F.min(F.struct("oop", "lang")).alias("m")
+    )
+    out = best.select(
+        "id",
+        F.col("m.lang").alias("pred_lang"),
+        F.col("m.oop").alias("oop_distance"),
+    )
+    # blank/symbol-only docs have zero trigrams -> no scored rows;
+    # surface them with a null prediction (degrade contract)
+    return ids.join(out, "id", "left").select(
+        F.col("id").alias(id_col), "pred_lang", "oop_distance"
+    )

@@ -1,0 +1,193 @@
+"""r6 text-processing queries: Cavnar-Trenkle language ID, C4-style
+corpus line dedup, HTML main-content extraction — each oracle-checked.
+
+Oracle styles:
+- ``q_langid_ct`` is a planted-recovery oracle: every doc carries two
+  seed sentences of a known language, so the classifier's output must
+  equal the closed-form planted label for every row (any bug in trigram
+  extraction, ranking, the out-of-place distance, or the argmin flips
+  at least one label and breaks the hash).
+- ``q_line_dedup`` and ``q_html_extract`` plant their inputs in closed
+  form from doc_id, so the EXPECTED full output (reassembled text /
+  extracted text) is itself closed-form SQL — exact end-to-end hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oakstore_spark.operators.langid import (
+    SEED_SENTENCES,
+    classify_lang,
+    seed_corpus,
+    train_lang_profiles,
+)
+from oakstore_spark.queries import register
+from oakstore_spark.sources import table
+
+_LANGS = sorted(SEED_SENTENCES)  # de, en, es, fr, it, pt
+
+
+def _langid_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{lang}'" for i, lang in enumerate(_LANGS)
+    )
+    return f"CASE CAST(doc_id % 6 AS INT) {whens} END"
+
+
+@register(
+    "q_langid_ct",
+    oracle=f"""
+    SELECT doc_id, {_langid_case_sql()} AS pred_lang
+    FROM documents
+    """,
+)
+def q_langid_ct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (Cavnar-Trenkle) end-to-end:
+    train rank profiles on the built-in 6-language seed corpus
+    (distributed groupBy + per-lang window over the aggregated grams),
+    then classify planted documents — doc_id % 6 picks the language,
+    (doc_id // 6) % 8 rotates which two seed sentences the doc carries.
+    The oracle is the closed-form planted label: the classifier must
+    get EVERY document right, deterministically (tie order pinned by
+    (distance, lang) struct min). All JVM built-ins; the only shuffles
+    are the trigram count and the doc-id window."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    combos = spark.createDataFrame(
+        [
+            (li, ri, f"{sents[ri]} {sents[(ri + 3) % 8]}")
+            for li, lang in enumerate(_LANGS)
+            for sents in [SEED_SENTENCES[lang]]
+            for ri in range(8)
+        ],
+        "lang_idx int, rot int, text string",
+    )
+    planted = d.join(
+        F.broadcast(combos),
+        ((F.col("doc_id") % 6).cast("int") == F.col("lang_idx"))
+        & (((F.col("doc_id") / 6).cast("long") % 8).cast("int") == F.col("rot")),
+    ).select("doc_id", "text")
+    profiles = train_lang_profiles(seed_corpus(spark))
+    out = classify_lang(planted, profiles)
+    return out.select("doc_id", "pred_lang")
+
+
+@register(
+    "q_line_dedup",
+    oracle="""
+    WITH m AS (SELECT min(doc_id) AS mn FROM documents),
+    g AS (
+      SELECT doc_id % 7 AS grp, min(doc_id) AS gmn
+      FROM documents GROUP BY doc_id % 7
+    )
+    SELECT d.doc_id,
+           concat_ws(chr(10),
+             CASE WHEN d.doc_id = m.mn
+                  THEN 'accept cookies to continue reading this site' END,
+             'document ' || d.doc_id || ' carries its own unique line',
+             '',
+             CASE WHEN d.doc_id = g.gmn
+                  THEN 'section banner number ' || (d.doc_id % 7) END
+           ) AS clean_text,
+           CAST(4 AS BIGINT) AS n_lines,
+           CAST(2 + CASE WHEN d.doc_id = m.mn THEN 1 ELSE 0 END
+                  + CASE WHEN d.doc_id = g.gmn THEN 1 ELSE 0 END
+                AS BIGINT) AS n_kept
+    FROM documents d
+    CROSS JOIN m
+    JOIN g ON d.doc_id % 7 = g.grp
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus LINE dedup end-to-end: every doc is planted as
+    4 lines — a cookie banner shared by ALL docs, a unique line, a
+    blank line, and a section banner shared within its doc_id % 7
+    group. ``line_dedup_corpus`` must keep the banners only at their
+    global first occurrences (min doc_id overall / min doc_id of the
+    group), always keep blank and unique lines, and reassemble in
+    original order — the oracle states the surviving text in closed
+    form, so a wrong keeper rule, a lost blank line, or an out-of-order
+    reassembly each break the hash."""
+    from oakstore_spark.operators.dedup import line_dedup_corpus
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("accept cookies to continue reading this site"),
+            F.concat(
+                F.lit("document "),
+                F.col("doc_id").cast("string"),
+                F.lit(" carries its own unique line"),
+            ),
+            F.lit(""),
+            F.concat(
+                F.lit("section banner number "),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        ).alias("text"),
+    )
+    return line_dedup_corpus(planted)
+
+
+@register(
+    "q_html_extract",
+    oracle="""
+    SELECT doc_id,
+           'Document ' || doc_id || ' explains extraction & scoring of'
+             || ' planted content blocks in detail.'
+             || chr(10)
+             || 'The second paragraph of document ' || doc_id
+             || ' adds more than thirty characters of prose.'
+             AS main_text,
+           CAST(2 AS INT) AS n_blocks_kept
+    FROM documents
+    """,
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal end-to-end: each doc becomes a full
+    page — script + style heads, an all-links nav, two >=30-char
+    content paragraphs (one with an ``&amp;`` entity), for odd docs an
+    extra link-dominated div, and an all-links footer.
+    ``extract_main_text`` must drop nav/footer/link-div (link density),
+    drop script/style wholesale, decode the entity, and keep exactly
+    the two planted paragraphs joined by a newline — stated closed-form
+    by the oracle."""
+    from oakstore_spark.operators.html import extract_main_text
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit(
+            "<html><head><script>var nav = \"<p>decoy</p>\";</script>"
+            "<style>p { margin: 0 }</style></head><body>"
+            "<nav><a href=\"/\">Home page</a> <a href=\"/faq\">Questions"
+            "</a> <a href=\"/more\">More links</a></nav><p>Document "
+        ),
+        sid,
+        F.lit(
+            " explains extraction &amp; scoring of planted content"
+            " blocks in detail.</p>"
+        ),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.lit(
+                "<div><a href=\"/a\">first link</a> and <a href=\"/b\">"
+                "second link</a> plus <a href=\"/c\">third link here</a>"
+                " glue</div>"
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<p>The second paragraph of document "),
+        sid,
+        F.lit(
+            " adds more than thirty characters of prose.</p>"
+            "<footer><a href=\"/tos\">Terms of service</a>"
+            " <a href=\"/privacy\">Privacy notice</a></footer>"
+            "</body></html>"
+        ),
+    )
+    planted = d.select("doc_id", page.alias("html"))
+    out = extract_main_text(planted)
+    return out.select("doc_id", "main_text", "n_blocks_kept")

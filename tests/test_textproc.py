@@ -1,0 +1,192 @@
+"""Tests for the r6 text-processing operators: Cavnar-Trenkle language
+ID (held-out confusion matrix + degrade), corpus line dedup (planted
+repeated-line recovery), HTML main-text extraction (boilerplate drop +
+malformed-markup degrade)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oakstore_spark.operators.dedup import line_dedup_corpus
+from oakstore_spark.operators.html import extract_main_text
+from oakstore_spark.operators.langid import (
+    classify_lang,
+    seed_corpus,
+    train_lang_profiles,
+)
+
+# held-out sentences (written for this test — NOT in SEED_SENTENCES)
+HELD_OUT = {
+    "en": [
+        "the library opens its doors every day except sunday afternoons",
+        "my sister bought a blue bicycle from the shop last week",
+        "we should finish the report before the meeting starts tomorrow",
+    ],
+    "fr": [
+        "la bibliotheque ouvre ses portes tous les jours sauf le dimanche",
+        "ma soeur a achete un velo bleu au magasin la semaine derniere",
+        "nous devons finir le rapport avant le debut de la reunion demain",
+    ],
+    "de": [
+        "die bibliothek oeffnet ihre tueren jeden tag ausser am sonntag",
+        "meine schwester kaufte letzte woche ein blaues fahrrad im laden",
+        "wir sollten den bericht vor dem beginn der sitzung morgen beenden",
+    ],
+    "es": [
+        "la biblioteca abre sus puertas todos los dias excepto el domingo",
+        "mi hermana compro una bicicleta azul en la tienda la semana pasada",
+        "debemos terminar el informe antes de que empiece la reunion manana",
+    ],
+    "it": [
+        "la biblioteca apre le sue porte ogni giorno tranne la domenica",
+        "mia sorella ha comprato una bicicletta blu al negozio la settimana scorsa",
+        "dobbiamo finire il rapporto prima che inizi la riunione domani",
+    ],
+    "pt": [
+        "a biblioteca abre suas portas todos os dias exceto aos domingos",
+        "minha irma comprou uma bicicleta azul na loja na semana passada",
+        "devemos terminar o relatorio antes que a reuniao comece amanha",
+    ],
+}
+
+
+def test_langid_heldout_confusion_matrix(spark):
+    """Profiles trained on the seed corpus must classify HELD-OUT
+    sentences (disjoint from training) with a perfectly diagonal
+    confusion matrix — 18 sentences, 6 languages, 0 confusions."""
+    profiles = train_lang_profiles(seed_corpus(spark))
+    rows = [
+        (i * 10 + j, s, lang)
+        for i, (lang, sents) in enumerate(sorted(HELD_OUT.items()))
+        for j, s in enumerate(sents)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, true_lang string")
+    out = classify_lang(df, profiles)
+    joined = df.join(out, "doc_id")
+    confusion = (
+        joined.groupBy("true_lang", "pred_lang").count().collect()
+    )
+    off_diag = [r for r in confusion if r.true_lang != r.pred_lang]
+    assert off_diag == [], f"misclassified: {off_diag}"
+    assert sum(r["count"] for r in confusion) == 18
+
+
+def test_langid_degrade_and_determinism(spark):
+    """Blank / symbol-only docs -> null pred (never vanish); repeated
+    classification is bit-stable (tie order pinned)."""
+    profiles = train_lang_profiles(seed_corpus(spark)).cache()
+    df = spark.createDataFrame(
+        [(1, ""), (2, "1234 $$$ !!!"), (3, "ab")],
+        "doc_id long, text string",
+    )
+    out = classify_lang(df, profiles).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [1, 2, 3]
+    assert out[0].pred_lang is None and out[1].pred_lang is None
+    # "ab" normalizes to " ab " -> has trigrams -> gets SOME deterministic label
+    df2 = spark.createDataFrame(
+        [(1, "the weather is nice today near the harbor")],
+        "doc_id long, text string",
+    )
+    a = classify_lang(df2, profiles).collect()[0]
+    b = classify_lang(df2, profiles).collect()[0]
+    assert (a.pred_lang, a.oop_distance) == (b.pred_lang, b.oop_distance)
+    assert a.pred_lang == "en"
+    profiles.unpersist()
+
+
+def test_langid_profile_ranks_deterministic(spark):
+    """Profile ranks: rank 1 is each language's most frequent trigram;
+    ranks are dense 1..K; ties break gram-ascending (exact single-node
+    replay in pandas)."""
+    import pandas as pd
+
+    corpus = seed_corpus(spark)
+    prof = train_lang_profiles(corpus, top_k=50).toPandas()
+    # single-node replay
+    seed = corpus.toPandas()
+    for lang, group in seed.groupby("lang"):
+        counts: dict[str, int] = {}
+        for text in group["text"]:
+            s = " " + " ".join("".join(ch if ch.isalpha() else " " for ch in text.lower()).split()) + " "
+            for i in range(len(s) - 2):
+                g = s[i : i + 3]
+                counts[g] = counts.get(g, 0) + 1
+        expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+        got = prof[prof.lang == lang].sort_values("rank")
+        assert list(got["gram"]) == [g for g, _ in expect], lang
+        assert list(got["rank"]) == list(range(1, len(expect) + 1))
+
+
+def test_line_dedup_planted_recovery(spark):
+    """Keep-first across the corpus, blanks always kept, reassembly in
+    order, docs losing every non-blank line still present."""
+    docs = [
+        (1, "shared header\nalpha one\n\nshared footer"),
+        (2, "shared header\nbeta two\n\nshared footer"),
+        (3, "shared header\nshared header\ngamma three"),
+        (4, "shared header"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup_corpus(df).collect()}
+
+    # doc 1 is the global first occurrence of both shared lines
+    assert out[1].clean_text == "shared header\nalpha one\n\nshared footer"
+    assert (out[1].n_lines, out[1].n_kept) == (4, 4)
+    # doc 2 loses both shared lines, keeps its unique + blank
+    assert out[2].clean_text == "beta two\n"
+    assert (out[2].n_lines, out[2].n_kept) == (4, 2)
+    # doc 3: BOTH its copies lose to doc 1's (keep-first is global)
+    assert out[3].clean_text == "gamma three"
+    assert (out[3].n_lines, out[3].n_kept) == (3, 1)
+    # doc 4 loses its only line -> empty text, still present
+    assert out[4].clean_text == "" and out[4].n_kept == 0
+    # doc 5: a single blank line is blank-kept
+    assert out[5].clean_text == "" and (out[5].n_lines, out[5].n_kept) == (1, 1)
+
+
+def test_html_extract_malformed_degrades(spark):
+    """Malformed markup must degrade, never fail: unclosed tags strip,
+    nested links count once, null html -> null out, all-boilerplate
+    pages extract to empty (n_blocks_kept=0) rather than erroring."""
+    long_txt = "this paragraph carries enough characters to pass the floor"
+    pages = [
+        (1, f"<p>{long_txt}"),                      # unclosed <p>
+        (2, f"<p><b>{long_txt}</i></wrong>"),        # mismatched inline tags
+        (3, "<nav><a href='/'>Home page link</a> <a href='/x'>Another link text</a></nav>"),
+        (4, None),
+        (5, "<P CLASS='x'>" + long_txt + "</P>"),    # case-insensitive tags
+        (6, "<p>< not a tag but looks odd " + long_txt + "</p>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    out = {r.doc_id: r for r in extract_main_text(df).collect()}
+    assert out[1].main_text == long_txt
+    assert out[2].main_text == long_txt
+    assert out[3].main_text == "" and out[3].n_blocks_kept == 0
+    assert out[4].main_text is None and out[4].n_blocks_kept is None
+    assert out[5].main_text == long_txt
+    # "< not a tag" : '<' swallows to next '>' per the tag regex — the
+    # tail text after it must still survive (degrade, not data loss)
+    assert long_txt.split()[-1] in (out[6].main_text or "")
+
+
+def test_html_then_line_dedup_compose(spark):
+    """The natural pipeline: extract_main_text -> line_dedup_corpus.
+    A footer line surviving extraction in many pages (link-light
+    boilerplate) is deduped to its first occurrence."""
+    boiler = "copyright twenty twenty six all rights reserved worldwide"
+    pages = [
+        (i, f"<p>unique paragraph number {i} with plenty of characters</p>"
+            f"<p>{boiler}</p>")
+        for i in range(1, 4)
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    extracted = extract_main_text(df).select(
+        "doc_id", F.col("main_text").alias("text")
+    )
+    out = {r.doc_id: r for r in line_dedup_corpus(extracted).collect()}
+    assert boiler in out[1].clean_text
+    assert boiler not in out[2].clean_text
+    assert boiler not in out[3].clean_text
+    assert "unique paragraph number 3" in out[3].clean_text
