@@ -47,6 +47,10 @@ def main() -> None:
                          "this many synthetic docs, every 7th carrying a "
                          "planted boilerplate block; asserts exact "
                          "planted-span recovery (cuts == planted - 1)")
+    ap.add_argument("--linedocs", type=int, default=0,
+                    help="corpus line-dedup probe: docs of 3 unique "
+                         "lines + a shared boilerplate line every 5th "
+                         "doc; planted keep-first recovery checked")
     ap.add_argument("--mediadocs", type=int, default=0,
                     help="also probe the multimodal decode family: this "
                          "many synthetic MJPEG-AVI + PCM16-WAV payloads "
@@ -373,6 +377,45 @@ def main() -> None:
                 f"expected {n_planted - 1}"
             )
         sdocs.unpersist()
+
+    if args.linedocs:
+        # corpus LINE dedup at volume with planted recovery: each doc
+        # is 3 globally-unique hash-word lines; every 5th doc appends
+        # one shared boilerplate line. Keep-first must cut EXACTLY
+        # planted-1 line occurrences.
+        from oakstore_spark.operators.dedup import line_dedup_corpus
+
+        nl = args.linedocs
+        ldocs = spark.range(0, nl, 1, 64).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                "\n",
+                *[F.hex(F.hash(F.col("id") * 257 + k)) for k in range(3)],
+                F.when(
+                    F.col("id") % 5 == 0,
+                    F.lit("shared boilerplate navigation line"),
+                ),
+            ).alias("text"),
+        )
+        ldocs.persist()
+        ldocs.count()
+        n_planted = (nl + 4) // 5
+        t0 = time.time()
+        line_cut = line_dedup_corpus(ldocs).agg(
+            F.sum(F.col("n_lines") - F.col("n_kept"))
+        ).first()[0]
+        dt = time.time() - t0
+        out["line_probe_docs"] = nl
+        out["line_probe_sec"] = round(dt, 2)
+        out["line_probe_docs_per_sec"] = round(nl / dt)
+        out["line_planted_expected"] = n_planted - 1
+        out["line_planted_cut"] = int(line_cut)
+        if int(line_cut) != n_planted - 1:
+            raise SystemExit(
+                f"line_dedup planted recovery FAILED: cut {line_cut}, "
+                f"expected {n_planted - 1}"
+            )
+        ldocs.unpersist()
 
     if args.mediadocs:
         # multimodal decode family at volume: real MJPEG/JPEG + WAV
