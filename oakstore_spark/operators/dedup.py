@@ -35,6 +35,8 @@ at scale you would also rely on AQE skew-join splitting.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -1158,30 +1160,38 @@ def line_dedup_corpus(
     path has no Python and never shuffles line text twice):
     1. ``posexplode(split(text, delim))`` — map-side, no shuffle;
     2. global first-occurrence per line groups the 32-byte md5 digest
-       (map-side partial agg; the shuffle carries digest + one packed
-       BIGINT key, never the line text);
+       (map-side partial agg; the shuffle carries digest + one small
+       (doc_id, pos) struct, never the line text);
     3. survivors join back on the digest (AQE splits a viral line's
        skew) and documents reassemble with one shuffle on doc id.
 
-    The packed key is doc_id * 2^20 + line_pos (line_pos < 2^20
-    asserted at plan level via the sequence bound) so the keeper is a
-    plain ``min`` — SQL-portable for the oracle.
+    The keeper is ``min(struct(doc_id, pos))`` — lexicographic struct
+    min, so it is exact for any doc_id range or line count (no packed
+    BIGINT key to overflow) and mirrors a SQL ``min(row(...))`` /
+    two-column window for the oracle.
+
+    ``delim`` is a LITERAL delimiter: it is regex-escaped before
+    ``split`` so that splitting and the ``concat_ws`` reassembly always
+    agree (a raw '.' or '|' would otherwise split per-character).
 
     Returns (id_col, clean_text, n_lines, n_kept); n_kept < n_lines
     flags documents that lost at least one repeated line.
     """
+    delim_re = re.escape(delim)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), delim_re)).alias("pos", "line"),
     ).withColumn("digest", F.md5("line"))
-    packed = (F.col(id_col).cast("long") * (1 << 20)) + F.col("pos")
+    occ = F.struct(
+        F.col(id_col).alias("_d"), F.col("pos").alias("_p")
+    )
     blank = F.trim(F.col("line")) == ""
     firsts = lines.where(~blank).groupBy("digest").agg(
-        F.count(F.lit(1)).alias("cnt"), F.min(packed).alias("keeper")
+        F.count(F.lit(1)).alias("cnt"), F.min(occ).alias("keeper")
     )
     kept = (
         lines.join(firsts, "digest", "left")
-        .where(blank | F.col("cnt").isNull() | (packed == F.col("keeper")))
+        .where(blank | F.col("cnt").isNull() | (occ == F.col("keeper")))
         .groupBy(id_col)
         .agg(
             F.concat_ws(
@@ -1196,7 +1206,7 @@ def line_dedup_corpus(
     )
     totals = df.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), delim)).cast("long").alias("n_lines"),
+        F.size(F.split(F.col(text_col), delim_re)).cast("long").alias("n_lines"),
     )
     return totals.join(kept, id_col, "left").select(
         id_col,

@@ -207,17 +207,27 @@ def classify_lang(
     """Score each document against every language profile with the
     out-of-place distance: rank the doc's own top trigrams, then
     sum |doc_rank - lang_rank| over them (a gram absent from the
-    language profile costs ``penalty``, default = profile size). Output
-    one row per doc: (id, pred_lang, oop_distance); docs whose
-    normalized text has no trigram (blank/symbol-only) degrade to a
-    null pred_lang row rather than vanishing.
+    language profile costs ``penalty``; the default is the ACTUAL
+    profile size — ``max(rank)`` over ``profiles``, the Cavnar-Trenkle
+    convention — computed in-plan via a broadcast 1-row aggregate, so
+    profiles trained with a different ``top_k`` than ``doc_top_k``
+    still get the documented semantics). Output one row per doc:
+    (id, pred_lang, oop_distance); docs whose normalized text has no
+    trigram (blank/symbol-only) degrade to a null pred_lang row rather
+    than vanishing.
 
     Plan shape: one shuffle by doc id for the doc-profile window, then
     broadcast joins against the tiny profile table; the distance agg
     reuses the doc-id partitioning. Ties (same distance) break on lang
     ascending via the struct min."""
-    if penalty is None:
-        penalty = doc_top_k
+    if penalty is not None:
+        pen_col = F.lit(penalty)
+        pen_join = None
+    else:
+        pen_col = F.col("_pen")
+        pen_join = F.broadcast(
+            profiles.agg(F.max("rank").cast("int").alias("_pen"))
+        )
 
     ids = df.select(F.col(id_col).alias("id")).distinct()
     doc_counts = (
@@ -238,9 +248,11 @@ def classify_lang(
     )
 
     langs = profiles.select("lang").distinct()
+    probe = doc_grams.crossJoin(F.broadcast(langs))
+    if pen_join is not None:
+        probe = probe.crossJoin(pen_join)
     scored = (
-        doc_grams.crossJoin(F.broadcast(langs))
-        .join(
+        probe.join(
             F.broadcast(profiles.withColumnRenamed("rank", "lang_rank")),
             ["lang", "gram"],
             "left",
@@ -250,7 +262,7 @@ def classify_lang(
             F.sum(
                 F.coalesce(
                     F.abs(F.col("doc_rank") - F.col("lang_rank")),
-                    F.lit(penalty),
+                    pen_col,
                 )
             ).alias("oop")
         )

@@ -108,17 +108,43 @@ def assign_contiguous_ids(
     return part.mapInPandas(emit, schema)
 
 
+# Every handle any operator persisted for its internal plan, in
+# registration order. `queries.register` drains this at the START of
+# the next registered-query call, so a long-lived session that runs
+# queries sequentially (driver, bench, checker) pins at most one
+# query's handles at a time even if it never calls clearCache().
+_TRACKED_HANDLES: list[DataFrame] = []
+
+
 def track_persisted(out: DataFrame, *handles: DataFrame) -> DataFrame:
     """Attach persisted upstream relations to ``out`` so a long-lived
     session can free them once ``out`` is consumed (persisted handles
     the operator needed for its internal multi-branch plan cannot be
     unpersisted inline — the returned DataFrame still depends on them).
     Harnesses that ``spark.catalog.clearCache()`` between queries need
-    nothing; everyone else calls :func:`unpersist_deps`."""
+    nothing; everyone else calls :func:`unpersist_deps` (per-result) or
+    :func:`release_tracked` (everything outstanding)."""
     deps = list(getattr(out, "_oakstore_persisted", ()))
     deps.extend(handles)
     out._oakstore_persisted = deps
+    _TRACKED_HANDLES.extend(handles)
     return out
+
+
+def release_tracked(blocking: bool = False) -> int:
+    """Unpersist EVERY handle any operator registered via
+    :func:`track_persisted` since the last release. Safe to call any
+    time — unpersisting only ever costs recomputation on a later
+    action, never correctness. Returns the number released."""
+    n = 0
+    while _TRACKED_HANDLES:
+        h = _TRACKED_HANDLES.pop()
+        try:
+            h.unpersist(blocking)
+        except Exception:
+            pass  # session already stopped; nothing left to pin
+        n += 1
+    return n
 
 
 def unpersist_deps(df: DataFrame, blocking: bool = False) -> int:

@@ -17,13 +17,31 @@ ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Decorator: add a query (and optional oracle SQL) to the registry."""
+    """Decorator: add a query (and optional oracle SQL) to the registry.
+
+    The registered callable first releases any persisted handles a
+    PREVIOUS query's operators tracked (``scaling.release_tracked``) —
+    sequential harnesses (driver, bench, checker) have consumed the
+    prior result by the time they build the next query, so at most one
+    query's internal persists stay pinned even in sessions that never
+    ``clearCache()``. A caller that interleaves builds and actions only
+    risks recomputation, never wrong results.
+    """
 
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from oakstore_spark.operators.scaling import release_tracked
+
+            release_tracked()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

@@ -152,12 +152,17 @@ def _ensure_stream_sink(spark: SparkSession, sf_dir: str) -> str:
     removed at interpreter exit."""
     import atexit
 
+    # normalize BEFORE the cache lookup: 'dir' and 'dir/' map to the
+    # same on-disk tag below, so they must share one cache entry — a
+    # miss here would rebuild (rmtree) the sink out from under the
+    # first caller's live DataFrames
+    sf_dir = sf_dir.rstrip("/") or sf_dir
     path = _STREAM_SINK_DIRS.get(sf_dir)
     if path is not None:
         return path
     # keyed by a hash of the FULL sf_dir path, matching the cache key:
     # two data dirs sharing a basename must not rmtree each other's sink
-    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     base = Path(tempfile.gettempdir()) / f"oakspark_streamsink_{tag}"
     shutil.rmtree(base, ignore_errors=True)
     atexit.register(shutil.rmtree, str(base), ignore_errors=True)

@@ -496,3 +496,25 @@ def test_bloom_prefiltered_join_plan_and_equivalence(spark):
         ).collect()
     }
     assert got == ref
+
+
+def test_release_tracked_frees_registered_query_persists(spark):
+    """Registered queries that persist internal relations
+    (track_persisted) must not pin storage across queries in sessions
+    that never clearCache(): invoking the NEXT registered query drains
+    the tracked-handle registry."""
+    from oakstore_spark.operators import scaling
+    from oakstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    before = len(scaling._TRACKED_HANDLES)
+    df = QUERIES["q_phash_near_dup"](spark, sf)
+    df.count()
+    handles = list(scaling._TRACKED_HANDLES[before:])
+    assert handles, "q_phash_near_dup should track its persisted sigs"
+    assert any(h.storageLevel.useMemory for h in handles)
+    # the next registered query call releases everything outstanding
+    QUERIES["q_phash_dedup"](spark, sf).count()
+    assert all(not h.storageLevel.useMemory for h in handles)
+    scaling.release_tracked()

@@ -732,3 +732,18 @@ def test_streaming_media_decode_foreachbatch(spark, tmp_path):
     got2 = spark.read.parquet(sink)
     assert got2.count() == got.count() + 2
     assert got2.where(F.col("media_id") == 7).count() == 2
+
+
+def test_stream_sink_cache_key_normalized(spark):
+    """'dir' and 'dir/' must share ONE sink cache entry: a second call
+    with a trailing slash used to miss the cache, map to the same
+    on-disk tag, and rmtree the first caller's live sink."""
+    from oakstore_spark.queries.streaming_batch import _ensure_stream_sink
+
+    sf = "/root/testdata/sf0.001"
+    a = _ensure_stream_sink(spark, sf)
+    n_before = spark.read.parquet(a).count()
+    b = _ensure_stream_sink(spark, sf + "/")
+    assert a == b
+    # sink is intact (not rebuilt/rmtree'd) and still readable
+    assert spark.read.parquet(a).count() == n_before

@@ -146,6 +146,95 @@ def test_line_dedup_planted_recovery(spark):
     assert out[5].clean_text == "" and (out[5].n_lines, out[5].n_kept) == (1, 1)
 
 
+def test_line_dedup_regex_metachar_delim(spark):
+    """delim is a LITERAL: '|' (a regex metachar) must split on pipes,
+    not per-character, and reassembly must round-trip."""
+    docs = [
+        (1, "shared line|alpha.one|x+y"),
+        (2, "shared line|beta.two|x+y"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in line_dedup_corpus(df, delim="|").collect()
+    }
+    assert out[1].clean_text == "shared line|alpha.one|x+y"
+    assert (out[1].n_lines, out[1].n_kept) == (3, 3)
+    # doc 2 loses BOTH duplicated segments ("shared line" and "x+y")
+    assert out[2].clean_text == "beta.two"
+    assert (out[2].n_lines, out[2].n_kept) == (3, 1)
+    # '.' as delimiter: would match every char if treated as regex
+    df2 = spark.createDataFrame(
+        [(1, "aa.bb"), (2, "aa.cc")], "doc_id long, text string"
+    )
+    out2 = {r.doc_id: r for r in line_dedup_corpus(df2, delim=".").collect()}
+    assert out2[1].clean_text == "aa.bb" and out2[1].n_lines == 2
+    assert out2[2].clean_text == "cc"
+
+
+def test_line_dedup_keeper_survives_extreme_keys(spark):
+    """The keeper is min(struct(doc_id, pos)) — no packed-BIGINT key —
+    so huge doc_ids, negative doc_ids, and line positions beyond 2^20
+    must still pick the true global first occurrence."""
+    big = 1 << 50  # would overflow doc_id * 2^20 packing
+    many = 1_100_000  # > 2^20 lines
+    filler = "\n".join(f"filler {i}" for i in range(3))
+    docs = [
+        (-5, "dup line\nneg unique"),
+        (big, "dup line\nbig unique"),
+        (7, filler + "\n" + "dup line"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup_corpus(df).collect()}
+    # keeper = lowest (doc_id, pos): the negative id wins
+    assert out[-5].clean_text == "dup line\nneg unique"
+    assert out[big].clean_text == "big unique"
+    assert "dup line" not in out[7].clean_text
+    # positions beyond 2^20: first occurrence at a huge pos still wins
+    # over a later doc's pos 0 (the old packed key would corrupt here)
+    tail_dup = "late duplicate line"
+    long_doc = "\n".join(["pad"] * 2 + [f"u{big}"]) + "\n" + tail_dup
+    df2 = spark.createDataFrame(
+        [(1, long_doc), (2, tail_dup + "\nsecond doc unique")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r for r in line_dedup_corpus(df2).collect()}
+    assert tail_dup in out2[1].clean_text
+    assert out2[2].clean_text == "second doc unique"
+    # smoke the >2^20-line shape cheaply via a sequence-planted doc:
+    # build positions lazily in Spark rather than a giant Python string
+    lines = spark.range(1).select(
+        F.lit(3).alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(many - 1)),
+                lambda i: F.concat(F.lit("ln "), (i % 500).cast("string")),
+            ),
+        ).alias("text"),
+    )
+    res = line_dedup_corpus(lines).collect()[0]
+    assert res.n_lines == many and res.n_kept == 500
+
+
+def test_langid_default_penalty_is_profile_size(spark):
+    """The absent-gram penalty defaults to max(rank) over the ACTUAL
+    profiles (Cavnar-Trenkle), not doc_top_k: a doc whose grams are all
+    absent from every profile scores n_grams * profile_size."""
+    profiles = spark.createDataFrame(
+        [("xx", " th", 1), ("xx", "the", 2), ("xx", "he ", 3)],
+        "lang string, gram string, rank int",
+    )
+    # "zzzz" normalizes to " zzzz " -> 3 DISTINCT trigrams
+    # (" zz", "zzz", "zz "), none in the profile
+    df = spark.createDataFrame([(1, "zzzz")], "doc_id long, text string")
+    got = classify_lang(df, profiles).collect()[0]
+    assert got.oop_distance == 3 * 3  # profile size 3, NOT doc_top_k=300
+    # explicit penalty still honored verbatim
+    got2 = classify_lang(df, profiles, penalty=11).collect()[0]
+    assert got2.oop_distance == 3 * 11
+
+
 def test_html_extract_malformed_degrades(spark):
     """Malformed markup must degrade, never fail: unclosed tags strip,
     nested links count once, null html -> null out, all-boilerplate
