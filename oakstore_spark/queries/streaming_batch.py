@@ -237,3 +237,60 @@ def q_stream_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cents",
         )
     )
+
+
+@register(
+    "q_avro_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           min(epoch_us(ts)) AS min_ts_us,
+           max(epoch_us(ts)) AS max_ts_us,
+           CAST(sum(epoch_us(ts) % 1000000) AS BIGINT) AS sum_us_frac,
+           CAST(sum(CAST(('0x' || substr(md5(props), 1, 8)) AS BIGINT))
+             AS BIGINT) AS props_hash
+    FROM events
+    WHERE user_id % 5 = 0
+    GROUP BY event_type
+    """,
+)
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Avro container-file codec (sources/avro.py) under the oracle
+    gate: a bounded slice of events is written as multi-shard Avro
+    (per-task foreachPartition, deflate codec), read back through
+    binaryFile + the Arrow-batched decoder, and aggregated per type —
+    counts, exact cents, epoch-micros extremes, the SUM of the
+    microsecond fractions (a single lost microsecond anywhere flips
+    it), and an md5-derived hash over the props strings. The oracle
+    aggregates the RAW parquet fixture: any row the codec drops,
+    duplicates, or corrupts in any column diverges the hash."""
+    from oakstore_spark.sources import table
+    from oakstore_spark.sources.avro import read_avro, write_avro
+
+    src = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 5 == 0)
+        .repartition(4)
+    )
+    base = (
+        Path(tempfile.gettempdir())
+        / f"oakspark_avro_rt_{Path(sf_dir.rstrip('/')).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    write_avro(src, str(base), codec="deflate")
+    back = read_avro(spark, str(base), schema=src.schema)
+    ts_us = F.unix_micros("ts")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        F.min(ts_us).alias("min_ts_us"),
+        F.max(ts_us).alias("max_ts_us"),
+        F.sum(ts_us % 1_000_000).alias("sum_us_frac"),
+        F.sum(
+            F.conv(F.substring(F.md5("props"), 1, 8), 16, 10).cast("bigint")
+        ).alias("props_hash"),
+    )
