@@ -1516,3 +1516,75 @@ def q_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "q_pii_detect_luhn",
+    oracle="""
+    SELECT doc_id,
+           1 AS n_emails, 1 AS n_phones,
+           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS n_ipv4,
+           1 AS n_card_candidates,
+           CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS n_cards_valid,
+           TRUE AS has_pii,
+           'contact <EMAIL> call <PHONE> from '
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '<IP>'
+                     ELSE '999.1.2.777' END
+             || ' card '
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '<CARD>'
+                     ELSE '4532 0151 1283 0367' END
+             || ' end' AS redacted
+    FROM documents
+    """,
+)
+def q_pii_detect_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL PII family (operators/pii.py) under a planted closed-
+    form oracle: every doc carries one email, one phone, an IPv4 that
+    is range-valid only for even docs (odd docs get 999.1.2.777, which
+    the octet-validated regex must NOT match), and a 16-digit card that
+    passes Luhn only for doc_id % 3 == 0 (the other docs carry the same
+    number with the check digit flipped — a bare digit regex can't tell
+    them apart, the checksum must). Counts AND the fully redacted text
+    are both stated closed-form: a false positive, a missed match, or
+    a wrong redaction order breaks the hash. All JVM (regexp + aggregate
+    HOF Luhn), map-side only."""
+    from oakstore_spark.operators.pii import detect_pii, redact_pii_all
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from "),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("192.168."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("999.1.2.777")),
+            F.lit(" card "),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("4532 0151 1283 0366")
+            ).otherwise(F.lit("4532 0151 1283 0367")),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    out = detect_pii(planted, "text")
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ipv4",
+        "n_card_candidates",
+        "n_cards_valid",
+        "has_pii",
+        redact_pii_all("text").alias("redacted"),
+    )

@@ -533,3 +533,42 @@ def test_quality_classifier_beats_chance(spark):
     n = sum(r["n_docs"] for r in rows)
     correct = sum(r["n_correct"] for r in rows)
     assert correct / n >= 0.75, (correct, n)
+
+
+def test_pii_luhn_and_detection(spark):
+    """Luhn separates real card numbers from order ids; octet-validated
+    IPv4; nulls degrade; multiple matches counted."""
+    from oakstore_spark.operators.pii import detect_pii, redact_pii_all
+
+    rows = [
+        # valid Visa test number, dashed layout
+        (1, "pay 4532-0151-1283-0366 now"),
+        # same digits, check digit flipped -> candidate but NOT valid
+        (2, "order 4532-0151-1283-0367 shipped"),
+        # valid Mastercard test number, no separators
+        (3, "card 5500005555555559."),
+        # 12 digits: too short to even be a candidate
+        (4, "ref 123456789012 ok"),
+        # two IPs, one bad octet
+        (5, "from 10.0.0.1 to 256.1.1.1 and 172.16.254.3"),
+        (6, None),
+        (7, "a@b.io mail and 555-1234 phone"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r for r in detect_pii(df, "text").collect()}
+    assert (out[1].n_card_candidates, out[1].n_cards_valid) == (1, 1)
+    assert (out[2].n_card_candidates, out[2].n_cards_valid) == (1, 0)
+    assert (out[3].n_card_candidates, out[3].n_cards_valid) == (1, 1)
+    assert (out[4].n_card_candidates, out[4].n_cards_valid) == (0, 0)
+    assert out[5].n_ipv4 == 2 and not out[5].has_pii is None
+    assert out[6].has_pii is None or out[6].n_emails is None
+    assert (out[7].n_emails, out[7].n_phones, out[7].has_pii) == (1, 1, True)
+
+    red = {r.id: r.r for r in df.select(
+        "id", redact_pii_all("text").alias("r")).collect()}
+    assert red[1] == "pay <CARD> now"
+    assert red[2] == "order 4532-0151-1283-0367 shipped"  # invalid kept
+    assert red[3] == "card <CARD>."
+    assert red[5] == "from <IP> to 256.1.1.1 and <IP>"
+    assert red[6] is None
+    assert red[7] == "<EMAIL> mail and <PHONE> phone"
