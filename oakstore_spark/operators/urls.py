@@ -1,0 +1,153 @@
+"""URL canonicalization and domain curation — the first operators a
+web-crawl pipeline runs after HTML extraction: normalize each URL to a
+canonical form (so the same page crawled twice dedups exactly), map
+hosts to registered domains, aggregate per-domain stats, and drop
+blocklisted domains.
+
+Canonicalization rules (stated precisely — they ARE the contract):
+- scheme and host lowercase; ``www.`` prefix stripped from the host;
+- default ports dropped (``:80`` for http, ``:443`` for https; other
+  ports kept);
+- fragment dropped;
+- tracking query params dropped (``utm_*``, ``fbclid``, ``gclid``,
+  ``ref``), remaining params sorted bytewise, rejoined with ``&``;
+  an emptied query drops its ``?``;
+- a single trailing ``/`` dropped from the path (the root path ``/``
+  becomes empty — host root needs no path).
+
+Everything is JVM regexp + array higher-order functions — map-side
+projection, no shuffle, no Python. At 100 TB the normalize column
+feeds straight into exact_dedup's hash shuffle; blocklist filtering is
+a broadcast anti-join on the (tiny) blocklist side.
+
+Reference parity: the reference (store.py:1-267) has no URL surface;
+EXT operator mandated by the LLM-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCHEME = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+# params that carry tracking state, not content identity
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)(=|$)"
+# public suffixes where the registered domain is LABEL.2LEVEL —
+# a pragmatic subset of the public-suffix list's most common entries
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "co.in", "co.nz", "co.za", "co.kr",
+    "com.br", "com.mx", "com.sg", "com.cn", "com.tw", "com.ar",
+)
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def url_parts(col: Column | str) -> Column:
+    """Struct(scheme, host, port, path, query) pulled apart with
+    anchored regexps (fragment is parsed away; userinfo is not
+    supported — crawler URLs don't carry it)."""
+    u = _c(col)
+    authority = F.regexp_extract(u, _SCHEME + r"([^/?#]+)", 2)
+    return F.struct(
+        F.lower(F.regexp_extract(u, _SCHEME, 1)).alias("scheme"),
+        F.lower(F.regexp_replace(authority, r":[0-9]+$", "")).alias("host"),
+        F.regexp_extract(authority, r":([0-9]+)$", 1).alias("port"),
+        F.regexp_extract(u, _SCHEME + r"[^/?#]*([^?#]*)", 2).alias("path"),
+        F.regexp_extract(u, r"^[^#]*\?([^#]*)", 1).alias("query"),
+    )
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonical URL string per the module contract; null/schemeless
+    inputs yield null (degrade, never error)."""
+    p = url_parts(col)
+    scheme = p["scheme"]
+    host = F.regexp_replace(p["host"], r"^www\.", "")
+    default_port = (
+        ((scheme == "http") & (p["port"] == "80"))
+        | ((scheme == "https") & (p["port"] == "443"))
+    )
+    port = F.when(
+        (p["port"] != "") & ~default_port, F.concat(F.lit(":"), p["port"])
+    ).otherwise(F.lit(""))
+    path = F.when(p["path"] == "/", F.lit("")).otherwise(
+        F.regexp_replace(p["path"], r"/$", "")
+    )
+    kept = F.array_sort(
+        F.filter(
+            F.split(p["query"], "&"),
+            lambda q: (q != "") & ~q.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    query = F.when(
+        F.size(kept) > 0,
+        F.concat(F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(F.lit(""))
+    return F.when(
+        (scheme != "") & (host != ""),
+        F.concat(scheme, F.lit("://"), host, port, path, query),
+    )
+
+
+def registered_domain(host: Column | str) -> Column:
+    """Registered (pay-level) domain of a host: the last two labels,
+    or the last THREE when the final two form a known two-level public
+    suffix (co.uk and friends). Hosts with a single label (localhost,
+    intranet names) pass through unchanged."""
+    h = F.regexp_replace(F.lower(_c(host)), r"^www\.", "")
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    is_two_level = last2.isin(*TWO_LEVEL_SUFFIXES)
+    return F.when(n <= 1, h).when(
+        (n >= 3) & is_two_level, last3
+    ).otherwise(last2)
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-registered-domain rollup: page count, distinct canonical
+    URLs (same page crawled twice counts once), and an id checksum.
+    One hash-shuffle on the domain key — the 100 TB shape."""
+    parts = url_parts(url_col)
+    rows = df.select(
+        F.col(id_col),
+        registered_domain(parts["host"]).alias("reg_domain"),
+        normalize_url(url_col).alias("norm_url"),
+    )
+    return rows.groupBy("reg_domain").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("norm_url").alias("n_urls"),
+        F.sum(id_col).alias("id_checksum"),
+    )
+
+
+def filter_blocklisted(
+    df: DataFrame, blocklist: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop rows whose registered domain appears in ``blocklist``
+    (one column ``reg_domain``). Broadcast LEFT ANTI join — the
+    blocklist is small by nature; no shuffle of the corpus."""
+    parts = url_parts(url_col)
+    keyed = df.withColumn(
+        "_reg_domain", registered_domain(parts["host"])
+    )
+    return (
+        keyed.join(
+            F.broadcast(
+                blocklist.select(F.col("reg_domain").alias("_reg_domain"))
+            ),
+            "_reg_domain",
+            "left_anti",
+        ).drop("_reg_domain")
+    )

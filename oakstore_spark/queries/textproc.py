@@ -191,3 +191,132 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = d.select("doc_id", page.alias("html"))
     out = extract_main_text(planted)
     return out.select("doc_id", "main_text", "n_blocks_kept")
+
+
+@register(
+    "q_url_normalize",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN
+             'http://example' || CAST(doc_id % 23 AS VARCHAR)
+               || '.co.uk/Path' || CAST(doc_id % 5 AS VARCHAR)
+               || '?a=1&b=' || CAST(doc_id % 9 AS VARCHAR)
+           ELSE
+             'https://site' || CAST(doc_id % 23 AS VARCHAR)
+               || '.company.com/deep/page?y=8&z=9'
+           END AS norm_url,
+           CASE WHEN doc_id % 2 = 0 THEN
+             'example' || CAST(doc_id % 23 AS VARCHAR) || '.co.uk'
+           ELSE 'company.com' END AS reg_domain
+    FROM documents
+    """,
+)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization under a planted closed-form oracle: even
+    docs carry an uppercase-scheme www-prefixed co.uk URL with a
+    default :80 port, a trailing slash, a tracking param and a
+    fragment; odd docs carry a :443 https URL with unsorted params and
+    a ref tracker. The normalizer must lowercase, strip www/default
+    ports/fragments/trackers, drop the trailing slash, and SORT the
+    surviving params — each expected string is stated literally, so a
+    single wrong character in any rule breaks the hash. The registered
+    domain must apply the two-level-suffix rule (co.uk -> three
+    labels, plain .com -> two)."""
+    from oakstore_spark.operators.urls import (
+        normalize_url,
+        registered_domain,
+        url_parts,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 23).cast("string")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Example"), k, F.lit(".CO.UK:80/Path"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("/?utm_source=x&b="),
+                (F.col("doc_id") % 9).cast("string"),
+                F.lit("&a=1#frag"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("HTTPS://Site"), k,
+                F.lit(".ComPany.com:443/deep/page/?ref=h&z=9&y=8#x"),
+            )
+        ).alias("url"),
+    )
+    return planted.select(
+        "doc_id",
+        normalize_url("url").alias("norm_url"),
+        registered_domain(url_parts("url")["host"]).alias("reg_domain"),
+    )
+
+
+@register(
+    "q_url_domain_stats",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN
+               'example' || CAST(doc_id % 23 AS VARCHAR) || '.co.uk'
+             ELSE 'company.com' END AS reg_domain,
+             CASE WHEN doc_id % 2 = 0 THEN
+               'http://example' || CAST(doc_id % 23 AS VARCHAR)
+                 || '.co.uk/Path' || CAST(doc_id % 5 AS VARCHAR)
+                 || '?a=1&b=' || CAST(doc_id % 9 AS VARCHAR)
+             ELSE
+               'https://site' || CAST(doc_id % 23 AS VARCHAR)
+                 || '.company.com/deep/page?y=8&z=9'
+             END AS norm_url
+      FROM documents
+      WHERE NOT (doc_id % 2 = 0 AND doc_id % 23 % 5 = 0)
+    )
+    SELECT reg_domain,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(count(DISTINCT norm_url) AS BIGINT) AS n_urls,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM pages GROUP BY reg_domain
+    """,
+)
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation chain: the planted URLs from
+    q_url_normalize flow through the BROADCAST blocklist anti-join
+    (co.uk domains with k % 5 == 0 are banned) and the per-registered-
+    domain rollup (count, DISTINCT canonical URLs, id checksum). The
+    oracle recomputes the surviving set and its aggregates in closed
+    form — a wrong anti-join, a miscanonicalized URL collapsing two
+    distinct pages, or a domain-rule slip each diverge."""
+    from oakstore_spark.operators.urls import (
+        domain_stats,
+        filter_blocklisted,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 23).cast("string")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Example"), k, F.lit(".CO.UK:80/Path"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("/?utm_source=x&b="),
+                (F.col("doc_id") % 9).cast("string"),
+                F.lit("&a=1#frag"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("HTTPS://Site"), k,
+                F.lit(".ComPany.com:443/deep/page/?ref=h&z=9&y=8#x"),
+            )
+        ).alias("url"),
+    )
+    blocklist = spark.createDataFrame(
+        [(f"example{k}.co.uk",) for k in range(0, 23, 5)],
+        "reg_domain string",
+    )
+    kept = filter_blocklisted(planted, blocklist, "url")
+    return domain_stats(kept, "url", "doc_id")

@@ -279,3 +279,52 @@ def test_html_then_line_dedup_compose(spark):
     assert boiler not in out[2].clean_text
     assert boiler not in out[3].clean_text
     assert "unique paragraph number 3" in out[3].clean_text
+
+
+def test_url_normalize_edges(spark):
+    from oakstore_spark.operators.urls import (
+        normalize_url,
+        registered_domain,
+        url_parts,
+    )
+
+    rows = [
+        (1, "HTTP://WWW.EXAMPLE.COM:80/"),
+        (2, "https://a.io:8443/x/?utm_campaign=c&q=1"),
+        (3, "not a url"),
+        (4, None),
+        (5, "http://localhost:3000/api/"),
+        (6, "https://shop.example.co.uk/p?fbclid=f"),
+        (7, "http://x.org/path?ref=abc"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {r.id: r for r in df.select(
+        "id",
+        normalize_url("url").alias("n"),
+        registered_domain(url_parts("url")["host"]).alias("d"),
+    ).collect()}
+    assert out[1].n == "http://example.com" and out[1].d == "example.com"
+    # non-default port kept; tracking param dropped; trailing slash cut
+    assert out[2].n == "https://a.io:8443/x?q=1"
+    assert out[3].n is None  # schemeless degrades to null
+    assert out[4].n is None
+    assert out[5].n == "http://localhost:3000/api"
+    assert out[5].d == "localhost"  # single label passes through
+    assert out[6].n == "https://shop.example.co.uk/p"
+    assert out[6].d == "example.co.uk"  # two-level suffix -> 3 labels
+    assert out[7].n == "http://x.org/path"  # emptied query drops '?'
+
+
+def test_url_blocklist_antijoin_is_broadcast(spark):
+    from oakstore_spark.operators.urls import filter_blocklisted
+
+    df = spark.createDataFrame(
+        [(1, "http://bad.com/a"), (2, "http://ok.org/b"),
+         (3, "https://www.BAD.com/c")],
+        "id long, url string",
+    )
+    bl = spark.createDataFrame([("bad.com",)], "reg_domain string")
+    kept = filter_blocklisted(df, bl, "url")
+    assert [r.id for r in kept.collect()] == [2]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
