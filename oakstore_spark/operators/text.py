@@ -557,3 +557,76 @@ def register_melt_struct_udtf(spark) -> None:
                     yield name, float(v)
 
     spark.udtf.register("melt_struct", MeltStruct)
+
+
+def readability(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document — the
+    classic quality signals a curation pipeline buckets corpora by
+    (formulas are public: Flesch 1948 / Kincaid 1975).
+
+    Deterministic, SQL-mirrorable contract (regexp-only, so any engine
+    replays it exactly):
+    - words = maximal ``[a-z]+`` runs of the lowercased text
+      (contractions count their letter runs);
+    - syllables(word) = max(1, number of ``[aeiouy]+`` vowel-group
+      runs) — the standard heuristic WITHOUT the silent-e adjustment,
+      traded for cross-engine exactness;
+    - sentences = max(1, number of ``[.!?]+`` runs);
+    - flesch = 206.835 - (1.015*words)/sentences - (84.6*syll)/words,
+      fk_grade = (0.39*words)/sentences + (11.8*syll)/words - 15.59,
+      both evaluated as ONE int64-rational division (coefficients are
+      decimal fractions) so the doubles are bit-identical across
+      engines with no rounding step at all.
+
+    Pure map-side projection: regexp + array HOFs, whole-stage codegen,
+    no shuffle, no Python. Zero-word docs yield null scores."""
+    c = F.lower(F.col(text_col))
+    words = F.regexp_extract_all(c, F.lit("[a-z]+"), F.lit(0))
+    n_words = F.size(words)
+    n_syll = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.lit(1),
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), F.lit(0))),
+    )
+    # Exact-rational evaluation: the published coefficients are decimal
+    # fractions (206.835 = 41367/200, 1.015 = 203/200, 84.6 = 423/5,
+    # 0.39 = 39/100, 11.8 = 59/5, 15.59 = 1559/100), so each score is a
+    # ratio of two SMALL integers — compute numerator/denominator in
+    # int64 (exact in any engine) and emit ONE IEEE division, which is
+    # correctly rounded and therefore bit-identical cross-engine. No
+    # round(), no half-way cases, no signed zero.
+    w = n_words.cast("long")
+    sy = n_syll.cast("long")
+    s = n_sent.cast("long")
+    flesch_num = (
+        F.lit(41367) * s * w - F.lit(203) * w * w - F.lit(16920) * sy * s
+    )
+    flesch_den = F.lit(200) * s * w
+    fk_num = (
+        F.lit(39) * w * w + F.lit(1180) * sy * s - F.lit(1559) * s * w
+    )
+    fk_den = F.lit(100) * s * w
+    valid = n_words > 0
+    return df.select(
+        F.col(id_col),
+        F.when(valid, n_words).alias("n_words"),
+        F.when(valid, n_syll).alias("n_syllables"),
+        n_sent.alias("n_sentences"),
+        F.when(valid, flesch_num.cast("double") / flesch_den)
+        .alias("flesch"),
+        F.when(valid, fk_num.cast("double") / fk_den).alias("fk_grade"),
+    )

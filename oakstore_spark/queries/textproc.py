@@ -320,3 +320,54 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = filter_blocklisted(planted, blocklist, "url")
     return domain_stats(kept, "url", "doc_id")
+
+
+@register(
+    "q_readability",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' It reads twice! Done.' AS t
+      FROM documents
+    ), counted AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(t), '[a-z]+')) AS n_words,
+             list_sum(list_transform(
+               regexp_extract_all(lower(t), '[a-z]+'),
+               w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))
+             )) AS n_syll,
+             greatest(1, len(regexp_extract_all(lower(t), '[.!?]+')))
+               AS n_sent
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           CAST(n_syll AS INT) AS n_syllables,
+           CAST(n_sent AS INT) AS n_sentences,
+           CAST(41367 * n_sent * n_words - 203 * n_words * n_words
+                - 16920 * n_syll * n_sent AS DOUBLE)
+             / (200 * n_sent * n_words) AS flesch,
+           CAST(39 * n_words * n_words + 1180 * n_syll * n_sent
+                - 1559 * n_sent * n_words AS DOUBLE)
+             / (100 * n_sent * n_words) AS fk_grade
+    FROM counted
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch / Flesch-Kincaid over the REAL corpus text (plus a
+    planted two-sentence tail so the sentence counter has boundaries
+    to find): the oracle reruns the identical regexp word/syllable/
+    sentence definitions in DuckDB and the pinned-association float
+    formulas — word splitting, vowel-group counting, the min-1 floors,
+    and both divisions must agree to the last bit (round(4) + signed-
+    zero normalization per the parity rules)."""
+    from oakstore_spark.operators.text import readability
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" It reads twice! Done.")).alias("text"),
+    )
+    out = readability(d)
+    return out.select(
+        "doc_id", "n_words", "n_syllables", "n_sentences", "flesch", "fk_grade"
+    )

@@ -328,3 +328,26 @@ def test_url_blocklist_antijoin_is_broadcast(spark):
     assert [r.id for r in kept.collect()] == [2]
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_readability_hand_computed(spark):
+    from oakstore_spark.operators.text import readability
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),   # 6 words, 6 syll, 2 sent
+        (2, "Extraordinary bureaucracy"),    # 2 words, no sentence mark
+        (3, "12345 $$$"),                    # zero words
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in readability(df).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_syllables, r1.n_sentences) == (6, 6, 2)
+    assert r1.flesch == 206.835 - (1.015 * 6) / 2 - (84.6 * 6) / 6
+    assert r1.fk_grade == (0.39 * 6) / 2 + (11.8 * 6) / 6 - 15.59
+    # extraordinary: e-xtrao-rdi-na-ry -> vowel runs e,aoa? count runs:
+    # 'extraordinary' -> e,ao,i,a,y = 5; 'bureaucracy' -> u,eau,a,y = 4
+    r2 = out[2]
+    assert (r2.n_words, r2.n_syllables, r2.n_sentences) == (2, 9, 1)
+    assert out[3].flesch is None and out[3].n_words is None
+    assert out[4].flesch is None
