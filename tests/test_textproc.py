@@ -343,8 +343,10 @@ def test_readability_hand_computed(spark):
     out = {r.doc_id: r for r in readability(df).collect()}
     r1 = out[1]
     assert (r1.n_words, r1.n_syllables, r1.n_sentences) == (6, 6, 2)
-    assert r1.flesch == 206.835 - (1.015 * 6) / 2 - (84.6 * 6) / 6
-    assert r1.fk_grade == (0.39 * 6) / 2 + (11.8 * 6) / 6 - 15.59
+    # exact rational evaluation: num/den in int64, one IEEE division
+    assert r1.flesch == (41367 * 2 * 6 - 203 * 36 - 16920 * 6 * 2) / 2400
+    assert r1.fk_grade == (39 * 36 + 1180 * 6 * 2 - 1559 * 2 * 6) / 1200
+    assert abs(r1.flesch - 119.19) < 1e-12 and abs(r1.fk_grade + 2.62) < 1e-12
     # extraordinary: e-xtrao-rdi-na-ry -> vowel runs e,aoa? count runs:
     # 'extraordinary' -> e,ao,i,a,y = 5; 'bureaucracy' -> u,eau,a,y = 4
     r2 = out[2]
