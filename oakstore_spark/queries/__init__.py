@@ -67,3 +67,4 @@ def load_all() -> None:
     from oakstore_spark.queries import training_ext  # noqa: F401
     from oakstore_spark.queries import curation  # noqa: F401
     from oakstore_spark.queries import textproc  # noqa: F401
+    from oakstore_spark.queries import graph  # noqa: F401

@@ -1,0 +1,141 @@
+"""Link-graph queries: PageRank and degree stats over a closed-form
+planted graph, both hash-exact against DuckDB oracles.
+
+The planted graph (64 nodes) is engineered so PageRank is BIT-EXACT
+despite being a float algorithm: damping 1/2, N = 2^6, and every
+outdegree a power of two (hub nodes 4, cycle nodes 1) keep every
+intermediate rank a dyadic rational whose denominator grows only
+3 bits per iteration (deg 4 -> +2, damping -> +1): after 10
+iterations the values need ~36 mantissa bits — far inside double
+precision, so addition order cannot perturb the sums and Spark's
+shuffled aggregation matches DuckDB's serial replay (the oracle
+unrolls all 10 iterations as chained CTEs) to the last bit. A graph
+with a DANGLING node grows ~7 bits/iteration (mass/64 each round) and
+stops being exactly representable around iteration 8 — that path is
+pinned by the pytest dangling test with tolerance instead, and the
+oracle graph keeps the cycle closed (every node has out-edges; the
+dangling term still evaluates, to an exact 0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oakstore_spark.queries import register
+
+_N = 64
+_ITER = 10
+
+_GRAPH_CTE = """
+    nodes AS (SELECT range AS node FROM range(64)),
+    edges AS (
+      SELECT range AS src, (range + 1) % 64 AS dst FROM range(64)
+      UNION ALL SELECT range * 4, (range * 4 + 16) % 64 FROM range(16)
+      UNION ALL SELECT range * 4, (range * 4 + 32) % 64 FROM range(16)
+      UNION ALL SELECT range * 4, (range * 4 + 48) % 64 FROM range(16)
+    ),
+    outdeg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1)
+"""
+
+
+def _planted_edges(spark: SparkSession) -> DataFrame:
+    """The same graph, built declaratively Spark-side: a 0->1->...->62
+    ...->63->0 cycle plus three long-range edges out of every
+    hub (node % 4 == 0)."""
+    chain = spark.range(64).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % _N).alias("dst")
+    )
+    hubs = spark.range(16).select((F.col("id") * 4).alias("src"))
+    extra = hubs.select(
+        "src",
+        F.explode(
+            F.array(
+                (F.col("src") + 16) % _N,
+                (F.col("src") + 32) % _N,
+                (F.col("src") + 48) % _N,
+            )
+        ).alias("dst"),
+    )
+    return chain.unionByName(extra)
+
+
+def _pagerank_oracle() -> str:
+    # The closed-cycle graph has NO dangling nodes, so the dangling
+    # term is identically +0.0 and is compiled OUT of the oracle — not
+    # just for brevity: referencing pr{k} a second time per level makes
+    # a CTE-inlining engine expand the chain 2^iterations times
+    # (measured: 55 s in DuckDB vs milliseconds single-reference). The
+    # Spark side still computes the term (it is exactly 0.0 here);
+    # the dangling PATH is pinned by the pytest with tolerance.
+    steps = []
+    for k in range(_ITER):
+        steps.append(f"""
+    pr{k + 1} AS (
+      SELECT n.node,
+             0.0078125 + 0.5 * COALESCE(c.contrib, 0) AS rank
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p.rank / o.deg) AS contrib
+        FROM edges e
+        JOIN pr{k} p ON e.src = p.node
+        JOIN outdeg o ON o.node = e.src
+        GROUP BY e.dst
+      ) c ON c.node = n.node
+    )""")
+    return (
+        "WITH "
+        + _GRAPH_CTE
+        + ",\n    pr0 AS (SELECT node, CAST(1.0/64 AS DOUBLE) AS rank"
+        " FROM nodes),"
+        + ",".join(steps)
+        + f"\n    SELECT node, rank FROM pr{_ITER}"
+    )
+
+
+@register("q_pagerank_dyadic", oracle=_pagerank_oracle())
+def q_pagerank_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 synchronous PageRank iterations (damping 1/2) over the
+    planted dyadic graph — per-iteration join + partial-agg shuffle,
+    broadcast dangling mass (exactly zero here: the cycle is closed),
+    localCheckpoint lineage truncation — vs the oracle's 10
+    chained-CTE serial replays. Exact float equality on all 64 ranks
+    (see module docstring for why that's possible)."""
+    from oakstore_spark.operators.graph import pagerank
+
+    # 64 nodes: size the per-iteration shuffles to the graph, not the
+    # session default (32 partitions x 10 iterations of empty-partition
+    # scheduling dominates the wall otherwise)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        out = pagerank(
+            _planted_edges(spark), n_iterations=_ITER, damping=0.5
+        ).select("node", "rank")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
+@register(
+    "q_graph_degrees",
+    oracle="WITH "
+    + _GRAPH_CTE
+    + """
+    SELECT COALESCE(o.node, i.node) AS node,
+           CAST(COALESCE(o.out_degree, 0) AS BIGINT) AS out_degree,
+           CAST(COALESCE(i.in_degree, 0) AS BIGINT) AS in_degree
+    FROM (SELECT src AS node, count(*) AS out_degree
+          FROM edges GROUP BY 1) o
+    FULL JOIN (SELECT dst AS node, count(*) AS in_degree
+               FROM edges GROUP BY 1) i
+      ON o.node = i.node
+    """,
+)
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree statistics of the planted graph (hubs out 4 / chain 1 /
+    dangling 0; long-range targets collect in-degree 4), full-outer
+    joined so one-sided nodes surface with zero."""
+    from oakstore_spark.operators.graph import degree_stats
+
+    return degree_stats(_planted_edges(spark))
