@@ -1,0 +1,95 @@
+"""Conversation (chat-turn) operators for instruction-tuning data
+prep: flatten role-tagged turn arrays into training text, validate
+turn structure, and compute the per-conversation stats a curation
+pipeline filters on (turn counts, role balance, alternation, the
+assistant share that drives loss masking).
+
+Data model: a conversation is a column of ``array<struct<role:string,
+content:string>>`` — the shape chat datasets land in after JSON
+ingest (``from_json`` upstream). All operators are array higher-order
+functions over that column: map-side, whole-stage codegen, no shuffle,
+no Python — the shape that survives a 100 TB instruction corpus.
+
+Reference parity: the reference (store.py:1-267) has no text surface;
+EXT operators mandated by the LLM-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _turns(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def flatten_conversation(
+    col: Column | str, sep: str = "\n"
+) -> Column:
+    """Render a turn array as training text: each turn becomes
+    ``<|role|>content``, joined by ``sep`` — the minimal chat template
+    (swap the wrapper strings for a model-specific one at call site).
+    Null turn arrays yield null."""
+    return F.array_join(
+        F.transform(
+            _turns(col),
+            lambda t: F.concat(
+                F.lit("<|"), t["role"], F.lit("|>"), t["content"]
+            ),
+        ),
+        sep,
+    )
+
+
+def conversation_stats(
+    df: DataFrame, turns_col: str = "turns", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-conversation structural signals:
+
+    - ``n_turns``, ``n_user``, ``n_assistant`` — turn counts;
+    - ``starts_with_user`` — first role is ``user`` (or ``system``);
+    - ``alternating`` — no two CONSECUTIVE turns share a role (the
+      violation instruction-data filters reject);
+    - ``assistant_chars`` / ``total_chars`` — integer char masses, and
+      ``assistant_share`` as their single IEEE division (the loss-mask
+      weight); zero-char conversations yield a null share.
+
+    Everything is one projection over the array; empty arrays degrade
+    to zeros/true rather than erroring."""
+    t = _turns(turns_col)
+    n = F.size(t)
+    role_count = lambda r: F.size(  # noqa: E731
+        F.filter(t, lambda x: x["role"] == r)
+    )
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.coalesce(F.length(x["content"]), F.lit(0)),
+    )
+    alternating = F.when(n <= 1, F.lit(True)).otherwise(
+        F.forall(
+            F.transform(
+                F.sequence(F.lit(2), n),
+                lambda i: F.element_at(t, i)["role"]
+                != F.element_at(t, i - 1)["role"],
+            ),
+            lambda ok: ok,
+        )
+    )
+    assistant_chars = chars(F.filter(t, lambda x: x["role"] == "assistant"))
+    total_chars = chars(t)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_turns"),
+        role_count("user").alias("n_user"),
+        role_count("assistant").alias("n_assistant"),
+        F.element_at(t, 1)["role"].isin("user", "system")
+        .alias("starts_with_user"),
+        alternating.alias("alternating"),
+        assistant_chars.alias("assistant_chars"),
+        total_chars.alias("total_chars"),
+        F.when(
+            total_chars > 0,
+            assistant_chars.cast("double") / total_chars,
+        ).alias("assistant_share"),
+    )

@@ -1342,3 +1342,64 @@ def q_ivf_persisted_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("top1_id"),
         F.round("sim", 4).alias("sim"),
     )
+
+
+@register(
+    "q_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ), q AS (
+      SELECT vec_id, e, scale,
+             CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+                  ELSE list_transform(
+                    e, x -> CAST(floor(x / scale + 0.5) AS INT))
+             END AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           CASE WHEN scale = 0 THEN 0.0 ELSE scale END AS scale,
+           md5(array_to_string(qv, ',')) AS q_md5,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT)
+             AS q_l1,
+           list_reduce(
+             list_transform(
+               list_zip(e, qv),
+               p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)
+             ),
+             (a, b) -> a + b
+           ) / len(e) AS mse
+    FROM q
+    """,
+)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization over the REAL embeddings table, every
+    component oracle-pinned: the md5 of the comma-joined quantized
+    vector (one wrong code anywhere flips it), exact integer sums, the
+    per-vector scale, and the mean-squared reconstruction error as an
+    ordered left fold — DuckDB replays the identical half-up floor,
+    single-division, and fold-order arithmetic, so all doubles match
+    bitwise."""
+    from oakstore_spark.operators.similarity import quantize_embeddings_int8
+
+    d = table(spark, sf_dir, "embeddings")
+    out = quantize_embeddings_int8(d)
+    return out.select(
+        "vec_id",
+        "scale",
+        F.md5(F.encode(F.array_join("q_vec", ","), "UTF-8")).alias("q_md5"),
+        F.aggregate(
+            "q_vec", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.aggregate(
+            "q_vec", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        "mse",
+    )

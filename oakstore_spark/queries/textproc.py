@@ -371,3 +371,98 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_words", "n_syllables", "n_sentences", "flesch", "fk_grade"
     )
+
+
+@register(
+    "q_chat_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(doc_id % 3 + 2 AS INT) AS L,
+             doc_id % 5 = 0 AS viol,
+             CAST(doc_id AS VARCHAR) AS sid,
+             length(CAST(doc_id AS VARCHAR)) AS d
+      FROM documents
+    )
+    SELECT doc_id,
+           '<|user|>hello ' || sid || chr(10)
+             || '<|' || CASE WHEN viol THEN 'user' ELSE 'assistant' END
+             || '|>hi ' || sid
+             || CASE WHEN L >= 3
+                     THEN chr(10) || '<|user|>more ' || sid ELSE '' END
+             || CASE WHEN L = 4
+                     THEN chr(10) || '<|assistant|>done ' || sid
+                     ELSE '' END AS flat_text,
+           L AS n_turns,
+           CAST(CASE WHEN viol THEN CASE WHEN L = 2 THEN 2 ELSE 3 END
+                     ELSE CASE WHEN L >= 3 THEN 2 ELSE 1 END
+                END AS INT) AS n_user,
+           CAST(L - CASE WHEN viol THEN CASE WHEN L = 2 THEN 2 ELSE 3 END
+                         ELSE CASE WHEN L >= 3 THEN 2 ELSE 1 END
+                    END AS INT) AS n_assistant,
+           TRUE AS starts_with_user,
+           NOT viol AS alternating,
+           CAST(CASE WHEN viol THEN CASE WHEN L = 4 THEN 5 + d ELSE 0 END
+                     ELSE 3 + d + CASE WHEN L = 4 THEN 5 + d ELSE 0 END
+                END AS BIGINT) AS assistant_chars,
+           CAST(CASE L WHEN 2 THEN 9 + 2 * d
+                       WHEN 3 THEN 14 + 3 * d
+                       ELSE 19 + 4 * d END AS BIGINT) AS total_chars,
+           CAST(CASE WHEN viol THEN CASE WHEN L = 4 THEN 5 + d ELSE 0 END
+                     ELSE 3 + d + CASE WHEN L = 4 THEN 5 + d ELSE 0 END
+                END AS DOUBLE)
+             / CASE L WHEN 2 THEN 9 + 2 * d
+                      WHEN 3 THEN 14 + 3 * d
+                      ELSE 19 + 4 * d END AS assistant_share
+    FROM p
+    """,
+)
+def q_chat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation operators end-to-end over planted chats: doc_id
+    picks the turn count (2-4, sliced from a 4-turn template) and
+    every 5th doc carries a role-alternation VIOLATION (two user turns
+    in a row). The flattened training text, all structural counts, the
+    alternation flag, and the assistant char share (one IEEE division
+    of exact integers) are stated closed-form by the oracle — a wrong
+    slice, a missed violation, or a char-count drift each break the
+    hash."""
+    from oakstore_spark.operators.chat import (
+        conversation_stats,
+        flatten_conversation,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    viol = F.col("doc_id") % 5 == 0
+    base = F.array(
+        F.struct(
+            F.lit("user").alias("role"),
+            F.concat(F.lit("hello "), sid).alias("content"),
+        ),
+        F.struct(
+            F.when(viol, F.lit("user")).otherwise(F.lit("assistant"))
+            .alias("role"),
+            F.concat(F.lit("hi "), sid).alias("content"),
+        ),
+        F.struct(
+            F.lit("user").alias("role"),
+            F.concat(F.lit("more "), sid).alias("content"),
+        ),
+        F.struct(
+            F.lit("assistant").alias("role"),
+            F.concat(F.lit("done "), sid).alias("content"),
+        ),
+    )
+    n_turns = (F.col("doc_id") % 3 + 2).cast("int")
+    planted = d.select(
+        "doc_id", F.slice(base, 1, n_turns).alias("turns")
+    )
+    stats = conversation_stats(planted)
+    flat = planted.select(
+        "doc_id", flatten_conversation("turns").alias("flat_text")
+    )
+    return flat.join(stats, "doc_id").select(
+        "doc_id", "flat_text", "n_turns", "n_user", "n_assistant",
+        "starts_with_user", "alternating", "assistant_chars",
+        "total_chars", "assistant_share",
+    )

@@ -353,3 +353,64 @@ def test_readability_hand_computed(spark):
     assert (r2.n_words, r2.n_syllables, r2.n_sentences) == (2, 9, 1)
     assert out[3].flesch is None and out[3].n_words is None
     assert out[4].flesch is None
+
+
+def test_conversation_stats_edges(spark):
+    from oakstore_spark.operators.chat import (
+        conversation_stats,
+        flatten_conversation,
+    )
+
+    rows = [
+        (1, [("user", "hi"), ("assistant", "hello there")]),
+        (2, [("system", "be nice"), ("user", "q"), ("assistant", "a")]),
+        (3, [("user", "a"), ("user", "b")]),        # violation
+        (4, []),                                      # empty
+        (5, [("assistant", "orphan")]),               # starts wrong
+        (6, [("user", None)]),                        # null content
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, turns array<struct<role:string,content:string>>"
+    )
+    out = {r.doc_id: r for r in conversation_stats(df).collect()}
+    assert (out[1].n_turns, out[1].n_user, out[1].n_assistant) == (2, 1, 1)
+    assert out[1].alternating and out[1].starts_with_user
+    assert out[1].assistant_chars == 11 and out[1].total_chars == 13
+    assert out[1].assistant_share == 11 / 13
+    assert out[2].starts_with_user  # system counts as a valid opener
+    assert not out[3].alternating
+    assert (out[4].n_turns, out[4].total_chars) == (0, 0)
+    assert out[4].assistant_share is None and out[4].alternating
+    assert out[5].starts_with_user is False
+    assert out[6].total_chars == 0  # null content degrades to 0 chars
+    flat = {r.doc_id: r.f for r in df.select(
+        "doc_id", flatten_conversation("turns").alias("f")).collect()}
+    assert flat[1] == "<|user|>hi\n<|assistant|>hello there"
+    assert flat[4] == ""
+
+
+def test_quantize_int8_roundtrip_properties(spark):
+    import numpy as np
+
+    from oakstore_spark.operators.similarity import quantize_embeddings_int8
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, rng.normal(size=16).tolist()) for i in range(20)]
+    vecs.append((20, [0.0] * 16))           # zero vector
+    vecs.append((21, [-1.0] + [0.0] * 15))  # extreme negative
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in quantize_embeddings_int8(df).collect()}
+    for i, v in vecs:
+        r = out[i]
+        q = np.array(r.q_vec)
+        assert q.min() >= -127 and q.max() <= 127, i
+        if r.scale == 0.0:
+            assert (q == 0).all() and r.mse == 0.0
+            continue
+        # dequantized error bounded by half a step per element
+        err = np.abs(np.array(v) - q * r.scale)
+        assert (err <= r.scale / 2 + 1e-12).all(), i
+        assert r.mse <= (r.scale / 2) ** 2 + 1e-12
+    # the max-magnitude element always hits exactly +-127
+    assert 127 in np.abs(out[0].q_vec)
+    assert out[21].q_vec[0] == -127
