@@ -83,7 +83,7 @@ def conversation_stats(
         n.alias("n_turns"),
         role_count("user").alias("n_user"),
         role_count("assistant").alias("n_assistant"),
-        F.element_at(t, 1)["role"].isin("user", "system")
+        F.try_element_at(t, F.lit(1))["role"].isin("user", "system")
         .alias("starts_with_user"),
         alternating.alias("alternating"),
         assistant_chars.alias("assistant_chars"),
