@@ -57,6 +57,21 @@ def main() -> None:
                          "through video_frame_luma and "
                          "audio_silence_stats with exact planted "
                          "blank-frame / silent-frame recovery")
+    ap.add_argument("--piidocs", type=int, default=0,
+                    help="PII family probe: detect+redact over this "
+                         "many synthetic docs, every 3rd carrying one "
+                         "Luhn-valid card and every 2nd an IPv4; "
+                         "planted counts recovered exactly")
+    ap.add_argument("--urls", type=int, default=0,
+                    help="URL canonicalization probe: normalize + "
+                         "registered-domain + per-domain rollup over "
+                         "this many messy synthetic URLs; planted "
+                         "distinct-domain count recovered exactly")
+    ap.add_argument("--edges", type=int, default=0,
+                    help="PageRank probe: 10 damped iterations over a "
+                         "synthetic graph with this many edges (ring + "
+                         "hash chords over n/4 nodes); asserts exact "
+                         "mass conservation")
     ap.add_argument("--streamrows", type=int, default=0,
                     help="also probe Structured Streaming: this many "
                          "synthetic events through a watermarked tumbling "
@@ -565,6 +580,117 @@ def main() -> None:
                 f"{want_groups}"
             )
         imgs.unpersist()
+
+
+    if args.piidocs:
+        # PII at volume: every doc carries an email; every 2nd an IPv4;
+        # every 3rd a Luhn-VALID card; every 7th an invalid-card decoy.
+        from oakstore_spark.operators.pii import detect_pii, redact_pii_all
+
+        np_ = args.piidocs
+        pdocs = spark.range(0, np_, 1, 64).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("lorem words before user"),
+                F.col("id").cast("string"),
+                F.lit("@mail.test then "),
+                F.when(F.col("id") % 2 == 0,
+                       F.lit("10.0.0.7 pay ")).otherwise(
+                       F.lit("999.0.0.7 pay ")),
+                F.when(F.col("id") % 3 == 0,
+                       F.lit("4532 0151 1283 0366 and ")).otherwise(F.lit("")),
+                F.when(F.col("id") % 7 == 0,
+                       F.lit("4532 0151 1283 0367 and ")).otherwise(F.lit("")),
+                F.lit("tail text"),
+            ).alias("text"),
+        )
+        pdocs.persist()
+        pdocs.count()
+        t0 = time.time()
+        agg = detect_pii(pdocs, "text").agg(
+            F.sum("n_emails"), F.sum("n_ipv4"), F.sum("n_cards_valid"),
+            F.sum("n_card_candidates"),
+        ).first()
+        red_len = pdocs.select(
+            F.sum(F.length(redact_pii_all("text")))
+        ).first()[0]
+        dt = time.time() - t0
+        out["pii_probe_docs"] = np_
+        out["pii_probe_sec"] = round(dt, 2)
+        out["pii_probe_docs_per_sec"] = round(np_ / dt)
+        exp = (np_, (np_ + 1) // 2, (np_ + 2) // 3,
+               (np_ + 2) // 3 + (np_ + 6) // 7)
+        if tuple(agg) != exp:
+            raise SystemExit(f"pii planted recovery FAILED: {tuple(agg)} != {exp}")
+        assert red_len and red_len > 0
+        pdocs.unpersist()
+
+    if args.urls:
+        # URL canonicalization at volume: 50k registered domains, messy
+        # casing/ports/trackers; the rollup must recover exactly 50k
+        # (or n) distinct domains and page counts.
+        from oakstore_spark.operators.urls import domain_stats
+
+        nu = args.urls
+        n_dom = min(50_000, nu)
+        udocs = spark.range(0, nu, 1, 64).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("HTTP://WWW.Host"),
+                (F.col("id") % n_dom).cast("string"),
+                F.lit(".COM:80/p/"),
+                (F.col("id") % 97).cast("string"),
+                F.lit("/?utm_source=x&q="),
+                (F.col("id") % 13).cast("string"),
+                F.lit("#frag"),
+            ).alias("url"),
+        )
+        udocs.persist()
+        udocs.count()
+        t0 = time.time()
+        st = domain_stats(udocs).agg(
+            F.count(F.lit(1)), F.sum("n_pages"), F.sum("n_urls")
+        ).first()
+        dt = time.time() - t0
+        out["url_probe_urls"] = nu
+        out["url_probe_sec"] = round(dt, 2)
+        out["url_probe_urls_per_sec"] = round(nu / dt)
+        if st[0] != n_dom or st[1] != nu:
+            raise SystemExit(
+                f"url probe FAILED: {st[0]} domains/{st[1]} pages, "
+                f"expected {n_dom}/{nu}"
+            )
+        udocs.unpersist()
+
+    if args.edges:
+        # PageRank at volume: ring over n/4 nodes plus hash chords to
+        # reach the requested edge count; 10 damped iterations. Exact
+        # invariant: total mass == 1 within 1e-9 (synchronous update
+        # with dangling redistribution conserves mass by construction).
+        from oakstore_spark.operators.graph import pagerank
+
+        ne = args.edges
+        n_nodes = max(ne // 4, 4)
+        ring = spark.range(0, n_nodes, 1, 64).select(
+            F.col("id").alias("src"),
+            ((F.col("id") + 1) % n_nodes).alias("dst"),
+        )
+        chords = spark.range(0, ne - n_nodes, 1, 64).select(
+            (F.abs(F.hash(F.col("id"))) % n_nodes).alias("src"),
+            (F.abs(F.hash(F.col("id") * 31 + 7)) % n_nodes).alias("dst"),
+        )
+        g = ring.unionByName(chords)
+        t0 = time.time()
+        mass = pagerank(g, n_iterations=10, damping=0.85).agg(
+            F.sum("rank")
+        ).first()[0]
+        dt = time.time() - t0
+        out["pagerank_probe_edges"] = ne
+        out["pagerank_probe_sec"] = round(dt, 2)
+        out["pagerank_probe_edges_per_sec"] = round(ne / dt)
+        out["pagerank_mass"] = float(mass)
+        if abs(mass - 1.0) > 1e-9:
+            raise SystemExit(f"pagerank mass not conserved: {mass}")
 
     if args.streamrows:
         # Structured Streaming at volume: watermarked tumbling-window
