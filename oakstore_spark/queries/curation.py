@@ -1588,3 +1588,120 @@ def q_pii_detect_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_pii",
         redact_pii_all("text").alias("redacted"),
     )
+
+
+@register(
+    "q_label_vote",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+               + CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS n1,
+             CASE WHEN n_chars < 150 THEN 1 ELSE 0 END
+               + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS n0
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN n1 > n0 THEN 1 ELSE 0 END AS INT) AS vote,
+           CAST(n1 + n0 AS INT) AS n_votes,
+           CAST(CASE WHEN n1 > 0 THEN 1 ELSE 0 END
+                + CASE WHEN n0 > 0 THEN 1 ELSE 0 END AS INT) AS n_distinct,
+           (n1 > 0 AND n0 > 0) AS conflict
+    FROM f
+    """,
+)
+def q_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak supervision end-to-end: three labeling functions over REAL
+    document fields (lang='en' -> 1; n_chars >= 150 -> 1 else 0;
+    doc_id % 3 == 0 -> 0; abstain elsewhere) combined by majority vote
+    with the smallest-label tie-break. The oracle recomputes the vote
+    tallies in closed form — since every positive vote here is label 1
+    and every negative is label 0, majority+tie-to-smallest reduces to
+    ``n1 > n0``, and the operator's HOF argmax must agree on every
+    row, including ties and conflicts."""
+    from oakstore_spark.operators.labeling import apply_label_functions
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    lfs = {
+        "lf_en": F.when(F.col("lang") == "en", F.lit(1)),
+        "lf_len": F.when(F.col("n_chars") >= 150, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+        "lf_mod": F.when(F.col("doc_id") % 3 == 0, F.lit(0)),
+    }
+    out = apply_label_functions(d, lfs)
+    return out.select("doc_id", "vote", "n_votes", "n_distinct", "conflict")
+
+
+@register(
+    "q_lf_diagnostics",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             lang = 'en' AS v0,
+             TRUE AS v1,
+             doc_id % 3 = 0 AS v2,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+               + CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS n1,
+             CASE WHEN n_chars < 150 THEN 1 ELSE 0 END
+               + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS n0
+      FROM documents
+    ), d AS (
+      SELECT *,
+             n1 + n0 AS nv,
+             CASE WHEN n1 > 0 THEN 1 ELSE 0 END
+               + CASE WHEN n0 > 0 THEN 1 ELSE 0 END AS nd
+      FROM f
+    ), t AS (SELECT count(*) AS total FROM documents)
+    SELECT lf_idx,
+           CAST(n_voted AS BIGINT) AS n_voted,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           CAST(n_conflict AS BIGINT) AS n_conflict,
+           CAST(n_voted AS DOUBLE) / total AS coverage,
+           CAST(n_overlap AS DOUBLE) / total AS overlap,
+           CAST(n_conflict AS DOUBLE) / total AS conflict_rate
+    FROM (
+      SELECT 0 AS lf_idx,
+             sum(CASE WHEN v0 THEN 1 ELSE 0 END) AS n_voted,
+             sum(CASE WHEN v0 AND nv > 1 THEN 1 ELSE 0 END) AS n_overlap,
+             sum(CASE WHEN v0 AND nd > 1 THEN 1 ELSE 0 END) AS n_conflict
+      FROM d
+      UNION ALL
+      SELECT 1,
+             sum(CASE WHEN v1 THEN 1 ELSE 0 END),
+             sum(CASE WHEN v1 AND nv > 1 THEN 1 ELSE 0 END),
+             sum(CASE WHEN v1 AND nd > 1 THEN 1 ELSE 0 END)
+      FROM d
+      UNION ALL
+      SELECT 2,
+             sum(CASE WHEN v2 THEN 1 ELSE 0 END),
+             sum(CASE WHEN v2 AND nv > 1 THEN 1 ELSE 0 END),
+             sum(CASE WHEN v2 AND nd > 1 THEN 1 ELSE 0 END)
+      FROM d
+    ) CROSS JOIN t
+    """,
+)
+def q_lf_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-labeling-function health metrics (coverage / overlap /
+    conflict) over the same three rules as q_label_vote — one
+    posexplode + groupBy, total via a broadcast 1-row aggregate, rates
+    as single IEEE divisions of exact counts. The oracle tallies each
+    rule's fire/overlap/conflict sets independently."""
+    from oakstore_spark.operators.labeling import (
+        apply_label_functions,
+        label_function_diagnostics,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    lfs = {
+        "lf_en": F.when(F.col("lang") == "en", F.lit(1)),
+        "lf_len": F.when(F.col("n_chars") >= 150, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+        "lf_mod": F.when(F.col("doc_id") % 3 == 0, F.lit(0)),
+    }
+    return label_function_diagnostics(apply_label_functions(d, lfs))

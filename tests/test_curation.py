@@ -572,3 +572,38 @@ def test_pii_luhn_and_detection(spark):
     assert red[5] == "from <IP> to 256.1.1.1 and <IP>"
     assert red[6] is None
     assert red[7] == "<EMAIL> mail and <PHONE> phone"
+
+
+def test_label_vote_ties_and_abstains(spark):
+    from oakstore_spark.operators.labeling import (
+        apply_label_functions,
+        label_function_diagnostics,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 2, 2, 7), (2, 5, 3, 3), (3, None, None, None),
+         (4, 9, None, None), (5, 1, 2, 1)],
+        "doc_id long, a int, b int, c int",
+    )
+    lfs = {"la": F.col("a"), "lb": F.col("b"), "lc": F.col("c")}
+    out = {r.doc_id: r for r in apply_label_functions(df, lfs).collect()}
+    assert out[1].vote == 2 and out[1].n_votes == 3 and out[1].conflict
+    # three-way tie 5/3/3? b=3,c=3 beat a=5 -> 3; smallest on ties:
+    assert out[2].vote == 3 and out[2].n_distinct == 2
+    assert out[3].vote is None and out[3].n_votes == 0
+    assert not out[3].conflict
+    assert out[4].vote == 9 and out[4].n_votes == 1
+    # 1,2,1 -> label 1 wins 2:1
+    assert out[5].vote == 1
+    # tie between distinct labels resolves to the SMALLEST label
+    df2 = spark.createDataFrame([(1, 7, 4)], "doc_id long, a int, b int")
+    got = apply_label_functions(
+        df2, {"la": F.col("a"), "lb": F.col("b")}
+    ).collect()[0]
+    assert got.vote == 4 and got.conflict
+
+    diag = {r.lf_idx: r for r in label_function_diagnostics(
+        apply_label_functions(df, lfs)).collect()}
+    assert diag[0].n_voted == 4 and diag[0].coverage == 4 / 5
+    assert diag[1].n_voted == 3 and diag[2].n_conflict >= 1
