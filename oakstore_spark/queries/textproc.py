@@ -466,3 +466,67 @@ def q_chat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "starts_with_user", "alternating", "assistant_chars",
         "total_chars", "assistant_share",
     )
+
+
+@register(
+    "q_web_curation_e2e",
+    oracle="""
+    WITH m AS (SELECT min(doc_id) AS mn FROM documents)
+    SELECT d.doc_id,
+           'Contact <EMAIL> to learn more about document '
+             || CAST(d.doc_id AS VARCHAR) || ' today.'
+             || CASE WHEN d.doc_id = m.mn
+                     THEN chr(10) || 'Subscribe to our newsletter for'
+                          || ' updates and exclusive offers today.'
+                     ELSE '' END AS final_text,
+           CAST(2 AS BIGINT) AS n_lines,
+           CAST(1 + CASE WHEN d.doc_id = m.mn THEN 1 ELSE 0 END
+                AS BIGINT) AS n_kept
+    FROM documents d CROSS JOIN m
+    """,
+)
+def q_web_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEB-CURATION pipeline as one cross-operator canary (the
+    text analog of q_media_curation_e2e): every doc becomes a full
+    HTML page (link-heavy nav/footer, a unique paragraph carrying a
+    planted email, and a newsletter boilerplate paragraph shared by
+    EVERY page). The chain extract_main_text -> line_dedup_corpus ->
+    redact_pii_all must drop the nav/footer by link density, keep both
+    content paragraphs, dedup the boilerplate line to the single
+    global first occurrence (min doc_id), and scrub the email — the
+    oracle states the final text of every document in closed form, so
+    a regression in ANY stage (or in how their outputs compose)
+    breaks the hash."""
+    from oakstore_spark.operators.dedup import line_dedup_corpus
+    from oakstore_spark.operators.html import extract_main_text
+    from oakstore_spark.operators.pii import redact_pii_all
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit(
+            "<html><body><nav><a href=\"/\">Home page</a> "
+            "<a href=\"/faq\">Questions here</a> "
+            "<a href=\"/more\">More links</a></nav><p>Contact admin"
+        ),
+        sid,
+        F.lit("@example.com to learn more about document "),
+        sid,
+        F.lit(
+            " today.</p><p>Subscribe to our newsletter for updates"
+            " and exclusive offers today.</p>"
+            "<footer><a href=\"/tos\">Terms of service</a> "
+            "<a href=\"/privacy\">Privacy notice</a></footer>"
+            "</body></html>"
+        ),
+    )
+    extracted = extract_main_text(
+        d.select("doc_id", page.alias("html"))
+    ).select("doc_id", F.col("main_text").alias("text"))
+    deduped = line_dedup_corpus(extracted)
+    return deduped.select(
+        "doc_id",
+        redact_pii_all("clean_text").alias("final_text"),
+        "n_lines",
+        "n_kept",
+    )
