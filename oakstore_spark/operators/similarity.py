@@ -1320,9 +1320,13 @@ def pq_adc_topk(
         axis=1,
     )
     id_type = codes.schema[id_col].dataType
+    # query-id type derives from the QUERIES relation (string or other
+    # non-long query ids must survive the Arrow conversion), mirroring
+    # the id_col handling
+    qid_type = queries.schema[query_id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
+            T.StructField(query_id_col, qid_type),
             T.StructField(id_col, id_type),
             T.StructField("adc_dist", T.DoubleType()),
         ]
@@ -1342,17 +1346,281 @@ def pq_adc_topk(
             top = min(k_results, n)
             part = np.argpartition(d, top - 1, axis=1)[:, :top]
             rows = {
-                "query_id": np.repeat(qids, top),
+                query_id_col: np.repeat(qids, top),
                 id_col: ids[part].ravel(),
                 "adc_dist": np.take_along_axis(d, part, axis=1).ravel(),
             }
             yield pd.DataFrame(rows)
 
     partial = codes.mapInPandas(score, out_schema)
-    w = W.partitionBy("query_id").orderBy(
+    w = W.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     )
     return (
         partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k_results)
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    dim: int,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    m: int = 8,
+    k: int = 16,
+    sample_size: int = 100_000,
+    n_iter: int = 10,
+    seed: int = 42,
+    coarse_centroids: np.ndarray | None = None,
+    pq_codebooks: np.ndarray | None = None,
+) -> None:
+    """Compose the IVF coarse quantizer and PQ into the standard
+    billion-scale ANN index (Jegou et al., TPAMI 2011; the FAISS
+    ``IVFPQ`` shape — public): every vector is assigned a coarse cell,
+    its RESIDUAL against the cell centroid is product-quantized to
+    ``m`` codes, and only the (id, codes) pairs are persisted — the
+    float vectors never leave the build scan. A search then probes a
+    handful of cells and ADC-scans their codes: memory per corpus row
+    is ``m`` bytes-ish instead of ``4*dim``, and the scan touches
+    ``n_probe/n_cells`` of the corpus.
+
+    Persists under ``index_dir``:
+
+      - ``centroids``  — (cell, centroid) parquet (tiny);
+      - ``codebooks``  — (subspace, code, centroid) parquet (tiny;
+        trained on residuals, shared across cells per the original
+        IVFADC recipe);
+      - ``codes``      — (id, codes array<int>) parquet PARTITIONED BY
+        ``_cell`` so a probed search lists only its cells' directories.
+
+    Training (coarse k-means on a bounded sample, then PQ k-means on
+    that sample's residuals) is driver-side on ``sample_size`` rows —
+    the same small-sample contract as ``build_ivf_index``; at 100 TB
+    you still train on ~100k vectors. ``coarse_centroids`` /
+    ``pq_codebooks`` may be passed explicitly (planted-oracle and
+    warm-rebuild path), skipping training. Assignment + residual +
+    encode is ONE distributed Arrow-batched pass over the corpus —
+    no shuffle, no second scan.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    spark = corpus.sparkSession
+
+    need_train = coarse_centroids is None or pq_codebooks is None
+    if need_train:
+        sample_pdf = corpus.select(vec_col).limit(sample_size).toPandas()
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]]
+        )
+    if coarse_centroids is None:
+        coarse_centroids = _spherical_kmeans(X, n_cells, n_iter, seed)
+    C = np.ascontiguousarray(coarse_centroids, dtype=np.float64)
+    if pq_codebooks is None:
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        res = X - C[(Xn @ C.T).argmax(axis=1)]
+        pq_codebooks = np.stack(
+            [
+                _lloyd_kmeans(
+                    res[:, j * dsub:(j + 1) * dsub], k, n_iter, seed + j
+                )
+                for j in range(m)
+            ]
+        )
+    B = np.ascontiguousarray(pq_codebooks, dtype=np.float64)
+    if B.shape != (m, k, dsub):
+        raise ValueError(f"codebooks shape {B.shape} != {(m, k, dsub)}")
+
+    cent_rows = [(int(i), [float(x) for x in C[i]]) for i in range(C.shape[0])]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    book_rows = [
+        (int(j), int(c), [float(x) for x in B[j, c]])
+        for j in range(m)
+        for c in range(k)
+    ]
+    spark.createDataFrame(
+        book_rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+
+    CT = np.ascontiguousarray(C.T)
+    code_schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("_cell", T.IntegerType()),
+        ]
+    )
+
+    def encode_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xb = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Xbn = Xb / np.maximum(
+                np.linalg.norm(Xb, axis=1, keepdims=True), 1e-12
+            )
+            cells = (Xbn @ CT).argmax(axis=1)
+            res = Xb - C[cells]
+            n = len(pdf)
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                sub = res[:, j * dsub:(j + 1) * dsub]
+                d2 = ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "codes": list(codes),
+                    "_cell": cells.astype(np.int32),
+                }
+            )
+
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    (
+        widen_partitions(corpus.select(id_col, vec_col))
+        .mapInPandas(encode_cells, code_schema)
+        .write.mode("overwrite")
+        .partitionBy("_cell")
+        .parquet(f"{index_dir}/codes")
+    )
+
+
+def search_ivfpq_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k_results: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_probe: int = 8,
+) -> DataFrame:
+    """ADC search over a persisted IVFPQ index: rank cells per query
+    against the (tiny) centroid table, build the per-(query, probed
+    cell) ``m x k`` lookup table of subspace distances between the
+    query's RESIDUAL in that cell and the shared PQ codebooks, then
+    scan ONLY the probed cells' code partitions (an ``isin`` filter on
+    the partition column — pruned at listing time) scoring every code
+    row with ``m`` table lookups. No decode, no float vector per corpus
+    row, no corpus shuffle; each Arrow batch emits only its local
+    top-k per query and one final window keeps the true top-k with the
+    deterministic (adc_dist asc, id asc) tie-break. Queries are
+    materialized driver-side (bounded small-side contract, same as
+    ``search_ivf_index``); self-matches (id == query id) are excluded.
+
+    Returns (query_id, id, cell, adc_dist, rank)."""
+    cent = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent])
+    book = (
+        spark.read.parquet(f"{index_dir}/codebooks")
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    m = 1 + max(r["subspace"] for r in book)
+    k = 1 + max(r["code"] for r in book)
+    B = np.zeros((m, k, len(book[0]["centroid"])))
+    for r in book:
+        B[r["subspace"], r["code"]] = np.asarray(r["centroid"], dtype=np.float64)
+    dsub = B.shape[2]
+
+    all_codes = spark.read.parquet(f"{index_dir}/codes")
+    id_type = all_codes.schema[id_col].dataType
+    qid_type = queries.schema[query_id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, qid_type),
+            T.StructField(id_col, id_type),
+            T.StructField("_cell", T.IntegerType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+    q_pdf = queries.select(query_id_col, vec_col).toPandas()
+    if len(q_pdf) == 0:
+        return spark.createDataFrame([], out_schema).select(
+            query_id_col,
+            id_col,
+            F.col("_cell").alias("cell"),
+            "adc_dist",
+            F.lit(1).cast("bigint").alias("rank"),
+        )
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    probe = min(n_probe, C.shape[0])
+    top_cells = np.argsort(-(Qn @ C.T), axis=1)[:, :probe]
+    qids = q_pdf[query_id_col].tolist()
+
+    # LUT per (query, probed cell): residual vs the shared codebooks.
+    # n_queries * n_probe * m * k doubles — driver-tiny by contract.
+    lut: dict[tuple, np.ndarray] = {}
+    for i, qid in enumerate(qids):
+        for c in top_cells[i]:
+            res = Q[i] - C[int(c)]
+            lut[(qid, int(c))] = np.stack(
+                [
+                    (
+                        (res[j * dsub:(j + 1) * dsub][None, :] - B[j]) ** 2
+                    ).sum(axis=1)
+                    for j in range(m)
+                ]
+            )
+
+    probe_rows = [
+        (qids[i], int(c)) for i in range(len(qids)) for c in top_cells[i]
+    ]
+    probe_df = spark.createDataFrame(
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("_qid", qid_type),
+                T.StructField("_cell", T.IntegerType()),
+            ]
+        ),
+    )
+    cells = sorted({int(c) for row in top_cells for c in row})
+    cand = (
+        all_codes.where(F.col("_cell").isin(cells))
+        .join(F.broadcast(probe_df), "_cell")
+        .filter(F.col(id_col) != F.col("_qid"))
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for (qid, cell), grp in pdf.groupby(["_qid", "_cell"], sort=False):
+                tab = lut[(qid, int(cell))]  # (m, k)
+                Cd = np.stack(grp["codes"].values).astype(np.int64)
+                d = np.zeros(len(grp))
+                for j in range(m):
+                    d += tab[j, Cd[:, j]]
+                top = min(k_results, len(grp))
+                part = np.argpartition(d, top - 1)[:top]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: [qid] * top,
+                        id_col: grp[id_col].values[part],
+                        "_cell": np.full(top, int(cell), dtype=np.int32),
+                        "adc_dist": d[part],
+                    }
+                )
+
+    partial = cand.mapInPandas(score, out_schema)
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k_results)
+        .select(
+            query_id_col, id_col, F.col("_cell").alias("cell"),
+            "adc_dist", "rank",
+        )
     )

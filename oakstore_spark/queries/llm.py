@@ -1457,3 +1457,115 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("codes_md5"),
         "mse",
     )
+
+
+_IVFPQ_INDEX_DIRS: dict[str, str] = {}
+
+# q_ivfpq_topk geometry: 4 coarse cells x (m=8, k=16, dsub=8) codebooks
+_IVFPQ_CELLS, _IVFPQ_M, _IVFPQ_K, _IVFPQ_DSUB = 4, 8, 16, 8
+
+
+def _ivfpq_planted_embedding() -> F.Column:
+    """The planted 64-d vector of ``vec_id``: 8.0 on the 16-dim block
+    of coarse cell ``vec_id % 4`` plus, over each 8-dim PQ subspace j,
+    the constant base-16 digit ``(vec_id // 16^j) % 16`` scaled by
+    1/128 — so the coarse assignment is unambiguous, the residual sits
+    EXACTLY on PQ codeword digit_j in every subspace (dyadic — exact
+    in double), and the code vector is injective in vec_id below
+    16^8."""
+    cell = F.col("vec_id") % _IVFPQ_CELLS
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda t: F.when(F.floor(t / 16) == cell, F.lit(8.0)).otherwise(
+            F.lit(0.0)
+        )
+        + (
+            F.floor(F.col("vec_id") / F.pow(F.lit(16.0), F.floor(t / 8)))
+            % _IVFPQ_K
+        )
+        / F.lit(128.0),
+    )
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once fixture for q_ivfpq_topk: persist the IVFPQ index of
+    the planted corpus under EXPLICIT (planted) coarse centroids and PQ
+    codebooks, so every cell assignment and code is closed-form."""
+    import atexit
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from oakstore_spark.operators.similarity import build_ivfpq_index
+
+    path = _IVFPQ_INDEX_DIRS.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="oak_ivfpq_idx_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        n_cells, m, k, dsub = (
+            _IVFPQ_CELLS, _IVFPQ_M, _IVFPQ_K, _IVFPQ_DSUB,
+        )
+        C = np.zeros((n_cells, m * dsub))
+        for c in range(n_cells):
+            C[c, c * 16:(c + 1) * 16] = 8.0
+        B = np.zeros((m, k, dsub))
+        for c in range(k):
+            B[:, c, :] = c / 128.0
+        corpus = table(spark, sf_dir, "embeddings").select(
+            "vec_id", _ivfpq_planted_embedding().alias("embedding")
+        )
+        build_ivfpq_index(
+            corpus,
+            dim=64,
+            index_dir=path,
+            n_cells=n_cells,
+            m=m,
+            k=k,
+            coarse_centroids=C,
+            pq_codebooks=B,
+        )
+        _IVFPQ_INDEX_DIRS[sf_dir] = path
+    return path
+
+
+@register(
+    "q_ivfpq_topk",
+    oracle="""
+    SELECT vec_id + 1000000 AS query_id, vec_id AS top1_id,
+           CAST(vec_id % 4 AS INT) AS cell, 0.0 AS adc_dist
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ — the composed billion-scale ANN shape (IVF coarse cells x
+    residual product quantization, ADC scan of probed cells only;
+    Jegou 2011 / FAISS IVFPQ) — under a planted closed-form oracle:
+    every corpus vector's coarse cell is ``vec_id % 4`` and its residual
+    sits EXACTLY on PQ codeword ``digit_j(vec_id)`` in each subspace,
+    so searching for a vector's own (id-shifted) embedding must (a)
+    rank its own cell first, (b) prune the codes scan to the probed
+    cell partitions at listing time, and (c) return THAT vector at ADC
+    distance exactly 0.0 — code injectivity below 16^8 makes the top-1
+    unique. A wrong cell assignment, residual, codeword, LUT entry, or
+    tie-break flips a row and breaks the hash. Query ids are shifted
+    by 1e6 past the corpus id range so the self-match exclusion
+    (id != query id) keeps the planted copies visible."""
+    from oakstore_spark.operators.similarity import search_ivfpq_index
+
+    idx = _ivfpq_index(spark, sf_dir)
+    queries = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 50 == 0)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("query_id"),
+            _ivfpq_planted_embedding().alias("embedding"),
+        )
+    )
+    out = search_ivfpq_index(spark, idx, queries, k_results=1, n_probe=2)
+    return out.select(
+        "query_id",
+        F.col("vec_id").alias("top1_id"),
+        "cell",
+        "adc_dist",
+    )

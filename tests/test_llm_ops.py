@@ -822,6 +822,94 @@ def test_persisted_ivf_index_string_ids(spark, clustered, tmp_path):
     assert hits >= 18
 
 
+def test_ivfpq_trained_recall_and_pruning(spark, clustered, tmp_path):
+    """IVFPQ composition with TRAINED quantizers (no planted codebooks):
+    a twin (~0.999 cosine copy) quantizes to the same coarse cell and
+    near-identical PQ codes, so ADC top-1 with self excluded must
+    recover it for nearly every query; the probed-cell filter must
+    reach the codes scan as a PartitionFilter (listing-time pruning)."""
+    import contextlib
+    import io
+
+    from oakstore_spark.operators.similarity import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    idx = str(tmp_path / "ivfpq_idx")
+    build_ivfpq_index(
+        clustered, dim=32, index_dir=idx, n_cells=16, m=4, k=16
+    )
+    queries = clustered.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = search_ivfpq_index(spark, idx, queries, k_results=1, n_probe=4)
+    rows = out.collect()
+    twin = {int(r["query_id"]): int(r["vec_id"]) for r in rows}
+    hits = sum(1 for q, v in twin.items() if v == (q ^ 1))
+    assert hits >= 0.9 * 60
+
+    out = search_ivfpq_index(
+        spark, idx, queries.limit(5), k_results=1, n_probe=2
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "_cell" in plan
+
+
+def test_ivfpq_planted_exact_codes_and_distance(spark, tmp_path):
+    """Planted-oracle contract in miniature (the q_ivfpq_topk
+    construction): explicit coarse centroids + codebooks, vectors whose
+    residuals sit exactly on codewords — search must return each
+    vector's own copy at ADC distance exactly 0.0 in its closed-form
+    cell, and the persisted codes must BE the base-16 digits."""
+    import numpy as np
+
+    from oakstore_spark.operators.similarity import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    n_cells, m, k, dsub = 4, 4, 16, 4  # dim 16
+    C = np.zeros((n_cells, m * dsub))
+    for c in range(n_cells):
+        C[c, c * 4:(c + 1) * 4] = 8.0
+    B = np.zeros((m, k, dsub))
+    for c in range(k):
+        B[:, c, :] = c / 128.0
+    rows = []
+    for vid in range(200):
+        v = np.zeros(16)
+        v[(vid % 4) * 4:(vid % 4) * 4 + 4] = 8.0
+        for j in range(m):
+            v[j * dsub:(j + 1) * dsub] += ((vid // 16**j) % 16) / 128.0
+        rows.append((vid, [float(x) for x in v]))
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    idx = str(tmp_path / "ivfpq_planted")
+    build_ivfpq_index(
+        corpus, dim=16, index_dir=idx, n_cells=n_cells, m=m, k=k,
+        coarse_centroids=C, pq_codebooks=B,
+    )
+    codes = {
+        int(r["vec_id"]): list(r["codes"])
+        for r in spark.read.parquet(f"{idx}/codes").collect()
+    }
+    for vid in (0, 17, 123, 199):
+        assert codes[vid] == [(vid // 16**j) % 16 for j in range(m)]
+
+    queries = corpus.select(
+        (F.col("vec_id") + 10_000).alias("query_id"), "embedding"
+    )
+    out = search_ivfpq_index(spark, idx, queries, k_results=1, n_probe=1)
+    for r in out.collect():
+        vid = int(r["query_id"]) - 10_000
+        assert int(r["vec_id"]) == vid
+        assert int(r["cell"]) == vid % 4
+        assert r["adc_dist"] == 0.0
+
+
 def test_ivf_incremental_add_finds_new_vectors(spark, clustered, tmp_path):
     """add_to_ivf_index: vectors appended against the FROZEN quantizer
     must be findable by search immediately (cell assignment at add time
