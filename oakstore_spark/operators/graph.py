@@ -35,6 +35,44 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def web_graph_edges(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    drop_self: bool = True,
+) -> DataFrame:
+    """Build the DOMAIN-level web graph straight from crawled pages:
+    extract + canonicalize each page's outbound links
+    (``html.extract_links``), map both endpoints to registered domains
+    (``urls.registered_domain``), and emit distinct (src_domain,
+    dst_domain) edges — the relation :func:`pagerank` consumes, closing
+    the crawl chain extract → graph → rank. ``drop_self`` removes
+    intra-domain edges (navigation), the standard choice for a
+    domain-authority prior.
+
+    Plan shape: map-side extraction and domain mapping (regexp/HOF,
+    zero Python), one explode, one distinct shuffle on the edge key —
+    at 100 TB the explode output is links-per-page x pages rows of two
+    short strings, and the distinct collapses it to the (much smaller)
+    domain graph before any iteration touches it."""
+    from oakstore_spark.operators.html import extract_links
+    from oakstore_spark.operators.urls import registered_domain, url_parts
+
+    linked = extract_links(
+        pages, html_col=html_col, base_url_col=url_col, out_col="_links"
+    )
+    edges = linked.select(
+        registered_domain(url_parts(url_col)["host"]).alias("src_domain"),
+        F.explode("_links").alias("_link"),
+    ).select(
+        "src_domain",
+        registered_domain(url_parts("_link")["host"]).alias("dst_domain"),
+    )
+    if drop_self:
+        edges = edges.where(F.col("src_domain") != F.col("dst_domain"))
+    return edges.distinct()
+
+
 def degree_stats(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:
@@ -62,15 +100,29 @@ def pagerank(
     damping: float = 0.5,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
     """PageRank with dangling-mass redistribution, returning
-    (node, rank) after exactly ``n_iterations`` synchronous updates:
+    (node, rank) after up to ``n_iterations`` synchronous updates:
 
         PR'(v) = (1-d)/N + d * sum_{u->v} PR(u)/outdeg(u)
                          + d * (sum of PR over dangling nodes)/N
 
-    Total mass stays exactly 1 each round. Deterministic for a fixed
-    iteration count (no convergence test — replayable by the oracle)."""
+    Total mass stays exactly 1 each round. With the defaults the
+    update count is fixed (no convergence test — replayable by the
+    oracle).
+
+    ``checkpoint_dir``: when set, per-iteration lineage truncation uses
+    RELIABLE ``checkpoint()`` into that directory (HDFS/object-store
+    path on a cluster) instead of ``localCheckpoint()`` — local
+    checkpoint blocks live on executors, so an executor loss at
+    iteration 30 of a long run would kill the job rather than recover;
+    a reliable dir trades one write per iteration for fault tolerance.
+    ``tol``: when set, stop early once ``max |PR' - PR|`` falls below
+    it (one extra small join+agg job per iteration — the practical
+    mode for real graphs; leave None for replayable fixed-iteration
+    runs)."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
@@ -90,6 +142,15 @@ def pagerank(
     )
     linked.count()
 
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     d = float(damping)
     base = (1.0 - d) / n
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
@@ -106,7 +167,7 @@ def pagerank(
             ranks.join(has_out, "node", "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass"))
         )
-        ranks = (
+        new_ranks = _pin(
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -117,8 +178,20 @@ def pagerank(
                     + F.lit(d) * F.col("mass") / n
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if tol is not None:
+            delta = (
+                new_ranks.join(
+                    ranks.withColumnRenamed("rank", "_prev"), "node"
+                )
+                .agg(F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("d"))
+                .first()["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
     # eager checkpoints mean ranks is fully materialized — safe to drop
     # the loop-scoped persists now
     nodes.unpersist()

@@ -109,3 +109,67 @@ def extract_main_text(
             ).cast("int"),
         }
     )
+
+
+# href="..." / href='...' inside an <a ...> tag (quoted values only —
+# the contract; unquoted hrefs are vanishingly rare in real markup)
+_HREF = r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"']*)["']"""
+_ABS_SCHEME = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    base_url_col: str | None = None,
+    out_col: str = "links",
+) -> DataFrame:
+    """Append ``out_col``: the array of CANONICAL outbound link URLs of
+    each page — the input `extract_main_text` discards and the edge
+    source a web-graph build needs (crawl frontier, PageRank prior).
+
+    Resolution contract (stated precisely — it IS the contract):
+
+    - absolute ``http(s)://...`` hrefs are kept as-is;
+    - protocol-relative ``//host/path`` resolves with the base page's
+      scheme;
+    - root-relative ``/path`` resolves against the base page's scheme
+      and host;
+    - everything else — ``mailto:`` / ``javascript:`` / other schemes,
+      bare fragments, and path-relative hrefs (rare in crawl output
+      and ambiguous without directory semantics) — is dropped;
+    - every survivor is canonicalized with
+      :func:`oakstore_spark.operators.urls.normalize_url` (tracking
+      params dropped, host lowercased, default ports stripped), so the
+      same target crawled under two spellings emits ONE link string.
+
+    Without ``base_url_col`` only absolute links survive. Entirely
+    map-side (regexp + array HOFs) — zero shuffles at any scale."""
+    from oakstore_spark.operators.urls import normalize_url, url_parts
+
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(_HREF), 1)
+    if base_url_col is not None:
+        base = url_parts(base_url_col)
+        scheme, host = base["scheme"], base["host"]
+    else:
+        scheme = host = None
+
+    def resolve(h: Column) -> Column:
+        absolute = F.when(h.rlike(_ABS_SCHEME), h)
+        if scheme is None:
+            return absolute
+        return (
+            absolute.when(
+                h.startswith("//"), F.concat(scheme, F.lit(":"), h)
+            ).when(
+                h.startswith("/"),
+                F.concat(scheme, F.lit("://"), host, h),
+            )
+        )
+
+    resolved = F.filter(
+        F.transform(hrefs, lambda h: normalize_url(resolve(h))),
+        lambda u: u.isNotNull() & u.rlike("^https?://"),
+    )
+    return df.withColumn(
+        out_col, F.when(F.col(html_col).isNotNull(), resolved)
+    )

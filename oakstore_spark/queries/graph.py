@@ -117,6 +117,102 @@ def q_pagerank_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _planted_pages(spark: SparkSession) -> DataFrame:
+    """One crawled HTML page per node of the dyadic graph: the page at
+    ``http://node{i}.test/`` carries one anchor per out-neighbor — each
+    deliberately NOISY (``www.`` prefix, explicit ``:80``, a
+    ``utm_source`` tracking param) so the edge only lands if
+    canonicalization works — plus a protocol-relative DUPLICATE of the
+    chain link (must collapse into the same edge), and a nav block of
+    links the resolution contract must drop (root-relative self link,
+    bare fragment, mailto:, javascript:)."""
+    e = _planted_edges(spark)
+    anchor = F.concat(
+        F.lit('<a href="http://www.node'),
+        F.col("dst"),
+        F.lit('.test:80/?utm_source=feed&page=1">next</a>'),
+    )
+    neigh = (
+        e.select("src", anchor.alias("a"))
+        .groupBy("src")
+        .agg(F.concat_ws("\n", F.sort_array(F.collect_list("a"))).alias("n"))
+    )
+    return neigh.select(
+        F.concat(F.lit("http://node"), F.col("src"), F.lit(".test/")).alias(
+            "url"
+        ),
+        F.concat(
+            F.lit(
+                '<html><body><nav><a href="/about">About</a> '
+                '<a href="#top">top</a> <a href="mailto:ops@example.org">m</a> '
+                '<a href="javascript:void(0)">js</a></nav>\n'
+            ),
+            F.col("n"),
+            F.lit('\n<a href="//node'),
+            (F.col("src") + 1) % _N,
+            F.lit('.test/alt">alt</a></body></html>'),
+        ).alias("html"),
+    )
+
+
+def _webgraph_oracle() -> str:
+    steps = []
+    for k in range(_ITER):
+        steps.append(f"""
+    pr{k + 1} AS (
+      SELECT n.node,
+             0.0078125 + 0.5 * COALESCE(c.contrib, 0) AS rank
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p.rank / o.deg) AS contrib
+        FROM edges e
+        JOIN pr{k} p ON e.src = p.node
+        JOIN outdeg o ON o.node = e.src
+        GROUP BY e.dst
+      ) c ON c.node = n.node
+    )""")
+    return (
+        "WITH "
+        + _GRAPH_CTE
+        + ",\n    pr0 AS (SELECT node, CAST(1.0/64 AS DOUBLE) AS rank"
+        " FROM nodes),"
+        + ",".join(steps)
+        + f"""
+    SELECT 'node' || CAST(node AS VARCHAR) || '.test' AS domain, rank
+    FROM pr{_ITER}"""
+    )
+
+
+@register("q_web_graph_rank", oracle=_webgraph_oracle())
+def q_web_graph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl chain END-TO-END: planted HTML pages → href
+    extraction + URL canonicalization (``extract_links``: tracking
+    params, www., :80, protocol-relative resolution all exercised) →
+    registered-domain edge construction (``web_graph_edges``: nav junk
+    dropped, the duplicate chain link collapses in the distinct) → 10
+    dyadic PageRank iterations — and the oracle replays the WHOLE thing
+    in closed form, because the surviving edge set must be EXACTLY the
+    dyadic graph on domain strings. A missed anchor, an un-stripped
+    tracking param, a wrong domain mapping, a phantom self-edge, or any
+    rank drift breaks the hash on all 64 rows."""
+    from oakstore_spark.operators.graph import pagerank, web_graph_edges
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        edges = web_graph_edges(_planted_pages(spark))
+        out = pagerank(
+            edges,
+            n_iterations=_ITER,
+            damping=0.5,
+            src_col="src_domain",
+            dst_col="dst_domain",
+        ).select(F.col("node").alias("domain"), "rank")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
 @register(
     "q_graph_degrees",
     oracle="WITH "

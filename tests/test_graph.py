@@ -50,6 +50,104 @@ def test_pagerank_uniform_on_pure_cycle(spark):
         assert got[v] == 1.0 / n  # exact: uniform is the fixed point
 
 
+def test_pagerank_reliable_checkpoint_dir(spark, tmp_path):
+    """With checkpoint_dir set, ranks must come out identical to the
+    localCheckpoint path AND reliable checkpoint data must actually
+    land in the directory (the cluster-durable mode)."""
+    import os
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 4), (2, 4), (3, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ckpt = str(tmp_path / "pr_ckpt")
+    local = {r.node: r.rank for r in pagerank(df, 6, 0.85).collect()}
+    durable = {
+        r.node: r.rank
+        for r in pagerank(df, 6, 0.85, checkpoint_dir=ckpt).collect()
+    }
+    assert durable == local
+    written = [
+        f for root, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written  # reliable checkpoints were materialized on disk
+
+
+def test_pagerank_tol_early_stop_matches_converged(spark):
+    """tol-based early stop: on a pure cycle the uniform vector is the
+    fixed point after one iteration, so a tol run must stop early and
+    still return the converged ranks."""
+    n = 8
+    df = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, 50, 0.5, tol=1e-12).collect()
+    }
+    for v in range(n):
+        assert got[v] == 1.0 / n
+
+
+def test_extract_links_resolution_contract(spark):
+    """Absolute kept+canonicalized, protocol-relative and root-relative
+    resolved against the base page, mailto/javascript/fragment/relative
+    dropped, null html -> null links."""
+    from pyspark.sql import functions as F
+
+    from oakstore_spark.operators.html import extract_links
+
+    rows = [
+        (
+            "https://a.test/dir/page",
+            '<a href="http://www.b.test:80/x/?utm_source=s&q=1">b</a>'
+            ' <a href="//c.test/y">c</a>'
+            ' <a href="/rooted">r</a>'
+            ' <a href="relative.html">rel</a>'
+            ' <a href="#frag">f</a>'
+            ' <a href="mailto:x@y.z">m</a>'
+            ' <a href="javascript:void(0)">j</a>'
+            " <a href='ftp://d.test/file'>ftp</a>",
+        ),
+        ("https://a.test/", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = {
+        r["url"]: r["links"]
+        for r in extract_links(df, base_url_col="url").collect()
+    }
+    assert out["https://a.test/dir/page"] == [
+        "http://b.test/x?q=1",
+        "https://c.test/y",
+        "https://a.test/rooted",
+    ]
+    assert out["https://a.test/"] is None
+
+
+def test_web_graph_edges_dedup_and_self_drop(spark):
+    """Two spellings of the same target collapse to ONE edge; nav
+    self-links vanish under drop_self and survive without it."""
+    from oakstore_spark.operators.graph import web_graph_edges
+
+    rows = [
+        (
+            "http://a.test/",
+            '<a href="http://b.test/p?utm_source=x">1</a>'
+            ' <a href="http://www.b.test/p">2</a>'
+            ' <a href="/self">s</a>',
+        ),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {
+        (r["src_domain"], r["dst_domain"])
+        for r in web_graph_edges(df).collect()
+    }
+    assert got == {("a.test", "b.test")}
+    with_self = {
+        (r["src_domain"], r["dst_domain"])
+        for r in web_graph_edges(df, drop_self=False).collect()
+    }
+    assert with_self == {("a.test", "b.test"), ("a.test", "a.test")}
+
+
 def test_degree_stats_one_sided_nodes(spark):
     df = spark.createDataFrame(
         [(1, 2), (1, 3), (2, 3)], "src long, dst long"
