@@ -212,9 +212,14 @@ def classify_lang(
     convention — computed in-plan via a broadcast 1-row aggregate, so
     profiles trained with a different ``top_k`` than ``doc_top_k``
     still get the documented semantics). Output one row per doc:
-    (id, pred_lang, oop_distance); docs whose normalized text has no
-    trigram (blank/symbol-only) degrade to a null pred_lang row rather
-    than vanishing.
+    (id, pred_lang, oop_distance, runner_up_lang, margin) — ``margin``
+    is the EXACT integer distance gap to the runner-up language, the
+    confidence signal curation filters gate on ("keep if en with
+    margin > x"); it is 0 when two languages tie (the struct-min
+    tie-break still picks the lexicographically first) and null when
+    fewer than two languages are profiled. Docs whose normalized text
+    has no trigram (blank/symbol-only) degrade to a null pred_lang row
+    rather than vanishing.
 
     Plan shape: one shuffle by doc id for the doc-profile window, then
     broadcast joins against the tiny profile table; the distance agg
@@ -267,16 +272,25 @@ def classify_lang(
             ).alias("oop")
         )
     )
+    # one sorted (oop, lang) struct list per doc — element 1 is the
+    # argmin with the lang-ascending tie-break, element 2 the runner-up
     best = scored.groupBy("id").agg(
-        F.min(F.struct("oop", "lang")).alias("m")
+        F.sort_array(F.collect_list(F.struct("oop", "lang"))).alias("ss")
     )
+    runner = F.try_element_at("ss", F.lit(2))  # null when only one lang
     out = best.select(
         "id",
-        F.col("m.lang").alias("pred_lang"),
-        F.col("m.oop").alias("oop_distance"),
+        F.element_at("ss", 1)["lang"].alias("pred_lang"),
+        F.element_at("ss", 1)["oop"].alias("oop_distance"),
+        runner["lang"].alias("runner_up_lang"),
+        (runner["oop"] - F.element_at("ss", 1)["oop"]).alias("margin"),
     )
     # blank/symbol-only docs have zero trigrams -> no scored rows;
     # surface them with a null prediction (degrade contract)
     return ids.join(out, "id", "left").select(
-        F.col("id").alias(id_col), "pred_lang", "oop_distance"
+        F.col("id").alias(id_col),
+        "pred_lang",
+        "oop_distance",
+        "runner_up_lang",
+        "margin",
     )

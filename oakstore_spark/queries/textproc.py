@@ -73,6 +73,138 @@ def q_langid_ct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "pred_lang")
 
 
+def _seed_values_sql() -> str:
+    """The built-in seed corpus as a SQL VALUES list (lang, idx, text)
+    — generated from SEED_SENTENCES itself so the oracle can never
+    drift from the corpus the Spark side trains on."""
+    rows = []
+    for lang in _LANGS:
+        for i, s in enumerate(SEED_SENTENCES[lang]):
+            rows.append(f"('{lang}', {i}, '{s.replace(chr(39), chr(39) * 2)}')")
+    return ",\n      ".join(rows)
+
+
+def _langid_margin_oracle() -> str:
+    """FULL SQL replay of the Cavnar-Trenkle pipeline — training,
+    doc ranking, out-of-place distances, argmin + runner-up — so the
+    margin comes out exact, not planted. ASCII-only corpus keeps the
+    [^a-z] normalization and binary string ordering engine-identical."""
+    return f"""
+    WITH seeds(lang, idx, text) AS (VALUES
+      {_seed_values_sql()}
+    ),
+    langs AS (SELECT DISTINCT lang FROM seeds),
+    norm AS (
+      SELECT lang,
+             ' ' || trim(regexp_replace(text, '[^a-z]+', ' ', 'g')) || ' '
+               AS s
+      FROM seeds
+    ),
+    sgrams AS (
+      SELECT lang, substr(s, CAST(i.i AS INT), 3) AS gram
+      FROM norm, LATERAL (SELECT unnest(range(1, len(s) - 1)) AS i) i
+      WHERE len(s) >= 3
+    ),
+    prof AS (
+      SELECT * FROM (
+        SELECT lang, gram,
+               row_number() OVER (
+                 PARTITION BY lang ORDER BY count(*) DESC, gram
+               ) AS rank
+        FROM sgrams GROUP BY lang, gram
+      ) WHERE rank <= 300
+    ),
+    pen AS (SELECT CAST(max(rank) AS INT) AS p FROM prof),
+    combos AS (
+      SELECT l.li, r.ri, a.text || ' ' || b.text AS text
+      FROM (SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS li
+            FROM langs) l
+      CROSS JOIN range(8) r(ri)
+      JOIN seeds a ON a.lang = l.lang AND a.idx = r.ri
+      JOIN seeds b ON b.lang = l.lang AND b.idx = (r.ri + 3) % 8
+    ),
+    cnorm AS (
+      SELECT li, ri,
+             ' ' || trim(regexp_replace(text, '[^a-z]+', ' ', 'g')) || ' '
+               AS s
+      FROM combos
+    ),
+    cgrams AS (
+      SELECT li, ri, substr(s, CAST(i.i AS INT), 3) AS gram,
+             count(*) AS n
+      FROM cnorm, LATERAL (SELECT unnest(range(1, len(s) - 1)) AS i) i
+      GROUP BY 1, 2, 3
+    ),
+    cranked AS (
+      SELECT * FROM (
+        SELECT li, ri, gram,
+               row_number() OVER (
+                 PARTITION BY li, ri ORDER BY n DESC, gram
+               ) AS doc_rank
+        FROM cgrams
+      ) WHERE doc_rank <= 300
+    ),
+    scored AS (
+      SELECT c.li, c.ri, lg.lang,
+             CAST(sum(coalesce(abs(c.doc_rank - p.rank),
+                               (SELECT p FROM pen))) AS BIGINT) AS oop
+      FROM cranked c
+      CROSS JOIN langs lg
+      LEFT JOIN prof p ON p.lang = lg.lang AND p.gram = c.gram
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT li, ri, lang, oop,
+             row_number() OVER (
+               PARTITION BY li, ri ORDER BY oop, lang
+             ) AS rn
+      FROM scored
+    ),
+    combo_out AS (
+      SELECT b.li, b.ri, b.lang AS pred_lang, b.oop AS oop_distance,
+             r.lang AS runner_up_lang, r.oop - b.oop AS margin
+      FROM ranked b
+      JOIN ranked r ON r.li = b.li AND r.ri = b.ri AND r.rn = 2
+      WHERE b.rn = 1
+    )
+    SELECT d.doc_id, o.pred_lang, o.oop_distance, o.runner_up_lang,
+           o.margin
+    FROM documents d
+    JOIN combo_out o
+      ON o.li = d.doc_id % 6 AND o.ri = (d.doc_id // 6) % 8
+    """
+
+
+@register("q_langid_margin", oracle=_langid_margin_oracle())
+def q_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFIDENCE: the exact integer out-of-place margin
+    between the best and runner-up language for every planted doc —
+    the column a curation filter gates on ("keep if en with margin >
+    x"). Unlike q_langid_ct's planted-label oracle, this one replays
+    the ENTIRE Cavnar-Trenkle pipeline in SQL (profile training, doc
+    trigram ranking, penalty default, distance sums, argmin and
+    runner-up tie-breaks), so every one of the five output columns is
+    value-exact — a drifted rank, penalty, or tie order anywhere flips
+    a margin and breaks the hash."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    combos = spark.createDataFrame(
+        [
+            (li, ri, f"{sents[ri]} {sents[(ri + 3) % 8]}")
+            for li, lang in enumerate(_LANGS)
+            for sents in [SEED_SENTENCES[lang]]
+            for ri in range(8)
+        ],
+        "lang_idx int, rot int, text string",
+    )
+    planted = d.join(
+        F.broadcast(combos),
+        ((F.col("doc_id") % 6).cast("int") == F.col("lang_idx"))
+        & (((F.col("doc_id") / 6).cast("long") % 8).cast("int") == F.col("rot")),
+    ).select("doc_id", "text")
+    profiles = train_lang_profiles(seed_corpus(spark))
+    return classify_lang(planted, profiles)
+
+
 @register(
     "q_line_dedup",
     oracle="""

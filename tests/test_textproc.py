@@ -235,6 +235,26 @@ def test_langid_default_penalty_is_profile_size(spark):
     assert got2.oop_distance == 3 * 11
 
 
+def test_langid_margin_contract(spark):
+    """margin = runner-up oop - best oop (exact int); a two-language
+    TIE yields margin 0 with the lexicographic winner; a single
+    profiled language degrades to null runner-up/margin."""
+    profiles = spark.createDataFrame(
+        # identical profiles for aa/bb -> identical distances -> tie
+        [("aa", "the", 1), ("bb", "the", 1)],
+        "lang string, gram string, rank int",
+    )
+    df = spark.createDataFrame([(1, "the")], "doc_id long, text string")
+    got = classify_lang(df, profiles).collect()[0]
+    assert got.pred_lang == "aa" and got.runner_up_lang == "bb"
+    assert got.margin == 0
+
+    solo = profiles.where("lang = 'aa'")
+    got1 = classify_lang(df, solo).collect()[0]
+    assert got1.pred_lang == "aa"
+    assert got1.runner_up_lang is None and got1.margin is None
+
+
 def test_html_extract_malformed_degrades(spark):
     """Malformed markup must degrade, never fail: unclosed tags strip,
     nested links count once, null html -> null out, all-boilerplate
