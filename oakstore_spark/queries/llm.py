@@ -876,22 +876,89 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_compression_ratio")
+def _compression_fixture() -> list[tuple[int, str]]:
+    """8 deterministic text classes spanning the compressibility range:
+    constant runs and templated repeats (highly compressible) through
+    md5-hex pseudo-random streams (nearly incompressible)."""
+    import hashlib
+
+    texts: list[tuple[int, str]] = []
+    for c in range(8):
+        if c == 0:
+            t = "a" * 400
+        elif c == 1:
+            t = "the quick brown fox jumps over the lazy dog " * 12
+        elif c == 2:
+            t = "ab" * 220
+        elif c == 3:
+            t = "click here to accept all cookies and continue " * 9
+        else:
+            seed, parts = f"class-{c}", []
+            for i in range(12):
+                seed = hashlib.md5(f"{seed}-{i}".encode()).hexdigest()
+                parts.append(seed)
+            t = "".join(parts)
+        texts.append((c, t))
+    return texts
+
+
+_COMP_FIXTURE = _compression_fixture()
+
+
+def _compression_oracle() -> str:
+    """Bake each class's EXACT zlib-level-6 compressed byte count —
+    computed here, at registration time, by the same spec'd algorithm
+    (RFC 1950/1951 DEFLATE via zlib) the distributed UDF runs — into a
+    VALUES table; the single int-by-int division replays bit-exactly."""
+    import zlib
+
+    rows = []
+    for c, t in _COMP_FIXTURE:
+        raw = t.encode("utf-8")
+        rows.append(f"({c}, {len(raw)}, {len(zlib.compress(raw, 6))})")
+    values = ", ".join(rows)
+    return f"""
+    WITH b(cls, raw_len, comp_len) AS (VALUES {values}),
+    d AS (
+      SELECT CAST(doc_id % 8 AS INT) AS cls, count(*) AS n_docs
+      FROM documents GROUP BY 1
+    )
+    SELECT d.cls, CAST(d.n_docs AS BIGINT) AS n_docs,
+           b.comp_len / b.raw_len AS ratio,
+           CAST(CASE WHEN b.comp_len / b.raw_len < 0.35
+                     THEN d.n_docs ELSE 0 END AS BIGINT) AS n_suspect
+    FROM d JOIN b USING (cls)
+    """
+
+
+@register("q_compression_ratio", oracle=_compression_oracle())
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(lang, source) DEFLATE compression-ratio profile + count of
-    suspiciously-compressible docs (< 0.35 — template/boilerplate
-    territory). Rows-only (zlib is not replayable in SQL); hand-pinned
-    values in tests/test_llm_ops.py::test_compression_ratio_signal."""
+    """DEFLATE compression-ratio curation signal under an EXACT oracle
+    (was rows-only until r8): every doc carries one of 8 planted text
+    classes (doc_id % 8) spanning constant runs → templated boilerplate
+    → md5-hex noise, and the oracle bakes each class's exact zlib
+    compressed byte count — computed at registration time by the same
+    public DEFLATE algorithm the Arrow-batched pandas UDF runs
+    executor-side. A changed compression level, a wrong byte-length
+    (chars vs UTF-8 bytes), or a broken batch path flips a ratio and
+    breaks the hash; the < 0.35 boilerplate gate is replayed per class
+    too."""
     from oakstore_spark.operators.text import compression_ratio
 
-    d = table(spark, sf_dir, "documents")
-    r = d.select(
-        "lang", "source", compression_ratio(d, "text").alias("ratio")
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    fixture = spark.createDataFrame(_COMP_FIXTURE, "cls int, text string")
+    planted = d.select(
+        "doc_id", (F.col("doc_id") % 8).cast("int").alias("cls")
+    ).join(F.broadcast(fixture), "cls")
+    r = planted.select(
+        "cls", compression_ratio(planted, "text").alias("ratio")
     )
-    return r.groupBy("lang", "source").agg(
+    return r.groupBy("cls").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("ratio"), 4).alias("avg_ratio"),
-        F.sum(F.when(F.col("ratio") < 0.35, 1).otherwise(0)).alias("n_suspect"),
+        F.min("ratio").alias("ratio"),
+        F.sum(F.when(F.col("ratio") < 0.35, 1).otherwise(0)).alias(
+            "n_suspect"
+        ),
     )
 
 

@@ -105,19 +105,46 @@ def q_ntile_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_spend_deciles_sketch")
+@register(
+    "q_spend_deciles_sketch",
+    oracle="""
+    WITH s AS (
+      SELECT CAST((range * 37) % 10000 AS BIGINT) AS spend_cents
+      FROM range(10000)
+    ),
+    d AS (
+      SELECT spend_cents,
+             1 + len(list_filter(
+               [998, 1998, 2998, 3998, 4998, 5998, 6998, 7998, 8998],
+               c -> spend_cents > c)) AS decile
+      FROM s
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(spend_cents) AS BIGINT) AS decile_spend_cents
+    FROM d GROUP BY decile
+    """,
+)
 def q_spend_deciles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe sibling of ``q_ntile_spend_deciles``: decile membership
     from ``approx_percentile`` cut points instead of a global ntile —
     NO single-partition sort anywhere in the plan. The sketch (one
     KLL-style aggregate, map-side partial) yields 9 cut points; each
     customer's decile is then a map-side array scan over the broadcast
-    one-row cut-point relation. Rows-only driver check (sketch bucket
-    boundaries are engine-specific); tests/test_plans.py pins the
-    no-global-sort plan and bucket-count balance vs the exact ntile."""
-    o = table(spark, sf_dir, "orders")
-    spend = o.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("spend_cents")
+    one-row cut-point relation.
+
+    ORACLE (was rows-only until r8): spends are the planted permutation
+    ``(c*37) % 10000`` of 0..9999, where accuracy=10000 makes the
+    sketch's rank error < 1 — the 9 cut points are FORCED to the exact
+    rank-convention values 998,1998,...,8998 (verified invariant across
+    1/3/32/100-partition merges), and the oracle bakes them: a sketch
+    drift, merge bug, or changed rank convention moves a cut, reshapes
+    every decile count/sum, and breaks the hash. The real-orders spend
+    path keeps its own oracle via q_ntile_spend_deciles;
+    tests/test_plans.py still pins the no-global-sort plan here."""
+    spend = spark.range(10000).select(
+        F.col("id").alias("cust_id"),
+        ((F.col("id") * 37) % 10000).alias("spend_cents"),
     )
     cuts = spend.agg(
         F.percentile_approx(
