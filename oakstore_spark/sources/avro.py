@@ -170,14 +170,18 @@ def _spark_type(at) -> T.DataType:
 
 def _make_encoder(at):
     """Closure encoding ONE value of avro type `at` into a bytearray."""
-    if isinstance(at, list):  # [null, T]
+    if isinstance(at, list):  # 2-branch union with null, EITHER order
+        if "null" not in at or len(at) != 2:
+            raise TypeError(f"only [null, T] / [T, null] unions: {at}")
+        null_branch = zigzag_encode(at.index("null"))
+        val_branch = zigzag_encode(1 - at.index("null"))
         inner = _make_encoder([t for t in at if t != "null"][0])
 
         def enc_union(v, out):
             if v is None:
-                out += b"\x00"
+                out += null_branch
             else:
-                out += b"\x02"  # zigzag(1)
+                out += val_branch
                 inner(v, out)
 
         return enc_union
@@ -189,7 +193,13 @@ def _make_encoder(at):
             return enc_date
         if lt in ("timestamp-micros", "local-timestamp-micros"):
             def enc_ts(v, out):
-                # naive datetimes are wall-clock micros; aware ones UTC
+                # ints are already epoch micros (write_avro serializes
+                # TimestampType JVM-side via unix_micros so the UTC
+                # instant never depends on the host timezone); aware
+                # datetimes are UTC instants, naive ones wall-clock
+                if isinstance(v, int):
+                    out += zigzag_encode(v)
+                    return
                 import calendar
                 if v.tzinfo is not None:
                     secs = calendar.timegm(v.utctimetuple())
@@ -242,14 +252,27 @@ def _make_encoder(at):
     raise TypeError(f"unsupported avro type {at}")
 
 
-def _make_decoder(at):
-    """Closure decoding ONE value: (buf, pos) -> (value, pos)."""
+def _make_decoder(at, tz_name: str = "UTC"):
+    """Closure decoding ONE value: (buf, pos) -> (value, pos).
+    ``tz_name`` is the Spark session timezone: ``timestamp-micros``
+    values are UTC INSTANTS per spec, and Spark interprets naive
+    datetimes coming out of a Python kernel as session-local — so the
+    decoder converts instant → session-local wall clock (the inverse
+    of the writer's ``unix_micros``). ``local-timestamp-micros`` is a
+    wall clock by definition and converts with plain epoch
+    arithmetic."""
     if isinstance(at, list):
-        inner = _make_decoder([t for t in at if t != "null"][0])
+        if "null" not in at or len(at) != 2:
+            raise TypeError(f"only [null, T] / [T, null] unions: {at}")
+        # files written elsewhere may order the union [T, "null"] —
+        # the decoded branch index must be compared against the ACTUAL
+        # null branch, not assumed to be 0
+        null_idx = at.index("null")
+        inner = _make_decoder([t for t in at if t != "null"][0], tz_name)
 
         def dec_union(buf, pos):
             idx, pos = zigzag_decode(buf, pos)
-            if idx == 0:
+            if idx == null_idx:
                 return None, pos
             return inner(buf, pos)
 
@@ -262,15 +285,24 @@ def _make_decoder(at):
                 d, pos = zigzag_decode(buf, pos)
                 return _dt.date.fromordinal(d + 719163), pos
             return dec_date
-        if lt in ("timestamp-micros", "local-timestamp-micros"):
+        if lt == "timestamp-micros":
             def dec_ts(buf, pos):
+                import datetime as _dt
+                us, pos = zigzag_decode(buf, pos)
+                utc = _dt.datetime.fromtimestamp(
+                    us // 1_000_000, _session_tz(tz_name)
+                ) + _dt.timedelta(microseconds=us % 1_000_000)
+                return utc.replace(tzinfo=None), pos
+            return dec_ts
+        if lt == "local-timestamp-micros":
+            def dec_ts_ntz(buf, pos):
                 import datetime as _dt
                 us, pos = zigzag_decode(buf, pos)
                 return (
                     _dt.datetime(1970, 1, 1)
                     + _dt.timedelta(microseconds=us)
                 ), pos
-            return dec_ts
+            return dec_ts_ntz
         if lt == "decimal":
             scale = at["scale"]
             def dec_dec(buf, pos):
@@ -280,7 +312,7 @@ def _make_decoder(at):
                 return Decimal(unscaled).scaleb(-scale), pos + n
             return dec_dec
         if at.get("type") == "array":
-            item = _make_decoder(at["items"])
+            item = _make_decoder(at["items"], tz_name)
             def dec_arr(buf, pos):
                 out = []
                 while True:
@@ -320,6 +352,26 @@ def _make_decoder(at):
             return buf[pos] == 1, pos + 1
         return dec_bool
     raise TypeError(f"unsupported avro type {at}")
+
+
+def _session_tz(tz_name: str):
+    """IANA zone lookup for the session timezone (cached per name)."""
+    tz = _TZ_CACHE.get(tz_name)
+    if tz is None:
+        from zoneinfo import ZoneInfo
+
+        try:
+            tz = ZoneInfo(tz_name)
+        except Exception as e:  # pragma: no cover - exotic session tz
+            raise ValueError(
+                f"session timezone {tz_name!r} is not an IANA zone; "
+                "set spark.sql.session.timeZone to one for Avro reads"
+            ) from e
+        _TZ_CACHE[tz_name] = tz
+    return tz
+
+
+_TZ_CACHE: dict[str, object] = {}
 
 
 # -------------------------------------------------------- container file
@@ -395,8 +447,12 @@ def encode_container(rows, avsc: dict, codec: str = "deflate") -> bytes:
     return bytes(out)
 
 
-def decode_container(blob: bytes) -> tuple[dict, str, list[tuple]]:
-    """Parse one container file: (schema, codec, rows-as-tuples)."""
+def decode_container(
+    blob: bytes, tz_name: str = "UTC"
+) -> tuple[dict, str, list[tuple]]:
+    """Parse one container file: (schema, codec, rows-as-tuples);
+    ``tz_name`` controls the wall-clock zone instants decode into (see
+    ``_make_decoder``)."""
     if blob[:4] != MAGIC:
         raise ValueError("not an Avro container file (bad magic)")
     pos = 4
@@ -416,7 +472,7 @@ def decode_container(blob: bytes) -> tuple[dict, str, list[tuple]]:
     sync = blob[pos:pos + 16]; pos += 16
     avsc = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    decoders = [_make_decoder(f["type"]) for f in avsc["fields"]]
+    decoders = [_make_decoder(f["type"], tz_name) for f in avsc["fields"]]
     rows: list[tuple] = []
     total = len(blob)
     while pos < total:
@@ -440,16 +496,116 @@ def decode_container(blob: bytes) -> tuple[dict, str, list[tuple]]:
 # ------------------------------------------------------------ spark api
 
 
-def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
-    """Write ``df`` as a directory of ``part-*.avro`` container files,
-    one per task (``foreachPartition`` — no driver funnel). Returns the
-    number of shard files written. Empty input still produces one
-    header-only file so ``read_avro`` round-trips schema."""
+def jvm_avro_available(spark: SparkSession) -> bool:
+    """True when the external ``spark-avro`` module is on the JVM
+    classpath (``spark.read.format("avro")`` works Catalyst-side).
+    Offline containers ship only the core avro runtime, so this is
+    normally False here and True on a properly-provisioned cluster."""
+    key = spark.sparkContext.applicationId
+    cached = _JVM_AVRO_CACHE.get(key)
+    if cached is not None:
+        return cached
+    try:
+        # a functional probe — resolving the relation forces the
+        # DataSource lookup; a registered module then fails on the
+        # missing PATH, an unregistered one on the lookup itself
+        spark.read.format("avro").schema("_probe int").load(
+            "/nonexistent-avro-probe-path"
+        )
+        ok = True
+    except Exception as e:
+        ok = "Failed to find data source" not in str(e)
+    _JVM_AVRO_CACHE[key] = ok
+    return ok
+
+
+_JVM_AVRO_CACHE: dict[str, bool] = {}
+
+
+def _choose_jvm(spark: SparkSession, use_jvm: bool | None) -> bool:
+    """Path selection: None = auto-probe, True = require the JVM
+    module (raise if absent), False = force the pure-Python codec."""
+    if use_jvm is False:
+        return False
+    avail = jvm_avro_available(spark)
+    if use_jvm is True and not avail:
+        raise RuntimeError(
+            "spark-avro (org.apache.spark.sql.avro) is not on the "
+            "classpath; deploy the spark-avro package or pass "
+            "use_jvm=False for the pure-Python codec"
+        )
+    return avail
+
+
+def _schema_compatible(
+    file_schema: T.StructType, expected: T.StructType
+) -> bool:
+    """Structural compatibility: same field names and resolved Spark
+    types, file nullability no looser than expected. Record names,
+    doc/default/alias attributes and union branch ORDER are metadata —
+    files another writer produced must still read."""
+    if [f.name for f in file_schema.fields] != [
+        f.name for f in expected.fields
+    ]:
+        return False
+    for ff, ef in zip(file_schema.fields, expected.fields):
+        if ff.dataType != ef.dataType:
+            return False
+        if ff.nullable and not ef.nullable:
+            return False
+    return True
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    codec: str = "deflate",
+    use_jvm: bool | None = None,
+) -> int:
+    """Write ``df`` as a directory of ``part-*.avro`` container files.
+    When the ``spark-avro`` module is present (auto-probed; see
+    ``use_jvm``) the write goes through ``format("avro")`` — fully
+    JVM-side, the 100 TB path. Otherwise each task serializes its own
+    shard via ``foreachPartition`` with the pure-Python spec codec (no
+    driver funnel); TimestampType columns are serialized JVM-side to
+    epoch micros first (``unix_micros``), so the UTC instants written
+    never depend on the host timezone. Returns the number of shard
+    files written. Empty input still produces one header-only file so
+    ``read_avro`` round-trips schema."""
+    spark = df.sparkSession
+    if _choose_jvm(spark, use_jvm):
+        comp = {"deflate": "deflate", "null": "uncompressed"}[codec]
+        (
+            df.write.format("avro")
+            .option("compression", comp)
+            .mode("overwrite")
+            .save(path)
+        )
+        return len(list(Path(path).glob("*.avro")))
+
     avsc = spark_to_avro_schema(df.schema)
     out_dir = Path(path)
     out_dir.mkdir(parents=True, exist_ok=True)
     for old in out_dir.glob("part-*.avro"):
         old.unlink()
+
+    ts_cols = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampType)
+    }
+    enc_df = df
+    if ts_cols:
+        from pyspark.sql import functions as F
+
+        enc_df = df.select(
+            *[
+                F.unix_micros(F.col(f.name)).alias(f.name)
+                if f.name in ts_cols
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
 
     def write_part(rows) -> None:
         from pyspark import TaskContext
@@ -467,7 +623,7 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
         )
         (out_dir / f"part-{pid:05d}.avro").write_bytes(blob)
 
-    df.foreachPartition(write_part)
+    enc_df.foreachPartition(write_part)
     n = len(list(out_dir.glob("part-*.avro")))
     if n == 0:  # schema-only marker for empty relations
         (out_dir / "part-00000.avro").write_bytes(
@@ -478,13 +634,31 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
 
 
 def read_avro(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    use_jvm: bool | None = None,
 ) -> DataFrame:
     """Read a directory (or glob) of Avro container files into a
-    DataFrame. Files arrive whole via ``binaryFile`` (listing-time
-    ``*.avro`` glob) and decode in an Arrow-batched kernel, one file
-    per task. If ``schema`` is omitted it is taken from the first
-    file's header (driver reads ONE header, not the data)."""
+    DataFrame. With ``spark-avro`` present (auto-probed) this is a
+    plain Catalyst ``format("avro")`` scan — predicate pushdown,
+    column pruning, the 100 TB path. Otherwise files arrive whole via
+    ``binaryFile`` (listing-time ``*.avro`` glob) and decode in an
+    Arrow-batched kernel, one file per task; ``timestamp-micros``
+    instants convert into the session timezone so the DataFrame shows
+    the same instants either way. If ``schema`` is omitted it is taken
+    from the first file's header (driver reads ONE header, not the
+    data). Schemas are compared STRUCTURALLY (field names + resolved
+    Spark types) — record names, doc/default attributes, and [T,null]
+    union ordering from other writers all read fine."""
+    if _choose_jvm(spark, use_jvm):
+        reader = spark.read.format("avro").option(
+            "pathGlobFilter", "*.avro"
+        )
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.load(path)
+
     from oakstore_spark.sources.ingest import read_binary_files
 
     if schema is None:
@@ -512,9 +686,8 @@ def read_avro(
         schema = avro_to_spark_schema(json.loads(meta["avro.schema"]))
 
     names = [f.name for f in schema.fields]
-    expected = json.dumps(
-        spark_to_avro_schema(schema), sort_keys=True
-    )
+    expected_schema = schema
+    tz_name = spark.conf.get("spark.sql.session.timeZone")
 
     def decode(batches):
         import pandas as pd
@@ -522,11 +695,13 @@ def read_avro(
         for pdf in batches:
             out: list[tuple] = []
             for blob in pdf["content"]:
-                avsc, _, rows = decode_container(bytes(blob))
-                if json.dumps(avsc, sort_keys=True) != expected:
+                avsc, _, rows = decode_container(bytes(blob), tz_name)
+                file_schema = avro_to_spark_schema(avsc)
+                if not _schema_compatible(file_schema, expected_schema):
                     raise ValueError(
                         "avro schema mismatch across files: "
-                        f"{avsc} != expected"
+                        f"{file_schema} incompatible with "
+                        f"{expected_schema}"
                     )
                 out.extend(rows)
             if out:

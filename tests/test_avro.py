@@ -170,6 +170,86 @@ def test_schema_mismatch_across_files_raises(spark, tmp_path):
         read_avro(spark, str(d)).collect()
 
 
+def test_reversed_union_order_decodes(spark, tmp_path):
+    """Files written elsewhere may order unions [T, "null"]: branch 0
+    is then the VALUE, not null — the decoder must honor the actual
+    null branch index, and read_avro must accept the schema
+    structurally (different record name + doc attributes too)."""
+    avsc = {
+        "type": "record", "name": "topLevelRecord",
+        "doc": "written by another system",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": ["string", "null"], "default": None},
+        ],
+    }
+    rows = [(1, "a"), (2, None), (3, "c")]
+    _, _, got = decode_container(encode_container(rows, avsc))
+    assert got == rows  # nulls decode as nulls, values as values
+
+    d = tmp_path / "rev_union"
+    d.mkdir()
+    (d / "part-00000.avro").write_bytes(encode_container(rows, avsc))
+    back = read_avro(spark, str(d))
+    assert {(r.id, r.s) for r in back.collect()} == set(rows)
+
+
+def test_timestamp_instants_are_utc_on_wire(spark, tmp_path):
+    """TimestampType serializes JVM-side as epoch micros: the RAW wire
+    value must be the true UTC instant regardless of the session
+    timezone, and the read path must surface the same instant back —
+    the self-consistent-only-in-one-timezone failure mode is gone."""
+    import calendar
+
+    us = (
+        calendar.timegm((2021, 3, 4, 10, 6, 7)) * 1_000_000 + 123456
+    )  # 2021-03-04T10:06:07.123456Z as epoch micros — an exact instant
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.range(1).select(
+            F.col("id"), F.timestamp_micros(F.lit(us)).alias("ts")
+        )
+        path = str(tmp_path / "avro_tz")
+        write_avro(df, path)  # written under a non-UTC session tz
+        blob = next((tmp_path / "avro_tz").glob("*.avro")).read_bytes()
+        avsc, _, rows = decode_container(blob)  # default tz: UTC walls
+        ts_type = avsc["fields"][1]["type"]
+        if isinstance(ts_type, list):  # nullable union wrapper
+            ts_type = [t for t in ts_type if t != "null"][0]
+        assert ts_type["logicalType"] == "timestamp-micros"
+        assert rows[0][1] == datetime.datetime(2021, 3, 4, 10, 6, 7, 123456)
+        # instant survives the round trip under BOTH session timezones
+        for tz in ("America/New_York", "Etc/UTC"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = (
+                read_avro(spark, path)
+                .select(F.unix_micros("ts").alias("us"))
+                .collect()[0]["us"]
+            )
+            assert got == us, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_jvm_path_selection(spark, tmp_path):
+    """Path selection contract: this offline container has no
+    spark-avro module, so the probe must say False, auto mode must fall
+    back to the pure-Python codec (and work), and use_jvm=True must
+    raise the deploy hint rather than fail cryptically."""
+    from oakstore_spark.sources.avro import jvm_avro_available
+
+    assert jvm_avro_available(spark) is False
+    df = spark.range(3).select(F.col("id"))
+    path = str(tmp_path / "sel")
+    assert write_avro(df, path) >= 1  # auto -> python fallback works
+    assert read_avro(spark, path).count() == 3
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        write_avro(df, path, use_jvm=True)
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, path, use_jvm=True)
+
+
 def test_unsupported_type_raises_up_front(spark):
     df = spark.range(1).select(
         F.create_map(F.lit("k"), F.lit(1)).alias("m")

@@ -72,6 +72,11 @@ def main() -> None:
                          "synthetic graph with this many edges (ring + "
                          "hash chords over n/4 nodes); asserts exact "
                          "mass conservation")
+    ap.add_argument("--avrodocs", type=int, default=0,
+                    help="probe the pure-Python Avro codec's throughput "
+                         "ceiling: write this many mixed-type rows as "
+                         "sharded container files, read them back, "
+                         "checksum-verify")
     ap.add_argument("--streamrows", type=int, default=0,
                     help="also probe Structured Streaming: this many "
                          "synthetic events through a watermarked tumbling "
@@ -691,6 +696,51 @@ def main() -> None:
         out["pagerank_mass"] = float(mass)
         if abs(mass - 1.0) > 1e-9:
             raise SystemExit(f"pagerank mass not conserved: {mass}")
+
+    if args.avrodocs:
+        # the documented THROUGHPUT CEILING of the pure-Python Avro
+        # interop path (per-row encode/decode; the JVM spark-avro path
+        # replaces it wholesale when the jar is deployed)
+        import shutil
+
+        from oakstore_spark.sources.avro import read_avro, write_avro
+
+        na = args.avrodocs
+        adocs = spark.range(0, na, 1, 64).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 1000).cast("int").alias("grp"),
+            (F.col("id") * 0.5).alias("score"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias(
+                "text"
+            ),
+            F.array(F.col("id") * 1.0, F.col("id") * 2.0).alias("vec"),
+        )
+        adocs.persist()
+        adocs.count()
+        tmp = tempfile.mkdtemp(prefix="oak_avro_probe_")
+        try:
+            t0 = time.time()
+            n_shards = write_avro(adocs, tmp)
+            wdt = time.time() - t0
+            t0 = time.time()
+            got = read_avro(spark, tmp).agg(
+                F.count(F.lit(1)), F.sum("doc_id")
+            ).first()
+            rdt = time.time() - t0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        out["avro_probe_docs"] = na
+        out["avro_probe_shards"] = n_shards
+        out["avro_probe_write_sec"] = round(wdt, 2)
+        out["avro_probe_write_docs_per_sec"] = round(na / wdt)
+        out["avro_probe_read_sec"] = round(rdt, 2)
+        out["avro_probe_read_docs_per_sec"] = round(na / rdt)
+        if got[0] != na or got[1] != na * (na - 1) // 2:
+            raise SystemExit(
+                f"avro probe FAILED: {tuple(got)} != "
+                f"({na}, {na * (na - 1) // 2})"
+            )
+        adocs.unpersist()
 
     if args.streamrows:
         # Structured Streaming at volume: watermarked tumbling-window
