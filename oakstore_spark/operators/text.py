@@ -630,3 +630,87 @@ def readability(
         .alias("flesch"),
         F.when(valid, fk_num.cast("double") / fk_den).alias("fk_grade"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bounded query
+    term list (Robertson & Walker 1994 — public), the lexical-retrieval
+    rung next to the vector leg (``cosine_topk``) and their RRF fusion.
+
+    score(D) = sum_t idf(t) * tf(t,D)*(k1+1) /
+                        (tf(t,D) + k1*(1 - b + b*|D|/avgdl))
+    with the Lucene-style always-positive idf
+    ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Spark shape (the 100 TB shape): one map-side pass tokenizes each
+    doc and evaluates per-term tf with array HOFs (no explode of the
+    corpus, no posting-list shuffle — the query terms are a bounded
+    in-expression list); corpus stats (N, total length, per-term df)
+    reduce to ONE tiny aggregate row that broadcasts back. Per-doc
+    work is O(|D| * |terms|) in the JVM; nothing Python.
+
+    Cross-engine exactness: tf/dl/df/N stay integers through
+    aggregation; avgdl is the single division sum/N; the score tree is
+    mirrored literally by the SQL oracle (same association, one ln) and
+    summed over terms in FIXED written order via per-term conditional
+    values — no float-reorder risk. Rank on the raw double, round only
+    for display.
+
+    Returns (id, dl, tf_<i> per term, score_raw) for every doc matching
+    at least one term."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    dl = F.size(toks)
+
+    # NB: a two-arg lambda would make F.filter pass (element, INDEX) —
+    # a default-arg capture (lambda x, t=t: ...) silently binds t to
+    # the array index. Build the single-arg predicate in a factory.
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    proj = [F.col(id_col), dl.alias("dl")]
+    for i, t in enumerate(terms):
+        tf = F.size(F.filter(toks, _eq(t)))
+        proj.append(tf.alias(f"tf_{i}"))
+    scored = df.select(*proj)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ]
+    for i in range(len(terms)):
+        aggs.append(
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+        )
+    stats = scored.agg(*aggs)
+    out = scored.crossJoin(F.broadcast(stats))
+    n = F.col("n_docs")
+    avgdl = F.col("sum_dl").cast("double") / n
+    score = F.lit(0.0)
+    any_hit = F.lit(False)
+    for i in range(len(terms)):
+        tf, dfc = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + ((n - dfc).cast("double") + 0.5) / (dfc.cast("double") + 0.5)
+        )
+        part = idf * (
+            (tf.cast("double") * (k1 + 1.0))
+            / (
+                tf.cast("double")
+                + k1 * (1.0 - b + b * (F.col("dl").cast("double") / avgdl))
+            )
+        )
+        score = score + F.when(tf > 0, part).otherwise(F.lit(0.0))
+        any_hit = any_hit | (tf > 0)
+    keep = [F.col(id_col), F.col("dl")]
+    keep += [F.col(f"tf_{i}") for i in range(len(terms))]
+    keep.append(score.alias("score_raw"))
+    return out.where(any_hit).select(*keep)

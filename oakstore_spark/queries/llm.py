@@ -1636,3 +1636,83 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         "adc_dist",
     )
+
+
+_BM25_TERMS = ("hash", "join", "scan")
+
+
+def _bm25_oracle() -> str:
+    per_tf = ",\n        ".join(
+        f"len(list_filter(tk, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ",\n        ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    # literal mirror of operators.text.bm25_scores: same association,
+    # one ln, per-term CASE values added in fixed written order
+    parts = "\n      + ".join(
+        f"""CASE WHEN tf{i} > 0 THEN
+          ln(1.0 + ((CAST(n - df{i} AS DOUBLE) + 0.5)
+                    / (CAST(df{i} AS DOUBLE) + 0.5)))
+          * ((CAST(tf{i} AS DOUBLE) * 2.2)
+             / (CAST(tf{i} AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+        ELSE 0.0 END"""
+        for i in range(len(_BM25_TERMS))
+    )
+    any_hit = " OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))
+    return f"""
+    WITH per AS (
+      SELECT doc_id, len(tk) AS dl, {per_tf}
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+            FROM documents)
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS BIGINT) AS sumdl,
+        {dfs}
+      FROM per
+    ), scored AS (
+      SELECT doc_id,
+        0.0 + {parts} AS score_raw
+      FROM per, (SELECT *, CAST(sumdl AS DOUBLE) / n AS avgdl
+                 FROM stats) s
+      WHERE {any_hit}
+    )
+    SELECT doc_id, round(score_raw, 6) AS bm25,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT doc_id, score_raw,
+                 row_number() OVER (ORDER BY score_raw DESC, doc_id)
+                   AS rnk
+          FROM scored)
+    WHERE rnk <= 25
+    ORDER BY rank
+    """
+
+
+@register("q_bm25_topk", oracle=_bm25_oracle())
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval over the corpus for a 3-term query
+    ('hash join scan'), top 25: map-side array-HOF term frequencies, a
+    single broadcast corpus-stats row, fixed-order per-term score sum —
+    and the oracle replays the identical float tree (one ln, one
+    avgdl division, literal association) so the hash must match to the
+    last rounded digit. Ranked on the RAW double in both engines,
+    rounded only for display."""
+    from oakstore_spark.operators.text import bm25_scores
+    from pyspark.sql import Window as _W
+
+    d = table(spark, sf_dir, "documents")
+    scored = bm25_scores(d, list(_BM25_TERMS))
+    w = _W.orderBy(F.desc("score_raw"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 25)
+        .select(
+            "doc_id",
+            F.round("score_raw", 6).alias("bm25"),
+            "rank",
+        )
+        .orderBy("rank")
+    )

@@ -1003,3 +1003,47 @@ def test_pq_train_encode_adc_chain(spark):
         # rank-1 hit must be an exact-code twin (dist 0)
         d1 = [r.adc_dist for r in top if r.query_id == i and r.rank == 1]
         assert d1 == [0.0]
+
+
+def test_bm25_hand_computed(spark):
+    """3-doc corpus with known tf/dl: replay the exact formula in
+    numpy and require bit-level equality on the raw scores; also pin
+    the single-arg HOF predicate (a 2-arg lambda would bind the array
+    INDEX, comparing tokens to ints)."""
+    import math
+
+    from oakstore_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash hash join x"),       # dl=4 tf(hash)=2 tf(join)=1
+            (2, "scan y z"),               # dl=3 tf(scan)=1
+            (3, "u v w q"),                # dl=4 no hits -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in bm25_scores(docs, ["hash", "join", "scan"]).collect()
+    }
+    assert set(out) == {1, 2}
+    n, sumdl = 3, 11
+    avgdl = sumdl / n
+
+    def part(tf, dl, df, k1=1.2, b=0.75):
+        idf = math.log(1.0 + ((n - df) + 0.5) / (df + 0.5))
+        return idf * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl))))
+
+    assert out[1]["tf_0"] == 2 and out[1]["tf_1"] == 1 and out[1]["dl"] == 4
+    assert out[1]["score_raw"] == 0.0 + part(2, 4, 1) + part(1, 4, 1)
+    assert out[2]["score_raw"] == 0.0 + part(1, 3, 1)
+
+
+def test_bm25_empty_terms_raises(spark):
+    import pytest as _pytest
+
+    from oakstore_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bm25_scores(docs, [])
