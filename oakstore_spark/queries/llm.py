@@ -1716,3 +1716,54 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+def _binword_sql(w: int) -> str:
+    """One packed 32-dim sign word, the literal DuckDB replay of
+    operators.similarity.binarize_embeddings (1-indexed lists)."""
+    return (
+        "list_reduce(list_transform(range(32), j -> CASE WHEN "
+        f"embedding[{32 * w} + j + 1] > 0 THEN (1::BIGINT << j) "
+        "ELSE 0::BIGINT END), (a, b) -> a | b)"
+    )
+
+
+@register(
+    "q_binary_hamming_topk",
+    oracle=f"""
+    WITH bits AS (
+      SELECT vec_id, {_binword_sql(0)} AS w0, {_binword_sql(1)} AS w1
+      FROM embeddings
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+             CAST(bit_count(xor(q.w0, b.w0))
+                  + bit_count(xor(q.w1, b.w1)) AS BIGINT) AS hamming
+      FROM (SELECT * FROM bits WHERE vec_id < 5) q, bits b
+      WHERE b.vec_id != q.vec_id
+    )
+    SELECT query_id, vec_id, hamming, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY hamming, vec_id) AS rnk
+          FROM pairs)
+    WHERE rnk <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def q_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) embedding quantization + exact Hamming top-10
+    for 5 probe vectors: 64-dim float32 packs into two 32-bit-positive
+    BIGINT words (32x compression), distance = popcount of XOR — pure
+    integer arithmetic, so the oracle replays the ENTIRE pipeline
+    (packing included) with zero float caveats. The deployment shape
+    for memory-bound first-stage retrieval; ties pinned (dist, id)."""
+    from oakstore_spark.operators.similarity import (
+        binarize_embeddings,
+        hamming_topk,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    bits = binarize_embeddings(e, dim=64)
+    probes = bits.where(F.col("vec_id") < 5)
+    return hamming_topk(bits, probes, k=10).select(
+        "query_id", "vec_id", "hamming", "rank"
+    ).orderBy("query_id", "rank")

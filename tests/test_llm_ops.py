@@ -1047,3 +1047,71 @@ def test_bm25_empty_terms_raises(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         bm25_scores(docs, [])
+
+
+def test_binarize_hamming_numpy_parity(spark):
+    """Packing parity vs independent numpy popcount arithmetic on
+    random vectors, plus twin retrieval: a bit-identical copy must
+    surface at hamming 0, rank 1."""
+    import numpy as np
+
+    from oakstore_spark.operators.similarity import (
+        binarize_embeddings,
+        hamming_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 64)).astype(np.float32)
+    vecs[7] = vecs[3]  # planted twin
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    packed = {
+        r["vec_id"]: r["bits"]
+        for r in binarize_embeddings(df, dim=64).collect()
+    }
+
+    def np_pack(v):
+        out = []
+        for w in range(2):
+            word = 0
+            for j in range(32):
+                if v[32 * w + j] > 0:
+                    word |= 1 << j
+            out.append(word)
+        return out
+
+    for i in range(40):
+        assert packed[i] == np_pack(vecs[i]), i
+
+    bits = binarize_embeddings(df, dim=64)
+    got = (
+        hamming_topk(bits, bits.where(F.col("vec_id") == 3), k=3)
+        .orderBy("rank")
+        .collect()
+    )
+    assert got[0]["vec_id"] == 7 and got[0]["hamming"] == 0
+    # exhaustive distance parity for the probe row
+    def np_ham(a, b):
+        pa, pb = np_pack(a), np_pack(b)
+        return sum(bin(x ^ y).count("1") for x, y in zip(pa, pb))
+
+    all_d = {
+        r["vec_id"]: r["hamming"]
+        for r in hamming_topk(bits, bits.where(F.col("vec_id") == 3), k=39)
+        .collect()
+    }
+    for i in range(40):
+        if i != 3:
+            assert all_d[i] == np_ham(vecs[3], vecs[i]), i
+
+
+def test_binarize_odd_dim_tail_word(spark):
+    """dim not divisible by 32: the tail word packs only the declared
+    width (no phantom bits)."""
+    from oakstore_spark.operators.similarity import binarize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 40)], "vec_id long, embedding array<float>"
+    )
+    [r] = binarize_embeddings(df, dim=40).collect()
+    assert r["bits"] == [(1 << 32) - 1, (1 << 8) - 1]
