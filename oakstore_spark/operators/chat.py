@@ -93,3 +93,50 @@ def conversation_stats(
             assistant_chars.cast("double") / total_chars,
         ).alias("assistant_share"),
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    resp_id_col: str = "resp_id",
+    score_col: str = "score",
+    keep_ties: bool = False,
+) -> DataFrame:
+    """Build DPO/RLHF preference pairs from scored responses: per
+    prompt, elect the CHOSEN response (highest score, ties to the
+    smallest id) and the REJECTED response (lowest score, ties to the
+    smallest id), emitting ids, scores, the margin, and the group size.
+    Prompts with a single response are dropped; zero-margin groups
+    (all scores equal) are dropped unless ``keep_ties``.
+
+    Spark shape: ONE hash aggregate over the response relation —
+    ``max_by``/``min_by`` with struct ordering keys carry the pinned
+    tie-breaks through partial aggregation, so the 100 TB cost is a
+    single shuffle on the prompt key with map-side combine (no window,
+    no per-prompt sort). Deterministic: the same relation always
+    elects the same pair."""
+    score = F.col(score_col)
+    rid = F.col(resp_id_col)
+    g = df.groupBy(prompt_col).agg(
+        F.count(F.lit(1)).alias("n_responses"),
+        # ordering structs: ties to the SMALLEST id need the id
+        # negated under max_by (numeric-id contract, documented)
+        F.max_by(rid, F.struct(score.alias("s"), (-rid).alias("t")))
+        .alias("chosen_id"),
+        F.max(score).alias("chosen_score"),
+        F.min_by(rid, F.struct(score.alias("s"), rid.alias("t")))
+        .alias("rejected_id"),
+        F.min(score).alias("rejected_score"),
+    )
+    out = g.where(F.col("n_responses") >= 2).select(
+        F.col(prompt_col),
+        "n_responses",
+        "chosen_id",
+        "chosen_score",
+        "rejected_id",
+        "rejected_score",
+        (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+    )
+    if not keep_ties:
+        out = out.where(F.col("margin") > 0)
+    return out

@@ -662,3 +662,59 @@ def q_web_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         "n_kept",
     )
+
+
+@register(
+    "q_dpo_pairs",
+    oracle="""
+    WITH resp AS (
+      SELECT doc_id % 40 AS prompt_id, doc_id AS resp_id,
+             (doc_id * 7) % 23 AS score
+      FROM documents
+    ), ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY prompt_id
+                           ORDER BY score DESC, resp_id) AS rc,
+        row_number() OVER (PARTITION BY prompt_id
+                           ORDER BY score, resp_id) AS rr,
+        count(*) OVER (PARTITION BY prompt_id) AS n
+      FROM resp
+    )
+    SELECT CAST(prompt_id AS BIGINT) AS prompt_id,
+           CAST(max(n) AS BIGINT) AS n_responses,
+           CAST(max(CASE WHEN rc = 1 THEN resp_id END) AS BIGINT)
+             AS chosen_id,
+           CAST(max(CASE WHEN rc = 1 THEN score END) AS BIGINT)
+             AS chosen_score,
+           CAST(max(CASE WHEN rr = 1 THEN resp_id END) AS BIGINT)
+             AS rejected_id,
+           CAST(max(CASE WHEN rr = 1 THEN score END) AS BIGINT)
+             AS rejected_score,
+           CAST(max(CASE WHEN rc = 1 THEN score END)
+                - max(CASE WHEN rr = 1 THEN score END) AS BIGINT)
+             AS margin
+    FROM ranked
+    GROUP BY prompt_id
+    HAVING max(n) >= 2
+       AND max(CASE WHEN rc = 1 THEN score END)
+           - max(CASE WHEN rr = 1 THEN score END) > 0
+    ORDER BY prompt_id
+    """,
+)
+def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair construction over planted scored responses
+    (prompt = doc_id % 40, score = (doc_id*7) % 23 — at sf0.1 the
+    modular structure plants real score TIES, so the pinned
+    smallest-id tie-breaks are load-bearing): one max_by/min_by hash
+    aggregate elects (chosen, rejected) per prompt; the oracle replays
+    the election with two ranking windows. Exact integer scores and
+    margins end to end."""
+    from oakstore_spark.operators.chat import preference_pairs
+
+    d = table(spark, sf_dir, "documents")
+    resp = d.select(
+        (F.col("doc_id") % 40).alias("prompt_id"),
+        F.col("doc_id").alias("resp_id"),
+        ((F.col("doc_id") * 7) % 23).alias("score"),
+    )
+    return preference_pairs(resp).orderBy("prompt_id")

@@ -434,3 +434,36 @@ def test_quantize_int8_roundtrip_properties(spark):
     # the max-magnitude element always hits exactly +-127
     assert 127 in np.abs(out[0].q_vec)
     assert out[21].q_vec[0] == -127
+
+
+def test_preference_pairs_ties_and_filters(spark):
+    """Hand-built groups: tie on top score -> smallest id chosen; tie
+    on bottom -> smallest id rejected; singleton prompts and all-equal
+    groups dropped (kept with keep_ties=True, margin 0)."""
+    from oakstore_spark.operators.chat import preference_pairs
+
+    rows = [
+        # prompt 1: top tie (ids 11,12 score 9) -> chosen 11; low 13
+        (1, 11, 9), (1, 12, 9), (1, 13, 2),
+        # prompt 2: bottom tie (21,22 score 1) -> rejected 21; top 23
+        (2, 21, 1), (2, 22, 1), (2, 23, 8),
+        # prompt 3: singleton -> dropped
+        (3, 31, 5),
+        # prompt 4: all equal -> dropped unless keep_ties
+        (4, 41, 4), (4, 42, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, resp_id long, score long"
+    )
+    out = {r["prompt_id"]: r.asDict() for r in preference_pairs(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["chosen_id"] == 11 and out[1]["rejected_id"] == 13
+    assert out[1]["margin"] == 7 and out[1]["n_responses"] == 3
+    assert out[2]["chosen_id"] == 23 and out[2]["rejected_id"] == 21
+    kept = {
+        r["prompt_id"]: r.asDict()
+        for r in preference_pairs(df, keep_ties=True).collect()
+    }
+    assert set(kept) == {1, 2, 4}
+    assert kept[4]["chosen_id"] == 41 and kept[4]["rejected_id"] == 41
+    assert kept[4]["margin"] == 0
