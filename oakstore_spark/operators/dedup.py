@@ -1214,3 +1214,96 @@ def line_dedup_corpus(
         "n_lines",
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+def domain_boilerplate_strip(
+    df: DataFrame,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    frac_pct: int = 50,
+    min_pages: int = 2,
+) -> DataFrame:
+    """Template/boilerplate removal scoped PER DOMAIN (the
+    C4/RefinedWeb sibling of :func:`line_dedup_corpus`, aimed at site
+    chrome): a line is boilerplate for a domain when it appears on at
+    least ``frac_pct`` percent of that domain's pages (and on at least
+    ``min_pages`` pages) — and boilerplate lines are removed from
+    EVERY page of the domain, first occurrence included (navigation
+    has no "keeper": it is noise on every page). Global line dedup
+    keeps one copy of a repeated line; this keeps none, and a line
+    common on site A is untouched on site B.
+
+    The threshold is pure integer arithmetic
+    (``100 * line_pages >= frac_pct * domain_pages``) — no float
+    boundary ambiguity, SQL-replayable verbatim. Blank-after-trim
+    lines are always kept (formatting, not boilerplate).
+
+    Plan: per-domain page counts are a tiny aggregate; line occurrence
+    counts group the (domain, md5 digest) pair after collapsing
+    within-page repeats — the shuffles carry 32-byte digests, never
+    line text; pages reassemble with one shuffle on the page id. At
+    100 TB this is two digest-keyed aggregates + one join, all
+    AQE-skew-splittable (a viral nav line is one hot digest).
+
+    Returns (id_col, domain_col, clean_text, n_lines, n_kept)."""
+    delim_re = re.escape(delim)
+    lines = df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.posexplode(F.split(F.col(text_col), delim_re)).alias(
+            "pos", "line"
+        ),
+    ).withColumn("digest", F.md5("line"))
+    blank = F.trim(F.col("line")) == ""
+    # distinct pages per (domain, line): collapse within-page repeats
+    # first so the count is pages, not occurrences
+    per_page = (
+        lines.where(~blank)
+        .select(domain_col, "digest", id_col)
+        .distinct()
+    )
+    line_pages = per_page.groupBy(domain_col, "digest").agg(
+        F.count(F.lit(1)).alias("line_pages")
+    )
+    domain_pages = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("domain_pages")
+    )
+    boiler = (
+        line_pages.join(domain_pages, domain_col)
+        .where(
+            (F.lit(100) * F.col("line_pages")
+             >= F.lit(int(frac_pct)) * F.col("domain_pages"))
+            & (F.col("line_pages") >= int(min_pages))
+        )
+        .select(domain_col, "digest")
+    )
+    kept = (
+        lines.join(boiler, [domain_col, "digest"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                delim,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.size(F.split(F.col(text_col), delim_re))
+        .cast("long")
+        .alias("n_lines"),
+    )
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        domain_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

@@ -718,3 +718,77 @@ def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") * 7) % 23).alias("score"),
     )
     return preference_pairs(resp).orderBy("prompt_id")
+
+
+@register(
+    "q_boilerplate_strip",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id, doc_id % 10 AS domain, doc_id % 4 < 2 AS promo
+      FROM documents
+    ), npages AS (
+      SELECT domain, count(*) AS np FROM pages GROUP BY 1
+    ), lines AS (
+      SELECT doc_id, domain, 0 AS pos,
+             'nav ' || CAST(domain AS VARCHAR) AS line FROM pages
+      UNION ALL
+      SELECT doc_id, domain, 1, 'body ' || CAST(doc_id AS VARCHAR)
+      FROM pages
+      UNION ALL
+      SELECT doc_id, domain, 2, 'promo ' || CAST(domain AS VARCHAR)
+      FROM pages WHERE promo
+      UNION ALL
+      SELECT doc_id, domain, 3, 'footer' FROM pages
+    ), cnt AS (
+      SELECT domain, line, count(DISTINCT doc_id) AS c
+      FROM lines GROUP BY 1, 2
+    ), boiler AS (
+      SELECT cnt.domain, cnt.line
+      FROM cnt JOIN npages ON cnt.domain = npages.domain
+      WHERE 100 * c >= 50 * np AND c >= 2
+    ), kept AS (
+      SELECT l.doc_id, l.domain, l.pos, l.line
+      FROM lines l LEFT JOIN boiler b
+        ON l.domain = b.domain AND l.line = b.line
+      WHERE b.line IS NULL
+    )
+    SELECT p.doc_id,
+           CAST(p.domain AS BIGINT) AS domain,
+           COALESCE(string_agg(k.line, chr(10) ORDER BY k.pos), '')
+             AS clean_text,
+           CAST(CASE WHEN p.promo THEN 4 ELSE 3 END AS BIGINT)
+             AS n_lines,
+           CAST(count(k.line) AS BIGINT) AS n_kept
+    FROM pages p LEFT JOIN kept k ON p.doc_id = k.doc_id
+    GROUP BY p.doc_id, p.domain, p.promo
+    ORDER BY p.doc_id
+    """,
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain template removal over planted pages: every page of
+    domain (doc_id % 10) carries a nav line and a footer (on 100% of
+    the domain's pages -> cut EVERYWHERE, no keeper), a unique body
+    line (kept), and a 'promo' line on exactly the half of pages with
+    the qualifying residue — sitting right ON the 50% threshold, where
+    the integer comparison (100*c >= 50*np) decides identically in
+    both engines. The oracle rebuilds the whole pipeline: counts,
+    threshold, removal, ordered reassembly."""
+    from oakstore_spark.operators.dedup import domain_boilerplate_strip
+
+    d = table(spark, sf_dir, "documents")
+    dom = (F.col("doc_id") % 10).alias("domain")
+    promo = F.col("doc_id") % 4 < 2
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("nav "), F.col("domain").cast("string")),
+        F.concat(F.lit("body "), F.col("doc_id").cast("string")),
+        F.when(
+            promo,
+            F.concat(F.lit("promo "), F.col("domain").cast("string")),
+        ),
+        F.lit("footer"),
+    )
+    pages = d.select("doc_id", dom).select(
+        "doc_id", "domain", text.alias("text")
+    )
+    return domain_boilerplate_strip(pages).orderBy("doc_id")

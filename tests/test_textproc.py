@@ -467,3 +467,32 @@ def test_preference_pairs_ties_and_filters(spark):
     assert set(kept) == {1, 2, 4}
     assert kept[4]["chosen_id"] == 41 and kept[4]["rejected_id"] == 41
     assert kept[4]["margin"] == 0
+
+
+def test_domain_boilerplate_scoping_and_blanks(spark):
+    """A line common on domain A stays on domain B; within-page
+    repeats count once toward the page threshold but are ALL removed
+    once boilerplate; blank lines always survive."""
+    from oakstore_spark.operators.dedup import domain_boilerplate_strip
+
+    rows = [
+        (1, "a", "promo\nx1\n\npromo"),   # promo twice + blank
+        (2, "a", "promo\nx2"),
+        (3, "a", "x3"),
+        (4, "b", "promo\ny4"),            # promo rare on b -> kept
+        (5, "b", "y5"),
+        (6, "b", "y6"),
+        (7, "b", "y7"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in domain_boilerplate_strip(df, frac_pct=50).collect()
+    }
+    # domain a: promo on 2/3 pages >= 50% -> cut everywhere incl. repeats
+    assert out[1]["clean_text"] == "x1\n"
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept"] == 2  # x1 + blank
+    assert out[2]["clean_text"] == "x2"
+    # domain b: promo on 1/4 pages < 50% -> untouched
+    assert out[4]["clean_text"] == "promo\ny4"
+    assert out[4]["n_kept"] == 2
