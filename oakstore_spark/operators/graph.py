@@ -233,3 +233,77 @@ def pagerank(
         else:
             ranks = new_ranks
     return ranks
+
+
+def anchor_text_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Aggregate how the web DESCRIBES each target: extract every
+    outbound (url, anchor-text) pair (:func:`extract_link_anchors` —
+    same resolution/canonicalization contract as the edge builder),
+    map targets to registered domains, and roll up per target domain:
+
+    - ``n_links`` — total inbound anchors seen;
+    - ``n_unique_anchors`` — distinct anchor strings;
+    - ``top_anchor`` / ``top_anchor_links`` — the most frequent anchor
+      text (ties to the lexicographically smallest), the classic
+      anchor-text relevance signal (how pages NAME what they link to)
+      used for ranking priors and crawl frontier scoring.
+
+    Plan: map-side extraction, one explode, one (domain, anchor)
+    count aggregate, then the election window runs over the already
+    tiny per-domain anchor vocabulary — the corpus is never shuffled
+    twice. Empty anchors ('' after trimming, e.g. image links) are
+    excluded from the election but still count toward n_links."""
+    from oakstore_spark.operators.html import extract_link_anchors
+    from oakstore_spark.operators.urls import registered_domain, url_parts
+
+    linked = extract_link_anchors(
+        pages, html_col=html_col, base_url_col=url_col, out_col="_la"
+    )
+    rows = (
+        linked.select(F.explode("_la").alias("_p"))
+        .select(
+            F.col("_p")["url"].alias("_url"),
+            F.col("_p")["anchor"].alias("anchor"),
+        )
+        .select(url_parts("_url")["host"].alias("_host"), "anchor")
+        .select(
+            registered_domain("_host").alias("dst_domain"), "anchor"
+        )
+    )
+    per_anchor = rows.groupBy("dst_domain", "anchor").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql import Window as _W
+
+    named = per_anchor.where(F.col("anchor") != "")
+    w = _W.partitionBy("dst_domain").orderBy(
+        F.desc("cnt"), F.asc("anchor")
+    )
+    top = (
+        named.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "dst_domain",
+            F.col("anchor").alias("top_anchor"),
+            F.col("cnt").alias("top_anchor_links"),
+        )
+    )
+    totals = per_anchor.groupBy("dst_domain").agg(
+        F.sum("cnt").alias("n_links"),
+        F.sum((F.col("anchor") != "").cast("long")).alias(
+            "n_unique_anchors"
+        ),
+    )
+    return totals.join(top, "dst_domain", "left").select(
+        "dst_domain",
+        "n_links",
+        "n_unique_anchors",
+        "top_anchor",
+        F.coalesce("top_anchor_links", F.lit(0)).alias(
+            "top_anchor_links"
+        ),
+    )

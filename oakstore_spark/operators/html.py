@@ -183,3 +183,93 @@ def extract_links(
     return df.withColumn(
         out_col, F.when(F.col(html_col).isNotNull(), kept)
     )
+
+
+_ANCHOR = r"""(?is)<a\s[^>]*?href\s*=\s*["'][^"']*["'][^>]*>.*?</a\s*>"""
+
+
+def extract_link_anchors(
+    df: DataFrame,
+    html_col: str = "html",
+    base_url_col: str | None = None,
+    out_col: str = "link_anchors",
+) -> DataFrame:
+    """Append ``out_col``: an array of ``struct<url, anchor>`` — each
+    surviving outbound link (the SAME resolution + canonicalization
+    contract as :func:`extract_links`) paired with its visible anchor
+    TEXT (inner markup stripped, entities for ``&amp;/&lt;/&gt;``
+    decoded, whitespace collapsed, trimmed). Anchor text is the
+    signal ``extract_links`` throws away: aggregated per TARGET it is
+    the classic description-of-a-page ranking feature (how the web
+    names the thing it links to), and a crawl-frontier prior.
+
+    Same staged-transform discipline as extract_links (each lambda
+    argument stays a leaf — the Column DSL copies argument trees per
+    reference); entirely map-side, zero shuffles, no Python."""
+    from oakstore_spark.operators.urls import normalize_url, url_parts
+
+    full = F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR), 0)
+    if base_url_col is not None:
+        base = url_parts(base_url_col)
+        scheme, host = base["scheme"], base["host"]
+    else:
+        scheme = host = None
+
+    def resolve(h: Column) -> Column:
+        absolute = F.when(h.rlike(_ABS_SCHEME), h)
+        if scheme is None:
+            return absolute
+        return (
+            absolute.when(
+                h.startswith("//"), F.concat(scheme, F.lit(":"), h)
+            ).when(
+                h.startswith("/"),
+                F.concat(scheme, F.lit("://"), host, h),
+            )
+        )
+
+    def anchor_text(a: Column) -> Column:
+        inner = F.regexp_replace(
+            F.regexp_replace(a, r"(?is)^<a[^>]*>|</a\s*>$", ""),
+            r"(?s)<[^>]*>",
+            " ",
+        )
+        decoded = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(inner, r"&amp;", "&"), r"&lt;", "<"
+            ),
+            r"&gt;",
+            ">",
+        )
+        return F.trim(F.regexp_replace(decoded, r"\s+", " "))
+
+    # stage 1: full-match -> (raw href, anchor text) pairs
+    pairs = F.transform(
+        full,
+        lambda a: F.struct(
+            F.regexp_extract(a, _HREF, 1).alias("href"),
+            anchor_text(a).alias("anchor"),
+        ),
+    )
+    # stage 2: resolve the href (leaf-arg lambda)
+    resolved = F.transform(
+        pairs,
+        lambda p: F.struct(
+            resolve(p["href"]).alias("href"), p["anchor"].alias("anchor")
+        ),
+    )
+    # stage 3: canonicalize (normalize_url over a leaf reference)
+    canon = F.transform(
+        resolved,
+        lambda p: F.struct(
+            normalize_url(p["href"]).alias("url"),
+            p["anchor"].alias("anchor"),
+        ),
+    )
+    kept = F.filter(
+        canon,
+        lambda p: p["url"].isNotNull() & p["url"].rlike("^https?://"),
+    )
+    return df.withColumn(
+        out_col, F.when(F.col(html_col).isNotNull(), kept)
+    )

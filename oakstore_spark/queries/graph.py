@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oakstore_spark.queries import register
+from oakstore_spark.sources import table
 
 _N = 64
 _ITER = 10
@@ -245,3 +246,68 @@ def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oakstore_spark.operators.graph import degree_stats
 
     return degree_stats(_planted_edges(spark))
+
+
+@register(
+    "q_anchor_text_stats",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id, doc_id % 7 AS k, doc_id % 2 = 0 AS even
+      FROM documents
+    ), rows_ AS (
+      SELECT 'd' || CAST(k AS VARCHAR) || '.test' AS dst_domain,
+             CASE WHEN even THEN 'alpha' ELSE 'beta' END AS anchor
+      FROM pages
+      UNION ALL
+      SELECT 'hub.test', 'Hub & home' FROM pages
+    ), cnt AS (
+      SELECT dst_domain, anchor, count(*) AS c
+      FROM rows_ GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY dst_domain
+                                   ORDER BY c DESC, anchor) AS rn
+      FROM cnt
+    )
+    SELECT t.dst_domain,
+           CAST(t.n_links AS BIGINT) AS n_links,
+           CAST(t.n_unique AS BIGINT) AS n_unique_anchors,
+           r.anchor AS top_anchor,
+           CAST(r.c AS BIGINT) AS top_anchor_links
+    FROM (SELECT dst_domain, sum(c) AS n_links, count(*) AS n_unique
+          FROM cnt GROUP BY 1) t
+    JOIN ranked r ON r.dst_domain = t.dst_domain AND r.rn = 1
+    ORDER BY t.dst_domain
+    """,
+)
+def q_anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation end-to-end over planted pages: each
+    page carries one NOISY link (www., :80, tracking param) to domain
+    d{doc_id%7}.test whose anchor text is 'alpha'/'beta' by parity,
+    plus a link to hub.test whose anchor is '<b>Hub</b> &amp; home' —
+    markup-stripping, entity decode, and whitespace collapse must all
+    land 'Hub & home' exactly. The oracle replays extraction, the
+    per-(domain, anchor) counts, and the pinned (count desc, anchor
+    asc) election."""
+    from oakstore_spark.operators.graph import anchor_text_stats
+
+    d = table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    anchor1 = F.when(F.col("doc_id") % 2 == 0, F.lit("alpha")).otherwise(
+        F.lit("beta")
+    )
+    html = F.concat(
+        F.lit('<a href="http://www.d'),
+        k,
+        F.lit('.test:80/?utm_source=z&p=1">'),
+        anchor1,
+        F.lit('</a> <a href="https://hub.test/x"><b>Hub</b> &amp; '
+              "home</a>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("http://page"), sid, F.lit(".example/")).alias(
+            "url"
+        ),
+        html.alias("html"),
+    )
+    return anchor_text_stats(pages).orderBy("dst_domain")

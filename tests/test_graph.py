@@ -155,3 +155,48 @@ def test_degree_stats_one_sided_nodes(spark):
     got = {r.node: (r.out_degree, r.in_degree)
            for r in degree_stats(df).collect()}
     assert got == {1: (2, 0), 2: (1, 1), 3: (0, 2)}
+
+
+def test_extract_link_anchors_contract(spark):
+    """Anchor text: inner markup stripped, entities decoded,
+    whitespace collapsed; dropped hrefs (mailto/fragment) drop their
+    anchors; empty-anchor links survive with '' text."""
+    from oakstore_spark.operators.html import extract_link_anchors
+
+    html = (
+        '<a href="http://www.a.test:80/?utm_source=x">  One\n two </a>'
+        '<a href="mailto:x@y">nope</a>'
+        '<a href="/local"><b>Bold</b> &amp; <i>co</i></a>'
+        '<a href="https://img.test/"><img src="i.png"/></a>'
+    )
+    df = spark.createDataFrame(
+        [("http://base.test/", html)], "url string, html string"
+    )
+    [r] = extract_link_anchors(df, base_url_col="url").collect()
+    got = [(p["url"], p["anchor"]) for p in r["link_anchors"]]
+    assert got == [
+        ("http://a.test", "One two"),
+        ("http://base.test/local", "Bold & co"),
+        ("https://img.test", ""),
+    ]
+
+
+def test_anchor_text_stats_election(spark):
+    """Per-target election: (count desc, anchor asc) pinned; empty
+    anchors count toward n_links but never win."""
+    from oakstore_spark.operators.graph import anchor_text_stats
+
+    def page(u, links):
+        return (u, "".join(f'<a href="{h}">{a}</a>' for h, a in links))
+
+    rows = [
+        page("http://s1.test/", [("http://t.test/", "x"), ("http://t.test/", "y")]),
+        page("http://s2.test/", [("http://t.test/", "y"), ("http://t.test/", "")]),
+        page("http://s3.test/", [("http://t.test/", "x")]),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    [r] = anchor_text_stats(df).collect()
+    # x:2, y:2 -> tie, 'x' < 'y' wins; empty adds to n_links only
+    assert r["dst_domain"] == "t.test"
+    assert r["n_links"] == 5 and r["n_unique_anchors"] == 2
+    assert r["top_anchor"] == "x" and r["top_anchor_links"] == 2
