@@ -294,3 +294,99 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5("props"), 1, 8), 16, 10).cast("bigint")
         ).alias("props_hash"),
     )
+
+
+@register(
+    "q_warc_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_recs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_len,
+           CAST(sum(doc_id * 1000000 + doc_id % 7) AS BIGINT)
+             AS sum_date_us,
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+             AS BIGINT) AS text_hash,
+           CAST(sum(CAST(('0x' || substr(md5(
+                 'http://crawl.test/' || CAST(doc_id AS VARCHAR)
+             ), 1, 8)) AS BIGINT)) AS BIGINT) AS uri_hash
+    FROM documents
+    WHERE doc_id % 3 = 0
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC codec (sources/warc.py) under the oracle gate: a
+    bounded slice of documents becomes per-record-GZIP WARC shards
+    (per-task foreachPartition, the Common Crawl layout), re-ingests
+    through binaryFile + the Arrow-batched parser, and aggregates per
+    lang — record counts, exact payload octet sums (UTF-8 text, and
+    n_chars is ASCII here so octets == chars), epoch-microsecond
+    WARC-Date sums with a deliberate doc_id%7 microsecond fraction (a
+    single lost microsecond anywhere flips the sum), and md5-derived
+    hashes over decoded payload text and target URIs. The oracle
+    aggregates the RAW parquet fixture: any record the codec drops,
+    reorders headers on, date-shifts, or truncates diverges the
+    hash."""
+    from oakstore_spark.sources import table
+    from oakstore_spark.sources.warc import read_warc, write_warc
+
+    src = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .repartition(4)
+    )
+    base = (
+        Path(tempfile.gettempdir())
+        / f"oakspark_warc_rt_{Path(sf_dir.rstrip('/')).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    recs = src.select(
+        F.concat(F.lit("urn:oak:"), F.col("doc_id")).alias("record_id"),
+        F.lit("resource").alias("warc_type"),
+        F.concat(F.lit("http://crawl.test/"), F.col("doc_id")).alias(
+            "target_uri"
+        ),
+        (F.col("doc_id") * 1_000_000 + F.col("doc_id") % 7).alias(
+            "warc_date_us"
+        ),
+        F.lit("text/plain; charset=utf-8").alias("content_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.col("lang"),
+    )
+    write_warc(recs.drop("lang"), str(base), compress=True)
+    back = read_warc(spark, str(base)).select(
+        F.col("record_id"),
+        F.col("target_uri"),
+        F.col("warc_date_us"),
+        F.col("content_length"),
+        F.decode("payload", "utf-8").alias("text"),
+    )
+    # lang is NOT carried in the WARC headers: re-derive it by joining
+    # the decoded records back on the id (exactly what a real re-ingest
+    # does with a sidecar index) — the join also proves record_id
+    # round-trips
+    ids = src.select(
+        F.concat(F.lit("urn:oak:"), F.col("doc_id")).alias("record_id"),
+        "lang",
+    )
+    joined = back.join(ids, "record_id")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_recs"),
+            F.sum("content_length").alias("sum_len"),
+            F.sum("warc_date_us").alias("sum_date_us"),
+            F.sum(
+                F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast(
+                    "bigint"
+                )
+            ).alias("text_hash"),
+            F.sum(
+                F.conv(
+                    F.substring(F.md5("target_uri"), 1, 8), 16, 10
+                ).cast("bigint")
+            ).alias("uri_hash"),
+        )
+        .orderBy("lang")
+    )

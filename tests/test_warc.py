@@ -1,0 +1,138 @@
+"""WARC container source/sink: golden bytes, roundtrips (plain +
+per-record-gzip), date precision, type filtering, corruption."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from oakstore_spark.sources.warc import (
+    _format_warc_date,
+    _parse_warc_bytes,
+    _parse_warc_date,
+    _render_record,
+    read_warc,
+    write_warc,
+)
+
+
+def _rec(**kw):
+    d = {
+        "record_id": "urn:x:1",
+        "warc_type": "resource",
+        "target_uri": "http://t.test/1",
+        "warc_date_us": 1_700_000_000_000_000,
+        "content_type": "text/plain",
+        "payload": b"hello",
+    }
+    d.update(kw)
+    return d
+
+
+def test_golden_record_bytes():
+    raw = _render_record(_rec())
+    assert raw.startswith(b"WARC/1.0\r\n")
+    assert b"WARC-Record-ID: <urn:x:1>\r\n" in raw
+    assert b"Content-Length: 5\r\n" in raw
+    assert raw.endswith(b"\r\n\r\nhello\r\n\r\n".replace(b"\r\n\r\nhello", b"\r\nhello", 1))
+    # header block terminates with a blank line before the payload
+    head, _, rest = raw.partition(b"\r\n\r\n")
+    assert rest == b"hello\r\n\r\n"
+
+
+def test_parse_roundtrip_multi_record_and_gzip_members():
+    recs = [
+        _rec(),
+        _rec(record_id="urn:x:2", payload=b"\x00\x01binary\xff",
+             warc_date_us=1_700_000_000_123_456),
+    ]
+    blob = b"".join(_render_record(r) for r in recs)
+    parsed = _parse_warc_bytes(blob, "mem")
+    assert [p["record_id"] for p in parsed] == ["urn:x:1", "urn:x:2"]
+    assert parsed[1]["payload"] == b"\x00\x01binary\xff"
+    assert parsed[1]["warc_date_us"] == 1_700_000_000_123_456
+    # per-record gzip members concatenated (Common Crawl layout)
+    gz = b"".join(gzip.compress(_render_record(r), mtime=0) for r in recs)
+    assert _parse_warc_bytes(gz, "mem") == parsed
+
+
+def test_date_format_parse_inverse():
+    for us in (0, 1_700_000_000_000_000, 1_700_000_000_000_001,
+               1_700_000_000_999_999):
+        assert _parse_warc_date(_format_warc_date(us)) == us
+    assert _format_warc_date(1_700_000_000_000_000) == (
+        "2023-11-14T22:13:20Z"
+    )
+    with pytest.raises(ValueError):
+        _parse_warc_date("2023-11-14T22:13:20")  # no Z
+    with pytest.raises(ValueError):
+        _parse_warc_date("2023-11-14T22:13:20.1234567891Z")  # sub-us
+
+
+def test_corruption_raises_with_origin():
+    good = _render_record(_rec())
+    with pytest.raises(ValueError, match="version line"):
+        _parse_warc_bytes(b"HTTP/1.1 200 OK\r\n\r\n", "f1")
+    with pytest.raises(ValueError, match="overruns"):
+        _parse_warc_bytes(good[:-9], "f2")  # truncated payload
+    bad = good.replace(b"Content-Length: 5", b"X-Len: 5")
+    with pytest.raises(ValueError, match="Content-Length"):
+        _parse_warc_bytes(bad, "f3")
+
+
+def test_write_read_spark_roundtrip(spark, tmp_path):
+    rows = [
+        ("urn:s:%d" % i, "resource" if i % 2 else "metadata",
+         f"http://t.test/{i}", 1_600_000_000_000_000 + i,
+         "text/plain", bytes(f"payload-{i}", "ascii"))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "record_id string, warc_type string, target_uri string, "
+        "warc_date_us long, content_type string, payload binary",
+    ).repartition(3)
+    for compress in (False, True):
+        path = str(tmp_path / f"w{int(compress)}")
+        n_shards = write_warc(df, path, compress=compress)
+        assert n_shards >= 1
+        back = read_warc(spark, path)
+        got = {r["record_id"]: r for r in back.collect()}
+        assert len(got) == 20
+        for i in range(20):
+            r = got[f"urn:s:{i}"]
+            assert r["payload"] == bytes(f"payload-{i}", "ascii")
+            assert r["warc_date_us"] == 1_600_000_000_000_000 + i
+            assert r["content_length"] == len(f"payload-{i}")
+            assert r["target_uri"] == f"http://t.test/{i}"
+    # conversion-filter pushdown: type filter applies inside the kernel
+    only = read_warc(spark, str(tmp_path / "w1"), record_types=["metadata"])
+    types = {r["warc_type"] for r in only.collect()}
+    assert types == {"metadata"}
+    assert only.count() == 10
+
+
+def test_read_warc_external_writer_layout(spark, tmp_path):
+    """A hand-built file (headers in a different order, extra header
+    fields, no angle brackets on the id) still parses — spec fields
+    are named, not positional."""
+    body = b"external"
+    raw = (
+        b"WARC/1.0\r\n"
+        b"Content-Length: 8\r\n"
+        b"WARC-Date: 2020-01-02T03:04:05Z\r\n"
+        b"X-Custom: whatever\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: urn:ext:9\r\n"
+        b"\r\n" + body + b"\r\n\r\n"
+    )
+    p = tmp_path / "ext"
+    p.mkdir()
+    (p / "file.warc").write_bytes(raw)
+    [r] = read_warc(spark, str(p)).collect()
+    assert r["record_id"] == "urn:ext:9"
+    assert r["warc_type"] == "response"
+    assert r["payload"] == body
+    assert r["warc_date_us"] == 1_577_934_245_000_000
