@@ -714,3 +714,66 @@ def bm25_scores(
     keep += [F.col(f"tf_{i}") for i in range(len(terms))]
     keep.append(score.alias("score_raw"))
     return out.where(any_hit).select(*keep)
+
+
+def _c(n: int) -> str:
+    return chr(n)
+
+
+# UTF-8 byte-structure over Latin-1-range CHARS (each char <= U+00FF is
+# one byte, so the string IS the byte sequence): the classic UTF-8
+# validation automaton as one anchored regex, built from code points
+# because the continuation/lead ranges are control characters.
+_UTF8_STRUCT = (
+    "^(?:"
+    + "[\\x00-\\x7F]"
+    + f"|[{_c(0xC2)}-{_c(0xDF)}][{_c(0x80)}-{_c(0xBF)}]"
+    + f"|{_c(0xE0)}[{_c(0xA0)}-{_c(0xBF)}][{_c(0x80)}-{_c(0xBF)}]"
+    + f"|[{_c(0xE1)}-{_c(0xEC)}][{_c(0x80)}-{_c(0xBF)}]{{2}}"
+    + f"|{_c(0xED)}[{_c(0x80)}-{_c(0x9F)}][{_c(0x80)}-{_c(0xBF)}]"
+    + f"|[{_c(0xEE)}-{_c(0xEF)}][{_c(0x80)}-{_c(0xBF)}]{{2}}"
+    + f"|{_c(0xF0)}[{_c(0x90)}-{_c(0xBF)}][{_c(0x80)}-{_c(0xBF)}]{{2}}"
+    + f"|[{_c(0xF1)}-{_c(0xF3)}][{_c(0x80)}-{_c(0xBF)}]{{3}}"
+    + f"|{_c(0xF4)}[{_c(0x80)}-{_c(0x8F)}][{_c(0x80)}-{_c(0xBF)}]{{3}}"
+    + ")*$"
+)
+
+
+def fix_mojibake(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Detect and repair DOUBLE-ENCODED UTF-8 (mojibake: UTF-8 bytes
+    mis-decoded as Latin-1 somewhere upstream — 'caf\u00e9' arriving as
+    'caf\u00c3\u00a9'), the most common encoding defect in web-crawl
+    text. A row is mojibake iff
+
+    1. every char is in the Latin-1 range (chars map 1:1 back to the
+       original bytes), AND
+    2. those bytes form STRUCTURALLY VALID UTF-8 with at least one
+       multi-byte sequence (checked by regex — crucial, because
+       Spark's ``decode`` raises on invalid input rather than
+       replacing, so validity must be proven BEFORE decoding; the
+       ``when`` guard short-circuits per row), in which case
+    3. the repair is ``decode(encode(text, ISO-8859-1), UTF-8)``.
+
+    Genuinely-Latin-1 text ('na\u00efve': 0xEF not followed by two
+    continuation bytes) fails the structure check and passes through
+    untouched — the classic false-positive case handles itself,
+    because a lone accented char is never valid multi-byte UTF-8.
+    Pure ASCII repairs to itself and is not flagged. Entirely JVM
+    expressions; zero shuffles.
+
+    Returns (id_col, fixed, was_mojibake)."""
+    t = F.col(text_col)
+    latin1_only = ~t.rlike(f"[{_c(0x100)}-{_c(0xFFFF)}]")
+    valid_utf8 = t.rlike(_UTF8_STRUCT)
+    has_multibyte = t.rlike(f"[{_c(0x80)}-{_c(0xFF)}]")
+    is_moji = latin1_only & valid_utf8 & has_multibyte
+    repaired = F.when(
+        is_moji, F.decode(F.encode(t, "ISO-8859-1"), "UTF-8")
+    ).otherwise(t)
+    return df.select(
+        F.col(id_col),
+        repaired.alias("fixed"),
+        is_moji.alias("was_mojibake"),
+    )

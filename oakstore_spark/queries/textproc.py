@@ -792,3 +792,42 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "domain", text.alias("text")
     )
     return domain_boilerplate_strip(pages).orderBy("doc_id")
+
+
+@register(
+    "q_mojibake_fix",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'café ' || CAST(doc_id AS VARCHAR)
+                WHEN doc_id % 3 = 1
+                THEN 'naïve ' || CAST(doc_id AS VARCHAR)
+                ELSE 'plain ' || CAST(doc_id AS VARCHAR)
+           END AS fixed,
+           doc_id % 3 = 0 AS was_mojibake
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding hygiene end-to-end: a third of the planted rows are
+    DOUBLE-ENCODED in-engine (the real corruption: UTF-8 bytes of
+    'café N' re-decoded as Latin-1 -> 'cafÃ© N'), a third are genuine
+    single-encoded Latin-1-range text ('naïve N' — the classic false
+    positive: its 0xEF byte is NOT valid UTF-8 structure, so it must
+    pass through untouched), a third pure ASCII. fix_mojibake must
+    repair exactly the corrupted third back to the closed-form
+    original the oracle states."""
+    from oakstore_spark.operators.text import fix_mojibake
+
+    d = table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    clean = F.concat(F.lit("café "), sid)
+    corrupted = F.decode(F.encode(clean, "UTF-8"), "ISO-8859-1")
+    text = (
+        F.when(F.col("doc_id") % 3 == 0, corrupted)
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("naïve "), sid))
+        .otherwise(F.concat(F.lit("plain "), sid))
+    )
+    rows = d.select("doc_id", text.alias("text"))
+    return fix_mojibake(rows).orderBy("doc_id")

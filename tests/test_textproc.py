@@ -496,3 +496,30 @@ def test_domain_boilerplate_scoping_and_blanks(spark):
     # domain b: promo on 1/4 pages < 50% -> untouched
     assert out[4]["clean_text"] == "promo\ny4"
     assert out[4]["n_kept"] == 2
+
+
+def test_fix_mojibake_edge_cases(spark):
+    """Multi-accent repair, 3-byte sequences (€ as â‚¬), genuine
+    Latin-1 untouched, ASCII untouched, empty string, and text above
+    Latin-1 range (already-good UTF-8 with CJK) untouched."""
+    from oakstore_spark.operators.text import fix_mojibake
+
+    def corrupt(s):
+        return s.encode("utf-8").decode("latin-1")
+
+    rows = [
+        (0, corrupt("héllo wörld")),
+        (1, corrupt("price: 5€")),
+        (2, "naïve café"),      # genuine latin-1 style, single-encoded
+        (3, "plain ascii"),
+        (4, ""),
+        (5, "日本語 text"),      # beyond latin-1: never touched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in fix_mojibake(df).collect()}
+    assert out[0]["fixed"] == "héllo wörld" and out[0]["was_mojibake"]
+    assert out[1]["fixed"] == "price: 5€" and out[1]["was_mojibake"]
+    assert out[2]["fixed"] == "naïve café" and not out[2]["was_mojibake"]
+    assert out[3]["fixed"] == "plain ascii" and not out[3]["was_mojibake"]
+    assert out[4]["fixed"] == "" and not out[4]["was_mojibake"]
+    assert out[5]["fixed"] == "日本語 text" and not out[5]["was_mojibake"]
