@@ -26,8 +26,10 @@ EXT operator mandated by the LLM-pipeline brief.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _SCHEME = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 # params that carry tracking state, not content identity
@@ -150,4 +152,160 @@ def filter_blocklisted(
             "_reg_domain",
             "left_anti",
         ).drop("_reg_domain")
+    )
+
+
+ROBOTS_RULES_SCHEMA = T.StructType(
+    [
+        T.StructField("reg_domain", T.StringType()),
+        T.StructField("pattern", T.StringType()),
+        T.StructField("allow", T.BooleanType()),
+        T.StructField("plen", T.IntegerType()),
+        T.StructField("regex", T.StringType()),
+    ]
+)
+
+
+def parse_robots(
+    robots: DataFrame,
+    domain_col: str = "reg_domain",
+    txt_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse per-domain ``robots.txt`` content into a flat rule
+    relation, per RFC 9309 (public): group selection picks the group
+    set for the MOST SPECIFIC matching ``User-agent`` (exact
+    case-insensitive product token match for ``agent``, else the ``*``
+    group; a crawler never obeys both), rules keep their pattern
+    octets-length (``plen`` — the RFC's specificity measure) and a
+    ready-to-use anchored Java regex translating the RFC wildcards
+    (``*`` -> ``.*``, trailing ``$`` -> end anchor; everything else
+    literal-escaped).
+
+    This PARSING step runs as a small Python kernel over the robots
+    relation — robots files are per-domain configuration, millions of
+    rows at web scale but microscopic next to the URL corpus; the
+    corpus-side MATCHING (:func:`robots_allowed`) is a broadcast join
+    + JVM ``regexp_like``, no Python anywhere near the big side."""
+    import re as _re
+
+    def _to_regex(pat: str) -> str:
+        anchor_end = pat.endswith("$")
+        if anchor_end:
+            pat = pat[:-1]
+        parts = [_re.escape(p) for p in pat.split("*")]
+        return "^" + ".*".join(parts) + ("$" if anchor_end else "")
+
+    agent_l = agent.lower()
+
+    def _parse_one(txt: str) -> list[tuple[str, bool, int, str]]:
+        groups: list[tuple[set, list]] = []  # (agents, rules)
+        cur_agents: set = set()
+        cur_rules: list = []
+        agents_open = False  # consecutive UA lines share one group
+        for raw in (txt or "").splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key = key.strip().lower()
+            val = val.strip()
+            if key == "user-agent":
+                if not agents_open and cur_agents:
+                    groups.append((cur_agents, cur_rules))
+                    cur_agents, cur_rules = set(), []
+                cur_agents.add(val.lower())
+                agents_open = True
+            elif key in ("allow", "disallow"):
+                agents_open = False
+                if cur_agents:
+                    cur_rules.append((key == "allow", val))
+        if cur_agents:
+            groups.append((cur_agents, cur_rules))
+        # RFC group selection: exact agent match beats *, never both
+        chosen = None
+        for agents, rules in groups:
+            if agent_l in agents:
+                chosen = (chosen or []) + rules
+        if chosen is None:
+            for agents, rules in groups:
+                if "*" in agents:
+                    chosen = (chosen or []) + rules
+        out = []
+        for allow, pat in chosen or []:
+            if pat == "":
+                # empty Disallow = allow everything: no rule at all
+                continue
+            out.append((pat, allow, len(pat), _to_regex(pat)))
+        return out
+
+    def _kernel(batches):
+        for pdf in batches:
+            rows = []
+            for dom, txt in zip(pdf[domain_col], pdf[txt_col]):
+                for pat, allow, plen, rx in _parse_one(txt):
+                    rows.append(
+                        {
+                            "reg_domain": dom,
+                            "pattern": pat,
+                            "allow": allow,
+                            "plen": plen,
+                            "regex": rx,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ROBOTS_RULES_SCHEMA.fields]
+            )
+
+    return robots.select(domain_col, txt_col).mapInPandas(
+        _kernel, ROBOTS_RULES_SCHEMA
+    )
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Append ``allowed``: whether each URL may be crawled under the
+    parsed rule relation (:func:`parse_robots`), per RFC 9309
+    longest-match — among the rules of the URL's registered domain
+    whose pattern matches the URL path, the one with the greatest
+    pattern length wins; on a specificity tie the LEAST restrictive
+    (Allow) wins; no matching rule (or no rules for the domain at
+    all) means allowed.
+
+    Shape: the corpus side is one broadcast join against the (small)
+    rule relation + JVM ``regexp_like`` + one aggregate back to URL
+    grain — the verdict struct max carries (plen, allow) through
+    partial aggregation, so the 100 TB cost is map-side work plus one
+    shuffle on the URL key."""
+    parts = url_parts(url_col)
+    keyed = urls.withColumn(
+        "_rd", registered_domain(parts["host"])
+    ).withColumn(
+        "_path",
+        F.when(parts["path"] == "", F.lit("/")).otherwise(parts["path"]),
+    )
+    joined = keyed.join(
+        F.broadcast(rules), keyed["_rd"] == rules["reg_domain"], "left"
+    )
+    hit = F.col("regex").isNotNull() & F.expr("_path rlike regex")
+    verdict = F.when(
+        hit,
+        F.struct(
+            F.col("plen").alias("p"),
+            F.col("allow").cast("int").alias("a"),
+        ),
+    )
+    out_cols = [F.col(c) for c in urls.columns]
+    return (
+        joined.groupBy("_rd", "_path", *[urls[c] for c in urls.columns])
+        .agg(F.max(verdict).alias("_v"))
+        .select(
+            *out_cols,
+            F.coalesce(F.col("_v")["a"] == 1, F.lit(True)).alias(
+                "allowed"
+            ),
+        )
     )

@@ -831,3 +831,70 @@ def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = d.select("doc_id", text.alias("text"))
     return fix_mojibake(rows).orderBy("doc_id")
+
+
+@register(
+    "q_robots_filter",
+    oracle="""
+    SELECT doc_id,
+           'http://' || CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END
+             || '.test'
+             || CASE doc_id % 5
+                  WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                  WHEN 1 THEN '/private/pub/x' || CAST(doc_id AS VARCHAR)
+                  WHEN 2 THEN '/open/x' || CAST(doc_id AS VARCHAR)
+                  WHEN 3 THEN '/files/doc' || CAST(doc_id AS VARCHAR)
+                              || '.pdf'
+                  ELSE '/files/doc' || CAST(doc_id AS VARCHAR)
+                       || '.pdfx' END AS url,
+           doc_id % 2 = 0 AND doc_id % 5 IN (1, 2, 4) AS allowed
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 crawl-politeness end-to-end: domain a.test's robots
+    exercise longest-match precedence (Disallow /private beaten by the
+    longer Allow /private/pub), wildcard+anchor rules (/*.pdf$ blocks
+    .pdf but NOT .pdfx), and untouched paths; domain b.test has an
+    agent-SPECIFIC group (oakbot: Disallow /) that must shadow its *
+    group entirely for this crawler. The oracle states every verdict
+    closed-form from the planted path structure."""
+    from oakstore_spark.operators.urls import parse_robots, robots_allowed
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.test",
+                "# site a\nUser-agent: *\nDisallow: /private\n"
+                "Allow: /private/pub\nDisallow: /*.pdf$\n",
+            ),
+            (
+                "b.test",
+                "User-agent: oakbot\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /tmp\n",
+            ),
+        ],
+        "reg_domain string, robots_txt string",
+    )
+    rules = parse_robots(robots, agent="oakbot")
+    d = table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    host = F.when(F.col("doc_id") % 2 == 0, F.lit("a")).otherwise(
+        F.lit("b")
+    )
+    m5 = F.col("doc_id") % 5
+    path = (
+        F.when(m5 == 0, F.concat(F.lit("/private/x"), sid))
+        .when(m5 == 1, F.concat(F.lit("/private/pub/x"), sid))
+        .when(m5 == 2, F.concat(F.lit("/open/x"), sid))
+        .when(m5 == 3, F.concat(F.lit("/files/doc"), sid, F.lit(".pdf")))
+        .otherwise(F.concat(F.lit("/files/doc"), sid, F.lit(".pdfx")))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), host, F.lit(".test"), path
+        ).alias("url"),
+    )
+    return robots_allowed(urls, rules).orderBy("doc_id")

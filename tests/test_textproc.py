@@ -523,3 +523,60 @@ def test_fix_mojibake_edge_cases(spark):
     assert out[3]["fixed"] == "plain ascii" and not out[3]["was_mojibake"]
     assert out[4]["fixed"] == "" and not out[4]["was_mojibake"]
     assert out[5]["fixed"] == "日本語 text" and not out[5]["was_mojibake"]
+
+
+def test_parse_robots_group_selection_and_wildcards(spark):
+    from oakstore_spark.operators.urls import parse_robots, robots_allowed
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "s.test",
+                # two UA lines sharing one group; comments; empty
+                # Disallow (= no rule); wildcard and anchor
+                "User-agent: alpha\nUser-agent: beta\n"
+                "Disallow: /a  # trailing comment\n\n"
+                "User-agent: *\nDisallow:\nDisallow: /*.zip$\n",
+            ),
+        ],
+        "reg_domain string, robots_txt string",
+    )
+    # agent 'beta' gets the shared group, NOT the * group
+    rules = parse_robots(robots, agent="BETA").collect()
+    assert [(r["pattern"], r["allow"]) for r in rules] == [("/a", False)]
+    # unknown agent falls to *: empty Disallow dropped, zip rule kept
+    star = parse_robots(robots, agent="other").collect()
+    assert [(r["pattern"], r["allow"]) for r in star] == [
+        ("/*.zip$", False)
+    ]
+    urls = spark.createDataFrame(
+        [
+            (1, "http://s.test/data.zip"),
+            (2, "http://s.test/data.zip.txt"),
+            (3, "http://nothing.test/x"),
+        ],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: r["allowed"]
+        for r in robots_allowed(
+            urls, parse_robots(robots, agent="other")
+        ).collect()
+    }
+    assert got == {1: False, 2: True, 3: True}
+
+
+def test_robots_tie_least_restrictive_wins(spark):
+    """Equal-specificity Allow vs Disallow: RFC says least
+    restrictive (Allow) wins."""
+    from oakstore_spark.operators.urls import parse_robots, robots_allowed
+
+    robots = spark.createDataFrame(
+        [("t.test", "User-agent: *\nDisallow: /p\nAllow: /p\n")],
+        "reg_domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "http://t.test/p/x")], "id long, url string"
+    )
+    [r] = robots_allowed(urls, parse_robots(robots)).collect()
+    assert r["allowed"] is True
