@@ -416,3 +416,73 @@ def fit_logistic_irls(
             b[i] = row[f"b_{i}"]
         w = np.linalg.solve(G + ridge * np.eye(k), b)
     return w
+
+
+def kneser_ney_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED KNESER-NEY bigram
+    log-probability (Kneser & Ney 1995 — public; the standard n-gram
+    smoothing, a strictly better perplexity filter than the
+    Jelinek-Mercer mixture in :func:`bigram_logprob`):
+
+        P(w2|w1) = (max(c(w1,w2) - D, 0)
+                    + D * N1+(w1,*) * Pcont(w2)) / c(w1,*)
+        Pcont(w2) = N1+(*,w2) / B
+
+    where c(w1,*) is w1's CONTEXT count (bigrams starting with w1 —
+    the correct KN denominator, not the raw unigram count),
+    N1+(w1,*) / N1+(*,w2) are distinct-continuation counts, and B is
+    the number of distinct bigram types. The continuation
+    distribution is KN's insight: 'Francisco' is frequent but follows
+    almost only 'San', so its back-off weight is tiny.
+
+    Scale shape identical to the JM operator: one bigram-count
+    aggregate feeds ALL four statistics (context totals and both
+    N1+ counts are vocab-sized rollups of it, B one scalar); each
+    DISTINCT bigram is scored once and the corpus-sized position
+    stream takes a single join. Every count is an exact integer; the
+    float tree is one fused expression mirrored literally by the SQL
+    oracle."""
+    d = float(discount)
+    ws = df.select(id_col, F.split(F.col(text_col), " ").alias("ws"))
+    bg = ws.filter(F.size("ws") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1),"
+                " (w, i) -> struct(w AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("cb").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    btot = bc.agg(F.count(F.lit(1)).alias("bt"))
+    bigram_logp = (
+        bc.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (
+                    F.greatest(F.col("cb") - F.lit(d), F.lit(0.0))
+                    + (F.lit(d) * F.col("n1f"))
+                    * (F.col("n1b") / F.col("bt"))
+                )
+                / F.col("c1")
+            ).alias("logp"),
+        )
+    )
+    scored = bg.join(bigram_logp, ["w1", "w2"]).select(id_col, "logp")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("logp").alias("avg_logprob"),
+    )

@@ -1705,3 +1705,58 @@ def q_lf_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lf_mod": F.when(F.col("doc_id") % 3 == 0, F.lit(0)),
     }
     return label_function_diagnostics(apply_label_functions(d, lfs))
+
+
+@register(
+    "q_kneser_ney_lm",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+      FROM w WHERE len(ws) >= 2
+    ), bc AS (
+      SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, CAST(sum(cb) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1f
+      FROM bc GROUP BY 1
+    ), cont AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM bc GROUP BY 1
+    ), btot AS (
+      SELECT CAST(count(*) AS BIGINT) AS bt FROM bc
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(
+             (greatest(cb - 0.75, 0.0)
+              + (0.75 * n1f) * (n1b / bt)) / c1
+           )), 4) AS avg_logprob
+    FROM bg
+    JOIN bc USING (w1, w2)
+    JOIN ctx USING (w1)
+    JOIN cont USING (w2), btot
+    GROUP BY doc_id
+    """,
+)
+def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM document scoring — the top
+    rung of the cheap-LM quality ladder (unigram -> Jelinek-Mercer ->
+    KN): absolute discounting D=0.75 with the CONTINUATION back-off
+    distribution (how many distinct contexts a word follows, not how
+    often it occurs). All counts exact integers from ONE bigram-count
+    relation; the oracle steps the identical float tree, so values
+    agree to the rounded digit."""
+    from oakstore_spark.functions.text import normalize_text
+    from oakstore_spark.operators.curation import kneser_ney_logprob
+
+    d = table(spark, sf_dir, "documents")
+    norm = d.select("doc_id", normalize_text("text").alias("text"))
+    out = kneser_ney_logprob(norm)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logprob", 4).alias("avg_logprob"),
+    )

@@ -607,3 +607,35 @@ def test_label_vote_ties_and_abstains(spark):
         apply_label_functions(df, lfs)).collect()}
     assert diag[0].n_voted == 4 and diag[0].coverage == 4 / 5
     assert diag[1].n_voted == 3 and diag[2].n_conflict >= 1
+
+
+def test_kneser_ney_hand_computed(spark):
+    """Tiny corpus replayed by hand: 'a b'x2 + 'a c' + 'b a'.
+    Bigrams: (a,b):2 (a,c):1 (b,a):1 -> B=3; ctx a: c1=3 n1f=2;
+    ctx b: c1=1 n1f=1; cont b: n1b=1, c: 1, a: 1."""
+    import math
+
+    from oakstore_spark.operators.curation import kneser_ney_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "b a")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in kneser_ney_logprob(docs).collect()
+    }
+
+    def p(cb, n1f, n1b, c1, bt=3, d=0.75):
+        return (max(cb - d, 0.0) + (d * n1f) * (n1b / bt)) / c1
+
+    p_ab = p(2, 2, 1, 3)
+    p_ac = p(1, 2, 1, 3)
+    p_ba = p(1, 1, 1, 1)
+    assert out[1]["n_bigrams"] == 1
+    assert abs(out[1]["avg_logprob"] - math.log(p_ab)) < 1e-12
+    assert abs(out[3]["avg_logprob"] - math.log(p_ac)) < 1e-12
+    assert abs(out[4]["avg_logprob"] - math.log(p_ba)) < 1e-12
+    # continuation insight: P(b|a) discounts mass to back-off; total
+    # conditional mass for context 'a' stays 1
+    assert abs(p_ab + p_ac + p(0, 2, 1, 3) - 1.0) < 1e-12
