@@ -72,6 +72,8 @@ def main() -> None:
                          "synthetic graph with this many edges (ring + "
                          "hash chords over n/4 nodes); asserts exact "
                          "mass conservation")
+    ap.add_argument("--warcdocs", type=int, default=0,
+                    help="WARC write+read round-trip throughput probe")
     ap.add_argument("--avrodocs", type=int, default=0,
                     help="probe the pure-Python Avro codec's throughput "
                          "ceiling: write this many mixed-type rows as "
@@ -741,6 +743,58 @@ def main() -> None:
                 f"({na}, {na * (na - 1) // 2})"
             )
         adocs.unpersist()
+
+    if args.warcdocs:
+        # WARC interop-path throughput: per-record gzip members
+        # (Common Crawl layout) through the foreachPartition writer
+        # and the binaryFile + Arrow-batched parser. Python-side by
+        # nature (the container format is bytes, not columns) — this
+        # probe pins the measured ceiling in SCALING.md.
+        import shutil
+
+        from oakstore_spark.sources.warc import read_warc, write_warc
+
+        nw = args.warcdocs
+        wdocs = spark.range(0, nw, 1, 64).select(
+            F.concat(F.lit("urn:p:"), F.col("id").cast("string")).alias(
+                "record_id"
+            ),
+            F.lit("resource").alias("warc_type"),
+            F.concat(F.lit("http://probe.test/"), F.col("id").cast("string"))
+            .alias("target_uri"),
+            (F.col("id") * 1_000_000).alias("warc_date_us"),
+            F.lit("text/plain").alias("content_type"),
+            F.encode(
+                F.concat(F.lit("payload-"), F.col("id").cast("string")),
+                "utf-8",
+            ).alias("payload"),
+        )
+        wdocs.persist()
+        wdocs.count()
+        tmp = tempfile.mkdtemp(prefix="oak_warc_probe_")
+        try:
+            t0 = time.time()
+            n_shards = write_warc(wdocs, tmp, compress=True)
+            wdt = time.time() - t0
+            t0 = time.time()
+            got = read_warc(spark, tmp).agg(
+                F.count(F.lit(1)), F.sum("content_length")
+            ).first()
+            rdt = time.time() - t0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        out["warc_probe_docs"] = nw
+        out["warc_probe_shards"] = n_shards
+        out["warc_probe_write_sec"] = round(wdt, 2)
+        out["warc_probe_write_docs_per_sec"] = round(nw / wdt)
+        out["warc_probe_read_sec"] = round(rdt, 2)
+        out["warc_probe_read_docs_per_sec"] = round(nw / rdt)
+        exp_len = sum(len(f"payload-{i}") for i in range(nw))
+        if got[0] != nw or got[1] != exp_len:
+            raise SystemExit(
+                f"warc probe FAILED: {tuple(got)} != ({nw}, {exp_len})"
+            )
+        wdocs.unpersist()
 
     if args.streamrows:
         # Structured Streaming at volume: watermarked tumbling-window
