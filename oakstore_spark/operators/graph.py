@@ -307,3 +307,85 @@ def anchor_text_stats(
             "top_anchor_links"
         ),
     )
+
+
+def hits(
+    edges: DataFrame,
+    n_iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    normalize: bool = True,
+    checkpoint_interval: int = 4,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999 — public): iterate
+
+        authority(v) = sum over u->v of hub(u)
+        hub(u)       = sum over u->v of authority(v)
+
+    from hub = 1. With ``normalize`` each half-step rescales by its L1
+    sum (the standard fixed point); with ``normalize=False`` scores
+    stay EXACT BIGINT path counts (authority after k rounds counts
+    directed paths of the matching alternating shape) — the ranking is
+    identical for a fixed iteration count, divisions are deferred to
+    the caller, and a SQL oracle can replay every value exactly. The
+    count interpretation also bounds growth: overflow needs
+    (max_degree^2)^k * N to pass 2^63, far beyond any real web graph
+    at the k<=4 used for authority priors.
+
+    Same iterative-DataFrame discipline as :func:`pagerank`: the edge
+    relation is pinned ONCE (checkpoint, not persist — a persist keeps
+    the producer plan in lineage and Catalyst re-analyzes it per
+    iteration), each half-step is one join + partial-agg shuffle, and
+    lineage truncates every ``checkpoint_interval`` rounds."""
+    e_raw = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = e_raw.select(F.col("src").alias("node")).unionByName(
+        e_raw.select(F.col("dst").alias("node"))
+    ).distinct()
+    e = e_raw.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+    e_raw.unpersist()
+
+    one = F.lit(1).cast("long") if not normalize else F.lit(1.0)
+    hub = nodes.select("node", one.alias("hub"))
+    auth = None
+    for it in range(n_iterations):
+        auth = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = nodes.join(auth, "node", "left").select(
+            "node",
+            F.coalesce(
+                "auth", F.lit(0).cast("long" if not normalize else "double")
+            ).alias("auth"),
+        )
+        if normalize:
+            s = auth.agg(F.sum("auth").alias("s"))
+            auth = auth.crossJoin(F.broadcast(s)).select(
+                "node", (F.col("auth") / F.col("s")).alias("auth")
+            )
+        hub = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = nodes.join(hub, "node", "left").select(
+            "node",
+            F.coalesce(
+                "hub", F.lit(0).cast("long" if not normalize else "double")
+            ).alias("hub"),
+        )
+        if normalize:
+            s = hub.agg(F.sum("hub").alias("s"))
+            hub = hub.crossJoin(F.broadcast(s)).select(
+                "node", (F.col("hub") / F.col("s")).alias("hub")
+            )
+        if (it + 1) % max(1, checkpoint_interval) == 0 or (
+            it == n_iterations - 1
+        ):
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    return hub.join(auth, "node").select("node", "hub", "auth")

@@ -311,3 +311,54 @@ def q_anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         html.alias("html"),
     )
     return anchor_text_stats(pages).orderBy("dst_domain")
+
+
+def _hits_oracle(k: int = 2) -> str:
+    steps = ["h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes)"]
+    for i in range(1, k + 1):
+        steps.append(f"""
+    a{i} AS (
+      SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS auth
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(h.hub) AS v
+        FROM edges e JOIN h{i - 1} h ON h.node = e.src GROUP BY 1
+      ) s ON s.node = n.node
+    )""")
+        steps.append(f"""
+    h{i} AS (
+      SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS hub
+      FROM nodes n LEFT JOIN (
+        SELECT e.src AS node, sum(a.auth) AS v
+        FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY 1
+      ) s ON s.node = n.node
+    )""")
+    return (
+        "WITH "
+        + _GRAPH_CTE
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT h.node, h.hub, a.auth
+    FROM h{k} h JOIN a{k} a ON h.node = a.node"""
+    )
+
+
+@register("q_hits_counts", oracle=_hits_oracle(2))
+def q_hits_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the planted graph, 2 un-normalized
+    iterations: every score is an EXACT BIGINT alternating-path count
+    (normalization deferred — same ranking, zero float caveats), so
+    the oracle replays both half-steps of both rounds integer-exactly.
+    Hub nodes (outdeg 4) must separate from chain nodes (outdeg 1) in
+    hub score; their long-range targets collect the authority mass."""
+    from oakstore_spark.operators.graph import hits
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        out = hits(
+            _planted_edges(spark), n_iterations=2, normalize=False
+        ).select("node", "hub", "auth")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out

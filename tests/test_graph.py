@@ -200,3 +200,47 @@ def test_anchor_text_stats_election(spark):
     assert r["dst_domain"] == "t.test"
     assert r["n_links"] == 5 and r["n_unique_anchors"] == 2
     assert r["top_anchor"] == "x" and r["top_anchor_links"] == 2
+
+
+def test_hits_normalized_numpy_parity(spark):
+    """Normalized HITS on a small random graph vs a numpy replay of
+    the same L1-normalized alternating updates; and the un-normalized
+    integer mode must rank identically to the normalized mode."""
+    import numpy as np
+
+    from oakstore_spark.operators.graph import hits
+
+    rng = np.random.default_rng(3)
+    n = 12
+    A = (rng.random((n, n)) < 0.3).astype(np.int64)
+    np.fill_diagonal(A, 0)
+    edges = [
+        (int(i), int(j)) for i in range(n) for j in range(n) if A[i, j]
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(df, n_iterations=3, normalize=True).collect()
+    }
+    # numpy replay over nodes that appear in the edge relation
+    present = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(present)}
+    M = np.zeros((len(present), len(present)))
+    for u, v in edges:
+        M[idx[u], idx[v]] = 1.0
+    h = np.ones(len(present))
+    for _ in range(3):
+        a = M.T @ h
+        a = a / a.sum()
+        h = M @ a
+        h = h / h.sum()
+    for u in present:
+        assert abs(got[u][0] - h[idx[u]]) < 1e-9, u
+        assert abs(got[u][1] - a[idx[u]]) < 1e-9, u
+    counts = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(df, n_iterations=3, normalize=False).collect()
+    }
+    byhub_n = sorted(present, key=lambda u: (-got[u][0], u))
+    byhub_c = sorted(present, key=lambda u: (-counts[u][0], u))
+    assert byhub_n == byhub_c
