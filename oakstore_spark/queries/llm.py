@@ -1767,3 +1767,47 @@ def q_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_topk(bits, probes, k=10).select(
         "query_id", "vec_id", "hamming", "rank"
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "q_containment_dup",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len({_NORM_SQL}) - 2, 1) + 1),
+               i -> substr({_NORM_SQL}, i, 3))) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(a.s) AS BIGINT) AS n_a,
+           CAST(len(b.s) AS BIGINT) AS n_b,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+           round(len(list_intersect(a.s, b.s))
+                 / CAST(least(len(a.s), len(b.s)) AS DOUBLE), 6)
+             AS containment
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE 100 * len(list_intersect(a.s, b.s))
+          >= 95 * least(len(a.s), len(b.s))
+    """,
+)
+def q_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-containment dedup (Broder's coefficient — the
+    asymmetric signal that catches quote-inclusion/subset duplication
+    Jaccard misses): |A∩B| / min(|A|,|B|) >= 0.95, applied as the
+    LOSSLESS integer comparison 100*inter >= 95*min. The oracle is
+    the full brute-force relation; the operator must find exactly the
+    same pairs through its bitmap-gemm (dense universe) or asymmetric
+    prefix-filter (sparse) path."""
+    from oakstore_spark.operators.dedup import containment_pairs
+
+    d = table(spark, sf_dir, "documents")
+    pairs = containment_pairs(d, "doc_id", "text", threshold=0.95)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "n_a",
+        "n_b",
+        "inter",
+        F.round("containment", 6).alias("containment"),
+    )

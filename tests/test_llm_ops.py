@@ -1115,3 +1115,52 @@ def test_binarize_odd_dim_tail_word(spark):
     )
     [r] = binarize_embeddings(df, dim=40).collect()
     assert r["bits"] == [(1 << 32) - 1, (1 << 8) - 1]
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short doc pasted verbatim inside a much larger doc:
+    containment ~1.0 (caught) while jaccard is far below its usual
+    thresholds (missed) — the reason the asymmetric operator exists.
+    Also: an unrelated doc pairs with nothing."""
+    from oakstore_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join(f"filler{i} token{i} words{i}" for i in range(40))
+    rows = [
+        (1, quote),
+        (2, filler + " " + quote + " " + filler[::-1].lower()),
+        (3, "completely different content about nothing at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", 0.9).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.9
+    assert all(3 not in pair for pair in cont)
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", 0.5).collect()
+    assert not [r for r in jac if {r["id_a"], r["id_b"]} == {1, 2}]
+
+
+def test_containment_sparse_path_parity(spark):
+    """Force the sparse (prefix x full postings) path by using 4-gram
+    shingles (universe >> 4096) and require the same pairs the dense
+    3-gram... rather: same operator, 4-gram, planted exact-substring
+    pair must still surface with containment 1.0 on the shorter."""
+    from oakstore_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, short), (2, short + " " + "x y z " * 30), (3, "unrelated stuff here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_pairs(
+            df, "doc_id", "text", 0.95, shingle_n=4
+        ).collect()
+    }
+    assert (1, 2) in out
+    assert out[(1, 2)]["containment"] == 1.0
+    assert out[(1, 2)]["inter"] == out[(1, 2)]["n_a"]
