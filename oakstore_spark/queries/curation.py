@@ -1760,3 +1760,52 @@ def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.round("avg_logprob", 4).alias("avg_logprob"),
     )
+
+
+@register(
+    "q_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS term FROM documents
+    ), freq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS f
+      FROM toks WHERE term != '' GROUP BY 1
+    ), ranked AS (
+      SELECT term, f,
+             row_number() OVER (ORDER BY f DESC, term) AS r
+      FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+           round(regr_intercept(ln(f), ln(r)), 4) AS intercept,
+           round(regr_r2(ln(f), ln(r)), 6) AS r2
+    FROM ranked
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus unigram distribution: OLS of
+    ln(frequency) on ln(rank) via the single-pass regr_* aggregate
+    family — natural text lands near slope -1, so the slope (plus r2)
+    is a cheap corpus-health gauge (template spam and synthetic
+    boilerplate bend it). Heavy lifting is ONE vocab-sized hash agg;
+    the ranking window runs over the tiny term-frequency relation.
+    Ties in rank are pinned (freq desc, term asc) in both engines."""
+    from oakstore_spark.functions.text import normalize_text
+    from pyspark.sql import Window as _W
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(normalize_text("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.withColumn(
+        "r", F.row_number().over(_W.orderBy(F.desc("f"), "term"))
+    )
+    x = F.log("r")
+    y = F.log("f")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )

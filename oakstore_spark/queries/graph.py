@@ -362,3 +362,106 @@ def q_hits_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out
+
+
+_REACH_SQL_BODY = """
+    reach(node, dist) AS (
+      SELECT {zero}, {zero_d}
+      UNION ALL
+      SELECT e.dst, r.dist + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.dist < 6
+    )
+    SELECT node, min(dist) AS dist, CAST(count(*) AS BIGINT) AS n_paths
+    FROM reach GROUP BY node
+"""
+
+
+@register(
+    "q_reach_bfs_sql",
+    oracle="WITH RECURSIVE "
+    + _GRAPH_CTE
+    + ","
+    + _REACH_SQL_BODY.format(
+        zero="CAST(0 AS BIGINT)", zero_d="CAST(0 AS BIGINT)"
+    ),
+)
+def q_reach_bfs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-depth-bounded reachability over the planted graph as PURE
+    RECURSIVE SQL (Spark 4 WITH RECURSIVE), seed node 0, <= 6 hops:
+    per reached node the shortest distance AND the exact number of
+    distinct walks of length <= 6 arriving there (the UNION ALL
+    recursion enumerates walks; min/count aggregate them) — both
+    integers, so DuckDB running the IDENTICAL recursion must agree on
+    every row. The 'how many clicks from the seed' shape of a crawl
+    frontier plan."""
+    from oakstore_spark.queries.graph import _planted_edges
+
+    _planted_edges(spark).createOrReplaceTempView("edges")
+    sql = (
+        "WITH RECURSIVE "
+        + _REACH_SQL_BODY.format(
+            zero="CAST(0 AS BIGINT)", zero_d="CAST(0 AS BIGINT)"
+        )
+    )
+    return spark.sql(sql)
+
+
+@register(
+    "q_warc_crawl_graph",
+    oracle="WITH "
+    + _GRAPH_CTE
+    + """
+    SELECT 'node' || CAST(COALESCE(o.node, i.node) AS VARCHAR) || '.test'
+             AS node,
+           CAST(COALESCE(o.out_degree, 0) AS BIGINT) AS out_degree,
+           CAST(COALESCE(i.in_degree, 0) AS BIGINT) AS in_degree
+    FROM (SELECT src AS node, count(*) AS out_degree
+          FROM edges GROUP BY 1) o
+    FULL JOIN (SELECT dst AS node, count(*) AS in_degree
+               FROM edges GROUP BY 1) i
+      ON o.node = i.node
+    ORDER BY node
+    """,
+)
+def q_warc_crawl_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARCHIVE-DELIVERY crawl chain end-to-end: the planted noisy
+    HTML pages are written as per-record-gzip WARC shards (what a
+    crawler actually hands the pipeline), re-ingested via binaryFile +
+    the WARC parser, payloads decoded back to HTML, links extracted +
+    canonicalized, domain edges built — and the resulting graph's
+    degree profile must equal the closed-form dyadic structure
+    EXACTLY (hubs out 4 / chain 1; long-range targets in 4). Any
+    record the container drops or any byte the codec shifts breaks a
+    degree somewhere."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from oakstore_spark.operators.graph import degree_stats, web_graph_edges
+    from oakstore_spark.sources.warc import read_warc, write_warc
+
+    pages = _planted_pages(spark)
+    recs = pages.select(
+        F.col("url").alias("record_id"),
+        F.lit("response").alias("warc_type"),
+        F.col("url").alias("target_uri"),
+        F.lit(1_700_000_000_000_000).alias("warc_date_us"),
+        F.lit("text/html").alias("content_type"),
+        F.encode("html", "utf-8").alias("payload"),
+    )
+    base = (
+        Path(tempfile.gettempdir())
+        / f"oakspark_warc_crawl_{Path(sf_dir.rstrip('/')).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    write_warc(recs, str(base), compress=True)
+    crawled = read_warc(spark, str(base), record_types=["response"]).select(
+        F.col("target_uri").alias("url"),
+        F.decode("payload", "utf-8").alias("html"),
+    )
+    edges = web_graph_edges(crawled)
+    return (
+        degree_stats(edges, src_col="src_domain", dst_col="dst_domain")
+        .orderBy("node")
+    )
