@@ -486,3 +486,63 @@ def kneser_ney_logprob(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.avg("logp").alias("avg_logprob"),
     )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Deterministic TEMPERATURE-scaled mixture resampling (the
+    standard multilingual-corpus rebalancing knob, e.g. mBERT/XLM-R
+    exponent alpha = 1/T): target share of group g is proportional to
+    ``n_g^(1/T)`` — T=1 keeps natural proportions, T→∞ approaches
+    uniform, intermediate T lifts low-resource groups without
+    flattening the mixture. Keep-rates use the largest feasible scale
+    (the binding group keeps everything, exactly like
+    :func:`target_mix_sample`), membership is the md5-threshold rule —
+    map-side, rerun-stable, no corpus shuffle.
+
+    Verification note: with T=2 the weight is ``sqrt`` — an IEEE
+    correctly-rounded operation, so any SQL engine computes the
+    bit-identical keep thresholds and the kept SET (not just its
+    size) is exactly replayable. General T uses ``pow`` (not
+    correctly-rounded by spec) — fine in production, pinned by pytest
+    rather than a hash oracle."""
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    inv_t = 1.0 / float(temperature)
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    if abs(temperature - 2.0) < 1e-12:
+        w = F.sqrt(F.col("n"))
+    else:
+        w = F.pow(F.col("n"), F.lit(inv_t))
+    weighted = counts.select(group_col, "n", w.alias("w"))
+    c = weighted.agg(F.min(F.col("n") / F.col("w")).alias("c"))
+    frac = weighted.crossJoin(F.broadcast(c)).select(
+        group_col,
+        ((F.col("c") * F.col("w")) / F.col("n")).alias("f"),
+        F.lpad(
+            F.lower(
+                F.hex(
+                    F.floor(
+                        ((F.col("c") * F.col("w")) / F.col("n"))
+                        * F.lit(4294967296)
+                    )
+                )
+            ),
+            8,
+            "0",
+        ).alias("thr"),
+    )
+    keyhex = F.substring(
+        F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 8
+    )
+    return (
+        df.join(F.broadcast(frac), group_col)
+        .filter((F.col("f") >= 1.0) | (keyhex < F.col("thr")))
+        .drop("f", "thr")
+    )

@@ -1809,3 +1809,57 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 4).alias("intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+@register(
+    "q_temperature_mix",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 16 < 8 THEN 'web'
+                  WHEN doc_id % 16 < 12 THEN 'books'
+                  WHEN doc_id % 16 < 14 THEN 'code'
+                  ELSE 'wiki' END AS grp
+      FROM documents
+    ), g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY 1
+    ), w AS (
+      SELECT grp, CAST(n AS DOUBLE) AS n, sqrt(CAST(n AS DOUBLE)) AS w
+      FROM g
+    ), c AS (
+      SELECT min(n / w) AS c FROM w
+    ), f AS (
+      SELECT grp, ((c.c * w) / n) AS f,
+             lpad(lower(to_hex(CAST(floor(((c.c * w) / n) * 4294967296)
+                                    AS BIGINT))), 8, '0') AS thr
+      FROM w, c
+    )
+    SELECT d.doc_id, d.grp AS grp
+    FROM d JOIN f ON d.grp = f.grp
+    WHERE f.f >= 1.0 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < f.thr
+    ORDER BY d.doc_id
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature T=2 mixture resampling: keep-rates proportional to
+    sqrt(n_g)/n_g with the binding (smallest) group kept whole — sqrt
+    is IEEE-correctly-rounded, so the md5-threshold membership
+    decisions are bit-identical cross-engine and the oracle replays
+    the EXACT KEPT SET row by row. Groups are PLANTED with an 8:4:2:2
+    skew (the fixture's natural sources are exactly uniform, which
+    would make any mixture scheme a no-op): 'web' downsamples
+    hardest, the smallest groups keep (nearly) everything."""
+    from oakstore_spark.operators.curation import temperature_mix_sample
+
+    m16 = F.col("doc_id") % 16
+    grp = (
+        F.when(m16 < 8, F.lit("web"))
+        .when(m16 < 12, F.lit("books"))
+        .when(m16 < 14, F.lit("code"))
+        .otherwise(F.lit("wiki"))
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", grp.alias("grp")
+    )
+    return temperature_mix_sample(d, "grp", "doc_id").orderBy("doc_id")

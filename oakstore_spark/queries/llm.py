@@ -1811,3 +1811,76 @@ def q_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inter",
         F.round("containment", 6).alias("containment"),
     )
+
+
+@register(
+    "q_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len({_NORM_SQL}) - 2, 1) + 1),
+               i -> substr({_NORM_SQL}, i, 3))) AS s
+      FROM documents
+    ), pr AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        AND 100 * least(len(a.s), len(b.s)) >= 85 * greatest(len(a.s), len(b.s))
+      WHERE len(list_intersect(a.s, b.s))
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.85
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pr
+      UNION
+      SELECT id_b, id_a FROM pr
+    ), reach(id, root) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+    ), cl AS (
+      SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id
+    ), rep AS (
+      SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+    )
+    SELECT doc_id, rep,
+           CASE WHEN u < 3435973836 THEN 'train'
+                WHEN u < 3865470566 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, rep,
+                 CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS u
+          FROM rep)
+    ORDER BY doc_id
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: near-duplicate documents
+    must never straddle a split boundary (the eval-contamination bug
+    plain hash splits have), so the split key is the doc's near-dup
+    CLUSTER representative (connected components over MinHash-LSH
+    pairs; singletons represent themselves) and the whole cluster
+    rides one md5 draw — 80/10/10 via exact integer thresholds on the
+    first 8 hex chars. Oracle: exact-jaccard pairs + recursive-CTE
+    closure + the identical md5 rule."""
+    from oakstore_spark.operators.dedup import dedup_clusters
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.85)
+    clusters = dedup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    rep = d.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("rep"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("rep").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return rep.select(
+        "doc_id",
+        "rep",
+        F.when(u < 3435973836, F.lit("train"))
+        .when(u < 3865470566, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")

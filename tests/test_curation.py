@@ -639,3 +639,57 @@ def test_kneser_ney_hand_computed(spark):
     # continuation insight: P(b|a) discounts mass to back-off; total
     # conditional mass for context 'a' stays 1
     assert abs(p_ab + p_ac + p(0, 2, 1, 3) - 1.0) < 1e-12
+
+
+def test_temperature_mix_lifts_low_resource(spark):
+    """Skewed groups 1600:100: T=2 keeps the small group whole and
+    downsamples the big one toward sqrt proportions (keep-rate
+    sqrt ratio = 1/4); T=1 is a no-op (natural proportions feasible
+    with c = n/w maximal -> f == 1 for every group)."""
+    from oakstore_spark.operators.curation import temperature_mix_sample
+
+    rows = [(i, "big" if i < 1600 else "small") for i in range(1700)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    kept = temperature_mix_sample(df, "grp", "doc_id", temperature=2.0)
+    counts = {r["grp"]: r["n"] for r in
+              kept.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 100          # binding group intact
+    # expected keep-rate for big: (sqrt(1600)/sqrt(100)) * 100 / 1600 = 1/4
+    assert 330 <= counts["big"] <= 470     # binomial around 400
+    t1 = temperature_mix_sample(df, "grp", "doc_id", temperature=1.0)
+    assert t1.count() == 1700
+
+
+def test_leakage_safe_split_no_straddle(spark):
+    """Structural guarantee: every near-dup pair lands in one split."""
+    from oakstore_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [(i, base + f"tail {i % 3}") for i in range(30)] + [
+        (100 + i, f"unique document number {i} with its own words {i}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.85)
+    clusters = dedup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    rep = df.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("rep")
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("rep").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    split = rep.select(
+        "doc_id",
+        F.when(u < 3435973836, F.lit("train"))
+        .when(u < 3865470566, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    sp = {r["doc_id"]: r["split"] for r in split.collect()}
+    for p in pairs.collect():
+        assert sp[p["id_a"]] == sp[p["id_b"]], (p["id_a"], p["id_b"])
