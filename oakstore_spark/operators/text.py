@@ -777,3 +777,53 @@ def fix_mojibake(
         repaired.alias("fixed"),
         is_moji.alias("was_mojibake"),
     )
+
+
+def tag_keywords(
+    df: DataFrame,
+    keywords: DataFrame,
+    text_col: str = "text",
+    keyword_col: str = "keyword",
+    tag_col: str = "tag",
+    out_col: str = "tags",
+) -> DataFrame:
+    """Taxonomy/keyword tagging: append ``out_col`` — the sorted
+    distinct tags whose keyword occurs as a WHOLE WORD in the
+    document. The keyword relation ((keyword, tag) rows — a tag can
+    own many keywords) is collected and compiled into one
+    alternation-regex PER TAG, applied map-side: at 100 TB this is a
+    broadcast-style pattern scan with zero shuffles and zero Python
+    in the row path, the standard shape for blocklist/topic/taxonomy
+    tagging where the taxonomy is configuration-sized.
+
+    Matching is case-insensitive on word boundaries; keywords are
+    regex-escaped (literal phrases, not patterns)."""
+    import re as _re
+
+    rows = keywords.select(keyword_col, tag_col).collect()
+    by_tag: dict[str, list[str]] = {}
+    for r in rows:
+        by_tag.setdefault(r[tag_col], []).append(r[keyword_col])
+
+    def _bounded(k: str) -> str:
+        # \b only works against a WORD-char keyword edge ('\bc\+\+\b'
+        # can never match "c++ "): anchor each edge only when the
+        # keyword's own edge is a word char — RE2-safe, no lookaround
+        lead = "\\b" if _re.match(r"\w", k[:1]) else ""
+        trail = "\\b" if _re.match(r"\w", k[-1:]) else ""
+        return lead + _re.escape(k) + trail
+
+    tag_exprs = []
+    for tag in sorted(by_tag):
+        pat = (
+            "(?i)(?:"
+            + "|".join(sorted(_bounded(k) for k in by_tag[tag]))
+            + ")"
+        )
+        tag_exprs.append(
+            F.when(F.col(text_col).rlike(pat), F.lit(tag))
+        )
+    tags = F.array_sort(
+        F.filter(F.array(*tag_exprs), lambda t: t.isNotNull())
+    )
+    return df.withColumn(out_col, tags)

@@ -1863,3 +1863,76 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", grp.alias("grp")
     )
     return temperature_mix_sample(d, "grp", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "q_corpus_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 != 0
+    ), new_ AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0
+                      THEN text || ' (updated)'
+                      ELSE text END) AS h
+      FROM documents WHERE doc_id % 10 != 1
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.h != n.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL JOIN new_ n ON o.doc_id = n.doc_id
+    )
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl snapshot diff — the first question of every
+    recrawl: what was added, removed, changed, unchanged between two
+    corpus versions? Content identity is the md5 of the text, the
+    diff one full outer join on the doc key (at 100 TB: a
+    hash-partitioned sort-merge join carrying only (id, 16-byte
+    digest) — text never shuffles). The planted snapshots drop
+    different id residues and mutate every 7th text, so all four
+    statuses appear with closed-form membership."""
+    d = table(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    new = d.where(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" (updated)")),
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full")
+    status = (
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("o.h") != F.col("n.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias(
+                "doc_id"
+            ),
+            status.alias("status"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("status")
+    )

@@ -898,3 +898,58 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return robots_allowed(urls, rules).orderBy("doc_id")
+
+
+@register(
+    "q_keyword_tagging",
+    oracle="""
+    SELECT doc_id,
+           COALESCE(array_to_string(list_sort(
+             list_filter([
+               CASE WHEN regexp_matches(lower(text), '\\b(hash|join)\\b')
+                    THEN 'db' END,
+               CASE WHEN regexp_matches(lower(text), '\\b(spark|stream)\\b')
+                    THEN 'engine' END,
+               CASE WHEN regexp_matches(lower(text),
+                                        '\\b(zzzmissing|qqabsent)\\b')
+                    THEN 'never' END
+             ], t -> t IS NOT NULL)), ','), '') AS tags_csv,
+           CAST(len(list_filter([
+               CASE WHEN regexp_matches(lower(text), '\\b(hash|join)\\b')
+                    THEN 'db' END,
+               CASE WHEN regexp_matches(lower(text), '\\b(spark|stream)\\b')
+                    THEN 'engine' END,
+               CASE WHEN regexp_matches(lower(text),
+                                        '\\b(zzzmissing|qqabsent)\\b')
+                    THEN 'never' END
+             ], t -> t IS NOT NULL)) AS BIGINT) AS n_tags
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast taxonomy tagging: three tags over literal keyword
+    lists (one with keywords absent from the corpus — must tag
+    nothing), whole-word case-insensitive matching compiled to one
+    alternation per tag, applied map-side. The oracle replays the
+    same regexes per row."""
+    from oakstore_spark.operators.text import tag_keywords
+
+    kw = spark.createDataFrame(
+        [
+            ("hash", "db"),
+            ("join", "db"),
+            ("spark", "engine"),
+            ("stream", "engine"),
+            ("zzzmissing", "never"),
+            ("qqabsent", "never"),
+        ],
+        "keyword string, tag string",
+    )
+    d = table(spark, sf_dir, "documents")
+    tagged = tag_keywords(d, kw)
+    return tagged.select(
+        "doc_id",
+        F.array_join("tags", ",").alias("tags_csv"),
+        F.size("tags").cast("bigint").alias("n_tags"),
+    ).orderBy("doc_id")

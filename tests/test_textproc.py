@@ -580,3 +580,24 @@ def test_robots_tie_least_restrictive_wins(spark):
     )
     [r] = robots_allowed(urls, parse_robots(robots)).collect()
     assert r["allowed"] is True
+
+
+def test_tag_keywords_word_boundaries_and_case(spark):
+    from oakstore_spark.operators.text import tag_keywords
+
+    kw = spark.createDataFrame(
+        [("cat", "animal"), ("dog", "animal"), ("c++", "lang")],
+        "keyword string, tag string",
+    )
+    rows = [
+        (1, "my CAT is here"),          # case-insensitive
+        (2, "concatenate strings"),     # substring must NOT match
+        (3, "I write c++ daily"),       # regex metachars escaped
+        (4, "dog and cat together"),    # one tag, deduped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: list(r["tags"]) for r in tag_keywords(df, kw).collect()}
+    assert out[1] == ["animal"]
+    assert out[2] == []
+    assert out[3] == ["lang"]
+    assert out[4] == ["animal"]
