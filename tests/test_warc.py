@@ -136,3 +136,95 @@ def test_read_warc_external_writer_layout(spark, tmp_path):
     assert r["warc_type"] == "response"
     assert r["payload"] == body
     assert r["warc_date_us"] == 1_577_934_245_000_000
+
+
+def test_streaming_warc_ingest_foreachbatch(spark, tmp_path):
+    """Streaming x WARC composition: a binaryFile FILE STREAM of WARC
+    shards parsed micro-batch by micro-batch (foreachBatch ->
+    _parse_warc_bytes -> parquet sink). The sink must equal a batch
+    read of the same shards, and a late-arriving shard is picked up
+    incrementally by the next availableNow run."""
+    from pyspark.sql import functions as F
+
+    from oakstore_spark.sources.warc import (
+        WARC_SCHEMA,
+        _render_record,
+        read_warc,
+    )
+
+    src = tmp_path / "warc_src"
+    src.mkdir()
+
+    def write_shard(sid: int, n: int) -> None:
+        blob = b"".join(
+            _render_record(
+                _rec(
+                    record_id=f"urn:s{sid}:{i}",
+                    payload=f"s{sid}-{i}".encode(),
+                    warc_date_us=1_600_000_000_000_000 + sid * 100 + i,
+                )
+            )
+            for i in range(n)
+        )
+        (src / f"shard-{sid}.warc").write_bytes(blob)
+
+    for sid in range(3):
+        write_shard(sid, sid + 1)
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.format("binaryFile")
+            .option("pathGlobFilter", "*.warc")
+            .schema(
+                "path string, modificationTime timestamp, "
+                "length long, content binary"
+            )
+            .load(str(src))
+        )
+
+        def parse_batch(batch_df, batch_id):
+            import pandas as pd
+
+            from oakstore_spark.sources.warc import _parse_warc_bytes
+
+            def kernel(batches):
+                for pdf in batches:
+                    rows = []
+                    for path, content in zip(pdf["path"], pdf["content"]):
+                        rows.extend(_parse_warc_bytes(bytes(content), path))
+                    yield pd.DataFrame(
+                        rows,
+                        columns=[f.name for f in WARC_SCHEMA.fields],
+                    )
+
+            batch_df.select("path", "content").mapInPandas(
+                kernel, WARC_SCHEMA
+            ).write.mode("append").parquet(sink)
+
+        q = (
+            stream.writeStream.foreachBatch(parse_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 1 + 2 + 3
+    batch = read_warc(spark, str(src))
+    assert (
+        got.select("record_id", "payload").exceptAll(
+            batch.select("record_id", "payload")
+        ).count()
+        == 0
+    )
+    # late shard: only the new records append
+    write_shard(9, 2)
+    run_once()
+    got2 = spark.read.parquet(sink)
+    assert got2.count() == 8
+    assert got2.where(F.col("record_id").startswith("urn:s9:")).count() == 2
