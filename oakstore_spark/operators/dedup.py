@@ -1460,22 +1460,29 @@ def containment_pairs(
         )
 
     # SPARSE path: rarity-ordered prefixes on the contained side vs
-    # full postings
-    max_code = (1 << (7 * shingle_n)) + (shingle_n << (7 * (shingle_n - 1))) + 1
-    ftab = np.zeros(max_code + 1, dtype=np.int64)
-    for row in freq_rows:
-        ftab[row["code"]] = row["_df"]
-    bc_freq = df.sparkSession.sparkContext.broadcast(ftab)
+    # full postings. The frequency lookup is a UNIVERSE-sized sorted
+    # pair of arrays probed with searchsorted — NOT a dense
+    # max-code-indexed table: at shingle_n=4 the code space is 2^28
+    # and a dense int64 table is a 2.1 GB broadcast (measured: it
+    # stalled a 500k-doc probe outright), while real universes are
+    # millions of entries at most.
+    space = np.sort(np.asarray([int(r["code"]) for r in freq_rows]))
+    freqs = np.empty(space.size, dtype=np.int64)
+    tmp = {int(r["code"]): int(r["_df"]) for r in freq_rows}
+    for i, c in enumerate(space):
+        freqs[i] = tmp[int(c)]
+    bc_freq = df.sparkSession.sparkContext.broadcast((space, freqs))
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<int>")
     def rarity_sort(codes_s: pd.Series) -> pd.Series:
-        tab = bc_freq.value
+        sp, fq = bc_freq.value
         out = []
         for c in codes_s:
             cv = np.asarray(c, dtype=np.int64)
-            order = np.lexsort((cv, tab[cv]))
+            dfv = fq[np.searchsorted(sp, cv)]
+            order = np.lexsort((cv, dfv))
             out.append(cv[order].astype(np.int32))
         return pd.Series(out)
 

@@ -72,6 +72,10 @@ def main() -> None:
                          "synthetic graph with this many edges (ring + "
                          "hash chords over n/4 nodes); asserts exact "
                          "mass conservation")
+    ap.add_argument("--hammingvecs", type=int, default=0,
+                    help="binary-quantized Hamming top-k probe")
+    ap.add_argument("--containdocs", type=int, default=0,
+                    help="sparse-path containment dedup probe")
     ap.add_argument("--warcdocs", type=int, default=0,
                     help="WARC write+read round-trip throughput probe")
     ap.add_argument("--avrodocs", type=int, default=0,
@@ -743,6 +747,95 @@ def main() -> None:
                 f"({na}, {na * (na - 1) // 2})"
             )
         adocs.unpersist()
+
+    if args.hammingvecs:
+        # memory-bound first-stage retrieval at scale: pack N 64-dim
+        # vectors to 2 BIGINT words (32x compression), exact Hamming
+        # top-10 for 8 probes via one corpus scan + window
+        from oakstore_spark.operators.similarity import (
+            binarize_embeddings,
+            hamming_topk,
+        )
+
+        nv = args.hammingvecs
+        vecs = spark.range(0, nv, 1, 64).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: F.sin(F.col("id") * (j + 1) * 0.7)
+                .cast("float"),
+            ).alias("embedding"),
+        )
+        t0 = time.time()
+        bits = binarize_embeddings(vecs, dim=64).persist()
+        bits.count()
+        pdt = time.time() - t0
+        probes = bits.where(F.col("vec_id") < 8)
+        t0 = time.time()
+        got = hamming_topk(bits, probes, k=10).count()
+        sdt = time.time() - t0
+        bits.unpersist()
+        out["hamming_probe_vecs"] = nv
+        out["hamming_pack_sec"] = round(pdt, 2)
+        out["hamming_pack_vecs_per_sec"] = round(nv / pdt)
+        out["hamming_search_sec"] = round(sdt, 2)
+        out["hamming_scan_vecs_per_sec"] = round(nv * 8 / sdt)
+        if got != 80:
+            raise SystemExit(f"hamming probe FAILED: {got} != 80")
+
+    if args.containdocs:
+        # containment dedup SPARSE path at volume: unique docs +
+        # planted contained pairs; candidate generation must stay
+        # linear (rare-gram prefixes), recovery exact
+        from oakstore_spark.operators.dedup import containment_pairs
+
+        nc = args.containdocs
+        n_pairs = max(nc // 100, 10)
+        base = spark.range(0, nc, 1, 64).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("unique document "),
+                F.col("id").cast("string"),
+                F.lit(" body segment "),
+                (F.col("id") * 2_654_435_761 % 1_000_003).cast("string"),
+                F.lit(" tail "),
+                (F.col("id") * 40_503 % 999_983).cast("string"),
+            ).alias("text"),
+        )
+        # planted: doc nc+i CONTAINS doc i's text plus filler
+        contained = spark.range(0, n_pairs, 1, 8).select(
+            (F.col("id") + nc).alias("doc_id"),
+            F.concat(
+                F.lit("unique document "),
+                F.col("id").cast("string"),
+                F.lit(" body segment "),
+                (F.col("id") * 2_654_435_761 % 1_000_003).cast("string"),
+                F.lit(" tail "),
+                (F.col("id") * 40_503 % 999_983).cast("string"),
+                F.lit(" plus wholly novel appended filler text "),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+        corpus = base.unionByName(contained)
+        t0 = time.time()
+        pairs = containment_pairs(
+            corpus, "doc_id", "text", threshold=0.9, shingle_n=4
+        )
+        found = pairs.where(
+            F.col("id_b") == F.col("id_a") + nc
+        ).count()
+        total = pairs.count()
+        cdt = time.time() - t0
+        out["contain_probe_docs"] = nc + n_pairs
+        out["contain_probe_sec"] = round(cdt, 2)
+        out["contain_probe_docs_per_sec"] = round((nc + n_pairs) / cdt)
+        out["contain_probe_planted"] = n_pairs
+        out["contain_probe_found_planted"] = found
+        out["contain_probe_total_pairs"] = total
+        if found != n_pairs:
+            raise SystemExit(
+                f"containment probe FAILED: {found} != {n_pairs}"
+            )
 
     if args.warcdocs:
         # WARC interop-path throughput: per-record gzip members
