@@ -65,16 +65,28 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
+        # min-of-two for EVERY query: single-shot wall times at this
+        # scale carry 10-20% run-to-run noise (GC, page cache), which
+        # otherwise swamps real per-round regressions. When the two
+        # samples disagree by >25% on a non-trivial query, transient
+        # box load is suspect (the r8 bench recorded q07 at 2.96s vs a
+        # re-timed 0.97s — BOTH min-of-two samples were inflated), so
+        # take a third decisive sample and keep the min of all three.
         t1 = time_once(name)
-        # min-of-two for non-trivial queries: single-shot wall times at
-        # this scale carry 10-20% run-to-run noise (GC, page cache),
-        # which otherwise swamps real per-round regressions; sub-0.3s
-        # queries are stable enough to keep the suite's wall cost down
-        if t1 >= 0.3:
-            t2 = time_once(name)
-            timings[name] = min(t1, t2) if t2 >= 0 else t1
-        else:
+        if t1 < 0:
             timings[name] = t1
+            continue
+        t2 = time_once(name)
+        best = min(t1, t2) if t2 >= 0 else t1
+        if (
+            t2 >= 0
+            and best >= 0.3
+            and max(t1, t2) > 1.25 * min(t1, t2)
+        ):
+            t3 = time_once(name)
+            if t3 >= 0:
+                best = min(best, t3)
+        timings[name] = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
     store = bench_store(spark, sf)

@@ -114,19 +114,27 @@ def preference_pairs(
     tie-breaks through partial aggregation, so the 100 TB cost is a
     single shuffle on the prompt key with map-side combine (no window,
     no per-prompt sort). Deterministic: the same relation always
-    elects the same pair."""
+    elects the same pair. Response ids may be ANY orderable type
+    (strings included — the ordering struct negates the numeric SCORE,
+    never the id); scores must be numeric.
+
+    ``keep_ties`` never emits a degenerate self-pair: a zero-margin
+    group (all scores equal) elects the smallest id as chosen and the
+    SECOND-smallest as rejected, re-elected by a second aggregate over
+    just the tied groups."""
     score = F.col(score_col)
     rid = F.col(resp_id_col)
+    # min over (-score, id): maximizes score, ties to the smallest id —
+    # works for string ids (only the numeric score is negated)
+    chosen = F.min_by(rid, F.struct((-score).alias("s"), rid.alias("t")))
     g = df.groupBy(prompt_col).agg(
         F.count(F.lit(1)).alias("n_responses"),
-        # ordering structs: ties to the SMALLEST id need the id
-        # negated under max_by (numeric-id contract, documented)
-        F.max_by(rid, F.struct(score.alias("s"), (-rid).alias("t")))
-        .alias("chosen_id"),
+        chosen.alias("chosen_id"),
         F.max(score).alias("chosen_score"),
         F.min_by(rid, F.struct(score.alias("s"), rid.alias("t")))
         .alias("rejected_id"),
         F.min(score).alias("rejected_score"),
+        F.min(rid).alias("_id_min"),
     )
     out = g.where(F.col("n_responses") >= 2).select(
         F.col(prompt_col),
@@ -136,7 +144,39 @@ def preference_pairs(
         "rejected_id",
         "rejected_score",
         (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        "_id_min",
     )
     if not keep_ties:
-        out = out.where(F.col("margin") > 0)
-    return out
+        return out.where(F.col("margin") > 0).drop("_id_min")
+    # keep_ties: a fully-tied group elects chosen == rejected == the
+    # smallest id. Re-elect the rejected side of JUST those groups
+    # (expected to be a small fraction) as the second-smallest id — a
+    # semi-joined second aggregate, so the main path stays one shuffle.
+    tied = out.where(
+        (F.col("margin") == 0) & (F.col("chosen_id") == F.col("rejected_id"))
+    )
+    clean = out.where(
+        ~((F.col("margin") == 0) & (F.col("chosen_id") == F.col("rejected_id")))
+    ).drop("_id_min")
+    second = (
+        df.join(
+            tied.select(F.col(prompt_col), F.col("_id_min")), prompt_col
+        )
+        .where(rid != F.col("_id_min"))
+        .groupBy(prompt_col)
+        .agg(F.min(rid).alias("_id_second"))
+    )
+    fixed = (
+        tied.drop("_id_min")
+        .join(second, prompt_col)
+        .select(
+            F.col(prompt_col),
+            "n_responses",
+            "chosen_id",
+            "chosen_score",
+            F.col("_id_second").alias("rejected_id"),
+            "rejected_score",
+            "margin",
+        )
+    )
+    return clean.unionByName(fixed)

@@ -1316,6 +1316,7 @@ def containment_pairs(
     threshold: float,
     shingle_n: int = 3,
     broadcast_verify_max_docs: int = 100_000,
+    rarity_broadcast_max_universe: int = 2_000_000,
 ) -> DataFrame:
     """EXACT n-gram CONTAINMENT near-dup pairs: emit (id_a < id_b)
     where ``|shingles(A) ∩ shingles(B)| / min(|A|, |B|)`` >= threshold
@@ -1363,10 +1364,17 @@ def containment_pairs(
         grams.select(F.explode("codes").alias("code"))
         .groupBy("code")
         .agg(F.count(F.lit(1)).alias("_df"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    freq_rows = dfreq.collect()
+    # universe size via a COUNT — the frequency table itself is only
+    # collected to the driver when a path actually broadcasts it and
+    # the universe fits under its gate (the dense gemm at <=4096, the
+    # searchsorted rarity lookup at <=rarity_broadcast_max_universe);
+    # beyond that the sparse path ranks rarity with a distributed join
+    # instead, so universe growth (unicode-heavy corpora, larger n)
+    # can never funnel through the driver.
+    universe = dfreq.count()
     n_docs = grams.count()
-    universe = len(freq_rows)
 
     out_schema = T.StructType(
         [
@@ -1386,6 +1394,7 @@ def containment_pairs(
         and n_docs <= broadcast_verify_max_docs
         and n_docs * universe * 4 <= 500_000_000
     ):
+        freq_rows = dfreq.collect()
         code_space = np.sort(np.asarray([int(r["code"]) for r in freq_rows]))
         doc_rows = grams.select("id", "codes").collect()
         ids_all = np.asarray([r["id"] for r in doc_rows])
@@ -1460,38 +1469,72 @@ def containment_pairs(
         )
 
     # SPARSE path: rarity-ordered prefixes on the contained side vs
-    # full postings. The frequency lookup is a UNIVERSE-sized sorted
-    # pair of arrays probed with searchsorted — NOT a dense
-    # max-code-indexed table: at shingle_n=4 the code space is 2^28
-    # and a dense int64 table is a 2.1 GB broadcast (measured: it
-    # stalled a 500k-doc probe outright), while real universes are
-    # millions of entries at most.
-    space = np.sort(np.asarray([int(r["code"]) for r in freq_rows]))
-    freqs = np.empty(space.size, dtype=np.int64)
-    tmp = {int(r["code"]): int(r["_df"]) for r in freq_rows}
-    for i, c in enumerate(space):
-        freqs[i] = tmp[int(c)]
-    bc_freq = df.sparkSession.sparkContext.broadcast((space, freqs))
+    # full postings. Under the gate, the frequency lookup is a
+    # UNIVERSE-sized sorted pair of arrays probed with searchsorted —
+    # NOT a dense max-code-indexed table: at shingle_n=4 the code
+    # space is 2^28 and a dense int64 table is a 2.1 GB broadcast
+    # (measured: it stalled a 500k-doc probe outright), while real
+    # universes are millions of entries at most. ABOVE the gate
+    # (unicode-heavy corpora, larger n, or gate forced to 0 in CI),
+    # rarity is ranked DISTRIBUTED: explode the postings, join the
+    # frequency relation on code, and re-assemble each doc's codes
+    # sorted by (_df, code) with array_sort over structs — one extra
+    # shuffle, zero driver-side state, identical ordering (lexsort by
+    # (df asc, code asc) == struct ordering (df, code) asc).
+    if universe <= rarity_broadcast_max_universe:
+        freq_rows = dfreq.collect()
+        space = np.sort(np.asarray([int(r["code"]) for r in freq_rows]))
+        freqs = np.empty(space.size, dtype=np.int64)
+        tmp = {int(r["code"]): int(r["_df"]) for r in freq_rows}
+        for i, c in enumerate(space):
+            freqs[i] = tmp[int(c)]
+        bc_freq = df.sparkSession.sparkContext.broadcast((space, freqs))
 
-    from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<int>")
-    def rarity_sort(codes_s: pd.Series) -> pd.Series:
-        sp, fq = bc_freq.value
-        out = []
-        for c in codes_s:
-            cv = np.asarray(c, dtype=np.int64)
-            dfv = fq[np.searchsorted(sp, cv)]
-            order = np.lexsort((cv, dfv))
-            out.append(cv[order].astype(np.int32))
-        return pd.Series(out)
+        @pandas_udf("array<int>")
+        def rarity_sort(codes_s: pd.Series) -> pd.Series:
+            sp, fq = bc_freq.value
+            out = []
+            for c in codes_s:
+                cv = np.asarray(c, dtype=np.int64)
+                dfv = fq[np.searchsorted(sp, cv)]
+                order = np.lexsort((cv, dfv))
+                out.append(cv[order].astype(np.int32))
+            return pd.Series(out)
 
-    sorted_grams = grams.select(
-        "id", "n_grams", rarity_sort("codes").alias("codes_r")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    prefix_len = (
-        F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
-    ).cast("int")
+        sorted_grams = grams.select(
+            "id", "n_grams", rarity_sort("codes").alias("codes_r")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        sorted_grams = (
+            grams.select("id", F.explode("codes").alias("code"))
+            .join(dfreq, "code")
+            .groupBy("id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_df"), F.col("code")))
+                ).alias("_sc")
+            )
+            .select(
+                "id",
+                F.size("_sc").alias("n_grams"),
+                F.transform("_sc", lambda s: s["code"]).alias("codes_r"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    # The prefix length MUST be derived from the same integer pct the
+    # acceptance filter uses (100*inter >= pct*min): a pair passes when
+    # inter >= ceil(pct*n/100), so covering candidates needs the rarest
+    # n - ceil(pct*n/100) + 1 grams. Deriving it from the raw float
+    # threshold (ceil(t*n)) under-covers whenever round(100*t) < 100*t
+    # (e.g. t=0.333 -> pct=33) — candidates the verify filter would
+    # accept could be silently missed. ceil(pct*n/100) as exact integer
+    # arithmetic: floor((pct*n + 99) / 100).
+    need = F.floor(
+        (F.lit(pct) * F.col("n_grams") + F.lit(99)) / F.lit(100)
+    )
+    prefix_len = (F.col("n_grams") - need + 1).cast("int")
     prefix = sorted_grams.select(
         "id", F.explode(F.slice("codes_r", 1, prefix_len)).alias("code")
     )

@@ -316,6 +316,8 @@ def hits(
     dst_col: str = "dst",
     normalize: bool = True,
     checkpoint_interval: int = 4,
+    checkpoint_dir: str | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999 — public): iterate
 
@@ -336,20 +338,46 @@ def hits(
     relation is pinned ONCE (checkpoint, not persist — a persist keeps
     the producer plan in lineage and Catalyst re-analyzes it per
     iteration), each half-step is one join + partial-agg shuffle, and
-    lineage truncates every ``checkpoint_interval`` rounds."""
+    lineage truncates every ``checkpoint_interval`` rounds.
+
+    ``checkpoint_dir``: as in :func:`pagerank` — per-iteration lineage
+    pins use RELIABLE ``checkpoint()`` into that directory instead of
+    ``localCheckpoint()``, so an executor loss mid-run recovers instead
+    of killing the job; the tradeoff is one write per pin.
+    ``tol``: normalized mode only — stop early once BOTH
+    ``max |hub' - hub|`` and ``max |auth' - auth|`` fall below it
+    (one extra small join+agg job per iteration); leave None for
+    replayable fixed-iteration runs. Raises ``ValueError`` with
+    ``normalize=False``, where exact path counts grow every round and
+    a convergence test is meaningless."""
+    if tol is not None and not normalize:
+        raise ValueError(
+            "tol requires normalize=True: un-normalized HITS scores "
+            "are growing path counts and never converge"
+        )
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     e_raw = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     nodes = e_raw.select(F.col("src").alias("node")).unionByName(
         e_raw.select(F.col("dst").alias("node"))
     ).distinct()
-    e = e_raw.localCheckpoint(eager=True)
-    nodes = nodes.localCheckpoint(eager=True)
+    e = _pin(e_raw)
+    nodes = _pin(nodes)
     e_raw.unpersist()
 
     one = F.lit(1).cast("long") if not normalize else F.lit(1.0)
     hub = nodes.select("node", one.alias("hub"))
     auth = None
+    prev_hub = prev_auth = None
     for it in range(n_iterations):
         auth = (
             e.join(hub.withColumnRenamed("node", "src"), "src")
@@ -383,9 +411,37 @@ def hits(
             hub = hub.crossJoin(F.broadcast(s)).select(
                 "node", (F.col("hub") / F.col("s")).alias("hub")
             )
-        if (it + 1) % max(1, checkpoint_interval) == 0 or (
+        if tol is not None:
+            # tol mode forces per-iteration pinning anyway (the delta
+            # agg evaluates both relations), so pin every round
+            auth = _pin(auth)
+            hub = _pin(hub)
+            if prev_hub is not None:
+                d_hub = (
+                    hub.join(
+                        prev_hub.withColumnRenamed("hub", "_ph"), "node"
+                    )
+                    .agg(F.max(F.abs(F.col("hub") - F.col("_ph"))))
+                    .first()[0]
+                )
+                d_auth = (
+                    auth.join(
+                        prev_auth.withColumnRenamed("auth", "_pa"), "node"
+                    )
+                    .agg(F.max(F.abs(F.col("auth") - F.col("_pa"))))
+                    .first()[0]
+                )
+                if (
+                    d_hub is not None
+                    and d_auth is not None
+                    and d_hub < tol
+                    and d_auth < tol
+                ):
+                    break
+            prev_hub, prev_auth = hub, auth
+        elif (it + 1) % max(1, checkpoint_interval) == 0 or (
             it == n_iterations - 1
         ):
-            auth = auth.localCheckpoint(eager=True)
-            hub = hub.localCheckpoint(eager=True)
+            auth = _pin(auth)
+            hub = _pin(hub)
     return hub.join(auth, "node").select("node", "hub", "auth")

@@ -165,6 +165,63 @@ ROBOTS_RULES_SCHEMA = T.StructType(
     ]
 )
 
+ROBOTS_DELAY_SCHEMA = T.StructType(
+    [
+        T.StructField("reg_domain", T.StringType()),
+        T.StructField("crawl_delay_sec", T.DoubleType()),
+        T.StructField("max_requests_per_min", T.DoubleType()),
+    ]
+)
+
+
+def _robots_groups(txt: str) -> list[tuple[set, list]]:
+    """Group structure of one robots.txt: [(agents, lines)] where
+    ``lines`` are ``(key, value)`` directives in file order. Any
+    rule-like directive (allow / disallow / crawl-delay) closes an
+    open ``User-agent`` run, so a later UA line starts a NEW group —
+    the RFC 9309 grouping rule."""
+    groups: list[tuple[set, list]] = []
+    cur_agents: set = set()
+    cur_lines: list = []
+    agents_open = False  # consecutive UA lines share one group
+    for raw in (txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not agents_open and cur_agents:
+                groups.append((cur_agents, cur_lines))
+                cur_agents, cur_lines = set(), []
+            cur_agents.add(val.lower())
+            agents_open = True
+        elif key in ("allow", "disallow", "crawl-delay"):
+            agents_open = False
+            if cur_agents:
+                cur_lines.append((key, val))
+    if cur_agents:
+        groups.append((cur_agents, cur_lines))
+    return groups
+
+
+def _select_group_lines(
+    groups: list[tuple[set, list]], agent_l: str
+) -> list[tuple[str, str]]:
+    """RFC 9309 group selection: the union of groups exactly matching
+    the agent token; only if none match, the union of ``*`` groups —
+    a crawler never obeys both."""
+    chosen = None
+    for agents, lines in groups:
+        if agent_l in agents:
+            chosen = (chosen or []) + lines
+    if chosen is None:
+        for agents, lines in groups:
+            if "*" in agents:
+                chosen = (chosen or []) + lines
+    return chosen or []
+
 
 def parse_robots(
     robots: DataFrame,
@@ -199,44 +256,15 @@ def parse_robots(
     agent_l = agent.lower()
 
     def _parse_one(txt: str) -> list[tuple[str, bool, int, str]]:
-        groups: list[tuple[set, list]] = []  # (agents, rules)
-        cur_agents: set = set()
-        cur_rules: list = []
-        agents_open = False  # consecutive UA lines share one group
-        for raw in (txt or "").splitlines():
-            line = raw.split("#", 1)[0].strip()
-            if not line or ":" not in line:
-                continue
-            key, _, val = line.partition(":")
-            key = key.strip().lower()
-            val = val.strip()
-            if key == "user-agent":
-                if not agents_open and cur_agents:
-                    groups.append((cur_agents, cur_rules))
-                    cur_agents, cur_rules = set(), []
-                cur_agents.add(val.lower())
-                agents_open = True
-            elif key in ("allow", "disallow"):
-                agents_open = False
-                if cur_agents:
-                    cur_rules.append((key == "allow", val))
-        if cur_agents:
-            groups.append((cur_agents, cur_rules))
-        # RFC group selection: exact agent match beats *, never both
-        chosen = None
-        for agents, rules in groups:
-            if agent_l in agents:
-                chosen = (chosen or []) + rules
-        if chosen is None:
-            for agents, rules in groups:
-                if "*" in agents:
-                    chosen = (chosen or []) + rules
+        lines = _select_group_lines(_robots_groups(txt), agent_l)
         out = []
-        for allow, pat in chosen or []:
+        for key, pat in lines:
+            if key not in ("allow", "disallow"):
+                continue  # crawl-delay handled by crawl_delays()
             if pat == "":
                 # empty Disallow = allow everything: no rule at all
                 continue
-            out.append((pat, allow, len(pat), _to_regex(pat)))
+            out.append((pat, key == "allow", len(pat), _to_regex(pat)))
         return out
 
     def _kernel(batches):
@@ -262,6 +290,62 @@ def parse_robots(
     )
 
 
+def crawl_delays(
+    robots: DataFrame,
+    domain_col: str = "reg_domain",
+    txt_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Per-domain politeness rate table from ``Crawl-delay`` lines —
+    the de-facto extension next to RFC 9309's allow/deny (Yandex/Bing
+    semantics: seconds between successive fetches). Group selection is
+    the same as :func:`parse_robots` (exact agent token beats ``*``,
+    never both); when the selected group states several delays the
+    MOST CONSERVATIVE (largest) one wins, since obeying it satisfies
+    every stated limit. Unparseable or non-positive values are
+    ignored; domains without a delay line are absent from the output
+    (no limit).
+
+    Returns ``(reg_domain, crawl_delay_sec, max_requests_per_min)`` —
+    the rate column is the join-ready form a fetch scheduler wants.
+    Like :func:`parse_robots` this runs as a small kernel over the
+    tiny per-domain relation; join it broadcast against the URL corpus
+    exactly like :func:`robots_allowed`."""
+    agent_l = agent.lower()
+
+    def _kernel(batches):
+        for pdf in batches:
+            rows = []
+            for dom, txt in zip(pdf[domain_col], pdf[txt_col]):
+                delay = None
+                for key, val in _select_group_lines(
+                    _robots_groups(txt), agent_l
+                ):
+                    if key != "crawl-delay":
+                        continue
+                    try:
+                        v = float(val)
+                    except ValueError:
+                        continue
+                    if v > 0:
+                        delay = v if delay is None else max(delay, v)
+                if delay is not None:
+                    rows.append(
+                        {
+                            "reg_domain": dom,
+                            "crawl_delay_sec": delay,
+                            "max_requests_per_min": 60.0 / delay,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ROBOTS_DELAY_SCHEMA.fields]
+            )
+
+    return robots.select(domain_col, txt_col).mapInPandas(
+        _kernel, ROBOTS_DELAY_SCHEMA
+    )
+
+
 def robots_allowed(
     urls: DataFrame,
     rules: DataFrame,
@@ -279,18 +363,27 @@ def robots_allowed(
     rule relation + JVM ``regexp_like`` + one aggregate back to URL
     grain — the verdict struct max carries (plen, allow) through
     partial aggregation, so the 100 TB cost is map-side work plus one
-    shuffle on the URL key."""
+    shuffle on the URL key. Rows are restored by a UNIQUE row key
+    (``monotonically_increasing_id``), never by grouping on the input
+    columns — duplicate input rows stay duplicated in the output, and
+    non-groupable column types (maps) pass through untouched. Per RFC
+    9309 the match target is the path PLUS the query string (a
+    ``Disallow: /search?*q=`` pattern must see ``?q=``)."""
     parts = url_parts(url_col)
-    keyed = urls.withColumn(
-        "_rd", registered_domain(parts["host"])
-    ).withColumn(
-        "_path",
-        F.when(parts["path"] == "", F.lit("/")).otherwise(parts["path"]),
+    path = F.when(parts["path"] == "", F.lit("/")).otherwise(parts["path"])
+    target = F.when(
+        parts["query"] != "",
+        F.concat(path, F.lit("?"), parts["query"]),
+    ).otherwise(path)
+    keyed = (
+        urls.withColumn("_rk", F.monotonically_increasing_id())
+        .withColumn("_rd", registered_domain(parts["host"]))
+        .withColumn("_target", target)
     )
     joined = keyed.join(
         F.broadcast(rules), keyed["_rd"] == rules["reg_domain"], "left"
     )
-    hit = F.col("regex").isNotNull() & F.expr("_path rlike regex")
+    hit = F.col("regex").isNotNull() & F.expr("_target rlike regex")
     verdict = F.when(
         hit,
         F.struct(
@@ -298,12 +391,16 @@ def robots_allowed(
             F.col("allow").cast("int").alias("a"),
         ),
     )
-    out_cols = [F.col(c) for c in urls.columns]
     return (
-        joined.groupBy("_rd", "_path", *[urls[c] for c in urls.columns])
-        .agg(F.max(verdict).alias("_v"))
+        joined.groupBy("_rk")
+        .agg(
+            F.first(F.struct(*[keyed[c] for c in urls.columns])).alias(
+                "_row"
+            ),
+            F.max(verdict).alias("_v"),
+        )
         .select(
-            *out_cols,
+            *[F.col("_row")[c].alias(c) for c in urls.columns],
             F.coalesce(F.col("_v")["a"] == 1, F.lit(True)).alias(
                 "allowed"
             ),

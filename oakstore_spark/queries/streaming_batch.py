@@ -390,3 +390,94 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_wet_extract",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_recs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_len,
+           CAST(sum(doc_id * 1000000 + doc_id % 11) AS BIGINT)
+             AS sum_date_us,
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+             AS BIGINT) AS text_hash,
+           CAST(sum(CAST(('0x' || substr(md5(
+                 'http://wet.test/' || CAST(doc_id AS VARCHAR)
+             ), 1, 8)) AS BIGINT)) AS BIGINT) AS url_hash
+    FROM documents
+    WHERE doc_id % 4 = 1
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style text-extract consumption (read_wet — the Common Crawl
+    delivery most text pipelines start from): conversion records
+    (doc_id%4==1) are written INTERLEAVED with same-file resource noise
+    records (doc_id%4==2, different text) plus a warcinfo header
+    record per shard's worth of noise, and ``read_wet`` must keep ONLY
+    the conversion text. The oracle aggregates the raw parquet fixture
+    over the conversion slice alone — a single leaked noise record,
+    lost microsecond, or mangled UTF-8 byte diverges a hash."""
+    from oakstore_spark.sources import table
+    from oakstore_spark.sources.warc import read_wet, write_warc
+
+    d = table(spark, sf_dir, "documents")
+    conv = d.where(F.col("doc_id") % 4 == 1).select(
+        F.concat(F.lit("urn:wet:"), F.col("doc_id")).alias("record_id"),
+        F.lit("conversion").alias("warc_type"),
+        F.concat(F.lit("http://wet.test/"), F.col("doc_id")).alias(
+            "target_uri"
+        ),
+        (F.col("doc_id") * 1_000_000 + F.col("doc_id") % 11).alias(
+            "warc_date_us"
+        ),
+        F.lit("text/plain").alias("content_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    noise = d.where(F.col("doc_id") % 4 == 2).select(
+        F.concat(F.lit("urn:noise:"), F.col("doc_id")).alias("record_id"),
+        F.when(F.col("doc_id") % 8 == 2, F.lit("resource"))
+        .otherwise(F.lit("warcinfo"))
+        .alias("warc_type"),
+        F.concat(F.lit("http://noise.test/"), F.col("doc_id")).alias(
+            "target_uri"
+        ),
+        (F.col("doc_id") * 1_000_000).alias("warc_date_us"),
+        F.lit("application/octet-stream").alias("content_type"),
+        F.encode(
+            F.concat(F.lit("NOISE "), F.col("text")), "utf-8"
+        ).alias("payload"),
+    )
+    base = (
+        Path(tempfile.gettempdir())
+        / f"oakspark_wet_{Path(sf_dir.rstrip('/')).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    write_warc(conv.unionByName(noise).repartition(4), str(base), compress=True)
+    wet = read_wet(spark, str(base))
+    ids = d.where(F.col("doc_id") % 4 == 1).select(
+        F.concat(F.lit("urn:wet:"), F.col("doc_id")).alias("record_id"),
+        "lang",
+    )
+    return (
+        wet.join(ids, "record_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_recs"),
+            F.sum("content_length").alias("sum_len"),
+            F.sum("warc_date_us").alias("sum_date_us"),
+            F.sum(
+                F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast(
+                    "bigint"
+                )
+            ).alias("text_hash"),
+            F.sum(
+                F.conv(F.substring(F.md5("url"), 1, 8), 16, 10).cast(
+                    "bigint"
+                )
+            ).alias("url_hash"),
+        )
+        .orderBy("lang")
+    )

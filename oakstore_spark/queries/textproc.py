@@ -953,3 +953,77 @@ def q_keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("tags", ",").alias("tags_csv"),
         F.size("tags").cast("bigint").alias("n_tags"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_crawl_delay",
+    oracle="""
+    SELECT doc_id,
+           'd' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS reg_domain,
+           CASE doc_id % 5
+             WHEN 0 THEN 2.0 WHEN 1 THEN 10.0 WHEN 2 THEN 5.0
+           END AS crawl_delay_sec,
+           CASE doc_id % 5
+             WHEN 0 THEN 30.0 WHEN 1 THEN 6.0 WHEN 2 THEN 12.0
+           END AS max_requests_per_min
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay politeness (the de-facto extension next to RFC 9309
+    allow/deny): five planted domains exercise a plain ``*`` delay, an
+    agent-specific group that SHADOWS the ``*`` group for this crawler,
+    multiple delays in one group (largest — most conservative — wins),
+    an unparseable value (ignored -> no limit), and a robots file with
+    no delay line at all. The per-domain rate table joins BROADCAST
+    onto the URL corpus keyed by registered domain — same shape as
+    robots_allowed; nulls mean unthrottled. Every verdict is
+    closed-form from doc_id."""
+    from oakstore_spark.operators.urls import (
+        crawl_delays,
+        registered_domain,
+        url_parts,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("d0.test", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"),
+            (
+                "d1.test",
+                "User-agent: oakbot\nCrawl-delay: 10\n\n"
+                "User-agent: *\nCrawl-delay: 1\n",
+            ),
+            (
+                "d2.test",
+                "User-agent: *\nCrawl-delay: 5\nCrawl-delay: 3\n",
+            ),
+            ("d3.test", "User-agent: *\nCrawl-delay: soon\n"),
+            ("d4.test", "User-agent: *\nDisallow: /\n"),
+        ],
+        "reg_domain string, robots_txt string",
+    )
+    delays = crawl_delays(robots, agent="oakbot")
+    d = table(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://d"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".test/page"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    keyed = urls.withColumn(
+        "reg_domain", registered_domain(url_parts("url")["host"])
+    )
+    return (
+        keyed.join(F.broadcast(delays), "reg_domain", "left")
+        .select(
+            "doc_id",
+            "reg_domain",
+            "crawl_delay_sec",
+            "max_requests_per_min",
+        )
+        .orderBy("doc_id")
+    )

@@ -514,7 +514,34 @@ def jvm_avro_available(spark: SparkSession) -> bool:
         )
         ok = True
     except Exception as e:
-        ok = "Failed to find data source" not in str(e)
+        # Prefer the error CONDITION over message text — Spark's
+        # wording has varied ("Failed to find data source" vs "Failed
+        # to find the data source"), and a wording change must not
+        # flip the probe to True on a cluster without spark-avro.
+        # Spark 4.1.2 raises the avro-specific legacy condition
+        # _LEGACY_ERROR_TEMP_1139 ("built-in but external module");
+        # a generic unknown source raises DATA_SOURCE_NOT_FOUND.
+        cond = None
+        for meth in ("getCondition", "getErrorClass"):
+            get = getattr(e, meth, None)
+            if callable(get):
+                try:
+                    cond = get()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        if cond:
+            ok = cond not in (
+                "DATA_SOURCE_NOT_FOUND",
+                "_LEGACY_ERROR_TEMP_1139",
+            )
+        else:
+            msg = str(e)
+            ok = (
+                "Failed to find data source" not in msg
+                and "Failed to find the data source" not in msg
+            )
     _JVM_AVRO_CACHE[key] = ok
     return ok
 

@@ -118,8 +118,18 @@ def write_warc(
     recomputed from the payload, so it may be omitted) as a directory
     of ``part-*.warc`` / ``part-*.warc.gz`` shards — one shard per
     task via ``foreachPartition``, no driver funnel. Returns the shard
-    count."""
+    count.
+
+    Overwrite semantics (matching ``write_avro``): stale
+    ``part-*.warc`` / ``part-*.warc.gz`` shards already in ``path``
+    are removed first, so a rerun replaces the directory's contents
+    instead of silently mixing old and new records on read."""
     os.makedirs(path, exist_ok=True)
+    for stale in Path(path).iterdir():
+        if stale.name.startswith("part-") and (
+            stale.name.endswith(".warc") or stale.name.endswith(".warc.gz")
+        ):
+            stale.unlink()
     cols = [
         "record_id",
         "warc_type",
@@ -250,3 +260,61 @@ def read_warc(
             )
 
     return files.mapInPandas(_parse, WARC_SCHEMA)
+
+
+WET_SCHEMA = T.StructType(
+    [
+        T.StructField("record_id", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_date_us", T.LongType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Read WET-style text extracts — the Common Crawl delivery most
+    text pipelines actually consume: WARC containers whose payload
+    records are ``WARC-Type: conversion`` with ``text/plain`` UTF-8
+    bodies (the extracted page text), led by a ``warcinfo`` header
+    record. Returns ``(record_id, url, warc_date_us, content_length,
+    text)``.
+
+    One FUSED Arrow kernel per file: parse, keep only ``conversion``
+    records (warcinfo/request/response skipped in-kernel, the same
+    conversion-filter pushdown as :func:`read_warc`), and decode the
+    payload to text right there — payload bytes cross the Arrow
+    boundary exactly once and non-UTF-8 bytes degrade to U+FFFD
+    instead of erroring (real crawl extracts carry stray bytes;
+    ``content_length`` still reports the ORIGINAL octet count)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for origin, content in zip(pdf["path"], pdf["content"]):
+                for rec in _parse_warc_bytes(bytes(content), origin):
+                    if rec["warc_type"].lower() != "conversion":
+                        continue
+                    rows.append(
+                        {
+                            "record_id": rec["record_id"],
+                            "url": rec["target_uri"],
+                            "warc_date_us": rec["warc_date_us"],
+                            "content_length": rec["content_length"],
+                            "text": rec["payload"].decode(
+                                "utf-8", "replace"
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WET_SCHEMA.fields]
+            )
+
+    return files.mapInPandas(_parse, WET_SCHEMA)

@@ -222,3 +222,45 @@ def test_rotation_treats_errored_rows_as_never_checked():
     assert checked.get("q_range_join_events"), (
         "q_range_join_events should have a green driver row after r05"
     )
+
+
+def test_rotation_check_type_change_resets_verification():
+    """A ROWS→ORACLE retirement resets a query to never-verified: a
+    historical rows-only green row (err == 'no_oracle') counts as
+    verification ONLY while the query remains oracle-less. The moment
+    the registry declares a DuckDB oracle for it, those rows stop
+    counting, so the query sorts back into the next driver window and
+    the new exact oracle actually gets driver-checked (VERDICT r8 ask
+    #2: q_spend_deciles_sketch's r8 oracle was declared but never
+    driver-verified because rotation still credited its r06 rows-only
+    row)."""
+    import __spark_entry__ as e
+
+    rows_only = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "spark_rows": 5, "oracle_rows": None,
+                 "err": "no_oracle"}
+    oracle_green = {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "spark_rows": 5, "oracle_rows": 5,
+                    "err": None}
+    # rows-only row: verification for an oracle-less query, NOT for an
+    # oracle-bearing one
+    assert e._row_is_green(rows_only, has_oracle=False)
+    assert not e._row_is_green(rows_only, has_oracle=True)
+    # an oracle-green row is strictly stronger — counts either way
+    assert e._row_is_green(oracle_green, has_oracle=False)
+    assert e._row_is_green(oracle_green, has_oracle=True)
+
+    # end-to-end on the real repo state: q_spend_deciles_sketch gained
+    # its exact oracle in r8 with only rows-only history, so the
+    # oracle-aware file-backed rotation must sort it into the front
+    # window (before any oracle-verified query).
+    from oakstore_spark import queries as q
+
+    q.load_all()
+    assert "q_spend_deciles_sketch" in q.ORACLES
+    order = e._rotation_order(list(q.QUERIES))
+    pos = order.index("q_spend_deciles_sketch")
+    assert pos < 50, (
+        f"q_spend_deciles_sketch sorted at {pos}, outside the driver's "
+        "50-row window — the ROWS→ORACLE reset did not take effect"
+    )

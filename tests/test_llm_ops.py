@@ -1164,3 +1164,108 @@ def test_containment_sparse_path_parity(spark):
     assert (1, 2) in out
     assert out[(1, 2)]["containment"] == 1.0
     assert out[(1, 2)]["inter"] == out[(1, 2)]["n_a"]
+
+
+def test_containment_fractional_threshold_prefix_recall(spark):
+    """ADVICE r8: with a threshold whose 100*t rounds DOWN (t=0.334 ->
+    pct=33), the sparse-path prefix length must come from the SAME
+    integer pct as the acceptance filter. Adversarial construction: a
+    pair whose intersection lies in [ceil(pct*n/100), ceil(t*n)-1] —
+    accepted by the verify filter, but missed by a float-derived prefix
+    because every shared gram (df=2) rarity-sorts AFTER all the unique
+    grams (df=1) and the old prefix stopped short of them."""
+    import math
+    import random
+
+    from oakstore_spark.operators.dedup import containment_pairs
+
+    t = 0.334
+    pct = int(round(100 * t))  # 33
+
+    def grams(s: str) -> set:
+        return {s[i : i + 3] for i in range(len(s) - 2)}
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+    def rand_str(n: int) -> str:
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    u_a, u_b = rand_str(700), rand_str(1100)
+    found = None
+    for slen in range(280, 420):
+        s = rand_str(slen)
+        a_txt, b_txt = u_a + " " + s, u_b + " " + s
+        ga, gb = grams(a_txt), grams(b_txt)
+        n_a, n_b, inter = len(ga), len(gb), len(ga & gb)
+        if n_a > n_b:
+            continue
+        lo = -(-pct * n_a // 100)  # ceil(pct*n_a/100), exact integers
+        hi = math.ceil(t * n_a) - 1  # old float-derived coverage bound
+        if lo <= inter <= hi and inter <= math.ceil(t * n_b) - 1:
+            found = (a_txt, b_txt, n_a, n_b, inter)
+            break
+    assert found, "no adversarial corpus found in the search range"
+    a_txt, b_txt, n_a, n_b, inter = found
+    # sanity: the pair is ACCEPTED by the integer filter
+    assert 100 * inter >= pct * min(n_a, n_b)
+
+    df = spark.createDataFrame(
+        [(1, a_txt), (2, b_txt)], "doc_id long, text string"
+    )
+    # broadcast_verify_max_docs=0 forces the sparse prefix path
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_pairs(
+            df, "doc_id", "text", t, broadcast_verify_max_docs=0
+        ).collect()
+    }
+    assert (1, 2) in out, (
+        f"pair with inter={inter}, n_a={n_a} accepted by the filter "
+        "was not generated as a candidate — prefix under-covers"
+    )
+    assert out[(1, 2)]["inter"] == inter
+    assert out[(1, 2)]["n_a"] == n_a and out[(1, 2)]["n_b"] == n_b
+
+
+def test_containment_distributed_rarity_parity(spark):
+    """FORCED fallback parity (VERDICT r8 ask #5): with
+    rarity_broadcast_max_universe=0 the sparse path must rank gram
+    rarity via the distributed join (no driver collect of the
+    frequency table) and return byte-identical pairs to the broadcast
+    searchsorted path on a corpus with real quote-inclusion structure."""
+    import random
+
+    from oakstore_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(60)]
+    quote = " ".join(rng.choices(words, k=12))
+    rows = []
+    for i in range(30):
+        body = " ".join(rng.choices(words, k=rng.randint(8, 40)))
+        if i % 5 == 0:
+            body = body + " " + quote  # planted containments
+        rows.append((i, body))
+    rows.append((1000, quote))  # the contained short doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(gate):
+        return sorted(
+            (r["id_a"], r["id_b"], r["n_a"], r["n_b"], r["inter"])
+            for r in containment_pairs(
+                df, "doc_id", "text", 0.9,
+                broadcast_verify_max_docs=0,  # force sparse path
+                rarity_broadcast_max_universe=gate,
+            ).collect()
+        )
+
+    broadcast_pairs = run(10_000_000)
+    joined_pairs = run(0)
+    assert joined_pairs == broadcast_pairs
+    assert broadcast_pairs, "planted containments must surface"
+    # the planted short doc pairs with every doc that swallowed it
+    containing = {a for a, b, *_ in broadcast_pairs if b == 1000} | {
+        b for a, b, *_ in broadcast_pairs if a == 1000
+    }
+    assert {0, 5, 10, 15, 20, 25} <= containing

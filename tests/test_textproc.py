@@ -465,8 +465,38 @@ def test_preference_pairs_ties_and_filters(spark):
         for r in preference_pairs(df, keep_ties=True).collect()
     }
     assert set(kept) == {1, 2, 4}
-    assert kept[4]["chosen_id"] == 41 and kept[4]["rejected_id"] == 41
+    # all-tied group must NOT degenerate into a self-pair: chosen is
+    # the smallest id, rejected the SECOND-smallest (ADVICE r8)
+    assert kept[4]["chosen_id"] == 41 and kept[4]["rejected_id"] == 42
     assert kept[4]["margin"] == 0
+    # the non-tied groups are unchanged by the keep_ties path
+    assert kept[1]["chosen_id"] == 11 and kept[1]["rejected_id"] == 13
+
+
+def test_preference_pairs_string_ids(spark):
+    """Response ids may be ANY orderable type: the ordering struct
+    negates the numeric SCORE, never the id, so string ids work with
+    the same smallest-id tie-breaks."""
+    from oakstore_spark.operators.chat import preference_pairs
+
+    rows = [
+        ("p1", "r-b", 9.0), ("p1", "r-a", 9.0), ("p1", "r-c", 2.0),
+        ("p2", "z", 3.0), ("p2", "y", 3.0), ("p2", "x", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id string, resp_id string, score double"
+    )
+    out = {
+        r["prompt_id"]: r.asDict()
+        for r in preference_pairs(df, keep_ties=True).collect()
+    }
+    # top tie -> lexicographically smallest id chosen
+    assert out["p1"]["chosen_id"] == "r-a"
+    assert out["p1"]["rejected_id"] == "r-c"
+    # fully tied -> smallest chosen, second-smallest rejected
+    assert out["p2"]["chosen_id"] == "x"
+    assert out["p2"]["rejected_id"] == "y"
+    assert out["p2"]["margin"] == 0.0
 
 
 def test_domain_boilerplate_scoping_and_blanks(spark):
@@ -582,6 +612,31 @@ def test_robots_tie_least_restrictive_wins(spark):
     assert r["allowed"] is True
 
 
+def test_robots_duplicate_rows_and_query_matching(spark):
+    """Output cardinality equals input cardinality even with duplicate
+    input rows (unique-row-key restore, not group-by-all-columns), and
+    RFC 9309 matching sees the path PLUS query string."""
+    from oakstore_spark.operators.urls import parse_robots, robots_allowed
+
+    robots = spark.createDataFrame(
+        [("q.test", "User-agent: *\nDisallow: /search?q=\n")],
+        "reg_domain string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [
+            (1, "http://q.test/search?q=x"),   # query part must match
+            (1, "http://q.test/search?q=x"),   # exact duplicate row
+            (2, "http://q.test/search"),       # no query -> allowed
+        ],
+        "id long, url string",
+    )
+    out = robots_allowed(urls, rules).collect()
+    assert len(out) == 3, "duplicate input rows must stay duplicated"
+    verdicts = sorted((r["id"], r["allowed"]) for r in out)
+    assert verdicts == [(1, False), (1, False), (2, True)]
+
+
 def test_tag_keywords_word_boundaries_and_case(spark):
     from oakstore_spark.operators.text import tag_keywords
 
@@ -601,3 +656,42 @@ def test_tag_keywords_word_boundaries_and_case(spark):
     assert out[2] == []
     assert out[3] == ["lang"]
     assert out[4] == ["animal"]
+
+
+def test_crawl_delays_group_selection_and_conservative_max(spark):
+    """Crawl-delay parsing: agent-specific group shadows *, multiple
+    delays take the most conservative (largest), unparseable and
+    non-positive values are ignored, delay-less domains are absent,
+    and the rate column is 60/delay."""
+    from oakstore_spark.operators.urls import crawl_delays
+
+    robots = spark.createDataFrame(
+        [
+            ("a.test", "User-agent: *\nCrawl-delay: 2.5\n"),
+            (
+                "b.test",
+                "User-agent: oakbot\nCrawl-delay: 10\n\n"
+                "User-agent: *\nCrawl-delay: 1\n",
+            ),
+            ("c.test", "User-agent: *\nCrawl-delay: 5\nCrawl-delay: 3\n"),
+            ("d.test", "User-agent: *\nCrawl-delay: fast\n"),
+            ("e.test", "User-agent: *\nCrawl-delay: -4\n"),
+            ("f.test", "User-agent: *\nDisallow: /\n"),
+        ],
+        "reg_domain string, robots_txt string",
+    )
+    got = {
+        r["reg_domain"]: (r["crawl_delay_sec"], r["max_requests_per_min"])
+        for r in crawl_delays(robots, agent="oakbot").collect()
+    }
+    assert got == {
+        "a.test": (2.5, 24.0),
+        "b.test": (10.0, 6.0),
+        "c.test": (5.0, 12.0),
+    }
+    # default agent: b.test falls to its * group
+    star = {
+        r["reg_domain"]: r["crawl_delay_sec"]
+        for r in crawl_delays(robots).collect()
+    }
+    assert star["b.test"] == 1.0

@@ -114,6 +114,32 @@ def test_write_read_spark_roundtrip(spark, tmp_path):
     assert only.count() == 10
 
 
+def test_write_warc_overwrites_stale_shards(spark, tmp_path):
+    """Rerunning write_warc into an existing directory must REPLACE
+    its contents (write_avro's overwrite semantics), not append: stale
+    part shards of either extension are removed first, so read_warc
+    never returns old+new records mixed (ADVICE r8)."""
+    schema = (
+        "record_id string, warc_type string, target_uri string, "
+        "warc_date_us long, content_type string, payload binary"
+    )
+    mk = lambda tag, n: spark.createDataFrame(  # noqa: E731
+        [
+            (f"urn:{tag}:{i}", "resource", f"http://t.test/{i}",
+             1_600_000_000_000_000 + i, "text/plain",
+             bytes(f"{tag}-{i}", "ascii"))
+            for i in range(n)
+        ],
+        schema,
+    ).repartition(3)
+    path = str(tmp_path / "w")
+    write_warc(mk("old", 9), path, compress=True)  # .warc.gz shards
+    n = write_warc(mk("new", 4), path)  # uncompressed rerun
+    got = sorted(r["record_id"] for r in read_warc(spark, path).collect())
+    assert got == [f"urn:new:{i}" for i in range(4)]
+    assert 1 <= n <= 3  # shard count reflects ONLY the rerun's tasks
+
+
 def test_read_warc_external_writer_layout(spark, tmp_path):
     """A hand-built file (headers in a different order, extra header
     fields, no angle brackets on the id) still parses — spec fields
@@ -228,3 +254,41 @@ def test_streaming_warc_ingest_foreachbatch(spark, tmp_path):
     got2 = spark.read.parquet(sink)
     assert got2.count() == 8
     assert got2.where(F.col("record_id").startswith("urn:s9:")).count() == 2
+
+
+def test_read_wet_conversion_records_only(spark, tmp_path):
+    """read_wet keeps ONLY conversion records (warcinfo/resource noise
+    skipped in-kernel), decodes UTF-8 payloads with replacement for
+    stray bytes, and reports the ORIGINAL octet count."""
+    from oakstore_spark.sources.warc import read_wet
+
+    schema = (
+        "record_id string, warc_type string, target_uri string, "
+        "warc_date_us long, content_type string, payload binary"
+    )
+    rows = [
+        ("urn:info:0", "warcinfo", None, 1_600_000_000_000_000,
+         "application/warc-fields", b"software: oak"),
+        ("urn:wet:1", "conversion", "http://x.test/1",
+         1_600_000_000_000_001, "text/plain",
+         "héllo wörld".encode("utf-8")),
+        ("urn:wet:2", "conversion", "http://x.test/2",
+         1_600_000_000_000_002, "text/plain",
+         b"ok \xff stray"),  # invalid UTF-8 byte -> U+FFFD
+        ("urn:resp:3", "response", "http://x.test/3",
+         1_600_000_000_000_003, "text/html", b"<html>noise</html>"),
+    ]
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    path = str(tmp_path / "wet")
+    write_warc(df, path, compress=True)
+    got = {r["record_id"]: r for r in read_wet(spark, path).collect()}
+    assert set(got) == {"urn:wet:1", "urn:wet:2"}
+    assert got["urn:wet:1"]["text"] == "héllo wörld"
+    assert got["urn:wet:1"]["url"] == "http://x.test/1"
+    assert got["urn:wet:1"]["warc_date_us"] == 1_600_000_000_000_001
+    # original octet count, not post-decode char count
+    assert got["urn:wet:1"]["content_length"] == len(
+        "héllo wörld".encode("utf-8")
+    )
+    assert got["urn:wet:2"]["text"] == "ok � stray"
+    assert got["urn:wet:2"]["content_length"] == len(b"ok \xff stray")
