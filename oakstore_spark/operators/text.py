@@ -827,3 +827,335 @@ def tag_keywords(
         F.filter(F.array(*tag_exprs), lambda t: t.isNotNull())
     )
     return df.withColumn(out_col, tags)
+
+
+# --------------------------------------------------------------- unigram LM
+
+
+def _unigram_substrings(word: str, max_len: int):
+    """All substrings of ``word`` up to ``max_len`` chars, one per
+    occurrence position (the SentencePiece seed counts positions)."""
+    n = len(word)
+    for i in range(n):
+        for ln in range(1, min(max_len, n - i) + 1):
+            yield word[i : i + ln]
+
+
+def _unigram_viterbi(
+    word: str, logp: dict, max_len: int
+) -> list[str] | None:
+    """Best unigram segmentation of ``word`` under piece log-probs:
+    maximize the path log-prob; on an exact score tie prefer the
+    LONGER final piece (smaller split point) — a total, deterministic
+    rule, so every engine/partitioning replays the same path. Returns
+    None when no full cover exists (a character absent from the piece
+    table)."""
+    n = len(word)
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        # j descending => longer final piece wins ties via strict >
+        for j in range(max(0, i - max_len), i):
+            lp = logp.get(word[j:i])
+            if lp is None or best[j] == NEG:
+                continue
+            cand = best[j] + lp
+            if cand > best[i]:
+                best[i] = cand
+                back[i] = j
+    if best[n] == NEG:
+        return None
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def _unigram_logprobs(counts: dict) -> dict:
+    """count table -> natural-log probabilities (identical float tree
+    everywhere: log(count) - log(total) on exact integer sums)."""
+    import math
+
+    total = sum(counts.values())
+    lt = math.log(total)
+    return {p: math.log(c) - lt for p, c in counts.items()}
+
+
+def _unigram_em_counts(
+    word_freqs, logp: dict, max_len: int
+) -> dict:
+    """Hard-EM E-step over (word, freq) pairs: Viterbi-segment each
+    word, weight piece counts by corpus frequency. Pure-Python helper
+    shared VERBATIM by the driver fast path and the distributed Arrow
+    kernel — parity by construction."""
+    counts: dict = {}
+    for w, fw in word_freqs:
+        seg = _unigram_viterbi(w, logp, max_len)
+        if seg is None:
+            continue
+        for p in seg:
+            counts[p] = counts.get(p, 0) + fw
+    return counts
+
+
+def train_unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 4096,
+    seed_size: int | None = None,
+    max_piece_len: int = 8,
+    n_iters: int = 4,
+    driver_vocab_max: int = 200_000,
+):
+    """Unigram-LM tokenizer training (Kudo 2018, the SentencePiece
+    unigram model — public paper), the OTHER tokenizer family next to
+    BPE (operators/text.py:train_bpe): instead of greedy merges, keep
+    a vocabulary of candidate pieces and fit piece probabilities by EM
+    over the corpus segmentations. This implementation is the
+    deterministic HARD-EM (Viterbi) variant: the E-step counts pieces
+    along each word's single best segmentation (ties prefer the longer
+    final piece), the M-step re-normalizes counts — exactly replayable
+    single-node, which is what the parity test pins.
+
+    Steps:
+      1. ONE corpus pass collapses to the (word, freq) vocabulary
+         relation — identical shape to train_bpe.
+      2. SEED: every substring occurrence up to ``max_piece_len``,
+         weighted by word frequency; keep all single characters
+         (coverage) plus the top multi-char candidates by
+         (weight desc, piece asc) until ``seed_size`` (default
+         ``4 * vocab_size``).
+      3. EM x ``n_iters``: broadcast current log-probs, Viterbi-count
+         (Arrow kernel over the word relation, one small piece-count
+         agg back), re-normalize. Zero-count multi-char pieces drop;
+         zero-count single chars keep a floor count of 1 (coverage).
+      4. PRUNE to ``vocab_size``: all single chars + top multi-char
+         pieces by (count desc, piece asc).
+
+    100 TB shape: the corpus is touched once; every EM round moves one
+    broadcast of <= seed_size log-probs out and one (piece, count)
+    aggregate back — no corpus re-shuffle, no windows. Under
+    ``driver_vocab_max`` distinct words the whole loop runs in-process
+    on the collected vocabulary (same helpers, bit-identical — the
+    gate bounds driver memory exactly like train_bpe's); the
+    distributed path is CI-forced with exact parity.
+
+    Returns a DataFrame (piece string, count long, logprob double)
+    sorted (count desc, piece asc)."""
+    from pyspark.sql import types as T
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.functions.text import normalize_text
+
+    if seed_size is None:
+        seed_size = 4 * vocab_size
+    spark = df.sparkSession
+    word_freq = (
+        df.select(
+            F.explode(F.split(normalize_text(text_col), " ")).alias("word")
+        )
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("piece", T.StringType()),
+            T.StructField("count", T.LongType()),
+            T.StructField("logprob", T.DoubleType()),
+        ]
+    )
+
+    def _seed_select(weights: dict) -> dict:
+        chars = {p: c for p, c in weights.items() if len(p) == 1}
+        multi = sorted(
+            ((p, c) for p, c in weights.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[: max(0, seed_size - len(chars))]
+        out = dict(chars)
+        out.update(multi)
+        return out
+
+    def _mstep(counts: dict, seen_chars: set) -> dict:
+        kept = {p: c for p, c in counts.items() if c > 0}
+        for ch in seen_chars:
+            kept.setdefault(ch, 1)  # coverage floor
+        return kept
+
+    def _prune(counts: dict) -> dict:
+        chars = {p: c for p, c in counts.items() if len(p) == 1}
+        multi = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[: max(0, vocab_size - len(chars))]
+        out = dict(chars)
+        out.update(multi)
+        return out
+
+    n_words = word_freq.count()
+    if n_words == 0:
+        return spark.createDataFrame([], out_schema)
+
+    if n_words <= driver_vocab_max:
+        pairs = [
+            (r["word"], int(r["freq"])) for r in word_freq.collect()
+        ]
+        weights: dict = {}
+        for w, fw in pairs:
+            for s in _unigram_substrings(w, max_piece_len):
+                weights[s] = weights.get(s, 0) + fw
+        seen_chars = {p for p in weights if len(p) == 1}
+        counts = _seed_select(weights)
+        for _ in range(n_iters):
+            logp = _unigram_logprobs(counts)
+            counts = _mstep(
+                _unigram_em_counts(pairs, logp, max_piece_len), seen_chars
+            )
+        counts = _prune(counts)
+        logp = _unigram_logprobs(counts)
+        rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return spark.createDataFrame(
+            [(p, c, logp[p]) for p, c in rows], out_schema
+        )
+
+    words = word_freq.persist(StorageLevel.MEMORY_AND_DISK)
+    words.count()
+    pair_schema = T.StructType(
+        [
+            T.StructField("piece", T.StringType()),
+            T.StructField("w", T.LongType()),
+        ]
+    )
+
+    def _seed_kernel(batches):
+        for pdf in batches:
+            local: dict = {}
+            for w, fw in zip(pdf["word"], pdf["freq"]):
+                for s in _unigram_substrings(w, max_piece_len):
+                    local[s] = local.get(s, 0) + int(fw)
+            yield pd.DataFrame(
+                {"piece": list(local), "w": list(local.values())},
+                columns=["piece", "w"],
+            )
+
+    agg_weights = (
+        words.mapInPandas(_seed_kernel, pair_schema)
+        .groupBy("piece")
+        .agg(F.sum("w").alias("w"))
+    )
+    # the piece table is bounded by seed selection to <= seed_size rows,
+    # but the RAW substring-weight relation can be large: select the
+    # seed IN-ENGINE (chars unconditionally; multi-char via top-k on
+    # (w desc, piece asc)) and collect only the winners
+    chars_df = agg_weights.where(F.length("piece") == 1)
+    n_chars = chars_df.count()
+    multi_df = (
+        agg_weights.where(F.length("piece") > 1)
+        .orderBy(F.desc("w"), F.asc("piece"))
+        .limit(max(0, seed_size - n_chars))
+    )
+    counts = {
+        r["piece"]: int(r["w"])
+        for r in chars_df.unionByName(multi_df).collect()
+    }
+    seen_chars = {r["piece"] for r in chars_df.collect()}
+
+    for _ in range(n_iters):
+        logp = _unigram_logprobs(counts)
+        bc = spark.sparkContext.broadcast((logp, max_piece_len))
+
+        def _em_kernel(batches, _bc=bc):
+            lp, ml = _bc.value
+            for pdf in batches:
+                local = _unigram_em_counts(
+                    zip(pdf["word"], (int(f) for f in pdf["freq"])), lp, ml
+                )
+                yield pd.DataFrame(
+                    {"piece": list(local), "w": list(local.values())},
+                    columns=["piece", "w"],
+                )
+
+        rows = (
+            words.mapInPandas(_em_kernel, pair_schema)
+            .groupBy("piece")
+            .agg(F.sum("w").alias("w"))
+            .collect()
+        )
+        counts = _mstep(
+            {r["piece"]: int(r["w"]) for r in rows}, seen_chars
+        )
+    words.unpersist()
+    counts = _prune(counts)
+    logp = _unigram_logprobs(counts)
+    rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return spark.createDataFrame(
+        [(p, c, logp[p]) for p, c in rows], out_schema
+    )
+
+
+def apply_unigram(
+    df: DataFrame,
+    pieces: DataFrame,
+    text_col: str = "text",
+    out_col: str = "unigram_tokens",
+) -> DataFrame:
+    """Encode a corpus with a trained unigram-LM piece table
+    (:func:`train_unigram_lm`): per word of the normalized text, the
+    same Viterbi segmentation the trainer used (ties to the longer
+    final piece). The piece table is tiny — it collects once into the
+    Arrow kernel closure; the corpus maps in place with per-task
+    word memoization, no shuffle. A word containing a character absent
+    from the table (no full cover exists) degrades to the raw word as
+    a single unknown token — the <unk> convention, never a dropped or
+    null entry."""
+    from pyspark.sql import types as T
+
+    from oakstore_spark.functions.text import normalize_text
+
+    logp = {
+        r["piece"]: float(r["logprob"])
+        for r in pieces.select("piece", "logprob").collect()
+    }
+    max_len = max((len(p) for p in logp), default=1)
+    in_cols = [f.name for f in df.schema.fields]
+
+    def kernel(batches):
+        memo: dict[str, list[str]] = {}
+
+        def enc(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                seg = _unigram_viterbi(w, logp, max_len)
+                got = seg if seg is not None else [w]
+                memo[w] = got
+            return got
+
+        for pdf in batches:
+            toks = []
+            for nt in pdf["_nt"]:
+                out: list[str] = []
+                if nt:
+                    for w in nt.split(" "):
+                        out.extend(enc(w))
+                toks.append(out)
+            res = pdf[in_cols].copy()
+            res[out_col] = toks
+            yield res
+
+    with_nt = df.withColumn("_nt", normalize_text(text_col))
+    return with_nt.mapInPandas(
+        kernel,
+        T.StructType(
+            [
+                *df.schema.fields,
+                T.StructField(out_col, T.ArrayType(T.StringType())),
+            ]
+        ),
+    )

@@ -1936,3 +1936,24 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register("q_unigram_tok_train")  # iterative float EM: no single-SQL
+# oracle; exact single-node/distributed parity pinned in
+# tests/test_curation.py::test_train_unigram_lm_matches_reference_implementation
+def q_unigram_tok_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018 / SentencePiece's
+    other family next to BPE — operators/text.py:train_unigram_lm):
+    seed substring candidates from one corpus pass, 3 hard-EM
+    (Viterbi) rounds over the (word, freq) vocabulary relation, prune
+    to 256 pieces. Deterministic ties everywhere (seed/prune by
+    (weight desc, piece asc), Viterbi by score then longer final
+    piece), so the piece table is stable across engines and
+    partitionings."""
+    from oakstore_spark.operators.text import train_unigram_lm
+
+    d = table(spark, sf_dir, "documents")
+    return train_unigram_lm(
+        d, "text", vocab_size=256, seed_size=1024, max_piece_len=6,
+        n_iters=3,
+    )

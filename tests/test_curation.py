@@ -693,3 +693,138 @@ def test_leakage_safe_split_no_straddle(spark):
     sp = {r["doc_id"]: r["split"] for r in split.collect()}
     for p in pairs.collect():
         assert sp[p["id_a"]] == sp[p["id_b"]], (p["id_a"], p["id_b"])
+
+
+def test_train_unigram_lm_matches_reference_implementation(spark):
+    """Unigram-LM (SentencePiece-style, hard-EM/Viterbi variant)
+    training must reproduce an independent single-node reference
+    exactly on BOTH paths: same piece table, counts, and log-probs
+    after seed -> n_iters EM rounds -> prune (ties: seed/prune by
+    (weight desc, piece asc); Viterbi by score then longer-final-piece).
+    driver_vocab_max=0 forces the DISTRIBUTED loop."""
+    import math
+
+    from oakstore_spark.operators.text import train_unigram_lm
+
+    texts = [
+        "banana bandana ban ban banana",
+        "cabana banana band bandana",
+        "an anna banal canal ban",
+        "nab nab an cab cabana",
+    ]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    VS, SS, ML, IT = 24, 40, 4, 3
+
+    # ---- independent reference ----
+    freqs: dict = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    weights: dict = {}
+    for w, fw in freqs.items():
+        for i in range(len(w)):
+            for ln in range(1, min(ML, len(w) - i) + 1):
+                s = w[i : i + ln]
+                weights[s] = weights.get(s, 0) + fw
+    seen_chars = {p for p in weights if len(p) == 1}
+
+    def select(table, cap):
+        chars = {p: c for p, c in table.items() if len(p) == 1}
+        multi = sorted(
+            ((p, c) for p, c in table.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[: max(0, cap - len(chars))]
+        out = dict(chars)
+        out.update(multi)
+        return out
+
+    def viterbi(word, logp):
+        n = len(word)
+        NEG = float("-inf")
+        best, back = [NEG] * (n + 1), [0] * (n + 1)
+        best[0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(max(0, i - ML), i):
+                lp = logp.get(word[j:i])
+                if lp is None or best[j] == NEG:
+                    continue
+                c = best[j] + lp
+                if c > best[i]:
+                    best[i], back[i] = c, j
+        if best[n] == NEG:
+            return None
+        out, i = [], n
+        while i > 0:
+            out.append(word[back[i]:i])
+            i = back[i]
+        return out[::-1]
+
+    counts = select(weights, SS)
+    for _ in range(IT):
+        total = sum(counts.values())
+        logp = {p: math.log(c) - math.log(total) for p, c in counts.items()}
+        new: dict = {}
+        for w, fw in freqs.items():
+            seg = viterbi(w, logp)
+            if seg is None:
+                continue
+            for p in seg:
+                new[p] = new.get(p, 0) + fw
+        counts = {p: c for p, c in new.items() if c > 0}
+        for ch in seen_chars:
+            counts.setdefault(ch, 1)
+    counts = select(counts, VS)
+    total = sum(counts.values())
+    expect = {
+        p: (c, math.log(c) - math.log(total)) for p, c in counts.items()
+    }
+
+    for gate in (0, 200_000):  # distributed loop, then driver fast path
+        got = {
+            r["piece"]: (r["count"], r["logprob"])
+            for r in train_unigram_lm(
+                sdf, "text", vocab_size=VS, seed_size=SS,
+                max_piece_len=ML, n_iters=IT, driver_vocab_max=gate,
+            ).collect()
+        }
+        assert set(got) == set(expect), (gate, set(got) ^ set(expect))
+        for p, (c, lp) in expect.items():
+            assert got[p][0] == c, (gate, p, got[p], c)
+            assert got[p][1] == lp, (gate, p)  # identical float tree
+
+
+def test_apply_unigram_encodes_and_unk(spark):
+    """apply_unigram replays training's Viterbi (longer-final-piece
+    ties), concatenated tokens reassemble each word, and a word with
+    an out-of-vocabulary character degrades to one raw <unk>-style
+    token rather than vanishing."""
+    from oakstore_spark.operators.text import (
+        apply_unigram,
+        train_unigram_lm,
+    )
+
+    texts = ["banana bandana ban", "cabana banana band"]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    pieces = train_unigram_lm(
+        sdf, "text", vocab_size=16, seed_size=32, max_piece_len=4,
+        n_iters=2,
+    )
+    vocab = {r["piece"] for r in pieces.collect()}
+    enc_df = spark.createDataFrame(
+        [(1, "banana band"), (2, "banzzz9xq")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: list(r["unigram_tokens"])
+        for r in apply_unigram(enc_df, pieces).collect()
+    }
+    # every emitted in-vocab token is a trained piece; words reassemble
+    assert "".join(t for t in out[1]) == "bananaband"
+    assert all(t in vocab for t in out[1])
+    # OOV chars ('9','x','q','z' may be absent) -> single raw token
+    assert out[2] == ["banzzz9xq"] or all(
+        t in vocab for t in out[2]
+    )
