@@ -1186,16 +1186,27 @@ def _lloyd_kmeans(
         pad = X[rng.integers(0, X.shape[0], k - init.shape[0])]
         init = np.vstack([init, pad + rng.normal(0, 1e-9, pad.shape)])
     C = init.astype(np.float64).copy()
+    xsq = (X * X).sum(axis=1)
     for _ in range(n_iter):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # ||x-c||^2 via one gemm instead of an n*k*d broadcast tensor
+        # (at k=256 the tensor is ~1 GB per iteration and dominated
+        # IVFPQ build wall); argmin/planted-recovery semantics are
+        # unchanged — identical points still have distance exactly 0
+        # to their own centroid
+        d2 = xsq[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
         assign = d2.argmin(axis=1)
+        counts = np.bincount(assign, minlength=k)
+        sums = np.empty((k, X.shape[1]), dtype=np.float64)
+        for dcol in range(X.shape[1]):
+            sums[:, dcol] = np.bincount(
+                assign, weights=X[:, dcol], minlength=k
+            )
         newC = C.copy()
-        for j in range(k):
-            pts = X[assign == j]
-            if len(pts):
-                newC[j] = pts.mean(axis=0)
-            else:
-                newC[j] = X[d2.min(axis=1).argmax()]
+        nz = counts > 0
+        newC[nz] = sums[nz] / counts[nz, None]
+        if not nz.all():
+            far = X[d2.min(axis=1).argmax()]
+            newC[~nz] = far
         if np.allclose(newC, C):
             break
         C = newC
@@ -1344,11 +1355,20 @@ def pq_adc_topk(
             for j in range(m):
                 d += lut[:, j, :][:, Cd[:, j]]
             top = min(k_results, n)
-            part = np.argpartition(d, top - 1, axis=1)[:, :top]
+            # per-query lexsort, not bare argpartition: ADC ties are
+            # the norm (PQ collapses distinct vectors to identical
+            # codes) and the local cut must respect the global
+            # (adc_dist asc, id asc) tie-break or tied true neighbors
+            # vanish before the final window
+            sel_ids, sel_d = [], []
+            for qi in range(len(qids)):
+                order = np.lexsort((ids, d[qi]))[:top]
+                sel_ids.append(ids[order])
+                sel_d.append(d[qi][order])
             rows = {
                 query_id_col: np.repeat(qids, top),
-                id_col: ids[part].ravel(),
-                "adc_dist": np.take_along_axis(d, part, axis=1).ravel(),
+                id_col: np.concatenate(sel_ids),
+                "adc_dist": np.concatenate(sel_d),
             }
             yield pd.DataFrame(rows)
 
@@ -1360,6 +1380,49 @@ def pq_adc_topk(
         partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k_results)
     )
+
+
+def _ivfpq_encoder(C: np.ndarray, B: np.ndarray, id_col: str, vec_col: str):
+    """Arrow kernel factory shared by :func:`build_ivfpq_index` and
+    :func:`add_to_ivfpq_index`: coarse-assign each vector (spherical,
+    matching the quantizer's training), product-quantize its residual
+    against the shared codebooks, emit (id, codes, _cell)."""
+    m, _, dsub = B.shape
+    CT = np.ascontiguousarray(C.T)
+
+    def encode_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xb = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Xbn = Xb / np.maximum(
+                np.linalg.norm(Xb, axis=1, keepdims=True), 1e-12
+            )
+            cells = (Xbn @ CT).argmax(axis=1)
+            res = Xb - C[cells]
+            n = len(pdf)
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                sub = res[:, j * dsub:(j + 1) * dsub]
+                # gemm-form distances: k=256 codebooks otherwise build
+                # an n*k*dsub broadcast tensor per batch
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ B[j].T)
+                    + (B[j] * B[j]).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "codes": list(codes),
+                    "_cell": cells.astype(np.int32),
+                }
+            )
+
+    return encode_cells
 
 
 def build_ivfpq_index(
@@ -1376,6 +1439,7 @@ def build_ivfpq_index(
     seed: int = 42,
     coarse_centroids: np.ndarray | None = None,
     pq_codebooks: np.ndarray | None = None,
+    codes_shards_per_cell: int = 1,
 ) -> None:
     """Compose the IVF coarse quantizer and PQ into the standard
     billion-scale ANN index (Jegou et al., TPAMI 2011; the FAISS
@@ -1447,7 +1511,6 @@ def build_ivfpq_index(
         book_rows, "subspace int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
 
-    CT = np.ascontiguousarray(C.T)
     code_schema = T.StructType(
         [
             T.StructField(id_col, corpus.schema[id_col].dataType),
@@ -1455,39 +1518,83 @@ def build_ivfpq_index(
             T.StructField("_cell", T.IntegerType()),
         ]
     )
-
-    def encode_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Xb = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            Xbn = Xb / np.maximum(
-                np.linalg.norm(Xb, axis=1, keepdims=True), 1e-12
-            )
-            cells = (Xbn @ CT).argmax(axis=1)
-            res = Xb - C[cells]
-            n = len(pdf)
-            codes = np.empty((n, m), dtype=np.int32)
-            for j in range(m):
-                sub = res[:, j * dsub:(j + 1) * dsub]
-                d2 = ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].values,
-                    "codes": list(codes),
-                    "_cell": cells.astype(np.int32),
-                }
-            )
+    encode_cells = _ivfpq_encoder(C, B, id_col, vec_col)
 
     from oakstore_spark.operators.scaling import widen_partitions
 
+    codes_df = widen_partitions(corpus.select(id_col, vec_col)).mapInPandas(
+        encode_cells, code_schema
+    )
+    # Cluster codes by cell before the partitioned write: without it
+    # every scan task writes a file into every cell directory
+    # (tasks x cells files — 4096 at the probe's 64x64, most a few KB),
+    # which slows the committer AND every probed read's listing. One
+    # small shuffle of the (id, m-byte codes) relation yields one file
+    # per (cell, shard). ``codes_shards_per_cell`` splits hot cells
+    # across that many writer tasks — raise it when a single cell's
+    # codes exceed a comfortable task output (billions of vectors).
+    shard_cols = [F.col("_cell")]
+    if codes_shards_per_cell > 1:
+        shard_cols.append(
+            F.crc32(F.col(id_col).cast("string"))
+            % F.lit(codes_shards_per_cell)
+        )
     (
-        widen_partitions(corpus.select(id_col, vec_col))
-        .mapInPandas(encode_cells, code_schema)
+        codes_df.repartition(
+            n_cells * codes_shards_per_cell, *shard_cols
+        )
         .write.mode("overwrite")
+        .partitionBy("_cell")
+        .parquet(f"{index_dir}/codes")
+    )
+
+
+def add_to_ivfpq_index(
+    new_vectors: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """INCREMENTAL-ADD step of the persisted IVFPQ index — the same
+    index-maintenance contract as :func:`add_to_ivf_index`: read back
+    the (tiny) trained centroid and codebook tables, encode each
+    arriving vector (coarse assign + residual PQ) in one map-side
+    pass, and APPEND to the cell-partitioned codes table. Searches see
+    the new codes immediately through the same listing-time partition
+    pruning; neither quantizer retrains, so add cost tracks the BATCH,
+    never the corpus. Same drift trade-off as the IVF add: monitor
+    per-cell counts and rebuild when skew crosses your threshold."""
+    spark = new_vectors.sparkSession
+    cent = (
+        spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
+    )
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent])
+    book = (
+        spark.read.parquet(f"{index_dir}/codebooks")
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    m = 1 + max(r["subspace"] for r in book)
+    k = 1 + max(r["code"] for r in book)
+    B = np.zeros((m, k, len(book[0]["centroid"])))
+    for r in book:
+        B[r["subspace"], r["code"]] = np.asarray(
+            r["centroid"], dtype=np.float64
+        )
+
+    code_schema = T.StructType(
+        [
+            T.StructField(id_col, new_vectors.schema[id_col].dataType),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("_cell", T.IntegerType()),
+        ]
+    )
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    (
+        widen_partitions(new_vectors.select(id_col, vec_col))
+        .mapInPandas(_ivfpq_encoder(C, B, id_col, vec_col), code_schema)
+        .write.mode("append")
         .partitionBy("_cell")
         .parquet(f"{index_dir}/codes")
     )
@@ -1602,7 +1709,13 @@ def search_ivfpq_index(
                 for j in range(m):
                     d += tab[j, Cd[:, j]]
                 top = min(k_results, len(grp))
-                part = np.argpartition(d, top - 1)[:top]
+                # local top-k must respect the GLOBAL (adc_dist, id)
+                # tie-break: bare argpartition selects an arbitrary
+                # subset of distance-TIED rows (PQ collapses distinct
+                # vectors to identical codes, so exact ties are the
+                # norm, not the exception), silently dropping true
+                # neighbors before the final window ever sees them
+                part = np.lexsort((grp[id_col].values, d))[:top]
                 yield pd.DataFrame(
                     {
                         query_id_col: [qid] * top,

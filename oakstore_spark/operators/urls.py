@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -343,6 +344,59 @@ def crawl_delays(
 
     return robots.select(domain_col, txt_col).mapInPandas(
         _kernel, ROBOTS_DELAY_SCHEMA
+    )
+
+
+def schedule_fetches(
+    urls: DataFrame,
+    delays: DataFrame,
+    url_col: str = "url",
+    start_us: int = 0,
+    default_delay_sec: float = 1.0,
+) -> DataFrame:
+    """Politeness-aware fetch scheduling — the last leg of the crawl
+    chain (robots allow/deny -> :func:`crawl_delays` -> WHEN may each
+    URL actually be fetched): within each registered domain, URLs are
+    ordered deterministically (md5 of the url, then url — a stable
+    pseudo-random shuffle so one path prefix doesn't hog early slots)
+    and slot k fetches at ``start_us + k * delay * 1e6``; domains
+    without a stated Crawl-delay use ``default_delay_sec``.
+
+    Output: input columns + ``reg_domain``, ``crawl_delay_sec`` (the
+    effective one), ``fetch_slot`` (0-based), ``fetch_at_us``.
+
+    Shape: one broadcast join against the tiny delay relation + ONE
+    window over the domain key (rank within domain). At 100 TB the
+    only shuffle is the domain partition; a hot domain's slots are a
+    single ordered partition, which is exactly the semantics — one
+    queue per domain. ``fetch_at_us`` stays exact-integer: delay is
+    carried in integer MICROseconds before the multiply."""
+    parts = url_parts(url_col)
+    keyed = urls.withColumn(
+        "_rd", registered_domain(parts["host"])
+    )
+    eff = F.coalesce(
+        F.col("crawl_delay_sec"), F.lit(float(default_delay_sec))
+    )
+    joined = keyed.join(
+        F.broadcast(
+            delays.select("reg_domain", "crawl_delay_sec")
+        ).withColumnRenamed("reg_domain", "_rd"),
+        "_rd",
+        "left",
+    ).withColumn("_delay_us", F.round(eff * 1_000_000).cast("bigint"))
+    w = W.partitionBy("_rd").orderBy(
+        F.md5(F.col(url_col)), F.col(url_col)
+    )
+    slot = (F.row_number().over(w) - 1).cast("bigint")
+    return joined.select(
+        *[F.col(c) for c in urls.columns],
+        F.col("_rd").alias("reg_domain"),
+        (F.col("_delay_us") / 1_000_000.0).alias("crawl_delay_sec"),
+        slot.alias("fetch_slot"),
+        (F.lit(int(start_us)) + slot * F.col("_delay_us")).alias(
+            "fetch_at_us"
+        ),
     )
 
 

@@ -1027,3 +1027,63 @@ def q_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_fetch_schedule",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'http://d' || CAST(doc_id % 3 AS VARCHAR) || '.test/p'
+               || CAST(doc_id AS VARCHAR) AS url,
+             'd' || CAST(doc_id % 3 AS VARCHAR) || '.test' AS reg_domain
+      FROM documents
+    ), r AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY reg_domain ORDER BY md5(url), url
+             ) - 1 AS slot
+      FROM u
+    )
+    SELECT doc_id, url, reg_domain,
+           CASE doc_id % 3 WHEN 0 THEN 2.0 WHEN 1 THEN 0.5
+                ELSE 1.0 END AS crawl_delay_sec,
+           CAST(slot AS BIGINT) AS fetch_slot,
+           CAST(1600000000000000 + slot *
+                CASE doc_id % 3 WHEN 0 THEN 2000000 WHEN 1 THEN 500000
+                     ELSE 1000000 END AS BIGINT) AS fetch_at_us
+    FROM r
+    ORDER BY doc_id
+    """,
+)
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl-politeness chain end-to-end: robots texts ->
+    crawl_delays (d0 states 2s, d1 half a second, d2 none -> the 1s
+    default) -> schedule_fetches assigns every URL a per-domain fetch
+    slot (md5-shuffled deterministic order) and an exact-integer
+    epoch-microsecond fetch time. The oracle replays the slot window
+    and the integer slot*delay_us arithmetic closed-form."""
+    from oakstore_spark.operators.urls import crawl_delays, schedule_fetches
+
+    robots = spark.createDataFrame(
+        [
+            ("d0.test", "User-agent: *\nCrawl-delay: 2\n"),
+            ("d1.test", "User-agent: *\nCrawl-delay: 0.5\n"),
+            ("d2.test", "User-agent: *\nDisallow: /tmp\n"),
+        ],
+        "reg_domain string, robots_txt string",
+    )
+    delays = crawl_delays(robots)
+    d = table(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://d"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".test/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return schedule_fetches(
+        urls, delays, start_us=1_600_000_000_000_000
+    ).orderBy("doc_id")

@@ -1269,3 +1269,45 @@ def test_containment_distributed_rarity_parity(spark):
         b for a, b, *_ in broadcast_pairs if a == 1000
     }
     assert {0, 5, 10, 15, 20, 25} <= containing
+
+
+def test_ivfpq_incremental_add(spark, clustered, tmp_path):
+    """add_to_ivfpq_index (index maintenance for the flagship ANN
+    shape): vectors appended AFTER the build are encoded with the
+    FROZEN quantizers, land in the cell-partitioned codes table, and
+    the next search finds them immediately — add cost tracks the
+    batch, never the corpus."""
+    from oakstore_spark.operators.similarity import (
+        add_to_ivfpq_index,
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    idx = str(tmp_path / "ivfpq_inc")
+    # build WITHOUT the odd twins, then add them incrementally
+    evens = clustered.where(F.col("vec_id") % 2 == 0)
+    odds = clustered.where(F.col("vec_id") % 2 == 1)
+    build_ivfpq_index(evens, dim=32, index_dir=idx, n_cells=16, m=4, k=16)
+    queries = evens.select(F.col("vec_id").alias("query_id"), "embedding")
+
+    before = {
+        int(r["query_id"]): int(r["vec_id"])
+        for r in search_ivfpq_index(
+            spark, idx, queries, k_results=1, n_probe=4
+        ).collect()
+    }
+    # twins absent: top-1 can never be the xor-1 twin
+    assert all(v != (q ^ 1) for q, v in before.items())
+
+    add_to_ivfpq_index(odds, idx)
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.count() == clustered.count()
+
+    after = {
+        int(r["query_id"]): int(r["vec_id"])
+        for r in search_ivfpq_index(
+            spark, idx, queries, k_results=1, n_probe=4
+        ).collect()
+    }
+    hits = sum(1 for q, v in after.items() if v == (q ^ 1))
+    assert hits >= 0.9 * len(after)

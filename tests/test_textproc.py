@@ -695,3 +695,41 @@ def test_crawl_delays_group_selection_and_conservative_max(spark):
         for r in crawl_delays(robots).collect()
     }
     assert star["b.test"] == 1.0
+
+
+def test_schedule_fetches_slots_and_defaults(spark):
+    """Per-domain fetch queue: slots are a deterministic md5 shuffle,
+    fetch_at_us = start + slot * delay_us exactly (integer micros),
+    delay-less domains use the default, duplicates of the same URL get
+    DISTINCT slots (they are separate fetches)."""
+    from oakstore_spark.operators.urls import schedule_fetches
+
+    delays = spark.createDataFrame(
+        [("a.test", 2.0, 30.0)],
+        "reg_domain string, crawl_delay_sec double, "
+        "max_requests_per_min double",
+    )
+    urls = spark.createDataFrame(
+        [(i, f"http://a.test/p{i}") for i in range(5)]
+        + [(9, "http://b.test/x"), (10, "http://b.test/y")],
+        "id long, url string",
+    )
+    out = schedule_fetches(urls, delays, start_us=1000).collect()
+    assert len(out) == 7
+    by_dom: dict = {}
+    for r in out:
+        by_dom.setdefault(r["reg_domain"], []).append(r)
+    a = sorted(by_dom["a.test"], key=lambda r: r["fetch_slot"])
+    assert [r["fetch_slot"] for r in a] == [0, 1, 2, 3, 4]
+    for r in a:
+        assert r["crawl_delay_sec"] == 2.0
+        assert r["fetch_at_us"] == 1000 + r["fetch_slot"] * 2_000_000
+    b = sorted(by_dom["b.test"], key=lambda r: r["fetch_slot"])
+    assert [r["fetch_slot"] for r in b] == [0, 1]
+    assert all(r["crawl_delay_sec"] == 1.0 for r in b)  # default
+    # determinism: same inputs -> same slot assignment
+    again = {
+        (r["url"], r["fetch_slot"])
+        for r in schedule_fetches(urls, delays, start_us=1000).collect()
+    }
+    assert {(r["url"], r["fetch_slot"]) for r in out} == again
