@@ -1042,7 +1042,9 @@ def search_ivf_index(
     probe_df = spark.createDataFrame(probe_rows, probe_schema)
     cells = sorted({int(c) for row in top_cells for c in row})
 
-    vectors = all_vectors.where(F.col("_cell").isin(cells))
+    vectors = _apply_tombstones(
+        spark, index_dir, all_vectors.where(F.col("_cell").isin(cells)), id_col
+    )
     cand = vectors.join(F.broadcast(probe_df), "_cell").filter(
         F.col(id_col) != F.col("_qid")
     )
@@ -1067,6 +1069,113 @@ def search_ivf_index(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "sim", "rank")
     )
+
+
+def _read_tombstones(spark, index_dir: str, id_col: str):
+    """The index's tombstone relation, or None when none exists yet.
+    Existence is probed by the read itself (works uniformly on local
+    FS / HDFS / object stores — no driver-side path assumptions)."""
+    try:
+        return spark.read.parquet(f"{index_dir}/tombstones").select(id_col)
+    except Exception:
+        return None
+
+
+def _apply_tombstones(spark, index_dir: str, df: DataFrame, id_col: str):
+    tomb = _read_tombstones(spark, index_dir, id_col)
+    if tomb is None:
+        return df
+    return df.join(F.broadcast(tomb), id_col, "left_anti")
+
+
+def remove_from_ivf_index(
+    ids: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+) -> None:
+    """DELETE step of the persisted index lifecycle (works on both the
+    IVF ``vectors`` and IVFPQ ``codes`` layouts — the tombstone sits
+    at the index root): append the ids to a tombstone relation that
+    every search anti-joins (broadcast — delete volume is tiny next to
+    the corpus by construction; a delete-heavy index wants
+    :func:`vacuum_ivf_index` anyway). Searches stop returning the ids
+    IMMEDIATELY; physical rows are reclaimed by the vacuum, exactly
+    the tombstone-then-compact shape every LSM/lakehouse delete
+    uses."""
+    (
+        ids.select(id_col)
+        .distinct()
+        .write.mode("append")
+        .parquet(f"{index_dir}/tombstones")
+    )
+
+
+def vacuum_ivf_index(
+    spark,
+    index_dir: str,
+    id_col: str = "vec_id",
+) -> int:
+    """Physically reclaim tombstoned rows: rewrite ONLY the affected
+    cell partitions (dynamic partition overwrite — untouched cells'
+    files are never rewritten), drop cell directories left empty, then
+    clear the tombstone set. Returns the number of rows removed.
+
+    At 100 TB the cost tracks the AFFECTED cells, not the index: the
+    semi-join that finds them is a broadcast against the (tiny)
+    tombstone relation, and the rewrite reads/writes only those
+    partitions' files."""
+    tomb = _read_tombstones(spark, index_dir, id_col)
+    if tomb is None:
+        return 0
+    sub = "vectors"
+    try:
+        data = spark.read.parquet(f"{index_dir}/{sub}")
+    except Exception:
+        sub = "codes"
+        data = spark.read.parquet(f"{index_dir}/{sub}")
+    tomb = tomb.persist()
+    hit = data.join(F.broadcast(tomb), id_col, "left_semi")
+    n_removed = hit.count()
+    if n_removed:
+        affected = [int(r[0]) for r in hit.select("_cell").distinct().collect()]
+        affected_df = data.where(F.col("_cell").isin(affected))
+        survivors = affected_df.join(
+            F.broadcast(tomb), id_col, "left_anti"
+        ).persist()
+        kept_cells = {
+            int(r[0]) for r in survivors.select("_cell").distinct().collect()
+        }
+        old_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                survivors.write.mode("overwrite")
+                .partitionBy("_cell")
+                .parquet(f"{index_dir}/{sub}")
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", old_mode
+            )
+        survivors.unpersist()
+        # dynamic overwrite only rewrites partitions PRESENT in the
+        # output — a fully-emptied cell keeps its stale files, so drop
+        # those directories through the Hadoop FS API (uniform across
+        # local/HDFS/object-store)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for c in affected:
+            if c not in kept_cells:
+                p = jvm.org.apache.hadoop.fs.Path(
+                    f"{index_dir}/{sub}/_cell={c}"
+                )
+                p.getFileSystem(conf).delete(p, True)
+    tomb.unpersist()
+    p = spark._jvm.org.apache.hadoop.fs.Path(f"{index_dir}/tombstones")
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+    return int(n_removed)
 
 
 def add_to_ivf_index(
@@ -1693,7 +1802,12 @@ def search_ivfpq_index(
     )
     cells = sorted({int(c) for row in top_cells for c in row})
     cand = (
-        all_codes.where(F.col("_cell").isin(cells))
+        _apply_tombstones(
+            spark,
+            index_dir,
+            all_codes.where(F.col("_cell").isin(cells)),
+            id_col,
+        )
         .join(F.broadcast(probe_df), "_cell")
         .filter(F.col(id_col) != F.col("_qid"))
     )

@@ -1159,3 +1159,143 @@ def apply_unigram(
             ]
         ),
     )
+
+
+# --------------------------------------------------------- persisted BM25
+
+
+def build_bm25_index(
+    df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """Persist the build-once/search-many form of :func:`bm25_scores`
+    — the Lucene shape at Spark scale. One corpus pass tokenizes
+    (same contract: lowercase, split on single spaces) and writes:
+
+      - ``postings``  — (id, dl, term, tf) PARTITIONED BY ``_bucket``
+        (= crc32(term) %% n_buckets), doc length DENORMALIZED into the
+        row so a search never joins a doclens table;
+      - ``termdf``    — (term, df) per bucket (tiny);
+      - ``stats``     — ONE row (n_docs, sum_dl).
+
+    A search reads only its query terms' bucket partitions (listing-
+    time pruning — the inverted-index analog of the IVF cell layout),
+    so per-query cost tracks the matched postings, never the corpus.
+    Postings cluster to one file per bucket before the partitioned
+    write (same committer-pressure fix as the IVFPQ codes table)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col), F.size(toks).alias("dl"), toks.alias("_tk")
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    postings = (
+        base.select(id_col, "dl", F.explode("_tk").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn(
+            "_bucket", (F.crc32(F.col("term")) % n_buckets).cast("int")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    (
+        postings.repartition(n_buckets, F.col("_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(f"{index_dir}/postings")
+    )
+    (
+        postings.groupBy("term", "_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(f"{index_dir}/termdf")
+    )
+    # every doc has >= 1 posting (split yields at least one token), so
+    # corpus stats derive from the cached postings — no second text scan
+    (
+        postings.select(id_col, "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/stats")
+    )
+    postings.unpersist()
+
+
+def search_bm25_index(
+    spark,
+    index_dir: str,
+    terms: list[str],
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """BM25 over a persisted index (:func:`build_bm25_index`): read
+    ONLY the query terms' bucket partitions, pivot the matched
+    postings back to one row per document (per-term tf columns), and
+    apply the LITERAL float tree of :func:`bm25_scores` — same
+    association, one ln, per-term conditional values added in fixed
+    written order — so index-path scores are bit-identical to the
+    full-scan path and the same SQL oracle replays both.
+
+    Returns (id, dl, tf_<i> per term, score_raw), matching
+    ``bm25_scores`` exactly (docs matching >= 1 term)."""
+    import zlib
+
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    buckets = sorted({zlib.crc32(t.encode()) % n_buckets for t in terms})
+    [srow] = spark.read.parquet(f"{index_dir}/stats").collect()
+    n, sum_dl = int(srow["n_docs"]), int(srow["sum_dl"])
+    tdf = {
+        r["term"]: int(r["df"])
+        for r in spark.read.parquet(f"{index_dir}/termdf")
+        .where(F.col("_bucket").isin(buckets) & F.col("term").isin(terms))
+        .collect()
+    }
+    posts = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .where(F.col("_bucket").isin(buckets) & F.col("term").isin(terms))
+    )
+    aggs = [F.first("dl").alias("dl")]
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            ).alias(f"tf_{i}")
+        )
+    g = posts.groupBy(id_col).agg(*aggs)
+    # constants enter as literal COLUMNS so Catalyst evaluates the
+    # identical Java float tree bm25_scores evaluates at runtime
+    avgdl = F.lit(sum_dl).cast("double") / F.lit(n)
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf = F.col(f"tf_{i}")
+        dfc = F.lit(tdf.get(t, 0))
+        idf = F.log(
+            F.lit(1.0)
+            + ((F.lit(n) - dfc).cast("double") + 0.5)
+            / (dfc.cast("double") + 0.5)
+        )
+        part = idf * (
+            (tf.cast("double") * (k1 + 1.0))
+            / (
+                tf.cast("double")
+                + k1 * (1.0 - b + b * (F.col("dl").cast("double") / avgdl))
+            )
+        )
+        score = score + F.when(tf > 0, part).otherwise(F.lit(0.0))
+    keep = [F.col(id_col), F.col("dl")]
+    keep += [F.col(f"tf_{i}") for i in range(len(terms))]
+    keep.append(score.alias("score_raw"))
+    return g.select(*keep)

@@ -1884,3 +1884,38 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     ).orderBy("doc_id")
+
+
+@register("q_bm25_index_topk", oracle=_bm25_oracle())
+def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED inverted-index form of q_bm25_topk (build-once /
+    search-many — the Lucene shape): one corpus pass writes bucket-
+    partitioned postings with doc length denormalized in, the search
+    reads ONLY the query terms' buckets (listing-time pruning, the
+    lexical analog of the IVF cell layout) and applies the literal
+    bm25_scores float tree — so the SAME oracle replays it and the
+    hash must equal the full-scan query's to the last rounded digit."""
+    import tempfile
+    from pathlib import Path as _P
+
+    from pyspark.sql import Window as _W
+
+    from oakstore_spark.operators.text import (
+        build_bm25_index,
+        search_bm25_index,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    base = (
+        _P(tempfile.gettempdir())
+        / f"oakspark_bm25_{_P(sf_dir.rstrip('/')).name}"
+    )
+    build_bm25_index(d, str(base))
+    scored = search_bm25_index(spark, str(base), list(_BM25_TERMS))
+    w = _W.orderBy(F.desc("score_raw"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 25)
+        .select("doc_id", F.round("score_raw", 6).alias("bm25"), "rank")
+        .orderBy("rank")
+    )

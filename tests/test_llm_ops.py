@@ -1311,3 +1311,118 @@ def test_ivfpq_incremental_add(spark, clustered, tmp_path):
     }
     hits = sum(1 for q, v in after.items() if v == (q ^ 1))
     assert hits >= 0.9 * len(after)
+
+
+def test_index_delete_tombstones_and_vacuum(spark, clustered, tmp_path):
+    """Index delete lifecycle (LSM/lakehouse shape): tombstoned ids
+    vanish from searches IMMEDIATELY (broadcast anti-join), vacuum
+    physically rewrites only the affected cells (and drops emptied
+    ones), clears the tombstones, and searches stay correct after.
+    Exercised on BOTH persisted layouts (IVF vectors, IVFPQ codes)."""
+    from oakstore_spark.operators.similarity import (
+        build_ivf_index,
+        build_ivfpq_index,
+        remove_from_ivf_index,
+        search_ivf_index,
+        search_ivfpq_index,
+        vacuum_ivf_index,
+    )
+
+    # --- IVF layout ---
+    idx = str(tmp_path / "ivf_del")
+    build_ivf_index(clustered, dim=32, index_dir=idx, n_centroids=16)
+    queries = clustered.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = {
+        int(r["query_id"]): int(r["vec_id"])
+        for r in search_ivf_index(spark, idx, queries, k=1, n_probe=4).collect()
+    }
+    assert sum(1 for q, v in before.items() if v == (q ^ 1)) >= 0.9 * len(before)
+
+    # delete every odd twin
+    odds = clustered.where(F.col("vec_id") % 2 == 1).select("vec_id")
+    remove_from_ivf_index(odds, idx)
+    after = {
+        int(r["query_id"]): int(r["vec_id"])
+        for r in search_ivf_index(spark, idx, queries, k=1, n_probe=4).collect()
+    }
+    assert all(v % 2 == 0 for v in after.values()), "tombstoned ids returned"
+
+    n = vacuum_ivf_index(spark, idx)
+    assert n == odds.count()
+    left = spark.read.parquet(f"{idx}/vectors")
+    assert left.count() == clustered.count() - n
+    assert left.where(F.col("vec_id") % 2 == 1).count() == 0
+    # tombstones cleared; results unchanged after the physical rewrite
+    again = {
+        int(r["query_id"]): int(r["vec_id"])
+        for r in search_ivf_index(spark, idx, queries, k=1, n_probe=4).collect()
+    }
+    assert again == after
+    # idempotent on an empty tombstone set
+    assert vacuum_ivf_index(spark, idx) == 0
+
+    # --- IVFPQ layout (same tombstone contract over codes) ---
+    idx2 = str(tmp_path / "ivfpq_del")
+    build_ivfpq_index(clustered, dim=32, index_dir=idx2, n_cells=16, m=4, k=16)
+    remove_from_ivf_index(odds, idx2)
+    out = search_ivfpq_index(
+        spark, idx2, queries, k_results=1, n_probe=4
+    ).collect()
+    assert all(int(r["vec_id"]) % 2 == 0 for r in out)
+    n2 = vacuum_ivf_index(spark, idx2)
+    assert n2 == odds.count()
+    codes_left = spark.read.parquet(f"{idx2}/codes")
+    assert codes_left.where(F.col("vec_id") % 2 == 1).count() == 0
+
+
+def test_bm25_index_matches_full_scan_exactly(spark, tmp_path):
+    """The persisted BM25 index must score BIT-IDENTICALLY to the
+    full-scan bm25_scores path (same float tree, fixed-order term sum)
+    for every matching doc — and the postings read must prune to the
+    query terms' bucket partitions."""
+    from oakstore_spark.operators.text import (
+        bm25_scores,
+        build_bm25_index,
+        search_bm25_index,
+    )
+
+    rows = [
+        (1, "hash join over the big table"),
+        (2, "scan scan scan and more scan"),
+        (3, "nothing relevant whatsoever"),
+        (4, "a hash of a hash plus one join and one scan"),
+        (5, ""),
+        (6, "join"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["hash", "join", "scan"]
+    idx = str(tmp_path / "bm25_idx")
+    build_bm25_index(df, idx, n_buckets=8)
+
+    full = {
+        r["doc_id"]: r.asDict()
+        for r in bm25_scores(df, terms).collect()
+    }
+    via_index = {
+        r["doc_id"]: r.asDict()
+        for r in search_bm25_index(spark, idx, terms, n_buckets=8).collect()
+    }
+    assert set(via_index) == set(full) == {1, 2, 4, 6}
+    for d in full:
+        for col in ("dl", "tf_0", "tf_1", "tf_2"):
+            assert via_index[d][col] == full[d][col], (d, col)
+        assert via_index[d]["score_raw"] == full[d]["score_raw"], d
+
+    # bucket pruning reaches the postings scan as a PartitionFilter
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        search_bm25_index(spark, idx, ["join"], n_buckets=8).explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "_bucket" in plan
