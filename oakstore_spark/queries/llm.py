@@ -1919,3 +1919,60 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.round("score_raw", 6).alias("bm25"), "rank")
         .orderBy("rank")
     )
+
+
+@register(
+    "q_zorder_skipping",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids,
+           CAST(sum(epoch_us(ts) % 1000000000) AS BIGINT) AS sum_ts_us
+    FROM events
+    WHERE user_id BETWEEN 100 AND 180
+    """,
+)
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering + file-level data skipping (the Delta
+    OPTIMIZE ZORDER / Iceberg manifest-stats shape): events rewrite as
+    32 files clustered by the interleaved (user_id, unix_micros(ts))
+    z-key, the per-file min/max stats relation drives a range read
+    that LOADS only intersecting files, and the aggregate must equal
+    the raw-table filter exactly — a skipped file that held a matching
+    row, or a loaded file filtered wrongly, breaks the hash. The
+    pruning itself (strict file subset) is asserted in
+    tests/test_llm_ops.py::test_zorder_write_and_file_skipping."""
+    import tempfile
+    from pathlib import Path as _P
+
+    from oakstore_spark.operators.layout import (
+        file_stats,
+        read_pruned,
+        write_zordered,
+    )
+    from oakstore_spark.sources import table
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    base = (
+        _P(tempfile.gettempdir())
+        / f"oakspark_zorder_{_P(sf_dir.rstrip('/')).name}"
+    )
+    write_zordered(ev, str(base), ["user_id", "ts_us"], n_files=32)
+    stats = file_stats(spark, str(base), ["user_id", "ts_us"])
+    hits = read_pruned(spark, stats, "user_id", 100, 180)
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+            "sum_cents"
+        ),
+        F.sum("event_id").alias("sum_ids"),
+        # mod-reduced so the sum stays in BIGINT at any SF (raw epoch
+        # micros overflow a long past ~5k rows); any single shifted
+        # microsecond still flips the value
+        F.sum(F.col("ts_us") % 1_000_000_000).alias("sum_ts_us"),
+    )

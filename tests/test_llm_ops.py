@@ -1426,3 +1426,43 @@ def test_bm25_index_matches_full_scan_exactly(spark, tmp_path):
         )
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "_bucket" in plan
+
+
+def test_zorder_write_and_file_skipping(spark, tmp_path):
+    """Z-ordered layout + file-stats skipping: a selective range read
+    on EITHER indexed column touches a strict subset of the files and
+    returns exactly the rows a full-table filter returns."""
+    from oakstore_spark.operators.layout import (
+        file_stats,
+        pruned_files,
+        read_pruned,
+        write_zordered,
+    )
+
+    df = spark.range(0, 20_000, 1, 16).select(
+        F.col("id"),
+        (F.col("id") % 1000).alias("user_id"),
+        (F.col("id") * 7 % 5000).alias("value"),
+    )
+    path = str(tmp_path / "z")
+    write_zordered(df, path, ["user_id", "value"], n_files=16)
+    stats = file_stats(spark, path, ["user_id", "value"]).cache()
+    n_files_total = stats.count()
+    assert n_files_total == 16
+
+    for col, lo, hi in (("user_id", 100, 140), ("value", 0, 300)):
+        kept = pruned_files(stats, col, lo, hi)
+        assert 0 < len(kept) < n_files_total, (col, len(kept))
+        got = sorted(
+            r["id"] for r in read_pruned(spark, stats, col, lo, hi).collect()
+        )
+        want = sorted(
+            r["id"]
+            for r in df.where(
+                (F.col(col) >= lo) & (F.col(col) <= hi)
+            ).collect()
+        )
+        assert got == want, col
+    # empty-range read: no files, no rows, schema intact
+    empty = read_pruned(spark, stats, "user_id", 10_000, 20_000)
+    assert empty.count() == 0 and "id" in empty.columns
