@@ -1589,3 +1589,166 @@ def containment_pairs(
         )
     )
     return verified
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int,
+    q: int = 3,
+) -> DataFrame:
+    """Fuzzy-match pairs under EDIT DISTANCE (entity resolution /
+    typo-duplicate detection — the string-similarity family next to
+    the set-based jaccard/containment rungs): emit (id_a < id_b,
+    len_a, len_b, edit_dist) for every pair of normalized texts with
+    ``levenshtein <= max_dist``. Exact: candidates are generated by a
+    LOSSLESS filter and verified with the built-in JVM
+    ``levenshtein`` (DuckDB has the same function, so the whole
+    operator is oracle-checkable).
+
+    Candidate generation (Gravano et al., VLDB 2001 — the positional
+    q-gram count filter, public):
+
+      ed(s, t) <= k  =>  s and t share at least
+        max(|s|, |t|) - q + 1 - k*q
+      positional q-grams whose positions differ by <= k, and
+      ``abs(|s| - |t|) <= k``.
+
+    Spark shape: one explode to (id, pos, gram) postings, one
+    equi-join on the GRAM (positions compared in the join condition),
+    one (id_a, id_b) count aggregate applying the lower bound, then
+    the levenshtein verify on the joined-back texts. SHORT strings
+    (len < (k+1)*q), where the count bound is vacuous, take a lossless
+    LENGTH-BLOCKED leg instead: candidate lengths explode to an
+    equi-join key (2k+1 rows per short string — never a cartesian), so
+    short-short and short-long boundary pairs are all enumerated.
+    Every leg verifies with the same exact predicate, so the union is
+    exact.
+
+    Returns (id_a, id_b, len_a, len_b, edit_dist)."""
+    from oakstore_spark.functions.text import normalize_text
+    from oakstore_spark.operators.scaling import widen_partitions
+
+    k = int(max_dist)
+    if k < 0:
+        raise ValueError("max_dist must be >= 0")
+    df = widen_partitions(df)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        normalize_text(text_col).alias("_nt"),
+    ).withColumn("_len", F.length("_nt")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    # the pigeonhole holds when the LONGER side has
+    # len - q + 1 - k*q >= 1; a pair where the longer side is below
+    # that rides the short leg instead
+    short_cut = (k + 1) * q  # longer-side lengths < this are "short"
+    long_side = base.where(F.col("_len") >= short_cut)
+    short_side = base.where(F.col("_len") < short_cut)
+
+    grams = long_side.select(
+        "id",
+        "_len",
+        F.posexplode(
+            F.element_at(
+                F.transform(
+                    F.array(F.col("_nt")),
+                    lambda s: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(
+                                F.length(s) - F.lit(q - 1), F.lit(1)
+                            ),
+                        ),
+                        lambda i: F.substring(s, i, q),
+                    ),
+                ),
+                1,
+            )
+        ).alias("pos", "gram"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a.pos") - F.col("b.pos")) <= k)
+            & (F.abs(F.col("a._len") - F.col("b._len")) <= k),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.greatest(F.col("a._len"), F.col("b._len")).alias("_mx"),
+        )
+        .agg(F.countDistinct(F.col("a.pos")).alias("_shared"))
+        .where(
+            F.col("_shared")
+            >= F.col("_mx") - F.lit(q - 1) - F.lit(k * q)
+        )
+        .select("id_a", "id_b")
+    )
+
+    # lossless fallback legs, both as EQUI-joins (a raw |len diff|<=k
+    # inequality would plan as a cartesian product): each short string
+    # explodes its admissible partner lengths into a join key
+    s_target = short_side.select(
+        F.col("id").alias("_sid"),
+        F.col("_len").alias("_slen"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_len") - k, F.lit(0)),
+                F.col("_len") + k,
+            )
+        ).alias("_tlen"),
+    )
+    # short-short: partner length == exploded target
+    s2 = short_side.select(
+        F.col("id").alias("_oid"), F.col("_len").alias("_tlen")
+    )
+    short_cand = (
+        s_target.join(s2, "_tlen")
+        .where(F.col("_sid") < F.col("_oid"))
+        .select(
+            F.col("_sid").alias("id_a"), F.col("_oid").alias("id_b")
+        )
+    )
+    # short-long boundary: long side's length == exploded target (only
+    # targets >= short_cut can hit, the rest join nothing)
+    lg = long_side.select(
+        F.col("id").alias("_oid"), F.col("_len").alias("_tlen")
+    )
+    edge_cand = (
+        s_target.join(lg, "_tlen")
+        .select(
+            F.least("_sid", "_oid").alias("id_a"),
+            F.greatest("_sid", "_oid").alias("id_b"),
+        )
+    )
+
+    all_cand = cand.unionByName(short_cand).unionByName(edge_cand).distinct()
+    ta = base.select(
+        F.col("id").alias("id_a"),
+        F.col("_nt").alias("_ta"),
+        F.col("_len").alias("len_a"),
+    )
+    tb = base.select(
+        F.col("id").alias("id_b"),
+        F.col("_nt").alias("_tb"),
+        F.col("_len").alias("len_b"),
+    )
+    return (
+        all_cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("edit_dist", F.levenshtein("_ta", "_tb"))
+        .where(F.col("edit_dist") <= k)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("len_a").cast("long").alias("len_a"),
+            F.col("len_b").cast("long").alias("len_b"),
+            F.col("edit_dist").cast("long").alias("edit_dist"),
+        )
+    )

@@ -1299,3 +1299,92 @@ def search_bm25_index(
     keep += [F.col(f"tf_{i}") for i in range(len(terms))]
     keep.append(score.alias("score_raw"))
     return g.select(*keep)
+
+
+def add_to_bm25_index(
+    df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """INCREMENTAL-ADD step of the persisted BM25 index (the same
+    index-maintenance contract as ``add_to_ivf_index``): the new docs'
+    postings APPEND into the bucket partitions, and the tiny summary
+    relations merge — term df as old ∪ delta re-aggregated into a
+    fresh directory swapped in via the Hadoop FS API (never
+    read-and-overwrite the same path), corpus stats as a driver-side
+    add of two single rows. Scores after the add are IDENTICAL to a
+    from-scratch build over the union corpus (integer counts merge
+    exactly), which the parity test pins.
+
+    Add cost tracks the BATCH (its postings + one pass over the small
+    termdf relation), never the indexed corpus."""
+    spark = df.sparkSession
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col), F.size(toks).alias("dl"), toks.alias("_tk")
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    delta = (
+        base.select(id_col, "dl", F.explode("_tk").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn(
+            "_bucket", (F.crc32(F.col("term")) % n_buckets).cast("int")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    (
+        delta.repartition(n_buckets, F.col("_bucket"))
+        .write.mode("append")
+        .partitionBy("_bucket")
+        .parquet(f"{index_dir}/postings")
+    )
+    # merge term document-frequencies: old relation ∪ delta counts,
+    # re-aggregated into a NEW directory, then swapped in
+    old_tdf = spark.read.parquet(f"{index_dir}/termdf")
+    delta_tdf = delta.groupBy("term", "_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    merged = (
+        old_tdf.unionByName(delta_tdf)
+        .groupBy("term", "_bucket")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    tmp = f"{index_dir}/termdf_next"
+    (
+        merged.repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(tmp)
+    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    cur = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/termdf")
+    nxt = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = cur.getFileSystem(conf)
+    fs.delete(cur, True)
+    fs.rename(nxt, cur)
+    # merge the single-row stats driver-side
+    [old_s] = spark.read.parquet(f"{index_dir}/stats").collect()
+    [add_s] = (
+        delta.select(id_col, "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
+        .collect()
+    )
+    delta.unpersist()
+    spark.createDataFrame(
+        [
+            (
+                int(old_s["n_docs"]) + int(add_s["n_docs"]),
+                int(old_s["sum_dl"]) + int(add_s["sum_dl"]),
+            )
+        ],
+        "n_docs long, sum_dl long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")

@@ -1976,3 +1976,63 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         # microsecond still flips the value
         F.sum(F.col("ts_us") % 1_000_000_000).alias("sum_ts_us"),
     )
+
+
+_EDIT_NT_SQL = """CASE
+      WHEN doc_id % 7 = 0 THEN
+        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1 + CAST(doc_id % 5 AS INT))
+      WHEN doc_id % 3 = 1 THEN
+        'z' || substr(md5(CAST(doc_id - 1 AS VARCHAR)), 2, 11)
+      ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) END"""
+
+
+@register(
+    "q_edit_distance_dup",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_EDIT_NT_SQL} AS nt
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(length(a.nt) AS BIGINT) AS len_a,
+           CAST(length(b.nt) AS BIGINT) AS len_b,
+           CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS edit_dist
+    FROM s a JOIN s b
+      ON a.doc_id < b.doc_id
+     AND abs(length(a.nt) - length(b.nt)) <= 2
+    WHERE levenshtein(a.nt, b.nt) <= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def q_edit_distance_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy-duplicate pairs (entity-resolution rung):
+    deterministic md5-derived strings plant exact 1-edit variants
+    (doc_id%3==1 replaces the base's first hex char with 'z' — hex
+    never contains 'z', so the distance is exactly 1) plus a SHORT
+    population (doc_id%7==0, 1-5 chars) that exercises the
+    length-blocked leg next to the positional q-gram leg. The operator
+    (operators/dedup.py:edit_distance_pairs) must reproduce the
+    oracle's brute-force levenshtein relation pair-for-pair,
+    distance-for-distance."""
+    from oakstore_spark.operators.dedup import edit_distance_pairs
+
+    d = table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    base = F.substring(F.md5(sid), 1, 12)
+    variant = F.concat(
+        F.lit("z"),
+        F.substring(F.md5((F.col("doc_id") - 1).cast("string")), 2, 11),
+    )
+    short = F.expr(
+        "substring(md5(CAST(doc_id AS STRING)), 1, "
+        "1 + CAST(doc_id % 5 AS INT))"
+    )
+    nt = (
+        F.when(F.col("doc_id") % 7 == 0, short)
+        .when(F.col("doc_id") % 3 == 1, variant)
+        .otherwise(base)
+    )
+    strings = d.select("doc_id", nt.alias("text"))
+    return edit_distance_pairs(strings, "doc_id", "text", 2).orderBy(
+        "id_a", "id_b"
+    )

@@ -1466,3 +1466,122 @@ def test_zorder_write_and_file_skipping(spark, tmp_path):
     # empty-range read: no files, no rows, schema intact
     empty = read_pruned(spark, stats, "user_id", 10_000, 20_000)
     assert empty.count() == 0 and "id" in empty.columns
+
+
+def test_edit_distance_pairs_exact_vs_brute_force(spark):
+    """edit_distance_pairs must equal brute force exactly (pairs AND
+    distances) on a corpus that exercises all three candidate legs:
+    long strings (positional q-gram count filter), short strings
+    (length-blocked leg), and short-long boundary pairs."""
+    import random
+
+    from oakstore_spark.operators.dedup import edit_distance_pairs
+
+    def ed(s, t):
+        m, n = len(s), len(t)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (s[i - 1] != t[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    rng = random.Random(5)
+    alpha = "abcdefgh"
+    rows = []
+    texts = {}
+    did = 0
+
+    def add(t):
+        nonlocal did
+        rows.append((did, t))
+        texts[did] = t
+        did += 1
+
+    # long strings with planted 1- and 2-edit variants
+    for _ in range(25):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randint(12, 24)))
+        add(s)
+        v = list(s)
+        v[rng.randrange(len(v))] = rng.choice(alpha)  # 0 or 1 edit
+        add("".join(v))
+        w = list(s)
+        del w[rng.randrange(len(w))]
+        w.insert(rng.randrange(len(w) + 1), rng.choice(alpha))
+        add("".join(w))
+    # short strings (below the (k+1)*q cut for k=2, q=3)
+    for _ in range(20):
+        add("".join(rng.choice(alpha) for _ in range(rng.randint(1, 8))))
+    # boundary: just over/under the cut
+    for ln in (7, 8, 9, 10):
+        add("z" * ln)
+
+    k = 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in edit_distance_pairs(df, "doc_id", "text", k).collect()
+    }
+    expect = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = ed(texts[a], texts[b])
+            if d <= k:
+                expect[(a, b)] = d
+    assert got == expect
+    assert expect, "fixture must plant at least one qualifying pair"
+    # legs actually exercised: at least one all-short and one long pair
+    cut = (k + 1) * 3
+    assert any(
+        len(texts[a]) < cut and len(texts[b]) < cut for a, b in expect
+    )
+    assert any(
+        max(len(texts[a]), len(texts[b])) >= cut for a, b in expect
+    )
+
+
+def test_bm25_incremental_add_equals_full_build(spark, tmp_path):
+    """add_to_bm25_index: building on half the corpus and adding the
+    other half must score BIT-IDENTICALLY to a from-scratch build over
+    the union (postings append; termdf merged into a swapped-in
+    directory; stats added driver-side)."""
+    from oakstore_spark.operators.text import (
+        add_to_bm25_index,
+        build_bm25_index,
+        search_bm25_index,
+    )
+
+    rows = [
+        (i, f"doc {i} " + ("hash join " * (i % 3 + 1))
+         + ("scan " * (i % 5)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["hash", "join", "scan"]
+
+    full_idx = str(tmp_path / "full")
+    build_bm25_index(df, full_idx, n_buckets=8)
+    inc_idx = str(tmp_path / "inc")
+    build_bm25_index(df.where("doc_id < 20"), inc_idx, n_buckets=8)
+    add_to_bm25_index(
+        df.where("doc_id >= 20"), inc_idx, n_buckets=8
+    )
+
+    def snap(idx):
+        return {
+            r["doc_id"]: r.asDict()
+            for r in search_bm25_index(
+                spark, idx, terms, n_buckets=8
+            ).collect()
+        }
+
+    full, inc = snap(full_idx), snap(inc_idx)
+    assert set(full) == set(inc)
+    for d in full:
+        assert inc[d] == full[d], d
