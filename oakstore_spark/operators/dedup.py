@@ -1607,24 +1607,26 @@ def edit_distance_pairs(
     ``levenshtein`` (DuckDB has the same function, so the whole
     operator is oracle-checkable).
 
-    Candidate generation (Gravano et al., VLDB 2001 — the positional
-    q-gram count filter, public):
+    Candidate generation — a RARITY-PREFIX filter (the asymmetric
+    prefix idea the containment operator uses, applied to the edit
+    destroy bound; ingredients public — Gravano et al. VLDB 2001 for
+    positional q-grams, Chaudhuri/Xin prefix filtering):
 
-      ed(s, t) <= k  =>  s and t share at least
-        max(|s|, |t|) - q + 1 - k*q
-      positional q-grams whose positions differ by <= k, and
-      ``abs(|s| - |t|) <= k``.
+      one edit destroys at most q of a string's positional q-grams,
+      so ed(s, t) <= k leaves >= 1 of ANY k*q+1 grams of s alive in t
+      at a position shifted by <= k, and ``abs(|s| - |t|) <= k``.
 
-    Spark shape: one explode to (id, pos, gram) postings, one
-    equi-join on the GRAM (positions compared in the join condition),
-    one (id_a, id_b) count aggregate applying the lower bound, then
-    the levenshtein verify on the joined-back texts. SHORT strings
-    (len < (k+1)*q), where the count bound is vacuous, take a lossless
-    LENGTH-BLOCKED leg instead: candidate lengths explode to an
-    equi-join key (2k+1 rows per short string — never a cartesian), so
-    short-short and short-long boundary pairs are all enumerated.
-    Every leg verifies with the same exact predicate, so the union is
-    exact.
+    Each string therefore joins only its ``k*q + 1`` globally RAREST
+    grams (prefix side) against the full posting lists — hot grams
+    (the death of the naive all-grams self-join on small alphabets:
+    hex ids, phone numbers) stay out of every prefix, which is what
+    bounds the join fan-out at corpus scale. SHORT strings
+    (len < (k+1)*q, fewer than k*q+1 grams — the pigeonhole is
+    vacuous) take a lossless LENGTH-BLOCKED leg instead: candidate
+    lengths explode to an equi-join key (2k+1 rows per short string —
+    never a cartesian), covering short-short and short-long boundary
+    pairs. Every leg verifies with the same exact predicate, so the
+    union is exact.
 
     Returns (id_a, id_b, len_a, len_b, edit_dist)."""
     from oakstore_spark.functions.text import normalize_text
@@ -1641,9 +1643,8 @@ def edit_distance_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
 
-    # the pigeonhole holds when the LONGER side has
-    # len - q + 1 - k*q >= 1; a pair where the longer side is below
-    # that rides the short leg instead
+    # the destroy-bound pigeonhole needs len - q + 1 >= k*q + 1 grams;
+    # a pair whose longer side is below that rides the short leg
     short_cut = (k + 1) * q  # longer-side lengths < this are "short"
     long_side = base.where(F.col("_len") >= short_cut)
     short_side = base.where(F.col("_len") < short_cut)
@@ -1668,27 +1669,53 @@ def edit_distance_pairs(
                 1,
             )
         ).alias("pos", "gram"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # global gram rarity; per-doc prefix = the k*q+1 rarest grams
+    # (ties by gram, then pos — any deterministic selection is valid)
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_gf"))
+    ranked = grams.join(dfreq, "gram")
+    prefix = (
+        ranked.groupBy("id")
+        .agg(
+            F.first("_len").alias("_len"),
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_gf"), F.col("gram"), F.col("pos")
+                        )
+                    )
+                ),
+                1,
+                k * q + 1,
+            ).alias("_sel"),
+        )
+        .select(
+            "id",
+            "_len",
+            F.explode("_sel").alias("_s"),
+        )
+        .select(
+            "id",
+            "_len",
+            F.col("_s.gram").alias("gram"),
+            F.col("_s.pos").alias("pos"),
+        )
     )
-    a, b = grams.alias("a"), grams.alias("b")
+    a, b = prefix.alias("a"), grams.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.id") != F.col("b.id"))
             & (F.abs(F.col("a.pos") - F.col("b.pos")) <= k)
             & (F.abs(F.col("a._len") - F.col("b._len")) <= k),
         )
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.greatest(F.col("a._len"), F.col("b._len")).alias("_mx"),
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
         )
-        .agg(F.countDistinct(F.col("a.pos")).alias("_shared"))
-        .where(
-            F.col("_shared")
-            >= F.col("_mx") - F.lit(q - 1) - F.lit(k * q)
-        )
-        .select("id_a", "id_b")
+        .distinct()
     )
 
     # lossless fallback legs, both as EQUI-joins (a raw |len diff|<=k

@@ -80,6 +80,9 @@ def main() -> None:
                          "exact L2 brute force")
     ap.add_argument("--containdocs", type=int, default=0,
                     help="sparse-path containment dedup probe")
+    ap.add_argument("--editdocs", type=int, default=0,
+                    help="edit-distance fuzzy-pair probe (rarity-prefix "
+                         "candidates, planted 1-edit variants)")
     ap.add_argument("--warcdocs", type=int, default=0,
                     help="WARC write+read round-trip throughput probe")
     ap.add_argument("--avrodocs", type=int, default=0,
@@ -1027,6 +1030,63 @@ def main() -> None:
         if found != n_pairs:
             raise SystemExit(
                 f"containment probe FAILED: {found} != {n_pairs}"
+            )
+
+    if args.editdocs:
+        # entity-resolution shape: records = vocabulary words + a
+        # UNIQUE field (the realistic case — real records carry ids /
+        # house numbers whose grams are globally rare, which is
+        # exactly what the rarity-prefix candidate filter keys on).
+        # Planted: every 100th record gets a 1-substitution variant
+        # ('z' never appears in the base alphabet, so distance is
+        # exactly 1); the probe asserts exact planted recovery.
+        from oakstore_spark.operators.dedup import edit_distance_pairs
+
+        ne = args.editdocs
+        n_pairs = max(ne // 100, 10)
+        # md5-derived tokens: vocabulary words AND the unique field are
+        # hex strings, so two different tokens differ in many chars —
+        # distinct records are far apart (numeric tokens like
+        # 'w123'/'w124' would be 1 edit apart and flood the relation
+        # with real-but-unintended pairs: measured 6.5M at 300k docs)
+        w1 = F.substring(
+            F.md5(F.concat(F.lit("w"), (F.col("id") * 7919 % 5000).cast("string"))),
+            1, 6,
+        )
+        w2 = F.substring(
+            F.md5(F.concat(F.lit("v"), (F.col("id") * 104729 % 5000).cast("string"))),
+            1, 6,
+        )
+        uniq = F.substring(F.md5(F.col("id").cast("string")), 1, 10)
+        base_txt = F.concat(
+            F.lit("entity "), w1, F.lit(" "), w2, F.lit(" no "), uniq
+        )
+        recs = spark.range(0, ne, 1, 64).select(
+            F.col("id").alias("doc_id"), base_txt.alias("text")
+        )
+        variants = spark.range(0, n_pairs, 1, 8).select(
+            (F.col("id") + ne).alias("doc_id"),
+            F.concat(
+                F.lit("zntity "), w1, F.lit(" "), w2, F.lit(" no "), uniq
+            ).alias("text"),
+        )
+        corpus = recs.unionByName(variants)
+        t0 = time.time()
+        pairs = edit_distance_pairs(corpus, "doc_id", "text", 2)
+        found = pairs.where(
+            (F.col("id_b") == F.col("id_a") + ne)
+            & (F.col("edit_dist") == 1)
+        ).count()
+        total = pairs.count()
+        edt = time.time() - t0
+        out["edit_probe_docs"] = ne + n_pairs
+        out["edit_probe_sec"] = round(edt, 2)
+        out["edit_probe_docs_per_sec"] = round((ne + n_pairs) / edt)
+        out["edit_probe_found_planted"] = found
+        out["edit_probe_total_pairs"] = total
+        if found != n_pairs:
+            raise SystemExit(
+                f"edit probe FAILED: {found} != {n_pairs}"
             )
 
     if args.warcdocs:
