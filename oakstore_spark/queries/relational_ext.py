@@ -1375,3 +1375,102 @@ def q_hof_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("hb"), 1).otherwise(0)).alias("n_with_big"),
         )
     )
+
+
+@register(
+    "q_expectations_report",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey * 10 + l_linenumber AS vid, *
+      FROM lineitem
+    ), checks(rule, bad) AS (
+      SELECT 'qty_range',
+             NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)
+      FROM li
+      UNION ALL
+      SELECT 'price_positive',
+             NOT COALESCE(l_extendedprice > 0, FALSE)
+      FROM li
+      UNION ALL
+      SELECT 'small_orders_only',
+             NOT COALESCE(l_quantity <= 10, FALSE)
+      FROM li
+      UNION ALL
+      SELECT 'null_is_violation',
+             NOT COALESCE(CASE WHEN l_quantity <= 25 THEN TRUE END,
+                          FALSE)
+      FROM li
+    ), agg AS (
+      SELECT rule,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+      FROM checks GROUP BY rule
+    ), ex AS (
+      SELECT rule, COALESCE(string_agg(v, ',' ORDER BY v), '')
+               AS examples_csv
+      FROM (
+        SELECT c.rule AS rule, CAST(li.vid AS VARCHAR) AS v,
+               row_number() OVER (
+                 PARTITION BY c.rule ORDER BY li.vid
+               ) AS rk
+        FROM (
+          SELECT 'qty_range' AS rule UNION ALL
+          SELECT 'price_positive' UNION ALL
+          SELECT 'small_orders_only' UNION ALL
+          SELECT 'null_is_violation'
+        ) c
+        JOIN li ON (
+          (c.rule = 'qty_range'
+             AND NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE))
+          OR (c.rule = 'price_positive'
+             AND NOT COALESCE(l_extendedprice > 0, FALSE))
+          OR (c.rule = 'small_orders_only'
+             AND NOT COALESCE(l_quantity <= 10, FALSE))
+          OR (c.rule = 'null_is_violation'
+             AND NOT COALESCE(
+                   CASE WHEN l_quantity <= 25 THEN TRUE END, FALSE))
+        )
+      ) WHERE rk <= 3 GROUP BY rule
+    )
+    SELECT a.rule AS rule, a.n_rows, a.n_violations,
+           CAST(a.n_violations AS DOUBLE)
+             / greatest(a.n_rows, 1) AS violation_rate,
+           a.n_violations = 0 AS passed,
+           COALESCE(e.examples_csv, '') AS examples_csv
+    FROM agg a LEFT JOIN ex e ON a.rule = e.rule
+    ORDER BY a.rule
+    """,
+)
+def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset contract validation (dbt-tests / Delta CHECK shape —
+    operators/quality.py): four expectations over lineitem — two that
+    hold (quantity range, ship<=receipt), one that fails broadly
+    (quantity<=10), and one whose predicate goes NULL for quantities
+    over 25 (unknown counts as a violation). One scan aggregates every
+    rule's counts; examples come from a rank-limited window
+    (WindowGroupLimit — bounded state at any violation rate). Emitted
+    as CSV (arrays don't hash in the checker); the oracle replays
+    counts, rates, verdicts, and the 3 smallest violator ids."""
+    from oakstore_spark.operators.quality import validate_expectations
+
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "vid", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    rules = {
+        "qty_range": F.col("l_quantity").between(1, 50),
+        "price_positive": F.col("l_extendedprice") > 0,
+        "small_orders_only": F.col("l_quantity") <= 10,
+        "null_is_violation": F.when(
+            F.col("l_quantity") <= 25, F.lit(True)
+        ),
+    }
+    rep = validate_expectations(li, rules, id_col="vid")
+    return rep.select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        "violation_rate",
+        "passed",
+        F.array_join("example_ids", ",").alias("examples_csv"),
+    ).orderBy("rule")

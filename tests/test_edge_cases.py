@@ -265,3 +265,45 @@ def test_rotation_check_type_change_resets_verification():
         f"q_spend_deciles_sketch sorted at {pos}, outside the driver's "
         "50-row window — the ROWS→ORACLE reset did not take effect"
     )
+
+
+def test_expectations_validate_and_enforce(spark):
+    """Contract validation: per-rule counts/rates/verdicts from one
+    scan, deterministic smallest-id examples (bounded via the
+    rank-limited window, not a violation-set collect), NULL predicate
+    results count as violations, SQL-string rules accepted, and
+    enforce_expectations raises naming the failing rules."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from oakstore_spark.operators.quality import (
+        enforce_expectations,
+        validate_expectations,
+    )
+
+    rows = [(i, float(i), "x" * (i % 4)) for i in range(100)]
+    df = spark.createDataFrame(rows, "rid long, v double, s string")
+    rules = {
+        "v_nonneg": "v >= 0",                       # passes
+        "v_small": F.col("v") < 90,                 # 10 violations
+        "s_nonempty": F.length("s") > 0,            # 25 violations
+        "nullish": F.when(F.col("v") < 50, True),   # 50 NULL -> bad
+    }
+    rep = {
+        r["rule"]: r.asDict()
+        for r in validate_expectations(df, rules, id_col="rid").collect()
+    }
+    assert rep["v_nonneg"]["passed"] and rep["v_nonneg"]["n_violations"] == 0
+    assert rep["v_nonneg"]["example_ids"] == []
+    assert rep["v_small"]["n_violations"] == 10
+    assert rep["v_small"]["example_ids"] == ["90", "91", "92"]
+    assert rep["s_nonempty"]["n_violations"] == 25
+    assert rep["s_nonempty"]["example_ids"] == ["0", "4", "8"]
+    assert rep["nullish"]["n_violations"] == 50  # NULL == violation
+    assert all(r["n_rows"] == 100 for r in rep.values())
+    assert rep["v_small"]["violation_rate"] == 10 / 100
+
+    ok = enforce_expectations(df, {"v_nonneg": "v >= 0"}, id_col="rid")
+    assert ok.count() == 100
+    with _pytest.raises(ValueError, match="v_small"):
+        enforce_expectations(df, rules, id_col="rid")
