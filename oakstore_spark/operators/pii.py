@@ -116,3 +116,52 @@ def redact_pii_all(col: Column | str) -> Column:
     emailed = F.regexp_replace(carded, EMAIL_RE, "<EMAIL>")
     phoned = F.regexp_replace(emailed, PHONE_RE, "<PHONE>")
     return F.regexp_replace(phoned, IPV4_RE, "<IP>")
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Re-identification risk assessment (Sweeney's k-anonymity and
+    Machanavajjhala's l-diversity — both public): group the table by
+    its QUASI-IDENTIFIER columns and report, per equivalence class,
+    its size (``k_size`` — the k the class attains; a class of 1 is a
+    unique, directly re-identifiable row) and, when ``sensitive_col``
+    is given, its distinct-sensitive-value count (``l_distinct`` — an
+    l of 1 means the sensitive value is DISCLOSED for everyone in the
+    class even at high k).
+
+    ONE hash aggregate over the table (count + count distinct carried
+    through partial aggregation); the output is one row per
+    equivalence class — the relation privacy tooling thresholds
+    (`WHERE k_size < k_required`), suppresses, or generalizes on."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("k_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(sensitive_col).cast("long").alias("l_distinct")
+        )
+    out = df.groupBy(*quasi_cols).agg(*aggs)
+    if sensitive_col is None:
+        out = out.withColumn("l_distinct", F.lit(None).cast("long"))
+    return out
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Suppression-based k-anonymization: drop every row whose
+    quasi-identifier equivalence class holds fewer than ``k`` rows —
+    the baseline release gate (generalization hierarchies are
+    domain-specific; suppression is the universal floor). One
+    aggregate finds the undersized classes, one broadcast-friendly
+    semi-join keeps the safe rows; row content never shuffles."""
+    safe = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= k)
+        .drop("_n")
+    )
+    return df.join(safe, quasi_cols, "left_semi")

@@ -1474,3 +1474,34 @@ def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "passed",
         F.array_join("example_ids", ",").alias("examples_csv"),
     ).orderBy("rule")
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS k_size,
+           CAST(count(DISTINCT c_acctbal >= 0) AS BIGINT) AS l_distinct
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk report (k-anonymity / l-diversity —
+    operators/pii.py): customers grouped by the (nation, market
+    segment) quasi-identifier, each equivalence class reporting its
+    attained k and the diversity of the binary account-balance-sign
+    sensitive attribute. One hash aggregate; the oracle replays it
+    closed-form."""
+    from oakstore_spark.operators.pii import k_anonymity_report
+
+    c = table(spark, sf_dir, "customer").withColumn(
+        "_sens", F.col("c_acctbal") >= 0
+    )
+    return (
+        k_anonymity_report(
+            c, ["c_nationkey", "c_mktsegment"], sensitive_col="_sens"
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

@@ -307,3 +307,38 @@ def test_expectations_validate_and_enforce(spark):
     assert ok.count() == 100
     with _pytest.raises(ValueError, match="v_small"):
         enforce_expectations(df, rules, id_col="rid")
+
+
+def test_k_anonymize_suppression(spark):
+    """k_anonymize drops exactly the rows in undersized equivalence
+    classes; the survivors' report attains k everywhere; l_distinct
+    flags a disclosed (l=1) class even at high k."""
+    from pyspark.sql import functions as F
+
+    from oakstore_spark.operators.pii import (
+        k_anonymity_report,
+        k_anonymize,
+    )
+
+    rows = (
+        [("us", "a", f"d{i}") for i in range(5)]       # k=5, l=5
+        + [("us", "b", "same")] * 4                     # k=4, l=1
+        + [("fr", "a", "x"), ("fr", "a", "y")]          # k=2
+        + [("de", "z", "solo")]                         # k=1 -> dropped
+    )
+    df = spark.createDataFrame(rows, "country string, seg string, diag string")
+    rep = {
+        (r["country"], r["seg"]): (r["k_size"], r["l_distinct"])
+        for r in k_anonymity_report(
+            df, ["country", "seg"], sensitive_col="diag"
+        ).collect()
+    }
+    assert rep[("us", "a")] == (5, 5)
+    assert rep[("us", "b")] == (4, 1)  # disclosed despite k=4
+    assert rep[("de", "z")] == (1, 1)
+
+    kept = k_anonymize(df, ["country", "seg"], k=2)
+    assert kept.count() == len(rows) - 1
+    assert kept.where(F.col("country") == "de").count() == 0
+    # idempotent at the same k
+    assert k_anonymize(kept, ["country", "seg"], k=2).count() == kept.count()
