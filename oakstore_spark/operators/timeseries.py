@@ -573,3 +573,71 @@ def grouped_cusum(
         .sortWithinPartitions(*keys, *order_cols)
     )
     return parted.mapInPandas(kernel, out_schema)
+
+
+def funnel_analysis(
+    df: DataFrame,
+    steps: list[tuple[str, Column]],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str | None = None,
+) -> DataFrame:
+    """Ordered-funnel conversion (the Amplitude/GA product-analytics
+    shape — public): per user, step i counts only with an event
+    matching its predicate STRICTLY AFTER the user's step-(i-1) time
+    (earliest-qualifying-event semantics, the standard convention);
+    ``within`` (an INTERVAL string, e.g. ``'7 days'``) additionally
+    requires every step inside that window of the user's step-1 time.
+
+    Returns one row per user who completed step 1:
+    (user, <name>_ts per step as epoch micros, steps_completed).
+
+    Spark shape: one conditional aggregate per step over the SAME
+    event relation — step i's agg is min(ts) where pred_i and
+    ts > step_{i-1} — joined back on the user key; k steps cost k
+    small hash aggregates + broadcast-friendly joins, never a per-user
+    sort or collect. Epoch-micro outputs keep the relation
+    SQL-replayable (the oracle mirrors the min-chain)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    u = F.col(user_col)
+    ts = F.col(ts_col)
+    name0, pred0 = steps[0]
+    cur = (
+        df.where(pred0)
+        .groupBy(u.alias("_u"))
+        .agg(F.min(ts).alias(f"{name0}_ts"))
+    )
+    deadline = (
+        F.col(f"{name0}_ts") + F.expr(f"INTERVAL {within}")
+        if within is not None
+        else None
+    )
+    for i, (name, pred) in enumerate(steps[1:], start=2):
+        prev_name = steps[i - 2][0]
+        ev = df.where(pred).select(
+            u.alias("_u"), ts.alias("_ts")
+        )
+        cond = F.col("_ts") > F.col(f"{prev_name}_ts")
+        if deadline is not None:
+            cond = cond & (F.col("_ts") <= deadline)
+        nxt = (
+            ev.join(cur, "_u")
+            .where(cond)
+            .groupBy("_u")
+            .agg(F.min("_ts").alias(f"{name}_ts"))
+        )
+        cur = cur.join(nxt, "_u", "left")
+    completed = F.lit(0)
+    for name, _ in steps:
+        completed = completed + F.col(f"{name}_ts").isNotNull().cast(
+            "int"
+        )
+    out_cols = [F.col("_u").alias(user_col)]
+    for name, _ in steps:
+        out_cols.append(
+            F.unix_micros(F.col(f"{name}_ts")).alias(f"{name}_us")
+        )
+    return cur.select(
+        *out_cols, completed.cast("int").alias("steps_completed")
+    )

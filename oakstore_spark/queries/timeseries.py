@@ -1037,3 +1037,59 @@ def q_cusum_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "ts", ["user_id"], "cents", allowance=5000,
         order_tiebreak=["event_id"],
     )
+
+
+@register(
+    "q_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id AS user_id,
+           CAST(epoch_us(s1.t1) AS BIGINT) AS view_us,
+           CAST(epoch_us(s2.t2) AS BIGINT) AS click_us,
+           CAST(epoch_us(s3.t3) AS BIGINT) AS purchase_us,
+           CAST(1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END
+                AS INT) AS steps_completed
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    ORDER BY user_id
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion over the event stream (view -> click
+    -> purchase, each step strictly after the previous and inside 7
+    days of the user's first view): one conditional aggregate per step
+    joined back on the user key — never a per-user sort. The oracle
+    mirrors the min-chain CTE-for-CTE; earliest-qualifying semantics
+    make every timestamp closed-form."""
+    from oakstore_spark.operators.timeseries import funnel_analysis
+
+    ev = table(spark, sf_dir, "events")
+    out = funnel_analysis(
+        ev,
+        steps=[
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        within="7 days",
+    )
+    return out.orderBy("user_id")

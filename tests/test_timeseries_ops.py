@@ -378,3 +378,57 @@ def test_grouped_cusum_carry_across_arrow_batches(spark):
     assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
     assert (got["rn"].to_numpy() == exp["rn"].to_numpy()).all()
     assert (got["cusum"].to_numpy() == exp["cusum"].to_numpy()).all()
+
+
+def test_funnel_analysis_ordering_and_window(spark):
+    """Funnel semantics: step i counts only STRICTLY AFTER step i-1
+    (a click before the first view doesn't convert), the earliest
+    qualifying event wins, the within-window anchors at step 1, and a
+    user who skips a middle step never reaches later ones."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from oakstore_spark.operators.timeseries import funnel_analysis
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: clean conversion view@1 -> click@3 -> purchase@5
+        (1, t(1), "view"), (1, t(3), "click"), (1, t(5), "purchase"),
+        # u2: click BEFORE first view -> not counted; later click ok
+        (2, t(2), "click"), (2, t(4), "view"), (2, t(6), "click"),
+        # u3: view then purchase WITHOUT click -> stuck at step 1
+        (3, t(1), "view"), (3, t(2), "purchase"),
+        # u4: duplicate events -> earliest qualifying wins
+        (4, t(1), "view"), (4, t(2), "click"), (4, t(3), "click"),
+        (4, t(4), "purchase"),
+        # u5: click outside the 10-minute window -> step 2 missed
+        (5, t(1), "view"), (5, t(30), "click"),
+        # u6: never views -> absent from the output entirely
+        (6, t(1), "click"), (6, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["user_id"]: r.asDict()
+        for r in funnel_analysis(
+            df,
+            steps=[
+                ("view", F.col("event_type") == "view"),
+                ("click", F.col("event_type") == "click"),
+                ("purchase", F.col("event_type") == "purchase"),
+            ],
+            within="10 minutes",
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    us = lambda m: int(datetime(2024, 1, 1, 0, m).timestamp() * 1_000_000)  # noqa: E731
+    assert out[1]["steps_completed"] == 3
+    assert (out[1]["view_us"], out[1]["click_us"], out[1]["purchase_us"]) == (
+        us(1), us(3), us(5)
+    )
+    assert out[2]["steps_completed"] == 2 and out[2]["click_us"] == us(6)
+    assert out[3]["steps_completed"] == 1 and out[3]["click_us"] is None
+    assert out[3]["purchase_us"] is None  # no step skipping
+    assert out[4]["click_us"] == us(2)  # earliest qualifying
+    assert out[4]["steps_completed"] == 3
+    assert out[5]["steps_completed"] == 1  # window cutoff
