@@ -641,3 +641,61 @@ def funnel_analysis(
     return cur.select(
         *out_cols, completed.cast("int").alias("steps_completed")
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix (the product-analytics companion of
+    :func:`funnel_analysis`): users are cohorted by the period of
+    their FIRST event; each (cohort, period-offset) cell counts the
+    cohort's users active in that later period. Returns
+    (cohort_start_us, period_offset, n_active, cohort_size,
+    retention_rate) — offset 0 is the cohort itself, so its rate is
+    exactly 1.0.
+
+    Spark shape: one aggregate finds each user's first period, one
+    join tags every (user, active-period) pair with its cohort, one
+    distinct + aggregate builds the matrix — three shuffles on the
+    user key and the (cohort, offset) key, no windows over the event
+    stream. Period arithmetic stays integral (date_trunc to epoch
+    micros; offsets via integer division by the period length), so an
+    oracle replays every cell exactly."""
+    us_per = {
+        "day": 86_400_000_000,
+        "week": 7 * 86_400_000_000,
+        "month": None,  # calendar months need date arithmetic
+    }
+    if period not in ("day", "week"):
+        raise ValueError("period must be 'day' or 'week'")
+    plen = us_per[period]
+    u = F.col(user_col)
+    # anchor weeks at the epoch Monday-agnostic integer grid: the
+    # period index is floor(epoch_us / period_us) — engine-portable
+    # (date_trunc('week') differs on week-start conventions)
+    pidx = F.floor(F.unix_micros(F.col(ts_col)) / plen).cast("long")
+    activity = df.select(u.alias("_u"), pidx.alias("_p")).distinct()
+    firsts = activity.groupBy("_u").agg(F.min("_p").alias("_c"))
+    cells = (
+        activity.join(firsts, "_u")
+        .groupBy("_c", (F.col("_p") - F.col("_c")).alias("period_offset"))
+        .agg(F.countDistinct("_u").alias("n_active"))
+    )
+    sizes = firsts.groupBy("_c").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        cells.join(sizes, "_c")
+        .select(
+            (F.col("_c") * plen).alias("cohort_start_us"),
+            F.col("period_offset").cast("long"),
+            F.col("n_active").cast("long"),
+            F.col("cohort_size").cast("long"),
+            (F.col("n_active") / F.col("cohort_size"))
+            .cast("double")
+            .alias("retention_rate"),
+        )
+    )

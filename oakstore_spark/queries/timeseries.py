@@ -1093,3 +1093,44 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         within="7 days",
     )
     return out.orderBy("user_id")
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS p
+      FROM events
+    ), firsts AS (
+      SELECT user_id, min(p) AS c FROM act GROUP BY user_id
+    ), cells AS (
+      SELECT f.c, a.p - f.c AS period_offset,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      FROM act a JOIN firsts f ON a.user_id = f.user_id
+      GROUP BY f.c, a.p - f.c
+    ), sizes AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY c
+    )
+    SELECT CAST(cells.c * 604800000000 AS BIGINT) AS cohort_start_us,
+           CAST(period_offset AS BIGINT) AS period_offset,
+           n_active, cohort_size,
+           CAST(n_active AS DOUBLE) / cohort_size AS retention_rate
+    FROM cells JOIN sizes ON cells.c = sizes.c
+    ORDER BY cohort_start_us, period_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the event stream: users cohorted
+    by first-activity week (integer epoch-week grid — engine-portable,
+    no week-start convention), each later week's active share per
+    cohort. Three shuffles, no windows over the stream; the oracle
+    replays every cell exactly (integer counts, one double
+    division)."""
+    from oakstore_spark.operators.timeseries import cohort_retention
+
+    ev = table(spark, sf_dir, "events")
+    return cohort_retention(ev, period="week").orderBy(
+        "cohort_start_us", "period_offset"
+    )

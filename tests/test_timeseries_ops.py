@@ -432,3 +432,45 @@ def test_funnel_analysis_ordering_and_window(spark):
     assert out[4]["click_us"] == us(2)  # earliest qualifying
     assert out[4]["steps_completed"] == 3
     assert out[5]["steps_completed"] == 1  # window cutoff
+
+
+def test_cohort_retention_matrix(spark):
+    """Hand-built cohorts: offset-0 rate is exactly 1.0, a user counts
+    once per period regardless of event volume, later-period activity
+    lands in the FIRST-seen cohort, and absent (cohort, offset) cells
+    emit no row."""
+    from datetime import datetime, timedelta
+
+    from oakstore_spark.operators.timeseries import cohort_retention
+
+    wk = 7 * 86_400_000_000
+    base = datetime(2024, 1, 4)  # mid-week: grid is pure epoch//week
+
+    def at(weeks, hours=0):
+        return base + timedelta(weeks=weeks, hours=hours)
+
+    rows = (
+        # cohort A (week of base): users 1,2,3; u1 returns wk+1, wk+2;
+        # u2 returns wk+2 (twice — must count once); u3 never returns
+        [(1, at(0)), (1, at(1)), (1, at(2)),
+         (2, at(0)), (2, at(2)), (2, at(2, 5)),
+         (3, at(0))]
+        # cohort B (base+1wk): user 4, returns wk+1
+        + [(4, at(1)), (4, at(2))]
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["cohort_start_us"], r["period_offset"]): (
+            r["n_active"], r["cohort_size"], r["retention_rate"]
+        )
+        for r in cohort_retention(df, period="week").collect()
+    }
+    c_a = int(base.timestamp() * 1_000_000) // wk * wk
+    c_b = int(at(1).timestamp() * 1_000_000) // wk * wk
+    assert out[(c_a, 0)] == (3, 3, 1.0)
+    assert out[(c_a, 1)] == (1, 3, 1 / 3)   # only u1
+    assert out[(c_a, 2)] == (2, 3, 2 / 3)   # u1 + u2 (deduped)
+    assert out[(c_b, 0)] == (1, 1, 1.0)
+    assert out[(c_b, 1)] == (1, 1, 1.0)
+    assert (c_b, 2) not in out              # sparse matrix
+    assert len(out) == 5
