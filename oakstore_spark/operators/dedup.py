@@ -1395,6 +1395,7 @@ def containment_pairs(
         and n_docs * universe * 4 <= 500_000_000
     ):
         freq_rows = dfreq.collect()
+        dfreq.unpersist()  # fully consumed by the collect above
         code_space = np.sort(np.asarray([int(r["code"]) for r in freq_rows]))
         doc_rows = grams.select("id", "codes").collect()
         ids_all = np.asarray([r["id"] for r in doc_rows])
@@ -1523,6 +1524,13 @@ def containment_pairs(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+    # materialize the cached rarity-sorted relation, then release its
+    # inputs — everything downstream (prefix, full postings, verify
+    # sides) reads only sorted_grams, so grams/dfreq would otherwise
+    # sit in the cache for the life of the session
+    sorted_grams.count()
+    grams.unpersist()
+    dfreq.unpersist()
     # The prefix length MUST be derived from the same integer pct the
     # acceptance filter uses (100*inter >= pct*min): a pair passes when
     # inter >= ceil(pct*n/100), so covering candidates needs the rarest
@@ -1636,6 +1644,11 @@ def edit_distance_pairs(
     if k < 0:
         raise ValueError("max_dist must be >= 0")
     df = widen_partitions(df)
+    # base and grams feed MULTIPLE sides of the returned lazy plan
+    # (candidate legs + both verify sides), so they stay persisted for
+    # the plan's lifetime — same contract as minhash's sigs; a
+    # long-lived session that is done with the result can release them
+    # via df.sparkSession.catalog.clearCache()
     base = df.select(
         F.col(id_col).alias("id"),
         normalize_text(text_col).alias("_nt"),

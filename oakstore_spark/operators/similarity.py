@@ -1088,6 +1088,31 @@ def _apply_tombstones(spark, index_dir: str, df: DataFrame, id_col: str):
     return df.join(F.broadcast(tomb), id_col, "left_anti")
 
 
+def _prune_tombstones(spark, index_dir: str, ids: DataFrame, id_col: str):
+    """Drop the given ids from the tombstone relation so a vector
+    RE-ADDED after a delete becomes visible to searches immediately
+    (without this, the id-keyed anti-join would keep hiding it until
+    :func:`vacuum_ivf_index` cleared the tombstone). The tombstone set
+    is tiny by construction, so the survivors round-trip through the
+    driver and the relation is rewritten atomically-enough via
+    overwrite of a handful of rows."""
+    tomb = _read_tombstones(spark, index_dir, id_col)
+    if tomb is None:
+        return
+    keep = [
+        r[0] for r in tomb.join(ids.select(id_col), id_col, "left_anti")
+        .collect()
+    ]
+    path = f"{index_dir}/tombstones"
+    if keep:
+        spark.createDataFrame(
+            [(k,) for k in keep], tomb.select(id_col).schema
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+    else:
+        p = spark._jvm.org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+
+
 def remove_from_ivf_index(
     ids: DataFrame,
     index_dir: str,
@@ -1101,7 +1126,9 @@ def remove_from_ivf_index(
     :func:`vacuum_ivf_index` anyway). Searches stop returning the ids
     IMMEDIATELY; physical rows are reclaimed by the vacuum, exactly
     the tombstone-then-compact shape every LSM/lakehouse delete
-    uses."""
+    uses. A later re-add of a deleted id via ``add_to_ivf_index`` /
+    ``add_to_ivfpq_index`` prunes that id from the tombstone set, so
+    delete-then-re-add round-trips without waiting for a vacuum."""
     (
         ids.select(id_col)
         .distinct()
@@ -1238,6 +1265,8 @@ def add_to_ivf_index(
         .partitionBy("_cell")
         .parquet(f"{index_dir}/vectors")
     )
+    # a delete-then-re-add must become searchable again immediately
+    _prune_tombstones(spark, index_dir, new_vectors, id_col)
 
 
 def quantize_embeddings_int8(
@@ -1707,6 +1736,8 @@ def add_to_ivfpq_index(
         .partitionBy("_cell")
         .parquet(f"{index_dir}/codes")
     )
+    # a delete-then-re-add must become searchable again immediately
+    _prune_tombstones(spark, index_dir, new_vectors, id_col)
 
 
 def search_ivfpq_index(

@@ -856,7 +856,8 @@ def _unigram_viterbi(
     back = [0] * (n + 1)
     best[0] = 0.0
     for i in range(1, n + 1):
-        # j descending => longer final piece wins ties via strict >
+        # ascending j with strict > keeps the SMALLEST split point on
+        # ties, i.e. the longest final piece wins
         for j in range(max(0, i - max_len), i):
             lp = logp.get(word[j:i])
             if lp is None or best[j] == NEG:
@@ -1364,9 +1365,16 @@ def add_to_bm25_index(
     conf = spark._jsc.hadoopConfiguration()
     cur = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/termdf")
     nxt = jvm.org.apache.hadoop.fs.Path(tmp)
+    old = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/termdf_old")
     fs = cur.getFileSystem(conf)
-    fs.delete(cur, True)
+    # crash-safe swap: park the live termdf aside FIRST so a crash at
+    # any point leaves a recoverable directory (either cur still live,
+    # or termdf_old as the pre-merge state + termdf_next as the merged
+    # one); the backup is deleted only after the new termdf is in place
+    fs.delete(old, True)  # stale backup from a previous crashed swap
+    fs.rename(cur, old)
     fs.rename(nxt, cur)
+    fs.delete(old, True)
     # merge the single-row stats driver-side
     [old_s] = spark.read.parquet(f"{index_dir}/stats").collect()
     [add_s] = (

@@ -1445,7 +1445,7 @@ def q_hof_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset contract validation (dbt-tests / Delta CHECK shape —
     operators/quality.py): four expectations over lineitem — two that
-    hold (quantity range, ship<=receipt), one that fails broadly
+    hold (qty_range, price_positive), one that fails broadly
     (quantity<=10), and one whose predicate goes NULL for quantities
     over 25 (unknown counts as a violation). One scan aggregates every
     rule's counts; examples come from a rank-limited window

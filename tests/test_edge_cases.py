@@ -251,20 +251,32 @@ def test_rotation_check_type_change_resets_verification():
     assert e._row_is_green(oracle_green, has_oracle=False)
     assert e._row_is_green(oracle_green, has_oracle=True)
 
-    # end-to-end on the real repo state: q_spend_deciles_sketch gained
-    # its exact oracle in r8 with only rows-only history, so the
-    # oracle-aware file-backed rotation must sort it into the front
-    # window (before any oracle-verified query).
-    from oakstore_spark import queries as q
+    # end-to-end against a SYNTHETIC correctness directory (never live
+    # repo artifacts — the driver mutates those every round): a query
+    # whose only history is rows-only sorts back to never-verified the
+    # moment the registry declares an oracle for it, landing before
+    # every oracle-verified query and tied with truly-never-checked
+    # ones.  Asserts the ordering PROPERTY, so future driver runs
+    # cannot flip this test.
+    import json
+    import tempfile
 
-    q.load_all()
-    assert "q_spend_deciles_sketch" in q.ORACLES
-    order = e._rotation_order(list(q.QUERIES))
-    pos = order.index("q_spend_deciles_sketch")
-    assert pos < 50, (
-        f"q_spend_deciles_sketch sorted at {pos}, outside the driver's "
-        "50-row window — the ROWS→ORACLE reset did not take effect"
-    )
+    with tempfile.TemporaryDirectory() as tmp:
+        with open(f"{tmp}/CORRECTNESS_r01.json", "w") as f:
+            json.dump({"retired": rows_only, "verified": oracle_green}, f)
+        with open(f"{tmp}/CORRECTNESS_r02.json", "w") as f:
+            json.dump({"verified": oracle_green}, f)
+        # registry now declares an oracle for BOTH queries
+        checked = e._load_check_history(tmp, {"retired", "verified"})
+        assert "retired" not in checked  # rows-only credit revoked
+        assert checked["verified"] == [1, 2]
+        names = ["verified", "retired", "never"]
+        order = e._rotation_order(names, checked)
+        assert order.index("retired") < order.index("verified")
+        assert order.index("never") < order.index("verified")
+        # while oracle-less, the same rows-only row still counts
+        checked_rows_only = e._load_check_history(tmp, {"verified"})
+        assert checked_rows_only["retired"] == [1]
 
 
 def test_expectations_validate_and_enforce(spark):
