@@ -1088,25 +1088,100 @@ def _apply_tombstones(spark, index_dir: str, df: DataFrame, id_col: str):
     return df.join(F.broadcast(tomb), id_col, "left_anti")
 
 
+def _reclaim_rows(spark, index_dir: str, ids: DataFrame, id_col: str) -> int:
+    """Physically remove the given ids' rows from the cell-partitioned
+    layout (IVF ``vectors`` or IVFPQ ``codes``), rewriting ONLY the
+    affected cell partitions (dynamic partition overwrite) and dropping
+    cell directories left empty. Shared by :func:`vacuum_ivf_index`
+    (ids = the whole tombstone set) and the re-add path (ids = the
+    tombstoned subset of an arriving batch). Returns rows removed.
+
+    At 100 TB the cost tracks the AFFECTED cells, not the index: the
+    semi-join that finds them is a broadcast against the (tiny) id
+    relation, and the rewrite reads/writes only those partitions'
+    files."""
+    sub = "vectors"
+    try:
+        data = spark.read.parquet(f"{index_dir}/{sub}")
+    except Exception:
+        sub = "codes"
+        data = spark.read.parquet(f"{index_dir}/{sub}")
+    ids = ids.persist()
+    hit = data.join(F.broadcast(ids), id_col, "left_semi")
+    n_removed = hit.count()
+    if n_removed:
+        affected = [int(r[0]) for r in hit.select("_cell").distinct().collect()]
+        affected_df = data.where(F.col("_cell").isin(affected))
+        survivors = affected_df.join(
+            F.broadcast(ids), id_col, "left_anti"
+        ).persist()
+        kept_cells = {
+            int(r[0]) for r in survivors.select("_cell").distinct().collect()
+        }
+        old_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                survivors.write.mode("overwrite")
+                .partitionBy("_cell")
+                .parquet(f"{index_dir}/{sub}")
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", old_mode
+            )
+        survivors.unpersist()
+        # dynamic overwrite only rewrites partitions PRESENT in the
+        # output — a fully-emptied cell keeps its stale files, so drop
+        # those directories through the Hadoop FS API (uniform across
+        # local/HDFS/object-store)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for c in affected:
+            if c not in kept_cells:
+                p = jvm.org.apache.hadoop.fs.Path(
+                    f"{index_dir}/{sub}/_cell={c}"
+                )
+                p.getFileSystem(conf).delete(p, True)
+    ids.unpersist()
+    return int(n_removed)
+
+
 def _prune_tombstones(spark, index_dir: str, ids: DataFrame, id_col: str):
-    """Drop the given ids from the tombstone relation so a vector
-    RE-ADDED after a delete becomes visible to searches immediately
-    (without this, the id-keyed anti-join would keep hiding it until
-    :func:`vacuum_ivf_index` cleared the tombstone). The tombstone set
-    is tiny by construction, so the survivors round-trip through the
-    driver and the relation is rewritten atomically-enough via
-    overwrite of a handful of rows."""
+    """Run BEFORE appending a batch: any arriving id that is currently
+    tombstoned gets its old physical rows reclaimed and its tombstone
+    dropped, so after the append the re-added row is the SINGLE live
+    copy and is visible to searches immediately (without this, the
+    id-keyed anti-join would keep hiding it until
+    :func:`vacuum_ivf_index`; pruning the tombstone alone would leave
+    the stale pre-delete row alive alongside the new one). Runs before
+    the append so a mid-add crash can only lose the re-add — never
+    resurrect the deleted row or duplicate it. The tombstone set is
+    tiny by construction, so it round-trips through the driver."""
     tomb = _read_tombstones(spark, index_dir, id_col)
     if tomb is None:
         return
+    batch_ids = ids.select(id_col).distinct()
+    readded = [
+        r[0] for r in tomb.join(batch_ids, id_col, "left_semi").collect()
+    ]
+    if not readded:
+        return
+    _reclaim_rows(
+        spark,
+        index_dir,
+        spark.createDataFrame([(k,) for k in readded], tomb.schema),
+        id_col,
+    )
     keep = [
-        r[0] for r in tomb.join(ids.select(id_col), id_col, "left_anti")
-        .collect()
+        r[0] for r in tomb.join(batch_ids, id_col, "left_anti").collect()
     ]
     path = f"{index_dir}/tombstones"
     if keep:
         spark.createDataFrame(
-            [(k,) for k in keep], tomb.select(id_col).schema
+            [(k,) for k in keep], tomb.schema
         ).coalesce(1).write.mode("overwrite").parquet(path)
     else:
         p = spark._jvm.org.apache.hadoop.fs.Path(path)
@@ -1154,52 +1229,7 @@ def vacuum_ivf_index(
     tomb = _read_tombstones(spark, index_dir, id_col)
     if tomb is None:
         return 0
-    sub = "vectors"
-    try:
-        data = spark.read.parquet(f"{index_dir}/{sub}")
-    except Exception:
-        sub = "codes"
-        data = spark.read.parquet(f"{index_dir}/{sub}")
-    tomb = tomb.persist()
-    hit = data.join(F.broadcast(tomb), id_col, "left_semi")
-    n_removed = hit.count()
-    if n_removed:
-        affected = [int(r[0]) for r in hit.select("_cell").distinct().collect()]
-        affected_df = data.where(F.col("_cell").isin(affected))
-        survivors = affected_df.join(
-            F.broadcast(tomb), id_col, "left_anti"
-        ).persist()
-        kept_cells = {
-            int(r[0]) for r in survivors.select("_cell").distinct().collect()
-        }
-        old_mode = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                survivors.write.mode("overwrite")
-                .partitionBy("_cell")
-                .parquet(f"{index_dir}/{sub}")
-            )
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", old_mode
-            )
-        survivors.unpersist()
-        # dynamic overwrite only rewrites partitions PRESENT in the
-        # output — a fully-emptied cell keeps its stale files, so drop
-        # those directories through the Hadoop FS API (uniform across
-        # local/HDFS/object-store)
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        for c in affected:
-            if c not in kept_cells:
-                p = jvm.org.apache.hadoop.fs.Path(
-                    f"{index_dir}/{sub}/_cell={c}"
-                )
-                p.getFileSystem(conf).delete(p, True)
-    tomb.unpersist()
+    n_removed = _reclaim_rows(spark, index_dir, tomb, id_col)
     p = spark._jvm.org.apache.hadoop.fs.Path(f"{index_dir}/tombstones")
     p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
     return int(n_removed)
@@ -1258,6 +1288,9 @@ def add_to_ivf_index(
 
     from oakstore_spark.operators.scaling import widen_partitions
 
+    # delete-then-re-add: reclaim + untombstone arriving ids FIRST so
+    # the appended row becomes the single live, searchable copy
+    _prune_tombstones(spark, index_dir, new_vectors, id_col)
     (
         widen_partitions(new_vectors.select(id_col, vec_col))
         .mapInPandas(assign_cells, cell_schema)
@@ -1265,8 +1298,6 @@ def add_to_ivf_index(
         .partitionBy("_cell")
         .parquet(f"{index_dir}/vectors")
     )
-    # a delete-then-re-add must become searchable again immediately
-    _prune_tombstones(spark, index_dir, new_vectors, id_col)
 
 
 def quantize_embeddings_int8(
@@ -1729,6 +1760,9 @@ def add_to_ivfpq_index(
     )
     from oakstore_spark.operators.scaling import widen_partitions
 
+    # delete-then-re-add: reclaim + untombstone arriving ids FIRST so
+    # the appended code row becomes the single live, searchable copy
+    _prune_tombstones(spark, index_dir, new_vectors, id_col)
     (
         widen_partitions(new_vectors.select(id_col, vec_col))
         .mapInPandas(_ivfpq_encoder(C, B, id_col, vec_col), code_schema)
@@ -1736,8 +1770,6 @@ def add_to_ivfpq_index(
         .partitionBy("_cell")
         .parquet(f"{index_dir}/codes")
     )
-    # a delete-then-re-add must become searchable again immediately
-    _prune_tombstones(spark, index_dir, new_vectors, id_col)
 
 
 def search_ivfpq_index(

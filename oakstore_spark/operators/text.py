@@ -1165,6 +1165,24 @@ def apply_unigram(
 # --------------------------------------------------------- persisted BM25
 
 
+def _swap_dir(spark, cur_path: str, nxt_path: str) -> None:
+    """Crash-safe directory swap through the Hadoop FS API: park the
+    live directory aside FIRST so a crash at any point leaves a
+    recoverable state (either ``cur`` still live, or ``<cur>_old`` as
+    the pre-swap state + ``nxt`` as the new one); the backup is
+    deleted only after the new directory is in place."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    cur = jvm.org.apache.hadoop.fs.Path(cur_path)
+    nxt = jvm.org.apache.hadoop.fs.Path(nxt_path)
+    old = jvm.org.apache.hadoop.fs.Path(f"{cur_path}_old")
+    fs = cur.getFileSystem(conf)
+    fs.delete(old, True)  # stale backup from a previous crashed swap
+    fs.rename(cur, old)
+    fs.rename(nxt, cur)
+    fs.delete(old, True)
+
+
 def build_bm25_index(
     df: DataFrame,
     index_dir: str,
@@ -1268,6 +1286,12 @@ def search_bm25_index(
         spark.read.parquet(f"{index_dir}/postings")
         .where(F.col("_bucket").isin(buckets) & F.col("term").isin(terms))
     )
+    # deleted docs vanish from results IMMEDIATELY via the tombstone
+    # anti-join; corpus stats / term df stay at their pre-delete values
+    # until vacuum_bm25_index (documented staleness — the IVF contract)
+    tomb = _read_bm25_tombstones(spark, index_dir, id_col)
+    if tomb is not None:
+        posts = posts.join(F.broadcast(tomb), id_col, "left_anti")
     aggs = [F.first("dl").alias("dl")]
     for i, t in enumerate(terms):
         aggs.append(
@@ -1322,6 +1346,9 @@ def add_to_bm25_index(
     Add cost tracks the BATCH (its postings + one pass over the small
     termdf relation), never the indexed corpus."""
     spark = df.sparkSession
+    # delete-then-re-add: reclaim + untombstone arriving doc ids FIRST
+    # so the appended postings become the single live, searchable copy
+    _prune_bm25_tombstones(spark, index_dir, df, id_col)
     toks = F.split(F.lower(F.col(text_col)), " ")
     base = df.select(
         F.col(id_col), F.size(toks).alias("dl"), toks.alias("_tk")
@@ -1361,20 +1388,7 @@ def add_to_bm25_index(
         .partitionBy("_bucket")
         .parquet(tmp)
     )
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    cur = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/termdf")
-    nxt = jvm.org.apache.hadoop.fs.Path(tmp)
-    old = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/termdf_old")
-    fs = cur.getFileSystem(conf)
-    # crash-safe swap: park the live termdf aside FIRST so a crash at
-    # any point leaves a recoverable directory (either cur still live,
-    # or termdf_old as the pre-merge state + termdf_next as the merged
-    # one); the backup is deleted only after the new termdf is in place
-    fs.delete(old, True)  # stale backup from a previous crashed swap
-    fs.rename(cur, old)
-    fs.rename(nxt, cur)
-    fs.delete(old, True)
+    _swap_dir(spark, f"{index_dir}/termdf", tmp)
     # merge the single-row stats driver-side
     [old_s] = spark.read.parquet(f"{index_dir}/stats").collect()
     [add_s] = (
@@ -1396,3 +1410,207 @@ def add_to_bm25_index(
         ],
         "n_docs long, sum_dl long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+
+def _read_bm25_tombstones(spark, index_dir: str, id_col: str):
+    """The BM25 index's doc tombstone relation, or None when none
+    exists yet (probed by the read itself — uniform across local FS /
+    HDFS / object stores)."""
+    try:
+        return spark.read.parquet(f"{index_dir}/tombstones").select(id_col)
+    except Exception:
+        return None
+
+
+def remove_from_bm25_index(
+    ids: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+) -> None:
+    """DELETE step of the persisted BM25 index lifecycle — the same
+    tombstone-then-compact contract as ``remove_from_ivf_index``:
+    append the doc ids to a tombstone relation at the index root that
+    every ``search_bm25_index`` anti-joins (broadcast — delete volume
+    is tiny next to the corpus by construction). The deleted docs stop
+    appearing in results IMMEDIATELY; term df and corpus stats keep
+    their pre-delete values until :func:`vacuum_bm25_index` rebuilds
+    them (scores of surviving docs drift by the deleted docs' share of
+    the global statistics — the standard stale-segment-stats behavior
+    of every deferred-merge inverted index). A later re-add of a
+    deleted id via ``add_to_bm25_index`` reclaims the old postings and
+    prunes the tombstone, so delete-then-re-add round-trips without a
+    vacuum."""
+    (
+        ids.select(id_col)
+        .distinct()
+        .write.mode("append")
+        .parquet(f"{index_dir}/tombstones")
+    )
+
+
+def _reclaim_bm25(spark, index_dir: str, ids: DataFrame, id_col: str) -> int:
+    """Physically remove the given docs from the BM25 layout: rewrite
+    ONLY the bucket partitions holding their postings (dynamic
+    partition overwrite; emptied buckets' directories dropped),
+    subtract their per-term counts from ``termdf`` (terms hitting
+    df=0 are dropped), and subtract their doc count / length sum from
+    ``stats`` — so the index afterwards equals a from-scratch build
+    over the surviving corpus (integer bookkeeping subtracts exactly).
+    Shared by :func:`vacuum_bm25_index` (ids = the whole tombstone
+    set) and the re-add path in ``add_to_bm25_index``. Returns docs
+    removed.
+
+    Cost model: finding a doc's postings takes one scan of the
+    postings relation (they are term-bucketed, not doc-partitioned —
+    inherent to an inverted index; Lucene pays the same shape per
+    segment merge), then the rewrite touches only affected buckets."""
+    from pyspark.storagelevel import StorageLevel
+
+    posts = spark.read.parquet(f"{index_dir}/postings")
+    ids = ids.select(id_col).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    hit = posts.join(F.broadcast(ids), id_col, "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    [rm] = (
+        hit.select(id_col, "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
+        .collect()
+    )
+    n_rm = int(rm["n_docs"] or 0)
+    if n_rm == 0:
+        hit.unpersist()
+        ids.unpersist()
+        return 0
+
+    affected = [int(r[0]) for r in hit.select("_bucket").distinct().collect()]
+    # --- termdf: subtract the removed docs' per-term posting counts
+    rm_df = hit.groupBy("term", "_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("_rm")
+    )
+    new_tdf = (
+        spark.read.parquet(f"{index_dir}/termdf")
+        .join(rm_df, ["term", "_bucket"], "left")
+        .select(
+            "term",
+            "_bucket",
+            (F.col("df") - F.coalesce(F.col("_rm"), F.lit(0)))
+            .cast("long")
+            .alias("df"),
+        )
+        .where(F.col("df") > 0)
+    )
+    tmp = f"{index_dir}/termdf_next"
+    (
+        new_tdf.repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(tmp)
+    )
+    _swap_dir(spark, f"{index_dir}/termdf", tmp)
+
+    # --- postings: rewrite only the affected buckets
+    survivors = (
+        posts.where(F.col("_bucket").isin(affected))
+        .join(F.broadcast(ids), id_col, "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    kept = {int(r[0]) for r in survivors.select("_bucket").distinct().collect()}
+    old_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            survivors.write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(f"{index_dir}/postings")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    survivors.unpersist()
+    # dynamic overwrite only rewrites partitions PRESENT in the output
+    # — a fully-emptied bucket keeps its stale files, so drop those
+    # directories explicitly
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for bkt in affected:
+        if bkt not in kept:
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{index_dir}/postings/_bucket={bkt}"
+            )
+            p.getFileSystem(conf).delete(p, True)
+
+    # --- stats: driver-side subtraction of two single rows
+    [old_s] = spark.read.parquet(f"{index_dir}/stats").collect()
+    spark.createDataFrame(
+        [
+            (
+                int(old_s["n_docs"]) - n_rm,
+                int(old_s["sum_dl"]) - int(rm["sum_dl"] or 0),
+            )
+        ],
+        "n_docs long, sum_dl long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    hit.unpersist()
+    ids.unpersist()
+    return n_rm
+
+
+def vacuum_bm25_index(
+    spark,
+    index_dir: str,
+    id_col: str = "doc_id",
+) -> int:
+    """Physically reclaim tombstoned docs from the BM25 index: rewrite
+    only the affected bucket partitions, rebuild term df / corpus
+    stats by exact integer subtraction, then clear the tombstone set
+    (idempotent on an empty one). After the vacuum the index is
+    bit-identical to a from-scratch build over the surviving corpus —
+    pinned by the lifecycle pytest. Returns the number of docs
+    removed."""
+    tomb = _read_bm25_tombstones(spark, index_dir, id_col)
+    if tomb is None:
+        return 0
+    n = _reclaim_bm25(spark, index_dir, tomb, id_col)
+    p = spark._jvm.org.apache.hadoop.fs.Path(f"{index_dir}/tombstones")
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+    return int(n)
+
+
+def _prune_bm25_tombstones(spark, index_dir: str, df: DataFrame, id_col: str):
+    """Run BEFORE an incremental add: any arriving doc id that is
+    currently tombstoned gets its old postings reclaimed (termdf/stats
+    adjusted) and its tombstone dropped, so the re-added doc indexes
+    as the single live copy and is searchable immediately. Runs before
+    the append so a mid-add crash can only lose the re-add — never
+    resurrect the deleted doc or double-count it."""
+    tomb = _read_bm25_tombstones(spark, index_dir, id_col)
+    if tomb is None:
+        return
+    batch_ids = df.select(id_col).distinct()
+    readded = [
+        r[0] for r in tomb.join(batch_ids, id_col, "left_semi").collect()
+    ]
+    if not readded:
+        return
+    _reclaim_bm25(
+        spark,
+        index_dir,
+        spark.createDataFrame([(k,) for k in readded], tomb.schema),
+        id_col,
+    )
+    keep = [
+        r[0] for r in tomb.join(batch_ids, id_col, "left_anti").collect()
+    ]
+    path = f"{index_dir}/tombstones"
+    if keep:
+        spark.createDataFrame(
+            [(k,) for k in keep], tomb.schema
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+    else:
+        p = spark._jvm.org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)

@@ -1585,3 +1585,163 @@ def test_bm25_incremental_add_equals_full_build(spark, tmp_path):
     assert set(full) == set(inc)
     for d in full:
         assert inc[d] == full[d], d
+
+
+def test_index_delete_then_readd_roundtrip(spark, clustered, tmp_path):
+    """Delete-then-re-add: an add batch containing tombstoned ids
+    reclaims the stale pre-delete rows FIRST, drops those tombstones,
+    and appends — so the re-added vector is searchable immediately
+    with exactly ONE live physical copy, while ids deleted but NOT
+    re-added stay hidden. Exercised on both persisted layouts."""
+    from oakstore_spark.operators.similarity import (
+        _read_tombstones,
+        add_to_ivf_index,
+        add_to_ivfpq_index,
+        build_ivf_index,
+        build_ivfpq_index,
+        remove_from_ivf_index,
+        search_ivf_index,
+        search_ivfpq_index,
+    )
+
+    idx = str(tmp_path / "ivf_readd")
+    build_ivf_index(clustered, dim=32, index_dir=idx, n_centroids=16)
+    gone = clustered.where(F.col("vec_id").isin(1, 3)).select("vec_id")
+    remove_from_ivf_index(gone, idx)
+    add_to_ivf_index(clustered.where("vec_id = 1"), idx)
+
+    # single live copy of the re-added id; the not-re-added id keeps
+    # its (hidden) stale row and its tombstone
+    vecs = spark.read.parquet(f"{idx}/vectors")
+    assert vecs.where("vec_id = 1").count() == 1
+    assert vecs.where("vec_id = 3").count() == 1
+    assert [r[0] for r in _read_tombstones(spark, idx, "vec_id").collect()] \
+        == [3]
+
+    q0 = clustered.where("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = search_ivf_index(spark, idx, q0, k=1, n_probe=4).collect()
+    assert int(out[0]["vec_id"]) == 1  # twin searchable again
+    q2 = clustered.where("vec_id = 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out2 = search_ivf_index(spark, idx, q2, k=1, n_probe=4).collect()
+    assert int(out2[0]["vec_id"]) != 3  # still deleted
+
+    # re-adding the last tombstoned id clears the tombstone relation
+    add_to_ivf_index(clustered.where("vec_id = 3"), idx)
+    assert _read_tombstones(spark, idx, "vec_id") is None
+    vecs = spark.read.parquet(f"{idx}/vectors")
+    assert vecs.where("vec_id = 3").count() == 1
+    assert int(
+        search_ivf_index(spark, idx, q2, k=1, n_probe=4)
+        .collect()[0]["vec_id"]
+    ) == 3
+
+    # --- IVFPQ layout (same re-add contract over codes) ---
+    idx2 = str(tmp_path / "ivfpq_readd")
+    build_ivfpq_index(clustered, dim=32, index_dir=idx2, n_cells=16,
+                      m=4, k=16)
+    remove_from_ivf_index(gone, idx2)
+    add_to_ivfpq_index(clustered.where("vec_id = 1"), idx2)
+    codes = spark.read.parquet(f"{idx2}/codes")
+    assert codes.where("vec_id = 1").count() == 1
+    assert [r[0] for r in _read_tombstones(spark, idx2, "vec_id").collect()] \
+        == [3]
+    outp = search_ivfpq_index(
+        spark, idx2, q0, k_results=1, n_probe=4
+    ).collect()
+    assert int(outp[0]["vec_id"]) == 1
+
+
+def test_bm25_index_delete_lifecycle(spark, tmp_path):
+    """BM25 index delete lifecycle (tombstone-then-compact parity with
+    the IVF layouts): tombstoned docs vanish from searches IMMEDIATELY
+    (scores of survivors keep pre-delete global stats until vacuum);
+    vacuum rewrites only affected buckets, rebuilds termdf/stats by
+    exact subtraction so the index scores BIT-IDENTICALLY to a
+    from-scratch build over the survivors, clears tombstones and is
+    idempotent; delete-then-re-add restores the doc exactly."""
+    from oakstore_spark.operators.text import (
+        _read_bm25_tombstones,
+        add_to_bm25_index,
+        build_bm25_index,
+        remove_from_bm25_index,
+        search_bm25_index,
+        vacuum_bm25_index,
+    )
+
+    rows = [
+        (i, f"doc {i} " + ("hash join " * (i % 3 + 1))
+         + ("scan " * (i % 5)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["hash", "join", "scan"]
+    idx = str(tmp_path / "bm25_del")
+    build_bm25_index(df, idx, n_buckets=8)
+
+    def snap(index_dir):
+        return {
+            r["doc_id"]: r.asDict()
+            for r in search_bm25_index(
+                spark, index_dir, terms, n_buckets=8
+            ).collect()
+        }
+
+    before = snap(idx)
+    assert set(before) == set(range(40))
+
+    # delete docs 0-9: gone from results immediately, survivors'
+    # scores still use the stale (pre-delete) global stats
+    remove_from_bm25_index(df.where("doc_id < 10").select("doc_id"), idx)
+    mid = snap(idx)
+    assert set(mid) == set(range(10, 40))
+    for d in mid:
+        assert mid[d] == before[d], d  # stale stats by contract
+
+    # vacuum: physical reclaim + exact stats rebuild -> bit-identical
+    # to a from-scratch index over the survivors
+    n = vacuum_bm25_index(spark, idx)
+    assert n == 10
+    assert _read_bm25_tombstones(spark, idx, "doc_id") is None
+    posts = spark.read.parquet(f"{idx}/postings")
+    assert posts.where("doc_id < 10").count() == 0
+    ref_idx = str(tmp_path / "bm25_ref")
+    build_bm25_index(df.where("doc_id >= 10"), ref_idx, n_buckets=8)
+    after, ref = snap(idx), snap(ref_idx)
+    assert set(after) == set(ref)
+    for d in ref:
+        assert after[d] == ref[d], d
+    # termdf/stats subtraction matches the rebuilt relations exactly
+    tdf_v = {
+        (r["term"], int(r["_bucket"])): int(r["df"])
+        for r in spark.read.parquet(f"{idx}/termdf").collect()
+    }
+    tdf_r = {
+        (r["term"], int(r["_bucket"])): int(r["df"])
+        for r in spark.read.parquet(f"{ref_idx}/termdf").collect()
+    }
+    assert tdf_v == tdf_r
+    assert (
+        spark.read.parquet(f"{idx}/stats").collect()
+        == spark.read.parquet(f"{ref_idx}/stats").collect()
+    )
+    # idempotent on an empty tombstone set
+    assert vacuum_bm25_index(spark, idx) == 0
+
+    # delete-then-re-add WITHOUT a vacuum: the re-added doc comes back
+    # as the single live copy and the index equals the full build
+    remove_from_bm25_index(df.where("doc_id = 20").select("doc_id"), idx)
+    assert 20 not in snap(idx)
+    add_to_bm25_index(df.where("doc_id = 20"), idx, n_buckets=8)
+    assert _read_bm25_tombstones(spark, idx, "doc_id") is None
+    posts = spark.read.parquet(f"{idx}/postings")
+    ref_posts = spark.read.parquet(f"{ref_idx}/postings")
+    assert posts.where("doc_id = 20").count() \
+        == ref_posts.where("doc_id = 20").count()  # single live copy
+    readd = snap(idx)
+    assert set(readd) == set(ref)
+    for d in ref:
+        assert readd[d] == ref[d], d
