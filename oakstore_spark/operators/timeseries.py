@@ -661,22 +661,39 @@ def cohort_retention(
     join tags every (user, active-period) pair with its cohort, one
     distinct + aggregate builds the matrix — three shuffles on the
     user key and the (cohort, offset) key, no windows over the event
-    stream. Period arithmetic stays integral (date_trunc to epoch
-    micros; offsets via integer division by the period length), so an
-    oracle replays every cell exactly."""
+    stream. Period arithmetic stays integral — day/week on the
+    floor(epoch_us / period_us) grid, calendar months on the
+    ``year*12 + month - 1`` integer grid (engine-portable: no
+    date_trunc epoch math, no add_months chains; a Jan-31 first
+    event cohorts into January and a Feb-1 return is offset 1) — so
+    an oracle replays every cell exactly."""
     us_per = {
         "day": 86_400_000_000,
         "week": 7 * 86_400_000_000,
-        "month": None,  # calendar months need date arithmetic
     }
-    if period not in ("day", "week"):
-        raise ValueError("period must be 'day' or 'week'")
-    plen = us_per[period]
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be 'day', 'week' or 'month'")
     u = F.col(user_col)
-    # anchor weeks at the epoch Monday-agnostic integer grid: the
-    # period index is floor(epoch_us / period_us) — engine-portable
-    # (date_trunc('week') differs on week-start conventions)
-    pidx = F.floor(F.unix_micros(F.col(ts_col)) / plen).cast("long")
+    if period == "month":
+        # integer calendar-month index: offsets are true month
+        # differences regardless of month lengths / leap years
+        pidx = (
+            F.year(F.col(ts_col)) * 12 + F.month(F.col(ts_col)) - 1
+        ).cast("long")
+        cohort_start = F.unix_micros(
+            F.make_date(
+                F.floor(F.col("_c") / 12).cast("int"),
+                (F.col("_c") % 12 + 1).cast("int"),
+                F.lit(1),
+            ).cast("timestamp")
+        )
+    else:
+        plen = us_per[period]
+        # anchor weeks at the epoch Monday-agnostic integer grid: the
+        # period index is floor(epoch_us / period_us) — engine-portable
+        # (date_trunc('week') differs on week-start conventions)
+        pidx = F.floor(F.unix_micros(F.col(ts_col)) / plen).cast("long")
+        cohort_start = F.col("_c") * plen
     activity = df.select(u.alias("_u"), pidx.alias("_p")).distinct()
     firsts = activity.groupBy("_u").agg(F.min("_p").alias("_c"))
     cells = (
@@ -690,7 +707,7 @@ def cohort_retention(
     return (
         cells.join(sizes, "_c")
         .select(
-            (F.col("_c") * plen).alias("cohort_start_us"),
+            cohort_start.cast("long").alias("cohort_start_us"),
             F.col("period_offset").cast("long"),
             F.col("n_active").cast("long"),
             F.col("cohort_size").cast("long"),

@@ -1134,3 +1134,55 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, period="week").orderBy(
         "cohort_start_us", "period_offset"
     )
+
+
+@register(
+    "q_cohort_retention_monthly",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT o_custkey AS user_id,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                  AS BIGINT) AS p
+      FROM orders
+    ), firsts AS (
+      SELECT user_id, min(p) AS c FROM act GROUP BY user_id
+    ), cells AS (
+      SELECT f.c, a.p - f.c AS period_offset,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      FROM act a JOIN firsts f ON a.user_id = f.user_id
+      GROUP BY f.c, a.p - f.c
+    ), sizes AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY c
+    )
+    SELECT CAST(epoch_us(CAST(make_date(
+             CAST(floor(cells.c / 12) AS INT),
+             CAST(cells.c % 12 + 1 AS INT), 1) AS TIMESTAMP)) AS BIGINT)
+             AS cohort_start_us,
+           CAST(period_offset AS BIGINT) AS period_offset,
+           n_active, cohort_size,
+           CAST(n_active AS DOUBLE) / cohort_size AS retention_rate
+    FROM cells JOIN sizes ON cells.c = sizes.c
+    ORDER BY cohort_start_us, period_offset
+    """,
+)
+def q_cohort_retention_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR-MONTH cohort retention — the single most common
+    retention grain (operators/timeseries.py cohort_retention,
+    period='month'): customers cohorted by first-order month over the
+    multi-year orders stream (events spans one month, so orders is
+    the table with real month structure). The month index is the
+    integer ``year*12 + month - 1`` grid, so offsets are true
+    calendar-month differences regardless of month lengths or leap
+    years (a Jan-31 first order cohorts into January; a Feb-1 return
+    is offset 1 — no add_months chains, no date_trunc epoch math).
+    The oracle replays every cell exactly on the same grid."""
+    from oakstore_spark.operators.timeseries import cohort_retention
+
+    od = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    return cohort_retention(od, period="month").orderBy(
+        "cohort_start_us", "period_offset"
+    )

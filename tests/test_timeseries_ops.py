@@ -474,3 +474,49 @@ def test_cohort_retention_matrix(spark):
     assert out[(c_b, 1)] == (1, 1, 1.0)
     assert (c_b, 2) not in out              # sparse matrix
     assert len(out) == 5
+
+
+def test_cohort_retention_month_boundaries(spark):
+    """Calendar-month grain: a Jan-31 first event cohorts into January
+    with cohort_start Jan-1; a Feb-1 return is offset 1 (one calendar
+    month, despite being 1 day later); Jan-31 -> Mar-1 is offset 2;
+    a Dec cohort's January return crosses the year boundary as offset
+    1; leap-February (2024) arithmetic stays exact."""
+    from datetime import datetime
+
+    from oakstore_spark.operators.timeseries import cohort_retention
+
+    rows = [
+        # u1: Jan-31 cohort, returns Feb-1 (offset 1) and Mar-1 (2)
+        (1, datetime(2024, 1, 31, 23, 59)),
+        (1, datetime(2024, 2, 1, 0, 1)),
+        (1, datetime(2024, 3, 1)),
+        # u2: Jan-1 cohort (same January cohort as u1), never returns
+        (2, datetime(2024, 1, 1)),
+        # u3: Dec-2023 cohort, returns Jan-2024 (offset 1 across the
+        # year boundary) and Feb-29 leap day (offset 2)
+        (3, datetime(2023, 12, 15)),
+        (3, datetime(2024, 1, 2)),
+        (3, datetime(2024, 2, 29)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["cohort_start_us"], r["period_offset"]): (
+            r["n_active"], r["cohort_size"], r["retention_rate"]
+        )
+        for r in cohort_retention(df, period="month").collect()
+    }
+    jan = int(datetime(2024, 1, 1).timestamp() * 1_000_000)
+    dec = int(datetime(2023, 12, 1).timestamp() * 1_000_000)
+    assert out[(jan, 0)] == (2, 2, 1.0)     # u1 + u2
+    assert out[(jan, 1)] == (1, 2, 0.5)     # u1's Feb-1, one day later
+    assert out[(jan, 2)] == (1, 2, 0.5)     # u1's Mar-1
+    assert out[(dec, 0)] == (1, 1, 1.0)     # u3
+    assert out[(dec, 1)] == (1, 1, 1.0)     # year-boundary offset
+    assert out[(dec, 2)] == (1, 1, 1.0)     # leap-day Feb 29
+    assert len(out) == 6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="period"):
+        cohort_retention(df, period="quarter")
