@@ -46,9 +46,51 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.regexp_count(_c(col), F.lit(BPE_TOKEN_PATTERN)).cast("bigint")
 
 
-def normalize_text(col: Column | str) -> Column:
+_NFKC_UDF = None
+
+
+def _nfkc():
+    """Cached Arrow-batched NFKC normalizer (the one step Java/DuckDB
+    SQL can't express; everything after it stays JVM-side regex)."""
+    global _NFKC_UDF
+    if _NFKC_UDF is None:
+        import unicodedata
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def nfkc(texts: pd.Series) -> pd.Series:
+            return texts.map(
+                lambda t: None if t is None
+                else unicodedata.normalize("NFKC", t)
+            )
+
+        _NFKC_UDF = nfkc
+    return _NFKC_UDF
+
+
+def normalize_text(col: Column | str, unicode_mode: bool = False) -> Column:
     """Canonical form for dedup: lowercase, strip non-alphanumerics,
-    collapse whitespace."""
+    collapse whitespace.
+
+    Default (ASCII) mode is the original engine-portable rung:
+    ``[^a-z0-9\\s]`` stripping — correct on Latin corpora, but on a
+    CJK/Cyrillic corpus every document normalizes toward EMPTY and the
+    whole dedup family degenerates (all docs become each other's
+    duplicates). ``unicode_mode=True`` is the multilingual rung:
+    NFKC compatibility normalization (fullwidth Ｔｅｓｔ → Test,
+    ligature ﬁ → fi, ideographic space U+3000 → space), then
+    unicode-aware lowercase, then strip everything outside
+    ``\\p{L}\\p{N}\\s`` (ANY script's letters/digits survive — Java
+    regex \\p{L} is the Unicode category, matching RE2's, so a DuckDB
+    oracle replays the post-NFKC steps verbatim and bakes the NFKC
+    mapping for planted characters)."""
+    if unicode_mode:
+        c = _nfkc()(_c(col))
+        c = F.lower(c)
+        c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", "")
+        c = F.regexp_replace(c, r"\s+", " ")
+        return F.trim(c)
     c = F.lower(_c(col))
     c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
     c = F.regexp_replace(c, r"\s+", " ")
@@ -76,24 +118,70 @@ def char_ngrams(col: Column | str, n: int, distinct: bool = True) -> Column:
     return F.element_at(F.transform(F.array(_c(col)), grams), 1)
 
 
-def char_ngram_codes(n: int = 3):
-    """Vectorized (Arrow) shingler: normalized ASCII text -> SORTED
-    DISTINCT int32 gram codes, 7 bits per char — an INJECTIVE encoding
-    (normalized text is [a-z0-9 ], all < 0x80), so code equality IS
+def char_ngram_codes(n: int = 3, unicode_mode: bool = False):
+    """Vectorized (Arrow) shingler: normalized text -> SORTED DISTINCT
+    integer gram codes — an INJECTIVE encoding, so code equality IS
     string equality: exact set semantics, not a hash. Strings shorter
     than ``n`` map to a length-tagged code outside the n-gram range,
     mirroring ``substring(s, i, n)``'s behavior of yielding the whole
     short string as the only shingle.
 
+    Default (ASCII) mode packs 7 bits per char into int32 (normalized
+    text is [a-z0-9 ], all < 0x80). ``unicode_mode=True`` is the
+    multilingual rung: the text decodes to CODEPOINTS (utf-32 view —
+    one element per character, any script) packed 21 bits per char
+    into int64 — still injective (every codepoint <= 0x10FFFF < 2^21;
+    n <= 3 keeps 3*21 = 63 bits in range), returned as ``array<long>``
+    with short strings tagged above 2^63 via the uint64 view.
+
     This replaces a per-position ``transform``+``substring``+
     ``array_distinct`` HOF chain (interpreted, allocates len(s) small
     strings per doc) with one numpy kernel per Arrow batch — the
     difference is ~4x on shingling-heavy pipelines, and downstream
-    joins/aggregations carry 4-byte ints instead of strings.
+    joins/aggregations carry fixed-width ints instead of strings.
     """
+    from pyspark.sql.functions import pandas_udf
+
+    if unicode_mode:
+        if not 1 <= n <= 3:
+            raise ValueError(
+                "n must be in [1, 3] for injective 21-bit int64 packing"
+            )
+
+        @pandas_udf("array<long>")
+        def codes_u(texts):
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                cp = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                length = cp.size
+                if length >= n:
+                    h = np.zeros(length - n + 1, dtype=np.uint64)
+                    for k in range(n):
+                        h = (h << np.uint64(21)) | cp[k : length - n + 1 + k]
+                    out.append(np.unique(h).view(np.int64))
+                else:
+                    acc = np.uint64(0)
+                    for k in range(length):
+                        acc = (acc << np.uint64(21)) | cp[k]
+                    # tag bit 63 + length field above the packed chars:
+                    # disjoint from every regular (< 2^63) gram code
+                    code = (np.uint64(1) << np.uint64(63)) \
+                        | (np.uint64(length) << np.uint64(21 * (n - 1))) \
+                        | acc
+                    out.append(
+                        np.asarray([code], dtype=np.uint64).view(np.int64)
+                    )
+            return pd.Series(out)
+
+        return codes_u
+
     if not 1 <= n <= 4:
         raise ValueError("n must be in [1, 4] for 7-bit int32 packing")
-    from pyspark.sql.functions import pandas_udf
 
     short_base = np.int64(1 << (7 * n))
 

@@ -84,58 +84,92 @@ def minhash_signatures(
     n_hashes: int = 96,
     shingle_n: int = 3,
     seed: int = 7,
+    unicode_mode: bool = False,
 ) -> DataFrame:
     """(id, shingles, sig): char-shingle the normalized text and minhash
     it under ``n_hashes`` hash functions.
 
-    Shingles are injective int32 gram codes (see
+    Shingles are injective integer gram codes (see
     :func:`~oakstore_spark.functions.text.char_ngram_codes` — one
     vectorized Arrow kernel, no per-shingle string allocation); the
     signature UDF computes min_i(a_i * code + b_i mod 2^64) for all i in
     one numpy broadcast per row (~shingles x n_hashes uint64 ops). The
     random odd 64-bit multipliers spread the narrow code range over the
-    full hash space, so minima stay uniform."""
+    full hash space, so minima stay uniform.
+
+    ``unicode_mode=True`` is the multilingual rung: NFKC + script-aware
+    normalization (any script's letters/digits survive) and 21-bit
+    CODEPOINT packing into int64 shingles (shingle_n <= 3) — without
+    it, a CJK/Cyrillic corpus normalizes toward empty text and every
+    doc becomes every other doc's duplicate."""
     from oakstore_spark.operators.scaling import widen_partitions
 
     df = widen_partitions(df)
     a_const, b_const = _km_constants(n_hashes, seed)
     n = shingle_n
+    if unicode_mode and not 1 <= n <= 3:
+        raise ValueError("shingle_n must be in [1, 3] in unicode_mode")
     short_base = 1 << (7 * n)
+    sh_type = "array<long>" if unicode_mode else "array<int>"
 
     # ONE fused Arrow pass: shingle codes + signature from the same numpy
     # buffers (two chained pandas UDFs would ship the shingle arrays
     # JVM->Python->JVM->Python; fusing halves the Arrow traffic and the
     # Python invocations)
-    @pandas_udf("struct<shingles: array<int>, sig: array<long>>")
+    @pandas_udf(f"struct<shingles: {sh_type}, sig: array<long>>")
     def shingle_and_sign(texts):
         sh_out, sig_out = [], []
         for t in texts:
-            b = np.frombuffer(
-                (t or "").encode("ascii", "replace"), dtype=np.uint8
-            ).astype(np.int64)
-            length = b.size
-            if length >= n:
-                h = np.zeros(length - n + 1, dtype=np.int64)
-                for k in range(n):
-                    h = (h << 7) | b[k : length - n + 1 + k]
-                codes = np.unique(h)
+            if unicode_mode:
+                cp = np.frombuffer(
+                    (t or "").encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                length = cp.size
+                if length >= n:
+                    h = np.zeros(length - n + 1, dtype=np.uint64)
+                    for k in range(n):
+                        h = (h << np.uint64(21)) | cp[k : length - n + 1 + k]
+                    codes = np.unique(h).view(np.int64)
+                else:
+                    acc = np.uint64(0)
+                    for k in range(length):
+                        acc = (acc << np.uint64(21)) | cp[k]
+                    code = (np.uint64(1) << np.uint64(63)) \
+                        | (np.uint64(length) << np.uint64(21 * (n - 1))) \
+                        | acc
+                    codes = np.asarray([code], dtype=np.uint64).view(np.int64)
+                sh = codes
             else:
-                packed = 0
-                for k in range(length):
-                    packed = (packed << 7) | int(b[k])
-                codes = np.asarray(
-                    [short_base + (length << (7 * (n - 1))) + packed], dtype=np.int64
-                )
+                b = np.frombuffer(
+                    (t or "").encode("ascii", "replace"), dtype=np.uint8
+                ).astype(np.int64)
+                length = b.size
+                if length >= n:
+                    h = np.zeros(length - n + 1, dtype=np.int64)
+                    for k in range(n):
+                        h = (h << 7) | b[k : length - n + 1 + k]
+                    codes = np.unique(h)
+                else:
+                    packed = 0
+                    for k in range(length):
+                        packed = (packed << 7) | int(b[k])
+                    codes = np.asarray(
+                        [short_base + (length << (7 * (n - 1))) + packed],
+                        dtype=np.int64,
+                    )
+                sh = codes.astype(np.int32)
             hv = codes.view(np.uint64)
             # (shingles x n_hashes) wraparound multiply-add, min-reduce
             sig = (hv[:, None] * a_const[None, :] + b_const[None, :]).min(axis=0)
-            sh_out.append(codes.astype(np.int32))
+            sh_out.append(sh)
             sig_out.append(np.ascontiguousarray(sig).view(np.int64))
         return pd.DataFrame({"shingles": sh_out, "sig": sig_out})
 
     return df.select(
         F.col(id_col).alias("id"),
-        shingle_and_sign(normalize_text(text_col)).alias("ss"),
+        shingle_and_sign(
+            normalize_text(text_col, unicode_mode=unicode_mode)
+        ).alias("ss"),
     ).select("id", "ss.shingles", "ss.sig")
 
 
@@ -339,8 +373,13 @@ def minhash_lsh_pairs(
     max_bucket_size: int | None = None,
     estimate_margin: float = 0.1,
     driver_pairs_max_docs: int = 200_000,
+    unicode_mode: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+    ``unicode_mode=True`` switches signing to the multilingual
+    NFKC/codepoint rung (see :func:`minhash_signatures`) — required
+    for non-Latin corpora, where the ASCII rung collapses every doc
+    to empty text and emits the whole corpus as one duplicate class.
 
     Banding: bands * rows_per_band = n_hashes; a pair lands in the same
     bucket of some band with prob 1-(1-s^r)^b (s = true jaccard). With
@@ -373,7 +412,10 @@ def minhash_lsh_pairs(
     # instead of counting all of it.
     if df.limit(driver_pairs_max_docs + 1).count() <= driver_pairs_max_docs:
         sig_rows = _collect_sig_rows(
-            minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+            minhash_signatures(
+                df, id_col, text_col, n_hashes, shingle_n,
+                unicode_mode=unicode_mode,
+            )
         )
         return _minhash_pairs_driver(
             df.sparkSession,
@@ -389,9 +431,9 @@ def minhash_lsh_pairs(
 
     # persisted: feeds the band explode, both sides of the candidate
     # join, the signature prefilter and the shingle verify
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sigs = minhash_signatures(
+        df, id_col, text_col, n_hashes, shingle_n, unicode_mode=unicode_mode
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     banded = _band_explode(sigs, bands, r)
 

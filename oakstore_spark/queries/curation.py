@@ -1957,3 +1957,73 @@ def q_unigram_tok_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", vocab_size=256, seed_size=1024, max_piece_len=6,
         n_iters=3,
     )
+
+
+@register(
+    "q_unicode_normalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'Ｔｅｓｔ' || CAST(doc_id AS VARCHAR) || '　中文データ，Тест－'
+               || CAST(doc_id AS VARCHAR) || ' ﬁle №'
+               || CAST(doc_id AS VARCHAR) AS s
+      FROM documents
+    ), nfkc AS (
+      -- baked NFKC mapping for exactly the planted compatibility
+      -- characters (DuckDB has no NFKC function); characters whose
+      -- un-NFKC'd form is stripped by the \\p class anyway (，U+FF0C,
+      -- －U+FF0D) need no bake
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(replace(
+               s, 'Ｔ','T'), 'ｅ','e'), 'ｓ','s'), 'ｔ','t'),
+               '　',' '), 'ﬁ','fi'), '№','No') AS s1
+      FROM raw
+    ), norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(s1),
+               '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g'))
+               AS norm_text
+      FROM nfkc
+    )
+    SELECT doc_id, norm_text,
+           CAST(len(list_distinct([substr(norm_text, i, 3)
+                for i in generate_series(1,
+                  greatest(length(norm_text) - 2, 1))])) AS BIGINT)
+             AS n_grams
+    FROM norm ORDER BY doc_id
+    """,
+)
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual normalization rung on a PLANTED multi-script corpus
+    (functions/text.py normalize_text(unicode_mode=True) +
+    char_ngram_codes(unicode_mode=True)): each doc gets fullwidth
+    latin (Ｔｅｓｔ), CJK, Cyrillic, an ideographic space (U+3000), an
+    ﬁ ligature and a № sign appended to its id. NFKC folds the
+    compatibility forms (one Arrow pass — the only non-JVM step), the
+    \\p{L}\\p{N} strip keeps EVERY script's letters/digits (the ASCII
+    rung would empty these docs and collapse the dedup family), and
+    the gram count proves the 21-bit codepoint packing is injective:
+    distinct int64 codes == distinct 3-char substrings, replayed
+    verbatim by DuckDB's list comprehension. The oracle bakes the NFKC
+    mapping for the planted characters and mirrors the post-NFKC regex
+    pipeline RE2-for-Java exactly."""
+    from oakstore_spark.functions.text import char_ngram_codes, normalize_text
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Ｔｅｓｔ"), F.col("doc_id").cast("string"),
+            F.lit("　中文データ，Тест－"), F.col("doc_id").cast("string"),
+            F.lit(" ﬁle №"), F.col("doc_id").cast("string"),
+        ).alias("s"),
+    )
+    norm = d.select(
+        "doc_id", normalize_text("s", unicode_mode=True).alias("norm_text")
+    )
+    return norm.select(
+        "doc_id",
+        "norm_text",
+        F.size(char_ngram_codes(3, unicode_mode=True)("norm_text"))
+        .cast("long")
+        .alias("n_grams"),
+    ).orderBy("doc_id")

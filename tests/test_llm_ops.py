@@ -1745,3 +1745,71 @@ def test_bm25_index_delete_lifecycle(spark, tmp_path):
     assert set(readd) == set(ref)
     for d in ref:
         assert readd[d] == ref[d], d
+
+
+def test_unicode_normalize_and_multiscript_dedup(spark):
+    """Multilingual rung: NFKC folds fullwidth/ligature/ideographic-
+    space forms, any script's letters/digits survive the strip, and
+    minhash_lsh_pairs(unicode_mode=True) separates DISTINCT CJK docs
+    while still finding the true CJK near-dup — where the ASCII rung
+    collapses every CJK doc to empty text and emits the whole corpus
+    as one duplicate class."""
+    from oakstore_spark.functions.text import char_ngram_codes, normalize_text
+    from oakstore_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "Ｔｅｓｔ　ﬁle №42!"),       # fullwidth + NFKC forms
+            (2, "test file no42"),            # its NFKC-normalized twin
+            (3, "Привет, мир — Тест."),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", normalize_text("text", unicode_mode=True).alias("n")
+        ).collect()
+    }
+    assert got[1] == "test file no42"
+    assert got[1] == got[2]
+    assert got[3] == "привет мир тест"
+
+    # injective codepoint grams: distinct unicode 3-grams <-> codes
+    sizes = {
+        r["id"]: len(r["c"])
+        for r in df.select(
+            "id",
+            char_ngram_codes(3, unicode_mode=True)(
+                normalize_text("text", unicode_mode=True)
+            ).alias("c"),
+        ).collect()
+    }
+    assert sizes[3] == len(
+        {"привет мир тест"[i:i + 3] for i in range(len("привет мир тест") - 2)}
+    )
+
+    # four DISTINCT CJK docs + one true near-dup pair (4 <-> 5 share
+    # all but one char); ASCII normalization maps ALL of them to ""
+    cjk = spark.createDataFrame(
+        [
+            (4, "機械学習の分散処理システムを構築する"),
+            (5, "機械学習の分散処理システムを構築した"),
+            (6, "データベースの問い合わせ最適化について"),
+            (7, "自然言語処理と情報検索の研究開発"),
+        ],
+        "id long, text string",
+    )
+    assert all(
+        r["n"] == ""
+        for r in cjk.select(normalize_text("text").alias("n")).collect()
+    ), "precondition: ASCII rung empties CJK text"
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            cjk, "id", "text", threshold=0.5, unicode_mode=True
+        ).collect()
+    }
+    assert set(pairs) == {(4, 5)}, pairs   # only the true near-dup
+    assert pairs[(4, 5)] >= 0.5
