@@ -164,4 +164,103 @@ def k_anonymize(
         .where(F.col("_n") >= k)
         .drop("_n")
     )
-    return df.join(safe, quasi_cols, "left_semi")
+    return _semi_join_nullsafe(df, safe, quasi_cols)
+
+
+def _semi_join_nullsafe(df: DataFrame, keys: DataFrame, cols: list[str]):
+    """left-semi join on the quasi key with NULL-SAFE equality — a
+    generalization level can be NULL ('fully general'), and SQL GROUP
+    BY already treats NULLs as one class, so the release gate must
+    match rows the same way (a plain equi-join silently drops every
+    row of a NULL-keyed class)."""
+    k2 = keys.select(*[F.col(c).alias(f"_k_{c}") for c in cols])
+    cond = None
+    for c in cols:
+        e = F.col(c).eqNullSafe(F.col(f"_k_{c}"))
+        cond = e if cond is None else cond & e
+    return df.join(k2, cond, "left_semi")
+
+
+def k_anonymize_generalized(
+    df: DataFrame,
+    hierarchies: dict[str, list[Column]],
+    k: int,
+    max_suppression: float = 0.0,
+) -> DataFrame:
+    """Generalization-based k-anonymization (Samarati's full-domain
+    generalization — public): each quasi-identifier column carries a
+    VALUE HIERARCHY (levels 1..L of successively coarser recodings,
+    e.g. zip -> zip3 -> zip1 -> '*', age -> decade-band -> '*';
+    level 0 is the original column), and the release coarsens
+    MINIMALLY before suppressing — the standard rung above
+    :func:`k_anonymize`, which can only drop rows and loses far more
+    data at the same k.
+
+    Deterministic search (engine-replayable, no heuristic scoring):
+    candidate level vectors walk a ROUND-ROBIN ladder in the
+    hierarchy-dict's column order — (0,0,..), (1,0,..), (1,1,..),
+    (2,1,..), ... — and the FIRST vector whose suppressed-row share
+    (rows in generalized classes smaller than ``k``) is at most
+    ``max_suppression`` wins; if none qualifies, the fully-general
+    vector applies. Rows in undersized classes at the chosen vector
+    are suppressed, so the output always attains k exactly as
+    :func:`k_anonymity_report` measures it.
+
+    Cost model at 100 TB: each ladder step is ONE hash aggregate on
+    the (generalized) quasi key producing class sizes — ladder length
+    is sum(levels)+1 (a handful), row content never shuffles, and the
+    final release is the same agg + broadcast-friendly left-semi join
+    shape as suppression-only.
+
+    Returns the released rows with the quasi columns REPLACED by their
+    chosen-level generalizations (other columns intact)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cols = list(hierarchies)
+    if not cols:
+        raise ValueError("hierarchies must be non-empty")
+    for c in cols:
+        if not hierarchies[c]:
+            raise ValueError(f"hierarchy for {c!r} must have >= 1 level")
+
+    def gen_expr(c: str, lvl: int) -> Column:
+        return F.col(c) if lvl == 0 else hierarchies[c][lvl - 1]
+
+    # round-robin ladder of level vectors
+    levels = {c: 0 for c in cols}
+    ladder = [dict(levels)]
+    exhausted = False
+    while not exhausted:
+        exhausted = True
+        for c in cols:
+            if levels[c] < len(hierarchies[c]):
+                levels[c] += 1
+                ladder.append(dict(levels))
+                exhausted = False
+
+    total = df.count()
+    chosen = ladder[-1]
+    for vec in ladder:
+        key = [gen_expr(c, vec[c]).alias(c) for c in cols]
+        suppressed = (
+            df.groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") < k)
+            .agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("_s"))
+            .collect()[0]["_s"]
+        )
+        if total == 0 or suppressed <= max_suppression * total:
+            chosen = vec
+            break
+
+    gen = df.select(
+        *[c for c in df.columns if c not in cols],
+        *[gen_expr(c, chosen[c]).alias(c) for c in cols],
+    )
+    safe = (
+        gen.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= k)
+        .drop("_n")
+    )
+    return _semi_join_nullsafe(gen, safe, cols)

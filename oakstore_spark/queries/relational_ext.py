@@ -1505,3 +1505,95 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+@register(
+    "q_k_anonymize_gen",
+    oracle="""
+    WITH d AS (
+      SELECT c_custkey,
+             lpad(CAST((c_custkey * 7919) % 100000 AS VARCHAR), 5, '0')
+               AS qzip,
+             CAST(floor(c_acctbal) AS BIGINT) AS qbal
+      FROM customer
+    ), g AS (
+      SELECT c_custkey,
+             qzip AS p0,
+             substr(qzip, 1, 3) || '**' AS p1,
+             substr(qzip, 1, 1) || '****' AS p2,
+             '*' AS p3,
+             qbal AS b0,
+             CAST(floor(qbal / 1000.0) * 1000 AS BIGINT) AS b1,
+             CAST(NULL AS BIGINT) AS b2
+      FROM d
+    ), tot AS (SELECT count(*) AS c FROM d),
+    s0 AS (SELECT coalesce(sum(n), 0) AS s FROM
+           (SELECT count(*) AS n FROM g GROUP BY p0, b0) t WHERE n < 5),
+    s1 AS (SELECT coalesce(sum(n), 0) AS s FROM
+           (SELECT count(*) AS n FROM g GROUP BY p1, b0) t WHERE n < 5),
+    s2 AS (SELECT coalesce(sum(n), 0) AS s FROM
+           (SELECT count(*) AS n FROM g GROUP BY p1, b1) t WHERE n < 5),
+    s3 AS (SELECT coalesce(sum(n), 0) AS s FROM
+           (SELECT count(*) AS n FROM g GROUP BY p2, b1) t WHERE n < 5),
+    s4 AS (SELECT coalesce(sum(n), 0) AS s FROM
+           (SELECT count(*) AS n FROM g GROUP BY p2, b2) t WHERE n < 5),
+    pick AS (
+      SELECT CASE
+        WHEN (SELECT s FROM s0) <= 0.05 * (SELECT c FROM tot) THEN 0
+        WHEN (SELECT s FROM s1) <= 0.05 * (SELECT c FROM tot) THEN 1
+        WHEN (SELECT s FROM s2) <= 0.05 * (SELECT c FROM tot) THEN 2
+        WHEN (SELECT s FROM s3) <= 0.05 * (SELECT c FROM tot) THEN 3
+        WHEN (SELECT s FROM s4) <= 0.05 * (SELECT c FROM tot) THEN 4
+        ELSE 5 END AS v
+    ), rel AS (
+      SELECT c_custkey,
+        CASE (SELECT v FROM pick)
+          WHEN 0 THEN p0 WHEN 1 THEN p1 WHEN 2 THEN p1
+          WHEN 3 THEN p2 WHEN 4 THEN p2 ELSE p3 END AS qzip,
+        CASE (SELECT v FROM pick)
+          WHEN 0 THEN b0 WHEN 1 THEN b0 WHEN 2 THEN b1
+          WHEN 3 THEN b1 ELSE b2 END AS qbal
+      FROM g
+    )
+    SELECT c_custkey, qzip, qbal FROM (
+      SELECT rel.*, count(*) OVER (PARTITION BY qzip, qbal) AS cnt
+      FROM rel
+    ) t WHERE cnt >= 5 ORDER BY c_custkey
+    """,
+)
+def q_k_anonymize_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization-based k-anonymization release
+    (operators/pii.py k_anonymize_generalized — the rung above
+    suppression-only): quasi-identifiers are a deterministic 5-digit
+    zip derived from the customer key (zip5 -> zip3** -> zip1**** ->
+    '*') and the whole-dollar account balance (exact -> 1000-band ->
+    NULL). The
+    deterministic round-robin ladder coarsens until suppressed rows
+    fit the 5%% budget at k=5, then suppresses the remainder; the
+    oracle replays the SAME ladder closed-form (per-vector suppressed
+    counts as scalar subqueries, CASE-selected release vector, window
+    count as the final gate) so every released row and its chosen
+    generalization level hash-match."""
+    from oakstore_spark.operators.pii import k_anonymize_generalized
+
+    d = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.lpad(
+            ((F.col("c_custkey") * 7919) % 100000).cast("string"), 5, "0"
+        ).alias("qzip"),
+        F.floor("c_acctbal").cast("long").alias("qbal"),
+    )
+    hier = {
+        "qzip": [
+            F.concat(F.substring("qzip", 1, 3), F.lit("**")),
+            F.concat(F.substring("qzip", 1, 1), F.lit("****")),
+            F.lit("*"),
+        ],
+        "qbal": [
+            (F.floor(F.col("qbal") / 1000.0) * 1000).cast("long"),
+            F.lit(None).cast("long"),
+        ],
+    }
+    return k_anonymize_generalized(
+        d, hier, k=5, max_suppression=0.05
+    ).orderBy("c_custkey")
+

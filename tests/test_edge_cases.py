@@ -354,3 +354,60 @@ def test_k_anonymize_suppression(spark):
     assert kept.where(F.col("country") == "de").count() == 0
     # idempotent at the same k
     assert k_anonymize(kept, ["country", "seg"], k=2).count() == kept.count()
+
+
+def test_k_anonymize_generalization_hierarchies(spark):
+    """Generalization releases STRICTLY more rows than suppression-only
+    at the same k; the round-robin ladder stops at the FIRST vector
+    within the suppression budget; the released relation attains k on
+    the generalized key; the remainder is still suppressed."""
+    from pyspark.sql import functions as F
+
+    from oakstore_spark.operators.pii import (
+        k_anonymity_report,
+        k_anonymize,
+        k_anonymize_generalized,
+    )
+
+    # 30 rows: zips share a prefix in two towns, ages cluster in bands
+    rows = [
+        (i, f"021{i % 7:02d}", 20 + (i * 7) % 40, f"d{i % 3}")
+        for i in range(28)
+    ] + [(28, "99901", 77, "dX"), (29, "99902", 78, "dY")]
+    df = spark.createDataFrame(rows, "rid long, zip string, age long, dx string")
+    hier = {
+        "zip": [F.concat(F.substring("zip", 1, 3), F.lit("**")),
+                F.lit("*")],
+        "age": [(F.floor(F.col("age") / 10) * 10).cast("long"),
+                F.lit(None).cast("long")],
+    }
+
+    sup_only = k_anonymize(df, ["zip", "age"], k=3)
+    gen = k_anonymize_generalized(df, hier, k=3, max_suppression=0.1)
+    assert gen.count() > sup_only.count()  # the point of the rung
+    # released relation attains k on the generalized key
+    rep = k_anonymity_report(gen, ["zip", "age"])
+    assert rep.agg(F.min("k_size")).collect()[0][0] >= 3
+    # (zip3**, decade) is enough for the 021xx town: zip reached level
+    # 1, so the two 999xx outliers land in one (999**, 70) class of 2
+    # and are SUPPRESSED, not released
+    assert gen.where(F.col("rid") >= 28).count() == 0
+    got_zips = {r[0] for r in gen.select("zip").distinct().collect()}
+    assert got_zips == {"021**"}
+
+    # zero budget + identity-hostile data walks to full generalization
+    uniq = spark.createDataFrame(
+        [(i, str(i), i) for i in range(6)], "rid long, zip string, age long"
+    )
+    allgen = k_anonymize_generalized(
+        uniq, {"zip": [F.lit("*")], "age": [F.lit(None).cast("long")]}, k=3
+    )
+    assert allgen.count() == 6
+    assert {r["zip"] for r in allgen.collect()} == {"*"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        k_anonymize_generalized(df, hier, k=0)
+    with _pytest.raises(ValueError, match="non-empty"):
+        k_anonymize_generalized(df, {}, k=2)
