@@ -716,3 +716,61 @@ def cohort_retention(
             .alias("retention_rate"),
         )
     )
+
+
+def funnel_summary(
+    funnel: DataFrame,
+    steps: list[str],
+) -> DataFrame:
+    """Step-level rollup of :func:`funnel_analysis`'s per-user relation
+    — the canonical product-analytics deliverable (the table every
+    funnel chart renders): per step, how many users reached it, the
+    conversion rate from step 1, and the exact median seconds from the
+    previous step.
+
+    ``steps`` is the ordered list of step NAMES (matching the
+    ``<name>_us`` columns the per-user relation carries).  Returns
+    (step_index, step, n_users, conversion_rate,
+    median_secs_from_prev) — step 1's median is NULL.
+
+    Spark shape: ONE global aggregate over the per-user relation
+    computes every step's count and exact median (``percentile`` over
+    the integer microsecond deltas — nulls, i.e. non-completers, drop
+    out of the aggregate), then the single result row explodes to one
+    row per step; no per-step scans, no window over users. Median
+    interpolation happens on exactly-representable integer micros
+    (lower + (upper-lower)*0.5), so DuckDB's quantile_cont replays it
+    bit-for-bit and the /1e6 to seconds is one identical double op on
+    both engines."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    aggs = []
+    for i, name in enumerate(steps):
+        aggs.append(F.count(F.col(f"{name}_us")).alias(f"_n_{i}"))
+        if i > 0:
+            prev = steps[i - 1]
+            aggs.append(
+                F.percentile(
+                    F.col(f"{name}_us") - F.col(f"{prev}_us"), F.lit(0.5)
+                ).alias(f"_m_{i}")
+            )
+    row = funnel.agg(*aggs)
+    structs = []
+    for i, name in enumerate(steps):
+        median = (
+            (F.col(f"_m_{i}") / F.lit(1e6)).cast("double")
+            if i > 0
+            else F.lit(None).cast("double")
+        )
+        structs.append(
+            F.struct(
+                F.lit(i + 1).cast("int").alias("step_index"),
+                F.lit(name).alias("step"),
+                F.col(f"_n_{i}").cast("long").alias("n_users"),
+                (F.col(f"_n_{i}") / F.col("_n_0"))
+                .cast("double")
+                .alias("conversion_rate"),
+                median.alias("median_secs_from_prev"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

@@ -1186,3 +1186,80 @@ def q_cohort_retention_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(od, period="month").orderBy(
         "cohort_start_us", "period_offset"
     )
+
+
+@register(
+    "q_funnel_summary",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ), f AS (
+      SELECT s1.user_id,
+             CAST(epoch_us(s1.t1) AS BIGINT) AS u1,
+             CAST(epoch_us(s2.t2) AS BIGINT) AS u2,
+             CAST(epoch_us(s3.t3) AS BIGINT) AS u3
+      FROM s1
+      LEFT JOIN s2 ON s1.user_id = s2.user_id
+      LEFT JOIN s3 ON s1.user_id = s3.user_id
+    ), a AS (
+      SELECT count(u1) AS n1, count(u2) AS n2, count(u3) AS n3,
+             quantile_cont(u2 - u1, 0.5) AS m2,
+             quantile_cont(u3 - u2, 0.5) AS m3
+      FROM f
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS INT) AS step_index, 'view' AS step,
+             CAST(n1 AS BIGINT) AS n_users,
+             CAST(n1 AS DOUBLE) / n1 AS conversion_rate,
+             CAST(NULL AS DOUBLE) AS median_secs_from_prev FROM a
+      UNION ALL
+      SELECT CAST(2 AS INT), 'click', CAST(n2 AS BIGINT),
+             CAST(n2 AS DOUBLE) / n1, m2 / 1000000.0 FROM a
+      UNION ALL
+      SELECT CAST(3 AS INT), 'purchase', CAST(n3 AS BIGINT),
+             CAST(n3 AS DOUBLE) / n1, m3 / 1000000.0 FROM a
+    ) t ORDER BY step_index
+    """,
+)
+def q_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-level funnel rollup (operators/timeseries.py
+    funnel_summary — the table every funnel chart renders): per-step
+    reach, conversion rate from step 1, and the EXACT median seconds
+    from the previous step, computed in ONE global aggregate over
+    funnel_analysis' per-user relation and exploded to one row per
+    step. Median interpolation runs on exactly-representable integer
+    micro deltas, so DuckDB's quantile_cont replays it bit-for-bit
+    (same min-chain CTE as q_funnel_conversion underneath)."""
+    from oakstore_spark.operators.timeseries import (
+        funnel_analysis,
+        funnel_summary,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    per_user = funnel_analysis(
+        ev,
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        within="7 days",
+    )
+    return funnel_summary(per_user, ["view", "click", "purchase"]).orderBy(
+        "step_index"
+    )

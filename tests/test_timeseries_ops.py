@@ -520,3 +520,60 @@ def test_cohort_retention_month_boundaries(spark):
 
     with _pytest.raises(ValueError, match="period"):
         cohort_retention(df, period="quarter")
+
+
+def test_funnel_summary_counts_rates_medians(spark):
+    """Hand-built funnel: per-step reach, conversion from step 1, and
+    EXACT medians (odd count -> middle value, even count -> halfway
+    interpolation), with non-completers dropped from the median and
+    step 1's median NULL."""
+    from datetime import datetime, timedelta
+
+    from oakstore_spark.operators.timeseries import (
+        funnel_analysis,
+        funnel_summary,
+    )
+
+    t0 = datetime(2024, 3, 1)
+
+    def ev(u, typ, secs):
+        return (u, typ, t0 + timedelta(seconds=secs))
+
+    rows = [
+        # u1: view->click in 10s, click->buy in 100s
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "buy", 110),
+        # u2: view->click in 20s, no buy
+        ev(2, "view", 0), ev(2, "click", 20),
+        # u3: view->click in 31s, click->buy in 200s
+        ev(3, "view", 0), ev(3, "click", 31), ev(3, "buy", 231),
+        # u4: view only
+        ev(4, "view", 0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    per_user = funnel_analysis(
+        df,
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("buy", F.col("event_type") == "buy"),
+        ],
+    )
+    out = {
+        r["step"]: r.asDict()
+        for r in funnel_summary(per_user, ["view", "click", "buy"]).collect()
+    }
+    assert out["view"]["n_users"] == 4
+    assert out["view"]["conversion_rate"] == 1.0
+    assert out["view"]["median_secs_from_prev"] is None
+    assert out["click"]["n_users"] == 3
+    assert out["click"]["conversion_rate"] == 3 / 4
+    assert out["click"]["median_secs_from_prev"] == 20.0  # odd count
+    assert out["buy"]["n_users"] == 2
+    assert out["buy"]["conversion_rate"] == 2 / 4
+    assert out["buy"]["median_secs_from_prev"] == 150.0   # (100+200)/2
+    assert [out[s]["step_index"] for s in ("view", "click", "buy")] == [1, 2, 3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        funnel_summary(per_user, [])
