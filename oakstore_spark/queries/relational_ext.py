@@ -1151,10 +1151,23 @@ def q_sql_scripting_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate scan; bisection state is two doubles. The oracle replays
     the IDENTICAL 12 steps in a recursive CTE with correlated aggregate
     subqueries — integer count comparisons make every branch decision
-    engine-exact, so the final threshold matches to the rounded digit."""
+    engine-exact, so the final threshold matches to the rounded digit.
+
+    The scripted loop re-aggregates the SAME relation 14 times, so the
+    one-column projection it needs is cached up front AS ONE PARTITION
+    (~1 MB of doubles at sf0.1): the first scan pays the parquet read,
+    the other 13 are single-task in-memory scans. Measured at sf0.1:
+    3.5s -> ~2.8s; the remaining floor is SQL-scripting per-statement
+    subquery planning (~14 plans), not I/O — 14 equivalent cached
+    DataFrame aggregates run in 0.85s. The bench harness clears the
+    cache after each query, so nothing leaks across timings."""
+    from pyspark.storagelevel import StorageLevel
+
     from oakstore_spark.sources import table as _t
 
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "orders").select("o_totalprice").coalesce(1).persist(
+        StorageLevel.MEMORY_AND_DISK
+    ).createOrReplaceTempView("orders")
     spark.conf.set("spark.sql.scripting.enabled", "true")
     return spark.sql(
         """
