@@ -780,7 +780,39 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_ks_binned")
+@register(
+    "q_ks_binned",
+    oracle="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+      FROM events
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    ), mm AS (
+      SELECT min(v) AS lo, max(v) AS hi,
+             CAST(sum(a) AS DOUBLE) AS na, CAST(sum(b) AS DOUBLE) AS nb
+      FROM s
+    ), binned AS (
+      SELECT least(CAST(floor((v - lo) / ((hi - lo) / 256)) AS BIGINT),
+                   255) AS bin,
+             sum(a) AS ca, sum(b) AS cb
+      FROM s, mm GROUP BY 1
+    ), ecdf AS (
+      SELECT sum(ca) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) / na AS fa,
+             sum(cb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) / nb AS fb,
+             ca / na + cb / nb AS mass
+      FROM binned, mm
+    )
+    SELECT round(max(abs(fa - fb)), 6) AS ks_d,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           round(max(mass), 6) AS max_bin_mass
+    FROM ecdf, mm GROUP BY na, nb
+    """,
+)
 def q_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned-ECDF Kolmogorov-Smirnov — the DEPLOYMENT path for
     q_ks_two_sample's documented global-sort caveat (the same
@@ -795,8 +827,12 @@ def q_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     where ``max_bin_mass`` = max over bins of (share_a + share_b) —
     reported alongside the statistic so every answer carries its own
-    error bound. Rows-only (the bin table is engine-replayable but the
-    statistic is already exact-checked via its sibling)."""
+    error bound. ORACLE-exact (retired from rows-only): every float in
+    the chain is engine-replayable — the bin width divides by the
+    power-of-two bin count (exact), bin ids floor identical doubles,
+    the ECDF divides exact integer cumsums by double counts in the
+    same association, so DuckDB replays ks_d/max_bin_mass
+    bit-for-bit."""
     e = table(spark, sf_dir, "events").where(
         F.col("event_type").isin("purchase", "view")
     )

@@ -517,22 +517,55 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_kmeans_clusters")
+@register(
+    "q_kmeans_clusters",
+    oracle="""
+    SELECT CAST(10 + g AS BIGINT) AS n_vecs,
+           CAST(1.0 AS DOUBLE) AS avg_sim
+    FROM range(16) t(g) ORDER BY n_vecs
+    """,
+)
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed spherical k-means over the embeddings table
-    (maximin-seeded sample warm start -> broadcast-centroid Lloyd
-    passes with map-side partial sums -> final assignment). Rows-only
-    driver check (iterative, not SQL-expressible); planted-cluster
-    purity == 1.0 and seed-determinism are pinned in
+    """Distributed spherical k-means (maximin-seeded sample warm start
+    -> broadcast-centroid Lloyd passes with map-side partial sums ->
+    final assignment), ORACLE-exact via a PLANTED corpus (retired from
+    rows-only, the q_pagerank_dyadic pattern): 16 axis-aligned unit
+    clusters with pairwise-DISTINCT sizes 10..25. Every float the
+    algorithm touches is exact — unit vectors normalize by 1.0, a
+    cluster mean of identical one-hot vectors is n/n = 1 and 0/n = 0
+    per coordinate, cross-cluster similarity is exactly 0 — so maximin
+    seeding provably covers all 16 clusters regardless of sample
+    order, Lloyd is a fixed point from iteration 1, and every member
+    assigns to its own axis at sim exactly 1.0. Cluster LABELS are
+    seeding-order-dependent, so the output is label-free: per-cluster
+    (n_vecs, avg_sim) ordered by the distinct sizes — any merge/split
+    mistake changes the counts and breaks the hash. Noisy-recovery
+    purity and seed-determinism stay pinned in
     tests/test_llm_ops.py::test_kmeans_refine_recovers_clusters."""
     from oakstore_spark.operators.similarity import kmeans_refine
 
-    e = table(spark, sf_dir, "embeddings")
-    _C, assign = kmeans_refine(e, dim=64, k=16, max_iter=5)
-    out = assign(e)
-    return out.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("sim"), 4).alias("avg_sim"),
+    base = spark.range(16).select(F.col("id").cast("int").alias("g"))
+    members = base.select(
+        "g", F.explode(F.sequence(F.lit(0), F.col("g") + 9)).alias("i")
+    )
+    onehot = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: F.when(d == F.col("g"), F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    emb = members.select(
+        (F.col("g") * 1000 + F.col("i")).cast("long").alias("vec_id"),
+        onehot.cast("array<float>").alias("embedding"),
+    )
+    _C, assign = kmeans_refine(emb, dim=64, k=16, max_iter=5)
+    out = assign(emb)
+    return (
+        out.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("sim"), 4).alias("avg_sim"),
+        )
+        .select("n_vecs", "avg_sim")
+        .orderBy("n_vecs")
     )
 
 
