@@ -15,6 +15,44 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Queries RETIRED FROM THE BENCH LOOP only (VERDICT r9 ask #2: the
+# per-round bench budget compounds ~+20s/round if every query stays in
+# the timing loop forever). Every name here remains fully registered —
+# the driver's correctness rotation still oracle-checks it — but
+# bench.py skips timing it, because its PLAN SHAPE / float tree is
+# already timed through a surviving sibling:
+#   q_bm25_topk          — bit-identical scoring tree via q_bm25_index_topk
+#   q_langid_ct          — same x6-language scoring aggregate as
+#                          q_langid_margin (the whole cost; ct adds only
+#                          a pivot on the aggregated table)
+#   q_quantize_int8      — same quantize_embeddings_int8 Arrow kernel as
+#                          q_int8_quantize
+#   q_web_graph_rank     — pagerank float tree timed exactly by
+#                          q_pagerank_dyadic; crawl-graph extraction by
+#                          q_warc_crawl_graph / q_anchor_text_stats
+#   q_bigram_lm_interp   — shared ngram-extraction scan with
+#                          q_kneser_ney_lm (the stronger smoothing
+#                          sibling) and q_bigram_mass
+#   q_curation_e2e, q_web_curation_e2e, q_media_curation_e2e
+#                        — showcase composites of operators each timed
+#                          individually (q_training_set_pipeline stays
+#                          as the composite representative)
+#   q_compression_ratio, q_spend_deciles_sketch
+#                        — r2-era sketch twins whose exact siblings
+#                          carry the timing signal
+BENCH_RETIRED: set[str] = {
+    "q_bm25_topk",
+    "q_langid_ct",
+    "q_quantize_int8",
+    "q_web_graph_rank",
+    "q_bigram_lm_interp",
+    "q_curation_e2e",
+    "q_web_curation_e2e",
+    "q_media_curation_e2e",
+    "q_compression_ratio",
+    "q_spend_deciles_sketch",
+}
+
 
 def register(name: str, oracle: str | None = None):
     """Decorator: add a query (and optional oracle SQL) to the registry.
