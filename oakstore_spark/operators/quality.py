@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["validate_expectations", "enforce_expectations"]
+__all__ = ["validate_expectations", "enforce_expectations", "psi_drift"]
 
 
 def validate_expectations(
@@ -138,3 +138,82 @@ def enforce_expectations(
         )
         raise ValueError(f"expectations failed — {detail}")
     return df
+
+
+def psi_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two dataset snapshots — the
+    standard drift monitor every production feature/score pipeline
+    runs between a baseline window and the current one (PSI < 0.1
+    stable, 0.1-0.25 moderate shift, > 0.25 action; the banking-
+    scorecard heuristic, public).
+
+    Bin edges are FIXED BY THE BASELINE (min/max from one aggregate —
+    the convention that makes PSI comparable across runs); the current
+    snapshot clamps into the same bins, so population moving outside
+    the baseline range lands in the edge bins and registers as drift.
+    Shares are add-half smoothed as exact integer ratios,
+    ``(2c + 1) / (2n + n_bins)``, so empty bins stay finite and every
+    float is engine-replayable (one division, one ln, one multiply —
+    identical association in SQL).
+
+    Returns one row per bin: (bin, n_base, n_cur, share_base,
+    share_cur, psi_contrib); ``sum(psi_contrib)`` is the PSI. Spark
+    shape: one min/max aggregate on the baseline, then ONE hash
+    aggregate per snapshot into ``n_bins`` bins (map-side combinable)
+    and an n_bins-row join — no corpus sort, no window over rows.
+
+    NULL values carry no bin and are excluded from both counts."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    b = baseline.where(F.col(value_col).isNotNull())
+    c = current.where(F.col(value_col).isNotNull())
+    mm = b.agg(
+        F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+    ).collect()[0]
+    if mm["lo"] is None:
+        raise ValueError("baseline has no non-null values")
+    lo = float(mm["lo"])
+    width = (float(mm["hi"]) - lo) / n_bins
+    if not width:
+        width = 1.0
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        bin_id = F.greatest(
+            F.least(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+                F.lit(n_bins - 1),
+            ),
+            F.lit(0),
+        ).cast("long")
+        return df.groupBy(bin_id.alias("bin")).agg(
+            F.count(F.lit(1)).cast("long").alias(out)
+        )
+    nb = b.count()
+    nc = c.count()
+    grid = b.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
+    joined = (
+        grid.join(binned(b, "n_base"), "bin", "left")
+        .join(binned(c, "n_cur"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    share_b = (F.col("n_base") * 2 + 1) / F.lit(2 * nb + n_bins)
+    share_c = (F.col("n_cur") * 2 + 1) / F.lit(2 * nc + n_bins)
+    return joined.select(
+        "bin",
+        "n_base",
+        "n_cur",
+        share_b.cast("double").alias("share_base"),
+        share_c.cast("double").alias("share_cur"),
+        ((share_b - share_c) * F.log(share_b / share_c))
+        .cast("double")
+        .alias("psi_contrib"),
+    )

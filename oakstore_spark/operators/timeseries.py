@@ -774,3 +774,82 @@ def funnel_summary(
             )
         )
     return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def attribute_conversions(
+    df: DataFrame,
+    conversion_pred: Column,
+    touch_pred: Column,
+    channel_col: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    model: str = "last",
+    lookback: str | None = None,
+) -> DataFrame:
+    """Marketing attribution — the product-analytics companion of
+    :func:`funnel_analysis` / :func:`cohort_retention`: assign each
+    CONVERSION event the channel of the user's last (or first) TOUCH
+    event at-or-before it, optionally only within a ``lookback``
+    INTERVAL window (e.g. ``'1 day'``).
+
+    Semantics (deterministic): a touch at exactly the conversion
+    timestamp counts; among equal-timestamp touches the GREATEST
+    channel wins for last-touch and the LEAST for first-touch — the
+    natural struct-order tie rule, stable across engines and
+    partitionings.
+
+    Spark shape — the as-of union trick, never a range join: touches
+    and conversions union with a side marker; ONE RANGE-framed window
+    per user over the integer micros axis takes the max (last) or min
+    (first) of ``struct(ts, channel)`` among touch rows — the struct
+    ordering IS the (timestamp, tie) rule, and the frame bounds state
+    to the lookback. Conversion rows read their credit off the frame
+    aggregate. One shuffle on the user key — at 100 TB the same cost
+    profile as :func:`asof_join`. (A naive two-pass formulation that
+    first computes each row's latest-touch timestamp and then matches
+    on it is WRONG under window semantics: frame members evaluate the
+    comparison against their own values, not the current row's.)
+
+    Returns (user, conv_us, channel) — one row per conversion;
+    ``channel`` NULL when no qualifying touch exists."""
+    if model not in ("last", "first"):
+        raise ValueError("model must be 'last' or 'first'")
+    u = F.col(user_col)
+    touches = df.where(touch_pred).select(
+        u.alias("_u"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.lit(0).alias("_side"),
+        F.col(channel_col).alias("_ch"),
+    )
+    convs = df.where(conversion_pred).select(
+        u.alias("_u"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(df.schema[channel_col].dataType).alias("_ch"),
+    )
+    unioned = touches.unionByName(convs)
+    look_us = None
+    if lookback is not None:
+        look_us = int(
+            df.sparkSession.sql(
+                f"SELECT unix_micros(TIMESTAMP '1970-01-01 00:00:00Z'"
+                f" + INTERVAL {lookback})"
+            ).collect()[0][0]
+        )
+    lb = -look_us if look_us is not None else W.unboundedPreceding
+    wr = W.partitionBy("_u").orderBy("_us").rangeBetween(lb, 0)
+    touch_struct = F.when(
+        F.col("_side") == 0, F.struct(F.col("_us"), F.col("_ch"))
+    )
+    best = (
+        F.max(touch_struct) if model == "last" else F.min(touch_struct)
+    ).over(wr)
+    attributed = unioned.withColumn("_attr", best.getField("_ch"))
+    return (
+        attributed.where(F.col("_side") == 1)
+        .select(
+            F.col("_u").alias(user_col),
+            F.col("_us").alias("conv_us"),
+            F.col("_attr").alias("channel"),
+        )
+    )

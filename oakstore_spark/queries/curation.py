@@ -2063,3 +2063,70 @@ def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_grams"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_psi_drift",
+    oracle="""
+    WITH b AS (
+      SELECT value AS v FROM events
+      WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL
+    ), c AS (
+      SELECT value AS v FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL
+    ), mm AS (
+      SELECT min(v) AS lo, max(v) AS hi FROM b
+    ), nn AS (
+      SELECT (SELECT count(*) FROM b) AS nb,
+             (SELECT count(*) FROM c) AS nc
+    ), bb AS (
+      SELECT greatest(least(CAST(floor((v - lo) / ((hi - lo) / 10))
+                            AS BIGINT), 9), 0) AS bin,
+             count(*) AS n_base
+      FROM b, mm GROUP BY 1
+    ), cc AS (
+      SELECT greatest(least(CAST(floor((v - lo) / ((hi - lo) / 10))
+                            AS BIGINT), 9), 0) AS bin,
+             count(*) AS n_cur
+      FROM c, mm GROUP BY 1
+    ), grid AS (
+      SELECT unnest(generate_series(0, 9)) AS bin
+    )
+    SELECT CAST(grid.bin AS BIGINT) AS bin,
+           CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+           CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur,
+           CAST(coalesce(n_base, 0) * 2 + 1 AS DOUBLE) / (2 * nb + 10)
+             AS share_base,
+           CAST(coalesce(n_cur, 0) * 2 + 1 AS DOUBLE) / (2 * nc + 10)
+             AS share_cur,
+           (CAST(coalesce(n_base, 0) * 2 + 1 AS DOUBLE) / (2 * nb + 10)
+            - CAST(coalesce(n_cur, 0) * 2 + 1 AS DOUBLE) / (2 * nc + 10))
+           * ln((CAST(coalesce(n_base, 0) * 2 + 1 AS DOUBLE)
+                 / (2 * nb + 10))
+                / (CAST(coalesce(n_cur, 0) * 2 + 1 AS DOUBLE)
+                   / (2 * nc + 10))) AS psi_contrib
+    FROM grid
+    LEFT JOIN bb ON grid.bin = bb.bin
+    LEFT JOIN cc ON grid.bin = cc.bin
+    CROSS JOIN nn
+    ORDER BY bin
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor
+    (operators/quality.psi_drift): the event value distribution of the
+    first half of January (baseline fixes the bin edges) vs the second
+    half. Bin shares are add-half smoothed as exact integer ratios, so
+    one division + one ln + one multiply replays identically in
+    DuckDB; sum(psi_contrib) is the PSI. Two hash aggregates + a
+    10-row join — no sort, no window over rows."""
+    from oakstore_spark.operators.quality import psi_drift
+
+    e = table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    return psi_drift(
+        e.where(F.col("ts") < split),
+        e.where(F.col("ts") >= split),
+        "value",
+        n_bins=10,
+    ).orderBy("bin")

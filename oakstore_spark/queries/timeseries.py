@@ -1263,3 +1263,76 @@ def q_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_summary(per_user, ["view", "click", "purchase"]).orderBy(
         "step_index"
     )
+
+
+@register(
+    "q_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS cus
+      FROM events WHERE event_type = 'purchase'
+    ), tch AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus,
+             event_type AS ch
+      FROM events WHERE event_type IN ('view', 'click')
+    ), la AS (
+      SELECT c.user_id,
+        (SELECT t.ch FROM tch t
+         WHERE t.user_id = c.user_id AND t.tus <= c.cus
+           AND t.tus >= c.cus - 86400000000
+         ORDER BY t.tus DESC, t.ch DESC LIMIT 1) AS channel
+      FROM conv c
+    ), fi AS (
+      SELECT c.user_id,
+        (SELECT t.ch FROM tch t
+         WHERE t.user_id = c.user_id AND t.tus <= c.cus
+           AND t.tus >= c.cus - 86400000000
+         ORDER BY t.tus ASC, t.ch ASC LIMIT 1) AS channel
+      FROM conv c
+    ), u AS (
+      SELECT 'last' AS model, channel FROM la
+      UNION ALL
+      SELECT 'first' AS model, channel FROM fi
+    )
+    SELECT model, coalesce(channel, '(none)') AS channel,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY model) AS share
+    FROM u GROUP BY model, channel
+    ORDER BY model, channel
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution report (operators/timeseries.py
+    attribute_conversions — the companion of funnel/cohort): every
+    purchase credits the user's LAST and FIRST touch (view/click)
+    within a 1-day lookback; per (model, channel) conversion counts
+    and shares. Spark shape: the as-of union trick — one window per
+    user per model on the integer micros axis (RANGE-framed to the
+    lookback, state bounded by the window), never a range join; the
+    oracle replays each conversion's credit with a correlated
+    (ts, channel)-ordered subquery."""
+    from oakstore_spark.operators.timeseries import attribute_conversions
+
+    ev = table(spark, sf_dir, "events")
+    conv = F.col("event_type") == "purchase"
+    touch = F.col("event_type").isin("view", "click")
+    outs = []
+    for model in ("last", "first"):
+        a = attribute_conversions(
+            ev, conv, touch, "event_type",
+            model=model, lookback="1 day",
+        )
+        outs.append(a.select(F.lit(model).alias("model"), "channel"))
+    u = outs[0].unionByName(outs[1])
+    cnt = u.groupBy(
+        "model", F.coalesce("channel", F.lit("(none)")).alias("channel")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+    w = W.partitionBy("model")
+    return cnt.select(
+        "model",
+        "channel",
+        "n_conversions",
+        (F.col("n_conversions").cast("double")
+         / F.sum("n_conversions").over(w)).alias("share"),
+    ).orderBy("model", "channel")

@@ -577,3 +577,89 @@ def test_funnel_summary_counts_rates_medians(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         funnel_summary(per_user, [])
+
+
+def test_attribution_models_and_lookback(spark):
+    """Hand-built journeys: last-touch picks the latest in-window
+    touch (touch at the conversion instant counts; equal-ts ties go to
+    the GREATEST channel), first-touch the earliest in-window (ties to
+    the LEAST), the lookback excludes stale touches, and a conversion
+    with no qualifying touch attributes NULL."""
+    from datetime import datetime, timedelta
+
+    from oakstore_spark.operators.timeseries import attribute_conversions
+
+    t0 = datetime(2024, 5, 1, 12, 0, 0)
+
+    def at(secs):
+        return t0 + timedelta(seconds=secs)
+
+    rows = [
+        # u1: email then ad, converts 10s after ad
+        (1, "email", at(0)), (1, "ad", at(50)), (1, "buy", at(60)),
+        # u2: only touch is 2 days old -> outside 1-day lookback
+        (2, "ad", at(-200_000)), (2, "buy", at(0)),
+        # u3: two touches at the SAME instant as the conversion
+        (3, "ad", at(0)), (3, "email", at(0)), (3, "buy", at(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, channel string, ts timestamp")
+    conv = F.col("channel") == "buy"
+    touch = F.col("channel") != "buy"
+
+    def run(model, lookback="1 day"):
+        return {
+            r["user_id"]: r["channel"]
+            for r in attribute_conversions(
+                df, conv, touch, "channel",
+                model=model, lookback=lookback,
+            ).collect()
+        }
+
+    last = run("last")
+    assert last[1] == "ad"
+    assert last[2] is None          # stale touch excluded
+    assert last[3] == "email"       # equal-ts tie -> greatest channel
+    first = run("first")
+    assert first[1] == "email"
+    assert first[2] is None
+    assert first[3] == "ad"         # equal-ts tie -> least channel
+    # no lookback: u2's 2-day-old touch now counts
+    assert run("last", lookback=None)[2] == "ad"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="model"):
+        attribute_conversions(df, conv, touch, "channel", model="linear")
+
+
+def test_psi_drift_shift_and_bins(spark):
+    """Identical snapshots give PSI ~0 (exact add-half symmetry: every
+    contribution is 0.0); a shifted snapshot gives a large PSI;
+    out-of-baseline-range values clamp into the edge bins; bin edges
+    come from the BASELINE only."""
+    from oakstore_spark.operators.quality import psi_drift
+
+    base = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "v double"
+    )
+    same = psi_drift(base, base, "v", n_bins=10).collect()
+    assert len(same) == 10
+    assert all(r["psi_contrib"] == 0.0 for r in same)
+    assert all(r["n_base"] == 10 for r in same)
+
+    shifted = spark.createDataFrame(
+        [(float(i) + 200,) for i in range(100)], "v double"
+    )
+    rows = {r["bin"]: r for r in psi_drift(base, shifted, "v").collect()}
+    assert rows[9]["n_cur"] == 100        # everything clamps high
+    assert all(rows[b]["n_cur"] == 0 for b in range(9))
+    assert sum(r["psi_contrib"] for r in rows.values()) > 0.25  # action band
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        psi_drift(base, base, "v", n_bins=1)
+    with _pytest.raises(ValueError, match="non-null"):
+        psi_drift(
+            spark.createDataFrame([(None,)], "v double"), base, "v"
+        )
