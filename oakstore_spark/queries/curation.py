@@ -2066,7 +2066,7 @@ def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_psi_drift",
+    "q_psi_snapshot_monitor",
     oracle="""
     WITH b AS (
       SELECT value AS v FROM events
@@ -2112,7 +2112,7 @@ def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY bin
     """,
 )
-def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_psi_snapshot_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift monitor
     (operators/quality.psi_drift): the event value distribution of the
     first half of January (baseline fixes the bin edges) vs the second
