@@ -1,0 +1,167 @@
+"""Market-basket affinity mining: frequent item pairs and association
+rules (support / confidence / lift).
+
+EXT — the reference (`/root/reference/oakstore/store.py:1-267`, the
+whole engine) has no co-occurrence operators; this is the classic
+retail / product-analytics rung ("users who do X also do Y", "brands
+bought together") next to the funnel/cohort/attribution family in
+`operators/timeseries.py`.
+
+Spark shape (Apriori's one property used where it pays — NO candidate
+generation loop, pairs only):
+
+1. ``(basket, item)`` distinct — one shuffle; presence counts, not
+   multiplicity (the standard market-basket convention).
+2. Singleton support counts — map-side partial agg into an items-sized
+   relation.  The Apriori downward-closure prune happens HERE: an item
+   below min-support cannot be in a frequent pair, so infrequent items
+   never reach the self-join.  The frequent-item relation broadcasts
+   (item universes — brands, event types, SKUs, tags — are dwarfed by
+   the basket stream).
+3. Per-basket pair generation = self-equi-join on the basket key with
+   ``item_a < item_b`` — fan-out per basket is C(k,2) on the PRUNED
+   per-basket item count k, never a cartesian across baskets.  At
+   100 TB the hot-basket risk (a basket holding thousands of frequent
+   items) is bounded by ``max_basket_items``: a deterministic per-basket
+   cap keeping the lexicographically smallest items (one window over
+   the basket key) — the documented trade: capped baskets undercount
+   pairs, exactly like the sampled variants in production miners.
+4. Pair counts — one shuffle on the (item_a, item_b) key; rules join
+   the pair relation against the broadcast singleton counts.
+
+Float contract (oracle-replayable): support/confidence/lift are single
+divisions of exact BIGINT counts in a pinned order — no float sums, so
+DuckDB replays every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Frequent item pairs with support counts.
+
+    ``min_support`` is a FRACTION of total baskets (scale-invariant:
+    the same query text works at any SF); an item pair qualifies when
+    it appears in ``>= min_support * n_baskets`` distinct baskets.
+    Returns ``(item_a, item_b, n_ab, n_a, n_b, n_baskets)`` with
+    ``item_a < item_b``.
+    """
+    items = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+
+    if max_basket_items is not None:
+        # Deterministic hot-basket cap: keep the max_basket_items
+        # smallest items of each basket.  One window on the basket key;
+        # WindowGroupLimit keeps per-partition state at the cap.
+        rn = F.row_number().over(W.partitionBy("b").orderBy("i"))
+        items = items.withColumn("rn", rn).where(
+            F.col("rn") <= max_basket_items
+        ).drop("rn")
+
+    items = items.persist()
+    n_baskets = items.select("b").distinct().count()
+    thresh = min_support * n_baskets
+
+    singles = items.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
+    freq_singles = singles.where(F.col("n_i") >= thresh)
+
+    # Apriori prune: only frequent items enter the pair join.  The
+    # frequent-item relation is items-universe-sized -> broadcast.
+    pruned = items.join(
+        F.broadcast(freq_singles.select("i")), "i", "left_semi"
+    )
+
+    a = pruned.select(F.col("b"), F.col("i").alias("item_a"))
+    b = pruned.select(F.col("b"), F.col("i").alias("item_b"))
+    pair_counts = (
+        a.join(b, "b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= thresh)
+    )
+
+    na = freq_singles.select(
+        F.col("i").alias("item_a"), F.col("n_i").alias("n_a")
+    )
+    nb = freq_singles.select(
+        F.col("i").alias("item_b"), F.col("n_i").alias("n_b")
+    )
+    out = (
+        pair_counts.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .withColumn("n_baskets", F.lit(n_baskets).cast("long"))
+        .select("item_a", "item_b", "n_ab", "n_a", "n_b", "n_baskets")
+    )
+    items.unpersist()
+    return out
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float,
+    min_confidence: float = 0.0,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Directed association rules from frequent pairs.
+
+    Each frequent unordered pair emits both directions
+    ``antecedent -> consequent``; confidence and lift are single exact
+    divisions of the BIGINT support counts:
+
+        support    = n_ab / n_baskets
+        confidence = n_ab / n_antecedent
+        lift       = (n_ab * n_baskets) / (n_antecedent * n_consequent)
+
+    ``min_confidence`` filters directions (a pair can qualify one way
+    only).  Lift is direction-free but repeated per row for the
+    standard rule-table shape.
+    """
+    pairs = frequent_pairs(
+        df, basket_col, item_col, min_support, max_basket_items
+    )
+    fwd = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_ab",
+        F.col("n_a").alias("n_ante"),
+        F.col("n_b").alias("n_cons"),
+        "n_baskets",
+    )
+    rev = pairs.select(
+        F.col("item_b").alias("antecedent"),
+        F.col("item_a").alias("consequent"),
+        "n_ab",
+        F.col("n_b").alias("n_ante"),
+        F.col("n_a").alias("n_cons"),
+        "n_baskets",
+    )
+    rules = fwd.unionByName(rev).select(
+        "antecedent",
+        "consequent",
+        "n_ab",
+        "n_ante",
+        "n_cons",
+        (F.col("n_ab").cast("double") / F.col("n_baskets")).alias("support"),
+        (F.col("n_ab").cast("double") / F.col("n_ante")).alias("confidence"),
+        (
+            (F.col("n_ab").cast("double") * F.col("n_baskets"))
+            / (F.col("n_ante").cast("double") * F.col("n_cons"))
+        ).alias("lift"),
+    )
+    if min_confidence > 0.0:
+        rules = rules.where(F.col("confidence") >= min_confidence)
+    return rules

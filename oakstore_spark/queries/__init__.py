@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+_SOURCES: dict[str, str] = {}  # name -> registering module.qualname
 
 # Queries RETIRED FROM THE BENCH LOOP only (VERDICT r9 ask #2: the
 # per-round bench budget compounds ~+20s/round if every query stays in
@@ -76,6 +77,19 @@ def register(name: str, oracle: str | None = None):
             release_tracked()
             return fn(spark, sf_dir)
 
+        # A name registered by a DIFFERENT function is always a bug
+        # (dict assignment would silently shadow the earlier query and
+        # drop its oracle from the registry — this happened once with
+        # q_psi_drift).  Same-function re-registration stays allowed so
+        # importlib.reload of a query module is idempotent.
+        prev = _SOURCES.get(name)
+        here = f"{fn.__module__}.{fn.__qualname__}"
+        if prev is not None and prev != here:
+            raise ValueError(
+                f"duplicate query name {name!r}: already registered by "
+                f"{prev}, re-registered by {here}"
+            )
+        _SOURCES[name] = here
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle

@@ -457,3 +457,74 @@ def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decision", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- market-basket association rules --------------------------------------
+
+@register(
+    "q_brand_affinity",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS b, p_brand AS i
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), nb AS (
+      SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM items
+    ), singles AS (
+      SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM items GROUP BY i
+    ), freq AS (
+      SELECT i, n_i FROM singles, nb WHERE n_i >= 0.015 * n_baskets
+    ), pruned AS (
+      SELECT b, i FROM items WHERE i IN (SELECT i FROM freq)
+    ), pairs AS (
+      SELECT a.i AS item_a, c.i AS item_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM pruned a JOIN pruned c ON a.b = c.b AND a.i < c.i
+      GROUP BY 1, 2
+    ), fp AS (
+      SELECT item_a, item_b, n_ab
+      FROM pairs, nb WHERE n_ab >= 0.015 * n_baskets
+    ), both_dirs AS (
+      SELECT item_a AS antecedent, item_b AS consequent, n_ab FROM fp
+      UNION ALL
+      SELECT item_b AS antecedent, item_a AS consequent, n_ab FROM fp
+    )
+    SELECT antecedent, consequent, n_ab,
+           fa.n_i AS n_ante, fc.n_i AS n_cons,
+           CAST(n_ab AS DOUBLE) / n_baskets AS support,
+           CAST(n_ab AS DOUBLE) / fa.n_i AS confidence,
+           (CAST(n_ab AS DOUBLE) * n_baskets)
+             / (CAST(fa.n_i AS DOUBLE) * fc.n_i) AS lift
+    FROM both_dirs
+    JOIN freq fa ON both_dirs.antecedent = fa.i
+    JOIN freq fc ON both_dirs.consequent = fc.i
+    CROSS JOIN nb
+    ORDER BY antecedent, consequent
+    """,
+)
+def q_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over brands bought together
+    (operators/affinity.association_rules): baskets are orders, items
+    the DISTINCT part brands in each order. Apriori singleton prune
+    before the per-basket self-join (infrequent items never join);
+    support/confidence/lift are single divisions of exact BIGINT
+    counts, so DuckDB replays every float. min_support is a FRACTION
+    of baskets — the same query text discriminates at any SF."""
+    from oakstore_spark.operators.affinity import association_rules
+
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(pt), li.l_partkey == pt.p_partkey
+    ).select("l_orderkey", "p_brand")
+    return association_rules(
+        baskets, "l_orderkey", "p_brand", min_support=0.015
+    ).select(
+        "antecedent",
+        "consequent",
+        "n_ab",
+        F.col("n_ante"),
+        F.col("n_cons"),
+        "support",
+        "confidence",
+        "lift",
+    ).orderBy("antecedent", "consequent")

@@ -1096,7 +1096,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_cohort_retention",
+    "q_cohort_retention_weekly",
     oracle="""
     WITH act AS (
       SELECT DISTINCT user_id,
@@ -1121,7 +1121,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY cohort_start_us, period_offset
     """,
 )
-def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over the event stream: users cohorted
     by first-activity week (integer epoch-week grid — engine-portable,
     no week-start convention), each later week's active share per

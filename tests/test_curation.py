@@ -828,3 +828,68 @@ def test_apply_unigram_encodes_and_unk(spark):
     assert out[2] == ["banzzz9xq"] or all(
         t in vocab for t in out[2]
     )
+
+
+# --- market-basket affinity ------------------------------------------------
+
+
+def test_association_rules_hand_values(spark):
+    from oakstore_spark.operators.affinity import association_rules
+
+    # 4 baskets; duplicate (b1, x) row exercises presence-not-multiplicity
+    rows = [
+        (1, "x"), (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+        (4, "y"),
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    # min_support 0.5 -> threshold 2 baskets: x(3), y(3) frequent, z(1)
+    # pruned; pair (x,y) in baskets 1,2 -> n_ab=2 qualifies.
+    out = association_rules(df, "basket", "item", min_support=0.5)
+    got = {(r.antecedent, r.consequent): r for r in out.collect()}
+    assert set(got) == {("x", "y"), ("y", "x")}
+    xy = got[("x", "y")]
+    assert xy.n_ab == 2 and xy.n_ante == 3 and xy.n_cons == 3
+    assert xy.support == 2 / 4
+    assert xy.confidence == 2 / 3
+    assert xy.lift == (2.0 * 4) / (3.0 * 3)
+    yx = got[("y", "x")]
+    assert yx.confidence == 2 / 3  # symmetric counts here
+    assert yx.lift == xy.lift  # lift is direction-free
+
+
+def test_association_rules_min_confidence_directional(spark):
+    from oakstore_spark.operators.affinity import association_rules
+
+    # a appears in 4 baskets, b in 2, both together in 2:
+    # conf(a->b)=0.5, conf(b->a)=1.0 -> min_confidence=0.75 keeps b->a only
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "a")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = association_rules(
+        df, "basket", "item", min_support=0.25, min_confidence=0.75
+    ).collect()
+    assert [(r.antecedent, r.consequent) for r in out] == [("b", "a")]
+    assert out[0].confidence == 1.0
+
+
+def test_frequent_pairs_hot_basket_cap(spark):
+    from oakstore_spark.operators.affinity import frequent_pairs
+
+    # basket 1 holds 4 items; cap=2 keeps the lexicographically smallest
+    # two ('a','b'), so pairs involving c/d via basket 1 disappear
+    rows = [(1, i) for i in ["a", "b", "c", "d"]] + [
+        (2, "a"), (2, "b"), (3, "c"), (3, "d"),
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    full = frequent_pairs(df, "basket", "item", min_support=0.0)
+    capped = frequent_pairs(
+        df, "basket", "item", min_support=0.0, max_basket_items=2
+    )
+    full_pairs = {(r.item_a, r.item_b, r.n_ab) for r in full.collect()}
+    capped_pairs = {(r.item_a, r.item_b, r.n_ab) for r in capped.collect()}
+    assert ("a", "b", 2) in full_pairs and ("c", "d", 2) in full_pairs
+    # capped: basket 1 contributes only (a,b); basket 3 untouched
+    assert capped_pairs == {("a", "b", 2), ("c", "d", 1)}
+    # n_baskets unchanged by the cap
+    assert {r.n_baskets for r in capped.collect()} == {3}
