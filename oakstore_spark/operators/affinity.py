@@ -104,8 +104,12 @@ def frequent_pairs(
         .withColumn("n_baskets", F.lit(n_baskets).cast("long"))
         .select("item_a", "item_b", "n_ab", "n_a", "n_b", "n_baskets")
     )
-    items.unpersist()
-    return out
+    # out still reads items (singles + both self-join legs) — an inline
+    # unpersist here would silently recompute the dedup three times at
+    # the caller's action.  Tracked release instead (scaling.py).
+    from oakstore_spark.operators.scaling import track_persisted
+
+    return track_persisted(out, items)
 
 
 def association_rules(

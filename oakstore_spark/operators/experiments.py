@@ -1,0 +1,202 @@
+"""A/B experiment analysis: Welch's t-test, two-proportion z-test,
+CUPED variance reduction.
+
+EXT — the reference (`/root/reference/oakstore/store.py:1-267`) has no
+statistical operators; this completes the inference family next to the
+drift tests (KS / chi-square / PSI in `operators/curation.py` and
+`operators/quality.py`) with the three readouts every experimentation
+pipeline ships: a mean-difference test that does not assume equal
+variances (Welch), a conversion-rate test (pooled z), and the
+industry-standard pre-period covariate adjustment (CUPED,
+Deng et al. 2013, "Improving the Sensitivity of Online Controlled
+Experiments by Utilizing Pre-Experiment Data").
+
+Spark shape: every statistic here is ONE hash aggregate over the
+metric stream (map-side partials, no window, no sort) producing a
+per-arm row of exact BIGINT moment sums; the final float formula runs
+on the tiny per-arm relation.  At 100 TB the scan dominates and is
+embarrassingly parallel; nothing downstream grows with data size.
+
+Float contract (oracle-replayable): metrics enter as exact integers
+(the callers pass integer cents / 0-1 flags), so Σx, Σx², Σxy, n are
+exact BIGINTs whose float combinations are pinned single expressions —
+no float accumulation across rows, every output replays bit-for-bit
+in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _moment_sums(df: DataFrame, arm_col: str, value_col: str) -> DataFrame:
+    """Per-arm (n, Σx, Σx²) as exact BIGINTs — value_col must already
+    be integer-typed (cents, counts, 0/1 flags)."""
+    x = F.col(value_col).cast("bigint")
+    return df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sx2"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame, arm_col: str, value_col: str, arm_a, arm_b
+) -> DataFrame:
+    """Welch's unequal-variances t-test on an integer-valued metric.
+
+    Returns one row: per-arm n/mean/variance, the mean difference
+    (a - b), the t statistic, and the Welch–Satterthwaite degrees of
+    freedom.  Sample variance via the moment identity
+    ``(Σx² - (Σx)²/n) / (n-1)`` — (Σx)²/n is computed in DOUBLE (the
+    BIGINT square could overflow) from exact integer inputs, so the
+    float tree is pinned and engine-portable.
+    """
+    m = _moment_sums(df, arm_col, value_col)
+    a = m.where(F.col("arm") == arm_a).select(
+        F.col("n").alias("na"), F.col("sx").alias("sa"),
+        F.col("sx2").alias("qa"),
+    )
+    b = m.where(F.col("arm") == arm_b).select(
+        F.col("n").alias("nb"), F.col("sx").alias("sb"),
+        F.col("sx2").alias("qb"),
+    )
+    j = a.crossJoin(b)  # two 1-row relations
+
+    def mean(s, n):
+        return F.col(s).cast("double") / F.col(n)
+
+    def var(q, s, n):
+        return (
+            F.col(q).cast("double")
+            - F.col(s).cast("double") * F.col(s) / F.col(n)
+        ) / (F.col(n) - 1)
+
+    ma, mb = mean("sa", "na"), mean("sb", "nb")
+    va, vb = var("qa", "sa", "na"), var("qb", "sb", "nb")
+    ta, tb = va / F.col("na"), vb / F.col("nb")  # v/n terms, shared
+    # Degenerate guard (both variances zero): NULL, not ANSI div-zero —
+    # the oracle mirrors with CASE WHEN ... > 0.
+    t = F.when(ta + tb > 0, (ma - mb) / F.sqrt(ta + tb))
+    dof_den = ta * ta / (F.col("na") - 1) + tb * tb / (F.col("nb") - 1)
+    dof = F.when(dof_den > 0, (ta + tb) * (ta + tb) / dof_den)
+    return j.select(
+        F.col("na"),
+        F.col("nb"),
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        va.alias("var_a"),
+        vb.alias("var_b"),
+        (ma - mb).alias("mean_diff"),
+        t.alias("t_stat"),
+        dof.alias("welch_df"),
+    )
+
+
+def proportion_ztest(
+    df: DataFrame, arm_col: str, success_col: str, arm_a, arm_b
+) -> DataFrame:
+    """Two-proportion z-test with the pooled standard error.
+
+    ``success_col`` is a 0/1 integer flag per unit.  One hash
+    aggregate; z = (p̂a - p̂b) / sqrt(p̂(1-p̂)(1/na + 1/nb)) with the
+    pooled p̂ — the classic conversion-rate readout.
+    """
+    s = F.col(success_col).cast("bigint")
+    m = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(s).alias("k")
+    )
+    a = m.where(F.col("arm") == arm_a).select(
+        F.col("n").alias("na"), F.col("k").alias("ka")
+    )
+    b = m.where(F.col("arm") == arm_b).select(
+        F.col("n").alias("nb"), F.col("k").alias("kb")
+    )
+    j = a.crossJoin(b)
+    pa = F.col("ka").cast("double") / F.col("na")
+    pb = F.col("kb").cast("double") / F.col("nb")
+    pool = (F.col("ka") + F.col("kb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    # Degenerate guard (pooled rate 0 or 1): NULL, not ANSI div-zero.
+    se2 = pool * (1 - pool) * (
+        1 / F.col("na").cast("double") + 1 / F.col("nb").cast("double")
+    )
+    z = F.when(se2 > 0, (pa - pb) / F.sqrt(se2))
+    return j.select(
+        F.col("na"), F.col("nb"),
+        F.col("ka"), F.col("kb"),
+        pa.alias("rate_a"),
+        pb.alias("rate_b"),
+        (pa - pb).alias("rate_diff"),
+        pool.alias("pooled_rate"),
+        z.alias("z_stat"),
+    )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    covariate_col: str,
+) -> DataFrame:
+    """CUPED-adjusted per-arm metric means and the variance reduction.
+
+    ``metric_col`` (post-period) and ``covariate_col`` (pre-period) are
+    integer-valued per unit.  θ = cov(pre, post) / var(pre) is fit
+    POOLED across arms (the standard, assignment-independent choice —
+    fitting θ per arm would re-introduce the treatment effect into the
+    adjustment); the adjusted metric is ``y - θ·(x - mean(x))``, which
+    preserves each arm's expected mean while removing the pre-period
+    component of its variance.
+
+    Two hash aggregates: one global (θ and the pre-period mean from
+    exact BIGINT moment sums), one per-arm for the adjusted means —
+    the adjusted mean needs only per-arm Σy, Σx, n, never a per-row
+    adjusted column:
+
+        mean_adj = Σy/n - θ·(Σx/n - mean_x_global)
+
+    Variance reduction is reported as the pooled R² of the covariate,
+    ``ρ² = cov²/(var_x·var_y)`` — the fraction of metric variance CUPED
+    removes.
+    """
+    y = F.col(metric_col).cast("bigint")
+    x = F.col(covariate_col).cast("bigint")
+    g = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / nd
+    varx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / nd
+    vary = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / nd
+    # Degenerate guard: no covariate variance -> CUPED undefined, NULL
+    # through (never ANSI div-zero).
+    g = g.select(
+        F.when(varx > 0, cov / varx).alias("theta"),
+        (F.col("sx").cast("double") / nd).alias("mean_x"),
+        F.when(varx * vary > 0, cov * cov / (varx * vary)).alias("rho2"),
+    )
+    arms = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.sum(y).alias("sy_arm"),
+        F.sum(x).alias("sx_arm"),
+    )
+    out = arms.crossJoin(F.broadcast(g))
+    raw_mean = F.col("sy_arm").cast("double") / F.col("n_arm")
+    pre_mean = F.col("sx_arm").cast("double") / F.col("n_arm")
+    adj_mean = raw_mean - F.col("theta") * (pre_mean - F.col("mean_x"))
+    return out.select(
+        "arm",
+        F.col("n_arm"),
+        raw_mean.alias("raw_mean"),
+        adj_mean.alias("cuped_mean"),
+        F.col("theta"),
+        F.col("rho2").alias("variance_reduction"),
+    )

@@ -2130,3 +2130,193 @@ def q_psi_snapshot_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         n_bins=10,
     ).orderBy("bin")
+
+
+# --- A/B experiment analysis ----------------------------------------------
+
+@register(
+    "q_ab_experiment",
+    oracle="""
+    WITH units AS (
+      SELECT user_id % 2 AS arm,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS cents,
+             CAST(max(CASE WHEN event_type = 'purchase' AND value > 200
+                  THEN 1 ELSE 0 END) AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ), m AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sx,
+             CAST(sum(cents * cents) AS BIGINT) AS sx2,
+             CAST(sum(converted) AS BIGINT) AS k
+      FROM units GROUP BY arm
+    ), ab AS (
+      SELECT
+        (SELECT n FROM m WHERE arm = 0) AS na,
+        (SELECT n FROM m WHERE arm = 1) AS nb,
+        (SELECT sx FROM m WHERE arm = 0) AS sa,
+        (SELECT sx FROM m WHERE arm = 1) AS sb,
+        (SELECT sx2 FROM m WHERE arm = 0) AS qa,
+        (SELECT sx2 FROM m WHERE arm = 1) AS qb,
+        (SELECT k FROM m WHERE arm = 0) AS ka,
+        (SELECT k FROM m WHERE arm = 1) AS kb
+    ), terms AS (
+      SELECT na, nb, ka, kb,
+             CAST(sa AS DOUBLE) / na AS mean_a,
+             CAST(sb AS DOUBLE) / nb AS mean_b,
+             (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
+               / (na - 1) AS var_a,
+             (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb)
+               / (nb - 1) AS var_b
+      FROM ab
+    ), tt AS (
+      SELECT *, var_a / na AS ta, var_b / nb AS tb FROM terms
+    )
+    SELECT na, nb,
+           mean_a, mean_b, var_a, var_b,
+           mean_a - mean_b AS mean_diff,
+           (mean_a - mean_b) / sqrt(ta + tb) AS t_stat,
+           (ta + tb) * (ta + tb)
+             / (ta * ta / (na - 1) + tb * tb / (nb - 1)) AS welch_df,
+           ka, kb,
+           CAST(ka AS DOUBLE) / na AS rate_a,
+           CAST(kb AS DOUBLE) / nb AS rate_b,
+           CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb AS rate_diff,
+           CAST(ka + kb AS DOUBLE) / (na + nb) AS pooled_rate,
+           (CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb)
+             / sqrt(CAST(ka + kb AS DOUBLE) / (na + nb)
+                    * (1 - CAST(ka + kb AS DOUBLE) / (na + nb))
+                    * (1 / CAST(na AS DOUBLE) + 1 / CAST(nb AS DOUBLE)))
+             AS z_stat
+    FROM tt
+    """,
+)
+def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (operators/experiments): Welch's
+    unequal-variances t-test on per-user purchase spend AND the pooled
+    two-proportion z-test on big-purchase (>$200) conversion, one row
+    (an all-converted flag like signup would degenerate the pooled SE
+    to zero — the operator NULL-guards that case). Units are
+    users (the randomization unit — never raw events), arm = user_id
+    parity; metrics enter as exact integer cents / 0-1 flags so every
+    statistic is a pinned float tree over exact BIGINT moment sums.
+    One per-user aggregate + one per-arm aggregate; nothing downstream
+    grows with data size."""
+    from oakstore_spark.operators.experiments import (
+        proportion_ztest,
+        welch_ttest,
+    )
+
+    e = table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("cents"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("converted"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    units = units.persist()
+    w = welch_ttest(units, "arm", "cents", 0, 1)
+    z = proportion_ztest(units, "arm", "converted", 0, 1)
+    out = w.crossJoin(
+        z.select("ka", "kb", "rate_a", "rate_b", "rate_diff",
+                 "pooled_rate", "z_stat")
+    )
+    from oakstore_spark.operators.scaling import track_persisted
+
+    return track_persisted(out, units)
+
+
+@register(
+    "q_ab_cuped",
+    oracle="""
+    WITH units AS (
+      SELECT user_id % 2 AS arm,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  AND ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS pre_cents,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  AND ts >= TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS post_cents
+      FROM events GROUP BY user_id
+    ), g0 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre_cents) AS BIGINT) AS sx,
+             CAST(sum(post_cents) AS BIGINT) AS sy,
+             CAST(sum(pre_cents * pre_cents) AS BIGINT) AS sxx,
+             CAST(sum(post_cents * post_cents) AS BIGINT) AS syy,
+             CAST(sum(pre_cents * post_cents) AS BIGINT) AS sxy
+      FROM units
+    ), g AS (
+      SELECT (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy
+                / CAST(n AS DOUBLE))
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx
+                / CAST(n AS DOUBLE)) AS theta,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy
+                / CAST(n AS DOUBLE))
+             * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy
+                / CAST(n AS DOUBLE))
+             / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx
+                 / CAST(n AS DOUBLE))
+                * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy
+                   / CAST(n AS DOUBLE))) AS rho2
+      FROM g0
+    ), arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_arm,
+             CAST(sum(post_cents) AS BIGINT) AS sy_arm,
+             CAST(sum(pre_cents) AS BIGINT) AS sx_arm
+      FROM units GROUP BY arm
+    )
+    SELECT arm, n_arm,
+           CAST(sy_arm AS DOUBLE) / n_arm AS raw_mean,
+           CAST(sy_arm AS DOUBLE) / n_arm
+             - theta * (CAST(sx_arm AS DOUBLE) / n_arm - mean_x)
+             AS cuped_mean,
+           theta,
+           rho2 AS variance_reduction
+    FROM arms CROSS JOIN g
+    ORDER BY arm
+    """,
+)
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout
+    (operators/experiments.cuped_adjust): per-user first-half-of-month
+    purchase cents is the pre-period covariate, second-half cents the
+    metric; theta fit POOLED across arms from exact BIGINT moment sums
+    (fitting per-arm would re-introduce the treatment effect), and the
+    adjusted per-arm mean needs only per-arm sums — never a per-row
+    adjusted column. rho2 is the fraction of metric variance removed.
+    """
+    from oakstore_spark.operators.experiments import cuped_adjust
+
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    split = F.lit("2024-01-16").cast("timestamp")
+    purchase = F.col("event_type") == "purchase"
+    units = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(purchase & (F.col("ts") < split), cents)), F.lit(0)
+        ).alias("pre_cents"),
+        F.coalesce(
+            F.sum(F.when(purchase & (F.col("ts") >= split), cents)), F.lit(0)
+        ).alias("post_cents"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    units = units.persist()
+    out = cuped_adjust(units, "arm", "post_cents", "pre_cents").orderBy("arm")
+    from oakstore_spark.operators.scaling import track_persisted
+
+    return track_persisted(out, units)

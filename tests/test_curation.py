@@ -893,3 +893,74 @@ def test_frequent_pairs_hot_basket_cap(spark):
     assert capped_pairs == {("a", "b", 2), ("c", "d", 1)}
     # n_baskets unchanged by the cap
     assert {r.n_baskets for r in capped.collect()} == {3}
+
+
+# --- A/B experiment analysis ----------------------------------------------
+
+
+def test_welch_ttest_hand_values(spark):
+    from oakstore_spark.operators.experiments import welch_ttest
+    import math
+
+    # arm 0: [1,2,3] n=3 mean=2 var=1 ; arm 1: [4,6] n=2 mean=5 var=2
+    rows = [(0, 1), (0, 2), (0, 3), (1, 4), (1, 6)]
+    df = spark.createDataFrame(rows, ["arm", "v"])
+    r = welch_ttest(df, "arm", "v", 0, 1).collect()[0]
+    assert (r.na, r.nb) == (3, 2)
+    assert r.mean_a == 2.0 and r.mean_b == 5.0
+    assert r.var_a == 1.0 and r.var_b == 2.0
+    ta, tb = 1.0 / 3, 2.0 / 2
+    assert abs(r.t_stat - (2.0 - 5.0) / math.sqrt(ta + tb)) < 1e-12
+    dof = (ta + tb) ** 2 / (ta * ta / 2 + tb * tb / 1)
+    assert abs(r.welch_df - dof) < 1e-12
+
+
+def test_proportion_ztest_degenerate_pool_is_null(spark):
+    from oakstore_spark.operators.experiments import proportion_ztest
+
+    # everyone converted -> pooled rate 1 -> SE 0 -> z NULL, no ANSI error
+    rows = [(0, 1), (0, 1), (1, 1), (1, 1)]
+    df = spark.createDataFrame(rows, ["arm", "c"])
+    r = proportion_ztest(df, "arm", "c", 0, 1).collect()[0]
+    assert r.pooled_rate == 1.0 and r.z_stat is None
+
+    # normal case: arm0 2/3 convert, arm1 1/3
+    rows = [(0, 1), (0, 1), (0, 0), (1, 1), (1, 0), (1, 0)]
+    df = spark.createDataFrame(rows, ["arm", "c"])
+    r = proportion_ztest(df, "arm", "c", 0, 1).collect()[0]
+    import math
+    pool = 3.0 / 6
+    se = math.sqrt(pool * (1 - pool) * (1 / 3.0 + 1 / 3.0))
+    assert abs(r.z_stat - (2.0 / 3 - 1.0 / 3) / se) < 1e-12
+
+
+def test_cuped_removes_covariate_imbalance(spark):
+    from oakstore_spark.operators.experiments import cuped_adjust
+
+    # y = 2*x + arm-effect 10 for arm 1; pre-period x imbalanced
+    # between arms.  CUPED with pooled theta=2 must recover the raw
+    # effect net of the x imbalance and report rho2 close to 1.
+    rows = []
+    for i, x in enumerate([1, 2, 3, 4, 20, 30]):
+        arm = i % 2
+        rows.append((arm, x, 2 * x + (10 if arm else 0)))
+    df = spark.createDataFrame(rows, ["arm", "x", "y"])
+    out = {r.arm: r for r in cuped_adjust(df, "arm", "y", "x").collect()}
+    # theta is NOT exactly 2 (arm effect correlates with nothing, but
+    # the finite sample ties it to x split) -- still, the adjusted
+    # difference must be far closer to 10 than the raw difference.
+    raw_diff = out[1].raw_mean - out[0].raw_mean
+    adj_diff = out[1].cuped_mean - out[0].cuped_mean
+    assert abs(adj_diff - 10) < abs(raw_diff - 10)
+    assert out[0].variance_reduction > 0.9
+
+
+def test_cuped_no_covariate_variance_is_null(spark):
+    from oakstore_spark.operators.experiments import cuped_adjust
+
+    rows = [(0, 5, 1), (0, 5, 2), (1, 5, 3), (1, 5, 4)]
+    df = spark.createDataFrame(rows, ["arm", "x", "y"])
+    out = cuped_adjust(df, "arm", "y", "x").collect()
+    assert all(r.theta is None and r.cuped_mean is None for r in out)
+    # raw means still reported
+    assert {r.raw_mean for r in out} == {1.5, 3.5}
