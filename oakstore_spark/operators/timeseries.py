@@ -853,3 +853,106 @@ def attribute_conversions(
             F.col("_attr").alias("channel"),
         )
     )
+
+
+def multi_touch_attribution(
+    df: DataFrame,
+    conversion_pred: Column,
+    touch_pred: Column,
+    channel_col: str,
+    conv_id_col: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    model: str = "linear",
+    lookback: str | None = None,
+) -> DataFrame:
+    """Multi-touch attribution — credit SPLIT across every qualifying
+    touch, the fractional sibling of :func:`attribute_conversions`
+    (which crowns a single touch):
+
+    - ``model='linear'``  — each of a conversion's k in-window touches
+      earns 1/k;
+    - ``model='position'`` — U-shaped (GA "position-based"): k=1 →
+      1.0, k=2 → 0.5 each, k>=3 → first 0.4, last 0.4, middles split
+      0.2/(k-2).  First/last on the (ts, channel) struct order —
+      deterministic under equal timestamps.
+
+    Returns the per-``(channel, k, role)`` relation with EXACT BIGINT
+    touch counts and the credit as ONE pinned float expression per row
+    (n/k, or n·w(k) with w a closed form of k) — deliberately NOT the
+    cross-k per-channel float sum, which would depend on float
+    accumulation order across engines.  ``SUM(credit)`` over the
+    relation is the per-channel total; the relation itself is the
+    auditable deliverable (which window sizes drive a channel's
+    credit).
+
+    Spark shape: conversions equi-join touches on the user key with
+    the lookback band as a join residual (SortMergeJoin — per-user
+    fan-out is touches-per-window, bounded by the lookback; NEVER a
+    cross-user product), then ONE window over (user, conversion) ranks
+    touches both directions, and one hash aggregate produces the
+    output.  ``conv_id_col`` disambiguates same-timestamp conversions
+    (pass the event id; grouping by timestamp alone would merge them
+    and under-credit).
+    """
+    if model not in ("linear", "position"):
+        raise ValueError("model must be 'linear' or 'position'")
+    u = F.col(user_col)
+    touches = df.where(touch_pred).select(
+        u.alias("_u"),
+        F.unix_micros(F.col(ts_col)).alias("_tus"),
+        F.col(channel_col).alias("_ch"),
+    )
+    convs = df.where(conversion_pred).select(
+        u.alias("_u"),
+        F.unix_micros(F.col(ts_col)).alias("_cus"),
+        F.col(conv_id_col).alias("_cid"),
+    )
+    cond = F.col("_tus") <= F.col("_cus")
+    if lookback is not None:
+        look_us = int(
+            df.sparkSession.sql(
+                f"SELECT unix_micros(TIMESTAMP '1970-01-01 00:00:00Z'"
+                f" + INTERVAL {lookback})"
+            ).collect()[0][0]
+        )
+        cond = cond & (F.col("_tus") >= F.col("_cus") - F.lit(look_us))
+    pairs = convs.join(touches, on="_u").where(cond)
+
+    win = W.partitionBy("_u", "_cid")
+    asc = F.row_number().over(win.orderBy("_tus", "_ch"))
+    desc = F.row_number().over(
+        win.orderBy(F.col("_tus").desc(), F.col("_ch").desc())
+    )
+    k = F.count(F.lit(1)).over(win)
+    ranked = pairs.select(
+        "_ch",
+        asc.alias("_ra"),
+        desc.alias("_rd"),
+        k.alias("k"),
+    )
+    if model == "linear":
+        role = F.lit("any")
+    else:
+        role = (
+            F.when(F.col("k") == 1, F.lit("only"))
+            .when(F.col("_ra") == 1, F.lit("first"))
+            .when(F.col("_rd") == 1, F.lit("last"))
+            .otherwise(F.lit("middle"))
+        )
+    agg = ranked.groupBy(
+        F.col("_ch").alias("channel"), F.col("k"), role.alias("role")
+    ).agg(F.count(F.lit(1)).alias("n_touches"))
+    n = F.col("n_touches").cast("double")
+    if model == "linear":
+        credit = n / F.col("k")
+    else:
+        credit = (
+            F.when(F.col("role") == "only", n)
+            .when(F.col("k") == 2, n * 0.5)
+            .when(F.col("role") == "middle", n * 0.2 / (F.col("k") - 2))
+            .otherwise(n * 0.4)  # first/last at k >= 3
+        )
+    return agg.select(
+        "channel", "k", "role", "n_touches", credit.alias("credit")
+    )

@@ -1336,3 +1336,65 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_conversions").cast("double")
          / F.sum("n_conversions").over(w)).alias("share"),
     ).orderBy("model", "channel")
+
+
+@register(
+    "q_multi_touch_attribution",
+    oracle="""
+    WITH touches AS (
+      SELECT user_id AS u, epoch_us(ts) AS tus, event_type AS ch
+      FROM events WHERE event_type IN ('view', 'click')
+    ), convs AS (
+      SELECT user_id AS u, epoch_us(ts) AS cus, event_id AS cid
+      FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+      SELECT c.u, c.cid, t.tus, t.ch
+      FROM convs c JOIN touches t ON c.u = t.u
+       AND t.tus <= c.cus AND t.tus >= c.cus - 86400000000
+    ), ranked AS (
+      SELECT ch,
+             row_number() OVER (PARTITION BY u, cid
+                                ORDER BY tus, ch) AS ra,
+             row_number() OVER (PARTITION BY u, cid
+                                ORDER BY tus DESC, ch DESC) AS rd,
+             count(*) OVER (PARTITION BY u, cid) AS k
+      FROM pairs
+    ), roled AS (
+      SELECT ch, CAST(k AS BIGINT) AS k,
+             CASE WHEN k = 1 THEN 'only'
+                  WHEN ra = 1 THEN 'first'
+                  WHEN rd = 1 THEN 'last'
+                  ELSE 'middle' END AS role
+      FROM ranked
+    )
+    SELECT ch AS channel, k, role,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CASE WHEN role = 'only' THEN CAST(count(*) AS DOUBLE)
+                WHEN k = 2 THEN CAST(count(*) AS DOUBLE) * 0.5
+                WHEN role = 'middle'
+                  THEN CAST(count(*) AS DOUBLE) * 0.2 / (k - 2)
+                ELSE CAST(count(*) AS DOUBLE) * 0.4 END AS credit
+    FROM roled GROUP BY ch, k, role
+    ORDER BY channel, k, role
+    """,
+)
+def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution
+    (operators/timeseries.multi_touch_attribution): every purchase
+    splits credit over its 1-day-window view/click touches — 40/20/40
+    with the k=1/k=2 degenerations pinned. Output is the auditable
+    (channel, k, role) relation with EXACT integer touch counts and
+    one pinned float expression per row — never a cross-row float sum,
+    so DuckDB replays every credit bit-for-bit."""
+    from oakstore_spark.operators.timeseries import multi_touch_attribution
+
+    e = table(spark, sf_dir, "events")
+    return multi_touch_attribution(
+        e,
+        conversion_pred=F.col("event_type") == "purchase",
+        touch_pred=F.col("event_type").isin("view", "click"),
+        channel_col="event_type",
+        conv_id_col="event_id",
+        model="position",
+        lookback="1 day",
+    ).orderBy("channel", "k", "role")

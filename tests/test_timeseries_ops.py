@@ -663,3 +663,97 @@ def test_psi_drift_shift_and_bins(spark):
         psi_drift(
             spark.createDataFrame([(None,)], "v double"), base, "v"
         )
+
+
+# --- multi-touch attribution ----------------------------------------------
+
+
+def _mta_events(spark):
+    from datetime import datetime as dt
+    rows = [
+        # user 1: touches a,b,c then conversion  (k=3)
+        (1, dt(2024, 1, 1, 10, 0), "touch", "a", 1),
+        (1, dt(2024, 1, 1, 11, 0), "touch", "b", 2),
+        (1, dt(2024, 1, 1, 12, 0), "touch", "c", 3),
+        (1, dt(2024, 1, 1, 13, 0), "conv", None, 4),
+        # user 2: single touch (k=1)
+        (2, dt(2024, 1, 1, 9, 0), "touch", "a", 5),
+        (2, dt(2024, 1, 1, 10, 0), "conv", None, 6),
+        # user 3: two touches (k=2)
+        (3, dt(2024, 1, 1, 9, 0), "touch", "b", 7),
+        (3, dt(2024, 1, 1, 10, 0), "touch", "c", 8),
+        (3, dt(2024, 1, 1, 11, 0), "conv", None, 9),
+    ]
+    return spark.createDataFrame(
+        rows, ["user_id", "ts", "kind", "channel", "event_id"]
+    )
+
+
+def test_multi_touch_position_roles(spark):
+    from pyspark.sql import functions as F
+    from oakstore_spark.operators.timeseries import multi_touch_attribution
+
+    out = multi_touch_attribution(
+        _mta_events(spark),
+        conversion_pred=F.col("kind") == "conv",
+        touch_pred=F.col("kind") == "touch",
+        channel_col="channel",
+        conv_id_col="event_id",
+        model="position",
+    ).collect()
+    got = {(r.channel, r.k, r.role): (r.n_touches, r.credit) for r in out}
+    assert got[("a", 3, "first")] == (1, 0.4)
+    assert got[("b", 3, "middle")] == (1, 1 * 0.2 / 1)
+    assert got[("c", 3, "last")] == (1, 0.4)
+    assert got[("a", 1, "only")] == (1, 1.0)
+    assert got[("b", 2, "first")] == (1, 0.5)
+    assert got[("c", 2, "last")] == (1, 0.5)
+    assert len(got) == 6
+
+
+def test_multi_touch_linear_and_lookback(spark):
+    from pyspark.sql import functions as F
+    from oakstore_spark.operators.timeseries import multi_touch_attribution
+
+    # 1-hour lookback drops user 1's touch 'a' (3h before conv) and
+    # 'b' (2h) -> only 'c' in window (k=1, credit 1.0)
+    out = multi_touch_attribution(
+        _mta_events(spark),
+        conversion_pred=F.col("kind") == "conv",
+        touch_pred=F.col("kind") == "touch",
+        channel_col="channel",
+        conv_id_col="event_id",
+        model="linear",
+        lookback="1 hour",
+    ).collect()
+    got = {(r.channel, r.k): (r.n_touches, r.credit) for r in out}
+    assert got[("c", 1)] == (2, 2.0)  # users 1 and 3 each credit c fully
+    assert got[("a", 1)] == (1, 1.0)  # user 2
+    assert ("b", 2) not in got and len(got) == 2
+
+
+def test_multi_touch_same_ts_conversions_distinct(spark):
+    from datetime import datetime as dt
+    from pyspark.sql import functions as F
+    from oakstore_spark.operators.timeseries import multi_touch_attribution
+
+    # two conversions at the SAME (user, ts) must each earn full credit
+    rows = [
+        (1, dt(2024, 1, 1, 10, 0), "touch", "a", 1),
+        (1, dt(2024, 1, 1, 11, 0), "conv", None, 2),
+        (1, dt(2024, 1, 1, 11, 0), "conv", None, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "kind", "channel", "event_id"]
+    )
+    out = multi_touch_attribution(
+        df,
+        conversion_pred=F.col("kind") == "conv",
+        touch_pred=F.col("kind") == "touch",
+        channel_col="channel",
+        conv_id_col="event_id",
+        model="linear",
+    ).collect()
+    assert [(r.channel, r.k, r.n_touches, r.credit) for r in out] == [
+        ("a", 1, 2, 2.0)
+    ]
