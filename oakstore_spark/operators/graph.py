@@ -445,3 +445,99 @@ def hits(
             auth = _pin(auth)
             hub = _pin(hub)
     return hub.join(auth, "node").select("node", "hub", "auth")
+
+
+def triangle_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    the UNDIRECTED simple graph induced by ``edges`` (direction and
+    multiplicity dropped, self-loops removed).
+
+    The distributed shape is degree-ORIENTED wedge counting
+    (node-iterator++ / Schank & Wagner 2005, the standard
+    billion-edge formulation): every edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, wedges are
+    enumerated only at their smallest apex, and each triangle is
+    produced exactly once.  Why it scales: a node's oriented
+    out-degree is O(sqrt(m)) regardless of its raw degree, so the
+    wedge fan-out of a celebrity node (raw degree millions) collapses
+    from deg² to m — id-ordered orientation has no such bound and is
+    the difference between a job that finishes and one that doesn't at
+    100 TB.  Two self-joins on the oriented relation (shuffles on the
+    join keys), one explode, one hash agg.
+
+    Returns ``(node, degree, n_triangles, clustering_coeff)`` with
+    coeff = 2·t / (d·(d-1)) as a single pinned float division (0.0
+    where degree < 2).
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.where(a != b)
+        .select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .distinct()
+    )
+    und = und.persist()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # Orient by (degree, node): lower endpoint -> higher endpoint.
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    withdeg = und.join(da, "a").join(db, "b")
+    lo_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo_first, F.col("degb")).otherwise(F.col("dega")).alias(
+            "degv"
+        ),
+    )
+    oriented = oriented.persist()
+    # Wedge at apex u: (u->v, u->w) with v BEFORE w in the same
+    # (degree, id) total order the orientation used — then the closing
+    # edge, if present, is oriented exactly v->w, and one semi-join
+    # probe direction suffices.  Each triangle appears once, at its
+    # order-smallest corner.
+    e1 = oriented.select("u", "v", "degv")
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("w"), F.col("degv").alias("degw")
+    )
+    wedges = e1.join(e2, "u").where(
+        (F.col("degv") < F.col("degw"))
+        | ((F.col("degv") == F.col("degw")) & (F.col("v") < F.col("w")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("v"), F.col("v").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    )
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
+        .alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            2.0
+            * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+            / (F.col("degree").cast("double") * (F.col("degree") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
+    from oakstore_spark.operators.scaling import track_persisted
+
+    return track_persisted(out, und, oriented)

@@ -465,3 +465,50 @@ def q_warc_crawl_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         degree_stats(edges, src_col="src_domain", dst_col="dst_domain")
         .orderBy("node")
     )
+
+
+@register(
+    "q_triangle_stats",
+    oracle=f"""
+    WITH {_GRAPH_CTE},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src != dst
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY node
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), per_node AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    )
+    SELECT deg.node, degree,
+           CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN degree >= 2
+                THEN 2.0 * CAST(coalesce(n_triangles, 0) AS DOUBLE)
+                     / (CAST(degree AS DOUBLE) * (degree - 1))
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg LEFT JOIN per_node ON deg.node = per_node.node
+    ORDER BY deg.node
+    """,
+)
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient on the
+    planted hub graph (operators/graph.triangle_stats): degree-ORIENTED
+    wedge counting — every triangle enumerated once at its
+    order-smallest corner, celebrity-node fan-out bounded by the
+    O(sqrt(m)) oriented out-degree. The oracle brute-forces the same
+    undirected simple graph with an x<y<z three-way join — algorithm-
+    independent integer counts, one pinned float division for the
+    coefficient."""
+    from oakstore_spark.operators.graph import triangle_stats
+
+    return triangle_stats(_planted_edges(spark)).orderBy("node")

@@ -289,3 +289,64 @@ def test_hits_normalized_numpy_parity(spark):
     byhub_n = sorted(present, key=lambda u: (-got[u][0], u))
     byhub_c = sorted(present, key=lambda u: (-counts[u][0], u))
     assert byhub_n == byhub_c
+
+
+# --- triangle counting -----------------------------------------------------
+
+
+def test_triangle_stats_brute_parity(spark):
+    """Degree-oriented counting == brute force on a messy random graph
+    (dupes, self-loops, both directions present)."""
+    import itertools
+    import random
+
+    from oakstore_spark.operators.graph import triangle_stats
+
+    rng = random.Random(7)
+    n = 30
+    edges = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            if rng.random() < 0.2:
+                edges.append((a, b))
+                if rng.random() < 0.5:
+                    edges.append((b, a))  # reverse dupe
+                if rng.random() < 0.2:
+                    edges.append((a, b))  # exact dupe
+    edges.append((5, 5))  # self-loop must be ignored
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: (r.degree, r.n_triangles, r.clustering_coeff)
+           for r in triangle_stats(df).collect()}
+
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    tri = {i: 0 for i in range(n)}
+    for x, y, z in itertools.combinations(range(n), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            tri[x] += 1
+            tri[y] += 1
+            tri[z] += 1
+    for node in range(n):
+        d = len(adj[node])
+        if d == 0:
+            assert node not in got  # isolated nodes have no edge rows
+            continue
+        want_c = 2.0 * tri[node] / (d * (d - 1)) if d >= 2 else 0.0
+        assert got[node] == (d, tri[node], want_c), node
+
+
+def test_triangle_stats_hand_graph(spark):
+    from oakstore_spark.operators.graph import triangle_stats
+
+    # K4 on {0,1,2,3} plus pendant 4-0: every K4 node in 3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4 + [(4, 0)], ["src", "dst"])
+    got = {r.node: r for r in triangle_stats(df).collect()}
+    for v in range(4):
+        assert got[v].n_triangles == 3
+    assert got[0].degree == 4 and got[0].clustering_coeff == 2.0 * 3 / (4 * 3)
+    assert got[1].clustering_coeff == 1.0
+    assert got[4].n_triangles == 0 and got[4].clustering_coeff == 0.0
