@@ -956,3 +956,91 @@ def multi_touch_attribution(
     return agg.select(
         "channel", "k", "role", "n_touches", credit.alias("credit")
     )
+
+
+def grouped_holt(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    alpha: float,
+    beta: float,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + trend), the
+    forecasting rung above :func:`grouped_ewma`:
+
+        l_1 = x_1;  b_1 = 0
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    A TWO-state recursion no window frame can express.  Same 100 TB
+    shape as grouped_ewma: one hash shuffle on the keys + Tungsten
+    sort, then a mapInPandas kernel carrying (key, l, b, rn) across
+    Arrow batch boundaries — memory O(batch), never O(group).  The
+    two-state update has no pandas C fast path (ewm is single-state),
+    so the kernel is an explicit numpy-backed loop; the float tree is
+    written EXACTLY as the recursive-CTE oracle replays it, so with
+    dyadic smoothing constants both engines round identically.
+
+    Returns keys + rn + level, trend, forecast (= level + trend, the
+    one-step-ahead prediction).
+    """
+    order_cols = [ts_col, *(order_tiebreak or [])]
+    fields = [df.schema[k] for k in keys]
+    out_schema = T.StructType(
+        [
+            *fields,
+            T.StructField("rn", T.LongType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+    one_m_a = 1.0 - alpha
+    one_m_b = 1.0 - beta
+
+    def kernel(batches):
+        import pandas as pd
+
+        cur_key: tuple | None = None
+        l = b = 0.0
+        rn = 0
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            kcols = [pdf[k].to_numpy() for k in keys]
+            x = pdf[value_col].to_numpy(dtype=float)
+            out_rn = [0] * n
+            out_l = [0.0] * n
+            out_b = [0.0] * n
+            for i in range(n):
+                key = tuple(kc[i] for kc in kcols)
+                if key != cur_key:
+                    cur_key = key
+                    l = float(x[i])
+                    b = 0.0
+                    rn = 1
+                else:
+                    xp = float(x[i])
+                    l_new = alpha * xp + one_m_a * (l + b)
+                    b = beta * (l_new - l) + one_m_b * b
+                    l = l_new
+                    rn += 1
+                out_rn[i] = rn
+                out_l[i] = l
+                out_b[i] = b
+            out = pdf[list(keys)].copy()
+            out["rn"] = out_rn
+            out["level"] = out_l
+            out["trend"] = out_b
+            out["forecast"] = [li + bi for li, bi in zip(out_l, out_b)]
+            yield out
+
+    parted = (
+        df.select(*keys, *order_cols, value_col)
+        .repartition(*[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys, *order_cols)
+    )
+    return parted.mapInPandas(kernel, out_schema)

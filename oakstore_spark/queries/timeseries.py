@@ -1398,3 +1398,47 @@ def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         model="position",
         lookback="1 day",
     ).orderBy("channel", "k", "role")
+
+
+@register(
+    "q_holt_user",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), rec AS (
+      SELECT user_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn,
+             0.5 * o.value + 0.5 * (r.l + r.b),
+             0.25 * ((0.5 * o.value + 0.5 * (r.l + r.b)) - r.l)
+               + 0.75 * r.b
+      FROM ordered o JOIN rec r
+        ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, rn, l AS level, b AS trend, l + b AS forecast
+    FROM rec
+    """,
+)
+def q_holt_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt double-exponential smoothing (level+trend,
+    alpha=0.5 beta=0.25 — dyadic so every multiply is exact;
+    operators/timeseries.grouped_holt): the Spark side is the
+    cross-batch carry kernel, the oracle a recursive CTE stepping the
+    identical two-state float tree. forecast = level + trend is the
+    one-step-ahead prediction."""
+    from oakstore_spark.operators.timeseries import grouped_holt
+
+    e = table(spark, sf_dir, "events")
+    out = grouped_holt(
+        e, "ts", ["user_id"], "value", alpha=0.5, beta=0.25,
+        order_tiebreak=["event_id"],
+    )
+    # no rounding: dyadic constants make both engines' float trees
+    # bit-identical, and rounding would REINTRODUCE half-boundary
+    # disagreement (exact .5 decimals round HALF_UP in Spark,
+    # half-even in DuckDB)
+    return out.select("user_id", "rn", "level", "trend", "forecast")

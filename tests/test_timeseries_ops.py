@@ -757,3 +757,67 @@ def test_multi_touch_same_ts_conversions_distinct(spark):
     assert [(r.channel, r.k, r.n_touches, r.credit) for r in out] == [
         ("a", 1, 2, 2.0)
     ]
+
+
+# --- Holt double-exponential smoothing ------------------------------------
+
+
+def _holt_ref(xs, alpha, beta):
+    out = []
+    l, b = float(xs[0]), 0.0
+    out.append((1, l, b))
+    for t, x in enumerate(xs[1:], start=2):
+        l_new = alpha * float(x) + (1.0 - alpha) * (l + b)
+        b = beta * (l_new - l) + (1.0 - beta) * b
+        l = l_new
+        out.append((t, l, b))
+    return out
+
+
+def test_grouped_holt_hand_recursion(spark):
+    from datetime import datetime as dt
+    from oakstore_spark.operators.timeseries import grouped_holt
+
+    xs = [10.0, 14.0, 18.0, 10.0, 30.0]
+    rows = [(1, dt(2024, 1, 1, h), x) for h, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = sorted(
+        grouped_holt(df, "ts", ["user_id"], "value", 0.5, 0.25).collect(),
+        key=lambda r: r.rn,
+    )
+    for r, (rn, l, b) in zip(got, _holt_ref(xs, 0.5, 0.25)):
+        assert r.rn == rn and r.level == l and r.trend == b
+        assert r.forecast == l + b
+
+
+def test_grouped_holt_batch_carry_parity(spark):
+    """7-row Arrow batches must give bit-identical results to one
+    batch — the (key, l, b, rn) carry re-enters the recursion."""
+    from datetime import datetime as dt
+    import random
+
+    from oakstore_spark.operators.timeseries import grouped_holt
+
+    rng = random.Random(3)
+    rows = []
+    for u in range(4):
+        for i in range(23):
+            rows.append((u, dt(2024, 1, 1, 0, i), rng.uniform(0, 100)))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"]).coalesce(1)
+
+    def run():
+        return {
+            (r.user_id, r.rn): (r.level, r.trend)
+            for r in grouped_holt(
+                df, "ts", ["user_id"], "value", 0.5, 0.25
+            ).collect()
+        }
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        small = run()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    big = run()
+    assert small == big and len(small) == 4 * 23
