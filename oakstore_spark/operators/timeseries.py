@@ -1044,3 +1044,59 @@ def grouped_holt(
         .sortWithinPartitions(*keys, *order_cols)
     )
     return parted.mapInPandas(kernel, out_schema)
+
+
+def event_sequence_matches(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    event_col: str,
+    alphabet: dict[str, str],
+    pattern: str,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: count regex matches over each key's
+    time-ordered event-type sequence — "how many view->click*->purchase
+    paths did this user take".  Spark has no MATCH_RECOGNIZE; encoding
+    the ordered event stream as a character string and running the
+    engine's regex is the classic lightweight substitute and covers
+    the bounded-pattern core of the SQL:2016 feature.
+
+    ``alphabet`` maps event types to single characters (unmapped types
+    are dropped — they cannot interrupt a pattern); ``pattern`` is a
+    regex over those characters.  Keep patterns to literal chars,
+    classes and ``* + ? {n,m}`` so leftmost-greedy (Java) and
+    leftmost-longest (RE2/DuckDB) semantics coincide; alternations of
+    different lengths are where the two diverge.
+
+    Spark shape: ONE hash aggregate per key — struct-sorted
+    ``collect_list`` assembles the sequence (map-side combine applies;
+    no window, no per-key sort pass), then one JVM ``regexp_count``.
+    Per-key state is O(history) — inherent to sequence matching; at
+    100 TB bound it by keying on (user, session) or pre-filtering the
+    event-time range, exactly like production funnel engines.
+
+    Returns keys + ``seq_len`` + ``n_matches``.
+    """
+    mapping = F.create_map(
+        *[F.lit(x) for kv in alphabet.items() for x in kv]
+    )
+    ch = mapping.getItem(F.col(event_col))
+    order_cols = [ts_col, *(order_tiebreak or [])]
+    ev = df.select(*keys, *order_cols, ch.alias("_ch")).where(
+        F.col("_ch").isNotNull()
+    )
+    packed = F.struct(*[F.col(c) for c in order_cols], F.col("_ch"))
+    agg = ev.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(packed)).alias("_seq")
+    )
+    seq_str = F.concat_ws(
+        "", F.transform(F.col("_seq"), lambda s: s.getField("_ch"))
+    )
+    return agg.select(
+        *keys,
+        F.length(seq_str).cast("bigint").alias("seq_len"),
+        F.regexp_count(seq_str, F.lit(pattern)).cast("bigint").alias(
+            "n_matches"
+        ),
+    )

@@ -1442,3 +1442,43 @@ def q_holt_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     # disagreement (exact .5 decimals round HALF_UP in Spark,
     # half-even in DuckDB)
     return out.select("user_id", "rn", "level", "trend", "forecast")
+
+
+@register(
+    "q_event_pattern_paths",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'view' THEN 'v'
+                        WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                        END, '' ORDER BY ts, event_id) AS s
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(s) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT) AS n_matches
+    FROM seqs ORDER BY user_id
+    """,
+)
+def q_event_pattern_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user browse-to-buy path counting via regex over the ordered
+    event sequence (operators/timeseries.event_sequence_matches — the
+    MATCH_RECOGNIZE-lite surface): pattern v c* p = a view, any
+    clicks, then a purchase, non-overlapping. One struct-sorted
+    collect_list aggregate + one JVM regexp_count; the pattern class
+    (literals + *) is chosen where Java leftmost-greedy and RE2
+    leftmost-longest coincide, so DuckDB's regexp_extract_all replays
+    the count exactly."""
+    from oakstore_spark.operators.timeseries import event_sequence_matches
+
+    e = table(spark, sf_dir, "events")
+    return event_sequence_matches(
+        e,
+        ["user_id"],
+        "ts",
+        "event_type",
+        alphabet={"view": "v", "click": "c", "purchase": "p"},
+        pattern="vc*p",
+        order_tiebreak=["event_id"],
+    ).orderBy("user_id")

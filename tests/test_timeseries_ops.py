@@ -821,3 +821,32 @@ def test_grouped_holt_batch_carry_parity(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     big = run()
     assert small == big and len(small) == 4 * 23
+
+
+def test_event_sequence_matches_hand(spark):
+    from datetime import datetime as dt
+    from oakstore_spark.operators.timeseries import event_sequence_matches
+
+    # user 1: v c c p v p x(nuisance) v c  -> 'vccpvpvc' matches 'vc*p'
+    # at vccp and vp -> 2; trailing vc unclosed
+    seq = ["v", "c", "c", "p", "v", "p", "x", "v", "c"]
+    rows = [(1, dt(2024, 1, 1, 0, i), s, i) for i, s in enumerate(seq)]
+    # user 2: p p (no v prefix) -> 0 matches
+    rows += [(2, dt(2024, 1, 1, 0, i), "p", 100 + i) for i in range(2)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "etype", "event_id"])
+    out = {
+        r.user_id: (r.seq_len, r.n_matches)
+        for r in event_sequence_matches(
+            df,
+            ["user_id"],
+            "ts",
+            "etype",
+            alphabet={"v": "v", "c": "c", "p": "p"},
+            pattern="vc*p",
+            order_tiebreak=["event_id"],
+        ).collect()
+    }
+    # nuisance 'x' is unmapped -> dropped (cannot interrupt a pattern);
+    # user 1 string is 'vccpvpvc' (len 8)
+    assert out[1] == (8, 2)
+    assert out[2] == (2, 0)
