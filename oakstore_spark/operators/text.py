@@ -1614,3 +1614,83 @@ def _prune_bm25_tombstones(spark, index_dir: str, df: DataFrame, id_col: str):
     else:
         p = spark._jvm.org.apache.hadoop.fs.Path(path)
         p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+
+
+def pmi_collocations(
+    df,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+):
+    """Top-k word collocations by pointwise mutual information — the
+    classic corpus-linguistics keyphrase detector (Church & Hanks 1990)
+    next to the frequency-only :func:`winnow_fingerprints` /
+    TF-IDF rungs:
+
+        pmi(a, b) = ln( n_ab * N / (n_a. * n_.b) )
+
+    over BIGRAM events: N = total bigram positions in the corpus,
+    n_a. / n_.b the first-/second-position marginals — all derived
+    from the ONE corpus-sized bigram count relation, so the corpus is
+    touched exactly once.  ``min_count`` suppresses the low-frequency
+    PMI explosion (a hapax pair scores arbitrarily high), the standard
+    fix.
+
+    Spark shape: explode bigrams -> one hash aggregate (map-side
+    combine) to the vocabulary-sized (w1, w2, n_ab) relation; both
+    marginals and N are tiny re-aggregations of THAT relation, never a
+    second corpus pass; the marginal joins broadcast; top-k is
+    TakeOrdered (bounded heaps, no global sort).  The float tree is
+    one ln over one division of exact BIGINTs — oracle-replayable.
+
+    Returns (w1, w2, n_ab, n_w1, n_w2, pmi), pmi desc, (w1, w2) the
+    deterministic tiebreak.
+    """
+    from pyspark.sql import functions as F
+
+    from oakstore_spark.functions.text import normalize_text
+
+    words = F.split(normalize_text(text_col), " ")
+
+    def _pairs(ws):
+        return F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - 2),
+                lambda i: F.struct(
+                    F.element_at(ws, i + 1).alias("w1"),
+                    F.element_at(ws, i + 2).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    pairs = F.element_at(F.transform(F.array(words), _pairs), 1)
+    bg = df.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    cnt = cnt.persist()
+    n_total = cnt.agg(F.sum("n_ab")).collect()[0][0]
+    m1 = cnt.groupBy("w1").agg(F.sum("n_ab").alias("n_w1"))
+    m2 = cnt.groupBy("w2").agg(F.sum("n_ab").alias("n_w2"))
+    scored = (
+        cnt.where(F.col("n_ab") >= min_count)
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_w1",
+            "n_w2",
+            F.log(
+                F.col("n_ab").cast("double")
+                * F.lit(int(n_total)).cast("double")
+                / (F.col("n_w1").cast("double") * F.col("n_w2"))
+            ).alias("pmi"),
+        )
+    )
+    out = scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(top_k)
+    from oakstore_spark.operators.scaling import track_persisted
+
+    return track_persisted(out, cnt)

@@ -528,3 +528,48 @@ def q_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "confidence",
         "lift",
     ).orderBy("antecedent", "consequent")
+
+
+@register(
+    "q_pmi_collocations",
+    oracle=f"""
+    WITH w AS (
+        SELECT string_split({_NORM}, ' ') AS ws FROM documents
+    ), bg AS (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                      i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS p
+        FROM w WHERE len(ws) >= 2
+    ), cnt AS (
+        SELECT p.w1 AS w1, p.w2 AS w2,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM bg GROUP BY 1, 2
+    ), nt AS (
+        SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM cnt
+    ), m1 AS (
+        SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_w1 FROM cnt GROUP BY 1
+    ), m2 AS (
+        SELECT w2, CAST(sum(n_ab) AS BIGINT) AS n_w2 FROM cnt GROUP BY 1
+    )
+    SELECT cnt.w1, cnt.w2, n_ab, n_w1, n_w2,
+           ln(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+              / (CAST(n_w1 AS DOUBLE) * n_w2)) AS pmi
+    FROM cnt
+    JOIN m1 ON cnt.w1 = m1.w1
+    JOIN m2 ON cnt.w2 = m2.w2
+    CROSS JOIN nt
+    WHERE n_ab >= 5
+    ORDER BY pmi DESC, cnt.w1, cnt.w2
+    LIMIT 50
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations over the document corpus
+    (operators/text.pmi_collocations): bigram counts from ONE corpus
+    pass, marginals and N re-aggregated from the vocabulary-sized
+    count relation, min-count 5 suppresses the hapax-PMI explosion,
+    TakeOrdered top-k. One ln over one exact-BIGINT division — DuckDB
+    replays every float; (w1, w2) is the deterministic tie order."""
+    from oakstore_spark.operators.text import pmi_collocations
+
+    d = table(spark, sf_dir, "documents")
+    return pmi_collocations(d, "text", min_count=5, top_k=50)

@@ -733,3 +733,31 @@ def test_schedule_fetches_slots_and_defaults(spark):
         for r in schedule_fetches(urls, delays, start_us=1000).collect()
     }
     assert {(r["url"], r["fetch_slot"]) for r in out} == again
+
+
+# --- PMI collocations ------------------------------------------------------
+
+
+def test_pmi_collocations_hand_corpus(spark):
+    import math
+
+    from oakstore_spark.operators.text import pmi_collocations
+
+    # 'aa bb' always together (4x); 'cc' pairs promiscuously; a hapax
+    # pair 'xx yy' must be suppressed by min_count
+    docs = (
+        ["aa bb"] * 4
+        + ["cc dd", "cc ee", "cc ff", "cc gg"]
+        + ["xx yy"]
+    )
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               ["doc_id", "text"])
+    out = pmi_collocations(df, "text", min_count=2, top_k=10).collect()
+    got = {(r.w1, r.w2): r for r in out}
+    assert ("xx", "yy") not in got  # hapax suppressed
+    r = got[("aa", "bb")]
+    # N = 9 bigrams total; n_ab=4, marginals 4,4
+    assert (r.n_ab, r.n_w1, r.n_w2) == (4, 4, 4)
+    assert r.pmi == math.log(4 * 9 / (4.0 * 4))
+    # perfect collocation outranks everything
+    assert out[0].w1 == "aa" and out[0].w2 == "bb"
