@@ -2012,3 +2012,79 @@ def hamming_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_dim: int,
+    scale: int = 1024,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a DETERMINISTIC
+    md5-derived sign matrix — the dimensionality-reduction rung next to
+    PCA (:func:`pca_project`, data-dependent) and PQ (codebook-trained):
+    JL needs NO training pass, preserves pairwise distances within
+    (1±eps) at k = O(ln n / eps²), and any worker can regenerate the
+    matrix from the hash — nothing is fit, stored, or broadcast.
+
+    Exactness contract (what makes this oracle-replayable where a
+    float matmul is not): inputs are FLOOR-quantized to integer units
+    (``floor(v * scale)``, scale a power of two so the multiply is an
+    exact float op; floor, never round — engines disagree on half-away
+    vs half-even at exact .5 boundaries), the sign matrix is ±1 from
+    ``md5(f"{j}_{i}")``'s first hex digit, and the projection is an
+    exact int64 dot product — float enters only in the final single
+    division ``proj_q / scale``.  Summation order is irrelevant for
+    integers, so Spark's Arrow matmul and DuckDB's list fold agree
+    bit-for-bit.
+
+    Spark shape: one mapInPandas Arrow kernel (numpy int64 gemm per
+    batch, matrix rebuilt once per task from the hash — O(d·k) scalar
+    md5s, microseconds) + a posexplode to the long (id, j, proj) form.
+    Embarrassingly parallel, no shuffle.
+    """
+    import hashlib
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("proj_q", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _signs(d: int, k: int):
+        import numpy as np
+
+        s = np.empty((d, k), dtype=np.int64)
+        for j in range(k):
+            for i in range(d):
+                h = hashlib.md5(f"{j}_{i}".encode()).hexdigest()
+                s[i, j] = 1 if h[0] < "8" else -1
+        return s
+
+    def kernel(batches):
+        import numpy as np
+
+        s = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if s is None:
+                s = _signs(v.shape[1], out_dim)
+            q = np.floor(v * scale).astype(np.int64)
+            p = q @ s
+            out = pdf[[id_col]].copy()
+            out["proj_q"] = list(p)
+            yield out
+
+    arrs = df.select(id_col, vec_col).mapInPandas(kernel, schema)
+    return arrs.select(
+        id_col, F.posexplode("proj_q").alias("j", "proj_q")
+    ).select(
+        id_col,
+        F.col("j").cast("bigint").alias("j"),
+        "proj_q",
+        (F.col("proj_q").cast("double") / F.lit(float(scale))).alias("proj"),
+    )

@@ -2069,3 +2069,41 @@ def q_edit_distance_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(strings, "doc_id", "text", 2).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "q_random_projection",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            v -> CAST(floor(v * 1024) AS BIGINT)) AS vq
+      FROM embeddings
+    ), proj AS (
+      SELECT vec_id, j,
+             CAST(list_sum(list_transform(range(1, len(vq) + 1),
+               i -> CASE WHEN substr(md5(CAST(j AS VARCHAR) || '_'
+                                       || CAST(i - 1 AS VARCHAR)), 1, 1)
+                          < '8'
+                    THEN vq[i] ELSE -vq[i] END)) AS BIGINT) AS proj_q
+      FROM e, (SELECT unnest(range(16)) AS j)
+    )
+    SELECT vec_id, CAST(j AS BIGINT) AS j, proj_q,
+           CAST(proj_q AS DOUBLE) / 1024.0 AS proj
+    FROM proj ORDER BY vec_id, j
+    """,
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64->16-dim Johnson-Lindenstrauss projection of the embedding
+    table (operators/similarity.random_projection): md5-derived ±1
+    signs, floor-quantized integer units, exact int64 dot products —
+    the oracle refolds every projection bit-for-bit (integer sums are
+    order-free; float appears only in the final /1024 division). The
+    training-free sibling of PCA/PQ for shrinking embedding storage
+    before ANN."""
+    from oakstore_spark.operators.similarity import random_projection
+
+    e = table(spark, sf_dir, "embeddings")
+    return random_projection(
+        e, "embedding", "vec_id", out_dim=16
+    ).orderBy("vec_id", "j")

@@ -1813,3 +1813,43 @@ def test_unicode_normalize_and_multiscript_dedup(spark):
     }
     assert set(pairs) == {(4, 5)}, pairs   # only the true near-dup
     assert pairs[(4, 5)] >= 0.5
+
+
+# --- JL random projection --------------------------------------------------
+
+
+def test_random_projection_numpy_parity_and_jl(spark):
+    import hashlib
+
+    import numpy as np
+
+    from oakstore_spark.operators.similarity import random_projection
+
+    rng = np.random.default_rng(11)
+    n, d, k = 40, 32, 16
+    V = rng.normal(size=(n, d)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, V[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    )
+    out = random_projection(df, "embedding", "vec_id", out_dim=k).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.vec_id, {})[r.j] = r.proj_q
+
+    S = np.empty((d, k), dtype=np.int64)
+    for j in range(k):
+        for i in range(d):
+            S[i, j] = 1 if hashlib.md5(f"{j}_{i}".encode()).hexdigest()[0] < "8" else -1
+    Q = np.floor(V.astype(np.float64) * 1024).astype(np.int64)
+    P = Q @ S
+    for i in range(n):
+        assert [got[i][j] for j in range(k)] == P[i].tolist()
+
+    # JL property (sanity, generous tolerance): scaled projected
+    # distances track original distances within 2x for sampled pairs
+    Pf = P.astype(np.float64) / 1024.0 / np.sqrt(k)
+    Vf = V.astype(np.float64)
+    for a, b in [(0, 1), (2, 3), (10, 30), (5, 25)]:
+        do = np.linalg.norm(Vf[a] - Vf[b])
+        dp = np.linalg.norm(Pf[a] - Pf[b])
+        assert 0.5 * do < dp < 2.0 * do
