@@ -217,3 +217,78 @@ def psi_drift(
         .cast("double")
         .alias("psi_contrib"),
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    target_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Weight-of-evidence / information-value feature screening — the
+    credit-scorecard standard (Siddiqi) for ranking a continuous
+    feature's separating power against a binary target before model
+    fitting (IV < 0.02 useless, 0.1-0.3 medium, > 0.5 suspicious):
+
+        woe_i = ln(share_good_i / share_bad_i)
+        iv_contrib_i = (share_good_i - share_bad_i) * woe_i
+
+    IV is exactly the PSI between the good and bad populations'
+    feature distributions, and this implementation shares
+    :func:`psi_drift`'s machinery: equal-width bins fixed by one
+    global min/max aggregate, add-half integer-ratio smoothing
+    ``(2c+1)/(2n+n_bins)`` keeping empty bins finite and every float a
+    single division/ln/multiply chain.  One hash aggregate bins BOTH
+    classes at once (conditional counts — the corpus is touched once);
+    ``sum(iv_contrib)`` over the returned n_bins rows is the IV.
+
+    ``target_col`` must be 0/1 integers (1 = "bad"/event).  NULL
+    features are excluded.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    d = df.where(F.col(feature_col).isNotNull())
+    mm = d.agg(
+        F.min(feature_col).alias("lo"),
+        F.max(feature_col).alias("hi"),
+        F.sum(F.col(target_col).cast("bigint")).alias("n_bad"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if mm["lo"] is None:
+        raise ValueError("no non-null feature values")
+    lo = float(mm["lo"])
+    width = (float(mm["hi"]) - lo) / n_bins
+    if not width:
+        width = 1.0
+    n_bad_tot = int(mm["n_bad"])
+    n_good_tot = int(mm["n"]) - n_bad_tot
+
+    bin_id = F.greatest(
+        F.least(
+            F.floor((F.col(feature_col) - F.lit(lo)) / F.lit(width)),
+            F.lit(n_bins - 1),
+        ),
+        F.lit(0),
+    ).cast("long")
+    t = F.col(target_col).cast("bigint")
+    counts = d.groupBy(bin_id.alias("bin")).agg(
+        F.sum(F.lit(1) - t).alias("n_good"),
+        F.sum(t).alias("n_bad"),
+    )
+    grid = d.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
+    joined = grid.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("n_good", F.lit(0)).cast("long").alias("n_good"),
+        F.coalesce("n_bad", F.lit(0)).cast("long").alias("n_bad"),
+    )
+    sg = (F.col("n_good") * 2 + 1) / F.lit(2 * n_good_tot + n_bins)
+    sb = (F.col("n_bad") * 2 + 1) / F.lit(2 * n_bad_tot + n_bins)
+    return joined.select(
+        "bin",
+        "n_good",
+        "n_bad",
+        sg.cast("double").alias("share_good"),
+        sb.cast("double").alias("share_bad"),
+        F.log(sg / sb).cast("double").alias("woe"),
+        ((sg - sb) * F.log(sg / sb)).cast("double").alias("iv_contrib"),
+    )

@@ -1610,3 +1610,70 @@ def q_k_anonymize_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, hier, k=5, max_suppression=0.05
     ).orderBy("c_custkey")
 
+
+
+@register(
+    "q_woe_iv_returns",
+    oracle="""
+    WITH units AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderkey IN (
+               SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+             ) THEN 1 ELSE 0 END AS bad
+      FROM orders
+    ), mm AS (
+      SELECT min(v) AS lo, (max(v) - min(v)) / 10 AS width,
+             CAST(sum(bad) AS BIGINT) AS nb,
+             CAST(count(*) - sum(bad) AS BIGINT) AS ng
+      FROM units
+    ), counts AS (
+      SELECT greatest(least(CAST(floor((v - lo) / width) AS BIGINT), 9),
+                      0) AS bin,
+             CAST(sum(1 - bad) AS BIGINT) AS n_good,
+             CAST(sum(bad) AS BIGINT) AS n_bad
+      FROM units, mm GROUP BY 1
+    ), grid AS (SELECT unnest(range(10)) AS bin)
+    SELECT CAST(grid.bin AS BIGINT) AS bin,
+           CAST(coalesce(n_good, 0) AS BIGINT) AS n_good,
+           CAST(coalesce(n_bad, 0) AS BIGINT) AS n_bad,
+           CAST((coalesce(n_good, 0) * 2 + 1) AS DOUBLE)
+             / (2 * ng + 10) AS share_good,
+           CAST((coalesce(n_bad, 0) * 2 + 1) AS DOUBLE)
+             / (2 * nb + 10) AS share_bad,
+           ln(((coalesce(n_good, 0) * 2 + 1) / CAST(2 * ng + 10 AS DOUBLE))
+              / ((coalesce(n_bad, 0) * 2 + 1)
+                 / CAST(2 * nb + 10 AS DOUBLE))) AS woe,
+           (((coalesce(n_good, 0) * 2 + 1) / CAST(2 * ng + 10 AS DOUBLE))
+            - ((coalesce(n_bad, 0) * 2 + 1) / CAST(2 * nb + 10 AS DOUBLE)))
+           * ln(((coalesce(n_good, 0) * 2 + 1)
+                 / CAST(2 * ng + 10 AS DOUBLE))
+                / ((coalesce(n_bad, 0) * 2 + 1)
+                   / CAST(2 * nb + 10 AS DOUBLE))) AS iv_contrib
+    FROM grid LEFT JOIN counts ON grid.bin = counts.bin
+    CROSS JOIN mm
+    ORDER BY bin
+    """,
+)
+def q_woe_iv_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screening of order price
+    against the returned-order target (operators/quality.woe_iv):
+    equal-width bins from one global aggregate, add-half smoothed
+    integer-ratio shares, woe/iv_contrib as pinned division-ln-multiply
+    chains — sum(iv_contrib) is the IV. The target joins in as a
+    left-semi flag (row content never shuffles twice)."""
+    from oakstore_spark.operators.quality import woe_iv
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    returned = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("rk"))
+        .distinct()
+    )
+    units = o.join(
+        returned, o.o_orderkey == F.col("rk"), "left"
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        F.col("rk").isNotNull().cast("int").alias("bad"),
+    )
+    return woe_iv(units, "v", "bad", n_bins=10).orderBy("bin")

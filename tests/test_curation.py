@@ -964,3 +964,39 @@ def test_cuped_no_covariate_variance_is_null(spark):
     assert all(r.theta is None and r.cuped_mean is None for r in out)
     # raw means still reported
     assert {r.raw_mean for r in out} == {1.5, 3.5}
+
+
+def test_woe_iv_hand_values(spark):
+    import math
+
+    from oakstore_spark.operators.quality import woe_iv
+
+    # feature in [0, 10): bin width 1 after min/max (0..9.999 -> width
+    # ~1); plant perfect separation: lows good, highs bad
+    rows = [(float(i), 0) for i in range(50)] + [
+        (float(50 + i), 1) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["v", "bad"])
+    out = woe_iv(df, "v", "bad", n_bins=2).collect()
+    assert len(out) == 2
+    b0, b1 = sorted(out, key=lambda r: r.bin)
+    assert (b0.n_good, b0.n_bad) == (50, 0)
+    assert (b1.n_good, b1.n_bad) == (0, 50)
+    sg0 = (50 * 2 + 1) / (2 * 50 + 2)
+    sb0 = (0 * 2 + 1) / (2 * 50 + 2)
+    assert b0.share_good == sg0 and b0.share_bad == sb0
+    assert b0.woe == math.log(sg0 / sb0) and b0.woe > 0
+    assert b1.woe < 0
+    # perfect separation -> big IV
+    assert b0.iv_contrib + b1.iv_contrib > 3.0
+
+
+def test_woe_iv_uninformative_feature(spark):
+    from oakstore_spark.operators.quality import woe_iv
+
+    # target independent of feature -> IV near zero
+    rows = [(float(i % 10), i % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, ["v", "bad"])
+    out = woe_iv(df, "v", "bad", n_bins=5).collect()
+    iv = sum(r.iv_contrib for r in out)
+    assert abs(iv) < 0.01
