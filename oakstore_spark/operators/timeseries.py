@@ -1100,3 +1100,55 @@ def event_sequence_matches(
             "n_matches"
         ),
     )
+
+
+def deseasonalize(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: str = "hour_of_day",
+) -> DataFrame:
+    """Additive seasonal decomposition by periodic index — the
+    seasonal-naive baseline every anomaly/forecast pipeline subtracts
+    first: x_t = grand_mean + seasonal_p(t) + residual_t with
+    seasonal_p the centered periodic mean.
+
+    ``period``: 'hour_of_day' (24 buckets), 'day_of_week' (7,
+    1=Sunday per Spark/DuckDB dayofweek), or 'month_of_year' (12).
+    ``value_col`` must be integer-valued (cents) so the periodic sums
+    are exact BIGINTs; means/seasonal/residual are then pinned float
+    trees — oracle-replayable.
+
+    Spark shape: ONE hash aggregate to the period-sized profile
+    (map-side combine), broadcast back onto the stream — the corpus is
+    scanned twice (profile + join) but never shuffled on a row key;
+    residuals stay map-side.  Returns the input columns plus
+    (period_idx, period_mean, seasonal, residual).
+    """
+    periods = {
+        "hour_of_day": F.hour(F.col(ts_col)),
+        "day_of_week": F.dayofweek(F.col(ts_col)),
+        "month_of_year": F.month(F.col(ts_col)),
+    }
+    if period not in periods:
+        raise ValueError(f"period must be one of {sorted(periods)}")
+    pidx = periods[period].cast("long")
+    x = F.col(value_col).cast("bigint")
+
+    prof = df.select(pidx.alias("period_idx"), x.alias("_x")).groupBy(
+        "period_idx"
+    ).agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+    tot = prof.agg(
+        F.sum("_s").alias("_st"), F.sum("_n").alias("_nt")
+    ).collect()[0]
+    grand = float(tot["_st"]) / float(tot["_nt"])
+    prof = prof.select(
+        "period_idx",
+        (F.col("_s").cast("double") / F.col("_n")).alias("period_mean"),
+    ).withColumn("seasonal", F.col("period_mean") - F.lit(grand))
+    out = df.withColumn("period_idx", pidx).join(
+        F.broadcast(prof), "period_idx"
+    )
+    return out.withColumn(
+        "residual", x.cast("double") - F.col("period_mean")
+    )

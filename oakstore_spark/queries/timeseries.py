@@ -1482,3 +1482,46 @@ def q_event_pattern_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         pattern="vc*p",
         order_tiebreak=["event_id"],
     ).orderBy("user_id")
+
+
+@register(
+    "q_deseasonalize_hourly",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, hour(ts) AS p,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events
+    ), prof AS (
+      SELECT p, CAST(sum(x) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY p
+    ), tot AS (
+      SELECT CAST(sum(s) AS BIGINT) AS st,
+             CAST(sum(n) AS BIGINT) AS nt FROM prof
+    )
+    SELECT event_id, CAST(p AS BIGINT) AS period_idx,
+           CAST(s AS DOUBLE) / n AS period_mean,
+           CAST(s AS DOUBLE) / n
+             - CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS seasonal,
+           CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / n AS residual
+    FROM e JOIN prof USING (p) CROSS JOIN tot
+    ORDER BY event_id
+    """,
+)
+def q_deseasonalize_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal decomposition of event values
+    (operators/timeseries.deseasonalize): the 24-bucket periodic-mean
+    profile from one map-side-combinable aggregate broadcasts back
+    onto the stream — residuals stay map-side, no row-key shuffle.
+    Integer cents keep every mean/seasonal/residual a pinned float
+    tree over exact BIGINT sums."""
+    from oakstore_spark.operators.timeseries import deseasonalize
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    out = deseasonalize(e, "ts", "cents", period="hour_of_day")
+    return out.select(
+        "event_id", "period_idx", "period_mean", "seasonal", "residual"
+    ).orderBy("event_id")

@@ -850,3 +850,38 @@ def test_event_sequence_matches_hand(spark):
     # user 1 string is 'vccpvpvc' (len 8)
     assert out[1] == (8, 2)
     assert out[2] == (2, 0)
+
+
+def test_deseasonalize_recovers_planted_profile(spark):
+    from datetime import datetime as dt
+    from oakstore_spark.operators.timeseries import deseasonalize
+
+    # plant value = 100*hour + noise-free -> seasonal profile exactly
+    # recovers 100*h - grand_mean and residuals are all zero
+    rows = []
+    for day in range(1, 4):
+        for h in range(4):
+            rows.append((day * 10 + h, dt(2024, 1, day, h), 100 * h))
+    df = spark.createDataFrame(rows, ["event_id", "ts", "cents"])
+    out = deseasonalize(df, "ts", "cents", period="hour_of_day").collect()
+    grand = (0 + 100 + 200 + 300) * 3 / 12.0
+    for r in out:
+        assert r.period_mean == 100.0 * r.period_idx
+        assert r.seasonal == 100.0 * r.period_idx - grand
+        assert r.residual == 0.0
+
+
+def test_deseasonalize_day_of_week_and_bad_period(spark):
+    from datetime import datetime as dt
+    import pytest
+    from oakstore_spark.operators.timeseries import deseasonalize
+
+    rows = [(1, dt(2024, 1, 1), 10), (2, dt(2024, 1, 2), 30)]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "cents"])
+    out = {r.event_id: r for r in deseasonalize(
+        df, "ts", "cents", period="day_of_week").collect()}
+    # Jan 1 2024 is a Monday (dayofweek=2), Jan 2 Tuesday (3)
+    assert out[1].period_idx == 2 and out[2].period_idx == 3
+    assert out[1].residual == 0.0  # singleton periods
+    with pytest.raises(ValueError):
+        deseasonalize(df, "ts", "cents", period="bogus")
