@@ -541,3 +541,68 @@ def triangle_stats(
     from oakstore_spark.operators.scaling import track_persisted
 
     return track_persisted(out, und, oriented)
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """k-core of the undirected simple graph: iteratively peel nodes
+    of degree < k until none remain — the standard dense-subgraph /
+    spam-farm / community-seed extractor next to PageRank and HITS
+    (a node in the k-core has >= k neighbors that THEMSELVES survive).
+
+    Spark shape per round: one degree aggregate + two broadcast-able
+    semi-joins filtering edges to strong endpoints; each round's edge
+    relation persists and the previous unpersists (the working set
+    only shrinks).  Peeling converges in O(peeling depth) rounds —
+    real graphs converge in tens of rounds; degenerate chains are cut
+    by ``max_iterations``.  Like :func:`pagerank`'s loop, lineage
+    grows linearly with rounds — for very deep peels route through a
+    checkpoint dir at the caller.
+
+    Returns ``(node, degree)`` for surviving nodes, degree measured IN
+    the core subgraph (every value >= k by construction).
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    live = (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .persist()
+    )
+    live.count()
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    for _ in range(max_iterations):
+        deg = degrees(live)
+        strong = deg.where(F.col("degree") >= k).select("node")
+        n_weak = deg.where(F.col("degree") < k).count()
+        if n_weak == 0:
+            break
+        nxt = (
+            live.join(
+                strong.select(F.col("node").alias("a")), "a", "left_semi"
+            )
+            .join(
+                strong.select(F.col("node").alias("b")), "b", "left_semi"
+            )
+            .persist()
+        )
+        nxt.count()
+        live.unpersist()
+        live = nxt
+    out = degrees(live).where(F.col("degree") >= k)
+    from oakstore_spark.operators.scaling import track_persisted
+
+    return track_persisted(out, live)

@@ -512,3 +512,44 @@ def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oakstore_spark.operators.graph import triangle_stats
 
     return triangle_stats(_planted_edges(spark)).orderBy("node")
+
+
+@register(
+    "q_k_core",
+    oracle=f"""
+    WITH {_GRAPH_CTE},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src != dst
+    ),
+    d1 AS (SELECT node, count(*) AS deg FROM (
+             SELECT a AS node FROM und UNION ALL SELECT b FROM und
+           ) GROUP BY node),
+    s1 AS (SELECT node FROM d1 WHERE deg >= 3),
+    e1 AS (SELECT a, b FROM und
+           WHERE a IN (SELECT node FROM s1)
+             AND b IN (SELECT node FROM s1)),
+    d2 AS (SELECT node, count(*) AS deg FROM (
+             SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1
+           ) GROUP BY node),
+    s2 AS (SELECT node FROM d2 WHERE deg >= 3),
+    e2 AS (SELECT a, b FROM e1
+           WHERE a IN (SELECT node FROM s2)
+             AND b IN (SELECT node FROM s2)),
+    d3 AS (SELECT node, count(*) AS deg FROM (
+             SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2
+           ) GROUP BY node)
+    SELECT node, CAST(deg AS BIGINT) AS degree
+    FROM d3 WHERE deg >= 3 ORDER BY node
+    """,
+)
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the planted hub graph (operators/graph.k_core):
+    iterative peeling converges here in 2 rounds — round 1 removes all
+    degree-2 cycle nodes, leaving the 16 hubs on their chord edges at
+    degree exactly 3; the oracle replays THREE fixed peel rounds as
+    chained CTEs (the extra round is a no-op, proving the fixpoint the
+    Spark loop detects dynamically)."""
+    from oakstore_spark.operators.graph import k_core
+
+    return k_core(_planted_edges(spark), k=3).orderBy("node")

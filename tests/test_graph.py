@@ -350,3 +350,25 @@ def test_triangle_stats_hand_graph(spark):
     assert got[0].degree == 4 and got[0].clustering_coeff == 2.0 * 3 / (4 * 3)
     assert got[1].clustering_coeff == 1.0
     assert got[4].n_triangles == 0 and got[4].clustering_coeff == 0.0
+
+
+def test_k_core_peeling_chain(spark):
+    from oakstore_spark.operators.graph import k_core
+
+    # path 0-1-2-3 + triangle 3-4-5-3: 2-core = the triangle only,
+    # and peeling must CASCADE down the path (3 rounds)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = sorted((r.node, r.degree) for r in k_core(df, 2).collect())
+    assert out == [(3, 2), (4, 2), (5, 2)]
+    # 3-core of the same graph is empty
+    assert k_core(df, 3).count() == 0
+
+
+def test_k_core_keeps_whole_graph_when_dense(spark):
+    from oakstore_spark.operators.graph import k_core
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4, ["src", "dst"])
+    out = sorted((r.node, r.degree) for r in k_core(df, 3).collect())
+    assert out == [(0, 3), (1, 3), (2, 3), (3, 3)]
