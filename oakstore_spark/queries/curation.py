@@ -2320,3 +2320,56 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oakstore_spark.operators.scaling import track_persisted
 
     return track_persisted(out, units)
+
+
+@register(
+    "q_mutual_information",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ij
+      FROM documents GROUP BY lang, source
+    ), m AS (
+      SELECT lang, source, n_ij,
+             CAST(sum(n_ij) OVER (PARTITION BY lang) AS BIGINT) AS r_i,
+             CAST(sum(n_ij) OVER (PARTITION BY source) AS BIGINT) AS c_j,
+             CAST(sum(n_ij) OVER () AS BIGINT) AS n
+      FROM obs
+    )
+    SELECT lang, source, n_ij, r_i, c_j,
+           CAST(n_ij AS DOUBLE) / n
+             * ln(CAST(n_ij AS DOUBLE) * n
+                  / (CAST(r_i AS DOUBLE) * c_j)) AS mi_contrib
+    FROM m ORDER BY lang, source
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information of the lang x source contingency table — the
+    information-theoretic sibling of the chi-squared check (MI = 0 iff
+    independent; sum(mi_contrib) in nats). The corpus is touched once
+    (one groupBy); margins are window sums over the TINY cell relation
+    exactly like q_chi2_lang_source; each cell's contribution is one
+    pinned division-ln-multiply chain over exact BIGINTs, reported
+    per-cell so no cross-row float sum enters the compare."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_ij")
+    )
+    r = F.sum("n_ij").over(W.partitionBy("lang"))
+    c = F.sum("n_ij").over(W.partitionBy("source"))
+    n = F.sum("n_ij").over(W.partitionBy())
+    m = obs.select(
+        "lang", "source", "n_ij",
+        r.alias("r_i"), c.alias("c_j"), n.alias("n"),
+    )
+    mi = (
+        F.col("n_ij").cast("double") / F.col("n")
+        * F.log(
+            F.col("n_ij").cast("double") * F.col("n")
+            / (F.col("r_i").cast("double") * F.col("c_j"))
+        )
+    )
+    return m.select(
+        "lang", "source", "n_ij", "r_i", "c_j", mi.alias("mi_contrib")
+    ).orderBy("lang", "source")
