@@ -200,3 +200,65 @@ def cuped_adjust(
         F.col("theta"),
         F.col("rho2").alias("variance_reduction"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve — the standard
+    censoring-aware time-to-event estimator (churn, time-to-convert,
+    hardware lifetime): subjects contribute until their event
+    (``event_col`` = 1) or censoring (0, still alive when observation
+    ended); naive "average lifetime" over censored data is biased low,
+    KM is the fix.
+
+        S(t) = prod over event times t_j <= t of (1 - d_j / n_j)
+
+    with d_j events and n_j at-risk at t_j.  Spark shape: ONE hash
+    aggregate collapses subjects to the distinct-duration relation
+    (integer durations), then every remaining step — at-risk via a
+    running sum ordered by time DESC-trick-free, and the cumulative
+    product in ln space (``exp(sum(ln(factor)) over prefix)``, Spark
+    has no product aggregate) — runs over that TINY relation.  Prefix
+    window sums evaluate in time order in both engines, so the float
+    sequence is pinned; d_j = n_j (everyone dies at the last time)
+    flows through as ln(0) = -inf -> S = 0 exactly.
+
+    Returns (t, n_risk, n_events, n_censored, survival) ordered by t,
+    one row per distinct duration with >= 1 event or censoring.
+    """
+    from pyspark.sql import Window as W
+
+    t = F.col(duration_col).cast("bigint")
+    e = F.col(event_col).cast("bigint")
+    per_t = df.groupBy(t.alias("t")).agg(
+        F.sum(e).alias("n_events"),
+        F.sum(F.lit(1) - e).alias("n_censored"),
+    )
+    wpre = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(
+        W.partitionBy()
+    )
+    prior = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wpre),
+        F.lit(0),
+    )
+    staged = per_t.select(
+        "t",
+        "n_events",
+        "n_censored",
+        (total - prior).cast("bigint").alias("n_risk"),
+    )
+    factor = 1 - F.col("n_events").cast("double") / F.col("n_risk")
+    # Spark's log() returns NULL for non-positive input (DuckDB gives
+    # -inf) and sum() skips NULLs — a d_j = n_j row would silently
+    # vanish from the product.  Pin the zero explicitly: once any
+    # prefix factor is 0 the curve is 0 forever.
+    zero_seen = F.min(factor).over(wcum) <= 0
+    surv = F.when(zero_seen, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.log(factor)).over(wcum))
+    )
+    return staged.select(
+        "t", "n_risk", "n_events", "n_censored", surv.alias("survival")
+    )

@@ -1525,3 +1525,66 @@ def q_deseasonalize_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "period_idx", "period_mean", "seasonal", "residual"
     ).orderBy("event_id")
+
+
+@register(
+    "q_kaplan_meier_churn",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(date_diff('day', CAST(min(ts) AS DATE),
+                  CAST(coalesce(
+                    min(CASE WHEN event_type = 'purchase' AND value > 300
+                             THEN ts END), max(ts)) AS DATE))
+                  AS BIGINT) AS dur,
+             CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                AND value > 300 THEN ts END) IS NOT NULL
+                  THEN 1 ELSE 0 END AS ev
+      FROM events GROUP BY user_id
+    ), per_t AS (
+      SELECT dur AS t, CAST(sum(ev) AS BIGINT) AS n_events,
+             CAST(count(*) - sum(ev) AS BIGINT) AS n_censored
+      FROM u GROUP BY dur
+    ), staged AS (
+      SELECT t, n_events, n_censored,
+             CAST(sum(n_events + n_censored) OVER ()
+                  - coalesce(sum(n_events + n_censored) OVER (
+                      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM per_t
+    )
+    SELECT t, n_risk, n_events, n_censored,
+           CASE WHEN min(1 - CAST(n_events AS DOUBLE) / n_risk) OVER (
+                  ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) <= 0
+                THEN 0.0
+                ELSE exp(sum(ln(1 - CAST(n_events AS DOUBLE) / n_risk))
+                         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW)) END AS survival
+    FROM staged ORDER BY t
+    """,
+)
+def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-convert curve
+    (operators/experiments.kaplan_meier): duration is days from a
+    user\'s first event to their first big purchase (>$300); users who
+    never convert are CENSORED at their last event — the
+    censoring-aware estimate a naive average-days-to-convert would
+    bias low. One per-user aggregate, then everything runs over the
+    <=31-row distinct-duration relation; cumulative product in ln
+    space over a pinned prefix order."""
+    from oakstore_spark.operators.experiments import kaplan_meier
+
+    e = table(spark, sf_dir, "events")
+    big = F.when(
+        (F.col("event_type") == "purchase") & (F.col("value") > 300),
+        F.col("ts"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(F.coalesce(F.min(big), F.max("ts"))),
+            F.to_date(F.min("ts")),
+        ).alias("dur"),
+        F.max(big).isNotNull().cast("int").alias("ev"),
+    )
+    return kaplan_meier(u, "dur", "ev").orderBy("t")

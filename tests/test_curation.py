@@ -1000,3 +1000,29 @@ def test_woe_iv_uninformative_feature(spark):
     out = woe_iv(df, "v", "bad", n_bins=5).collect()
     iv = sum(r.iv_contrib for r in out)
     assert abs(iv) < 0.01
+
+
+def test_kaplan_meier_hand_values(spark):
+    from oakstore_spark.operators.experiments import kaplan_meier
+
+    # classic toy: events at t=1 (1 of 5), t=3 (1 of 3); censored at
+    # t=2 and t=3; survivor at t=4 (censored)
+    rows = [(1, 1), (2, 0), (3, 1), (3, 0), (4, 0)]
+    df = spark.createDataFrame(rows, ["dur", "ev"])
+    out = {r.t: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert (out[1].n_risk, out[1].n_events, out[1].n_censored) == (5, 1, 0)
+    assert abs(out[1].survival - 4 / 5) < 1e-12
+    assert (out[2].n_risk, out[2].n_events) == (4, 0)
+    assert abs(out[2].survival - 4 / 5) < 1e-12  # censoring alone: flat
+    assert (out[3].n_risk, out[3].n_events, out[3].n_censored) == (3, 1, 1)
+    assert abs(out[3].survival - 4 / 5 * 2 / 3) < 1e-12
+    assert out[4].n_risk == 1 and abs(out[4].survival - 8 / 15) < 1e-12
+
+
+def test_kaplan_meier_all_die_hits_zero(spark):
+    from oakstore_spark.operators.experiments import kaplan_meier
+
+    rows = [(1, 1), (2, 1), (2, 1)]
+    df = spark.createDataFrame(rows, ["dur", "ev"])
+    out = sorted(kaplan_meier(df, "dur", "ev").collect(), key=lambda r: r.t)
+    assert out[-1].survival == 0.0  # ln(0) -> -inf -> exp -> 0 exactly
