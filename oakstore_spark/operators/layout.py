@@ -27,6 +27,9 @@ __all__ = [
     "file_stats",
     "pruned_files",
     "read_pruned",
+    "bloom_file_stats",
+    "bloom_pruned_files",
+    "read_bloom_pruned",
 ]
 
 
@@ -150,3 +153,115 @@ def read_pruned(
         spark.read.parquet(*files)
         .where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
     )
+
+
+def bloom_file_stats(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    m_bits: int = 1024,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Per-file BLOOM filter index over ``col`` — the equality-predicate
+    companion of the min/max :func:`file_stats` (Delta/Iceberg keep
+    exactly this pair in their manifests; Parquet's own bloom filters
+    are the in-file analog): min/max skipping is blind to point
+    lookups on high-cardinality unclustered columns (every file's
+    range covers the probe), while a bloom bitset skips every file
+    that provably lacks the value — false POSITIVES only, so the
+    downstream exact filter keeps results identical and skipping is
+    never wrong.
+
+    Layout: each file's filter is ``m_bits`` bits as ``m_bits/64``
+    BIGINT words -> the relation is (file, word_idx, word), tiny by
+    construction (files x m/64 rows).  Bits come from ``k_hashes``
+    seeded ``xxhash64(col, seed)`` positions — JVM-hashed, no Python
+    in the build path; the per-row k-position explode collapses via
+    one bit_or aggregate (map-side combinable).
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    d = spark.read.parquet(path).withColumn("_file", F.input_file_name())
+    # hash the STRING form: xxhash64 is type-sensitive (int vs bigint
+    # literals hash differently), and the probe side builds from a
+    # Python literal — the string canonicalization keeps both sides on
+    # one hash domain for any key type
+    pos = F.array(
+        *[
+            F.pmod(
+                F.xxhash64(F.col(col).cast("string"), F.lit(i)),
+                F.lit(m_bits),
+            )
+            for i in range(k_hashes)
+        ]
+    )
+    exploded = d.select("_file", F.explode(pos).alias("_pos")).select(
+        "_file",
+        (F.col("_pos") / 64).cast("long").alias("word_idx"),
+        # pyspark's shiftleft() only takes a literal shift count; the
+        # SQL form accepts a column
+        F.expr("shiftleft(1L, CAST(_pos % 64 AS INT))").alias("_wbit"),
+    )
+    return exploded.groupBy("_file", "word_idx").agg(
+        F.bit_or("_wbit").alias("word")
+    )
+
+
+def bloom_pruned_files(
+    stats: DataFrame, value, m_bits: int = 1024, k_hashes: int = 4
+) -> list[str]:
+    """Files whose bloom filter has ALL k probe bits set (possible
+    containment).  The probe positions are computed through the SAME
+    JVM xxhash64 expressions used at build time (a 1-row DataFrame —
+    re-implementing the hash driver-side would silently fork the two
+    sides).  Missing words count as unset bits."""
+    spark = stats.sparkSession
+    probe = spark.range(1).select(
+        *[
+            F.pmod(
+                F.xxhash64(F.lit(value).cast("string"), F.lit(i)),
+                F.lit(m_bits),
+            ).alias(f"p{i}")
+            for i in range(k_hashes)
+        ]
+    ).collect()[0]
+    positions = [int(probe[f"p{i}"]) for i in range(k_hashes)]
+    need: dict[int, int] = {}
+    for p in positions:
+        need[p // 64] = need.get(p // 64, 0) | (1 << (p % 64))
+    rows = stats.where(
+        F.col("word_idx").isin(*[int(w) for w in need])
+    ).collect()
+    have: dict[str, dict[int, int]] = {}
+    for r in rows:
+        have.setdefault(r["_file"], {})[int(r["word_idx"])] = int(r["word"])
+    all_files = [r["_file"] for r in stats.select("_file").distinct().collect()]
+    out = []
+    for f in all_files:
+        words = have.get(f, {})
+        if all(
+            (words.get(w, 0) & mask) == mask for w, mask in need.items()
+        ):
+            out.append(f)
+    return out
+
+
+def read_bloom_pruned(
+    spark: SparkSession,
+    stats: DataFrame,
+    col: str,
+    value,
+    m_bits: int = 1024,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Point-lookup read through the bloom index: load only files that
+    MIGHT contain ``value``, then apply the exact equality filter —
+    identical rows to filtering the full table, minus the skipped
+    files (bloom false positives cost a read, never a wrong row)."""
+    files = bloom_pruned_files(stats, value, m_bits, k_hashes)
+    if not files:
+        any_row = stats.select("_file").first()
+        if any_row is None:
+            raise ValueError("bloom stats relation is empty")
+        return spark.read.parquet(any_row["_file"]).where(F.lit(False))
+    return spark.read.parquet(*files).where(F.col(col) == F.lit(value))

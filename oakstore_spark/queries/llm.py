@@ -2107,3 +2107,56 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(
         e, "embedding", "vec_id", out_dim=16
     ).orderBy("vec_id", "j")
+
+
+@register(
+    "q_bloom_skipping",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(sum(epoch_us(ts) % 1000000000) AS BIGINT) AS sum_ts_us
+    FROM events
+    WHERE user_id = 42
+    """,
+)
+def q_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping for point lookups
+    (operators/layout.bloom_file_stats — the equality companion of
+    q_zorder_skipping's min/max range stats): events rewrite
+    hash-clustered on user_id, each file publishes a 1024-bit bloom
+    bitset as BIGINT words, and the user_id=42 lookup loads only files
+    whose filter has all probe bits set — the aggregate must equal the
+    raw-table filter exactly (bloom false positives cost a read, never
+    a row; a false NEGATIVE would break the hash). Strict file-subset
+    pruning asserted in tests/test_llm_ops.py."""
+    import tempfile
+    from pathlib import Path as _P
+
+    from oakstore_spark.operators.layout import (
+        bloom_file_stats,
+        read_bloom_pruned,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    base = (
+        _P(tempfile.gettempdir())
+        / f"oakspark_bloom_{_P(sf_dir.rstrip('/')).name}"
+    )
+    # hash-cluster on user_id: each user lands in ONE file, so the
+    # bloom index prunes to ~1/32 of files — the layout a real table
+    # would choose for point-lookup-heavy access
+    ev.repartition(32, "user_id").write.mode("overwrite").parquet(
+        str(base)
+    )
+    stats = bloom_file_stats(spark, str(base), "user_id")
+    hits = read_bloom_pruned(spark, stats, "user_id", 42)
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+            "sum_cents"
+        ),
+        F.sum(F.unix_micros("ts") % 1_000_000_000).alias("sum_ts_us"),
+    )

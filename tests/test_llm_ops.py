@@ -1853,3 +1853,53 @@ def test_random_projection_numpy_parity_and_jl(spark):
         do = np.linalg.norm(Vf[a] - Vf[b])
         dp = np.linalg.norm(Pf[a] - Pf[b])
         assert 0.5 * do < dp < 2.0 * do
+
+
+# --- bloom file skipping ---------------------------------------------------
+
+
+def test_bloom_file_skipping_subset_and_parity(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from oakstore_spark.operators.layout import (
+        bloom_file_stats,
+        bloom_pruned_files,
+        read_bloom_pruned,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "bloomtab")
+    df.repartition(16, "k").write.parquet(path)
+    stats = bloom_file_stats(spark, path, "k")
+    all_files = {r["_file"] for r in stats.select("_file").distinct().collect()}
+    assert len(all_files) == 16
+
+    cand = bloom_pruned_files(stats, 123)
+    # strict subset: bloom must rule out most files at 500 keys/1024 bits
+    assert 0 < len(cand) < len(all_files)
+    # no false negatives: the file(s) actually holding k=123 survive
+    holding = {
+        r["_file"]
+        for r in spark.read.parquet(path)
+        .withColumn("_file", F.input_file_name())
+        .where(F.col("k") == 123)
+        .select("_file")
+        .distinct()
+        .collect()
+    }
+    assert holding <= set(cand)
+    # row parity with the raw filter
+    got = sorted(
+        r.v for r in read_bloom_pruned(spark, stats, "k", 123).collect()
+    )
+    want = sorted(
+        r.v
+        for r in spark.read.parquet(path).where(F.col("k") == 123).collect()
+    )
+    assert got == want and len(got) == 10
+
+    # absent key: every surviving file is a bloom false positive and
+    # the exact filter still returns nothing
+    assert read_bloom_pruned(spark, stats, "k", 10_000).count() == 0
