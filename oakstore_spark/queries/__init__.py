@@ -41,6 +41,15 @@ _SOURCES: dict[str, str] = {}  # name -> registering module.qualname
 #   q_compression_ratio, q_spend_deciles_sketch
 #                        — r2-era sketch twins whose exact siblings
 #                          carry the timing signal
+#   q_cohort_retention   — r3 date_trunc-week rollup; the same
+#                          two-agg+join shape is timed by
+#                          q_cohort_retention_weekly / _monthly
+#   q_ewma_user          — repartition+sort+carry-kernel shape timed by
+#                          q_holt_user (two-state superset) + q_cusum_user
+#   q_funnel_conversion  — per-user min-chain relation timed inside
+#                          q_funnel_summary (same chain + one rollup)
+#   q_chi2_lang_source   — contingency scan + window margins timed by
+#                          q_mutual_information (same shape, ln tree)
 BENCH_RETIRED: set[str] = {
     "q_bm25_topk",
     "q_langid_ct",
@@ -52,6 +61,10 @@ BENCH_RETIRED: set[str] = {
     "q_media_curation_e2e",
     "q_compression_ratio",
     "q_spend_deciles_sketch",
+    "q_cohort_retention",
+    "q_ewma_user",
+    "q_funnel_conversion",
+    "q_chi2_lang_source",
 }
 
 
