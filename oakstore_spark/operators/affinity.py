@@ -193,3 +193,61 @@ def association_rules(
     if min_confidence > 0.0:
         rules = rules.where(F.col("confidence") >= min_confidence)
     return rules
+
+
+def item_neighbors(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float,
+    top_k: int = 3,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Item-item cosine neighbors from co-occurrence — the classic
+    memory-based collaborative-filtering deliverable ("customers who
+    bought X also bought Y", Amazon 2003) on top of
+    :func:`frequent_pairs`:
+
+        cosine(a, b) = n_ab / sqrt(n_a * n_b)
+
+    over basket presence vectors (exact BIGINT counts; one division
+    and one sqrt — oracle-replayable).  Each item's top-k neighbors
+    rank by (cosine desc, neighbor asc) — the deterministic tie rule —
+    via a window over the PAIR relation, which is item-universe-sized,
+    never basket-sized; everything corpus-scale happened inside
+    frequent_pairs.
+
+    Returns (item, neighbor, n_ab, cosine, rank), rank 1..top_k.
+    """
+    from pyspark.sql import Window as W
+
+    pairs = frequent_pairs(
+        df, basket_col, item_col, min_support, max_basket_items
+    )
+    fwd = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        "n_ab",
+        F.col("n_a").alias("n_i"),
+        F.col("n_b").alias("n_nb"),
+    )
+    rev = pairs.select(
+        F.col("item_b").alias("item"),
+        F.col("item_a").alias("neighbor"),
+        "n_ab",
+        F.col("n_b").alias("n_i"),
+        F.col("n_a").alias("n_nb"),
+    )
+    both = fwd.unionByName(rev).withColumn(
+        "cosine",
+        F.col("n_ab").cast("double")
+        / F.sqrt(F.col("n_i").cast("double") * F.col("n_nb")),
+    )
+    w = W.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("neighbor")
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("item", "neighbor", "n_ab", "cosine", "rank")
+    )

@@ -573,3 +573,64 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return pmi_collocations(d, "text", min_count=5, top_k=50)
+
+
+@register(
+    "q_item_neighbors",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS b, p_brand AS i
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), nb AS (
+      SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM items
+    ), singles AS (
+      SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM items GROUP BY i
+    ), freq AS (
+      SELECT i, n_i FROM singles, nb WHERE n_i >= 0.015 * n_baskets
+    ), pruned AS (
+      SELECT b, i FROM items WHERE i IN (SELECT i FROM freq)
+    ), pairs AS (
+      SELECT a.i AS item_a, c.i AS item_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM pruned a JOIN pruned c ON a.b = c.b AND a.i < c.i
+      GROUP BY 1, 2
+    ), fp AS (
+      SELECT item_a, item_b, n_ab
+      FROM pairs, nb WHERE n_ab >= 0.015 * n_baskets
+    ), both_dirs AS (
+      SELECT item_a AS item, item_b AS neighbor, n_ab FROM fp
+      UNION ALL
+      SELECT item_b, item_a, n_ab FROM fp
+    ), scored AS (
+      SELECT item, neighbor, n_ab,
+             CAST(n_ab AS DOUBLE)
+               / sqrt(CAST(fa.n_i AS DOUBLE) * fc.n_i) AS cosine
+      FROM both_dirs
+      JOIN freq fa ON both_dirs.item = fa.i
+      JOIN freq fc ON both_dirs.neighbor = fc.i
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY item
+                 ORDER BY cosine DESC, neighbor) AS INT) AS rank
+      FROM scored
+    )
+    SELECT item, neighbor, n_ab, cosine, rank
+    FROM ranked WHERE rank <= 3 ORDER BY item, rank
+    """,
+)
+def q_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 also-bought brand neighbors by co-occurrence cosine
+    (operators/affinity.item_neighbors — the memory-based
+    collaborative-filtering rung on frequent_pairs): one division and
+    one sqrt over exact BIGINT counts, ranked per item by the pinned
+    (cosine desc, neighbor) tie rule; the ranking window runs over the
+    item-universe-sized pair relation, never the basket stream."""
+    from oakstore_spark.operators.affinity import item_neighbors
+
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(pt), li.l_partkey == pt.p_partkey
+    ).select("l_orderkey", "p_brand")
+    return item_neighbors(
+        baskets, "l_orderkey", "p_brand", min_support=0.015, top_k=3
+    ).orderBy("item", "rank")

@@ -1026,3 +1026,26 @@ def test_kaplan_meier_all_die_hits_zero(spark):
     df = spark.createDataFrame(rows, ["dur", "ev"])
     out = sorted(kaplan_meier(df, "dur", "ev").collect(), key=lambda r: r.t)
     assert out[-1].survival == 0.0  # ln(0) -> -inf -> exp -> 0 exactly
+
+
+def test_item_neighbors_cosine_and_rank(spark):
+    import math
+
+    from oakstore_spark.operators.affinity import item_neighbors
+
+    # x co-occurs with y twice (of 3 each) and with z once (of 2)
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+        (4, "y"), (4, "z"),
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = item_neighbors(df, "basket", "item", min_support=0.0, top_k=2)
+    got = {(r.item, r.rank): (r.neighbor, r.cosine) for r in out.collect()}
+    # x: n=3; y: n=3; z: n=2. cos(x,y)=2/sqrt(9), cos(x,z)=1/sqrt(6)
+    assert got[("x", 1)] == ("y", 2 / math.sqrt(9.0))
+    assert got[("x", 2)] == ("z", 1 / math.sqrt(6.0))
+    assert got[("y", 1)] == ("x", 2 / math.sqrt(9.0))
+    # top_k bounds the list
+    assert all(r <= 2 for (_, r) in got)
