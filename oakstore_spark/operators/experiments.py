@@ -62,7 +62,7 @@ def welch_ttest(
         F.col("n").alias("nb"), F.col("sx").alias("sb"),
         F.col("sx2").alias("qb"),
     )
-    j = a.crossJoin(b)  # two 1-row relations
+    j = a.crossJoin(F.broadcast(b))  # two 1-row relations
 
     def mean(s, n):
         return F.col(s).cast("double") / F.col(n)
@@ -113,7 +113,7 @@ def proportion_ztest(
     b = m.where(F.col("arm") == arm_b).select(
         F.col("n").alias("nb"), F.col("k").alias("kb")
     )
-    j = a.crossJoin(b)
+    j = a.crossJoin(F.broadcast(b))
     pa = F.col("ka").cast("double") / F.col("na")
     pb = F.col("kb").cast("double") / F.col("nb")
     pool = (F.col("ka") + F.col("kb")).cast("double") / (

@@ -2230,8 +2230,10 @@ def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = welch_ttest(units, "arm", "cents", 0, 1)
     z = proportion_ztest(units, "arm", "converted", 0, 1)
     out = w.crossJoin(
-        z.select("ka", "kb", "rate_a", "rate_b", "rate_diff",
-                 "pooled_rate", "z_stat")
+        F.broadcast(
+            z.select("ka", "kb", "rate_a", "rate_b", "rate_diff",
+                     "pooled_rate", "z_stat")
+        )
     )
     from oakstore_spark.operators.scaling import track_persisted
 
