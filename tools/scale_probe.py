@@ -90,6 +90,11 @@ def main() -> None:
                          "ceiling: write this many mixed-type rows as "
                          "sharded container files, read them back, "
                          "checksum-verify")
+    ap.add_argument("--baskets", type=int, default=0,
+                    help="market-basket affinity probe: this many "
+                         "baskets x ~6 items from a 10k universe with "
+                         "a planted hot pair; asserts Apriori prune + "
+                         "exact planted recovery")
     ap.add_argument("--streamrows", type=int, default=0,
                     help="also probe Structured Streaming: this many "
                          "synthetic events through a watermarked tumbling "
@@ -1140,6 +1145,54 @@ def main() -> None:
                 f"warc probe FAILED: {tuple(got)} != ({nw}, {exp_len})"
             )
         wdocs.unpersist()
+
+    if args.baskets:
+        # market-basket shape: nb baskets x 6 items drawn from a 10k
+        # universe (every random item's support ~6e-4·nb — far below
+        # any sane min-support, so the Apriori singleton prune must
+        # remove the ENTIRE random universe before pair generation);
+        # every 50th basket also holds the planted hot pair, the only
+        # pair that may survive at min_support 1%.
+        from oakstore_spark.operators.affinity import association_rules
+
+        nb = args.baskets
+        base = spark.range(0, nb, 1, 64)
+        item = lambda k: F.substring(
+            F.md5(((F.col("id") * k) % 10000).cast("string")), 1, 8
+        )
+        arr = F.array(*[item(k) for k in (7919, 104729, 15485863,
+                                          32452843, 49979687, 67867967)])
+        plain = base.select(
+            F.col("id").alias("b"), F.explode(arr).alias("i")
+        )
+        hot = base.where(F.col("id") % 50 == 0).select(
+            "id", F.explode(F.array(F.lit("HOTA"), F.lit("HOTB"))).alias("i")
+        ).select(F.col("id").alias("b"), "i")
+        corpus = plain.unionByName(hot)
+        t0 = time.time()
+        rules = association_rules(corpus, "b", "i", min_support=0.01)
+        got = rules.collect()
+        dt = time.time() - t0
+        hot_rules = [r for r in got
+                     if {r.antecedent, r.consequent} == {"HOTA", "HOTB"}]
+        print(
+            f"affinity: {nb} baskets ({nb * 6 + 2 * (nb // 50)} item rows) "
+            f"in {dt:.1f}s = {nb / dt / 1000:.1f}k baskets/s; "
+            f"{len(got)} rules, planted pair support "
+            f"{hot_rules[0].n_ab if hot_rules else 0}"
+        )
+        if len(hot_rules) != 2 or len(got) != 2:
+            raise SystemExit(
+                f"affinity probe FAILED: {len(got)} rules, "
+                f"{len(hot_rules)} planted (want 2/2 — the prune must "
+                f"remove every random pair)"
+            )
+        expect = (nb + 49) // 50
+        if hot_rules[0].n_ab != expect:
+            raise SystemExit(
+                f"affinity probe FAILED: support {hot_rules[0].n_ab} "
+                f"!= planted {expect}"
+            )
 
     if args.streamrows:
         # Structured Streaming at volume: watermarked tumbling-window
