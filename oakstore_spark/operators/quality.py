@@ -205,8 +205,18 @@ def psi_drift(
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
     )
-    share_b = (F.col("n_base") * 2 + 1) / F.lit(2 * nb + n_bins)
-    share_c = (F.col("n_cur") * 2 + 1) / F.lit(2 * nc + n_bins)
+    return psi_from_counts(joined, nb, nc, n_bins)
+
+
+def psi_from_counts(
+    joined: DataFrame, n_base_total: int, n_cur_total: int, n_bins: int
+) -> DataFrame:
+    """The PSI share/contribution float tree over a prepared
+    ``(bin, n_base, n_cur)`` relation — factored out so the STREAMING
+    monitor (``streaming/drift.py``) serves bit-identical values from
+    its incrementally-maintained counts."""
+    share_b = (F.col("n_base") * 2 + 1) / F.lit(2 * n_base_total + n_bins)
+    share_c = (F.col("n_cur") * 2 + 1) / F.lit(2 * n_cur_total + n_bins)
     return joined.select(
         "bin",
         "n_base",

@@ -747,3 +747,77 @@ def test_stream_sink_cache_key_normalized(spark):
     assert a == b
     # sink is intact (not rebuilt/rmtree'd) and still readable
     assert spark.read.parquet(a).count() == n_before
+
+
+# --- streaming PSI drift monitor -------------------------------------------
+
+
+def test_streaming_psi_matches_batch_operator(spark, tmp_path):
+    """Differential: the served streaming PSI must be BIT-identical to
+    quality.psi_drift over the union of all micro-batches (integer bin
+    counts merge associatively; the serving path applies the same
+    float tree), including a replay-shaped rerun."""
+    from pyspark.sql import functions as F
+
+    from oakstore_spark.operators.quality import psi_drift
+    from oakstore_spark.streaming.drift import (
+        freeze_psi_baseline,
+        psi_drift_stream,
+        served_psi,
+    )
+
+    baseline = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("v")
+    )
+    # shifted current distribution, split into 3 stream files
+    cur = spark.range(900).select(
+        ((F.col("id") % 100) * 1.3 + 5).alias("v"),
+        (F.col("id") % 3).alias("part"),
+    )
+    src = str(tmp_path / "stream_in")
+    cur.repartition("part").write.partitionBy("part").parquet(src)
+
+    bdir = str(tmp_path / "baseline")
+    gdir = str(tmp_path / "bins")
+    ckpt = str(tmp_path / "ckpt")
+    freeze_psi_baseline(baseline, "v", bdir, n_bins=10)
+
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = psi_drift_stream(stream, "v", bdir, gdir, ckpt)
+    q.awaitTermination(120)
+
+    got = {r.bin: r for r in served_psi(spark, bdir, gdir).collect()}
+    want = {
+        r.bin: r
+        for r in psi_drift(baseline, cur.select("v"), "v", n_bins=10).collect()
+    }
+    assert set(got) == set(want) == set(range(10))
+    for b in range(10):
+        assert (got[b].n_base, got[b].n_cur) == (
+            want[b].n_base, want[b].n_cur,
+        )
+        assert got[b].share_base == want[b].share_base
+        assert got[b].share_cur == want[b].share_cur
+        assert got[b].psi_contrib == want[b].psi_contrib
+    # drift direction sanity: shifted current -> positive PSI
+    assert sum(r.psi_contrib for r in got.values()) > 0.1
+
+    # replay shape: restarting over the same input must not
+    # double-count (batch=<id> overwrite)
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q2 = psi_drift_stream(
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        "v", bdir, gdir, str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    again = {r.bin: r for r in served_psi(spark, bdir, gdir).collect()}
+    for b in range(10):
+        assert again[b].n_cur == want[b].n_cur
