@@ -2088,3 +2088,79 @@ def random_projection(
         "proj_q",
         (F.col("proj_q").cast("double") / F.lit(float(scale))).alias("proj"),
     )
+
+
+def anova_f_separability(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    labels: list,
+    scale: int = 1024,
+) -> DataFrame:
+    """Per-dimension one-way ANOVA F — the embedding-QA separability
+    report ("which dimensions actually distinguish my labels, and is
+    the labeling signal real"):
+
+        F_d = (SSB_d / (c-1)) / (SSW_d / (N-c))
+
+    with SSB/SSW the between-/within-class sums of squares of
+    dimension d.  High-F dimensions carry the class signal; a corpus
+    whose F's hug 1.0 has labels uncorrelated with the embedding —
+    run BEFORE training a probe on it.
+
+    Exactness contract: values floor-quantize to integer units
+    (power-of-two ``scale``), so every per-(label, dim) moment is an
+    exact BIGINT from ONE hash aggregate over the exploded relation
+    (conditional sums per label — ``labels`` must enumerate the
+    classes so the float combination is a FIXED-ORDER chain, the only
+    way a cross-class sum replays bit-for-bit in SQL).  Rows out = one
+    per dimension.
+
+    Spark shape: posexplode (rows x dims, map-side) -> one aggregate
+    keyed on the dimension (64 groups; 3c+3 conditional columns);
+    nothing downstream grows with data size.
+    """
+    c = len(labels)
+    if c < 2:
+        raise ValueError("need at least 2 labels")
+    vq = F.floor(F.col("v") * scale).cast("bigint")
+    lab = F.col("_lab")
+    e = df.select(
+        F.col(label_col).alias("_lab"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select("_lab", "dim", vq.alias("q"))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("qq"),
+    ]
+    for i, l in enumerate(labels):
+        cond = lab == l
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"n{i}"))
+        aggs.append(F.sum(F.when(cond, F.col("q"))).alias(f"s{i}"))
+    g = e.groupBy("dim").agg(*aggs)
+
+    # fixed-order chain over the declared label list — the pinned
+    # association both engines replay
+    group_term = None
+    for i in range(c):
+        t = (
+            F.col(f"s{i}").cast("double")
+            * F.col(f"s{i}")
+            / F.col(f"n{i}")
+        )
+        group_term = t if group_term is None else group_term + t
+    grand = F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssb = group_term - grand
+    ssw = F.col("qq").cast("double") - group_term
+    fr = F.when(
+        ssw > 0,
+        (ssb / F.lit(c - 1)) / (ssw / (F.col("n") - F.lit(c))),
+    )
+    return g.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("n"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        fr.alias("f_ratio"),
+    )

@@ -2160,3 +2160,63 @@ def q_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.unix_micros("ts") % 1_000_000_000).alias("sum_ts_us"),
     )
+
+
+@register(
+    "q_embedding_separability",
+    oracle="""
+    WITH e AS (
+      SELECT label AS lab, i - 1 AS dim,
+             CAST(floor(embedding[i] * 1024) AS BIGINT) AS q
+      FROM embeddings,
+           unnest(range(1, len(embedding) + 1)) AS t(i)
+    ), g AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS s,
+             CAST(sum(q * q) AS BIGINT) AS qq,
+             CAST(sum(CASE WHEN lab = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN lab = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN lab = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN lab = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN lab = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             CAST(sum(CASE WHEN lab = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+             CAST(sum(CASE WHEN lab = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n6,
+             CAST(sum(CASE WHEN lab = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n7,
+             CAST(sum(CASE WHEN lab = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n8,
+             CAST(sum(CASE WHEN lab = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n9,
+             CAST(sum(CASE WHEN lab = 0 THEN q END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN lab = 1 THEN q END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN lab = 2 THEN q END) AS BIGINT) AS s2,
+             CAST(sum(CASE WHEN lab = 3 THEN q END) AS BIGINT) AS s3,
+             CAST(sum(CASE WHEN lab = 4 THEN q END) AS BIGINT) AS s4,
+             CAST(sum(CASE WHEN lab = 5 THEN q END) AS BIGINT) AS s5,
+             CAST(sum(CASE WHEN lab = 6 THEN q END) AS BIGINT) AS s6,
+             CAST(sum(CASE WHEN lab = 7 THEN q END) AS BIGINT) AS s7,
+             CAST(sum(CASE WHEN lab = 8 THEN q END) AS BIGINT) AS s8,
+             CAST(sum(CASE WHEN lab = 9 THEN q END) AS BIGINT) AS s9
+      FROM e GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           (CAST(s0 AS DOUBLE) * s0 / n0 + CAST(s1 AS DOUBLE) * s1 / n1 + CAST(s2 AS DOUBLE) * s2 / n2 + CAST(s3 AS DOUBLE) * s3 / n3 + CAST(s4 AS DOUBLE) * s4 / n4 + CAST(s5 AS DOUBLE) * s5 / n5 + CAST(s6 AS DOUBLE) * s6 / n6 + CAST(s7 AS DOUBLE) * s7 / n7 + CAST(s8 AS DOUBLE) * s8 / n8 + CAST(s9 AS DOUBLE) * s9 / n9)
+             - CAST(s AS DOUBLE) * s / n AS ssb,
+           CAST(qq AS DOUBLE) - (CAST(s0 AS DOUBLE) * s0 / n0 + CAST(s1 AS DOUBLE) * s1 / n1 + CAST(s2 AS DOUBLE) * s2 / n2 + CAST(s3 AS DOUBLE) * s3 / n3 + CAST(s4 AS DOUBLE) * s4 / n4 + CAST(s5 AS DOUBLE) * s5 / n5 + CAST(s6 AS DOUBLE) * s6 / n6 + CAST(s7 AS DOUBLE) * s7 / n7 + CAST(s8 AS DOUBLE) * s8 / n8 + CAST(s9 AS DOUBLE) * s9 / n9) AS ssw,
+           CASE WHEN CAST(qq AS DOUBLE) - (CAST(s0 AS DOUBLE) * s0 / n0 + CAST(s1 AS DOUBLE) * s1 / n1 + CAST(s2 AS DOUBLE) * s2 / n2 + CAST(s3 AS DOUBLE) * s3 / n3 + CAST(s4 AS DOUBLE) * s4 / n4 + CAST(s5 AS DOUBLE) * s5 / n5 + CAST(s6 AS DOUBLE) * s6 / n6 + CAST(s7 AS DOUBLE) * s7 / n7 + CAST(s8 AS DOUBLE) * s8 / n8 + CAST(s9 AS DOUBLE) * s9 / n9) > 0 THEN
+             (((CAST(s0 AS DOUBLE) * s0 / n0 + CAST(s1 AS DOUBLE) * s1 / n1 + CAST(s2 AS DOUBLE) * s2 / n2 + CAST(s3 AS DOUBLE) * s3 / n3 + CAST(s4 AS DOUBLE) * s4 / n4 + CAST(s5 AS DOUBLE) * s5 / n5 + CAST(s6 AS DOUBLE) * s6 / n6 + CAST(s7 AS DOUBLE) * s7 / n7 + CAST(s8 AS DOUBLE) * s8 / n8 + CAST(s9 AS DOUBLE) * s9 / n9) - CAST(s AS DOUBLE) * s / n) / 9)
+             / ((CAST(qq AS DOUBLE) - (CAST(s0 AS DOUBLE) * s0 / n0 + CAST(s1 AS DOUBLE) * s1 / n1 + CAST(s2 AS DOUBLE) * s2 / n2 + CAST(s3 AS DOUBLE) * s3 / n3 + CAST(s4 AS DOUBLE) * s4 / n4 + CAST(s5 AS DOUBLE) * s5 / n5 + CAST(s6 AS DOUBLE) * s6 / n6 + CAST(s7 AS DOUBLE) * s7 / n7 + CAST(s8 AS DOUBLE) * s8 / n8 + CAST(s9 AS DOUBLE) * s9 / n9)) / (n - 10)) END AS f_ratio
+    FROM g ORDER BY dim
+""",
+)
+def q_embedding_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension one-way ANOVA F over the labeled embedding table
+    (operators/similarity.anova_f_separability): which dimensions carry
+    the class signal. Floor-quantized integer units make every
+    per-(label, dim) moment an exact BIGINT; the cross-class
+    combination is a FIXED-ORDER chain over labels 0..9 so the float
+    tree replays bit-for-bit. One posexplode + one 64-group
+    aggregate."""
+    from oakstore_spark.operators.similarity import anova_f_separability
+
+    e = table(spark, sf_dir, "embeddings")
+    return anova_f_separability(
+        e, "embedding", "label", labels=list(range(10))
+    ).orderBy("dim")

@@ -1903,3 +1903,24 @@ def test_bloom_file_skipping_subset_and_parity(spark, tmp_path):
     # absent key: every surviving file is a bloom false positive and
     # the exact filter still returns nothing
     assert read_bloom_pruned(spark, stats, "k", 10_000).count() == 0
+
+
+def test_anova_f_separability_planted_signal(spark):
+    from oakstore_spark.operators.similarity import anova_f_separability
+
+    # dim 0 encodes the label exactly (label/10); dims 1,2 constant
+    # noise-free junk -> ssw=0 -> f_ratio NULL; dim 3 same value for
+    # all labels but varying within class -> F near 0
+    rows = []
+    for lab in range(2):
+        for j in range(20):
+            rows.append((lab, [lab / 10.0, 0.5, -0.25, (j % 2) / 10.0]))
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    out = {r.dim: r for r in anova_f_separability(
+        df, "embedding", "label", labels=[0, 1]).collect()}
+    assert out[0].ssw == 0.0 and out[0].f_ratio is None  # perfect sep
+    assert out[0].ssb > 0
+    assert out[1].ssb == 0.0 and out[1].f_ratio is None  # constant dim
+    assert out[3].ssb == 0.0 and out[3].ssw > 0
+    assert out[3].f_ratio == 0.0  # within-class variance only
+    assert all(r.n == 40 for r in out.values())
