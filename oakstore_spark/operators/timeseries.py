@@ -1135,16 +1135,29 @@ def deseasonalize(
     pidx = periods[period].cast("long")
     x = F.col(value_col).cast("bigint")
 
-    prof = df.select(pidx.alias("period_idx"), x.alias("_x")).groupBy(
-        "period_idx"
-    ).agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
-    tot = prof.agg(
-        F.sum("_s").alias("_st"), F.sum("_n").alias("_nt")
-    ).collect()[0]
-    grand = float(tot["_st"]) / float(tot["_nt"])
-    prof = prof.select(
-        "period_idx",
-        (F.col("_s").cast("double") / F.col("_n")).alias("period_mean"),
+    # ONE corpus pass builds the period-sized profile; it is collected
+    # (<= 24/7/12 rows) so the grand mean derives driver-side and the
+    # broadcast profile is a local relation — re-deriving it lazily
+    # would re-scan the corpus at the join
+    prof_rows = (
+        df.select(pidx.alias("period_idx"), x.alias("_x"))
+        .groupBy("period_idx")
+        .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    st = sum(int(r["_s"]) for r in prof_rows)
+    nt = sum(int(r["_n"]) for r in prof_rows)
+    grand = float(st) / float(nt)
+    spark = df.sparkSession
+    prof = spark.createDataFrame(
+        [
+            (
+                int(r["period_idx"]),
+                float(r["_s"]) / float(r["_n"]),
+            )
+            for r in prof_rows
+        ],
+        "period_idx long, period_mean double",
     ).withColumn("seasonal", F.col("period_mean") - F.lit(grand))
     out = df.withColumn("period_idx", pidx).join(
         F.broadcast(prof), "period_idx"
