@@ -505,7 +505,8 @@ def q_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over brands bought together
     (operators/affinity.association_rules): baskets are orders, items
     the DISTINCT part brands in each order. Apriori singleton prune
-    before the per-basket self-join (infrequent items never join);
+    before in-JVM per-basket pair generation (infrequent items never
+    pair);
     support/confidence/lift are single divisions of exact BIGINT
     counts, so DuckDB replays every float. min_support is a FRACTION
     of baskets — the same query text discriminates at any SF."""
