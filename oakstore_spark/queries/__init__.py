@@ -50,6 +50,8 @@ _SOURCES: dict[str, str] = {}  # name -> registering module.qualname
 #                          q_funnel_summary (same chain + one rollup)
 #   q_chi2_lang_source   — contingency scan + window margins timed by
 #                          q_mutual_information (same shape, ln tree)
+#   q_brand_affinity     — the frequent_pairs mining chain is timed by
+#                          q_item_neighbors (same chain + rank window)
 BENCH_RETIRED: set[str] = {
     "q_bm25_topk",
     "q_langid_ct",
@@ -65,6 +67,7 @@ BENCH_RETIRED: set[str] = {
     "q_ewma_user",
     "q_funnel_conversion",
     "q_chi2_lang_source",
+    "q_brand_affinity",
 }
 
 
