@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Product-analytics pipeline over the event fixtures: the round-10
+growth/experimentation layer end to end — funnel, cohort retention,
+multi-touch attribution, an A/B readout with CUPED, and the
+Kaplan-Meier time-to-convert curve.
+
+Run: python examples/product_analytics_pipeline.py [sf_dir]
+(default sf0.001)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from oakstore_spark.operators.experiments import (  # noqa: E402
+    cuped_adjust,
+    kaplan_meier,
+    proportion_ztest,
+    welch_ttest,
+)
+from oakstore_spark.operators.timeseries import (  # noqa: E402
+    cohort_retention,
+    funnel_analysis,
+    funnel_summary,
+    multi_touch_attribution,
+)
+from oakstore_spark.session import get_spark  # noqa: E402
+from oakstore_spark.sources import table  # noqa: E402
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_spark("product_analytics_example")
+    e = table(spark, sf_dir, "events")
+
+    # 1. Ordered funnel: view -> click -> purchase, per-step summary
+    names = ["view", "click", "purchase"]
+    steps = [(n, F.col("event_type") == n) for n in names]
+    per_user = funnel_analysis(e, steps)
+    summary = funnel_summary(per_user, names)
+    print("funnel:")
+    for r in summary.collect():
+        print("  ", r)
+
+    # 2. Weekly cohort retention
+    cohorts = cohort_retention(e, period="week")
+    print("cohort cells:", cohorts.count())
+
+    # 3. U-shaped multi-touch attribution, 1-day lookback
+    credit = multi_touch_attribution(
+        e,
+        conversion_pred=F.col("event_type") == "purchase",
+        touch_pred=F.col("event_type").isin("view", "click"),
+        channel_col="event_type",
+        conv_id_col="event_id",
+        model="position",
+        lookback="1 day",
+    )
+    print("attribution (channel, k, role, credit):")
+    for r in credit.orderBy("channel", "k", "role").collect():
+        print("  ", r.channel, r.k, r.role, round(r.credit, 3))
+
+    # 4. A/B readout on per-user purchase spend + big-purchase
+    # conversion, then CUPED with the first-half-of-month covariate
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    purchase = F.col("event_type") == "purchase"
+    split = F.lit("2024-01-16").cast("timestamp")
+    units = e.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(purchase, cents)), F.lit(0)).alias("spend"),
+        F.coalesce(
+            F.sum(F.when(purchase & (F.col("ts") < split), cents)), F.lit(0)
+        ).alias("pre"),
+        F.coalesce(
+            F.sum(F.when(purchase & (F.col("ts") >= split), cents)),
+            F.lit(0),
+        ).alias("post"),
+        F.max(
+            F.when(purchase & (F.col("value") > 200), 1).otherwise(0)
+        ).cast("bigint").alias("converted"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    t = welch_ttest(units, "arm", "spend", 0, 1).collect()[0]
+    z = proportion_ztest(units, "arm", "converted", 0, 1).collect()[0]
+    print(f"welch t={t.t_stat} df={t.welch_df}  z={z.z_stat}")
+    for r in cuped_adjust(units, "arm", "post", "pre").collect():
+        print(
+            f"  arm {r.arm}: raw {r.raw_mean:.1f} "
+            f"cuped {r.cuped_mean:.1f} (rho2 {r.variance_reduction:.3f})"
+        )
+
+    # 5. Kaplan-Meier: days from first event to first big purchase,
+    # censored at last activity
+    big = F.when(purchase & (F.col("value") > 200), F.col("ts"))
+    surv_units = e.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(F.coalesce(F.min(big), F.max("ts"))),
+            F.to_date(F.min("ts")),
+        ).alias("dur"),
+        F.max(big).isNotNull().cast("int").alias("ev"),
+    )
+    print("kaplan-meier:")
+    for r in kaplan_meier(surv_units, "dur", "ev").orderBy("t").collect():
+        print(
+            f"  t={r.t} at_risk={r.n_risk} events={r.n_events} "
+            f"S={r.survival:.3f}"
+        )
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -95,6 +95,11 @@ def main() -> None:
                          "baskets x ~6 items from a 10k universe with "
                          "a planted hot pair; asserts Apriori prune + "
                          "exact planted recovery")
+    ap.add_argument("--cliquegraph", type=int, default=0,
+                    help="triangle/k-core probe: this many edges as "
+                         "disjoint 32-cliques + pendant chains; "
+                         "closed-form triangle counts and core "
+                         "membership asserted exactly")
     ap.add_argument("--streamrows", type=int, default=0,
                     help="also probe Structured Streaming: this many "
                          "synthetic events through a watermarked tumbling "
@@ -1145,6 +1150,70 @@ def main() -> None:
                 f"warc probe FAILED: {tuple(got)} != ({nw}, {exp_len})"
             )
         wdocs.unpersist()
+
+    if args.cliquegraph:
+        # union of disjoint 32-cliques (closed-form: C(31,2) triangles
+        # per node, per-clique C(32,3)) plus a pendant 8-node chain off
+        # every clique (degree-2 fodder the k-core peel must cascade
+        # away).  Worst-case density for the degree-oriented counter —
+        # every oriented out-neighborhood is as large as it can be.
+        from oakstore_spark.operators.graph import k_core, triangle_stats
+
+        m = 32
+        per_clique = m * (m - 1) // 2 + 8
+        n_cliques = max(args.cliquegraph // per_clique, 1)
+        cl = spark.range(0, n_cliques, 1, 32)
+        pairs = [
+            (a, bb) for a in range(m) for bb in range(a + 1, m)
+        ]
+        pair_arr = F.array(*[
+            F.struct(F.lit(a).alias("a"), F.lit(bb).alias("b"))
+            for a, bb in pairs
+        ])
+        clique_edges = cl.select(
+            (F.col("id") * 1000).alias("base"),
+            F.explode(pair_arr).alias("p"),
+        ).select(
+            (F.col("base") + F.col("p.a")).alias("src"),
+            (F.col("base") + F.col("p.b")).alias("dst"),
+        )
+        chain_arr = F.array(*[
+            F.struct(F.lit(i).alias("a"), F.lit(i + 1).alias("b"))
+            for i in range(m - 1, m + 7)
+        ])
+        chain_edges = cl.select(
+            (F.col("id") * 1000).alias("base"),
+            F.explode(chain_arr).alias("p"),
+        ).select(
+            (F.col("base") + F.col("p.a")).alias("src"),
+            (F.col("base") + F.col("p.b")).alias("dst"),
+        )
+        edges = clique_edges.unionByName(chain_edges)
+        n_edges = n_cliques * per_clique
+        t0 = time.time()
+        tri = triangle_stats(edges)
+        total_tri = tri.agg(
+            (F.sum("n_triangles") / 3).cast("bigint")
+        ).collect()[0][0]
+        dt = time.time() - t0
+        want_tri = n_cliques * (m * (m - 1) * (m - 2) // 6)
+        print(
+            f"triangles: {n_edges} edges ({n_cliques} cliques) in "
+            f"{dt:.1f}s = {n_edges / dt / 1000:.0f}k edges/s; "
+            f"{total_tri} triangles (want {want_tri})"
+        )
+        if total_tri != want_tri:
+            raise SystemExit("triangle probe FAILED")
+        t0 = time.time()
+        core = k_core(edges, m - 1)
+        n_core = core.count()
+        dt2 = time.time() - t0
+        print(
+            f"k-core(k={m - 1}): {n_core} nodes in {dt2:.1f}s "
+            f"(want {n_cliques * m}; chains peeled over 8 rounds)"
+        )
+        if n_core != n_cliques * m:
+            raise SystemExit("k-core probe FAILED")
 
     if args.baskets:
         # market-basket shape: nb baskets x 6 items drawn from a 10k
