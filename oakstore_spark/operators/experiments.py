@@ -262,3 +262,66 @@ def kaplan_meier(
     return staged.select(
         "t", "n_risk", "n_events", "n_censored", surv.alias("survival")
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    treated,
+    post,
+) -> DataFrame:
+    """Difference-in-differences — the workhorse quasi-experimental
+    estimator when randomization wasn't possible (a feature shipped to
+    one segment, a policy hit one region):
+
+        DiD = (treated_post - treated_pre) - (control_post - control_pre)
+
+    identifying the treatment effect under the parallel-trends
+    assumption (both groups would have moved alike absent treatment —
+    state it, test it on pre-periods, or don't use DiD).
+
+    ``value_col`` integer-valued per unit; ``treated`` / ``post`` are
+    the values of ``group_col`` / ``period_col`` marking the treated
+    group and the post period.  ONE hash aggregate produces the 2x2
+    cell moment sums; the estimate is a pinned chain over the four
+    exact means.  Returns one row: the four cell means/counts, both
+    group deltas, and the DiD estimate.
+    """
+    g = F.col(group_col)
+    p = F.col(period_col)
+    x = F.col(value_col).cast("bigint")
+    cells = df.agg(
+        *[
+            agg
+            for gi, gname in ((g == treated, "t"), (g != treated, "c"))
+            for pi, pname in ((p == post, "post"), (p != post, "pre"))
+            for agg in (
+                F.sum(F.when(gi & pi, 1).otherwise(0)).alias(
+                    f"n_{gname}_{pname}"
+                ),
+                F.sum(F.when(gi & pi, x)).alias(f"s_{gname}_{pname}"),
+            )
+        ]
+    )
+
+    def mean(gname, pname):
+        return (
+            F.col(f"s_{gname}_{pname}").cast("double")
+            / F.col(f"n_{gname}_{pname}")
+        )
+
+    mtp, mtb = mean("t", "post"), mean("t", "pre")
+    mcp, mcb = mean("c", "post"), mean("c", "pre")
+    return cells.select(
+        F.col("n_t_pre"), F.col("n_t_post"),
+        F.col("n_c_pre"), F.col("n_c_post"),
+        mtb.alias("treated_pre"),
+        mtp.alias("treated_post"),
+        mcb.alias("control_pre"),
+        mcp.alias("control_post"),
+        (mtp - mtb).alias("treated_delta"),
+        (mcp - mcb).alias("control_delta"),
+        ((mtp - mtb) - (mcp - mcb)).alias("did_estimate"),
+    )

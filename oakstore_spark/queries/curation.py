@@ -2375,3 +2375,80 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "lang", "source", "n_ij", "r_i", "c_j", mi.alias("mi_contrib")
     ).orderBy("lang", "source")
+
+
+@register(
+    "q_diff_in_diff",
+    oracle="""
+    WITH units AS (
+      SELECT user_id % 2 AS grp,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 'post'
+                  ELSE 'pre' END AS period,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS cents
+      FROM events
+      GROUP BY user_id,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 'post'
+                    ELSE 'pre' END
+    ), cells AS (
+      SELECT
+        CAST(sum(CASE WHEN grp = 1 AND period = 'pre' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_t_pre,
+        CAST(sum(CASE WHEN grp = 1 AND period = 'post' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_t_post,
+        CAST(sum(CASE WHEN grp != 1 AND period = 'pre' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_c_pre,
+        CAST(sum(CASE WHEN grp != 1 AND period = 'post' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_c_post,
+        CAST(sum(CASE WHEN grp = 1 AND period = 'pre' THEN cents END)
+             AS BIGINT) AS s_t_pre,
+        CAST(sum(CASE WHEN grp = 1 AND period = 'post' THEN cents END)
+             AS BIGINT) AS s_t_post,
+        CAST(sum(CASE WHEN grp != 1 AND period = 'pre' THEN cents END)
+             AS BIGINT) AS s_c_pre,
+        CAST(sum(CASE WHEN grp != 1 AND period = 'post' THEN cents END)
+             AS BIGINT) AS s_c_post
+      FROM units
+    )
+    SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+           CAST(s_t_pre AS DOUBLE) / n_t_pre AS treated_pre,
+           CAST(s_t_post AS DOUBLE) / n_t_post AS treated_post,
+           CAST(s_c_pre AS DOUBLE) / n_c_pre AS control_pre,
+           CAST(s_c_post AS DOUBLE) / n_c_post AS control_post,
+           CAST(s_t_post AS DOUBLE) / n_t_post
+             - CAST(s_t_pre AS DOUBLE) / n_t_pre AS treated_delta,
+           CAST(s_c_post AS DOUBLE) / n_c_post
+             - CAST(s_c_pre AS DOUBLE) / n_c_pre AS control_delta,
+           (CAST(s_t_post AS DOUBLE) / n_t_post
+             - CAST(s_t_pre AS DOUBLE) / n_t_pre)
+           - (CAST(s_c_post AS DOUBLE) / n_c_post
+             - CAST(s_c_pre AS DOUBLE) / n_c_pre) AS did_estimate
+    FROM cells
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (operators/experiments.diff_in_diff):
+    per-(user, half-of-month) purchase cents as the unit-period panel,
+    user parity as the quasi-treatment; one 2x2 conditional-moment
+    aggregate, the estimate a pinned chain over four exact means —
+    the workhorse when randomization wasn't possible (parallel-trends
+    assumption documented in the operator)."""
+    from oakstore_spark.operators.experiments import diff_in_diff
+
+    e = table(spark, sf_dir, "events")
+    period = F.when(
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), "post"
+    ).otherwise("pre")
+    units = e.groupBy("user_id", period.alias("period")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("cents"),
+    ).withColumn("grp", F.col("user_id") % 2)
+    return diff_in_diff(units, "grp", "period", "cents", treated=1, post="post")

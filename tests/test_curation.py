@@ -1049,3 +1049,24 @@ def test_item_neighbors_cosine_and_rank(spark):
     assert got[("y", 1)] == ("x", 2 / math.sqrt(9.0))
     # top_k bounds the list
     assert all(r <= 2 for (_, r) in got)
+
+
+def test_diff_in_diff_hand_values(spark):
+    from oakstore_spark.operators.experiments import diff_in_diff
+
+    # treated: pre mean 10, post mean 25 (delta 15)
+    # control: pre mean 20, post mean 24 (delta 4) -> DiD = 11
+    rows = [
+        ("t", "pre", 8), ("t", "pre", 12),
+        ("t", "post", 20), ("t", "post", 30),
+        ("c", "pre", 18), ("c", "pre", 22),
+        ("c", "post", 23), ("c", "post", 25),
+    ]
+    df = spark.createDataFrame(rows, ["grp", "period", "v"])
+    r = diff_in_diff(df, "grp", "period", "v", treated="t", post="post")
+    row = r.collect()[0]
+    assert (row.treated_pre, row.treated_post) == (10.0, 25.0)
+    assert (row.control_pre, row.control_post) == (20.0, 24.0)
+    assert row.treated_delta == 15.0 and row.control_delta == 4.0
+    assert row.did_estimate == 11.0
+    assert (row.n_t_pre, row.n_c_post) == (2, 2)
