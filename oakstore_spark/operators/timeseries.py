@@ -1165,3 +1165,54 @@ def deseasonalize(
     return out.withColumn(
         "residual", x.cast("double") - F.col("period_mean")
     )
+
+
+def top_event_paths(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    event_col: str,
+    n: int = 3,
+    top_k: int = 20,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Top-k most-travelled n-step event paths — the behavior-flow /
+    Sankey deliverable ("what do users actually do, in order") next to
+    :func:`funnel_analysis` (which checks ONE hypothesized order, while
+    this MINES the orders that exist).
+
+    Each key's time-ordered event sequence contributes its sliding
+    n-grams; paths count once per occurrence (a user looping
+    view->click 10 times weighs 10).  Spark shape: the same ONE
+    struct-sorted ``collect_list`` aggregate as
+    :func:`event_sequence_matches` (per-key state O(history) — bound by
+    keying on sessions for unbounded streams), n-grams sliced in-JVM,
+    one explode + one hash count, TakeOrdered top-k with the pinned
+    (count desc, path asc) tie rule.
+
+    Returns (path, n_occurrences) with path like 'view>click>purchase'.
+    """
+    order_cols = [ts_col, *(order_tiebreak or [])]
+    packed = F.struct(
+        *[F.col(c) for c in order_cols], F.col(event_col).alias("_ev")
+    )
+    agg = df.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(packed)).alias("_seq")
+    )
+    evs = F.transform(F.col("_seq"), lambda s: s.getField("_ev"))
+    grams = F.when(
+        F.size(evs) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(evs) - n),
+            lambda i: F.concat_ws(
+                ">", F.slice(evs, i + 1, n)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        agg.select(F.explode(grams).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("path"))
+        .limit(top_k)
+    )

@@ -1588,3 +1588,42 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(big).isNotNull().cast("int").alias("ev"),
     )
     return kaplan_meier(u, "dur", "ev").orderBy("t")
+
+
+@register(
+    "q_top_event_paths",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             list_transform(
+               list_sort(list(struct_pack(us := epoch_us(ts),
+                                          eid := event_id,
+                                          ev := event_type))),
+               s -> s.ev) AS evs
+      FROM events GROUP BY user_id
+    ), grams AS (
+      SELECT unnest(list_transform(range(1, len(evs) - 1),
+               i -> evs[i] || '>' || evs[i + 1] || '>' || evs[i + 2]))
+             AS path
+      FROM seqs WHERE len(evs) >= 3
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM grams GROUP BY path
+    ORDER BY n_occurrences DESC, path LIMIT 20
+    """,
+)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-travelled 3-step user journeys
+    (operators/timeseries.top_event_paths — the behavior-flow/Sankey
+    miner next to the hypothesis-checking funnel): one struct-sorted
+    collect_list per user, sliding 3-grams sliced in-JVM, one hash
+    count, TakeOrdered with the pinned (count desc, path asc) tie
+    rule. Exact integer counts — the oracle replays the identical
+    ordered n-gram extraction."""
+    from oakstore_spark.operators.timeseries import top_event_paths
+
+    e = table(spark, sf_dir, "events")
+    return top_event_paths(
+        e, ["user_id"], "ts", "event_type", n=3, top_k=20,
+        order_tiebreak=["event_id"],
+    )

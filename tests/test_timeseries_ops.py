@@ -885,3 +885,24 @@ def test_deseasonalize_day_of_week_and_bad_period(spark):
     assert out[1].residual == 0.0  # singleton periods
     with pytest.raises(ValueError):
         deseasonalize(df, "ts", "cents", period="bogus")
+
+
+def test_top_event_paths_hand(spark):
+    from datetime import datetime as dt
+    from oakstore_spark.operators.timeseries import top_event_paths
+
+    # user 1: a b c a b c  -> 3-grams: a>b>c, b>c>a, c>a>b, a>b>c
+    # user 2: a b          -> too short, contributes nothing
+    seq = ["a", "b", "c", "a", "b", "c"]
+    rows = [(1, dt(2024, 1, 1, 0, i), s, i) for i, s in enumerate(seq)]
+    rows += [(2, dt(2024, 1, 1, 0, i), s, 10 + i) for i, s in enumerate(["a", "b"])]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "etype", "event_id"])
+    out = top_event_paths(
+        df, ["user_id"], "ts", "etype", n=3, top_k=10,
+        order_tiebreak=["event_id"],
+    ).collect()
+    got = [(r.path, r.n_occurrences) for r in out]
+    assert got[0] == ("a>b>c", 2)
+    assert set(got[1:]) == {("b>c>a", 1), ("c>a>b", 1)}
+    # tie order: equal-count paths sort ascending
+    assert got[1][0] < got[2][0]
