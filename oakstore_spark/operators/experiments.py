@@ -325,3 +325,67 @@ def diff_in_diff(
         (mcp - mcb).alias("control_delta"),
         ((mtp - mtb) - (mcp - mcb)).alias("did_estimate"),
     )
+
+
+def robust_metric_summary(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    id_col: str,
+    trim: float = 0.05,
+) -> DataFrame:
+    """Per-arm raw / trimmed / winsorized means — the outlier-robust
+    readout heavy-tailed metrics need (one whale user dominating
+    revenue flips a naive t-test; trimming drops the tails, winsorizing
+    clamps them — both standard, both reported so the analyst sees how
+    much the tails carried).
+
+    The trim rule is EXACT-integer (rank-based, engine-replayable):
+    with n units per arm, k = floor(trim*n) rows drop from each tail;
+    ranks come from one window ordered by ``(value, id)`` — the id
+    tiebreak makes equal values deterministic.  Winsorized values clamp
+    to the kept min/max per arm.  All sums are exact BIGINTs; each
+    mean is one division.
+
+    Spark shape: one shuffle on the arm key (window ranks), one hash
+    aggregate.  Requires integer-valued ``value_col`` (cents).
+
+    Returns one row per arm: (arm, n, k_trimmed_each_tail, raw_mean,
+    trimmed_mean, winsorized_mean).
+    """
+    from pyspark.sql import Window as W
+
+    x = F.col(value_col).cast("bigint")
+    w = W.partitionBy(arm_col).orderBy(value_col, id_col)
+    warm = W.partitionBy(arm_col)
+    ranked = df.select(
+        F.col(arm_col).alias("arm"),
+        x.alias("x"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(warm).alias("n"),
+    )
+    k = F.floor(F.lit(trim) * F.col("n")).cast("long")
+    kept = (F.col("rn") > k) & (F.col("rn") <= F.col("n") - k)
+    # kept-boundary values per arm (for winsorized clamping)
+    staged = ranked.select(
+        "arm", "x", "n",
+        k.alias("k"),
+        kept.alias("kept"),
+    )
+    bounds = staged.where("kept").groupBy("arm").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    j = staged.join(F.broadcast(bounds), "arm")
+    clamped = F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi"))
+    return j.groupBy("arm").agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k_trimmed_each_tail"),
+        (F.sum("x").cast("double") / F.max("n")).alias("raw_mean"),
+        (
+            F.sum(F.when(F.col("kept"), F.col("x"))).cast("double")
+            / F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        ).alias("trimmed_mean"),
+        (F.sum(clamped).cast("double") / F.max("n")).alias(
+            "winsorized_mean"
+        ),
+    )

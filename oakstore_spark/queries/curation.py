@@ -2452,3 +2452,68 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents"),
     ).withColumn("grp", F.col("user_id") % 2)
     return diff_in_diff(units, "grp", "period", "cents", treated=1, post="post")
+
+
+@register(
+    "q_robust_metric",
+    oracle="""
+    WITH units AS (
+      SELECT user_id,
+             user_id % 2 AS arm,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT arm, cents AS x,
+             row_number() OVER (PARTITION BY arm
+                                ORDER BY cents, user_id) AS rn,
+             count(*) OVER (PARTITION BY arm) AS n
+      FROM units
+    ), staged AS (
+      SELECT arm, x, n,
+             CAST(floor(0.05 * n) AS BIGINT) AS k,
+             rn > floor(0.05 * n)
+               AND rn <= n - floor(0.05 * n) AS kept
+      FROM ranked
+    ), bounds AS (
+      SELECT arm, min(x) AS lo, max(x) AS hi
+      FROM staged WHERE kept GROUP BY arm
+    )
+    SELECT staged.arm,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(k) AS BIGINT) AS k_trimmed_each_tail,
+           CAST(sum(x) AS DOUBLE) / max(n) AS raw_mean,
+           CAST(sum(CASE WHEN kept THEN x END) AS DOUBLE)
+             / sum(CASE WHEN kept THEN 1 ELSE 0 END) AS trimmed_mean,
+           CAST(sum(least(greatest(x, lo), hi)) AS DOUBLE) / max(n)
+             AS winsorized_mean
+    FROM staged JOIN bounds ON staged.arm = bounds.arm
+    GROUP BY staged.arm
+    ORDER BY staged.arm
+    """,
+)
+def q_robust_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust per-arm metric readout
+    (operators/experiments.robust_metric_summary): raw vs 5%-trimmed
+    vs winsorized mean of per-user purchase cents — the heavy-tail
+    guard every revenue experiment needs. Rank-based exact-integer
+    trim rule with an id tiebreak; all sums exact BIGINTs, each mean
+    one division."""
+    from oakstore_spark.operators.experiments import robust_metric_summary
+
+    e = table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("cents"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    return robust_metric_summary(
+        units, "arm", "cents", "user_id", trim=0.05
+    ).orderBy("arm")

@@ -1070,3 +1070,20 @@ def test_diff_in_diff_hand_values(spark):
     assert row.treated_delta == 15.0 and row.control_delta == 4.0
     assert row.did_estimate == 11.0
     assert (row.n_t_pre, row.n_c_post) == (2, 2)
+
+
+def test_robust_metric_summary_hand_values(spark):
+    from oakstore_spark.operators.experiments import robust_metric_summary
+
+    # one arm, 10 units, value 1..9 plus a 1000 whale; trim=0.1 ->
+    # k=1 from each tail: drop the 1 and the 1000
+    rows = [(0, i, v) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    df = spark.createDataFrame(rows, ["arm", "uid", "v"])
+    r = robust_metric_summary(df, "arm", "v", "uid", trim=0.1).collect()[0]
+    assert r.n == 10 and r.k_trimmed_each_tail == 1
+    assert r.raw_mean == sum([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]) / 10
+    assert r.trimmed_mean == sum(range(2, 10)) / 8
+    # winsorize: 1 -> 2 and 1000 -> 9
+    assert r.winsorized_mean == (2 + sum(range(2, 10)) + 9) / 10
+    # whale influence collapses
+    assert r.trimmed_mean < 10 < r.raw_mean
