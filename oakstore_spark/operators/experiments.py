@@ -389,3 +389,39 @@ def robust_metric_summary(
             "winsorized_mean"
         ),
     )
+
+
+def srm_check(
+    df: DataFrame, arm_col: str, expected_shares: dict
+) -> DataFrame:
+    """Sample-ratio mismatch check — the trust gate run BEFORE reading
+    any experiment metric: if the arm split deviates from the design
+    (50/50, 90/10, ...), assignment is broken and every downstream
+    readout is invalid (the industry rule: p < 0.001 on this test ⇒
+    discard the experiment, don't "fix" it).
+
+    Chi-squared goodness of fit of observed arm counts against
+    ``expected_shares`` (arm -> design share; must sum to 1): one hash
+    aggregate to the arms-sized count relation; each arm's
+    ``(o - e)²/e`` is a pinned float chain over exact BIGINTs, reported
+    per arm (``sum(chi2_contrib)`` is the statistic; df = arms - 1).
+    """
+    total = abs(sum(expected_shares.values()) - 1.0)
+    if total > 1e-9:
+        raise ValueError("expected_shares must sum to 1")
+    counts = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n_observed")
+    )
+    n_tot = counts.agg(F.sum("n_observed")).collect()[0][0]
+    share = None
+    for arm, sh in expected_shares.items():
+        branch = F.when(F.col("arm") == arm, F.lit(float(sh)))
+        share = branch if share is None else F.coalesce(share, branch)
+    e = share * F.lit(int(n_tot)).cast("double")
+    o = F.col("n_observed").cast("double")
+    return counts.select(
+        "arm",
+        "n_observed",
+        e.alias("n_expected"),
+        ((o - e) * (o - e) / e).alias("chi2_contrib"),
+    )

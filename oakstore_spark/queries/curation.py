@@ -2517,3 +2517,36 @@ def q_robust_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_metric_summary(
         units, "arm", "cents", "user_id", trim=0.05
     ).orderBy("arm")
+
+
+@register(
+    "q_srm_check",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id % 2 AS arm,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_observed
+      FROM events GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n_observed) AS BIGINT) AS n FROM counts)
+    SELECT arm, n_observed,
+           0.5 * CAST(n AS DOUBLE) AS n_expected,
+           (CAST(n_observed AS DOUBLE) - 0.5 * CAST(n AS DOUBLE))
+             * (CAST(n_observed AS DOUBLE) - 0.5 * CAST(n AS DOUBLE))
+             / (0.5 * CAST(n AS DOUBLE)) AS chi2_contrib
+    FROM counts CROSS JOIN tot
+    ORDER BY arm
+    """,
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch trust gate
+    (operators/experiments.srm_check): observed user counts per parity
+    arm against the 50/50 design — the check run before reading any
+    experiment metric (SRM ⇒ discard, don't adjust). One user-level
+    distinct + one arms-sized aggregate; (o-e)^2/e as a pinned chain
+    over exact BIGINTs."""
+    from oakstore_spark.operators.experiments import srm_check
+
+    e = table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct().withColumn(
+        "arm", F.col("user_id") % 2
+    )
+    return srm_check(users, "arm", {0: 0.5, 1: 0.5}).orderBy("arm")

@@ -1087,3 +1087,19 @@ def test_robust_metric_summary_hand_values(spark):
     assert r.winsorized_mean == (2 + sum(range(2, 10)) + 9) / 10
     # whale influence collapses
     assert r.trimmed_mean < 10 < r.raw_mean
+
+
+def test_srm_check_detects_broken_split(spark):
+    import pytest
+
+    from oakstore_spark.operators.experiments import srm_check
+
+    # designed 50/50, observed 70/30 of 1000 -> chi2 = 2*(200^2/500)=160
+    rows = [(0,)] * 700 + [(1,)] * 300
+    df = spark.createDataFrame(rows, ["arm"])
+    out = {r.arm: r for r in srm_check(df, "arm", {0: 0.5, 1: 0.5}).collect()}
+    assert out[0].n_expected == 500.0 and out[1].n_expected == 500.0
+    chi2 = out[0].chi2_contrib + out[1].chi2_contrib
+    assert chi2 == 200.0 ** 2 / 500 * 2  # 160: far past any threshold
+    with pytest.raises(ValueError):
+        srm_check(df, "arm", {0: 0.6, 1: 0.5})
