@@ -2550,3 +2550,60 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arm", F.col("user_id") % 2
     )
     return srm_check(users, "arm", {0: 0.5, 1: 0.5}).orderBy("arm")
+
+
+@register(
+    "q_quantile_effects",
+    oracle="""
+    WITH units AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT arm, cents AS x,
+             row_number() OVER (PARTITION BY arm
+                                ORDER BY cents, user_id) AS rn,
+             count(*) OVER (PARTITION BY arm) AS n
+      FROM units
+    ), grid AS (
+      SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q
+    ), hits AS (
+      SELECT q, arm, x FROM ranked JOIN grid
+        ON rn = CAST(ceil(q * n) AS BIGINT)
+    )
+    SELECT a.q, a.x AS v_a, b.x AS v_b,
+           CAST(a.x - b.x AS BIGINT) AS qte
+    FROM (SELECT q, x FROM hits WHERE arm = 0) a
+    JOIN (SELECT q, x FROM hits WHERE arm = 1) b USING (q)
+    ORDER BY a.q
+    """,
+)
+def q_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects
+    (operators/experiments.quantile_treatment_effects): per-user
+    purchase cents compared between parity arms at the
+    10/25/50/75/90th percentiles — WHERE in the distribution the
+    difference lives, which no mean test can say. Type-1 quantiles
+    (rank ceil(q*n), id tiebreak) are exact integers from the data;
+    the whole readout is float-free."""
+    from oakstore_spark.operators.experiments import (
+        quantile_treatment_effects,
+    )
+
+    e = table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("cents"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    return quantile_treatment_effects(
+        units, "arm", "cents", "user_id", 0, 1
+    ).orderBy("q")

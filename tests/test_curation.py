@@ -1103,3 +1103,25 @@ def test_srm_check_detects_broken_split(spark):
     assert chi2 == 200.0 ** 2 / 500 * 2  # 160: far past any threshold
     with pytest.raises(ValueError):
         srm_check(df, "arm", {0: 0.6, 1: 0.5})
+
+
+def test_quantile_treatment_effects_hand(spark):
+    from oakstore_spark.operators.experiments import (
+        quantile_treatment_effects,
+    )
+
+    # arm 0: 10..100 step 10 (n=10); arm 1: same +5 everywhere except
+    # the top, which gains 100 -> QTE flat at -5 until q=0.9 (-100)
+    rows = [(0, i, (i + 1) * 10) for i in range(10)]
+    rows += [(1, 100 + i, (i + 1) * 10 + (105 if i == 9 else 5))
+             for i in range(10)]
+    df = spark.createDataFrame(rows, ["arm", "uid", "v"])
+    out = {r.q: r for r in quantile_treatment_effects(
+        df, "arm", "v", "uid", 0, 1, quantiles=[0.5, 0.9]).collect()}
+    # type-1: rank ceil(.5*10)=5 -> value 50 / 55; ceil(.9*10)=9 -> 90/95
+    assert (out[0.5].v_a, out[0.5].v_b, out[0.5].qte) == (50, 55, -5)
+    assert (out[0.9].v_a, out[0.9].v_b, out[0.9].qte) == (90, 95, -5)
+    # the whale sits at rank 10 = q 1.0
+    out2 = {r.q: r for r in quantile_treatment_effects(
+        df, "arm", "v", "uid", 0, 1, quantiles=[1.0]).collect()}
+    assert (out2[1.0].v_a, out2[1.0].v_b, out2[1.0].qte) == (100, 205, -105)
