@@ -2607,3 +2607,84 @@ def q_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_treatment_effects(
         units, "arm", "cents", "user_id", 0, 1
     ).orderBy("q")
+
+
+@register(
+    "q_revenue_concentration",
+    oracle="""
+    WITH units AS (
+      SELECT user_id,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT cents AS x,
+             row_number() OVER (ORDER BY cents, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM units
+    ), tots AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(rn * x) AS BIGINT) AS s1
+      FROM ranked
+    ), grid AS (SELECT unnest(range(1, 11)) AS d)
+    SELECT CAST(d AS BIGINT) AS decile,
+           CAST(sum(CASE WHEN rn * 10 <= d * tots.n THEN x END)
+                AS BIGINT) AS cum_cents,
+           CAST(sum(CASE WHEN rn * 10 <= d * tots.n THEN x END)
+                AS DOUBLE) / s AS cum_share,
+           2.0 * CAST(s1 AS DOUBLE) / (CAST(tots.n AS DOUBLE) * s)
+             - CAST(tots.n + 1 AS DOUBLE) / tots.n AS gini
+    FROM grid CROSS JOIN ranked CROSS JOIN tots
+    GROUP BY d, tots.n, s, s1 ORDER BY decile
+    """,
+)
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve + Gini coefficient of per-user purchase revenue —
+    the concentration readout behind every "top X% of users drive Y%
+    of revenue" statement. Users rank ascending by exact cents (id
+    tiebreak); the decile membership test rn*10 <= d*n is pure integer
+    arithmetic, cumulative cents are exact BIGINTs, and Gini =
+    2*S1/(n*S) - (n+1)/n is a pinned chain over three exact sums (S1 =
+    sum of rank*cents). One window rank + one grid aggregate."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("cents"),
+    )
+    ranked = units.select(
+        F.col("cents").alias("x"),
+        F.row_number().over(W.orderBy("cents", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    grid = spark.range(1, 11).select(F.col("id").alias("decile"))
+    j = grid.crossJoin(ranked)
+    in_dec = F.col("rn") * 10 <= F.col("decile") * F.col("n")
+    agg = j.groupBy("decile").agg(
+        F.sum(F.when(in_dec, F.col("x"))).alias("cum_cents"),
+        F.max("n").alias("_n"),
+        F.sum("x").alias("_s"),
+        F.sum(F.col("rn") * F.col("x")).alias("_s1"),
+    )
+    return agg.select(
+        "decile",
+        F.col("cum_cents").cast("bigint").alias("cum_cents"),
+        (F.col("cum_cents").cast("double") / F.col("_s")).alias(
+            "cum_share"
+        ),
+        (
+            2.0 * F.col("_s1").cast("double")
+            / (F.col("_n").cast("double") * F.col("_s"))
+            - (F.col("_n") + 1).cast("double") / F.col("_n")
+        ).alias("gini"),
+    ).orderBy("decile")
