@@ -91,6 +91,36 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
             f"cuped {r.cuped_mean:.1f} (rho2 {r.variance_reduction:.3f})"
         )
 
+    # 4b. Trust gate + robust and distributional readouts
+    from oakstore_spark.operators.experiments import (
+        quantile_treatment_effects,
+        robust_metric_summary,
+        srm_check,
+    )
+    from oakstore_spark.operators.timeseries import top_event_paths
+
+    srm = srm_check(
+        units.select("user_id", "arm"), "arm", {0: 0.5, 1: 0.5}
+    ).collect()
+    print("srm chi2:", round(sum(r.chi2_contrib for r in srm), 4))
+    for r in robust_metric_summary(
+        units, "arm", "spend", "user_id", trim=0.05
+    ).orderBy("arm").collect():
+        print(
+            f"  arm {r.arm}: raw {r.raw_mean:.0f} trimmed "
+            f"{r.trimmed_mean:.0f} winsorized {r.winsorized_mean:.0f}"
+        )
+    for r in quantile_treatment_effects(
+        units, "arm", "spend", "user_id", 0, 1, quantiles=[0.25, 0.5, 0.75]
+    ).orderBy("q").collect():
+        print(f"  q={r.q}: {r.v_a} vs {r.v_b} (qte {r.qte})")
+    print("top journeys:")
+    for r in top_event_paths(
+        e, ["user_id"], "ts", "event_type", n=3, top_k=5,
+        order_tiebreak=["event_id"],
+    ).collect():
+        print(f"  {r.path} x{r.n_occurrences}")
+
     # 5. Kaplan-Meier: days from first event to first big purchase,
     # censored at last activity
     big = F.when(purchase & (F.col("value") > 200), F.col("ts"))
