@@ -405,6 +405,12 @@ def srm_check(
     aggregate to the arms-sized count relation; each arm's
     ``(o - e)²/e`` is a pinned float chain over exact BIGINTs, reported
     per arm (``sum(chi2_contrib)`` is the statistic; df = arms - 1).
+
+    Every DESIGN arm emits a row — an expected arm with zero observed
+    traffic contributes its full ``(0 - e)²/e`` (a 100%-to-one-arm
+    50/50 experiment reads chi2 = n, not n/2), and an observed arm
+    missing from ``expected_shares`` raises instead of silently
+    inflating the other arms' expected counts. Empty input raises.
     """
     total = abs(sum(expected_shares.values()) - 1.0)
     if total > 1e-9:
@@ -412,16 +418,30 @@ def srm_check(
     counts = df.groupBy(F.col(arm_col).alias("arm")).agg(
         F.count(F.lit(1)).alias("n_observed")
     )
-    n_tot = counts.agg(F.sum("n_observed")).collect()[0][0]
-    share = None
-    for arm, sh in expected_shares.items():
-        branch = F.when(F.col("arm") == arm, F.lit(float(sh)))
-        share = branch if share is None else F.coalesce(share, branch)
-    e = share * F.lit(int(n_tot)).cast("double")
+    observed = {r["arm"]: r["n_observed"] for r in counts.collect()}
+    unexpected = sorted(
+        str(a) for a in observed if a not in expected_shares
+    )
+    if unexpected:
+        raise ValueError(
+            "srm_check: arms observed but absent from expected_shares: "
+            + ", ".join(unexpected)
+        )
+    n_tot = sum(observed.values())
+    if n_tot == 0:
+        raise ValueError("srm_check: empty input (no rows in any arm)")
+    rel = df.sparkSession.createDataFrame(
+        [
+            (arm, int(observed.get(arm, 0)), float(sh))
+            for arm, sh in expected_shares.items()
+        ],
+        ["arm", "n_observed", "share"],
+    )
+    e = F.col("share") * F.lit(int(n_tot)).cast("double")
     o = F.col("n_observed").cast("double")
-    return counts.select(
+    return rel.select(
         "arm",
-        "n_observed",
+        F.col("n_observed").cast("bigint").alias("n_observed"),
         e.alias("n_expected"),
         ((o - e) * (o - e) / e).alias("chi2_contrib"),
     )

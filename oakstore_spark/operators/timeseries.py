@@ -676,16 +676,28 @@ def cohort_retention(
     u = F.col(user_col)
     if period == "month":
         # integer calendar-month index: offsets are true month
-        # differences regardless of month lengths / leap years
+        # differences regardless of month lengths / leap years.
+        # Derived from the UTC calendar explicitly (unix_micros →
+        # unix-date → date is pure integer math, session-tz-free) so
+        # month boundaries agree with the day/week epoch grid and with
+        # a UTC oracle even under a non-UTC Spark session.
+        utc_date = F.date_from_unix_date(
+            F.floor(
+                F.unix_micros(F.col(ts_col)) / 86_400_000_000
+            ).cast("int")
+        )
         pidx = (
-            F.year(F.col(ts_col)) * 12 + F.month(F.col(ts_col)) - 1
+            F.year(utc_date) * 12 + F.month(utc_date) - 1
         ).cast("long")
-        cohort_start = F.unix_micros(
-            F.make_date(
-                F.floor(F.col("_c") / 12).cast("int"),
-                (F.col("_c") % 12 + 1).cast("int"),
-                F.lit(1),
-            ).cast("timestamp")
+        cohort_start = (
+            F.unix_date(
+                F.make_date(
+                    F.floor(F.col("_c") / 12).cast("int"),
+                    (F.col("_c") % 12 + 1).cast("int"),
+                    F.lit(1),
+                )
+            ).cast("long")
+            * 86_400_000_000
         )
     else:
         plen = us_per[period]

@@ -122,11 +122,14 @@ def served_psi(
     base = spark.read.parquet(baseline_dir)
     n_bins = int(base.select("n_bins").first()["n_bins"])
     n_base_total = int(base.select("n_total").first()["n_total"])
-    cur = (
-        spark.read.parquet(bins_dir)
-        .groupBy("bin")
-        .agg(F.sum("n_cur").alias("n_cur"))
-    )
+    try:
+        partials = spark.read.parquet(bins_dir)
+    except Exception:
+        # Before the first micro-batch partial lands the path does not
+        # exist yet — serve PSI against zero current counts instead of
+        # throwing (same probe pattern as similarity._read_tombstones).
+        partials = spark.createDataFrame([], "bin long, n_cur long")
+    cur = partials.groupBy("bin").agg(F.sum("n_cur").alias("n_cur"))
     n_cur_total = int(
         cur.agg(F.coalesce(F.sum("n_cur"), F.lit(0))).collect()[0][0]
     )

@@ -1105,6 +1105,35 @@ def test_srm_check_detects_broken_split(spark):
         srm_check(df, "arm", {0: 0.6, 1: 0.5})
 
 
+def test_srm_check_zero_arm_and_guards(spark):
+    """Design arms with zero observed traffic must still contribute
+    (0-e)^2/e; observed-but-undesigned arms and empty input raise."""
+    import pytest
+
+    from oakstore_spark.operators.experiments import srm_check
+
+    # 100% of 100 rows to arm 0 under a 50/50 design: chi2 must be
+    # n (=100), not n/2 — the zero arm contributes its full e.
+    df = spark.createDataFrame([(0,)] * 100, ["arm"])
+    out = {r.arm: r for r in srm_check(df, "arm", {0: 0.5, 1: 0.5}).collect()}
+    assert set(out) == {0, 1}
+    assert out[1].n_observed == 0 and out[1].n_expected == 50.0
+    assert out[0].chi2_contrib + out[1].chi2_contrib == 100.0
+    # a silent holdout arm getting zero traffic must NOT pass the gate
+    assert out[1].chi2_contrib == 50.0
+
+    # observed arm absent from the design -> explicit error, not
+    # silently inflated expected counts for the designed arms
+    bad = spark.createDataFrame([(0,), (1,), (2,)], ["arm"])
+    with pytest.raises(ValueError, match="absent from expected_shares"):
+        srm_check(bad, "arm", {0: 0.5, 1: 0.5})
+
+    # empty input -> clear error (previously TypeError on int(None))
+    empty = spark.createDataFrame([], "arm int")
+    with pytest.raises(ValueError, match="empty input"):
+        srm_check(empty, "arm", {0: 0.5, 1: 0.5})
+
+
 def test_quantile_treatment_effects_hand(spark):
     from oakstore_spark.operators.experiments import (
         quantile_treatment_effects,

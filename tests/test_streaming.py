@@ -821,3 +821,24 @@ def test_streaming_psi_matches_batch_operator(spark, tmp_path):
     again = {r.bin: r for r in served_psi(spark, bdir, gdir).collect()}
     for b in range(10):
         assert again[b].n_cur == want[b].n_cur
+
+
+def test_served_psi_before_first_batch(spark, tmp_path):
+    """served_psi must serve against zero current counts before the
+    first micro-batch partial is written (bins_dir doesn't exist yet),
+    not throw."""
+    from pyspark.sql import functions as F
+
+    from oakstore_spark.streaming.drift import (
+        freeze_psi_baseline,
+        served_psi,
+    )
+
+    baseline = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("v")
+    )
+    bdir = str(tmp_path / "baseline")
+    freeze_psi_baseline(baseline, "v", bdir, n_bins=10)
+    rows = served_psi(spark, bdir, str(tmp_path / "never_written")).collect()
+    assert len(rows) == 10
+    assert all(r.n_cur == 0 for r in rows)
