@@ -498,3 +498,167 @@ def quantile_treatment_effects(
     return a.join(b, "q").select(
         "q", "v_a", "v_b", (F.col("v_a") - F.col("v_b")).alias("qte")
     )
+
+
+def ratio_metric_ci(
+    df: DataFrame,
+    arm_col: str,
+    num_col: str,
+    den_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Delta-method confidence interval for a RATIO-of-sums metric —
+    the most common experiment metric shape (revenue-per-session,
+    CTR = clicks/views, items-per-order): per arm,
+
+        R = Σx / Σy  (x = numerator, y = denominator, both per UNIT)
+
+    whose variance a naive per-unit t-test gets wrong (the unit of
+    randomization is the user, not the session/view — sessions within
+    a user are correlated).  The delta method linearizes R = x̄/ȳ
+    around the means:
+
+        Var(R) ≈ (var_x − 2R·cov_xy + R²·var_y) / (n · ȳ²)
+
+    with sample (co)variances over UNITS, which is exactly the
+    randomization unit and therefore correct under within-unit
+    correlation of the raw events (Deng, Knoblich & Lu 2018,
+    "Applying the Delta Method in Metric Analytics").
+
+    Spark shape: ONE hash aggregate per arm over exact BIGINT moments
+    (n, Σx, Σy, Σx², Σy², Σxy — integer-valued inputs, cents/counts);
+    the CI is a pinned float chain on the arms-sized relation.  Returns
+    one row per arm: (arm, n, sum_num, sum_den, ratio, se, ci_lo,
+    ci_hi) — ci half-width = z·se, z defaults to the two-sided 95%
+    normal quantile.  Degenerate guards (n < 2 or Σy = 0) yield NULL
+    se/ci, never ANSI div-zero.
+    """
+    x = F.col(num_col).cast("bigint")
+    y = F.col(den_col).cast("bigint")
+    m = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    # try_divide everywhere a degenerate arm (n = 1 or Σy = 0) would
+    # hit ANSI div-zero — identical IEEE result on the nonzero path,
+    # NULL through the guards otherwise.
+    nd = F.col("n").cast("double")
+    r = F.try_divide(F.col("sx").cast("double"), F.col("sy"))
+    ybar = F.col("sy").cast("double") / nd
+    varx = F.try_divide(
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / nd,
+        F.col("n") - 1,
+    )
+    vary = F.try_divide(
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy") / nd,
+        F.col("n") - 1,
+    )
+    covxy = F.try_divide(
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy") / nd,
+        F.col("n") - 1,
+    )
+    var_r = F.try_divide(
+        varx - 2 * r * covxy + r * r * vary, nd * ybar * ybar
+    )
+    se = F.when(
+        (F.col("n") > 1) & (F.col("sy") != 0) & (var_r >= 0),
+        F.sqrt(var_r),
+    )
+    ratio = F.when(F.col("sy") != 0, r)
+    return m.select(
+        "arm",
+        "n",
+        F.col("sx").alias("sum_num"),
+        F.col("sy").alias("sum_den"),
+        ratio.alias("ratio"),
+        se.alias("se"),
+        (ratio - F.lit(float(z)) * se).alias("ci_lo"),
+        (ratio + F.lit(float(z)) * se).alias("ci_hi"),
+    )
+
+
+def msprt(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    tau2: float = 1.0,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT) — the
+    always-valid experiment readout: unlike a fixed-horizon t-test,
+    the decision boundary holds at EVERY peek, so an analyst watching
+    the dashboard daily cannot inflate the false-positive rate by
+    stopping on the first lucky crossing (Johari, Koomen, Pekelis &
+    Walsh 2017, "Peeking at A/B Tests").
+
+    Normal-approximation mSPRT with a N(0, τ²) mixing prior on the
+    mean-difference θ: with θ̂ = x̄_a − x̄_b and its plug-in variance
+    V = s²_a/n_a + s²_b/n_b,
+
+        Λ = sqrt(V / (V + τ²)) · exp(θ̂²·τ² / (2·V·(V + τ²)))
+
+    and the always-valid p-value is min(1, 1/Λ); reject when
+    Λ ≥ 1/α.  Assumptions stated (like :func:`diff_in_diff` does):
+    CLT-scale arms (the normal approximation), variance treated as
+    known at the plug-in estimate, and τ² chosen a priori to the scale
+    of effects worth detecting — τ² near the typical θ² maximizes
+    power; the test stays valid (conservative) for any fixed τ² > 0.
+
+    Spark shape: the SAME one-hash-aggregate BIGINT moment sums as
+    :func:`welch_ttest`; Λ is a pinned float chain on two 1-row
+    relations.  Returns one row: (na, nb, mean_a, mean_b, theta, v,
+    lr, always_valid_p, reject).  Degenerate guard: zero variance in
+    both arms yields NULL lr/p and reject = NULL.
+    """
+    m = _moment_sums(df, arm_col, value_col)
+    a = m.where(F.col("arm") == arm_a).select(
+        F.col("n").alias("na"), F.col("sx").alias("sa"),
+        F.col("sx2").alias("qa"),
+    )
+    b = m.where(F.col("arm") == arm_b).select(
+        F.col("n").alias("nb"), F.col("sx").alias("sb"),
+        F.col("sx2").alias("qb"),
+    )
+    j = a.crossJoin(F.broadcast(b))  # two 1-row relations
+
+    def mean(s, n):
+        return F.col(s).cast("double") / F.col(n)
+
+    def var(q, s, n):
+        return (
+            F.col(q).cast("double")
+            - F.col(s).cast("double") * F.col(s) / F.col(n)
+        ) / (F.col(n) - 1)
+
+    ma, mb = mean("sa", "na"), mean("sb", "nb")
+    theta = ma - mb
+    v = var("qa", "sa", "na") / F.col("na") + var(
+        "qb", "sb", "nb"
+    ) / F.col("nb")
+    t2 = F.lit(float(tau2))
+    lr = F.when(
+        v > 0,
+        F.sqrt(v / (v + t2))
+        * F.exp(theta * theta * t2 / (2 * v * (v + t2))),
+    )
+    p = F.least(F.lit(1.0), 1 / lr)
+    return j.select(
+        F.col("na"),
+        F.col("nb"),
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        theta.alias("theta"),
+        v.alias("v"),
+        lr.alias("lr"),
+        p.alias("always_valid_p"),
+        (lr >= F.lit(1.0 / float(alpha))).alias("reject"),
+    )

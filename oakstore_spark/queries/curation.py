@@ -2688,3 +2688,147 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("_n") + 1).cast("double") / F.col("_n")
         ).alias("gini"),
     ).orderBy("decile")
+
+
+@register(
+    "q_ratio_metric_ci",
+    oracle="""
+    WITH units AS (
+      SELECT user_id % 2 AS arm,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ), m AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sx,
+             CAST(sum(n_events) AS BIGINT) AS sy,
+             CAST(sum(cents * cents) AS BIGINT) AS sxx,
+             CAST(sum(n_events * n_events) AS BIGINT) AS syy,
+             CAST(sum(cents * n_events) AS BIGINT) AS sxy
+      FROM units GROUP BY arm
+    ), s AS (
+      SELECT arm, n, sx, sy,
+             CAST(sx AS DOUBLE) / sy AS r,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx
+                / CAST(n AS DOUBLE)) / (n - 1) AS varx,
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy
+                / CAST(n AS DOUBLE)) / (n - 1) AS vary,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy
+                / CAST(n AS DOUBLE)) / (n - 1) AS covxy
+      FROM m
+    ), v AS (
+      SELECT arm, n, sx, sy, r,
+             (varx - 2 * r * covxy + r * r * vary)
+               / (CAST(n AS DOUBLE) * ybar * ybar) AS var_r
+      FROM s
+    ), o AS (
+      SELECT arm, n, sx AS sum_num, sy AS sum_den,
+             CASE WHEN sy <> 0 THEN r END AS ratio,
+             CASE WHEN n > 1 AND sy <> 0 AND var_r >= 0
+                  THEN sqrt(var_r) END AS se
+      FROM v
+    )
+    SELECT arm, n, sum_num, sum_den, ratio, se,
+           ratio - 1.959963984540054 * se AS ci_lo,
+           ratio + 1.959963984540054 * se AS ci_hi
+    FROM o ORDER BY arm
+    """,
+)
+def q_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method CI for the ratio-of-sums metric
+    (operators/experiments.ratio_metric_ci): per-arm
+    revenue-per-event = sum(purchase cents)/sum(events) over USER
+    units (the randomization unit — a per-event t-test would be wrong
+    under within-user correlation). One per-user aggregate + one
+    per-arm BIGINT moment aggregate; the CI is a pinned float chain on
+    the 2-row relation."""
+    from oakstore_spark.operators.experiments import ratio_metric_ci
+
+    e = table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    return ratio_metric_ci(units, "arm", "cents", "n_events").orderBy(
+        "arm"
+    )
+
+
+@register(
+    "q_msprt",
+    oracle="""
+    WITH units AS (
+      SELECT user_id % 2 AS arm,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ), m AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sx,
+             CAST(sum(cents * cents) AS BIGINT) AS sx2
+      FROM units GROUP BY arm
+    ), a AS (
+      SELECT n AS na, sx AS sa, sx2 AS qa FROM m WHERE arm = 0
+    ), b AS (
+      SELECT n AS nb, sx AS sb, sx2 AS qb FROM m WHERE arm = 1
+    ), s AS (
+      SELECT na, nb,
+             CAST(sa AS DOUBLE) / na AS mean_a,
+             CAST(sb AS DOUBLE) / nb AS mean_b,
+             (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
+               / (na - 1) / na
+             + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb)
+               / (nb - 1) / nb AS v
+      FROM a CROSS JOIN b
+    ), l AS (
+      SELECT na, nb, mean_a, mean_b,
+             mean_a - mean_b AS theta, v,
+             CASE WHEN v > 0 THEN
+               sqrt(v / (v + 10000.0))
+               * exp((mean_a - mean_b) * (mean_a - mean_b) * 10000.0
+                     / (2 * v * (v + 10000.0)))
+             END AS lr
+      FROM s
+    )
+    SELECT na, nb, mean_a, mean_b, theta, v, lr,
+           least(1.0, 1 / lr) AS always_valid_p,
+           CAST(lr >= (1.0 / 0.05) AS INT) AS reject
+    FROM l
+    """,
+)
+def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential readout (operators/experiments.msprt):
+    mSPRT likelihood ratio on per-user purchase cents, parity arms,
+    N(0, tau2=10000 cents^2) mixing prior — the peek-proof decision
+    boundary (reject when lr >= 1/alpha). Same one-hash-aggregate
+    BIGINT moment sums as Welch; lr is a pinned sqrt/exp chain on two
+    1-row relations (the <=1-ulp libm exp/sqrt divergence is absorbed
+    by harness float rounding)."""
+    from oakstore_spark.operators.experiments import msprt
+
+    e = table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("cents"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    out = msprt(units, "arm", "cents", 0, 1, tau2=10000.0, alpha=0.05)
+    return out.withColumn("reject", F.col("reject").cast("int"))

@@ -1154,3 +1154,78 @@ def test_quantile_treatment_effects_hand(spark):
     out2 = {r.q: r for r in quantile_treatment_effects(
         df, "arm", "v", "uid", 0, 1, quantiles=[1.0]).collect()}
     assert (out2[1.0].v_a, out2[1.0].v_b, out2[1.0].qte) == (100, 205, -105)
+
+
+def test_ratio_metric_ci_hand(spark):
+    """Hand-computed delta-method CI on a tiny arm, mirroring the
+    operator's exact float association."""
+    import math
+
+    from oakstore_spark.operators.experiments import ratio_metric_ci
+
+    # one arm, units (x, y): ratio = 12/5
+    rows = [(0, 2, 1), (0, 4, 2), (0, 6, 2)]
+    df = spark.createDataFrame(rows, ["arm", "x", "y"])
+    r = ratio_metric_ci(df, "arm", "x", "y").first()
+    n, sx, sy, sxx, syy, sxy = 3, 12, 5, 56, 9, 22
+    ratio = sx / sy
+    ybar = sy / n
+    varx = (sxx - sx * sx / n) / (n - 1)
+    vary = (syy - sy * sy / n) / (n - 1)
+    covxy = (sxy - sx * sy / n) / (n - 1)
+    var_r = (varx - 2 * ratio * covxy + ratio * ratio * vary) / (
+        n * ybar * ybar
+    )
+    se = math.sqrt(var_r)
+    assert r.n == 3 and r.sum_num == 12 and r.sum_den == 5
+    assert r.ratio == ratio
+    assert abs(r.se - se) <= 1e-15
+    assert abs(r.ci_lo - (ratio - 1.959963984540054 * se)) <= 1e-12
+    assert abs(r.ci_hi - (ratio + 1.959963984540054 * se)) <= 1e-12
+
+    # degenerate guards: n=1 arm and all-zero denominator arm -> NULL
+    deg = spark.createDataFrame(
+        [(1, 5, 2), (2, 5, 0), (2, 7, 0)], ["arm", "x", "y"]
+    )
+    out = {r.arm: r for r in ratio_metric_ci(deg, "arm", "x", "y").collect()}
+    assert out[1].se is None and out[1].ratio == 2.5
+    assert out[2].ratio is None and out[2].se is None
+
+
+def test_msprt_aa_no_trigger_and_effect_triggers(spark):
+    """Planted A/A must not reject (theta = 0 -> lr < 1 -> p = 1);
+    a planted large effect must reject; lr matches the hand formula."""
+    import math
+
+    from oakstore_spark.operators.experiments import msprt
+
+    # A/A: identical multisets in both arms
+    aa = spark.createDataFrame(
+        [(i % 2, 100 + (i % 7)) for i in range(1400)], ["arm", "x"]
+    )
+    r = msprt(aa, "arm", "x", 0, 1, tau2=100.0).first()
+    assert r.theta == 0.0
+    assert r.lr < 1.0 and r.always_valid_p == 1.0
+    assert r.reject is False
+
+    # planted effect: arm 0 ~ 200 +- jitter, arm 1 ~ 100 +- jitter
+    eff = spark.createDataFrame(
+        [(0, 200 + (i % 5)) for i in range(1000)]
+        + [(1, 100 + (i % 5)) for i in range(1000)],
+        ["arm", "x"],
+    )
+    r2 = msprt(eff, "arm", "x", 0, 1, tau2=100.0).first()
+    assert r2.reject is True and r2.always_valid_p < 0.05
+
+    # hand formula on a 2+2 example: a=[10,12], b=[5,7], tau2=4
+    tiny = spark.createDataFrame(
+        [(0, 10), (0, 12), (1, 5), (1, 7)], ["arm", "x"]
+    )
+    r3 = msprt(tiny, "arm", "x", 0, 1, tau2=4.0).first()
+    v = 2 / 2 + 2 / 2  # var=2 each arm, /n
+    theta = 11 - 6
+    lr = math.sqrt(v / (v + 4.0)) * math.exp(
+        theta * theta * 4.0 / (2 * v * (v + 4.0))
+    )
+    assert r3.theta == 5.0 and r3.v == v
+    assert math.isclose(r3.lr, lr, rel_tol=1e-12)
