@@ -978,6 +978,7 @@ def grouped_holt(
     alpha: float,
     beta: float,
     order_tiebreak: list[str] | None = None,
+    with_backtest_cols: bool = False,
 ) -> DataFrame:
     """Per-key Holt double-exponential smoothing (level + trend), the
     forecasting rung above :func:`grouped_ewma`:
@@ -996,7 +997,11 @@ def grouped_holt(
     dyadic smoothing constants both engines round identically.
 
     Returns keys + rn + level, trend, forecast (= level + trend, the
-    one-step-ahead prediction).
+    one-step-ahead prediction).  With ``with_backtest_cols`` two more
+    columns ride along for :func:`backtest_holt` — ``x`` (the observed
+    value as double) and ``prev_forecast`` (the forecast the PREVIOUS
+    row published for this one; NaN at rn = 1) — emitted by the same
+    sequential kernel, so the backtest costs zero extra shuffles.
     """
     order_cols = [ts_col, *(order_tiebreak or [])]
     fields = [df.schema[k] for k in keys]
@@ -1007,6 +1012,14 @@ def grouped_holt(
             T.StructField("level", T.DoubleType()),
             T.StructField("trend", T.DoubleType()),
             T.StructField("forecast", T.DoubleType()),
+            *(
+                [
+                    T.StructField("x", T.DoubleType()),
+                    T.StructField("prev_forecast", T.DoubleType()),
+                ]
+                if with_backtest_cols
+                else []
+            ),
         ]
     )
     one_m_a = 1.0 - alpha
@@ -1027,6 +1040,7 @@ def grouped_holt(
             out_rn = [0] * n
             out_l = [0.0] * n
             out_b = [0.0] * n
+            out_pf = [float("nan")] * n
             for i in range(n):
                 key = tuple(kc[i] for kc in kcols)
                 if key != cur_key:
@@ -1035,6 +1049,9 @@ def grouped_holt(
                     b = 0.0
                     rn = 1
                 else:
+                    # the forecast the previous row published for this
+                    # one: l + b of the PRE-update state
+                    out_pf[i] = l + b
                     xp = float(x[i])
                     l_new = alpha * xp + one_m_a * (l + b)
                     b = beta * (l_new - l) + one_m_b * b
@@ -1048,6 +1065,9 @@ def grouped_holt(
             out["level"] = out_l
             out["trend"] = out_b
             out["forecast"] = [li + bi for li, bi in zip(out_l, out_b)]
+            if with_backtest_cols:
+                out["x"] = x
+                out["prev_forecast"] = out_pf
             yield out
 
     parted = (
@@ -1056,6 +1076,77 @@ def grouped_holt(
         .sortWithinPartitions(*keys, *order_cols)
     )
     return parted.mapInPandas(kernel, out_schema)
+
+
+def backtest_holt(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    alpha: float,
+    beta: float,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Rolling-origin backtest of :func:`grouped_holt`'s one-step
+    forecasts — the accuracy readout a forecast operator is half a
+    deliverable without: every row from the second onward scores the
+    forecast the previous row published for it, exactly the evaluation
+    a production rollout would see (train on the prefix, predict one
+    step, advance the origin).
+
+    Scoring contract (exact-integer, oracle-replayable): ``value_col``
+    must be integer-valued (cents/counts); forecasts are quantized to
+    that integer grid with half-up ``floor(f + 0.5)`` — the same
+    deterministic rounding both engines share — because the published
+    number IS what a pipeline would act on.  Per key the metrics are
+
+        mae   = Σ|x - f̂| / n            (exact: BIGINT sum, one division)
+        wape  = Σ|x - f̂| / Σ|x|          (the weighted MAPE practitioners
+                                          prefer — row-wise MAPE explodes
+                                          on near-zero actuals AND its
+                                          float ratios cannot replay
+                                          order-free; WAPE's sums are
+                                          exact BIGINTs)
+        smape = 2·Σ|x - f̂| / (Σ|x|+Σ|f̂|) (pooled symmetric form, same
+                                          exact-sum reasoning)
+        mean_err = Σ(x - f̂) / n          (signed bias)
+
+    Spark shape: the SAME one-shuffle carry kernel as grouped_holt
+    (``with_backtest_cols`` rides the actual and the prior forecast
+    along each row — zero extra shuffles), then one hash aggregate per
+    key.  Returns keys + (n_evals, mae, wape, smape, mean_err).
+    """
+    h = grouped_holt(
+        df, ts_col, keys, value_col, alpha, beta,
+        order_tiebreak=order_tiebreak, with_backtest_cols=True,
+    )
+    ev = h.where(F.col("rn") >= 2).select(
+        *keys,
+        F.col("x").cast("bigint").alias("_x"),
+        F.floor(F.col("prev_forecast") + 0.5).cast("bigint").alias("_f"),
+    )
+    err = F.col("_x") - F.col("_f")
+    agg = ev.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_evals"),
+        F.sum(F.abs(err)).alias("_sae"),
+        F.sum(F.abs(F.col("_x"))).alias("_sx"),
+        F.sum(F.abs(F.col("_f"))).alias("_sf"),
+        F.sum(err).alias("_serr"),
+    )
+    sae = F.col("_sae").cast("double")
+    return agg.select(
+        *keys,
+        "n_evals",
+        (sae / F.col("n_evals")).alias("mae"),
+        F.when(F.col("_sx") > 0, sae / F.col("_sx")).alias("wape"),
+        F.when(
+            F.col("_sx") + F.col("_sf") > 0,
+            2 * sae / (F.col("_sx") + F.col("_sf")),
+        ).alias("smape"),
+        (F.col("_serr").cast("double") / F.col("n_evals")).alias(
+            "mean_err"
+        ),
+    )
 
 
 def event_sequence_matches(

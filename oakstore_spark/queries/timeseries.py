@@ -1445,6 +1445,71 @@ def q_holt_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_holt_backtest",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), rec AS (
+      SELECT user_id, rn, CAST(x AS DOUBLE) AS l,
+             CAST(0.0 AS DOUBLE) AS b
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn,
+             0.5 * o.x + 0.5 * (r.l + r.b),
+             0.25 * ((0.5 * o.x + 0.5 * (r.l + r.b)) - r.l)
+               + 0.75 * r.b
+      FROM ordered o JOIN rec r
+        ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    ), ev AS (
+      SELECT o.user_id, o.x,
+             CAST(floor((r.l + r.b) + 0.5) AS BIGINT) AS f
+      FROM ordered o JOIN rec r
+        ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    ), s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_evals,
+             CAST(sum(abs(x - f)) AS BIGINT) AS sae,
+             CAST(sum(abs(x)) AS BIGINT) AS sx,
+             CAST(sum(abs(f)) AS BIGINT) AS sf,
+             CAST(sum(x - f) AS BIGINT) AS serr
+      FROM ev GROUP BY user_id
+    )
+    SELECT user_id, n_evals,
+           CAST(sae AS DOUBLE) / n_evals AS mae,
+           CASE WHEN sx > 0
+                THEN CAST(sae AS DOUBLE) / sx END AS wape,
+           CASE WHEN sx + sf > 0
+                THEN 2 * CAST(sae AS DOUBLE) / (sx + sf) END AS smape,
+           CAST(serr AS DOUBLE) / n_evals AS mean_err
+    FROM s ORDER BY user_id
+    """,
+)
+def q_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the per-user Holt forecasts
+    (operators/timeseries.backtest_holt): each event from the second
+    onward scores the one-step forecast the previous event published
+    for it, on integer cents. Forecasts quantize half-up to the cent
+    grid (floor(f+0.5) — identical in both engines), so MAE / WAPE /
+    pooled-sMAPE / bias are exact BIGINT sums with one pinned division
+    each — no cross-row float sums anywhere. Same single-shuffle carry
+    kernel as q_holt_user (the backtest columns ride the same pass);
+    the oracle replays the recursion as a recursive CTE."""
+    from oakstore_spark.operators.timeseries import backtest_holt
+
+    e = table(spark, sf_dir, "events")
+    cents = e.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return backtest_holt(
+        cents, "ts", ["user_id"], "cents", alpha=0.5, beta=0.25,
+        order_tiebreak=["event_id"],
+    ).orderBy("user_id")
+
+
+@register(
     "q_event_pattern_paths",
     oracle="""
     WITH seqs AS (

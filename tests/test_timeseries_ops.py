@@ -906,3 +906,55 @@ def test_top_event_paths_hand(spark):
     assert set(got[1:]) == {("b>c>a", 1), ("c>a>b", 1)}
     # tie order: equal-count paths sort ascending
     assert got[1][0] < got[2][0]
+
+
+def test_backtest_holt_hand(spark):
+    """Hand-stepped Holt recursion + half-up quantized scoring on two
+    tiny keys; the existing grouped_holt outputs must be unchanged by
+    the with_backtest_cols plumbing."""
+    from oakstore_spark.operators.timeseries import (
+        backtest_holt,
+        grouped_holt,
+    )
+
+    rows = [
+        ("a", 1, 100), ("a", 2, 110), ("a", 3, 130), ("a", 4, 120),
+        ("b", 1, 50), ("b", 2, 50),
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    out = {
+        r.k: r
+        for r in backtest_holt(
+            df, "t", ["k"], "x", alpha=0.5, beta=0.25
+        ).collect()
+    }
+
+    # hand recursion, alpha=.5 beta=.25 (dyadic -> exact)
+    def step(l, b, x):
+        ln = 0.5 * x + 0.5 * (l + b)
+        return ln, 0.25 * (ln - l) + 0.75 * b
+
+    import math
+
+    l, b = 100.0, 0.0
+    evals = []
+    for x in (110, 130, 120):
+        f = math.floor((l + b) + 0.5)
+        evals.append((x, f))
+        l, b = step(l, b, x)
+    n = len(evals)
+    sae = sum(abs(x - f) for x, f in evals)
+    sx = sum(abs(x) for x, _ in evals)
+    sf = sum(abs(f) for _, f in evals)
+    serr = sum(x - f for x, f in evals)
+    assert out["a"].n_evals == n
+    assert out["a"].mae == sae / n
+    assert out["a"].wape == sae / sx
+    assert out["a"].smape == 2 * sae / (sx + sf)
+    assert out["a"].mean_err == serr / n
+    # key b: one eval, forecast 50 exactly -> zero error
+    assert out["b"].n_evals == 1 and out["b"].mae == 0.0
+
+    # plumbing regression: default grouped_holt schema unchanged
+    cols = grouped_holt(df, "t", ["k"], "x", 0.5, 0.25).columns
+    assert cols == ["k", "rn", "level", "trend", "forecast"]
