@@ -1270,6 +1270,111 @@ def deseasonalize(
     )
 
 
+def decompose_classical(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    period: int,
+) -> DataFrame:
+    """Classical additive decomposition WITH the trend rung —
+    x_t = trend_t + seasonal_p + residual_t — the fix for
+    :func:`deseasonalize`'s periodic-mean-only model, where a trending
+    series leaks its trend straight into the residuals.
+
+    Trend is the textbook centered moving average of order ``period``
+    (odd m: simple m-term MA; even m: the 2×m MA with half weights at
+    the ends), defined only where the full window exists (edges NULL).
+    Seasonal is the per-``(key, period_pos)`` mean of the DETRENDED
+    series, centered by the per-key weighted grand mean of detrended
+    values — weighted (by per-position counts) rather than the
+    unweighted textbook mean over positions because that choice keeps
+    every cross-row sum an exact BIGINT: the scaled detrended value
+    ``2m·x − (sumA + sumB)`` is integer (``value_col`` must be
+    integer-valued — cents), so trend, seasonal and residual are each
+    ONE pinned double division over exact integer sums and the whole
+    relation replays bit-for-bit in an oracle.  With near-balanced
+    position counts the two centerings coincide to O(1/n).
+
+    Spark shape: one window pass per key (two ROWS-frame sums + a
+    count — a single sort shuffle), one hash aggregate to the
+    (keys × period) profile, one tiny per-key rollup, and a join back
+    on (keys, period_pos) — AQE broadcasts the profile when small.
+    ``period_pos`` is ``(row_number − 1) % period`` over
+    ``order_cols`` (deterministic: pass a tiebreak column).
+
+    Returns keys + (rn, period_pos, x, trend, seasonal, residual);
+    trend/residual NULL at the edges, seasonal NULL only for positions
+    with no full-window row.
+    """
+    from pyspark.sql import Window as W
+
+    m = int(period)
+    if m < 2:
+        raise ValueError("period must be >= 2")
+    x = F.col(value_col).cast("bigint")
+    w = W.partitionBy(*keys).orderBy(*order_cols)
+    if m % 2 == 1:
+        h = (m - 1) // 2
+        frame_a, frame_b, expect = (-h, h), (-h, h), m
+    else:
+        h = m // 2
+        frame_a, frame_b, expect = (-h, h), (-(h - 1), h - 1), m + 1
+    sum_a = F.sum("_x").over(w.rowsBetween(*frame_a))
+    cnt_a = F.count("_x").over(w.rowsBetween(*frame_a))
+    sum_b = F.sum("_x").over(w.rowsBetween(*frame_b))
+    base = df.select(*keys, *order_cols, x.alias("_x"))
+    staged = base.select(
+        *keys,
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.col("_x").alias("x"),
+        F.when(cnt_a == expect, (sum_a + sum_b).cast("bigint")).alias(
+            "_num"
+        ),
+        F.when(
+            cnt_a == expect,
+            (F.lit(2 * m) * F.col("_x") - (sum_a + sum_b)).cast(
+                "bigint"
+            ),
+        ).alias("_sd"),
+    ).withColumn(
+        "period_pos", ((F.col("rn") - 1) % m).cast("bigint")
+    )
+    prof = (
+        staged.groupBy(*keys, "period_pos")
+        .agg(
+            F.sum("_sd").alias("_sp"),
+            F.count("_sd").alias("_np"),
+        )
+        .where(F.col("_np") > 0)
+    )
+    tot = prof.groupBy(*keys).agg(
+        F.sum("_sp").alias("_st"), F.sum("_np").alias("_nt")
+    )
+    prof2 = prof.join(tot, list(keys)).select(
+        *keys,
+        "period_pos",
+        (
+            F.col("_sp").cast("double") / (F.lit(2 * m) * F.col("_np"))
+            - F.col("_st").cast("double")
+            / (F.lit(2 * m) * F.col("_nt"))
+        ).alias("seasonal"),
+    )
+    out = staged.join(prof2, [*keys, "period_pos"], "left")
+    return out.select(
+        *keys,
+        "rn",
+        "period_pos",
+        "x",
+        (F.col("_num").cast("double") / F.lit(2 * m)).alias("trend"),
+        "seasonal",
+        (
+            F.col("_sd").cast("double") / F.lit(2 * m)
+            - F.col("seasonal")
+        ).alias("residual"),
+    )
+
+
 def top_event_paths(
     df: DataFrame,
     keys: list[str],

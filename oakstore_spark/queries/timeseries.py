@@ -1510,6 +1510,80 @@ def q_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_decompose_trend",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), win AS (
+      SELECT user_id, rn, (rn - 1) % 12 AS period_pos, x,
+             sum(x) OVER (PARTITION BY user_id ORDER BY rn
+                          ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+               AS sa,
+             count(x) OVER (PARTITION BY user_id ORDER BY rn
+                            ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+               AS ca,
+             sum(x) OVER (PARTITION BY user_id ORDER BY rn
+                          ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+               AS sb
+      FROM ordered
+    ), staged AS (
+      SELECT user_id, rn, period_pos, x,
+             CASE WHEN ca = 13
+                  THEN CAST(sa + sb AS BIGINT) END AS num,
+             CASE WHEN ca = 13
+                  THEN CAST(24 * x - (sa + sb) AS BIGINT) END AS sd
+      FROM win
+    ), prof AS (
+      SELECT user_id, period_pos,
+             CAST(sum(sd) AS BIGINT) AS sp,
+             CAST(count(sd) AS BIGINT) AS np
+      FROM staged GROUP BY user_id, period_pos
+      HAVING count(sd) > 0
+    ), tot AS (
+      SELECT user_id, CAST(sum(sp) AS BIGINT) AS st,
+             CAST(sum(np) AS BIGINT) AS nt
+      FROM prof GROUP BY user_id
+    ), prof2 AS (
+      SELECT p.user_id, p.period_pos,
+             CAST(sp AS DOUBLE) / (24 * np)
+               - CAST(st AS DOUBLE) / (24 * nt) AS seasonal
+      FROM prof p JOIN tot t ON p.user_id = t.user_id
+    )
+    SELECT s.user_id, s.rn, CAST(s.period_pos AS BIGINT) AS period_pos,
+           s.x,
+           CAST(num AS DOUBLE) / 24 AS trend,
+           p.seasonal,
+           CAST(sd AS DOUBLE) / 24 - p.seasonal AS residual
+    FROM staged s LEFT JOIN prof2 p
+      ON s.user_id = p.user_id AND s.period_pos = p.period_pos
+    ORDER BY s.user_id, s.rn
+    """,
+)
+def q_decompose_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition WITH the centered-MA trend
+    rung (operators/timeseries.decompose_classical): per-user event
+    cents, period 12 on the event index — exercising the even-m 2×MA
+    path (half weights at the window ends, kept exact by summing the
+    m+1-row and m−1-row frames as BIGINTs and dividing once by 2m).
+    A trending series no longer leaks its trend into the residuals
+    (deseasonalize's documented gap). Every float is one pinned
+    division over exact integer sums."""
+    from oakstore_spark.operators.timeseries import decompose_classical
+
+    e = table(spark, sf_dir, "events")
+    cents = e.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return decompose_classical(
+        cents, ["user_id"], ["ts", "event_id"], "cents", period=12
+    ).orderBy("user_id", "rn")
+
+
+@register(
     "q_event_pattern_paths",
     oracle="""
     WITH seqs AS (

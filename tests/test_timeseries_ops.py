@@ -958,3 +958,47 @@ def test_backtest_holt_hand(spark):
     # plumbing regression: default grouped_holt schema unchanged
     cols = grouped_holt(df, "t", ["k"], "x", 0.5, 0.25).columns
     assert cols == ["k", "rn", "level", "trend", "forecast"]
+
+
+def test_decompose_classical_planted_zero_residuals(spark):
+    """Planted linear trend + zero-sum profile with balanced position
+    counts: trend recovers c*t EXACTLY, seasonal recovers the profile,
+    residuals are closed-form 0.0 — odd and even period paths."""
+    from oakstore_spark.operators.timeseries import decompose_classical
+
+    # odd m=5, h=2: N=44 -> 40 valid rows, 8 per position
+    prof5 = [2, -1, 0, 3, -4]
+    rows = [
+        ("a", t, 10 * t + prof5[(t - 1) % 5]) for t in range(1, 45)
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    out = decompose_classical(df, ["k"], ["t"], "x", period=5).collect()
+    valid = [r for r in out if r.trend is not None]
+    assert len(valid) == 40
+    for r in valid:
+        t = r.rn
+        assert r.trend == 10.0 * t
+        assert r.seasonal == float(prof5[(t - 1) % 5])
+        assert r.residual == 0.0
+    edges = [r for r in out if r.trend is None]
+    assert len(edges) == 4 and all(r.residual is None for r in edges)
+
+    # even m=4, h=2 (the 2x4 MA half-weight path): N=36 -> 32 valid
+    prof4 = [5, -2, -1, -2]
+    rows4 = [
+        ("b", t, 7 * t + prof4[(t - 1) % 4]) for t in range(1, 37)
+    ]
+    df4 = spark.createDataFrame(rows4, ["k", "t", "x"])
+    out4 = decompose_classical(df4, ["k"], ["t"], "x", period=4).collect()
+    valid4 = [r for r in out4 if r.trend is not None]
+    assert len(valid4) == 32
+    for r in valid4:
+        t = r.rn
+        assert r.trend == 7.0 * t
+        assert r.seasonal == float(prof4[(t - 1) % 4])
+        assert r.residual == 0.0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decompose_classical(df, ["k"], ["t"], "x", period=1)
