@@ -956,11 +956,18 @@ def dedup_clusters(
         msgs = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), "cluster_id"
         )
+        # localCheckpoint, not persist: a persist keeps the full
+        # producer plan in lineage and the loop's logical tree grows
+        # with every round — on deep-diameter components (long paths)
+        # Catalyst's re-analysis of the accumulated tree OOMs building
+        # the plan string long before the data is ever large. The
+        # checkpoint truncates lineage so each round's plan is
+        # O(1)-sized (the same fix pagerank/hits use).
         stepped = (
             msgs.unionByName(labels)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         cur = stepped.agg(*chk).collect()[0]
         labels.unpersist()

@@ -182,7 +182,12 @@ def psi_drift(
     if not width:
         width = 1.0
 
-    def binned(df: DataFrame, out: str) -> DataFrame:
+    def binned(df: DataFrame) -> dict[int, int]:
+        # ONE pass per snapshot; the <= n_bins-row result is collected
+        # so the totals derive by integer summation driver-side — no
+        # separate count() scan, and the bins join as a local relation
+        # instead of re-running the aggregate (the deseasonalize
+        # collected-profile pattern; woe_iv's fused shape)
         bin_id = F.greatest(
             F.least(
                 F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
@@ -190,20 +195,23 @@ def psi_drift(
             ),
             F.lit(0),
         ).cast("long")
-        return df.groupBy(bin_id.alias("bin")).agg(
-            F.count(F.lit(1)).cast("long").alias(out)
+        rows = (
+            df.groupBy(bin_id.alias("bin"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
         )
-    nb = b.count()
-    nc = c.count()
-    grid = b.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
-    joined = (
-        grid.join(binned(b, "n_base"), "bin", "left")
-        .join(binned(c, "n_cur"), "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("n_base", F.lit(0)).alias("n_base"),
-            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
-        )
+        return {int(r["bin"]): int(r["n"]) for r in rows}
+
+    bmap = binned(b)
+    cmap = binned(c)
+    nb = sum(bmap.values())
+    nc = sum(cmap.values())
+    joined = b.sparkSession.createDataFrame(
+        [
+            (i, bmap.get(i, 0), cmap.get(i, 0))
+            for i in range(n_bins)
+        ],
+        "bin long, n_base long, n_cur long",
     )
     return psi_from_counts(joined, nb, nc, n_bins)
 

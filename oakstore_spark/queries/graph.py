@@ -553,3 +553,47 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oakstore_spark.operators.graph import k_core
 
     return k_core(_planted_edges(spark), k=3).orderBy("node")
+
+
+@register(
+    "q_connected_components",
+    oracle="""
+    WITH RECURSIVE comp_edges AS (
+      SELECT range AS src, range + 1 AS dst FROM range(64)
+      WHERE range % 8 != 7
+      UNION ALL
+      SELECT range * 8, range * 8 + 5 FROM range(8)
+    ), edges AS (
+      SELECT src, dst FROM comp_edges
+      UNION
+      SELECT dst, src FROM comp_edges
+    ), reach(id, root) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS node, CAST(min(root) AS BIGINT) AS component_id
+    FROM reach GROUP BY id ORDER BY node
+    """,
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components as a public graph API
+    (operators/graph.connected_components): eight 8-node path
+    components (block chains with one chord each — diameter 7, so the
+    min-label loop takes several real rounds), run through the
+    DISTRIBUTED hash-to-min path (driver gate forced off); the oracle
+    resolves the identical graph with a recursive-CTE closure, the
+    same pattern q_entity_clusters uses."""
+    from oakstore_spark.operators.graph import connected_components
+
+    base = spark.range(64).where(F.col("id") % 8 != 7).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    chords = spark.range(8).select(
+        (F.col("id") * 8).alias("src"),
+        (F.col("id") * 8 + 5).alias("dst"),
+    )
+    edges = base.unionByName(chords)
+    return connected_components(
+        edges, driver_cc_max_edges=0
+    ).orderBy("node")

@@ -372,3 +372,46 @@ def test_k_core_keeps_whole_graph_when_dense(spark):
     df = spark.createDataFrame(k4, ["src", "dst"])
     out = sorted((r.node, r.degree) for r in k_core(df, 3).collect())
     assert out == [(0, 3), (1, 3), (2, 3), (3, 3)]
+
+
+def test_connected_components_paths_and_parity(spark):
+    """Public CC API: a long path (diameter 15 — forces many min-label
+    rounds), an isolated triangle, and a 2-node edge; distributed and
+    driver paths agree exactly; convergence respects max_iterations."""
+    from oakstore_spark.operators.graph import connected_components
+
+    rows = (
+        [(i, i + 1) for i in range(100, 115)]  # 16-node path
+        + [(0, 1), (1, 2), (2, 0)]             # triangle
+        + [(50, 51)]
+    )
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    want = (
+        {i: 100 for i in range(100, 116)}
+        | {0: 0, 1: 0, 2: 0}
+        | {50: 50, 51: 50}
+    )
+
+    driver = {
+        r.node: r.component_id
+        for r in connected_components(edges).collect()
+    }
+    assert driver == want
+    dist = {
+        r.node: r.component_id
+        for r in connected_components(
+            edges, driver_cc_max_edges=0
+        ).collect()
+    }
+    assert dist == want
+
+    # fixed-round convergence: min-label needs ~diameter rounds; with
+    # max_iterations=2 the far end of the path must NOT yet carry the
+    # min label (proves rounds are real), while 50 rounds suffice.
+    early = {
+        r.node: r.component_id
+        for r in connected_components(
+            edges, driver_cc_max_edges=0, max_iterations=2
+        ).collect()
+    }
+    assert early[115] != 100
