@@ -1694,3 +1694,116 @@ def pmi_collocations(
     from oakstore_spark.operators.scaling import track_persisted
 
     return track_persisted(out, cnt)
+
+
+RAKE_STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "from", "has", "he", "in", "is", "it", "its", "of", "on", "or",
+    "that", "the", "to", "was", "were", "will", "with",
+)
+
+
+def rake_keywords(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    top_k: int = 5,
+):
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents") — the stemless, corpus-free
+    keyphrase rung the text family was missing next to language ID /
+    readability / taxonomy tagging / PMI: candidate phrases are the
+    maximal runs between stopwords and punctuation; each word scores
+    ``degree/frequency`` over the DOCUMENT's candidates (degree = sum
+    of the lengths of the phrases it appears in — co-occurrence
+    weighted, so words living in long phrases outrank isolated
+    frequent words); a phrase scores the sum of its words' scores.
+
+    Exactness contract: freq and degree are exact BIGINTs from one
+    hash aggregate; each word score is ONE pinned division; the phrase
+    score is a FIXED-ORDER left fold over the phrase's words (Spark
+    ``F.aggregate`` ≡ DuckDB ``list_reduce`` over the
+    position-ordered list) — never an unordered float sum — and the
+    per-doc top-k rank breaks float ties on the phrase text.
+
+    Spark shape: phrase construction is two JVM regexp passes + one
+    split (no UDF); word stats are one hash aggregate on
+    (doc, word); scores join back on the same key; ranking is one
+    window per doc.  Everything shuffles on doc-sized keys — no
+    corpus-global state, embarrassingly parallel at 100 TB.
+
+    Returns (id, phrase, n_words, score, rank), rank 1..top_k per doc
+    by (score desc, phrase asc).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    stop_pat = r"\b(" + "|".join(stopwords) + r")\b"
+    s = F.lower(F.col(text_col))
+    s = F.regexp_replace(s, F.lit(r"[^a-z0-9 ]+"), F.lit("|"))
+    s = F.regexp_replace(s, F.lit(stop_pat), F.lit("|"))
+    phrases = F.filter(
+        F.transform(
+            F.split(s, r"\|"),
+            lambda p: F.trim(F.regexp_replace(p, F.lit(" +"), F.lit(" "))),
+        ),
+        lambda p: p != "",
+    )
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(phrases).alias("phrase"),
+    )
+    wo = occ.select(
+        "id",
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+        F.posexplode(F.split(F.col("phrase"), " ")).alias("wpos", "word"),
+    )
+    stats = wo.groupBy("id", "word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    score_w = (F.col("deg").cast("double") / F.col("freq")).alias("sw")
+    # score DISTINCT phrases only (duplicate occurrences share the same
+    # word stats, hence the same score)
+    pw = (
+        occ.distinct()
+        .select(
+            "id",
+            "phrase",
+            F.posexplode(F.split(F.col("phrase"), " ")).alias(
+                "wpos", "word"
+            ),
+        )
+        .join(stats.select("id", "word", score_w), ["id", "word"])
+    )
+    folded = (
+        pw.groupBy("id", "phrase")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("wpos", "sw"))
+            ).alias("_arr")
+        )
+        .select(
+            "id",
+            "phrase",
+            F.size("_arr").cast("bigint").alias("n_words"),
+            F.aggregate(
+                "_arr",
+                F.lit(0.0),
+                lambda acc, x: acc + x.getField("sw"),
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("phrase").asc()
+    )
+    return (
+        folded.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("id").alias(id_col), "phrase", "n_words", "score",
+            "rank",
+        )
+    )

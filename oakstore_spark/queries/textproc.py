@@ -1087,3 +1087,72 @@ def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schedule_fetches(
         urls, delays, start_us=1_600_000_000_000_000
     ).orderBy("doc_id")
+
+
+@register(
+    "q_keyword_extraction",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]+', '|', 'g'),
+               '\\b(a|an|and|are|as|at|be|but|by|for|from|has|he|in|is|it|its|of|on|or|that|the|to|was|were|will|with)\\b',
+               '|', 'g') AS s
+      FROM documents
+    ), occf AS (
+      SELECT doc_id, trim(regexp_replace(p, ' +', ' ', 'g')) AS phrase
+      FROM docs, unnest(string_split(s, '|')) AS u(p)
+      WHERE trim(regexp_replace(p, ' +', ' ', 'g')) <> ''
+    ), wo AS (
+      SELECT doc_id, len(string_split(phrase, ' ')) AS plen, w AS word
+      FROM occf, unnest(string_split(phrase, ' ')) AS u(w)
+    ), stats AS (
+      SELECT doc_id, word,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg
+      FROM wo GROUP BY doc_id, word
+    ), dp AS (
+      SELECT DISTINCT doc_id, phrase FROM occf
+    ), pw AS (
+      SELECT dp.doc_id, dp.phrase, g.i AS wpos,
+             string_split(dp.phrase, ' ')[g.i] AS word
+      FROM dp, UNNEST(generate_series(1,
+             len(string_split(dp.phrase, ' ')))) AS g(i)
+    ), scored AS (
+      SELECT p.doc_id, p.phrase, p.wpos,
+             CAST(s.deg AS DOUBLE) / s.freq AS sw
+      FROM pw p JOIN stats s
+        ON p.doc_id = s.doc_id AND p.word = s.word
+    ), folded AS (
+      SELECT doc_id, phrase,
+             CAST(count(*) AS BIGINT) AS n_words,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(sw ORDER BY wpos)),
+               (a, b) -> a + b) AS score
+      FROM scored GROUP BY doc_id, phrase
+    ), ranked AS (
+      SELECT doc_id, phrase, n_words, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, phrase) AS BIGINT) AS rank
+      FROM folded
+    )
+    SELECT doc_id, phrase, n_words, score, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY doc_id, rank
+    """,
+)
+def q_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (operators/text.rake_keywords): top-5
+    stopword-delimited candidate phrases per document scored by the
+    classic degree/frequency word statistic. freq/deg are exact
+    BIGINTs; each word score one pinned division; the phrase score a
+    FIXED-ORDER left fold (F.aggregate == list_reduce over the
+    position-ordered word list — never an unordered float sum); ties
+    break on the phrase text."""
+    from oakstore_spark.operators.text import rake_keywords
+
+    d = table(spark, sf_dir, "documents")
+    return rake_keywords(d, "doc_id", "text", top_k=5).orderBy(
+        "doc_id", "rank"
+    )

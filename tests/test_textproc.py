@@ -761,3 +761,56 @@ def test_pmi_collocations_hand_corpus(spark):
     assert r.pmi == math.log(4 * 9 / (4.0 * 4))
     # perfect collocation outranks everything
     assert out[0].w1 == "aa" and out[0].w2 == "bb"
+
+
+def test_rake_keywords_hand_corpus(spark):
+    """Hand-replicated RAKE on a tiny corpus: phrase splitting at
+    stopwords AND punctuation, degree/frequency word scores, the
+    fixed-order fold, duplicate-occurrence dedup, and the tie rule."""
+    from oakstore_spark.operators.text import rake_keywords
+
+    docs = [
+        (1, "deep learning of deep networks, and fast learning"),
+        (2, "spark streaming engine; spark engine tuning; the engine"),
+        (3, "red fish, red fish, blue"),  # duplicate phrase occurrence
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = rake_keywords(df, "doc_id", "text", top_k=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(r)
+
+    # doc 1: phrases all score 4.0 (deep/learning freq2 deg4; others
+    # freq1 deg2) -> alphabetical tie order
+    d1 = sorted(got[1], key=lambda r: r.rank)
+    assert [r.phrase for r in d1] == [
+        "deep learning", "deep networks", "fast learning"
+    ]
+    assert all(r.score == 4.0 for r in d1)
+
+    # doc 2: replicate the exact fold order (0.0 + sw in word order)
+    sw = {"spark": 6 / 2, "streaming": 3 / 1, "engine": 7 / 3,
+          "tuning": 3 / 1}
+
+    def fold(phrase):
+        acc = 0.0
+        for w in phrase.split(" "):
+            acc = acc + sw[w]
+        return acc
+
+    d2 = {r.phrase: r for r in got[2]}
+    assert set(d2) == {"spark streaming engine", "spark engine tuning",
+                       "engine"}
+    for p, r in d2.items():
+        assert r.score == fold(p), p
+        assert r.n_words == len(p.split(" "))
+    # tie between the two 3-word phrases (bit-identical folds here)
+    # breaks alphabetically; 'engine' ranks last
+    assert d2["engine"].rank == 3
+
+    # doc 3: "red fish" occurs twice -> ONE output row, stats count
+    # both occurrences (red: freq2 deg4 -> 2.0; fish same; blue 1.0)
+    d3 = {r.phrase: r for r in got[3]}
+    assert set(d3) == {"red fish", "blue"}
+    assert d3["red fish"].score == 4.0 and d3["red fish"].rank == 1
+    assert d3["blue"].score == 1.0 and d3["blue"].rank == 2
