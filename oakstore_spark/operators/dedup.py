@@ -762,12 +762,20 @@ def ngram_jaccard_pairs(
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64
 ) -> DataFrame:
-    """(id, simhash): 64-bit SimHash of the whitespace tokens.
+    """(id, simhash): SimHash of the whitespace tokens over a 60-bit
+    engine-portable token hash.
 
-    Tokens are hashed once JVM-side (`xxhash64`); the bit-vote (for each
-    bit position, sum +-1 votes across tokens; bit is 1 if positive) runs
-    as a vectorized numpy kernel in a pandas UDF — not 64 interpreted
-    expression passes, not per-row Python.
+    Tokens are hashed once JVM-side as the repo-standard md5 prefix
+    (``conv(substr(md5(w),1,15),16,10)`` — 60 bits, bit-identical in
+    DuckDB via ``CAST('0x'||substr(md5(w),1,15) AS BIGINT)``, which is
+    what lets a SQL oracle rebuild the signatures and hamming pairs
+    EXACTLY; xxhash64 would be marginally cheaper but has no portable
+    replay). Bits 60-63 of the signature are therefore structurally 0
+    — the pigeonhole banding below still splits 64 bits into k chunks,
+    the top chunk just carries 4 fewer informative bits. The bit-vote
+    (for each bit position, sum +-1 votes across tokens; bit is 1 if
+    positive) runs as a vectorized numpy kernel in a pandas UDF — not
+    64 interpreted expression passes, not per-row Python.
     """
     if bits != 64:
         raise ValueError("simhash_signatures supports bits=64 only")
@@ -776,7 +784,13 @@ def simhash_signatures(
     df = widen_partitions(df)
     toks = F.array_distinct(tokens(normalize_text(text_col)))
     hashed = df.select(F.col(id_col).alias("id"), toks.alias("_t")).withColumn(
-        "_h", F.transform(F.col("_t"), lambda t: F.xxhash64(t))
+        "_h",
+        F.transform(
+            F.col("_t"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+        ),
     )
     shifts = np.arange(64, dtype=np.uint64)
 

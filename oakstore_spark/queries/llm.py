@@ -438,10 +438,55 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_simhash_near_dup")
+@register(
+    "q_simhash_near_dup",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ), tok AS (
+      SELECT DISTINCT doc_id, w
+      FROM norm, unnest(string_split(t, ' ')) AS u(w)
+      WHERE t <> ''
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ), votes AS (
+      SELECT doc_id, b.b AS bit,
+             sum(CASE WHEN (h >> CAST(b.b AS INT)) & 1 = 1
+                 THEN 1 ELSE 0 END) AS ones,
+             count(*) AS n
+      FROM hashed, (SELECT range AS b FROM range(60)) b
+      GROUP BY doc_id, b.b
+    ), sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN 2 * ones > n
+                  THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                  ELSE 0 END) AS BIGINT) AS s
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, RETIRED from rows-only into an exact
+    ORACLE (r10 verdict ask #7): the token hash is the repo-standard
+    engine-portable md5 prefix (60 bits), so DuckDB rebuilds every
+    signature bit-for-bit (same normalize -> distinct tokens -> bit
+    votes) and brute-forces the hamming<=3 pairs the Spark side finds
+    via pigeonhole banding — algorithm-independent equality of the
+    exact result set."""
     d = table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    return simhash_near_dup_pairs(
+        d, "doc_id", "text", max_hamming=3
+    ).orderBy("id_a", "id_b")
 
 
 @register("q_ivf_topk")

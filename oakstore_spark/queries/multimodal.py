@@ -79,21 +79,61 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_png_decode_features")
+@register(
+    "q_png_decode_features",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE len(text) = octet_length(CAST(text AS BLOB))  -- ASCII only
+    ), b0 AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN i <= len(text)
+                  THEN ord(substr(text, CAST(i AS INT), 1))
+                  ELSE 0 END) AS BIGINT) AS s
+      FROM docs, (SELECT range AS i FROM range(1, 129)) g
+      GROUP BY doc_id
+    ), b7 AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN i <= len(text)
+                  THEN ord(substr(text, CAST(i AS INT), 1))
+                  ELSE 0 END) AS BIGINT) AS s
+      FROM docs, (SELECT range AS i FROM range(897, 1025)) g
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+           CAST(CAST((CAST(b0.s AS DOUBLE) / 128) / 255.0 AS REAL)
+             AS DOUBLE) AS band0,
+           CAST(CAST((CAST(b7.s AS DOUBLE) / 128) / 255.0 AS REAL)
+             AS DOUBLE) AS band7
+    FROM docs d JOIN b0 ON d.doc_id = b0.doc_id
+                JOIN b7 ON d.doc_id = b7.doc_id
+    ORDER BY media_id
+    """,
+)
 def q_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode end-to-end: each document's first 1024 text
-    bytes become a 32x32 grayscale PNG (stdlib encoder, worker-side,
-    deterministic), which ``extract_image_features`` then decodes with
-    the pure-Python PNG decoder — true dimensions and band-luma
-    features, no digest fake anywhere on this path. Rows-only driver
-    check (the band means are pinned exactly in tests/test_multimodal
-    .py); decode runs map-side, binaries never shuffle."""
+    """REAL image decode end-to-end, RETIRED from rows-only into an
+    exact ORACLE (r10 verdict ask #8): each ASCII document's first
+    1024 text bytes become a 32x32 grayscale PNG (stdlib encoder,
+    worker-side, deterministic), which ``extract_image_features``
+    decodes with the pure-Python PNG decoder. PNG is lossless, so the
+    oracle reconstructs the pixel bytes straight from the text
+    (ord(char) == byte on the ASCII subset — the same restriction
+    q_video_frames uses) and replays each band-luma mean as
+    (sum/128)/255 — an exact-dyadic chain (128 = 2^7; numpy's pairwise
+    band sum is exact at these magnitudes), emitted UNROUNDED because
+    x/128 decimals terminate in exact 5s where HALF_UP (Spark) and
+    half-even (DuckDB) rounding split. The zlib-dependent n_bytes
+    column is dropped (compressed length has no SQL replay). Decode
+    runs map-side; binaries never shuffle."""
     from oakstore_spark.operators.multimodal import (
         encode_gray_png,
         extract_image_features,
     )
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").where(
+        F.length("text") == F.octet_length("text")
+    )
     _enc = encode_gray_png
 
     def make_png(batches):
@@ -122,10 +162,11 @@ def q_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "width",
         "height",
-        "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("band0"),
-        F.round(F.element_at("features", 8), 6).alias("band7"),
-    )
+        # features are float32; widen AFTER that rounding so both
+        # engines carry the identical float32-rounded value as double
+        F.element_at("features", 1).cast("double").alias("band0"),
+        F.element_at("features", 8).cast("double").alias("band7"),
+    ).orderBy("media_id")
 
 
 @register(
@@ -433,22 +474,47 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_image_thumbnails")
+@register(
+    "q_image_thumbnails",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE len(text) = octet_length(CAST(text AS BLOB))  -- ASCII only
+    ), s AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN i <= len(text)
+                  THEN ord(substr(text, CAST(i AS INT), 1))
+                  ELSE 0 END) AS BIGINT) AS s
+      FROM docs, (SELECT range AS i FROM range(1, 1025)) g
+      GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+           CAST(s AS DOUBLE) / 1024 AS thumb_mean
+    FROM s ORDER BY media_id
+    """,
+)
 def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image RESIZE end-to-end: each document's first 1024 text bytes
-    become a 32x32 grayscale PNG (same worker-side generator as
-    q_png_decode_features), and ``resize_image_thumbnails`` decodes the
-    bytes and block-averages the luma plane down to an 8x8 thumbprint.
-    Rows-only driver check (PNG inflate is not SQL-replayable); exact
-    block-mean parity vs a numpy reference is pinned in
-    tests/test_multimodal.py. Decode + resize run map-side; binaries
-    never shuffle."""
+    """Image RESIZE end-to-end, RETIRED from rows-only into an exact
+    ORACLE (r10 verdict ask #8): each ASCII document's first 1024 text
+    bytes become a 32x32 grayscale PNG, and ``resize_image_thumbnails``
+    decodes the bytes and block-averages the luma plane down to an 8x8
+    thumbprint. PNG is lossless and every 4x4 block mean is an exact
+    dyadic (S_b/16), so the mean-of-block-means collapses EXACTLY to
+    sum(all pixels)/1024 — the oracle rebuilds the pixel bytes from
+    ord(char) on the ASCII subset and emits that one pinned division,
+    UNROUNDED (dyadic decimals terminate in exact 5s where HALF_UP and
+    half-even rounding split). Per-block parity vs a numpy reference
+    stays pinned in tests/test_multimodal.py. Decode + resize run
+    map-side; binaries never shuffle."""
     from oakstore_spark.operators.multimodal import (
         encode_gray_png,
         resize_image_thumbnails,
     )
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").where(
+        F.length("text") == F.octet_length("text")
+    )
     _enc = encode_gray_png
 
     def make_png(batches):
@@ -468,11 +534,8 @@ def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = resize_image_thumbnails(media, 8, 8)
     return out.select(
-        "media_id",
-        "width",
-        "height",
-        F.round("thumb_mean", 4).alias("thumb_mean"),
-    )
+        "media_id", "width", "height", "thumb_mean"
+    ).orderBy("media_id")
 
 
 @register("q_jpeg_thumbnails")
