@@ -29,6 +29,67 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def loadavg() -> list[float]:
+    """1/5/15-minute load averages — recorded at bench start and end so
+    a reader of the JSON can tell box load from real regression."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except OSError:
+        return []
+
+
+def store_sentinel() -> dict[str, float]:
+    """FIXED-workload store-op sentinel (write / dedup-append / slice on
+    a constant 200k-row frame, rename protocol), run at the START and
+    END of the query loop. The workload never changes across rounds or
+    SFs, so elevated sentinel times == a loaded/slow box during THIS
+    run, flat sentinels == the query timings are trustworthy — the
+    r9->r10 drift could not be adjudicated from artifacts because no
+    such in-run control existed (r10 verdict ask #1a)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from oakstore_spark.store import Store
+
+    rows = 200_000
+    idx = pd.date_range("2000-01-01", periods=rows, freq="min")
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "Open": rng.random(rows) * 100,
+            "High": rng.random(rows) * 100 + 100,
+            "Low": rng.random(rows) * 50,
+            "Close": rng.random(rows) * 100,
+            "Volume": rng.integers(0, 1_000_000, rows),
+        },
+        index=idx,
+    )
+    tail = df.iloc[-rows // 10:]
+    fresh = tail.copy()
+    fresh.index = fresh.index + pd.Timedelta(minutes=rows // 10)
+    appendix = pd.concat([tail, fresh])
+    out: dict[str, float] = {}
+    d = tempfile.mkdtemp(prefix="oakspark_sentinel_")
+    try:
+        t0 = time.time()
+        store = Store(d)
+        store["SENTINEL"] = df
+        out["write_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        store["SENTINEL"] += appendix
+        out["append_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        store["SENTINEL"][idx[rows // 3]: idx[2 * rows // 3]]
+        out["slice_sec"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -65,6 +126,9 @@ def main() -> None:
 
     from oakstore_spark.queries import BENCH_RETIRED
 
+    load_start = loadavg()
+    sent_start = store_sentinel()
+
     timings: dict[str, float] = {}
     for name in sorted(qs):
         # bench-retired: still registered + oracle-checked by the
@@ -95,6 +159,8 @@ def main() -> None:
                 best = min(best, t3)
         timings[name] = best
 
+    sent_end = store_sentinel()
+    load_end = loadavg()
     total = round(sum(t for t in timings.values() if t >= 0), 2)
     store = bench_store(spark, sf)
     # Full record (all per-query timings + store-throughput section) goes
@@ -110,6 +176,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "store": store,
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "sentinel_start": sent_start,
+        "sentinel_end": sent_end,
     }
     Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
         json.dumps(detail, indent=1) + "\n"
@@ -126,6 +196,21 @@ def main() -> None:
         "store_write_sec": store.get("write_sec"),
         "store_append_sec": store.get("append_sec"),
         "store_slice_sec": store.get("slice_sec"),
+        # falsifiability block: fixed-workload sentinels bracketing the
+        # query loop + load averages — flat sentinels mean the query
+        # timings above are trustworthy, elevated ones mean box load
+        "load1_start": load_start[0] if load_start else None,
+        "load1_end": load_end[0] if load_end else None,
+        "sentinel_start": [
+            sent_start.get("write_sec"),
+            sent_start.get("append_sec"),
+            sent_start.get("slice_sec"),
+        ],
+        "sentinel_end": [
+            sent_end.get("write_sec"),
+            sent_end.get("append_sec"),
+            sent_end.get("slice_sec"),
+        ],
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(result, separators=(",", ":"))

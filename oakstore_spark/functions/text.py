@@ -216,3 +216,39 @@ def fingerprint_md5(col: Column | str) -> Column:
     """Deterministic content fingerprint: md5 hex of the normalized text
     (md5 is engine-portable — same string in Spark and DuckDB)."""
     return F.md5(normalize_text(col))
+
+
+def s_stem(col: Column | str) -> Column:
+    """Harman S-stemmer (Harman 1991, "How effective is suffixing?") —
+    the light, precision-safe English stemmer (plural collapse only;
+    no Porter-style over-stemming), as a pure JVM expression with an
+    exact SQL replay.
+
+    Rules, as an IF/ELSE-IF cascade where a failed exception falls
+    through to the next rule (semantics pinned by pytest):
+
+      1. ends 'ies' and not 'eies'/'aies'  ->  'ies' -> 'y'
+      2. else ends 'es' and not 'aes'/'ees'/'oes'  ->  drop the 's'
+      3. else ends 's' and not 'us'/'ss'  ->  drop the 's'
+
+    Engine parity: LIKE endings + substring arithmetic only — DuckDB
+    replays the identical CASE chain.
+    """
+    c = _c(col)
+
+    def ends(sfx: str) -> Column:
+        return c.like(f"%{sfx}")
+
+    drop_last = F.substring(c, F.lit(1), F.length(c) - 1)
+    return (
+        F.when(
+            ends("ies") & ~ends("eies") & ~ends("aies"),
+            F.concat(F.substring(c, F.lit(1), F.length(c) - 3), F.lit("y")),
+        )
+        .when(
+            ends("es") & ~ends("aes") & ~ends("ees") & ~ends("oes"),
+            drop_last,
+        )
+        .when(ends("s") & ~ends("us") & ~ends("ss"), drop_last)
+        .otherwise(c)
+    )

@@ -52,6 +52,19 @@ _SOURCES: dict[str, str] = {}  # name -> registering module.qualname
 #                          q_mutual_information (same shape, ln tree)
 #   q_brand_affinity     — the frequent_pairs mining chain is timed by
 #                          q_item_neighbors (same chain + rank window)
+#   q_psi_snapshot_monitor — same bin+smooth+ln contribution tree as
+#                          q_woe_iv_returns (r10 verdict ask #1b)
+#   q_attribution        — same 1-day touch-join + struct-ordered
+#                          window shape as q_multi_touch_attribution
+#                          (r10 verdict ask #1b)
+#   q_msprt              — same one-hash-aggregate BIGINT moment sums
+#                          as q_ab_experiment (Welch); lr is driver-
+#                          side float math on two 1-row relations
+#   q_holt_backtest      — same repartition+sort+carry kernel as
+#                          q_holt_user plus one per-key hash aggregate
+#   q_deseasonalize_hourly — periodic-profile agg + broadcast join is
+#                          a strict subset of q_decompose_trend's
+#                          window + profile + join shape
 BENCH_RETIRED: set[str] = {
     "q_bm25_topk",
     "q_langid_ct",
@@ -68,6 +81,11 @@ BENCH_RETIRED: set[str] = {
     "q_funnel_conversion",
     "q_chi2_lang_source",
     "q_brand_affinity",
+    "q_psi_snapshot_monitor",
+    "q_attribution",
+    "q_msprt",
+    "q_holt_backtest",
+    "q_deseasonalize_hourly",
 }
 
 

@@ -1156,3 +1156,56 @@ def q_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keywords(d, "doc_id", "text", top_k=5).orderBy(
         "doc_id", "rank"
     )
+
+
+@register(
+    "q_stemmed_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT t AS w
+      FROM documents, unnest(string_split(lower(text), ' ')) AS u(t)
+      WHERE t <> ''
+    ), stemmed AS (
+      SELECT CASE
+        WHEN w LIKE '%ies' AND w NOT LIKE '%eies'
+             AND w NOT LIKE '%aies'
+          THEN substr(w, 1, len(w) - 3) || 'y'
+        WHEN w LIKE '%es' AND w NOT LIKE '%aes'
+             AND w NOT LIKE '%ees' AND w NOT LIKE '%oes'
+          THEN substr(w, 1, len(w) - 1)
+        WHEN w LIKE '%s' AND w NOT LIKE '%us' AND w NOT LIKE '%ss'
+          THEN substr(w, 1, len(w) - 1)
+        ELSE w END AS stem,
+        w
+      FROM tok
+    )
+    SELECT stem,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_surface_forms
+    FROM stemmed GROUP BY stem
+    ORDER BY n_tokens DESC, stem LIMIT 30
+    """,
+)
+def q_stemmed_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top stemmed vocabulary (functions/text.s_stem — the Harman
+    S-stemmer): whitespace tokens collapse plural surface forms into
+    one stem; per stem, total token mass and how many distinct surface
+    forms merged. One explode + one hash aggregate (map-side
+    combinable), TakeOrdered top-30 with the stem tiebreak; the CASE
+    chain replays verbatim in DuckDB."""
+    from oakstore_spark.functions.text import s_stem
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).where(F.col("w") != "")
+    stemmed = tok.select(s_stem("w").alias("stem"), "w")
+    return (
+        stemmed.groupBy("stem")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("w").alias("n_surface_forms"),
+        )
+        .orderBy(F.col("n_tokens").desc(), "stem")
+        .limit(30)
+    )

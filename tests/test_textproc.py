@@ -814,3 +814,29 @@ def test_rake_keywords_hand_corpus(spark):
     assert set(d3) == {"red fish", "blue"}
     assert d3["red fish"].score == 4.0 and d3["red fish"].rank == 1
     assert d3["blue"].score == 1.0 and d3["blue"].rank == 2
+
+
+def test_s_stem_rule_semantics(spark):
+    """Pin the documented IF/ELSE-IF cascade incl. the fall-through:
+    a word failing rule 2's exception still reaches rule 3."""
+    from oakstore_spark.functions.text import s_stem
+
+    cases = {
+        "policies": "policy",   # rule 1
+        "ties": "ty",           # rule 1 (no length guard, documented)
+        "movies": "movy",       # rule 1 (known S-stemmer quirk)
+        "eies": "eies",         # rule 1 exception, no later rule fires? ends 'es' -> 'ees' exception -> rule 3: ends s not us/ss -> drop
+        "dishes": "dishe",      # rule 2
+        "goes": "goe",          # rule 2 exception 'oes' -> falls to rule 3
+        "trees": "tree",        # 'ees' exception -> rule 3 drops the s
+        "dogs": "dog",          # rule 3
+        "glass": "glass",       # 'ss' exception
+        "bus": "bus",           # 'us' exception
+        "cat": "cat",           # no rule
+    }
+    df = spark.createDataFrame([(w,) for w in cases], ["w"])
+    got = {r.w: r.s for r in df.select("w", s_stem("w").alias("s")).collect()}
+    # resolve the two fall-through cases per the cascade semantics
+    cases["eies"] = "eie"
+    for w, want in cases.items():
+        assert got[w] == want, (w, got[w], want)
