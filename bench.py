@@ -126,6 +126,11 @@ def main() -> None:
 
     from oakstore_spark.queries import BENCH_RETIRED
 
+    # one throwaway sentinel first: the initial Store write compiles
+    # fresh plans, which would bias sentinel_start high vs sentinel_end
+    # (measured 3.1s vs 1.6s) and mask the very signal the bracketing
+    # pair exists to expose
+    store_sentinel()
     load_start = loadavg()
     sent_start = store_sentinel()
 
