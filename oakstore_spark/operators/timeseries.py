@@ -1102,6 +1102,124 @@ def grouped_holt(
     return parted.mapInPandas(kernel, out_schema)
 
 
+def grouped_holt_winters(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-key additive Holt-Winters (level + trend + seasonal) — the
+    forecasting rung above :func:`grouped_holt` for series with a
+    repeating profile (hourly traffic, weekly sales):
+
+        pos_t = (t - 1) mod m           (the seasonal slot)
+        l_t = alpha*(x_t - s_old) + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        s_t = gamma*(x_t - l_t) + (1-gamma)*s_old
+        forecast_t = l_t + b_t + season[pos_{t+1}]
+
+    with ``s_old`` the slot's previous value.  Initialization is the
+    PINNED warm start (l_1 = x_1, b_1 = 0, all seasonal slots 0): the
+    first cycle learns the profile through the gamma updates instead
+    of a separate first-season fit — deterministic, engine-replayable,
+    and the convention an incremental/streaming deployment uses anyway
+    (textbook first-season-mean init needs a second pass over the
+    head of every series).
+
+    A THREE-state recursion with an m-slot circular buffer — no window
+    frame expresses it.  Same 100 TB shape as grouped_holt: one hash
+    shuffle on the keys + Tungsten sort, then a mapInPandas kernel
+    carrying (key, l, b, season[m], rn) across Arrow batch boundaries
+    — memory O(batch + m), never O(group).  The float tree is written
+    EXACTLY as the recursive-CTE oracle replays it (the oracle carries
+    the seasonal buffer as a LIST column, slot-updated via
+    list_slice || [s_new] || list_slice), so with dyadic smoothing
+    constants both engines agree bit-for-bit.
+
+    Returns keys + rn + (level, trend, seasonal, forecast); ``seasonal``
+    is s_t (this row's slot value after its update).
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    m = int(period)
+    order_cols = [ts_col, *(order_tiebreak or [])]
+    fields = [df.schema[k] for k in keys]
+    out_schema = T.StructType(
+        [
+            *fields,
+            T.StructField("rn", T.LongType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("seasonal", T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+    one_m_a = 1.0 - alpha
+    one_m_b = 1.0 - beta
+    one_m_g = 1.0 - gamma
+
+    def kernel(batches):
+        import pandas as pd
+
+        cur_key: tuple | None = None
+        l = b = 0.0
+        season: list[float] = [0.0] * m
+        rn = 0
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            kcols = [pdf[k].to_numpy() for k in keys]
+            x = pdf[value_col].to_numpy(dtype=float)
+            out_rn = [0] * n
+            out_l = [0.0] * n
+            out_b = [0.0] * n
+            out_s = [0.0] * n
+            out_f = [0.0] * n
+            for i in range(n):
+                key = tuple(kc[i] for kc in kcols)
+                if key != cur_key:
+                    cur_key = key
+                    l = float(x[i])
+                    b = 0.0
+                    season = [0.0] * m
+                    rn = 1
+                else:
+                    xp = float(x[i])
+                    rn += 1
+                    pos = (rn - 1) % m
+                    s_old = season[pos]
+                    l_new = alpha * (xp - s_old) + one_m_a * (l + b)
+                    b = beta * (l_new - l) + one_m_b * b
+                    s_new = gamma * (xp - l_new) + one_m_g * s_old
+                    season[pos] = s_new
+                    l = l_new
+                out_rn[i] = rn
+                out_l[i] = l
+                out_b[i] = b
+                out_s[i] = season[(rn - 1) % m]
+                out_f[i] = l + b + season[rn % m]
+            out = pdf[list(keys)].copy()
+            out["rn"] = out_rn
+            out["level"] = out_l
+            out["trend"] = out_b
+            out["seasonal"] = out_s
+            out["forecast"] = out_f
+            yield out
+
+    parted = (
+        df.select(*keys, *order_cols, value_col)
+        .repartition(*[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys, *order_cols)
+    )
+    return parted.mapInPandas(kernel, out_schema)
+
+
 def backtest_holt(
     df: DataFrame,
     ts_col: str,

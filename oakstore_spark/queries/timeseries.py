@@ -1766,3 +1766,71 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, ["user_id"], "ts", "event_type", n=3, top_k=20,
         order_tiebreak=["event_id"],
     )
+
+
+@register(
+    "q_holt_winters_user",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), rec AS (
+      SELECT user_id, rn, CAST(x AS DOUBLE) AS l,
+             CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS s_cur,
+             [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+               AS season
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn,
+             0.5 * (o.x - r.season[CAST((o.rn - 1) % 7 AS INT) + 1])
+               + 0.5 * (r.l + r.b) AS l,
+             0.25 * ((0.5 * (o.x
+                 - r.season[CAST((o.rn - 1) % 7 AS INT) + 1])
+                 + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b AS b,
+             0.5 * (o.x - (0.5 * (o.x
+                 - r.season[CAST((o.rn - 1) % 7 AS INT) + 1])
+                 + 0.5 * (r.l + r.b)))
+               + 0.5 * r.season[CAST((o.rn - 1) % 7 AS INT) + 1]
+               AS s_cur,
+             list_slice(r.season, 1, CAST((o.rn - 1) % 7 AS INT))
+               || [0.5 * (o.x - (0.5 * (o.x
+                      - r.season[CAST((o.rn - 1) % 7 AS INT) + 1])
+                      + 0.5 * (r.l + r.b)))
+                   + 0.5 * r.season[CAST((o.rn - 1) % 7 AS INT) + 1]]
+               || list_slice(r.season,
+                             CAST((o.rn - 1) % 7 AS INT) + 2, 7)
+               AS season
+      FROM ordered o JOIN rec r
+        ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, rn, l AS level, b AS trend, s_cur AS seasonal,
+           l + b + season[CAST(rn % 7 AS INT) + 1] AS forecast
+    FROM rec
+    """,
+)
+def q_holt_winters_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user additive Holt-Winters on purchase cents (level + trend
+    + 7-slot seasonal; alpha=0.5 beta=0.25 gamma=0.5 — dyadic so both
+    engines' float trees agree bit-for-bit, compared UNROUNDED;
+    operators/timeseries.grouped_holt_winters): the Spark side is the
+    three-state carry kernel with an m-slot circular buffer, the
+    oracle a recursive CTE carrying the seasonal buffer as a LIST
+    column (slot update = list_slice || [s_new] || list_slice).
+    forecast = level + trend + next slot."""
+    from oakstore_spark.operators.timeseries import grouped_holt_winters
+
+    e = table(spark, sf_dir, "events")
+    cents = e.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    out = grouped_holt_winters(
+        cents, "ts", ["user_id"], "cents",
+        alpha=0.5, beta=0.25, gamma=0.5, period=7,
+        order_tiebreak=["event_id"],
+    )
+    return out.select(
+        "user_id", "rn", "level", "trend", "seasonal", "forecast"
+    )

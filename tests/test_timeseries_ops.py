@@ -1002,3 +1002,87 @@ def test_decompose_classical_planted_zero_residuals(spark):
 
     with pytest.raises(ValueError):
         decompose_classical(df, ["k"], ["t"], "x", period=1)
+
+
+def _hw_reference(xs, alpha, beta, gamma, m):
+    out = []
+    l = float(xs[0]); b = 0.0
+    season = [0.0] * m
+    out.append((1, l, b, season[0], l + b + season[1 % m]))
+    for t in range(2, len(xs) + 1):
+        x = float(xs[t - 1])
+        pos = (t - 1) % m
+        s_old = season[pos]
+        l_new = alpha * (x - s_old) + (1 - alpha) * (l + b)
+        b = beta * (l_new - l) + (1 - beta) * b
+        s_new = gamma * (x - l_new) + (1 - gamma) * s_old
+        season[pos] = s_new
+        l = l_new
+        out.append((t, l, b, season[pos], l + b + season[t % m]))
+    return out
+
+
+def test_grouped_holt_winters_hand_recursion(spark):
+    """Bit-exact vs the hand recursion (dyadic constants) on two keys,
+    including a planted periodic series whose seasonal slots must
+    converge toward the planted profile."""
+    from oakstore_spark.operators.timeseries import grouped_holt_winters
+
+    profile = [40, 0, -40]
+    xs_a = [1000 + profile[(t - 1) % 3] for t in range(1, 31)]
+    xs_b = [500, 500, 500, 500, 500, 500]
+    rows = [("a", t, x) for t, x in enumerate(xs_a, 1)] + [
+        ("b", t, x) for t, x in enumerate(xs_b, 1)
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    got = {
+        (r.k, r.rn): r
+        for r in grouped_holt_winters(
+            df, "t", ["k"], "x", alpha=0.5, beta=0.25, gamma=0.5,
+            period=3,
+        ).collect()
+    }
+    for key, xs in (("a", xs_a), ("b", xs_b)):
+        for t, l, b, s, f in _hw_reference(xs, 0.5, 0.25, 0.5, 3):
+            r = got[(key, t)]
+            assert (r.level, r.trend, r.seasonal, r.forecast) == (
+                l, b, s, f
+            ), (key, t)
+    # constant series: level locks to the constant, trend/seasonal ~ 0
+    rb = got[("b", 6)]
+    assert abs(rb.level - 500) < 1e-9 and abs(rb.trend) < 1e-9
+    # planted profile: late seasonal slots approach the centered profile
+    late = {((t - 1) % 3): got[("a", t)].seasonal for t in (28, 29, 30)}
+    for pos, want in enumerate(profile):
+        assert abs(late[pos] - want) < 6.0, (pos, late[pos])
+
+
+def test_grouped_holt_winters_batch_carry(spark):
+    """The (l, b, season[m]) state must carry across Arrow batch
+    boundaries: a 7-row maxRecordsPerBatch run equals the default."""
+    from oakstore_spark.operators.timeseries import grouped_holt_winters
+
+    rows = [("u", t, 100 + (t * 13) % 29) for t in range(1, 40)]
+    df = spark.createDataFrame(rows, ["k", "t", "x"]).repartition(1)
+    kw = dict(alpha=0.5, beta=0.25, gamma=0.5, period=5)
+    base = {
+        r.rn: (r.level, r.trend, r.seasonal, r.forecast)
+        for r in grouped_holt_winters(df, "t", ["k"], "x", **kw).collect()
+    }
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        tiny = {
+            r.rn: (r.level, r.trend, r.seasonal, r.forecast)
+            for r in grouped_holt_winters(
+                df, "t", ["k"], "x", **kw
+            ).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+    assert tiny == base
