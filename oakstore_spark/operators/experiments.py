@@ -662,3 +662,122 @@ def msprt(
         p.alias("always_valid_p"),
         (lr >= F.lit(1.0 / float(alpha))).alias("reject"),
     )
+
+
+def msprt_curve(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    ts_col: str,
+    arm_a,
+    arm_b,
+    tau2: float = 1.0,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """The mSPRT MONITORING CURVE — :func:`msprt` evaluated at every
+    day boundary, which is what an always-valid readout is FOR: the
+    dashboard an analyst peeks at daily, where the running-minimum
+    p-value is monotone and the first boundary crossing is a valid
+    stop (Johari et al. 2017 — the sequential guarantee is over the
+    whole path, so the curve, not the final point, is the product).
+
+    Spark shape: ONE hash aggregate to the (arm, day)-sized partial
+    moment relation (exact BIGINTs, map-side combinable); cumulative
+    moments are prefix window sums of integers over the tiny day grid
+    (exact, order-free); each day's Λ is the same pinned float chain
+    as :func:`msprt`; the running-min p is a window min (exact).  At
+    100 TB the day grid stays days-sized — nothing downstream grows
+    with data.
+
+    Per day: (day, na, nb, mean_a, mean_b, theta, v, lr,
+    always_valid_p, p_running, reject_by_now).  Days where either arm
+    has n < 2 carry NULL lr/p (insufficient data; the running min
+    skips them).  ``day`` is floor(epoch_us / 86_400_000_000) — the
+    UTC day grid, engine-portable.
+    """
+    from pyspark.sql import Window as W
+
+    x = F.col(value_col).cast("bigint")
+    day = F.floor(
+        F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)
+    ).cast("bigint")
+    part = df.groupBy(
+        F.col(arm_col).alias("arm"), day.alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sx2"),
+    )
+
+    def side(arm, suf):
+        return part.where(F.col("arm") == arm).select(
+            "day",
+            F.col("n").alias(f"n_{suf}"),
+            F.col("sx").alias(f"s_{suf}"),
+            F.col("sx2").alias(f"q_{suf}"),
+        )
+
+    days = part.select("day").distinct()
+    j = (
+        days.join(side(arm_a, "a"), "day", "left")
+        .join(side(arm_b, "b"), "day", "left")
+        .select(
+            "day",
+            *[
+                F.coalesce(c, F.lit(0)).alias(c)
+                for c in ("n_a", "s_a", "q_a", "n_b", "s_b", "q_b")
+            ],
+        )
+    )
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    cum = j.select(
+        "day",
+        *[
+            F.sum(c).over(wcum).cast("bigint").alias(c[0] + c[-1])
+            for c in ("n_a", "s_a", "q_a", "n_b", "s_b", "q_b")
+        ],
+    )
+
+    def mean(s, n):
+        return F.col(s).cast("double") / F.col(n)
+
+    def var(q, s, n):
+        return F.when(
+            F.col(n) > 1,
+            (
+                F.col(q).cast("double")
+                - F.col(s).cast("double") * F.col(s) / F.col(n)
+            ) / (F.col(n) - 1),
+        )
+
+    ma, mb = mean("sa", "na"), mean("sb", "nb")
+    theta = ma - mb
+    v = var("qa", "sa", "na") / F.col("na") + var(
+        "qb", "sb", "nb"
+    ) / F.col("nb")
+    t2 = F.lit(float(tau2))
+    lr = F.when(
+        v > 0,
+        F.sqrt(v / (v + t2))
+        * F.exp(theta * theta * t2 / (2 * v * (v + t2))),
+    )
+    staged = cum.select(
+        "day", "na", "nb",
+        F.when(F.col("na") > 0, ma).alias("mean_a"),
+        F.when(F.col("nb") > 0, mb).alias("mean_b"),
+        F.when((F.col("na") > 0) & (F.col("nb") > 0), theta).alias(
+            "theta"
+        ),
+        v.alias("v"),
+        lr.alias("lr"),
+        F.least(F.lit(1.0), 1 / lr).alias("always_valid_p"),
+    )
+    wmin = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    p_run = F.min("always_valid_p").over(wmin)
+    return staged.select(
+        "*",
+        p_run.alias("p_running"),
+        (p_run <= F.lit(float(alpha))).cast("int").alias(
+            "reject_by_now"
+        ),
+    )

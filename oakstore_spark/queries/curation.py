@@ -2832,3 +2832,103 @@ def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("arm", F.col("user_id") % 2)
     out = msprt(units, "arm", "cents", 0, 1, tau2=10000.0, alpha=0.05)
     return out.withColumn("reject", F.col("reject").cast("int"))
+
+
+@register(
+    "q_msprt_curve",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id % 2 AS arm,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase'
+    ), part AS (
+      SELECT arm, day, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sx2
+      FROM obs GROUP BY arm, day
+    ), days AS (SELECT DISTINCT day FROM part
+    ), j AS (
+      SELECT d.day,
+             coalesce(a.n, 0) AS n_a, coalesce(a.sx, 0) AS s_a,
+             coalesce(a.sx2, 0) AS q_a,
+             coalesce(b.n, 0) AS n_b, coalesce(b.sx, 0) AS s_b,
+             coalesce(b.sx2, 0) AS q_b
+      FROM days d
+      LEFT JOIN part a ON a.day = d.day AND a.arm = 0
+      LEFT JOIN part b ON b.day = d.day AND b.arm = 1
+    ), cum AS (
+      SELECT day,
+             CAST(sum(n_a) OVER w AS BIGINT) AS na,
+             CAST(sum(s_a) OVER w AS BIGINT) AS sa,
+             CAST(sum(q_a) OVER w AS BIGINT) AS qa,
+             CAST(sum(n_b) OVER w AS BIGINT) AS nb,
+             CAST(sum(s_b) OVER w AS BIGINT) AS sb,
+             CAST(sum(q_b) OVER w AS BIGINT) AS qb
+      FROM j
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT day, na, nb,
+             CASE WHEN na > 0
+                  THEN CAST(sa AS DOUBLE) / na END AS mean_a,
+             CASE WHEN nb > 0
+                  THEN CAST(sb AS DOUBLE) / nb END AS mean_b,
+             CASE WHEN na > 0 AND nb > 0
+                  THEN CAST(sa AS DOUBLE) / na
+                     - CAST(sb AS DOUBLE) / nb END AS theta,
+             CASE WHEN na > 1
+                  THEN (CAST(qa AS DOUBLE)
+                        - CAST(sa AS DOUBLE) * sa / na) / (na - 1)
+                  END / na
+             + CASE WHEN nb > 1
+                    THEN (CAST(qb AS DOUBLE)
+                          - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1)
+                    END / nb AS v
+      FROM cum
+    ), l AS (
+      SELECT day, na, nb, mean_a, mean_b, theta, v,
+             CASE WHEN v > 0 THEN
+               sqrt(v / (v + 10000.0))
+               * exp(theta * theta * 10000.0
+                     / (2 * v * (v + 10000.0)))
+             END AS lr
+      FROM s
+    ), p AS (
+      SELECT day, na, nb, mean_a, mean_b, theta, v, lr,
+             least(1.0, 1 / lr) AS always_valid_p
+      FROM l
+    )
+    SELECT day, na, nb, mean_a, mean_b, theta, v, lr,
+           always_valid_p,
+           min(always_valid_p) OVER w AS p_running,
+           CAST((min(always_valid_p) OVER w) <= 0.05 AS INT)
+             AS reject_by_now
+    FROM p
+    WINDOW w AS (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+)
+def q_msprt_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mSPRT monitoring curve (operators/experiments.msprt_curve):
+    the always-valid readout evaluated at every UTC day boundary —
+    the dashboard the sequential guarantee exists for (the
+    running-minimum p is monotone; the first crossing is a valid
+    stop). Per-event purchase cents, parity arms, tau2 = 10000. One
+    hash aggregate to the (arm, day) partials; cumulative moments are
+    exact BIGINT prefix window sums over the days-sized grid; each
+    day's lambda is the pinned msprt float chain."""
+    from oakstore_spark.operators.experiments import msprt_curve
+
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    obs = e.select(
+        (F.col("user_id") % 2).alias("arm"),
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return msprt_curve(
+        obs, "arm", "cents", "ts", 0, 1, tau2=10000.0, alpha=0.05
+    ).orderBy("day")

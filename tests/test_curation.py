@@ -1229,3 +1229,58 @@ def test_msprt_aa_no_trigger_and_effect_triggers(spark):
     )
     assert r3.theta == 5.0 and r3.v == v
     assert math.isclose(r3.lr, lr, rel_tol=1e-12)
+
+
+def test_msprt_curve_aa_effect_and_final_day_consistency(spark):
+    """The curve must (a) never reject on a planted A/A, (b) reject and
+    STAY rejected (running-min monotone) once a planted effect
+    accumulates, and (c) agree bitwise with single-shot msprt on the
+    final day (identical cumulative integer moments)."""
+    import datetime as dt
+
+    from oakstore_spark.operators.experiments import msprt, msprt_curve
+
+    def ts(day, i):
+        return dt.datetime(2024, 1, 1 + day, 1, 0, i % 60)
+
+    # A/A: identical multisets per arm per day, 10 days x 70 obs
+    aa_rows = [
+        (i % 2, ts(d, i), 100 + (i % 7))
+        for d in range(10)
+        for i in range(140)
+    ]
+    aa = spark.createDataFrame(aa_rows, ["arm", "ts", "x"])
+    curve = msprt_curve(aa, "arm", "x", "ts", 0, 1, tau2=100.0).collect()
+    assert len(curve) == 10
+    assert all(r.reject_by_now == 0 for r in curve)
+    assert all(r.theta == 0.0 for r in curve)
+
+    # planted effect growing decisive: arm0 ~200, arm1 ~100
+    eff_rows = [
+        (i % 2, ts(d, i), (200 if i % 2 == 0 else 100) + (i % 5))
+        for d in range(10)
+        for i in range(60)
+    ]
+    eff = spark.createDataFrame(eff_rows, ["arm", "ts", "x"])
+    ec = sorted(
+        msprt_curve(eff, "arm", "x", "ts", 0, 1, tau2=100.0).collect(),
+        key=lambda r: r.day,
+    )
+    assert ec[-1].reject_by_now == 1
+    # monotone: once rejected, stays rejected
+    seen = 0
+    for r in ec:
+        assert r.reject_by_now >= seen
+        seen = r.reject_by_now
+    # p_running is the running min
+    run = 1.0
+    for r in ec:
+        run = min(run, r.always_valid_p)
+        assert r.p_running == run
+
+    # final-day == single-shot (identical cumulative BIGINT moments)
+    single = msprt(eff, "arm", "x", 0, 1, tau2=100.0).first()
+    last = ec[-1]
+    assert (last.na, last.nb) == (single.na, single.nb)
+    assert last.lr == single.lr
+    assert last.theta == single.theta and last.v == single.v
