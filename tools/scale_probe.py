@@ -100,6 +100,11 @@ def main() -> None:
                          "disjoint 32-cliques + pendant chains; "
                          "closed-form triangle counts and core "
                          "membership asserted exactly")
+    ap.add_argument("--rakedocs", type=int, default=0,
+                    help="RAKE keyword-extraction probe: this many "
+                         "synthetic 40-word docs (vocab includes "
+                         "stopwords so phrases really split); top-5 "
+                         "phrases per doc forced end-to-end")
     ap.add_argument("--streamrows", type=int, default=0,
                     help="also probe Structured Streaming: this many "
                          "synthetic events through a watermarked tumbling "
@@ -1262,6 +1267,56 @@ def main() -> None:
                 f"affinity probe FAILED: support {hot_rules[0].n_ab} "
                 f"!= planted {expect}"
             )
+
+    if args.rakedocs:
+        # RAKE at volume: the phrase-split regex passes + the
+        # (doc, word) stats aggregate + the fold join are the cost; the
+        # vocab plants stopwords every few positions so candidate
+        # phrases are realistic 1-4-word runs, not 40-word lines
+        nr = args.rakedocs
+        rvocab = [f"kw{i:02d}" for i in range(60)] + [
+            "the", "of", "and", "in",
+        ]
+        rarr = F.array(*[F.lit(w) for w in rvocab])
+        rdocs = spark.range(0, nr, 1, 64).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(
+                        rarr,
+                        (
+                            F.pmod(
+                                F.hash(F.col("id") * 131 + k),
+                                F.lit(len(rvocab)),
+                            )
+                            + 1
+                        ).cast("int"),
+                    )
+                    for k in range(40)
+                ],
+            ).alias("text"),
+        )
+        rdocs.persist()
+        rdocs.count()
+        from oakstore_spark.operators.text import rake_keywords
+
+        t0 = time.time()
+        rk = rake_keywords(rdocs, "doc_id", "text", top_k=5)
+        noop(rk)
+        dt = time.time() - t0
+        out["rake_sec"] = round(dt, 2)
+        out["rake_docs_per_sec"] = round(nr / dt)
+        sanity = rk.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("score").alias("smin"),
+            F.max("rank").alias("rmax"),
+        ).collect()[0]
+        assert sanity["nd"] == nr and sanity["rmax"] <= 5
+        assert sanity["smin"] > 0
+        out["rake_rows"] = float(sanity["n"])
+        rdocs.unpersist()
 
     if args.streamrows:
         # Structured Streaming at volume: watermarked tumbling-window
