@@ -781,3 +781,121 @@ def msprt_curve(
             "reject_by_now"
         ),
     )
+
+
+# floor(CDF_Poisson(lambda=1)(k) * 2^60) for k = 0..7: the integer
+# inverse-CDF thresholds the bootstrap weights are drawn through —
+# integer comparisons against a 60-bit md5 uniform are exactly
+# portable across engines (P(X > 8) ~ 1e-9 caps the chain at 8)
+_POIS1_T60 = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 100,
+    q_lo: float = 0.025,
+    q_hi: float = 0.975,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-arm mean —
+    THE distributed bootstrap (Chamandy et al. 2012, "Estimating
+    Uncertainty for Massive Data Streams"): classical resampling needs
+    the whole sample per replicate, which cannot shard; drawing each
+    unit's per-replicate multiplicity as an independent Poisson(1)
+    instead lets every replicate be computed in the SAME one pass over
+    the data (multinomial -> Poisson approximation, exact as n grows).
+    The nonparametric CI this yields is the standard fallback when the
+    metric's sampling distribution is skewed enough that the
+    normal-theory intervals (:func:`welch_ttest`,
+    :func:`ratio_metric_ci`) are suspect.
+
+    DETERMINISTIC and oracle-replayable: replicate b's weight for unit
+    u is the Poisson(1) inverse CDF evaluated at the 60-bit md5
+    uniform of "u:b" — integer threshold comparisons
+    (``_POIS1_T60``), no engine RNG; replicate means are single
+    divisions of exact BIGINT sums; the CI bounds are TYPE-1 quantiles
+    of the B replicate means (rank ``ceil(q*B)``, replicate-id
+    tiebreak), so every output value replays bit-for-bit.
+
+    Spark shape: one ``explode(sequence)`` fans each unit into its B
+    weighted copies map-side (the standard B×N bootstrap cost — B is
+    the knob), ONE hash aggregate to the (arm, B)-sized replicate
+    relation, and a rank window over that tiny relation.  Nothing
+    downstream grows with data size.
+
+    Returns one row per arm: (arm, n_units, point_mean, boot_lo,
+    boot_hi).
+    """
+    from pyspark.sql import Window as W
+
+    B = int(n_replicates)
+    if B < 4:
+        raise ValueError("n_replicates must be >= 4")
+    x = F.col(value_col).cast("bigint")
+    fanned = df.select(
+        F.col(arm_col).alias("arm"),
+        x.alias("x"),
+        F.col(id_col).cast("string").alias("_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
+    )
+    u60 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("_id"), F.col("b"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.lit(8)
+    for k in range(len(_POIS1_T60) - 1, -1, -1):
+        w = F.when(u60 < F.lit(_POIS1_T60[k]), F.lit(k)).otherwise(w)
+    reps = (
+        fanned.withColumn("w", w.cast("bigint"))
+        .groupBy("arm", "b")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("x")).alias("swx"),
+        )
+    )
+    mean_b = F.when(
+        F.col("sw") > 0, F.col("swx").cast("double") / F.col("sw")
+    )
+    wr = W.partitionBy("arm").orderBy("m", "b")
+    ranked = reps.select(
+        "arm", "b", mean_b.alias("m")
+    ).where(F.col("m").isNotNull()).select(
+        "arm", "m", F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("arm")).alias("nb"),
+    )
+    lo_rank = F.ceil(F.lit(float(q_lo)) * F.col("nb"))
+    hi_rank = F.ceil(F.lit(float(q_hi)) * F.col("nb"))
+    bounds = ranked.groupBy("arm").agg(
+        F.max(F.when(F.col("rn") == F.greatest(lo_rank, F.lit(1)),
+                     F.col("m"))).alias("boot_lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("m"))).alias(
+            "boot_hi"
+        ),
+    )
+    point = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(x).alias("_sx"),
+    )
+    return point.join(bounds, "arm").select(
+        "arm",
+        "n_units",
+        (F.col("_sx").cast("double") / F.col("n_units")).alias(
+            "point_mean"
+        ),
+        "boot_lo",
+        "boot_hi",
+    )

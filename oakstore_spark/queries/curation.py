@@ -2932,3 +2932,92 @@ def q_msprt_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return msprt_curve(
         obs, "arm", "cents", "ts", 0, 1, tau2=10000.0, alpha=0.05
     ).orderBy("day")
+
+
+@register(
+    "q_bootstrap_ci",
+    oracle="""
+    WITH units AS (
+      SELECT user_id,
+             user_id % 2 AS arm,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ), fanned AS (
+      SELECT arm, cents, user_id, b.b AS b,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                   || CAST(b.b AS VARCHAR)), 1, 15)) AS BIGINT) AS u60
+      FROM units, (SELECT range AS b FROM range(100)) b
+    ), weighted AS (
+      SELECT arm, b, cents,
+             CASE WHEN u60 < 424136118829305344 THEN 0
+                  WHEN u60 < 848272237658610688 THEN 1
+                  WHEN u60 < 1060340297073263360 THEN 2
+                  WHEN u60 < 1131029650211480960 THEN 3
+                  WHEN u60 < 1148701988496035328 THEN 4
+                  WHEN u60 < 1152236456152946176 THEN 5
+                  WHEN u60 < 1152825534095764608 THEN 6
+                  WHEN u60 < 1152909688087595776 THEN 7
+                  ELSE 8 END AS w
+      FROM fanned
+    ), reps AS (
+      SELECT arm, b, CAST(sum(w) AS BIGINT) AS sw,
+             CAST(sum(w * cents) AS BIGINT) AS swx
+      FROM weighted GROUP BY arm, b
+    ), means AS (
+      SELECT arm, b,
+             CASE WHEN sw > 0
+                  THEN CAST(swx AS DOUBLE) / sw END AS m
+      FROM reps
+    ), ranked AS (
+      SELECT arm, m,
+             row_number() OVER (PARTITION BY arm ORDER BY m, b) AS rn,
+             count(*) OVER (PARTITION BY arm) AS nb
+      FROM means WHERE m IS NOT NULL
+    ), bounds AS (
+      SELECT arm,
+             max(CASE WHEN rn = greatest(
+                   CAST(ceil(0.025 * nb) AS BIGINT), 1)
+                 THEN m END) AS boot_lo,
+             max(CASE WHEN rn = CAST(ceil(0.975 * nb) AS BIGINT)
+                 THEN m END) AS boot_hi
+      FROM ranked GROUP BY arm
+    ), point AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(cents) AS BIGINT) AS sx
+      FROM units GROUP BY arm
+    )
+    SELECT p.arm, p.n_units,
+           CAST(sx AS DOUBLE) / n_units AS point_mean,
+           boot_lo, boot_hi
+    FROM point p JOIN bounds USING (arm)
+    ORDER BY arm
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for per-arm mean purchase cents
+    (operators/experiments.poisson_bootstrap_ci, Chamandy et al.
+    2012): 100 replicates whose per-unit multiplicities are the
+    Poisson(1) inverse CDF at a 60-bit md5 uniform — deterministic,
+    engine-portable integer threshold comparisons, so DuckDB replays
+    every replicate mean (exact BIGINT sums, one division) and both
+    type-1 quantile bounds bit-for-bit. One explode + one hash
+    aggregate to the (arm, 100) relation; nothing grows with data."""
+    from oakstore_spark.operators.experiments import poisson_bootstrap_ci
+
+    e = table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("cents"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    return poisson_bootstrap_ci(
+        units, "arm", "cents", "user_id", n_replicates=100
+    ).orderBy("arm")

