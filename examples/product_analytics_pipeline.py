@@ -121,6 +121,53 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     ).collect():
         print(f"  {r.path} x{r.n_occurrences}")
 
+    # 4c. Uncertainty + sequential readouts (NEW r11): the delta-method
+    # CI for the ratio metric an experimenter actually ships
+    # (revenue-per-event), the peek-proof mSPRT decision and its
+    # day-by-day monitoring curve, and the Poisson-bootstrap CI as the
+    # nonparametric cross-check for the skewed spend metric
+    from oakstore_spark.operators.experiments import (
+        msprt,
+        msprt_curve,
+        poisson_bootstrap_ci,
+        ratio_metric_ci,
+    )
+
+    ue = units.join(
+        e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events")),
+        "user_id",
+    )
+    for r in ratio_metric_ci(
+        ue, "arm", "spend", "n_events"
+    ).orderBy("arm").collect():
+        print(
+            f"  arm {r.arm}: rev/event {r.ratio:.2f} "
+            f"[{r.ci_lo:.2f}, {r.ci_hi:.2f}]"
+        )
+    m = msprt(units, "arm", "spend", 0, 1, tau2=10000.0).collect()[0]
+    print(
+        f"msprt lr={m.lr:.3f} always-valid p={m.always_valid_p:.3f} "
+        f"reject={m.reject}"
+    )
+    curve = msprt_curve(
+        e.where(purchase).select(
+            (F.col("user_id") % 2).alias("arm"), "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        ),
+        "arm", "cents", "ts", 0, 1, tau2=10000.0,
+    ).orderBy("day").collect()
+    print(
+        "msprt curve: "
+        + " ".join(f"{r.p_running:.2f}" for r in curve[-5:])
+    )
+    for r in poisson_bootstrap_ci(
+        units, "arm", "spend", "user_id", n_replicates=50
+    ).orderBy("arm").collect():
+        print(
+            f"  arm {r.arm}: bootstrap mean {r.point_mean:.1f} "
+            f"[{r.boot_lo:.1f}, {r.boot_hi:.1f}]"
+        )
+
     # 5. Kaplan-Meier: days from first event to first big purchase,
     # censored at last activity
     big = F.when(purchase & (F.col("value") > 200), F.col("ts"))
