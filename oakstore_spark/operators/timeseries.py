@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 
 def resample(
@@ -1565,4 +1566,109 @@ def top_event_paths(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("path"))
         .limit(top_k)
+    )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    windows: tuple[int, int] = (7, 28),
+) -> DataFrame:
+    """DAU / WAU / MAU + stickiness — the canonical product-analytics
+    activity readout (how many distinct users were active in the
+    trailing 1 / w1 / w2 days, per day, and DAU/MAU as the stickiness
+    ratio).
+
+    Rolling COUNT DISTINCT has no window-function form; the naive
+    day-grid × activity range join fans every user-day out w× (ruinous
+    at a 28-day window over 100 TB).  This uses the exact
+    interval-difference trick instead: on the distinct (user, day)
+    relation, a user covers the day interval
+    ``[a, min(next_activity, a + w) - 1]`` for each activity day a —
+    the union of those intervals is exactly the days the user counts
+    toward the w-day active set, and they are disjoint BY CONSTRUCTION
+    (each ends before the next activity).  So the per-day active count
+    is a +1/-1 difference array: one lag window per user, one tiny
+    per-day delta aggregate, one prefix sum over the day grid — all
+    exact integers, O(activity) work, no fan-out.
+
+    Returns (day, dau, wau, mau, stickiness) for every day in
+    [min activity day, max activity day]; ``day`` is
+    floor(epoch_us / 86_400_000_000) (UTC grid), wau/mau are the
+    ``windows`` pair, stickiness = dau/mau (one pinned division).
+    Early days count over the clipped window (the data's own start).
+    """
+    from pyspark.sql import Window as W
+
+    w1, w2 = int(windows[0]), int(windows[1])
+    day = F.floor(
+        F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)
+    ).cast("bigint")
+    ud = df.select(
+        F.col(user_col).alias("u"), day.alias("day")
+    ).distinct()
+    ud = ud.persist(StorageLevel.MEMORY_AND_DISK)
+    mm = ud.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).collect()[0]
+    if mm["lo"] is None:
+        schema = (
+            "day bigint, dau bigint, wau bigint, mau bigint, "
+            "stickiness double"
+        )
+        return df.sparkSession.createDataFrame([], schema)
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    grid = df.sparkSession.range(lo, hi + 1).select(
+        F.col("id").alias("day")
+    )
+    wlead = W.partitionBy("u").orderBy("day")
+    sentinel = hi + 1  # beyond the grid == "never again"
+
+    def window_counts(w: int, out: str) -> DataFrame:
+        nxt = F.coalesce(
+            F.lead("day").over(wlead), F.lit(sentinel)
+        )
+        end = F.least(nxt, F.col("day") + w)
+        deltas = (
+            ud.select("day", F.lit(1).alias("d"))
+            .unionByName(
+                ud.select(end.alias("day"), F.lit(-1).alias("d"))
+            )
+            .groupBy("day")
+            .agg(F.sum("d").alias("d"))
+        )
+        wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+        return (
+            grid.join(deltas, "day", "left")
+            .select("day", F.coalesce("d", F.lit(0)).alias("d"))
+            .select(
+                "day",
+                F.sum("d").over(wcum).cast("bigint").alias(out),
+            )
+        )
+
+    dau = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    out = (
+        grid.join(dau, "day", "left")
+        .select("day", F.coalesce("dau", F.lit(0)).alias("dau"))
+        .join(window_counts(w1, "wau"), "day")
+        .join(window_counts(w2, "mau"), "day")
+    )
+    from oakstore_spark.operators.scaling import track_persisted
+
+    return track_persisted(
+        out.select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.when(
+                F.col("mau") > 0,
+                F.col("dau").cast("double") / F.col("mau"),
+            ).alias("stickiness"),
+        ),
+        ud,
     )

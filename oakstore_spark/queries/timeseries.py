@@ -1834,3 +1834,45 @@ def q_holt_winters_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "rn", "level", "trend", "seasonal", "forecast"
     )
+
+
+@register(
+    "q_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series((SELECT min(day) FROM ud),
+                                    (SELECT max(day) FROM ud))) AS day
+    ), m AS (
+      SELECT g.day,
+             CAST(count(DISTINCT CASE WHEN ud.day = g.day
+                  THEN u END) AS BIGINT) AS dau,
+             CAST(count(DISTINCT CASE WHEN ud.day >= g.day - 6
+                  THEN u END) AS BIGINT) AS wau,
+             CAST(count(DISTINCT u) AS BIGINT) AS mau
+      FROM grid g JOIN ud
+        ON ud.day BETWEEN g.day - 27 AND g.day
+      GROUP BY g.day
+    )
+    SELECT day, dau, wau, mau,
+           CASE WHEN mau > 0
+                THEN CAST(dau AS DOUBLE) / mau END AS stickiness
+    FROM m ORDER BY day
+    """,
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU + stickiness
+    (operators/timeseries.rolling_active_users): per UTC day, distinct
+    users active in the trailing 1/7/28 days. The Spark side uses the
+    exact interval-difference trick (one lag window + a per-day delta
+    aggregate + a prefix sum — O(activity), no w-times fan-out join);
+    the oracle brute-forces the same counts with a range join, so the
+    check is algorithm-independent. All counts exact integers;
+    stickiness one pinned division."""
+    from oakstore_spark.operators.timeseries import rolling_active_users
+
+    e = table(spark, sf_dir, "events")
+    return rolling_active_users(e, "user_id", "ts").orderBy("day")

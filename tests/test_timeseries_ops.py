@@ -1086,3 +1086,47 @@ def test_grouped_holt_winters_batch_carry(spark):
                 "spark.sql.execution.arrow.maxRecordsPerBatch", old
             )
     assert tiny == base
+
+
+def test_rolling_active_users_vs_brute(spark):
+    """The interval-difference trick must equal brute-force rolling
+    distinct counts, including gap days with zero activity and
+    re-activations inside/outside the window."""
+    import datetime as dt
+
+    from oakstore_spark.operators.timeseries import rolling_active_users
+
+    def ts(day):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=day)
+
+    # u1 active d0..d2, then d20; u2 every 3rd day; u3 only d10
+    acts = (
+        [("u1", d) for d in (0, 1, 2, 20)]
+        + [("u2", d) for d in range(0, 30, 3)]
+        + [("u3", 10)]
+    )
+    df = spark.createDataFrame(
+        [(u, ts(d)) for u, d in acts], ["user_id", "ts"]
+    )
+    got = {
+        r.day: r
+        for r in rolling_active_users(
+            df, "user_id", "ts", windows=(7, 28)
+        ).collect()
+    }
+    base = min(got)
+    days = {u: {d for uu, d in acts if uu == u} for u in ("u1", "u2", "u3")}
+    assert len(got) == 28  # d0..d27 inclusive grid (max activity = 27)
+    for day in got:
+        d = day - base
+        dau = sum(1 for u in days if d in days[u])
+        wau = sum(
+            1 for u in days if any(d - 6 <= a <= d for a in days[u])
+        )
+        mau = sum(
+            1 for u in days if any(d - 27 <= a <= d for a in days[u])
+        )
+        r = got[day]
+        assert (r.dau, r.wau, r.mau) == (dau, wau, mau), (d, r)
+        if mau:
+            assert r.stickiness == dau / mau
