@@ -652,3 +652,74 @@ def connected_components(
         F.col("id").alias("node"),
         F.col("cluster_id").alias("component_id"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) — the near-linear-time community primitive
+    next to :func:`connected_components` (which ignores edge density;
+    LPA splits a connected graph along its dense cores).
+
+    DETERMINISTIC variant: every node starts labeled with its own id;
+    each synchronous round every node adopts the most frequent label
+    among its NEIGHBORS, ties broken by the SMALLEST label (the
+    classic random tie-break would not replay).  Runs a FIXED
+    ``n_rounds`` — synchronous LPA can oscillate on bipartite
+    structures, so a fixed budget (plus inspecting label stability
+    across two round counts) is the honest contract; an oracle replays
+    the identical rounds as chained CTEs.
+
+    Spark shape per round: one join (edges pre-partitioned + persisted
+    on src, labels come out of a groupBy with the same partitioning) +
+    one (node, label) hash count + one argmax window; the label
+    relation localCheckpoints each round (lineage stays O(1) — the
+    connected_components lesson).  Returns (node, community) after the
+    final round.
+    """
+    from pyspark.sql import Window as W
+
+    raw = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    und = (
+        raw.unionByName(
+            raw.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    w = W.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lab").asc()
+    )
+    for _ in range(int(n_rounds)):
+        msgs = und.join(labels, und["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "lab"
+        )
+        counts = msgs.groupBy("node", "lab").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=True)
+        )
+    out = labels.select("node", F.col("lab").alias("community"))
+    from oakstore_spark.operators.scaling import track_persisted
+
+    return track_persisted(out, und)

@@ -597,3 +597,79 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         edges, driver_cc_max_edges=0
     ).orderBy("node")
+
+
+@register(
+    "q_label_propagation",
+    oracle="""
+    WITH cl AS (
+      SELECT a.range + b.blk * 8 AS x, b2.range + b.blk * 8 AS y
+      FROM range(8) a, range(8) b2(range),
+           (SELECT range AS blk FROM range(2)) b
+      WHERE a.range < b2.range
+    ), comp_edges AS (
+      SELECT x AS src, y AS dst FROM cl
+      UNION ALL SELECT 7, 8
+      UNION ALL
+      SELECT 20 + range, 21 + range FROM range(4)
+    ), und AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM comp_edges
+        UNION ALL SELECT dst, src FROM comp_edges
+      ) WHERE src != dst
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS lab FROM und
+    ), c1 AS (
+      SELECT e.dst AS node, l.lab, count(*) AS c
+      FROM und e JOIN l0 l ON l.node = e.src
+      GROUP BY e.dst, l.lab
+    ), l1 AS (
+      SELECT node, lab FROM (
+        SELECT node, lab, row_number() OVER (
+          PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c1
+      ) WHERE rn = 1
+    ), c2 AS (
+      SELECT e.dst AS node, l.lab, count(*) AS c
+      FROM und e JOIN l1 l ON l.node = e.src
+      GROUP BY e.dst, l.lab
+    ), l2 AS (
+      SELECT node, lab FROM (
+        SELECT node, lab, row_number() OVER (
+          PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c2
+      ) WHERE rn = 1
+    ), c3 AS (
+      SELECT e.dst AS node, l.lab, count(*) AS c
+      FROM und e JOIN l2 l ON l.node = e.src
+      GROUP BY e.dst, l.lab
+    ), l3 AS (
+      SELECT node, lab FROM (
+        SELECT node, lab, row_number() OVER (
+          PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c3
+      ) WHERE rn = 1
+    )
+    SELECT node, CAST(lab AS BIGINT) AS community
+    FROM l3 ORDER BY node
+    """,
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (operators/graph.label_propagation): two 8-cliques joined by one
+    bridge edge plus a 5-node path, three fixed rounds — the cliques
+    must resolve to single communities despite the bridge (density
+    wins where connected-components would merge everything). The
+    oracle replays the identical rounds as chained CTEs (the k-core
+    pattern); min-label tie-break makes every round engine-exact."""
+    from oakstore_spark.operators.graph import label_propagation
+
+    import itertools
+
+    clique_edges = [
+        (a + blk * 8, b + blk * 8)
+        for blk in range(2)
+        for a, b in itertools.combinations(range(8), 2)
+    ]
+    path_edges = [(20 + i, 21 + i) for i in range(4)]
+    edges = spark.createDataFrame(
+        clique_edges + [(7, 8)] + path_edges, "src long, dst long"
+    )
+    return label_propagation(edges, n_rounds=3).orderBy("node")

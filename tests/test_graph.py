@@ -415,3 +415,34 @@ def test_connected_components_paths_and_parity(spark):
         ).collect()
     }
     assert early[115] != 100
+
+
+def test_label_propagation_cliques_and_determinism(spark):
+    """Two cliques with a bridge resolve to two communities (density
+    wins where CC would merge); repeated runs identical; the path
+    collapses toward its min label."""
+    import itertools
+
+    from oakstore_spark.operators.graph import label_propagation
+
+    clique_edges = [
+        (a + blk * 10, b + blk * 10)
+        for blk in range(2)
+        for a, b in itertools.combinations(range(6), 2)
+    ]
+    edges = spark.createDataFrame(
+        clique_edges + [(5, 10)], "src long, dst long"
+    )
+    got1 = {
+        r.node: r.community
+        for r in label_propagation(edges, n_rounds=4).collect()
+    }
+    got2 = {
+        r.node: r.community
+        for r in label_propagation(edges, n_rounds=4).collect()
+    }
+    assert got1 == got2
+    ca = {got1[n] for n in range(6)}
+    cb = {got1[n] for n in range(10, 16)}
+    assert len(ca) == 1 and len(cb) == 1
+    assert ca != cb  # the bridge must NOT merge the cliques
