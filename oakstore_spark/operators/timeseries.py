@@ -1518,6 +1518,70 @@ def decompose_classical(
     )
 
 
+def seasonal_anomalies(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    period: int,
+    k: float = 3.0,
+) -> DataFrame:
+    """Seasonality-aware anomaly detection — the composition the
+    decomposition exists for: flag points whose
+    :func:`decompose_classical` RESIDUAL deviates from the per-key
+    residual median by more than ``k`` robust-MAD units.  A plain
+    z-score on the raw series flags every seasonal peak; detrending +
+    deseasonalizing first means only genuinely unexplained points
+    fire, and MAD (not stddev) keeps one true outlier from masking
+    the others.
+
+    Exactness contract: residuals are pinned float chains
+    (decompose_classical), and median / MAD are TYPE-1 order
+    statistics (value at rank ceil(n/2), rn-tiebroken) — pure
+    SELECTION, no averaging — so the flag threshold ``dev > k·mad``
+    replays bit-for-bit.  MAD = 0 (at least half the residuals equal
+    the median) degenerates to flagging every nonzero deviation —
+    documented, the standard hazard of MAD on discrete data.
+
+    Spark shape: the decomposition's one window pass + profile join,
+    then two rank windows on the same key partitioning and two
+    keys-sized median joins.  Returns keys + (rn, x, residual,
+    med_resid, mad_resid, is_anomaly 0/1) over the full-window rows.
+    """
+    d = decompose_classical(
+        df, keys, order_cols, value_col, period
+    ).where(F.col("residual").isNotNull())
+    w1 = W.partitionBy(*keys).orderBy("residual", "rn")
+    wn = W.partitionBy(*keys)
+    ranked = d.select(
+        *keys, "rn", "x", "residual",
+        F.row_number().over(w1).alias("_r1"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    med = ranked.where(
+        F.col("_r1") == F.ceil(F.col("_n") / 2)
+    ).select(*keys, F.col("residual").alias("med_resid"))
+    j = ranked.join(med, list(keys)).withColumn(
+        "_dev", F.abs(F.col("residual") - F.col("med_resid"))
+    )
+    w2 = W.partitionBy(*keys).orderBy("_dev", "rn")
+    staged = j.withColumn("_r2", F.row_number().over(w2))
+    mad = staged.where(
+        F.col("_r2") == F.ceil(F.col("_n") / 2)
+    ).select(*keys, F.col("_dev").alias("mad_resid"))
+    return staged.join(mad, list(keys)).select(
+        *keys,
+        "rn",
+        "x",
+        "residual",
+        "med_resid",
+        "mad_resid",
+        (F.col("_dev") > F.lit(float(k)) * F.col("mad_resid"))
+        .cast("int")
+        .alias("is_anomaly"),
+    )
+
+
 def top_event_paths(
     df: DataFrame,
     keys: list[str],

@@ -1876,3 +1876,96 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     return rolling_active_users(e, "user_id", "ts").orderBy("day")
+
+
+@register(
+    "q_seasonal_anomalies",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), win AS (
+      SELECT user_id, rn, (rn - 1) % 12 AS period_pos, x,
+             sum(x) OVER (PARTITION BY user_id ORDER BY rn
+                          ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+               AS sa,
+             count(x) OVER (PARTITION BY user_id ORDER BY rn
+                            ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+               AS ca,
+             sum(x) OVER (PARTITION BY user_id ORDER BY rn
+                          ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+               AS sb
+      FROM ordered
+    ), staged AS (
+      SELECT user_id, rn, period_pos, x,
+             CASE WHEN ca = 13
+                  THEN CAST(24 * x - (sa + sb) AS BIGINT) END AS sd
+      FROM win
+    ), prof AS (
+      SELECT user_id, period_pos,
+             CAST(sum(sd) AS BIGINT) AS sp,
+             CAST(count(sd) AS BIGINT) AS np
+      FROM staged GROUP BY user_id, period_pos
+      HAVING count(sd) > 0
+    ), tot AS (
+      SELECT user_id, CAST(sum(sp) AS BIGINT) AS st,
+             CAST(sum(np) AS BIGINT) AS nt
+      FROM prof GROUP BY user_id
+    ), prof2 AS (
+      SELECT p.user_id, p.period_pos,
+             CAST(sp AS DOUBLE) / (24 * np)
+               - CAST(st AS DOUBLE) / (24 * nt) AS seasonal
+      FROM prof p JOIN tot t ON p.user_id = t.user_id
+    ), resid AS (
+      SELECT s.user_id, s.rn, s.x,
+             CAST(sd AS DOUBLE) / 24 - p.seasonal AS residual
+      FROM staged s JOIN prof2 p
+        ON s.user_id = p.user_id AND s.period_pos = p.period_pos
+      WHERE sd IS NOT NULL
+    ), r1 AS (
+      SELECT user_id, rn, x, residual,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY residual, rn) AS rr,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM resid
+    ), med AS (
+      SELECT user_id, residual AS med_resid FROM r1
+      WHERE rr = CAST(ceil(n / 2) AS BIGINT)
+    ), r2 AS (
+      SELECT a.user_id, a.rn, a.x, a.residual, m.med_resid, a.n,
+             abs(a.residual - m.med_resid) AS dev,
+             row_number() OVER (PARTITION BY a.user_id
+               ORDER BY abs(a.residual - m.med_resid), a.rn) AS rr2
+      FROM r1 a JOIN med m ON a.user_id = m.user_id
+    ), mad AS (
+      SELECT user_id, dev AS mad_resid FROM r2
+      WHERE rr2 = CAST(ceil(n / 2) AS BIGINT)
+    )
+    SELECT r.user_id, r.rn, r.x, r.residual, r.med_resid,
+           d.mad_resid,
+           CAST(r.dev > 3.0 * d.mad_resid AS INT) AS is_anomaly
+    FROM r2 r JOIN mad d ON r.user_id = d.user_id
+    ORDER BY r.user_id, r.rn
+    """,
+)
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly flags
+    (operators/timeseries.seasonal_anomalies): per-user event cents
+    through the period-12 classical decomposition, then MAD-gated
+    residual deviations (k=3) — a plain z-score would flag every
+    seasonal peak; here only unexplained points fire. Median and MAD
+    are type-1 order statistics (pure selection, rn-tiebroken), so
+    the whole flag relation replays bit-for-bit."""
+    from oakstore_spark.operators.timeseries import seasonal_anomalies
+
+    e = table(spark, sf_dir, "events")
+    cents = e.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return seasonal_anomalies(
+        cents, ["user_id"], ["ts", "event_id"], "cents", period=12,
+        k=3.0,
+    ).orderBy("user_id", "rn")

@@ -1130,3 +1130,48 @@ def test_rolling_active_users_vs_brute(spark):
         assert (r.dau, r.wau, r.mau) == (dau, wau, mau), (d, r)
         if mau:
             assert r.stickiness == dau / mau
+
+
+def test_seasonal_anomalies_planted_spike(spark):
+    """Noisy trend+profile series with ONE huge planted spike: the
+    spike flags with the maximal deviation; rows outside both the
+    spike's MA window and its period slot stay quiet (the leak into
+    those two neighborhoods is inherent to decomposition, not a bug);
+    a clean series (MAD=0 degeneration) flags nothing."""
+    from oakstore_spark.operators.timeseries import seasonal_anomalies
+
+    prof = [20, -10, 0, 30, -40]
+    rows = []
+    for t in range(1, 45):
+        noise = (t * 7) % 5 - 2  # small deterministic jitter
+        x = 10 * t + prof[(t - 1) % 5] + noise
+        if t == 22:
+            x += 10_000  # the anomaly
+        rows.append(("a", t, x))
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    out = {
+        r.rn: r
+        for r in seasonal_anomalies(
+            df, ["k"], ["t"], "x", period=5, k=3.0
+        ).collect()
+    }
+    flagged = {rn for rn, r in out.items() if r.is_anomaly == 1}
+    assert 22 in flagged
+    # the spike carries the max |residual - med|
+    devs = {rn: abs(r.residual - r.med_resid) for rn, r in out.items()}
+    assert max(devs, key=devs.get) == 22
+    # rows outside the spike's MA window (|t-22| > 2) AND period slot
+    # ((t-1)%5 != 1) must stay quiet
+    for rn in flagged:
+        assert abs(rn - 22) <= 2 or (rn - 1) % 5 == 1, rn
+
+    # clean series: every residual identical (zero) -> MAD 0 -> no row
+    # has dev > 0 -> nothing flags
+    clean = spark.createDataFrame(
+        [("c", t, 10 * t + prof[(t - 1) % 5]) for t in range(1, 45)],
+        ["k", "t", "x"],
+    )
+    cout = seasonal_anomalies(
+        clean, ["k"], ["t"], "x", period=5, k=3.0
+    ).collect()
+    assert all(r.is_anomaly == 0 for r in cout)
