@@ -65,6 +65,12 @@ _SOURCES: dict[str, str] = {}  # name -> registering module.qualname
 #   q_deseasonalize_hourly — periodic-profile agg + broadcast join is
 #                          a strict subset of q_decompose_trend's
 #                          window + profile + join shape
+#   q_decompose_trend    — the decomposition window+profile+join shape
+#                          is timed inside q_seasonal_anomalies (same
+#                          chain + two median rank windows)
+#   q_holt_user          — two-state carry kernel; the three-state
+#                          superset q_holt_winters_user times the
+#                          identical repartition+sort+mapInPandas shape
 BENCH_RETIRED: set[str] = {
     "q_bm25_topk",
     "q_langid_ct",
@@ -86,6 +92,8 @@ BENCH_RETIRED: set[str] = {
     "q_msprt",
     "q_holt_backtest",
     "q_deseasonalize_hourly",
+    "q_decompose_trend",
+    "q_holt_user",
 }
 
 
