@@ -899,3 +899,93 @@ def poisson_bootstrap_ci(
         "boot_lo",
         "boot_hi",
     )
+
+
+def covariate_balance(
+    df: DataFrame,
+    arm_col: str,
+    covariate_cols: list[str],
+    arm_a,
+    arm_b,
+) -> DataFrame:
+    """Covariate balance check — the design-side companion of
+    :func:`srm_check`: randomization should equalize PRE-treatment
+    covariates across arms, and the standardized mean difference
+
+        smd = (mean_a - mean_b) / sqrt((var_a + var_b) / 2)
+
+    per covariate is the standard readout (|smd| < 0.1 = balanced —
+    the epidemiology/trials rule of thumb).  An imbalanced covariate
+    means assignment is broken or the analysis needs adjustment
+    (CUPED / stratification); run this BEFORE reading any metric,
+    next to the SRM gate.
+
+    Spark shape: ONE wide hash aggregate computes every covariate's
+    per-arm exact BIGINT moments in a single corpus pass (covariates
+    must be integer-valued — cents/counts/flags); the per-covariate
+    rows come from a literal-sized unpivot of that 1-row relation.
+    Every statistic is a pinned float chain — oracle-replayable.
+
+    Returns one row per covariate: (covariate, n_a, n_b, mean_a,
+    mean_b, var_a, var_b, smd); smd NULL when both variances are 0.
+    """
+    a = F.col(arm_col) == arm_a
+    b = F.col(arm_col) == arm_b
+    aggs = []
+    for c in covariate_cols:
+        x = F.col(c).cast("bigint")
+        aggs += [
+            F.sum(F.when(a, 1).otherwise(0)).alias(f"na_{c}"),
+            F.sum(F.when(a, x)).alias(f"sa_{c}"),
+            F.sum(F.when(a, x * x)).alias(f"qa_{c}"),
+            F.sum(F.when(b, 1).otherwise(0)).alias(f"nb_{c}"),
+            F.sum(F.when(b, x)).alias(f"sb_{c}"),
+            F.sum(F.when(b, x * x)).alias(f"qb_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    fields = ("covariate", "n_a", "sa", "qa", "n_b", "sb", "qb")
+    rows = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("covariate"),
+                        F.col(f"na_{c}").cast("bigint").alias("n_a"),
+                        F.col(f"sa_{c}").cast("bigint").alias("sa"),
+                        F.col(f"qa_{c}").cast("bigint").alias("qa"),
+                        F.col(f"nb_{c}").cast("bigint").alias("n_b"),
+                        F.col(f"sb_{c}").cast("bigint").alias("sb"),
+                        F.col(f"qb_{c}").cast("bigint").alias("qb"),
+                    )
+                    for c in covariate_cols
+                ]
+            ).alias("s")
+        ).alias("s")
+    ).select(*[F.col("s").getField(f).alias(f) for f in fields])
+
+    def mean(s, n):
+        return F.col(s).cast("double") / F.col(n)
+
+    def var(q, s, n):
+        return F.when(
+            F.col(n) > 1,
+            (
+                F.col(q).cast("double")
+                - F.col(s).cast("double") * F.col(s) / F.col(n)
+            ) / (F.col(n) - 1),
+        )
+
+    ma, mb = mean("sa", "n_a"), mean("sb", "n_b")
+    va, vb = var("qa", "sa", "n_a"), var("qb", "sb", "n_b")
+    pooled = (va + vb) / 2
+    smd = F.when(pooled > 0, (ma - mb) / F.sqrt(pooled))
+    return rows.select(
+        "covariate",
+        "n_a",
+        "n_b",
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        va.alias("var_a"),
+        vb.alias("var_b"),
+        smd.alias("smd"),
+    )

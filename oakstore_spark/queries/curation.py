@@ -3021,3 +3021,99 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_ci(
         units, "arm", "cents", "user_id", n_replicates=100
     ).orderBy("arm")
+
+
+@register(
+    "q_covariate_balance",
+    oracle="""
+    WITH units AS (
+      SELECT user_id % 2 AS arm,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  AND ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS pre_cents,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+               AS n_active_days
+      FROM events GROUP BY user_id
+    ), wide AS (
+      SELECT c.covariate,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 0 THEN
+                  CASE c.covariate WHEN 'pre_cents' THEN pre_cents
+                       WHEN 'n_events' THEN n_events
+                       ELSE n_active_days END END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN arm = 0 THEN
+                  CASE c.covariate WHEN 'pre_cents'
+                         THEN pre_cents * pre_cents
+                       WHEN 'n_events' THEN n_events * n_events
+                       ELSE n_active_days * n_active_days END END)
+                  AS BIGINT) AS qa,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN arm = 1 THEN
+                  CASE c.covariate WHEN 'pre_cents' THEN pre_cents
+                       WHEN 'n_events' THEN n_events
+                       ELSE n_active_days END END) AS BIGINT) AS sb,
+             CAST(sum(CASE WHEN arm = 1 THEN
+                  CASE c.covariate WHEN 'pre_cents'
+                         THEN pre_cents * pre_cents
+                       WHEN 'n_events' THEN n_events * n_events
+                       ELSE n_active_days * n_active_days END END)
+                  AS BIGINT) AS qb
+      FROM units,
+           (SELECT unnest(['pre_cents', 'n_events', 'n_active_days'])
+              AS covariate) c
+      GROUP BY c.covariate
+    ), s AS (
+      SELECT covariate, n_a, n_b,
+             CAST(sa AS DOUBLE) / n_a AS mean_a,
+             CAST(sb AS DOUBLE) / n_b AS mean_b,
+             CASE WHEN n_a > 1
+                  THEN (CAST(qa AS DOUBLE)
+                        - CAST(sa AS DOUBLE) * sa / n_a) / (n_a - 1)
+                  END AS var_a,
+             CASE WHEN n_b > 1
+                  THEN (CAST(qb AS DOUBLE)
+                        - CAST(sb AS DOUBLE) * sb / n_b) / (n_b - 1)
+                  END AS var_b
+      FROM wide
+    )
+    SELECT covariate, n_a, n_b, mean_a, mean_b, var_a, var_b,
+           CASE WHEN (var_a + var_b) / 2 > 0
+                THEN (mean_a - mean_b) / sqrt((var_a + var_b) / 2)
+                END AS smd
+    FROM s ORDER BY covariate
+    """,
+)
+def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance / SMD check
+    (operators/experiments.covariate_balance): pre-period purchase
+    cents, event count and active days per user against the parity
+    arms — the randomization design check run next to the SRM gate
+    (|smd| < 0.1 = balanced). ONE wide hash aggregate computes all
+    three covariates' per-arm BIGINT moments in a single pass; the
+    per-covariate rows are a literal-sized unpivot."""
+    from oakstore_spark.operators.experiments import covariate_balance
+
+    e = table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") < F.lit("2024-01-16").cast("timestamp")),
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("pre_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.col("ts").cast("date")).alias(
+            "n_active_days"
+        ),
+    ).withColumn("arm", F.col("user_id") % 2)
+    return covariate_balance(
+        units, "arm", ["pre_cents", "n_events", "n_active_days"], 0, 1
+    ).orderBy("covariate")

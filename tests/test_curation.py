@@ -1321,3 +1321,37 @@ def test_poisson_bootstrap_ci_properties(spark):
 
     with pytest.raises(ValueError):
         poisson_bootstrap_ci(df, "arm", "x", "uid", n_replicates=3)
+
+
+def test_covariate_balance_hand_and_imbalance(spark):
+    """Balanced arms read |smd| ~ 0; a planted shifted covariate reads
+    the hand-computed SMD; zero-variance covariates yield NULL."""
+    from oakstore_spark.operators.experiments import covariate_balance
+
+    rows = []
+    for i in range(400):
+        arm = i % 2
+        base = (i // 2) % 10  # identical multiset in both arms
+        shifted = base + (5 if arm == 0 else 0)  # planted imbalance
+        const = 7             # zero variance
+        rows.append((arm, base, shifted, const))
+    df = spark.createDataFrame(rows, ["arm", "bal", "shifted", "const"])
+    out = {
+        r.covariate: r
+        for r in covariate_balance(
+            df, "arm", ["bal", "shifted", "const"], 0, 1
+        ).collect()
+    }
+    assert out["bal"].smd == 0.0
+    # hand SMD: means differ by exactly 5, var identical per arm
+    import math
+
+    vals = [(i // 2) % 10 for i in range(0, 400, 2)]
+    n, s, q = 200, sum(vals), sum(v * v for v in vals)
+    var = (q - s * s / n) / (n - 1)
+    assert math.isclose(
+        out["shifted"].smd, 5 / math.sqrt((var + var) / 2),
+        rel_tol=1e-12,
+    )
+    assert out["const"].smd is None
+    assert out["bal"].n_a == 200 and out["bal"].n_b == 200
