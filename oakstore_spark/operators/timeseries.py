@@ -1292,6 +1292,83 @@ def backtest_holt(
     )
 
 
+def conformal_holt_interval(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    alpha_smooth: float,
+    beta_smooth: float,
+    miscoverage: float = 0.1,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Split-conformal prediction interval for the NEXT step of each
+    key's :func:`grouped_holt` forecast — distribution-free coverage
+    (Vovk et al.; Papadopoulos et al. 2002): the historical one-step
+    absolute errors are the calibration scores, and
+
+        q = the ceil((1 - miscoverage) * (n_cal + 1))-th smallest score
+
+    gives  P(|next error| <= q) >= 1 - miscoverage  with NO
+    distributional assumption on the series — the honest uncertainty
+    band a Gaussian +-z*sigma pretends to be.  Rank clipped to n_cal
+    (tiny histories yield the max error, conservatively).
+
+    Exactness contract: scores are the same half-up-quantized integer
+    errors as :func:`backtest_holt`, the quantile is a TYPE-1 order
+    statistic (rank selection, rn-tiebroken), and the interval is the
+    last row's forecast +- q — every output replays bit-for-bit.
+
+    Spark shape: the single-shuffle carry kernel (backtest columns
+    ride along), one rank window per key, two keys-sized selections.
+    Returns one row per key: (keys, n_cal, q_err, forecast_next, lo,
+    hi).  Keys with < 1 calibration row are dropped.
+    """
+    h = grouped_holt(
+        df, ts_col, keys, value_col, alpha_smooth, beta_smooth,
+        order_tiebreak=order_tiebreak, with_backtest_cols=True,
+    )
+    cal = h.where(F.col("rn") >= 2).select(
+        *keys,
+        "rn",
+        F.abs(
+            F.col("x").cast("bigint")
+            - F.floor(F.col("prev_forecast") + 0.5).cast("bigint")
+        ).alias("ae"),
+    )
+    wr = W.partitionBy(*keys).orderBy("ae", "rn")
+    wn = W.partitionBy(*keys)
+    ranked = cal.select(
+        *keys, "ae",
+        F.row_number().over(wr).alias("_r"),
+        F.count(F.lit(1)).over(wn).alias("n_cal"),
+    )
+    target = F.least(
+        F.ceil(F.lit(1.0 - float(miscoverage)) * (F.col("n_cal") + 1)),
+        F.col("n_cal"),
+    )
+    q = ranked.where(F.col("_r") == target).select(
+        *keys, "n_cal", F.col("ae").alias("q_err")
+    )
+    wlast = W.partitionBy(*keys).orderBy(F.col("rn").desc())
+    last = (
+        h.select(
+            *keys, "rn", "forecast",
+            F.row_number().over(wlast).alias("_l"),
+        )
+        .where(F.col("_l") == 1)
+        .select(*keys, F.col("forecast").alias("forecast_next"))
+    )
+    return q.join(last, list(keys)).select(
+        *keys,
+        "n_cal",
+        "q_err",
+        "forecast_next",
+        (F.col("forecast_next") - F.col("q_err")).alias("lo"),
+        (F.col("forecast_next") + F.col("q_err")).alias("hi"),
+    )
+
+
 def event_sequence_matches(
     df: DataFrame,
     keys: list[str],

@@ -1969,3 +1969,79 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents, ["user_id"], ["ts", "event_id"], "cents", period=12,
         k=3.0,
     ).orderBy("user_id", "rn")
+
+
+@register(
+    "q_conformal_forecast",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), rec AS (
+      SELECT user_id, rn, CAST(x AS DOUBLE) AS l,
+             CAST(0.0 AS DOUBLE) AS b
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn,
+             0.5 * o.x + 0.5 * (r.l + r.b),
+             0.25 * ((0.5 * o.x + 0.5 * (r.l + r.b)) - r.l)
+               + 0.75 * r.b
+      FROM ordered o JOIN rec r
+        ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    ), cal AS (
+      SELECT o.user_id, o.rn,
+             abs(o.x - CAST(floor((r.l + r.b) + 0.5) AS BIGINT)) AS ae
+      FROM ordered o JOIN rec r
+        ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    ), ranked AS (
+      SELECT user_id, ae,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ae, rn) AS r,
+             count(*) OVER (PARTITION BY user_id) AS n_cal
+      FROM cal
+    ), q AS (
+      SELECT user_id, CAST(n_cal AS BIGINT) AS n_cal,
+             CAST(ae AS BIGINT) AS q_err
+      FROM ranked
+      WHERE r = least(CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT),
+                      CAST(n_cal AS BIGINT))
+    ), last AS (
+      SELECT user_id, l + b AS forecast_next
+      FROM (
+        SELECT user_id, l, b,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY rn DESC) AS lr
+        FROM rec
+      ) WHERE lr = 1
+    )
+    SELECT q.user_id, n_cal, q_err, forecast_next,
+           forecast_next - q_err AS lo,
+           forecast_next + q_err AS hi
+    FROM q JOIN last ON q.user_id = last.user_id
+    ORDER BY q.user_id
+    """,
+)
+def q_conformal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal next-step interval per user
+    (operators/timeseries.conformal_holt_interval): historical
+    one-step Holt errors (half-up integer cents, backtest_holt's
+    scores) calibrate a distribution-free 90% band around the last
+    forecast — the type-1 rank ceil(0.9*(n+1)) order statistic, rank
+    selection only, bit-replayable. Same single-shuffle carry kernel;
+    two keys-sized selections on top."""
+    from oakstore_spark.operators.timeseries import (
+        conformal_holt_interval,
+    )
+
+    e = table(spark, sf_dir, "events")
+    cents = e.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return conformal_holt_interval(
+        cents, "ts", ["user_id"], "cents",
+        alpha_smooth=0.5, beta_smooth=0.25, miscoverage=0.1,
+        order_tiebreak=["event_id"],
+    ).orderBy("user_id")

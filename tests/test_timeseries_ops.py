@@ -1175,3 +1175,59 @@ def test_seasonal_anomalies_planted_spike(spark):
         clean, ["k"], ["t"], "x", period=5, k=3.0
     ).collect()
     assert all(r.is_anomaly == 0 for r in cout)
+
+
+def test_conformal_holt_interval_coverage_and_rank(spark):
+    """Marginal coverage on a held-out step: for a family of series,
+    the realized next error must fall inside the conformal band at
+    >= 1 - miscoverage rate (finite-sample guarantee), and the q_err
+    equals the hand-selected type-1 rank of the calibration scores."""
+    import math
+
+    from oakstore_spark.operators.timeseries import (
+        conformal_holt_interval,
+        grouped_holt,
+    )
+
+    # 50 keys x 41 points of deterministic bounded-noise series: train
+    # on the first 40, hold out point 41
+    rows_train, rows_full = [], []
+    for kid in range(50):
+        for t in range(1, 42):
+            x = 1000 + 10 * ((t * 7 + kid * 13) % 11) - 50
+            (rows_full if True else None)
+            rows_full.append((kid, t, x))
+            if t <= 40:
+                rows_train.append((kid, t, x))
+    train = spark.createDataFrame(rows_train, ["k", "t", "x"])
+    full = spark.createDataFrame(rows_full, ["k", "t", "x"])
+
+    iv = {
+        r.k: r
+        for r in conformal_holt_interval(
+            train, "t", ["k"], "x", 0.5, 0.25, miscoverage=0.1
+        ).collect()
+    }
+    assert len(iv) == 50
+    # hand-check the rank rule on one key: q_err is the
+    # ceil(0.9*(n_cal+1))-th smallest |error| (n_cal=39 -> rank 36)
+    h = grouped_holt(
+        train.where("k = 0"), "t", ["k"], "x", 0.5, 0.25,
+        with_backtest_cols=True,
+    ).collect()
+    errs = sorted(
+        abs(int(r.x) - math.floor(r.prev_forecast + 0.5))
+        for r in h
+        if r.rn >= 2
+    )
+    assert iv[0].n_cal == 39
+    assert iv[0].q_err == errs[min(math.ceil(0.9 * 40), 39) - 1]
+
+    # coverage: the held-out 41st value vs the band
+    actual41 = {
+        r.k: r.x for r in full.where("t = 41").collect()
+    }
+    covered = sum(
+        1 for k, r in iv.items() if r.lo <= actual41[k] <= r.hi
+    )
+    assert covered >= 0.9 * 50 - 3  # finite-sample slack
