@@ -2164,3 +2164,117 @@ def anova_f_separability(
         ssw.alias("ssw"),
         fr.alias("f_ratio"),
     )
+
+
+def mmr_topk(
+    emb: DataFrame,
+    query_id,
+    k: int = 5,
+    lam: float = 0.5,
+    n_candidates: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1024,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the re-ranking stage between ANN retrieval and a
+    user-facing result list: plain top-k returns k near-copies of the
+    best hit; MMR greedily selects
+
+        argmax over remaining d of
+            lam * rel(d) - (1 - lam) * max over selected s of sim(d, s)
+
+    trading relevance against redundancy.
+
+    Two-stage, the production shape: stage 1 takes the
+    ``n_candidates`` most relevant vectors (rank window, bounded), and
+    the greedy loop runs k rounds of ONE argmax aggregate each over
+    that tiny persisted pool — the driver holds only the k selected
+    vectors (the loop is O(k) jobs on an O(n_candidates) relation;
+    at 100 TB the candidate generator is the ANN index, not this).
+
+    Exactness contract: vectors floor-quantize to integer units
+    (``floor(v * scale)``, scale a power of two — the established
+    engine-exact rung), rel and sim are exact BIGINT dot products, and
+    with a DYADIC ``lam`` the score ``lam*rel - (1-lam)*max_sim`` is a
+    pinned float chain; every argmax breaks ties on the id.  The
+    query is vector ``query_id`` FROM THE TABLE, quantized through
+    the same expression, so an oracle replays every round.  The query
+    vector itself is EXCLUDED from the candidate pool (the
+    search_ivf_index self-match rule): sim(d, q) == rel(d) by
+    definition, so once the query doc is selected every remaining
+    score collapses to lam*rel - (1-lam)*rel and the ranking
+    degenerates to the tie-break.
+
+    Returns k rows: (rank, id, rel, max_sim, mmr_score) in selection
+    order.
+    """
+    vq = F.transform(
+        F.col(vec_col), lambda x: F.floor(x * scale).cast("bigint")
+    )
+    base = emb.select(F.col(id_col).alias("id"), vq.alias("vq"))
+    qrow = base.where(F.col("id") == query_id).collect()
+    if not qrow:
+        raise ValueError(f"query_id {query_id!r} not found")
+    qvec = [int(v) for v in qrow[0]["vq"]]
+
+    def dot_lit(vec: list[int]):
+        return F.aggregate(
+            F.zip_with(
+                F.col("vq"),
+                F.array(*[F.lit(v) for v in vec]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    wrel = W.orderBy(F.col("rel").desc(), F.col("id"))
+    cands = (
+        base.where(F.col("id") != query_id)
+        .withColumn("rel", dot_lit(qvec))
+        .withColumn("_rn", F.row_number().over(wrel))
+        .where(F.col("_rn") <= n_candidates)
+        .drop("_rn")
+        .withColumn("max_sim", F.lit(0).cast("bigint"))
+        .persist()
+    )
+    cands.count()
+    lam = float(lam)
+    score = (
+        F.lit(lam) * F.col("rel").cast("double")
+        - F.lit(1.0 - lam) * F.col("max_sim").cast("double")
+    )
+    picked = []
+    pool = cands
+    for rank in range(1, int(k) + 1):
+        top = (
+            pool.withColumn("mmr_score", score)
+            .orderBy(F.col("mmr_score").desc(), F.col("id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append(
+            (
+                rank,
+                top["id"],
+                int(top["rel"]),
+                int(top["max_sim"]),
+                float(top["mmr_score"]),
+            )
+        )
+        sel_vec = [
+            int(v)
+            for v in pool.where(F.col("id") == top["id"])
+            .collect()[0]["vq"]
+        ]
+        pool = pool.where(F.col("id") != top["id"]).withColumn(
+            "max_sim", F.greatest(F.col("max_sim"), dot_lit(sel_vec))
+        )
+    cands.unpersist()
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        picked,
+        "rank int, id bigint, rel bigint, max_sim bigint, "
+        "mmr_score double",
+    )

@@ -2265,3 +2265,69 @@ def q_embedding_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anova_f_separability(
         e, "embedding", "label", labels=list(range(10))
     ).orderBy("dim")
+
+
+def _mmr_oracle(k: int = 5) -> str:
+    steps = []
+    for r in range(1, k + 1):
+        steps.append(f"""
+    sel{r} AS (
+      SELECT id, vq, rel, max_sim,
+             0.5 * rel - 0.5 * max_sim AS mmr_score
+      FROM m{r - 1}
+      ORDER BY 0.5 * rel - 0.5 * max_sim DESC, id LIMIT 1
+    ), m{r} AS (
+      SELECT c.id, c.vq, c.rel,
+             greatest(c.max_sim,
+                      CAST(list_inner_product(c.vq, s.vq) AS BIGINT))
+               AS max_sim
+      FROM m{r - 1} c, sel{r} s WHERE c.id != s.id
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT {r} AS sel_rank, id, rel, max_sim, mmr_score"
+        f" FROM sel{r}"
+        for r in range(1, k + 1)
+    )
+    return (
+        """
+    WITH base AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> floor(x * 1024)) AS vq
+      FROM embeddings
+    ), q AS (
+      SELECT vq FROM base WHERE id = 0
+    ), scored AS (
+      SELECT b.id, b.vq,
+             CAST(list_inner_product(b.vq, q.vq) AS BIGINT) AS rel
+      FROM base b, q WHERE b.id != 0
+    ), cands AS (
+      SELECT id, vq, rel FROM (
+        SELECT id, vq, rel,
+               row_number() OVER (ORDER BY rel DESC, id) AS rn
+        FROM scored) t WHERE rn <= 64
+    ), m0 AS (
+      SELECT id, vq, rel, CAST(0 AS BIGINT) AS max_sim FROM cands
+    ),"""
+        + ",".join(steps)
+        + "\n    "
+        + union
+        + "\n    ORDER BY sel_rank"
+    )
+
+
+@register("q_mmr_diverse", oracle=_mmr_oracle())
+def q_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-5 (operators/similarity.mmr_topk, Carbonell
+    & Goldstein 1998): vector 0 as the query over a 64-candidate pool,
+    lambda = 0.5 (dyadic — the score is a pinned float chain over
+    exact BIGINT dot products of floor-quantized integer vectors).
+    The greedy loop is k argmax aggregates over the tiny persisted
+    pool; the oracle replays all five rounds as chained CTEs with the
+    identical id tie-break."""
+    from oakstore_spark.operators.similarity import mmr_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    out = mmr_topk(
+        e, query_id=0, k=5, lam=0.5, n_candidates=64, scale=1024
+    )
+    return out.withColumnRenamed("rank", "sel_rank")

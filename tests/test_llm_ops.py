@@ -1924,3 +1924,44 @@ def test_anova_f_separability_planted_signal(spark):
     assert out[3].ssb == 0.0 and out[3].ssw > 0
     assert out[3].f_ratio == 0.0  # within-class variance only
     assert all(r.n == 40 for r in out.values())
+
+
+def test_mmr_topk_diversity_vs_plain(spark):
+    """Planted geometry: a near-duplicate cluster ties a distinct doc
+    on relevance; MMR must pick ONE cluster representative then the
+    two distinct directions (plain top-k would return the cluster);
+    lam=1 degenerates to pure relevance order; the query doc itself
+    is excluded from the pool."""
+    from oakstore_spark.operators.similarity import mmr_topk
+
+    dim = 8
+
+    def vec(parts):
+        v = [0.0] * dim
+        for i, m in parts:
+            v[i] = m
+        return v
+
+    rows = [(0, vec([(0, 0.6), (1, 0.6), (2, 0.5)]))]  # the query
+    # cluster ids 1..4: identical direction (dim 0), tiny distinct tail
+    rows += [
+        (i, vec([(0, 0.95), (7, 0.001 * i)])) for i in range(1, 5)
+    ]
+    rows += [(10, vec([(1, 0.95)])), (11, vec([(2, 0.95)]))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = mmr_topk(df, query_id=0, k=4, lam=0.5, n_candidates=10).collect()
+    ids = [r.id for r in out]
+    # round 1: rel tie between cluster and doc 10 -> id tie-break = 1;
+    # round 2/3: redundancy kills the cluster, distinct dims win;
+    # round 4: back to the cluster (everything else exhausted)
+    assert ids[0] == 1
+    assert ids[1] == 10 and ids[2] == 11
+    assert ids[3] in (2, 3, 4)
+    assert 0 not in ids  # query doc excluded
+
+    # lam=1.0: pure relevance order (tie-break id) — the degeneration
+    plain = mmr_topk(df, query_id=0, k=4, lam=1.0, n_candidates=10).collect()
+    rels = [r.rel for r in plain]
+    assert rels == sorted(rels, reverse=True)
+    assert [r.id for r in plain] == [1, 2, 3, 4]
