@@ -53,6 +53,39 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         F.desc("peak")
     ).show(5)
 
+    # 4. forecasting rungs (NEW r11): Holt-Winters with a weekly-ish
+    # seasonal slot, a rolling-origin accuracy readout, and a
+    # distribution-free conformal band around each user's next step
+    from oakstore_spark.operators.timeseries import (
+        backtest_holt,
+        conformal_holt_interval,
+        grouped_holt_winters,
+        rolling_active_users,
+    )
+
+    series = cents.select("user_id", "ts", "event_id", "cents")
+    hw = grouped_holt_winters(
+        series, "ts", ["user_id"], "cents",
+        alpha=0.5, beta=0.25, gamma=0.5, period=7,
+        order_tiebreak=["event_id"],
+    )
+    hw.orderBy(F.desc("rn")).select(
+        "user_id", "rn", "level", "trend", "seasonal", "forecast"
+    ).show(3)
+    backtest_holt(
+        series, "ts", ["user_id"], "cents", alpha=0.5, beta=0.25,
+        order_tiebreak=["event_id"],
+    ).orderBy("wape").show(3)
+    conformal_holt_interval(
+        series, "ts", ["user_id"], "cents", 0.5, 0.25,
+        miscoverage=0.1, order_tiebreak=["event_id"],
+    ).orderBy("user_id").show(3)
+
+    # 5. DAU/WAU/MAU + stickiness (the interval-difference trick)
+    rolling_active_users(e, "user_id", "ts").orderBy(
+        F.desc("day")
+    ).show(3)
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:2])
