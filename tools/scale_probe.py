@@ -100,6 +100,13 @@ def main() -> None:
                          "disjoint 32-cliques + pendant chains; "
                          "closed-form triangle counts and core "
                          "membership asserted exactly")
+    ap.add_argument("--lpagraph", type=int, default=0,
+                    help="community/CC probe: this many edges as "
+                         "disjoint 64-clique communities chained by "
+                         "single bridges; LPA must recover every "
+                         "planted community exactly and CC must read "
+                         "one component, both through the distributed "
+                         "paths")
     ap.add_argument("--rakedocs", type=int, default=0,
                     help="RAKE keyword-extraction probe: this many "
                          "synthetic 40-word docs (vocab includes "
@@ -1267,6 +1274,58 @@ def main() -> None:
                 f"affinity probe FAILED: support {hot_rules[0].n_ab} "
                 f"!= planted {expect}"
             )
+
+    if args.lpagraph:
+        # community/CC probe: nc disjoint 64-cliques (2016 edges each)
+        # chained by single bridges. LPA (distributed, 4 fixed rounds)
+        # must recover EVERY planted community exactly (bridges are
+        # 1-vs-63 minorities); CC (driver pointer-jumping path — the
+        # realistic gate for a bridge-chained graph whose diameter is
+        # 2x the clique count) must read ONE component.
+        ne = args.lpagraph
+        nc = max(2, ne // 2016)
+        cl = spark.range(nc).select(F.col("id").alias("c"))
+        pairs = (
+            spark.range(64).select(F.col("id").alias("i"))
+            .crossJoin(spark.range(64).select(F.col("id").alias("j")))
+            .where("i < j")
+        )
+        ce = cl.crossJoin(pairs).select(
+            (F.col("c") * 64 + F.col("i")).alias("src"),
+            (F.col("c") * 64 + F.col("j")).alias("dst"),
+        )
+        bridges = spark.range(nc - 1).select(
+            (F.col("id") * 64 + 63).alias("src"),
+            ((F.col("id") + 1) * 64).alias("dst"),
+        )
+        gedges = ce.unionByName(bridges).persist()
+        n_e = gedges.count()
+        out["lpa_graph_edges"] = float(n_e)
+
+        from oakstore_spark.operators.graph import (
+            connected_components,
+            label_propagation,
+        )
+
+        t0 = time.time()
+        lpa = label_propagation(gedges, n_rounds=4)
+        bad = lpa.where(
+            F.col("community") != F.col("node") - F.col("node") % 64
+        ).count()
+        dt = time.time() - t0
+        out["lpa_sec"] = round(dt, 2)
+        out["lpa_edges_per_sec"] = round(n_e / dt)
+        assert bad == 0, f"LPA missed {bad} nodes"
+
+        t0 = time.time()
+        cc = connected_components(gedges)
+        ncomp = cc.select("component_id").distinct().count()
+        nnodes = cc.count()
+        dt = time.time() - t0
+        out["cc_sec"] = round(dt, 2)
+        out["cc_edges_per_sec"] = round(n_e / dt)
+        assert ncomp == 1 and nnodes == nc * 64, (ncomp, nnodes)
+        gedges.unpersist()
 
     if args.rakedocs:
         # RAKE at volume: the phrase-split regex passes + the
