@@ -989,3 +989,83 @@ def covariate_balance(
         vb.alias("var_b"),
         smd.alias("smd"),
     )
+
+
+def power_analysis(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    mde_abs: float,
+    z_alpha: float = 1.959963984540054,
+    z_beta: float = 0.8416212335729143,
+) -> DataFrame:
+    """Sample-size / power planner from MEASURED variance — the design
+    step before launching an experiment: given the metric's observed
+    per-unit variance (pooled across current arms) and the absolute
+    minimum detectable effect ``mde_abs``, the classical two-sample
+    formula
+
+        n_per_arm = (z_alpha + z_beta)^2 * 2 * var_pooled / mde^2
+
+    (two-sided alpha = 5%, power = 80% by default — the z constants
+    are literals so the whole readout is a pinned float chain).  Also
+    reports the inverse: the MDE detectable at the CURRENT per-arm
+    sample size, ``sqrt((z_a+z_b)^2 * 2 * var / n_min)`` — "what can
+    this experiment see today".
+
+    Spark shape: ONE hash aggregate to pooled exact BIGINT moments
+    (``value_col`` integer-valued); everything downstream is scalar
+    math on a 1-row relation.  Pooled variance uses the within-arm
+    moment identity summed over arms (arm means NOT mixed — a true
+    effect would otherwise inflate the planning variance).
+
+    Returns one row: (n_arms, n_min_arm, var_pooled, n_required_per_arm,
+    mde_at_current_n).
+    """
+    x = F.col(value_col).cast("bigint")
+    per_arm = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("q"),
+    )
+    # within-arm sum of squared deviations, exactly: q - s*s/n per arm,
+    # combined as a fixed 2-term-per-arm relation aggregate of doubles?
+    # NO — cross-row float sums don't replay. Instead aggregate the
+    # exact integer moments and the double SS per arm is combined via
+    # a SORTED collect into a fixed-order fold (arms are few).
+    rows = per_arm.select(
+        "arm",
+        "n",
+        (
+            F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        ).alias("ss"),
+    )
+    agg = rows.agg(
+        F.count(F.lit(1)).alias("n_arms"),
+        F.min("n").alias("n_min_arm"),
+        F.sum("n").alias("n_tot"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("arm"), F.col("ss")))
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r.getField("ss"),
+        ).alias("ss_tot"),
+    )
+    var_pooled = F.col("ss_tot") / (
+        F.col("n_tot") - F.col("n_arms")
+    ).cast("double")
+    za_zb2 = F.lit(float((z_alpha + z_beta) ** 2))
+    mde2 = F.lit(float(mde_abs) * float(mde_abs))
+    n_req = za_zb2 * 2 * var_pooled / mde2
+    mde_now = F.sqrt(
+        za_zb2 * 2 * var_pooled / F.col("n_min_arm")
+    )
+    return agg.select(
+        F.col("n_arms").cast("bigint").alias("n_arms"),
+        F.col("n_min_arm").cast("bigint").alias("n_min_arm"),
+        var_pooled.alias("var_pooled"),
+        n_req.alias("n_required_per_arm"),
+        mde_now.alias("mde_at_current_n"),
+    )

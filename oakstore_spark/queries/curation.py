@@ -3117,3 +3117,68 @@ def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariate_balance(
         units, "arm", ["pre_cents", "n_events", "n_active_days"], 0, 1
     ).orderBy("covariate")
+
+
+@register(
+    "q_power_analysis",
+    oracle="""
+    WITH units AS (
+      SELECT user_id % 2 AS arm,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ), per_arm AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS q
+      FROM units GROUP BY arm
+    ), rows_ss AS (
+      SELECT arm, n,
+             CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n AS ss
+      FROM per_arm
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_arms,
+             CAST(min(n) AS BIGINT) AS n_min_arm,
+             CAST(sum(n) AS BIGINT) AS n_tot,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(ss ORDER BY arm)),
+               (a, b) -> a + b) AS ss_tot
+      FROM rows_ss
+    )
+    SELECT n_arms, n_min_arm,
+           ss_tot / CAST(n_tot - n_arms AS DOUBLE) AS var_pooled,
+           7.848879734349088 * 2
+             * (ss_tot / CAST(n_tot - n_arms AS DOUBLE))
+             / 250000.0 AS n_required_per_arm,
+           sqrt(7.848879734349088 * 2
+                * (ss_tot / CAST(n_tot - n_arms AS DOUBLE))
+                / n_min_arm) AS mde_at_current_n
+    FROM agg
+    """,
+)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power / sample-size planner
+    (operators/experiments.power_analysis): pooled within-arm variance
+    of per-user purchase cents (one hash aggregate; the cross-arm SS
+    combination is a FIXED-ORDER fold over the arm-sorted list — the
+    only way a cross-row double sum replays), then the classical
+    n = (z_a+z_b)^2*2*var/mde^2 for a 500-cent MDE and the inverse
+    MDE detectable at today's per-arm n — the design readout run with
+    the SRM gate and the covariate-balance check."""
+    from oakstore_spark.operators.experiments import power_analysis
+
+    e = table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("cents"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    return power_analysis(units, "arm", "cents", mde_abs=500.0)

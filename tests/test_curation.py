@@ -1355,3 +1355,36 @@ def test_covariate_balance_hand_and_imbalance(spark):
     )
     assert out["const"].smd is None
     assert out["bal"].n_a == 200 and out["bal"].n_b == 200
+
+
+def test_power_analysis_hand(spark):
+    """Hand formula on a tiny two-arm sample; planning variance must
+    use WITHIN-arm deviations (a planted effect must not inflate it)."""
+    import math
+
+    from oakstore_spark.operators.experiments import power_analysis
+
+    # arm 0: 0..9 repeated; arm 1 same shape SHIFTED by +1000 (a huge
+    # "effect" that must not contaminate the planning variance)
+    rows = [(0, i % 10) for i in range(100)] + [
+        (1, 1000 + (i % 10)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["arm", "x"])
+    r = power_analysis(df, "arm", "x", mde_abs=2.0).first()
+    vals = [i % 10 for i in range(100)]
+    n, s, q = 100, sum(vals), sum(v * v for v in vals)
+    ss = q - s * s / n  # identical within-arm SS in both arms
+    var_pooled = (0.0 + ss + ss) / (200 - 2)
+    za, zb = 1.959963984540054, 0.8416212335729143
+    assert r.n_arms == 2 and r.n_min_arm == 100
+    assert r.var_pooled == var_pooled  # effect NOT in the variance
+    assert math.isclose(
+        r.n_required_per_arm,
+        (za + zb) ** 2 * 2 * var_pooled / 4.0,
+        rel_tol=1e-12,
+    )
+    assert math.isclose(
+        r.mde_at_current_n,
+        math.sqrt((za + zb) ** 2 * 2 * var_pooled / 100),
+        rel_tol=1e-12,
+    )
