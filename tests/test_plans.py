@@ -518,3 +518,41 @@ def test_release_tracked_frees_registered_query_persists(spark):
     QUERIES["q_phash_dedup"](spark, sf).count()
     assert all(not h.storageLevel.useMemory for h in handles)
     scaling.release_tracked()
+
+
+def test_active_users_no_fanout_join(spark):
+    """rolling_active_users must compile to equi-joins on the day key
+    only — the interval-difference trick's whole point is avoiding the
+    w-times range-join fan-out (no NestedLoop, no Cartesian, no
+    non-equi day BETWEEN condition in any join)."""
+    from oakstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = plan_of(QUERIES["q_active_users"](spark, SF_DIR))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # every join line is a SortMergeJoin/ShuffledHashJoin/Broadcast on
+    # the day equi-key; a range join would print a join CONDITION with
+    # >= between day columns
+    join_lines = [
+        ln for ln in plan.splitlines() if "Join" in ln
+    ]
+    assert join_lines, "expected joins on the day grid"
+    assert not any(">=" in ln for ln in join_lines), join_lines
+
+
+def test_covariate_balance_single_aggregate(spark):
+    """All covariates' moments must come from ONE corpus aggregate —
+    the plan may contain exactly one pair of partial/final
+    HashAggregate over the unit relation (plus the per-user build),
+    never one scan per covariate."""
+    from oakstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = plan_of(QUERIES["q_covariate_balance"](spark, SF_DIR))
+    # one scan NODE of the events table only (the formatted plan
+    # prints each node twice: tree + detail — count detail headers)
+    scans = [
+        ln for ln in plan.splitlines()
+        if ln.startswith("(") and "Scan parquet" in ln
+    ]
+    assert len(scans) == 1, scans
