@@ -1069,3 +1069,75 @@ def power_analysis(
         n_req.alias("n_required_per_arm"),
         mde_now.alias("mde_at_current_n"),
     )
+
+
+def qini_curve(
+    df: DataFrame,
+    score_col: str,
+    arm_col: str,
+    outcome_col: str,
+    id_col: str,
+    treated,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Qini / uplift curve (Radcliffe 2007) — the evaluation readout
+    for TARGETING: rank the population by a model's uplift score and
+    ask, at each top-d% cut, how many INCREMENTAL conversions the
+    treatment produced there:
+
+        qini(d) = conv_t(d) - conv_c(d) * n_t(d) / n_c(d)
+
+    (control conversions rescaled to the treated volume).  A useful
+    score front-loads incremental converters — the curve rises
+    steeply then flattens; random targeting is the straight diagonal.
+
+    Exactness contract: ``outcome_col`` is a 0/1 integer flag and the
+    top-d membership is the pure-integer test ``rn * n_buckets <=
+    d * n`` over a (score desc, id)-ranked window (the Lorenz/decile
+    pattern) — every count is an exact BIGINT and qini/uplift are
+    pinned float chains, so the whole curve replays bit-for-bit.
+
+    Spark shape: one global rank window (the ranking IS the
+    semantics; at 100 TB rank within strata or pre-bucket scores),
+    one broadcast of the literal bucket grid, one hash aggregate to
+    n_buckets rows.  Returns per bucket d: (bucket, n_t, conv_t, n_c,
+    conv_c, qini, uplift).
+    """
+    from pyspark.sql import Window as W
+
+    b = int(n_buckets)
+    w = W.orderBy(F.col(score_col).desc(), F.col(id_col))
+    ranked = df.select(
+        (F.col(arm_col) == treated).cast("int").alias("_t"),
+        F.col(outcome_col).cast("bigint").alias("_y"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("_n"),
+    )
+    grid = df.sparkSession.range(1, b + 1).select(
+        F.col("id").alias("bucket")
+    )
+    j = F.broadcast(grid).crossJoin(ranked).where(
+        F.col("_rn") * b <= F.col("bucket") * F.col("_n")
+    )
+    agg = j.groupBy("bucket").agg(
+        F.sum("_t").cast("bigint").alias("n_t"),
+        F.sum(F.when(F.col("_t") == 1, F.col("_y"))).cast("bigint")
+        .alias("conv_t"),
+        F.sum(1 - F.col("_t")).cast("bigint").alias("n_c"),
+        F.sum(F.when(F.col("_t") == 0, F.col("_y"))).cast("bigint")
+        .alias("conv_c"),
+    )
+    qini = F.when(
+        F.col("n_c") > 0,
+        F.col("conv_t")
+        - F.col("conv_c").cast("double") * F.col("n_t") / F.col("n_c"),
+    )
+    uplift = F.when(
+        (F.col("n_t") > 0) & (F.col("n_c") > 0),
+        F.col("conv_t").cast("double") / F.col("n_t")
+        - F.col("conv_c").cast("double") / F.col("n_c"),
+    )
+    return agg.select(
+        "bucket", "n_t", "conv_t", "n_c", "conv_c",
+        qini.alias("qini"), uplift.alias("uplift"),
+    )

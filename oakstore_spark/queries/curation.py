@@ -3182,3 +3182,82 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents"),
     ).withColumn("arm", F.col("user_id") % 2)
     return power_analysis(units, "arm", "cents", mde_abs=500.0)
+
+
+@register(
+    "q_qini_curve",
+    oracle="""
+    WITH units AS (
+      SELECT user_id,
+             user_id % 2 AS arm,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  AND ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS score,
+             CAST(max(CASE WHEN event_type = 'purchase'
+                  AND value > 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS converted
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT CASE WHEN arm = 1 THEN 1 ELSE 0 END AS t,
+             converted AS y,
+             row_number() OVER (ORDER BY score DESC, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM units
+    ), j AS (
+      SELECT g.bucket, r.t, r.y
+      FROM (SELECT range AS bucket FROM range(1, 11)) g
+      JOIN ranked r ON r.rn * 10 <= g.bucket * r.n
+    ), agg AS (
+      SELECT bucket,
+             CAST(sum(t) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN t = 1 THEN y END) AS BIGINT)
+               AS conv_t,
+             CAST(sum(1 - t) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN t = 0 THEN y END) AS BIGINT)
+               AS conv_c
+      FROM j GROUP BY bucket
+    )
+    SELECT bucket, n_t, conv_t, n_c, conv_c,
+           CASE WHEN n_c > 0 THEN
+             conv_t - CAST(conv_c AS DOUBLE) * n_t / n_c END AS qini,
+           CASE WHEN n_t > 0 AND n_c > 0 THEN
+             CAST(conv_t AS DOUBLE) / n_t
+               - CAST(conv_c AS DOUBLE) / n_c END AS uplift
+    FROM agg ORDER BY bucket
+    """,
+)
+def q_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini / uplift curve (operators/experiments.qini_curve): users
+    ranked by pre-period spend as the targeting score, parity arms
+    (arm 1 'treated'), big-purchase conversion as the outcome — at
+    each top-d decile, the incremental conversions the treatment
+    produced there (control rescaled to treated volume). Pure-integer
+    decile membership, exact BIGINT counts, pinned qini/uplift chains
+    — the whole curve replays bit-for-bit."""
+    from oakstore_spark.operators.experiments import qini_curve
+
+    e = table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") < F.lit("2024-01-16").cast("timestamp")),
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 200),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("converted"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    return qini_curve(
+        units, "score", "arm", "converted", "user_id", treated=1,
+        n_buckets=10,
+    ).orderBy("bucket")

@@ -1388,3 +1388,46 @@ def test_power_analysis_hand(spark):
         math.sqrt((za + zb) ** 2 * 2 * var_pooled / 100),
         rel_tol=1e-12,
     )
+
+
+def test_qini_curve_perfect_and_random_targeting(spark):
+    """A perfect uplift score front-loads ALL incremental conversions
+    into the first bucket and the curve is flat after the planted
+    responder band; a score independent of uplift tracks the diagonal
+    (final bucket equals total incremental lift in both cases)."""
+    from oakstore_spark.operators.experiments import qini_curve
+
+    rows = []
+    for i in range(1000):
+        arm = i % 2
+        # responders: the 10% of units with highest "perfect" score
+        # convert ONLY under treatment; everyone else never converts
+        responder = i < 100
+        y = 1 if (responder and arm == 1) else 0
+        perfect = 1000 - i  # descending: responders first
+        rows.append((i, arm, perfect, y))
+    df = spark.createDataFrame(rows, ["uid", "arm", "score", "y"])
+    out = {
+        r.bucket: r
+        for r in qini_curve(
+            df, "score", "arm", "y", "uid", treated=1
+        ).collect()
+    }
+    total_lift = out[10].qini
+    assert total_lift == 50.0  # 50 treated responders, control 0
+    # bucket 1 (top 10%) already contains every responder
+    assert out[1].qini == total_lift
+    for b in range(2, 11):
+        assert out[b].qini == total_lift  # flat after the band
+
+    # uninformative score (uid order): qini grows ~linearly
+    out2 = {
+        r.bucket: r
+        for r in qini_curve(
+            df, "uid", "arm", "y", "uid", treated=1
+        ).collect()
+    }
+    # responders are the LOWEST uids -> desc ranking puts them LAST:
+    # the curve stays ~0 until the final bucket sweeps them in
+    assert abs(out2[5].qini) < 1e-9
+    assert out2[10].qini == total_lift
