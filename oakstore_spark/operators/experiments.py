@@ -1,15 +1,26 @@
-"""A/B experiment analysis: Welch's t-test, two-proportion z-test,
-CUPED variance reduction.
+"""A/B experiment analysis — the full experimentation lifecycle.
 
 EXT — the reference (`/root/reference/oakstore/store.py:1-267`) has no
-statistical operators; this completes the inference family next to the
-drift tests (KS / chi-square / PSI in `operators/curation.py` and
-`operators/quality.py`) with the three readouts every experimentation
-pipeline ships: a mean-difference test that does not assume equal
-variances (Welch), a conversion-rate test (pooled z), and the
-industry-standard pre-period covariate adjustment (CUPED,
-Deng et al. 2013, "Improving the Sensitivity of Online Controlled
-Experiments by Utilizing Pre-Experiment Data").
+statistical operators; this module covers the pipeline an experiment
+platform actually runs, in order:
+
+- DESIGN: :func:`power_analysis` (sample size / MDE from measured
+  variance), :func:`covariate_balance` (SMD randomization check),
+  :func:`srm_check` (the sample-ratio trust gate).
+- READOUT: :func:`welch_ttest` (unequal-variances means),
+  :func:`proportion_ztest` (conversion rates), :func:`cuped_adjust`
+  (pre-period variance reduction, Deng et al. 2013),
+  :func:`ratio_metric_ci` (delta-method CI for ratio-of-sums metrics,
+  Deng et al. 2018), :func:`robust_metric_summary`
+  (trimmed/winsorized means), :func:`quantile_treatment_effects`
+  (where in the distribution the effect acts),
+  :func:`poisson_bootstrap_ci` (the distributed bootstrap, Chamandy
+  et al. 2012).
+- SEQUENTIAL: :func:`msprt` and :func:`msprt_curve` (always-valid
+  peek-proof inference, Johari et al. 2017).
+- QUASI-EXPERIMENTAL / TARGETING: :func:`diff_in_diff` (parallel
+  trends), :func:`kaplan_meier` (censoring-aware time-to-event),
+  :func:`qini_curve` (uplift-model evaluation, Radcliffe 2007).
 
 Spark shape: every statistic here is ONE hash aggregate over the
 metric stream (map-side partials, no window, no sort) producing a
