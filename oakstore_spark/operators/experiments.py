@@ -939,17 +939,27 @@ def covariate_balance(
 
     Returns one row per covariate: (covariate, n_a, n_b, mean_a,
     mean_b, var_a, var_b, smd); smd NULL when both variances are 0.
+    n_a/n_b count only rows where THAT covariate is non-null, so the
+    moments stay internally consistent on sparse covariates.
     """
     a = F.col(arm_col) == arm_a
     b = F.col(arm_col) == arm_b
     aggs = []
     for c in covariate_cols:
         x = F.col(c).cast("bigint")
+        # n counts only non-null covariate rows — F.sum skips NULLs,
+        # so an all-row count would silently bias mean/var on a
+        # covariate column containing NULLs (sum over non-null rows
+        # divided by all rows)
         aggs += [
-            F.sum(F.when(a, 1).otherwise(0)).alias(f"na_{c}"),
+            F.sum(F.when(a & x.isNotNull(), 1).otherwise(0)).alias(
+                f"na_{c}"
+            ),
             F.sum(F.when(a, x)).alias(f"sa_{c}"),
             F.sum(F.when(a, x * x)).alias(f"qa_{c}"),
-            F.sum(F.when(b, 1).otherwise(0)).alias(f"nb_{c}"),
+            F.sum(F.when(b & x.isNotNull(), 1).otherwise(0)).alias(
+                f"nb_{c}"
+            ),
             F.sum(F.when(b, x)).alias(f"sb_{c}"),
             F.sum(F.when(b, x * x)).alias(f"qb_{c}"),
         ]
@@ -1104,39 +1114,52 @@ def qini_curve(
 
     Exactness contract: ``outcome_col`` is a 0/1 integer flag and the
     top-d membership is the pure-integer test ``rn * n_buckets <=
-    d * n`` over a (score desc, id)-ranked window (the Lorenz/decile
-    pattern) — every count is an exact BIGINT and qini/uplift are
+    d * n`` over the (score desc, id) global ranking (the
+    Lorenz/decile pattern) — every count is an exact BIGINT and
+    qini/uplift are
     pinned float chains, so the whole curve replays bit-for-bit.
 
-    Spark shape: one global rank window (the ranking IS the
-    semantics; at 100 TB rank within strata or pre-bucket scores),
-    one broadcast of the literal bucket grid, one hash aggregate to
-    n_buckets rows.  Returns per bucket d: (bucket, n_t, conv_t, n_c,
-    conv_c, qini, uplift).
+    Spark shape: the global rank comes from
+    :func:`~oakstore_spark.operators.scaling.assign_contiguous_ids`
+    (range-partition on (score desc, id) + per-partition offsets — a
+    normal parallel exchange, NEVER the empty-key row_number window
+    that funnels the unit population through one task), the total n
+    falls out of the same counts pass, then one broadcast of the
+    literal bucket grid and one hash aggregate to n_buckets rows.
+    Buckets with no treated (or no control) rows report conv as an
+    exact 0, not NULL.  Returns per bucket d: (bucket, n_t, conv_t,
+    n_c, conv_c, qini, uplift).
     """
-    from pyspark.sql import Window as W
+    from .scaling import assign_contiguous_ids
 
     b = int(n_buckets)
-    w = W.orderBy(F.col(score_col).desc(), F.col(id_col))
-    ranked = df.select(
+    prep = df.select(
         (F.col(arm_col) == treated).cast("int").alias("_t"),
         F.col(outcome_col).cast("bigint").alias("_y"),
-        F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("_n"),
+        F.col(score_col).alias("_s"),
+        F.col(id_col).alias("_id"),
+    )
+    ranked, n_total = assign_contiguous_ids(
+        prep,
+        [F.col("_s").desc(), F.col("_id")],
+        id_name="_rn",
+        return_total=True,
     )
     grid = df.sparkSession.range(1, b + 1).select(
         F.col("id").alias("bucket")
     )
     j = F.broadcast(grid).crossJoin(ranked).where(
-        F.col("_rn") * b <= F.col("bucket") * F.col("_n")
+        F.col("_rn") * b <= F.col("bucket") * F.lit(int(n_total))
     )
     agg = j.groupBy("bucket").agg(
         F.sum("_t").cast("bigint").alias("n_t"),
-        F.sum(F.when(F.col("_t") == 1, F.col("_y"))).cast("bigint")
-        .alias("conv_t"),
+        F.coalesce(
+            F.sum(F.when(F.col("_t") == 1, F.col("_y"))), F.lit(0)
+        ).cast("bigint").alias("conv_t"),
         F.sum(1 - F.col("_t")).cast("bigint").alias("n_c"),
-        F.sum(F.when(F.col("_t") == 0, F.col("_y"))).cast("bigint")
-        .alias("conv_c"),
+        F.coalesce(
+            F.sum(F.when(F.col("_t") == 0, F.col("_y"))), F.lit(0)
+        ).cast("bigint").alias("conv_c"),
     )
     qini = F.when(
         F.col("n_c") > 0,

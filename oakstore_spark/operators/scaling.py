@@ -29,24 +29,35 @@ def widen_partitions(df: DataFrame, min_ratio: float = 1.0) -> DataFrame:
     return df
 
 
-def _range_sorted(df: DataFrame, n: int, order_col: str) -> DataFrame:
+def _order_exprs(order_col):
+    """Normalize an ordering spec — one column name, one Column (may
+    carry .desc()/.asc()), or a sequence of either — to a Column list
+    usable by both ``repartitionByRange`` and ``sortWithinPartitions``
+    (both accept SortOrder expressions, so mixed-direction composite
+    rankings like (score DESC, id ASC) need no negation tricks)."""
+    from pyspark.sql import functions as F
+
+    if isinstance(order_col, (list, tuple)):
+        return [F.col(c) if isinstance(c, str) else c for c in order_col]
+    return [F.col(order_col) if isinstance(order_col, str) else order_col]
+
+
+def _range_sorted(df: DataFrame, n: int, order_col) -> DataFrame:
     """The parallel exchange stage of :func:`assign_contiguous_ids`,
     kept separate so its plan shape (rangepartitioning exchange, no
     Window, no SinglePartition) stays pin-able in tests even though the
     public entry point truncates lineage with a local checkpoint."""
-    from pyspark.sql import functions as F
-
-    return df.repartitionByRange(n, F.col(order_col)).sortWithinPartitions(
-        order_col
-    )
+    cols = _order_exprs(order_col)
+    return df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
 
 
 def assign_contiguous_ids(
     df: DataFrame,
-    order_col: str,
+    order_col,
     id_name: str = "seq_id",
     num_partitions: int | None = None,
-) -> DataFrame:
+    return_total: bool = False,
+):
     """Assign GLOBAL contiguous 1-based ids in ``order_col`` order
     without ever funneling the data through one task — the scalable
     zipWithIndex every sharding/row-numbering pipeline needs.
@@ -68,8 +79,16 @@ def assign_contiguous_ids(
        (``num_partitions`` integers) and closed over by an Arrow-batched
        kernel that emits ``offset + running local row index``.
 
-    ``order_col`` must be unique for the numbering to be deterministic
-    (ties may straddle batch order inside a partition).
+    ``order_col`` may be a column name, a Column (with .desc()/.asc()),
+    or a sequence of either (mixed-direction composite rankings — the
+    qini_curve (score DESC, id) shape); the COMBINATION must be unique
+    for the numbering to be deterministic (ties may straddle batch
+    order inside a partition).
+
+    With ``return_total=True`` returns ``(df, total_row_count)`` — the
+    total falls out of the same counts job, so rankings that also need
+    n (Lorenz/decile membership) never add a
+    ``count().over(Window.partitionBy())`` SinglePartition pass.
     """
     from pyspark import TaskContext
     from pyspark.sql import functions as F
@@ -105,7 +124,10 @@ def assign_contiguous_ids(
             seen += len(pdf)
             yield pdf
 
-    return part.mapInPandas(emit, schema)
+    out = part.mapInPandas(emit, schema)
+    if return_total:
+        return out, running
+    return out
 
 
 # Every handle any operator persisted for its internal plan, in

@@ -2166,6 +2166,24 @@ def anova_f_separability(
     )
 
 
+def _mmr_candidates(
+    base: DataFrame, query_id, rel_expr, n_candidates: int
+) -> DataFrame:
+    """Stage 1 of :func:`mmr_topk`: the ``n_candidates`` most relevant
+    vectors by exact integer dot product, via ``orderBy().limit()`` so
+    the plan is TakeOrderedAndProject (bounded per-partition heaps +
+    one K-merge) — never a global Sort or an empty-key row_number
+    Window funneling the corpus through one task.  Kept separate so
+    tests can pin that plan shape."""
+    return (
+        base.where(F.col("id") != query_id)
+        .withColumn("rel", rel_expr)
+        .orderBy(F.col("rel").desc(), F.col("id"))
+        .limit(int(n_candidates))
+        .withColumn("max_sim", F.lit(0).cast("bigint"))
+    )
+
+
 def mmr_topk(
     emb: DataFrame,
     query_id,
@@ -2187,11 +2205,16 @@ def mmr_topk(
     trading relevance against redundancy.
 
     Two-stage, the production shape: stage 1 takes the
-    ``n_candidates`` most relevant vectors (rank window, bounded), and
-    the greedy loop runs k rounds of ONE argmax aggregate each over
-    that tiny persisted pool — the driver holds only the k selected
-    vectors (the loop is O(k) jobs on an O(n_candidates) relation;
-    at 100 TB the candidate generator is the ANN index, not this).
+    ``n_candidates`` most relevant vectors via ``orderBy().limit()``
+    — TakeOrderedAndProject, bounded per-partition heaps + a K-merge,
+    NEVER a global sort or empty-key window, so a raw corpus input is
+    safe at any scale — and the greedy loop runs k rounds of ONE
+    argmax job each over that tiny persisted pool (the argmax row
+    carries the winner's vector, so each round is exactly one job).
+    At 100 TB the candidate generator is usually the ANN index, but
+    stage 1 no longer relies on that.  ``k`` is clamped to the pool
+    size (a short pool returns fewer rows rather than raising
+    mid-loop).
 
     Exactness contract: vectors floor-quantize to integer units
     (``floor(v * scale)``, scale a power of two — the established
@@ -2229,17 +2252,8 @@ def mmr_topk(
             lambda acc, x: acc + x,
         )
 
-    wrel = W.orderBy(F.col("rel").desc(), F.col("id"))
-    cands = (
-        base.where(F.col("id") != query_id)
-        .withColumn("rel", dot_lit(qvec))
-        .withColumn("_rn", F.row_number().over(wrel))
-        .where(F.col("_rn") <= n_candidates)
-        .drop("_rn")
-        .withColumn("max_sim", F.lit(0).cast("bigint"))
-        .persist()
-    )
-    cands.count()
+    cands = _mmr_candidates(base, query_id, dot_lit(qvec), n_candidates).persist()
+    pool_n = cands.count()
     lam = float(lam)
     score = (
         F.lit(lam) * F.col("rel").cast("double")
@@ -2247,31 +2261,30 @@ def mmr_topk(
     )
     picked = []
     pool = cands
-    for rank in range(1, int(k) + 1):
-        top = (
-            pool.withColumn("mmr_score", score)
-            .orderBy(F.col("mmr_score").desc(), F.col("id"))
-            .limit(1)
-            .collect()[0]
-        )
-        picked.append(
-            (
-                rank,
-                top["id"],
-                int(top["rel"]),
-                int(top["max_sim"]),
-                float(top["mmr_score"]),
+    try:
+        for rank in range(1, min(int(k), pool_n) + 1):
+            top = (
+                pool.withColumn("mmr_score", score)
+                .orderBy(F.col("mmr_score").desc(), F.col("id"))
+                .limit(1)
+                .collect()[0]
             )
-        )
-        sel_vec = [
-            int(v)
-            for v in pool.where(F.col("id") == top["id"])
-            .collect()[0]["vq"]
-        ]
-        pool = pool.where(F.col("id") != top["id"]).withColumn(
-            "max_sim", F.greatest(F.col("max_sim"), dot_lit(sel_vec))
-        )
-    cands.unpersist()
+            picked.append(
+                (
+                    rank,
+                    top["id"],
+                    int(top["rel"]),
+                    int(top["max_sim"]),
+                    float(top["mmr_score"]),
+                )
+            )
+            sel_vec = [int(v) for v in top["vq"]]
+            pool = pool.where(F.col("id") != top["id"]).withColumn(
+                "max_sim",
+                F.greatest(F.col("max_sim"), dot_lit(sel_vec)),
+            )
+    finally:
+        cands.unpersist()
     spark = emb.sparkSession
     return spark.createDataFrame(
         picked,

@@ -3038,7 +3038,11 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     ), wide AS (
       SELECT c.covariate,
-             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             CAST(sum(CASE WHEN arm = 0 AND
+                  (CASE c.covariate WHEN 'pre_cents' THEN pre_cents
+                       WHEN 'n_events' THEN n_events
+                       ELSE n_active_days END) IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT)
                AS n_a,
              CAST(sum(CASE WHEN arm = 0 THEN
                   CASE c.covariate WHEN 'pre_cents' THEN pre_cents
@@ -3050,7 +3054,11 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                        WHEN 'n_events' THEN n_events * n_events
                        ELSE n_active_days * n_active_days END END)
                   AS BIGINT) AS qa,
-             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             CAST(sum(CASE WHEN arm = 1 AND
+                  (CASE c.covariate WHEN 'pre_cents' THEN pre_cents
+                       WHEN 'n_events' THEN n_events
+                       ELSE n_active_days END) IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT)
                AS n_b,
              CAST(sum(CASE WHEN arm = 1 THEN
                   CASE c.covariate WHEN 'pre_cents' THEN pre_cents
@@ -3211,11 +3219,11 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), agg AS (
       SELECT bucket,
              CAST(sum(t) AS BIGINT) AS n_t,
-             CAST(sum(CASE WHEN t = 1 THEN y END) AS BIGINT)
-               AS conv_t,
+             CAST(coalesce(sum(CASE WHEN t = 1 THEN y END), 0)
+                  AS BIGINT) AS conv_t,
              CAST(sum(1 - t) AS BIGINT) AS n_c,
-             CAST(sum(CASE WHEN t = 0 THEN y END) AS BIGINT)
-               AS conv_c
+             CAST(coalesce(sum(CASE WHEN t = 0 THEN y END), 0)
+                  AS BIGINT) AS conv_c
       FROM j GROUP BY bucket
     )
     SELECT bucket, n_t, conv_t, n_c, conv_c,

@@ -1853,7 +1853,7 @@ def q_holt_winters_user(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(DISTINCT CASE WHEN ud.day >= g.day - 6
                   THEN u END) AS BIGINT) AS wau,
              CAST(count(DISTINCT u) AS BIGINT) AS mau
-      FROM grid g JOIN ud
+      FROM grid g LEFT JOIN ud
         ON ud.day BETWEEN g.day - 27 AND g.day
       GROUP BY g.day
     )

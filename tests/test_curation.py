@@ -1357,6 +1357,55 @@ def test_covariate_balance_hand_and_imbalance(spark):
     assert out["bal"].n_a == 200 and out["bal"].n_b == 200
 
 
+def test_covariate_balance_null_covariate_consistent_moments(spark):
+    """A covariate with NULLs must compute mean/var over its NON-NULL
+    rows only (n counts per-covariate non-null rows, matching what
+    F.sum aggregates) — an all-row count would silently bias the
+    moments. A fully-populated sibling column in the same call keeps
+    its full counts."""
+    from oakstore_spark.operators.experiments import covariate_balance
+
+    rows = []
+    for i in range(200):
+        arm = i % 2
+        full = (i // 2) % 10
+        # sparse: only half the rows carry a value (i%4 in {0,1} hits
+        # both arms equally); the moments must come from the NON-NULL
+        # population only
+        sparse = ((i // 8) % 5) if i % 4 in (0, 1) else None
+        rows.append((arm, full, sparse))
+    df = spark.createDataFrame(rows, ["arm", "full", "sparse"])
+    out = {
+        r.covariate: r
+        for r in covariate_balance(
+            df, "arm", ["full", "sparse"], 0, 1
+        ).collect()
+    }
+    assert out["full"].n_a == 100 and out["full"].n_b == 100
+    # 100 non-null rows total, 50 per arm
+    assert out["sparse"].n_a == 50 and out["sparse"].n_b == 50
+    vals_a = [
+        ((i // 8) % 5)
+        for i in range(200)
+        if i % 4 in (0, 1) and i % 2 == 0
+    ]
+    assert out["sparse"].mean_a == sum(vals_a) / len(vals_a)
+
+
+def test_mmr_topk_k_exceeds_pool_clamps(spark):
+    """k greater than the candidate pool must return the whole pool in
+    MMR order, not raise mid-loop."""
+    from oakstore_spark.operators.similarity import mmr_topk
+
+    rows = [(i, [float(i + 1), 1.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = mmr_topk(df, query_id=0, k=10, n_candidates=10).collect()
+    # pool excludes the query vector -> 3 candidates
+    assert len(out) == 3
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert len({r.id for r in out}) == 3 and 0 not in {r.id for r in out}
+
+
 def test_power_analysis_hand(spark):
     """Hand formula on a tiny two-arm sample; planning variance must
     use WITHIN-arm deviations (a planted effect must not inflate it)."""

@@ -556,3 +556,60 @@ def test_covariate_balance_single_aggregate(spark):
         if ln.startswith("(") and "Scan parquet" in ln
     ]
     assert len(scans) == 1, scans
+
+
+def test_mmr_candidates_take_ordered_no_single_partition(spark):
+    """mmr_topk stage-1 candidate selection must compile to
+    TakeOrderedAndProject (bounded per-partition heaps), never a
+    SinglePartition Sort or an empty-key row_number Window over the
+    corpus-sized relevance relation."""
+    from oakstore_spark.operators.similarity import _mmr_candidates
+    from oakstore_spark.sources.tables import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x * 1024).cast("bigint"),
+        ).alias("vq"),
+    )
+    rel = F.aggregate(
+        F.transform(F.col("vq"), lambda v: v * 2),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    plan = plan_of(_mmr_candidates(base, 0, rel, 64))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_qini_curve_no_global_window(spark):
+    """qini_curve must derive its global (score desc, id) rank via
+    scaling.assign_contiguous_ids (range-partition + offsets) and take
+    n from the same counts pass — never row_number/count over an
+    empty-key Window that funnels the unit population through one
+    task. Pinned two ways: the final plan carries no Window /
+    SinglePartition, and (the checkpoint could hide a pre-truncation
+    Window from plan_of) the operator source routes the rank through
+    assign_contiguous_ids with no window machinery anywhere."""
+    import ast
+    import inspect
+    import textwrap
+
+    from oakstore_spark.operators import experiments
+    from oakstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = plan_of(QUERIES["q_qini_curve"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+    fn = ast.parse(
+        textwrap.dedent(inspect.getsource(experiments.qini_curve))
+    ).body[0]
+    body = fn.body[1:] if isinstance(fn.body[0], ast.Expr) else fn.body
+    code = "\n".join(ast.unparse(stmt) for stmt in body)
+    assert "assign_contiguous_ids(" in code
+    assert "Window" not in code and "row_number" not in code
