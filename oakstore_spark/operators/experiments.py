@@ -20,7 +20,10 @@ platform actually runs, in order:
   peek-proof inference, Johari et al. 2017).
 - QUASI-EXPERIMENTAL / TARGETING: :func:`diff_in_diff` (parallel
   trends), :func:`kaplan_meier` (censoring-aware time-to-event),
-  :func:`qini_curve` (uplift-model evaluation, Radcliffe 2007).
+  :func:`logrank_test` (the two-curve verdict, Mantel 1966),
+  :func:`qini_curve` (uplift-model evaluation, Radcliffe 2007),
+  :func:`uplift_two_model` (T-learner uplift scoring scored by the
+  Qini curve).
 
 Spark shape: every statistic here is ONE hash aggregate over the
 metric stream (map-side partials, no window, no sort) producing a
@@ -272,6 +275,113 @@ def kaplan_meier(
     )
     return staged.select(
         "t", "n_risk", "n_events", "n_censored", surv.alias("survival")
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    arm_col: str,
+    duration_col: str,
+    event_col: str,
+    arm_a,
+    arm_b,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966) — the standard verdict
+    on a pair of Kaplan–Meier curves: under H0 (identical survival),
+    at every distinct EVENT time t_j the d_j pooled events should
+    split between arms in proportion to the at-risk counts, so
+
+        O_a - E_a,  E_aj = d_j * n_aj / n_j,
+        V_j = d_j * (n_aj/n_j) * (n_bj/n_j) * (n_j - d_j)/(n_j - 1)
+
+    and chi2 = (O_a - ΣE_aj)² / ΣV_j is asymptotically χ²(1).  This is
+    the time-to-event A/B readout the KM curves alone can't give —
+    censoring-aware, using every event time, no parametric model.
+
+    Spark shape: ONE hash aggregate collapses subjects to the
+    distinct-duration relation (each subject enters with its duration,
+    arm, and event flag — the :func:`kaplan_meier` input contract);
+    per-arm at-risk counts come from prefix window sums over that TINY
+    relation (the KM pattern — bounded by distinct durations, never
+    subject-sized), and the cross-time sums of E and V are FIXED-ORDER
+    folds over the time-sorted list (the power_analysis rule: the only
+    replayable cross-row double sum).  O_a/O_b are exact BIGINTs.
+
+    Returns one row: (n_times, o_a, e_a, o_b, e_b, var_sum, chi2);
+    chi2 NULL when ΣV = 0 (no events, or one arm empty).
+    """
+    from pyspark.sql import Window as W
+
+    t = F.col(duration_col).cast("bigint")
+    e = F.col(event_col).cast("bigint")
+    a = F.col(arm_col) == arm_a
+    b = F.col(arm_col) == arm_b
+    per_t = (
+        df.where(a | b)
+        .groupBy(t.alias("t"))
+        .agg(
+            F.sum(F.when(a, e).otherwise(0)).alias("d_a"),
+            F.sum(F.when(b, e).otherwise(0)).alias("d_b"),
+            F.sum(F.when(a, 1).otherwise(0)).alias("c_a"),
+            F.sum(F.when(b, 1).otherwise(0)).alias("c_b"),
+        )
+    )
+    wpre = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+
+    def at_risk(c: str):
+        total = F.sum(c).over(W.partitionBy())
+        prior = F.coalesce(F.sum(c).over(wpre), F.lit(0))
+        return (total - prior).cast("bigint")
+
+    staged = per_t.select(
+        "t",
+        "d_a",
+        "d_b",
+        at_risk("c_a").alias("n_a"),
+        at_risk("c_b").alias("n_b"),
+    ).where(F.col("d_a") + F.col("d_b") >= 1)
+    n = (F.col("n_a") + F.col("n_b")).cast("bigint")
+    d = (F.col("d_a") + F.col("d_b")).cast("bigint")
+    dd = d.cast("double")
+    terms = staged.select(
+        "t",
+        "d_a",
+        "d_b",
+        (dd * F.col("n_a") / n).alias("e_a"),
+        (dd * F.col("n_b") / n).alias("e_b"),
+        F.when(
+            n > 1,
+            dd * F.col("n_a") / n * F.col("n_b") / n * (n - d)
+            / (n - 1),
+        ).otherwise(F.lit(0.0)).alias("v"),
+    )
+
+    def tsum(c: str):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("t"), F.col(c).alias("x")))
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r.getField("x"),
+        )
+
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_times"),
+        F.sum("d_a").cast("bigint").alias("o_a"),
+        F.sum("d_b").cast("bigint").alias("o_b"),
+        tsum("e_a").alias("e_a"),
+        tsum("e_b").alias("e_b"),
+        tsum("v").alias("var_sum"),
+    )
+    chi2 = F.when(
+        F.col("var_sum") > 0,
+        (F.col("o_a") - F.col("e_a"))
+        * (F.col("o_a") - F.col("e_a"))
+        / F.col("var_sum"),
+    )
+    return agg.select(
+        "n_times", "o_a", "e_a", "o_b", "e_b", "var_sum",
+        chi2.alias("chi2"),
     )
 
 
@@ -1174,4 +1284,67 @@ def qini_curve(
     return agg.select(
         "bucket", "n_t", "conv_t", "n_c", "conv_c",
         qini.alias("qini"), uplift.alias("uplift"),
+    )
+
+
+def uplift_two_model(
+    df: DataFrame,
+    arm_col: str,
+    feature_cols: list[str],
+    outcome_col: str,
+    treated,
+    n_iter: int = 6,
+    ridge: float = 1e-6,
+) -> DataFrame:
+    """Two-model (T-learner) uplift scorer — the model that PRODUCES
+    the targeting score :func:`qini_curve` evaluates: fit one logistic
+    regression per arm on pre-treatment features (response modeling),
+    then score EVERY unit with both models; the uplift estimate is
+
+        tau(x) = P(y=1 | x, treated) - P(y=1 | x, control)
+
+    — who to target next campaign is whoever's tau is largest.  The
+    T-learner (Kunzel et al. 2019) is the standard first uplift model:
+    no interaction terms to hand-craft, each arm's fit is a plain
+    supervised problem.
+
+    Spark shape: two :func:`~oakstore_spark.operators.curation.
+    fit_logistic_irls` fits (per iteration ONE scan producing a k x k
+    Gram partial-aggregate, driver solves a k x k system — the
+    fixed-dimension iterative-fit pattern), then ONE map-side scoring
+    pass with both weight vectors as literals; nothing downstream
+    grows with data size.  The returned relation feeds
+    :func:`qini_curve` directly (score = uplift_score).
+
+    Returns df's rows as (id passthrough columns…, p_treated,
+    p_control, uplift_score).  Iterative fit — not SQL-expressible;
+    pinned by the planted heterogeneous-effect pytest instead.
+    """
+    from .curation import fit_logistic_irls
+
+    is_t = F.col(arm_col) == treated
+    # pin the featurized relation: each IRLS iteration scans it once
+    # per arm + the scoring pass (lazy localCheckpoint: materialized
+    # by the first IRLS collect, ContextCleaner-released on GC)
+    base = df.localCheckpoint(eager=False)
+    w_t = fit_logistic_irls(
+        base.where(is_t), feature_cols, outcome_col,
+        n_iter=n_iter, ridge=ridge,
+    )
+    w_c = fit_logistic_irls(
+        base.where(~is_t), feature_cols, outcome_col,
+        n_iter=n_iter, ridge=ridge,
+    )
+
+    def prob(w) -> F.Column:
+        eta = F.lit(float(w[0]))
+        for i, c in enumerate(feature_cols):
+            eta = eta + F.lit(float(w[i + 1])) * F.col(c).cast("double")
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+
+    return base.select(
+        "*",
+        prob(w_t).alias("p_treated"),
+        prob(w_c).alias("p_control"),
+        (prob(w_t) - prob(w_c)).alias("uplift_score"),
     )

@@ -3269,3 +3269,66 @@ def q_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         units, "score", "arm", "converted", "user_id", treated=1,
         n_buckets=10,
     ).orderBy("bucket")
+
+
+@register("q_uplift_two_model")
+def q_uplift_two_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift model TRAINED in-engine then evaluated end-to-end
+    (operators/experiments.uplift_two_model -> qini_curve): a
+    T-learner — one distributed-IRLS logistic fit per parity arm on
+    pre-period behavior features (spend, activity), uplift score =
+    p_treated - p_control per user — whose score ranking is then read
+    out as the 10-bucket Qini curve. Rows-only (the fit is iterative,
+    not SQL-expressible — the q_quality_classifier precedent); the
+    planted heterogeneous-effect recovery is pinned in
+    tests/test_curation.py::test_uplift_two_model_recovers_planted_segment."""
+    from oakstore_spark.operators.experiments import (
+        qini_curve,
+        uplift_two_model,
+    )
+
+    e = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    units = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") < cutoff),
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("pre_cents"),
+        F.sum(
+            F.when(F.col("ts") < cutoff, 1).otherwise(0)
+        ).alias("pre_events"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 200),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("converted"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    # feature scaling keeps the IRLS Gram well-conditioned (the
+    # q_quality_classifier /1000 convention)
+    units = units.select(
+        "user_id",
+        "arm",
+        "converted",
+        (F.col("pre_cents") / 10000.0).alias("f_spend"),
+        (F.col("pre_events") / 10.0).alias("f_act"),
+    )
+    scored = uplift_two_model(
+        units,
+        "arm",
+        ["f_spend", "f_act"],
+        "converted",
+        treated=1,
+        n_iter=4,
+    )
+    return qini_curve(
+        scored, "uplift_score", "arm", "converted", "user_id",
+        treated=1, n_buckets=10,
+    ).orderBy("bucket")

@@ -1730,6 +1730,99 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_logrank",
+    oracle="""
+    WITH u AS (
+      SELECT user_id % 2 AS arm,
+             CAST(date_diff('day', CAST(min(ts) AS DATE),
+                  CAST(coalesce(
+                    min(CASE WHEN event_type = 'purchase' AND value > 300
+                             THEN ts END), max(ts)) AS DATE))
+                  AS BIGINT) AS dur,
+             CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                AND value > 300 THEN ts END) IS NOT NULL
+                  THEN 1 ELSE 0 END AS ev
+      FROM events GROUP BY user_id
+    ), per_t AS (
+      SELECT dur AS t,
+             CAST(sum(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS BIGINT)
+               AS d_a,
+             CAST(sum(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT)
+               AS d_b,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_b
+      FROM u GROUP BY dur
+    ), staged AS (
+      SELECT t, d_a, d_b,
+             CAST(sum(c_a) OVER ()
+                  - coalesce(sum(c_a) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS n_a,
+             CAST(sum(c_b) OVER ()
+                  - coalesce(sum(c_b) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS n_b
+      FROM per_t
+    ), ev AS (
+      SELECT t, d_a, d_b, n_a, n_b,
+             n_a + n_b AS n, d_a + d_b AS d
+      FROM staged WHERE d_a + d_b >= 1
+    ), terms AS (
+      SELECT t, d_a, d_b,
+             CAST(d AS DOUBLE) * n_a / n AS e_a,
+             CAST(d AS DOUBLE) * n_b / n AS e_b,
+             CASE WHEN n > 1
+                  THEN CAST(d AS DOUBLE) * n_a / n * n_b / n
+                       * (n - d) / (n - 1)
+                  ELSE 0.0 END AS v
+      FROM ev
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_times,
+             CAST(sum(d_a) AS BIGINT) AS o_a,
+             CAST(sum(d_b) AS BIGINT) AS o_b,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(e_a ORDER BY t)), (x, y) -> x + y) AS e_a,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(e_b ORDER BY t)), (x, y) -> x + y) AS e_b,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(v ORDER BY t)), (x, y) -> x + y)
+               AS var_sum
+      FROM terms
+    )
+    SELECT n_times, o_a, e_a, o_b, e_b, var_sum,
+           CASE WHEN var_sum > 0
+                THEN (o_a - e_a) * (o_a - e_a) / var_sum END AS chi2
+    FROM agg
+    """,
+)
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (operators/experiments.logrank_test):
+    the verdict on the q_kaplan_meier_churn curves split by parity
+    arms — time-to-big-purchase durations, never-converters censored
+    at their last event. Per-event-time at-risk/observed counts are
+    exact BIGINTs off the KM relation; E and V sum via fixed-order
+    time-sorted folds (the power_analysis rule), chi2 one pinned
+    chain."""
+    from oakstore_spark.operators.experiments import logrank_test
+
+    e = table(spark, sf_dir, "events")
+    big = F.when(
+        (F.col("event_type") == "purchase") & (F.col("value") > 300),
+        F.col("ts"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(F.coalesce(F.min(big), F.max("ts"))),
+            F.to_date(F.min("ts")),
+        ).alias("dur"),
+        F.max(big).isNotNull().cast("int").alias("ev"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    return logrank_test(u, "arm", "dur", "ev", 0, 1)
+
+
+@register(
     "q_top_event_paths",
     oracle="""
     WITH seqs AS (

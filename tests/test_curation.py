@@ -1028,6 +1028,117 @@ def test_kaplan_meier_all_die_hits_zero(spark):
     assert out[-1].survival == 0.0  # ln(0) -> -inf -> exp -> 0 exactly
 
 
+def test_uplift_two_model_recovers_planted_segment(spark):
+    """T-learner on a planted heterogeneous effect: segment f=1
+    converts 80% treated / 20% control (uplift 0.6), segment f=0
+    converts 50% in both arms (uplift 0). The per-arm logistic fits
+    are saturated (one binary feature), so the scored probabilities
+    recover the planted rates, every f=1 unit outranks every f=0
+    unit, and the Qini curve front-loads ALL the lift into the
+    segment's deciles."""
+    from oakstore_spark.operators.experiments import (
+        qini_curve,
+        uplift_two_model,
+    )
+
+    rows = []
+    uid = 0
+    for seg in (0, 1):
+        for arm in (0, 1):
+            for i in range(250):
+                if seg == 1:
+                    y = int(i % 10 < (8 if arm == 1 else 2))
+                else:
+                    y = int(i % 2 == 0)
+                rows.append((uid, arm, float(seg), y))
+                uid += 1
+    df = spark.createDataFrame(rows, ["uid", "arm", "f", "y"])
+    scored = uplift_two_model(
+        df, "arm", ["f"], "y", treated=1, n_iter=8
+    )
+    rs = scored.collect()
+    seg1 = [r for r in rs if r.f == 1.0]
+    seg0 = [r for r in rs if r.f == 0.0]
+    assert abs(seg1[0].p_treated - 0.8) < 0.01
+    assert abs(seg1[0].p_control - 0.2) < 0.01
+    assert abs(seg1[0].uplift_score - 0.6) < 0.02
+    assert abs(seg0[0].uplift_score) < 0.02
+    assert min(r.uplift_score for r in seg1) > max(
+        r.uplift_score for r in seg0
+    )
+
+    curve = {
+        r.bucket: r
+        for r in qini_curve(
+            scored, "uplift_score", "arm", "y", "uid", treated=1
+        ).collect()
+    }
+    # segment 1 (500 units) fills exactly the top 5 deciles: all the
+    # incremental conversions are already there at d=5, flat after
+    assert curve[5].qini == 150.0
+    assert curve[10].qini == 150.0
+    assert curve[5].n_t == 250 and curve[5].n_c == 250
+
+
+def test_logrank_hand_values(spark):
+    """Operator output must equal an independent plain-Python
+    log-rank computation (same pinned expression order) on a toy
+    censored two-arm dataset."""
+    from oakstore_spark.operators.experiments import logrank_test
+
+    subjects = [
+        (0, 1, 1), (0, 2, 1), (0, 4, 0), (0, 5, 1),
+        (1, 2, 1), (1, 3, 0), (1, 5, 1), (1, 6, 0),
+    ]
+    df = spark.createDataFrame(subjects, ["arm", "dur", "ev"])
+    out = logrank_test(df, "arm", "dur", "ev", 0, 1).collect()[0]
+
+    times = sorted(
+        {t for _, t, e in subjects if e == 1}
+    )
+    o_a = o_b = 0
+    e_a = e_b = v = 0.0
+    for t in times:
+        n_a = sum(1 for a, d, _ in subjects if a == 0 and d >= t)
+        n_b = sum(1 for a, d, _ in subjects if a == 1 and d >= t)
+        d_a = sum(1 for a, d, e in subjects if a == 0 and d == t and e)
+        d_b = sum(1 for a, d, e in subjects if a == 1 and d == t and e)
+        n, d = n_a + n_b, d_a + d_b
+        o_a, o_b = o_a + d_a, o_b + d_b
+        e_a += d * n_a / n
+        e_b += d * n_b / n
+        if n > 1:
+            v += d * n_a / n * n_b / n * (n - d) / (n - 1)
+    chi2 = (o_a - e_a) * (o_a - e_a) / v
+    assert out.n_times == len(times)
+    assert (out.o_a, out.o_b) == (o_a, o_b)
+    assert abs(out.e_a - e_a) < 1e-12
+    assert abs(out.e_b - e_b) < 1e-12
+    assert abs(out.var_sum - v) < 1e-12
+    assert abs(out.chi2 - chi2) < 1e-12
+
+
+def test_logrank_identical_arms_null_and_empty_arm(spark):
+    """Identical survival data in both arms must read chi2 == 0.0
+    exactly (O == E term by term); a missing arm yields chi2 NULL,
+    never a divide-by-zero."""
+    from oakstore_spark.operators.experiments import logrank_test
+
+    base = [(1, 1), (2, 0), (3, 1), (5, 1), (7, 0)]
+    rows = [(arm, d, e) for arm in (0, 1) for d, e in base]
+    df = spark.createDataFrame(rows, ["arm", "dur", "ev"])
+    out = logrank_test(df, "arm", "dur", "ev", 0, 1).collect()[0]
+    assert out.chi2 == 0.0
+    assert out.o_a == out.o_b == 3
+    assert out.e_a == 3.0 and out.e_b == 3.0
+
+    solo = spark.createDataFrame(
+        [(0, d, e) for d, e in base], ["arm", "dur", "ev"]
+    )
+    out2 = logrank_test(solo, "arm", "dur", "ev", 0, 1).collect()[0]
+    assert out2.chi2 is None and out2.o_b == 0
+
+
 def test_item_neighbors_cosine_and_rank(spark):
     import math
 
