@@ -1292,6 +1292,125 @@ def backtest_holt(
     )
 
 
+def ar_forecast(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    p: int = 2,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-key AR(2) autoregressive fit + one-step forecast — the
+    family's missing AUTOREGRESSIVE member next to the smoothing
+    recursions (EWMA / Holt / Holt-Winters): fit
+
+        x_t = c + a1·x_{t-1} + a2·x_{t-2} + e_t
+
+    by per-key lagged ordinary least squares, then forecast
+    x̂_{n+1} = c + a1·x_n + a2·x_{n-1}.  AR(2) is the smallest order
+    that models oscillation/mean-reversion the one-lag ``regr_*``
+    trend (q_regr_user_trend) cannot; for p=1 use the ``regr_slope``
+    family directly, for p>2 the k×k Gram partial-aggregation pattern
+    of ``fit_logistic_irls`` applies (one scan, driver solve) — this
+    operator keeps p=2 so the ENTIRE solve stays a closed-form pinned
+    float chain (3×3 Cramer's rule), oracle-replayable with no
+    iterative step.
+
+    Exactness contract: ``value_col`` must be integer-valued
+    (cents/counts), so every normal-equation moment (n, Σl1, Σl2,
+    Σl1², Σl1l2, Σl2², Σy, Σl1y, Σl2y) is an exact BIGINT from ONE
+    per-key hash aggregate; the Cramer determinants cast each moment
+    to DOUBLE first (the BIGINT products would overflow) and evaluate
+    one fixed expression tree — bit-replayable in DuckDB.
+
+    Spark shape: one lag window per key (a single keyed exchange — at
+    100 TB the partitioning is by key, no global state), one hash
+    aggregate to a keys-sized relation, all algebra on that tiny
+    relation.  Degenerate keys (fewer than 3 usable rows, or a
+    singular design — e.g. a constant series) return NULL
+    coefficients rather than an ANSI divide-by-zero.
+
+    Returns keys + (n_obs, c, a1, a2, x_last, x_prev, forecast_next).
+    """
+    if p != 2:
+        raise ValueError(
+            "ar_forecast implements p=2; use the regr_* aggregates "
+            "for p=1 (q_regr_user_trend) or the IRLS Gram pattern "
+            "for p>2"
+        )
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts_col)] + [
+        F.col(c) for c in (order_tiebreak or [])
+    ]
+    w = W.partitionBy(*keys).orderBy(*order)
+    x = F.col(value_col).cast("bigint")
+    staged = df.select(
+        *keys,
+        x.alias("_y"),
+        F.lag(x, 1).over(w).alias("_l1"),
+        F.lag(x, 2).over(w).alias("_l2"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    reg = staged.where(F.col("_l2").isNotNull())
+    agg = reg.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("_l1").alias("s1"),
+        F.sum("_l2").alias("s2"),
+        F.sum(F.col("_l1") * F.col("_l1")).alias("s11"),
+        F.sum(F.col("_l1") * F.col("_l2")).alias("s12"),
+        F.sum(F.col("_l2") * F.col("_l2")).alias("s22"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_l1") * F.col("_y")).alias("s1y"),
+        F.sum(F.col("_l2") * F.col("_y")).alias("s2y"),
+        F.max_by("_y", "_rn").alias("x_last"),
+        F.max_by("_l1", "_rn").alias("x_prev"),
+    )
+    nd = F.col("n_obs").cast("double")
+    d1, d2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    d11 = F.col("s11").cast("double")
+    d12 = F.col("s12").cast("double")
+    d22 = F.col("s22").cast("double")
+    dy = F.col("sy").cast("double")
+    d1y = F.col("s1y").cast("double")
+    d2y = F.col("s2y").cast("double")
+    det = (
+        nd * (d11 * d22 - d12 * d12)
+        - d1 * (d1 * d22 - d12 * d2)
+        + d2 * (d1 * d12 - d11 * d2)
+    )
+    det_c = (
+        dy * (d11 * d22 - d12 * d12)
+        - d1 * (d1y * d22 - d12 * d2y)
+        + d2 * (d1y * d12 - d11 * d2y)
+    )
+    det_a1 = (
+        nd * (d1y * d22 - d12 * d2y)
+        - dy * (d1 * d22 - d12 * d2)
+        + d2 * (d1 * d2y - d1y * d2)
+    )
+    det_a2 = (
+        nd * (d11 * d2y - d1y * d12)
+        - d1 * (d1 * d2y - d1y * d2)
+        + dy * (d1 * d12 - d11 * d2)
+    )
+    ok = (F.col("n_obs") >= 3) & (F.abs(det) > 0)
+    c = F.when(ok, det_c / det)
+    a1 = F.when(ok, det_a1 / det)
+    a2 = F.when(ok, det_a2 / det)
+    fc = c + a1 * F.col("x_last") + a2 * F.col("x_prev")
+    return agg.select(
+        *keys,
+        "n_obs",
+        c.alias("c"),
+        a1.alias("a1"),
+        a2.alias("a2"),
+        F.col("x_last").cast("bigint").alias("x_last"),
+        F.col("x_prev").cast("bigint").alias("x_prev"),
+        fc.alias("forecast_next"),
+    )
+
+
 def conformal_holt_interval(
     df: DataFrame,
     ts_col: str,

@@ -1445,6 +1445,94 @@ def q_holt_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ar_forecast",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), lagged AS (
+      SELECT user_id, y, rn,
+             lag(y, 1) OVER (PARTITION BY user_id ORDER BY rn) AS l1,
+             lag(y, 2) OVER (PARTITION BY user_id ORDER BY rn) AS l2
+      FROM ordered
+    ), agg AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(l1) AS BIGINT) AS s1,
+             CAST(sum(l2) AS BIGINT) AS s2,
+             CAST(sum(l1 * l1) AS BIGINT) AS s11,
+             CAST(sum(l1 * l2) AS BIGINT) AS s12,
+             CAST(sum(l2 * l2) AS BIGINT) AS s22,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(l1 * y) AS BIGINT) AS s1y,
+             CAST(sum(l2 * y) AS BIGINT) AS s2y,
+             CAST(arg_max(y, rn) AS BIGINT) AS x_last,
+             CAST(arg_max(l1, rn) AS BIGINT) AS x_prev
+      FROM lagged WHERE l2 IS NOT NULL GROUP BY user_id
+    ), dets AS (
+      SELECT user_id, n_obs, x_last, x_prev,
+             CAST(n_obs AS DOUBLE) AS nd,
+             CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+             CAST(s11 AS DOUBLE) AS d11, CAST(s12 AS DOUBLE) AS d12,
+             CAST(s22 AS DOUBLE) AS d22,
+             CAST(sy AS DOUBLE) AS dy,
+             CAST(s1y AS DOUBLE) AS d1y, CAST(s2y AS DOUBLE) AS d2y
+      FROM agg
+    ), solved AS (
+      SELECT user_id, n_obs, x_last, x_prev,
+             nd * (d11 * d22 - d12 * d12)
+               - d1 * (d1 * d22 - d12 * d2)
+               + d2 * (d1 * d12 - d11 * d2) AS det,
+             dy * (d11 * d22 - d12 * d12)
+               - d1 * (d1y * d22 - d12 * d2y)
+               + d2 * (d1y * d12 - d11 * d2y) AS det_c,
+             nd * (d1y * d22 - d12 * d2y)
+               - dy * (d1 * d22 - d12 * d2)
+               + d2 * (d1 * d2y - d1y * d2) AS det_a1,
+             nd * (d11 * d2y - d1y * d12)
+               - d1 * (d1 * d2y - d1y * d2)
+               + dy * (d1 * d12 - d11 * d2) AS det_a2
+      FROM dets
+    ), coef AS (
+      SELECT user_id, n_obs, x_last, x_prev,
+             CASE WHEN n_obs >= 3 AND abs(det) > 0
+                  THEN det_c / det END AS c,
+             CASE WHEN n_obs >= 3 AND abs(det) > 0
+                  THEN det_a1 / det END AS a1,
+             CASE WHEN n_obs >= 3 AND abs(det) > 0
+                  THEN det_a2 / det END AS a2
+      FROM solved
+    )
+    SELECT user_id, n_obs, c, a1, a2, x_last, x_prev,
+           c + a1 * x_last + a2 * x_prev AS forecast_next
+    FROM coef ORDER BY user_id
+    """,
+)
+def q_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user AR(2) fit + one-step forecast
+    (operators/timeseries.ar_forecast): each user's event-value
+    series in cents, lagged twice, fit by per-key OLS — every
+    normal-equation moment an exact BIGINT from one hash aggregate,
+    the 3x3 Cramer solve one pinned float chain both engines replay
+    bit-for-bit. The autoregressive member of the forecasting family
+    next to EWMA/Holt/Holt-Winters."""
+    from oakstore_spark.operators.timeseries import ar_forecast
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return ar_forecast(
+        e, "ts", ["user_id"], "cents", p=2,
+        order_tiebreak=["event_id"],
+    ).orderBy("user_id")
+
+
+@register(
     "q_holt_backtest",
     oracle="""
     WITH RECURSIVE ordered AS (

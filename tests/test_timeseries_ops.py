@@ -1231,3 +1231,55 @@ def test_conformal_holt_interval_coverage_and_rank(spark):
         1 for k, r in iv.items() if r.lo <= actual41[k] <= r.hi
     )
     assert covered >= 0.9 * 50 - 3  # finite-sample slack
+
+
+def test_ar_forecast_recovers_planted_ar2(spark):
+    """An exact AR(2) recurrence y_t = m + 1*y_{t-1} - 1*y_{t-2}
+    (the period-6 oscillator, affinely transformed per key) has zero
+    residual, so the lagged OLS recovers (c, a1, a2) = (m, 1, -1)
+    EXACTLY (every Cramer determinant is integer-exact in double) and
+    the one-step forecast equals the true next value."""
+    from datetime import datetime, timedelta
+
+    from oakstore_spark.operators.timeseries import ar_forecast
+
+    period = [1, 2, 1, -1, -2, -1]
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for key, m, s in (("u1", 10, 3), ("u2", -4, 7)):
+        for t in range(24):
+            rows.append(
+                (key, t0 + timedelta(hours=t), m + s * period[t % 6])
+            )
+    df = spark.createDataFrame(rows, ["k", "ts", "y"])
+    out = {r.k: r for r in ar_forecast(df, "ts", ["k"], "y").collect()}
+    for key, m, s in (("u1", 10, 3), ("u2", -4, 7)):
+        r = out[key]
+        assert r.n_obs == 22
+        assert r.c == float(m)
+        assert r.a1 == 1.0 and r.a2 == -1.0
+        # true next value: position 24 % 6 = 0 -> p = 1
+        assert r.forecast_next == float(m + s * 1)
+
+
+def test_ar_forecast_degenerate_constant_series_null(spark):
+    """A constant series makes the design singular: coefficients and
+    the forecast must come back NULL, never an ANSI divide-by-zero;
+    a too-short series (n_obs < 3) likewise."""
+    from datetime import datetime, timedelta
+
+    from oakstore_spark.operators.timeseries import ar_forecast
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("c", t0 + timedelta(hours=t), 5) for t in range(10)]
+    rows += [("s", t0 + timedelta(hours=t), t * t) for t in range(4)]
+    df = spark.createDataFrame(rows, ["k", "ts", "y"])
+    out = {r.k: r for r in ar_forecast(df, "ts", ["k"], "y").collect()}
+    assert out["c"].a1 is None and out["c"].forecast_next is None
+    assert out["s"].n_obs == 2  # < 3 usable rows -> NULL coefficients
+    assert out["s"].a1 is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ar_forecast(df, "ts", ["k"], "y", p=3)
