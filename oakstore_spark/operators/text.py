@@ -1807,3 +1807,71 @@ def rake_keywords(
             "rank",
         )
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    damping: float = 0.5,
+    n_iterations: int = 6,
+    top_k: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — the
+    corpus-aware GRAPH sibling of :func:`rake_keywords` (RAKE scores
+    phrases within each document; TextRank ranks words by their
+    position in the corpus-wide co-occurrence graph): build the
+    word-adjacency graph (an undirected edge wherever two normalized
+    words appear adjacent — the window-2 co-occurrence of the paper),
+    run PageRank over it, and the top-ranked words are the keywords.
+
+    Composition of existing engine pieces: the bigram extraction is
+    :func:`pmi_collocations`'s one-corpus-pass relation, the ranking
+    is :func:`~oakstore_spark.operators.graph.pagerank` (synchronous
+    iterations, per-round join + partial-agg, localCheckpoint lineage
+    truncation).  Symmetrizing the edge set (union both directions,
+    distinct) leaves every node with out-edges, so the dangling term
+    is exactly zero and — with a DYADIC ``damping`` on a corpus whose
+    co-occurrence degrees are powers of two — every iteration is
+    bit-exact and a DuckDB oracle replays the whole chain
+    (the q_pagerank_dyadic construction; see queries/textproc.py).
+    Self-loops (a word adjacent to itself) are dropped, per the paper.
+
+    Spark shape: corpus touched ONCE (explode to bigrams + hash agg
+    to the vocabulary-sized distinct edge relation); all iterations
+    run on that edge relation; top-k is orderBy().limit() =
+    TakeOrderedAndProject.  Returns (word, rank), rank desc, word the
+    deterministic tiebreak.
+    """
+    from oakstore_spark.functions.text import normalize_text
+    from oakstore_spark.operators.graph import pagerank
+
+    words = F.split(normalize_text(text_col), " ")
+    pairs = F.filter(
+        F.when(
+            F.size(words) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - 2),
+                lambda i: F.struct(
+                    F.element_at(words, i + 1).alias("w1"),
+                    F.element_at(words, i + 2).alias("w2"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string>>")
+        ),
+        lambda p: p.getField("w1") != p.getField("w2"),
+    )
+    bg = df.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    edges = (
+        bg.unionByName(
+            bg.select(F.col("w2").alias("w1"), F.col("w1").alias("w2"))
+        )
+        .distinct()
+        .select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+    )
+    ranks = pagerank(edges, n_iterations=n_iterations, damping=damping)
+    return (
+        ranks.select(F.col("node").alias("word"), "rank")
+        .orderBy(F.col("rank").desc(), F.col("word"))
+        .limit(int(top_k))
+    )

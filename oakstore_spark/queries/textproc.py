@@ -1209,3 +1209,105 @@ def q_stemmed_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_tokens").desc(), "stem")
         .limit(30)
     )
+
+
+def _textrank_oracle() -> str:
+    """Chained-CTE replay of the full TextRank chain on the planted
+    corpus: noisy doc text -> normalize -> adjacent bigrams ->
+    symmetrized distinct edge set -> 6 PageRank iterations (damping
+    1/2) -> top-20. The planted co-occurrence graph is the 64-cycle
+    plus a step-16 overlay on the hub nodes, so every UNDIRECTED
+    degree is 2 or 4 (powers of two) and — like q_pagerank_dyadic —
+    every iteration's rank is a dyadic rational well inside double
+    precision: Spark's shuffled sums match DuckDB's serial replay to
+    the last bit."""
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    steps = []
+    for k in range(6):
+        steps.append(f"""
+    pr{k + 1} AS (
+      SELECT n.node,
+             0.0078125 + 0.5 * COALESCE(c.contrib, 0) AS rank
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p.rank / o.deg) AS contrib
+        FROM edges e
+        JOIN pr{k} p ON e.src = p.node
+        JOIN outdeg o ON o.node = e.src
+        GROUP BY e.dst
+      ) c ON c.node = n.node
+    )""")
+    return (
+        f"""
+    WITH eg AS (
+      SELECT range AS a, (range + 1) % 64 AS b FROM range(64)
+      UNION ALL
+      SELECT range * 4, (range * 4 + 16) % 64 FROM range(16)
+    ), docs AS (
+      SELECT '  W' || a || '!!  w' || b || '.' AS text FROM eg
+    ), w AS (
+      SELECT string_split({norm}, ' ') AS ws FROM docs
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(ws)),
+                    i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS p
+      FROM w WHERE len(ws) >= 2
+    ), pairs AS (
+      SELECT p.w1 AS w1, p.w2 AS w2 FROM bg WHERE p.w1 <> p.w2
+    ), edges AS (
+      SELECT DISTINCT w1 AS src, w2 AS dst FROM (
+        SELECT w1, w2 FROM pairs
+        UNION ALL SELECT w2, w1 FROM pairs
+      )
+    ), nodes AS (SELECT DISTINCT src AS node FROM edges),
+    outdeg AS (SELECT src AS node, count(*) AS deg FROM edges
+               GROUP BY 1),
+    pr0 AS (SELECT node, CAST(1.0/64 AS DOUBLE) AS rank FROM nodes),"""
+        + ",".join(steps)
+        + """
+    SELECT node AS word, rank FROM pr6
+    ORDER BY rank DESC, word LIMIT 20
+    """
+    )
+
+
+@register("q_textrank_keywords", oracle=_textrank_oracle())
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (operators/text.textrank_keywords): the
+    corpus-aware graph sibling of RAKE — word co-occurrence graph +
+    PageRank. Planted corpus: one noisy two-word document per edge of
+    a 64-cycle-plus-hub-overlay graph (case, punctuation and stray
+    whitespace must all normalize away for the edge to land), whose
+    undirected degrees are all powers of two, so 6 damping-1/2
+    PageRank iterations are BIT-exact (the q_pagerank_dyadic
+    construction) and DuckDB replays the entire chain — extraction,
+    symmetrization, iterations, top-20 — hash-for-hash."""
+    from oakstore_spark.operators.text import textrank_keywords
+
+    cyc = spark.range(64).select(
+        F.col("id").alias("a"), ((F.col("id") + 1) % 64).alias("b")
+    )
+    hub = spark.range(16).select(
+        (F.col("id") * 4).alias("a"),
+        ((F.col("id") * 4 + 16) % 64).alias("b"),
+    )
+    docs = cyc.unionByName(hub).select(
+        F.concat(
+            F.lit("  W"),
+            F.col("a").cast("string"),
+            F.lit("!!  w"),
+            F.col("b").cast("string"),
+            F.lit("."),
+        ).alias("text")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        out = textrank_keywords(
+            docs, "text", damping=0.5, n_iterations=6, top_k=20
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out

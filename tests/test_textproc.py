@@ -840,3 +840,30 @@ def test_s_stem_rule_semantics(spark):
     cases["eies"] = "eie"
     for w, want in cases.items():
         assert got[w] == want, (w, got[w], want)
+
+
+def test_textrank_keywords_star_and_self_loop(spark):
+    """On a star corpus the hub word must rank first; a word that
+    only ever co-occurs with itself (self-loop) never enters the
+    graph; normalization noise (case/punctuation) collapses into the
+    same nodes."""
+    from oakstore_spark.operators.text import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            ("Hub alpha!",),
+            ("hub, beta",),
+            ("HUB gamma.",),
+            ("hub delta",),
+            ("echo echo",),  # self-loop only: must not appear
+        ],
+        ["text"],
+    )
+    out = textrank_keywords(docs, "text", top_k=10).collect()
+    words = [r.word for r in out]
+    assert words[0] == "hub"
+    assert set(words) == {"hub", "alpha", "beta", "gamma", "delta"}
+    # leaves are symmetric: identical ranks, alphabetical tiebreak
+    assert words[1:] == ["alpha", "beta", "delta", "gamma"]
+    leaf_ranks = {r.word: r.rank for r in out[1:]}
+    assert len(set(leaf_ranks.values())) == 1
