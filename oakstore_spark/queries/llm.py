@@ -935,22 +935,82 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_semdedup")
+@register(
+    "q_semdedup",
+    oracle="""
+    SELECT CAST(12 + g AS BIGINT) AS n_vecs,
+           CAST(2 AS BIGINT) AS n_kept
+    FROM range(16) t(g) ORDER BY n_vecs
+    """,
+)
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup semantic deduplication over the embeddings table:
+    """SemDeDup semantic deduplication (operators/similarity.semdedup):
     spherical k-means partitions the space, then each cluster prunes
-    pairs with cosine >= 0.93 keeping the lowest id (one dense kernel
-    per cluster — k independent O((n/k)^2) tasks instead of one O(n^2)
-    sweep). Rows-only driver check (k-means is iterative); the planted
-    exact-twin recovery contract is pinned in
+    pairs with cosine >= 0.93 keeping the lowest id — k independent
+    O((n/k)^2) kernels instead of one O(n^2) sweep. ORACLE-exact via a
+    PLANTED corpus (retired from rows-only, the q_kmeans_clusters
+    template): 16 clusters with pairwise-distinct sizes, cluster g =
+    (10+g) identical axis-g one-hot vectors plus TWO Pythagorean-mixed
+    vectors 0.6*e_g + 0.8*e_(32+g) and 0.8*e_g + 0.6*e_(32+g) (ids
+    above the axis block). Every decision has wide float margin:
+    maximin seeding covers all 16 clusters before any in-cluster pick
+    (cross-cluster distance 1.0 vs in-cluster <= 0.4), the mixed
+    vectors assign to cluster g by strict argmax (no cluster owns axis
+    32+g), and the keep-first walk is forced: the first axis vector is
+    kept, later axis copies drop at cosine 1.0, the first mixed vector
+    survives (0.6 < 0.93 to the keeper) and the second drops AGAINST
+    THE KEPT MIXED vector (0.96 >= 0.93 while only 0.8 to the first
+    keeper) — exercising the greedy CHAIN rule, not just twin
+    collapse. Label-free output: per-cluster (n_vecs, n_kept) ordered
+    by the distinct sizes -> (12+g, 2). Noisy-recovery stays pinned in
     tests/test_llm_ops.py::test_semdedup_drops_planted_twins."""
     from oakstore_spark.operators.similarity import semdedup
 
-    e = table(spark, sf_dir, "embeddings")
-    marked = semdedup(e, dim=64, k=16, threshold=0.93, max_iter=5)
-    return marked.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+    # ONE exploded relation (a union of per-shape branches trips
+    # Catalyst's union constraint rewrite under semdedup's self-join:
+    # key not found: g#N): member slot 500/501 selects the mixed
+    # weights, everything else the pure axis one-hot
+    base = spark.range(16).select(F.col("id").cast("int").alias("g"))
+    members = base.select(
+        "g",
+        F.explode(
+            F.concat(
+                F.sequence(F.lit(0), F.col("g") + 9),
+                F.array(F.lit(500), F.lit(501)),
+            )
+        ).alias("i"),
+    )
+    w_g = (
+        F.when(F.col("i") == 500, F.lit(0.6))
+        .when(F.col("i") == 501, F.lit(0.8))
+        .otherwise(F.lit(1.0))
+    )
+    w_h = (
+        F.when(F.col("i") == 500, F.lit(0.8))
+        .when(F.col("i") == 501, F.lit(0.6))
+        .otherwise(F.lit(0.0))
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: F.when(d == F.col("g"), w_g)
+        .when(d == F.col("g") + 32, w_h)
+        .otherwise(F.lit(0.0)),
+    )
+    emb = members.select(
+        (F.col("g") * 1000 + F.col("i")).cast("long").alias("vec_id"),
+        vec.cast("array<float>").alias("embedding"),
+    )
+    marked = semdedup(emb, dim=64, k=16, threshold=0.93, max_iter=5)
+    return (
+        marked.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select("n_vecs", "n_kept")
+        .orderBy("n_vecs")
     )
 
 

@@ -538,16 +538,38 @@ def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@register("q_jpeg_thumbnails")
+@register(
+    "q_jpeg_thumbnails",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(sum((doc_id * 31 + 7 * b) % 256) AS BIGINT) AS s
+      FROM documents, (SELECT range AS b FROM range(16)) g
+      GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+           CAST(s AS DOUBLE) / 16 AS thumb_mean
+    FROM m ORDER BY media_id
+    """,
+)
 def q_jpeg_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Baseline-JPEG PIXEL decode end-to-end: each document's first 1024
-    text bytes become a 32x32 grayscale image, compressed through the
-    real spec-conformant baseline encoder (Annex-K Huffman + quantized
+    """Baseline-JPEG PIXEL decode end-to-end, RETIRED from rows-only
+    into an exact ORACLE (r11 verdict ask #5, the q_jpeg_rgb_stats /
+    q_video_frame_luma construction): each document becomes a 32x32
+    grayscale image whose sixteen 8x8 JPEG blocks each hold the
+    planted constant (doc_id*31 + 7*block) % 256, compressed through
+    the real spec-conformant baseline encoder at q100 (Annex-K
+    Huffman, DC prediction chain ACROSS the varying blocks, quantized
     DCT), then ``resize_image_thumbnails`` entropy-decodes, IDCTs and
-    block-averages the luma down to an 8x8 thumbprint — the compressed-
-    pixel rung above q_image_thumbnails' PNG path. Rows-only driver
-    check (Huffman+DCT is not SQL-replayable); exact parity vs an
-    independent numpy reference of the full lossy pipeline is pinned in
+    block-averages the luma to an 8x8 thumbprint. Blockwise-constant
+    frames at q100 are LOSSLESS through the codec (AC all zero; the
+    DC path round(8v-1024)/8+128 is the identity on integers), each
+    4x4 thumbnail block lies inside one JPEG block, so thumb_mean
+    collapses exactly to sum(block values)/16 — one pinned dyadic
+    division, UNROUNDED. Any Huffman/DC-prediction/IDCT slip perturbs
+    a block value and breaks the hash. Noisy-pipeline parity vs an
+    independent numpy reference stays pinned in
     tests/test_multimodal.py. Decode runs map-side in Arrow batches;
     binaries never shuffle."""
     from oakstore_spark.operators.multimodal import (
@@ -564,24 +586,26 @@ def q_jpeg_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                buf = text.encode("utf-8")[:1024]
-                px = _np.frombuffer(buf.ljust(1024, b"\x00"), dtype=_np.uint8)
-                rows.append((int(doc_id), _enc(px.reshape(32, 32), 85)))
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                img = _np.zeros((32, 32), dtype=_np.uint8)
+                for b in range(16):
+                    r, c = divmod(b, 4)
+                    img[
+                        8 * r : 8 * r + 8, 8 * c : 8 * c + 8
+                    ] = (doc_id * 31 + 7 * b) % 256
+                rows.append((doc_id, _enc(img, 100)))
             yield _pd.DataFrame(rows, columns=["media_id", "content"])
 
     from oakstore_spark.operators.scaling import widen_partitions
 
-    media = widen_partitions(d.select("doc_id", "text")).mapInPandas(
+    media = widen_partitions(d.select("doc_id")).mapInPandas(
         make_jpeg, "media_id long, content binary"
     )
     out = resize_image_thumbnails(media, 8, 8)
     return out.select(
-        "media_id",
-        "width",
-        "height",
-        F.round("thumb_mean", 4).alias("thumb_mean"),
-    )
+        "media_id", "width", "height", "thumb_mean"
+    ).orderBy("media_id")
 
 
 @register(
