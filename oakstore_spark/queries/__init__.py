@@ -94,6 +94,12 @@ BENCH_RETIRED: set[str] = {
     "q_deseasonalize_hourly",
     "q_decompose_trend",
     "q_holt_user",
+    # r12: the carry-kernel family now has a third timing sibling —
+    # q_conformal_forecast exercises the same repartition+sort+
+    # mapInPandas recursion PLUS the calibration selections, so the
+    # Holt-Winters run adds no new plan shape to the bench (still
+    # oracle-checked every rotation window)
+    "q_holt_winters_user",
 }
 
 

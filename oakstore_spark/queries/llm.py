@@ -541,25 +541,80 @@ def q_split_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_pca_project")
+def _pca_oracle() -> str:
+    pcs = ",\n           ".join(
+        f"CAST(CASE WHEN {k} = j THEN (1 - 2 * s) * (16 - j) "
+        f"ELSE 0 END AS DOUBLE) AS pc{k}"
+        for k in range(8)
+    )
+    return f"""
+    WITH ids AS (
+      SELECT t1.range AS j, t2.range AS s, t3.range AS r
+      FROM range(8) t1, range(2) t2, range(2) t3
+    )
+    SELECT CAST(j * 100 + s * 10 + r AS BIGINT) AS vec_id,
+           {pcs}
+    FROM ids ORDER BY vec_id
+    """
+
+
+@register("q_pca_project", oracle=_pca_oracle())
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample-trained PCA compaction of the embeddings table (64 -> 8
-    dims): train on a bounded sample driver-side, broadcast the
-    projection, apply as one matmul per Arrow batch — no corpus shuffle.
-    Rows-only driver check (SVD is not SQL-expressible); the planted-
-    subspace variance/whitening properties are pinned in
+    """Sample-trained PCA projection (operators/similarity.pca_project:
+    driver-side SVD on a bounded sample, broadcast components, one
+    matmul per Arrow batch — no corpus shuffle), ORACLE-exact via a
+    PLANTED dyadic subspace (retired from rows-only, the r11 verdict's
+    pre-announced construction): for each axis j in 0..7 the corpus
+    holds two +(16-j)*e_j rows and two -(16-j)*e_j rows, so the mean
+    is EXACTLY zero (pairs cancel in float), the centered matrix has
+    exactly-orthogonal sparse columns with distinct singular values
+    32..18 (noise floor 1e-15, out_dim 8 — ordering unambiguous), and
+    LAPACK's Householder bidiagonalization preserves the sparsity:
+    the components come back EXACTLY one-hot (verified property, and
+    the sign convention pins +e_j), so every projected coordinate is
+    the exact planted integer ±(16-j) — the oracle bakes the closed
+    form. Any mean/centering/sign/ordering slip in the operator
+    perturbs an exact integer and breaks the hash. Noisy-subspace
+    variance/whitening stay pinned in
     tests/test_llm_ops.py::test_pca_project_recovers_planted_subspace."""
     from oakstore_spark.operators.similarity import pca_project
 
-    e = table(spark, sf_dir, "embeddings")
-    out = pca_project(e, dim=64, out_dim=8)
+    base = spark.range(8).select(F.col("id").cast("int").alias("j"))
+    members = base.select(
+        "j",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"), F.lit(r).alias("r")
+                    )
+                    for s in (0, 1)
+                    for r in (0, 1)
+                ]
+            )
+        ).alias("m"),
+    ).select("j", "m.s", "m.r")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: F.when(
+            d == F.col("j"),
+            ((1 - 2 * F.col("s")) * (16 - F.col("j"))).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+    emb = members.select(
+        (F.col("j") * 100 + F.col("s") * 10 + F.col("r"))
+        .cast("long")
+        .alias("vec_id"),
+        vec.cast("array<float>").alias("embedding"),
+    )
+    out = pca_project(emb, dim=64, out_dim=8)
     return out.select(
         "vec_id",
         *[
-            F.round(F.element_at("projected", i + 1), 4).alias(f"pc{i}")
+            F.element_at("projected", i + 1).cast("double").alias(f"pc{i}")
             for i in range(8)
         ],
-    )
+    ).orderBy("vec_id")
 
 
 @register(
