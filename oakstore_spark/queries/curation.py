@@ -648,8 +648,70 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(d, "doc_id", "text", block_words=8)
 
 
-@register("q_bpe_train_merges")  # iterative: no single-SQL oracle; exact
-# single-node/distributed parity pinned in tests/test_curation.py
+def _bpe_oracle(n_merges: int = 16) -> str:
+    """Full SQL replay of the ITERATIVE BPE training loop — DuckDB
+    steps all 16 merge rounds as chained MATERIALIZED CTEs (inlining a
+    twice-referenced level would expand 2^rounds — the pagerank-oracle
+    lesson). Each word's symbol sequence is encoded as a pipe-joined
+    string (symbols are [a-z0-9]+ or '</w>' — pipes unambiguous, the
+    operator's own pair-key convention), so the greedy left-to-right
+    non-overlapping merge application is a plain list_reduce string
+    fold: the trailing symbol equals `left` iff the accumulator IS
+    `left` or ends with '|'+`left`, and merging appends `right`
+    WITHOUT the pipe. Pair counting replays the overlapping zip
+    semantics via list_transform over adjacent positions; the argmax
+    tie order (cnt desc, 'left|right' asc) is the operator's own."""
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    steps = []
+    for k in range(1, n_merges + 1):
+        steps.append(f"""
+    pc{k} AS MATERIALIZED (
+      SELECT p AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, len(ls)),
+                      i -> ls[i] || '|' || ls[i+1])) AS p
+        FROM (SELECT freq, string_split(s, '|') AS ls FROM v{k-1})
+      ) GROUP BY p
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT pair, cnt,
+             string_split(pair, '|')[1] AS l,
+             string_split(pair, '|')[2] AS r
+      FROM pc{k} ORDER BY cnt DESC, pair ASC LIMIT 1
+    ),
+    v{k} AS MATERIALIZED (
+      SELECT word, freq,
+             list_reduce(string_split(s, '|'), (acc, x) ->
+               CASE WHEN (acc = l OR acc LIKE '%|' || l) AND x = r
+                    THEN acc || x ELSE acc || '|' || x END) AS s
+      FROM v{k-1}, m{k}
+    )""")
+    finals = " UNION ALL ".join(
+        f'SELECT CAST({k - 1} AS INT) AS rank, l AS "left", '
+        f'r AS "right", cnt AS pair_freq FROM m{k}'
+        for k in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split({norm}, ' ')) AS word
+        FROM documents
+      ) WHERE len(word) > 0 GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+      SELECT word, freq,
+             regexp_replace(word, '(.)', '\\1|', 'g') || '</w>' AS s
+      FROM w0
+    ),{','.join(steps)}
+    SELECT * FROM ({finals}) ORDER BY rank
+    """
+
+
+@register("q_bpe_train_merges", oracle=_bpe_oracle())
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (Sennrich et al.): learn the
     first 16 merges from the corpus. One corpus pass collapses to the
@@ -657,7 +719,13 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (driver fast path under the size gate, distributed explode+agg loop
     above it — operators/text.py:train_bpe). Deterministic: ties break
     on (count desc, 'left|right' asc), so the merge table is stable
-    across engines and partitionings."""
+    across engines and partitionings. RETIRED from rows-only into an
+    exact ORACLE (r12): the iterative loop IS SQL-replayable — DuckDB
+    steps all 16 rounds as materialized chained CTEs with the merge
+    application as a pipe-string fold (see _bpe_oracle); every count is
+    an exact BIGINT, so the whole merge table must match
+    symbol-for-symbol. Single-node/distributed parity stays pinned in
+    tests/test_curation.py."""
     from oakstore_spark.operators.text import train_bpe
 
     d = table(spark, sf_dir, "documents")
