@@ -10,6 +10,7 @@ platform actually runs, in order:
 - READOUT: :func:`welch_ttest` (unequal-variances means),
   :func:`proportion_ztest` (conversion rates), :func:`cuped_adjust`
   (pre-period variance reduction, Deng et al. 2013),
+  :func:`post_stratified_mean` (categorical-covariate reweighting),
   :func:`ratio_metric_ci` (delta-method CI for ratio-of-sums metrics,
   Deng et al. 2018), :func:`robust_metric_summary`
   (trimmed/winsorized means), :func:`quantile_treatment_effects`
@@ -1347,4 +1348,86 @@ def uplift_two_model(
         prob(w_t).alias("p_treated"),
         prob(w_c).alias("p_control"),
         (prob(w_t) - prob(w_c)).alias("uplift_score"),
+    )
+
+
+def post_stratified_mean(
+    df: DataFrame,
+    arm_col: str,
+    stratum_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Post-stratification adjusted means — the variance-reduction
+    readout next to :func:`cuped_adjust` when the covariate is
+    CATEGORICAL (country, platform, acquisition channel): reweight
+    each arm's per-stratum means by the POOLED stratum shares,
+
+        mean_post(arm) = sum over strata s of (n_s / n) * mean(arm, s)
+
+    removing the component of the arm difference that comes from
+    uneven stratum mix rather than treatment (and shrinking variance
+    when the stratum explains the metric).  Pooled weights are the
+    standard choice — per-arm weights would just reproduce the raw
+    mean.
+
+    Spark shape: ONE hash aggregate to the (arm, stratum) moment
+    relation (exact BIGINT n and Σx from an integer-valued metric);
+    stratum shares and the final estimate run on that tiny relation,
+    with the cross-strata sum a FIXED-ORDER stratum-sorted fold (the
+    power_analysis rule — the only replayable cross-row double sum).
+
+    An arm missing from some stratum has no defined per-stratum mean
+    there: its post-stratified mean is NULL (n_strata_covered <
+    n_strata) rather than a silently re-normalized, biased number.
+
+    Returns one row per arm: (arm, n_units, n_strata_covered,
+    raw_mean, post_strat_mean).
+    """
+    x = F.col(value_col).cast("bigint")
+    cells = df.groupBy(
+        F.col(arm_col).alias("arm"), F.col(stratum_col).alias("stratum")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cell"),
+        F.sum(x).alias("sx_cell"),
+    )
+    strata = cells.groupBy("stratum").agg(
+        F.sum("n_cell").alias("n_s")
+    )
+    tot = strata.agg(
+        F.sum("n_s").alias("n_tot"),
+        F.count(F.lit(1)).alias("n_strata"),
+    )
+    j = (
+        cells.join(F.broadcast(strata), "stratum")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (
+        F.col("n_s").cast("double") / F.col("n_tot")
+    ) * (F.col("sx_cell").cast("double") / F.col("n_cell"))
+    per_arm = j.groupBy("arm").agg(
+        F.sum("n_cell").cast("bigint").alias("n_units"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata_covered"),
+        F.sum("sx_cell").alias("_sx"),
+        F.max("n_strata").alias("_n_strata"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("stratum"), term.alias("t"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r.getField("t"),
+        ).alias("_post"),
+    )
+    return per_arm.select(
+        "arm",
+        "n_units",
+        "n_strata_covered",
+        (F.col("_sx").cast("double") / F.col("n_units")).alias(
+            "raw_mean"
+        ),
+        F.when(
+            F.col("n_strata_covered") == F.col("_n_strata"),
+            F.col("_post"),
+        ).alias("post_strat_mean"),
     )

@@ -1265,19 +1265,63 @@ def backtest_holt(
     )
     ev = h.where(F.col("rn") >= 2).select(
         *keys,
-        F.col("x").cast("bigint").alias("_x"),
-        F.floor(F.col("prev_forecast") + 0.5).cast("bigint").alias("_f"),
+        F.col("x").alias("_actual"),
+        F.floor(F.col("prev_forecast") + 0.5).alias("_forecast"),
     )
+    return backtest_forecasts(ev, keys, "_actual", "_forecast")
+
+
+def backtest_forecasts(
+    df: DataFrame,
+    keys: list[str],
+    actual_col: str,
+    forecast_col: str,
+    naive_col: str | None = None,
+) -> DataFrame:
+    """Per-key forecast-accuracy metric block over ANY scored relation
+    of (actual, forecast) rows — the evaluation half of
+    :func:`backtest_holt`, factored out so any forecaster (Holt,
+    Holt-Winters, :func:`ar_forecast` one-steps, an external model's
+    scores) shares one metric contract:
+
+        mae      = Σ|x - f̂| / n
+        wape     = Σ|x - f̂| / Σ|x|
+        smape    = 2·Σ|x - f̂| / (Σ|x| + Σ|f̂|)   (pooled form)
+        mean_err = Σ(x - f̂) / n                 (signed bias)
+        mase     = Σ|x - f̂| / Σ|x - naive|       (only when
+                   ``naive_col`` is given — Hyndman & Koehler 2006's
+                   scale-free metric: accuracy relative to the naive
+                   baseline, pooled-sum form for the same exact-BIGINT
+                   reasons as WAPE; < 1 beats the baseline)
+
+    Exactness contract: ``actual_col`` / ``forecast_col`` (and
+    ``naive_col``, which must be NON-NULL on every row) must be
+    integer-valued — every sum is an exact BIGINT, every metric one
+    pinned division, so the whole readout replays bit-for-bit.  One
+    hash aggregate per key; nothing grows with data size.
+    """
+    cols = [
+        F.col(actual_col).cast("bigint").alias("_x"),
+        F.col(forecast_col).cast("bigint").alias("_f"),
+    ]
+    if naive_col is not None:
+        cols.append(F.col(naive_col).cast("bigint").alias("_n"))
+    ev = df.select(*keys, *cols)
     err = F.col("_x") - F.col("_f")
-    agg = ev.groupBy(*keys).agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_evals"),
         F.sum(F.abs(err)).alias("_sae"),
         F.sum(F.abs(F.col("_x"))).alias("_sx"),
         F.sum(F.abs(F.col("_f"))).alias("_sf"),
         F.sum(err).alias("_serr"),
-    )
+    ]
+    if naive_col is not None:
+        aggs.append(
+            F.sum(F.abs(F.col("_x") - F.col("_n"))).alias("_san")
+        )
+    agg = ev.groupBy(*keys).agg(*aggs)
     sae = F.col("_sae").cast("double")
-    return agg.select(
+    out = [
         *keys,
         "n_evals",
         (sae / F.col("n_evals")).alias("mae"),
@@ -1289,7 +1333,12 @@ def backtest_holt(
         (F.col("_serr").cast("double") / F.col("n_evals")).alias(
             "mean_err"
         ),
-    )
+    ]
+    if naive_col is not None:
+        out.append(
+            F.when(F.col("_san") > 0, sae / F.col("_san")).alias("mase")
+        )
+    return agg.select(*out)
 
 
 def ar_forecast(

@@ -3339,6 +3339,83 @@ def q_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+@register(
+    "q_post_stratified",
+    oracle="""
+    WITH units AS (
+      SELECT user_id % 2 AS arm, (user_id // 2) % 4 AS stratum,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ), cells AS (
+      SELECT arm, stratum, CAST(count(*) AS BIGINT) AS n_cell,
+             CAST(sum(cents) AS BIGINT) AS sx_cell
+      FROM units GROUP BY arm, stratum
+    ), strata AS (
+      SELECT stratum, CAST(sum(n_cell) AS BIGINT) AS n_s
+      FROM cells GROUP BY stratum
+    ), tot AS (
+      SELECT CAST(sum(n_s) AS BIGINT) AS n_tot,
+             CAST(count(*) AS BIGINT) AS n_strata
+      FROM strata
+    ), j AS (
+      SELECT c.arm, c.stratum, c.n_cell, c.sx_cell,
+             (CAST(s.n_s AS DOUBLE) / t.n_tot)
+               * (CAST(c.sx_cell AS DOUBLE) / c.n_cell) AS term,
+             t.n_strata
+      FROM cells c JOIN strata s USING (stratum) CROSS JOIN tot t
+    ), per_arm AS (
+      SELECT arm,
+             CAST(sum(n_cell) AS BIGINT) AS n_units,
+             CAST(count(*) AS BIGINT) AS n_strata_covered,
+             CAST(sum(sx_cell) AS BIGINT) AS sx,
+             max(n_strata) AS ns,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(term ORDER BY stratum)),
+                         (a, b) -> a + b) AS post
+      FROM j GROUP BY arm
+    )
+    SELECT arm, n_units, n_strata_covered,
+           CAST(sx AS DOUBLE) / n_units AS raw_mean,
+           CASE WHEN n_strata_covered = ns THEN post END
+             AS post_strat_mean
+    FROM per_arm ORDER BY arm
+    """,
+)
+def q_post_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratification adjusted means
+    (operators/experiments.post_stratified_mean): per-user purchase
+    cents across parity arms, reweighted by pooled stratum shares
+    over a 4-way deterministic stratum — the categorical-covariate
+    variance-reduction readout next to CUPED. One hash aggregate to
+    the (arm, stratum) moments; the cross-strata sum is a
+    fixed-order stratum-sorted fold, so every float replays."""
+    from oakstore_spark.operators.experiments import (
+        post_stratified_mean,
+    )
+
+    e = table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("cents"),
+    ).select(
+        (F.col("user_id") % 2).alias("arm"),
+        ((F.col("user_id") / 2).cast("bigint") % 4).alias("stratum"),
+        "cents",
+    )
+    return post_stratified_mean(
+        units, "arm", "stratum", "cents"
+    ).orderBy("arm")
+
+
 @register("q_uplift_two_model")
 def q_uplift_two_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uplift model TRAINED in-engine then evaluated end-to-end

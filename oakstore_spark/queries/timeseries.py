@@ -1598,6 +1598,102 @@ def q_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mase_backtest",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), rec AS (
+      SELECT user_id, rn, CAST(x AS DOUBLE) AS l,
+             CAST(0.0 AS DOUBLE) AS b
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn,
+             0.5 * o.x + 0.5 * (r.l + r.b),
+             0.25 * ((0.5 * o.x + 0.5 * (r.l + r.b)) - r.l)
+               + 0.75 * r.b
+      FROM ordered o JOIN rec r
+        ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    ), ev AS (
+      SELECT o.user_id, o.x,
+             CAST(floor((r.l + r.b) + 0.5) AS BIGINT) AS f,
+             o2.x AS nv
+      FROM ordered o
+      JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+      JOIN ordered o2
+        ON o2.user_id = o.user_id AND o2.rn = o.rn - 1
+    ), s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_evals,
+             CAST(sum(abs(x - f)) AS BIGINT) AS sae,
+             CAST(sum(abs(x)) AS BIGINT) AS sx,
+             CAST(sum(abs(f)) AS BIGINT) AS sf,
+             CAST(sum(x - f) AS BIGINT) AS serr,
+             CAST(sum(abs(x - nv)) AS BIGINT) AS san
+      FROM ev GROUP BY user_id
+    )
+    SELECT user_id, n_evals,
+           CAST(sae AS DOUBLE) / n_evals AS mae,
+           CASE WHEN sx > 0
+                THEN CAST(sae AS DOUBLE) / sx END AS wape,
+           CASE WHEN sx + sf > 0
+                THEN 2 * CAST(sae AS DOUBLE) / (sx + sf) END AS smape,
+           CAST(serr AS DOUBLE) / n_evals AS mean_err,
+           CASE WHEN san > 0
+                THEN CAST(sae AS DOUBLE) / san END AS mase
+    FROM s ORDER BY user_id
+    """,
+)
+def q_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE-scored forecast backtest
+    (operators/timeseries.backtest_forecasts — the metric block
+    factored out of backtest_holt so ANY forecaster shares one
+    contract): the per-user Holt one-step forecasts scored against the
+    random-walk naive baseline (previous actual), mase = sum|x-f| /
+    sum|x-naive| in the pooled exact-BIGINT form (Hyndman & Koehler
+    2006; < 1 beats the baseline). Same carry kernel as
+    q_holt_backtest plus one lag on the already-keyed relation; every
+    metric one pinned division."""
+    from pyspark.sql import Window as W
+
+    from oakstore_spark.operators.timeseries import (
+        backtest_forecasts,
+        grouped_holt,
+    )
+
+    e = table(spark, sf_dir, "events")
+    cents = e.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    h = grouped_holt(
+        cents, "ts", ["user_id"], "cents", alpha=0.5, beta=0.25,
+        order_tiebreak=["event_id"], with_backtest_cols=True,
+    )
+    w = W.partitionBy("user_id").orderBy("rn")
+    ev = (
+        h.select(
+            "user_id",
+            "rn",
+            "x",
+            "prev_forecast",
+            F.lag("x").over(w).alias("naive"),
+        )
+        .where(F.col("rn") >= 2)
+        .select(
+            "user_id",
+            F.col("x").alias("actual"),
+            F.floor(F.col("prev_forecast") + 0.5).alias("forecast"),
+            "naive",
+        )
+    )
+    return backtest_forecasts(
+        ev, ["user_id"], "actual", "forecast", naive_col="naive"
+    ).orderBy("user_id")
+
+
+@register(
     "q_decompose_trend",
     oracle="""
     WITH ordered AS (

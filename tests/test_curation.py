@@ -1591,3 +1591,29 @@ def test_qini_curve_perfect_and_random_targeting(spark):
     # the curve stays ~0 until the final bucket sweeps them in
     assert abs(out2[5].qini) < 1e-9
     assert out2[10].qini == total_lift
+
+
+def test_post_stratified_mean_equalizes_mix_and_nulls_on_gap(spark):
+    """Both arms share per-stratum means (A=10, B=20) but opposite
+    3:1 stratum mixes: raw means differ (12.5 vs 17.5) while the
+    post-stratified means both land exactly on the pooled 15.0. An
+    arm absent from a stratum reads NULL, never a re-normalized
+    biased number."""
+    from oakstore_spark.operators.experiments import post_stratified_mean
+
+    rows = (
+        [(0, "A", 10)] * 3 + [(0, "B", 20)] * 1
+        + [(1, "A", 10)] * 1 + [(1, "B", 20)] * 3
+    )
+    df = spark.createDataFrame(rows, ["arm", "stratum", "x"])
+    out = {r.arm: r for r in post_stratified_mean(df, "arm", "stratum", "x").collect()}
+    assert out[0].raw_mean == 12.5 and out[1].raw_mean == 17.5
+    assert out[0].post_strat_mean == 15.0
+    assert out[1].post_strat_mean == 15.0
+    assert out[0].n_strata_covered == 2
+
+    rows2 = [(0, "A", 10), (0, "B", 20), (1, "A", 12)]
+    df2 = spark.createDataFrame(rows2, ["arm", "stratum", "x"])
+    out2 = {r.arm: r for r in post_stratified_mean(df2, "arm", "stratum", "x").collect()}
+    assert out2[1].post_strat_mean is None  # arm 1 missing stratum B
+    assert out2[0].post_strat_mean is not None

@@ -1283,3 +1283,32 @@ def test_ar_forecast_degenerate_constant_series_null(spark):
 
     with _pytest.raises(ValueError):
         ar_forecast(df, "ts", ["k"], "y", p=3)
+
+
+def test_backtest_forecasts_metrics_and_mase(spark):
+    """Hand-checked metric block: a perfect forecast scores 0 on
+    every error metric (mase 0.0); a forecast identical to the naive
+    baseline scores mase exactly 1.0; sums are exact integers."""
+    from oakstore_spark.operators.timeseries import backtest_forecasts
+
+    rows = [
+        ("k", 10, 10, 8),
+        ("k", 12, 12, 10),
+        ("k", 9, 9, 12),
+    ]
+    df = spark.createDataFrame(rows, ["k", "actual", "forecast", "naive"])
+    r = backtest_forecasts(
+        df, ["k"], "actual", "forecast", naive_col="naive"
+    ).collect()[0]
+    assert r.mae == 0.0 and r.mase == 0.0 and r.mean_err == 0.0
+
+    rows2 = [("k", 10, 8, 8), ("k", 12, 10, 10), ("k", 9, 12, 12)]
+    df2 = spark.createDataFrame(rows2, ["k", "actual", "forecast", "naive"])
+    r2 = backtest_forecasts(
+        df2, ["k"], "actual", "forecast", naive_col="naive"
+    ).collect()[0]
+    assert r2.mase == 1.0  # forecast == naive -> exactly baseline
+    assert r2.mae == (2 + 2 + 3) / 3
+    # without a naive column the metric set is the backtest_holt one
+    r3 = backtest_forecasts(df2, ["k"], "actual", "forecast").collect()[0]
+    assert "mase" not in r3.asDict()
