@@ -100,6 +100,11 @@ BENCH_RETIRED: set[str] = {
     # Holt-Winters run adds no new plan shape to the bench (still
     # oracle-checked every rotation window)
     "q_holt_winters_user",
+    # r12: pure composition of two already-timed shapes — the IRLS
+    # fit loop is timed by q_quality_classifier and the Qini readout
+    # by q_qini_curve; the 4.5s debut measurement added no new plan
+    # shape (still oracle/rows-checked every rotation window)
+    "q_uplift_two_model",
 }
 
 

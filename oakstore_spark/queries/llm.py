@@ -489,26 +489,89 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register("q_ivf_topk")
+def _planted_twin_corpus(spark: SparkSession) -> DataFrame:
+    """64 groups of 12 IDENTICAL one-hot vectors (ids g*1000+i): the
+    ANN-retirement corpus. Identical vectors hash to identical LSH
+    buckets in EVERY table and assign to the same IVF cell, so each
+    query's true top-10 (its 10 smallest-id co-twins at cosine exactly
+    1.0; self excluded by both operators) is provably in the candidate
+    set and the approximate result EQUALS the closed-form exact answer
+    — the construction that lets an approximate-by-design operator
+    carry an exact oracle. ONE exploded relation (unions trip
+    Catalyst's constraint rewrite under self-joins — the q_semdedup
+    lesson)."""
+    members = (
+        spark.range(64)
+        .select(F.col("id").cast("int").alias("g"))
+        .select(
+            "g",
+            F.explode(F.sequence(F.lit(0), F.lit(11))).alias("i"),
+        )
+    )
+    onehot = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: F.when(d == F.col("g"), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    return members.select(
+        (F.col("g") * 1000 + F.col("i")).cast("long").alias("vec_id"),
+        onehot.cast("array<float>").alias("embedding"),
+    )
+
+
+_ANN_TWIN_ORACLE = """
+    SELECT CAST(g * 1000 AS BIGINT) AS query_id,
+           CAST(g * 1000 + r AS BIGINT) AS vec_id,
+           CAST(1.0 AS DOUBLE) AS sim,
+           CAST(r AS BIGINT) AS rank
+    FROM range(5) t(g), range(1, 11) u(r)
+    ORDER BY query_id, rank
+    """
+
+
+@register("q_ivf_topk", oracle=_ANN_TWIN_ORACLE)
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-ANN top-k (approximate by design -> rows-only driver check;
-    recall pinned vs brute force in tests/test_llm_ops.py)."""
+    """IVF-ANN top-k, RETIRED from rows-only into an exact ORACLE on
+    the planted-twin corpus: quantizer assignment, the broadcast
+    probe-cell equi-join, the Arrow rerank kernel and the rank window
+    all run for real, and with n_probe == n_centroids the probed
+    cells cover the whole corpus, so the result must equal the exact
+    brute-force top-10 — each query's 10 smallest-id co-twins at
+    cosine exactly 1.0 — independent of quantizer quality. The
+    CELL-PRUNED path (probing a strict subset) keeps its own exact
+    oracle in q_ivf_persisted_incremental (partition-pruning pinned)
+    and the recall contract in tests/test_llm_ops.py."""
     from oakstore_spark.operators.similarity import ivf_cosine_topk
 
-    e = table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ivf_cosine_topk(e, queries, k=10, dim=64, n_centroids=32, n_probe=6)
+    e = _planted_twin_corpus(spark)
+    queries = e.filter(F.col("vec_id") % 1000 == 0).filter(
+        F.col("vec_id") < 5000
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_cosine_topk(
+        e, queries, k=10, dim=64, n_centroids=16, n_probe=16
+    ).orderBy("query_id", "rank")
 
 
-@register("q_ann_topk")
+@register("q_ann_topk", oracle=_ANN_TWIN_ORACLE)
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    """LSH-ANN top-k, RETIRED from rows-only into an exact ORACLE on
+    the planted-twin corpus: identical vectors land in identical
+    buckets in every hash table REGARDLESS of the hyperplanes, so the
+    bucket equi-join provably surfaces each query's 11 co-twins, the
+    exact-cosine rerank puts the 10 smallest-id ones at ranks 1..10
+    at sim exactly 1.0, and the whole sign->band->join->distinct->
+    rerank chain must reproduce the closed form (cross-axis vectors
+    still get pruned by the banding — the join does real work). The
+    recall-on-dense-clusters contract stays in
+    tests/test_llm_ops.py."""
+    e = _planted_twin_corpus(spark)
+    queries = e.filter(F.col("vec_id") % 1000 == 0).filter(
+        F.col("vec_id") < 5000
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ann_cosine_topk(e, queries, k=10, dim=64).orderBy(
+        "query_id", "rank"
     )
-    return ann_cosine_topk(e, queries, k=10, dim=64)
 
 
 @register(
