@@ -310,3 +310,169 @@ def woe_iv(
         F.log(sg / sb).cast("double").alias("woe"),
         ((sg - sb) * F.log(sg / sb)).cast("double").alias("iv_contrib"),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC AUC of a classifier score against a 0/1 label — the
+    model-evaluation readout for the engine's own trained filters
+    (fit_logistic_irls quality classifier, uplift scorers) and any
+    imported score column.  Uses the rank identity
+    AUC = U / (n_pos * n_neg) with tied scores contributing half
+    (the Mann–Whitney convention), computed WITHOUT a global per-row
+    rank: one hash aggregate collapses the input to the
+    DISTINCT-SCORE relation (n_pos_s, n_neg_s per score), and
+
+        2U = sum over scores s ascending of
+             n_pos_s * (2 * cum_neg_below(s) + n_neg_s)
+
+    keeps every term an exact BIGINT (the half-tie doubled away), so
+    AUC = 2U / (2 * n_pos * n_neg) is ONE pinned division.
+
+    ``score_col`` must be integer-valued (quantize floats to
+    milli-units first — the exactness contract shared by the whole
+    metric family).  The prefix window runs over the distinct-score
+    relation only — bounded by score cardinality, never row count.
+
+    Returns one row: (n_pos, n_neg, n_scores, u2, auc); auc NULL when
+    either class is empty.
+    """
+    y = F.col(label_col).cast("bigint")
+    per_s = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(y).alias("np_s"),
+        F.sum(1 - y).alias("nn_s"),
+    )
+    wpre = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    staged = per_s.select(
+        "s",
+        "np_s",
+        "nn_s",
+        F.coalesce(F.sum("nn_s").over(wpre), F.lit(0)).alias(
+            "cum_neg_below"
+        ),
+    )
+    agg = staged.agg(
+        F.sum("np_s").cast("bigint").alias("n_pos"),
+        F.sum("nn_s").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+        F.sum(
+            F.col("np_s")
+            * (2 * F.col("cum_neg_below") + F.col("nn_s"))
+        ).cast("bigint").alias("u2"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("u2").cast("double")
+        / (2 * F.col("n_pos").cast("double") * F.col("n_neg")),
+    )
+    return agg.select("n_pos", "n_neg", "n_scores", "u2", auc.alias("auc"))
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[int],
+) -> DataFrame:
+    """Precision / recall / F1 at a literal threshold grid — the
+    operating-point companion of :func:`roc_auc`: per threshold t,
+    predict positive iff score >= t and report the exact confusion
+    counts.  ``score_col`` integer-valued; every count is an exact
+    BIGINT from ONE conditional aggregate per threshold in a single
+    scan (broadcast literal grid, the qini_curve pattern — the grid
+    is a bounded constant, never a per-row fan-out that grows with
+    data).  Returns per threshold: (threshold, tp, fp, fn, tn,
+    precision, recall, f1) — NULL where a denominator is 0.
+    """
+    y = F.col(label_col).cast("bigint")
+    s = F.col(score_col).cast("bigint")
+    grid = df.sparkSession.createDataFrame(
+        [(int(t),) for t in thresholds], "threshold bigint"
+    )
+    j = F.broadcast(grid).crossJoin(
+        df.select(s.alias("_s"), y.alias("_y"))
+    )
+    pred = F.col("_s") >= F.col("threshold")
+    agg = j.groupBy("threshold").agg(
+        F.sum(F.when(pred & (F.col("_y") == 1), 1).otherwise(0))
+        .cast("bigint").alias("tp"),
+        F.sum(F.when(pred & (F.col("_y") == 0), 1).otherwise(0))
+        .cast("bigint").alias("fp"),
+        F.sum(F.when(~pred & (F.col("_y") == 1), 1).otherwise(0))
+        .cast("bigint").alias("fn"),
+        F.sum(F.when(~pred & (F.col("_y") == 0), 1).otherwise(0))
+        .cast("bigint").alias("tn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+    )
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        2 * F.col("tp").cast("double")
+        / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+    )
+    return agg.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    score_scale: int = 1000,
+) -> DataFrame:
+    """Calibration bins + exact Brier score — does a probability score
+    MEAN what it says?  ``score_col`` holds integer milli-units
+    (p * score_scale, 0..score_scale); per equal-width bin the report
+    compares mean predicted probability against the observed positive
+    rate, and the Brier score is computed EXACTLY:
+
+        brier = sum over rows of (p_m - scale*y)^2 / (scale^2 * n)
+
+    — the inner sum is an exact BIGINT (integer milli-units), the
+    division one pinned chain; a naive per-row float (p - y)^2 sum
+    would not replay order-free.  One hash aggregate to n_bins rows
+    (bin = least(floor(p_m * n_bins / scale), n_bins - 1)) plus one
+    global aggregate.  Returns per bin: (bin, n, n_pos, mean_pred,
+    obs_rate, brier_contrib) — sum(brier_contrib) is the Brier score.
+    """
+    pm = F.col(score_col).cast("bigint")
+    y = F.col(label_col).cast("bigint")
+    b = F.least(
+        F.floor(pm * n_bins / score_scale), F.lit(n_bins - 1)
+    ).cast("bigint")
+    dev = pm - score_scale * y
+    per_bin = df.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(y).cast("bigint").alias("n_pos"),
+        F.sum(pm).cast("bigint").alias("_sp"),
+        F.sum(dev * dev).cast("bigint").alias("_sq"),
+    )
+    tot = per_bin.agg(F.sum("n").alias("n_tot"))
+    scale2 = float(score_scale) * float(score_scale)
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        (
+            F.col("_sp").cast("double") / F.col("n") / score_scale
+        ).alias("mean_pred"),
+        (F.col("n_pos").cast("double") / F.col("n")).alias("obs_rate"),
+        (
+            F.col("_sq").cast("double")
+            / (F.lit(scale2) * F.col("n_tot"))
+        ).alias("brier_contrib"),
+    )

@@ -3477,3 +3477,177 @@ def q_uplift_two_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, "uplift_score", "arm", "converted", "user_id",
         treated=1, n_buckets=10,
     ).orderBy("bucket")
+
+
+_SCORED_UNITS_CTE = """
+      SELECT user_id,
+             least(CAST(floor(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  AND ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  / 100.0) AS BIGINT), 1000) AS score_m,
+             CAST(max(CASE WHEN event_type = 'purchase'
+                  AND value > 200 THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+"""
+
+
+def _scored_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for the classifier-eval queries: per-user
+    integer milli-score (pre-period spend, floored to cents/100 and
+    capped at 1000) against the big-purchase conversion label — a
+    deterministic, correlated (score, label) pair both engines
+    rebuild identically."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.least(
+            F.floor(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("event_type") == "purchase")
+                            & (
+                                F.col("ts")
+                                < F.lit("2024-01-16").cast("timestamp")
+                            ),
+                            F.round(F.col("value") * 100).cast(
+                                "bigint"
+                            ),
+                        )
+                    ),
+                    F.lit(0),
+                )
+                / 100.0
+            ).cast("bigint"),
+            F.lit(1000),
+        ).alias("score_m"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 200),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("y"),
+    )
+
+
+@register(
+    "q_roc_auc",
+    oracle=f"""
+    WITH units AS ({_SCORED_UNITS_CTE}
+    ), per_s AS (
+      SELECT score_m AS s,
+             CAST(sum(y) AS BIGINT) AS np_s,
+             CAST(sum(1 - y) AS BIGINT) AS nn_s
+      FROM units GROUP BY score_m
+    ), staged AS (
+      SELECT s, np_s, nn_s,
+             CAST(coalesce(sum(nn_s) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum_neg_below
+      FROM per_s
+    ), agg AS (
+      SELECT CAST(sum(np_s) AS BIGINT) AS n_pos,
+             CAST(sum(nn_s) AS BIGINT) AS n_neg,
+             CAST(count(*) AS BIGINT) AS n_scores,
+             CAST(sum(np_s * (2 * cum_neg_below + nn_s)) AS BIGINT)
+               AS u2
+      FROM staged
+    )
+    SELECT n_pos, n_neg, n_scores, u2,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(u2 AS DOUBLE)
+                     / (2 * CAST(n_pos AS DOUBLE) * n_neg) END AS auc
+    FROM agg
+    """,
+)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (operators/quality.roc_auc) of the pre-period
+    spend score against big-purchase conversion: the Mann-Whitney
+    rank identity computed over the DISTINCT-SCORE relation with
+    half-ties doubled into exact BIGINTs — 2U = sum np_s*(2*cum_neg
+    + nn_s), auc one pinned division. No per-row global rank."""
+    from oakstore_spark.operators.quality import roc_auc
+
+    return roc_auc(_scored_units(spark, sf_dir), "score_m", "y")
+
+
+@register(
+    "q_pr_curve",
+    oracle=f"""
+    WITH units AS ({_SCORED_UNITS_CTE}
+    ), grid AS (
+      SELECT CAST(unnest([0, 50, 100, 200, 400, 700, 1000])
+                  AS BIGINT) AS threshold
+    ), agg AS (
+      SELECT g.threshold,
+             CAST(sum(CASE WHEN u.score_m >= g.threshold AND u.y = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN u.score_m >= g.threshold AND u.y = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN u.score_m < g.threshold AND u.y = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN u.score_m < g.threshold AND u.y = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM grid g CROSS JOIN units u
+      GROUP BY g.threshold
+    )
+    SELECT threshold, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN 2 * CAST(tp AS DOUBLE) / (2 * tp + fp + fn)
+                END AS f1
+    FROM agg ORDER BY threshold
+    """,
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at a 7-point threshold grid
+    (operators/quality.pr_curve): exact confusion counts from one
+    conditional aggregate over the broadcast literal grid (the
+    qini_curve pattern), each metric one pinned division."""
+    from oakstore_spark.operators.quality import pr_curve
+
+    return pr_curve(
+        _scored_units(spark, sf_dir),
+        "score_m",
+        "y",
+        [0, 50, 100, 200, 400, 700, 1000],
+    ).orderBy("threshold")
+
+
+@register(
+    "q_calibration",
+    oracle=f"""
+    WITH units AS ({_SCORED_UNITS_CTE}
+    ), per_bin AS (
+      SELECT least(CAST(floor(score_m * 10 / 1000.0) AS BIGINT), 9)
+               AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(score_m) AS BIGINT) AS sp,
+             CAST(sum((score_m - 1000 * y) * (score_m - 1000 * y))
+                  AS BIGINT) AS sq
+      FROM units GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM per_bin)
+    SELECT bin, n, n_pos,
+           CAST(sp AS DOUBLE) / n / 1000 AS mean_pred,
+           CAST(n_pos AS DOUBLE) / n AS obs_rate,
+           CAST(sq AS DOUBLE) / (1000000.0 * n_tot) AS brier_contrib
+    FROM per_bin, tot ORDER BY bin
+    """,
+)
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration bins + exact Brier score
+    (operators/quality.calibration_report): per decile-of-score bin,
+    mean predicted probability vs observed rate, and the Brier score
+    accumulated as an exact BIGINT sum of squared integer milli-unit
+    deviations (a per-row float sum would not replay order-free) —
+    sum(brier_contrib) is the Brier score."""
+    from oakstore_spark.operators.quality import calibration_report
+
+    return calibration_report(
+        _scored_units(spark, sf_dir), "score_m", "y",
+        n_bins=10, score_scale=1000,
+    ).orderBy("bin")

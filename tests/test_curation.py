@@ -1617,3 +1617,66 @@ def test_post_stratified_mean_equalizes_mix_and_nulls_on_gap(spark):
     out2 = {r.arm: r for r in post_stratified_mean(df2, "arm", "stratum", "x").collect()}
     assert out2[1].post_strat_mean is None  # arm 1 missing stratum B
     assert out2[0].post_strat_mean is not None
+
+
+def test_roc_auc_separation_ties_and_reversal(spark):
+    """Perfectly separating score -> AUC exactly 1.0; constant score
+    (all tied) -> exactly 0.5; reversed score -> exactly 0.0."""
+    from oakstore_spark.operators.quality import roc_auc
+
+    rows = [(i, 100 + i, 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, ["uid", "s", "y"])
+    assert roc_auc(df, "s", "y").collect()[0].auc == 1.0
+
+    const = spark.createDataFrame(
+        [(i, 7, i % 2) for i in range(100)], ["uid", "s", "y"]
+    )
+    assert roc_auc(const, "s", "y").collect()[0].auc == 0.5
+
+    rev = spark.createDataFrame(
+        [(i, -i, 1 if i >= 50 else 0) for i in range(100)],
+        ["uid", "s", "y"],
+    )
+    assert roc_auc(rev, "s", "y").collect()[0].auc == 0.0
+
+    onec = spark.createDataFrame(
+        [(1, 5, 1), (2, 6, 1)], ["uid", "s", "y"]
+    )
+    assert roc_auc(onec, "s", "y").collect()[0].auc is None
+
+
+def test_pr_curve_and_calibration_hand(spark):
+    """Hand-checked confusion counts at one threshold and an exactly
+    calibrated score whose per-bin mean_pred equals obs_rate with the
+    closed-form Brier."""
+    from oakstore_spark.operators.quality import (
+        calibration_report,
+        pr_curve,
+    )
+
+    #  4 pos with scores [900, 800, 300, 100], 4 neg [700, 600, 200, 0]
+    rows = [
+        (900, 1), (800, 1), (300, 1), (100, 1),
+        (700, 0), (600, 0), (200, 0), (0, 0),
+    ]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    at500 = {
+        r.threshold: r for r in pr_curve(df, "s", "y", [500]).collect()
+    }[500]
+    assert (at500.tp, at500.fp, at500.fn, at500.tn) == (2, 2, 2, 2)
+    assert at500.precision == 0.5 and at500.recall == 0.5
+
+    # exactly calibrated: bin 2 (p=0.25): 1 of 4 positive; bin 7
+    # (p=0.75): 3 of 4 positive
+    cal_rows = [(250, 1), (250, 0), (250, 0), (250, 0),
+                (750, 1), (750, 1), (750, 1), (750, 0)]
+    cdf = spark.createDataFrame(cal_rows, ["s", "y"])
+    out = {r.bin: r for r in calibration_report(cdf, "s", "y").collect()}
+    assert out[2].mean_pred == 0.25 and out[2].obs_rate == 0.25
+    assert out[7].mean_pred == 0.75 and out[7].obs_rate == 0.75
+    brier = sum(r.brier_contrib for r in out.values())
+    # closed form: every row deviates by exactly 0.25 or 0.75
+    expect = (
+        (0.75**2 + 3 * 0.25**2) + (3 * 0.25**2 + 0.75**2)
+    ) / 8
+    assert abs(brier - expect) < 1e-12
