@@ -264,3 +264,74 @@ def k_anonymize_generalized(
         .drop("_n")
     )
     return _semi_join_nullsafe(gen, safe, cols)
+
+
+def dp_release(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float,
+    value_col: str | None = None,
+    clamp: int | None = None,
+    salt: str = "dp",
+) -> DataFrame:
+    """Differentially-private aggregate release (Laplace mechanism,
+    Dwork et al. 2006) — the numeric-release rung of the privacy
+    family above :func:`k_anonymize`: per group, publish
+
+        count mode (``value_col`` None):  n + Lap(1/ε)
+        sum mode:  Σ clamp(x, 0, C) + Lap(C/ε)
+
+    where clamping bounds each unit's contribution (the sensitivity),
+    the textbook prerequisite for a finite noise scale.
+
+    Noise is DETERMINISTIC per (group, salt): the Laplace draw comes
+    from inverting the CDF at the 60-bit md5 uniform of the group key
+    — the engine's replayable-randomness rung (Poisson bootstrap,
+    hash sampling).  This is the MEMOIZED-NOISE pattern real DP
+    deployments use for repeated identical queries (returning the
+    same noisy answer prevents averaging attacks and re-spends no
+    budget); releasing under a NEW salt is a new ε-spend — budget
+    accounting is the caller's responsibility, stated, not solved,
+    here.  Determinism also makes the release exactly testable: the
+    oracle replays every noise value bit-for-bit (the ln evaluation
+    is the known <=1-ulp libm class).
+
+    Spark shape: one hash aggregate to the group relation; noise is a
+    per-group map-side expression on that tiny relation.  Returns
+    (group_cols..., released) — the TRUE aggregate never leaves the
+    operator.
+    """
+    if value_col is not None and clamp is None:
+        raise ValueError("sum mode requires clamp (sensitivity)")
+    b_scale = (
+        1.0 / float(epsilon)
+        if value_col is None
+        else float(clamp) / float(epsilon)
+    )
+    if value_col is None:
+        agg = df.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_true")
+        )
+    else:
+        x = F.least(
+            F.greatest(F.col(value_col).cast("bigint"), F.lit(0)),
+            F.lit(int(clamp)),
+        )
+        agg = df.groupBy(*group_cols).agg(
+            F.sum(x).cast("bigint").alias("_true")
+        )
+    key = F.concat_ws(
+        ":", F.lit(salt), *[F.col(c).cast("string") for c in group_cols]
+    )
+    u60 = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    u = (u60.cast("double") + 0.5) / float(16**15)
+    c = u - F.lit(0.5)
+    noise = (
+        F.lit(-b_scale)
+        * F.signum(c)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+    )
+    return agg.select(
+        *group_cols,
+        (F.col("_true").cast("double") + noise).alias("released"),
+    )

@@ -1677,3 +1677,39 @@ def q_woe_iv_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").isNotNull().cast("int").alias("bad"),
     )
     return woe_iv(units, "v", "bad", n_bins=10).orderBy("bin")
+
+
+@register(
+    "q_dp_release",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS t
+      FROM events GROUP BY event_type
+    ), n AS (
+      SELECT event_type, t,
+             (CAST(CAST(('0x' || substr(md5('dp:' || event_type),
+                    1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+               / 1152921504606846976.0 AS u
+      FROM agg
+    )
+    SELECT event_type,
+           CAST(t AS DOUBLE)
+             + (-2.0) * sign(u - 0.5)
+               * ln(1.0 - 2.0 * abs(u - 0.5)) AS released
+    FROM n ORDER BY event_type
+    """,
+)
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (operators/pii.dp_release,
+    Laplace mechanism at epsilon 0.5): per-event-type counts with
+    deterministic memoized noise — the Laplace CDF inverted at the
+    60-bit md5 uniform of the group key (the engine's
+    replayable-randomness rung), so the oracle rebuilds every noise
+    value (ln is the known <=1-ulp libm class). The true counts never
+    leave the operator."""
+    from oakstore_spark.operators.pii import dp_release
+
+    e = table(spark, sf_dir, "events")
+    return dp_release(e, ["event_type"], epsilon=0.5).orderBy(
+        "event_type"
+    )

@@ -1680,3 +1680,32 @@ def test_pr_curve_and_calibration_hand(spark):
         (0.75**2 + 3 * 0.25**2) + (3 * 0.25**2 + 0.75**2)
     ) / 8
     assert abs(brier - expect) < 1e-12
+
+
+def test_dp_release_determinism_clamping_and_scale(spark):
+    """Memoized noise: identical calls release identical values; sum
+    mode clamps each contribution (two corpora whose outlier differs
+    only above the clamp release the SAME value); mean |noise| over
+    many groups tracks the Laplace scale 1/epsilon."""
+    from oakstore_spark.operators.pii import dp_release
+
+    rows = [(f"g{i % 50}", 1) for i in range(500)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    a = {r.g: r.released for r in dp_release(df, ["g"], 1.0).collect()}
+    b = {r.g: r.released for r in dp_release(df, ["g"], 1.0).collect()}
+    assert a == b
+    noises = [v - 10.0 for v in a.values()]  # every group n=10
+    mean_abs = sum(abs(n) for n in noises) / len(noises)
+    assert 0.3 < mean_abs < 3.0  # Laplace(1) mean |noise| = 1
+    assert any(n < 0 for n in noises) and any(n > 0 for n in noises)
+
+    df_hi = spark.createDataFrame([("g", 50), ("g", 3)], ["g", "x"])
+    df_vhi = spark.createDataFrame([("g", 5000), ("g", 3)], ["g", "x"])
+    r1 = dp_release(df_hi, ["g"], 1.0, value_col="x", clamp=10).collect()
+    r2 = dp_release(df_vhi, ["g"], 1.0, value_col="x", clamp=10).collect()
+    assert r1[0].released == r2[0].released  # both outliers clamp to 10
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dp_release(df_hi, ["g"], 1.0, value_col="x")
