@@ -22,9 +22,10 @@ platform actually runs, in order:
 - QUASI-EXPERIMENTAL / TARGETING: :func:`diff_in_diff` (parallel
   trends), :func:`kaplan_meier` (censoring-aware time-to-event),
   :func:`logrank_test` (the two-curve verdict, Mantel 1966),
-  :func:`qini_curve` (uplift-model evaluation, Radcliffe 2007),
-  :func:`uplift_two_model` (T-learner uplift scoring scored by the
-  Qini curve).
+  :func:`ipw_ate` (inverse-propensity weighting under
+  unconfoundedness), :func:`qini_curve` (uplift-model evaluation,
+  Radcliffe 2007), :func:`uplift_two_model` (T-learner uplift
+  scoring scored by the Qini curve).
 
 Spark shape: every statistic here is ONE hash aggregate over the
 metric stream (map-side partials, no window, no sort) producing a
@@ -1430,4 +1431,76 @@ def post_stratified_mean(
             F.col("n_strata_covered") == F.col("_n_strata"),
             F.col("_post"),
         ).alias("post_strat_mean"),
+    )
+
+
+def ipw_ate(
+    df: DataFrame,
+    arm_col: str,
+    feature_cols: list[str],
+    outcome_col: str,
+    treated,
+    n_iter: int = 6,
+    clip: float = 0.01,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect (the
+    Hájek / stabilized-weights estimator) — the observational-data
+    answer when assignment was NOT randomized and a naive arm
+    difference is confounded: fit the propensity e(x) = P(treated|x)
+    in-engine (:func:`~oakstore_spark.operators.curation.
+    fit_logistic_irls` — one k×k Gram scan per iteration), then
+
+        ATE = Σ t·y/ê / Σ t/ê  −  Σ (1−t)·y/(1−ê) / Σ (1−t)/(1−ê)
+
+    reweighting each arm to the full population under
+    unconfoundedness (treatment ignorable given x — stated, not
+    testable; run :func:`covariate_balance` on the WEIGHTED sample to
+    check the fit did its job).  Propensities clip to
+    [clip, 1−clip] — the standard positivity guard against exploding
+    weights.
+
+    Spark shape: the IRLS fits are bounded scans; the estimate is ONE
+    hash aggregate of weighted sums over the scored relation.
+    Iterative float fit → not SQL-replayable; pinned by the planted
+    confounding pytest (naive biased, IPW exact).
+
+    Returns one row: (n, n_treated, naive_diff, ate_ipw,
+    mean_treated_ipw, mean_control_ipw).
+    """
+    from .curation import fit_logistic_irls
+
+    t = (F.col(arm_col) == treated).cast("int")
+    base = df.withColumn("_t", t).localCheckpoint(eager=False)
+    w = fit_logistic_irls(base, feature_cols, "_t", n_iter=n_iter)
+    eta = F.lit(float(w[0]))
+    for i, c in enumerate(feature_cols):
+        eta = eta + F.lit(float(w[i + 1])) * F.col(c).cast("double")
+    e = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    e = F.least(F.greatest(e, F.lit(float(clip))), F.lit(1.0 - float(clip)))
+    y = F.col(outcome_col).cast("double")
+    td = F.col("_t").cast("double")
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_t").cast("bigint").alias("n_treated"),
+        F.sum(td * y).alias("_sty"),
+        F.sum((1 - td) * y).alias("_scy"),
+        F.sum(td * y / e).alias("_wty"),
+        F.sum(td / e).alias("_wt"),
+        F.sum((1 - td) * y / (1 - e)).alias("_wcy"),
+        F.sum((1 - td) / (1 - e)).alias("_wc"),
+    )
+    mt = F.when(F.col("_wt") > 0, F.col("_wty") / F.col("_wt"))
+    mc = F.when(F.col("_wc") > 0, F.col("_wcy") / F.col("_wc"))
+    naive = F.when(
+        (F.col("n_treated") > 0) & (F.col("n_treated") < F.col("n")),
+        F.col("_sty") / F.col("n_treated")
+        - F.col("_scy") / (F.col("n") - F.col("n_treated")),
+    )
+    return agg.select(
+        "n",
+        "n_treated",
+        naive.alias("naive_diff"),
+        (mt - mc).alias("ate_ipw"),
+        mt.alias("mean_treated_ipw"),
+        mc.alias("mean_control_ipw"),
     )

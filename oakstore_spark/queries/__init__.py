@@ -105,6 +105,10 @@ BENCH_RETIRED: set[str] = {
     # by q_qini_curve; the 4.5s debut measurement added no new plan
     # shape (still oracle/rows-checked every rotation window)
     "q_uplift_two_model",
+    # r12: same IRLS-composition argument — propensity fit timed by
+    # q_quality_classifier, the weighted one-row aggregate adds no
+    # plan shape
+    "q_ipw_ate",
 }
 
 

@@ -3651,3 +3651,50 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scored_units(spark, sf_dir), "score_m", "y",
         n_bins=10, score_scale=1000,
     ).orderBy("bin")
+
+
+@register("q_ipw_ate")
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE (operators/experiments.ipw_ate):
+    treat heavy pre-period activity as a CONFOUNDED 'treatment'
+    (users self-select), fit the propensity on behavior features
+    in-engine, and report the Hajek-reweighted effect on conversion
+    next to the naive (confounded) arm difference. Rows-only (the
+    propensity fit is iterative — the q_quality_classifier
+    precedent); exact planted-confounding recovery is pinned in
+    tests/test_curation.py::test_ipw_ate_recovers_planted_effect."""
+    from oakstore_spark.operators.experiments import ipw_ate
+
+    e = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    units = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < cutoff, 1).otherwise(0)
+        ).alias("pre_events"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") < cutoff),
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("pre_cents"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 200),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("converted"),
+    ).select(
+        (F.col("pre_events") >= 20).cast("int").alias("heavy"),
+        (F.col("pre_cents") / 10000.0).alias("f_spend"),
+        ((F.col("user_id") % 7) / 7.0).alias("f_mix"),
+        "converted",
+    )
+    return ipw_ate(
+        units, "heavy", ["f_spend", "f_mix"], "converted",
+        treated=1, n_iter=4,
+    )
