@@ -185,6 +185,89 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
             f"S={r.survival:.3f}"
         )
 
+    # 6. The round-12 layer: the log-rank verdict on the KM curves,
+    # targeting (uplift model trained in-engine, read out as a Qini
+    # curve), the quasi-experimental estimators (post-stratification,
+    # IPW), classifier evaluation of the conversion score, and a
+    # DP-noised release of the arm counts
+    from oakstore_spark.operators.experiments import (
+        ipw_ate,
+        logrank_test,
+        post_stratified_mean,
+        qini_curve,
+        uplift_two_model,
+    )
+    from oakstore_spark.operators.pii import dp_release
+    from oakstore_spark.operators.quality import (
+        calibration_report,
+        roc_auc,
+    )
+
+    lr = logrank_test(
+        surv_units.withColumn("arm", F.col("user_id") % 2),
+        "arm", "dur", "ev", 0, 1,
+    ).collect()[0]
+    print(
+        f"log-rank: O_a={lr.o_a} E_a={lr.e_a:.1f} chi2={lr.chi2:.3f}"
+    )
+
+    scored = uplift_two_model(
+        units.select(
+            "user_id", "arm", "converted",
+            (F.col("pre") / 10000.0).alias("f_spend"),
+        ),
+        "arm", ["f_spend"], "converted", treated=1, n_iter=4,
+    )
+    q5 = {
+        r.bucket: r
+        for r in qini_curve(
+            scored, "uplift_score", "arm", "converted", "user_id", 1
+        ).collect()
+    }
+    print(
+        "qini(d=5):", round(q5[5].qini, 2),
+        " qini(d=10):", round(q5[10].qini, 2),
+    )
+
+    strat = units.select(
+        "arm", "spend", ((F.col("user_id") / 2).cast("bigint") % 4).alias("seg")
+    )
+    for r in post_stratified_mean(strat, "arm", "seg", "spend").orderBy(
+        "arm"
+    ).collect():
+        print(
+            f"  arm {r.arm}: raw {r.raw_mean:.1f} "
+            f"post-stratified {r.post_strat_mean:.1f}"
+        )
+
+    med_pre = units.agg(
+        F.expr("percentile(pre, 0.5)").alias("m")
+    ).collect()[0].m
+    obs = units.select(
+        (F.col("pre") > med_pre).cast("int").alias("heavy"),
+        (F.col("user_id") % 7 / 7.0).alias("f_mix"),
+        "converted",
+    )
+    ate = ipw_ate(obs, "heavy", ["f_mix"], "converted", 1).collect()[0]
+    naive = "n/a" if ate.naive_diff is None else f"{ate.naive_diff:.3f}"
+    ipw = "n/a" if ate.ate_ipw is None else f"{ate.ate_ipw:.3f}"
+    print(f"ipw: naive {naive} vs reweighted {ipw}")
+
+    ev_units = units.select(
+        F.least(F.floor(F.col("pre") / 100.0).cast("bigint"), F.lit(1000))
+        .alias("score_m"),
+        F.col("converted").alias("y"),
+    )
+    auc = roc_auc(ev_units, "score_m", "y").collect()[0]
+    print(f"conversion-score AUC: {auc.auc:.3f}")
+    cal = calibration_report(ev_units, "score_m", "y").collect()
+    print("brier:", round(sum(r.brier_contrib for r in cal), 4))
+
+    for r in dp_release(
+        units.select("arm"), ["arm"], epsilon=1.0
+    ).orderBy("arm").collect():
+        print(f"  dp arm count (eps=1): {r.released:.2f}")
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
