@@ -112,6 +112,15 @@ def main() -> None:
                          "synthetic 40-word docs (vocab includes "
                          "stopwords so phrases really split); top-5 "
                          "phrases per doc forced end-to-end")
+    ap.add_argument("--evalrows", type=int, default=0,
+                    help="forecaster/model-eval probe: this many "
+                         "rows as 10k-key integer series through "
+                         "ar_forecast (lag windows + Gram aggregate "
+                         "+ Cramer solve) and as scored units "
+                         "through roc_auc/pr_curve/calibration; "
+                         "planted AR(2) keys recovered exactly and "
+                         "the planted score-label association "
+                         "asserted")
     ap.add_argument("--streamrows", type=int, default=0,
                     help="also probe Structured Streaming: this many "
                          "synthetic events through a watermarked tumbling "
@@ -1376,6 +1385,92 @@ def main() -> None:
         assert sanity["smin"] > 0
         out["rake_rows"] = float(sanity["n"])
         rdocs.unpersist()
+
+    if args.evalrows:
+        # Forecaster + model-eval at volume. The AR series is the
+        # EXACT period-6 oscillator per key (y = m_k + s_k * p[t%6],
+        # p_t = p_{t-1} - p_{t-2}), so every key's lagged OLS must
+        # recover (c, a1, a2) = (m_k, 1, -1) exactly — a 10k-key
+        # distributed assertion, not a spot check.
+        ne = args.evalrows
+        n_keys = 10_000
+        per_key = max(ne // n_keys, 12)
+        period = [1, 2, 1, -1, -2, -1]
+        parr = F.array(*[F.lit(v) for v in period])
+        series = spark.range(0, n_keys * per_key, 1, 64).select(
+            (F.col("id") % n_keys).alias("k"),
+            (F.col("id") / n_keys).cast("bigint").alias("t"),
+        ).select(
+            "k",
+            "t",
+            (
+                (F.col("k") % 97)
+                + (F.col("k") % 7 + 1)
+                * F.element_at(
+                    parr, (F.col("t") % 6).cast("int") + 1
+                )
+            ).alias("y"),
+        )
+        series.persist()
+        series.count()
+        from oakstore_spark.operators.timeseries import ar_forecast
+
+        t0 = time.time()
+        arf = ar_forecast(series, "t", ["k"], "y")
+        # at 2000 rows/key the Cramer determinant products exceed
+        # 2^53, so recovery is float-tolerance here (the 24-row
+        # pytest pins the bit-exact integer-determinant regime)
+        tol = 1e-6
+        bad = arf.where(
+            (F.abs(F.col("a1") - 1.0) > tol)
+            | (F.abs(F.col("a2") + 1.0) > tol)
+            | (
+                F.abs(F.col("c") - (F.col("k") % 97).cast("double"))
+                > tol
+            )
+        ).count()
+        dt = time.time() - t0
+        out["ar_sec"] = round(dt, 2)
+        out["ar_rows_per_sec"] = round(n_keys * per_key / dt)
+        assert bad == 0, f"{bad} keys failed AR(2) recovery"
+        series.unpersist()
+
+        # model eval: planted score-label association (label noisy
+        # below score 500, certain above) through the full family
+        units = spark.range(0, ne, 1, 64).select(
+            F.pmod(F.hash("id"), F.lit(1001)).cast("bigint").alias(
+                "score_m"
+            ),
+            F.col("id").alias("uid"),
+        ).select(
+            "score_m",
+            F.when(F.col("score_m") >= 500, 1)
+            .otherwise((F.col("uid") % 5 == 0).cast("int"))
+            .cast("bigint")
+            .alias("y"),
+        )
+        units.persist()
+        units.count()
+        from oakstore_spark.operators.quality import (
+            calibration_report,
+            pr_curve,
+            roc_auc,
+        )
+
+        t0 = time.time()
+        auc = roc_auc(units, "score_m", "y").collect()[0]
+        pr = pr_curve(
+            units, "score_m", "y", [100, 300, 500, 700, 900]
+        ).count()
+        cal = calibration_report(units, "score_m", "y").collect()
+        dt = time.time() - t0
+        out["eval_sec"] = round(dt, 2)
+        out["eval_rows_per_sec"] = round(3 * ne / dt)
+        assert 0.85 < auc.auc < 1.0 and pr == 5
+        brier = sum(r.brier_contrib for r in cal)
+        assert 0.0 < brier < 0.5
+        out["eval_auc"] = round(float(auc.auc), 4)
+        units.unpersist()
 
     if args.streamrows:
         # Structured Streaming at volume: watermarked tumbling-window
