@@ -99,3 +99,140 @@ def label_function_diagnostics(labeled: DataFrame) -> DataFrame:
         (F.col("n_overlap").cast("double") / total).alias("overlap"),
         (F.col("n_conflict").cast("double") / total).alias("conflict_rate"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame, rater_a_col: str, rater_b_col: str
+) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) — chance-corrected agreement between
+    TWO annotators over the same items, the before-you-train check on
+    any human- or rule-labeled dataset (raw percent agreement is
+    inflated by class imbalance; kappa subtracts the agreement two
+    independent raters with these marginals would reach by chance):
+
+        kappa = (p_o - p_e) / (1 - p_e),
+        p_o = Σ_c n_cc / N,   p_e = Σ_c row_c · col_c / N²
+
+    Exactness contract: labels are categorical; every count, marginal
+    product and the Σ row·col sum are exact BIGINTs from ONE hash
+    aggregate over the contingency relation (bounded by label
+    cardinality squared, never item count), and kappa is one pinned
+    chain.  Returns one row: (n_items, n_categories, p_observed,
+    p_expected, kappa); kappa NULL when p_e = 1 (a single shared
+    label — agreement is undefined, not perfect).
+    """
+    a = F.col(rater_a_col).cast("string")
+    b = F.col(rater_b_col).cast("string")
+    cells = df.groupBy(a.alias("la"), b.alias("lb")).agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    # rename the keys before joining: both marginals derive from the
+    # same cells relation and Spark's ambiguous-self-join check
+    # rejects a raw rows["la"] == colsr["lb"] condition
+    rows = cells.groupBy("la").agg(F.sum("n_ab").alias("row_n")).select(
+        F.col("la").alias("lab_r"), "row_n"
+    )
+    colsr = cells.groupBy("lb").agg(F.sum("n_ab").alias("col_n")).select(
+        F.col("lb").alias("lab_c"), "col_n"
+    )
+    marg = rows.join(
+        colsr, F.col("lab_r") == F.col("lab_c"), "full"
+    ).select(
+        F.coalesce(F.col("lab_r"), F.col("lab_c")).alias("lab"),
+        F.coalesce("row_n", F.lit(0)).alias("row_n"),
+        F.coalesce("col_n", F.lit(0)).alias("col_n"),
+    )
+    agg_m = marg.agg(
+        F.sum("row_n").cast("bigint").alias("n_items"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.sum(F.col("row_n") * F.col("col_n")).cast("bigint").alias(
+            "s_rc"
+        ),
+    )
+    agree = cells.where(F.col("la") == F.col("lb")).agg(
+        F.coalesce(F.sum("n_ab"), F.lit(0)).cast("bigint").alias(
+            "n_agree"
+        )
+    )
+    j = agg_m.crossJoin(F.broadcast(agree))
+    nd = F.col("n_items").cast("double")
+    po = F.col("n_agree").cast("double") / nd
+    pe = F.col("s_rc").cast("double") / (nd * nd)
+    kappa = F.when(pe < 1, (po - pe) / (1 - pe))
+    return j.select(
+        "n_items",
+        "n_categories",
+        po.alias("p_observed"),
+        pe.alias("p_expected"),
+        kappa.alias("kappa"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame, item_col: str, label_col: str
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — chance-corrected agreement for m
+    raters per item (long form: one row per rating), the multi-rater
+    generalization of :func:`cohens_kappa` for annotation pools where
+    different raters label different items:
+
+        P_i = (Σ_c n_ic² − m) / (m(m−1)),   P̄ = mean_i P_i,
+        p_c = Σ_i n_ic / (N·m),   P_e = Σ_c p_c²,
+        kappa = (P̄ − P_e) / (1 − P_e)
+
+    Every item must carry exactly m ratings (raise otherwise — a
+    ragged pool needs per-item weighting this closed form does not
+    define).  Exactness: multiply the fractions away — Σ_i Σ_c n_ic²
+    and Σ_c (Σ_i n_ic)² are exact BIGINTs from two hash aggregates
+    ((item,label) then label-marginal — both bounded relations), and
+    kappa is one pinned chain.  Returns one row: (n_items, m_raters,
+    n_categories, p_bar, p_expected, kappa); kappa NULL when
+    P_e = 1.
+    """
+    ic = df.groupBy(
+        F.col(item_col).alias("item"), F.col(label_col).alias("lab")
+    ).agg(F.count(F.lit(1)).alias("n_ic"))
+    per_item = ic.groupBy("item").agg(
+        F.sum("n_ic").alias("m_i"),
+        F.sum(F.col("n_ic") * F.col("n_ic")).alias("sq_i"),
+    )
+    mm = per_item.agg(
+        F.min("m_i").alias("m_lo"), F.max("m_i").alias("m_hi")
+    ).collect()[0]
+    if mm["m_lo"] is None:
+        raise ValueError("empty rating relation")
+    if mm["m_lo"] != mm["m_hi"]:
+        raise ValueError(
+            f"fleiss_kappa requires exactly m ratings per item; saw "
+            f"{mm['m_lo']}..{mm['m_hi']}"
+        )
+    m = int(mm["m_lo"])
+    if m < 2:
+        raise ValueError("need at least 2 raters per item")
+    tot = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("sq_i").cast("bigint").alias("s_sq"),
+    )
+    margins = ic.groupBy("lab").agg(F.sum("n_ic").alias("n_c"))
+    marg = margins.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.sum(F.col("n_c") * F.col("n_c")).cast("bigint").alias(
+            "s_c2"
+        ),
+    )
+    j = tot.crossJoin(F.broadcast(marg))
+    nd = F.col("n_items").cast("double")
+    md = float(m)
+    p_bar = (
+        F.col("s_sq").cast("double") - nd * md
+    ) / (nd * md * (md - 1))
+    p_e = F.col("s_c2").cast("double") / (nd * md * (nd * md))
+    kappa = F.when(p_e < 1, (p_bar - p_e) / (1 - p_e))
+    return j.select(
+        "n_items",
+        F.lit(m).cast("bigint").alias("m_raters"),
+        "n_categories",
+        p_bar.alias("p_bar"),
+        p_e.alias("p_expected"),
+        kappa.alias("kappa"),
+    )

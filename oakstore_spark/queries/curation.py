@@ -3698,3 +3698,139 @@ def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         units, "heavy", ["f_spend", "f_mix"], "converted",
         treated=1, n_iter=4,
     )
+
+
+@register(
+    "q_cohens_kappa",
+    oracle="""
+    WITH rated AS (
+      SELECT CASE WHEN n_chars > 600 THEN 'good' ELSE 'bad' END AS la,
+             CASE WHEN n_chars + (doc_id % 7) * 40 > 600
+                  THEN 'good' ELSE 'bad' END AS lb
+      FROM documents
+    ), cells AS (
+      SELECT la, lb, CAST(count(*) AS BIGINT) AS n_ab
+      FROM rated GROUP BY la, lb
+    ), margins AS (
+      SELECT coalesce(r.la, c.lb) AS lab,
+             coalesce(r.row_n, 0) AS row_n,
+             coalesce(c.col_n, 0) AS col_n
+      FROM (SELECT la, CAST(sum(n_ab) AS BIGINT) AS row_n
+            FROM cells GROUP BY la) r
+      FULL JOIN (SELECT lb, CAST(sum(n_ab) AS BIGINT) AS col_n
+                 FROM cells GROUP BY lb) c ON r.la = c.lb
+    ), agg AS (
+      SELECT CAST(sum(row_n) AS BIGINT) AS n_items,
+             CAST(count(*) AS BIGINT) AS n_categories,
+             CAST(sum(row_n * col_n) AS BIGINT) AS s_rc
+      FROM margins
+    ), agree AS (
+      SELECT CAST(coalesce(sum(n_ab), 0) AS BIGINT) AS n_agree
+      FROM cells WHERE la = lb
+    )
+    SELECT n_items, n_categories,
+           CAST(n_agree AS DOUBLE) / n_items AS p_observed,
+           CAST(s_rc AS DOUBLE)
+             / (CAST(n_items AS DOUBLE) * n_items) AS p_expected,
+           CASE WHEN CAST(s_rc AS DOUBLE)
+                     / (CAST(n_items AS DOUBLE) * n_items) < 1
+                THEN (CAST(n_agree AS DOUBLE) / n_items
+                      - CAST(s_rc AS DOUBLE)
+                        / (CAST(n_items AS DOUBLE) * n_items))
+                     / (1 - CAST(s_rc AS DOUBLE)
+                            / (CAST(n_items AS DOUBLE) * n_items))
+                END AS kappa
+    FROM agg, agree
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (operators/labeling.cohens_kappa): two
+    deterministic annotation rules over the documents table (a strict
+    length rule vs a noisy length rule) — chance-corrected agreement
+    from exact BIGINT contingency counts over the label-cardinality-
+    bounded relation, kappa one pinned chain. The
+    before-you-train-on-labels check next to the weak-supervision
+    diagnostics."""
+    from oakstore_spark.operators.labeling import cohens_kappa
+
+    d = table(spark, sf_dir, "documents")
+    rated = d.select(
+        F.when(F.col("n_chars") > 600, "good").otherwise("bad").alias(
+            "la"
+        ),
+        F.when(
+            F.col("n_chars") + (F.col("doc_id") % 7) * 40 > 600,
+            "good",
+        ).otherwise("bad").alias("lb"),
+    )
+    return cohens_kappa(rated, "la", "lb")
+
+
+@register(
+    "q_fleiss_kappa",
+    oracle="""
+    WITH ratings AS (
+      SELECT doc_id AS item,
+             CASE WHEN n_chars > 550 + 60 * r + (doc_id % 5) * 20
+                  THEN 'good' ELSE 'bad' END AS lab
+      FROM documents, (SELECT unnest([0, 1, 2]) AS r)
+    ), ic AS (
+      SELECT item, lab, CAST(count(*) AS BIGINT) AS n_ic
+      FROM ratings GROUP BY item, lab
+    ), per_item AS (
+      SELECT item, CAST(sum(n_ic * n_ic) AS BIGINT) AS sq_i
+      FROM ic GROUP BY item
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(sq_i) AS BIGINT) AS s_sq
+      FROM per_item
+    ), marg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_categories,
+             CAST(sum(n_c * n_c) AS BIGINT) AS s_c2
+      FROM (SELECT lab, CAST(sum(n_ic) AS BIGINT) AS n_c
+            FROM ic GROUP BY lab)
+    )
+    SELECT n_items, CAST(3 AS BIGINT) AS m_raters, n_categories,
+           (CAST(s_sq AS DOUBLE) - CAST(n_items AS DOUBLE) * 3.0)
+             / (CAST(n_items AS DOUBLE) * 3.0 * 2.0) AS p_bar,
+           CAST(s_c2 AS DOUBLE)
+             / (CAST(n_items AS DOUBLE) * 3.0
+                * (CAST(n_items AS DOUBLE) * 3.0)) AS p_expected,
+           CASE WHEN CAST(s_c2 AS DOUBLE)
+                     / (CAST(n_items AS DOUBLE) * 3.0
+                        * (CAST(n_items AS DOUBLE) * 3.0)) < 1
+                THEN ((CAST(s_sq AS DOUBLE)
+                       - CAST(n_items AS DOUBLE) * 3.0)
+                      / (CAST(n_items AS DOUBLE) * 3.0 * 2.0)
+                      - CAST(s_c2 AS DOUBLE)
+                        / (CAST(n_items AS DOUBLE) * 3.0
+                           * (CAST(n_items AS DOUBLE) * 3.0)))
+                     / (1 - CAST(s_c2 AS DOUBLE)
+                            / (CAST(n_items AS DOUBLE) * 3.0
+                               * (CAST(n_items AS DOUBLE) * 3.0)))
+                END AS kappa
+    FROM tot, marg
+    """,
+)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (operators/labeling.fleiss_kappa): three
+    deterministic annotators (increasingly strict length rules with a
+    doc-dependent offset) rate every document — multi-rater
+    chance-corrected agreement from two bounded hash aggregates, all
+    moments exact BIGINTs, kappa one pinned chain."""
+    from oakstore_spark.operators.labeling import fleiss_kappa
+
+    d = table(spark, sf_dir, "documents")
+    ratings = d.select(
+        F.col("doc_id").alias("item"),
+        "n_chars",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("r"),
+    ).select(
+        "item",
+        F.when(
+            F.col("n_chars")
+            > 550 + 60 * F.col("r") + (F.col("item") % 5) * 20,
+            "good",
+        ).otherwise("bad").alias("lab"),
+    )
+    return fleiss_kappa(ratings, "item", "lab")

@@ -1730,3 +1730,57 @@ def test_ipw_ate_recovers_planted_effect(spark):
     assert out.n == 200 and out.n_treated == 100
     assert abs(out.naive_diff - 5.0) < 1e-9  # confounded
     assert abs(out.ate_ipw - 2.0) < 0.01     # deconfounded
+
+
+def test_kappa_hand_values_and_contracts(spark):
+    """Cohen's kappa on the textbook 2x2 table equals the hand value;
+    perfect agreement reads 1.0 exactly; a single shared label reads
+    NULL (chance agreement undefined), never 0/0. Fleiss reduces to
+    a hand-computed value on a small pool and rejects ragged
+    pools."""
+    from oakstore_spark.operators.labeling import (
+        cohens_kappa,
+        fleiss_kappa,
+    )
+
+    # classic: a=20 agree-yes, d=15 agree-no, b=10, c=5 (N=50)
+    rows = (
+        [("y", "y")] * 20 + [("n", "n")] * 15
+        + [("y", "n")] * 10 + [("n", "y")] * 5
+    )
+    df = spark.createDataFrame(rows, ["la", "lb"])
+    r = cohens_kappa(df, "la", "lb").collect()[0]
+    po = 35 / 50
+    pe = (30 * 25 + 20 * 25) / 2500
+    assert r.p_observed == po and r.p_expected == pe
+    assert abs(r.kappa - (po - pe) / (1 - pe)) < 1e-12
+
+    perfect = spark.createDataFrame(
+        [("a", "a")] * 3 + [("b", "b")] * 2, ["la", "lb"]
+    )
+    assert cohens_kappa(perfect, "la", "lb").collect()[0].kappa == 1.0
+    const = spark.createDataFrame([("a", "a")] * 5, ["la", "lb"])
+    assert cohens_kappa(const, "la", "lb").collect()[0].kappa is None
+
+    # Fleiss hand case: 4 items x 3 raters
+    fr = [
+        (1, "g"), (1, "g"), (1, "g"),      # unanimous
+        (2, "g"), (2, "g"), (2, "b"),
+        (3, "b"), (3, "b"), (3, "b"),
+        (4, "g"), (4, "b"), (4, "b"),
+    ]
+    fdf = spark.createDataFrame(fr, ["item", "lab"])
+    out = fleiss_kappa(fdf, "item", "lab").collect()[0]
+    # P_i: (9-3)/6=1, (5-3)/6=1/3, 1, 1/3 -> p_bar = 2/3
+    # p_g = 6/12, p_b = 6/12 -> P_e = 1/2
+    assert abs(out.p_bar - 2 / 3) < 1e-12
+    assert out.p_expected == 0.5
+    assert abs(out.kappa - (2 / 3 - 0.5) / 0.5) < 1e-12
+
+    import pytest as _pytest
+
+    ragged = spark.createDataFrame(
+        fr + [(4, "g")], ["item", "lab"]
+    )
+    with _pytest.raises(ValueError):
+        fleiss_kappa(ragged, "item", "lab")
