@@ -1504,3 +1504,59 @@ def ipw_ate(
         mt.alias("mean_treated_ipw"),
         mc.alias("mean_control_ipw"),
     )
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    alpha: float = 0.05,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR adjustment (1995) — the multiple-
+    comparisons guard for experiment platforms reading MANY metrics
+    (or many segments) at once: controlling each test at alpha lets
+    false positives scale with the metric count; BH controls the
+    FALSE DISCOVERY RATE instead, the standard industry choice
+    (Bonferroni is too blunt for dozens of correlated metrics).
+
+        q_i = min over j >= i of  p_(j) * n / j      (ranks ascending)
+
+    and reject where q <= alpha.  Exactness: ranks are exact integers
+    over (p, key) — the key breaks p ties deterministically — each
+    p*n/j is one pinned expression, and the suffix-min is order-free,
+    so the whole adjustment replays bit-for-bit.
+
+    Spark shape: the metric relation is SMALL by construction (one
+    row per metric/segment readout — thousands at most, the OUTPUT
+    of the per-metric aggregations, never unit-level data), so the
+    rank and suffix-min windows run on a relation that fits one
+    partition by nature; this is the one place an empty-key window is
+    the honest plan.  Returns the input keys + (p, rank, q_value,
+    reject) ordered by rank.
+    """
+    from pyspark.sql import Window as W
+
+    keys = key_cols or []
+    order = [F.col(p_col)] + [F.col(k) for k in keys]
+    wr = W.orderBy(*order)
+    wsuf = W.orderBy(*order).rowsBetween(0, W.unboundedFollowing)
+    n = F.count(F.lit(1)).over(
+        W.partitionBy()
+    )
+    staged = df.select(
+        *keys,
+        F.col(p_col).cast("double").alias("p"),
+        F.row_number().over(wr).alias("rank"),
+        n.alias("_n"),
+    )
+    raw = (
+        F.col("p") * F.col("_n").cast("double") / F.col("rank")
+    )
+    q = F.least(F.min(raw).over(wsuf), F.lit(1.0))
+    return staged.select(
+        *keys,
+        "p",
+        F.col("rank").cast("bigint").alias("rank"),
+        q.alias("q_value"),
+        (q <= F.lit(float(alpha))).alias("reject"),
+    )

@@ -3834,3 +3834,47 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise("bad").alias("lab"),
     )
     return fleiss_kappa(ratings, "item", "lab")
+
+
+@register(
+    "q_bh_adjust",
+    oracle="""
+    WITH metrics AS (
+      SELECT range AS metric_id,
+             ((range * 37) % 100 + 0.5) / 100.0 AS p
+      FROM range(100)
+    ), staged AS (
+      SELECT metric_id, p,
+             row_number() OVER (ORDER BY p, metric_id) AS rank
+      FROM metrics
+    )
+    SELECT metric_id, p, CAST(rank AS BIGINT) AS rank,
+           least(min(p * 100.0 / rank) OVER (
+                   ORDER BY p, metric_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                 1.0) AS q_value,
+           least(min(p * 100.0 / rank) OVER (
+                   ORDER BY p, metric_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                 1.0) <= 0.1 AS reject
+    FROM staged ORDER BY rank
+    """,
+)
+def q_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment
+    (operators/experiments.bh_adjust) over a 100-metric readout
+    relation with deterministic p-values: exact integer ranks,
+    pinned p*n/rank expressions, order-free suffix-min — the
+    multiple-comparisons guard a many-metric experiment platform
+    applies before declaring winners. The metric relation is
+    readout-sized by construction (never unit-level), the one honest
+    empty-key-window case."""
+    from oakstore_spark.operators.experiments import bh_adjust
+
+    metrics = spark.range(100).select(
+        F.col("id").alias("metric_id"),
+        (((F.col("id") * 37) % 100 + 0.5) / 100.0).alias("p"),
+    )
+    return bh_adjust(
+        metrics, "p", alpha=0.1, key_cols=["metric_id"]
+    ).orderBy("rank")

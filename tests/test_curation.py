@@ -1784,3 +1784,26 @@ def test_kappa_hand_values_and_contracts(spark):
     )
     with _pytest.raises(ValueError):
         fleiss_kappa(ragged, "item", "lab")
+
+
+def test_bh_adjust_hand_case_and_monotonicity(spark):
+    """Textbook BH: p = [0.01, 0.02, 0.03, 0.5], n=4, alpha=0.05 ->
+    q = [0.04, 0.04, 0.04, 0.5], first three rejected; q-values are
+    monotone non-decreasing in rank and never exceed 1."""
+    from oakstore_spark.operators.experiments import bh_adjust
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.5)],
+        ["m", "p"],
+    )
+    out = bh_adjust(df, "p", alpha=0.05, key_cols=["m"]).orderBy(
+        "rank"
+    ).collect()
+    qs = [r.q_value for r in out]
+    assert abs(qs[0] - 0.04) < 1e-12
+    assert abs(qs[1] - 0.04) < 1e-12  # min(0.02*4/2=0.04, ...)
+    assert abs(qs[2] - 0.04) < 1e-12
+    assert qs[3] == 0.5
+    assert [r.reject for r in out] == [True, True, True, False]
+    assert all(a <= b + 1e-15 for a, b in zip(qs, qs[1:]))
+    assert max(qs) <= 1.0
