@@ -121,6 +121,14 @@ def main() -> None:
                          "planted AR(2) keys recovered exactly and "
                          "the planted score-label association "
                          "asserted")
+    ap.add_argument("--rankrows", type=int, default=0,
+                    help="scale-safe-ranking probe (the r12 "
+                         "SinglePartition fixes at volume): "
+                         "qini_curve over this many units through "
+                         "assign_contiguous_ids (exact per-bucket "
+                         "membership counts asserted closed-form) "
+                         "and mmr_topk over a 1M-vector raw corpus "
+                         "through the TakeOrdered stage-1 path")
     ap.add_argument("--streamrows", type=int, default=0,
                     help="also probe Structured Streaming: this many "
                          "synthetic events through a watermarked tumbling "
@@ -1471,6 +1479,66 @@ def main() -> None:
         assert 0.0 < brier < 0.5
         out["eval_auc"] = round(float(auc.auc), 4)
         units.unpersist()
+
+    if args.rankrows:
+        # qini over N units: the global (score desc, id) rank rides
+        # assign_contiguous_ids (range exchange + offsets — the r12
+        # fix), and with N divisible by n_buckets the per-bucket
+        # membership count is exactly d*N/10, asserted for every d.
+        nq = args.rankrows - args.rankrows % 10
+        from oakstore_spark.operators.experiments import qini_curve
+
+        units = spark.range(0, nq, 1, 64).select(
+            F.col("id").alias("uid"),
+            (F.col("id") % 2).alias("arm"),
+            F.pmod(F.hash("id"), F.lit(1_000_000)).alias("score"),
+            (F.pmod(F.hash(F.col("id") * 7), F.lit(100)) < 20)
+            .cast("bigint")
+            .alias("y"),
+        )
+        units.persist()
+        units.count()
+        t0 = time.time()
+        curve = qini_curve(
+            units, "score", "arm", "y", "uid", treated=1
+        ).collect()
+        dt = time.time() - t0
+        out["qini_sec"] = round(dt, 2)
+        out["qini_rows_per_sec"] = round(nq / dt)
+        for r in sorted(curve, key=lambda r: r.bucket):
+            assert r.n_t + r.n_c == r.bucket * nq // 10, r
+        units.unpersist()
+
+        # mmr over a RAW 1M-vector corpus: stage 1 must survive as
+        # TakeOrderedAndProject (no SinglePartition funnel) — wall
+        # time is the proof; the result is sanity-checked only
+        # (planted best match must rank 1)
+        nv = 1_000_000
+        dim = 16
+        from oakstore_spark.operators.similarity import mmr_topk
+
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.pmod(F.hash(F.col("id") * 31 + d), F.lit(1000))
+                / 1000.0
+            ),
+        )
+        emb = spark.range(0, nv, 1, 64).select(
+            F.col("id").alias("vec_id"),
+            vec.cast("array<float>").alias("embedding"),
+        )
+        emb.persist()
+        emb.count()
+        t0 = time.time()
+        picks = mmr_topk(
+            emb, query_id=0, k=5, n_candidates=64
+        ).collect()
+        dt = time.time() - t0
+        out["mmr_sec"] = round(dt, 2)
+        out["mmr_vecs_per_sec"] = round(nv / dt)
+        assert len(picks) == 5 and picks[0].rank == 1
+        emb.unpersist()
 
     if args.streamrows:
         # Structured Streaming at volume: watermarked tumbling-window
