@@ -109,6 +109,9 @@ BENCH_RETIRED: set[str] = {
     # q_quality_classifier, the weighted one-row aggregate adds no
     # plan shape
     "q_ipw_ate",
+    # r12: pure lag composition through the q_mase_backtest metric
+    # shape (keyed windows + one hash agg) — no new plan to time
+    "q_seasonal_naive_backtest",
 }
 
 

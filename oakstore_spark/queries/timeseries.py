@@ -2322,3 +2322,71 @@ def q_conformal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha_smooth=0.5, beta_smooth=0.25, miscoverage=0.1,
         order_tiebreak=["event_id"],
     ).orderBy("user_id")
+
+
+@register(
+    "q_seasonal_naive_backtest",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), lagged AS (
+      SELECT user_id, x, rn,
+             lag(x, 7) OVER (PARTITION BY user_id ORDER BY rn) AS f,
+             lag(x, 1) OVER (PARTITION BY user_id ORDER BY rn) AS nv
+      FROM ordered
+    ), ev AS (
+      SELECT user_id, x, f, nv FROM lagged WHERE f IS NOT NULL
+    ), s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_evals,
+             CAST(sum(abs(x - f)) AS BIGINT) AS sae,
+             CAST(sum(abs(x)) AS BIGINT) AS sx,
+             CAST(sum(abs(f)) AS BIGINT) AS sf,
+             CAST(sum(x - f) AS BIGINT) AS serr,
+             CAST(sum(abs(x - nv)) AS BIGINT) AS san
+      FROM ev GROUP BY user_id
+    )
+    SELECT user_id, n_evals,
+           CAST(sae AS DOUBLE) / n_evals AS mae,
+           CASE WHEN sx > 0
+                THEN CAST(sae AS DOUBLE) / sx END AS wape,
+           CASE WHEN sx + sf > 0
+                THEN 2 * CAST(sae AS DOUBLE) / (sx + sf) END AS smape,
+           CAST(serr AS DOUBLE) / n_evals AS mean_err,
+           CASE WHEN san > 0
+                THEN CAST(sae AS DOUBLE) / san END AS mase
+    FROM s ORDER BY user_id
+    """,
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive baseline backtest — the first model every
+    forecast evaluation must beat (forecast = the value m=7 steps
+    ago), scored through the shared backtest_forecasts metric block
+    against the random-walk naive: pure lag composition, every sum an
+    exact BIGINT, MASE < 1 iff week-ago beats yesterday. Establishes
+    the family's baseline row next to q_mase_backtest's Holt
+    forecasts."""
+    from pyspark.sql import Window as W
+
+    from oakstore_spark.operators.timeseries import backtest_forecasts
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("rn")
+    ordered = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("rn"),
+    )
+    ev = ordered.select(
+        "user_id",
+        "x",
+        F.lag("x", 7).over(w).alias("f"),
+        F.lag("x", 1).over(w).alias("nv"),
+    ).where(F.col("f").isNotNull())
+    return backtest_forecasts(
+        ev, ["user_id"], "x", "f", naive_col="nv"
+    ).orderBy("user_id")
