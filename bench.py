@@ -90,6 +90,38 @@ def store_sentinel() -> dict[str, float]:
     return out
 
 
+# Reference sentinel triple (write/append/slice sec), FROZEN at the
+# r11 record's values — the lowest (most favorable box state) on
+# record, so normalized totals are comparable across every round
+# (r12 verdict ask #1a). Never update this constant: it is the unit
+# of measure, not a target.
+SENTINEL_REF = [1.397, 1.435, 0.327]
+
+
+def sentinel_norm(
+    total: float,
+    sent_start: dict[str, float],
+    sent_end: dict[str, float],
+) -> float | None:
+    """Box-state-normalized total: total × mean over the three store
+    ops of (frozen r11 reference sentinel / this run's start-end mean
+    sentinel). A loaded box inflates the observed sentinels, shrinking
+    the ratio and deflating the normalized total back to what a
+    reference-state box would have measured — making cross-round
+    comparison decidable from the committed blob alone (the r12
+    272s-vs-238s dispute could only be adjudicated by a judge re-run).
+    """
+    keys = ("write_sec", "append_sec", "slice_sec")
+    obs = [
+        ((sent_start.get(k) or 0.0) + (sent_end.get(k) or 0.0)) / 2.0
+        for k in keys
+    ]
+    if any(o <= 0 for o in obs):
+        return None
+    ratio = sum(r / o for r, o in zip(SENTINEL_REF, obs)) / 3.0
+    return round(total * ratio, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -167,6 +199,7 @@ def main() -> None:
     sent_end = store_sentinel()
     load_end = loadavg()
     total = round(sum(t for t in timings.values() if t >= 0), 2)
+    sent_norm = sentinel_norm(total, sent_start, sent_end)
     store = bench_store(spark, sf)
     # Full record (all per-query timings + store-throughput section) goes
     # to BENCH_DETAIL.json.  The stdout contract is ONE SHORT JSON line:
@@ -177,6 +210,8 @@ def main() -> None:
     detail = {
         "metric": "total_query_wall_sec",
         "value": total,
+        "sentinel_norm_total": sent_norm,
+        "sentinel_ref": SENTINEL_REF,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -193,6 +228,9 @@ def main() -> None:
     result = {
         "metric": "total_query_wall_sec",
         "value": total,
+        # total divided by box state: total x mean(frozen r11 sentinel
+        # / observed sentinel) — see sentinel_norm()
+        "sentinel_norm_total": sent_norm,
         "unit": "sec",
         "sf": detail["sf"],
         "n_queries": len(timings),

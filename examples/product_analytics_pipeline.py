@@ -263,8 +263,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     cal = calibration_report(ev_units, "score_m", "y").collect()
     print("brier:", round(sum(r.brier_contrib for r in cal), 4))
 
+    # production callers fetch secret_salt from a KMS secret — a salt
+    # committed to source (like this demo constant) gives NO privacy
     for r in dp_release(
-        units.select("arm"), ["arm"], epsilon=1.0
+        units.select("arm"), ["arm"], epsilon=1.0,
+        secret_salt="demo-only-8f2c41a97b3e5d60",
     ).orderBy("arm").collect():
         print(f"  dp arm count (eps=1): {r.released:.2f}")
 

@@ -1381,6 +1381,13 @@ def post_stratified_mean(
     there: its post-stratified mean is NULL (n_strata_covered <
     n_strata) rather than a silently re-normalized, biased number.
 
+    NULL metric rows are EXCLUDED from both the cell means and the
+    pooled stratum weights (``n_cell`` counts only non-null
+    ``value_col`` rows — the covariate_balance rule; counting them
+    in the denominator while F.sum skips them would silently bias
+    every mean — r12 ADVICE).  A cell whose rows are all-NULL
+    contributes nothing, so ``n_units`` is the non-null unit count.
+
     Returns one row per arm: (arm, n_units, n_strata_covered,
     raw_mean, post_strat_mean).
     """
@@ -1388,9 +1395,9 @@ def post_stratified_mean(
     cells = df.groupBy(
         F.col(arm_col).alias("arm"), F.col(stratum_col).alias("stratum")
     ).agg(
-        F.count(F.lit(1)).alias("n_cell"),
+        F.count(x).alias("n_cell"),
         F.sum(x).alias("sx_cell"),
-    )
+    ).where(F.col("n_cell") > 0)
     strata = cells.groupBy("stratum").agg(
         F.sum("n_cell").alias("n_s")
     )

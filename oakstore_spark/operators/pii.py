@@ -22,7 +22,7 @@ EXT operator mandated by the LLM-pipeline brief.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from oakstore_spark.operators.curation import EMAIL_RE, PHONE_RE
@@ -266,13 +266,66 @@ def k_anonymize_generalized(
     return _semi_join_nullsafe(gen, safe, cols)
 
 
+#: obviously-guessable salts rejected for ``secret_salt`` — a salt an
+#: attacker can enumerate makes the memoized noise recomputable and
+#: the "DP" release exactly invertible (r12 ADVICE, high)
+_DP_WEAK_SALTS = frozenset(
+    {"dp", "salt", "secret", "test", "default", "password", "changeme"}
+)
+
+
+def _resolve_dp_salt(
+    secret_salt: str | None, replay_salt: str | None
+) -> str:
+    """The DP salt contract shared by every release operator here:
+    exactly one of the two modes, and secret salts must not be
+    guessable (see :func:`dp_release`'s docstring for why the salt IS
+    the guarantee)."""
+    if (secret_salt is None) == (replay_salt is None):
+        raise ValueError(
+            "pass exactly one of secret_salt (production DP; must be "
+            "kept secret) or replay_salt (deterministic test/oracle "
+            "mode; NOT differentially private)"
+        )
+    if secret_salt is not None:
+        if (
+            len(secret_salt) < 16
+            or secret_salt.lower() in _DP_WEAK_SALTS
+        ):
+            raise ValueError(
+                "secret_salt must be a high-entropy secret (>= 16 "
+                "chars, not a dictionary word): a guessable salt "
+                "makes the memoized noise recomputable and the "
+                "release exactly invertible"
+            )
+        return secret_salt
+    return replay_salt  # type: ignore[return-value]
+
+
+def _laplace_noise(key: Column, b_scale: float) -> Column:
+    """Deterministic Laplace(b_scale) draw: invert the CDF at the
+    60-bit md5 uniform of ``key`` — the engine's replayable-randomness
+    rung (Poisson bootstrap, hash sampling). The md5 is keyed by the
+    salt embedded in ``key`` (see :func:`_resolve_dp_salt`)."""
+    u60 = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    u = (u60.cast("double") + 0.5) / float(16**15)
+    c = u - F.lit(0.5)
+    return (
+        F.lit(-b_scale)
+        * F.signum(c)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+    )
+
+
 def dp_release(
     df: DataFrame,
     group_cols: list[str],
     epsilon: float,
     value_col: str | None = None,
     clamp: int | None = None,
-    salt: str = "dp",
+    *,
+    secret_salt: str | None = None,
+    replay_salt: str | None = None,
 ) -> DataFrame:
     """Differentially-private aggregate release (Laplace mechanism,
     Dwork et al. 2006) — the numeric-release rung of the privacy
@@ -285,22 +338,36 @@ def dp_release(
     the textbook prerequisite for a finite noise scale.
 
     Noise is DETERMINISTIC per (group, salt): the Laplace draw comes
-    from inverting the CDF at the 60-bit md5 uniform of the group key
-    — the engine's replayable-randomness rung (Poisson bootstrap,
-    hash sampling).  This is the MEMOIZED-NOISE pattern real DP
-    deployments use for repeated identical queries (returning the
-    same noisy answer prevents averaging attacks and re-spends no
-    budget); releasing under a NEW salt is a new ε-spend — budget
-    accounting is the caller's responsibility, stated, not solved,
-    here.  Determinism also makes the release exactly testable: the
-    oracle replays every noise value bit-for-bit (the ln evaluation
-    is the known <=1-ulp libm class).
+    from inverting the CDF at the 60-bit md5 uniform of
+    ``salt:group_key`` — md5 keyed by the salt acting as a PRF.  This
+    is the MEMOIZED-NOISE pattern real DP deployments use for
+    repeated identical queries (returning the same noisy answer
+    prevents averaging attacks and re-spends no budget); releasing
+    under a NEW salt is a new ε-spend — budget accounting is the
+    caller's responsibility, stated, not solved, here.
+
+    THE SALT IS THE WHOLE GUARANTEE.  The group keys appear in the
+    released output, so anyone who knows the salt (or can guess it)
+    recomputes every noise value and subtracts it — ε is then
+    effectively infinite.  Hence exactly ONE of two keyword-only
+    modes must be chosen, and neither has a default:
+
+    - ``secret_salt``: a caller-supplied high-entropy value (>= 16
+      chars, not a dictionary word — enforced) that MUST be kept
+      secret (a KMS secret, not source code) for the DP guarantee to
+      hold.  This is the production mode.
+    - ``replay_salt``: any string, accepted verbatim, and providing
+      NO differential privacy — the release is a deterministic public
+      function of the data.  This is the TEST/ORACLE mode: it makes
+      the release exactly replayable (the oracle rebuilds every noise
+      value bit-for-bit; ln is the known <=1-ulp libm class).
 
     Spark shape: one hash aggregate to the group relation; noise is a
     per-group map-side expression on that tiny relation.  Returns
     (group_cols..., released) — the TRUE aggregate never leaves the
     operator.
     """
+    salt = _resolve_dp_salt(secret_salt, replay_salt)
     if value_col is not None and clamp is None:
         raise ValueError("sum mode requires clamp (sensitivity)")
     b_scale = (
@@ -323,15 +390,166 @@ def dp_release(
     key = F.concat_ws(
         ":", F.lit(salt), *[F.col(c).cast("string") for c in group_cols]
     )
-    u60 = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
-    u = (u60.cast("double") + 0.5) / float(16**15)
-    c = u - F.lit(0.5)
-    noise = (
-        F.lit(-b_scale)
-        * F.signum(c)
-        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
-    )
+    noise = _laplace_noise(key, b_scale)
     return agg.select(
         *group_cols,
         (F.col("_true").cast("double") + noise).alias("released"),
     )
+
+
+def dp_histogram(
+    df: DataFrame,
+    value_col: str,
+    epsilon: float,
+    n_bins: int,
+    lo: float,
+    hi: float,
+    *,
+    secret_salt: str | None = None,
+    replay_salt: str | None = None,
+) -> DataFrame:
+    """Differentially-private histogram release — the binned mode of
+    :func:`dp_release` (r12 verdict ask #4): equal-width bins over
+    the CALLER-SUPPLIED public range ``[lo, hi)``, per-bin count +
+    Lap(1/ε).  Each unit lands in exactly one bin, so the bins are
+    disjoint and PARALLEL COMPOSITION applies: the whole histogram
+    costs one ε, not n_bins·ε.
+
+    Two leak-proofing rules a naive implementation gets wrong, both
+    enforced here:
+
+    - Bin edges must be DATA-INDEPENDENT (public constants from the
+      caller — deriving them from a min/max scan, the psi_drift
+      pattern, would leak the extremes).  Values outside [lo, hi)
+      clamp into the edge bins (floor-expression shared with
+      psi_drift, so the whole release replays in SQL).
+    - EVERY bin row is emitted, including true-zero ones (a missing
+      row would reveal the zero exactly): the grid is generated
+      (spark.range), counts LEFT-join onto it, and zero counts get
+      noise like any other.
+
+    Salt contract identical to :func:`dp_release` (secret_salt =
+    production DP, replay_salt = deterministic test/oracle mode with
+    NO privacy); noise is memoized per (salt, bin).  NULL values are
+    excluded (documented — they carry no bin).
+
+    Spark shape: ONE hash aggregate to <= n_bins rows, broadcast-join
+    onto the literal grid, noise map-side on that tiny relation.
+    Returns (bin, bin_lo, bin_hi, released) — true counts never leave.
+    """
+    salt = _resolve_dp_salt(secret_salt, replay_salt)
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    lo = float(lo)
+    hi = float(hi)
+    if not hi > lo:
+        raise ValueError("need hi > lo (a public, data-independent range)")
+    width = (hi - lo) / n_bins
+    x = F.col(value_col)
+    bin_id = F.greatest(
+        F.least(
+            F.floor((x - F.lit(lo)) / F.lit(width)),
+            F.lit(n_bins - 1),
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    counts = (
+        df.where(x.isNotNull())
+        .groupBy(bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_true"))
+    )
+    grid = df.sparkSession.range(n_bins).select(
+        F.col("id").cast("bigint").alias("bin")
+    )
+    joined = grid.join(F.broadcast(counts), "bin", "left").select(
+        "bin", F.coalesce(F.col("_true"), F.lit(0)).alias("_true")
+    )
+    key = F.concat_ws(
+        ":", F.lit(salt), F.col("bin").cast("string")
+    )
+    noise = _laplace_noise(key, 1.0 / float(epsilon))
+    return joined.select(
+        "bin",
+        (F.lit(lo) + F.col("bin").cast("double") * F.lit(width)).alias(
+            "bin_lo"
+        ),
+        (
+            F.lit(lo) + (F.col("bin") + 1).cast("double") * F.lit(width)
+        ).alias("bin_hi"),
+        (F.col("_true").cast("double") + noise).alias("released"),
+    )
+
+
+def dp_quantiles(
+    df: DataFrame,
+    value_col: str,
+    epsilon: float,
+    n_bins: int,
+    lo: float,
+    hi: float,
+    qs: list[float],
+    *,
+    secret_salt: str | None = None,
+    replay_salt: str | None = None,
+) -> DataFrame:
+    """Differentially-private quantiles by POST-PROCESSING the
+    :func:`dp_histogram` release — post-processing is ε-free (Dwork &
+    Roth Prop. 2.1), so the quantiles cost the histogram's single ε
+    and nothing more.  Per requested quantile q:
+
+    1. clamp each released bin count at 0 (negative noise draws),
+    2. running-sum the clamped counts in bin order (an n_bins-bounded
+       prefix window — the roc_auc bounded-window class),
+    3. find the FIRST bin whose cumulative mass reaches q·total and
+       linearly interpolate inside it.
+
+    Everything downstream of the noise is a deterministic float chain
+    on the n_bins relation, so the whole release (histogram AND
+    quantiles) replays in SQL under replay_salt.  Degenerate release
+    (total clamped mass 0) returns NULL values.  Same salt contract
+    and public-range rules as :func:`dp_histogram`.
+
+    Returns one row per q: (q, value).
+    """
+    hist = dp_histogram(
+        df, value_col, epsilon, n_bins, lo, hi,
+        secret_salt=secret_salt, replay_salt=replay_salt,
+    )
+    width = (float(hi) - float(lo)) / n_bins
+    pos = F.greatest(F.col("released"), F.lit(0.0))
+    wpre = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bin",
+        "bin_lo",
+        pos.alias("_pos"),
+        F.sum(pos).over(wpre).alias("_cum"),
+    )
+    tot = cum.agg(F.max("_cum").alias("_tot"))
+    grid = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    hits = (
+        F.broadcast(grid)
+        .crossJoin(F.broadcast(tot))
+        .join(
+            cum,
+            F.col("_cum") >= F.col("q") * F.col("_tot"),
+            "left",
+        )
+        .groupBy("q")
+        .agg(
+            F.min_by(
+                F.struct("bin", "bin_lo", "_pos", "_cum"), F.col("bin")
+            ).alias("_hit"),
+            F.max(F.col("q") * F.col("_tot")).alias("_target"),
+        )
+    )
+    prev = F.col("_hit._cum") - F.col("_hit._pos")
+    value = F.when(
+        (F.col("_hit._pos") > 0) & (F.col("_target") > 0),
+        F.col("_hit.bin_lo")
+        + (F.col("_target") - prev) / F.col("_hit._pos") * F.lit(width),
+    )
+    return hits.select("q", value.alias("value"))

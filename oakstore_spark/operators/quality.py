@@ -476,3 +476,129 @@ def calibration_report(
             / (F.lit(scale2) * F.col("n_tot"))
         ).alias("brier_contrib"),
     )
+
+
+def multiclass_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Multi-class classifier evaluation — per-class precision /
+    recall / F1 plus macro and micro averages, the generalization the
+    binary-only eval family (:func:`roc_auc` / :func:`pr_curve`)
+    lacked (r12 verdict ask #3): the engine's own 6-class langid had
+    only a bespoke confusion query, no reusable report.
+
+    Everything derives from the CONFUSION RELATION: one hash
+    aggregate to (label, pred, n) — bounded by class-cardinality²,
+    never row count — then per-class margins, the diagonal, and the
+    metric algebra all run on that tiny relation (broadcast joins).
+    Per class c:
+
+        precision = tp_c / n_pred_c     (NULL when nothing predicted c)
+        recall    = tp_c / n_true_c     (NULL when c never occurs)
+        f1        = 2·tp_c / (n_true_c + n_pred_c)
+
+    Two summary rows follow the per-class rows:
+
+    - ``__macro__``: unweighted class averages, with an undefined
+      (NULL) per-class metric counted as 0.0 — the scikit-learn
+      zero-division convention — summed in a FIXED class-sorted fold
+      (the power_analysis rule: the only replayable cross-row double
+      sum);
+    - ``__micro__``: pooled counts — for single-label multiclass,
+      micro precision = recall = f1 = accuracy = Σtp / n.
+
+    Labels are compared as strings (both columns cast), so the two
+    summary names must not collide with a real class.  Returns
+    (label, n_true, n_pred, tp, precision, recall, f1).
+    """
+    y = F.col(label_col).cast("string")
+    p = F.col(pred_col).cast("string")
+    cells = df.groupBy(y.alias("_y"), p.alias("_p")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    truth = cells.groupBy(F.col("_y").alias("label")).agg(
+        F.sum("_n").cast("bigint").alias("n_true")
+    )
+    pred = cells.groupBy(F.col("_p").alias("label")).agg(
+        F.sum("_n").cast("bigint").alias("n_pred")
+    )
+    diag = cells.where(F.col("_y") == F.col("_p")).select(
+        F.col("_y").alias("label"), F.col("_n").alias("tp")
+    )
+    classes = truth.select("label").union(
+        pred.select("label")
+    ).distinct()
+    per = (
+        classes.join(F.broadcast(truth), "label", "left")
+        .join(F.broadcast(pred), "label", "left")
+        .join(F.broadcast(diag), "label", "left")
+        .select(
+            "label",
+            F.coalesce(F.col("n_true"), F.lit(0)).alias("n_true"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+        )
+    )
+    prec = F.when(
+        F.col("n_pred") > 0,
+        F.col("tp").cast("double") / F.col("n_pred"),
+    )
+    rec = F.when(
+        F.col("n_true") > 0,
+        F.col("tp").cast("double") / F.col("n_true"),
+    )
+    f1 = F.when(
+        F.col("n_true") + F.col("n_pred") > 0,
+        2 * F.col("tp").cast("double")
+        / (F.col("n_true") + F.col("n_pred")),
+    )
+    rows = per.select(
+        "label", "n_true", "n_pred", "tp",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )
+
+    def fold(col: str):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("label"),
+                        F.coalesce(F.col(col), F.lit(0.0)).alias("v"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r.getField("v"),
+        )
+    summ = rows.agg(
+        F.sum("n_true").cast("bigint").alias("n"),
+        F.sum("tp").cast("bigint").alias("tps"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        fold("precision").alias("_sp"),
+        fold("recall").alias("_sr"),
+        fold("f1").alias("_sf"),
+    )
+    macro = summ.select(
+        F.lit("__macro__").alias("label"),
+        F.col("n").alias("n_true"),
+        F.col("n").alias("n_pred"),
+        F.col("tps").alias("tp"),
+        (F.col("_sp") / F.col("n_classes")).alias("precision"),
+        (F.col("_sr") / F.col("n_classes")).alias("recall"),
+        (F.col("_sf") / F.col("n_classes")).alias("f1"),
+    )
+    acc = F.when(
+        F.col("n") > 0, F.col("tps").cast("double") / F.col("n")
+    )
+    micro = summ.select(
+        F.lit("__micro__").alias("label"),
+        F.col("n").alias("n_true"),
+        F.col("n").alias("n_pred"),
+        F.col("tps").alias("tp"),
+        acc.alias("precision"),
+        acc.alias("recall"),
+        acc.alias("f1"),
+    )
+    return rows.unionByName(macro).unionByName(micro)

@@ -1375,9 +1375,10 @@ def ar_forecast(
     Spark shape: one lag window per key (a single keyed exchange — at
     100 TB the partitioning is by key, no global state), one hash
     aggregate to a keys-sized relation, all algebra on that tiny
-    relation.  Degenerate keys (fewer than 3 usable rows, or a
-    singular design — e.g. a constant series) return NULL
-    coefficients rather than an ANSI divide-by-zero.
+    relation.  Every input key yields exactly one output row:
+    degenerate keys (fewer than 3 usable rows, or a singular design —
+    e.g. a constant series) return NULL coefficients rather than an
+    ANSI divide-by-zero or a silently absent row.
 
     Returns keys + (n_obs, c, a1, a2, x_last, x_prev, forecast_next).
     """
@@ -1401,16 +1402,23 @@ def ar_forecast(
         F.lag(x, 2).over(w).alias("_l2"),
         F.row_number().over(w).alias("_rn"),
     )
-    reg = staged.where(F.col("_l2").isNotNull())
-    agg = reg.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("n_obs"),
-        F.sum("_l1").alias("s1"),
+    # aggregate the UNFILTERED staged relation, conditionally summing
+    # where _l2 is non-null: every key yields a row (keys with <3
+    # observations get NULL coefficients as the docstring promises,
+    # instead of silently vanishing from the output — r12 ADVICE).
+    # Products of lags are NULL whenever either lag is, so only the
+    # sums mixing _y or _l1 with the _l2-regression window need an
+    # explicit guard.
+    usable = F.col("_l2").isNotNull()
+    agg = staged.groupBy(*keys).agg(
+        F.count("_l2").alias("n_obs"),
+        F.sum(F.when(usable, F.col("_l1"))).alias("s1"),
         F.sum("_l2").alias("s2"),
-        F.sum(F.col("_l1") * F.col("_l1")).alias("s11"),
+        F.sum(F.when(usable, F.col("_l1") * F.col("_l1"))).alias("s11"),
         F.sum(F.col("_l1") * F.col("_l2")).alias("s12"),
         F.sum(F.col("_l2") * F.col("_l2")).alias("s22"),
-        F.sum("_y").alias("sy"),
-        F.sum(F.col("_l1") * F.col("_y")).alias("s1y"),
+        F.sum(F.when(usable, F.col("_y"))).alias("sy"),
+        F.sum(F.when(usable, F.col("_l1") * F.col("_y"))).alias("s1y"),
         F.sum(F.col("_l2") * F.col("_y")).alias("s2y"),
         F.max_by("_y", "_rn").alias("x_last"),
         F.max_by("_l1", "_rn").alias("x_prev"),
@@ -1457,6 +1465,164 @@ def ar_forecast(
         F.col("x_last").cast("bigint").alias("x_last"),
         F.col("x_prev").cast("bigint").alias("x_prev"),
         fc.alias("forecast_next"),
+    )
+
+
+def durbin_levinson(rho, *, add, sub, mul, div, one):
+    """Unrolled Durbin–Levinson recursion over an autocorrelation
+    sequence, parameterized by an ALGEBRA — the same generator builds
+    both the Spark Column tree and the DuckDB oracle's SQL text, so
+    the two engines evaluate structurally identical float chains
+    (association order and guard placement included) and the PACF
+    replays bit-for-bit.
+
+    ``rho``: list of K algebra values, ``rho[i]`` = autocorrelation at
+    lag i+1. ``div`` must be the GUARDED division (NULL on zero/NULL
+    denominator). Returns the list of K partial autocorrelations
+    phi_{k,k}; the inner coefficient updates follow the textbook
+    phi_{k,j} = phi_{k-1,j} - phi_{k,k}·phi_{k-1,k-j}.
+
+    Expression size grows ~3× per level (coefficients are re-expanded,
+    never materialized), so callers cap K small — the operator below
+    enforces max_lag <= 8, far past the order any AR fit here uses.
+    """
+    pacf = []
+    phi_prev: list = []
+    for k in range(1, len(rho) + 1):
+        if k == 1:
+            kk = rho[0]
+        else:
+            num = None
+            den = None
+            for j in range(1, k):
+                tn = mul(phi_prev[j - 1], rho[k - 1 - j])
+                td = mul(phi_prev[j - 1], rho[j - 1])
+                num = tn if num is None else add(num, tn)
+                den = td if den is None else add(den, td)
+            kk = div(sub(rho[k - 1], num), sub(one, den))
+        phi_cur = [
+            sub(phi_prev[j - 1], mul(kk, phi_prev[k - 1 - j]))
+            for j in range(1, k)
+        ]
+        phi_cur.append(kk)
+        pacf.append(kk)
+        phi_prev = phi_cur
+    return pacf
+
+
+def acf_pacf(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    max_lag: int,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-key sample ACF + PACF to ``max_lag`` — the order-selection
+    companion :func:`ar_forecast` was missing (r12 verdict ask #2):
+    the PACF of an AR(p) process cuts off after lag p, telling the
+    user WHICH order to fit before any fit runs.
+
+        acf(k)  = Σ_{t>k}(x_t − x̄)(x_{t−k} − x̄) / Σ_t(x_t − x̄)²
+        pacf(k) = Durbin–Levinson recursion over acf(1..k)
+
+    (the standard biased estimator: full-series mean and variance in
+    the denominator, so acf is a proper correlation bounded by 1).
+
+    Exactness contract (the ``ar_forecast`` rule): ``value_col`` must
+    be non-null integer-valued, so every lag co-moment (n, Σx, Σx²,
+    and per lag k: Σx_t·x_{t−k}, the two edge sums, the pair count)
+    is an exact BIGINT from ONE per-key hash aggregate; the acf/pacf
+    algebra is a pinned float chain over those moments, generated by
+    the same :func:`durbin_levinson` the oracle replays.
+
+    Spark shape: ONE keyed window pass computes all ``max_lag`` lag
+    columns (a single exchange + sort per key — at 100 TB this is the
+    only data-sized shuffle), one hash aggregate to a keys-sized
+    relation, all algebra + the lag unpivot on that tiny relation.
+    Degenerate cases return NULL, never divide-by-zero: constant
+    series (zero variance) NULL every acf; keys with n <= k rows NULL
+    lag k and Durbin–Levinson propagates.
+
+    Returns keys + (lag, n_pairs, acf, pacf), lag = 1..max_lag.
+    """
+    if not 1 <= max_lag <= 8:
+        raise ValueError(
+            "max_lag must be in 1..8 (the unrolled Durbin-Levinson "
+            "tree grows ~3x per lag; an AR order past 8 wants the "
+            "IRLS Gram pattern, not this closed form)"
+        )
+    order = [F.col(ts_col)] + [
+        F.col(c) for c in (order_tiebreak or [])
+    ]
+    w = W.partitionBy(*keys).orderBy(*order)
+    x = F.col(value_col).cast("bigint")
+    staged = df.select(
+        *keys,
+        x.alias("_y"),
+        *[
+            F.lag(x, k).over(w).alias(f"_l{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    aggs = [
+        F.count("_y").alias("n"),
+        F.sum("_y").alias("s"),
+        F.sum(F.col("_y") * F.col("_y")).alias("q"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"_l{k}")
+        aggs += [
+            F.sum(F.col("_y") * lk).alias(f"c{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("_y"))).alias(f"a{k}"),
+            F.sum(lk).alias(f"b{k}"),
+            F.count(lk).alias(f"n{k}"),
+        ]
+    agg = staged.groupBy(*keys).agg(*aggs)
+
+    def gdiv(num: Column, den: Column) -> Column:
+        return F.when(den != 0, num / den)
+
+    m = F.col("s").cast("double") / F.col("n")
+    var_n = (
+        F.col("q").cast("double")
+        - F.col("n").cast("double") * m * m
+    )
+    rho_cols = []
+    for k in range(1, max_lag + 1):
+        num = (
+            F.col(f"c{k}").cast("double")
+            - m * (F.col(f"a{k}") + F.col(f"b{k}")).cast("double")
+            + F.col(f"n{k}").cast("double") * m * m
+        )
+        rho_cols.append(gdiv(num, var_n).alias(f"rho{k}"))
+    solved = agg.select(*keys, *[F.col(f"n{k}") for k in
+                                 range(1, max_lag + 1)], *rho_cols)
+    pacf = durbin_levinson(
+        [F.col(f"rho{k}") for k in range(1, max_lag + 1)],
+        add=lambda a, b: a + b,
+        sub=lambda a, b: a - b,
+        mul=lambda a, b: a * b,
+        div=gdiv,
+        one=F.lit(1.0),
+    )
+    rows = F.array(*[
+        F.struct(
+            F.lit(k).cast("int").alias("lag"),
+            F.col(f"n{k}").cast("bigint").alias("n_pairs"),
+            F.col(f"rho{k}").alias("acf"),
+            pacf[k - 1].alias("pacf"),
+        )
+        for k in range(1, max_lag + 1)
+    ])
+    return solved.select(
+        *keys, F.explode(rows).alias("_r")
+    ).select(
+        *keys,
+        F.col("_r.lag").alias("lag"),
+        F.col("_r.n_pairs").alias("n_pairs"),
+        F.col("_r.acf").alias("acf"),
+        F.col("_r.pacf").alias("pacf"),
     )
 
 

@@ -89,8 +89,10 @@ BENCH_RETIRED: set[str] = {
     "q_brand_affinity",
     "q_psi_snapshot_monitor",
     "q_attribution",
-    "q_msprt",
-    "q_holt_backtest",
+    # q_msprt / q_holt_backtest: un-retired r13 pending a recorded
+    # debut timing (the r12 verdict's retirement precondition — they
+    # entered this set without ever appearing in a bench blob);
+    # re-retired below once BENCH_DEBUTS.json carries them
     "q_deseasonalize_hourly",
     "q_decompose_trend",
     "q_holt_user",
@@ -105,14 +107,16 @@ BENCH_RETIRED: set[str] = {
     # by q_qini_curve; the 4.5s debut measurement added no new plan
     # shape (still oracle/rows-checked every rotation window)
     "q_uplift_two_model",
-    # r12: same IRLS-composition argument — propensity fit timed by
-    # q_quality_classifier, the weighted one-row aggregate adds no
-    # plan shape
-    "q_ipw_ate",
-    # r12: pure lag composition through the q_mase_backtest metric
-    # shape (keyed windows + one hash agg) — no new plan to time
-    "q_seasonal_naive_backtest",
+    # q_ipw_ate / q_seasonal_naive_backtest: un-retired r13 — they
+    # were retired AT BIRTH in r12, never timed on record, violating
+    # the debut precondition the r12 verdict codified; re-retired
+    # once BENCH_DEBUTS.json records their sf0.1 timing
 }
+
+# RETIREMENT PRECONDITION (r12 verdict ask #7): a query may enter
+# BENCH_RETIRED only after at least one recorded bench timing —
+# BENCH_DEBUTS.json maps every retired name to its debut (sec, commit,
+# date, sf); tests/test_plans.py enforces BENCH_RETIRED ⊆ debuts.
 
 
 def register(name: str, oracle: str | None = None):

@@ -3349,9 +3349,10 @@ def q_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS cents
       FROM events GROUP BY user_id
     ), cells AS (
-      SELECT arm, stratum, CAST(count(*) AS BIGINT) AS n_cell,
+      SELECT arm, stratum, CAST(count(cents) AS BIGINT) AS n_cell,
              CAST(sum(cents) AS BIGINT) AS sx_cell
       FROM units GROUP BY arm, stratum
+      HAVING count(cents) > 0
     ), strata AS (
       SELECT stratum, CAST(sum(n_cell) AS BIGINT) AS n_s
       FROM cells GROUP BY stratum

@@ -175,6 +175,105 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multiclass_eval",
+    oracle="""
+    WITH scores AS (
+      SELECT lang,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des|une)\\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht)\\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\\b(el|los|las|es|una|y)\\b')) AS s_es,
+             len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh
+      FROM documents
+    ), preds AS (
+      SELECT lang AS y,
+             CASE WHEN s_zh > 0 THEN 'zh'
+                  WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                  WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                  WHEN s_de >= s_es THEN 'de'
+                  ELSE 'es' END AS p
+      FROM scores
+    ), cells AS (
+      SELECT y, p, CAST(count(*) AS BIGINT) AS n
+      FROM preds GROUP BY y, p
+    ), truth AS (
+      SELECT y AS label, CAST(sum(n) AS BIGINT) AS n_true
+      FROM cells GROUP BY y
+    ), pred AS (
+      SELECT p AS label, CAST(sum(n) AS BIGINT) AS n_pred
+      FROM cells GROUP BY p
+    ), diag AS (
+      SELECT y AS label, n AS tp FROM cells WHERE y = p
+    ), classes AS (
+      SELECT label FROM truth UNION SELECT label FROM pred
+    ), per AS (
+      SELECT c.label,
+             CAST(coalesce(t.n_true, 0) AS BIGINT) AS n_true,
+             CAST(coalesce(pr.n_pred, 0) AS BIGINT) AS n_pred,
+             CAST(coalesce(d.tp, 0) AS BIGINT) AS tp
+      FROM classes c
+      LEFT JOIN truth t USING (label)
+      LEFT JOIN pred pr USING (label)
+      LEFT JOIN diag d USING (label)
+    ), rows_ AS (
+      SELECT label, n_true, n_pred, tp,
+             CASE WHEN n_pred > 0
+                  THEN CAST(tp AS DOUBLE) / n_pred END AS precision,
+             CASE WHEN n_true > 0
+                  THEN CAST(tp AS DOUBLE) / n_true END AS recall,
+             CASE WHEN n_true + n_pred > 0
+                  THEN 2 * CAST(tp AS DOUBLE) / (n_true + n_pred)
+                  END AS f1
+      FROM per
+    ), summ AS (
+      SELECT CAST(sum(n_true) AS BIGINT) AS n,
+             CAST(sum(tp) AS BIGINT) AS tps,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(coalesce(precision, 0.0) ORDER BY label)),
+               (a, b) -> a + b) AS sp,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(coalesce(recall, 0.0) ORDER BY label)),
+               (a, b) -> a + b) AS sr,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(coalesce(f1, 0.0) ORDER BY label)),
+               (a, b) -> a + b) AS sf
+      FROM rows_
+    )
+    SELECT * FROM rows_
+    UNION ALL
+    SELECT '__macro__', n, n, tps,
+           sp / n_classes, sr / n_classes, sf / n_classes
+    FROM summ
+    UNION ALL
+    SELECT '__micro__', n, n, tps,
+           CASE WHEN n > 0 THEN CAST(tps AS DOUBLE) / n END,
+           CASE WHEN n > 0 THEN CAST(tps AS DOUBLE) / n END,
+           CASE WHEN n > 0 THEN CAST(tps AS DOUBLE) / n END
+    FROM summ
+    ORDER BY 1
+    """,
+)
+def q_multiclass_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class evaluation of the engine's OWN langid
+    (operators/quality.multiclass_report over operators/langid): the
+    stopword-heuristic prediction against the documents table's true
+    lang — per-class precision/recall/F1 from one class²-bounded
+    confusion aggregate, plus the __macro__ (fixed class-sorted fold,
+    NULL→0.0 zero-division convention) and __micro__ (= accuracy)
+    summary rows. The generic report the bespoke q_lang_id_confusion
+    lacked (r12 verdict ask #3)."""
+    from oakstore_spark.operators.quality import multiclass_report
+
+    d = table(spark, sf_dir, "documents")
+    return multiclass_report(
+        d.select("lang", lang_id("text").alias("pred_lang")),
+        "lang",
+        "pred_lang",
+    ).orderBy("label")
+
+
+@register(
     "q_minhash_near_dup",
     oracle=f"""
     WITH sh AS (

@@ -1710,6 +1710,102 @@ def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oakstore_spark.operators.pii import dp_release
 
     e = table(spark, sf_dir, "events")
-    return dp_release(e, ["event_type"], epsilon=0.5).orderBy(
-        "event_type"
+    return dp_release(
+        e, ["event_type"], epsilon=0.5, replay_salt="dp"
+    ).orderBy("event_type")
+
+
+_DP_HIST_SQL = """
+    counts AS (
+      SELECT CAST(greatest(least(floor((value - 0.0) / 50.0), 9), 0)
+                  AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS t
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), grid AS (
+      SELECT unnest(range(10)) AS bin
+    ), j AS (
+      SELECT g.bin, CAST(coalesce(c.t, 0) AS BIGINT) AS t
+      FROM grid g LEFT JOIN counts c USING (bin)
+    ), noised AS (
+      SELECT bin, t,
+             (CAST(CAST(('0x' || substr(md5('dph:' || bin),
+                    1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+               / 1152921504606846976.0 AS u
+      FROM j
+    ), hist AS (
+      SELECT bin,
+             0.0 + CAST(bin AS DOUBLE) * 50.0 AS bin_lo,
+             0.0 + CAST(bin + 1 AS DOUBLE) * 50.0 AS bin_hi,
+             CAST(t AS DOUBLE)
+               + (-2.0) * sign(u - 0.5)
+                 * ln(1.0 - 2.0 * abs(u - 0.5)) AS released
+      FROM noised
+    )"""
+
+
+@register(
+    "q_dp_histogram",
+    oracle=f"""
+    WITH {_DP_HIST_SQL}
+    SELECT bin, bin_lo, bin_hi, released FROM hist ORDER BY bin
+    """,
+)
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release
+    (operators/pii.dp_histogram): event values into 10 equal-width
+    bins over the PUBLIC range [0, 500) at epsilon 0.5 — per-bin
+    memoized Laplace noise under parallel composition (disjoint bins,
+    one epsilon total), every bin row emitted including true-zero
+    ones, edges data-independent by contract. The oracle rebuilds
+    every noise value bit-for-bit (replay_salt mode)."""
+    from oakstore_spark.operators.pii import dp_histogram
+
+    e = table(spark, sf_dir, "events")
+    return dp_histogram(
+        e, "value", epsilon=0.5, n_bins=10, lo=0.0, hi=500.0,
+        replay_salt="dph",
+    ).orderBy("bin")
+
+
+@register(
+    "q_dp_quantiles",
+    oracle=f"""
+    WITH {_DP_HIST_SQL}, cumt AS (
+      SELECT bin, bin_lo, greatest(released, 0.0) AS pos,
+             sum(greatest(released, 0.0)) OVER (
+               ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM hist
+    ), tot AS (
+      SELECT max(cum) AS t FROM cumt
+    ), qs AS (
+      SELECT unnest([0.25, 0.5, 0.9]) AS q
+    ), firstbin AS (
+      SELECT q.q, min(c.bin) AS bin, max(q.q * tot.t) AS target
+      FROM qs q CROSS JOIN tot
+      LEFT JOIN cumt c ON c.cum >= q.q * tot.t
+      GROUP BY q.q
     )
+    SELECT f.q,
+           CASE WHEN c.pos > 0 AND f.target > 0
+                THEN c.bin_lo + (f.target - (c.cum - c.pos))
+                       / c.pos * 50.0 END AS value
+    FROM firstbin f LEFT JOIN cumt c USING (bin)
+    ORDER BY f.q
+    """,
+)
+def q_dp_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private quantiles (operators/pii.dp_quantiles):
+    epsilon-free post-processing of q_dp_histogram's release —
+    clamp negative noised counts, running-sum the 10-bin relation
+    (bounded prefix window), linear interpolation inside the first
+    bin reaching q of the total mass. The whole chain downstream of
+    the memoized noise is deterministic, so the oracle replays it."""
+    from oakstore_spark.operators.pii import dp_quantiles
+
+    e = table(spark, sf_dir, "events")
+    return dp_quantiles(
+        e, "value", epsilon=0.5, n_bins=10, lo=0.0, hi=500.0,
+        qs=[0.25, 0.5, 0.9], replay_salt="dph",
+    ).orderBy("q")

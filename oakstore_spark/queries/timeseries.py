@@ -1459,18 +1459,22 @@ def q_holt_user(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered
     ), agg AS (
       SELECT user_id,
-             CAST(count(*) AS BIGINT) AS n_obs,
-             CAST(sum(l1) AS BIGINT) AS s1,
+             CAST(count(l2) AS BIGINT) AS n_obs,
+             CAST(sum(CASE WHEN l2 IS NOT NULL THEN l1 END)
+                  AS BIGINT) AS s1,
              CAST(sum(l2) AS BIGINT) AS s2,
-             CAST(sum(l1 * l1) AS BIGINT) AS s11,
+             CAST(sum(CASE WHEN l2 IS NOT NULL THEN l1 * l1 END)
+                  AS BIGINT) AS s11,
              CAST(sum(l1 * l2) AS BIGINT) AS s12,
              CAST(sum(l2 * l2) AS BIGINT) AS s22,
-             CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(l1 * y) AS BIGINT) AS s1y,
+             CAST(sum(CASE WHEN l2 IS NOT NULL THEN y END)
+                  AS BIGINT) AS sy,
+             CAST(sum(CASE WHEN l2 IS NOT NULL THEN l1 * y END)
+                  AS BIGINT) AS s1y,
              CAST(sum(l2 * y) AS BIGINT) AS s2y,
              CAST(arg_max(y, rn) AS BIGINT) AS x_last,
              CAST(arg_max(l1, rn) AS BIGINT) AS x_prev
-      FROM lagged WHERE l2 IS NOT NULL GROUP BY user_id
+      FROM lagged GROUP BY user_id
     ), dets AS (
       SELECT user_id, n_obs, x_last, x_prev,
              CAST(n_obs AS DOUBLE) AS nd,
@@ -1530,6 +1534,104 @@ def q_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "ts", ["user_id"], "cents", p=2,
         order_tiebreak=["event_id"],
     ).orderBy("user_id")
+
+
+def _acf_pacf_oracle(max_lag: int) -> str:
+    """Generate the q_acf_pacf oracle for a given max_lag: the SAME
+    moment algebra and the SAME :func:`durbin_levinson` generator the
+    operator uses, instantiated over a SQL-string algebra — so both
+    engines evaluate structurally identical float chains (association
+    order, guard placement) and every acf/pacf replays bit-for-bit."""
+    from oakstore_spark.operators.timeseries import durbin_levinson
+
+    lag_cols = ",\n             ".join(
+        f"lag(y, {k}) OVER (PARTITION BY user_id ORDER BY rn) AS l{k}"
+        for k in range(1, max_lag + 1)
+    )
+    mom = []
+    for k in range(1, max_lag + 1):
+        mom += [
+            f"CAST(sum(y * l{k}) AS BIGINT) AS c{k}",
+            f"CAST(sum(CASE WHEN l{k} IS NOT NULL THEN y END) "
+            f"AS BIGINT) AS a{k}",
+            f"CAST(sum(l{k}) AS BIGINT) AS b{k}",
+            f"CAST(count(l{k}) AS BIGINT) AS n{k}",
+        ]
+    moments = ",\n             ".join(mom)
+    m = "(CAST(s AS DOUBLE) / n)"
+    var_n = f"(CAST(q AS DOUBLE) - CAST(n AS DOUBLE) * {m} * {m})"
+    rho_defs = ",\n             ".join(
+        f"(CASE WHEN {var_n} <> 0 THEN "
+        f"(CAST(c{k} AS DOUBLE) - {m} * CAST(a{k} + b{k} AS DOUBLE) "
+        f"+ CAST(n{k} AS DOUBLE) * {m} * {m}) / {var_n} END) AS rho{k}"
+        for k in range(1, max_lag + 1)
+    )
+    pacf = durbin_levinson(
+        [f"rho{k}" for k in range(1, max_lag + 1)],
+        add=lambda a, b: f"({a} + {b})",
+        sub=lambda a, b: f"({a} - {b})",
+        mul=lambda a, b: f"({a} * {b})",
+        div=lambda num, den: (
+            f"(CASE WHEN {den} <> 0 THEN {num} / {den} END)"
+        ),
+        one="1.0",
+    )
+    unpivot = "\n      UNION ALL\n      ".join(
+        f"SELECT user_id, CAST({k} AS INTEGER) AS lag, "
+        f"n{k} AS n_pairs, rho{k} AS acf, {pacf[k - 1]} AS pacf "
+        "FROM solved"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), staged AS (
+      SELECT user_id, y, rn,
+             {lag_cols}
+      FROM ordered
+    ), agg AS (
+      SELECT user_id,
+             CAST(count(y) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS q,
+             {moments}
+      FROM staged GROUP BY user_id
+    ), solved AS (
+      SELECT user_id,
+             {", ".join(f"n{k}" for k in range(1, max_lag + 1))},
+             {rho_defs}
+      FROM agg
+    )
+    SELECT * FROM (
+      {unpivot}
+    ) ORDER BY user_id, lag
+    """
+
+
+@register("q_acf_pacf", oracle=_acf_pacf_oracle(4))
+def q_acf_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ACF/PACF to lag 4 (operators/timeseries.acf_pacf):
+    the order-selection companion to q_ar_forecast — exact BIGINT lag
+    co-moments from ONE keyed window pass + one hash aggregate, then
+    the biased-estimator acf and the unrolled Durbin–Levinson pacf as
+    pinned float chains. The oracle is GENERATED by the same
+    durbin_levinson() the operator compiles, so the two engines'
+    expression trees are structurally identical."""
+    from oakstore_spark.operators.timeseries import acf_pacf
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return acf_pacf(
+        e, "ts", ["user_id"], "cents", max_lag=4,
+        order_tiebreak=["event_id"],
+    ).orderBy("user_id", "lag")
 
 
 @register(

@@ -1618,6 +1618,57 @@ def test_post_stratified_mean_equalizes_mix_and_nulls_on_gap(spark):
     assert out2[1].post_strat_mean is None  # arm 1 missing stratum B
     assert out2[0].post_strat_mean is not None
 
+    # r12 ADVICE: NULL metric rows must not inflate any denominator —
+    # padding every cell with NULLs leaves every statistic unchanged,
+    # and an all-NULL cell vanishes (covered drops, not biases)
+    nulls = [(a, s, None) for a in (0, 1) for s in ("A", "B")] * 2
+    df3 = spark.createDataFrame(
+        rows + nulls, "arm int, stratum string, x int"
+    )
+    out3 = {r.arm: r for r in post_stratified_mean(df3, "arm", "stratum", "x").collect()}
+    for arm in (0, 1):
+        assert out3[arm].n_units == out[arm].n_units
+        assert out3[arm].raw_mean == out[arm].raw_mean
+        assert out3[arm].post_strat_mean == out[arm].post_strat_mean
+    df4 = spark.createDataFrame(
+        rows2 + [(1, "B", None)], "arm int, stratum string, x int"
+    )
+    out4 = {r.arm: r for r in post_stratified_mean(df4, "arm", "stratum", "x").collect()}
+    assert out4[1].n_strata_covered == 1  # all-NULL cell not covered
+    assert out4[1].post_strat_mean is None
+
+
+def test_multiclass_report_hand_computed(spark):
+    """Hand-checked 4-class confusion, including a class that is
+    predicted but never true (recall NULL, macro counts it as 0.0 —
+    the scikit zero-division convention) and a class never
+    mispredicted. __micro__ equals accuracy = 8/10."""
+    from oakstore_spark.operators.quality import multiclass_report
+
+    rows = (
+        [("a", "a")] * 3 + [("a", "b")]
+        + [("b", "b")] * 2 + [("b", "d")]
+        + [("c", "c")] * 3
+    )
+    df = spark.createDataFrame(rows, ["y", "p"])
+    out = {r.label: r for r in multiclass_report(df, "y", "p").collect()}
+    assert set(out) == {"a", "b", "c", "d", "__macro__", "__micro__"}
+    assert (out["a"].n_true, out["a"].n_pred, out["a"].tp) == (4, 3, 3)
+    assert out["a"].precision == 1.0 and out["a"].recall == 0.75
+    assert abs(out["a"].f1 - 6 / 7) < 1e-12
+    assert abs(out["b"].precision - 2 / 3) < 1e-12
+    assert (out["d"].n_true, out["d"].n_pred, out["d"].tp) == (0, 1, 0)
+    assert out["d"].precision == 0.0 and out["d"].recall is None
+    assert out["d"].f1 == 0.0
+    assert out["c"].precision == 1.0 and out["c"].recall == 1.0
+    mac = out["__macro__"]
+    assert abs(mac.precision - (1 + 2 / 3 + 1 + 0) / 4) < 1e-12
+    assert abs(mac.recall - (0.75 + 2 / 3 + 1 + 0) / 4) < 1e-12
+    assert abs(mac.f1 - (6 / 7 + 2 / 3 + 1 + 0) / 4) < 1e-12
+    mic = out["__micro__"]
+    assert mic.precision == mic.recall == mic.f1 == 0.8
+    assert mic.n_true == 10 and mic.tp == 8
+
 
 def test_roc_auc_separation_ties_and_reversal(spark):
     """Perfectly separating score -> AUC exactly 1.0; constant score
@@ -1691,8 +1742,14 @@ def test_dp_release_determinism_clamping_and_scale(spark):
 
     rows = [(f"g{i % 50}", 1) for i in range(500)]
     df = spark.createDataFrame(rows, ["g", "x"])
-    a = {r.g: r.released for r in dp_release(df, ["g"], 1.0).collect()}
-    b = {r.g: r.released for r in dp_release(df, ["g"], 1.0).collect()}
+    a = {
+        r.g: r.released
+        for r in dp_release(df, ["g"], 1.0, replay_salt="dp").collect()
+    }
+    b = {
+        r.g: r.released
+        for r in dp_release(df, ["g"], 1.0, replay_salt="dp").collect()
+    }
     assert a == b
     noises = [v - 10.0 for v in a.values()]  # every group n=10
     mean_abs = sum(abs(n) for n in noises) / len(noises)
@@ -1701,14 +1758,129 @@ def test_dp_release_determinism_clamping_and_scale(spark):
 
     df_hi = spark.createDataFrame([("g", 50), ("g", 3)], ["g", "x"])
     df_vhi = spark.createDataFrame([("g", 5000), ("g", 3)], ["g", "x"])
-    r1 = dp_release(df_hi, ["g"], 1.0, value_col="x", clamp=10).collect()
-    r2 = dp_release(df_vhi, ["g"], 1.0, value_col="x", clamp=10).collect()
+    r1 = dp_release(
+        df_hi, ["g"], 1.0, value_col="x", clamp=10, replay_salt="dp"
+    ).collect()
+    r2 = dp_release(
+        df_vhi, ["g"], 1.0, value_col="x", clamp=10, replay_salt="dp"
+    ).collect()
     assert r1[0].released == r2[0].released  # both outliers clamp to 10
 
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        dp_release(df_hi, ["g"], 1.0, value_col="x")
+        dp_release(df_hi, ["g"], 1.0, value_col="x", replay_salt="dp")
+
+
+def test_dp_release_salt_contract(spark):
+    """r12 ADVICE (high): the memoized-noise release is only DP when
+    the salt is secret — the operator must refuse ambiguous or
+    guessable configurations. Exactly one of secret_salt/replay_salt;
+    secret_salt rejects short or dictionary values; a proper secret
+    and a replay salt of the same string produce identical releases
+    (same keyed-PRF path — the modes differ in CONTRACT, not math)."""
+    import pytest as _pytest
+
+    from oakstore_spark.operators.pii import dp_release
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], ["g", "x"])
+    with _pytest.raises(ValueError, match="exactly one"):
+        dp_release(df, ["g"], 1.0)
+    with _pytest.raises(ValueError, match="exactly one"):
+        dp_release(
+            df, ["g"], 1.0, secret_salt="x" * 20, replay_salt="dp"
+        )
+    with _pytest.raises(ValueError, match="high-entropy"):
+        dp_release(df, ["g"], 1.0, secret_salt="short")
+    with _pytest.raises(ValueError, match="high-entropy"):
+        dp_release(df, ["g"], 1.0, secret_salt="dp")
+    sec = "k3q8-zzt0-m1x9-vc4p"
+    a = {
+        r.g: r.released
+        for r in dp_release(df, ["g"], 1.0, secret_salt=sec).collect()
+    }
+    b = {
+        r.g: r.released
+        for r in dp_release(df, ["g"], 1.0, replay_salt=sec).collect()
+    }
+    assert a == b
+
+
+def test_dp_histogram_grid_clamping_and_determinism(spark):
+    """Every bin row is emitted (true-zero bins get noise like any
+    other — their absence would leak the zero); out-of-range values
+    clamp into the edge bins; identical calls release identical
+    values; the salt contract is enforced."""
+    import pytest as _pytest
+
+    from oakstore_spark.operators.pii import dp_histogram
+
+    # values only in bins 2 and 7 of [0,100)/10; outliers clamp
+    rows = [(25.0,)] * 30 + [(75.0,)] * 20 + [(-50.0,)] * 5 + [(999.0,)] * 7
+    df = spark.createDataFrame(rows, ["v"])
+    a = {
+        r.bin: r
+        for r in dp_histogram(
+            df, "v", 1.0, 10, 0.0, 100.0, replay_salt="h"
+        ).collect()
+    }
+    assert len(a) == 10  # full grid, including true-zero bins
+    assert a[0].bin_lo == 0.0 and a[9].bin_hi == 100.0
+    b = {
+        r.bin: r.released
+        for r in dp_histogram(
+            df, "v", 1.0, 10, 0.0, 100.0, replay_salt="h"
+        ).collect()
+    }
+    assert {k: v.released for k, v in a.items()} == b
+    # noise is Laplace(1): released stays within +-20 of truth whp,
+    # and the clamped outliers land in bins 0 and 9
+    truth = {0: 5, 2: 30, 7: 20, 9: 7}
+    for i in range(10):
+        assert abs(a[i].released - truth.get(i, 0)) < 20
+    with _pytest.raises(ValueError, match="exactly one"):
+        dp_histogram(df, "v", 1.0, 10, 0.0, 100.0)
+    with _pytest.raises(ValueError, match="hi > lo"):
+        dp_histogram(df, "v", 1.0, 10, 5.0, 5.0, replay_salt="h")
+
+
+def test_dp_quantiles_post_processing_consistency(spark):
+    """dp_quantiles must equal a driver-side replay of the
+    post-processing chain over the (already oracle-checked)
+    dp_histogram release: clamp at 0, running-sum, first bin to
+    reach q*total, linear interpolation — post-processing is
+    epsilon-free, so the two must agree exactly."""
+    from oakstore_spark.operators.pii import dp_histogram, dp_quantiles
+
+    rows = [(float(i % 100),) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["v"])
+    kw = dict(epsilon=2.0, n_bins=10, lo=0.0, hi=100.0)
+    hist = sorted(
+        dp_histogram(df, "v", replay_salt="q", **kw).collect(),
+        key=lambda r: r.bin,
+    )
+    pos = [max(r.released, 0.0) for r in hist]
+    cum = []
+    run = 0.0
+    for p in pos:
+        run += p
+        cum.append(run)
+    tot = max(cum)
+    width = 10.0
+    got = {
+        r.q: r.value
+        for r in dp_quantiles(
+            df, "v", qs=[0.25, 0.5, 0.9], replay_salt="q", **kw
+        ).collect()
+    }
+    for q in (0.25, 0.5, 0.9):
+        target = q * tot
+        b = next(i for i in range(10) if cum[i] >= target)
+        prev = cum[b] - pos[b]
+        expect = hist[b].bin_lo + (target - prev) / pos[b] * width
+        assert abs(got[q] - expect) < 1e-12
+        # sanity: uniform data, mild noise -> quantile near q*100
+        assert abs(got[q] - q * 100.0) < 15.0
 
 
 def test_ipw_ate_recovers_planted_effect(spark):

@@ -629,3 +629,32 @@ def test_roc_auc_ranks_distinct_scores_not_rows(spark):
     # Window lists its child as an Aggregate/Exchange, and the only
     # scan reads the events columns the score needs
     assert "ReadSchema" in plan
+
+
+def test_bench_retired_queries_have_recorded_debut_timing():
+    """Retirement precondition (r12 verdict ask #7): every member of
+    BENCH_RETIRED must carry a recorded debut timing in
+    BENCH_DEBUTS.json — the retirement policy's value is that every
+    plan shape was MEASURED at least once before it left the timing
+    loop. Debut entries must name the committed blob they came from."""
+    import json
+    from pathlib import Path
+
+    from oakstore_spark.queries import BENCH_RETIRED, QUERIES, load_all
+
+    load_all()
+    debuts = json.loads(
+        Path(__file__).resolve().parent.parent.joinpath(
+            "BENCH_DEBUTS.json"
+        ).read_text()
+    )["debuts"]
+    missing = sorted(BENCH_RETIRED - set(debuts))
+    assert not missing, (
+        f"retired without a recorded debut timing: {missing} — run a "
+        "bench with the query in the loop and record it in "
+        "BENCH_DEBUTS.json before adding it to BENCH_RETIRED"
+    )
+    for name, d in debuts.items():
+        assert d["sec"] >= 0 and d["commit"] and d["sf"], name
+    # retired names must stay registered (retirement is bench-only)
+    assert BENCH_RETIRED <= set(QUERIES)

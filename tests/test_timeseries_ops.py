@@ -1285,6 +1285,136 @@ def test_ar_forecast_degenerate_constant_series_null(spark):
         ar_forecast(df, "ts", ["k"], "y", p=3)
 
 
+def test_ar_forecast_short_keys_still_emit_rows(spark):
+    """r12 ADVICE: keys with 1 or 2 observations (zero usable lagged
+    rows) must still appear in the output with NULL coefficients —
+    callers joining forecasts back per key must not silently lose
+    them. x_last/x_prev still carry what IS known."""
+    from datetime import datetime, timedelta
+
+    from oakstore_spark.operators.timeseries import ar_forecast
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("one", t0, 7)]
+    rows += [("two", t0 + timedelta(hours=t), 3 + t) for t in range(2)]
+    rows += [("ok", t0 + timedelta(hours=t), t % 3) for t in range(9)]
+    df = spark.createDataFrame(rows, ["k", "ts", "y"])
+    out = {r.k: r for r in ar_forecast(df, "ts", ["k"], "y").collect()}
+    assert set(out) == {"one", "two", "ok"}
+    assert out["one"].n_obs == 0
+    assert out["one"].a1 is None and out["one"].forecast_next is None
+    assert out["one"].x_last == 7 and out["one"].x_prev is None
+    assert out["two"].n_obs == 0 and out["two"].c is None
+    assert out["two"].x_last == 4 and out["two"].x_prev == 3
+    assert out["ok"].n_obs == 7 and out["ok"].a1 is not None
+
+
+def _np_acf_pacf(xs, max_lag):
+    """Driver-side reference: biased-estimator ACF + Durbin–Levinson
+    PACF in plain floats, mirroring the operator's algebra."""
+    n = len(xs)
+    m = sum(xs) / n
+    var_n = sum((v - m) ** 2 for v in xs)
+    rho = []
+    for k in range(1, max_lag + 1):
+        num = sum(
+            (xs[t] - m) * (xs[t - k] - m) for t in range(k, n)
+        )
+        rho.append(num / var_n if var_n != 0 else None)
+    pacf, phi = [], []
+    for k in range(1, max_lag + 1):
+        if k == 1:
+            kk = rho[0]
+        else:
+            num = sum(phi[j - 1] * rho[k - 1 - j] for j in range(1, k))
+            den = 1.0 - sum(phi[j - 1] * rho[j - 1] for j in range(1, k))
+            kk = (rho[k - 1] - num) / den if den != 0 else None
+        phi = [
+            phi[j - 1] - kk * phi[k - 1 - j] for j in range(1, k)
+        ] + [kk]
+        pacf.append(kk)
+    return rho, pacf
+
+
+def test_acf_pacf_matches_reference_and_ar2_cutoff(spark):
+    """The distributed acf_pacf agrees with a driver-side float
+    replica to 1e-9 on an irregular series, and on a planted AR(2)
+    (period-6 oscillator) the PACF shows the textbook cutoff: large
+    through lag 2, near-zero beyond — the order-selection signal
+    ar_forecast needs."""
+    from datetime import datetime, timedelta
+
+    from oakstore_spark.operators.timeseries import acf_pacf
+
+    t0 = datetime(2024, 1, 1)
+    series = [3, 8, 1, 9, 4, 7, 2, 11, 5, 6, 10, 0, 12, 3, 8]
+    rows = [
+        ("u", t0 + timedelta(hours=t), v) for t, v in enumerate(series)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "y"])
+    out = {
+        r.lag: r
+        for r in acf_pacf(df, "ts", ["k"], "y", max_lag=4).collect()
+    }
+    rho, pacf = _np_acf_pacf([float(v) for v in series], 4)
+    for k in range(1, 5):
+        assert out[k].n_pairs == len(series) - k
+        assert abs(out[k].acf - rho[k - 1]) < 1e-9
+        assert abs(out[k].pacf - pacf[k - 1]) < 1e-9
+
+    # a NOISY planted AR(2) (a deterministic oscillator would make
+    # lag-2 prediction exact — zero residual variance, PACF past p
+    # 0/0): x_t = round(0.6x_{t-1} - 0.3x_{t-2}) + e_t with seeded
+    # integer noise, n=2000 so the sampling band is ~1/sqrt(n)=0.022
+    import random
+
+    rng = random.Random(42)
+    xs = [5, 3]
+    for _ in range(2, 2000):
+        xs.append(
+            round(0.6 * xs[-1] - 0.3 * xs[-2]) + rng.randint(-10, 10)
+        )
+    rows2 = [
+        ("a", t0 + timedelta(minutes=t), v) for t, v in enumerate(xs)
+    ]
+    df2 = spark.createDataFrame(rows2, ["k", "ts", "y"])
+    got = {
+        r.lag: r.pacf
+        for r in acf_pacf(df2, "ts", ["k"], "y", max_lag=4).collect()
+    }
+    # AR(2) signature: strong partials through lag 2, cutoff past p
+    assert got[1] > 0.35 and got[2] < -0.2
+    assert abs(got[3]) < 0.1 and abs(got[4]) < 0.1
+
+
+def test_acf_pacf_degenerate_guards(spark):
+    """Constant series (zero variance) NULLs every acf/pacf; a key
+    shorter than the lag NULLs that lag but still emits the row;
+    max_lag outside 1..8 raises."""
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from oakstore_spark.operators.timeseries import acf_pacf
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("c", t0 + timedelta(hours=t), 5) for t in range(10)]
+    rows += [("s", t0 + timedelta(hours=t), t + 1) for t in range(3)]
+    df = spark.createDataFrame(rows, ["k", "ts", "y"])
+    out = {
+        (r.k, r.lag): r
+        for r in acf_pacf(df, "ts", ["k"], "y", max_lag=4).collect()
+    }
+    assert len(out) == 8  # both keys emit all 4 lag rows
+    assert out[("c", 1)].acf is None and out[("c", 4)].pacf is None
+    assert out[("s", 3)].n_pairs == 0 and out[("s", 3)].acf is None
+    assert out[("s", 1)].acf is not None
+    with _pytest.raises(ValueError):
+        acf_pacf(df, "ts", ["k"], "y", max_lag=9)
+    with _pytest.raises(ValueError):
+        acf_pacf(df, "ts", ["k"], "y", max_lag=0)
+
+
 def test_backtest_forecasts_metrics_and_mase(spark):
     """Hand-checked metric block: a perfect forecast scores 0 on
     every error metric (mase 0.0); a forecast identical to the naive
