@@ -723,3 +723,132 @@ def label_propagation(
     from oakstore_spark.operators.scaling import track_persisted
 
     return track_persisted(out, und)
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source,
+    weight_col: str = "weight",
+    n_rounds: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    detect_negative_cycle: bool = True,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Single-source weighted shortest paths (Bellman–Ford rounds) —
+    the weighted member the graph family lacked next to the unweighted
+    BFS (q_reach_bfs_sql) (r12 verdict ask #6): per round, relax every
+    edge out of the currently-reached frontier and keep the per-node
+    MIN,
+
+        dist'(v) = min(dist(v), min over u->v of dist(u) + w(u,v))
+
+    — the pagerank iteration pattern exactly: ONE join (edges
+    pre-partitioned + persisted on src, reused every round) + one
+    min-aggregate per round, lineage pinned by localCheckpoint (or a
+    reliable checkpoint_dir on a cluster) so plans stay O(1) deep.
+
+    ``n_rounds`` fixed (replayable: the oracle unrolls the same rounds
+    as chained CTEs — overshooting the fixpoint is idempotent) or None
+    to iterate to the fixpoint with an early-stop improvement check
+    (one small join+count per round, capped at V-1 rounds — the
+    Bellman–Ford bound).
+
+    Negative edges are allowed, negative CYCLES are not (shortest
+    paths are then undefined): with ``detect_negative_cycle`` one
+    extra relaxation runs after the loop and any remaining improvement
+    raises ValueError — the textbook V-round certificate in fixpoint
+    mode; in fixed-round mode it certifies only that ``n_rounds``
+    reached the fixpoint.
+
+    Exactness: each realized distance is the fold of weight additions
+    along its argmin path — the same float chain in any engine — so
+    dyadic weights replay bit-for-bit (the pagerank rule).
+
+    Returns (node, dist) for REACHED nodes only (unreachable nodes
+    are absent, not +inf — join back to a node relation if a row per
+    node is wanted). At 100 TB the per-round cost is one shuffle of
+    the frontier-joined edges into the min-agg; the dist relation is
+    node-sized, never edge-sized.
+    """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e = _pin(
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("double").alias("w"),
+        ).repartition("src")
+    )
+    # seed relation typed off the edge endpoints so joins never fall
+    # back to a cast-mismatch plan
+    dist = spark.range(1).select(
+        F.lit(source).cast(e.schema["src"].dataType).alias("node"),
+        F.lit(0.0).alias("dist"),
+    )
+    if n_rounds is None:
+        max_rounds = None  # until fixpoint, capped at V-1
+    else:
+        max_rounds = int(n_rounds)
+
+    def relax(d: DataFrame) -> DataFrame:
+        cand = (
+            e.join(d.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        return (
+            d.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+
+    def improved(new: DataFrame, old: DataFrame) -> bool:
+        return (
+            new.join(
+                old.withColumnRenamed("dist", "_prev"), "node", "left"
+            )
+            .where(
+                F.col("_prev").isNull()
+                | (F.col("dist") < F.col("_prev"))
+            )
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    dist = _pin(dist)
+    if max_rounds is not None:
+        for _ in range(max_rounds):
+            dist = _pin(relax(dist))
+    else:
+        # Bellman-Ford bound: V-1 rounds suffice without negative
+        # cycles; the improvement check doubles as the early stop
+        n_nodes = (
+            e.select(F.col("src").alias("n"))
+            .unionByName(e.select(F.col("dst").alias("n")))
+            .distinct()
+            .count()
+        )
+        for _ in range(max(n_nodes - 1, 1)):
+            new = _pin(relax(dist))
+            if not improved(new, dist):
+                dist = new
+                break
+            dist = new
+    if detect_negative_cycle and improved(relax(dist), dist):
+        raise ValueError(
+            "relaxation still improves after the final round: "
+            "negative cycle (fixpoint mode) or n_rounds too small "
+            "to certify (fixed mode)"
+        )
+    return dist

@@ -1941,3 +1941,214 @@ def coec_scores(
         "item", "n_impressions", "n_clicks", "expected_clicks",
         coec.alias("coec"),
     )
+
+
+def train_topics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    n_iters: int = 5,
+    vocab_size: int = 8192,
+    smoothing: float = 1.0,
+    seed: str = "topics",
+    return_assignments: bool = False,
+):
+    """Topic decomposition by deterministic HARD-EM over a mixture of
+    unigrams — the corpus-exploration member the text family lacked
+    next to RAKE/TextRank/PMI/LM-scoring (r12 verdict ask #5).  Each
+    document is modeled as drawn from ONE of ``k`` topic unigram
+    distributions (the mixture-of-unigrams simplification of
+    pLSA/LDA, Nigam et al. 2000 — public); hard-EM alternates
+
+        E: assign each doc to argmax_t [ log P(t)
+             + Σ_w count(d,w) · log P(w|t) ]          (ties → lowest t)
+        M: P(w|t) ∝ add-α smoothed topic-word counts,
+           P(t)   ∝ add-one smoothed topic doc counts
+
+    from a deterministic md5(seed:doc) % k initialization — no RNG,
+    so identical runs produce identical topics (the engine's
+    replayable-randomness rung).
+
+    Spark shape (the train_unigram_lm loop generalized): ONE corpus
+    pass collapses to the (doc, word, n) relation restricted to the
+    top-``vocab_size`` words (freq desc, word asc — deterministic),
+    persisted once.  Each EM round is: one broadcast join of the
+    <= vocab_size topic-log-prob table onto that relation, k per-doc
+    conditional sums in ONE hash aggregate (k is small), a when-chain
+    argmax, then one (topic, word) BIGINT count aggregate whose
+    <= k·vocab_size rows are collected for the driver-side M-step —
+    the corpus itself is never re-shuffled and nothing driver-side
+    grows with data size.  Unlike train_unigram_lm there is no
+    separate driver path: the E-step is already pure DataFrame ops.
+
+    Iterative (not SQL-expressible): registered ROWS-only, pinned by
+    the planted-topic exact-recovery pytest (the q_unigram_tok_train
+    precedent).  Docs with zero in-vocab tokens are absent from the
+    assignment (documented, not silently topic-0).
+
+    Returns the topic-word table (topic int, word string, count
+    bigint, logprob double) sorted (topic, count desc, word); with
+    ``return_assignments`` a (topics, assignments) tuple where
+    assignments is (doc, topic).
+    """
+    import math
+
+    from pyspark.sql import types as T
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.functions.text import normalize_text
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    spark = df.sparkSession
+    dw = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.split(normalize_text(text_col), " ")
+            ).alias("word"),
+        )
+        .where(F.length("word") > 0)
+        .groupBy("doc", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    vocab = (
+        dw.groupBy("word")
+        .agg(F.sum("n").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("word"))
+        .limit(vocab_size)
+        .select("word")
+    )
+    dwv = dw.join(F.broadcast(vocab), "word").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        n_vocab = dwv.select("word").distinct().count()
+        if n_vocab == 0:
+            empty = spark.createDataFrame(
+                [],
+                "topic int, word string, count bigint, logprob double",
+            )
+            if return_assignments:
+                return empty, spark.createDataFrame(
+                    [], "doc long, topic int"
+                )
+            return empty
+        u60 = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(seed),
+                                  F.col("doc").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint")
+        assign = dwv.select("doc").distinct().select(
+            "doc", (u60 % k).cast("int").alias("topic")
+        ).localCheckpoint(eager=True)
+
+        lp_schema = T.StructType(
+            [
+                T.StructField("word", T.StringType()),
+                T.StructField("lp", T.ArrayType(T.DoubleType())),
+            ]
+        )
+        priors: list[float] = []
+        for _ in range(n_iters):
+            # M-step: exact BIGINT topic-word counts + topic doc counts
+            tw = (
+                dwv.join(assign, "doc")
+                .groupBy("topic", "word")
+                .agg(F.sum("n").alias("c"))
+                .collect()
+            )
+            td = {
+                r["topic"]: r["nd"]
+                for r in assign.groupBy("topic")
+                .agg(F.count(F.lit(1)).alias("nd"))
+                .collect()
+            }
+            n_docs = sum(td.values())
+            totals = [0] * k
+            by_word: dict[str, list] = {}
+            for r in tw:
+                totals[r["topic"]] += int(r["c"])
+                by_word.setdefault(r["word"], [0] * k)[r["topic"]] = int(
+                    r["c"]
+                )
+            priors = [
+                math.log((td.get(t, 0) + 1.0) / (n_docs + k))
+                for t in range(k)
+            ]
+            denom = [
+                totals[t] + smoothing * n_vocab for t in range(k)
+            ]
+            lp_rows = [
+                (
+                    w,
+                    [
+                        math.log((cs[t] + smoothing) / denom[t])
+                        for t in range(k)
+                    ],
+                )
+                for w, cs in by_word.items()
+            ]
+            lp_df = spark.createDataFrame(lp_rows, lp_schema)
+            # E-step: k conditional sums in one hash aggregate, then
+            # a when-chain argmax (lowest topic wins ties)
+            scores = (
+                dwv.join(F.broadcast(lp_df), "word")
+                .groupBy("doc")
+                .agg(
+                    *[
+                        F.sum(F.col("n") * F.col("lp")[t]).alias(
+                            f"_s{t}"
+                        )
+                        for t in range(k)
+                    ]
+                )
+            )
+            tot = [
+                F.col(f"_s{t}") + F.lit(priors[t]) for t in range(k)
+            ]
+            best = F.greatest(*tot) if k > 1 else tot[0]
+            arg = F.lit(None).cast("int")
+            for t in range(k - 1, -1, -1):
+                arg = F.when(tot[t] == best, t).otherwise(arg)
+            assign = scores.select(
+                "doc", arg.alias("topic")
+            ).localCheckpoint(eager=True)
+        # final M-step counts reflect the LAST assignment
+        tw = (
+            dwv.join(assign, "doc")
+            .groupBy("topic", "word")
+            .agg(F.sum("n").alias("c"))
+            .collect()
+        )
+        totals = [0] * k
+        for r in tw:
+            totals[r["topic"]] += int(r["c"])
+        out_rows = sorted(
+            (
+                (
+                    int(r["topic"]),
+                    r["word"],
+                    int(r["c"]),
+                    math.log(
+                        (int(r["c"]) + smoothing)
+                        / (totals[r["topic"]] + smoothing * n_vocab)
+                    ),
+                )
+                for r in tw
+            ),
+            key=lambda x: (x[0], -x[2], x[1]),
+        )
+        topics = spark.createDataFrame(
+            out_rows,
+            "topic int, word string, count bigint, logprob double",
+        )
+        if return_assignments:
+            return topics, assign
+        return topics
+    finally:
+        dwv.unpersist()

@@ -2063,6 +2063,27 @@ def q_unigram_tok_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_topics_train")  # iterative hard-EM: no single-SQL oracle;
+# planted-topic exact recovery pinned in
+# tests/test_curation.py::test_train_topics_recovers_planted_topics
+def q_topics_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic decomposition of the documents corpus
+    (operators/text.train_topics): mixture-of-unigrams hard-EM, 4
+    topics, 3 rounds from the deterministic md5 initialization — one
+    corpus pass to the vocab-bounded (doc, word, n) relation, then
+    per round one broadcast of the topic-word log-probs out and one
+    BIGINT (topic, word) aggregate back. Deterministic ties
+    everywhere (vocab by freq desc/word asc, argmax by lowest topic),
+    so the topic-word table is stable across engines/partitionings;
+    ROWS-only by the q_unigram_tok_train precedent (iterative fit)."""
+    from oakstore_spark.operators.text import train_topics
+
+    d = table(spark, sf_dir, "documents")
+    return train_topics(
+        d, "text", "doc_id", k=4, n_iters=3, vocab_size=1024,
+    )
+
+
 @register(
     "q_unicode_normalize",
     oracle="""
@@ -3477,6 +3498,119 @@ def q_uplift_two_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qini_curve(
         scored, "uplift_score", "arm", "converted", "user_id",
         treated=1, n_buckets=10,
+    ).orderBy("bucket")
+
+
+@register(
+    "q_uplift_scoring",
+    oracle="""
+    WITH units AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  AND ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) / 10000.0 AS f_spend,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN 1 ELSE 0 END) AS BIGINT) / 10.0 AS f_act,
+             CAST(max(CASE WHEN event_type = 'purchase'
+                  AND value > 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS converted
+      FROM events GROUP BY user_id
+    ), scored AS (
+      SELECT user_id, arm, converted,
+             CAST(floor((
+               1.0 / (1.0 + exp(-(-1.0 + 0.5 * f_spend
+                                  + -0.25 * f_act)))
+               - 1.0 / (1.0 + exp(-(-0.5 + 0.25 * f_spend
+                                    + 0.125 * f_act)))
+             ) * 1048576.0) AS BIGINT) AS score_m
+      FROM units
+    ), ranked AS (
+      SELECT CASE WHEN arm = 1 THEN 1 ELSE 0 END AS t,
+             converted AS y,
+             row_number() OVER (ORDER BY score_m DESC, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM scored
+    ), j AS (
+      SELECT g.bucket, r.t, r.y
+      FROM (SELECT range AS bucket FROM range(1, 11)) g
+      JOIN ranked r ON r.rn * 10 <= g.bucket * r.n
+    ), agg AS (
+      SELECT bucket,
+             CAST(sum(t) AS BIGINT) AS n_t,
+             CAST(coalesce(sum(CASE WHEN t = 1 THEN y END), 0)
+                  AS BIGINT) AS conv_t,
+             CAST(sum(1 - t) AS BIGINT) AS n_c,
+             CAST(coalesce(sum(CASE WHEN t = 0 THEN y END), 0)
+                  AS BIGINT) AS conv_c
+      FROM j GROUP BY bucket
+    )
+    SELECT bucket, n_t, conv_t, n_c, conv_c,
+           CASE WHEN n_c > 0 THEN
+             conv_t - CAST(conv_c AS DOUBLE) * n_t / n_c END AS qini,
+           CASE WHEN n_t > 0 AND n_c > 0 THEN
+             CAST(conv_t AS DOUBLE) / n_t
+               - CAST(conv_c AS DOUBLE) / n_c END AS uplift
+    FROM agg ORDER BY bucket
+    """,
+)
+def q_uplift_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift SCORING + Qini readout under pinned literal weights
+    (operators/experiments.score_uplift -> qini_curve) — the r12
+    verdict's fit/score split: q_uplift_two_model stays the rows-only
+    end-to-end row (its IRLS fit is iterative), while THIS query holds
+    the entire downstream chain — two sigmoids with dyadic weight
+    vectors, the uplift difference, a 2^20-scale integer floor of the
+    score (so bucket membership never rides on a final-ulp exp
+    disagreement), the (score desc, id) ranking and the exact-BIGINT
+    Qini buckets — to a full DuckDB oracle, shrinking the unverified
+    surface to the solve itself."""
+    from oakstore_spark.operators.experiments import (
+        qini_curve,
+        score_uplift,
+    )
+
+    e = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    units = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") < cutoff),
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("pre_cents"),
+        F.sum(
+            F.when(F.col("ts") < cutoff, 1).otherwise(0)
+        ).cast("bigint").alias("pre_events"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 200),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("converted"),
+    ).select(
+        "user_id",
+        (F.col("user_id") % 2).alias("arm"),
+        "converted",
+        (F.col("pre_cents") / 10000.0).alias("f_spend"),
+        (F.col("pre_events") / 10.0).alias("f_act"),
+    )
+    scored = score_uplift(
+        units, ["f_spend", "f_act"],
+        w_t=[-1.0, 0.5, -0.25], w_c=[-0.5, 0.25, 0.125],
+    ).select(
+        "user_id", "arm", "converted",
+        F.floor(F.col("uplift_score") * 1048576.0).cast("bigint")
+        .alias("score_m"),
+    )
+    return qini_curve(
+        scored, "score_m", "arm", "converted", "user_id", treated=1,
+        n_buckets=10,
     ).orderBy("bucket")
 
 

@@ -673,3 +673,59 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         clique_edges + [(7, 8)] + path_edges, "src long, dst long"
     )
     return label_propagation(edges, n_rounds=3).orderBy("node")
+
+
+def _sssp_oracle(rounds: int = 18) -> str:
+    """Chained-CTE replay of exactly ``rounds`` Bellman-Ford rounds
+    over the planted weighted graph. Each level references the
+    previous ONCE (the pagerank-oracle inlining lesson): the
+    keep-current-distance case rides on a weight-0 self-loop per node
+    instead of a second d{k} reference, which is algebraically the
+    same min."""
+    steps = []
+    for k in range(rounds):
+        steps.append(f"""
+    d{k + 1} AS (
+      SELECT e.dst AS node, min(d.dist + e.w) AS dist
+      FROM d{k} d JOIN wedges e ON e.src = d.node
+      GROUP BY e.dst
+    )""")
+    return (
+        "WITH "
+        + _GRAPH_CTE
+        + f""",
+    wedges AS (
+      SELECT src, dst,
+             1.0 + ((src * 7 + dst * 13) % 8) * 0.25 AS w
+      FROM edges
+      UNION ALL
+      SELECT node, node, 0.0 FROM nodes
+    ),
+    d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0.0 AS DOUBLE) AS dist),
+    {",".join(steps)}
+    SELECT node, dist FROM d{rounds} ORDER BY node
+    """
+    )
+
+
+@register("q_sssp", oracle=_sssp_oracle(18))
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source weighted shortest paths
+    (operators/graph.shortest_paths): Bellman-Ford from node 0 over
+    the planted 64-node graph with dyadic edge weights
+    1 + ((7*src + 13*dst) mod 8)/4 — every realized distance is a
+    fold of quarter-integer additions along its argmin path, so the
+    18-round chained-CTE oracle replays each one bit-for-bit (the
+    fixpoint lands at round 17; overshooting is idempotent, and the
+    operator's negative-cycle certificate doubles as the fixpoint
+    proof). The weighted member next to the unweighted
+    q_reach_bfs_sql."""
+    from oakstore_spark.operators.graph import shortest_paths
+
+    w = F.lit(1.0) + (
+        (F.col("src") * 7 + F.col("dst") * 13) % 8
+    ).cast("double") * F.lit(0.25)
+    edges = _planted_edges(spark).select("src", "dst", w.alias("weight"))
+    return shortest_paths(
+        edges, source=0, n_rounds=18, detect_negative_cycle=True
+    ).orderBy("node")

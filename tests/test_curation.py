@@ -1806,6 +1806,89 @@ def test_dp_release_salt_contract(spark):
     assert a == b
 
 
+def test_train_topics_recovers_planted_topics(spark):
+    """Planted mixture of unigrams: three disjoint 6-word topic
+    vocabularies (plus one shared stopword), 60 docs each drawn purely
+    from its topic. Hard-EM from the deterministic md5 init must
+    partition the docs EXACTLY along the plant (up to label
+    permutation), concentrate each learned topic's words on one
+    planted vocabulary, and be run-to-run identical (no RNG)."""
+    import random
+
+    from oakstore_spark.operators.text import train_topics
+
+    vocabs = [
+        ["apple", "pear", "plum", "grape", "melon", "fig"],
+        ["circuit", "voltage", "diode", "resistor", "anode", "relay"],
+        ["sonnet", "stanza", "meter", "rhyme", "verse", "ode"],
+    ]
+    rng = random.Random(5)
+    rows = []
+    for d in range(180):
+        t = d % 3
+        words = [rng.choice(vocabs[t]) for _ in range(30)] + ["the"]
+        rows.append((d, " ".join(words)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    topics, assign = train_topics(
+        df, "text", "doc_id", k=3, n_iters=5, vocab_size=100,
+        return_assignments=True,
+    )
+    a = {r.doc: r.topic for r in assign.collect()}
+    assert len(a) == 180
+    # exact partition recovery up to permutation
+    label = {t: a[t] for t in range(3)}  # learned label per plant
+    assert len(set(label.values())) == 3
+    for d, lt in a.items():
+        assert lt == label[d % 3]
+    # each learned topic's non-stopword mass sits on one planted vocab
+    tw = topics.collect()
+    for plant, learned in label.items():
+        words = {
+            r.word for r in tw
+            if r.topic == learned and r.word != "the"
+        }
+        assert words <= set(vocabs[plant])
+    # determinism: a second run reproduces the table exactly
+    topics2 = train_topics(
+        df, "text", "doc_id", k=3, n_iters=5, vocab_size=100,
+    )
+    assert sorted(map(tuple, topics.collect())) == sorted(
+        map(tuple, topics2.collect())
+    )
+
+
+def test_score_uplift_literal_weights(spark):
+    """score_uplift with hand-picked weights reproduces the sigmoid
+    difference exactly (driver-replicated), and rejects weight
+    vectors whose length does not match intercept+features."""
+    import math
+
+    import pytest as _pytest
+
+    from oakstore_spark.operators.experiments import score_uplift
+
+    rows = [(1, 2.0, 0.5), (2, 0.0, 3.0), (3, -1.0, 1.0)]
+    df = spark.createDataFrame(rows, ["uid", "x1", "x2"])
+    w_t, w_c = [0.5, 1.0, -0.5], [-0.25, 0.5, 0.25]
+    out = {
+        r.uid: r
+        for r in score_uplift(df, ["x1", "x2"], w_t, w_c).collect()
+    }
+
+    def sig(w, x1, x2):
+        return 1.0 / (1.0 + math.exp(-(w[0] + w[1] * x1 + w[2] * x2)))
+
+    for uid, x1, x2 in rows:
+        assert abs(out[uid].p_treated - sig(w_t, x1, x2)) < 1e-12
+        assert abs(out[uid].p_control - sig(w_c, x1, x2)) < 1e-12
+        assert abs(
+            out[uid].uplift_score
+            - (sig(w_t, x1, x2) - sig(w_c, x1, x2))
+        ) < 1e-12
+    with _pytest.raises(ValueError, match="entries"):
+        score_uplift(df, ["x1", "x2"], [0.5, 1.0], w_c)
+
+
 def test_dp_histogram_grid_clamping_and_determinism(spark):
     """Every bin row is emitted (true-zero bins get noise like any
     other — their absence would leak the zero); out-of-range values

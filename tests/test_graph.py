@@ -446,3 +446,63 @@ def test_label_propagation_cliques_and_determinism(spark):
     cb = {got1[n] for n in range(10, 16)}
     assert len(ca) == 1 and len(cb) == 1
     assert ca != cb  # the bridge must NOT merge the cliques
+
+
+def test_shortest_paths_hand_graph_and_unreachable(spark):
+    """Hand-checked weighted diamond: 0->1 (1.0), 0->2 (4.0),
+    1->2 (1.5), 2->3 (1.0), 1->3 (5.0) - node 2 via 1 (2.5) beats the
+    direct edge, node 3 takes the three-hop route (3.5). Node 9 has
+    only an OUTGOING edge, so it is unreachable and absent; fixpoint
+    mode (n_rounds=None) stops early and certifies."""
+    from oakstore_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 1.0),
+            (0, 2, 4.0),
+            (1, 2, 1.5),
+            (2, 3, 1.0),
+            (1, 3, 5.0),
+            (9, 0, 1.0),
+        ],
+        "src long, dst long, weight double",
+    )
+    got = {r.node: r.dist for r in shortest_paths(edges, 0).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.5, 3: 3.5}
+    assert 9 not in got
+
+
+def test_shortest_paths_negative_edges_and_cycle_detection(spark):
+    """Negative EDGES are fine (the relaxation finds the cheaper
+    detour a greedy Dijkstra would miss); a negative CYCLE must raise
+    - shortest paths are undefined - and a fixed n_rounds too small
+    to certify the fixpoint raises too."""
+    import pytest as _pytest
+
+    from oakstore_spark.operators.graph import shortest_paths
+
+    neg = spark.createDataFrame(
+        [(0, 1, 5.0), (0, 2, 2.0), (2, 1, -4.0)],
+        "src long, dst long, weight double",
+    )
+    got = {r.node: r.dist for r in shortest_paths(neg, 0).collect()}
+    assert got[1] == -2.0  # via the negative edge, not the direct 5.0
+
+    cyc = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 1, -3.0)],
+        "src long, dst long, weight double",
+    )
+    with _pytest.raises(ValueError, match="negative cycle"):
+        shortest_paths(cyc, 0)
+
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(6)],
+        "src long, dst long, weight double",
+    )
+    with _pytest.raises(ValueError, match="n_rounds too small"):
+        shortest_paths(chain, 0, n_rounds=2)
+    ok = {
+        r.node: r.dist
+        for r in shortest_paths(chain, 0, n_rounds=6).collect()
+    }
+    assert ok[6] == 6.0

@@ -129,6 +129,12 @@ def main() -> None:
                          "membership counts asserted closed-form) "
                          "and mmr_topk over a 1M-vector raw corpus "
                          "through the TakeOrdered stage-1 path")
+    ap.add_argument("--topicdocs", type=int, default=0,
+                    help="topic-model hard-EM probe: this many "
+                         "synthetic docs drawn from 4 disjoint "
+                         "planted vocabularies, train_topics k=4 / "
+                         "3 rounds; asserts the learned topics "
+                         "partition docs exactly along the plant")
     ap.add_argument("--streamrows", type=int, default=0,
                     help="also probe Structured Streaming: this many "
                          "synthetic events through a watermarked tumbling "
@@ -1539,6 +1545,62 @@ def main() -> None:
         out["mmr_vecs_per_sec"] = round(nv / dt)
         assert len(picks) == 5 and picks[0].rank == 1
         emb.unpersist()
+
+    if args.topicdocs:
+        # Topic hard-EM at volume: the corpus collapses once to the
+        # vocab-bounded (doc, word, n) relation; each round is one
+        # broadcast join + one k-sum hash aggregate + one BIGINT
+        # (topic, word) aggregate back — nothing driver-side grows
+        # with doc count, which is what the wall time evidences.
+        nd = args.topicdocs
+        from oakstore_spark.operators.text import train_topics
+
+        vocabs = [
+            ["apple", "pear", "plum", "grape", "melon", "fig"],
+            ["circuit", "volt", "diode", "resistor", "anode", "relay"],
+            ["sonnet", "stanza", "meter", "rhyme", "verse", "ode"],
+            ["tensor", "gradient", "epoch", "batch", "layer", "loss"],
+        ]
+        flat = [w for v in vocabs for w in v]
+        words_arr = F.array(*[F.lit(w) for w in flat])
+        word_j = lambda j: F.element_at(  # noqa: E731
+            words_arr,
+            (
+                (F.col("id") % 4) * 6
+                + F.pmod(F.hash(F.col("id") * 23 + j), F.lit(6))
+                + 1
+            ).cast("int"),
+        )
+        docs = spark.range(0, nd, 1, 64).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ", *[word_j(j) for j in range(20)]
+            ).alias("text"),
+        )
+        docs.persist()
+        docs.count()
+        t0 = time.time()
+        topics, assign = train_topics(
+            docs, "text", "doc_id", k=4, n_iters=3, vocab_size=64,
+            return_assignments=True,
+        )
+        pairs = (
+            assign.withColumn("plant", F.col("doc") % 4)
+            .groupBy("topic", "plant")
+            .count()
+            .collect()
+        )
+        dt = time.time() - t0
+        out["topics_sec"] = round(dt, 2)
+        out["topics_docs_per_sec"] = round(nd / dt)
+        # exact partition recovery: each learned topic maps to ONE
+        # planted vocabulary and all four plants are distinguished
+        mapping = {}
+        for r in pairs:
+            mapping.setdefault(r["topic"], set()).add(r["plant"])
+        assert all(len(v) == 1 for v in mapping.values()), mapping
+        assert len({next(iter(v)) for v in mapping.values()}) == 4
+        docs.unpersist()
 
     if args.streamrows:
         # Structured Streaming at volume: watermarked tumbling-window
