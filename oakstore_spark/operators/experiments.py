@@ -280,6 +280,68 @@ def kaplan_meier(
     )
 
 
+def nelson_aalen(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Nelson–Aalen cumulative hazard — :func:`kaplan_meier`'s
+    additive sibling (Aalen 1978, public): instead of the survival
+    product, accumulate the hazard increments directly,
+
+        H(t) = Σ over event times t_j <= t of d_j / n_j
+        Var(H(t)) = Σ d_j / n_j²          (the Poisson-type variance)
+
+    — the estimator of choice when hazard SHAPE is the question
+    (constant? rising? bathtub?) and for the log-rank family's
+    diagnostics; exp(−H) is an alternative survival estimate that is
+    less biased than KM in small samples.
+
+    Spark shape: identical to KM — ONE hash aggregate to the
+    distinct-duration relation, at-risk from the total minus the
+    prior-row prefix sum, and the hazard accumulations as prefix
+    window sums over that tiny relation (prefix sums evaluate in time
+    order in both engines, so the float sequence is pinned and the
+    oracle replays it).
+
+    Returns (t, n_risk, n_events, n_censored, cum_hazard,
+    var_hazard) ordered by t, one row per distinct duration.
+    """
+    from pyspark.sql import Window as W
+
+    t = F.col(duration_col).cast("bigint")
+    e = F.col(event_col).cast("bigint")
+    per_t = df.groupBy(t.alias("t")).agg(
+        F.sum(e).alias("n_events"),
+        F.sum(F.lit(1) - e).alias("n_censored"),
+    )
+    wpre = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(
+        W.partitionBy()
+    )
+    prior = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wpre),
+        F.lit(0),
+    )
+    staged = per_t.select(
+        "t",
+        "n_events",
+        "n_censored",
+        (total - prior).cast("bigint").alias("n_risk"),
+    )
+    inc = F.col("n_events").cast("double") / F.col("n_risk")
+    vinc = F.col("n_events").cast("double") / (
+        F.col("n_risk") * F.col("n_risk")
+    )
+    return staged.select(
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.sum(inc).over(wcum).alias("cum_hazard"),
+        F.sum(vinc).over(wcum).alias("var_hazard"),
+    )
+
+
 def logrank_test(
     df: DataFrame,
     arm_col: str,

@@ -602,3 +602,76 @@ def multiclass_report(
         acc.alias("f1"),
     )
     return rows.unionByName(macro).unionByName(micro)
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    max_distinct_scores: int = 100_000,
+) -> DataFrame:
+    """Isotonic (PAV) score calibration — the RECALIBRATION step after
+    :func:`calibration_report` says a score does not mean what it
+    claims: fit the monotone-nondecreasing map from score to observed
+    positive rate that minimizes squared error (Ayer et al. 1955 /
+    pool-adjacent-violators, Zadrozny & Elkan 2002 for classifier
+    calibration — public).
+
+    Spark shape (the roc_auc rule): ONE hash aggregate collapses the
+    corpus to the DISTINCT-SCORE relation (n, n_pos per score) —
+    bounded by score cardinality, never row count — and the PAV pool
+    merge runs driver-side on that bounded relation (the IVF-quantizer
+    pattern; ``max_distinct_scores`` fails fast rather than silently
+    collecting an unbounded relation; quantize the score first, the
+    family contract).  Pooling decisions compare pool means as
+    CROSS-MULTIPLIED BIGINTs (pos_a·n_b >= pos_b·n_a) — exact integer
+    arithmetic, no float ever steers a merge — and only the final
+    calibrated value is one pinned division per pool.
+
+    The result is exactly replayable in SQL: the PAV fit equals the
+    minimax formula  f_i = max_{k<=i} min_{j>=i} mean(y over [k..j])
+    (the classical equivalence), whose attained value is the pool's
+    own n_pos/n division — the oracle evaluates it as a bounded
+    triple-join over the distinct-score relation.
+
+    Returns one row per distinct score: (score, n, n_pos, calibrated),
+    calibrated monotone nondecreasing in score.  ``score_col``
+    integer-valued; join the mapping back onto the corpus to apply.
+    """
+    y = F.col(label_col).cast("bigint")
+    per_s = (
+        df.groupBy(F.col(score_col).cast("bigint").alias("score"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(y).cast("bigint").alias("n_pos"),
+        )
+        .orderBy("score")
+    )
+    rows = per_s.collect()
+    if len(rows) > max_distinct_scores:
+        raise ValueError(
+            f"{len(rows)} distinct scores exceeds "
+            f"max_distinct_scores={max_distinct_scores}: quantize the "
+            "score first (the metric-family contract)"
+        )
+    # PAV: pools as (n, n_pos, span) with exact-integer mean compares
+    pools: list[list[int]] = []
+    for r in rows:
+        cur = [int(r["n"]), int(r["n_pos"]), 1]
+        while pools and pools[-1][1] * cur[0] >= cur[1] * pools[-1][0]:
+            prev = pools.pop()
+            cur = [prev[0] + cur[0], prev[1] + cur[1], prev[2] + cur[2]]
+        pools.append(cur)
+    out = []
+    i = 0
+    for n, pos, span in pools:
+        cal = float(pos) / float(n)
+        for _ in range(span):
+            r = rows[i]
+            out.append(
+                (int(r["score"]), int(r["n"]), int(r["n_pos"]), cal)
+            )
+            i += 1
+    return df.sparkSession.createDataFrame(
+        out, "score bigint, n bigint, n_pos bigint, calibrated double"
+    )

@@ -1626,6 +1626,330 @@ def acf_pacf(
     )
 
 
+def ccf(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    max_lag: int,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-key cross-correlation function between two aligned series —
+    the LEAD/LAG detector next to :func:`acf_pacf`: for each lag
+    k = -max_lag..max_lag report the Pearson correlation of
+    (x_t, y_{t−k}) over the aligned pairs,
+
+        ccf(k) > 0 at k > 0  ⇒  y LEADS x by k steps
+        ccf(k) > 0 at k < 0  ⇒  x leads y
+
+    (the convention: positive lag shifts y into the past).  Each lag's
+    correlation uses the PAIRWISE moments over exactly the rows where
+    both sides exist — the textbook estimator for series whose edges
+    differ per lag.
+
+    Exactness contract (the family rule): both columns must be
+    non-null integer-valued, so every moment (n_k, Σx, Σy, Σxy, Σx²,
+    Σy² per lag) is an exact BIGINT from ONE per-key hash aggregate;
+    the correlation is one pinned chain ending in a sqrt (the known
+    <=1-ulp libm class the oracle tolerates).
+
+    Spark shape: ONE keyed window pass computes all 2·max_lag shifted
+    columns (a single exchange + sort per key), one hash aggregate to
+    a keys-sized relation, algebra + the lag unpivot on that tiny
+    relation.  Degenerate lags (n_k < 2 or a constant side) are NULL.
+
+    Returns keys + (lag, n_pairs, ccf), lag = -max_lag..max_lag.
+    """
+    if not 1 <= max_lag <= 12:
+        raise ValueError("max_lag must be in 1..12")
+    order = [F.col(ts_col)] + [
+        F.col(c) for c in (order_tiebreak or [])
+    ]
+    w = W.partitionBy(*keys).orderBy(*order)
+    x = F.col(x_col).cast("bigint")
+    y = F.col(y_col).cast("bigint")
+    lags = list(range(-max_lag, max_lag + 1))
+    # pair for lag k: (x_t, y_{t-k}); negative k uses future y, i.e.
+    # lag(y, k<0) == lead(y, -k)
+    staged = df.select(
+        *keys,
+        x.alias("_x"),
+        *[F.lag(y, k).over(w).alias(f"_y{k + max_lag}") for k in lags],
+    )
+    aggs = []
+    for i, _k in enumerate(lags):
+        yk = F.col(f"_y{i}")
+        ok = yk.isNotNull()
+        aggs += [
+            F.count(yk).alias(f"n{i}"),
+            F.sum(F.when(ok, F.col("_x"))).alias(f"sx{i}"),
+            F.sum(yk).alias(f"sy{i}"),
+            F.sum(F.col("_x") * yk).alias(f"sxy{i}"),
+            F.sum(F.when(ok, F.col("_x") * F.col("_x"))).alias(
+                f"sxx{i}"
+            ),
+            F.sum(yk * yk).alias(f"syy{i}"),
+        ]
+    agg = staged.groupBy(*keys).agg(*aggs)
+    structs = []
+    for i, k in enumerate(lags):
+        n = F.col(f"n{i}").cast("double")
+        sx = F.col(f"sx{i}").cast("double")
+        sy = F.col(f"sy{i}").cast("double")
+        sxy = F.col(f"sxy{i}").cast("double")
+        sxx = F.col(f"sxx{i}").cast("double")
+        syy = F.col(f"syy{i}").cast("double")
+        den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        r = F.when(
+            (F.col(f"n{i}") >= 2) & (den2 > 0),
+            (n * sxy - sx * sy) / F.sqrt(den2),
+        )
+        structs.append(
+            F.struct(
+                F.lit(k).cast("int").alias("lag"),
+                F.col(f"n{i}").cast("bigint").alias("n_pairs"),
+                r.alias("ccf"),
+            )
+        )
+    return agg.select(
+        *keys, F.explode(F.array(*structs)).alias("_r")
+    ).select(
+        *keys,
+        F.col("_r.lag").alias("lag"),
+        F.col("_r.n_pairs").alias("n_pairs"),
+        F.col("_r.ccf").alias("ccf"),
+    )
+
+
+def periodogram(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    periods: list[int],
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-key spectral power at CANDIDATE periods — which seasonality
+    actually lives in this series?  The detection rung ahead of the
+    seasonal operators (deseasonalize / decompose / Holt-Winters /
+    seasonal-naive all ASSUME a period; this measures it).  For each
+    candidate integer period p, the discrete-Fourier component at
+    frequency 1/p of the mean-centered, row-indexed series:
+
+        C = Σ_t (x_t − x̄)·cos(2πt/p),  S = Σ_t (x_t − x̄)·sin(2πt/p)
+        power_ratio = 2·(C² + S²) / (n · SS),  SS = Σ(x − x̄)²
+
+    — a pure sinusoid at period p over whole cycles scores ≈ 1, white
+    noise ≈ 0 (the fraction-of-variance reading).
+
+    Replayability (the family's order-free-float problem, solved
+    structurally): cos(2πt/p) takes only p distinct values (t mod p),
+    so the corpus collapses FIRST to exact BIGINT per-(key, phase)
+    moments (n_φ, Σx_φ — one hash aggregate per period), and C/S are
+    FIXED-ORDER phase-ascending folds over <= p terms whose cos/sin
+    literals are computed in PYTHON and embedded identically in the
+    operator and the generated oracle.  No per-row float ever crosses
+    an aggregation boundary.
+
+    Spark shape: ONE keyed window pass for the row index, then per
+    period one hash aggregate to a (keys × p)-sized relation and the
+    fold on it; outputs union.  ``value_col`` integer-valued (the
+    family contract).  Degenerate keys (n < p, or zero variance)
+    return NULL power_ratio.
+
+    Returns keys + (period, n_obs, c, s, power_ratio).
+    """
+    import math
+
+    from .scaling import track_persisted
+
+    if not periods:
+        raise ValueError("periods must be non-empty")
+    for p in periods:
+        if not 2 <= int(p) <= 4096:
+            raise ValueError("each period must be in 2..4096")
+    order = [F.col(ts_col)] + [
+        F.col(c) for c in (order_tiebreak or [])
+    ]
+    w = W.partitionBy(*keys).orderBy(*order)
+    x = F.col(value_col).cast("bigint")
+    staged = df.select(
+        *keys,
+        x.alias("_x"),
+        (F.row_number().over(w) - 1).alias("_t"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    outs = []
+    for p in periods:
+        p = int(p)
+        per_phase = staged.groupBy(
+            *keys, (F.col("_t") % p).alias("_ph")
+        ).agg(
+            F.count(F.lit(1)).alias("nph"),
+            F.sum("_x").alias("sph"),
+            F.sum(F.col("_x") * F.col("_x")).alias("qph"),
+        )
+
+        def fold(term):
+            return F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_ph"), term.alias("v"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, r: acc + r.getField("v"),
+            )
+
+        totals = per_phase.groupBy(*keys).agg(
+            F.sum("nph").cast("bigint").alias("n_obs"),
+            F.sum("sph").cast("bigint").alias("_s"),
+            F.sum("qph").cast("bigint").alias("_q"),
+        )
+        m = F.col("_s").cast("double") / F.col("n_obs")
+        # cos/sin literals computed driver-side once per phase — the
+        # generated oracle embeds the SAME repr() values
+        cosl = F.element_at(
+            F.array(*[
+                F.lit(math.cos(2.0 * math.pi * ph / p))
+                for ph in range(p)
+            ]),
+            (F.col("_ph") + 1).cast("int"),
+        )
+        sinl = F.element_at(
+            F.array(*[
+                F.lit(math.sin(2.0 * math.pi * ph / p))
+                for ph in range(p)
+            ]),
+            (F.col("_ph") + 1).cast("int"),
+        )
+        centered = F.col("sph").cast("double") - F.col("nph") * m
+        agg = per_phase.join(totals, list(keys)).groupBy(*keys).agg(
+            F.max("n_obs").alias("n_obs"),
+            F.max("_s").alias("_s"),
+            F.max("_q").alias("_q"),
+            fold(centered * cosl).alias("c"),
+            fold(centered * sinl).alias("s"),
+        )
+        mm = F.col("_s").cast("double") / F.col("n_obs")
+        ss = F.col("_q").cast("double") - F.col("n_obs") * mm * mm
+        ratio = F.when(
+            (F.col("n_obs") >= p) & (ss > 0),
+            F.lit(2.0)
+            * (F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+            / (F.col("n_obs") * ss),
+        )
+        outs.append(
+            agg.select(
+                *keys,
+                F.lit(p).cast("int").alias("period"),
+                "n_obs",
+                "c",
+                "s",
+                ratio.alias("power_ratio"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return track_persisted(out, staged)
+
+
+def changepoint_mean_shift(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-key single mean-shift changepoint (binary-segmentation
+    step 1): WHERE did the level change?  The offline companion to the
+    online :func:`grouped_cusum` monitor — find the split t that
+    maximizes the CUSUM-type contrast
+
+        D_t = n·P_t − t·P_n     (P = prefix sum, t = 1..n−1)
+
+    which is n·t·(n−t)/n × (mean_left − mean_right): the classic
+    least-squares single-changepoint objective for a mean shift under
+    fixed variance.  Ties break to the SMALLEST split index
+    (deterministic, replayable).
+
+    Exactness contract: ``value_col`` integer-valued, so P_t, P_n and
+    D_t are exact BIGINTs — the argmax is pure integer comparison, no
+    float steers the split — and only the two segment means are
+    pinned divisions.  Overflow bound: |n·P_t| < 2^63 requires
+    n²·mean(|x|) < 9.2e18 (n ≤ ~600k rows per key at cents scale) —
+    rescale the value first past that.
+
+    Spark shape: ONE keyed window pass (row number + prefix sum +
+    full-window totals share the single exchange+sort), then one
+    max_by hash aggregate to a keys-sized relation.  Keys with n < 2
+    return a NULL split.
+
+    Returns keys + (n_obs, split_rn, stat, mean_left, mean_right,
+    shift) — split_rn is the LAST row index of the left segment;
+    ``stat`` = |D| at the split (scale: n·t·(n−t)/n × shift).
+    """
+    order = [F.col(ts_col)] + [
+        F.col(c) for c in (order_tiebreak or [])
+    ]
+    w = W.partitionBy(*keys).orderBy(*order)
+    wall = W.partitionBy(*keys)
+    x = F.col(value_col).cast("bigint")
+    staged = df.select(
+        *keys,
+        F.row_number().over(w).alias("_rn"),
+        F.sum(x).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("_pt"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+        F.sum(x).over(wall).alias("_pn"),
+    )
+    d = F.col("_n") * F.col("_pt") - F.col("_rn") * F.col("_pn")
+    cand = staged.select(
+        *keys,
+        "_rn",
+        "_pt",
+        "_n",
+        "_pn",
+        F.abs(d).alias("_absd"),
+        (F.col("_rn") < F.col("_n")).alias("_ok"),
+    )
+    # conditional max_by: keys with n < 2 have NO candidate split —
+    # they still emit a row (NULL split), the ar_forecast lesson
+    agg = cand.groupBy(*keys).agg(
+        F.max("_n").cast("bigint").alias("n_obs"),
+        F.max_by(
+            F.when(
+                F.col("_ok"),
+                F.struct("_rn", "_pt", "_pn", "_absd"),
+            ),
+            F.when(
+                F.col("_ok"),
+                F.struct(
+                    F.col("_absd"), (-F.col("_rn")).alias("_neg")
+                ),
+            ),
+        ).alias("_best"),
+    )
+    t_ = F.col("_best._rn").cast("double")
+    n_ = F.col("n_obs").cast("double")
+    ml = F.col("_best._pt").cast("double") / t_
+    mr = (
+        F.col("_best._pn") - F.col("_best._pt")
+    ).cast("double") / (n_ - t_)
+    return agg.select(
+        *keys,
+        "n_obs",
+        F.col("_best._rn").cast("bigint").alias("split_rn"),
+        F.col("_best._absd").cast("bigint").alias("stat"),
+        ml.alias("mean_left"),
+        mr.alias("mean_right"),
+        (mr - ml).alias("shift"),
+    )
+
+
 def conformal_holt_interval(
     df: DataFrame,
     ts_col: str,

@@ -89,10 +89,13 @@ BENCH_RETIRED: set[str] = {
     "q_brand_affinity",
     "q_psi_snapshot_monitor",
     "q_attribution",
-    # q_msprt / q_holt_backtest: un-retired r13 pending a recorded
-    # debut timing (the r12 verdict's retirement precondition — they
-    # entered this set without ever appearing in a bench blob);
-    # re-retired below once BENCH_DEBUTS.json carries them
+    # r13: debut recorded (BENCH_DEBUTS.json, 0.40s sf0.1) then
+    # re-retired on the original r10 argument — same one-hash-agg
+    # BIGINT moment shape as q_ab_experiment, lr driver-side
+    "q_msprt",
+    # r13: debut recorded (0.57s sf0.1) then re-retired — same
+    # carry kernel as q_holt_user family + one per-key hash agg
+    "q_holt_backtest",
     "q_deseasonalize_hourly",
     "q_decompose_trend",
     "q_holt_user",
@@ -107,10 +110,20 @@ BENCH_RETIRED: set[str] = {
     # by q_qini_curve; the 4.5s debut measurement added no new plan
     # shape (still oracle/rows-checked every rotation window)
     "q_uplift_two_model",
-    # q_ipw_ate / q_seasonal_naive_backtest: un-retired r13 — they
-    # were retired AT BIRTH in r12, never timed on record, violating
-    # the debut precondition the r12 verdict codified; re-retired
-    # once BENCH_DEBUTS.json records their sf0.1 timing
+    # r13: the r12 at-birth retirements now carry recorded debuts
+    # (BENCH_DEBUTS.json: ipw 0.84s, seasonal-naive 0.43s at sf0.1)
+    # and re-retire on the original shape-sibling arguments
+    # (propensity IRLS timed by q_quality_classifier; the metric
+    # block by q_mase_backtest)
+    "q_ipw_ate",
+    "q_seasonal_naive_backtest",
+    # r13: topic hard-EM debuted at 3.91s sf0.1 (the round's most
+    # expensive new query) and retires on the EM/iterative-fit
+    # sibling argument — the broadcast-out/aggregate-back loop is
+    # timed by q_unigram_tok_train (same EM loop shape) and the
+    # corpus tokenize+agg pass by every text query; still
+    # rows-checked in each correctness rotation
+    "q_topics_train",
 }
 
 # RETIREMENT PRECONDITION (r12 verdict ask #7): a query may enter

@@ -3707,6 +3707,91 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_isotonic",
+    oracle="""
+    WITH units AS (
+      SELECT user_id,
+             least(CAST(floor(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  AND ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  / 20000.0) AS BIGINT), 50) AS score_d,
+             CAST(max(CASE WHEN event_type = 'purchase'
+                  AND value > 200 THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ), per_s AS (
+      SELECT score_d AS score, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM units GROUP BY 1
+    ), pre AS (
+      SELECT score, n, n_pos,
+             row_number() OVER (ORDER BY score) AS rn,
+             sum(n) OVER (ORDER BY score) AS cn,
+             sum(n_pos) OVER (ORDER BY score) AS cp
+      FROM per_s
+    ), mjk AS (
+      SELECT k.rn AS k, j.rn AS j,
+             CAST(j.cp - coalesce(km.cp, 0) AS DOUBLE)
+               / (j.cn - coalesce(km.cn, 0)) AS v
+      FROM pre k
+      JOIN pre j ON j.rn >= k.rn
+      LEFT JOIN pre km ON km.rn = k.rn - 1
+    ), inner_ AS (
+      SELECT i.rn AS i, m.k, min(m.v) AS v
+      FROM pre i JOIN mjk m ON m.k <= i.rn AND m.j >= i.rn
+      GROUP BY 1, 2
+    ), iso AS (
+      SELECT i, max(v) AS calibrated FROM inner_ GROUP BY i
+    )
+    SELECT p.score, p.n, p.n_pos, iso.calibrated
+    FROM pre p JOIN iso ON iso.i = p.rn
+    ORDER BY p.score
+    """,
+)
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the spend score against
+    big-purchase conversion (operators/quality.isotonic_calibrate):
+    the distinct-score relation collapses in one hash aggregate, the
+    pool merge runs driver-side with EXACT cross-multiplied-BIGINT
+    mean comparisons, and the oracle replays the fit through the
+    classical minimax equivalence f_i = max_{k<=i} min_{j>=i}
+    mean(k..j) as a bounded triple-join over the <= 51 distinct
+    scores — the attained value is the pool's own n_pos/n division,
+    so every calibrated float matches bit-for-bit."""
+    from oakstore_spark.operators.quality import isotonic_calibrate
+
+    e = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    units = e.groupBy("user_id").agg(
+        F.least(
+            F.floor(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("event_type") == "purchase")
+                            & (F.col("ts") < cutoff),
+                            F.round(F.col("value") * 100).cast(
+                                "bigint"
+                            ),
+                        )
+                    ),
+                    F.lit(0),
+                )
+                / 20000.0
+            ).cast("bigint"),
+            F.lit(50),
+        ).alias("score_d"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 200),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("y"),
+    )
+    return isotonic_calibrate(units, "score_d", "y").orderBy("score")
+
+
+@register(
     "q_pr_curve",
     oracle=f"""
     WITH units AS ({_SCORED_UNITS_CTE}

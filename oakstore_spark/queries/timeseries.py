@@ -1611,6 +1611,194 @@ def _acf_pacf_oracle(max_lag: int) -> str:
     """
 
 
+def _periodogram_oracle(periods: list[int]) -> str:
+    """Generated q_periodogram oracle: per candidate period, the same
+    phase-bucket BIGINT moments, the same PYTHON-computed cos/sin
+    literals (repr round-trips to the identical double Spark embeds),
+    and the same phase-ascending folds."""
+    import math
+
+    chains = []
+    for p in periods:
+        # string->DOUBLE casts, NOT bare decimal literals: DuckDB
+        # parses bare decimals as DECIMAL (lossy for 17-digit reprs),
+        # while CAST('<repr>' AS DOUBLE) strtod-round-trips to the
+        # exact double Spark's F.lit embeds
+        cos_list = ", ".join(
+            f"CAST('{math.cos(2.0 * math.pi * ph / p)!r}' AS DOUBLE)"
+            for ph in range(p)
+        )
+        sin_list = ", ".join(
+            f"CAST('{math.sin(2.0 * math.pi * ph / p)!r}' AS DOUBLE)"
+            for ph in range(p)
+        )
+        centered = (
+            "(CAST(sph AS DOUBLE) - nph * "
+            "(CAST(s_tot AS DOUBLE) / n_obs))"
+        )
+        chains.append(f"""
+      SELECT user_id, CAST({p} AS INTEGER) AS period, n_obs, c, s,
+             CASE WHEN n_obs >= {p}
+                  AND (CAST(q_tot AS DOUBLE)
+                       - n_obs * (CAST(s_tot AS DOUBLE) / n_obs)
+                         * (CAST(s_tot AS DOUBLE) / n_obs)) > 0
+             THEN 2.0 * (c * c + s * s)
+                  / (n_obs * (CAST(q_tot AS DOUBLE)
+                     - n_obs * (CAST(s_tot AS DOUBLE) / n_obs)
+                       * (CAST(s_tot AS DOUBLE) / n_obs)))
+             END AS power_ratio
+      FROM (
+        SELECT user_id,
+               max(n_obs) AS n_obs, max(s_tot) AS s_tot,
+               max(q_tot) AS q_tot,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list({centered}
+                      * ([{cos_list}])[CAST(ph + 1 AS INT)]
+                      ORDER BY ph)), (a, b) -> a + b) AS c,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list({centered}
+                      * ([{sin_list}])[CAST(ph + 1 AS INT)]
+                      ORDER BY ph)), (a, b) -> a + b) AS s
+        FROM (
+          SELECT pp.user_id, pp.ph, pp.nph, pp.sph,
+                 t.n_obs, t.s_tot, t.q_tot
+          FROM (
+            SELECT user_id, (rn - 1) % {p} AS ph,
+                   CAST(count(*) AS BIGINT) AS nph,
+                   CAST(sum(x) AS BIGINT) AS sph,
+                   CAST(sum(x * x) AS BIGINT) AS qph
+            FROM ordered GROUP BY 1, 2
+          ) pp JOIN (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+                   CAST(sum(x) AS BIGINT) AS s_tot,
+                   CAST(sum(x * x) AS BIGINT) AS q_tot
+            FROM ordered GROUP BY user_id
+          ) t USING (user_id)
+        ) GROUP BY user_id
+      )""")
+    unioned = "\n      UNION ALL\n      ".join(chains)
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT * FROM (
+      {unioned}
+    ) ORDER BY user_id, period
+    """
+
+
+@register("q_periodogram", oracle=_periodogram_oracle([7, 24]))
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spectral power at candidate periods 7 and 24
+    (operators/timeseries.periodogram) — which seasonality lives in
+    the value series?  Phase-bucket BIGINT moments (cos takes only p
+    values at t mod p), Python-computed trig literals shared with the
+    generated oracle, fixed phase-ascending folds: no per-row float
+    crosses an aggregation boundary, so the whole spectrum replays."""
+    from oakstore_spark.operators.timeseries import periodogram
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return periodogram(
+        e, "ts", ["user_id"], "cents", periods=[7, 24],
+        order_tiebreak=["event_id"],
+    ).orderBy("user_id", "period")
+
+
+def _ccf_oracle(max_lag: int) -> str:
+    """Generated q_ccf oracle: the same shifted-column staging, exact
+    BIGINT pairwise moments, and Pearson chain (ending in the <=1-ulp
+    sqrt) as the operator, per lag -max_lag..max_lag."""
+    lags = list(range(-max_lag, max_lag + 1))
+    lag_cols = ",\n             ".join(
+        f"lag(y, {k}) OVER (PARTITION BY user_id ORDER BY rn) "
+        f"AS y{i}"
+        for i, k in enumerate(lags)
+    )
+    mom = []
+    for i, _k in enumerate(lags):
+        mom += [
+            f"CAST(count(y{i}) AS BIGINT) AS n{i}",
+            f"CAST(sum(CASE WHEN y{i} IS NOT NULL THEN x END) "
+            f"AS BIGINT) AS sx{i}",
+            f"CAST(sum(y{i}) AS BIGINT) AS sy{i}",
+            f"CAST(sum(x * y{i}) AS BIGINT) AS sxy{i}",
+            f"CAST(sum(CASE WHEN y{i} IS NOT NULL THEN x * x END) "
+            f"AS BIGINT) AS sxx{i}",
+            f"CAST(sum(y{i} * y{i}) AS BIGINT) AS syy{i}",
+        ]
+    moments = ",\n             ".join(mom)
+    outs = []
+    for i, k in enumerate(lags):
+        den2 = (
+            f"((CAST(n{i} AS DOUBLE) * CAST(sxx{i} AS DOUBLE)"
+            f" - CAST(sx{i} AS DOUBLE) * CAST(sx{i} AS DOUBLE))"
+            f" * (CAST(n{i} AS DOUBLE) * CAST(syy{i} AS DOUBLE)"
+            f" - CAST(sy{i} AS DOUBLE) * CAST(sy{i} AS DOUBLE)))"
+        )
+        num = (
+            f"(CAST(n{i} AS DOUBLE) * CAST(sxy{i} AS DOUBLE)"
+            f" - CAST(sx{i} AS DOUBLE) * CAST(sy{i} AS DOUBLE))"
+        )
+        outs.append(
+            f"SELECT user_id, CAST({k} AS INTEGER) AS lag, "
+            f"n{i} AS n_pairs, "
+            f"CASE WHEN n{i} >= 2 AND {den2} > 0 "
+            f"THEN {num} / sqrt({den2}) END AS ccf FROM agg"
+        )
+    unpivot = "\n      UNION ALL\n      ".join(outs)
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+             CAST(length(event_type) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), staged AS (
+      SELECT user_id, x, rn,
+             {lag_cols}
+      FROM ordered
+    ), agg AS (
+      SELECT user_id,
+             {moments}
+      FROM staged GROUP BY user_id
+    )
+    SELECT * FROM (
+      {unpivot}
+    ) ORDER BY user_id, lag
+    """
+
+
+@register("q_ccf", oracle=_ccf_oracle(3))
+def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cross-correlation (operators/timeseries.ccf) between
+    event value (cents) and event-type length at lags -3..3 — the
+    lead/lag detector next to q_acf_pacf: one keyed window pass
+    stages all seven shifted columns, one hash aggregate yields exact
+    BIGINT pairwise moments, and each lag's Pearson chain ends in the
+    <=1-ulp sqrt the oracle tolerates."""
+    from oakstore_spark.operators.timeseries import ccf
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.length("event_type").cast("bigint").alias("tlen"),
+    )
+    return ccf(
+        e, "ts", ["user_id"], "cents", "tlen", max_lag=3,
+        order_tiebreak=["event_id"],
+    ).orderBy("user_id", "lag")
+
+
 @register("q_acf_pacf", oracle=_acf_pacf_oracle(4))
 def q_acf_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user ACF/PACF to lag 4 (operators/timeseries.acf_pacf):
@@ -2013,6 +2201,124 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(big).isNotNull().cast("int").alias("ev"),
     )
     return kaplan_meier(u, "dur", "ev").orderBy("t")
+
+
+@register(
+    "q_nelson_aalen",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(date_diff('day', CAST(min(ts) AS DATE),
+                  CAST(coalesce(
+                    min(CASE WHEN event_type = 'purchase' AND value > 300
+                             THEN ts END), max(ts)) AS DATE))
+                  AS BIGINT) AS dur,
+             CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                AND value > 300 THEN ts END) IS NOT NULL
+                  THEN 1 ELSE 0 END AS ev
+      FROM events GROUP BY user_id
+    ), per_t AS (
+      SELECT dur AS t, CAST(sum(ev) AS BIGINT) AS n_events,
+             CAST(count(*) - sum(ev) AS BIGINT) AS n_censored
+      FROM u GROUP BY dur
+    ), staged AS (
+      SELECT t, n_events, n_censored,
+             CAST(sum(n_events + n_censored) OVER ()
+                  - coalesce(sum(n_events + n_censored) OVER (
+                      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM per_t
+    )
+    SELECT t, n_risk, n_events, n_censored,
+           sum(CAST(n_events AS DOUBLE) / n_risk) OVER (
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS cum_hazard,
+           sum(CAST(n_events AS DOUBLE) / (n_risk * n_risk)) OVER (
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS var_hazard
+    FROM staged ORDER BY t
+    """,
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative time-to-convert hazard
+    (operators/experiments.nelson_aalen) on the same censored
+    time-to-big-purchase units as q_kaplan_meier_churn — the additive
+    sibling for hazard-shape questions; prefix sums over the tiny
+    distinct-duration relation evaluate in pinned time order in both
+    engines."""
+    from oakstore_spark.operators.experiments import nelson_aalen
+
+    e = table(spark, sf_dir, "events")
+    big = F.when(
+        (F.col("event_type") == "purchase") & (F.col("value") > 300),
+        F.col("ts"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(F.coalesce(F.min(big), F.max("ts"))),
+            F.to_date(F.min("ts")),
+        ).alias("dur"),
+        F.max(big).isNotNull().cast("int").alias("ev"),
+    )
+    return nelson_aalen(u, "dur", "ev").orderBy("t")
+
+
+@register(
+    "q_changepoint",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), staged AS (
+      SELECT user_id, rn,
+             CAST(sum(x) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS pt,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+             CAST(sum(x) OVER (PARTITION BY user_id) AS BIGINT) AS pn
+      FROM ordered
+    ), cand AS (
+      SELECT user_id, rn, pt, n, pn, abs(n * pt - rn * pn) AS absd
+      FROM staged WHERE rn < n
+    ), best AS (
+      SELECT user_id, rn, pt, n, pn, absd
+      FROM cand
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY absd DESC, rn) = 1
+    )
+    SELECT user_id, n AS n_obs, rn AS split_rn, absd AS stat,
+           CAST(pt AS DOUBLE) / CAST(rn AS DOUBLE) AS mean_left,
+           CAST(pn - pt AS DOUBLE)
+             / (CAST(n AS DOUBLE) - CAST(rn AS DOUBLE)) AS mean_right,
+           CAST(pn - pt AS DOUBLE)
+             / (CAST(n AS DOUBLE) - CAST(rn AS DOUBLE))
+             - CAST(pt AS DOUBLE) / CAST(rn AS DOUBLE) AS shift
+    FROM best ORDER BY user_id
+    """,
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user single mean-shift changepoint
+    (operators/timeseries.changepoint_mean_shift): the split
+    maximizing the exact-BIGINT CUSUM contrast |n*P_t - t*P_n| over
+    each user's cents series — pure integer argmax (smallest-index
+    ties), only the two segment means are pinned divisions. The
+    offline where-did-the-level-change companion to the online
+    grouped_cusum monitor."""
+    from oakstore_spark.operators.timeseries import (
+        changepoint_mean_shift,
+    )
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return changepoint_mean_shift(
+        e, "ts", ["user_id"], "cents", order_tiebreak=["event_id"]
+    ).orderBy("user_id")
 
 
 @register(

@@ -1638,6 +1638,33 @@ def test_post_stratified_mean_equalizes_mix_and_nulls_on_gap(spark):
     assert out4[1].post_strat_mean is None
 
 
+def test_isotonic_calibrate_hand_case_and_invariants(spark):
+    """Hand-computed PAV: per-score rates [0.5, 0.25, 0.75, 0.5] pool
+    into [0.375, 0.375, 0.625, 0.625]. Invariants: output monotone
+    nondecreasing; each pool preserves its weighted mean (sum of
+    calibrated*n == total positives); the distinct-score bound
+    raises instead of collecting unbounded."""
+    import pytest as _pytest
+
+    from oakstore_spark.operators.quality import isotonic_calibrate
+
+    rows = []
+    for score, pos in [(0, 2), (1, 1), (2, 3), (3, 2)]:
+        rows += [(score, 1)] * pos + [(score, 0)] * (4 - pos)
+    df = spark.createDataFrame(rows, ["s", "y"])
+    out = sorted(
+        isotonic_calibrate(df, "s", "y").collect(),
+        key=lambda r: r.score,
+    )
+    assert [r.calibrated for r in out] == [0.375, 0.375, 0.625, 0.625]
+    assert [r.n for r in out] == [4, 4, 4, 4]
+    cals = [r.calibrated for r in out]
+    assert all(a <= b for a, b in zip(cals, cals[1:]))
+    assert abs(sum(r.calibrated * r.n for r in out) - 8) < 1e-12
+    with _pytest.raises(ValueError, match="distinct scores"):
+        isotonic_calibrate(df, "s", "y", max_distinct_scores=2)
+
+
 def test_multiclass_report_hand_computed(spark):
     """Hand-checked 4-class confusion, including a class that is
     predicted but never true (recall NULL, macro counts it as 0.0 —

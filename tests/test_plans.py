@@ -658,3 +658,47 @@ def test_bench_retired_queries_have_recorded_debut_timing():
         assert d["sec"] >= 0 and d["commit"] and d["sf"], name
     # retired names must stay registered (retirement is bench-only)
     assert BENCH_RETIRED <= set(QUERIES)
+
+
+def test_acf_pacf_single_window_pass(spark):
+    """acf_pacf computes ALL lag columns in ONE keyed window pass (a
+    single Window node / one exchange+sort per key) and its algebra
+    runs on the keys-sized aggregate — the plan carries exactly one
+    Window, a HashAggregate above it, and never a SinglePartition."""
+    from oakstore_spark.operators.timeseries import acf_pacf
+    from oakstore_spark.sources import table
+
+    e = table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    out = acf_pacf(
+        e, "ts", ["user_id"], "cents", max_lag=4,
+        order_tiebreak=["event_id"],
+    )
+    plan = plan_of(out)
+    # formatted plans print each node twice (tree line + detail
+    # header), so ONE Window node == exactly two mentions
+    assert plan.count("Window") == 2
+    assert "HashAggregate" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_dp_histogram_single_aggregate_broadcast_grid(spark):
+    """dp_histogram's corpus work is ONE hash aggregate; the bin grid
+    joins via broadcast and the noise is map-side on the bounded
+    relation — no window, no SinglePartition, no second scan."""
+    from oakstore_spark.operators.pii import dp_histogram
+    from oakstore_spark.sources import table
+
+    e = table(spark, SF_DIR, "events")
+    plan = plan_of(
+        dp_histogram(
+            e, "value", 0.5, 10, 0.0, 500.0, replay_salt="h"
+        )
+    )
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    # one scan node (formatted plans mention each node twice)
+    assert plan.count("Scan parquet") == 2

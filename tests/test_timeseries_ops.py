@@ -3,6 +3,8 @@ oracle (forward as-of, OHLCV resample on store data)."""
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 import pytest
 
@@ -1413,6 +1415,134 @@ def test_acf_pacf_degenerate_guards(spark):
         acf_pacf(df, "ts", ["k"], "y", max_lag=9)
     with _pytest.raises(ValueError):
         acf_pacf(df, "ts", ["k"], "y", max_lag=0)
+
+
+def test_ccf_planted_lead_and_degenerates(spark):
+    """y_t = x_{t+2} (y LEADS x by 2): the cross-correlation must be
+    EXACTLY 1.0 at lag +2 (identical aligned pairs; small values keep
+    the denominator square inside 2^53 so sqrt(v*v)==v) and below 1
+    elsewhere. A constant-y key NULLs every lag; sign convention
+    pinned: positive peak lag == y leads."""
+    import random
+    from datetime import datetime, timedelta
+
+    from oakstore_spark.operators.timeseries import ccf
+
+    rng = random.Random(3)
+    xs = [rng.randint(0, 9) for _ in range(62)]
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("u", t0 + timedelta(hours=t), xs[t], xs[t + 2])
+        for t in range(60)
+    ]
+    rows += [
+        ("c", t0 + timedelta(hours=t), xs[t], 7) for t in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "x", "y"])
+    out = {
+        (r.k, r.lag): r
+        for r in ccf(df, "ts", ["k"], "x", "y", max_lag=3).collect()
+    }
+    assert len(out) == 14  # both keys x 7 lags
+    assert out[("u", 2)].ccf == 1.0
+    for k in (-3, -2, -1, 0, 1, 3):
+        assert out[("u", k)].ccf is None or abs(out[("u", k)].ccf) < 0.9
+    for k in range(-3, 4):
+        assert out[("c", k)].ccf is None  # constant side -> NULL
+    assert out[("u", 2)].n_pairs == 58
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ccf(df, "ts", ["k"], "x", "y", max_lag=0)
+
+
+def test_changepoint_planted_shift_and_degenerates(spark):
+    """A planted level shift (20 rows at 10, then 30 rows at 50) must
+    split exactly at rn=20 with the exact segment means; a constant
+    series still picks SOME split (stat 0, shift 0.0, smallest-index
+    tie); a 1-row key emits a NULL-split row, never vanishes."""
+    from datetime import datetime, timedelta
+
+    from oakstore_spark.operators.timeseries import (
+        changepoint_mean_shift,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("u", t0 + timedelta(hours=t), 10 if t < 20 else 50)
+        for t in range(50)
+    ]
+    rows += [("c", t0 + timedelta(hours=t), 7) for t in range(10)]
+    rows += [("one", t0, 99)]
+    df = spark.createDataFrame(rows, ["k", "ts", "y"])
+    out = {
+        r.k: r
+        for r in changepoint_mean_shift(
+            df, "ts", ["k"], "y"
+        ).collect()
+    }
+    assert out["u"].split_rn == 20
+    assert out["u"].mean_left == 10.0 and out["u"].mean_right == 50.0
+    assert out["u"].shift == 40.0 and out["u"].n_obs == 50
+    assert out["c"].stat == 0 and out["c"].shift == 0.0
+    assert out["c"].split_rn == 1  # smallest-index tie
+    assert out["one"].n_obs == 1 and out["one"].split_rn is None
+
+
+def test_nelson_aalen_hand_case(spark):
+    """Textbook: durations (1,e) (2,c) (3,e) (3,e) (5,c) — H jumps
+    1/5 at t=1 and 2/3 at t=3; variance adds d/n^2; exp(-H) stays
+    within the KM survival's small-sample neighborhood."""
+    from oakstore_spark.operators.experiments import nelson_aalen
+
+    rows = [(1, 1), (2, 0), (3, 1), (3, 1), (5, 0)]
+    df = spark.createDataFrame(rows, ["dur", "ev"])
+    out = {r.t: r for r in nelson_aalen(df, "dur", "ev").collect()}
+    assert out[1].n_risk == 5 and out[1].cum_hazard == 1 / 5
+    assert out[2].cum_hazard == 1 / 5  # censoring adds no hazard
+    assert out[3].n_risk == 3
+    assert abs(out[3].cum_hazard - (1 / 5 + 2 / 3)) < 1e-12
+    assert abs(out[3].var_hazard - (1 / 25 + 2 / 9)) < 1e-12
+    assert out[5].cum_hazard == out[3].cum_hazard
+
+
+def test_periodogram_planted_sinusoid(spark):
+    """A pure integer-rounded cosine at period 8 over whole cycles
+    concentrates ~all variance at period 8 (power_ratio ≈ 1) and
+    nearly none at the non-harmonic period 5; a constant key NULLs;
+    period validation raises."""
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from oakstore_spark.operators.timeseries import periodogram
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (
+            "u",
+            t0 + timedelta(hours=t),
+            100 + round(50 * math.cos(2 * math.pi * t / 8)),
+        )
+        for t in range(64)
+    ]
+    rows += [("c", t0 + timedelta(hours=t), 7) for t in range(20)]
+    df = spark.createDataFrame(rows, ["k", "ts", "y"])
+    out = {
+        (r.k, r.period): r
+        for r in periodogram(
+            df, "ts", ["k"], "y", periods=[5, 8]
+        ).collect()
+    }
+    assert out[("u", 8)].power_ratio > 0.95
+    assert out[("u", 5)].power_ratio < 0.2
+    assert out[("u", 8)].n_obs == 64
+    assert out[("c", 8)].power_ratio is None  # zero variance
+    with _pytest.raises(ValueError):
+        periodogram(df, "ts", ["k"], "y", periods=[1])
+    with _pytest.raises(ValueError):
+        periodogram(df, "ts", ["k"], "y", periods=[])
 
 
 def test_backtest_forecasts_metrics_and_mase(spark):
