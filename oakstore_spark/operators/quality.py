@@ -675,3 +675,68 @@ def isotonic_calibrate(
     return df.sparkSession.createDataFrame(
         out, "score bigint, n bigint, n_pos bigint, calibrated double"
     )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix over a feature set — the
+    one-scan screening step before model features ship (redundant
+    features, leakage suspects, collinearity): every moment for every
+    pair comes from ONE hash aggregate over the corpus
+    (k + k + k(k+1)/2 conditional sums for k columns — bounded by the
+    feature count, never rows), and each correlation is one pinned
+    chain ending in the IEEE-correctly-rounded sqrt.
+
+    Exactness contract (the metric-family rule): columns must be
+    NON-NULL integer-valued (quantize floats first), so n, Σx, Σx²,
+    Σxy are exact BIGINTs and both engines replay every r bit-for-bit.
+
+    Returns one row per unordered pair including the diagonal
+    (col_a <= col_b lexicographic position): (col_a, col_b, n, r);
+    r is NULL for a zero-variance column.
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    if len(cols) > 64:
+        raise ValueError(
+            "k > 64 columns makes k^2/2 aggregate expressions — "
+            "screen in batches"
+        )
+    xs = {c: F.col(c).cast("bigint") for c in cols}
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(xs[c]).alias(f"_s_{c}"))
+        aggs.append(F.sum(xs[c] * xs[c]).alias(f"_q_{c}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(xs[a] * xs[b]).alias(f"_p_{a}_{b}"))
+    agg = df.agg(*aggs)
+    structs = []
+    for a, b in pairs:
+        n = F.col("_n").cast("double")
+        sa = F.col(f"_s_{a}").cast("double")
+        sb = F.col(f"_s_{b}").cast("double")
+        qa = F.col(f"_q_{a}").cast("double")
+        qb = F.col(f"_q_{b}").cast("double")
+        p = F.col(f"_p_{a}_{b}").cast("double")
+        den2 = (n * qa - sa * sa) * (n * qb - sb * sb)
+        r = F.when(den2 > 0, (n * p - sa * sb) / F.sqrt(den2))
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("_n").alias("n"),
+                r.alias("r"),
+            )
+        )
+    return agg.select(
+        F.explode(F.array(*structs)).alias("_r")
+    ).select(
+        F.col("_r.col_a").alias("col_a"),
+        F.col("_r.col_b").alias("col_b"),
+        F.col("_r.n").alias("n"),
+        F.col("_r.r").alias("r"),
+    )

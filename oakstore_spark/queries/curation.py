@@ -3792,6 +3792,109 @@ def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_corr_matrix",
+    oracle="""
+    WITH units AS (
+      SELECT user_id,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS spend,
+             CAST(count(*) AS BIGINT) AS events,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                  ELSE 0 END) AS BIGINT) AS purchases,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+               AS active_days
+      FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(spend) AS BIGINT) AS s_spend,
+             CAST(sum(spend * spend) AS BIGINT) AS q_spend,
+             CAST(sum(events) AS BIGINT) AS s_events,
+             CAST(sum(events * events) AS BIGINT) AS q_events,
+             CAST(sum(purchases) AS BIGINT) AS s_purch,
+             CAST(sum(purchases * purchases) AS BIGINT) AS q_purch,
+             CAST(sum(active_days) AS BIGINT) AS s_days,
+             CAST(sum(active_days * active_days) AS BIGINT) AS q_days,
+             CAST(sum(spend * events) AS BIGINT) AS p_spend_events,
+             CAST(sum(spend * purchases) AS BIGINT) AS p_spend_purch,
+             CAST(sum(spend * active_days) AS BIGINT) AS p_spend_days,
+             CAST(sum(events * purchases) AS BIGINT) AS p_events_purch,
+             CAST(sum(events * active_days) AS BIGINT) AS p_events_days,
+             CAST(sum(purchases * active_days) AS BIGINT) AS p_purch_days
+      FROM units
+    ), pairs AS (
+      SELECT 'spend' AS col_a, 'spend' AS col_b, n,
+             s_spend AS sa, q_spend AS qa, s_spend AS sb,
+             q_spend AS qb, q_spend AS p FROM agg
+      UNION ALL SELECT 'spend', 'events', n, s_spend, q_spend,
+             s_events, q_events, p_spend_events FROM agg
+      UNION ALL SELECT 'spend', 'purchases', n, s_spend, q_spend,
+             s_purch, q_purch, p_spend_purch FROM agg
+      UNION ALL SELECT 'spend', 'active_days', n, s_spend, q_spend,
+             s_days, q_days, p_spend_days FROM agg
+      UNION ALL SELECT 'events', 'events', n, s_events, q_events,
+             s_events, q_events, q_events FROM agg
+      UNION ALL SELECT 'events', 'purchases', n, s_events, q_events,
+             s_purch, q_purch, p_events_purch FROM agg
+      UNION ALL SELECT 'events', 'active_days', n, s_events, q_events,
+             s_days, q_days, p_events_days FROM agg
+      UNION ALL SELECT 'purchases', 'purchases', n, s_purch, q_purch,
+             s_purch, q_purch, q_purch FROM agg
+      UNION ALL SELECT 'purchases', 'active_days', n, s_purch,
+             q_purch, s_days, q_days, p_purch_days FROM agg
+      UNION ALL SELECT 'active_days', 'active_days', n, s_days,
+             q_days, s_days, q_days, q_days FROM agg
+    )
+    SELECT col_a, col_b, n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(qa AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(qb AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(p AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(qa AS DOUBLE)
+                             - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(qb AS DOUBLE)
+                               - CAST(sb AS DOUBLE)
+                                 * CAST(sb AS DOUBLE)))
+                END AS r
+    FROM pairs ORDER BY col_a, col_b
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature correlation matrix (operators/quality.corr_matrix)
+    over four per-user behavior features (spend cents, event count,
+    purchase count, active days): every pairwise moment from ONE hash
+    aggregate, each Pearson r a pinned chain ending in the
+    correctly-rounded sqrt — the one-scan collinearity screen run
+    before features ship to a model."""
+    from oakstore_spark.operators.quality import corr_matrix
+
+    e = table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("spend"),
+        F.count(F.lit(1)).cast("bigint").alias("events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("bigint").alias("purchases"),
+        F.countDistinct(F.to_date("ts")).cast("bigint").alias(
+            "active_days"
+        ),
+    )
+    return corr_matrix(
+        units, ["spend", "events", "purchases", "active_days"]
+    ).orderBy("col_a", "col_b")
+
+
+@register(
     "q_pr_curve",
     oracle=f"""
     WITH units AS ({_SCORED_UNITS_CTE}

@@ -1638,6 +1638,38 @@ def test_post_stratified_mean_equalizes_mix_and_nulls_on_gap(spark):
     assert out4[1].post_strat_mean is None
 
 
+def test_corr_matrix_exact_extremes_and_guards(spark):
+    """y = x gives r exactly 1.0, z = -x exactly -1.0 (small values
+    keep the denominator square inside 2^53 so sqrt(v*v)==v); a
+    constant column NULLs its rows; diagonal is 1.0; validation
+    raises on <2 or >64 columns."""
+    import random
+
+    import pytest as _pytest
+
+    from oakstore_spark.operators.quality import corr_matrix
+
+    rng = random.Random(9)
+    rows = [
+        (v, v, -v, 7) for v in (rng.randint(0, 9) for _ in range(50))
+    ]
+    df = spark.createDataFrame(rows, ["x", "y", "z", "k"])
+    out = {
+        (r.col_a, r.col_b): r
+        for r in corr_matrix(df, ["x", "y", "z", "k"]).collect()
+    }
+    assert len(out) == 10
+    assert out[("x", "y")].r == 1.0
+    assert out[("x", "z")].r == -1.0
+    assert out[("x", "x")].r == 1.0
+    assert out[("x", "k")].r is None and out[("k", "k")].r is None
+    assert out[("x", "y")].n == 50
+    with _pytest.raises(ValueError):
+        corr_matrix(df, ["x"])
+    with _pytest.raises(ValueError):
+        corr_matrix(df, [f"c{i}" for i in range(65)])
+
+
 def test_isotonic_calibrate_hand_case_and_invariants(spark):
     """Hand-computed PAV: per-score rates [0.5, 0.25, 0.75, 0.5] pool
     into [0.375, 0.375, 0.625, 0.625]. Invariants: output monotone

@@ -129,6 +129,13 @@ def main() -> None:
                          "membership counts asserted closed-form) "
                          "and mmr_topk over a 1M-vector raw corpus "
                          "through the TakeOrdered stage-1 path")
+    ap.add_argument("--ssspnodes", type=int, default=0,
+                    help="weighted SSSP probe: binary-jump graph over "
+                         "this many nodes (rounded to a power of two; "
+                         "~log2(n) unit-weight edges per node), "
+                         "Bellman-Ford to the certified fixpoint; "
+                         "asserts dist(v) == popcount(v) for EVERY "
+                         "node (the closed form)")
     ap.add_argument("--topicdocs", type=int, default=0,
                     help="topic-model hard-EM probe: this many "
                          "synthetic docs drawn from 4 disjoint "
@@ -1545,6 +1552,50 @@ def main() -> None:
         out["mmr_vecs_per_sec"] = round(nv / dt)
         assert len(picks) == 5 and picks[0].rank == 1
         emb.unpersist()
+
+    if args.ssspnodes:
+        # Binary-jump graph: node v -> (v + 2^j) mod 2^m, weight 1.
+        # The only way to move is +2^j, so the shortest path to v from
+        # 0 uses exactly popcount(v) edges — a closed form over EVERY
+        # node, at a diameter (m) small enough that Bellman-Ford's
+        # per-round join cost, not round count, is what's measured.
+        import math as _math
+
+        from oakstore_spark.operators.graph import shortest_paths
+
+        m = max(2, int(_math.log2(args.ssspnodes)))
+        nn = 2 ** m
+        edges = (
+            spark.range(0, nn, 1, 64)
+            .select(
+                F.col("id").alias("src"),
+                F.explode(
+                    F.array(*[F.lit(1 << j) for j in range(m)])
+                ).alias("jump"),
+            )
+            .select(
+                "src",
+                ((F.col("src") + F.col("jump")) % nn).alias("dst"),
+                F.lit(1.0).alias("weight"),
+            )
+        )
+        t0 = time.time()
+        dist = shortest_paths(
+            edges, source=0, n_rounds=m, detect_negative_cycle=True
+        )
+        bad = (
+            dist.where(
+                F.col("dist") != F.bit_count(F.col("node")).cast("double")
+            ).count()
+        )
+        reached = dist.count()
+        dt = time.time() - t0
+        out["sssp_sec"] = round(dt, 2)
+        out["sssp_edges_per_sec"] = round(nn * m / dt)
+        assert bad == 0, f"{bad} nodes off the popcount closed form"
+        assert reached == nn
+        out["sssp_nodes"] = nn
+        out["sssp_edges"] = nn * m
 
     if args.topicdocs:
         # Topic hard-EM at volume: the corpus collapses once to the
