@@ -1661,3 +1661,111 @@ def bh_adjust(
         q.alias("q_value"),
         (q <= F.lit(float(alpha))).alias("reject"),
     )
+
+
+def ips_evaluate(
+    df: DataFrame,
+    action_col: str,
+    reward_col: str,
+    logging_policy: DataFrame,
+    target_policy: DataFrame,
+    clip: float | None = None,
+) -> DataFrame:
+    """Off-policy evaluation of a TARGET policy from logged bandit
+    data (inverse-propensity scoring, Horvitz–Thompson / Li et al.
+    2011 — public): given logs (action, reward) collected under a
+    known logging policy μ and a candidate policy π to evaluate
+    WITHOUT deploying it,
+
+        V_IPS   = (1/n) Σ_i r_i · w(a_i),   w(a) = π(a) / μ(a)
+        V_SNIPS = Σ_i r_i·w(a_i) / Σ_i w(a_i)    (self-normalized)
+        ESS     = (Σw)² / Σw²   (effective sample size — how much of
+                                 the log the target policy can "see")
+
+    Both policies arrive as bounded per-action probability TABLES
+    (``action, prob``) — the stationary-logging-policy setting.  That
+    structure is what makes the estimate exactly replayable at scale:
+    rewards aggregate per ACTION first (exact BIGINT n_a, Σr_a from
+    ONE hash aggregate), the weights join onto that bounded relation,
+    and every cross-action float sum is a FIXED action-sorted fold
+    (the power_analysis rule) — no corpus-sized float ordering
+    anywhere.  Per-ROW (contextual) propensities need a different
+    estimator family and are out of scope, stated.
+
+    ``clip`` caps each weight at that value (the standard
+    variance/bias trade for small μ; None = no cap).  Actions absent
+    from a policy table get probability 0 — a logged action with
+    μ = 0 is a data error and raises.
+
+    Returns one row: (n, n_actions, ips_value, snips_value, ess,
+    max_weight).
+    """
+    per_a = df.groupBy(F.col(action_col).alias("action")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a"),
+        F.sum(F.col(reward_col).cast("bigint")).alias("r_a"),
+    )
+    lp = logging_policy.select(
+        F.col(action_col).alias("action"),
+        F.col("prob").cast("double").alias("_mu"),
+    )
+    tp = target_policy.select(
+        F.col(action_col).alias("action"),
+        F.col("prob").cast("double").alias("_pi"),
+    )
+    j = (
+        per_a.join(F.broadcast(lp), "action", "left")
+        .join(F.broadcast(tp), "action", "left")
+    )
+    bad = j.where(
+        F.col("_mu").isNull() | (F.col("_mu") <= 0)
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"logged action {bad[0]['action']!r} has no positive "
+            "logging-policy probability — the log is inconsistent "
+            "with the declared policy"
+        )
+    w = F.coalesce(F.col("_pi"), F.lit(0.0)) / F.col("_mu")
+    if clip is not None:
+        w = F.least(w, F.lit(float(clip)))
+    staged = j.select(
+        "action", "n_a", "r_a", w.alias("_w")
+    )
+
+    def fold(term):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("action"), term.alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r.getField("v"),
+        )
+
+    agg = staged.agg(
+        F.sum("n_a").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_actions"),
+        fold(F.col("r_a").cast("double") * F.col("_w")).alias("_rw"),
+        fold(F.col("n_a").cast("double") * F.col("_w")).alias("_sw"),
+        fold(
+            F.col("n_a").cast("double") * F.col("_w") * F.col("_w")
+        ).alias("_sw2"),
+        F.max("_w").alias("max_weight"),
+    )
+    ips = F.col("_rw") / F.col("n")
+    snips = F.when(
+        F.col("_sw") > 0, F.col("_rw") / F.col("_sw")
+    )
+    ess = F.when(
+        F.col("_sw2") > 0,
+        F.col("_sw") * F.col("_sw") / F.col("_sw2"),
+    )
+    return agg.select(
+        "n",
+        "n_actions",
+        ips.alias("ips_value"),
+        snips.alias("snips_value"),
+        ess.alias("ess"),
+        "max_weight",
+    )

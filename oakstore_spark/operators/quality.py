@@ -740,3 +740,64 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         F.col("_r.n").alias("n"),
         F.col("_r.r").alias("r"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gini concentration coefficient — how unequal is spend /
+    traffic / token count across units?  The single-number Lorenz
+    summary (0 = perfectly even, →1 = one unit holds everything):
+
+        G = 2·Σ_i i·x_(i) / (n·Σx) − (n+1)/n
+
+    over the ascending-sorted values x_(1..n) — the classical
+    rank-weighted identity.
+
+    Exactness + scale (the qini_curve rule): ``value_col`` must be
+    non-negative integer-valued, the global ascending rank comes from
+    :func:`~oakstore_spark.operators.scaling.assign_contiguous_ids`
+    (range-partition + offsets — NEVER the empty-key row_number
+    window that funnels the corpus through one task), and Σi·x and Σx
+    are exact BIGINTs from ONE hash aggregate over the ranked
+    relation, so G is two pinned float operations.  Ties rank in
+    (value, tiebreak) order — G's value is tie-order invariant (equal
+    x share any permutation of their ranks, the Σi·x total is
+    unchanged), the tiebreak only pins the intermediate ranking.
+
+    Overflow bound: Σ i·x_i <= n·Σx < 2^63 — at cents scale this
+    holds to ~10^9 rows × $10M totals; rescale past that.
+
+    Returns one row: (n, total, gini); NULL gini when n = 0 or
+    Σx = 0.
+    """
+    from .scaling import assign_contiguous_ids
+
+    x = F.col(value_col).cast("bigint")
+    prep = df.select(x.alias("_x")) if tiebreak_col is None else (
+        df.select(x.alias("_x"), F.col(tiebreak_col).alias("_tb"))
+    )
+    order = [F.col("_x")] + (
+        [F.col("_tb")] if tiebreak_col is not None else []
+    )
+    ranked, n_total = assign_contiguous_ids(
+        prep, order, id_name="_i", return_total=True
+    )
+    agg = ranked.agg(
+        F.sum("_x").cast("bigint").alias("total"),
+        F.sum(F.col("_i") * F.col("_x")).cast("bigint").alias("_ix"),
+    )
+    n = int(n_total)
+    g = F.when(
+        (F.lit(n) > 0) & (F.col("total") > 0),
+        F.lit(2.0) * F.col("_ix")
+        / (F.lit(float(n)) * F.col("total"))
+        - F.lit(float(n + 1) / n if n else 0.0),
+    )
+    return agg.select(
+        F.lit(n).cast("bigint").alias("n"),
+        "total",
+        g.alias("gini"),
+    )

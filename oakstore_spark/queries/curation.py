@@ -3895,6 +3895,144 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ips_eval",
+    oracle="""
+    WITH per_a AS (
+      SELECT event_type AS action,
+             CAST(count(*) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                  AND value > 200 THEN 1 ELSE 0 END) AS BIGINT) AS r_a
+      FROM events GROUP BY event_type
+    ), pol AS (
+      SELECT * FROM (VALUES
+        ('view',     0.25, 0.0625),
+        ('click',    0.25, 0.125),
+        ('purchase', 0.25, 0.5),
+        ('signup',   0.125, 0.25),
+        ('error',    0.125, 0.0625)
+      ) AS t(action, mu, pi)
+    ), staged AS (
+      SELECT a.action, a.n_a, a.r_a,
+             coalesce(p.pi, 0.0) / p.mu AS w
+      FROM per_a a LEFT JOIN pol p USING (action)
+    ), agg AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_actions,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(r_a AS DOUBLE) * w ORDER BY action)),
+               (x, y) -> x + y) AS rw,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(n_a AS DOUBLE) * w ORDER BY action)),
+               (x, y) -> x + y) AS sw,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(n_a AS DOUBLE) * w * w ORDER BY action)),
+               (x, y) -> x + y) AS sw2,
+             max(w) AS max_weight
+      FROM staged
+    )
+    SELECT n, n_actions,
+           rw / n AS ips_value,
+           CASE WHEN sw > 0 THEN rw / sw END AS snips_value,
+           CASE WHEN sw2 > 0 THEN sw * sw / sw2 END AS ess,
+           max_weight
+    FROM agg
+    """,
+)
+def q_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation (operators/experiments.ips_evaluate):
+    the event log read as bandit data (action = event_type, reward =
+    big-purchase flag) under a declared dyadic logging policy,
+    evaluating a purchase-heavy target policy — IPS, self-normalized
+    SNIPS, and the effective sample size. Rewards collapse per ACTION
+    first (exact BIGINTs), weights join onto that bounded relation,
+    and every cross-action float sum is a fixed action-sorted fold —
+    nothing corpus-sized ever orders floats."""
+    from oakstore_spark.operators.experiments import ips_evaluate
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") > 200),
+            1,
+        ).otherwise(0).alias("reward"),
+    )
+    mu = spark.createDataFrame(
+        [
+            ("view", 0.25),
+            ("click", 0.25),
+            ("purchase", 0.25),
+            ("signup", 0.125),
+            ("error", 0.125),
+        ],
+        ["event_type", "prob"],
+    )
+    pi = spark.createDataFrame(
+        [
+            ("view", 0.0625),
+            ("click", 0.125),
+            ("purchase", 0.5),
+            ("signup", 0.25),
+            ("error", 0.0625),
+        ],
+        ["event_type", "prob"],
+    )
+    return ips_evaluate(e, "event_type", "reward", mu, pi)
+
+
+@register(
+    "q_gini",
+    oracle="""
+    WITH units AS (
+      SELECT user_id,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS spend
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT spend,
+             row_number() OVER (ORDER BY spend, user_id) AS i,
+             count(*) OVER () AS n
+      FROM units
+    ), agg AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(spend) AS BIGINT) AS total,
+             CAST(sum(i * spend) AS BIGINT) AS ix
+      FROM ranked
+    )
+    SELECT n, total,
+           CASE WHEN n > 0 AND total > 0 THEN
+             2.0 * ix / (CAST(n AS DOUBLE) * total)
+               - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+           END AS gini
+    FROM agg
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-concentration Gini (operators/quality.gini_coefficient):
+    per-user purchase cents ranked ascending through
+    assign_contiguous_ids (range exchange + offsets, never an
+    empty-key window), exact BIGINT rank-weighted sums, G as two
+    pinned float operations — the single-number Lorenz summary of
+    how unequal revenue is across users."""
+    from oakstore_spark.operators.quality import gini_coefficient
+
+    e = table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("spend"),
+    )
+    return gini_coefficient(units, "spend", tiebreak_col="user_id")
+
+
+@register(
     "q_pr_curve",
     oracle=f"""
     WITH units AS ({_SCORED_UNITS_CTE}

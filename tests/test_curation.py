@@ -1638,6 +1638,64 @@ def test_post_stratified_mean_equalizes_mix_and_nulls_on_gap(spark):
     assert out4[1].post_strat_mean is None
 
 
+def test_ips_evaluate_hand_case_clip_and_guard(spark):
+    """Hand case: w(a)=0.5, w(b)=1.5 over 4+6 logged rows with 2+3
+    rewards -> IPS 0.55, SNIPS 0.5, ESS 121/14.5; clip=1.0 caps b's
+    weight (IPS 0.4); a logged action missing from the logging
+    policy raises."""
+    from oakstore_spark.operators.experiments import ips_evaluate
+
+    rows = (
+        [("a", 1)] * 2 + [("a", 0)] * 2
+        + [("b", 1)] * 3 + [("b", 0)] * 3
+    )
+    df = spark.createDataFrame(rows, ["act", "reward"])
+    mu = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.5)], ["act", "prob"]
+    )
+    pi = spark.createDataFrame(
+        [("a", 0.25), ("b", 0.75)], ["act", "prob"]
+    )
+    r = ips_evaluate(df, "act", "reward", mu, pi).collect()[0]
+    assert r.n == 10 and r.n_actions == 2
+    assert r.ips_value == 0.55 and r.snips_value == 0.5
+    assert abs(r.ess - 121 / 14.5) < 1e-12
+    assert r.max_weight == 1.5
+    rc = ips_evaluate(
+        df, "act", "reward", mu, pi, clip=1.0
+    ).collect()[0]
+    assert rc.ips_value == 0.4 and rc.max_weight == 1.0
+
+    import pytest as _pytest
+
+    mu_partial = spark.createDataFrame([("a", 0.5)], ["act", "prob"])
+    with _pytest.raises(ValueError, match="logging-policy"):
+        ips_evaluate(df, "act", "reward", mu_partial, pi)
+
+
+def test_gini_coefficient_closed_forms(spark):
+    """Perfect equality -> gini exactly 0; one unit holding the whole
+    total -> exactly (n-1)/n; zero total -> NULL."""
+    from oakstore_spark.operators.quality import gini_coefficient
+
+    eq = spark.createDataFrame(
+        [(i, 25) for i in range(40)], ["uid", "x"]
+    )
+    r = gini_coefficient(eq, "x", tiebreak_col="uid").collect()[0]
+    assert r.gini == 0.0 and r.n == 40 and r.total == 1000
+
+    one = spark.createDataFrame(
+        [(i, 0) for i in range(19)] + [(99, 500)], ["uid", "x"]
+    )
+    r2 = gini_coefficient(one, "x", tiebreak_col="uid").collect()[0]
+    assert r2.gini == (20 - 1) / 20
+
+    zero = spark.createDataFrame(
+        [(i, 0) for i in range(5)], ["uid", "x"]
+    )
+    assert gini_coefficient(zero, "x").collect()[0].gini is None
+
+
 def test_corr_matrix_exact_extremes_and_guards(spark):
     """y = x gives r exactly 1.0, z = -x exactly -1.0 (small values
     keep the denominator square inside 2^53 so sqrt(v*v)==v); a
