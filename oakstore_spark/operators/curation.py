@@ -546,3 +546,59 @@ def temperature_mix_sample(
         .filter((F.col("f") >= 1.0) | (keyhex < F.col("thr")))
         .drop("f", "thr")
     )
+
+
+def pack_sequences(
+    df,
+    order_col,
+    tokens_col: str,
+    seq_len: int,
+    sums_name: str = "end_tok",
+):
+    """Concat-and-chunk sequence packing — the GPT-style training
+    layout: documents are concatenated in a deterministic order and
+    the token stream is cut into fixed ``seq_len`` windows; each doc
+    needs to know WHERE its tokens land (which shard/sequence files
+    to write it into, whether it straddles a boundary).  Per doc:
+
+        start_tok = global tokens before it   (exclusive prefix sum)
+        end_tok   = start_tok + its tokens    (inclusive prefix sum)
+        first_seq = start_tok div seq_len
+        last_seq  = (end_tok - 1) div seq_len
+        n_seqs    = sequences the doc spans (boundary-straddle count)
+
+    Spark shape: the global prefix sum comes from
+    :func:`~oakstore_spark.operators.scaling.prefix_sums` (range
+    exchange + per-partition offsets — NEVER a SinglePartition
+    window), then everything else is map-side integer division —
+    exact BIGINT arithmetic end to end, replayable in SQL.
+
+    ``tokens_col`` non-negative integer; zero-token docs carry NULL
+    seq fields (they occupy no window) but keep their offsets.  The
+    ``order_col`` combination must be unique (the prefix_sums
+    contract) — the pack order IS the training order, pin it.
+
+    Returns df's columns + (start_tok, end_tok, first_seq, last_seq,
+    n_seqs).
+    """
+    from pyspark.sql import functions as F
+
+    from .scaling import prefix_sums
+
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    packed = prefix_sums(
+        df, order_col, tokens_col, sum_name=sums_name
+    )
+    t = F.col(tokens_col).cast("bigint")
+    start = (F.col(sums_name) - t).alias("start_tok")
+    first = F.expr(f"({sums_name} - {tokens_col}) div {seq_len}")
+    last = F.expr(f"({sums_name} - 1) div {seq_len}")
+    has = t > 0
+    return packed.select(
+        "*",
+        start,
+        F.when(has, first).cast("bigint").alias("first_seq"),
+        F.when(has, last).cast("bigint").alias("last_seq"),
+        F.when(has, last - first + 1).cast("bigint").alias("n_seqs"),
+    )

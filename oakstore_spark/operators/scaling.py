@@ -138,6 +138,71 @@ def assign_contiguous_ids(
 _TRACKED_HANDLES: list[DataFrame] = []
 
 
+def prefix_sums(
+    df: DataFrame,
+    order_col,
+    value_col: str,
+    sum_name: str = "prefix_sum",
+    num_partitions: int | None = None,
+    return_total: bool = False,
+):
+    """GLOBAL inclusive prefix sums of ``value_col`` in ``order_col``
+    order without a SinglePartition window — the additive sibling of
+    :func:`assign_contiguous_ids` (same two-pass mechanics, same
+    scale argument): range-partition + local sort, one per-partition
+    SUM job (one row per partition), driver-side cumulative offsets
+    (``num_partitions`` integers), and an Arrow kernel emitting
+    ``offset + running local sum``.
+
+    ``value_col`` must be integer-valued (exact BIGINT accumulation;
+    the running total must stay inside int64).  The ``order_col``
+    combination must be unique for determinism (the
+    assign_contiguous_ids contract).  With ``return_total=True``
+    returns ``(df, grand_total)`` from the same counts job.
+
+    The primitive behind sequence packing, token-budget sharding,
+    cumulative-share (Lorenz) readouts, and any "where does my byte
+    range start" layout question.
+    """
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    part = _range_sorted(df, n, order_col).localCheckpoint(eager=False)
+    sums = dict(
+        part.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum(F.col(value_col).cast("bigint")).alias("s"))
+        .collect()
+    )
+    offsets = {}
+    running = 0
+    for pid in sorted(sums):
+        offsets[pid] = running
+        running += int(sums[pid] or 0)
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(sum_name, T.LongType(), False)]
+    )
+
+    def emit(batches):
+        pid = TaskContext.get().partitionId()
+        acc = offsets.get(pid, 0)
+        for pdf in batches:
+            pdf = pdf.copy()
+            vals = pdf[value_col].astype("int64").cumsum() + acc
+            pdf[sum_name] = vals
+            acc = int(vals.iloc[-1]) if len(pdf) else acc
+            yield pdf
+
+    out = part.mapInPandas(emit, schema)
+    if return_total:
+        return out, running
+    return out
+
+
 def track_persisted(out: DataFrame, *handles: DataFrame) -> DataFrame:
     """Attach persisted upstream relations to ``out`` so a long-lived
     session can free them once ``out`` is consumed (persisted handles

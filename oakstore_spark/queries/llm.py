@@ -2667,3 +2667,50 @@ def q_coec_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0).alias("clicked"),
     )
     return coec_scores(imps, "item", "pos", "clicked").orderBy("item")
+
+
+@register(
+    "q_pack_global_layout",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST({_TOKCOUNT_SQL} AS BIGINT) AS n_tokens
+      FROM documents
+    ), pre AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS end_tok
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, end_tok,
+           end_tok - n_tokens AS start_tok,
+           CASE WHEN n_tokens > 0
+                THEN (end_tok - n_tokens) // 2048 END AS first_seq,
+           CASE WHEN n_tokens > 0
+                THEN (end_tok - 1) // 2048 END AS last_seq,
+           CASE WHEN n_tokens > 0
+                THEN (end_tok - 1) // 2048
+                     - (end_tok - n_tokens) // 2048 + 1 END AS n_seqs
+    FROM pre ORDER BY doc_id
+    """,
+)
+def q_pack_global_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL concat-and-chunk packing layout
+    (operators/curation.pack_sequences over scaling.prefix_sums) —
+    the scale-safe sibling of q_pack_sequences (which packs per
+    SOURCE through a keyed window): here the WHOLE corpus is one
+    token stream in doc_id order cut into 2048-token windows — per doc, its global token offsets
+    and the window ids it spans (the shard-layout question every
+    pretraining data loader asks). The global prefix sum rides the
+    range-exchange + per-partition-offset primitive, never a
+    SinglePartition window; everything downstream is exact BIGINT
+    integer division."""
+    from oakstore_spark.operators.curation import pack_sequences
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        d, "doc_id", "n_tokens", seq_len=2048
+    ).orderBy("doc_id")

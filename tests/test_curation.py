@@ -406,6 +406,64 @@ def test_assign_contiguous_ids_matches_global_row_number(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def test_prefix_sums_matches_driver_cumsum(spark):
+    """Global inclusive prefix sums over a shuffled multi-partition
+    input must equal the driver-side cumsum in key order; the grand
+    total falls out of the same counts job; payload columns ride
+    along; no cache-manager storage leak."""
+    import random
+
+    from oakstore_spark.operators.scaling import prefix_sums
+
+    rng = random.Random(11)
+    vals = {k: rng.randint(0, 99) for k in range(800)}
+    keys = list(vals)
+    rng.shuffle(keys)
+    df = spark.createDataFrame(
+        [(k, vals[k], f"p{k}") for k in keys], ["k", "v", "tag"]
+    ).repartition(9)
+    spark.catalog.clearCache()
+    out, total = prefix_sums(
+        df, "k", "v", num_partitions=5, return_total=True
+    )
+    got = {r["k"]: (r["prefix_sum"], r["tag"]) for r in out.collect()}
+    acc = 0
+    for k in range(800):
+        acc += vals[k]
+        assert got[k] == (acc, f"p{k}")
+    assert total == acc
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_pack_sequences_boundaries_and_empty_docs(spark):
+    """Hand-checked packing at seq_len=10: tokens [4, 9, 0, 7, 10]
+    give offsets [0,4,13,13,20] — doc 2 (9 tokens) straddles windows
+    0-1 (n_seqs 2), the zero-token doc carries NULL seq fields, and
+    the 10-token doc fills window 2 exactly (n_seqs 1)."""
+    import pytest as _pytest
+
+    from oakstore_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 4), (2, 9), (3, 0), (4, 7), (5, 10)], ["doc", "t"]
+    )
+    out = {
+        r.doc: r
+        for r in pack_sequences(df, "doc", "t", seq_len=10).collect()
+    }
+    assert (out[1].start_tok, out[1].end_tok) == (0, 4)
+    assert (out[1].first_seq, out[1].last_seq, out[1].n_seqs) == (0, 0, 1)
+    assert (out[2].start_tok, out[2].end_tok) == (4, 13)
+    assert (out[2].first_seq, out[2].last_seq, out[2].n_seqs) == (0, 1, 2)
+    assert (out[3].start_tok, out[3].end_tok) == (13, 13)
+    assert out[3].first_seq is None and out[3].n_seqs is None
+    assert (out[4].first_seq, out[4].last_seq) == (1, 1)
+    assert (out[5].start_tok, out[5].end_tok) == (20, 30)
+    assert (out[5].first_seq, out[5].last_seq, out[5].n_seqs) == (2, 2, 1)
+    with _pytest.raises(ValueError):
+        pack_sequences(df, "doc", "t", seq_len=0)
+
+
 def test_ks_binned_brackets_exact(spark):
     """The binned-ECDF KS must bracket the exact statistic:
     D_binned <= D_exact <= D_binned + max_bin_mass — the self-reported
