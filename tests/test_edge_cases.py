@@ -155,7 +155,8 @@ def test_examples_run_clean(spark):
                    "examples/timeseries_analytics.py",
                    "examples/multimodal_pipeline.py",
                    "examples/crawl_politeness_pipeline.py",
-                   "examples/product_analytics_pipeline.py"):
+                   "examples/product_analytics_pipeline.py",
+                   "examples/forecasting_pipeline.py"):
         r = subprocess.run(
             [sys.executable, script],
             capture_output=True, text=True, timeout=600,
