@@ -1769,3 +1769,119 @@ def ips_evaluate(
         ess.alias("ess"),
         "max_weight",
     )
+
+
+def dr_evaluate(
+    df: DataFrame,
+    action_col: str,
+    reward_col: str,
+    logging_policy: DataFrame,
+    target_policy: DataFrame,
+    reward_model: DataFrame,
+    clip: float | None = None,
+) -> DataFrame:
+    """Doubly-robust off-policy evaluation (Dudík et al. 2011 —
+    public): combine :func:`ips_evaluate`'s importance weighting with
+    a reward MODEL q̂(a) so the estimate stays consistent if EITHER
+    the logging propensities or the model is right:
+
+        V_DR = Σ_a π(a)·q̂(a)                    (model baseline)
+             + (1/n) Σ_i w(a_i)·(r_i − q̂(a_i))   (IPS correction)
+
+    The correction term shrinks the variance IPS pays for small μ
+    wherever the model is accurate, and un-biases the model wherever
+    it is not.  ``reward_model`` is a bounded per-action table
+    (``action, q``) — the stationary setting, matching the policy
+    tables; per-context models are out of scope, stated.
+
+    Same replay structure as IPS: per-action exact BIGINT collapse
+    (n_a, Σr_a), broadcast joins of the three bounded tables, every
+    cross-action float sum a FIXED action-sorted fold.  Actions in
+    the TARGET policy but never logged still contribute their model
+    baseline π(a)·q̂(a) (that is the point of DR) — the baseline fold
+    runs over the target-policy relation, not the log.
+
+    Returns one row: (n, n_actions, dr_value, ips_value, model_value,
+    max_weight).
+    """
+    per_a = df.groupBy(F.col(action_col).alias("action")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a"),
+        F.sum(F.col(reward_col).cast("bigint")).alias("r_a"),
+    )
+    lp = logging_policy.select(
+        F.col(action_col).alias("action"),
+        F.col("prob").cast("double").alias("_mu"),
+    )
+    tp = target_policy.select(
+        F.col(action_col).alias("action"),
+        F.col("prob").cast("double").alias("_pi"),
+    )
+    qm = reward_model.select(
+        F.col(action_col).alias("action"),
+        F.col("q").cast("double").alias("_q"),
+    )
+    j = (
+        per_a.join(F.broadcast(lp), "action", "left")
+        .join(F.broadcast(tp), "action", "left")
+        .join(F.broadcast(qm), "action", "left")
+    )
+    bad = j.where(
+        F.col("_mu").isNull() | (F.col("_mu") <= 0)
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"logged action {bad[0]['action']!r} has no positive "
+            "logging-policy probability"
+        )
+    w = F.coalesce(F.col("_pi"), F.lit(0.0)) / F.col("_mu")
+    if clip is not None:
+        w = F.least(w, F.lit(float(clip)))
+    qhat = F.coalesce(F.col("_q"), F.lit(0.0))
+    staged = j.select(
+        "action", "n_a", "r_a", w.alias("_w"), qhat.alias("_qh")
+    )
+
+    def fold(rel, term):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("action"), term.alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r.getField("v"),
+        )
+
+    # model baseline over the TARGET policy relation (never-logged
+    # actions included), model q joined on
+    base = tp.join(F.broadcast(qm), "action", "left").agg(
+        fold(
+            None,
+            F.col("_pi") * F.coalesce(F.col("_q"), F.lit(0.0)),
+        ).alias("_vq")
+    )
+    agg = staged.agg(
+        F.sum("n_a").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_actions"),
+        fold(
+            None,
+            F.col("_w")
+            * (
+                F.col("r_a").cast("double")
+                - F.col("n_a").cast("double") * F.col("_qh")
+            ),
+        ).alias("_corr"),
+        fold(None, F.col("r_a").cast("double") * F.col("_w")).alias(
+            "_rw"
+        ),
+        F.max("_w").alias("max_weight"),
+    ).crossJoin(F.broadcast(base))
+    dr = F.col("_vq") + F.col("_corr") / F.col("n")
+    return agg.select(
+        "n",
+        "n_actions",
+        dr.alias("dr_value"),
+        (F.col("_rw") / F.col("n")).alias("ips_value"),
+        F.col("_vq").alias("model_value"),
+        "max_weight",
+    )

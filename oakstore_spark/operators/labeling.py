@@ -236,3 +236,96 @@ def fleiss_kappa(
         p_e.alias("p_expected"),
         kappa.alias("kappa"),
     )
+
+
+def bradley_terry(
+    df: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    n_iter: int = 50,
+    max_items: int = 20_000,
+) -> DataFrame:
+    """Bradley–Terry strength ratings from pairwise preferences
+    (Bradley & Terry 1952; the minorize-maximize fit of Hunter 2004 —
+    both public): the arena-style readout for preference data —
+    which model/variant/document wins head-to-heads — fitting
+    P(i beats j) = p_i / (p_i + p_j) by the MM recursion
+
+        p_i ← W_i / Σ_{j≠i} n_ij / (p_i + p_j)
+
+    from the all-ones initialization (deterministic, no RNG), then
+    normalizing to mean strength 1.
+
+    Spark shape: ONE hash aggregate collapses the comparison log to
+    the (winner, loser, wins) relation — bounded by item-pair
+    cardinality, never comparisons — and the MM fit runs driver-side
+    on that bounded relation (the isotonic/IVF-quantizer pattern;
+    ``max_items`` fails fast instead of collecting an unbounded
+    universe).  Items observed only as losers still get ratings
+    (strength → small, never absent).
+
+    Iterative float fit — rows-only in the registry (the
+    q_quality_classifier precedent), pinned by the planted-strengths
+    recovery pytest.  Comparisons where winner == loser raise (a
+    self-comparison is a logging bug).
+
+    Returns (item, wins, comparisons, strength, rank) — rank 1 is
+    the strongest; ties broken by item for determinism.
+    """
+    w = F.col(winner_col).cast("string")
+    l = F.col(loser_col).cast("string")  # noqa: E741
+    bad = df.where(w == l).limit(1).collect()
+    if bad:
+        raise ValueError(
+            "self-comparison (winner == loser) in the log"
+        )
+    pairs = (
+        df.groupBy(w.alias("_w"), l.alias("_l"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+        .collect()
+    )
+    items = sorted(
+        {r["_w"] for r in pairs} | {r["_l"] for r in pairs}
+    )
+    if len(items) > max_items:
+        raise ValueError(
+            f"{len(items)} items exceeds max_items={max_items}"
+        )
+    wins: dict = {}
+    games: dict = {}
+    for r in pairs:
+        a, b, n = r["_w"], r["_l"], int(r["_n"])
+        wins[a] = wins.get(a, 0) + n
+        key = (a, b) if a < b else (b, a)
+        games[key] = games.get(key, 0) + n
+    p = {it: 1.0 for it in items}
+    for _ in range(n_iter):
+        new = {}
+        for it in items:
+            denom = 0.0
+            for (a, b), n in sorted(games.items()):
+                if it == a:
+                    denom += n / (p[a] + p[b])
+                elif it == b:
+                    denom += n / (p[a] + p[b])
+            wi = wins.get(it, 0)
+            # an item with zero wins gets an epsilon strength rather
+            # than a hard zero (keeps later denominators finite)
+            new[it] = wi / denom if denom > 0 and wi > 0 else 1e-12
+        mean = sum(new.values()) / len(new)
+        p = {it: v / mean for it, v in new.items()}
+    comps = {it: 0 for it in items}
+    for (a, b), n in games.items():
+        comps[a] += n
+        comps[b] += n
+    ranked = sorted(items, key=lambda it: (-p[it], it))
+    rank = {it: i + 1 for i, it in enumerate(ranked)}
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (it, wins.get(it, 0), comps[it], p[it], rank[it])
+            for it in items
+        ],
+        "item string, wins bigint, comparisons bigint, "
+        "strength double, rank int",
+    )

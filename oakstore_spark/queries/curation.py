@@ -3981,6 +3981,148 @@ def q_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dr_eval",
+    oracle="""
+    WITH per_a AS (
+      SELECT event_type AS action,
+             CAST(count(*) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                  AND value > 200 THEN 1 ELSE 0 END) AS BIGINT) AS r_a
+      FROM events GROUP BY event_type
+    ), pol AS (
+      SELECT * FROM (VALUES
+        ('view',     0.25,  0.0625, 0.0),
+        ('click',    0.25,  0.125,  0.0),
+        ('purchase', 0.25,  0.5,    0.25),
+        ('signup',   0.125, 0.25,   0.0),
+        ('error',    0.125, 0.0625, 0.0)
+      ) AS t(action, mu, pi, q)
+    ), staged AS (
+      SELECT a.action, a.n_a, a.r_a,
+             coalesce(p.pi, 0.0) / p.mu AS w,
+             coalesce(p.q, 0.0) AS qh
+      FROM per_a a LEFT JOIN pol p USING (action)
+    ), base AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(pi * coalesce(q, 0.0) ORDER BY action)),
+               (x, y) -> x + y) AS vq
+      FROM pol
+    ), agg AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_actions,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(w * (CAST(r_a AS DOUBLE)
+                         - CAST(n_a AS DOUBLE) * qh)
+                    ORDER BY action)),
+               (x, y) -> x + y) AS corr,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(r_a AS DOUBLE) * w ORDER BY action)),
+               (x, y) -> x + y) AS rw,
+             max(w) AS max_weight
+      FROM staged
+    )
+    SELECT n, n_actions,
+           vq + corr / n AS dr_value,
+           rw / n AS ips_value,
+           vq AS model_value,
+           max_weight
+    FROM agg CROSS JOIN base
+    """,
+)
+def q_dr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust off-policy evaluation
+    (operators/experiments.dr_evaluate): the q_ips_eval setting plus
+    a per-action reward model — the model baseline over the TARGET
+    policy relation plus the importance-weighted correction, each a
+    fixed action-sorted fold over bounded relations. Consistent if
+    EITHER the propensities or the model is right."""
+    from oakstore_spark.operators.experiments import dr_evaluate
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") > 200),
+            1,
+        ).otherwise(0).alias("reward"),
+    )
+    mu = spark.createDataFrame(
+        [
+            ("view", 0.25),
+            ("click", 0.25),
+            ("purchase", 0.25),
+            ("signup", 0.125),
+            ("error", 0.125),
+        ],
+        ["event_type", "prob"],
+    )
+    pi = spark.createDataFrame(
+        [
+            ("view", 0.0625),
+            ("click", 0.125),
+            ("purchase", 0.5),
+            ("signup", 0.25),
+            ("error", 0.0625),
+        ],
+        ["event_type", "prob"],
+    )
+    qm = spark.createDataFrame(
+        [
+            ("view", 0.0),
+            ("click", 0.0),
+            ("purchase", 0.25),
+            ("signup", 0.0),
+            ("error", 0.0),
+        ],
+        ["event_type", "q"],
+    )
+    return dr_evaluate(e, "event_type", "reward", mu, pi, qm)
+
+
+@register("q_bradley_terry")  # iterative MM fit: no single-SQL oracle;
+# planted-strength recovery pinned in
+# tests/test_curation.py::test_bradley_terry_recovers_planted_strengths
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry ratings from pairwise preferences
+    (operators/labeling.bradley_terry) — the arena-style head-to-head
+    readout: consecutive events per user become comparisons (the
+    higher-cents event type beats the lower), one hash aggregate to
+    the bounded (winner, loser, wins) relation, deterministic MM fit
+    driver-side. Rows-only (iterative fit, the q_quality_classifier
+    precedent)."""
+    from pyspark.sql import Window as W
+
+    from oakstore_spark.operators.labeling import bradley_terry
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    duels = e.select(
+        "event_type",
+        "cents",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("cents").over(w).alias("prev_cents"),
+    ).where(
+        F.col("prev_type").isNotNull()
+        & (F.col("prev_type") != F.col("event_type"))
+        & (F.col("prev_cents") != F.col("cents"))
+    ).select(
+        F.when(
+            F.col("cents") > F.col("prev_cents"), F.col("event_type")
+        ).otherwise(F.col("prev_type")).alias("winner"),
+        F.when(
+            F.col("cents") > F.col("prev_cents"), F.col("prev_type")
+        ).otherwise(F.col("event_type")).alias("loser"),
+    )
+    return bradley_terry(duels, "winner", "loser").orderBy("rank")
+
+
+@register(
     "q_gini",
     oracle="""
     WITH units AS (

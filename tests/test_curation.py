@@ -1731,6 +1731,75 @@ def test_ips_evaluate_hand_case_clip_and_guard(spark):
         ips_evaluate(df, "act", "reward", mu_partial, pi)
 
 
+def test_dr_evaluate_hand_case_and_model_limits(spark):
+    """Hand case (the IPS fixture plus a reward model): with a
+    PERFECT per-action model, DR's correction term vanishes and
+    dr_value == model baseline == true target value; with a zero
+    model, DR degrades exactly to IPS."""
+    from oakstore_spark.operators.experiments import dr_evaluate
+
+    rows = (
+        [("a", 1)] * 2 + [("a", 0)] * 2
+        + [("b", 1)] * 3 + [("b", 0)] * 3
+    )
+    df = spark.createDataFrame(rows, ["act", "reward"])
+    mu = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.5)], ["act", "prob"]
+    )
+    pi = spark.createDataFrame(
+        [("a", 0.25), ("b", 0.75)], ["act", "prob"]
+    )
+    perfect = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.5)], ["act", "q"]
+    )
+    r = dr_evaluate(df, "act", "reward", mu, pi, perfect).collect()[0]
+    assert abs(r.dr_value - 0.5) < 1e-12  # pi-weighted true value
+    assert abs(r.model_value - 0.5) < 1e-12
+    assert r.ips_value == 0.55
+
+    zero = spark.createDataFrame(
+        [("a", 0.0), ("b", 0.0)], ["act", "q"]
+    )
+    r2 = dr_evaluate(df, "act", "reward", mu, pi, zero).collect()[0]
+    assert r2.dr_value == r2.ips_value == 0.55
+    assert r2.model_value == 0.0
+
+
+def test_bradley_terry_recovers_planted_strengths(spark):
+    """Planted 4:2:1 strengths realized as exact expected win counts
+    (A beats B 40/60, A beats C 48/60, B beats C 40/60): the MM fit
+    must recover the ordering exactly and the strength RATIOS within
+    a few percent; zero-win items rank last; self-comparisons raise;
+    identical reruns are identical (no RNG)."""
+    import pytest as _pytest
+
+    from oakstore_spark.operators.labeling import bradley_terry
+
+    duels = (
+        [("A", "B")] * 40 + [("B", "A")] * 20
+        + [("A", "C")] * 48 + [("C", "A")] * 12
+        + [("B", "C")] * 40 + [("C", "B")] * 20
+        + [("A", "D")] * 10  # D never wins
+    )
+    df = spark.createDataFrame(duels, ["winner", "loser"])
+    out = {r.item: r for r in bradley_terry(df, "winner", "loser").collect()}
+    assert [out[i].rank for i in ("A", "B", "C", "D")] == [1, 2, 3, 4]
+    assert abs(out["A"].strength / out["B"].strength - 2.0) < 0.15
+    assert abs(out["B"].strength / out["C"].strength - 2.0) < 0.15
+    assert out["A"].wins == 98 and out["A"].comparisons == 130
+    assert out["D"].wins == 0 and out["D"].strength < 1e-6
+    out2 = {
+        r.item: r.strength
+        for r in bradley_terry(df, "winner", "loser").collect()
+    }
+    assert out2 == {k: v.strength for k, v in out.items()}
+    withself = spark.createDataFrame(
+        [("A", "A")], ["winner", "loser"]
+    )
+    with _pytest.raises(ValueError, match="self-comparison"):
+        bradley_terry(withself, "winner", "loser")
+
+
 def test_gini_coefficient_closed_forms(spark):
     """Perfect equality -> gini exactly 0; one unit holding the whole
     total -> exactly (n-1)/n; zero total -> NULL."""
