@@ -801,3 +801,71 @@ def gini_coefficient(
         "total",
         g.alias("gini"),
     )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    score_scale: int = 1000,
+) -> DataFrame:
+    """Expected / maximum calibration error — the single-number
+    summary of :func:`calibration_report` (Naeini et al. 2015 ECE —
+    public): bin-weighted mean (and max) absolute gap between what
+    the score PROMISED and what HAPPENED,
+
+        ECE = Σ_b (n_b / n) · |mean_pred_b − obs_rate_b|
+        MCE = max_b |mean_pred_b − obs_rate_b|
+
+    plus the exact Brier total from the same pass.
+
+    Spark shape: the calibration_report aggregate (ONE hash aggregate
+    to <= n_bins rows) followed by a FIXED bin-sorted fold for the
+    ECE sum (the power_analysis rule) and a plain max — everything
+    downstream of the one scan runs on the bin relation.  Same
+    integer milli-unit score contract as the report.
+
+    Returns one row: (n, n_bins_occupied, ece, mce, brier).
+    """
+    rep = calibration_report(
+        df, score_col, label_col, n_bins=n_bins,
+        score_scale=score_scale,
+    )
+    gap = F.abs(F.col("mean_pred") - F.col("obs_rate"))
+    agg = rep.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_occupied"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("bin"),
+                        (F.col("n") * gap).alias("v"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r.getField("v"),
+        ).alias("_wgap"),
+        F.max(gap).alias("mce"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("bin"),
+                        F.col("brier_contrib").alias("v"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r.getField("v"),
+        ).alias("brier"),
+    )
+    return agg.select(
+        "n",
+        "n_bins_occupied",
+        (F.col("_wgap") / F.col("n")).alias("ece"),
+        "mce",
+        "brier",
+    )

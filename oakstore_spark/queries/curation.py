@@ -4256,6 +4256,59 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+@register(
+    "q_ece",
+    oracle=f"""
+    WITH units AS ({_SCORED_UNITS_CTE}
+    ), per_bin AS (
+      SELECT least(CAST(floor(score_m * 10 / 1000.0) AS BIGINT), 9)
+               AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(score_m) AS BIGINT) AS sp,
+             CAST(sum((score_m - 1000 * y) * (score_m - 1000 * y))
+                  AS BIGINT) AS sq
+      FROM units GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM per_bin),
+    rep AS (
+      SELECT bin, n,
+             CAST(sp AS DOUBLE) / n / 1000 AS mean_pred,
+             CAST(n_pos AS DOUBLE) / n AS obs_rate,
+             CAST(sq AS DOUBLE) / (1000000.0 * n_tot) AS brier_contrib
+      FROM per_bin, tot
+    ), agg AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_bins_occupied,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(n * abs(mean_pred - obs_rate) ORDER BY bin)),
+               (a, b) -> a + b) AS wgap,
+             max(abs(mean_pred - obs_rate)) AS mce,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(brier_contrib ORDER BY bin)),
+               (a, b) -> a + b) AS brier
+      FROM rep
+    )
+    SELECT n, n_bins_occupied, wgap / n AS ece, mce, brier
+    FROM agg
+    """,
+)
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error
+    (operators/quality.expected_calibration_error) on the shared
+    scored-units fixture — the single-number miscalibration summary
+    over the q_calibration bins: bin-weighted mean and max |promised
+    − observed| plus the exact Brier total, the cross-bin sums as
+    fixed bin-sorted folds so every float replays."""
+    from oakstore_spark.operators.quality import (
+        expected_calibration_error,
+    )
+
+    return expected_calibration_error(
+        _scored_units(spark, sf_dir), "score_m", "y",
+        n_bins=10, score_scale=1000,
+    )
+
+
 @register("q_ipw_ate")
 def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverse-propensity-weighted ATE (operators/experiments.ipw_ate):

@@ -1855,6 +1855,32 @@ def test_corr_matrix_exact_extremes_and_guards(spark):
         corr_matrix(df, [f"c{i}" for i in range(65)])
 
 
+def test_expected_calibration_error_limits(spark):
+    """An exactly-calibrated corpus (bin mean_pred == obs_rate
+    everywhere) scores ECE == MCE == 0.0 exactly; pushing one bin's
+    labels to certainty raises both, and ECE weighs the gap by that
+    bin's share."""
+    from oakstore_spark.operators.quality import (
+        expected_calibration_error,
+    )
+
+    # score 250 milli (bin 2): 1 of 4 positive -> perfectly calibrated
+    # score 750 milli (bin 7): 3 of 4 positive -> perfectly calibrated
+    rows = ([(250, 1)] + [(250, 0)] * 3) * 5
+    rows += ([(750, 1)] * 3 + [(750, 0)]) * 5
+    df = spark.createDataFrame(rows, ["score_m", "y"])
+    r = expected_calibration_error(df, "score_m", "y").collect()[0]
+    assert r.ece == 0.0 and r.mce == 0.0
+    assert r.n == 40 and r.n_bins_occupied == 2
+
+    # break bin 7: all positive -> gap |0.75 - 1.0| = 0.25 there
+    rows2 = ([(250, 1)] + [(250, 0)] * 3) * 5 + [(750, 1)] * 20
+    df2 = spark.createDataFrame(rows2, ["score_m", "y"])
+    r2 = expected_calibration_error(df2, "score_m", "y").collect()[0]
+    assert abs(r2.mce - 0.25) < 1e-12
+    assert abs(r2.ece - 0.5 * 0.25) < 1e-12  # bin 7 holds half the mass
+
+
 def test_isotonic_calibrate_hand_case_and_invariants(spark):
     """Hand-computed PAV: per-score rates [0.5, 0.25, 0.75, 0.5] pool
     into [0.375, 0.375, 0.625, 0.625]. Invariants: output monotone
