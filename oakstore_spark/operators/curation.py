@@ -602,3 +602,61 @@ def pack_sequences(
         F.when(has, last).cast("bigint").alias("last_seq"),
         F.when(has, last - first + 1).cast("bigint").alias("n_seqs"),
     )
+
+
+def group_entropy(
+    df,
+    keys: list[str],
+    cat_col: str,
+):
+    """Per-key Shannon entropy of a categorical mix — the DIVERSITY
+    readout a data-mixing pipeline runs per source/domain/user (is
+    this shard all one language? is a user's behavior one note?):
+
+        H(key)    = − Σ_c (n_c/n) · ln(n_c/n)
+        H_norm    = H / ln(k_distinct)      (NULL when k < 2)
+
+    H = 0 exactly for a single-category key; H_norm = 1 for a
+    perfectly uniform mix.
+
+    Spark shape: ONE hash aggregate to the (key, category) cell
+    relation — bounded per key by CATEGORY cardinality (languages,
+    sources, event types: the intended use; not for unbounded
+    categories) — then per-key totals and a FIXED category-sorted
+    fold of p·ln p terms (the power_analysis rule), so every float
+    replays.  NULL categories are excluded (no bin), documented.
+
+    Returns keys + (n, k_distinct, entropy, entropy_norm).
+    """
+    from pyspark.sql import functions as F
+
+    cells = (
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(*keys, F.col(cat_col).cast("string").alias("_c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    )
+    tot = cells.groupBy(*keys).agg(
+        F.sum("_n").cast("bigint").alias("_tot")
+    )
+    j = cells.join(tot, list(keys))
+    p = F.col("_n").cast("double") / F.col("_tot")
+    term = (-(p * F.log(p))).alias("v")
+    agg = j.groupBy(*keys).agg(
+        F.max("_tot").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k_distinct"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_c"), term))
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r.getField("v"),
+        ).alias("entropy"),
+    )
+    norm = F.when(
+        F.col("k_distinct") >= 2,
+        F.col("entropy") / F.log(F.col("k_distinct").cast("double")),
+    )
+    return agg.select(
+        *keys, "n", "k_distinct", "entropy",
+        norm.alias("entropy_norm"),
+    )

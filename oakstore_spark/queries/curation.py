@@ -4123,6 +4123,60 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_group_entropy",
+    oracle="""
+    WITH cells AS (
+      SELECT user_id, event_type AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY user_id, event_type
+    ), tot AS (
+      SELECT user_id, CAST(sum(n) AS BIGINT) AS t
+      FROM cells GROUP BY user_id
+    ), agg AS (
+      SELECT c.user_id,
+             max(t.t) AS n,
+             CAST(count(*) AS BIGINT) AS k_distinct,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(-((CAST(c.n AS DOUBLE) / t.t)
+                      * ln(CAST(c.n AS DOUBLE) / t.t))
+                    ORDER BY c.c)),
+               (a, b) -> a + b) AS entropy
+      FROM cells c JOIN tot t USING (user_id)
+      GROUP BY c.user_id
+    )
+    SELECT user_id, n, k_distinct,
+           round(entropy, 9) AS entropy,
+           CASE WHEN k_distinct >= 2
+                THEN round(entropy
+                           / ln(CAST(k_distinct AS DOUBLE)), 9)
+                END AS entropy_norm
+    FROM agg ORDER BY user_id
+    """,
+)
+def q_group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity (operators/curation.group_entropy):
+    Shannon entropy of each user's event-type mix — one hash
+    aggregate to the category-bounded cell relation, per-key totals,
+    and a fixed category-sorted fold of p·ln p terms. Runtime ln is
+    the <=1-ulp libm class and ~1.5% of rows land on a disagreeing
+    ulp at this row count, so BOTH engines round the two entropy
+    outputs to 9 decimals (the q_minhash_near_dup rounding
+    precedent) — the integer columns stay exact."""
+    from oakstore_spark.operators.curation import group_entropy
+
+    e = table(spark, sf_dir, "events")
+    out = group_entropy(e, ["user_id"], "event_type")
+    return out.select(
+        "user_id",
+        "n",
+        "k_distinct",
+        F.round("entropy", 9).alias("entropy"),
+        F.round("entropy_norm", 9).alias("entropy_norm"),
+    ).orderBy("user_id")
+
+
+@register(
     "q_gini",
     oracle="""
     WITH units AS (

@@ -1731,6 +1731,28 @@ def test_ips_evaluate_hand_case_clip_and_guard(spark):
         ips_evaluate(df, "act", "reward", mu_partial, pi)
 
 
+def test_group_entropy_closed_forms(spark):
+    """Uniform 4-way mix -> entropy ln(4), norm ~1; a single-category
+    key -> exactly 0.0 with NULL norm; 3:1 two-way mix matches the
+    hand formula; NULL categories carry no bin."""
+    import math
+
+    from oakstore_spark.operators.curation import group_entropy
+
+    rows = [("u", c) for c in ("a", "b", "c", "d") * 5]
+    rows += [("s", "only")] * 7
+    rows += [("m", "x")] * 3 + [("m", "y")] * 1 + [("m", None)] * 4
+    df = spark.createDataFrame(rows, "k string, cat string")
+    out = {r.k: r for r in group_entropy(df, ["k"], "cat").collect()}
+    assert abs(out["u"].entropy - math.log(4)) < 1e-12
+    assert abs(out["u"].entropy_norm - 1.0) < 1e-12
+    assert out["s"].entropy == 0.0 and out["s"].entropy_norm is None
+    assert out["s"].k_distinct == 1
+    expect = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert abs(out["m"].entropy - expect) < 1e-12
+    assert out["m"].n == 4  # NULL categories excluded
+
+
 def test_dr_evaluate_hand_case_and_model_limits(spark):
     """Hand case (the IPS fixture plus a reward model): with a
     PERFECT per-action model, DR's correction term vanishes and
