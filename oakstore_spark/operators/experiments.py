@@ -1885,3 +1885,86 @@ def dr_evaluate(
         F.col("_vq").alias("model_value"),
         "max_weight",
     )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size (Cliff 1993 — public): the
+    magnitude companion to a Mann-Whitney/rank test —
+
+        δ = P(a > b) − P(a < b)  over pairs (a ∈ A, b ∈ B)
+
+    in [−1, 1] (0 = stochastic equality; |δ| ≳ 0.33/0.47 are the
+    conventional medium/large bands).  Unlike a mean difference, δ is
+    invariant to any monotone transform of the metric — the honest
+    effect size for skewed engagement/latency metrics.
+
+    Computed WITHOUT a global per-row rank (the roc_auc rule):
+    ONE hash aggregate collapses the two groups to the DISTINCT-VALUE
+    relation (n_a_v, n_b_v per value), a prefix window bounded by
+    VALUE CARDINALITY accumulates cum-b-below, and
+
+        2·wins_a = Σ_v n_a_v · (2·cum_b_below(v) + n_b_v)
+
+    keeps every term an exact BIGINT (ties half-counted, doubled
+    away); δ = (2·wins_a − n_a·n_b) / (n_a·n_b) is ONE pinned chain.
+    ``value_col`` integer-valued (the family contract — quantize
+    first).  Rows in neither group are ignored.
+
+    Returns one row: (n_a, n_b, n_values, wins2, auc_ab, delta);
+    NULL metrics when either group is empty.
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    a = F.when(g == group_a, 1).when(g == group_b, 0)
+    per_v = (
+        df.where(a.isNotNull())
+        .groupBy(F.col(value_col).cast("bigint").alias("v"))
+        .agg(
+            F.sum(a).cast("bigint").alias("na_v"),
+            F.sum(1 - a).cast("bigint").alias("nb_v"),
+        )
+    )
+    wpre = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    staged = per_v.select(
+        "v",
+        "na_v",
+        "nb_v",
+        F.coalesce(F.sum("nb_v").over(wpre), F.lit(0)).alias(
+            "cum_b_below"
+        ),
+    )
+    agg = staged.agg(
+        F.sum("na_v").cast("bigint").alias("n_a"),
+        F.sum("nb_v").cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum(
+            F.col("na_v") * (2 * F.col("cum_b_below") + F.col("nb_v"))
+        ).cast("bigint").alias("wins2"),
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    auc = F.when(
+        ok,
+        F.col("wins2").cast("double")
+        / (2 * F.col("n_a").cast("double") * F.col("n_b")),
+    )
+    delta = F.when(
+        ok,
+        (
+            F.col("wins2").cast("double")
+            - F.col("n_a").cast("double") * F.col("n_b")
+        )
+        / (F.col("n_a").cast("double") * F.col("n_b")),
+    )
+    return agg.select(
+        "n_a", "n_b", "n_values", "wins2",
+        auc.alias("auc_ab"), delta.alias("delta"),
+    )

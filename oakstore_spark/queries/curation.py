@@ -4588,3 +4588,61 @@ def q_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bh_adjust(
         metrics, "p", alpha=0.1, key_cols=["metric_id"]
     ).orderBy("rank")
+
+
+@register(
+    "q_cliffs_delta",
+    oracle="""
+    WITH units AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1
+                  WHEN event_type = 'view' THEN 0 END AS a
+      FROM events
+      WHERE event_type IN ('purchase', 'view')
+    ), per_v AS (
+      SELECT v,
+             CAST(sum(a) AS BIGINT) AS na_v,
+             CAST(sum(1 - a) AS BIGINT) AS nb_v
+      FROM units GROUP BY v
+    ), staged AS (
+      SELECT v, na_v, nb_v,
+             CAST(coalesce(sum(nb_v) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum_b_below
+      FROM per_v
+    ), agg AS (
+      SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+             CAST(sum(nb_v) AS BIGINT) AS n_b,
+             CAST(count(*) AS BIGINT) AS n_values,
+             CAST(sum(na_v * (2 * cum_b_below + nb_v)) AS BIGINT)
+               AS wins2
+      FROM staged
+    )
+    SELECT n_a, n_b, n_values, wins2,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN CAST(wins2 AS DOUBLE)
+                     / (2 * CAST(n_a AS DOUBLE) * n_b) END AS auc_ab,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN (CAST(wins2 AS DOUBLE)
+                      - CAST(n_a AS DOUBLE) * n_b)
+                     / (CAST(n_a AS DOUBLE) * n_b) END AS delta
+    FROM agg
+    """,
+)
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size
+    (operators/experiments.cliffs_delta): do purchase events carry
+    stochastically larger values than views, and by HOW MUCH — the
+    magnitude companion to q_mann_whitney's test, computed scale-safe
+    over the distinct-value relation (the roc_auc machinery: exact
+    BIGINT doubled wins, value-cardinality-bounded prefix window,
+    one pinned chain) instead of that query's global per-row rank."""
+    from oakstore_spark.operators.experiments import cliffs_delta
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return cliffs_delta(
+        e, "event_type", "cents", group_a="purchase", group_b="view"
+    )

@@ -1731,6 +1731,33 @@ def test_ips_evaluate_hand_case_clip_and_guard(spark):
         ips_evaluate(df, "act", "reward", mu_partial, pi)
 
 
+def test_cliffs_delta_extremes_ties_and_empty(spark):
+    """Complete separation -> delta exactly +1 (or -1 reversed);
+    identical distributions -> exactly 0 (ties half-count); an empty
+    group -> NULLs; rows outside both groups are ignored."""
+    from oakstore_spark.operators.experiments import cliffs_delta
+
+    rows = [("A", v) for v in (10, 11, 12)] + [
+        ("B", v) for v in (1, 2, 3)
+    ] + [("C", 99)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = cliffs_delta(df, "g", "v", "A", "B").collect()[0]
+    assert r.delta == 1.0 and r.auc_ab == 1.0
+    assert (r.n_a, r.n_b) == (3, 3)
+    r2 = cliffs_delta(df, "g", "v", "B", "A").collect()[0]
+    assert r2.delta == -1.0
+
+    same = spark.createDataFrame(
+        [("A", v) for v in (5, 6, 7)] + [("B", v) for v in (5, 6, 7)],
+        ["g", "v"],
+    )
+    r3 = cliffs_delta(same, "g", "v", "A", "B").collect()[0]
+    assert r3.delta == 0.0 and r3.auc_ab == 0.5
+
+    r4 = cliffs_delta(df, "g", "v", "A", "Z").collect()[0]
+    assert r4.delta is None and r4.n_b == 0
+
+
 def test_group_entropy_closed_forms(spark):
     """Uniform 4-way mix -> entropy ln(4), norm ~1; a single-category
     key -> exactly 0.0 with NULL norm; 3:1 two-way mix matches the
