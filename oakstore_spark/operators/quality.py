@@ -869,3 +869,41 @@ def expected_calibration_error(
         "mce",
         "brier",
     )
+
+
+def js_divergence(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Jensen–Shannon drift between two snapshots — the BOUNDED,
+    SYMMETRIC companion to :func:`psi_drift` (JSD ∈ [0, ln 2]; PSI is
+    unbounded and blows up on near-empty bins even smoothed, which
+    makes cross-metric comparison and alerting thresholds awkward):
+
+        JSD = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m),   m = (p + q)/2
+
+    over the SAME baseline-fixed bins and add-half smoothed
+    integer-ratio shares psi_drift computes — one binning scan per
+    snapshot, everything else on the n_bins relation.  sqrt(JSD) is a
+    metric (the JS distance), so drift is comparable across features.
+
+    Returns one row per bin: (bin, n_base, n_cur, share_base,
+    share_cur, js_contrib); ``sum(js_contrib)`` is the JSD.
+    """
+    rep = psi_drift(baseline, current, value_col, n_bins=n_bins)
+    p = F.col("share_base")
+    q = F.col("share_cur")
+    m = (p + q) / 2
+    js = F.lit(0.5) * (p * F.log(p / m)) + F.lit(0.5) * (
+        q * F.log(q / m)
+    )
+    return rep.select(
+        "bin",
+        "n_base",
+        "n_cur",
+        "share_base",
+        "share_cur",
+        js.cast("double").alias("js_contrib"),
+    )

@@ -4646,3 +4646,77 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cliffs_delta(
         e, "event_type", "cents", group_a="purchase", group_b="view"
     )
+
+
+@register(
+    "q_js_drift",
+    oracle="""
+    WITH b AS (
+      SELECT value AS v FROM events
+      WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL
+    ), c AS (
+      SELECT value AS v FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL
+    ), mm AS (
+      SELECT min(v) AS lo, max(v) AS hi FROM b
+    ), nn AS (
+      SELECT (SELECT count(*) FROM b) AS nb,
+             (SELECT count(*) FROM c) AS nc
+    ), bb AS (
+      SELECT greatest(least(CAST(floor((v - lo) / ((hi - lo) / 10))
+                            AS BIGINT), 9), 0) AS bin,
+             count(*) AS n_base
+      FROM b, mm GROUP BY 1
+    ), cc AS (
+      SELECT greatest(least(CAST(floor((v - lo) / ((hi - lo) / 10))
+                            AS BIGINT), 9), 0) AS bin,
+             count(*) AS n_cur
+      FROM c, mm GROUP BY 1
+    ), grid AS (
+      SELECT unnest(generate_series(0, 9)) AS bin
+    ), shares AS (
+      SELECT CAST(grid.bin AS BIGINT) AS bin,
+             CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+             CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur,
+             CAST(coalesce(n_base, 0) * 2 + 1 AS DOUBLE)
+               / (2 * nb + 10) AS p,
+             CAST(coalesce(n_cur, 0) * 2 + 1 AS DOUBLE)
+               / (2 * nc + 10) AS q
+      FROM grid
+      LEFT JOIN bb ON grid.bin = bb.bin
+      LEFT JOIN cc ON grid.bin = cc.bin
+      CROSS JOIN nn
+    )
+    SELECT bin, n_base, n_cur,
+           p AS share_base, q AS share_cur,
+           round(0.5 * (p * ln(p / ((p + q) / 2)))
+             + 0.5 * (q * ln(q / ((p + q) / 2))), 12) AS js_contrib
+    FROM shares ORDER BY bin
+    """,
+)
+def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift (operators/quality.js_divergence) on the
+    q_psi_snapshot_monitor fixture (first vs second half of January,
+    baseline-fixed bins, add-half smoothed shares): the bounded
+    symmetric sibling of PSI — sum(js_contrib) is the JSD in
+    [0, ln 2] and its sqrt is a proper metric, so drift thresholds
+    compare across features. Same two hash aggregates + 10-row join;
+    the p*ln(p/m) chains use the identical association in both
+    engines."""
+    from oakstore_spark.operators.quality import js_divergence
+
+    e = table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    out = js_divergence(
+        e.where(F.col("ts") < split),
+        e.where(F.col("ts") >= split),
+        "value",
+        n_bins=10,
+    )
+    # runtime ln is the 1-ulp libm class (deterministic per value, so
+    # a disagreeing bin would mismatch EVERY run): round the contrib
+    # to 12 decimals in both engines (the q_group_entropy precedent)
+    return out.select(
+        "bin", "n_base", "n_cur", "share_base", "share_cur",
+        F.round("js_contrib", 12).alias("js_contrib"),
+    ).orderBy("bin")
