@@ -1968,3 +1968,58 @@ def cliffs_delta(
         "n_a", "n_b", "n_values", "wins2",
         auc.alias("auc_ab"), delta.alias("delta"),
     )
+
+
+def wilson_intervals(
+    df: DataFrame,
+    keys: list[str],
+    success_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Per-segment Wilson score interval for a proportion (Wilson
+    1927 — public; the interval every dashboard SHOULD use instead of
+    the Wald ±z·sqrt(pq/n), which collapses to zero width at p=0/1
+    and undercovers small n):
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·sqrt(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    ``z`` is a caller-held LITERAL (default the two-sided 95% normal
+    quantile, Python-computed — both engines embed the same double;
+    no runtime inverse-CDF).
+
+    Spark shape: ONE hash aggregate to the segment relation (exact
+    BIGINT n and successes), the interval algebra map-side on it —
+    each bound one pinned chain ending in the correctly-rounded sqrt.
+    ``success_col`` must be a 0/1 integer flag.  Segments with n = 0
+    cannot occur (they have no rows); the p̂=0/1 edges stay finite by
+    construction, which is the point of Wilson.
+
+    Returns keys + (n, successes, p_hat, lo, hi).
+    """
+    y = F.col(success_col).cast("bigint")
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(y).cast("bigint").alias("successes"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / n
+    z2 = float(z) * float(z)
+    denom = F.lit(1.0) + F.lit(z2) / n
+    center = (p + F.lit(z2) / (2 * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n
+            + F.lit(z2) / (4 * n * n)
+        )
+        / denom
+    )
+    return agg.select(
+        *keys,
+        "n",
+        "successes",
+        p.alias("p_hat"),
+        (center - half).alias("lo"),
+        (center + half).alias("hi"),
+    )

@@ -907,3 +907,47 @@ def js_divergence(
         "share_cur",
         js.cast("double").alias("js_contrib"),
     )
+
+
+def dispersion_index(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group index of dispersion (variance-to-mean ratio, the
+    Poisson overdispersion check — public textbook statistic): count
+    data that claims to be Poisson should sit near D = 1; D >> 1
+    (clumping/burstiness — bot traffic, retry storms) breaks every
+    Poisson-assuming downstream (rate alerts, sample-size math).
+
+        D = s² / x̄,  s² the unbiased sample variance
+
+    Exactness: ``value_col`` integer-valued, so n, Σx, Σx² are exact
+    BIGINTs from ONE hash aggregate and D is a pinned chain.  Groups
+    with n < 2 or x̄ = 0 read NULL.
+
+    Returns keys + (n, mean, variance, dispersion).
+    """
+    x = F.col(value_col).cast("bigint")
+    agg = df.groupBy(*keys).agg(
+        F.count(x).cast("bigint").alias("n"),
+        F.sum(x).alias("_s"),
+        F.sum(x * x).alias("_q"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s").cast("double") / n
+    var = F.when(
+        F.col("n") >= 2,
+        (F.col("_q").cast("double") - n * mean * mean)
+        / (n - F.lit(1.0)),
+    )
+    disp = F.when(
+        (F.col("n") >= 2) & (F.col("_s") > 0), var / mean
+    )
+    return agg.select(
+        *keys,
+        "n",
+        mean.alias("mean"),
+        var.alias("variance"),
+        disp.alias("dispersion"),
+    )

@@ -4720,3 +4720,101 @@ def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin", "n_base", "n_cur", "share_base", "share_cur",
         F.round("js_contrib", 12).alias("js_contrib"),
     ).orderBy("bin")
+
+
+@register(
+    "q_wilson_intervals",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > 300 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS successes
+      FROM events GROUP BY event_type
+    ), alg AS (
+      SELECT event_type, n, successes,
+             CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             CAST('1.959963984540054' AS DOUBLE) AS z,
+             CAST('3.8414588206941254' AS DOUBLE) AS z2
+      FROM agg
+    )
+    SELECT event_type, n, successes, p AS p_hat,
+           (p + z2 / (2 * CAST(n AS DOUBLE)))
+             / (1.0 + z2 / CAST(n AS DOUBLE))
+           - z * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+                      + z2 / (4 * CAST(n AS DOUBLE)
+                              * CAST(n AS DOUBLE)))
+             / (1.0 + z2 / CAST(n AS DOUBLE)) AS lo,
+           (p + z2 / (2 * CAST(n AS DOUBLE)))
+             / (1.0 + z2 / CAST(n AS DOUBLE))
+           + z * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+                      + z2 / (4 * CAST(n AS DOUBLE)
+                              * CAST(n AS DOUBLE)))
+             / (1.0 + z2 / CAST(n AS DOUBLE)) AS hi
+    FROM alg ORDER BY event_type
+    """,
+)
+def q_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Wilson 95% intervals for the high-value rate
+    (operators/experiments.wilson_intervals): the proportion interval
+    that stays finite and calibrated at the p=0/1 edges where the
+    Wald interval collapses — one hash aggregate to the segment
+    relation, pinned chains ending in the correctly-rounded sqrt; the
+    z quantile is a Python-computed literal both engines embed."""
+    from oakstore_spark.operators.experiments import wilson_intervals
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value") > 300).cast("int").alias("hot"),
+    )
+    return wilson_intervals(e, ["event_type"], "hot").orderBy(
+        "event_type"
+    )
+
+
+@register(
+    "q_dispersion_index",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), agg AS (
+      SELECT user_id,
+             CAST(count(c) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS q
+      FROM daily GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           CASE WHEN n >= 2 THEN
+             (CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(n AS DOUBLE) - 1.0) END AS variance,
+           CASE WHEN n >= 2 AND s > 0 THEN
+             ((CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+              / (CAST(n AS DOUBLE) - 1.0))
+             / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) END
+             AS dispersion
+    FROM agg ORDER BY user_id
+    """,
+)
+def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily-event-count dispersion
+    (operators/quality.dispersion_index): variance-to-mean of each
+    user's daily activity counts — the Poisson overdispersion QC
+    (bursty/bot-like users read D >> 1). Exact BIGINT moments from
+    one aggregate over the (user, day) rollup; D one pinned chain."""
+    from oakstore_spark.operators.quality import dispersion_index
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return dispersion_index(daily, ["user_id"], "c").orderBy(
+        "user_id"
+    )

@@ -1731,6 +1731,50 @@ def test_ips_evaluate_hand_case_clip_and_guard(spark):
         ips_evaluate(df, "act", "reward", mu_partial, pi)
 
 
+def test_wilson_intervals_edges_and_replica(spark):
+    """p=0 and p=1 segments get finite, in-range intervals (the Wald
+    interval collapses to zero width there — Wilson's point); a mixed
+    segment matches a driver-side float replica of the same formula
+    to 1e-15."""
+    import math
+
+    from oakstore_spark.operators.experiments import wilson_intervals
+
+    rows = [("zero", 0)] * 20 + [("one", 1)] * 20
+    rows += [("mix", 1)] * 7 + [("mix", 0)] * 13
+    df = spark.createDataFrame(rows, ["seg", "y"])
+    out = {r.seg: r for r in wilson_intervals(df, ["seg"], "y").collect()}
+    assert out["zero"].p_hat == 0.0
+    assert 0.0 <= out["zero"].lo < 1e-9 and 0.0 < out["zero"].hi < 0.2
+    assert out["one"].p_hat == 1.0
+    assert 0.8 < out["one"].lo < 1.0 and out["one"].hi <= 1.0 + 1e-9
+
+    z = 1.959963984540054
+    n, p = 20.0, 7 / 20
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert abs(out["mix"].lo - (center - half)) < 1e-15
+    assert abs(out["mix"].hi - (center + half)) < 1e-15
+
+
+def test_dispersion_index_closed_forms(spark):
+    """Constant counts -> variance 0, D exactly 0; [0, 10] -> var 50,
+    D exactly 10; n=1 and all-zero groups read NULL."""
+    from oakstore_spark.operators.quality import dispersion_index
+
+    rows = [("c", v) for v in (2, 2, 2)]
+    rows += [("b", 0), ("b", 10)]
+    rows += [("one", 5)]
+    rows += [("z", 0), ("z", 0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = {r.k: r for r in dispersion_index(df, ["k"], "v").collect()}
+    assert out["c"].variance == 0.0 and out["c"].dispersion == 0.0
+    assert out["b"].variance == 50.0 and out["b"].dispersion == 10.0
+    assert out["one"].variance is None and out["one"].dispersion is None
+    assert out["z"].dispersion is None  # zero mean
+
+
 def test_js_divergence_bounds_symmetry_and_identity(spark):
     """Identical snapshots -> JSD exactly 0 (p == q in every bin, so
     each ln argument is exactly 1); disjoint snapshots approach ln 2
