@@ -2023,3 +2023,61 @@ def wilson_intervals(
         (center - half).alias("lo"),
         (center + half).alias("hi"),
     )
+
+
+def rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    tau: float,
+) -> DataFrame:
+    """Restricted mean survival time — the area under the
+    :func:`kaplan_meier` curve up to a horizon τ (Royston & Parmar
+    2013 argue for it over hazard ratios when hazards are not
+    proportional — public): "average event-free time within the first
+    τ days", a number a product owner can read directly.
+
+        RMST(τ) = ∫₀^τ S(t) dt
+                = Σ over curve steps of S(t_i)·(min(t_{i+1},τ) −
+                  min(t_i,τ)),  with S = 1 before the first step
+
+    Spark shape: the KM relation (one subject aggregate + windows
+    over the tiny distinct-duration relation), a LEAD for the step
+    widths, and the area as a FIXED time-sorted fold (the
+    power_analysis rule — the only replayable cross-row double sum).
+    The leading [0, min(t₁, τ)) interval contributes at S = 1.
+
+    Returns one row: (tau, n_times, rmst).
+    """
+    from pyspark.sql import Window as W
+
+    km = kaplan_meier(df, duration_col, event_col)
+    w = W.orderBy("t")
+    staged = km.select(
+        "t",
+        "survival",
+        F.lead("t").over(w).alias("_tn"),
+    )
+    t_i = F.least(F.col("t").cast("double"), F.lit(float(tau)))
+    t_n = F.least(
+        F.coalesce(F.col("_tn").cast("double"), F.lit(float(tau))),
+        F.lit(float(tau)),
+    )
+    seg = F.col("survival") * (t_n - t_i)
+    agg = staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_times"),
+        F.min(F.least(F.col("t").cast("double"), F.lit(float(tau))))
+        .alias("_t1"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("t"), seg.alias("v")))
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r.getField("v"),
+        ).alias("_area"),
+    )
+    return agg.select(
+        F.lit(float(tau)).alias("tau"),
+        "n_times",
+        (F.col("_t1") + F.col("_area")).alias("rmst"),
+    )

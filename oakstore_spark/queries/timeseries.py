@@ -2380,6 +2380,85 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rmst",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(date_diff('day', CAST(min(ts) AS DATE),
+                  CAST(coalesce(
+                    min(CASE WHEN event_type = 'purchase' AND value > 300
+                             THEN ts END), max(ts)) AS DATE))
+                  AS BIGINT) AS dur,
+             CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                AND value > 300 THEN ts END) IS NOT NULL
+                  THEN 1 ELSE 0 END AS ev
+      FROM events GROUP BY user_id
+    ), per_t AS (
+      SELECT dur AS t, CAST(sum(ev) AS BIGINT) AS n_events,
+             CAST(count(*) - sum(ev) AS BIGINT) AS n_censored
+      FROM u GROUP BY dur
+    ), staged AS (
+      SELECT t, n_events, n_censored,
+             CAST(sum(n_events + n_censored) OVER ()
+                  - coalesce(sum(n_events + n_censored) OVER (
+                      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM per_t
+    ), km AS (
+      SELECT t,
+             CASE WHEN min(1 - CAST(n_events AS DOUBLE) / n_risk)
+                    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) <= 0
+                  THEN 0.0
+                  ELSE exp(sum(ln(1 - CAST(n_events AS DOUBLE)
+                                  / n_risk))
+                           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW))
+             END AS survival
+      FROM staged
+    ), segs AS (
+      SELECT t, survival,
+             lead(t) OVER (ORDER BY t) AS tn
+      FROM km
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_times,
+             min(least(CAST(t AS DOUBLE), 21.0)) AS t1,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(survival
+                    * (least(coalesce(CAST(tn AS DOUBLE), 21.0), 21.0)
+                       - least(CAST(t AS DOUBLE), 21.0))
+                    ORDER BY t)),
+               (a, b) -> a + b) AS area
+      FROM segs
+    )
+    SELECT 21.0 AS tau, n_times, t1 + area AS rmst FROM agg
+    """,
+)
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time (operators/experiments.rmst) on
+    the q_kaplan_meier_churn units at a 21-day horizon: the area
+    under the KM curve — 'average days to first big purchase within
+    three weeks', the readable summary hazard ratios are not when
+    hazards cross. Step widths from one LEAD over the tiny duration
+    relation; the area a fixed time-sorted fold."""
+    from oakstore_spark.operators.experiments import rmst
+
+    e = table(spark, sf_dir, "events")
+    big = F.when(
+        (F.col("event_type") == "purchase") & (F.col("value") > 300),
+        F.col("ts"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(F.coalesce(F.min(big), F.max("ts"))),
+            F.to_date(F.min("ts")),
+        ).alias("dur"),
+        F.max(big).isNotNull().cast("int").alias("ev"),
+    )
+    return rmst(u, "dur", "ev", tau=21.0)
+
+
+@register(
     "q_logrank",
     oracle="""
     WITH u AS (

@@ -1507,6 +1507,24 @@ def test_nelson_aalen_hand_case(spark):
     assert out[5].cum_hazard == out[3].cum_hazard
 
 
+def test_rmst_hand_case_and_horizon(spark):
+    """Hand-checked KM area: durations (2,e)(4,e)(6,c) give S=2/3 on
+    [2,4) and S=1/3 on [4,6); RMST(6) = 2 + 2*(2/3) + 2*(1/3) = 4;
+    truncating at tau=3 gives 2 + 1*(2/3) = 8/3; tau beyond the last
+    time adds nothing (the curve is only defined to its last step,
+    integrated flat to tau: RMST(10) = 4 + 4*(1/3))."""
+    from oakstore_spark.operators.experiments import rmst
+
+    rows = [(2, 1), (4, 1), (6, 0)]
+    df = spark.createDataFrame(rows, ["dur", "ev"])
+    r6 = rmst(df, "dur", "ev", tau=6.0).collect()[0]
+    assert abs(r6.rmst - 4.0) < 1e-12 and r6.n_times == 3
+    r3 = rmst(df, "dur", "ev", tau=3.0).collect()[0]
+    assert abs(r3.rmst - 8 / 3) < 1e-12
+    r10 = rmst(df, "dur", "ev", tau=10.0).collect()[0]
+    assert abs(r10.rmst - (4.0 + 4 * (1 / 3))) < 1e-12
+
+
 def test_hampel_filter_planted_spikes_and_regime_change(spark):
     """Planted spikes in a flat-noise series are flagged and replaced
     by the local median; the SAME spike magnitude after a big level
