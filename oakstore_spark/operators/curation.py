@@ -660,3 +660,72 @@ def group_entropy(
         *keys, "n", "k_distinct", "entropy",
         norm.alias("entropy_norm"),
     )
+
+
+def quantile_normalize(
+    df,
+    source_col: str,
+    value_col: str,
+    id_col: str,
+):
+    """Cross-source quantile normalization — the batch-effect
+    corrector (Bolstad et al. 2003, the microarray standard — public)
+    for scores that mean different things per source (crawler A's
+    quality 0.8 ≠ crawler B's 0.8): map each value onto the POOLED
+    distribution at its within-source quantile, so downstream
+    thresholds and mixtures compare like with like.
+
+        i        = rank of the row within its source   (1..n_s)
+        pos      = ((i−1)·(N−1)) div (n_s−1) + 1       (integer!)
+        normalized = pooled value at rank pos          (1..N)
+
+    Everything is EXACT INTEGER arithmetic on ranks — no float
+    quantile interpolation — so the mapping replays bit-for-bit and
+    is monotone within every source by construction.  A single-row
+    source maps to the pooled median position (N+1) div 2.  Ties
+    order by (value, id) — deterministic everywhere.
+
+    Spark shape: one keyed window per source (rank + count — one
+    exchange), the pooled ranking via
+    :func:`~oakstore_spark.operators.scaling.assign_contiguous_ids`
+    (range exchange + offsets, never an empty-key window), and ONE
+    equi-join on the computed position.  Returns (id, source, value,
+    normalized).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from .scaling import assign_contiguous_ids
+
+    src = F.col(source_col).alias("source")
+    prep = df.select(
+        F.col(id_col).alias("id"), src, F.col(value_col).alias("value")
+    )
+    ws = W.partitionBy("source").orderBy("value", "id")
+    wsz = W.partitionBy("source")
+    ranked = prep.select(
+        "id",
+        "source",
+        "value",
+        F.row_number().over(ws).alias("_i"),
+        F.count(F.lit(1)).over(wsz).alias("_ns"),
+    )
+    pooled, n_total = assign_contiguous_ids(
+        prep.select("value", "source", "id"),
+        [F.col("value"), F.col("source"), F.col("id")],
+        id_name="_pos",
+        return_total=True,
+    )
+    pos = F.when(
+        F.col("_ns") > 1,
+        F.expr(f"((_i - 1) * ({int(n_total)} - 1)) div (_ns - 1)")
+        + F.lit(1),
+    ).otherwise(F.lit((int(n_total) + 1) // 2))
+    lookup = pooled.select(
+        F.col("_pos"), F.col("value").alias("normalized")
+    )
+    return (
+        ranked.withColumn("_tpos", pos.cast("bigint"))
+        .join(lookup, F.col("_tpos") == F.col("_pos"))
+        .select("id", "source", "value", "normalized")
+    )

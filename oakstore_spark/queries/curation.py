@@ -4818,3 +4818,47 @@ def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dispersion_index(daily, ["user_id"], "c").orderBy(
         "user_id"
     )
+
+
+@register(
+    "q_quantile_normalize",
+    oracle="""
+    WITH prep AS (
+      SELECT doc_id AS id, source, CAST(n_chars AS BIGINT) AS value
+      FROM documents
+    ), ranked AS (
+      SELECT id, source, value,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY value, id) AS i,
+             count(*) OVER (PARTITION BY source) AS ns
+      FROM prep
+    ), pooled AS (
+      SELECT value AS normalized,
+             row_number() OVER (ORDER BY value, source, id) AS pos
+      FROM prep
+    ), n AS (SELECT count(*) AS nt FROM prep)
+    SELECT r.id, r.source, r.value, p.normalized
+    FROM ranked r CROSS JOIN n
+    JOIN pooled p
+      ON p.pos = CASE WHEN r.ns > 1
+                      THEN ((r.i - 1) * (n.nt - 1)) // (r.ns - 1) + 1
+                      ELSE (n.nt + 1) // 2 END
+    ORDER BY r.id
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization
+    (operators/curation.quantile_normalize): document lengths mapped
+    onto the POOLED length distribution at each doc's within-source
+    quantile — the batch-effect corrector that makes 'long for
+    crawler A' and 'long for crawler B' comparable. Pure integer rank
+    arithmetic (no float interpolation), the pooled rank via
+    assign_contiguous_ids, one equi-join on the computed position."""
+    from oakstore_spark.operators.curation import quantile_normalize
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("nc")
+    )
+    return quantile_normalize(
+        d, "source", "nc", "doc_id"
+    ).orderBy("id")

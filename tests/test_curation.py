@@ -1731,6 +1731,35 @@ def test_ips_evaluate_hand_case_clip_and_guard(spark):
         ips_evaluate(df, "act", "reward", mu_partial, pi)
 
 
+def test_quantile_normalize_mapping_properties(spark):
+    """Two sources with the same shape but shifted scales map onto the
+    shared pooled distribution: per-source ranks are preserved
+    (monotone), the min/max of each source land on the pooled
+    min/max, and a single-row source maps to the pooled median."""
+    from oakstore_spark.operators.curation import quantile_normalize
+
+    rows = [(f"a{i}", "A", 10 + i) for i in range(10)]
+    rows += [(f"b{i}", "B", 1000 + 2 * i) for i in range(10)]
+    rows += [("solo", "C", 55)]
+    df = spark.createDataFrame(rows, ["id", "src", "v"])
+    out = {r.id: r for r in quantile_normalize(df, "src", "v", "id").collect()}
+    assert len(out) == 21
+    pooled = sorted(v for _, _, v in rows)
+    # source minima/maxima hit the pooled extremes
+    assert out["a0"].normalized == pooled[0]
+    assert out["b9"].normalized == pooled[-1]
+    assert out["b0"].normalized == pooled[0]
+    # monotone within each source
+    a_vals = [out[f"a{i}"].normalized for i in range(10)]
+    assert a_vals == sorted(a_vals)
+    b_vals = [out[f"b{i}"].normalized for i in range(10)]
+    assert b_vals == sorted(b_vals)
+    # equal within-source quantiles map to the SAME pooled value
+    assert a_vals == b_vals
+    # single-row source -> pooled median position (N+1)//2 = 11th
+    assert out["solo"].normalized == pooled[10]
+
+
 def test_wilson_intervals_edges_and_replica(spark):
     """p=0 and p=1 segments get finite, in-range intervals (the Wald
     interval collapses to zero width there — Wilson's point); a mixed
