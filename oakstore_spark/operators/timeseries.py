@@ -2550,3 +2550,105 @@ def hampel_filter(
         out.alias("is_outlier"),
         F.when(out, F.col("_med")).otherwise(x).alias("cleaned"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    x_col: str,
+    keys: list[str],
+    value_col: str,
+    max_points: int = 512,
+) -> DataFrame:
+    """Per-key Theil–Sen robust trend (Theil 1950 / Sen 1968 —
+    public): slope = MEDIAN of all pairwise slopes, intercept =
+    median of (y − slope·x) — the 29%-breakdown alternative to the
+    OLS ``regr_slope`` family (q_regr_user_trend), which a single
+    spike can drag arbitrarily.  The robust sibling on the trend
+    rung, as :func:`hampel_filter` is on the outlier rung.
+
+    Spark shape: ONE hash aggregate collects each key's (x, y) pairs
+    into a sorted array (no window, no shuffle beyond the groupBy),
+    and the O(n²) pairwise slopes are generated with nested JVM array
+    HOFs — bounded at ``max_points`` per key (~131k slope doubles at
+    the default; keys past the cap return NULL rather than a silent
+    quadratic blowup — resample/bucket the series first).  Pairs with
+    equal x are skipped (undefined slope); keys with < 2 usable
+    points or no valid pair read NULL.  Medians are the interpolated
+    order statistic both engines compute identically, so the whole
+    fit replays in SQL.
+
+    Returns keys + (n_obs, n_pairs, slope, intercept).
+    """
+    if max_points < 2:
+        raise ValueError("max_points must be >= 2")
+    x = F.col(x_col).cast("double")
+    y = F.col(value_col).cast("double")
+    g = df.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct(x.alias("x"), y.alias("y")))
+        ).alias("_a")
+    )
+    n = F.size(F.col("_a"))
+
+    def arr_median(arr):
+        m = F.size(arr)
+        odd = F.element_at(arr, ((m + 1) / 2).cast("int"))
+        even = (
+            F.element_at(arr, (m / 2).cast("int"))
+            + F.element_at(arr, (m / 2 + 1).cast("int"))
+        ) / 2.0
+        return F.when(m % 2 == 1, odd).otherwise(even)
+
+    slopes = F.sort_array(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("_a"),
+                    lambda s1, i: F.transform(
+                        F.slice(F.col("_a"), i + 2, n),
+                        lambda s2: F.when(
+                            s2.getField("x") != s1.getField("x"),
+                            (s2.getField("y") - s1.getField("y"))
+                            / (s2.getField("x") - s1.getField("x")),
+                        ),
+                    ),
+                )
+            ),
+            lambda s: s.isNotNull(),
+        )
+    )
+    staged = g.select(
+        *keys,
+        n.cast("bigint").alias("n_obs"),
+        F.when((n >= 2) & (n <= max_points), slopes).alias("_sl"),
+        "_a",
+    )
+    slope = F.when(
+        F.size(F.col("_sl")) > 0, arr_median(F.col("_sl"))
+    )
+    staged = staged.select(
+        *keys,
+        "n_obs",
+        F.coalesce(F.size("_sl"), F.lit(-1)).cast("bigint").alias(
+            "_np"
+        ),
+        slope.alias("_slope"),
+        "_a",
+    )
+    resid = F.sort_array(
+        F.transform(
+            F.col("_a"),
+            lambda s: s.getField("y")
+            - F.col("_slope") * s.getField("x"),
+        )
+    )
+    intercept = F.when(
+        F.col("_slope").isNotNull(), arr_median(resid)
+    )
+    return staged.select(
+        *keys,
+        "n_obs",
+        F.when(F.col("_np") >= 0, F.col("_np")).alias("n_pairs"),
+        F.col("_slope").alias("slope"),
+        intercept.alias("intercept"),
+    )

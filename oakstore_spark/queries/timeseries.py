@@ -2262,6 +2262,72 @@ def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_theil_sen",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(ts) AS DOUBLE) AS x,
+             CAST(round(value * 100) AS BIGINT) * 1.0 AS y
+      FROM events
+    ), pairs AS (
+      SELECT a.user_id,
+             (b.y - a.y) / (b.x - a.x) AS s
+      FROM pts a JOIN pts b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+      WHERE a.x <> b.x
+    ), sl AS (
+      SELECT user_id, list_sort(list(s)) AS l,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY user_id
+    ), slope AS (
+      SELECT user_id, n_pairs,
+             CASE WHEN len(l) % 2 = 1
+                  THEN l[CAST((len(l) + 1) / 2 AS INT)]
+                  ELSE (l[CAST(len(l) / 2 AS INT)]
+                        + l[CAST(len(l) / 2 + 1 AS INT)]) / 2.0
+             END AS slope
+      FROM sl
+    ), resid AS (
+      SELECT p.user_id, s.n_pairs, s.slope,
+             list_sort(list(p.y - s.slope * p.x)) AS r,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM pts p JOIN slope s USING (user_id)
+      GROUP BY p.user_id, s.n_pairs, s.slope
+    )
+    SELECT user_id, n_obs, n_pairs, slope,
+           CASE WHEN len(r) % 2 = 1
+                THEN r[CAST((len(r) + 1) / 2 AS INT)]
+                ELSE (r[CAST(len(r) / 2 AS INT)]
+                      + r[CAST(len(r) / 2 + 1 AS INT)]) / 2.0
+           END AS intercept
+    FROM resid ORDER BY user_id
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil-Sen robust trend of spend over time (x = exact epoch micros)
+    (operators/timeseries.theil_sen_trend): median of all pairwise
+    slopes (29% breakdown — a single spike cannot drag it the way it
+    drags q_regr_user_trend's OLS slope) + the median-residual
+    intercept. The O(n²) pair set is generated per key with nested
+    JVM array HOFs, bounded by max_points; the oracle enumerates the
+    same unordered pairs by self-join and interpolates medians with
+    the IDENTICAL (a+b)/2 indexing (quantile_cont's a+0.5(b−a) can
+    differ in the last ulp)."""
+    from oakstore_spark.operators.timeseries import theil_sen_trend
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").cast("double").alias("xsec"),
+        (F.round(F.col("value") * 100).cast("bigint") * 1.0).alias(
+            "cents"
+        ),
+    )
+    return theil_sen_trend(
+        e, "xsec", ["user_id"], "cents", max_points=512
+    ).orderBy("user_id")
+
+
+@register(
     "q_nelson_aalen",
     oracle="""
     WITH u AS (

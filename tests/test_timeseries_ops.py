@@ -1507,6 +1507,43 @@ def test_nelson_aalen_hand_case(spark):
     assert out[5].cum_hazard == out[3].cum_hazard
 
 
+def test_theil_sen_robust_to_spike_and_guards(spark):
+    """A clean line y = 3x + 7 recovers slope/intercept EXACTLY even
+    with one wild spike (the OLS slope moves, the median slope does
+    not — asserted against regr-style moments); duplicate-x pairs are
+    skipped; n<2 and over-cap keys read NULL."""
+    from oakstore_spark.operators.timeseries import theil_sen_trend
+
+    rows = [("u", float(t), 3.0 * t + 7.0) for t in range(20)]
+    rows[10] = ("u", 10.0, 10_000.0)  # one spike
+    rows += [("one", 1.0, 5.0)]
+    rows += [("dup", 1.0, 1.0), ("dup", 1.0, 9.0), ("dup", 2.0, 4.0)]
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    out = {
+        r.k: r
+        for r in theil_sen_trend(df, "x", ["k"], "y").collect()
+    }
+    assert out["u"].slope == 3.0 and out["u"].intercept == 7.0
+    assert out["u"].n_obs == 20 and out["u"].n_pairs == 190
+    # OLS on the same data is dragged far from 3 by the spike
+    n, sx = 20, sum(t for t in range(20))
+    ys = [3.0 * t + 7.0 for t in range(20)]
+    ys[10] = 10_000.0
+    sxy = sum(t * ys[t] for t in range(20))
+    sxx = sum(t * t for t in range(20))
+    ols = (n * sxy - sx * sum(ys)) / (n * sxx - sx * sx)
+    assert abs(ols - 3.0) > 5.0
+    assert out["one"].slope is None and out["one"].n_obs == 1
+    assert out["dup"].n_pairs == 2  # the equal-x pair is skipped
+    cap = {
+        r.k: r
+        for r in theil_sen_trend(
+            df, "x", ["k"], "y", max_points=10
+        ).collect()
+    }
+    assert cap["u"].slope is None  # 20 points > cap -> NULL
+
+
 def test_rmst_hand_case_and_horizon(spark):
     """Hand-checked KM area: durations (2,e)(4,e)(6,c) give S=2/3 on
     [2,4) and S=1/3 on [4,6); RMST(6) = 2 + 2*(2/3) + 2*(1/3) = 4;
