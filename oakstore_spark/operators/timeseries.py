@@ -2652,3 +2652,101 @@ def theil_sen_trend(
         F.col("_slope").alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    x_col: str,
+    keys: list[str],
+    value_col: str,
+    max_points: int = 512,
+) -> DataFrame:
+    """Per-key Mann–Kendall monotone-trend test (Mann 1945 / Kendall
+    1975 — public): IS there a trend, to go with :func:`theil_sen_trend`'s
+    HOW STEEP —
+
+        S      = Σ over time-ordered pairs i<j of sign(y_j − y_i)
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+                                  (t = sizes of tied y groups)
+        z      = (S ∓ 1) / sqrt(Var(S))     (continuity-corrected)
+
+    — distribution-free, so it reads trend through spikes and skew
+    that break a regression t-test.
+
+    Exactness: S and both variance terms are exact BIGINTs (S from a
+    nested-HOF pair sweep over the bounded per-key array — the
+    theil_sen rule, ``max_points`` cap, equal-x pairs skipped and
+    documented as requiring mostly-distinct timestamps; the y-tie
+    groups from ONE extra (key, y) hash aggregate), so z is one
+    pinned chain ending in the correctly-rounded sqrt.  Keys with
+    n < 2, over the cap, or Var(S) = 0 read NULL z.
+
+    Returns keys + (n_obs, s_stat, var_s_x18, z).  ``var_s_x18`` is
+    the exact integer 18·Var(S) (published instead of the division so
+    the BIGINT survives the wire).
+    """
+    if max_points < 2:
+        raise ValueError("max_points must be >= 2")
+    x = F.col(x_col).cast("double")
+    y = F.col(value_col).cast("double")
+    g = df.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct(x.alias("x"), y.alias("y")))
+        ).alias("_a"),
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+    )
+    n = F.size(F.col("_a"))
+    signs = F.flatten(
+        F.transform(
+            F.col("_a"),
+            lambda s1, i: F.transform(
+                F.slice(F.col("_a"), i + 2, n),
+                lambda s2: F.when(
+                    s2.getField("x") != s1.getField("x"),
+                    F.signum(
+                        s2.getField("y") - s1.getField("y")
+                    ).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+        )
+    )
+    s_stat = F.when(
+        (n >= 2) & (n <= max_points),
+        F.aggregate(
+            signs, F.lit(0).cast("long"), lambda acc, v: acc + v
+        ),
+    )
+    base = g.select(*keys, "n_obs", s_stat.alias("s_stat"))
+    ties = (
+        df.groupBy(*keys, y.alias("_y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.col("_t")
+                * (F.col("_t") - 1)
+                * (2 * F.col("_t") + 5)
+            ).cast("bigint").alias("_tie_term")
+        )
+    )
+    j = base.join(ties, list(keys))
+    nn = F.col("n_obs")
+    var18 = (
+        nn * (nn - 1) * (2 * nn + 5) - F.col("_tie_term")
+    ).cast("bigint")
+    s = F.col("s_stat")
+    corr = F.when(s > 0, s - 1).when(s < 0, s + 1).otherwise(
+        F.lit(0).cast("long")
+    )
+    z = F.when(
+        s.isNotNull() & (var18 > 0),
+        corr.cast("double")
+        / F.sqrt(var18.cast("double") / F.lit(18.0)),
+    )
+    return j.select(
+        *keys,
+        "n_obs",
+        "s_stat",
+        var18.alias("var_s_x18"),
+        z.alias("z"),
+    )

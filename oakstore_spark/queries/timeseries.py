@@ -2328,6 +2328,71 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mann_kendall",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(ts) AS DOUBLE) AS x,
+             CAST(round(value * 100) AS BIGINT) * 1.0 AS y
+      FROM events
+    ), s AS (
+      SELECT a.user_id,
+             CAST(sum(CASE WHEN a.x = b.x THEN 0
+                           ELSE CAST(sign(b.y - a.y) AS BIGINT) END)
+                  AS BIGINT) AS s_stat
+      FROM pts a JOIN pts b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+      GROUP BY a.user_id
+    ), nobs AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs
+      FROM pts GROUP BY user_id
+    ), ties AS (
+      SELECT user_id,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+               AS tie_term
+      FROM (
+        SELECT user_id, y, CAST(count(*) AS BIGINT) AS t
+        FROM pts GROUP BY user_id, y
+      ) GROUP BY user_id
+    ), j AS (
+      SELECT n.user_id, n.n_obs, s.s_stat,
+             CAST(n.n_obs * (n.n_obs - 1) * (2 * n.n_obs + 5)
+                  - t.tie_term AS BIGINT) AS var_s_x18
+      FROM nobs n JOIN s USING (user_id) JOIN ties t USING (user_id)
+    )
+    SELECT user_id, n_obs, s_stat, var_s_x18,
+           CASE WHEN var_s_x18 > 0 THEN
+             CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+                       WHEN s_stat < 0 THEN s_stat + 1
+                       ELSE 0 END AS DOUBLE)
+             / sqrt(CAST(var_s_x18 AS DOUBLE) / 18.0)
+           END AS z
+    FROM j ORDER BY user_id
+    """,
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Mann-Kendall monotone-trend test
+    (operators/timeseries.mann_kendall_trend) on spend over time —
+    the distribution-free IS-there-a-trend companion to q_theil_sen's
+    slope: S from the same bounded nested-HOF pair sweep (exact
+    BIGINT), the tie-corrected variance from one (user, value) hash
+    aggregate, z one pinned chain. The wire carries the exact integer
+    18*Var(S)."""
+    from oakstore_spark.operators.timeseries import mann_kendall_trend
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").cast("double").alias("xus"),
+        (F.round(F.col("value") * 100).cast("bigint") * 1.0).alias(
+            "cents"
+        ),
+    )
+    return mann_kendall_trend(
+        e, "xus", ["user_id"], "cents", max_points=512
+    ).orderBy("user_id")
+
+
+@register(
     "q_nelson_aalen",
     oracle="""
     WITH u AS (

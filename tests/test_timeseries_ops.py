@@ -1544,6 +1544,41 @@ def test_theil_sen_robust_to_spike_and_guards(spark):
     assert cap["u"].slope is None  # 20 points > cap -> NULL
 
 
+def test_mann_kendall_closed_forms(spark):
+    """Strictly increasing y over n=10 points -> S exactly
+    n(n-1)/2 = 45 with z > 2; a constant series -> S = 0 and the tie
+    term kills the variance (NULL z); a pure alternation -> |S| <= 1;
+    spikes do not flip a monotone verdict (distribution-free)."""
+    from datetime import datetime, timedelta
+
+    from oakstore_spark.operators.timeseries import mann_kendall_trend
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("up", t0 + timedelta(hours=t), float(t * t)) for t in range(10)]
+    rows += [("c", t0 + timedelta(hours=t), 5.0) for t in range(10)]
+    rows += [
+        ("alt", t0 + timedelta(hours=t), float(t % 2)) for t in range(10)
+    ]
+    spiky = [float(t) for t in range(20)]
+    spiky[7] = 1e6  # one spike, still 18 of 19 upward steps
+    rows += [
+        ("sp", t0 + timedelta(hours=t), v) for t, v in enumerate(spiky)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "y"])
+    xs = df.select(
+        "k", F.unix_micros("ts").cast("double").alias("x"), "y"
+    )
+    out = {
+        r.k: r
+        for r in mann_kendall_trend(xs, "x", ["k"], "y").collect()
+    }
+    assert out["up"].s_stat == 45 and out["up"].z > 2.0
+    assert out["up"].var_s_x18 == 10 * 9 * 25
+    assert out["c"].s_stat == 0 and out["c"].z is None
+    assert abs(out["alt"].s_stat) <= 5
+    assert out["sp"].z > 3.0  # spike cannot flip the verdict
+
+
 def test_rmst_hand_case_and_horizon(spark):
     """Hand-checked KM area: durations (2,e)(4,e)(6,c) give S=2/3 on
     [2,4) and S=1/3 on [4,6); RMST(6) = 2 + 2*(2/3) + 2*(1/3) = 4;
