@@ -2081,3 +2081,47 @@ def rmst(
         "n_times",
         (F.col("_t1") + F.col("_area")).alias("rmst"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    before_col: str,
+    after_col: str,
+) -> DataFrame:
+    """McNemar's paired-binary test (McNemar 1947 — public): did a
+    change FLIP outcomes, unit by unit — the right test when the same
+    units are measured under both conditions (model v1 vs v2 on the
+    same examples, before/after a feature launch on the same users),
+    where an unpaired two-proportion z-test throws away the pairing.
+
+        b = #(1→0 flips), c = #(0→1 flips)
+        χ² = (|b − c| − 1)² / (b + c)      (continuity-corrected)
+
+    Only the DISCORDANT pairs carry information; concordant ones are
+    reported but never enter the statistic.
+
+    Spark shape: ONE conditional hash aggregate (four exact BIGINT
+    cells), the statistic a pinned chain.  Both columns must be 0/1
+    integer flags; b + c = 0 (no flips at all) reads NULL χ².
+
+    Returns one row: (n, n00, n01, n10, n11, chi2).
+    """
+    b0 = F.col(before_col).cast("bigint")
+    a0 = F.col(after_col).cast("bigint")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(((1 - b0) * (1 - a0))).cast("bigint").alias("n00"),
+        F.sum(((1 - b0) * a0)).cast("bigint").alias("n01"),
+        F.sum((b0 * (1 - a0))).cast("bigint").alias("n10"),
+        F.sum((b0 * a0)).cast("bigint").alias("n11"),
+    )
+    b = F.col("n10").cast("double")
+    c = F.col("n01").cast("double")
+    num = F.abs(b - c) - F.lit(1.0)
+    chi2 = F.when(
+        F.col("n10") + F.col("n01") > 0,
+        (num * num) / (b + c),
+    )
+    return agg.select(
+        "n", "n00", "n01", "n10", "n11", chi2.alias("chi2")
+    )

@@ -2750,3 +2750,88 @@ def mann_kendall_trend(
         var18.alias("var_s_x18"),
         z.alias("z"),
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    max_points: int = 512,
+) -> DataFrame:
+    """Per-key Kendall tau-b rank correlation (Kendall 1938; tau-b's
+    tie normalization — public): the pair-concordance reading of
+    association — robust to any monotone transform of either column,
+    the right correlation for ordinal or heavy-tailed pairs where
+    Pearson misleads and per-key data is bounded.
+
+        S  = Σ over pairs of sign((x_j−x_i)·(y_j−y_i))
+        τ_b = S / sqrt((n0 − t_x)(n0 − t_y)),  n0 = n(n−1)/2,
+              t_x/t_y = Σ t(t−1)/2 over tied groups in x / y
+
+    Exactness: S, n0 and both tie terms are exact BIGINTs (S from the
+    bounded nested-HOF pair sweep — the theil_sen/mann_kendall rule,
+    ``max_points`` cap; tie terms from two (key, value) hash
+    aggregates), τ_b one pinned chain ending in the correctly-rounded
+    sqrt.  Keys with n < 2, over the cap, or a fully-tied column read
+    NULL.
+
+    Returns keys + (n_obs, s_stat, tau_b).
+    """
+    if max_points < 2:
+        raise ValueError("max_points must be >= 2")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    g = df.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct(x.alias("x"), y.alias("y")))
+        ).alias("_a"),
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+    )
+    n = F.size(F.col("_a"))
+    signs = F.flatten(
+        F.transform(
+            F.col("_a"),
+            lambda s1, i: F.transform(
+                F.slice(F.col("_a"), i + 2, n),
+                lambda s2: (
+                    F.signum(s2.getField("x") - s1.getField("x"))
+                    * F.signum(s2.getField("y") - s1.getField("y"))
+                ).cast("long"),
+            ),
+        )
+    )
+    s_stat = F.when(
+        (n >= 2) & (n <= max_points),
+        F.aggregate(
+            signs, F.lit(0).cast("long"), lambda acc, v: acc + v
+        ),
+    )
+    base = g.select(*keys, "n_obs", s_stat.alias("s_stat"))
+
+    def tie_term(col, alias):
+        return (
+            df.groupBy(*keys, col.alias("_v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
+            .groupBy(*keys)
+            .agg(
+                F.sum(
+                    F.col("_t") * (F.col("_t") - 1) / 2
+                ).cast("bigint").alias(alias)
+            )
+        )
+
+    j = (
+        base.join(tie_term(x, "_tx"), list(keys))
+        .join(tie_term(y, "_ty"), list(keys))
+    )
+    nn = F.col("n_obs")
+    n0 = (nn * (nn - 1) / 2).cast("bigint")
+    den2 = (n0 - F.col("_tx")).cast("double") * (
+        n0 - F.col("_ty")
+    ).cast("double")
+    tau = F.when(
+        F.col("s_stat").isNotNull() & (den2 > 0),
+        F.col("s_stat").cast("double") / F.sqrt(den2),
+    )
+    return j.select(*keys, "n_obs", "s_stat", tau.alias("tau_b"))

@@ -4862,3 +4862,54 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_normalize(
         d, "source", "nc", "doc_id"
     ).orderBy("id")
+
+
+@register(
+    "q_mcnemar",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  AND event_type = 'purchase' AND value > 200
+                  THEN 1 ELSE 0 END) AS before_f,
+             max(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  AND event_type = 'purchase' AND value > 200
+                  THEN 1 ELSE 0 END) AS after_f
+      FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((1 - before_f) * (1 - after_f)) AS BIGINT) AS n00,
+             CAST(sum((1 - before_f) * after_f) AS BIGINT) AS n01,
+             CAST(sum(before_f * (1 - after_f)) AS BIGINT) AS n10,
+             CAST(sum(before_f * after_f) AS BIGINT) AS n11
+      FROM u
+    )
+    SELECT n, n00, n01, n10, n11,
+           CASE WHEN n10 + n01 > 0 THEN
+             (abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE)) - 1.0)
+             * (abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE)) - 1.0)
+             / (CAST(n10 AS DOUBLE) + CAST(n01 AS DOUBLE)) END AS chi2
+    FROM agg
+    """,
+)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired flip test (operators/experiments.mcnemar_test):
+    per user, did big-purchase behavior FLIP between the first and
+    second half of January — the paired test an unpaired
+    two-proportion z throws the pairing away on. One conditional hash
+    aggregate to four exact BIGINT cells; only discordant pairs enter
+    the continuity-corrected chi2."""
+    from oakstore_spark.operators.experiments import mcnemar_test
+
+    e = table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    hot = (F.col("event_type") == "purchase") & (F.col("value") > 200)
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("ts") < split) & hot, 1).otherwise(0)
+        ).alias("before_f"),
+        F.max(
+            F.when((F.col("ts") >= split) & hot, 1).otherwise(0)
+        ).alias("after_f"),
+    )
+    return mcnemar_test(u, "before_f", "after_f")

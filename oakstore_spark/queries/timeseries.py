@@ -3066,3 +3066,67 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return backtest_forecasts(
         ev, ["user_id"], "x", "f", naive_col="nv"
     ).orderBy("user_id")
+
+
+@register(
+    "q_kendall_tau",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) * 1.0 AS x,
+             CAST(length(event_type) AS BIGINT) * 1.0 AS y
+      FROM events
+    ), s AS (
+      SELECT a.user_id,
+             CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)
+                      * CAST(sign(b.y - a.y) AS BIGINT))
+                  AS BIGINT) AS s_stat
+      FROM pts a JOIN pts b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+      GROUP BY a.user_id
+    ), nobs AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs
+      FROM pts GROUP BY user_id
+    ), tx AS (
+      SELECT user_id, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS tx
+      FROM (SELECT user_id, x, CAST(count(*) AS BIGINT) AS t
+            FROM pts GROUP BY user_id, x) GROUP BY user_id
+    ), ty AS (
+      SELECT user_id, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ty
+      FROM (SELECT user_id, y, CAST(count(*) AS BIGINT) AS t
+            FROM pts GROUP BY user_id, y) GROUP BY user_id
+    ), j AS (
+      SELECT n.user_id, n.n_obs, s.s_stat,
+             CAST(n.n_obs * (n.n_obs - 1) // 2 AS BIGINT) AS n0,
+             tx.tx, ty.ty
+      FROM nobs n JOIN s USING (user_id)
+      JOIN tx USING (user_id) JOIN ty USING (user_id)
+    )
+    SELECT user_id, n_obs, s_stat,
+           CASE WHEN CAST(n0 - tx AS DOUBLE)
+                     * CAST(n0 - ty AS DOUBLE) > 0
+                THEN CAST(s_stat AS DOUBLE)
+                     / sqrt(CAST(n0 - tx AS DOUBLE)
+                            * CAST(n0 - ty AS DOUBLE)) END AS tau_b
+    FROM j ORDER BY user_id
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Kendall tau-b (operators/timeseries.kendall_tau)
+    between event value and event-type length — the pair-concordance
+    correlation that survives monotone transforms and heavy tails
+    where Pearson misleads: S from the bounded nested-HOF pair sweep,
+    tie terms from two (user, value) hash aggregates, tau_b one
+    pinned chain."""
+    from oakstore_spark.operators.timeseries import kendall_tau
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.round(F.col("value") * 100).cast("bigint") * 1.0).alias(
+            "cents"
+        ),
+        (F.length("event_type").cast("bigint") * 1.0).alias("tlen"),
+    )
+    return kendall_tau(
+        e, ["user_id"], "cents", "tlen", max_points=512
+    ).orderBy("user_id")

@@ -1544,6 +1544,47 @@ def test_theil_sen_robust_to_spike_and_guards(spark):
     assert cap["u"].slope is None  # 20 points > cap -> NULL
 
 
+def test_kendall_tau_closed_forms(spark):
+    """Perfect concordance -> tau_b exactly 1.0, perfect discordance
+    -> -1.0; a constant column -> NULL (fully tied); hand-checked
+    tie case matches the tau-b formula."""
+    from oakstore_spark.operators.timeseries import kendall_tau
+
+    rows = [("up", float(i), float(i * i)) for i in range(10)]
+    rows += [("dn", float(i), float(-3 * i)) for i in range(10)]
+    rows += [("c", float(i), 7.0) for i in range(10)]
+    # tie case: x = 1,1,2; y = 1,2,3 -> S = 2 (two concordant, one
+    # x-tie zero), n0 = 3, tx = 1, ty = 0 -> tau = 2/sqrt(2*3)
+    rows += [("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 3.0)]
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    out = {
+        r.k: r for r in kendall_tau(df, ["k"], "x", "y").collect()
+    }
+    assert out["up"].tau_b == 1.0 and out["up"].s_stat == 45
+    assert out["dn"].tau_b == -1.0
+    assert out["c"].tau_b is None
+    import math
+
+    assert abs(out["t"].tau_b - 2 / math.sqrt(6)) < 1e-12
+
+
+def test_mcnemar_hand_case(spark):
+    """Hand 2x2: 6 one-to-zero flips vs 2 zero-to-one flips ->
+    chi2 = (|6-2|-1)^2/8 = 1.125 exactly; concordant-only data reads
+    NULL (no information in agreements)."""
+    from oakstore_spark.operators.experiments import mcnemar_test
+
+    rows = (
+        [(1, 1)] * 10 + [(0, 0)] * 10 + [(1, 0)] * 6 + [(0, 1)] * 2
+    )
+    df = spark.createDataFrame(rows, ["b", "a"])
+    r = mcnemar_test(df, "b", "a").collect()[0]
+    assert (r.n00, r.n01, r.n10, r.n11) == (10, 2, 6, 10)
+    assert r.chi2 == 1.125
+    agree = spark.createDataFrame([(1, 1), (0, 0)], ["b", "a"])
+    assert mcnemar_test(agree, "b", "a").collect()[0].chi2 is None
+
+
 def test_mann_kendall_closed_forms(spark):
     """Strictly increasing y over n=10 points -> S exactly
     n(n-1)/2 = 45 with z > 2; a constant series -> S = 0 and the tie
