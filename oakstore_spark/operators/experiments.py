@@ -2125,3 +2125,152 @@ def mcnemar_test(
     return agg.select(
         "n", "n00", "n01", "n10", "n11", chi2.alias("chi2")
     )
+
+
+def cramers_v(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cramér's V association strength for two categoricals (Cramér
+    1946 — public): the EFFECT SIZE companion to the chi-squared
+    independence test (q_chi2_lang_source tells you association
+    exists; V ∈ [0,1] tells you whether it matters) — comparable
+    across tables of any shape, unlike raw χ².
+
+        V = sqrt( χ² / (n · (min(r, c) − 1)) )
+
+    Spark shape: ONE hash aggregate to the (a, b) contingency relation
+    (bounded by category-cardinality product), margins via two
+    aggregates on that tiny relation, expected counts as rational
+    chains, and the cross-cell χ² sum a FIXED (a, b)-sorted fold (the
+    power_analysis rule).  Every input to the final sqrt derives from
+    exact BIGINTs, so V replays bit-for-bit.  NULL categories are
+    excluded; a single-category side reads NULL V.
+
+    Returns one row: (n, n_rows_cat, n_cols_cat, chi2, v).
+    """
+    a = F.col(a_col).cast("string")
+    b = F.col(b_col).cast("string")
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_o"))
+    )
+    ra = cells.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    cb = cells.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    tot = cells.agg(
+        F.sum("_o").cast("bigint").alias("_n"),
+        F.countDistinct("_a").cast("bigint").alias("_r"),
+        F.countDistinct("_b").cast("bigint").alias("_c"),
+    )
+    j = (
+        cells.join(F.broadcast(ra), "_a")
+        .join(F.broadcast(cb), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("_ra").cast("double")
+        * F.col("_cb").cast("double")
+        / F.col("_n")
+    )
+    # UNOBSERVED cells (o = 0) still contribute their expected count
+    # to chi2; rather than generating the full grid, use the identity
+    # sum over all cells of e == n, so chi2 = n + fold over OBSERVED
+    # cells of ((o-e)^2/e - e)
+    term = (
+        (F.col("_o").cast("double") - e)
+        * (F.col("_o").cast("double") - e)
+        / e
+        - e
+    )
+    agg = j.agg(
+        F.max("_n").alias("n"),
+        F.max("_r").alias("n_rows_cat"),
+        F.max("_c").alias("n_cols_cat"),
+        (
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_a"), F.col("_b"), term.alias("v")
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, r: acc + r.getField("v"),
+            )
+            + F.max("_n").cast("double")
+        ).alias("chi2"),
+    )
+    mind = F.least(
+        F.col("n_rows_cat"), F.col("n_cols_cat")
+    ).cast("double") - F.lit(1.0)
+    v = F.when(
+        mind > 0,
+        F.sqrt(F.col("chi2") / (F.col("n").cast("double") * mind)),
+    )
+    return agg.select(
+        "n", "n_rows_cat", "n_cols_cat", "chi2", v.alias("v")
+    )
+
+
+def odds_ratio(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """2×2 odds ratio with the Woolf log-interval (public textbook):
+    the case-control readout — how much more likely is the outcome
+    among the exposed —
+
+        OR = (a·d) / (b·c)
+        CI = exp( ln OR ± z·sqrt(1/a + 1/b + 1/c + 1/d) )
+
+    with a=exposed-outcome, b=exposed-no, c=unexposed-outcome,
+    d=unexposed-no.  Spark shape: ONE conditional aggregate to four
+    exact BIGINT cells, the readout a pinned chain.  Any zero cell
+    reads NULL OR/CI (the Woolf interval is undefined; apply a
+    Haldane correction upstream if needed — stated, not silently
+    done).  ``z`` is a caller-held literal.  ln/exp are the 1-ulp
+    libm class: the float outputs are rounded to 9 decimals (the
+    established rounding precedent), counts stay exact.
+
+    Returns one row: (a, b, c, d, odds_ratio, lo, hi).
+    """
+    ex = F.col(exposure_col).cast("bigint")
+    y = F.col(outcome_col).cast("bigint")
+    agg = df.agg(
+        F.sum(ex * y).cast("bigint").alias("a"),
+        F.sum(ex * (1 - y)).cast("bigint").alias("b"),
+        F.sum((1 - ex) * y).cast("bigint").alias("c"),
+        F.sum((1 - ex) * (1 - y)).cast("bigint").alias("d"),
+    )
+    ok = (
+        (F.col("a") > 0)
+        & (F.col("b") > 0)
+        & (F.col("c") > 0)
+        & (F.col("d") > 0)
+    )
+    orr = (
+        F.col("a").cast("double") * F.col("d")
+        / (F.col("b").cast("double") * F.col("c"))
+    )
+    se = F.sqrt(
+        1 / F.col("a").cast("double")
+        + 1 / F.col("b").cast("double")
+        + 1 / F.col("c").cast("double")
+        + 1 / F.col("d").cast("double")
+    )
+    lo = F.exp(F.log(orr) - F.lit(float(z)) * se)
+    hi = F.exp(F.log(orr) + F.lit(float(z)) * se)
+    return agg.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(ok, F.round(orr, 9)).alias("odds_ratio"),
+        F.when(ok, F.round(lo, 9)).alias("lo"),
+        F.when(ok, F.round(hi, 9)).alias("hi"),
+    )

@@ -4913,3 +4913,128 @@ def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("after_f"),
     )
     return mcnemar_test(u, "before_f", "after_f")
+
+
+@register(
+    "q_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS a,
+             CASE WHEN value > 250 THEN 'hi' ELSE 'lo' END AS b,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ), ra AS (
+      SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a
+    ), cb AS (
+      SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b
+    ), tot AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT a) AS BIGINT) AS r,
+             CAST(count(DISTINCT b) AS BIGINT) AS c
+      FROM cells
+    ), agg AS (
+      SELECT max(t.n) AS n, max(t.r) AS n_rows_cat,
+             max(t.c) AS n_cols_cat,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((CAST(o AS DOUBLE)
+                     - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / t.n)
+                    * (CAST(o AS DOUBLE)
+                       - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                         / t.n)
+                    / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / t.n)
+                    - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / t.n
+                    ORDER BY cells.a, cells.b)),
+               (x, y) -> x + y)
+             + CAST(max(t.n) AS DOUBLE) AS chi2
+      FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot t
+    )
+    SELECT n, n_rows_cat, n_cols_cat, chi2,
+           CASE WHEN least(n_rows_cat, n_cols_cat) - 1 > 0
+                THEN sqrt(chi2 / (CAST(n AS DOUBLE)
+                     * (CAST(least(n_rows_cat, n_cols_cat) AS DOUBLE)
+                        - 1.0))) END AS v
+    FROM agg
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V (operators/experiments.cramers_v) between event
+    type and a high/low value split — the effect-size companion to
+    the chi-squared independence family: contingency from one
+    class-bounded aggregate, expected counts as rational chains, the
+    cross-cell chi2 a fixed (a,b)-sorted fold, V one sqrt."""
+    from oakstore_spark.operators.experiments import cramers_v
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("value") > 250, "hi").otherwise("lo").alias(
+            "band"
+        ),
+    )
+    return cramers_v(e, "event_type", "band")
+
+
+@register(
+    "q_odds_ratio",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS ex,
+             max(CASE WHEN event_type = 'purchase' AND value > 200
+                  THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT CAST(sum(ex * y) AS BIGINT) AS a,
+             CAST(sum(ex * (1 - y)) AS BIGINT) AS b,
+             CAST(sum((1 - ex) * y) AS BIGINT) AS c,
+             CAST(sum((1 - ex) * (1 - y)) AS BIGINT) AS d
+      FROM u
+    )
+    SELECT a, b, c, d,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+             round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 9)
+           END AS odds_ratio,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+             round(exp(ln(CAST(a AS DOUBLE) * d
+                          / (CAST(b AS DOUBLE) * c))
+                   - CAST('1.959963984540054' AS DOUBLE)
+                     * sqrt(1 / CAST(a AS DOUBLE) + 1 / CAST(b AS DOUBLE)
+                            + 1 / CAST(c AS DOUBLE)
+                            + 1 / CAST(d AS DOUBLE))), 9)
+           END AS lo,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+             round(exp(ln(CAST(a AS DOUBLE) * d
+                          / (CAST(b AS DOUBLE) * c))
+                   + CAST('1.959963984540054' AS DOUBLE)
+                     * sqrt(1 / CAST(a AS DOUBLE) + 1 / CAST(b AS DOUBLE)
+                            + 1 / CAST(c AS DOUBLE)
+                            + 1 / CAST(d AS DOUBLE))), 9)
+           END AS hi
+    FROM agg
+    """,
+)
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 odds ratio + Woolf interval
+    (operators/experiments.odds_ratio): does having signed up raise
+    the odds of a big purchase — one conditional aggregate to four
+    exact BIGINT cells, the case-control readout as a pinned chain
+    (ln/exp are the 1-ulp libm class, so the three float outputs are
+    rounded to 9 decimals in both engines)."""
+    from oakstore_spark.operators.experiments import odds_ratio
+
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("ex"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 200),
+                1,
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    return odds_ratio(u, "ex", "y")

@@ -1760,6 +1760,57 @@ def test_quantile_normalize_mapping_properties(spark):
     assert out["solo"].normalized == pooled[10]
 
 
+def test_cramers_v_extremes(spark):
+    """Perfect association (b determined by a) -> V exactly 1.0;
+    exact independence (balanced product table) -> chi2 == 0.0 and
+    V == 0.0; a single-category side reads NULL."""
+    from oakstore_spark.operators.experiments import cramers_v
+
+    perfect = spark.createDataFrame(
+        [("x", "p")] * 10 + [("y", "q")] * 15 + [("z", "r")] * 5,
+        ["a", "b"],
+    )
+    r = cramers_v(perfect, "a", "b").collect()[0]
+    assert r.v == 1.0 and r.n == 30
+
+    indep = spark.createDataFrame(
+        [(a, b) for a in ("x", "y") for b in ("p", "q") for _ in range(5)],
+        ["a", "b"],
+    )
+    r2 = cramers_v(indep, "a", "b").collect()[0]
+    assert r2.chi2 == 0.0 and r2.v == 0.0
+
+    single = spark.createDataFrame(
+        [("x", "p"), ("x", "q")], ["a", "b"]
+    )
+    assert cramers_v(single, "a", "b").collect()[0].v is None
+
+
+def test_odds_ratio_hand_case_and_zero_cell(spark):
+    """Hand 2x2 (a,b,c,d)=(20,10,5,40): OR = 16 exactly, CI brackets
+    it and matches a driver replica to 1e-9 (the rounding grain); a
+    zero cell reads NULL."""
+    import math
+
+    from oakstore_spark.operators.experiments import odds_ratio
+
+    rows = (
+        [(1, 1)] * 20 + [(1, 0)] * 10 + [(0, 1)] * 5 + [(0, 0)] * 40
+    )
+    df = spark.createDataFrame(rows, ["ex", "y"])
+    r = odds_ratio(df, "ex", "y").collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (20, 10, 5, 40)
+    assert r.odds_ratio == 16.0
+    z = 1.959963984540054
+    se = math.sqrt(1 / 20 + 1 / 10 + 1 / 5 + 1 / 40)
+    assert abs(r.lo - math.exp(math.log(16.0) - z * se)) < 1e-9
+    assert abs(r.hi - math.exp(math.log(16.0) + z * se)) < 1e-9
+    assert r.lo < 16.0 < r.hi
+
+    nz = spark.createDataFrame([(1, 1), (0, 0)], ["ex", "y"])
+    assert odds_ratio(nz, "ex", "y").collect()[0].odds_ratio is None
+
+
 def test_wilson_intervals_edges_and_replica(spark):
     """p=0 and p=1 segments get finite, in-range intervals (the Wald
     interval collapses to zero width there — Wilson's point); a mixed
