@@ -2274,3 +2274,63 @@ def odds_ratio(
         F.when(ok, F.round(lo, 9)).alias("lo"),
         F.when(ok, F.round(hi, 9)).alias("hi"),
     )
+
+
+def cohens_d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Standardized mean difference — Cohen's d with the Hedges' g
+    small-sample correction (Cohen 1988 / Hedges 1981 — public): the
+    metric-scale effect size next to :func:`cliffs_delta`'s ordinal
+    one; the number meta-analyses and power planning consume
+    (|d| ≈ 0.2/0.5/0.8 small/medium/large):
+
+        d = (mean_a − mean_b) / s_pooled
+        s_pooled² = [(n_a−1)s_a² + (n_b−1)s_b²] / (n_a + n_b − 2)
+        g = d · (1 − 3 / (4(n_a+n_b) − 9))
+
+    Exactness (the Welch rule): ``value_col`` integer-valued, so all
+    moments (n, Σx, Σx² per arm) are exact BIGINTs from ONE
+    conditional hash aggregate, and d/g are pinned chains ending in
+    the correctly-rounded sqrt.  NULL when either arm has < 2 rows or
+    the pooled variance is 0.
+
+    Returns one row: (n_a, n_b, mean_a, mean_b, sd_pooled, d,
+    hedges_g).
+    """
+    g = F.col(group_col)
+    x = F.col(value_col).cast("bigint")
+    ia = (g == group_a).cast("bigint")
+    ib = (g == group_b).cast("bigint")
+    agg = df.agg(
+        F.sum(ia).cast("bigint").alias("n_a"),
+        F.sum(ib).cast("bigint").alias("n_b"),
+        F.sum(ia * x).cast("bigint").alias("_sa"),
+        F.sum(ib * x).cast("bigint").alias("_sb"),
+        F.sum(ia * x * x).cast("bigint").alias("_qa"),
+        F.sum(ib * x * x).cast("bigint").alias("_qb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("_sa").cast("double") / na
+    mb = F.col("_sb").cast("double") / nb
+    ssa = F.col("_qa").cast("double") - na * ma * ma
+    ssb = F.col("_qb").cast("double") - nb * mb * mb
+    sp2 = (ssa + ssb) / (na + nb - 2)
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (sp2 > 0)
+    sp = F.sqrt(sp2)
+    d = (ma - mb) / sp
+    corr = F.lit(1.0) - F.lit(3.0) / (4 * (na + nb) - 9)
+    return agg.select(
+        "n_a",
+        "n_b",
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        F.when(ok, sp).alias("sd_pooled"),
+        F.when(ok, d).alias("d"),
+        F.when(ok, d * corr).alias("hedges_g"),
+    )

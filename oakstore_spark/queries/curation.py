@@ -5038,3 +5038,71 @@ def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     )
     return odds_ratio(u, "ex", "y")
+
+
+@register(
+    "q_cohens_d",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                      ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1
+                      ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN event_type = 'view'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS sb,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS qa,
+             CAST(sum(CASE WHEN event_type = 'view'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS qb
+      FROM events
+    ), alg AS (
+      SELECT n_a, n_b,
+             CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+             CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+             ((CAST(qa AS DOUBLE) - CAST(n_a AS DOUBLE)
+                 * (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+                 * (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)))
+              + (CAST(qb AS DOUBLE) - CAST(n_b AS DOUBLE)
+                 * (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 * (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))))
+             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2) AS sp2
+      FROM agg
+    )
+    SELECT n_a, n_b, ma AS mean_a, mb AS mean_b,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND sp2 > 0
+                THEN sqrt(sp2) END AS sd_pooled,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND sp2 > 0
+                THEN (ma - mb) / sqrt(sp2) END AS d,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND sp2 > 0
+                THEN (ma - mb) / sqrt(sp2)
+                     * (1.0 - 3.0
+                        / (4 * (CAST(n_a AS DOUBLE)
+                                + CAST(n_b AS DOUBLE)) - 9))
+                END AS hedges_g
+    FROM alg
+    """,
+)
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g (operators/experiments.cohens_d) between
+    purchase and view event values (cents) — the metric-scale effect
+    size next to q_cliffs_delta's ordinal one, the unit meta-analysis
+    and power planning consume: all moments exact BIGINTs from one
+    conditional aggregate, d and g pinned chains ending in the
+    correctly-rounded sqrt."""
+    from oakstore_spark.operators.experiments import cohens_d
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return cohens_d(
+        e, "event_type", "cents", group_a="purchase", group_b="view"
+    )

@@ -1760,6 +1760,34 @@ def test_quantile_normalize_mapping_properties(spark):
     assert out["solo"].normalized == pooled[10]
 
 
+def test_cohens_d_hand_case_and_degenerates(spark):
+    """Hand case: A = {8,12} (mean 10, var 8), B = {3,5,7} (mean 5,
+    var 4) -> s_pooled = sqrt((8+8)/3), d = 5/s_p, g = d*(1-3/11) —
+    matched to a driver replica exactly; identical groups -> d = 0;
+    a 1-row arm or zero pooled variance reads NULL."""
+    import math
+
+    from oakstore_spark.operators.experiments import cohens_d
+
+    rows = [("A", 8), ("A", 12), ("B", 3), ("B", 5), ("B", 7)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = cohens_d(df, "g", "v", "A", "B").collect()[0]
+    sp = math.sqrt((8.0 + 8.0) / 3.0)
+    assert (r.n_a, r.n_b) == (2, 3)
+    assert r.mean_a == 10.0 and r.mean_b == 5.0
+    assert abs(r.d - 5.0 / sp) < 1e-12
+    assert abs(r.hedges_g - (5.0 / sp) * (1 - 3 / 11)) < 1e-12
+
+    same = spark.createDataFrame(
+        [("A", v) for v in (1, 2, 3)] + [("B", v) for v in (1, 2, 3)],
+        ["g", "v"],
+    )
+    assert cohens_d(same, "g", "v", "A", "B").collect()[0].d == 0.0
+
+    tiny = spark.createDataFrame([("A", 1), ("B", 2)], ["g", "v"])
+    assert cohens_d(tiny, "g", "v", "A", "B").collect()[0].d is None
+
+
 def test_cramers_v_extremes(spark):
     """Perfect association (b determined by a) -> V exactly 1.0;
     exact independence (balanced product table) -> chi2 == 0.0 and
