@@ -279,18 +279,27 @@ def bradley_terry(
         raise ValueError(
             "self-comparison (winner == loser) in the log"
         )
-    pairs = (
-        df.groupBy(w.alias("_w"), l.alias("_l"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
-        .collect()
+    pair_rel = df.groupBy(w.alias("_w"), l.alias("_l")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
     )
+    # fail fast BEFORE any collect (r13 VERDICT nit): the pair
+    # relation is items^2-bounded, not items-bounded, so the guard
+    # must run on a counted probe of the ITEM universe first —
+    # otherwise a contract-violating caller OOMs the driver before
+    # the ValueError fires
+    item_rel = (
+        df.select(w.alias("_i")).union(df.select(l.alias("_i")))
+        .distinct()
+    )
+    n_items_probe = item_rel.limit(max_items + 1).count()
+    if n_items_probe > max_items:
+        raise ValueError(
+            f"more than max_items={max_items} distinct items"
+        )
+    pairs = pair_rel.collect()
     items = sorted(
         {r["_w"] for r in pairs} | {r["_l"] for r in pairs}
     )
-    if len(items) > max_items:
-        raise ValueError(
-            f"{len(items)} items exceeds max_items={max_items}"
-        )
     wins: dict = {}
     games: dict = {}
     for r in pairs:
@@ -298,16 +307,24 @@ def bradley_terry(
         wins[a] = wins.get(a, 0) + n
         key = (a, b) if a < b else (b, a)
         games[key] = games.get(key, 0) + n
+    # adjacency precomputed ONCE in globally-sorted pair order (r13
+    # ADVICE, medium): each item's denominator now scans only its own
+    # games — O(n_iter * total_degree) instead of
+    # O(n_iter * items * pairs * log(pairs)) — and because every
+    # item's list inherits the sorted global order, the float
+    # accumulation order (hence the fit) is bit-identical to a
+    # sorted full-scan
+    adj: dict = {it: [] for it in items}
+    for (a, b), n in sorted(games.items()):
+        adj[a].append((b, n))
+        adj[b].append((a, n))
     p = {it: 1.0 for it in items}
     for _ in range(n_iter):
         new = {}
         for it in items:
             denom = 0.0
-            for (a, b), n in sorted(games.items()):
-                if it == a:
-                    denom += n / (p[a] + p[b])
-                elif it == b:
-                    denom += n / (p[a] + p[b])
+            for opp, n in adj[it]:
+                denom += n / (p[it] + p[opp])
             wi = wins.get(it, 0)
             # an item with zero wins gets an epsilon strength rather
             # than a hard zero (keeps later denominators finite)

@@ -275,12 +275,24 @@ _DP_WEAK_SALTS = frozenset(
 
 
 def _resolve_dp_salt(
-    secret_salt: str | None, replay_salt: str | None
+    secret_salt: str | None, replay_salt: str | None,
+    epsilon: float | None = None,
 ) -> str:
     """The DP salt contract shared by every release operator here:
     exactly one of the two modes, and secret salts must not be
     guessable (see :func:`dp_release`'s docstring for why the salt IS
-    the guarantee)."""
+    the guarantee).  When ``epsilon`` is passed it must be a finite
+    positive float: epsilon == 0 divides by zero in the Laplace
+    scale and epsilon < 0 silently flips the noise sign — a privacy
+    primitive whose salt fails fast must fail fast on a nonsensical
+    budget too (r13 ADVICE, low)."""
+    if epsilon is not None:
+        eps = float(epsilon)
+        if not (eps > 0.0) or eps != eps or eps == float("inf"):
+            raise ValueError(
+                "epsilon must be a finite float > 0 (got %r): the "
+                "Laplace scale is sensitivity/epsilon" % (epsilon,)
+            )
     if (secret_salt is None) == (replay_salt is None):
         raise ValueError(
             "pass exactly one of secret_salt (production DP; must be "
@@ -367,7 +379,7 @@ def dp_release(
     (group_cols..., released) — the TRUE aggregate never leaves the
     operator.
     """
-    salt = _resolve_dp_salt(secret_salt, replay_salt)
+    salt = _resolve_dp_salt(secret_salt, replay_salt, epsilon)
     if value_col is not None and clamp is None:
         raise ValueError("sum mode requires clamp (sensitivity)")
     b_scale = (
@@ -437,7 +449,7 @@ def dp_histogram(
     onto the literal grid, noise map-side on that tiny relation.
     Returns (bin, bin_lo, bin_hi, released) — true counts never leave.
     """
-    salt = _resolve_dp_salt(secret_salt, replay_salt)
+    salt = _resolve_dp_salt(secret_salt, replay_salt, epsilon)
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
     lo = float(lo)

@@ -647,13 +647,18 @@ def isotonic_calibrate(
         )
         .orderBy("score")
     )
-    rows = per_s.collect()
-    if len(rows) > max_distinct_scores:
+    # fail fast BEFORE materializing anything on the driver (r13
+    # VERDICT nit): a counted probe bounded at cap+1 decides the
+    # guard, so a contract-violating caller gets the ValueError, not
+    # a driver OOM from the collect below
+    probe = per_s.limit(max_distinct_scores + 1).count()
+    if probe > max_distinct_scores:
         raise ValueError(
-            f"{len(rows)} distinct scores exceeds "
-            f"max_distinct_scores={max_distinct_scores}: quantize the "
-            "score first (the metric-family contract)"
+            f"more than max_distinct_scores={max_distinct_scores} "
+            "distinct scores: quantize the score first (the "
+            "metric-family contract)"
         )
+    rows = per_s.collect()
     # PAV: pools as (n, n_pos, span) with exact-integer mean compares
     pools: list[list[int]] = []
     for r in rows:

@@ -1975,8 +1975,11 @@ def train_topics(
     top-``vocab_size`` words (freq desc, word asc — deterministic),
     persisted once.  Each EM round is: one broadcast join of the
     <= vocab_size topic-log-prob table onto that relation, k per-doc
-    conditional sums in ONE hash aggregate (k is small), a when-chain
-    argmax, then one (topic, word) BIGINT count aggregate whose
+    scores as word-sorted fixed-order folds over ONE hash aggregate's
+    collected structs (so the double accumulation order — hence every
+    assignment, even at a near-tie argmax — is partitioning-invariant,
+    the family contract), a when-chain argmax, then one (topic, word)
+    BIGINT count aggregate whose
     <= k·vocab_size rows are collected for the driver-side M-step —
     the corpus itself is never re-shuffled and nothing driver-side
     grows with data size.  Unlike train_unigram_lm there is no
@@ -2094,19 +2097,33 @@ def train_topics(
                 for w, cs in by_word.items()
             ]
             lp_df = spark.createDataFrame(lp_rows, lp_schema)
-            # E-step: k conditional sums in one hash aggregate, then
-            # a when-chain argmax (lowest topic wins ties)
-            scores = (
+            # E-step: per-doc scores as FIXED-ORDER folds (word asc)
+            # over the doc's collected (word, n, lp) structs — a plain
+            # F.sum's accumulation order depends on partitioning, and
+            # a near-tie argmax could flip between runs; the sorted
+            # fold pins every double add, the family contract (r13
+            # ADVICE, low).  The collected array is bounded by the
+            # doc's in-vocab type count, never the corpus.
+            per_doc = (
                 dwv.join(F.broadcast(lp_df), "word")
                 .groupBy("doc")
                 .agg(
-                    *[
-                        F.sum(F.col("n") * F.col("lp")[t]).alias(
-                            f"_s{t}"
-                        )
-                        for t in range(k)
-                    ]
+                    F.sort_array(
+                        F.collect_list(F.struct("word", "n", "lp"))
+                    ).alias("_ws")
                 )
+            )
+            def _fold(t):
+                return F.aggregate(
+                    F.col("_ws"),
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + s["n"].cast("double") * s["lp"][t],
+                )
+
+            scores = per_doc.select(
+                "doc",
+                *[_fold(t).alias(f"_s{t}") for t in range(k)],
             )
             tot = [
                 F.col(f"_s{t}") + F.lit(priors[t]) for t in range(k)

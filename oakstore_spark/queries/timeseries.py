@@ -1822,6 +1822,118 @@ def q_acf_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "lag")
 
 
+def _ar_p_oracle(p: int) -> str:
+    """Generated q_ar_p_forecast oracle: the SAME biased-estimator
+    moment algebra as _acf_pacf_oracle and the SAME
+    :func:`durbin_levinson_full` generator the operator compiles —
+    instantiated over a SQL-string algebra, so the Yule–Walker phi
+    row, the intercept and the one-step forecast are structurally
+    identical float chains in both engines."""
+    from oakstore_spark.operators.timeseries import (
+        durbin_levinson_full,
+    )
+
+    lag_cols = ",\n             ".join(
+        f"lag(y, {k}) OVER (PARTITION BY user_id ORDER BY rn) AS l{k}"
+        for k in range(1, p + 1)
+    )
+    mom = ["CAST(arg_max(y, rn) AS BIGINT) AS e0"]
+    for k in range(1, p + 1):
+        mom += [
+            f"CAST(sum(y * l{k}) AS BIGINT) AS c{k}",
+            f"CAST(sum(CASE WHEN l{k} IS NOT NULL THEN y END) "
+            f"AS BIGINT) AS a{k}",
+            f"CAST(sum(l{k}) AS BIGINT) AS b{k}",
+            f"CAST(count(l{k}) AS BIGINT) AS n{k}",
+        ]
+        if k < p:
+            mom.append(f"CAST(arg_max(l{k}, rn) AS BIGINT) AS e{k}")
+    moments = ",\n             ".join(mom)
+    m = "(CAST(s AS DOUBLE) / n)"
+    var_n = f"(CAST(q AS DOUBLE) - CAST(n AS DOUBLE) * {m} * {m})"
+    rho_defs = ",\n             ".join(
+        f"(CASE WHEN {var_n} <> 0 THEN "
+        f"(CAST(c{k} AS DOUBLE) - {m} * CAST(a{k} + b{k} AS DOUBLE) "
+        f"+ CAST(n{k} AS DOUBLE) * {m} * {m}) / {var_n} END) AS rho{k}"
+        for k in range(1, p + 1)
+    )
+    _, phi = durbin_levinson_full(
+        [f"rho{k}" for k in range(1, p + 1)],
+        add=lambda a, b: f"({a} + {b})",
+        sub=lambda a, b: f"({a} - {b})",
+        mul=lambda a, b: f"({a} * {b})",
+        div=lambda num, den: (
+            f"(CASE WHEN {den} <> 0 THEN {num} / {den} END)"
+        ),
+        one="1.0",
+    )
+    phi_sum = phi[0]
+    for j in range(1, p):
+        phi_sum = f"({phi_sum} + {phi[j]})"
+    c_expr = f"(mean * (1.0 - {phi_sum}))"
+    fc = c_expr
+    for j in range(1, p + 1):
+        fc = f"({fc} + ({phi[j - 1]} * CAST(e{j - 1} AS DOUBLE)))"
+    phi_cols = ",\n           ".join(
+        f"{phi[j]} AS phi{j + 1}" for j in range(p)
+    )
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), staged AS (
+      SELECT user_id, y, rn,
+             {lag_cols}
+      FROM ordered
+    ), agg AS (
+      SELECT user_id,
+             CAST(count(y) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS q,
+             {moments}
+      FROM staged GROUP BY user_id
+    ), solved AS (
+      SELECT user_id,
+             CAST(n{p} AS BIGINT) AS n_obs,
+             {m} AS mean,
+             {", ".join(f"e{j}" for j in range(p))},
+             {rho_defs}
+      FROM agg
+    )
+    SELECT user_id, n_obs, mean,
+           {phi_cols},
+           {c_expr} AS c,
+           {fc} AS forecast_next
+    FROM solved ORDER BY user_id
+    """
+
+
+@register("q_ar_p_forecast", oracle=_ar_p_oracle(3))
+def q_ar_p_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user AR(3) Yule–Walker fit + one-step forecast
+    (operators/timeseries.ar_fit_forecast): the generic-order member
+    q_ar_forecast's closed-form AR(2) could not provide — q_acf_pacf
+    reads the order off the PACF, this fits it. Exact BIGINT lag
+    co-moments from ONE keyed window pass + one hash aggregate, the
+    Levinson–Durbin phi row / intercept / forecast all generated by
+    the same durbin_levinson_full() the oracle replays, so both
+    engines evaluate one expression tree."""
+    from oakstore_spark.operators.timeseries import ar_fit_forecast
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return ar_fit_forecast(
+        e, "ts", ["user_id"], "cents", p=3,
+        order_tiebreak=["event_id"],
+    ).orderBy("user_id")
+
+
 @register(
     "q_holt_backtest",
     oracle="""

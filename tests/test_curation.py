@@ -2568,3 +2568,58 @@ def test_bh_adjust_hand_case_and_monotonicity(spark):
     assert [r.reject for r in out] == [True, True, True, False]
     assert all(a <= b + 1e-15 for a, b in zip(qs, qs[1:]))
     assert max(qs) <= 1.0
+
+
+def test_dp_epsilon_guard(spark):
+    """r14 (r13 ADVICE): a nonsensical privacy budget fails fast in
+    every DP release op — epsilon = 0 would divide by zero in the
+    Laplace scale, a negative epsilon silently flips the noise sign,
+    NaN/inf are nonsense."""
+    import math as _math
+
+    import pytest as _pytest
+
+    from oakstore_spark.operators.pii import (
+        dp_histogram,
+        dp_quantiles,
+        dp_release,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], ["g", "x"]
+    )
+    for bad in (0.0, -1.0, float("nan"), float("inf")):
+        with _pytest.raises(ValueError, match="epsilon"):
+            dp_release(df, ["g"], bad, replay_salt="dp")
+        with _pytest.raises(ValueError, match="epsilon"):
+            dp_histogram(df, "x", bad, 4, 0.0, 4.0, replay_salt="dp")
+        with _pytest.raises(ValueError, match="epsilon"):
+            dp_quantiles(
+                df, "x", bad, 4, 0.0, 4.0, [0.5], replay_salt="dp"
+            )
+    # a valid epsilon still releases
+    assert _math.isfinite(
+        dp_release(df, ["g"], 0.5, replay_salt="dp").collect()[0].released
+    )
+
+
+def test_bradley_terry_and_isotonic_fail_fast_before_collect(spark):
+    """r14 (r13 VERDICT): the max_items / max_distinct_scores guards
+    must fire from a COUNTED PROBE before anything is collected —
+    asserted here on over-cap relations with tiny in-test caps."""
+    import pytest as _pytest
+
+    from oakstore_spark.operators.labeling import bradley_terry
+    from oakstore_spark.operators.quality import isotonic_calibrate
+
+    games = spark.createDataFrame(
+        [(f"i{a}", f"i{(a + 1) % 7}") for a in range(7)],
+        ["winner", "loser"],
+    )
+    with _pytest.raises(ValueError, match="max_items"):
+        bradley_terry(games, "winner", "loser", max_items=5)
+    scored = spark.createDataFrame(
+        [(s, s % 2) for s in range(9)], ["s", "y"]
+    )
+    with _pytest.raises(ValueError, match="max_distinct_scores"):
+        isotonic_calibrate(scored, "s", "y", max_distinct_scores=4)

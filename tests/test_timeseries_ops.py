@@ -1744,3 +1744,168 @@ def test_backtest_forecasts_metrics_and_mase(spark):
     # without a naive column the metric set is the backtest_holt one
     r3 = backtest_forecasts(df2, ["k"], "actual", "forecast").collect()[0]
     assert "mase" not in r3.asDict()
+
+
+def test_pair_sweep_arrow_sql_parity_and_overcap_guard(spark):
+    """r14: the pair-sweep family's default Arrow/numpy kernel must be
+    BIT-IDENTICAL to the SQL HOF path on the same data (slopes,
+    medians, integer S statistics), including ties, equal-x pairs,
+    n=1 keys and an over-cap key — and the over-cap key must read
+    NULL from BOTH paths (its array is never materialized: the
+    _bounded_xy count guard collects an empty array for it)."""
+    import random
+
+    from oakstore_spark.operators.timeseries import (
+        kendall_tau,
+        mann_kendall_trend,
+        theil_sen_trend,
+    )
+
+    rng = random.Random(14)
+    rows = []
+    for k, n in [("a", 37), ("b", 1), ("c", 61), ("big", 40)]:
+        for i in range(n):
+            # integer-ish values force ties; repeat x sometimes
+            x = float(i if rng.random() > 0.2 else max(0, i - 1))
+            y = float(rng.randrange(0, 9)) + (0.5 * i if k == "a" else 0.0)
+            rows.append((k, x, y))
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    cap = 39  # "big" (40 points) is over the cap
+    a = theil_sen_trend(df, "x", ["k"], "y", max_points=cap,
+                        engine="arrow").orderBy("k").collect()
+    s = theil_sen_trend(df, "x", ["k"], "y", max_points=cap,
+                        engine="sql").orderBy("k").collect()
+    assert a == s
+    big = [r for r in a if r.k == "big"][0]
+    assert big.n_obs == 40 and big.slope is None and big.n_pairs is None
+    a = mann_kendall_trend(df, "x", ["k"], "y", max_points=cap,
+                           engine="arrow").orderBy("k").collect()
+    s = mann_kendall_trend(df, "x", ["k"], "y", max_points=cap,
+                           engine="sql").orderBy("k").collect()
+    assert a == s
+    assert [r for r in a if r.k == "big"][0].s_stat is None
+    a = kendall_tau(df, ["k"], "x", "y", max_points=cap,
+                    engine="arrow").orderBy("k").collect()
+    s = kendall_tau(df, ["k"], "x", "y", max_points=cap,
+                    engine="sql").orderBy("k").collect()
+    assert a == s
+    assert [r for r in a if r.k == "big"][0].tau_b is None
+    with pytest.raises(ValueError):
+        theil_sen_trend(df, "x", ["k"], "y", engine="nope")
+
+
+def test_ar_fit_forecast_planted_ar3_and_python_replay(spark):
+    """r14 (r13 verdict ask #2): generic AR(p) via Yule-Walker.
+    (1) BIT-EXACT python replay: the same BIGINT moments + the same
+    durbin_levinson_full algebra over plain python floats must equal
+    the Spark output exactly — the two chains are one generated
+    expression. (2) Planted recovery: a long AR(3) series with planted
+    (0.5, -0.4, 0.25) fits phi within a loose statistical tolerance,
+    and p outside 1..8 raises."""
+    from datetime import datetime, timedelta
+
+    from oakstore_spark.operators.timeseries import (
+        ar_fit_forecast,
+        durbin_levinson_full,
+    )
+
+    # planted AR(3), deterministic LCG noise, integer-rounded values
+    phi_true = (0.5, -0.4, 0.25)
+    seed = 123456789
+    xs = [100.0, 102.0, 98.0]
+    vals = [round(x) for x in xs]
+    for t in range(3, 600):
+        seed = (1103515245 * seed + 12345) % (2**31)
+        eps = (seed / 2**31 - 0.5) * 8.0
+        nxt = (
+            100.0 * (1 - sum(phi_true))
+            + phi_true[0] * vals[-1]
+            + phi_true[1] * vals[-2]
+            + phi_true[2] * vals[-3]
+            + eps
+        )
+        vals.append(round(nxt))
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("u", t0 + timedelta(minutes=i), int(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "y"])
+    out = ar_fit_forecast(df, "ts", ["k"], "y", p=3).collect()[0]
+    assert abs(out.phi1 - 0.5) < 0.15
+    assert abs(out.phi2 + 0.4) < 0.15
+    assert abs(out.phi3 - 0.25) < 0.15
+    # --- python replay of the identical pinned chain ---
+    n = len(vals)
+    s = sum(vals)
+    q = sum(v * v for v in vals)
+    m = float(s) / n
+    var_n = float(q) - float(n) * m * m
+    rho = []
+    for k in range(1, 4):
+        ck = sum(vals[t] * vals[t - k] for t in range(k, n))
+        ak = sum(vals[t] for t in range(k, n))
+        bk = sum(vals[t - k] for t in range(k, n))
+        nk = n - k
+        num = float(ck) - m * float(ak + bk) + float(nk) * m * m
+        rho.append(num / var_n if var_n != 0 else None)
+    _, phi = durbin_levinson_full(
+        rho,
+        add=lambda a, b: a + b,
+        sub=lambda a, b: a - b,
+        mul=lambda a, b: a * b,
+        div=lambda a, b: a / b if b != 0 else None,
+        one=1.0,
+    )
+    c = m * (1.0 - ((phi[0] + phi[1]) + phi[2]))
+    fc = c
+    for j in range(1, 4):
+        fc = fc + phi[j - 1] * float(vals[n - j])
+    assert out.mean == m and out.n_obs == n - 3
+    assert (out.phi1, out.phi2, out.phi3) == tuple(phi)
+    assert out.c == c and out.forecast_next == fc
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ar_fit_forecast(df, "ts", ["k"], "y", p=9)
+    with _pytest.raises(ValueError):
+        ar_fit_forecast(df, "ts", ["k"], "y", p=0)
+
+
+def test_ar_insample_forecasts_backtest_wiring(spark):
+    """r14: ar_insample_forecasts feeds backtest_forecasts — on a
+    strongly anti-persistent series (alternating +/-) the AR model
+    crushes the naive random-walk baseline (MASE << 1), and each
+    row's forecast equals c + sum(phi_j * lag_j) replayed from the
+    fit exactly."""
+    from datetime import datetime, timedelta
+
+    from oakstore_spark.operators.timeseries import (
+        ar_fit_forecast,
+        ar_insample_forecasts,
+        backtest_forecasts,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + timedelta(hours=i), 50 + (25 if i % 2 == 0 else -25))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "y"])
+    ins = ar_insample_forecasts(df, "ts", ["k"], "y", p=2)
+    got = ins.orderBy("ts").collect()
+    assert len(got) == 78  # first p rows have no full lag window
+    fit = ar_fit_forecast(df, "ts", ["k"], "y", p=2).collect()[0]
+    by_ts = {r.ts: r for r in got}
+    vals = {t0 + timedelta(hours=i): 50 + (25 if i % 2 == 0 else -25)
+            for i in range(80)}
+    for r in got[:5]:
+        l1 = vals[r.ts - timedelta(hours=1)]
+        l2 = vals[r.ts - timedelta(hours=2)]
+        assert r.forecast == fit.c + fit.phi1 * l1 + fit.phi2 * l2
+        assert r.naive == float(l1)
+    bt = backtest_forecasts(
+        ins, ["k"], "actual", "forecast", naive_col="naive"
+    ).collect()[0]
+    assert bt.mase < 0.2  # AR(2) nails the oscillation, naive cannot
