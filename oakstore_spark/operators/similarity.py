@@ -926,6 +926,7 @@ def build_ivf_index(
     sample_size: int = 100_000,
     n_iter: int = 10,
     seed: int = 42,
+    meta_cols: list[str] | None = None,
 ) -> None:
     """BUILD step of the persisted IVF index (the build-once /
     search-many deployment shape ``ivf_cosine_topk`` only simulates
@@ -934,14 +935,19 @@ def build_ivf_index(
     persist
 
       - ``<index_dir>/centroids`` — (cell, centroid) parquet (tiny),
-      - ``<index_dir>/vectors``   — (id, vec) parquet PARTITIONED BY
-        ``_cell``, so a search that probes p cells lists and reads only
-        p directories out of ``n_centroids`` (partition pruning at the
-        file-listing level, before any row is touched).
+      - ``<index_dir>/vectors``   — (id, vec[, meta...]) parquet
+        PARTITIONED BY ``_cell``, so a search that probes p cells lists
+        and reads only p directories out of ``n_centroids`` (partition
+        pruning at the file-listing level, before any row is touched).
 
-    Rebuild cost is one corpus scan; the index then amortizes over
-    every future query batch.
+    ``meta_cols`` DENORMALIZES filterable attributes (lang, source,
+    license, date...) into the vectors table so
+    :func:`search_ivf_index` can push a metadata predicate into the
+    probed-cell parquet scan — filtered retrieval without a join
+    (r13 verdict ask #1).  Rebuild cost is one corpus scan; the index
+    then amortizes over every future query batch.
     """
+    meta_cols = list(meta_cols or [])
     sample_pdf = corpus.select(vec_col).limit(sample_size).toPandas()
     X = np.stack([np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]])
     C = _spherical_kmeans(X, n_centroids, n_iter, seed)
@@ -957,6 +963,10 @@ def build_ivf_index(
         [
             T.StructField(id_col, corpus.schema[id_col].dataType),
             T.StructField(vec_col, corpus.schema[vec_col].dataType),
+            *[
+                T.StructField(c, corpus.schema[c].dataType)
+                for c in meta_cols
+            ],
             T.StructField("_cell", T.IntegerType()),
         ]
     )
@@ -967,14 +977,14 @@ def build_ivf_index(
                 continue
             B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
-            out = pdf[[id_col, vec_col]].copy()
+            out = pdf[[id_col, vec_col, *meta_cols]].copy()
             out["_cell"] = (Bn @ CT).argmax(axis=1).astype(np.int32)
             yield out
 
     from oakstore_spark.operators.scaling import widen_partitions
 
     (
-        widen_partitions(corpus.select(id_col, vec_col))
+        widen_partitions(corpus.select(id_col, vec_col, *meta_cols))
         .mapInPandas(assign_cells, cell_schema)
         .write.mode("overwrite")
         .partitionBy("_cell")
@@ -991,6 +1001,9 @@ def search_ivf_index(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     n_probe: int = 8,
+    filter: Column | str | None = None,
+    min_candidates: int | None = None,
+    exact_fallback: bool = True,
 ) -> DataFrame:
     """SEARCH step over a persisted IVF index: rank cells per query
     against the (tiny) centroid table, scan ONLY the probed cell
@@ -998,7 +1011,24 @@ def search_ivf_index(
     partition column — pruned at listing time), broadcast the (query,
     cell, qvec) probes onto them, exact-rerank, and keep top-k with the
     deterministic (sim desc, id asc) tie-break. No rebuild, no corpus
-    shuffle; per-batch cost ~ p/n_centroids of the corpus."""
+    shuffle; per-batch cost ~ p/n_centroids of the corpus.
+
+    FILTERED retrieval (r13 verdict ask #1): ``filter`` is a predicate
+    over the metadata columns persisted by ``build_ivf_index(...,
+    meta_cols=...)`` (string SQL or a Column).  It is applied to the
+    probed-cell scan BEFORE the rerank — pushed into the parquet read
+    alongside the partition pruning — so the top-k is the top-k OF THE
+    FILTERED corpus, never a post-filtered unfiltered top-k (which
+    silently under-returns when the filter is selective).  Recall
+    protection: a query whose probed cells yield fewer than
+    ``min_candidates`` (default k) filtered candidates is STARVED —
+    its probes cannot certify a filtered top-k — and is re-searched
+    with every cell probed (an exact scan of the filtered corpus,
+    whose cost is proportional to the filter's selectivity — exactly
+    the starving case).  Set ``exact_fallback=False`` to accept
+    probed-only results; ``min_candidates > k`` demands extra margin
+    before trusting the probed answer.
+    """
     cent = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
     C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent])
 
@@ -1045,9 +1075,14 @@ def search_ivf_index(
     vectors = _apply_tombstones(
         spark, index_dir, all_vectors.where(F.col("_cell").isin(cells)), id_col
     )
-    cand = vectors.join(F.broadcast(probe_df), "_cell").filter(
-        F.col(id_col) != F.col("_qid")
-    )
+    if filter is not None:
+        pred = F.expr(filter) if isinstance(filter, str) else filter
+        vectors = vectors.where(pred)
+    # prune meta columns after the predicate: only (id, vec, cell)
+    # ride the rerank (column pruning reaches the parquet scan)
+    cand = vectors.select(id_col, vec_col, "_cell").join(
+        F.broadcast(probe_df), "_cell"
+    ).filter(F.col(id_col) != F.col("_qid"))
 
     def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1064,11 +1099,49 @@ def search_ivf_index(
 
     scored = cand.mapInPandas(rerank, out_schema)
     w = W.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
-    return (
+    if filter is None or not exact_fallback:
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "sim", "rank")
+        )
+    # filtered search with recall protection: rank to max(k, margin),
+    # checkpoint the (queries x R)-bounded relation so the candidate
+    # scan runs ONCE, then re-search starved queries with EVERY cell
+    # probed -- an exact scan of the filtered corpus
+    need = max(k, min_candidates or k)
+    ranked = (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "sim", "rank")
+        .filter(F.col("rank") <= need)
+        .localCheckpoint(eager=True)
     )
+    got = {
+        r["_qid"]: int(r["_n"])
+        for r in ranked.groupBy(
+            F.col(query_id_col).alias("_qid")
+        ).agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    starved = [q for q in qids if got.get(q, 0) < (min_candidates or k)]
+    probed_ok = ranked.filter(F.col("rank") <= k).select(
+        query_id_col, id_col, "sim", "rank"
+    )
+    if not starved:
+        return probed_ok
+    exact = search_ivf_index(
+        spark,
+        index_dir,
+        queries.where(F.col(query_id_col).isin(starved)),
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        n_probe=C.shape[0],  # all cells = exact filtered scan
+        filter=filter,
+        exact_fallback=False,
+    )
+    return probed_ok.where(
+        ~F.col(query_id_col).isin(starved)
+    ).unionByName(exact)
 
 
 def _read_tombstones(spark, index_dir: str, id_col: str):
@@ -1551,11 +1624,16 @@ def pq_adc_topk(
     )
 
 
-def _ivfpq_encoder(C: np.ndarray, B: np.ndarray, id_col: str, vec_col: str):
+def _ivfpq_encoder(
+    C: np.ndarray, B: np.ndarray, id_col: str, vec_col: str,
+    meta_cols: list[str] | None = None,
+):
     """Arrow kernel factory shared by :func:`build_ivfpq_index` and
     :func:`add_to_ivfpq_index`: coarse-assign each vector (spherical,
     matching the quantizer's training), product-quantize its residual
-    against the shared codebooks, emit (id, codes, _cell)."""
+    against the shared codebooks, emit (id, codes[, meta...], _cell).
+    ``meta_cols`` are carried through untouched — the filterable
+    attributes :func:`search_ivfpq_index` pushes into the codes scan."""
     m, _, dsub = B.shape
     CT = np.ascontiguousarray(C.T)
 
@@ -1583,13 +1661,11 @@ def _ivfpq_encoder(C: np.ndarray, B: np.ndarray, id_col: str, vec_col: str):
                     + (B[j] * B[j]).sum(axis=1)[None, :]
                 )
                 codes[:, j] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].values,
-                    "codes": list(codes),
-                    "_cell": cells.astype(np.int32),
-                }
-            )
+            out = {id_col: pdf[id_col].values, "codes": list(codes)}
+            for c in meta_cols or []:
+                out[c] = pdf[c].values
+            out["_cell"] = cells.astype(np.int32)
+            yield pd.DataFrame(out)
 
     return encode_cells
 
@@ -1609,6 +1685,7 @@ def build_ivfpq_index(
     coarse_centroids: np.ndarray | None = None,
     pq_codebooks: np.ndarray | None = None,
     codes_shards_per_cell: int = 1,
+    meta_cols: list[str] | None = None,
 ) -> None:
     """Compose the IVF coarse quantizer and PQ into the standard
     billion-scale ANN index (Jegou et al., TPAMI 2011; the FAISS
@@ -1626,8 +1703,10 @@ def build_ivfpq_index(
       - ``codebooks``  — (subspace, code, centroid) parquet (tiny;
         trained on residuals, shared across cells per the original
         IVFADC recipe);
-      - ``codes``      — (id, codes array<int>) parquet PARTITIONED BY
-        ``_cell`` so a probed search lists only its cells' directories.
+      - ``codes``      — (id, codes array<int>[, meta...]) parquet
+        PARTITIONED BY ``_cell`` so a probed search lists only its
+        cells' directories; ``meta_cols`` denormalize filterable
+        attributes for :func:`search_ivfpq_index`'s ``filter``.
 
     Training (coarse k-means on a bounded sample, then PQ k-means on
     that sample's residuals) is driver-side on ``sample_size`` rows —
@@ -1680,20 +1759,25 @@ def build_ivfpq_index(
         book_rows, "subspace int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
 
+    meta_cols = list(meta_cols or [])
     code_schema = T.StructType(
         [
             T.StructField(id_col, corpus.schema[id_col].dataType),
             T.StructField("codes", T.ArrayType(T.IntegerType())),
+            *[
+                T.StructField(c, corpus.schema[c].dataType)
+                for c in meta_cols
+            ],
             T.StructField("_cell", T.IntegerType()),
         ]
     )
-    encode_cells = _ivfpq_encoder(C, B, id_col, vec_col)
+    encode_cells = _ivfpq_encoder(C, B, id_col, vec_col, meta_cols)
 
     from oakstore_spark.operators.scaling import widen_partitions
 
-    codes_df = widen_partitions(corpus.select(id_col, vec_col)).mapInPandas(
-        encode_cells, code_schema
-    )
+    codes_df = widen_partitions(
+        corpus.select(id_col, vec_col, *meta_cols)
+    ).mapInPandas(encode_cells, code_schema)
     # Cluster codes by cell before the partitioned write: without it
     # every scan task writes a file into every cell directory
     # (tasks x cells files — 4096 at the probe's 64x64, most a few KB),
@@ -1781,6 +1865,9 @@ def search_ivfpq_index(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     n_probe: int = 8,
+    filter: Column | str | None = None,
+    min_candidates: int | None = None,
+    exact_fallback: bool = True,
 ) -> DataFrame:
     """ADC search over a persisted IVFPQ index: rank cells per query
     against the (tiny) centroid table, build the per-(query, probed
@@ -1794,6 +1881,15 @@ def search_ivfpq_index(
     deterministic (adc_dist asc, id asc) tie-break. Queries are
     materialized driver-side (bounded small-side contract, same as
     ``search_ivf_index``); self-matches (id == query id) are excluded.
+
+    FILTERED retrieval (r13 verdict ask #1, the search_ivf_index
+    contract): ``filter`` is a predicate over the metadata columns
+    persisted by ``build_ivfpq_index(..., meta_cols=...)``, applied to
+    the probed-cell codes scan BEFORE ADC scoring — the top-k is the
+    top-k of the FILTERED corpus.  A query with fewer than
+    ``min_candidates`` (default k_results) filtered candidates in its
+    probed cells re-searches with every cell probed (exact filtered
+    ADC scan); ``exact_fallback=False`` accepts probed-only results.
 
     Returns (query_id, id, cell, adc_dist, rank)."""
     cent = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
@@ -1864,16 +1960,18 @@ def search_ivfpq_index(
         ),
     )
     cells = sorted({int(c) for row in top_cells for c in row})
-    cand = (
-        _apply_tombstones(
-            spark,
-            index_dir,
-            all_codes.where(F.col("_cell").isin(cells)),
-            id_col,
-        )
-        .join(F.broadcast(probe_df), "_cell")
-        .filter(F.col(id_col) != F.col("_qid"))
+    live = _apply_tombstones(
+        spark,
+        index_dir,
+        all_codes.where(F.col("_cell").isin(cells)),
+        id_col,
     )
+    if filter is not None:
+        pred = F.expr(filter) if isinstance(filter, str) else filter
+        live = live.where(pred)
+    cand = live.select(id_col, "codes", "_cell").join(
+        F.broadcast(probe_df), "_cell"
+    ).filter(F.col(id_col) != F.col("_qid"))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1906,14 +2004,56 @@ def search_ivfpq_index(
     w = W.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     )
-    return (
-        partial.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k_results)
-        .select(
-            query_id_col, id_col, F.col("_cell").alias("cell"),
-            "adc_dist", "rank",
+    if filter is None or not exact_fallback:
+        return (
+            partial.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= k_results)
+            .select(
+                query_id_col, id_col, F.col("_cell").alias("cell"),
+                "adc_dist", "rank",
+            )
         )
+    # recall protection (the search_ivf_index contract): each Arrow
+    # batch already truncates to its local top-k, so the per-query
+    # candidate count visible here is min(candidates, k_results) per
+    # (cell, batch) -- still sufficient to detect starvation at the
+    # min_candidates <= k_results margin; larger margins rank deeper
+    need = max(k_results, min_candidates or k_results)
+    ranked = (
+        partial.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= need)
+        .localCheckpoint(eager=True)
     )
+    got = {
+        r["_q"]: int(r["_n"])
+        for r in ranked.groupBy(
+            F.col(query_id_col).alias("_q")
+        ).agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    starved = [
+        q for q in qids if got.get(q, 0) < (min_candidates or k_results)
+    ]
+    probed_ok = ranked.where(F.col("rank") <= k_results).select(
+        query_id_col, id_col, F.col("_cell").alias("cell"),
+        "adc_dist", "rank",
+    )
+    if not starved:
+        return probed_ok
+    exact = search_ivfpq_index(
+        spark,
+        index_dir,
+        queries.where(F.col(query_id_col).isin(starved)),
+        k_results,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        n_probe=C.shape[0],  # all cells = exact filtered ADC scan
+        filter=filter,
+        exact_fallback=False,
+    )
+    return probed_ok.where(
+        ~F.col(query_id_col).isin(starved)
+    ).unionByName(exact)
 
 
 def binarize_embeddings(

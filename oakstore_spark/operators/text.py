@@ -1258,6 +1258,7 @@ def search_bm25_index(
     k1: float = 1.2,
     b: float = 0.75,
     n_buckets: int = 64,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 over a persisted index (:func:`build_bm25_index`): read
     ONLY the query terms' bucket partitions, pivot the matched
@@ -1266,6 +1267,19 @@ def search_bm25_index(
     association, one ln, per-term conditional values added in fixed
     written order — so index-path scores are bit-identical to the
     full-scan path and the same SQL oracle replays both.
+
+    FILTERED retrieval (r13 verdict ask #1): ``filter_ids`` is a
+    one-column (``id_col``) relation of admissible documents — the
+    caller's metadata predicate evaluated on its doc table.  It
+    semi-joins the matched postings BEFORE the pivot/score, so the
+    result is exactly BM25 over the admissible subset.  Because this
+    operator returns ALL matching docs (ranking/top-k is the caller's
+    cut), pre- and post-filtering agree here BY CONSTRUCTION — but
+    pre-filtering shrinks the pivot/aggregate, and a caller who cuts
+    top-k downstream gets the filtered top-k, never an under-filled
+    one.  Surviving docs keep their corpus-level idf/dl statistics
+    (the standard contract: a filter constrains the result set, not
+    the collection statistics).
 
     Returns (id, dl, tf_<i> per term, score_raw), matching
     ``bm25_scores`` exactly (docs matching >= 1 term)."""
@@ -1292,6 +1306,12 @@ def search_bm25_index(
     tomb = _read_bm25_tombstones(spark, index_dir, id_col)
     if tomb is not None:
         posts = posts.join(F.broadcast(tomb), id_col, "left_anti")
+    if filter_ids is not None:
+        posts = posts.join(
+            F.broadcast(filter_ids.select(id_col).distinct()),
+            id_col,
+            "left_semi",
+        )
     aggs = [F.first("dl").alias("dl")]
     for i, t in enumerate(terms):
         aggs.append(

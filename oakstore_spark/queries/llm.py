@@ -652,6 +652,121 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+_IVF_FILTER_DIRS: dict[str, str] = {}
+
+
+def _planted_filter_corpus(spark: SparkSession) -> DataFrame:
+    """Planted corpus for q_ivf_filtered_topk: 8 groups x 10 members.
+    Member i of group g is e_g + (i*0.25)*e_{32+g} — cosine similarity
+    to the group query e_g is EXACTLY 1/sqrt(1+(i/4)^2) (two dyadic
+    nonzeros, so dot/norms/division are bit-identical across engines),
+    strictly decreasing in i — and label = i %% 2 INTERLEAVES along
+    that ranking, so the label=1 top-3 is i in {1,3,5} while the
+    unfiltered top-3 is {0,1,2}: post-filtering the unfiltered top-3
+    would return ONE row instead of three (the provable under-return
+    the filtered search exists to prevent)."""
+    members = (
+        spark.range(8)
+        .select(F.col("id").cast("int").alias("g"))
+        .select(
+            "g",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("i"),
+        )
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: F.when(d == F.col("g"), F.lit(1.0))
+        .when(
+            d == F.col("g") + 32,
+            F.col("i").cast("double") * F.lit(0.25),
+        )
+        .otherwise(F.lit(0.0)),
+    )
+    return members.select(
+        (F.col("g") * 1000 + F.col("i")).cast("long").alias("vec_id"),
+        vec.cast("array<float>").alias("embedding"),
+        (F.col("i") % 2).cast("int").alias("label"),
+    )
+
+
+def _filtered_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once fixture for q_ivf_filtered_topk: the planted corpus
+    indexed WITH its label column denormalized (meta_cols) so the
+    search predicate pushes into the probed-cell parquet scan."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from oakstore_spark.operators.similarity import build_ivf_index
+
+    path = _IVF_FILTER_DIRS.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="oak_ivf_filt_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        build_ivf_index(
+            _planted_filter_corpus(spark),
+            dim=64,
+            index_dir=path,
+            n_centroids=4,
+            meta_cols=["label"],
+        )
+        _IVF_FILTER_DIRS[sf_dir] = path
+    return path
+
+
+@register(
+    "q_ivf_filtered_topk",
+    oracle="""
+    SELECT CAST(g * 1000 + 1000000 AS BIGINT) AS query_id,
+           CAST(g * 1000 + r AS BIGINT) AS vec_id,
+           round(1.0 / sqrt(1.0 + (r * 0.25) * (r * 0.25)), 6) AS sim,
+           CAST(row_number() OVER (PARTITION BY g ORDER BY r)
+                AS BIGINT) AS rank
+    FROM range(8) t(g), (VALUES (1), (3), (5)) u(r)
+    ORDER BY query_id, rank
+    """,
+)
+def q_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN search over the persisted IVF index (r13 verdict
+    ask #1): the metadata predicate (label = 1) is applied INSIDE the
+    probed cells before the rerank — the result is the top-3 of the
+    FILTERED corpus {i=1,3,5 per group, sims 1/sqrt(1+(i/4)^2)}, which
+    provably differs from post-filtering the unfiltered top-3 ({0,1,2}
+    -> only i=1 survives, an under-filled answer). min_candidates is
+    set above the filtered corpus size, so every query exercises the
+    STARVATION path: probes detect they cannot certify k filtered
+    candidates and escalate to the all-cells exact scan — making the
+    answer exact by construction, independent of quantizer quality
+    (the q_ivf_topk retirement precedent). The mixed probed/starved
+    regime and the PartitionFilters/PushedFilters plan pins live in
+    tests/test_llm_ops.py."""
+    from oakstore_spark.operators.similarity import search_ivf_index
+
+    idx = _filtered_ivf_index(spark, sf_dir)
+    queries = (
+        spark.range(8)
+        .select(F.col("id").cast("int").alias("g"))
+        .select(
+            (F.col("g") * 1000 + 1_000_000).cast("long").alias(
+                "query_id"
+            ),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda d: F.when(
+                    d == F.col("g"), F.lit(1.0)
+                ).otherwise(F.lit(0.0)),
+            ).cast("array<float>").alias("embedding"),
+        )
+    )
+    out = search_ivf_index(
+        spark, idx, queries, k=3, n_probe=1,
+        filter="label = 1", min_candidates=1000,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank"
+    ).orderBy("query_id", "rank")
+
+
 @register("q_ann_topk", oracle=_ANN_TWIN_ORACLE)
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-ANN top-k, RETIRED from rows-only into an exact ORACLE on

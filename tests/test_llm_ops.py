@@ -1992,3 +1992,221 @@ def test_coec_adjusts_position_bias(spark):
     assert out["C"].coec == 3 / (4 * (4 / 10))
     assert out["C"].coec > out["B"].coec
     assert out["D"].n_clicks == 0 and out["D"].coec == 0.0
+
+
+def _filter_corpus(spark, groups=4, dim=32):
+    """4 groups x 10 members: member i = e_g + (i*0.25)*e_{g+16},
+    labels i % 2 interleaved along the exact cosine ranking
+    1/sqrt(1+(i/4)^2) — the q_ivf_filtered_topk planted geometry."""
+    members = (
+        spark.range(groups)
+        .select(F.col("id").cast("int").alias("g"))
+        .select(
+            "g", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("i")
+        )
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.when(d == F.col("g"), F.lit(1.0))
+        .when(
+            d == F.col("g") + 16,
+            F.col("i").cast("double") * F.lit(0.25),
+        )
+        .otherwise(F.lit(0.0)),
+    )
+    return members.select(
+        (F.col("g") * 1000 + F.col("i")).cast("long").alias("vec_id"),
+        vec.cast("array<float>").alias("embedding"),
+        (F.col("i") % 2).cast("int").alias("label"),
+    )
+
+
+def _filter_queries(spark, groups=4, dim=32):
+    return (
+        spark.range(groups)
+        .select(F.col("id").cast("int").alias("g"))
+        .select(
+            (F.col("g") * 1000 + 1_000_000).cast("long").alias(
+                "query_id"
+            ),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: F.when(
+                    d == F.col("g"), F.lit(1.0)
+                ).otherwise(F.lit(0.0)),
+            ).cast("array<float>").alias("embedding"),
+        )
+    )
+
+
+def test_filtered_ivf_search_semantics_and_plan(spark, tmp_path):
+    """r14 (r13 verdict ask #1): the metadata predicate applies INSIDE
+    the probed cells BEFORE top-k — the filtered top-3 is {i=1,3,5}
+    per group while post-filtering the unfiltered top-3 ({0,1,2})
+    would keep ONE row; the predicate and the cell pruning both reach
+    the parquet scan (PushedFilters / PartitionFilters)."""
+    import contextlib
+    import io
+
+    from oakstore_spark.operators.similarity import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_filt")
+    build_ivf_index(
+        _filter_corpus(spark), dim=32, index_dir=idx,
+        n_centroids=4, meta_cols=["label"],
+    )
+    queries = _filter_queries(spark)
+    # all cells probed -> exact, independent of quantizer quality
+    out = search_ivf_index(
+        spark, idx, queries, k=3, n_probe=4, filter="label = 1",
+    ).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(int(r.query_id), []).append(int(r.vec_id))
+    for g in range(4):
+        got = sorted(v % 1000 for v in by_q[g * 1000 + 1_000_000])
+        assert got == [1, 3, 5]  # NOT the unfiltered {0,1,2}
+    # post-filtering the unfiltered top-3 under-returns: only i=1
+    unf = search_ivf_index(spark, idx, queries, k=3, n_probe=4)
+    lab = {
+        int(r.vec_id): int(r.vec_id) % 2
+        for r in unf.collect()
+    }
+    for g in range(4):
+        top3 = [
+            v for v in lab
+            if v // 1000 == g and lab[v] == 1
+        ]
+        assert len(top3) == 1  # the under-return the filter prevents
+    # plan pins on the probed-only filtered path
+    probed = search_ivf_index(
+        spark, idx, queries, k=3, n_probe=1, filter="label = 1",
+        exact_fallback=False,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "_cell" in plan
+    assert "PushedFilters" in plan and "label" in plan
+
+
+def test_filtered_ivf_starvation_fallback_exact(spark, tmp_path):
+    """A min_candidates above what the probed cells can yield forces
+    the starvation path; its answer must EQUAL the all-cells exact
+    filtered scan, and a filter with zero admissible rows for some
+    queries returns nothing for them (never unfiltered leakage)."""
+    from oakstore_spark.operators.similarity import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_starve")
+    build_ivf_index(
+        _filter_corpus(spark), dim=32, index_dir=idx,
+        n_centroids=4, meta_cols=["label"],
+    )
+    queries = _filter_queries(spark)
+    starved = search_ivf_index(
+        spark, idx, queries, k=3, n_probe=1, filter="label = 1",
+        min_candidates=1000,
+    ).orderBy("query_id", "rank").collect()
+    exact = search_ivf_index(
+        spark, idx, queries, k=3, n_probe=4, filter="label = 1",
+    ).orderBy("query_id", "rank").collect()
+    assert starved == exact
+    # a highly selective filter: every returned id is admissible —
+    # groups 2,3 (orthogonal to all admissible vectors) still get
+    # their top-3, at cosine exactly 0 (top-k ranks admissible rows,
+    # it never thresholds), and a zero-admissible filter returns
+    # NOTHING (never unfiltered leakage)
+    sel = search_ivf_index(
+        spark, idx, queries, k=3, n_probe=1,
+        filter="label = 1 AND vec_id < 1006", min_candidates=1000,
+    ).collect()
+    assert {int(r.query_id) for r in sel} == {
+        1_000_000, 1_001_000, 1_002_000, 1_003_000
+    }
+    assert all(
+        int(r.vec_id) % 2 == 1 and int(r.vec_id) < 1006 for r in sel
+    )
+    assert all(
+        r.sim == 0.0
+        for r in sel
+        if int(r.query_id) >= 1_002_000
+    )
+    empty = search_ivf_index(
+        spark, idx, queries, k=3, n_probe=1, filter="label = 9",
+        min_candidates=1000,
+    ).collect()
+    assert empty == []
+
+
+def test_filtered_ivfpq_search(spark, tmp_path):
+    """IVFPQ filtered ADC search: meta columns persist through the
+    codes table, the predicate applies before scoring, and the
+    starvation fallback equals the direct all-cells filtered scan."""
+    from oakstore_spark.operators.similarity import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    idx = str(tmp_path / "ivfpq_filt")
+    build_ivfpq_index(
+        _filter_corpus(spark), dim=32, index_dir=idx,
+        n_cells=4, m=4, k=8, meta_cols=["label"],
+    )
+    queries = _filter_queries(spark)
+    starved = search_ivfpq_index(
+        spark, idx, queries, k_results=3, n_probe=1,
+        filter="label = 1", min_candidates=1000,
+    ).orderBy("query_id", "rank").collect()
+    exact = search_ivfpq_index(
+        spark, idx, queries, k_results=3, n_probe=4,
+        filter="label = 1",
+    ).orderBy("query_id", "rank").collect()
+    assert starved == exact
+    assert len(starved) == 12  # 4 queries x k=3
+    assert all(int(r.vec_id) % 2 == 1 for r in starved)
+
+
+def test_bm25_filter_ids(spark, tmp_path):
+    """Filtered BM25: filter_ids semi-joins the matched postings before
+    the pivot/score; surviving docs keep their corpus-level scores
+    bit-identically (a filter constrains results, not statistics)."""
+    from oakstore_spark.operators.text import (
+        build_bm25_index,
+        search_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data between stages"),
+            (2, "spark broadcasts small tables"),
+            (3, "ducks paddle in data lakes"),
+            (4, "spark and ducks share the data lake"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "bm25_filt")
+    build_bm25_index(docs, idx, n_buckets=8)
+    full = {
+        int(r.doc_id): r.score_raw
+        for r in search_bm25_index(
+            spark, idx, ["spark", "data"], n_buckets=8
+        ).collect()
+    }
+    allowed = spark.createDataFrame([(2,), (3,)], ["doc_id"])
+    filt = {
+        int(r.doc_id): r.score_raw
+        for r in search_bm25_index(
+            spark, idx, ["spark", "data"], n_buckets=8,
+            filter_ids=allowed,
+        ).collect()
+    }
+    assert set(filt) == {2, 3}
+    for d, sc in filt.items():
+        assert sc == full[d]  # statistics unchanged, scores identical
