@@ -1636,6 +1636,142 @@ def _prune_bm25_tombstones(spark, index_dir: str, df: DataFrame, id_col: str):
         p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
 
 
+def doc_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+    n_buckets: int = 1024,
+    scale: int = 1024,
+) -> DataFrame:
+    """In-engine document embeddings with ZERO external models (r13
+    verdict ask #4): hashed TF-IDF x Johnson-Lindenstrauss signs,
+    every step integer-exact so the whole text -> vector chain replays
+    in SQL.  Closes the loop the similarity family left open — raw
+    text to ANN/SemDeDup without a model server:
+
+      1. tokenize (the q_feature_hashing tokenizer: lowercase, strip
+         non-alnum, single-space split) and hash each term to one of
+         ``n_buckets`` via md5's first 8 hex chars (engine-portable);
+      2. per-(doc, bucket) tf and per-bucket document frequency from
+         two hash aggregates; the idf weight is the RATIONAL integer
+         w_b = (n_docs * scale) DIV df_b — integer division, exact
+         BIGINT in both engines (a float ln(idf) would floor
+         differently at ulp boundaries; the rational variant ranks
+         buckets identically and stays exact);
+      3. JL projection to ``dim`` via the :func:`random_projection`
+         sign convention (+-1 from md5(f"{j}_{bucket}")'s first hex
+         digit): component j = SUM_b tf * w_b * sign(b, j), an exact
+         int64 accumulation where order is irrelevant.
+
+    Spark shape: two hash aggregates + one broadcast join of the
+    n_buckets-row weight table + one groupBy collecting each doc's
+    (bucket, tf*w) pairs (bounded by min(doc vocab, n_buckets)), then
+    one Arrow kernel doing the int64 gemm per batch with the sign
+    matrix rebuilt from md5 per task (n_buckets x dim scalar md5s —
+    the random_projection contract: nothing fit, stored or
+    broadcast).  No data-sized shuffle beyond the two keyed
+    aggregates; embarrassingly parallel at 100 TB.
+
+    Docs with zero in-vocab tokens are ABSENT from the output (no
+    terms -> no vector; documented, not a zero vector).  Returns
+    (id, emb_q array<bigint>, embedding array<double>) where
+    embedding = emb_q / scale — feed ``embedding`` to cosine_topk /
+    IVF / SemDeDup, or join two docs' ``emb_q`` for an exact integer
+    dot product (the q_doc_embed_ann oracle does).
+    """
+    import hashlib
+    from typing import Iterator
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from oakstore_spark.functions.text import normalize_text
+
+    if dim < 1 or n_buckets < 1:
+        raise ValueError("dim and n_buckets must be >= 1")
+    tb = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(normalize_text(text_col), " ")
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .select(
+            id_col,
+            (
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10)
+                .cast("bigint") % n_buckets
+            ).cast("int").alias("bucket"),
+        )
+    )
+    tf = tb.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfb = tb.groupBy("bucket").agg(
+        F.countDistinct(id_col).cast("bigint").alias("_dfb")
+    )
+    nd = tb.agg(
+        F.countDistinct(id_col).cast("bigint").alias("_nd")
+    )
+    w = dfb.crossJoin(F.broadcast(nd)).select(
+        "bucket",
+        F.expr(f"(_nd * {scale}) DIV _dfb").cast("bigint").alias("_w"),
+    )
+    tfw = tf.join(F.broadcast(w), "bucket").select(
+        id_col,
+        "bucket",
+        (F.col("tf") * F.col("_w")).alias("_tw"),
+    )
+    per_doc = tfw.groupBy(id_col).agg(
+        F.collect_list(F.struct("bucket", "_tw")).alias("_bw")
+    )
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("emb_q", T.ArrayType(T.LongType())),
+            T.StructField(
+                "embedding", T.ArrayType(T.DoubleType())
+            ),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        signs = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if signs is None:
+                signs = np.empty((n_buckets, dim), dtype=np.int64)
+                for j in range(dim):
+                    for b in range(n_buckets):
+                        h = hashlib.md5(
+                            f"{j}_{b}".encode()
+                        ).hexdigest()
+                        signs[b, j] = 1 if h[0] < "8" else -1
+            embs_q, embs = [], []
+            for bw in pdf["_bw"]:
+                bs = np.fromiter(
+                    (e["bucket"] for e in bw), dtype=np.int64
+                )
+                tw = np.fromiter(
+                    (e["_tw"] for e in bw), dtype=np.int64
+                )
+                v = (signs[bs] * tw[:, None]).sum(axis=0)
+                embs_q.append(v.tolist())
+                embs.append((v / float(scale)).tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "emb_q": embs_q,
+                    "embedding": embs,
+                }
+            )
+
+    return per_doc.mapInPandas(kernel, out_schema)
+
+
 def pmi_collocations(
     df,
     text_col: str = "text",

@@ -2047,6 +2047,172 @@ def periodogram(
     return track_persisted(out, staged)
 
 
+def detect_period(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    candidate_periods: list[int],
+    min_power_ratio: float = 0.2,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-key seasonal-period DETECTION — the argmax wiring the
+    seasonal family was missing (r13 verdict ask #10): every seasonal
+    operator (:func:`grouped_holt_winters`, :func:`deseasonalize`,
+    :func:`decompose_classical`) ASSUMES a period m; this reads it off
+    the :func:`periodogram` — per key, the candidate with the highest
+    spectral power_ratio, subject to a ``min_power_ratio`` floor (a
+    series with no seasonality past the floor reads NULL period, so
+    downstream never fits a phantom season).
+
+    Determinism: power_ratio is the periodogram's pinned float chain
+    (bit-identical across engines), so the argmax — ties broken by
+    smaller period — replays exactly in SQL.  Note a p-periodic
+    signal has ZERO spectral mass at frequency 1/(k·p) of its
+    multiples, so the fundamental wins against multiple-candidates
+    structurally, not by tie-break.
+
+    Returns keys + (period, n_obs, power_ratio); period is NULL when
+    no candidate clears the floor (power_ratio then reports the best
+    candidate's ratio, NULL if every candidate was degenerate).
+    """
+    pg = periodogram(
+        df, ts_col, keys, value_col, candidate_periods,
+        order_tiebreak,
+    )
+    w = W.partitionBy(*keys).orderBy(
+        F.col("power_ratio").desc_nulls_last(), F.col("period").asc()
+    )
+    best = (
+        pg.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    return best.select(
+        *keys,
+        F.when(
+            F.col("power_ratio") >= min_power_ratio, F.col("period")
+        ).alias("period"),
+        "n_obs",
+        "power_ratio",
+    )
+
+
+def auto_seasonal_profile(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    candidate_periods: list[int],
+    min_power_ratio: float = 0.2,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Detection + seasonal profile COMPOSED (r13 verdict ask #10):
+    :func:`detect_period` picks each key's period, then the additive
+    seasonal profile is computed at that DETECTED period — phase =
+    (row_index) mod detected_p as a dynamic column from one join (no
+    per-period loop), phase means from exact BIGINT sums, seasonal =
+    phase_mean − key grand mean, each one pinned double division —
+    the whole detect→decompose chain replays in SQL (q_auto_seasonal).
+
+    Keys with NULL detected period (no seasonality past the floor, or
+    degenerate) are ABSENT from the output — the contract that
+    downstream never consumes a phantom season.  ``value_col``
+    integer-valued (the family contract).
+
+    Returns keys + (period, power_ratio, phase, n_phase, phase_mean,
+    seasonal).
+    """
+    det = detect_period(
+        df, ts_col, keys, value_col, candidate_periods,
+        min_power_ratio, order_tiebreak,
+    ).where(F.col("period").isNotNull()).select(
+        *keys, "period", "power_ratio"
+    )
+    order = [F.col(ts_col)] + [
+        F.col(c) for c in (order_tiebreak or [])
+    ]
+    w = W.partitionBy(*keys).orderBy(*order)
+    x = F.col(value_col).cast("bigint")
+    staged = df.select(
+        *keys,
+        x.alias("_x"),
+        (F.row_number().over(w) - 1).alias("_t"),
+    )
+    j = staged.join(det, list(keys))
+    per_phase = j.groupBy(
+        *keys, "period", "power_ratio",
+        (F.col("_t") % F.col("period")).cast("int").alias("phase"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_phase"),
+        F.sum("_x").cast("bigint").alias("_sp"),
+    )
+    tot = per_phase.groupBy(*keys).agg(
+        F.sum("n_phase").cast("bigint").alias("_n"),
+        F.sum("_sp").cast("bigint").alias("_s"),
+    )
+    out = per_phase.join(tot, list(keys))
+    pm = F.col("_sp").cast("double") / F.col("n_phase")
+    gm = F.col("_s").cast("double") / F.col("_n")
+    return out.select(
+        *keys,
+        "period",
+        "power_ratio",
+        "phase",
+        "n_phase",
+        pm.alias("phase_mean"),
+        (pm - gm).alias("seasonal"),
+    )
+
+
+def auto_decompose(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    candidate_periods: list[int],
+    min_power_ratio: float = 0.2,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Detection + FULL classical decomposition (trend + seasonal +
+    residual) at each key's detected period: distinct detected
+    periods are collected (bounded by ``len(candidate_periods)`` —
+    never by keys or rows), and :func:`decompose_classical` runs once
+    per detected period over that period's key subset; outputs union
+    with the detected ``period`` column attached.  Keys with no
+    detected period are absent (the :func:`auto_seasonal_profile`
+    contract).
+
+    Returns keys + (period, rn, period_pos, x, trend, seasonal,
+    residual)."""
+    det = detect_period(
+        df, ts_col, keys, value_col, candidate_periods,
+        min_power_ratio, order_tiebreak,
+    ).where(F.col("period").isNotNull()).select(*keys, "period")
+    periods = sorted(
+        int(r["period"])
+        for r in det.select("period").distinct().collect()
+    )
+    order_cols = [ts_col] + list(order_tiebreak or [])
+    outs = []
+    for p in periods:
+        sub_keys = det.where(F.col("period") == p).select(*keys)
+        sub = df.join(F.broadcast(sub_keys), list(keys), "left_semi")
+        outs.append(
+            decompose_classical(
+                sub, keys, order_cols, value_col, p
+            ).withColumn("period", F.lit(p).cast("int"))
+        )
+    if not outs:
+        base = decompose_classical(
+            df.limit(0), keys, order_cols, value_col, 2
+        ).withColumn("period", F.lit(None).cast("int"))
+        return base
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def changepoint_mean_shift(
     df: DataFrame,
     ts_col: str,

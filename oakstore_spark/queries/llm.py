@@ -652,6 +652,184 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+_DOC_EMBED_TOKENS = """
+      SELECT doc_id,
+             unnest(string_split_regex(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+               '\\s+', ' ', 'g')), ' ')) AS term
+"""
+
+
+def _doc_embed_sql(corpus_cte: str, dim: int, n_buckets: int,
+                   scale: int) -> str:
+    """DuckDB replay of operators/text.doc_embed over ``corpus_cte``
+    (a CTE named corpus with doc_id, text): md5 buckets, rational
+    integer idf weights ((n_docs * scale) // df_b), md5 JL signs,
+    exact BIGINT component sums — zero floats anywhere."""
+    return f"""
+    {corpus_cte}, terms AS (
+      {_DOC_EMBED_TOKENS}
+      FROM corpus
+    ), tb AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+                  % {n_buckets} AS INT) AS bucket
+      FROM terms WHERE term <> ''
+    ), tf AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+      FROM tb GROUP BY 1, 2
+    ), dfb AS (
+      SELECT bucket, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfb
+      FROM tb GROUP BY 1
+    ), nd AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tb
+    ), w AS (
+      SELECT bucket, (n * {scale}) // dfb AS w FROM dfb, nd
+    ), comp AS (
+      SELECT tf.doc_id, CAST(j AS INT) AS j,
+             CAST(sum(tf.tf * w.w *
+               (CASE WHEN substr(md5(CAST(j AS VARCHAR) || '_' ||
+                                 CAST(bucket AS VARCHAR)), 1, 1) < '8'
+                     THEN 1 ELSE -1 END)) AS BIGINT) AS val_q
+      FROM tf JOIN w USING (bucket), range({dim}) t(j)
+      GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "q_doc_embed",
+    oracle=_doc_embed_sql(
+        "WITH corpus AS (SELECT doc_id, text FROM documents)",
+        8, 64, 1024,
+    ) + """
+    SELECT doc_id, j, val_q FROM comp ORDER BY doc_id, j
+    """,
+)
+def q_doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine document embeddings (operators/text.doc_embed):
+    hashed TF with rational-integer idf weights and md5-derived JL
+    signs — the ENTIRE text -> vector chain is exact BIGINT
+    arithmetic, so every one of the dim components of every document
+    hash-matches the DuckDB replay bit-for-bit (no floats to round).
+    Long form (doc_id, j, val_q)."""
+    from oakstore_spark.operators.text import doc_embed
+
+    d = table(spark, sf_dir, "documents")
+    emb = doc_embed(d, dim=8, n_buckets=64, scale=1024)
+    return emb.select(
+        "doc_id", F.posexplode("emb_q").alias("j", "val_q")
+    ).select(
+        "doc_id", F.col("j").cast("int").alias("j"), "val_q"
+    ).orderBy("doc_id", "j")
+
+
+_ANN_COPY_MARK = " zzneardup probe copy"
+
+
+@register(
+    "q_doc_embed_ann",
+    oracle=_doc_embed_sql(
+        f"""WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 20
+      UNION ALL
+      SELECT doc_id + 100000, text || '{_ANN_COPY_MARK}'
+      FROM documents WHERE doc_id < 20
+    )""",
+        16, 256, 1024,
+    ) + """
+    , qa AS (SELECT * FROM comp WHERE doc_id >= 100000),
+    qb AS (SELECT * FROM comp WHERE doc_id < 100000),
+    norms AS (
+      SELECT doc_id, CAST(sum(val_q * val_q) AS BIGINT) AS nq
+      FROM comp GROUP BY 1
+    ), dots AS (
+      SELECT qa.doc_id AS query_id, qb.doc_id AS cand_id,
+             CAST(sum(qa.val_q * qb.val_q) AS BIGINT) AS dot
+      FROM qa JOIN qb ON qa.j = qb.j
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT query_id, cand_id,
+             CASE WHEN a.nq > 0 AND b.nq > 0
+                  THEN CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(a.nq AS DOUBLE))
+                          * sqrt(CAST(b.nq AS DOUBLE)))
+             END AS sim
+      FROM dots
+      JOIN norms a ON a.doc_id = query_id
+      JOIN norms b ON b.doc_id = cand_id
+    )
+    SELECT query_id, cand_id AS top1_id, round(sim, 6) AS sim
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, cand_id
+    ) = 1
+    ORDER BY query_id
+    """,
+)
+def q_doc_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_embed -> ANN end-to-end from RAW TEXT (r13 verdict ask #4):
+    20 planted near-copies (source text + a marker suffix) embed
+    through the integer-exact hashed-TF-IDF x JL chain, and each
+    copy's brute-force cosine top-1 over the source pool must be
+    found via EXACT integer dot products (zip_with fold over emb_q)
+    with one pinned sqrt/divide per pair — both engines replay every
+    similarity bit-for-bit, and the planted claim (copy -> its own
+    source) is pinned in tests/test_llm_ops.py."""
+    from oakstore_spark.operators.text import doc_embed
+
+    d = table(spark, sf_dir, "documents")
+    sources = d.where(F.col("doc_id") < 20).select("doc_id", "text")
+    copies = sources.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_ANN_COPY_MARK)).alias("text"),
+    )
+    emb = doc_embed(
+        sources.unionByName(copies), dim=16, n_buckets=256,
+        scale=1024,
+    )
+    qa = emb.where(F.col("doc_id") >= 100000).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("emb_q").alias("_qa"),
+    )
+    qb = emb.where(F.col("doc_id") < 100000).select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("emb_q").alias("_qb"),
+    )
+    pairs = qa.crossJoin(F.broadcast(qb))
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    dot = idot(F.col("_qa"), F.col("_qb"))
+    na = idot(F.col("_qa"), F.col("_qa"))
+    nb = idot(F.col("_qb"), F.col("_qb"))
+    sim = F.when(
+        (na > 0) & (nb > 0),
+        dot.cast("double")
+        / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+    )
+    from pyspark.sql import Window as W
+
+    scored = pairs.select("query_id", "cand_id", sim.alias("sim"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("top1_id"),
+            F.round("sim", 6).alias("sim"),
+        )
+        .orderBy("query_id")
+    )
+
+
 _IVF_FILTER_DIRS: dict[str, str] = {}
 
 

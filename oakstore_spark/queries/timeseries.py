@@ -1934,6 +1934,167 @@ def q_ar_p_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+_AUTO_SEASONAL_PATS = {
+    0: (4, [30, 0, -10, 10]),
+    1: (6, [25, 10, -5, -20, -10, 0]),
+    2: (8, [40, 30, 10, -10, -30, -40, -20, 20]),
+    3: (12, [50, 40, 20, 0, -20, -40, -50, -40, -20, 0, 20, 40]),
+}
+_AUTO_SEASONAL_CANDS = [4, 6, 8, 12]
+
+
+def _auto_seasonal_oracle() -> str:
+    """Generated q_auto_seasonal oracle: the planted 4-period corpus,
+    the SAME phase-bucket periodogram chains as _periodogram_oracle
+    (python cos/sin literals, phase-ascending folds), the argmax with
+    the identical (power desc, period asc) tie-break and 0.2 floor,
+    then the seasonal profile at the DETECTED period — the whole
+    detect -> decompose chain replayed."""
+    import math
+
+    chains = []
+    for p in _AUTO_SEASONAL_CANDS:
+        cos_list = ", ".join(
+            f"CAST('{math.cos(2.0 * math.pi * ph / p)!r}' AS DOUBLE)"
+            for ph in range(p)
+        )
+        sin_list = ", ".join(
+            f"CAST('{math.sin(2.0 * math.pi * ph / p)!r}' AS DOUBLE)"
+            for ph in range(p)
+        )
+        centered = (
+            "(CAST(sph AS DOUBLE) - nph * "
+            "(CAST(s_tot AS DOUBLE) / n_obs))"
+        )
+        chains.append(f"""
+      SELECT k, CAST({p} AS INTEGER) AS period, n_obs,
+             CASE WHEN n_obs >= {p}
+                  AND (CAST(q_tot AS DOUBLE)
+                       - n_obs * (CAST(s_tot AS DOUBLE) / n_obs)
+                         * (CAST(s_tot AS DOUBLE) / n_obs)) > 0
+             THEN 2.0 * (c * c + s * s)
+                  / (n_obs * (CAST(q_tot AS DOUBLE)
+                     - n_obs * (CAST(s_tot AS DOUBLE) / n_obs)
+                       * (CAST(s_tot AS DOUBLE) / n_obs)))
+             END AS power_ratio
+      FROM (
+        SELECT k,
+               max(n_obs) AS n_obs, max(s_tot) AS s_tot,
+               max(q_tot) AS q_tot,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list({centered}
+                      * ([{cos_list}])[CAST(ph + 1 AS INT)]
+                      ORDER BY ph)), (a, b) -> a + b) AS c,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list({centered}
+                      * ([{sin_list}])[CAST(ph + 1 AS INT)]
+                      ORDER BY ph)), (a, b) -> a + b) AS s
+        FROM (
+          SELECT pp.k, pp.ph, pp.nph, pp.sph,
+                 t.n_obs, t.s_tot, t.q_tot
+          FROM (
+            SELECT k, (rn - 1) % {p} AS ph,
+                   CAST(count(*) AS BIGINT) AS nph,
+                   CAST(sum(x) AS BIGINT) AS sph
+            FROM ordered GROUP BY 1, 2
+          ) pp JOIN (
+            SELECT k, CAST(count(*) AS BIGINT) AS n_obs,
+                   CAST(sum(x) AS BIGINT) AS s_tot,
+                   CAST(sum(x * x) AS BIGINT) AS q_tot
+            FROM ordered GROUP BY k
+          ) t USING (k)
+        ) GROUP BY k
+      )""")
+    unioned = "\n      UNION ALL\n      ".join(chains)
+    pat_vals = ",\n        ".join(
+        f"({g}, {p}, {pat})" for g, (p, pat) in
+        _AUTO_SEASONAL_PATS.items()
+    )
+    return f"""
+    WITH pat AS (
+      SELECT g, p, pattern FROM (VALUES
+        {pat_vals}) v(g, p, pattern)
+    ), ordered AS (
+      SELECT 'g' || g AS k, CAST(t + 1 AS BIGINT) AS rn,
+             CAST(100 + pattern[CAST(t % p AS INT) + 1] AS BIGINT)
+               AS x
+      FROM pat, range(48) r(t)
+      UNION ALL
+      SELECT 'flat', CAST(t + 1 AS BIGINT), CAST(100 AS BIGINT)
+      FROM range(48) r(t)
+    ), pg AS (
+      {unioned}
+    ), best AS (
+      SELECT k, period, power_ratio FROM pg
+      QUALIFY row_number() OVER (
+        PARTITION BY k
+        ORDER BY power_ratio DESC NULLS LAST, period) = 1
+    ), det AS (
+      SELECT k, period, power_ratio FROM best
+      WHERE power_ratio >= 0.2
+    ), ph AS (
+      SELECT o.k, d.period, d.power_ratio,
+             CAST((o.rn - 1) % d.period AS INT) AS phase,
+             CAST(count(*) AS BIGINT) AS n_phase,
+             CAST(sum(o.x) AS BIGINT) AS sp
+      FROM ordered o JOIN det d USING (k)
+      GROUP BY 1, 2, 3, 4
+    ), tot AS (
+      SELECT k, CAST(sum(n_phase) AS BIGINT) AS n,
+             CAST(sum(sp) AS BIGINT) AS s
+      FROM ph GROUP BY 1
+    )
+    SELECT ph.k, period, round(power_ratio, 6) AS power_ratio,
+           phase, n_phase,
+           CAST(sp AS DOUBLE) / n_phase AS phase_mean,
+           (CAST(sp AS DOUBLE) / n_phase
+            - CAST(s AS DOUBLE) / n) AS seasonal
+    FROM ph JOIN tot USING (k)
+    ORDER BY k, phase
+    """
+
+
+@register("q_auto_seasonal", oracle=_auto_seasonal_oracle())
+def q_auto_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram -> seasonal auto-wiring (r13 verdict ask #10,
+    operators/timeseries.detect_period + auto_seasonal_profile): a
+    planted corpus of four keys with true periods 4/6/8/12 (plus a
+    flat key) runs detection (spectral argmax over the candidates,
+    0.2 power floor — a p-periodic signal has zero mass at its
+    multiples, so each fundamental wins structurally) and then the
+    additive seasonal profile AT the detected period, phase as a
+    dynamic modulus from one join. The flat key detects nothing and
+    is absent. Every float is the periodogram's pinned chain or one
+    division over exact BIGINTs — both engines replay the entire
+    detect -> decompose composition."""
+    from datetime import datetime, timedelta
+
+    from oakstore_spark.operators.timeseries import (
+        auto_seasonal_profile,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for g, (p, pat) in _AUTO_SEASONAL_PATS.items():
+        for t in range(48):
+            rows.append(
+                (f"g{g}", t0 + timedelta(hours=t),
+                 100 + pat[t % p])
+            )
+    for t in range(48):
+        rows.append(("flat", t0 + timedelta(hours=t), 100))
+    df = spark.createDataFrame(rows, ["k", "ts", "x"])
+    out = auto_seasonal_profile(
+        df, "ts", ["k"], "x", _AUTO_SEASONAL_CANDS,
+        min_power_ratio=0.2,
+    )
+    return out.select(
+        "k", "period",
+        F.round("power_ratio", 6).alias("power_ratio"),
+        "phase", "n_phase", "phase_mean", "seasonal",
+    ).orderBy("k", "phase")
+
+
 @register(
     "q_holt_backtest",
     oracle="""

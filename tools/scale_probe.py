@@ -142,6 +142,12 @@ def main() -> None:
                          "planted vocabularies, train_topics k=4 / "
                          "3 rounds; asserts the learned topics "
                          "partition docs exactly along the plant")
+    ap.add_argument("--embeddocs", type=int, default=0,
+                    help="doc_embed probe: hashed-TF-IDF x JL over "
+                         "this many synthetic 30-word docs plus 10%% "
+                         "planted exact-twin copies; asserts every "
+                         "twin pair lands on the IDENTICAL integer "
+                         "vector (determinism at volume)")
     ap.add_argument("--streamrows", type=int, default=0,
                     help="also probe Structured Streaming: this many "
                          "synthetic events through a watermarked tumbling "
@@ -1652,6 +1658,71 @@ def main() -> None:
         assert all(len(v) == 1 for v in mapping.values()), mapping
         assert len({next(iter(v)) for v in mapping.values()}) == 4
         docs.unpersist()
+
+    if args.embeddocs:
+        # doc_embed at volume: two hash aggregates + one broadcast
+        # weight join + one per-doc Arrow int64 gemm — nothing
+        # driver-side grows with doc count.  Planted proof: exact-twin
+        # texts must produce bit-identical integer vectors through the
+        # whole chain (tokenize -> md5 buckets -> rational idf -> JL).
+        ne = args.embeddocs
+        from oakstore_spark.operators.text import doc_embed
+
+        def probe_text(idc):
+            return F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit("w"),
+                        F.pmod(
+                            F.hash(idc * 31 + j), F.lit(4096)
+                        ).cast("string"),
+                    )
+                    for j in range(30)
+                ],
+            )
+
+        base = spark.range(0, ne, 1, 64).select(
+            F.col("id").alias("doc_id"),
+            probe_text(F.col("id")).alias("text"),
+        )
+        twins = (
+            spark.range(0, ne, 10, 64)
+            .select(
+                (F.col("id") + ne).alias("doc_id"),
+                probe_text(F.col("id")).alias("text"),
+            )
+        )
+        corpus = base.unionByName(twins).persist()
+        n_corpus = corpus.count()
+        t0 = time.time()
+        emb = doc_embed(corpus, dim=16, n_buckets=1024)
+        dig = emb.select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        "emb_q", lambda v: v.cast("string")
+                    ),
+                )
+            ).alias("dg"),
+        )
+        a = dig.where(F.col("doc_id") >= ne).select(
+            (F.col("doc_id") - ne).alias("doc_id"),
+            F.col("dg").alias("da"),
+        )
+        matches = (
+            a.join(dig.where(F.col("doc_id") < ne), "doc_id")
+            .where(F.col("da") == F.col("dg"))
+            .count()
+        )
+        dt = time.time() - t0
+        out["doc_embed_sec"] = round(dt, 2)
+        out["doc_embed_docs_per_sec"] = round(n_corpus / dt)
+        expected = len(range(0, ne, 10))
+        assert matches == expected, (matches, expected)
+        corpus.unpersist()
 
     if args.streamrows:
         # Structured Streaming at volume: watermarked tumbling-window
