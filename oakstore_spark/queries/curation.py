@@ -4079,47 +4079,117 @@ def q_dr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dr_evaluate(e, "event_type", "reward", mu, pi, qm)
 
 
-@register("q_bradley_terry")  # iterative MM fit: no single-SQL oracle;
-# planted-strength recovery pinned in
-# tests/test_curation.py::test_bradley_terry_recovers_planted_strengths
-def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bradley-Terry ratings from pairwise preferences
-    (operators/labeling.bradley_terry) — the arena-style head-to-head
-    readout: consecutive events per user become comparisons (the
-    higher-cents event type beats the lower), one hash aggregate to
-    the bounded (winner, loser, wins) relation, deterministic MM fit
-    driver-side. Rows-only (iterative fit, the q_quality_classifier
-    precedent)."""
-    from pyspark.sql import Window as W
+#: q_bradley_terry planted duel log (winner, loser, n): strengths
+#: roughly 4:2:1 with a weak fourth item — integer counts so the MM
+#: chain is the same IEEE double sequence in both engines
+_BT_DUELS = [
+    ("A", "B", 8), ("B", "A", 4),
+    ("A", "C", 8), ("C", "A", 2),
+    ("B", "C", 4), ("C", "B", 2),
+    ("A", "D", 4), ("D", "A", 1),
+    ("D", "C", 1), ("C", "D", 3),
+]
+_BT_ROUNDS = 3
 
+
+def _bt_oracle() -> str:
+    """Generated q_bradley_terry oracle (the pagerank/BPE chained-CTE
+    precedent): replay _BT_ROUNDS MM updates over the planted duel
+    log as unrolled CTEs.  Float-chain identity with the driver-side
+    fit in operators/labeling.bradley_terry: each item's denominator
+    is a FIXED-ORDER fold over its games in global (a, b) canonical
+    pair order (list(... ORDER BY a, b) — matching the precomputed
+    adjacency built from sorted(games)), the mean is a fold over
+    items ascending (matching dict insertion order), and every
+    division is int->double exact."""
+    games: dict = {}
+    wins: dict = {}
+    comps: dict = {}
+    for a, b, n in _BT_DUELS:
+        key = (a, b) if a < b else (b, a)
+        games[key] = games.get(key, 0) + n
+        wins[a] = wins.get(a, 0) + n
+        wins[b] = wins.get(b, 0)
+        comps[a] = comps.get(a, 0) + n
+        comps[b] = comps.get(b, 0) + n
+    items = sorted(wins)
+    k = len(items)
+    game_vals = ", ".join(
+        f"('{a}', '{b}', CAST({n} AS BIGINT))"
+        for (a, b), n in sorted(games.items())
+    )
+    win_vals = ", ".join(
+        f"('{it}', CAST({wins[it]} AS BIGINT), "
+        f"CAST({comps[it]} AS BIGINT))"
+        for it in items
+    )
+    ctes = [
+        f"games AS (SELECT * FROM (VALUES {game_vals}) g(a, b, n))",
+        f"w AS (SELECT * FROM (VALUES {win_vals}) "
+        "w(item, wins, comparisons))",
+        "p0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS p FROM w)",
+    ]
+    for r in range(1, _BT_ROUNDS + 1):
+        ctes.append(f"""raw{r} AS (
+      SELECT w.item, w.wins, w.comparisons,
+             CAST(w.wins AS DOUBLE) / (
+               SELECT list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                   list(g.n / (pa.p + pb.p) ORDER BY g.a, g.b)),
+                 (x, y) -> x + y)
+               FROM games g
+               JOIN p{r - 1} pa ON pa.item = g.a
+               JOIN p{r - 1} pb ON pb.item = g.b
+               WHERE g.a = w.item OR g.b = w.item
+             ) AS raw
+      FROM w
+    )""")
+        ctes.append(f"""mean{r} AS (
+      SELECT list_reduce(
+        list_prepend(CAST(0.0 AS DOUBLE), list(raw ORDER BY item)),
+        (x, y) -> x + y) / {k} AS m
+      FROM raw{r}
+    )""")
+        ctes.append(
+            f"p{r} AS (SELECT item, raw / (SELECT m FROM mean{r}) "
+            f"AS p FROM raw{r})"
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT w.item, w.wins, w.comparisons,
+           p{_BT_ROUNDS}.p AS strength,
+           CAST(row_number() OVER (
+             ORDER BY p{_BT_ROUNDS}.p DESC, w.item) AS INT) AS rank
+    FROM w JOIN p{_BT_ROUNDS} USING (item)
+    ORDER BY rank
+    """
+
+
+@register("q_bradley_terry", oracle=_bt_oracle())
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry ratings, RETIRED from rows-only into an exact
+    ORACLE (r13 verdict ask #7): a planted ~4:2:1 duel log with
+    integer counts runs _BT_ROUNDS deterministic MM updates
+    (operators/labeling.bradley_terry, all-ones init, adjacency in
+    global sorted pair order), and the oracle replays the identical
+    float chain as unrolled chained CTEs — fixed-order folds for
+    every cross-item sum, one int->double division per item per
+    round.  The converged-fit behavior (50 rounds, epsilon branch for
+    zero-win items, fail-fast cap) stays pinned in
+    tests/test_curation.py."""
     from oakstore_spark.operators.labeling import bradley_terry
 
-    e = table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-    )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    duels = e.select(
-        "event_type",
-        "cents",
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.lag("cents").over(w).alias("prev_cents"),
-    ).where(
-        F.col("prev_type").isNotNull()
-        & (F.col("prev_type") != F.col("event_type"))
-        & (F.col("prev_cents") != F.col("cents"))
+    duels = spark.createDataFrame(
+        _BT_DUELS, ["winner", "loser", "n"]
     ).select(
-        F.when(
-            F.col("cents") > F.col("prev_cents"), F.col("event_type")
-        ).otherwise(F.col("prev_type")).alias("winner"),
-        F.when(
-            F.col("cents") > F.col("prev_cents"), F.col("prev_type")
-        ).otherwise(F.col("event_type")).alias("loser"),
-    )
-    return bradley_terry(duels, "winner", "loser").orderBy("rank")
+        "winner",
+        "loser",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("_i"),
+    ).select("winner", "loser")
+    return bradley_terry(
+        duels, "winner", "loser", n_iter=_BT_ROUNDS
+    ).orderBy("rank")
 
 
 @register(
