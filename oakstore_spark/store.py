@@ -1206,6 +1206,148 @@ class Store:
         shutil.rmtree(trash)
         return n_del
 
+    def delete_where(self, key: str, predicate) -> int:
+        """EXT: delete rows matching a VALUE predicate — the
+        GDPR-style operational delete (``delete_where("EVENTS",
+        "USER_ID = 42")``) :meth:`delete_range` (time-window only)
+        could not express (r13 verdict ask #6). ``predicate`` is a SQL
+        string or Column over the item's columns (uppercase names +
+        the index column).
+
+        File-level pruning: ONE predicate-pushed scan tags each
+        matching row with its source file (``input_file_name`` — the
+        same skip decision the z-order/bloom file-stats relations in
+        ``operators/layout.py`` make from persisted stats), and only
+        files that actually CONTAIN matching rows are rewritten to
+        their surviving rows. Every other file is untouched: in the
+        rename protocol unaffected years keep their very inodes and
+        unaffected files inside an affected year are re-linked
+        byte-identically; in the manifest protocol unaffected years
+        keep their old generation paths and unaffected files inside an
+        affected year are copied byte-for-byte into the new
+        generation. Manifest items commit a new version ("delete" in
+        the history); immutable generations keep the deleted rows
+        reachable through snapshot()/restore() until vacuum — the
+        delete_range contract, predicate-shaped. Returns rows deleted.
+        """
+        from urllib.parse import unquote, urlparse
+
+        path = self._item_path(key)
+        if not path.exists():
+            raise ValueError(f"key={key.upper()} does not exist")
+        pred = (
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
+        idx = self._metadata.index_name
+        cols = [idx, *self._metadata.column_schema]
+
+        def _local(uri: str) -> str:
+            return unquote(urlparse(uri).path)
+
+        def _year_of(fpath: str) -> str:
+            for seg in fpath.split("/"):
+                if seg.startswith(f"{_PARTITION_COL}="):
+                    return seg.split("=", 1)[1]
+            raise ValueError(f"no {_PARTITION_COL} segment in {fpath}")
+
+        if self._is_manifest_item(path):
+            version, mapping = self._latest_manifest(path)
+            if not mapping:
+                return 0
+            scan = self._fill_defaults(
+                self._spark.read.schema(self._declared_read_schema())
+                .parquet(*self._manifest_paths(path, mapping))
+                .withColumn("_file", F.input_file_name())
+            )
+            per_file = (
+                scan.where(pred)
+                .groupBy("_file")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            )
+            if not per_file:
+                return 0
+            n_del = sum(int(r["_n"]) for r in per_file)
+            affected = sorted(_local(r["_file"]) for r in per_file)
+            aff_by_year: dict[str, list[str]] = {}
+            for f in affected:
+                aff_by_year.setdefault(_year_of(f), []).append(f)
+            survivors = self._fill_defaults(
+                self._spark.read.schema(
+                    self._declared_read_schema()
+                ).parquet(*affected)
+            ).where(~pred).select(*cols)
+            gen = uuid.uuid4().hex
+            gen_dir = path / _DATA_DIR / gen
+            self._write_parquet(survivors, gen_dir)
+            merged = dict(mapping)
+            for y, files in aff_by_year.items():
+                ydir_new = gen_dir / f"{_PARTITION_COL}={y}"
+                old_dir = path / mapping[y]
+                untouched = [
+                    f for f in sorted(old_dir.glob("*.parquet"))
+                    if str(f) not in set(files)
+                ]
+                if untouched:
+                    ydir_new.mkdir(parents=True, exist_ok=True)
+                    for f in untouched:
+                        shutil.copy2(f, ydir_new / f.name)
+                if ydir_new.is_dir() and any(ydir_new.iterdir()):
+                    merged[y] = f"{_DATA_DIR}/{gen}/{ydir_new.name}"
+                else:
+                    merged.pop(y, None)
+            self._commit_manifest(
+                path, version + 1, merged, operation="delete"
+            )
+            return n_del
+
+        scan = self._fill_defaults(
+            self._spark.read.schema(self._declared_read_schema())
+            .parquet(str(path))
+            .withColumn("_file", F.input_file_name())
+        )
+        per_file = (
+            scan.where(pred)
+            .groupBy("_file")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        if not per_file:
+            return 0
+        n_del = sum(int(r["_n"]) for r in per_file)
+        affected = sorted(_local(r["_file"]) for r in per_file)
+        aff_by_year: dict[str, list[str]] = {}
+        for f in affected:
+            aff_by_year.setdefault(_year_of(f), []).append(f)
+        survivors = self._fill_defaults(
+            self._spark.read.schema(
+                self._declared_read_schema()
+            ).parquet(*affected)
+        ).where(~pred).select(*cols)
+        tmp = self._items_path / f".tmp-{key.upper()}-{uuid.uuid4().hex}"
+        trash = (
+            self._items_path / f".trash-{key.upper()}-{uuid.uuid4().hex}"
+        )
+        self._write_parquet(survivors, tmp)
+        trash.mkdir()
+        for y, files in aff_by_year.items():
+            dest = path / f"{_PARTITION_COL}={y}"
+            os.rename(dest, trash / dest.name)
+            src = tmp / f"{_PARTITION_COL}={y}"
+            if src.exists():
+                os.rename(src, dest)
+            else:
+                dest.mkdir()
+            # unaffected files of this year re-link byte-identically
+            for f in sorted((trash / dest.name).glob("*.parquet")):
+                if str(path / dest.name / f.name) not in set(files):
+                    os.rename(f, dest / f.name)
+            if not any(dest.iterdir()):
+                dest.rmdir()
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(trash)
+        return n_del
+
     # -- EXT: cross-section over many items ---------------------------------
 
     def read_multi(self, keys: list[str] | None = None,
