@@ -70,6 +70,7 @@ _PARTITION_COL = "_oak_year"
 _MAX_RECORDS_PER_FILE = 1_000_000  # parity: store.py:27 (_DEFAULT_CHUNK_SIZE)
 _MANIFESTS_DIR = "_manifests"  # manifest-protocol commit log
 _DATA_DIR = "_data"  # manifest-protocol immutable generations
+_TXNS_DIR = "_txns"  # store-level multi-item transaction objects
 
 
 class Item:
@@ -205,6 +206,13 @@ class Store:
         else:
             self._metadata = new_meta or Metadata.build(DEFAULT_COLUMN_SCHEMA, DEFAULT_INDEX_NAME)
             self._metadata.save(self._metadata_path)
+
+        # roll forward any multi-item transaction whose per-item
+        # manifests were not all published (crash between the txn
+        # commit point and the fan-out) — see multi_commit()
+        self._txns_path = self._base_path / _TXNS_DIR
+        if self._txns_path.is_dir():
+            self.recover_multi_commits()
 
     # -- public dunder surface (parity: store.py:130-139) -----------------
 
@@ -771,30 +779,11 @@ class Store:
             # vacuum() collects past its retention horizon.
             last_err: Exception | None = None
             for _attempt in range(5):
-                version, mapping = self._latest_manifest(path)
-                touched = {
-                    str(y): mapping[str(y)] for y in years if str(y) in mapping
-                }
-                if touched:
-                    old = (
-                        self._fill_defaults(
-                            self._spark.read.schema(
-                                self._declared_read_schema()
-                            ).parquet(*self._manifest_paths(path, touched))
-                        )
-                        .select(idx, *self._metadata.column_schema)
-                        .withColumn("_oak_prio", F.lit(1 - new_prio))
-                    )
-                else:
-                    old = new.limit(0)
-                # immutable generation + one-object manifest publish: the
-                # commit is a single atomic write even on object storage;
-                # superseded year dirs stay readable until vacuum()
-                new_years = self._write_generation(path, dedup(old))
+                version, merged = self._stage_append(
+                    path, new, years, dedup, new_prio
+                )
                 try:
-                    self._commit_manifest(
-                        path, version + 1, {**mapping, **new_years}
-                    )
+                    self._commit_manifest(path, version, merged)
                     return
                 except ConcurrentCommitError as e:
                     last_err = e
@@ -830,6 +819,214 @@ class Store:
         shutil.rmtree(trash)
 
     # -- query (parity: store.py:238-267) -----------------------------------
+
+    def _stage_append(self, path, new, years, dedup, new_prio):
+        """STAGE one append against the latest manifest: write the
+        merged data generation (invisible — no manifest published) and
+        return (target_version, merged_mapping). Shared by the
+        single-item append retry loop and :meth:`multi_commit`."""
+        idx = self._metadata.index_name
+        version, mapping = self._latest_manifest(path)
+        touched = {
+            str(y): mapping[str(y)] for y in years if str(y) in mapping
+        }
+        if touched:
+            old = (
+                self._fill_defaults(
+                    self._spark.read.schema(
+                        self._declared_read_schema()
+                    ).parquet(*self._manifest_paths(path, touched))
+                )
+                .select(idx, *self._metadata.column_schema)
+                .withColumn("_oak_prio", F.lit(1 - new_prio))
+            )
+        else:
+            old = new.limit(0)
+        # immutable generation + one-object manifest publish: the
+        # commit is a single atomic write even on object storage;
+        # superseded year dirs stay readable until vacuum()
+        new_years = self._write_generation(path, dedup(old))
+        return version + 1, {**mapping, **new_years}
+
+    # -- EXT: multi-item atomic commit ---------------------------------------
+
+    def multi_commit(self, datas: dict, operation: str = "multi") -> int:
+        """EXT: publish N items' data in ONE transaction — corpus +
+        derived index + stats appear together or not at all (r13
+        verdict ask #8). Manifest protocol only.
+
+        Protocol (the Delta-style commit rung, one level up):
+
+        1. STAGE — per item, write the merged data generation
+           (old-wins dedup against touched years for existing items;
+           new items are created) and compute its target manifest.
+           Nothing is visible: no per-item manifest is published.
+        2. COMMIT — publish ONE transaction object
+           ``_txns/tNNNNNNNN.json`` naming every (item, version,
+           year-mapping) via the same ``os.link`` put-if-absent rung
+           as :meth:`_commit_manifest`. This single object write IS
+           the commit point: before it, a crash leaves only
+           unreferenced generation debris (invisible; vacuum
+           collects); after it, the transaction is durable.
+        3. ROLL FORWARD — publish each per-item manifest (doc carries
+           the txn id). A crash mid-fan-out is repaired by
+           :meth:`recover_multi_commits`, which every Store instance
+           runs on open — publishes are idempotent (an
+           already-present manifest naming the same txn is success).
+
+        Concurrency: per-item manifest versions are claimed by the
+        same put-if-absent publish, so an INDEPENDENT single-item
+        writer racing the fan-out surfaces as ConcurrentCommitError
+        rather than silent loss — multi-commit outputs should have
+        one logical writer (the pipeline-publish shape). Returns the
+        committed txn number.
+        """
+        if self._commit_protocol != "manifest":
+            raise ValueError(
+                "multi_commit requires commit_protocol='manifest'"
+            )
+        if not datas:
+            raise ValueError("multi_commit needs at least one item")
+        self._txns_path.mkdir(exist_ok=True)
+        idx = self._metadata.index_name
+        value_cols = list(self._metadata.column_schema)
+        plans: dict[str, dict] = {}
+        for key in sorted(datas):
+            data = datas[key]
+            path = self._item_path(key)
+            if path.exists() and not self._is_manifest_item(path):
+                raise ValueError(
+                    f"key={key.upper()} uses the rename protocol; "
+                    "multi_commit items must be manifest items"
+                )
+            if path.exists():
+                new = self._normalize(data).withColumn(
+                    "_oak_prio", F.lit(1)
+                )
+                years = [
+                    r[0]
+                    for r in new.select(
+                        F.year(F.col(idx))
+                    ).distinct().collect()
+                ]
+
+                def dedup(old, new=new):
+                    w = Window.partitionBy(idx).orderBy(
+                        "_oak_prio", *value_cols
+                    )
+                    return (
+                        old.unionByName(new)
+                        .withColumn(
+                            "_oak_rn", F.row_number().over(w)
+                        )
+                        .filter(F.col("_oak_rn") == 1)
+                        .drop("_oak_prio", "_oak_rn")
+                    )
+
+                version, merged = self._stage_append(
+                    path, new, years, dedup, 1
+                )
+            else:
+                path.mkdir(parents=True)
+                (path / _MANIFESTS_DIR).mkdir()
+                merged = self._write_generation(
+                    path, self._normalize(data)
+                )
+                version = 1
+            plans[key.upper()] = {
+                "version": version, "years": merged,
+            }
+        existing = sorted(
+            int(t.stem[1:]) for t in self._txns_path.glob("t*.json")
+        )
+        txn_v = (existing[-1] + 1) if existing else 1
+        txn_id = f"t{txn_v:08d}"
+        doc = {
+            "protocol": "multi-txn-v1",
+            "txn": txn_id,
+            "operation": operation,
+            "items": plans,
+            "committed_at": time.time(),
+        }
+        target = self._txns_path / f"{txn_id}.json"
+        tmp = target.with_name(f".{target.name}.{uuid.uuid4().hex}.tmp")
+        tmp.write_text(json.dumps(doc, sort_keys=True))
+        try:
+            os.link(tmp, target)  # THE commit point (put-if-absent)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"txn {txn_id} already committed by another writer; "
+                "re-stage and retry"
+            ) from None
+        finally:
+            tmp.unlink(missing_ok=True)
+        self._apply_txn(doc)
+        return txn_v
+
+    def _publish_manifest_for_txn(
+        self, path, version: int, years: dict, operation: str,
+        txn: str,
+    ) -> None:
+        """Idempotent per-item manifest publish on behalf of a
+        committed transaction: EEXIST whose existing doc names the
+        SAME txn is success (a previous fan-out already published);
+        any other existing doc means an independent writer took the
+        version — surfaced, never silently overwritten."""
+        doc = {
+            "protocol": "manifest-v1",
+            "version": version,
+            "years": years,
+            "operation": operation,
+            "txn": txn,
+            "committed_at": time.time(),
+        }
+        target = path / _MANIFESTS_DIR / f"v{version:08d}.json"
+        tmp = target.with_name(f".{target.name}.{uuid.uuid4().hex}.tmp")
+        tmp.write_text(json.dumps(doc, sort_keys=True))
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            cur = json.loads(target.read_text())
+            if cur.get("txn") != txn:
+                raise ConcurrentCommitError(
+                    f"manifest v{version} under {path} was taken by "
+                    "an independent writer while txn "
+                    f"{txn} was in flight"
+                ) from None
+        finally:
+            tmp.unlink(missing_ok=True)
+
+    def _apply_txn(self, doc: dict) -> None:
+        for key in sorted(doc["items"]):
+            plan = doc["items"][key]
+            self._publish_manifest_for_txn(
+                self._items_path / key,
+                int(plan["version"]),
+                plan["years"],
+                doc.get("operation", "multi"),
+                doc["txn"],
+            )
+
+    def recover_multi_commits(self) -> int:
+        """Roll forward committed transactions whose per-item
+        manifests were not all published (crash between the txn
+        commit point and the fan-out). Runs on every Store open;
+        idempotent. Returns how many txns needed repair."""
+        repaired = 0
+        for t in sorted(self._txns_path.glob("t*.json")):
+            doc = json.loads(t.read_text())
+            missing = [
+                key
+                for key, plan in doc["items"].items()
+                if not (
+                    self._items_path / key / _MANIFESTS_DIR
+                    / f"v{int(plan['version']):08d}.json"
+                ).exists()
+            ]
+            if missing:
+                self._apply_txn(doc)
+                repaired += 1
+        return repaired
 
     def add_column(self, name: str, tp: type | str, default) -> None:
         """EXT schema evolution: add a column with a read-time default —

@@ -1123,3 +1123,92 @@ def test_delete_where_drops_emptied_years(mstore, ohlcv_data):
     n2 = mstore.delete_where("DWY", "VOLUME >= 0")
     assert n2 == len(out)
     assert len(mstore["DWY"][:]) == 0
+
+
+def test_multi_commit_all_or_nothing_and_recovery(
+    tmp_path, spark, ohlcv_data
+):
+    """r14 (r13 verdict ask #8): multi_commit publishes N items behind
+    ONE put-if-absent txn object. Crash BEFORE the txn commit point ->
+    nothing visible (staged generations are unreferenced debris).
+    Crash AFTER it, mid fan-out -> the next Store open rolls the
+    transaction forward and BOTH items appear (cross-instance
+    visibility). Rename-protocol stores refuse."""
+    from oakstore_spark import Store
+
+    base = tmp_path / "txn_store"
+    s = Store(base, spark=spark, commit_protocol="manifest")
+    corpus = ohlcv_data.head(100)
+    stats = ohlcv_data.head(10)
+
+    # happy path: both appear, same txn recorded in both manifests
+    txn = s.multi_commit({"CORPUS": corpus, "STATS": stats})
+    assert txn == 1
+    assert len(s["CORPUS"][:]) == 100 and len(s["STATS"][:]) == 10
+    import json as _json
+    for k in ("CORPUS", "STATS"):
+        doc = _json.loads(
+            sorted(
+                (s._item_path(k) / "_manifests").glob("v*.json")
+            )[-1].read_text()
+        )
+        assert doc["txn"] == "t00000001"
+
+    # crash BEFORE the txn object lands: monkey-raise inside the
+    # commit-point link -> neither item advances
+    s2 = Store(base, spark=spark, commit_protocol="manifest")
+    orig_apply = Store._apply_txn
+    pre_versions = {k: s2.versions(k) for k in ("CORPUS", "STATS")}
+
+    def boom_before(self, doc):  # pragma: no cover - raised in test
+        raise RuntimeError("crash before txn commit")
+
+    import os as _os
+    real_link = _os.link
+
+    def no_link(src, dst, *a, **kw):
+        if "_txns" in str(dst):
+            raise RuntimeError("crash before txn commit")
+        return real_link(src, dst, *a, **kw)
+
+    _os.link = no_link
+    try:
+        with pytest.raises(RuntimeError):
+            s2.multi_commit(
+                {"CORPUS": ohlcv_data.head(120), "STATS": ohlcv_data.head(20)}
+            )
+    finally:
+        _os.link = real_link
+    s3 = Store(base, spark=spark, commit_protocol="manifest")
+    assert {k: s3.versions(k) for k in ("CORPUS", "STATS")} == pre_versions
+    assert len(s3["CORPUS"][:]) == 100 and len(s3["STATS"][:]) == 10
+
+    # crash AFTER the txn object lands, before the SECOND item's
+    # manifest publishes: recovery on the next open applies both
+    published = []
+    orig_pub = Store._publish_manifest_for_txn
+
+    def crashy_pub(self, path, version, years, operation, txn):
+        if len(published) == 1:
+            raise RuntimeError("crash mid fan-out")
+        published.append(str(path))
+        return orig_pub(self, path, version, years, operation, txn)
+
+    Store._publish_manifest_for_txn = crashy_pub
+    try:
+        with pytest.raises(RuntimeError):
+            s3.multi_commit(
+                {"CORPUS": ohlcv_data.head(150), "STATS": ohlcv_data.head(30)}
+            )
+    finally:
+        Store._publish_manifest_for_txn = orig_pub
+    # txn object exists; only CORPUS's manifest published so far
+    s4 = Store(base, spark=spark, commit_protocol="manifest")  # recovers
+    assert len(s4["CORPUS"][:]) == 150 and len(s4["STATS"][:]) == 30
+    ops = [h["operation"] for h in s4.history("STATS")]
+    assert ops[-1] == "multi"
+
+    # rename protocol refuses
+    r = Store(tmp_path / "ren_store", spark=spark)
+    with pytest.raises(ValueError, match="manifest"):
+        r.multi_commit({"A": corpus})
