@@ -2289,7 +2289,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("hash", "join", "scan")
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(filter_sql: str | None = None) -> str:
     per_tf = ",\n        ".join(
         f"len(list_filter(tk, x -> x = '{t}')) AS tf{i}"
         for i, t in enumerate(_BM25_TERMS)
@@ -2311,6 +2311,9 @@ def _bm25_oracle() -> str:
         for i in range(len(_BM25_TERMS))
     )
     any_hit = " OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))
+    # admissibility constrains the RESULT SET only — n/sumdl/df stay
+    # corpus-level (the search_bm25_index filter_ids contract)
+    adm = f" AND ({filter_sql})" if filter_sql else ""
     return f"""
     WITH per AS (
       SELECT doc_id, len(tk) AS dl, {per_tf}
@@ -2326,7 +2329,7 @@ def _bm25_oracle() -> str:
         0.0 + {parts} AS score_raw
       FROM per, (SELECT *, CAST(sumdl AS DOUBLE) / n AS avgdl
                  FROM stats) s
-      WHERE {any_hit}
+      WHERE ({any_hit}){adm}
     )
     SELECT doc_id, round(score_raw, 6) AS bm25,
            CAST(rnk AS BIGINT) AS rank
@@ -2566,6 +2569,137 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 25)
         .select("doc_id", F.round("score_raw", 6).alias("bm25"), "rank")
         .orderBy("rank")
+    )
+
+
+@register("q_bm25_filtered_topk", oracle=_bm25_oracle("doc_id % 2 = 0"))
+def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED persisted-index BM25 (r14, the filtered-retrieval
+    family's lexical leg): the admissible-doc relation (even doc_id —
+    a metadata predicate stand-in) semi-joins the matched postings
+    BEFORE the pivot/score, the top-25 cut runs over admissible docs
+    only, and surviving docs keep their corpus-level idf/dl scores
+    bit-identically — the oracle applies the same admissibility to
+    the full-scan replay's result set while its statistics stay
+    corpus-level."""
+    import tempfile
+    from pathlib import Path as _P
+
+    from pyspark.sql import Window as _W
+
+    from oakstore_spark.operators.text import (
+        build_bm25_index,
+        search_bm25_index,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    base = (
+        _P(tempfile.gettempdir())
+        / f"oakspark_bm25_{_P(sf_dir.rstrip('/')).name}"
+    )
+    build_bm25_index(d, str(base))
+    allowed = d.where(F.col("doc_id") % 2 == 0).select("doc_id")
+    scored = search_bm25_index(
+        spark, str(base), list(_BM25_TERMS), filter_ids=allowed
+    )
+    w = _W.orderBy(F.desc("score_raw"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 25)
+        .select("doc_id", F.round("score_raw", 6).alias("bm25"), "rank")
+        .orderBy("rank")
+    )
+
+
+_IVFPQ_FILT_DIRS: dict[str, str] = {}
+
+
+def _ivfpq_filtered_index(spark: SparkSession, sf_dir: str) -> str:
+    """q_ivfpq_filtered_topk fixture: the SAME planted closed-form
+    IVFPQ geometry as _ivfpq_index, built WITH label = vec_id %% 2
+    denormalized into the codes table (meta_cols)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from oakstore_spark.operators.similarity import build_ivfpq_index
+
+    path = _IVFPQ_FILT_DIRS.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="oak_ivfpq_filt_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        n_cells, m, k, dsub = (
+            _IVFPQ_CELLS, _IVFPQ_M, _IVFPQ_K, _IVFPQ_DSUB,
+        )
+        C = np.zeros((n_cells, m * dsub))
+        for c in range(n_cells):
+            C[c, c * 16:(c + 1) * 16] = 8.0
+        B = np.zeros((m, k, dsub))
+        for c in range(k):
+            B[:, c, :] = c / 128.0
+        corpus = table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            _ivfpq_planted_embedding().alias("embedding"),
+            (F.col("vec_id") % 2).cast("int").alias("label"),
+        )
+        build_ivfpq_index(
+            corpus,
+            dim=64,
+            index_dir=path,
+            n_cells=n_cells,
+            m=m,
+            k=k,
+            coarse_centroids=C,
+            pq_codebooks=B,
+            meta_cols=["label"],
+        )
+        _IVFPQ_FILT_DIRS[sf_dir] = path
+    return path
+
+
+@register(
+    "q_ivfpq_filtered_topk",
+    oracle="""
+    SELECT vec_id + 1000000 AS query_id, vec_id AS top1_id,
+           CAST(vec_id % 4 AS INT) AS cell, 0.0 AS adc_dist
+    FROM embeddings WHERE vec_id % 50 = 1
+    """,
+)
+def q_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED IVFPQ ADC search under the planted closed-form oracle
+    (r14): label = vec_id %% 2 rides the codes table (meta_cols), the
+    queries are the ODD planted vectors, the predicate admits label=1
+    only, and min_candidates above the corpus size forces the
+    STARVATION path — probes detect they cannot certify the filtered
+    top-k and escalate to the exact all-cells filtered ADC scan, which
+    must return each query's own (admissible) planted copy at ADC
+    exactly 0.0 in its closed-form cell. Meta persistence, the
+    filtered scan, starvation detection and the escalation all sit
+    under the hash gate; the filter-BINDS proof (admissible-only ids,
+    exclusion of the label-0 twin class) is pinned in
+    tests/test_llm_ops.py::test_filtered_ivfpq_search."""
+    from oakstore_spark.operators.similarity import search_ivfpq_index
+
+    idx = _ivfpq_filtered_index(spark, sf_dir)
+    queries = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 50 == 1)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("query_id"),
+            _ivfpq_planted_embedding().alias("embedding"),
+        )
+    )
+    out = search_ivfpq_index(
+        spark, idx, queries, k_results=1, n_probe=2,
+        filter="label = 1", min_candidates=1_000_000,
+    )
+    return out.select(
+        "query_id",
+        F.col("vec_id").alias("top1_id"),
+        "cell",
+        "adc_dist",
     )
 
 
