@@ -373,6 +373,70 @@ def roc_auc(
     return agg.select("n_pos", "n_neg", "n_scores", "u2", auc.alias("auc"))
 
 
+def grouped_auc(
+    df: DataFrame,
+    keys: list[str],
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-SEGMENT exact ROC AUC — the fairness / slice-evaluation
+    readout next to :func:`roc_auc`'s global one (a model that ranks
+    well overall can rank one language, source, or cohort at
+    coin-flip level; per-segment AUC is the table that finds it).
+    Same rank identity, keyed:
+
+        2U_g = sum over scores s ascending (within g) of
+               n_pos_{g,s} * (2 * cum_neg_below_g(s) + n_neg_{g,s})
+
+    Every term is an exact BIGINT (half-ties doubled away), so each
+    segment's AUC is ONE pinned division — both engines replay it
+    bit-for-bit.  ``score_col`` integer-valued (the family
+    contract).
+
+    Spark shape: ONE hash aggregate to the (keys x distinct-score)
+    relation, one keyed prefix window over it (bounded by score
+    cardinality per key, never rows), one keyed rollup.  Returns
+    keys + (n_pos, n_neg, n_scores, u2, auc); auc NULL where a class
+    is empty.
+    """
+    y = F.col(label_col).cast("bigint")
+    per_s = df.groupBy(*keys, F.col(score_col).alias("s")).agg(
+        F.sum(y).alias("np_s"),
+        F.sum(1 - y).alias("nn_s"),
+    )
+    wpre = (
+        Window.partitionBy(*keys)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = per_s.select(
+        *keys,
+        "s",
+        "np_s",
+        "nn_s",
+        F.coalesce(F.sum("nn_s").over(wpre), F.lit(0)).alias(
+            "cum_neg_below"
+        ),
+    )
+    agg = staged.groupBy(*keys).agg(
+        F.sum("np_s").cast("bigint").alias("n_pos"),
+        F.sum("nn_s").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+        F.sum(
+            F.col("np_s")
+            * (2 * F.col("cum_neg_below") + F.col("nn_s"))
+        ).cast("bigint").alias("u2"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("u2").cast("double")
+        / (2 * F.col("n_pos").cast("double") * F.col("n_neg")),
+    )
+    return agg.select(
+        *keys, "n_pos", "n_neg", "n_scores", "u2", auc.alias("auc")
+    )
+
+
 def pr_curve(
     df: DataFrame,
     score_col: str,

@@ -51,12 +51,27 @@ def _range_sorted(df: DataFrame, n: int, order_col) -> DataFrame:
     return df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
 
 
+def _pin_partitioning(df: DataFrame, checkpoint_dir: str | None):
+    """Materialize the range-sorted exchange so the counts job and the
+    emit job read the IDENTICAL partitioning. Default: lazy
+    ``localCheckpoint`` (blocks on executors — fast, but an executor
+    lost between the two jobs fails the query). With
+    ``checkpoint_dir`` set: a RELIABLE checkpoint to that path (HDFS/
+    object store), surviving executor loss — the pagerank
+    ``checkpoint_dir=`` trade plumbed here too (r13 verdict nit)."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=False)
+    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=False)
+
+
 def assign_contiguous_ids(
     df: DataFrame,
     order_col,
     id_name: str = "seq_id",
     num_partitions: int | None = None,
     return_total: bool = False,
+    checkpoint_dir: str | None = None,
 ):
     """Assign GLOBAL contiguous 1-based ids in ``order_col`` order
     without ever funneling the data through one task — the scalable
@@ -96,10 +111,13 @@ def assign_contiguous_ids(
 
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    # lazy local checkpoint: the counts job below is the first action, so
+    # lazy checkpoint: the counts job below is the first action, so
     # it materializes the blocks as a side effect (no extra scan), and
-    # the final job reads the SAME partitioning from those blocks
-    part = _range_sorted(df, n, order_col).localCheckpoint(eager=False)
+    # the final job reads the SAME partitioning from those blocks;
+    # pass checkpoint_dir for a reliable (executor-loss-surviving) pin
+    part = _pin_partitioning(
+        _range_sorted(df, n, order_col), checkpoint_dir
+    )
     counts = dict(
         part.groupBy(F.spark_partition_id().alias("pid"))
         .count()
@@ -145,6 +163,7 @@ def prefix_sums(
     sum_name: str = "prefix_sum",
     num_partitions: int | None = None,
     return_total: bool = False,
+    checkpoint_dir: str | None = None,
 ):
     """GLOBAL inclusive prefix sums of ``value_col`` in ``order_col``
     order without a SinglePartition window — the additive sibling of
@@ -170,7 +189,9 @@ def prefix_sums(
 
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    part = _range_sorted(df, n, order_col).localCheckpoint(eager=False)
+    part = _pin_partitioning(
+        _range_sorted(df, n, order_col), checkpoint_dir
+    )
     sums = dict(
         part.groupBy(F.spark_partition_id().alias("pid"))
         .agg(F.sum(F.col(value_col).cast("bigint")).alias("s"))

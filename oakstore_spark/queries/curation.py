@@ -3707,6 +3707,58 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_grouped_auc",
+    oracle=f"""
+    WITH units AS ({_SCORED_UNITS_CTE}
+    ), seg AS (
+      SELECT user_id % 8 AS segment, score_m, y FROM units
+    ), per_s AS (
+      SELECT segment, score_m AS s,
+             CAST(sum(y) AS BIGINT) AS np_s,
+             CAST(sum(1 - y) AS BIGINT) AS nn_s
+      FROM seg GROUP BY segment, score_m
+    ), staged AS (
+      SELECT segment, s, np_s, nn_s,
+             CAST(coalesce(sum(nn_s) OVER (PARTITION BY segment
+                  ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum_neg_below
+      FROM per_s
+    ), agg AS (
+      SELECT segment,
+             CAST(sum(np_s) AS BIGINT) AS n_pos,
+             CAST(sum(nn_s) AS BIGINT) AS n_neg,
+             CAST(count(*) AS BIGINT) AS n_scores,
+             CAST(sum(np_s * (2 * cum_neg_below + nn_s)) AS BIGINT)
+               AS u2
+      FROM staged GROUP BY segment
+    )
+    SELECT segment, n_pos, n_neg, n_scores, u2,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(u2 AS DOUBLE)
+                     / (2 * CAST(n_pos AS DOUBLE) * n_neg) END AS auc
+    FROM agg ORDER BY segment
+    """,
+)
+def q_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SEGMENT exact ROC AUC (operators/quality.grouped_auc, r14)
+    — the fairness/slice-eval table next to q_roc_auc's global
+    scalar: the same Mann-Whitney rank identity with half-ties
+    doubled into exact BIGINTs, keyed by a deterministic cohort
+    (user_id %% 8). One hash aggregate to the (segment x score)
+    relation, one keyed prefix window bounded by score cardinality,
+    one pinned division per segment."""
+    from oakstore_spark.operators.quality import grouped_auc
+
+    units = _scored_units(spark, sf_dir).withColumn(
+        "segment", (F.col("user_id") % 8).cast("bigint")
+    )
+    return grouped_auc(
+        units, ["segment"], "score_m", "y"
+    ).orderBy("segment")
+
+
+@register(
     "q_isotonic",
     oracle="""
     WITH units AS (

@@ -2623,3 +2623,28 @@ def test_bradley_terry_and_isotonic_fail_fast_before_collect(spark):
     )
     with _pytest.raises(ValueError, match="max_distinct_scores"):
         isotonic_calibrate(scored, "s", "y", max_distinct_scores=4)
+
+
+def test_grouped_auc_hand_cases(spark):
+    """r14: per-segment exact AUC. Segment 'perfect' ranks every
+    positive above every negative -> 1.0; 'inverted' -> 0.0; 'ties'
+    where all scores equal -> 0.5 via the half-tie convention;
+    'onesided' (no negatives) -> NULL; matches the global roc_auc on
+    a single-segment frame."""
+    from oakstore_spark.operators.quality import grouped_auc, roc_auc
+
+    rows = []
+    rows += [("perfect", 10 + i, 1) for i in range(5)]
+    rows += [("perfect", i, 0) for i in range(5)]
+    rows += [("inverted", i, 1) for i in range(5)]
+    rows += [("inverted", 10 + i, 0) for i in range(5)]
+    rows += [("ties", 7, y) for y in (0, 1, 0, 1)]
+    rows += [("onesided", 3, 1), ("onesided", 4, 1)]
+    df = spark.createDataFrame(rows, ["seg", "s", "y"])
+    out = {r.seg: r for r in grouped_auc(df, ["seg"], "s", "y").collect()}
+    assert out["perfect"].auc == 1.0
+    assert out["inverted"].auc == 0.0
+    assert out["ties"].auc == 0.5
+    assert out["onesided"].auc is None and out["onesided"].n_neg == 0
+    g = roc_auc(df.where(F.col("seg") == "perfect"), "s", "y").collect()[0]
+    assert g.auc == out["perfect"].auc and g.u2 == out["perfect"].u2
