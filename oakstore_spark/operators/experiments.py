@@ -342,6 +342,125 @@ def nelson_aalen(
     )
 
 
+def cox_ph(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    x_col: str,
+    n_iter: int = 3,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Cox proportional-hazards regression, single covariate — the
+    survival-REGRESSION member the family lacked next to KM /
+    Nelson–Aalen / log-rank / RMST (Cox 1972, Breslow ties — public):
+    fit log-hazard-ratio β in  h(t|x) = h0(t)·e^{βx}  by ``n_iter``
+    Newton steps on the partial likelihood from β = 0,
+
+        S_k(t;β) = Σ_{j: T_j >= t} x_j^k e^{βx_j}     (k = 0,1,2)
+        U(β) = Σ_events [x_i − S1/S0]
+        I(β) = Σ_events [S2/S0 − (S1/S0)²],   β ← β + U/I
+
+    FIXED-round and fully pinned, so the whole fit replays in SQL
+    (the pagerank/BPE/Bradley–Terry chained-CTE precedent — no
+    rows-only entry): the corpus collapses ONCE to the exact-BIGINT
+    (t, x, n, d) cell relation (both columns integer-valued — the
+    family contract; ``max_cells`` fails fast from a counted probe
+    BEFORE any collect); each iteration is per-t folds over x
+    ascending, suffix sums over t descending (window accumulation
+    order is pinned in both engines — the nelson_aalen rule), and
+    U/I as one fold over cells in (t, x) order.  β = 0 makes the
+    first iteration exact integer arithmetic; later iterations'
+    e^{βx} is one libm exp per cell inside a pinned chain.
+
+    Returns ONE row: (n_subjects, n_events, n_cells, beta, u_final,
+    info_final, se) — u_final ≈ 0 signals convergence, se =
+    1/sqrt(I(β)) the usual asymptotic standard error; all NULL when
+    the information is degenerate (no events, constant covariate).
+    """
+    import math
+
+    spark = df.sparkSession
+    t = F.col(duration_col).cast("bigint")
+    e = F.col(event_col).cast("bigint")
+    x = F.col(x_col).cast("bigint")
+    cell_rel = df.groupBy(t.alias("t"), x.alias("x")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(e).cast("bigint").alias("d"),
+    )
+    probe = cell_rel.limit(max_cells + 1).count()
+    if probe > max_cells:
+        raise ValueError(
+            f"more than max_cells={max_cells} distinct (t, x) cells: "
+            "quantize duration/covariate first (the family contract)"
+        )
+    cells = sorted(
+        (
+            (int(r["t"]), int(r["x"]), int(r["n"]), int(r["d"]))
+            for r in cell_rel.collect()
+        )
+    )
+    n_subjects = sum(c[2] for c in cells)
+    n_events = sum(c[3] for c in cells)
+    ts = sorted({c[0] for c in cells})
+
+    def u_i(b: float) -> tuple[float, float]:
+        # per-t S_k: folds over x ascending (cells pre-sorted)
+        s0p = {tt: 0.0 for tt in ts}
+        s1p = {tt: 0.0 for tt in ts}
+        s2p = {tt: 0.0 for tt in ts}
+        for tt, xx, nn, _dd in cells:
+            w = math.exp(b * xx)
+            s0p[tt] = s0p[tt] + nn * w
+            s1p[tt] = s1p[tt] + (nn * xx) * w
+            s2p[tt] = s2p[tt] + ((nn * xx) * xx) * w
+        # suffix sums over t descending (risk set: T_j >= t)
+        s0s, s1s, s2s = {}, {}, {}
+        a0 = a1 = a2 = 0.0
+        for tt in reversed(ts):
+            a0 = a0 + s0p[tt]
+            a1 = a1 + s1p[tt]
+            a2 = a2 + s2p[tt]
+            s0s[tt], s1s[tt], s2s[tt] = a0, a1, a2
+        uu = ii = 0.0
+        for tt, xx, _nn, dd in cells:  # (t, x) ascending
+            # non-event cells ADD literal 0.0 (not skip) so the fold
+            # is term-for-term the oracle's CASE ... ELSE 0.0 END —
+            # identical even at the -0.0 corner
+            if dd and s0s[tt] > 0:
+                r = s1s[tt] / s0s[tt]
+                uu = uu + dd * (xx - r)
+                ii = ii + dd * (s2s[tt] / s0s[tt] - r * r)
+            else:
+                uu = uu + 0.0
+                ii = ii + 0.0
+        return uu, ii
+
+    beta = 0.0
+    degenerate = False
+    for _ in range(n_iter):
+        uu, ii = u_i(beta)
+        if not ii > 0:
+            degenerate = True
+            break
+        beta = beta + uu / ii
+    if not degenerate:
+        u_fin, i_fin = u_i(beta)
+        degenerate = not i_fin > 0
+    if degenerate:
+        row = (n_subjects, n_events, len(cells), None, None, None,
+               None)
+    else:
+        row = (
+            n_subjects, n_events, len(cells), beta, u_fin, i_fin,
+            1.0 / math.sqrt(i_fin),
+        )
+    return spark.createDataFrame(
+        [row],
+        "n_subjects bigint, n_events bigint, n_cells bigint, "
+        "beta double, u_final double, info_final double, se double",
+    )
+
+
 def logrank_test(
     df: DataFrame,
     arm_col: str,

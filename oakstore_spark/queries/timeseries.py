@@ -2862,6 +2862,147 @@ def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rmst(u, "dur", "ev", tau=21.0)
 
 
+_COX_UNITS_CTE = """
+      SELECT user_id,
+             CAST(date_diff('day', CAST(min(ts) AS DATE),
+                  CAST(coalesce(
+                    min(CASE WHEN event_type = 'purchase' AND value > 150
+                             THEN ts END), max(ts)) AS DATE))
+                  AS BIGINT) AS dur,
+             CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                AND value > 150 THEN ts END) IS NOT NULL
+                  THEN 1 ELSE 0 END AS ev,
+             least(CAST(floor(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  AND ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  / 20000.0) AS BIGINT), 5) AS x
+      FROM events GROUP BY user_id
+"""
+
+
+def _cox_oracle(n_iter: int = 3) -> str:
+    """Generated q_cox_ph oracle: replay ``n_iter`` Newton steps of
+    the Breslow partial-likelihood fit as chained CTEs — the SAME
+    pinned chain operators/experiments.cox_ph runs driver-side:
+    per-t S_k as folds over x ascending, suffix sums over t
+    descending (window accumulation order — the nelson_aalen rule),
+    U/I as one fold over cells in (t, x) order with non-event cells
+    contributing literal 0.0."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list({expr} ORDER BY {ord})), (a, c) -> a + c)"
+    )
+
+    def per_t(i: int, bexpr: str) -> str:
+        w = f"exp({bexpr} * x)"
+        return f"""pt{i} AS (
+      SELECT t,
+        {fold.format(expr=f"n * {w}", ord="x")} AS s0,
+        {fold.format(expr=f"(n * x) * {w}", ord="x")} AS s1,
+        {fold.format(expr=f"((n * x) * x) * {w}", ord="x")} AS s2
+      FROM cells, b{i}
+      GROUP BY t
+    ), sfx{i} AS (
+      SELECT t,
+        sum(s0) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS s0s,
+        sum(s1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS s1s,
+        sum(s2) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS s2s
+      FROM pt{i}
+    ), ui{i} AS (
+      SELECT
+        {fold.format(
+            expr="CASE WHEN c.d > 0 AND f.s0s > 0 "
+            "THEN c.d * (c.x - f.s1s / f.s0s) ELSE 0.0 END",
+            ord="c.t, c.x")} AS u,
+        {fold.format(
+            expr="CASE WHEN c.d > 0 AND f.s0s > 0 "
+            "THEN c.d * (f.s2s / f.s0s "
+            "- (f.s1s / f.s0s) * (f.s1s / f.s0s)) ELSE 0.0 END",
+            ord="c.t, c.x")} AS i
+      FROM cells c JOIN sfx{i} f USING (t)
+    )"""
+
+    ctes = [
+        f"""units AS ({_COX_UNITS_CTE}
+    ), cells AS (
+      SELECT dur AS t, x, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ev) AS BIGINT) AS d
+      FROM units GROUP BY dur, x
+    ), b0 AS (SELECT CAST(0.0 AS DOUBLE) AS b)""",
+    ]
+    for i in range(n_iter):
+        ctes.append(per_t(i, "b"))
+        ctes.append(
+            f"b{i + 1} AS (SELECT b + u / i AS b FROM b{i}, ui{i})"
+        )
+    ctes.append(per_t(n_iter, "b"))
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT
+      (SELECT CAST(sum(n) AS BIGINT) FROM cells) AS n_subjects,
+      (SELECT CAST(sum(d) AS BIGINT) FROM cells) AS n_events,
+      (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells,
+      round(b{n_iter}.b, 6) AS beta,
+      round(ui{n_iter}.u, 6) AS u_final,
+      round(ui{n_iter}.i, 6) AS info_final,
+      round(1.0 / sqrt(ui{n_iter}.i), 6) AS se
+    FROM b{n_iter}, ui{n_iter}
+    """
+
+
+@register("q_cox_ph", oracle=_cox_oracle(3))
+def q_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards fit (operators/experiments.cox_ph,
+    r14) on the censored time-to-big-purchase units with the
+    pre-period spend bucket (floored to 200-unit steps, capped at 5)
+    as the covariate: 3 fixed
+    Newton steps on the Breslow partial likelihood, the corpus
+    collapsed ONCE to the exact-BIGINT (t, x, n, d) cell relation,
+    every float in the fit a pinned chain (x-ascending folds,
+    t-descending suffix accumulation, (t,x)-ordered U/I folds) that
+    the generated oracle replays step for step — the survival
+    REGRESSION next to q_kaplan_meier_churn / q_nelson_aalen /
+    q_logrank / q_rmst, with no rows-only entry (the Bradley-Terry
+    retirement precedent)."""
+    from oakstore_spark.operators.experiments import cox_ph
+
+    e = table(spark, sf_dir, "events")
+    big = F.when(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150),
+        F.col("ts"),
+    )
+    pre = F.when(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") < F.lit("2024-01-16").cast("timestamp")),
+        F.round(F.col("value") * 100).cast("bigint"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(F.coalesce(F.min(big), F.max("ts"))),
+            F.to_date(F.min("ts")),
+        ).cast("bigint").alias("dur"),
+        F.when(F.min(big).isNotNull(), 1).otherwise(0).alias("ev"),
+        F.least(
+            F.floor(F.coalesce(F.sum(pre), F.lit(0)) / 20000.0),
+            F.lit(5),
+        ).cast("bigint").alias("x"),
+    )
+    out = cox_ph(u, "dur", "ev", "x", n_iter=3)
+    return out.select(
+        "n_subjects",
+        "n_events",
+        "n_cells",
+        F.round("beta", 6).alias("beta"),
+        F.round("u_final", 6).alias("u_final"),
+        F.round("info_final", 6).alias("info_final"),
+        F.round("se", 6).alias("se"),
+    )
+
+
 @register(
     "q_logrank",
     oracle="""

@@ -1964,3 +1964,41 @@ def test_detect_period_fundamental_beats_multiples_and_floor(spark):
     flat_only = df.where(F.col("k") == "flat")
     empty = auto_decompose(flat_only, "ts", ["k"], "x", [4, 6])
     assert empty.count() == 0
+
+
+def test_cox_ph_planted_hazard_ratio_and_guards(spark):
+    """r14: Cox PH (Breslow, fixed Newton rounds). A planted
+    exponential-survival corpus with true log-hazard-ratio beta=0.7
+    per covariate unit recovers beta within a loose statistical
+    tolerance despite ~30% censoring; a constant covariate reads NULL
+    (degenerate information); the max_cells guard raises from a
+    counted probe."""
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from oakstore_spark.operators.experiments import cox_ph
+
+    rng = random.Random(99)
+    beta_true = 0.7
+    rows = []
+    for i in range(3000):
+        x = i % 3  # covariate 0/1/2
+        lam = 0.02 * math.exp(beta_true * x)
+        dur = -math.log(1.0 - rng.random()) / lam
+        cens = 60.0 * rng.random() + 20.0
+        ev = 1 if dur <= cens else 0
+        t = int(min(dur, cens)) + 1
+        rows.append((t, ev, x))
+    df = spark.createDataFrame(rows, ["dur", "ev", "x"])
+    out = cox_ph(df, "dur", "ev", "x", n_iter=5).collect()[0]
+    assert abs(out.beta - beta_true) < 0.12
+    assert abs(out.u_final) < 1e-6  # converged
+    assert out.se < 0.06
+    assert out.n_subjects == 3000
+    const = df.select("dur", "ev", F.lit(1).alias("x"))
+    o2 = cox_ph(const, "dur", "ev", "x").collect()[0]
+    assert o2.beta is None and o2.se is None
+    with _pytest.raises(ValueError, match="max_cells"):
+        cox_ph(df, "dur", "ev", "x", max_cells=10)
