@@ -114,16 +114,29 @@ def pagerank(
     checkpoint_dir: str | None = None,
     tol: float | None = None,
     checkpoint_interval: int = 4,
+    seeds: DataFrame | None = None,
+    seed_weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank with dangling-mass redistribution, returning
     (node, rank) after up to ``n_iterations`` synchronous updates:
 
-        PR'(v) = (1-d)/N + d * sum_{u->v} PR(u)/outdeg(u)
-                         + d * (sum of PR over dangling nodes)/N
+        PR'(v) = (1-d)·s(v) + d * sum_{u->v} PR(u)/outdeg(u)
+                            + d * (sum of PR over dangling nodes)·s(v)
 
-    Total mass stays exactly 1 each round. With the defaults the
-    update count is fixed (no convergence test — replayable by the
-    oracle).
+    where the teleport distribution s is uniform 1/N by default, or —
+    with ``seeds`` (a one-column node relation, optionally weighted by
+    ``seed_weight_col``) — the normalized seed distribution: the
+    PERSONALIZED PageRank of Haveliwala 2002 / the random walk with
+    restart, the seed-relative relevance score behind "similar pages",
+    local community detection and recommendation candidate generation.
+    Ranks initialize at s(v), so with seeds the mass starts (and stays,
+    exactly 1 per round) concentrated around the seed set.  Passing
+    seeds = all nodes uniform reproduces vanilla PageRank bit-for-bit
+    (the differential pytest pin).  Non-seed nodes receive mass only
+    through in-links — s(v) is 0 there.
+
+    With the defaults the update count is fixed (no convergence test —
+    replayable by the oracle).
 
     ``checkpoint_dir``: when set, per-iteration lineage truncation uses
     RELIABLE ``checkpoint()`` into that directory (HDFS/object-store
@@ -188,9 +201,40 @@ def pagerank(
     e.unpersist()  # setup done; iterations touch only pinned relations
 
     d = float(damping)
-    base = (1.0 - d) / n
     interval = 1 if tol is not None else max(1, int(checkpoint_interval))
-    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    if seeds is None:
+        # uniform teleport: keep the EXACT original arithmetic
+        # ((1-d)/N literal, mass/N) — (1-d)*(1/N) differs in the last
+        # ulp for non-dyadic N and would break the replay oracles
+        nodes_s = None
+    else:
+        # personalized teleport: s = normalized seed distribution
+        # (seed relations are tiny by contract — a handful of pages /
+        # users / items; the normalizer is one scalar aggregate)
+        if seed_weight_col is None:
+            sd = seeds.select(
+                F.col(seeds.columns[0]).alias("node"),
+                F.lit(1.0).alias("_w"),
+            ).distinct()
+        else:
+            sd = seeds.select(
+                F.col(seeds.columns[0]).alias("node"),
+                F.col(seed_weight_col).cast("double").alias("_w"),
+            )
+        tot = sd.agg(F.sum("_w").alias("_t"))
+        sd = sd.crossJoin(F.broadcast(tot)).select(
+            "node", (F.col("_w") / F.col("_t")).alias("_s")
+        )
+        nodes_s = _pin(
+            nodes.join(F.broadcast(sd), "node", "left").select(
+                "node", F.coalesce("_s", F.lit(0.0)).alias("_s")
+            )
+        )
+    base = (1.0 - d) / n
+    if nodes_s is None:
+        ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    else:
+        ranks = nodes_s.select("node", F.col("_s").alias("rank"))
     for it in range(n_iterations):
         contribs = (
             linked.join(
@@ -199,20 +243,31 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
         )
-        stepped = nodes.join(contribs, "node", "left")
+        stepped = (nodes if nodes_s is None else nodes_s).join(
+            contribs, "node", "left"
+        )
         if any_dangling:
             dangling = (
                 ranks.join(has_out, "node", "left_anti")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass"))
             )
             stepped = stepped.crossJoin(F.broadcast(dangling))
-            mass_term = F.lit(d) * F.col("mass") / n
+            # dangling mass restarts per the teleport distribution
+            if nodes_s is None:
+                mass_term = F.lit(d) * F.col("mass") / n
+            else:
+                mass_term = F.lit(d) * F.col("mass") * F.col("_s")
         else:
             mass_term = F.lit(0.0)
+        teleport = (
+            F.lit(base)
+            if nodes_s is None
+            else F.lit(1.0 - d) * F.col("_s")
+        )
         new_ranks = stepped.select(
             "node",
             (
-                F.lit(base)
+                teleport
                 + F.lit(d) * F.coalesce("contrib", F.lit(0.0))
                 + mass_term
             ).alias("rank"),

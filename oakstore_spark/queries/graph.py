@@ -94,6 +94,71 @@ def _pagerank_oracle() -> str:
     )
 
 
+def _ppr_oracle() -> str:
+    """Generated q_ppr_dyadic oracle: 10 personalized-PageRank rounds
+    over the same closed dyadic graph, teleporting to the 4-seed
+    uniform distribution (s = 1/4 on nodes {0,16,32,48}, dyadic) —
+    every intermediate stays an exactly-representable dyadic rational
+    (the module-docstring argument, with the teleport term 0.5*s
+    replacing the uniform 0.5/64), so Spark's shuffled aggregation
+    must equal the serial chained-CTE replay to the last bit."""
+    steps = []
+    for k in range(_ITER):
+        steps.append(f"""
+    pr{k + 1} AS (
+      SELECT n.node,
+             0.5 * n.s + 0.5 * COALESCE(c.contrib, 0) AS rank
+      FROM ns n
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p.rank / o.deg) AS contrib
+        FROM edges e
+        JOIN pr{k} p ON e.src = p.node
+        JOIN outdeg o ON o.node = e.src
+        GROUP BY e.dst
+      ) c ON c.node = n.node
+    )""")
+    return (
+        "WITH "
+        + _GRAPH_CTE
+        + """,
+    seeds AS (SELECT node, CAST(0.25 AS DOUBLE) AS s
+              FROM nodes WHERE node % 16 = 0),
+    ns AS (SELECT n.node, COALESCE(sd.s, 0.0) AS s
+           FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node),
+    pr0 AS (SELECT node, s AS rank FROM ns),"""
+        + ",".join(steps)
+        + f"\n    SELECT node, rank FROM pr{_ITER} ORDER BY node"
+    )
+
+
+@register("q_ppr_dyadic", oracle=_ppr_oracle())
+def q_ppr_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.pagerank with seeds= —
+    Haveliwala 2002's topic-sensitive teleport / random walk with
+    restart, r14): 10 synchronous rounds over the planted dyadic
+    graph teleporting to the 4 hub seeds {0,16,32,48} at s = 1/4
+    each. Mass starts and stays exactly 1, concentrated around the
+    seeds; every intermediate is a dyadic rational, so all 64 ranks
+    hash-match the oracle's serial replay bit-for-bit. The
+    seeds-equals-all-nodes == vanilla-pagerank differential and the
+    localization property are pinned in tests/test_graph.py."""
+    from oakstore_spark.operators.graph import pagerank
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        seeds = spark.range(4).select(
+            (F.col("id") * 16).alias("node")
+        )
+        out = pagerank(
+            _planted_edges(spark), n_iterations=_ITER, damping=0.5,
+            seeds=seeds,
+        ).select("node", "rank")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.orderBy("node")
+
+
 @register("q_pagerank_dyadic", oracle=_pagerank_oracle())
 def q_pagerank_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10 synchronous PageRank iterations (damping 1/2) over the

@@ -506,3 +506,59 @@ def test_shortest_paths_negative_edges_and_cycle_detection(spark):
         for r in shortest_paths(chain, 0, n_rounds=6).collect()
     }
     assert ok[6] == 6.0
+
+
+def test_personalized_pagerank_localization_and_uniform_equivalence(spark):
+    """r14: pagerank(seeds=...) — (1) seeds = ALL nodes uniform must
+    equal vanilla pagerank BIT-FOR-BIT (the teleport distribution is
+    then exactly 1/N); (2) with a single seed on a closed graph, mass
+    conserves to 1 and localizes: the seed outranks every node outside
+    its out-neighborhood; (3) weighted seeds normalize."""
+    from pyspark.sql import functions as F
+
+    from oakstore_spark.operators.graph import pagerank
+
+    # ring of 16 + a few chords (closed: every node has out-edges)
+    edges = spark.range(16).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % 16).alias("dst")
+    ).unionByName(
+        spark.range(4).select(
+            (F.col("id") * 4).alias("src"),
+            ((F.col("id") * 4 + 8) % 16).alias("dst"),
+        )
+    )
+    vanilla = {
+        r.node: r.rank
+        for r in pagerank(edges, n_iterations=6, damping=0.5).collect()
+    }
+    all_nodes = spark.range(16).select(F.col("id").alias("node"))
+    unif = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, n_iterations=6, damping=0.5, seeds=all_nodes
+        ).collect()
+    }
+    # 16 = 2^4: (1-d)/n and (1-d)*(1/n) coincide exactly on dyadics,
+    # so the differential is bit-exact here
+    assert unif == vanilla
+    seed0 = spark.range(1).select(F.col("id").alias("node"))
+    ppr = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, n_iterations=8, damping=0.5, seeds=seed0
+        ).collect()
+    }
+    assert abs(sum(ppr.values()) - 1.0) < 1e-12  # mass conserved
+    assert ppr[0] == max(ppr.values())  # the seed dominates
+    assert ppr[1] > ppr[9]  # out-neighbor beats a far node
+    # weighted seeds: node 0 at weight 3, node 8 at weight 1 -> node 0
+    # side carries more mass
+    ws = spark.createDataFrame([(0, 3.0), (8, 1.0)], ["node", "w"])
+    pw = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, n_iterations=8, damping=0.5, seeds=ws,
+            seed_weight_col="w",
+        ).collect()
+    }
+    assert pw[0] > pw[8] and abs(sum(pw.values()) - 1.0) < 1e-12
