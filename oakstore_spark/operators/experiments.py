@@ -280,6 +280,111 @@ def kaplan_meier(
     )
 
 
+def aalen_johansen(
+    df: DataFrame,
+    duration_col: str,
+    cause_col: str,
+    causes: list[int],
+) -> DataFrame:
+    """Aalen–Johansen cumulative incidence under COMPETING risks
+    (Aalen & Johansen 1978 — public) — the estimator
+    :func:`kaplan_meier` users reach for next when more than one
+    thing can happen first (convert vs churn, fail-by-wearout vs
+    fail-by-shock): treating competitor events as censoring (the
+    "1 − KM per cause" shortcut) overstates every cause's incidence;
+    AJ partitions the probability correctly,
+
+        S(t)      = Π_{t_j <= t} (1 − d_·j / n_j)   (all-cause KM)
+        CIF_k(t)  = Σ_{t_j <= t} S(t_{j−}) · d_kj / n_j
+
+    ``cause_col``: 0 = censored, else one of ``causes`` (event by
+    that cause).  Spark shape (the KM rule): ONE hash aggregate to
+    the distinct-duration relation with per-cause event counts
+    (bounded conditional sums — causes are a small list), at-risk
+    from the total minus the prior-row prefix, the all-cause survival
+    in ln space with the explicit zero pin, S(t−) from the SAME
+    prefix shifted one row, and each CIF as a prefix window sum of
+    pinned per-row terms — every float sequence evaluates in time
+    order in both engines, so the whole table replays in SQL.
+
+    Returns (t, n_risk, n_censored, d_<k>..., survival, cif_<k>...)
+    ordered by t; Σ_k CIF_k(t) + S(t) = 1 up to float for any t with
+    no prior censoring.
+    """
+    from pyspark.sql import Window as W
+
+    if not causes or 0 in causes:
+        raise ValueError("causes must be non-empty and exclude 0")
+    t = F.col(duration_col).cast("bigint")
+    c = F.col(cause_col).cast("bigint")
+    aggs = [
+        F.sum(F.when(c != 0, 1).otherwise(0)).alias("n_events"),
+        F.sum(F.when(c == 0, 1).otherwise(0)).alias("n_censored"),
+    ]
+    for k in causes:
+        aggs.append(
+            F.sum(F.when(c == int(k), 1).otherwise(0))
+            .cast("bigint").alias(f"d_{k}")
+        )
+    per_t = df.groupBy(t.alias("t")).agg(*aggs)
+    wpre = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(
+        W.partitionBy()
+    )
+    prior = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wpre),
+        F.lit(0),
+    )
+    staged = per_t.select(
+        "t",
+        "n_events",
+        "n_censored",
+        *[f"d_{k}" for k in causes],
+        (total - prior).cast("bigint").alias("n_risk"),
+    )
+    factor = 1 - F.col("n_events").cast("double") / F.col("n_risk")
+    zero_seen = F.min(factor).over(wcum) <= 0
+    surv = F.when(zero_seen, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.log(factor)).over(wcum))
+    )
+    # S(t-) = survival BEFORE this row's events: the same ln-prefix
+    # one row back (1.0 at the first row); a zero seen strictly
+    # before this row pins S(t-) = 0
+    zero_before = F.coalesce(
+        F.min(factor).over(wpre) <= 0, F.lit(False)
+    )
+    s_prev = F.when(zero_before, F.lit(0.0)).otherwise(
+        F.exp(
+            F.coalesce(F.sum(F.log(factor)).over(wpre), F.lit(0.0))
+        )
+    )
+    # two stages: window expressions (s_prev, survival) materialize as
+    # columns first — Spark forbids a window over a window expression
+    mid = staged.select(
+        "t",
+        "n_risk",
+        "n_censored",
+        *[f"d_{k}" for k in causes],
+        surv.alias("survival"),
+        s_prev.alias("_s_prev"),
+    )
+    wcum2 = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    out_cols = [
+        "t",
+        "n_risk",
+        "n_censored",
+        *[f"d_{k}" for k in causes],
+        "survival",
+    ]
+    for k in causes:
+        inc = F.col("_s_prev") * (
+            F.col(f"d_{k}").cast("double") / F.col("n_risk")
+        )
+        out_cols.append(F.sum(inc).over(wcum2).alias(f"cif_{k}"))
+    return mid.select(*out_cols)
+
+
 def nelson_aalen(
     df: DataFrame, duration_col: str, event_col: str
 ) -> DataFrame:

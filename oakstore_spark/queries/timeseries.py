@@ -2862,6 +2862,140 @@ def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rmst(u, "dur", "ev", tau=21.0)
 
 
+@register(
+    "q_aalen_johansen",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN ts END) AS t1,
+             min(CASE WHEN event_type = 'error' THEN ts END) AS t2,
+             min(ts) AS t0, max(ts) AS tmax
+      FROM events GROUP BY user_id
+    ), units AS (
+      SELECT user_id,
+             CASE WHEN t1 IS NULL AND t2 IS NULL THEN 0
+                  WHEN t1 IS NOT NULL AND (t2 IS NULL OR t1 <= t2)
+                  THEN 1 ELSE 2 END AS cause,
+             CAST(date_diff('day', CAST(t0 AS DATE),
+                  CAST(CASE WHEN t1 IS NOT NULL
+                                 AND (t2 IS NULL OR t1 <= t2) THEN t1
+                            WHEN t2 IS NOT NULL THEN t2
+                            ELSE tmax END AS DATE)) AS BIGINT) AS dur
+      FROM u
+    ), per_t AS (
+      SELECT dur AS t,
+             CAST(sum(CASE WHEN cause <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN cause = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_censored,
+             CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d_1,
+             CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d_2
+      FROM units GROUP BY dur
+    ), staged AS (
+      SELECT t, n_events, n_censored, d_1, d_2,
+             CAST(sum(n_events + n_censored) OVER ()
+                  - coalesce(sum(n_events + n_censored) OVER (
+                      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM per_t
+    ), mid AS (
+      SELECT t, n_risk, n_censored, d_1, d_2,
+             CASE WHEN min(1 - CAST(n_events AS DOUBLE) / n_risk)
+                       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) <= 0
+                  THEN 0.0
+                  ELSE exp(sum(ln(CASE WHEN 1 - CAST(n_events AS DOUBLE)
+                                   / n_risk > 0 THEN 1 - CAST(n_events AS DOUBLE) / n_risk ELSE 1.0 END))
+                       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW))
+             END AS survival,
+             CASE WHEN coalesce(
+                    min(1 - CAST(n_events AS DOUBLE) / n_risk)
+                      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING) <= 0, FALSE)
+                  THEN 0.0
+                  ELSE exp(coalesce(
+                    sum(ln(CASE WHEN 1 - CAST(n_events AS DOUBLE) / n_risk > 0 THEN 1 - CAST(n_events AS DOUBLE) / n_risk ELSE 1.0 END))
+                      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING), 0.0))
+             END AS s_prev
+      FROM staged
+    )
+    SELECT t, n_risk, n_censored, d_1, d_2,
+           round(survival, 6) AS survival,
+           round(sum(s_prev * (CAST(d_1 AS DOUBLE) / n_risk))
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW), 6) AS cif_1,
+           round(sum(s_prev * (CAST(d_2 AS DOUBLE) / n_risk))
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW), 6) AS cif_2
+    FROM mid ORDER BY t
+    """,
+)
+def q_aalen_johansen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under competing risks
+    (operators/experiments.aalen_johansen, r14): per user the FIRST
+    of convert (purchase > 150, cause 1) vs hit-an-error (cause 2)
+    wins, neither = censored at last activity — the estimator that
+    partitions probability correctly where the per-cause 1-KM
+    shortcut overstates both. All-cause survival in pinned ln space
+    with the explicit zero pin, S(t-) the same prefix one row back,
+    each CIF a prefix window sum of pinned per-row terms — every
+    float sequence evaluates in time order in both engines."""
+    from oakstore_spark.operators.experiments import aalen_johansen
+
+    e = table(spark, sf_dir, "events")
+    t1 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") > 150),
+            F.col("ts"),
+        )
+    )
+    t2 = F.min(
+        F.when(F.col("event_type") == "error", F.col("ts"))
+    )
+    u = e.groupBy("user_id").agg(
+        t1.alias("t1"),
+        t2.alias("t2"),
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("tmax"),
+    )
+    cause = (
+        F.when(F.col("t1").isNull() & F.col("t2").isNull(), 0)
+        .when(
+            F.col("t1").isNotNull()
+            & (F.col("t2").isNull() | (F.col("t1") <= F.col("t2"))),
+            1,
+        )
+        .otherwise(2)
+    )
+    end = (
+        F.when(
+            F.col("t1").isNotNull()
+            & (F.col("t2").isNull() | (F.col("t1") <= F.col("t2"))),
+            F.col("t1"),
+        )
+        .when(F.col("t2").isNotNull(), F.col("t2"))
+        .otherwise(F.col("tmax"))
+    )
+    units = u.select(
+        cause.alias("cause"),
+        F.datediff(F.to_date(end), F.to_date("t0"))
+        .cast("bigint").alias("dur"),
+    )
+    out = aalen_johansen(units, "dur", "cause", [1, 2])
+    return out.select(
+        "t", "n_risk", "n_censored", "d_1", "d_2",
+        F.round("survival", 6).alias("survival"),
+        F.round("cif_1", 6).alias("cif_1"),
+        F.round("cif_2", 6).alias("cif_2"),
+    ).orderBy("t")
+
+
 _COX_UNITS_CTE = """
       SELECT user_id,
              CAST(date_diff('day', CAST(min(ts) AS DATE),

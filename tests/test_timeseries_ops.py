@@ -2002,3 +2002,40 @@ def test_cox_ph_planted_hazard_ratio_and_guards(spark):
     assert o2.beta is None and o2.se is None
     with _pytest.raises(ValueError, match="max_cells"):
         cox_ph(df, "dur", "ev", "x", max_cells=10)
+
+
+def test_aalen_johansen_hand_case_and_km_identity(spark):
+    """r14: competing-risks cumulative incidence. Hand case (6
+    subjects, two causes, one censor) matches the textbook table
+    exactly; CIFs + survival partition probability (sum to 1 at times
+    with no prior censoring); with a SINGLE cause and no censoring
+    cif_1 == 1 - KM survival; cause 0 in the causes list raises."""
+    import pytest as _pytest
+
+    from oakstore_spark.operators.experiments import (
+        aalen_johansen,
+        kaplan_meier,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 0), (4, 1), (5, 2), (6, 1)],
+        ["dur", "cause"],
+    )
+    out = {r.t: r for r in aalen_johansen(df, "dur", "cause", [1, 2]).collect()}
+    assert out[1].survival == 1 - 1 / 6 and out[1].cif_1 == 1 / 6
+    assert out[2].cif_2 == (5 / 6) * (1 / 5)
+    # after the censor at t=3 the risk set is 3: CIF_1 jumps by S(3)*1/3
+    assert abs(out[4].cif_1 - (1 / 6 + out[3].survival / 3)) < 1e-15
+    assert out[6].survival == 0.0
+    assert abs(out[2].cif_1 + out[2].cif_2 + out[2].survival - 1.0) < 1e-15
+    rows2 = [(i % 5 + 1, 1) for i in range(20)]
+    df2 = spark.createDataFrame(rows2, ["dur", "cause"])
+    aj = {r.t: r for r in aalen_johansen(df2, "dur", "cause", [1]).collect()}
+    km = {r.t: r for r in kaplan_meier(df2, "dur", "cause").collect()}
+    assert all(
+        abs(aj[t].cif_1 - (1.0 - km[t].survival)) < 1e-12 for t in aj
+    )
+    with _pytest.raises(ValueError):
+        aalen_johansen(df, "dur", "cause", [0, 1])
+    with _pytest.raises(ValueError):
+        aalen_johansen(df, "dur", "cause", [])
