@@ -566,6 +566,135 @@ def cox_ph(
     )
 
 
+def cox_ph2(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    x1_col: str,
+    x2_col: str,
+    n_iter: int = 3,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Two-covariate Cox proportional hazards — the ADJUSTED hazard
+    ratio (:func:`cox_ph`'s single-covariate estimate confounds
+    whenever a second driver correlates with the first; the
+    two-covariate fit is the smallest model that separates them).
+    Same fixed-round Newton on the Breslow partial likelihood, with
+    vector score U = (U1, U2), 2×2 information I, and the step
+    solved in closed form (Cramer):
+
+        det = I11·I22 − I12²,   δ = I⁻¹U,
+        se_j = sqrt((I⁻¹)_jj) = sqrt(I_kk / det)
+
+    Everything is the :func:`cox_ph` contract one rank up: the corpus
+    collapses once to the exact-BIGINT (t, x1, x2, n, d) cell
+    relation (counted-probe ``max_cells`` guard), the six per-t
+    moment folds run in (x1, x2)-ascending order, the suffix sums in
+    t-descending accumulation order, the five U/I folds over cells in
+    (t, x1, x2) order with non-event cells adding literal 0.0 — the
+    whole fit replays in SQL (q_cox_ph2).  Degenerate information
+    (det <= 0 or I11 <= 0) reads NULL.
+
+    Returns ONE row: (n_subjects, n_events, n_cells, beta1, beta2,
+    u1_final, u2_final, se1, se2).
+    """
+    import math
+
+    spark = df.sparkSession
+    t = F.col(duration_col).cast("bigint")
+    e = F.col(event_col).cast("bigint")
+    x1 = F.col(x1_col).cast("bigint")
+    x2 = F.col(x2_col).cast("bigint")
+    cell_rel = df.groupBy(
+        t.alias("t"), x1.alias("x1"), x2.alias("x2")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(e).cast("bigint").alias("d"),
+    )
+    probe = cell_rel.limit(max_cells + 1).count()
+    if probe > max_cells:
+        raise ValueError(
+            f"more than max_cells={max_cells} distinct (t, x1, x2) "
+            "cells: quantize first (the family contract)"
+        )
+    cells = sorted(
+        (
+            int(r["t"]), int(r["x1"]), int(r["x2"]),
+            int(r["n"]), int(r["d"]),
+        )
+        for r in cell_rel.collect()
+    )
+    n_subjects = sum(c[3] for c in cells)
+    n_events = sum(c[4] for c in cells)
+    ts = sorted({c[0] for c in cells})
+
+    def u_i(b1: float, b2: float):
+        mom = {tt: [0.0] * 6 for tt in ts}  # s0,s1a,s1b,s2aa,s2ab,s2bb
+        for tt, a, b, nn, _dd in cells:
+            w = math.exp(b1 * a + b2 * b)
+            m = mom[tt]
+            m[0] = m[0] + nn * w
+            m[1] = m[1] + (nn * a) * w
+            m[2] = m[2] + (nn * b) * w
+            m[3] = m[3] + ((nn * a) * a) * w
+            m[4] = m[4] + ((nn * a) * b) * w
+            m[5] = m[5] + ((nn * b) * b) * w
+        sfx = {}
+        acc = [0.0] * 6
+        for tt in reversed(ts):
+            acc = [acc[j] + mom[tt][j] for j in range(6)]
+            sfx[tt] = list(acc)
+        u1 = u2 = i11 = i12 = i22 = 0.0
+        for tt, a, b, _nn, dd in cells:
+            s = sfx[tt]
+            if dd and s[0] > 0:
+                r1 = s[1] / s[0]
+                r2 = s[2] / s[0]
+                u1 = u1 + dd * (a - r1)
+                u2 = u2 + dd * (b - r2)
+                i11 = i11 + dd * (s[3] / s[0] - r1 * r1)
+                i12 = i12 + dd * (s[4] / s[0] - r1 * r2)
+                i22 = i22 + dd * (s[5] / s[0] - r2 * r2)
+            else:
+                u1 = u1 + 0.0
+                u2 = u2 + 0.0
+                i11 = i11 + 0.0
+                i12 = i12 + 0.0
+                i22 = i22 + 0.0
+        return u1, u2, i11, i12, i22
+
+    b1 = b2 = 0.0
+    degenerate = False
+    for _ in range(n_iter):
+        u1, u2, i11, i12, i22 = u_i(b1, b2)
+        det = i11 * i22 - i12 * i12
+        if not (det > 0 and i11 > 0):
+            degenerate = True
+            break
+        b1 = b1 + (u1 * i22 - u2 * i12) / det
+        b2 = b2 + (i11 * u2 - i12 * u1) / det
+    if not degenerate:
+        u1, u2, i11, i12, i22 = u_i(b1, b2)
+        det = i11 * i22 - i12 * i12
+        degenerate = not (det > 0 and i11 > 0)
+    if degenerate:
+        row = (
+            n_subjects, n_events, len(cells),
+            None, None, None, None, None, None,
+        )
+    else:
+        row = (
+            n_subjects, n_events, len(cells), b1, b2, u1, u2,
+            math.sqrt(i22 / det), math.sqrt(i11 / det),
+        )
+    return spark.createDataFrame(
+        [row],
+        "n_subjects bigint, n_events bigint, n_cells bigint, "
+        "beta1 double, beta2 double, u1_final double, "
+        "u2_final double, se1 double, se2 double",
+    )
+
+
 def logrank_test(
     df: DataFrame,
     arm_col: str,

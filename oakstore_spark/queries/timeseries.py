@@ -3088,6 +3088,164 @@ def _cox_oracle(n_iter: int = 3) -> str:
     """
 
 
+def _cox2_oracle(n_iter: int = 3) -> str:
+    """Generated q_cox_ph2 oracle: the two-covariate Breslow Newton
+    chain of operators/experiments.cox_ph2 as unrolled CTEs — six
+    per-t moment folds in (x1, x2)-ascending order, six t-descending
+    suffix window sums, five U/I folds over cells in (t, x1, x2)
+    order, the Cramer 2x2 step as scalar CTE algebra."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list({expr} ORDER BY {ord})), (a, c) -> a + c)"
+    )
+
+    def per_t(i: int) -> str:
+        w = "exp(b1 * x1 + b2 * x2)"
+        parts = {
+            "s0": f"n * {w}",
+            "s1a": f"(n * x1) * {w}",
+            "s1b": f"(n * x2) * {w}",
+            "s2aa": f"((n * x1) * x1) * {w}",
+            "s2ab": f"((n * x1) * x2) * {w}",
+            "s2bb": f"((n * x2) * x2) * {w}",
+        }
+        cols = ",\n        ".join(
+            f"{fold.format(expr=e, ord='x1, x2')} AS {k}"
+            for k, e in parts.items()
+        )
+        sfx = ",\n        ".join(
+            f"sum({k}) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND CURRENT ROW) AS {k}s"
+            for k in parts
+        )
+        ui_terms = {
+            "u1": "c.d * (c.x1 - f.s1as / f.s0s)",
+            "u2": "c.d * (c.x2 - f.s1bs / f.s0s)",
+            "i11": "c.d * (f.s2aas / f.s0s "
+                   "- (f.s1as / f.s0s) * (f.s1as / f.s0s))",
+            "i12": "c.d * (f.s2abs / f.s0s "
+                   "- (f.s1as / f.s0s) * (f.s1bs / f.s0s))",
+            "i22": "c.d * (f.s2bbs / f.s0s "
+                   "- (f.s1bs / f.s0s) * (f.s1bs / f.s0s))",
+        }
+        ui_cols = ",\n        ".join(
+            fold.format(
+                expr=(
+                    f"CASE WHEN c.d > 0 AND f.s0s > 0 THEN {e} "
+                    "ELSE 0.0 END"
+                ),
+                ord="c.t, c.x1, c.x2",
+            )
+            + f" AS {k}"
+            for k, e in ui_terms.items()
+        )
+        return f"""pt{i} AS (
+      SELECT t,
+        {cols}
+      FROM cells, b{i}
+      GROUP BY t
+    ), sfx{i} AS (
+      SELECT t,
+        {sfx}
+      FROM pt{i}
+    ), ui{i} AS (
+      SELECT
+        {ui_cols}
+      FROM cells c JOIN sfx{i} f USING (t)
+    )"""
+
+    ctes = [
+        f"""units AS ({_COX2_UNITS_CTE}
+    ), cells AS (
+      SELECT dur AS t, x1, x2, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ev) AS BIGINT) AS d
+      FROM units GROUP BY dur, x1, x2
+    ), b0 AS (SELECT CAST(0.0 AS DOUBLE) AS b1,
+                     CAST(0.0 AS DOUBLE) AS b2)""",
+    ]
+    for i in range(n_iter):
+        ctes.append(per_t(i))
+        ctes.append(
+            f"""b{i + 1} AS (
+      SELECT b1 + (u1 * i22 - u2 * i12) / (i11 * i22 - i12 * i12)
+               AS b1,
+             b2 + (i11 * u2 - i12 * u1) / (i11 * i22 - i12 * i12)
+               AS b2
+      FROM b{i}, ui{i}
+    )"""
+        )
+    ctes.append(per_t(n_iter))
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT
+      (SELECT CAST(sum(n) AS BIGINT) FROM cells) AS n_subjects,
+      (SELECT CAST(sum(d) AS BIGINT) FROM cells) AS n_events,
+      (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells,
+      round(b{n_iter}.b1, 6) AS beta1,
+      round(b{n_iter}.b2, 6) AS beta2,
+      round(ui{n_iter}.u1, 6) AS u1_final,
+      round(ui{n_iter}.u2, 6) AS u2_final,
+      round(sqrt(ui{n_iter}.i22
+            / (ui{n_iter}.i11 * ui{n_iter}.i22
+               - ui{n_iter}.i12 * ui{n_iter}.i12)), 6) AS se1,
+      round(sqrt(ui{n_iter}.i11
+            / (ui{n_iter}.i11 * ui{n_iter}.i22
+               - ui{n_iter}.i12 * ui{n_iter}.i12)), 6) AS se2
+    FROM b{n_iter}, ui{n_iter}
+    """
+
+
+_COX2_UNITS_CTE = _COX_UNITS_CTE.replace(
+    "AS x\n", "AS x1,\n             user_id % 3 AS x2\n"
+)
+
+
+@register("q_cox_ph2", oracle=_cox2_oracle(3))
+def q_cox_ph2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-covariate (ADJUSTED) Cox fit
+    (operators/experiments.cox_ph2, r14): the q_cox_ph units with a
+    second deterministic covariate (user_id %% 3) — the smallest model
+    that separates correlated hazard drivers. Vector score, 2x2
+    information, Cramer closed-form Newton steps; every float the
+    same pinned chain the generated oracle unrolls (six moment folds,
+    six suffix sums, five U/I folds per iteration)."""
+    from oakstore_spark.operators.experiments import cox_ph2
+
+    e = table(spark, sf_dir, "events")
+    big = F.when(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150),
+        F.col("ts"),
+    )
+    pre = F.when(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") < F.lit("2024-01-16").cast("timestamp")),
+        F.round(F.col("value") * 100).cast("bigint"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(F.coalesce(F.min(big), F.max("ts"))),
+            F.to_date(F.min("ts")),
+        ).cast("bigint").alias("dur"),
+        F.when(F.min(big).isNotNull(), 1).otherwise(0).alias("ev"),
+        F.least(
+            F.floor(F.coalesce(F.sum(pre), F.lit(0)) / 20000.0),
+            F.lit(5),
+        ).cast("bigint").alias("x1"),
+        (F.first("user_id") % 3).cast("bigint").alias("x2"),
+    )
+    out = cox_ph2(u, "dur", "ev", "x1", "x2", n_iter=3)
+    return out.select(
+        "n_subjects", "n_events", "n_cells",
+        F.round("beta1", 6).alias("beta1"),
+        F.round("beta2", 6).alias("beta2"),
+        F.round("u1_final", 6).alias("u1_final"),
+        F.round("u2_final", 6).alias("u2_final"),
+        F.round("se1", 6).alias("se1"),
+        F.round("se2", 6).alias("se2"),
+    )
+
+
 @register("q_cox_ph", oracle=_cox_oracle(3))
 def q_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cox proportional-hazards fit (operators/experiments.cox_ph,

@@ -2039,3 +2039,39 @@ def test_aalen_johansen_hand_case_and_km_identity(spark):
         aalen_johansen(df, "dur", "cause", [0, 1])
     with _pytest.raises(ValueError):
         aalen_johansen(df, "dur", "cause", [])
+
+
+def test_cox_ph2_adjusted_recovery_and_degenerate(spark):
+    """r14: two-covariate Cox. A planted corpus with independent
+    covariates x1 (log-HR 0.6) and x2 (log-HR -0.4) recovers BOTH
+    within tolerance; a duplicated covariate (x2 == x1) makes the
+    information singular -> NULL; the single-covariate fit on the
+    same data agrees with cox_ph when the second covariate is
+    constant... (constant x2 is ALSO singular, pinned NULL)."""
+    import math
+    import random
+
+    from oakstore_spark.operators.experiments import cox_ph2
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(4000):
+        x1 = i % 3
+        x2 = (i // 3) % 2
+        lam = 0.02 * math.exp(0.6 * x1 - 0.4 * x2)
+        dur = -math.log(1.0 - rng.random()) / lam
+        cens = 70.0 * rng.random() + 15.0
+        ev = 1 if dur <= cens else 0
+        rows.append((int(min(dur, cens)) + 1, ev, x1, x2))
+    df = spark.createDataFrame(rows, ["dur", "ev", "x1", "x2"])
+    out = cox_ph2(df, "dur", "ev", "x1", "x2", n_iter=5).collect()[0]
+    assert abs(out.beta1 - 0.6) < 0.12
+    assert abs(out.beta2 + 0.4) < 0.12
+    assert abs(out.u1_final) < 1e-6 and abs(out.u2_final) < 1e-6
+    assert out.se1 < 0.06 and out.se2 < 0.08
+    dup = df.select("dur", "ev", "x1", F.col("x1").alias("x2"))
+    o2 = cox_ph2(dup, "dur", "ev", "x1", "x2").collect()[0]
+    assert o2.beta1 is None  # singular information
+    const = df.select("dur", "ev", "x1", F.lit(2).alias("x2"))
+    o3 = cox_ph2(const, "dur", "ev", "x1", "x2").collect()[0]
+    assert o3.beta1 is None
