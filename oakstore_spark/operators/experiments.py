@@ -802,6 +802,94 @@ def logrank_test(
     )
 
 
+def event_study(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    treated,
+    baseline_period: int = -1,
+) -> DataFrame:
+    """Event-study (leads-and-lags) difference-in-differences — the
+    dynamic readout :func:`diff_in_diff`'s single 2×2 collapses away:
+    per RELATIVE period r (event at 0, ``period_col`` already the
+    caller's relative index),
+
+        effect_r = (mean_treat_r − mean_ctrl_r)
+                 − (mean_treat_base − mean_ctrl_base)
+
+    with base the ``baseline_period`` (conventionally −1, the last
+    pre-period).  Pre-period effects ≈ 0 IS the parallel-trends
+    diagnostic every DiD should show before anyone believes the
+    post-period trace; post-period effects give the dynamic response
+    (instant jump? ramp? decay?).
+
+    Exactness (the family rule): ``value_col`` integer-valued, so
+    every per-(period, arm) moment (n, Σx, Σx²) is an exact BIGINT
+    from ONE hash aggregate over the corpus; means, the per-period
+    diff, the baseline subtraction and the Welch-style
+    diff standard error sqrt(var_t/n_t + var_c/n_c) are pinned
+    chains (the SE covers the period's diff alone — the baseline
+    term is a shared constant across rows, stated honestly).
+
+    Spark shape: one hash aggregate to the periods-sized relation,
+    the baseline row broadcast back as a 1-row cross join, all
+    algebra on the tiny relation.  Raises when the baseline period
+    has no rows in either arm.  Returns one row per period:
+    (period, n_treat, n_ctrl, mean_treat, mean_ctrl, diff, effect,
+    se_diff) — SE NULL when either arm has < 2 rows.
+    """
+    g = F.col(group_col)
+    p = F.col(period_col).cast("bigint")
+    x = F.col(value_col).cast("bigint")
+    t = g == treated
+    per = df.groupBy(p.alias("period")).agg(
+        F.sum(F.when(t, 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(t, x)).cast("bigint").alias("s_t"),
+        F.sum(F.when(t, x * x)).cast("bigint").alias("q_t"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum(F.when(~t, x)).cast("bigint").alias("s_c"),
+        F.sum(F.when(~t, x * x)).cast("bigint").alias("q_c"),
+    )
+    base_rows = per.where(
+        F.col("period") == int(baseline_period)
+    ).collect()
+    if (
+        not base_rows
+        or not base_rows[0]["n_t"]
+        or not base_rows[0]["n_c"]
+    ):
+        raise ValueError(
+            f"baseline period {baseline_period} has no rows in one "
+            "or both arms"
+        )
+    b = base_rows[0]
+    base_diff = float(b["s_t"]) / b["n_t"] - float(b["s_c"]) / b["n_c"]
+    mt = F.col("s_t").cast("double") / F.col("n_t")
+    mc = F.col("s_c").cast("double") / F.col("n_c")
+    diff = F.when((F.col("n_t") > 0) & (F.col("n_c") > 0), mt - mc)
+    var_t = (F.col("q_t").cast("double") - F.col("n_t") * mt * mt) / (
+        F.col("n_t") - 1
+    )
+    var_c = (F.col("q_c").cast("double") - F.col("n_c") * mc * mc) / (
+        F.col("n_c") - 1
+    )
+    se = F.when(
+        (F.col("n_t") > 1) & (F.col("n_c") > 1),
+        F.sqrt(var_t / F.col("n_t") + var_c / F.col("n_c")),
+    )
+    return per.select(
+        "period",
+        F.col("n_t").alias("n_treat"),
+        F.col("n_c").alias("n_ctrl"),
+        F.when(F.col("n_t") > 0, mt).alias("mean_treat"),
+        F.when(F.col("n_c") > 0, mc).alias("mean_ctrl"),
+        diff.alias("diff"),
+        (diff - F.lit(base_diff)).alias("effect"),
+        se.alias("se_diff"),
+    )
+
+
 def diff_in_diff(
     df: DataFrame,
     group_col: str,

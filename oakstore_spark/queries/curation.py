@@ -2467,6 +2467,86 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_event_study",
+    oracle="""
+    WITH obs AS (
+      SELECT date_diff('day', DATE '2024-01-16', CAST(ts AS DATE))
+               AS period,
+             user_id % 2 = 1 AS t,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events
+      WHERE date_diff('day', DATE '2024-01-16', CAST(ts AS DATE))
+            BETWEEN -5 AND 5
+    ), per AS (
+      SELECT CAST(period AS BIGINT) AS period,
+             CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_t,
+             CAST(sum(CASE WHEN t THEN x END) AS BIGINT) AS s_t,
+             CAST(sum(CASE WHEN t THEN x * x END) AS BIGINT) AS q_t,
+             CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_c,
+             CAST(sum(CASE WHEN NOT t THEN x END) AS BIGINT) AS s_c,
+             CAST(sum(CASE WHEN NOT t THEN x * x END) AS BIGINT)
+               AS q_c
+      FROM obs GROUP BY 1
+    ), base AS (
+      SELECT CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c
+               AS bd
+      FROM per WHERE period = -1
+    )
+    SELECT period,
+           n_t AS n_treat, n_c AS n_ctrl,
+           CASE WHEN n_t > 0
+                THEN CAST(s_t AS DOUBLE) / n_t END AS mean_treat,
+           CASE WHEN n_c > 0
+                THEN CAST(s_c AS DOUBLE) / n_c END AS mean_ctrl,
+           CASE WHEN n_t > 0 AND n_c > 0
+                THEN CAST(s_t AS DOUBLE) / n_t
+                     - CAST(s_c AS DOUBLE) / n_c END AS diff,
+           (CASE WHEN n_t > 0 AND n_c > 0
+                 THEN CAST(s_t AS DOUBLE) / n_t
+                      - CAST(s_c AS DOUBLE) / n_c END)
+             - (SELECT bd FROM base) AS effect,
+           CASE WHEN n_t > 1 AND n_c > 1 THEN
+             sqrt((CAST(q_t AS DOUBLE)
+                   - n_t * (CAST(s_t AS DOUBLE) / n_t)
+                         * (CAST(s_t AS DOUBLE) / n_t)) / (n_t - 1)
+                    / n_t
+                  + (CAST(q_c AS DOUBLE)
+                     - n_c * (CAST(s_c AS DOUBLE) / n_c)
+                           * (CAST(s_c AS DOUBLE) / n_c)) / (n_c - 1)
+                    / n_c)
+           END AS se_diff
+    FROM per ORDER BY period
+    """,
+)
+def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study leads-and-lags DiD
+    (operators/experiments.event_study, r14): per relative day around
+    2024-01-16 (the q_diff_in_diff cut), the treated-vs-control spend
+    difference minus its day -1 baseline — pre-period effects near 0
+    ARE the parallel-trends diagnostic, post-period effects the
+    dynamic response. One hash aggregate to the 11-period relation,
+    every moment an exact BIGINT, every readout a pinned chain
+    (baseline computed driver-side from the same exact moments and
+    embedded as the identical double)."""
+    from oakstore_spark.operators.experiments import event_study
+
+    e = table(spark, sf_dir, "events")
+    rel = F.datediff(
+        F.to_date("ts"), F.lit("2024-01-16").cast("date")
+    )
+    obs = e.select(
+        rel.alias("r"),
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).where((F.col("r") >= -5) & (F.col("r") <= 5))
+    return event_study(
+        obs, "arm", "r", "cents", treated=1, baseline_period=-1
+    ).orderBy("period")
+
+
+@register(
     "q_diff_in_diff",
     oracle="""
     WITH units AS (

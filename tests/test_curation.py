@@ -2648,3 +2648,39 @@ def test_grouped_auc_hand_cases(spark):
     assert out["onesided"].auc is None and out["onesided"].n_neg == 0
     g = roc_auc(df.where(F.col("seg") == "perfect"), "s", "y").collect()[0]
     assert g.auc == out["perfect"].auc and g.u2 == out["perfect"].u2
+
+
+def test_event_study_planted_dynamic_effect(spark):
+    """r14: leads-and-lags DiD. A planted panel with parallel trends
+    (both arms drift +3/period) and a treatment effect that turns on
+    at period 0 (+10) and ramps (+5/period after) recovers: all
+    pre-period effects EXACTLY 0 (integer construction), post-period
+    effects exactly the planted ramp; baseline row effect 0; missing
+    baseline raises."""
+    import pytest as _pytest
+
+    from oakstore_spark.operators.experiments import event_study
+
+    rows = []
+    for unit in range(40):
+        arm = unit % 2
+        for r in range(-4, 5):
+            base = 100 + 3 * (r + 4) + (7 if arm == 1 else 0)
+            eff = (10 + 5 * r) if (arm == 1 and r >= 0) else 0
+            rows.append((arm, r, base + eff + (unit % 5)))
+    df = spark.createDataFrame(rows, ["arm", "r", "y"])
+    out = {
+        r.period: r
+        for r in event_study(
+            df, "arm", "r", "y", treated=1, baseline_period=-1
+        ).collect()
+    }
+    for r in range(-4, 0):
+        assert out[r].effect == 0.0
+    for r in range(0, 5):
+        assert out[r].effect == 10.0 + 5 * r
+    assert out[-1].diff == 7.0  # arm offset at baseline
+    assert out[2].se_diff is not None and out[2].se_diff > 0
+    with _pytest.raises(ValueError, match="baseline"):
+        event_study(df, "arm", "r", "y", treated=1,
+                    baseline_period=99)
