@@ -280,6 +280,71 @@ def kaplan_meier(
     )
 
 
+def grouped_kaplan_meier(
+    df: DataFrame,
+    keys: list[str],
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Per-COHORT Kaplan–Meier curves — :func:`kaplan_meier` keyed
+    (the table behind every "survival by arm/segment/plan" plot, and
+    the curves :func:`logrank_test` adjudicates): identical product-
+    limit chain per key, each float sequence pinned by the keyed
+    prefix-window order (the nelson_aalen rule).
+
+    Spark shape: ONE hash aggregate to the (keys × distinct-duration)
+    relation, keyed prefix windows over it — bounded by duration
+    cardinality per key, never rows.  Returns keys + (t, n_risk,
+    n_events, n_censored, survival) ordered within each key by t;
+    d_j = n_j pins survival to exactly 0 from that time on.
+    """
+    from pyspark.sql import Window as W
+
+    t = F.col(duration_col).cast("bigint")
+    e = F.col(event_col).cast("bigint")
+    per_t = df.groupBy(*keys, t.alias("t")).agg(
+        F.sum(e).alias("n_events"),
+        F.sum(F.lit(1) - e).alias("n_censored"),
+    )
+    wpre = (
+        W.partitionBy(*keys)
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wcum = (
+        W.partitionBy(*keys)
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(
+        W.partitionBy(*keys)
+    )
+    prior = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wpre),
+        F.lit(0),
+    )
+    staged = per_t.select(
+        *keys,
+        "t",
+        "n_events",
+        "n_censored",
+        (total - prior).cast("bigint").alias("n_risk"),
+    )
+    factor = 1 - F.col("n_events").cast("double") / F.col("n_risk")
+    zero_seen = F.min(factor).over(wcum) <= 0
+    surv = F.when(zero_seen, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.log(factor)).over(wcum))
+    )
+    return staged.select(
+        *keys,
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        surv.alias("survival"),
+    )
+
+
 def aalen_johansen(
     df: DataFrame,
     duration_col: str,

@@ -2863,6 +2863,87 @@ def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_grouped_km",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             user_id % 2 AS arm,
+             CAST(date_diff('day', CAST(min(ts) AS DATE),
+                  CAST(coalesce(
+                    min(CASE WHEN event_type = 'purchase' AND value > 150
+                             THEN ts END), max(ts)) AS DATE))
+                  AS BIGINT) AS dur,
+             CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                AND value > 150 THEN ts END) IS NOT NULL
+                  THEN 1 ELSE 0 END AS ev
+      FROM events GROUP BY user_id
+    ), per_t AS (
+      SELECT CAST(arm AS BIGINT) AS arm, dur AS t,
+             CAST(sum(ev) AS BIGINT) AS n_events,
+             CAST(count(*) - sum(ev) AS BIGINT) AS n_censored
+      FROM u GROUP BY arm, dur
+    ), staged AS (
+      SELECT arm, t, n_events, n_censored,
+             CAST(sum(n_events + n_censored)
+                    OVER (PARTITION BY arm)
+                  - coalesce(sum(n_events + n_censored) OVER (
+                      PARTITION BY arm ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM per_t
+    )
+    SELECT arm, t, n_risk, n_events, n_censored,
+           round(CASE WHEN min(1 - CAST(n_events AS DOUBLE) / n_risk)
+                    OVER (PARTITION BY arm ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) <= 0
+                 THEN 0.0
+                 ELSE exp(sum(ln(CASE WHEN
+                          1 - CAST(n_events AS DOUBLE) / n_risk > 0
+                          THEN 1 - CAST(n_events AS DOUBLE) / n_risk
+                          ELSE 1.0 END))
+                      OVER (PARTITION BY arm ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW))
+                 END, 6) AS survival
+    FROM staged ORDER BY arm, t
+    """,
+)
+def q_grouped_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort Kaplan-Meier curves
+    (operators/experiments.grouped_kaplan_meier, r14): the
+    time-to-big-purchase survival split by the user_id %% 2 arm — the
+    table behind every survival-by-segment plot and the curves
+    q_logrank adjudicates. Identical product-limit chain per key,
+    keyed prefix windows pinning every float sequence."""
+    from oakstore_spark.operators.experiments import (
+        grouped_kaplan_meier,
+    )
+
+    e = table(spark, sf_dir, "events")
+    big = F.when(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150),
+        F.col("ts"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(F.coalesce(F.min(big), F.max("ts"))),
+            F.to_date(F.min("ts")),
+        ).cast("bigint").alias("dur"),
+        F.when(F.min(big).isNotNull(), 1).otherwise(0).alias("ev"),
+    ).select(
+        (F.col("user_id") % 2).cast("bigint").alias("arm"),
+        "dur",
+        "ev",
+    )
+    out = grouped_kaplan_meier(u, ["arm"], "dur", "ev")
+    return out.select(
+        "arm", "t", "n_risk", "n_events", "n_censored",
+        F.round("survival", 6).alias("survival"),
+    ).orderBy("arm", "t")
+
+
+@register(
     "q_aalen_johansen",
     oracle="""
     WITH u AS (

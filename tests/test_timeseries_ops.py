@@ -2075,3 +2075,41 @@ def test_cox_ph2_adjusted_recovery_and_degenerate(spark):
     const = df.select("dur", "ev", "x1", F.lit(2).alias("x2"))
     o3 = cox_ph2(const, "dur", "ev", "x1", "x2").collect()[0]
     assert o3.beta1 is None
+
+
+def test_grouped_km_equals_per_arm_global(spark):
+    """r14: grouped_kaplan_meier per arm must equal kaplan_meier run
+    on each arm's subset EXACTLY (same chain, keyed windows), and the
+    d=n zero pin holds per key independently."""
+    from oakstore_spark.operators.experiments import (
+        grouped_kaplan_meier,
+        kaplan_meier,
+    )
+
+    rows = []
+    for i in range(60):
+        arm = i % 2
+        dur = (i % 7) + 1 + arm
+        ev = 1 if (i % 3) else 0
+        rows.append((arm, dur, ev))
+    rows.append((0, 99, 1))  # lone terminal event: factor hits 0
+    df = spark.createDataFrame(rows, ["arm", "dur", "ev"])
+    grouped = {
+        (r.arm, r.t): r
+        for r in grouped_kaplan_meier(df, ["arm"], "dur", "ev").collect()
+    }
+    for arm in (0, 1):
+        solo = {
+            r.t: r
+            for r in kaplan_meier(
+                df.where(F.col("arm") == arm), "dur", "ev"
+            ).collect()
+        }
+        assert set(solo) == {t for a, t in grouped if a == arm}
+        for t, r in solo.items():
+            g = grouped[(arm, t)]
+            assert (g.n_risk, g.n_events, g.n_censored) == (
+                r.n_risk, r.n_events, r.n_censored
+            )
+            assert g.survival == r.survival
+    assert grouped[(0, 99)].survival == 0.0  # the zero pin, per key
