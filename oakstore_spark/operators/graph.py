@@ -217,10 +217,32 @@ def pagerank(
                 F.lit(1.0).alias("_w"),
             ).distinct()
         else:
-            sd = seeds.select(
-                F.col(seeds.columns[0]).alias("node"),
-                F.col(seed_weight_col).cast("double").alias("_w"),
+            # duplicate seed rows aggregate (not silently double-count
+            # the normalizer while the join dedups them — r14 ADVICE)
+            sd = (
+                seeds.select(
+                    F.col(seeds.columns[0]).alias("node"),
+                    F.col(seed_weight_col).cast("double").alias("_w"),
+                )
+                .groupBy("node")
+                .agg(F.sum("_w").alias("_w"))
             )
+        # seeds naming nodes ABSENT from the graph must not keep their
+        # weight in the normalizer (total rank mass would silently
+        # deviate from 1): restrict to the node set FIRST, and validate
+        sd = nodes.join(F.broadcast(sd), "node").select("node", "_w")
+        chk = sd.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_w").alias("_t"),
+            F.min("_w").alias("_mn"),
+        ).collect()[0]
+        if int(chk["_n"]) == 0 or float(chk["_t"]) <= 0.0:
+            raise ValueError(
+                "personalized pagerank needs >=1 seed present in the "
+                "graph with positive total weight"
+            )
+        if float(chk["_mn"]) <= 0.0:
+            raise ValueError("seed weights must be positive")
         tot = sd.agg(F.sum("_w").alias("_t"))
         sd = sd.crossJoin(F.broadcast(tot)).select(
             "node", (F.col("_w") / F.col("_t")).alias("_s")

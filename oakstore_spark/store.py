@@ -71,6 +71,7 @@ _MAX_RECORDS_PER_FILE = 1_000_000  # parity: store.py:27 (_DEFAULT_CHUNK_SIZE)
 _MANIFESTS_DIR = "_manifests"  # manifest-protocol commit log
 _DATA_DIR = "_data"  # manifest-protocol immutable generations
 _TXNS_DIR = "_txns"  # store-level multi-item transaction objects
+_TXN_CHECKPOINT = "_checkpoint"  # highest fully-processed txn id
 
 
 class Item:
@@ -230,10 +231,15 @@ class Store:
         self._write(key=key, data=data)
 
     def keys(self) -> list[str]:
-        """EXT: list existing item keys."""
+        """EXT: list existing item keys. Hidden dot-dirs (``.tmp-*`` /
+        ``.trash-*`` / ``.stage-*`` staging debris) are never keys."""
         if not self._items_path.exists():
             return []
-        return sorted(p.name for p in self._items_path.iterdir() if p.is_dir())
+        return sorted(
+            p.name
+            for p in self._items_path.iterdir()
+            if p.is_dir() and not p.name.startswith(".")
+        )
 
     # -- key handling (parity: store.py:183-194) ---------------------------
 
@@ -880,6 +886,13 @@ class Store:
         rather than silent loss — multi-commit outputs should have
         one logical writer (the pipeline-publish shape). Returns the
         committed txn number.
+
+        NEW items are staged under a hidden ``.stage-KEY-*`` dir (the
+        txn doc records it) and renamed into place only during roll
+        forward — a crash before the commit point leaves NO
+        half-created key (``keys()`` / reads / writes never see it;
+        vacuum collects the staging debris past retention). A staging
+        error on a later item removes every staged dir of this call.
         """
         if self._commit_protocol != "manifest":
             raise ValueError(
@@ -891,55 +904,71 @@ class Store:
         idx = self._metadata.index_name
         value_cols = list(self._metadata.column_schema)
         plans: dict[str, dict] = {}
-        for key in sorted(datas):
-            data = datas[key]
-            path = self._item_path(key)
-            if path.exists() and not self._is_manifest_item(path):
-                raise ValueError(
-                    f"key={key.upper()} uses the rename protocol; "
-                    "multi_commit items must be manifest items"
-                )
-            if path.exists():
-                new = self._normalize(data).withColumn(
-                    "_oak_prio", F.lit(1)
-                )
-                years = [
-                    r[0]
-                    for r in new.select(
-                        F.year(F.col(idx))
-                    ).distinct().collect()
-                ]
-
-                def dedup(old, new=new):
-                    w = Window.partitionBy(idx).orderBy(
-                        "_oak_prio", *value_cols
+        staged_dirs: list[Path] = []
+        try:
+            for key in sorted(datas):
+                data = datas[key]
+                path = self._item_path(key)
+                if path.exists() and not self._is_manifest_item(path):
+                    raise ValueError(
+                        f"key={key.upper()} uses the rename protocol; "
+                        "multi_commit items must be manifest items"
                     )
-                    return (
-                        old.unionByName(new)
-                        .withColumn(
-                            "_oak_rn", F.row_number().over(w)
+                if path.exists():
+                    new = self._normalize(data).withColumn(
+                        "_oak_prio", F.lit(1)
+                    )
+                    years = [
+                        r[0]
+                        for r in new.select(
+                            F.year(F.col(idx))
+                        ).distinct().collect()
+                    ]
+
+                    def dedup(old, new=new):
+                        w = Window.partitionBy(idx).orderBy(
+                            "_oak_prio", *value_cols
                         )
-                        .filter(F.col("_oak_rn") == 1)
-                        .drop("_oak_prio", "_oak_rn")
-                    )
+                        return (
+                            old.unionByName(new)
+                            .withColumn(
+                                "_oak_rn", F.row_number().over(w)
+                            )
+                            .filter(F.col("_oak_rn") == 1)
+                            .drop("_oak_prio", "_oak_rn")
+                        )
 
-                version, merged = self._stage_append(
-                    path, new, years, dedup, 1
-                )
-            else:
-                path.mkdir(parents=True)
-                (path / _MANIFESTS_DIR).mkdir()
-                merged = self._write_generation(
-                    path, self._normalize(data)
-                )
-                version = 1
-            plans[key.upper()] = {
-                "version": version, "years": merged,
-            }
-        existing = sorted(
-            int(t.stem[1:]) for t in self._txns_path.glob("t*.json")
-        )
-        txn_v = (existing[-1] + 1) if existing else 1
+                    version, merged = self._stage_append(
+                        path, new, years, dedup, 1
+                    )
+                    plans[key.upper()] = {
+                        "version": version, "years": merged,
+                    }
+                else:
+                    staged_name = (
+                        f".stage-{key.upper()}-{uuid.uuid4().hex}"
+                    )
+                    spath = self._items_path / staged_name
+                    spath.mkdir(parents=True)
+                    staged_dirs.append(spath)
+                    (spath / _MANIFESTS_DIR).mkdir()
+                    merged = self._write_generation(
+                        spath, self._normalize(data)
+                    )
+                    plans[key.upper()] = {
+                        "version": 1, "years": merged,
+                        "staged": staged_name,
+                    }
+        except BaseException:
+            for spath in staged_dirs:
+                shutil.rmtree(spath, ignore_errors=True)
+            raise
+        existing = [
+            int(t.stem[1:].split(".", 1)[0])
+            for pat in ("t*.json", "t*.failed.json")
+            for t in self._txns_path.glob(pat)
+        ]
+        txn_v = max([self._txn_hwm(), *existing], default=0) + 1
         txn_id = f"t{txn_v:08d}"
         doc = {
             "protocol": "multi-txn-v1",
@@ -960,7 +989,13 @@ class Store:
             ) from None
         finally:
             tmp.unlink(missing_ok=True)
-        self._apply_txn(doc)
+        try:
+            self._apply_txn(doc)
+        except ConcurrentCommitError:
+            # an independent writer claimed a per-item version during
+            # the fan-out: compensate exactly like recovery would
+            self._abort_txn(target, doc, self._txn_item_states(doc))
+            raise
         return txn_v
 
     def _publish_manifest_for_txn(
@@ -999,33 +1034,171 @@ class Store:
     def _apply_txn(self, doc: dict) -> None:
         for key in sorted(doc["items"]):
             plan = doc["items"][key]
+            path = self._items_path / key
+            staged = plan.get("staged")
+            if staged and not path.exists():
+                src = self._items_path / staged
+                if src.exists():
+                    os.rename(src, path)  # atomic reveal of a NEW item
+                else:
+                    raise ConcurrentCommitError(
+                        f"txn {doc['txn']}: staged dir {staged} for new "
+                        f"item {key} is gone and the item was never "
+                        "published — staged data lost"
+                    )
             self._publish_manifest_for_txn(
-                self._items_path / key,
+                path,
                 int(plan["version"]),
                 plan["years"],
                 doc.get("operation", "multi"),
                 doc["txn"],
             )
 
+    # -- txn checkpoint (high-water mark) ------------------------------------
+    # recover_multi_commits() once rescanned EVERY historical txn object
+    # on EVERY Store open — O(all txns ever). The checkpoint records the
+    # highest txn id whose processing finished (rolled forward OR marked
+    # failed), so opens read only newer txns and vacuum() can safely GC
+    # both applied txn objects and the superseded manifests they named.
+
+    def _txn_hwm(self) -> int:
+        try:
+            return int((self._txns_path / _TXN_CHECKPOINT).read_text())
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _set_txn_hwm(self, v: int) -> None:
+        target = self._txns_path / _TXN_CHECKPOINT
+        tmp = target.with_name(f".{target.name}.{uuid.uuid4().hex}.tmp")
+        tmp.write_text(str(v))
+        os.replace(tmp, target)
+
+    def _txn_item_states(self, doc: dict) -> dict[str, str]:
+        """Per-item roll-forward state of a committed txn:
+        ``published`` (manifest at the plan version names THIS txn),
+        ``missing`` (no manifest yet — roll forward), or ``conflict``
+        (an INDEPENDENT writer claimed the version, or a new item's
+        staged data vanished before publish)."""
+        states: dict[str, str] = {}
+        for key, plan in doc["items"].items():
+            path = self._items_path / key
+            mpath = (
+                path / _MANIFESTS_DIR
+                / f"v{int(plan['version']):08d}.json"
+            )
+            if mpath.exists():
+                cur = json.loads(mpath.read_text())
+                states[key] = (
+                    "published" if cur.get("txn") == doc["txn"]
+                    else "conflict"
+                )
+            elif plan.get("staged") and not (
+                path.exists()
+                or (self._items_path / plan["staged"]).exists()
+            ):
+                states[key] = "conflict"  # staged data lost pre-publish
+            else:
+                states[key] = "missing"
+        return states
+
+    def _abort_txn(
+        self, tpath: Path, doc: dict, states: dict[str, str]
+    ) -> None:
+        """Mark a partially-publishable txn FAILED and compensate:
+        roll back each sibling manifest this txn DID publish while it
+        is still the item's latest (its generation becomes vacuumable
+        debris); manifests already built upon by later versions cannot
+        be rolled back and are recorded in the failed doc instead. The
+        txn object is renamed ``tNNN.failed.json`` so Store opens WARN
+        once instead of raising forever."""
+        import warnings
+
+        rolled_back, stuck = [], []
+        for key, state in states.items():
+            plan = doc["items"][key]
+            path = self._items_path / key
+            if state == "published":
+                version = int(plan["version"])
+                latest = max(
+                    (
+                        int(p.stem[1:])
+                        for p in (path / _MANIFESTS_DIR).glob("v*.json")
+                    ),
+                    default=0,
+                )
+                if latest == version:
+                    (
+                        path / _MANIFESTS_DIR / f"v{version:08d}.json"
+                    ).unlink(missing_ok=True)
+                    if plan.get("staged") and not any(
+                        (path / _MANIFESTS_DIR).glob("v*.json")
+                    ):
+                        shutil.rmtree(path)  # txn-created item: remove whole key
+                    rolled_back.append(key)
+                else:
+                    stuck.append(key)
+            elif plan.get("staged"):
+                shutil.rmtree(
+                    self._items_path / plan["staged"], ignore_errors=True
+                )
+        doc = dict(doc)
+        doc["status"] = "failed"
+        doc["item_states"] = states
+        doc["rolled_back"] = sorted(rolled_back)
+        doc["unrollbackable"] = sorted(stuck)
+        failed = tpath.with_name(f"{tpath.stem}.failed.json")
+        failed.write_text(json.dumps(doc, sort_keys=True))
+        tpath.unlink(missing_ok=True)
+        warnings.warn(
+            f"multi_commit txn {doc['txn']} aborted: an independent "
+            f"writer claimed a manifest version (or staged data was "
+            f"lost) for {sorted(k for k, s in states.items() if s == 'conflict')}; "
+            f"rolled back {sorted(rolled_back)}"
+            + (
+                f"; could NOT roll back {sorted(stuck)} (later versions "
+                "built on top — see the .failed.json doc)"
+                if stuck else ""
+            ),
+            stacklevel=3,
+        )
+
     def recover_multi_commits(self) -> int:
         """Roll forward committed transactions whose per-item
         manifests were not all published (crash between the txn
         commit point and the fan-out). Runs on every Store open;
-        idempotent. Returns how many txns needed repair."""
+        idempotent; reads only txns newer than the checkpoint
+        high-water mark, so open cost does not grow with store age.
+
+        Each existing manifest is verified by its ``txn`` field, not
+        mere file existence: a version claimed by an INDEPENDENT
+        writer marks the txn failed (``tNNN.failed.json`` + warning,
+        with sibling rollback — see :meth:`_abort_txn`) instead of
+        raising from ``__init__`` forever or silently dropping the
+        staged item. Returns how many txns needed repair."""
         repaired = 0
+        hwm = self._txn_hwm()
+        new_hwm = hwm
         for t in sorted(self._txns_path.glob("t*.json")):
+            if t.stem.endswith(".failed") or not t.stem[1:].isdigit():
+                continue
+            n = int(t.stem[1:])
+            if n <= hwm:
+                continue
             doc = json.loads(t.read_text())
-            missing = [
-                key
-                for key, plan in doc["items"].items()
-                if not (
-                    self._items_path / key / _MANIFESTS_DIR
-                    / f"v{int(plan['version']):08d}.json"
-                ).exists()
-            ]
-            if missing:
-                self._apply_txn(doc)
+            states = self._txn_item_states(doc)
+            if any(s == "conflict" for s in states.values()):
+                self._abort_txn(t, doc, states)
                 repaired += 1
+            elif any(s == "missing" for s in states.values()):
+                try:
+                    self._apply_txn(doc)
+                except ConcurrentCommitError:
+                    # lost a publish race DURING roll-forward
+                    self._abort_txn(t, doc, self._txn_item_states(doc))
+                repaired += 1
+            new_hwm = max(new_hwm, n)
+        if new_hwm > hwm:
+            self._set_txn_hwm(new_hwm)
         return repaired
 
     def add_column(self, name: str, tp: type | str, default) -> None:
@@ -1276,8 +1449,37 @@ class Store:
                     shutil.rmtree(stage, ignore_errors=True)
                     removed += 1
             return removed
+        # live-txn awareness: manifests / staged dirs named by a txn
+        # NEWER than the checkpoint may still be re-published by
+        # recover_multi_commits — never GC those; txn objects AT or
+        # BELOW the checkpoint are fully processed and themselves GC'd.
+        hwm = self._txn_hwm() if self._txns_path.is_dir() else 0
+        live_staged: set[str] = set()
+        if self._txns_path.is_dir():
+            for t in sorted(self._txns_path.glob("t*.json")):
+                if t.stem.endswith(".failed") or not t.stem[1:].isdigit():
+                    continue
+                n = int(t.stem[1:])
+                if n <= hwm:
+                    if t.stat().st_mtime <= cutoff:
+                        t.unlink(missing_ok=True)
+                    continue
+                for ikey, plan in json.loads(t.read_text())["items"].items():
+                    if plan.get("staged"):
+                        live_staged.add(plan["staged"])
+                    elif ikey == key.upper():
+                        # a live txn staged this generation for THIS
+                        # item; recovery will still publish it
+                        live_staged.update(
+                            str(path / rel) for rel in plan["years"].values()
+                        )
+        # staged-new-item debris is store-level (the key may never have
+        # been published), so any manifest-item vacuum sweeps all of it
+        for stage in self._items_path.glob(".stage-*"):
+            if stage.name not in live_staged and stage.stat().st_mtime <= cutoff:
+                shutil.rmtree(stage, ignore_errors=True)
         version, mapping = self._latest_manifest(path)
-        live = {str(path / rel) for rel in mapping.values()}
+        live = {str(path / rel) for rel in mapping.values()} | live_staged
         removed = 0
         data_root = path / _DATA_DIR
         for gen_dir in sorted(data_root.iterdir()):
@@ -1293,8 +1495,12 @@ class Store:
                     p.unlink()
                 gen_dir.rmdir()
         for m in (path / _MANIFESTS_DIR).glob("v*.json"):
-            if int(m.stem[1:]) < version:
-                m.unlink()
+            if int(m.stem[1:]) >= version:
+                continue
+            txn = json.loads(m.read_text()).get("txn")
+            if txn and int(txn[1:]) > hwm:
+                continue  # a live txn's recovery would re-publish it
+            m.unlink()
         for tmp in (path / _MANIFESTS_DIR).glob(".*.tmp"):
             if tmp.stat().st_mtime <= cutoff:
                 tmp.unlink()
@@ -1426,6 +1632,19 @@ class Store:
         the history); immutable generations keep the deleted rows
         reachable through snapshot()/restore() until vacuum — the
         delete_range contract, predicate-shaped. Returns rows deleted.
+
+        NULL semantics (SQL three-valued logic): only rows where the
+        predicate is TRUE are deleted. Rows where it evaluates NULL
+        (e.g. a NULL-valued column) are SURVIVORS — kept via
+        ``NOT coalesce(pred, false)`` so a NULL-predicate row
+        co-located in a file with a true match is never silently
+        dropped, and ``n_del`` counts exactly the TRUE rows.
+
+        File identity for the untouched-file skip is compared as
+        (year, basename) within each year's single live directory —
+        never as absolute path strings, which diverge between
+        ``input_file_name()`` URIs and a relative or symlinked
+        ``base_path``.
         """
         from urllib.parse import unquote, urlparse
 
@@ -1473,7 +1692,7 @@ class Store:
                 self._spark.read.schema(
                     self._declared_read_schema()
                 ).parquet(*affected)
-            ).where(~pred).select(*cols)
+            ).where(~F.coalesce(pred, F.lit(False))).select(*cols)
             gen = uuid.uuid4().hex
             gen_dir = path / _DATA_DIR / gen
             self._write_parquet(survivors, gen_dir)
@@ -1481,9 +1700,10 @@ class Store:
             for y, files in aff_by_year.items():
                 ydir_new = gen_dir / f"{_PARTITION_COL}={y}"
                 old_dir = path / mapping[y]
+                touched_names = {Path(f).name for f in files}
                 untouched = [
                     f for f in sorted(old_dir.glob("*.parquet"))
-                    if str(f) not in set(files)
+                    if f.name not in touched_names
                 ]
                 if untouched:
                     ydir_new.mkdir(parents=True, exist_ok=True)
@@ -1520,7 +1740,7 @@ class Store:
             self._spark.read.schema(
                 self._declared_read_schema()
             ).parquet(*affected)
-        ).where(~pred).select(*cols)
+        ).where(~F.coalesce(pred, F.lit(False))).select(*cols)
         tmp = self._items_path / f".tmp-{key.upper()}-{uuid.uuid4().hex}"
         trash = (
             self._items_path / f".trash-{key.upper()}-{uuid.uuid4().hex}"
@@ -1536,8 +1756,9 @@ class Store:
             else:
                 dest.mkdir()
             # unaffected files of this year re-link byte-identically
+            touched_names = {Path(f).name for f in files}
             for f in sorted((trash / dest.name).glob("*.parquet")):
-                if str(path / dest.name / f.name) not in set(files):
+                if f.name not in touched_names:
                     os.rename(f, dest / f.name)
             if not any(dest.iterdir()):
                 dest.rmdir()

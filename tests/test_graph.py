@@ -562,3 +562,70 @@ def test_personalized_pagerank_localization_and_uniform_equivalence(spark):
         ).collect()
     }
     assert pw[0] > pw[8] and abs(sum(pw.values()) - 1.0) < 1e-12
+
+
+def test_personalized_pagerank_seed_validation(spark):
+    """r15 (r14 ADVICE): seeds absent from the graph drop out of BOTH
+    the normalizer and the join (mass still sums to 1); duplicate
+    weighted seed rows aggregate instead of double-normalizing; empty
+    or non-positive seed weight raises."""
+    from pyspark.sql import functions as F
+
+    from oakstore_spark.operators.graph import pagerank
+
+    edges = spark.range(8).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % 8).alias("dst")
+    )
+    # one real seed + one ghost node 99: ghost's weight must not leak
+    ghost = spark.createDataFrame([(0, 1.0), (99, 5.0)], ["node", "w"])
+    pr = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, n_iterations=6, damping=0.5, seeds=ghost,
+            seed_weight_col="w",
+        ).collect()
+    }
+    assert abs(sum(pr.values()) - 1.0) < 1e-12
+    only = spark.createDataFrame([(0, 1.0)], ["node", "w"])
+    pr_only = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, n_iterations=6, damping=0.5, seeds=only,
+            seed_weight_col="w",
+        ).collect()
+    }
+    assert pr == pr_only  # ghost seed is a no-op
+    # duplicate seed rows aggregate: (0,1)+(0,1)+(4,2) == (0,2)+(4,2)
+    dup = spark.createDataFrame(
+        [(0, 1.0), (0, 1.0), (4, 2.0)], ["node", "w"]
+    )
+    merged = spark.createDataFrame([(0, 2.0), (4, 2.0)], ["node", "w"])
+    pd_ = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, n_iterations=4, damping=0.5, seeds=dup,
+            seed_weight_col="w",
+        ).collect()
+    }
+    pm = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, n_iterations=4, damping=0.5, seeds=merged,
+            seed_weight_col="w",
+        ).collect()
+    }
+    assert pd_ == pm
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive total weight"):
+        pagerank(
+            edges, n_iterations=2, seeds=spark.createDataFrame(
+                [(99, 1.0)], ["node", "w"]
+            ), seed_weight_col="w",
+        )
+    with _pytest.raises(ValueError, match="must be positive"):
+        pagerank(
+            edges, n_iterations=2, seeds=spark.createDataFrame(
+                [(0, 1.0), (4, -0.25)], ["node", "w"]
+            ), seed_weight_col="w",
+        )
