@@ -760,6 +760,135 @@ def cox_ph2(
     )
 
 
+def cox_ph_stratified(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    x_col: str,
+    stratum_col: str,
+    n_iter: int = 3,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """STRATIFIED Cox proportional hazards (r14 verdict ask #4):
+    per-stratum baseline hazard, ONE shared log-hazard-ratio β —
+    h(t|x, g) = h0_g(t)·e^{βx}, the model behind
+    :func:`grouped_kaplan_meier`'s per-cohort curves when cohorts
+    differ in baseline risk but the treatment effect is common
+    (center-stratified trials, platform-stratified churn). The
+    stratified partial likelihood simply SUMS scores over strata with
+    stratum-LOCAL risk sets:
+
+        U(β) = Σ_g Σ_{events in g} [x_i − S1_g(t)/S0_g(t)]
+        I(β) = Σ_g Σ_{events in g} [S2_g/S0_g − (S1_g/S0_g)²]
+
+    Everything is the :func:`cox_ph` contract keyed one level up: the
+    corpus collapses ONCE to the exact-BIGINT (g, t, x, n, d) cell
+    relation (counted-probe ``max_cells`` guard before any collect);
+    per-(g,t) S_k folds run over x ascending, suffix sums t-descending
+    WITHIN each stratum, and U/I as one fold over cells in (g, t, x)
+    order with non-event cells adding literal 0.0 — the whole
+    fixed-round Newton fit replays in SQL (q_cox_stratified; the
+    cox_ph chained-CTE precedent with a PARTITION BY g window).
+    Degenerate pooled information reads NULL.
+
+    Returns ONE row: (n_strata, n_subjects, n_events, n_cells, beta,
+    u_final, info_final, se).
+    """
+    import math
+
+    spark = df.sparkSession
+    t = F.col(duration_col).cast("bigint")
+    e = F.col(event_col).cast("bigint")
+    x = F.col(x_col).cast("bigint")
+    g = F.col(stratum_col).cast("bigint")
+    cell_rel = df.groupBy(g.alias("g"), t.alias("t"), x.alias("x")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(e).cast("bigint").alias("d"),
+    )
+    probe = cell_rel.limit(max_cells + 1).count()
+    if probe > max_cells:
+        raise ValueError(
+            f"more than max_cells={max_cells} distinct (g, t, x) "
+            "cells: quantize duration/covariate first (the family "
+            "contract)"
+        )
+    cells = sorted(
+        (
+            int(r["g"]), int(r["t"]), int(r["x"]),
+            int(r["n"]), int(r["d"]),
+        )
+        for r in cell_rel.collect()
+    )
+    n_subjects = sum(c[3] for c in cells)
+    n_events = sum(c[4] for c in cells)
+    gts = sorted({(c[0], c[1]) for c in cells})
+    strata = sorted({c[0] for c in cells})
+    ts_by_g = {gg: [] for gg in strata}
+    for gg, tt in gts:
+        ts_by_g[gg].append(tt)  # ascending within stratum
+
+    def u_i(b: float) -> tuple[float, float]:
+        s0p = {k: 0.0 for k in gts}
+        s1p = {k: 0.0 for k in gts}
+        s2p = {k: 0.0 for k in gts}
+        for gg, tt, xx, nn, _dd in cells:  # (g, t, x) ascending
+            w = math.exp(b * xx)
+            k = (gg, tt)
+            s0p[k] = s0p[k] + nn * w
+            s1p[k] = s1p[k] + (nn * xx) * w
+            s2p[k] = s2p[k] + ((nn * xx) * xx) * w
+        # stratum-local risk sets: suffix sums over t descending
+        # WITHIN each stratum (window PARTITION BY g in the oracle)
+        s0s, s1s, s2s = {}, {}, {}
+        for gg in strata:
+            a0 = a1 = a2 = 0.0
+            for tt in reversed(ts_by_g[gg]):
+                k = (gg, tt)
+                a0 = a0 + s0p[k]
+                a1 = a1 + s1p[k]
+                a2 = a2 + s2p[k]
+                s0s[k], s1s[k], s2s[k] = a0, a1, a2
+        uu = ii = 0.0
+        for gg, tt, xx, _nn, dd in cells:  # (g, t, x) ascending
+            k = (gg, tt)
+            if dd and s0s[k] > 0:
+                r = s1s[k] / s0s[k]
+                uu = uu + dd * (xx - r)
+                ii = ii + dd * (s2s[k] / s0s[k] - r * r)
+            else:
+                uu = uu + 0.0
+                ii = ii + 0.0
+        return uu, ii
+
+    beta = 0.0
+    degenerate = False
+    for _ in range(n_iter):
+        uu, ii = u_i(beta)
+        if not ii > 0:
+            degenerate = True
+            break
+        beta = beta + uu / ii
+    if not degenerate:
+        u_fin, i_fin = u_i(beta)
+        degenerate = not i_fin > 0
+    if degenerate:
+        row = (
+            len(strata), n_subjects, n_events, len(cells),
+            None, None, None, None,
+        )
+    else:
+        row = (
+            len(strata), n_subjects, n_events, len(cells), beta,
+            u_fin, i_fin, 1.0 / math.sqrt(i_fin),
+        )
+    return spark.createDataFrame(
+        [row],
+        "n_strata bigint, n_subjects bigint, n_events bigint, "
+        "n_cells bigint, beta double, u_final double, "
+        "info_final double, se double",
+    )
+
+
 def logrank_test(
     df: DataFrame,
     arm_col: str,

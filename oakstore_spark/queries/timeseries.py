@@ -3376,6 +3376,129 @@ def q_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COX_STRAT_UNITS_CTE = _COX_UNITS_CTE.replace(
+    "AS x\n", "AS x,\n             user_id % 3 AS g\n"
+)
+
+
+def _cox_strat_oracle(n_iter: int = 3) -> str:
+    """Generated q_cox_stratified oracle: the cox_ph chained-CTE
+    Newton replay with STRATUM-LOCAL risk sets — per-(g,t) folds,
+    suffix sums PARTITION BY g ORDER BY t DESC, U/I folds over cells
+    in (g, t, x) order (operators/experiments.cox_ph_stratified)."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list({expr} ORDER BY {ord})), (a, c) -> a + c)"
+    )
+
+    def per_t(i: int, bexpr: str) -> str:
+        w = f"exp({bexpr} * x)"
+        return f"""pt{i} AS (
+      SELECT g, t,
+        {fold.format(expr=f"n * {w}", ord="x")} AS s0,
+        {fold.format(expr=f"(n * x) * {w}", ord="x")} AS s1,
+        {fold.format(expr=f"((n * x) * x) * {w}", ord="x")} AS s2
+      FROM cells, b{i}
+      GROUP BY g, t
+    ), sfx{i} AS (
+      SELECT g, t,
+        sum(s0) OVER (PARTITION BY g ORDER BY t DESC ROWS BETWEEN
+          UNBOUNDED PRECEDING AND CURRENT ROW) AS s0s,
+        sum(s1) OVER (PARTITION BY g ORDER BY t DESC ROWS BETWEEN
+          UNBOUNDED PRECEDING AND CURRENT ROW) AS s1s,
+        sum(s2) OVER (PARTITION BY g ORDER BY t DESC ROWS BETWEEN
+          UNBOUNDED PRECEDING AND CURRENT ROW) AS s2s
+      FROM pt{i}
+    ), ui{i} AS (
+      SELECT
+        {fold.format(
+            expr="CASE WHEN c.d > 0 AND f.s0s > 0 "
+            "THEN c.d * (c.x - f.s1s / f.s0s) ELSE 0.0 END",
+            ord="c.g, c.t, c.x")} AS u,
+        {fold.format(
+            expr="CASE WHEN c.d > 0 AND f.s0s > 0 "
+            "THEN c.d * (f.s2s / f.s0s "
+            "- (f.s1s / f.s0s) * (f.s1s / f.s0s)) ELSE 0.0 END",
+            ord="c.g, c.t, c.x")} AS i
+      FROM cells c JOIN sfx{i} f USING (g, t)
+    )"""
+
+    ctes = [
+        f"""units AS ({_COX_STRAT_UNITS_CTE}
+    ), cells AS (
+      SELECT g, dur AS t, x, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ev) AS BIGINT) AS d
+      FROM units GROUP BY g, dur, x
+    ), b0 AS (SELECT CAST(0.0 AS DOUBLE) AS b)""",
+    ]
+    for i in range(n_iter):
+        ctes.append(per_t(i, "b"))
+        ctes.append(
+            f"b{i + 1} AS (SELECT b + u / i AS b FROM b{i}, ui{i})"
+        )
+    ctes.append(per_t(n_iter, "b"))
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT
+      (SELECT CAST(count(DISTINCT g) AS BIGINT) FROM cells)
+        AS n_strata,
+      (SELECT CAST(sum(n) AS BIGINT) FROM cells) AS n_subjects,
+      (SELECT CAST(sum(d) AS BIGINT) FROM cells) AS n_events,
+      (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells,
+      round(b{n_iter}.b, 6) AS beta,
+      round(ui{n_iter}.u, 6) AS u_final,
+      round(ui{n_iter}.i, 6) AS info_final,
+      round(1.0 / sqrt(ui{n_iter}.i), 6) AS se
+    FROM b{n_iter}, ui{n_iter}
+    """
+
+
+@register("q_cox_stratified", oracle=_cox_strat_oracle(3))
+def q_cox_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED Cox fit (operators/experiments.cox_ph_stratified,
+    r15 — r14 verdict ask #4): the q_cox_ph units stratified by
+    user_id %% 3 — per-stratum baseline hazard (stratum-local risk
+    sets), one shared spend-bucket effect β. Same fixed-round Newton
+    chain, replayed by the generated oracle with a PARTITION BY g
+    suffix window."""
+    from oakstore_spark.operators.experiments import cox_ph_stratified
+
+    e = table(spark, sf_dir, "events")
+    big = F.when(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150),
+        F.col("ts"),
+    )
+    pre = F.when(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") < F.lit("2024-01-16").cast("timestamp")),
+        F.round(F.col("value") * 100).cast("bigint"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(F.coalesce(F.min(big), F.max("ts"))),
+            F.to_date(F.min("ts")),
+        ).cast("bigint").alias("dur"),
+        F.when(F.min(big).isNotNull(), 1).otherwise(0).alias("ev"),
+        F.least(
+            F.floor(F.coalesce(F.sum(pre), F.lit(0)) / 20000.0),
+            F.lit(5),
+        ).cast("bigint").alias("x"),
+        (F.first("user_id") % 3).cast("bigint").alias("g"),
+    )
+    out = cox_ph_stratified(u, "dur", "ev", "x", "g", n_iter=3)
+    return out.select(
+        "n_strata",
+        "n_subjects",
+        "n_events",
+        "n_cells",
+        F.round("beta", 6).alias("beta"),
+        F.round("u_final", 6).alias("u_final"),
+        F.round("info_final", 6).alias("info_final"),
+        F.round("se", 6).alias("se"),
+    )
+
+
 @register(
     "q_logrank",
     oracle="""

@@ -2248,3 +2248,105 @@ def test_doc_embed_planted_recovery_and_contract(spark):
         assert sims[i] > 0.95
         others = [s for j, s in sims.items() if j != i]
         assert max(others) < 0.6
+
+
+def test_ivf_rebalance_restores_recall_preserves_meta_tombstones(
+    spark, tmp_path
+):
+    """r15 (r14 verdict ask #2): rebalance_ivf_index. A drifted batch
+    added against the FROZEN quantizer piles into near-arbitrary cells
+    (all centroid sims ~0) — after retraining on the deterministic
+    md5 sample and reassigning, (a) cell skew drops, (b) a 1-probe
+    search recovers the exact brute-force twin for EVERY live vector,
+    (c) meta columns survive the rewrite (filtered search still
+    works), (d) tombstoned ids stay invisible."""
+    import numpy as np
+
+    from oakstore_spark.operators.similarity import (
+        add_to_ivf_index,
+        build_ivf_index,
+        cosine_topk,
+        rebalance_ivf_index,
+        remove_from_ivf_index,
+        search_ivf_index,
+    )
+
+    rng = np.random.default_rng(5)
+    dim = 32
+
+    def cluster_rows(axis: int, base_id: int, lang: str):
+        rows = []
+        for j in range(5):
+            v = np.zeros(dim)
+            v[axis] = 1.0
+            v = v + rng.normal(0, 0.01, dim)
+            for twin in (0, 1):
+                w = v + rng.normal(0, 0.003, dim)
+                rows.append(
+                    (base_id + 2 * j + twin,
+                     [float(x) for x in w], lang)
+                )
+        return rows
+
+    schema = "vec_id long, embedding array<float>, lang string"
+    phase_a = [
+        r
+        for c in range(4)
+        for r in cluster_rows(c, c * 10, "en" if c % 2 == 0 else "de")
+    ]
+    phase_b = [
+        r
+        for c in range(4)
+        for r in cluster_rows(4 + c, 100 + c * 10, "xx")
+    ]
+    dfa = spark.createDataFrame(phase_a, schema)
+    dfb = spark.createDataFrame(phase_b, schema)
+    idx = str(tmp_path / "ivf_rb")
+    build_ivf_index(dfa, dim=dim, index_dir=idx, n_centroids=4,
+                    meta_cols=["lang"], seed=3)
+    add_to_ivf_index(dfb.select("vec_id", "embedding"), idx)
+    remove_from_ivf_index(
+        spark.createDataFrame([(101,)], "vec_id long"), idx
+    )
+
+    stats = rebalance_ivf_index(
+        spark, idx, n_centroids=8, sample_size=1000, seed=11
+    )
+    assert stats["n_vectors"] == 80  # tombstoned row still physical
+    assert stats["n_centroids"] == 8
+    assert stats["max_cell_frac_after"] < stats["max_cell_frac_before"]
+    # 8 tight orthogonal clusters / 8 retrained centroids: every live
+    # vector's 1-probe top-1 equals the exact brute-force answer
+    live = spark.read.parquet(f"{idx}/vectors").where("vec_id != 101")
+    # materialize: the second rebalance below swaps the files this
+    # plan's listing references
+    qrows = live.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).toPandas()
+    queries = spark.createDataFrame(
+        qrows, "query_id long, embedding array<float>"
+    )
+    live = spark.createDataFrame(
+        live.toPandas(), "vec_id long, embedding array<float>, lang string, _cell int"
+    )
+    got = search_ivf_index(spark, idx, queries, k=1, n_probe=1).toPandas()
+    exact = cosine_topk(
+        live.select("vec_id", "embedding"), queries, k=1
+    ).toPandas()
+    g = {int(r.query_id): int(r.vec_id) for r in got.itertuples()}
+    e = {int(r.query_id): int(r.vec_id) for r in exact.itertuples()}
+    assert g == e
+    assert 101 not in set(g.values())  # tombstone preserved
+    # meta survived the rewrite: filtered search returns only 'en'
+    f = search_ivf_index(
+        spark, idx, queries, k=3, n_probe=8, filter="lang = 'en'"
+    ).toPandas()
+    en_ids = {r[0] for r in dfa.where("lang = 'en'")
+              .select("vec_id").collect()}
+    assert set(f["vec_id"].astype(int)) <= en_ids
+    # deterministic: same seed+index state trains the same quantizer
+    stats2 = rebalance_ivf_index(
+        spark, idx, n_centroids=8, sample_size=1000, seed=11
+    )
+    got2 = search_ivf_index(spark, idx, queries, k=1, n_probe=1).toPandas()
+    assert {int(r.query_id): int(r.vec_id) for r in got2.itertuples()} == g

@@ -2113,3 +2113,61 @@ def test_grouped_km_equals_per_arm_global(spark):
             )
             assert g.survival == r.survival
     assert grouped[(0, 99)].survival == 0.0  # the zero pin, per key
+
+
+def test_cox_ph_stratified_recovery_and_single_stratum_identity(spark):
+    """r15 (r14 verdict ask #4): stratified Cox. (1) Two strata with
+    VERY different baseline hazards (10x) but the same true effect
+    beta=0.6 recover the shared beta — while the UNstratified fit on
+    the same corpus is biased by the baseline/covariate confound we
+    plant (high-x subjects concentrated in the high-hazard stratum).
+    (2) With one stratum the fit equals cox_ph BIT-FOR-BIT. (3)
+    Degenerate (constant covariate) reads NULL; max_cells guard."""
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from oakstore_spark.operators.experiments import (
+        cox_ph,
+        cox_ph_stratified,
+    )
+
+    rng = random.Random(7)
+    beta_true = 0.6
+    rows = []
+    for i in range(4000):
+        g = i % 2
+        # confound: stratum 1 (10x baseline hazard) gets 3x more x=2
+        x = (i // 2) % 3 if g == 0 else (2 if i % 3 else 0)
+        lam = (0.004 if g == 0 else 0.04) * math.exp(beta_true * x)
+        dur = -math.log(1.0 - rng.random()) / lam
+        cens = 220.0 * rng.random() + 30.0
+        ev = 1 if dur <= cens else 0
+        t = int(min(dur, cens)) + 1
+        rows.append((t, ev, x, g))
+    df = spark.createDataFrame(rows, ["dur", "ev", "x", "g"])
+    strat = cox_ph_stratified(
+        df, "dur", "ev", "x", "g", n_iter=6
+    ).collect()[0]
+    assert strat.n_strata == 2
+    assert abs(strat.beta - beta_true) < 0.12
+    assert abs(strat.u_final) < 1e-6
+    pooled = cox_ph(df, "dur", "ev", "x", n_iter=6).collect()[0]
+    # the pooled fit absorbs the baseline difference into beta:
+    # strictly worse than the stratified estimate on this corpus
+    assert abs(pooled.beta - beta_true) > abs(strat.beta - beta_true)
+
+    # single stratum: identical floats to cox_ph (same fold orders)
+    one = df.select("dur", "ev", "x", F.lit(0).alias("g"))
+    s1 = cox_ph_stratified(one, "dur", "ev", "x", "g", n_iter=3).collect()[0]
+    p1 = cox_ph(df, "dur", "ev", "x", n_iter=3).collect()[0]
+    assert (s1.beta, s1.u_final, s1.info_final, s1.se) == (
+        p1.beta, p1.u_final, p1.info_final, p1.se
+    )
+
+    const = df.select("dur", "ev", F.lit(1).alias("x"), "g")
+    o2 = cox_ph_stratified(const, "dur", "ev", "x", "g").collect()[0]
+    assert o2.beta is None and o2.se is None
+    with _pytest.raises(ValueError, match="max_cells"):
+        cox_ph_stratified(df, "dur", "ev", "x", "g", max_cells=10)
