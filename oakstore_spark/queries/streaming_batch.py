@@ -481,3 +481,175 @@ def q_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_CUR_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(trim(regexp_replace(regexp_replace("
+    "lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) - 2, 1)"
+    " + 1), i -> substr(trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), i, 3)))"
+)
+
+_CUR_TOKENS = (
+    "string_split_regex(trim(regexp_replace(regexp_replace("
+    "lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), '\\s+')"
+)
+
+
+def _curation_oracle(dim: int, n_buckets: int, scale: int) -> str:
+    """DuckDB replay of the full streaming curation leg
+    (streaming/curation.curation_ingest_stream) over documents split
+    into three ordered micro-batches by doc_id %% 3:
+
+    1. chained ADMISSION — batch b's doc is rejected iff it is the
+       HIGHER-id side of an in-batch >=0.85-jaccard pair, or it pairs
+       with any doc ADMITTED in an earlier batch (the persisted
+       signature index contains exactly the admitted survivors; the
+       banding operator finds exactly the brute-force pairs at this
+       SF — the q_incremental_near_dup precedent, with the same
+       length-ratio prefilter);
+    2. per-batch EMBEDDING — doc_embed's exact-BIGINT hashed-TF x
+       rational-idf x md5-JL chain with idf computed WITHIN each
+       admitted batch (the streaming leg's batch-local weights).
+    """
+    jac = (
+        "len(list_intersect(a.s, b.s)) / CAST(len(list_distinct("
+        "list_concat(a.s, b.s))) AS DOUBLE)"
+    )
+    rej = (
+        "NOT EXISTS (SELECT 1 FROM pp WHERE pp.x = sh.doc_id AND "
+        "((pp.by_ = {b} AND pp.y < sh.doc_id){vs}))"
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, doc_id % 3 AS b, {_CUR_SHINGLES} AS s
+      FROM documents
+    ), pr AS (
+      SELECT a.doc_id AS xa, a.b AS ba_, b.doc_id AS xb, b.b AS bb_
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        AND 100 * least(len(a.s), len(b.s))
+            >= 85 * greatest(len(a.s), len(b.s))
+      WHERE {jac} >= 0.85
+    ), pp AS (
+      SELECT xa AS x, xb AS y, ba_ AS bx, bb_ AS by_ FROM pr
+      UNION ALL
+      SELECT xb AS x, xa AS y, bb_ AS bx, ba_ AS by_ FROM pr
+    ), a0 AS (
+      SELECT doc_id FROM sh WHERE b = 0
+        AND {rej.format(b=0, vs="")}
+    ), a1 AS (
+      SELECT doc_id FROM sh WHERE b = 1
+        AND {rej.format(
+            b=1, vs=" OR pp.y IN (SELECT doc_id FROM a0)")}
+    ), a2 AS (
+      SELECT doc_id FROM sh WHERE b = 2
+        AND {rej.format(
+            b=2,
+            vs=" OR pp.y IN (SELECT doc_id FROM a0)"
+               " OR pp.y IN (SELECT doc_id FROM a1)")}
+    ), adm AS (
+      SELECT doc_id FROM a0 UNION ALL
+      SELECT doc_id FROM a1 UNION ALL
+      SELECT doc_id FROM a2
+    ), corpus AS (
+      SELECT d.doc_id, d.doc_id % 3 AS grp, d.text
+      FROM documents d JOIN adm USING (doc_id)
+    ), terms AS (
+      SELECT doc_id, grp, unnest({_CUR_TOKENS}) AS term FROM corpus
+    ), tb AS (
+      SELECT doc_id, grp,
+             CAST(CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+                  % {n_buckets} AS INT) AS bucket
+      FROM terms WHERE term <> ''
+    ), tf AS (
+      SELECT doc_id, grp, bucket, CAST(count(*) AS BIGINT) AS tf
+      FROM tb GROUP BY 1, 2, 3
+    ), dfb AS (
+      SELECT grp, bucket,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS dfb
+      FROM tb GROUP BY 1, 2
+    ), nd AS (
+      SELECT grp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+      FROM tb GROUP BY 1
+    ), w AS (
+      SELECT dfb.grp, bucket, (n * {scale}) // dfb AS w
+      FROM dfb JOIN nd USING (grp)
+    ), comp AS (
+      SELECT tf.doc_id, CAST(j AS INT) AS j,
+             CAST(sum(tf.tf * w.w *
+               (CASE WHEN substr(md5(CAST(j AS VARCHAR) || '_' ||
+                                 CAST(tf.bucket AS VARCHAR)), 1, 1) < '8'
+                     THEN 1 ELSE -1 END)) AS BIGINT) AS val_q
+      FROM tf JOIN w ON tf.grp = w.grp AND tf.bucket = w.bucket,
+           range({dim}) t(j)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, j, val_q FROM comp ORDER BY doc_id, j
+    """
+
+
+@register("q_stream_curation_e2e", oracle=_curation_oracle(8, 64, 1024))
+def q_stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming raw-text curation END-TO-END (r14 verdict ask #3 —
+    streaming/curation.curation_ingest_stream): documents split into
+    THREE ordered micro-batch files (doc_id %% 3, mtime-ordered so the
+    file source replays them in order), run through one foreachBatch
+    leg — minhash admission vs the growing signature index, per-batch
+    integer-exact doc_embed, IVF cell assignment against the
+    first-batch quantizer — then the ANN-searchable vectors SINK is
+    read back as (doc_id, j, val_q). The oracle replays the chained
+    admission (brute-force jaccard) and the per-batch idf embedding
+    bit-for-bit; the kmeans cell ids are layout, not values, and are
+    pinned by the differential/restart pytests instead."""
+    import os
+
+    from oakstore_spark.sources import table
+    from oakstore_spark.streaming.curation import curation_ingest_stream
+
+    base = (
+        Path(tempfile.gettempdir())
+        / f"oakspark_curation_{Path(sf_dir.rstrip('/')).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = base / "src"
+    src.mkdir(parents=True)
+    docs = table(spark, sf_dir, "documents")
+    now = 1_700_000_000
+    for b in range(3):
+        p = src / f"part-{b}.parquet"
+        docs.where(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(base / f"stage{b}"))
+        src_file = next((base / f"stage{b}").glob("*.parquet"))
+        shutil.move(str(src_file), p)
+        os.utime(p, (now + 100 * b, now + 100 * b))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = curation_ingest_stream(
+            stream,
+            str(base / "corpus"),
+            str(base / "sigs"),
+            str(base / "ivf"),
+            str(base / "ckpt"),
+            dim=8, n_buckets=64, scale=1024, n_centroids=4,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    sink = spark.read.parquet(str(base / "ivf" / "vectors"))
+    return (
+        sink.select("doc_id", F.posexplode("emb_q").alias("j", "val_q"))
+        .select(
+            "doc_id", F.col("j").cast("int").alias("j"), "val_q"
+        )
+        .orderBy("doc_id", "j")
+    )

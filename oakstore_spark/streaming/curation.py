@@ -1,0 +1,213 @@
+"""Streaming raw-text CURATION end-to-end (r14 verdict ask #3): the
+deployment shape of the whole LLM-data pipeline in ONE ``foreachBatch``
+leg —
+
+    text stream -> near-dup ADMISSION (persisted minhash signature
+    index, streaming/dedup.py) -> in-engine EMBEDDING
+    (operators/text.doc_embed — integer-exact hashed TF-IDF x JL)
+    -> IVF INDEX maintenance (cell assignment against the trained
+    coarse quantizer, operators/similarity.py build/search layout)
+
+Every piece existed as a batch operator; this module composes them so
+each arriving micro-batch is deduped against everything admitted so
+far, embedded, and made ANN-searchable — per-batch cost tracks the
+BATCH (signatures + one broadcast centroid assign), never the corpus.
+
+Replay safety (the dedup_admission_stream pattern): foreachBatch can
+re-deliver a batch after a failure, so every write lands in a
+``batch=<id>`` subdirectory with overwrite mode — a replayed batch
+overwrites its own previous output instead of double-admitting or
+double-indexing. The IVF ``vectors`` table is therefore partitioned
+``batch=<id>/_cell=<c>``; ``search_ivf_index`` discovers both
+partition levels and still prunes probed cells at listing time. The
+coarse quantizer is trained ONCE on the first non-empty admitted batch
+(deterministic spherical k-means on a bounded sample) and written with
+overwrite — a replayed first batch retrains to the identical table.
+
+Embedding idf note: ``doc_embed`` weights are corpus-relative; the
+streaming leg computes them PER ADMITTED BATCH (the only information
+available at admission time — the standard online-ingest trade-off vs
+a global-idf batch re-embed). The driver oracle replays exactly that:
+per-batch idf over each batch's admitted survivors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oakstore_spark.streaming.dedup import admission_rejects
+
+
+def curation_ingest_stream(
+    stream: DataFrame,
+    corpus_dir: str,
+    sig_index_dir: str,
+    ivf_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.85,
+    dim: int = 8,
+    n_buckets: int = 64,
+    scale: int = 1024,
+    n_centroids: int = 4,
+    kmeans_sample: int = 10_000,
+    kmeans_iter: int = 10,
+    seed: int = 42,
+):
+    """Start (availableNow) the text->vector->dedup->index pipeline;
+    returns the streaming query handle.
+
+    Per micro-batch: (1) near-dup admission vs the persisted signature
+    index + in-batch keep-first (exactly ``dedup_admission_stream``);
+    (2) admitted docs append to ``corpus_dir/batch=<id>`` and their
+    signatures to ``sig_index_dir/batch=<id>``; (3) admitted docs embed
+    through :func:`~oakstore_spark.operators.text.doc_embed` (batch-
+    local idf — exact BIGINT components); (4) vectors are assigned to
+    cells against the persisted coarse quantizer (trained on the first
+    non-empty batch) and written to ``ivf_dir/vectors/batch=<id>``
+    partitioned by ``_cell`` — immediately searchable via
+    ``search_ivf_index(spark, ivf_dir, ...)``."""
+    from oakstore_spark.operators.dedup import minhash_signatures
+    from oakstore_spark.operators.similarity import _spherical_kmeans
+    from oakstore_spark.operators.text import doc_embed
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        admitted = None
+        try:
+            # replay safety: never read this batch's own previous
+            # signatures as "index" — see streaming/dedup.py
+            from oakstore_spark.streaming.dedup import (
+                _index_dirs_excluding,
+            )
+
+            idx_dirs = _index_dirs_excluding(sig_index_dir, batch_id)
+            if idx_dirs:
+                index = spark.read.parquet(*idx_dirs)
+            else:
+                index = minhash_signatures(
+                    batch_df.limit(0), id_col, text_col
+                )
+            rejects = admission_rejects(
+                batch_df, index, id_col, text_col, threshold
+            )
+            admitted = batch_df.join(
+                rejects.distinct(), id_col, "left_anti"
+            ).persist()
+            admitted.write.mode("overwrite").parquet(
+                f"{corpus_dir}/batch={batch_id}"
+            )
+            minhash_signatures(admitted, id_col, text_col).write.mode(
+                "overwrite"
+            ).parquet(f"{sig_index_dir}/batch={batch_id}")
+
+            emb = doc_embed(
+                admitted, text_col=text_col, id_col=id_col,
+                dim=dim, n_buckets=n_buckets, scale=scale,
+            ).persist()
+            # docs with no alphanumeric terms embed to nothing — they
+            # are admitted to the corpus but not indexable
+            try:
+                cent_path = f"{ivf_dir}/centroids"
+                try:
+                    cent = spark.read.parquet(cent_path).orderBy(
+                        "cell"
+                    ).collect()
+                except Exception:
+                    cent = None
+                if cent is None:
+                    sample = (
+                        emb.select("embedding")
+                        .limit(kmeans_sample)
+                        .toPandas()
+                    )
+                    if len(sample) == 0:
+                        return  # nothing indexable yet; train later
+                    X = np.stack(
+                        [
+                            np.asarray(v, dtype=np.float64)
+                            for v in sample["embedding"]
+                        ]
+                    )
+                    k = min(n_centroids, X.shape[0])
+                    C = _spherical_kmeans(X, k, kmeans_iter, seed)
+                    rows = [
+                        (int(i), [float(x) for x in C[i]])
+                        for i in range(C.shape[0])
+                    ]
+                    spark.createDataFrame(
+                        rows, "cell int, centroid array<double>"
+                    ).coalesce(1).write.mode("overwrite").parquet(
+                        cent_path
+                    )
+                else:
+                    C = np.stack(
+                        [
+                            np.asarray(r["centroid"], dtype=np.float64)
+                            for r in cent
+                        ]
+                    )
+                CT = np.ascontiguousarray(C.T)
+                out_schema = T.StructType(
+                    [
+                        T.StructField(
+                            id_col, emb.schema[id_col].dataType
+                        ),
+                        T.StructField(
+                            "emb_q", T.ArrayType(T.LongType())
+                        ),
+                        T.StructField(
+                            "embedding", T.ArrayType(T.DoubleType())
+                        ),
+                        T.StructField("_cell", T.IntegerType()),
+                    ]
+                )
+
+                def assign(batches):
+                    import pandas as pd  # noqa: F401
+
+                    for pdf in batches:
+                        if len(pdf) == 0:
+                            continue
+                        B = np.stack(
+                            [
+                                np.asarray(v, dtype=np.float64)
+                                for v in pdf["embedding"]
+                            ]
+                        )
+                        Bn = B / np.maximum(
+                            np.linalg.norm(B, axis=1, keepdims=True),
+                            1e-12,
+                        )
+                        out = pdf[
+                            [id_col, "emb_q", "embedding"]
+                        ].copy()
+                        out["_cell"] = (
+                            (Bn @ CT).argmax(axis=1).astype(np.int32)
+                        )
+                        yield out
+
+                (
+                    emb.mapInPandas(assign, out_schema)
+                    .write.mode("overwrite")
+                    .partitionBy("_cell")
+                    .parquet(f"{ivf_dir}/vectors/batch={batch_id}")
+                )
+            finally:
+                emb.unpersist()
+        finally:
+            if admitted is not None:
+                admitted.unpersist()
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -20,6 +20,56 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _index_dirs_excluding(index_dir: str, batch_id: int) -> list[str]:
+    """The signature index's committed batch dirs MINUS the one this
+    batch id would itself (re)write — the index state an original
+    delivery of the batch saw, which a replay must see again."""
+    root = Path(index_dir)
+    if not root.exists():
+        return []
+    return sorted(
+        str(d)
+        for d in root.glob("batch=*")
+        if d.name != f"batch={batch_id}"
+    )
+
+
+def admission_rejects(
+    batch_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> DataFrame:
+    """The reject-id relation for one arriving micro-batch vs the
+    persisted signature index: any batch doc near-dup of an index doc,
+    plus the HIGHER-id side of every in-batch pair (keep-first-by-id).
+    Stays a DataFrame end-to-end — no driver-side id sets — and is
+    shared by :func:`dedup_admission_stream` and the full curation leg
+    in ``streaming/curation.py``."""
+    from oakstore_spark.operators.dedup import incremental_minhash_pairs
+
+    pairs = incremental_minhash_pairs(
+        batch_df, index, id_col, text_col, threshold=threshold
+    )
+    #   vs_index pair  -> the batch-side doc must go; taking BOTH
+    #     sides is safe because index ids never occur in the
+    #     batch relation, so the anti-join ignores them.
+    #   in-batch pair  -> id_a < id_b on both operator paths
+    #     (distributed join keys on l.id < r.id; the driver fast
+    #     path sorts rows by id before triu), so keep-first-by-id
+    #     means rejecting id_b.
+    return (
+        pairs.where(F.col("vs_index"))
+        .select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+        .unionByName(
+            pairs.where(~F.col("vs_index")).select(
+                F.col("id_b").alias(id_col)
+            )
+        )
+    )
+
+
 def dedup_admission_stream(
     stream: DataFrame,
     corpus_dir: str,
@@ -46,10 +96,15 @@ def dedup_admission_stream(
         batch_df = batch_df.persist()
         pairs = None
         try:
-            idx_root = Path(index_dir)
-            have_index = idx_root.exists() and any(idx_root.glob("batch=*"))
-            if have_index:
-                index = spark.read.parquet(str(idx_root / "batch=*"))
+            # REPLAY SAFETY: a re-delivered batch must not see its own
+            # previous output in the index — every doc it admitted last
+            # time would self-match (jaccard 1.0) and be rejected,
+            # then the overwrite would wipe the sink. Exclude
+            # batch=<id> from the index read; earlier batches are the
+            # exact index state the original delivery saw.
+            idx_dirs = _index_dirs_excluding(index_dir, batch_id)
+            if idx_dirs:
+                index = spark.read.parquet(*idx_dirs)
             else:
                 # first batch: only in-batch dedup; reuse the operator
                 # with an empty index relation
