@@ -437,6 +437,110 @@ def grouped_auc(
     )
 
 
+def fairness_report(
+    df: DataFrame,
+    keys: list[str],
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    score_scale: int = 1000,
+) -> DataFrame:
+    """Per-SEGMENT fairness readout in ONE scan (r14 verdict ask #9):
+    the slice table a model audit actually reads — for every segment,
+    base rate, exact ROC AUC (:func:`grouped_auc`'s rank identity),
+    expected calibration error and Brier score, side by side (a model
+    can be calibrated overall yet mis-ranked or over-confident on one
+    language/source/cohort; this is the table that finds which).
+
+    ``score_col`` holds integer milli-units (p * score_scale) — the
+    family contract — which makes EVERY cross-row sum exact BIGINT:
+
+        2U_g   = Σ_s np_{g,s} (2 cum_neg_below + nn_{g,s})
+        ece_g  = Σ_bins |Σ_b p_m − scale·n_pos_b| / (scale·n_g)
+                 (the per-bin |mean_pred − obs_rate|·n_b/n identity
+                  with the bin size cancelled into the abs)
+        brier_g = Σ_s [np_s(scale−s)² + nn_s·s²] / (scale²·n_g)
+
+    Spark shape: ONE hash aggregate to the (keys x distinct-score)
+    cell relation, one keyed prefix window bounded by score
+    cardinality, then a two-level (keys, bin) -> keys rollup — no
+    second scan, no join; each final metric is one pinned division.
+    Returns keys + (n, n_pos, base_rate, n_scores, u2, auc, ece_num,
+    ece, brier_num, brier); auc NULL where a class is empty.
+    """
+    y = F.col(label_col).cast("bigint")
+    s_in = F.col(score_col).cast("bigint")
+    cells = df.groupBy(*keys, s_in.alias("s")).agg(
+        F.sum(y).alias("np_s"),
+        F.sum(1 - y).alias("nn_s"),
+    )
+    wpre = (
+        Window.partitionBy(*keys)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = cells.select(
+        *keys,
+        "s",
+        "np_s",
+        "nn_s",
+        F.coalesce(F.sum("nn_s").over(wpre), F.lit(0)).alias(
+            "cum_neg_below"
+        ),
+    )
+    b = F.least(
+        F.floor(F.col("s") * n_bins / score_scale), F.lit(n_bins - 1)
+    ).cast("bigint")
+    sc = F.lit(score_scale)
+    per_bin = staged.groupBy(*keys, b.alias("bin")).agg(
+        F.sum("np_s").cast("bigint").alias("np_b"),
+        F.sum("nn_s").cast("bigint").alias("nn_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scores_b"),
+        F.sum(
+            F.col("np_s") * (2 * F.col("cum_neg_below") + F.col("nn_s"))
+        ).cast("bigint").alias("u2_b"),
+        F.sum(F.col("s") * (F.col("np_s") + F.col("nn_s")))
+        .cast("bigint").alias("sum_pm_b"),
+        F.sum(
+            F.col("np_s") * (sc - F.col("s")) * (sc - F.col("s"))
+            + F.col("nn_s") * F.col("s") * F.col("s")
+        ).cast("bigint").alias("brier_num_b"),
+    )
+    agg = per_bin.groupBy(*keys).agg(
+        F.sum(F.col("np_b") + F.col("nn_b")).cast("bigint").alias("n"),
+        F.sum("np_b").cast("bigint").alias("n_pos"),
+        F.sum("n_scores_b").cast("bigint").alias("n_scores"),
+        F.sum("u2_b").cast("bigint").alias("u2"),
+        F.sum(F.abs(F.col("sum_pm_b") - sc * F.col("np_b")))
+        .cast("bigint").alias("ece_num"),
+        F.sum("brier_num_b").cast("bigint").alias("brier_num"),
+    )
+    n_neg = F.col("n") - F.col("n_pos")
+    auc = F.when(
+        (F.col("n_pos") > 0) & (n_neg > 0),
+        F.col("u2").cast("double")
+        / (2 * F.col("n_pos").cast("double") * n_neg),
+    )
+    return agg.select(
+        *keys,
+        "n",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n")).alias("base_rate"),
+        "n_scores",
+        "u2",
+        auc.alias("auc"),
+        "ece_num",
+        (
+            F.col("ece_num").cast("double") / (sc * F.col("n"))
+        ).alias("ece"),
+        "brier_num",
+        (
+            F.col("brier_num").cast("double")
+            / (sc.cast("double") * sc * F.col("n"))
+        ).alias("brier"),
+    )
+
+
 def pr_curve(
     df: DataFrame,
     score_col: str,

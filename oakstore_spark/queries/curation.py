@@ -3839,6 +3839,91 @@ def q_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fairness_slices",
+    oracle=f"""
+    WITH units AS ({_SCORED_UNITS_CTE}
+    ), seg AS (
+      SELECT user_id % 8 AS segment, score_m, y FROM units
+    ), cells AS (
+      SELECT segment, score_m AS s,
+             CAST(sum(y) AS BIGINT) AS np_s,
+             CAST(sum(1 - y) AS BIGINT) AS nn_s
+      FROM seg GROUP BY segment, score_m
+    ), staged AS (
+      SELECT segment, s, np_s, nn_s,
+             CAST(coalesce(sum(nn_s) OVER (PARTITION BY segment
+                  ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum_neg_below
+      FROM cells
+    ), per_bin AS (
+      SELECT segment,
+             least(CAST(floor(s * 10 / 1000) AS BIGINT), 9) AS bin,
+             CAST(sum(np_s) AS BIGINT) AS np_b,
+             CAST(sum(nn_s) AS BIGINT) AS nn_b,
+             CAST(count(*) AS BIGINT) AS n_scores_b,
+             CAST(sum(np_s * (2 * cum_neg_below + nn_s)) AS BIGINT)
+               AS u2_b,
+             CAST(sum(s * (np_s + nn_s)) AS BIGINT) AS sum_pm_b,
+             CAST(sum(np_s * (1000 - s) * (1000 - s)
+                      + nn_s * s * s) AS BIGINT) AS brier_num_b
+      FROM staged GROUP BY 1, 2
+    ), agg AS (
+      SELECT segment,
+             CAST(sum(np_b + nn_b) AS BIGINT) AS n,
+             CAST(sum(np_b) AS BIGINT) AS n_pos,
+             CAST(sum(n_scores_b) AS BIGINT) AS n_scores,
+             CAST(sum(u2_b) AS BIGINT) AS u2,
+             CAST(sum(abs(sum_pm_b - 1000 * np_b)) AS BIGINT)
+               AS ece_num,
+             CAST(sum(brier_num_b) AS BIGINT) AS brier_num
+      FROM per_bin GROUP BY segment
+    )
+    SELECT segment, n, n_pos,
+           round(CAST(n_pos AS DOUBLE) / n, 6) AS base_rate,
+           n_scores, u2,
+           round(CASE WHEN n_pos > 0 AND n - n_pos > 0
+                 THEN CAST(u2 AS DOUBLE)
+                      / (2 * CAST(n_pos AS DOUBLE) * (n - n_pos))
+                 END, 6) AS auc,
+           ece_num,
+           round(CAST(ece_num AS DOUBLE) / (1000 * n), 6) AS ece,
+           brier_num,
+           round(CAST(brier_num AS DOUBLE) / (CAST(1000 AS DOUBLE)
+                 * 1000 * n), 6) AS brier
+    FROM agg ORDER BY segment
+    """,
+)
+def q_fairness_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment fairness report (operators/quality.fairness_report,
+    r15 — r14 verdict ask #9): base rate + exact ROC AUC + expected
+    calibration error + Brier score per deterministic cohort
+    (user_id %% 8) from ONE scan — one hash aggregate to the
+    (segment x score) cells, one keyed prefix window, a two-level
+    (segment, bin) -> segment rollup; every numerator an exact
+    BIGINT, every metric one pinned division."""
+    from oakstore_spark.operators.quality import fairness_report
+
+    units = _scored_units(spark, sf_dir).withColumn(
+        "segment", (F.col("user_id") % 8).cast("bigint")
+    )
+    out = fairness_report(
+        units, ["segment"], "score_m", "y",
+        n_bins=10, score_scale=1000,
+    )
+    return out.select(
+        "segment", "n", "n_pos",
+        F.round("base_rate", 6).alias("base_rate"),
+        "n_scores", "u2",
+        F.round("auc", 6).alias("auc"),
+        "ece_num",
+        F.round("ece", 6).alias("ece"),
+        "brier_num",
+        F.round("brier", 6).alias("brier"),
+    ).orderBy("segment")
+
+
+@register(
     "q_isotonic",
     oracle="""
     WITH units AS (

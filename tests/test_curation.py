@@ -2684,3 +2684,69 @@ def test_event_study_planted_dynamic_effect(spark):
     with _pytest.raises(ValueError, match="baseline"):
         event_study(df, "arm", "r", "y", treated=1,
                     baseline_period=99)
+
+
+def test_fairness_report_hand_case_and_component_parity(spark):
+    """r15 (r14 verdict ask #9): fairness_report. Hand case — a
+    perfectly-ranked segment (auc 1, ece 0, brier 0), an
+    uninformative one (all scores 500, half pos: auc 0.5, ece 0,
+    brier 0.25), a one-class segment (auc NULL, calibration still
+    defined) — plus component parity: auc column == grouped_auc on
+    the same data, segment for segment."""
+    from pyspark.sql import functions as F
+
+    from oakstore_spark.operators.quality import (
+        fairness_report,
+        grouped_auc,
+    )
+
+    rows = []
+    # segment 0: perfect ranking + perfect calibration at the extremes
+    rows += [(0, 0, 0)] * 10 + [(0, 1000, 1)] * 10
+    # segment 1: constant 500 score, half positives
+    rows += [(1, 500, 1)] * 5 + [(1, 500, 0)] * 5
+    # segment 2: one-class (all negative), overconfident score 900
+    rows += [(2, 900, 0)] * 4
+    df = spark.createDataFrame(rows, "seg long, score_m long, y long")
+    out = {
+        r.seg: r
+        for r in fairness_report(
+            df, ["seg"], "score_m", "y", n_bins=10, score_scale=1000
+        ).collect()
+    }
+    assert out[0].auc == 1.0 and out[0].ece == 0.0 and out[0].brier == 0.0
+    assert out[0].base_rate == 0.5
+    assert out[1].auc == 0.5 and out[1].ece == 0.0
+    assert out[1].brier == 0.25
+    assert out[2].auc is None
+    assert out[2].ece == 0.9  # |900*4 - 0| / (1000*4)
+    assert out[2].brier == 0.81
+    assert out[2].base_rate == 0.0
+
+    # component parity vs grouped_auc on a messier corpus
+    import random
+
+    rng = random.Random(3)
+    rows2 = [
+        (i % 4, rng.randrange(0, 1001),
+         1 if rng.random() < 0.3 + 0.1 * (i % 4) else 0)
+        for i in range(2000)
+    ]
+    d2 = spark.createDataFrame(rows2, "seg long, score_m long, y long")
+    fr = {
+        r.seg: r
+        for r in fairness_report(d2, ["seg"], "score_m", "y").collect()
+    }
+    ga = {
+        r.seg: r
+        for r in grouped_auc(d2, ["seg"], "score_m", "y").collect()
+    }
+    assert set(fr) == set(ga)
+    for g in fr:
+        assert fr[g].u2 == ga[g].u2
+        assert fr[g].auc == ga[g].auc
+        assert fr[g].n_pos == ga[g].n_pos
+        assert fr[g].n_scores == ga[g].n_scores
+        # ece/brier bounded sanity on random scores
+        assert 0.0 <= fr[g].ece <= 1.0
+        assert 0.0 <= fr[g].brier <= 1.0
