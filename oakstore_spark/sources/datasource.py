@@ -94,13 +94,18 @@ class OakStoreDataSource(DataSource):
     def name(cls) -> str:
         return "oakstore"
 
-    def _meta(self) -> tuple[str, dict[str, str], dict]:
+    def _meta(self) -> tuple[str, dict[str, str], dict, dict]:
         base = _base_option(self.options)
         doc = json.loads((base / "_metadata.json").read_text())
-        return doc["index_name"], doc["column_schema"], doc.get("defaults", {})
+        return (
+            doc["index_name"],
+            doc["column_schema"],
+            doc.get("defaults", {}),
+            doc.get("physical", {}),
+        )
 
     def schema(self) -> T.StructType:
-        idx, cols, _defaults = self._meta()
+        idx, cols, _defaults, _phys = self._meta()
         fields = [T.StructField(idx, T.TimestampType())]
         fields += [
             T.StructField(name, _NAME_TO_SPARK[tname]) for name, tname in cols.items()
@@ -110,8 +115,10 @@ class OakStoreDataSource(DataSource):
     def reader(self, schema: T.StructType) -> DataSourceReader:
         base = _base_option(self.options)
         key = self.options["key"].upper()
-        idx, _cols, defaults = self._meta()
-        return OakStoreReader(base / "items" / key, idx, schema, defaults)
+        idx, _cols, defaults, phys = self._meta()
+        return OakStoreReader(
+            base / "items" / key, idx, schema, defaults, phys
+        )
 
     def writer(self, schema: T.StructType, overwrite: bool):
         """Python DataSources only accept Append/Overwrite save modes;
@@ -128,7 +135,7 @@ class OakStoreDataSource(DataSource):
             )
         base = _base_option(self.options)
         key = self.options["key"].upper()
-        idx, cols, _defaults = self._meta()
+        idx, cols, _defaults, phys = self._meta()
         declared = {idx} | set(cols)
         if set(f.name for f in schema.fields) != declared:
             raise ValueError(
@@ -141,7 +148,7 @@ class OakStoreDataSource(DataSource):
             item.glob("_oak_year=*")
         ):
             raise ValueError(f"key={key} already exists")
-        return OakStoreBatchWriter(item, idx, _uuid.uuid4().hex)
+        return OakStoreBatchWriter(item, idx, _uuid.uuid4().hex, phys)
 
     def simpleStreamReader(self, schema: T.StructType):  # noqa: N802
         base = _base_option(self.options)
@@ -152,8 +159,8 @@ class OakStoreDataSource(DataSource):
                 "streaming CDC reads require commit_protocol='manifest' "
                 f"(item {key} has no manifest history)"
             )
-        idx, _cols, defaults = self._meta()
-        return OakStoreStreamReader(item, idx, schema, defaults)
+        idx, _cols, defaults, phys = self._meta()
+        return OakStoreStreamReader(item, idx, schema, defaults, phys)
 
 
 class OakStoreReader(DataSourceReader):
@@ -163,11 +170,13 @@ class OakStoreReader(DataSourceReader):
         index_name: str,
         schema: T.StructType,
         defaults: dict | None = None,
+        physical: dict | None = None,
     ):
         self._item = item_path
         self._idx = index_name
         self._schema = schema
         self._defaults = defaults or {}
+        self._physical = physical or {}  # logical -> on-disk name
         self._lo: datetime | None = None  # inclusive
         self._hi: datetime | None = None  # inclusive
         self._lo_strict = False
@@ -244,8 +253,17 @@ class OakStoreReader(DataSourceReader):
 
         cols = [f.name for f in self._schema.fields]
         pf = pq.ParquetFile(partition.file_path)
-        present = [c for c in cols if c in pf.schema_arrow.names]
-        table = pq.read_table(partition.file_path, columns=present)
+        names = set(pf.schema_arrow.names)
+        # metadata-only renames: files carry PHYSICAL names; read those
+        # and alias back to the logical surface
+        present = [
+            c for c in cols if self._physical.get(c, c) in names
+        ]
+        table = pq.read_table(
+            partition.file_path,
+            columns=[self._physical.get(c, c) for c in present],
+        )
+        table = table.rename_columns(present)
         # evolved columns absent from pre-evolution files: fill the
         # declared default (same contract as the store's read path)
         for c in cols:
@@ -310,11 +328,13 @@ class OakStoreStreamReader(SimpleDataSourceStreamReader):
         index_name: str,
         schema: T.StructType,
         defaults: dict | None = None,
+        physical: dict | None = None,
     ):
         self._item = item_path
         self._idx = index_name
         self._cols = [f.name for f in schema.fields]
         self._defaults = defaults or {}
+        self._physical = physical or {}
 
     def _mapping(self, version: int) -> dict[str, str]:
         if version == 0:
@@ -352,6 +372,14 @@ class OakStoreStreamReader(SimpleDataSourceStreamReader):
         for year in sorted(changed):
             t = pq.read_table(str(self._item / changed[year]))
             new = t.to_pandas()
+            # physical -> logical aliasing (metadata-only renames)
+            ren = {
+                p: c
+                for c, p in self._physical.items()
+                if p in new.columns and c not in new.columns
+            }
+            if ren:
+                new = new.rename(columns=ren)
             for c in self._cols:  # evolved columns -> declared default
                 if c not in new.columns:
                     new[c] = self._defaults.get(c)
@@ -406,10 +434,17 @@ class OakStoreBatchWriter(DataSourceArrowWriter):
     ``store[k] += df``; this writer is the parallel initial-load path.
     """
 
-    def __init__(self, item_path: Path, index_name: str, gen: str):
+    def __init__(
+        self,
+        item_path: Path,
+        index_name: str,
+        gen: str,
+        physical: dict | None = None,
+    ):
         self._item = item_path
         self._idx = index_name
         self._gen = gen
+        self._physical = physical or {}
 
     def write(self, iterator):
         import uuid as _uuid
@@ -421,6 +456,10 @@ class OakStoreBatchWriter(DataSourceArrowWriter):
         by_year: dict[int, list] = {}
         for batch in iterator:
             tbl = pa.Table.from_batches([batch])
+            if self._physical:
+                tbl = tbl.rename_columns(
+                    [self._physical.get(c, c) for c in tbl.schema.names]
+                )
             years = pc.year(tbl[self._idx])
             for y in pc.unique(years).to_pylist():
                 by_year.setdefault(y, []).append(

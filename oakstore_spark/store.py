@@ -462,9 +462,16 @@ class Store:
         cluster_by: list[str] | None = None,
         zorder: bool = False,
     ) -> None:
+        out = self._layout_for_write(sdf, cluster_by, zorder)
+        # logical -> physical aliasing: files ALWAYS carry physical
+        # names, so data written after a metadata-only rename stays
+        # byte-compatible with data written before it
+        for c in self._metadata.column_schema:
+            p = self._metadata.phys(c)
+            if p != c and c in out.columns:
+                out = out.withColumnRenamed(c, p)
         (
-            self._layout_for_write(sdf, cluster_by, zorder)
-            .write.option("maxRecordsPerFile", _MAX_RECORDS_PER_FILE)
+            out.write.option("maxRecordsPerFile", _MAX_RECORDS_PER_FILE)
             .partitionBy(_PARTITION_COL)
             .parquet(str(path), mode="errorifexists")
         )
@@ -1214,7 +1221,36 @@ class Store:
         column wherever they occur — this store's columns are
         non-nullable by construction (normalization casts from concrete
         input), so null == "file predates the column"."""
-        evolved = self._metadata.with_column(name, tp, default)
+        self._swap_metadata(self._metadata.with_column(name, tp, default))
+
+    def rename_column(self, old: str, new: str) -> None:
+        """EXT schema evolution: METADATA-ONLY column rename (r14
+        verdict ask #6) — no file is rewritten. The logical surface
+        (reads, writes, predicates, SQL) speaks the new name
+        immediately; on disk the column keeps its original (physical)
+        name forever: old files stay valid byte-for-byte, new files
+        write the same physical name, and every read path — store
+        queries, snapshots/diff time travel, compaction rewrites, the
+        ``oakstore`` DataSource batch + CDC stream — aliases physical
+        -> logical at scan time. Time travel to pre-rename versions
+        therefore surfaces the CURRENT logical name over the original
+        bytes (Delta's RENAME COLUMN contract). The index column
+        cannot be renamed (slice/dedup semantics are keyed on it)."""
+        self._swap_metadata(self._metadata.with_renamed(old, new))
+
+    def drop_column(self, name: str) -> None:
+        """EXT schema evolution: METADATA-ONLY column drop — no file
+        is rewritten; the bytes stay in old files but the physical
+        slot is RETIRED, so the column disappears from every read
+        path at once and a later :meth:`add_column` under the same
+        name gets a FRESH slot (pre-drop data can never leak into
+        it). New writes must omit the column (normalization projects
+        to the declared schema). ``compact()`` naturally materializes
+        the narrow schema since it rewrites through the declared read
+        path."""
+        self._swap_metadata(self._metadata.with_dropped(name))
+
+    def _swap_metadata(self, evolved) -> None:
         # crash-safe swap: metadata is one small JSON object
         tmp = self._metadata_path.with_name(f".{_METADATA_FILE}.{uuid.uuid4().hex}.tmp")
         tmp.write_text(evolved.to_json())
@@ -1222,17 +1258,29 @@ class Store:
         self._metadata = evolved
 
     def _declared_read_schema(self):
+        """Read schema in PHYSICAL (on-disk) column names — renamed
+        columns keep their original name inside every parquet file
+        (metadata-only rename); :meth:`_fill_defaults` aliases them
+        back to the logical surface."""
         import pyspark.sql.types as T
 
         idx = self._metadata.index_name
         fields = [T.StructField(idx, T.TimestampType())]
         fields += [
-            T.StructField(c, self._metadata.spark_type(c))
+            T.StructField(
+                self._metadata.phys(c), self._metadata.spark_type(c)
+            )
             for c in self._metadata.column_schema
         ]
         return T.StructType(fields)
 
     def _fill_defaults(self, sdf: DataFrame) -> DataFrame:
+        # physical -> logical aliasing first (metadata-only renames),
+        # then read-time defaults keyed by logical name
+        for c in self._metadata.column_schema:
+            p = self._metadata.phys(c)
+            if p != c and p in sdf.columns:
+                sdf = sdf.withColumnRenamed(p, c)
         for c, v in self._metadata.defaults.items():
             sdf = sdf.withColumn(
                 c, F.coalesce(F.col(c), F.lit(v).cast(self._metadata.spark_type(c)))

@@ -1448,3 +1448,139 @@ def test_txn_checkpoint_gc_and_no_resurrection(
     finally:
         Store._txn_item_states = orig_states
     assert calls == ["t00000003"]  # t1/t2 behind the checkpoint
+
+
+def test_schema_evolution_rename_drop(tmp_path, spark, ohlcv_data):
+    """r15 (r14 verdict ask #6): metadata-only column RENAME and DROP.
+    Rename: no file rewritten (inodes stable), reads/writes/predicates
+    speak the new name over the original bytes, time travel to
+    pre-rename versions reads correctly, appends after the rename
+    dedup against pre-rename rows; reopened instances load the
+    mapping. Drop: column disappears everywhere, and a re-added
+    column under the same name gets a FRESH slot — pre-drop bytes
+    never leak into it."""
+    for proto in ("rename", "manifest"):
+        base = tmp_path / f"ev_{proto}"
+        s = Store(base_path=base, spark=spark, commit_protocol=proto)
+        s["R"] = ohlcv_data.head(50)
+        item = s._item_path("R")
+        inodes_before = {
+            str(f): f.stat().st_ino for f in item.rglob("*.parquet")
+        }
+
+        s.rename_column("VOLUME", "VOL")
+        # metadata-only: every parquet inode untouched
+        inodes_after = {
+            str(f): f.stat().st_ino for f in item.rglob("*.parquet")
+        }
+        assert inodes_after == inodes_before
+        out = s["R"][:]
+        assert "VOL" in out.columns and "VOLUME" not in out.columns
+        truth = ohlcv_data.head(50).sort_index()
+        assert list(out["VOL"]) == list(truth["Volume"])
+
+        # appends after the rename: new name in, dedup against OLD rows
+        nxt = ohlcv_data.iloc[25:75].copy()
+        nxt = nxt.rename(columns={"Volume": "Vol"})
+        s["R"] += nxt
+        out = s["R"][:]
+        assert len(out) == 75
+        truth75 = ohlcv_data.head(75).sort_index()
+        assert list(out["VOL"]) == list(truth75["Volume"])
+
+        # predicates + delete_where speak the logical name
+        med = float(sorted(out["VOL"])[10])
+        n = s.delete_where("R", f"VOL <= {med}")
+        assert n == int((out["VOL"] <= med).sum())
+
+        # reopened instance loads the mapping
+        s2 = Store(base_path=base, spark=spark, commit_protocol=proto)
+        assert "VOL" in s2._metadata.column_schema
+        assert s2._metadata.phys("VOL") == "VOLUME"
+        assert "VOL" in s2["R"][:].columns
+
+        if proto == "manifest":
+            # time travel: pre-rename version reads under the NEW
+            # logical name over the original bytes
+            snap1 = s.snapshot("R", 1).toPandas()
+            assert "VOL" in snap1.columns and len(snap1) == 50
+            assert sorted(snap1["VOL"]) == sorted(truth["Volume"])
+
+        # DROP: gone from every surface; files untouched
+        s.drop_column("HIGH")
+        out = s["R"][:]
+        assert "HIGH" not in out.columns
+        s2 = Store(base_path=base, spark=spark, commit_protocol=proto)
+        assert "HIGH" not in s2._metadata.column_schema
+
+        # re-added column under the dropped name: fresh slot, default
+        # everywhere — pre-drop bytes can NEVER leak in
+        s.add_column("HIGH", float, -1.0)
+        out = s["R"][:]
+        assert (out["HIGH"] == -1.0).all()
+        assert s._metadata.phys("HIGH") != "HIGH"
+
+        # compaction materializes the evolved schema and keeps values
+        vol_before = sorted(s["R"][:]["VOL"])
+        s.compact("R")
+        out = s["R"][:]
+        assert sorted(out["VOL"]) == vol_before
+        assert (out["HIGH"] == -1.0).all()
+        assert "VOL" in out.columns
+
+        # guards
+        with pytest.raises(SchemaError):
+            s.rename_column("DATE", "TS")
+        with pytest.raises(SchemaError):
+            s.rename_column("NOPE", "X")
+        with pytest.raises(SchemaError):
+            s.rename_column("OPEN", "CLOSE")
+        with pytest.raises(SchemaError):
+            s.drop_column("DATE")
+        with pytest.raises(SchemaError):
+            s.drop_column("NOPE")
+
+
+def test_schema_evolution_rename_datasource_paths(
+    tmp_path, spark, ohlcv_data
+):
+    """The oakstore DataSource (batch read + CDC stream) applies the
+    physical->logical mapping: a renamed column reads under its new
+    name from pre-rename files, and the CDC stream's replayed inserts
+    carry it too."""
+    base = tmp_path / "ev_ds"
+    s = Store(base_path=base, spark=spark, commit_protocol="manifest")
+    s["D"] = ohlcv_data.head(30)
+    s.rename_column("CLOSE", "SETTLE")
+
+    from oakstore_spark.sources.datasource import OakStoreDataSource
+
+    spark.dataSource.register(OakStoreDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("oakstore")
+        .option("store_path", str(base))
+        .option("key", "D")
+        .load()
+    )
+    assert "SETTLE" in df.columns and "CLOSE" not in df.columns
+    got = df.orderBy("DATE").toPandas()
+    truth = ohlcv_data.head(30).sort_index()
+    assert list(got["SETTLE"]) == list(truth["Close"])
+
+    out_dir = tmp_path / "cdc_out"
+    q = (
+        spark.readStream.format("oakstore")
+        .option("store_path", str(base))
+        .option("key", "D")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cdc = spark.read.parquet(str(out_dir)).orderBy("DATE").toPandas()
+    assert "SETTLE" in cdc.columns
+    assert list(cdc["SETTLE"]) == list(truth["Close"])
