@@ -900,6 +900,28 @@ class Store:
         half-created key (``keys()`` / reads / writes never see it;
         vacuum collects the staging debris past retention). A staging
         error on a later item removes every staged dir of this call.
+
+        Beyond appends (r14 verdict ask #5), a value may be a MOVE
+        descriptor so corpus + derived-artifact maintenance publishes
+        atomically — e.g. a GDPR delete plus the rewritten index it
+        invalidates:
+
+            store.multi_commit({
+                "EVENTS":  {"op": "delete_where",
+                            "predicate": "USER_ID = 42"},
+                "EVENTS_IDX": rebuilt_index_df,     # append
+                "STATS":   {"op": "compact"},       # optional kwargs:
+                                                    # min_files_per_partition,
+                                                    # cluster_by, zorder
+            })
+
+        Moves stage their generation exactly like
+        :meth:`delete_where` / :meth:`compact` (survivors/compacted
+        files written, NOTHING published) and the txn object names the
+        resulting year mapping; the per-item manifest (operation
+        "delete"/"compact") appears only at roll-forward — before the
+        txn commit point a crash leaves only unreferenced generation
+        debris, after it recovery completes every move or none.
         """
         if self._commit_protocol != "manifest":
             raise ValueError(
@@ -921,7 +943,42 @@ class Store:
                         f"key={key.upper()} uses the rename protocol; "
                         "multi_commit items must be manifest items"
                     )
-                if path.exists():
+                if isinstance(data, dict) and "op" in data:
+                    if not path.exists():
+                        raise ValueError(
+                            f"key={key.upper()} does not exist "
+                            f"(move op {data['op']!r} needs an item)"
+                        )
+                    version, mapping = self._latest_manifest(path)
+                    if data["op"] == "delete_where":
+                        pred = data["predicate"]
+                        pred = (
+                            F.expr(pred)
+                            if isinstance(pred, str) else pred
+                        )
+                        merged, _n = self._stage_delete_where(
+                            path, mapping, pred
+                        )
+                        op = "delete"
+                    elif data["op"] == "compact":
+                        merged, _n = self._stage_compact(
+                            path,
+                            mapping,
+                            data.get("min_files_per_partition", 2),
+                            cluster_by=data.get("cluster_by"),
+                            zorder=data.get("zorder", False),
+                        )
+                        op = "compact"
+                    else:
+                        raise ValueError(
+                            f"unknown multi_commit op {data['op']!r} "
+                            "(expected 'delete_where' or 'compact')"
+                        )
+                    plans[key.upper()] = {
+                        "version": version + 1, "years": merged,
+                        "operation": op,
+                    }
+                elif path.exists():
                     new = self._normalize(data).withColumn(
                         "_oak_prio", F.lit(1)
                     )
@@ -1057,7 +1114,7 @@ class Store:
                 path,
                 int(plan["version"]),
                 plan["years"],
-                doc.get("operation", "multi"),
+                plan.get("operation", doc.get("operation", "multi")),
                 doc["txn"],
             )
 
@@ -1406,25 +1463,16 @@ class Store:
 
         if self._is_manifest_item(path):
             version, mapping = self._latest_manifest(path)
-            frag = {
-                y: rel
-                for y, rel in mapping.items()
-                if len(list((path / rel).glob("*.parquet"))) > min_files_per_partition
-            }
-            if not frag:
+            merged, n_frag = self._stage_compact(
+                path, mapping, min_files_per_partition,
+                cluster_by=cluster_by, zorder=zorder,
+            )
+            if not n_frag:
                 return 0
-            combined = self._fill_defaults(
-                self._spark.read.schema(self._declared_read_schema()).parquet(
-                    *self._manifest_paths(path, frag)
-                )
-            ).select(idx, *self._metadata.column_schema)
-            new_years = self._write_generation(
-                path, combined, cluster_by=cluster_by, zorder=zorder
-            )
             self._commit_manifest(
-                path, version + 1, {**mapping, **new_years}, operation="compact"
+                path, version + 1, merged, operation="compact"
             )
-            return len(frag)
+            return n_frag
 
         fragmented = [
             d for d in sorted(path.glob(f"{_PARTITION_COL}=*"))
@@ -1657,6 +1705,106 @@ class Store:
         shutil.rmtree(trash)
         return n_del
 
+    def _stage_delete_where(
+        self, path: Path, mapping: dict[str, str], pred: Column
+    ) -> tuple[dict[str, str], int]:
+        """Stage a predicate delete against the given year mapping:
+        write the survivors generation (affected files only; untouched
+        files of affected years copied byte-identically) and return
+        (new mapping, rows deleted) WITHOUT publishing a manifest —
+        shared by :meth:`delete_where` (publishes immediately) and
+        :meth:`multi_commit` delete moves (publishes at the txn commit
+        point)."""
+        from urllib.parse import unquote, urlparse
+
+        idx = self._metadata.index_name
+        cols = [idx, *self._metadata.column_schema]
+
+        def _local(uri: str) -> str:
+            return unquote(urlparse(uri).path)
+
+        def _year_of(fpath: str) -> str:
+            for seg in fpath.split("/"):
+                if seg.startswith(f"{_PARTITION_COL}="):
+                    return seg.split("=", 1)[1]
+            raise ValueError(f"no {_PARTITION_COL} segment in {fpath}")
+
+        scan = self._fill_defaults(
+            self._spark.read.schema(self._declared_read_schema())
+            .parquet(*self._manifest_paths(path, mapping))
+            .withColumn("_file", F.input_file_name())
+        )
+        per_file = (
+            scan.where(pred)
+            .groupBy("_file")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        if not per_file:
+            return dict(mapping), 0
+        n_del = sum(int(r["_n"]) for r in per_file)
+        affected = sorted(_local(r["_file"]) for r in per_file)
+        aff_by_year: dict[str, list[str]] = {}
+        for f in affected:
+            aff_by_year.setdefault(_year_of(f), []).append(f)
+        survivors = self._fill_defaults(
+            self._spark.read.schema(
+                self._declared_read_schema()
+            ).parquet(*affected)
+        ).where(~F.coalesce(pred, F.lit(False))).select(*cols)
+        gen = uuid.uuid4().hex
+        gen_dir = path / _DATA_DIR / gen
+        self._write_parquet(survivors, gen_dir)
+        merged = dict(mapping)
+        for y, files in aff_by_year.items():
+            ydir_new = gen_dir / f"{_PARTITION_COL}={y}"
+            old_dir = path / mapping[y]
+            touched_names = {Path(f).name for f in files}
+            untouched = [
+                f for f in sorted(old_dir.glob("*.parquet"))
+                if f.name not in touched_names
+            ]
+            if untouched:
+                ydir_new.mkdir(parents=True, exist_ok=True)
+                for f in untouched:
+                    shutil.copy2(f, ydir_new / f.name)
+            if ydir_new.is_dir() and any(ydir_new.iterdir()):
+                merged[y] = f"{_DATA_DIR}/{gen}/{ydir_new.name}"
+            else:
+                merged.pop(y, None)
+        return merged, n_del
+
+    def _stage_compact(
+        self,
+        path: Path,
+        mapping: dict[str, str],
+        min_files_per_partition: int = 2,
+        cluster_by: list[str] | None = None,
+        zorder: bool = False,
+    ) -> tuple[dict[str, str], int]:
+        """Stage a compaction against the given year mapping: rewrite
+        fragmented years into a fresh generation and return (new
+        mapping, partitions compacted) WITHOUT publishing — shared by
+        :meth:`compact` and :meth:`multi_commit` compact moves."""
+        idx = self._metadata.index_name
+        frag = {
+            y: rel
+            for y, rel in mapping.items()
+            if len(list((path / rel).glob("*.parquet")))
+            > min_files_per_partition
+        }
+        if not frag:
+            return dict(mapping), 0
+        combined = self._fill_defaults(
+            self._spark.read.schema(self._declared_read_schema()).parquet(
+                *self._manifest_paths(path, frag)
+            )
+        ).select(idx, *self._metadata.column_schema)
+        new_years = self._write_generation(
+            path, combined, cluster_by=cluster_by, zorder=zorder
+        )
+        return {**mapping, **new_years}, len(frag)
+
     def delete_where(self, key: str, predicate) -> int:
         """EXT: delete rows matching a VALUE predicate — the
         GDPR-style operational delete (``delete_where("EVENTS",
@@ -1718,49 +1866,9 @@ class Store:
             version, mapping = self._latest_manifest(path)
             if not mapping:
                 return 0
-            scan = self._fill_defaults(
-                self._spark.read.schema(self._declared_read_schema())
-                .parquet(*self._manifest_paths(path, mapping))
-                .withColumn("_file", F.input_file_name())
-            )
-            per_file = (
-                scan.where(pred)
-                .groupBy("_file")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .collect()
-            )
-            if not per_file:
+            merged, n_del = self._stage_delete_where(path, mapping, pred)
+            if n_del == 0:
                 return 0
-            n_del = sum(int(r["_n"]) for r in per_file)
-            affected = sorted(_local(r["_file"]) for r in per_file)
-            aff_by_year: dict[str, list[str]] = {}
-            for f in affected:
-                aff_by_year.setdefault(_year_of(f), []).append(f)
-            survivors = self._fill_defaults(
-                self._spark.read.schema(
-                    self._declared_read_schema()
-                ).parquet(*affected)
-            ).where(~F.coalesce(pred, F.lit(False))).select(*cols)
-            gen = uuid.uuid4().hex
-            gen_dir = path / _DATA_DIR / gen
-            self._write_parquet(survivors, gen_dir)
-            merged = dict(mapping)
-            for y, files in aff_by_year.items():
-                ydir_new = gen_dir / f"{_PARTITION_COL}={y}"
-                old_dir = path / mapping[y]
-                touched_names = {Path(f).name for f in files}
-                untouched = [
-                    f for f in sorted(old_dir.glob("*.parquet"))
-                    if f.name not in touched_names
-                ]
-                if untouched:
-                    ydir_new.mkdir(parents=True, exist_ok=True)
-                    for f in untouched:
-                        shutil.copy2(f, ydir_new / f.name)
-                if ydir_new.is_dir() and any(ydir_new.iterdir()):
-                    merged[y] = f"{_DATA_DIR}/{gen}/{ydir_new.name}"
-                else:
-                    merged.pop(y, None)
             self._commit_manifest(
                 path, version + 1, merged, operation="delete"
             )

@@ -1584,3 +1584,112 @@ def test_schema_evolution_rename_datasource_paths(
     cdc = spark.read.parquet(str(out_dir)).orderBy("DATE").toPandas()
     assert "SETTLE" in cdc.columns
     assert list(cdc["SETTLE"]) == list(truth["Close"])
+
+
+def test_multi_commit_delete_and_compact_moves(
+    tmp_path, spark, ohlcv_data, monkeypatch
+):
+    """r15 (r14 verdict ask #5): multi_commit move descriptors — a
+    GDPR delete on one item plus the rewritten derived item publish
+    ATOMICALLY: a crash before the txn object lands leaves both items
+    at their pre-txn versions (staged generations are invisible
+    debris); a crash mid fan-out rolls forward on the next open;
+    operations land per-item in the history ("delete" / "compact")."""
+    import os as _os
+
+    import oakstore_spark.store as store_mod
+    from oakstore_spark import Store
+
+    monkeypatch.setattr(store_mod, "_MAX_RECORDS_PER_FILE", 40)
+    base = tmp_path / "mv_store"
+    s = Store(base, spark=spark, commit_protocol="manifest")
+    data = ohlcv_data.head(200)
+    s["CORPUS"] = data
+    s["IDX"] = ohlcv_data.head(50)
+    # fragment CORPUS so a compact move has work
+    s["CORPUS"] += ohlcv_data.iloc[200:260]
+
+    target = float(sorted(data["Volume"])[40])
+    expect_del = int((ohlcv_data.head(260)["Volume"] <= target).sum())
+
+    # happy path: delete on CORPUS + replacement append on IDX,
+    # one txn
+    txn = s.multi_commit({
+        "CORPUS": {"op": "delete_where",
+                   "predicate": f"VOLUME <= {target}"},
+        "IDX": ohlcv_data.iloc[50:90],
+    })
+    assert txn == 1
+    out = s["CORPUS"][:]
+    assert len(out) == 260 - expect_del
+    assert (out["VOLUME"] > target).all()
+    assert len(s["IDX"][:]) == 90
+    ops = {h["version"]: h["operation"] for h in s.history("CORPUS")}
+    assert ops[max(ops)] == "delete"
+    ops_idx = {h["version"]: h["operation"] for h in s.history("IDX")}
+    assert ops_idx[max(ops_idx)] == "multi"
+
+    # compact move in a txn
+    txn2 = s.multi_commit({"CORPUS": {"op": "compact",
+                                      "min_files_per_partition": 0}})
+    assert txn2 == 2
+    assert len(s["CORPUS"][:]) == 260 - expect_del
+    ops = {h["version"]: h["operation"] for h in s.history("CORPUS")}
+    assert ops[max(ops)] == "compact"
+
+    # crash BEFORE the txn commit point: neither the delete nor the
+    # sibling append is visible
+    pre = {k: s.versions(k) for k in ("CORPUS", "IDX")}
+    real_link = _os.link
+
+    def no_link(src, dst, *a, **kw):
+        if "_txns" in str(dst):
+            raise RuntimeError("crash before txn commit")
+        return real_link(src, dst, *a, **kw)
+
+    _os.link = no_link
+    try:
+        with pytest.raises(RuntimeError):
+            s.multi_commit({
+                "CORPUS": {"op": "delete_where", "predicate": "VOLUME >= 0"},
+                "IDX": ohlcv_data.iloc[90:100],
+            })
+    finally:
+        _os.link = real_link
+    s2 = Store(base, spark=spark, commit_protocol="manifest")
+    assert {k: s2.versions(k) for k in ("CORPUS", "IDX")} == pre
+    assert len(s2["CORPUS"][:]) == 260 - expect_del  # delete NOT applied
+    assert len(s2["IDX"][:]) == 90
+
+    # crash mid fan-out AFTER the commit point: recovery applies BOTH
+    published = []
+    orig_pub = Store._publish_manifest_for_txn
+
+    def crashy(self, path, version, years, operation, txn):
+        if len(published) == 1:
+            raise RuntimeError("crash mid fan-out")
+        published.append(operation)
+        return orig_pub(self, path, version, years, operation, txn)
+
+    Store._publish_manifest_for_txn = crashy
+    try:
+        with pytest.raises(RuntimeError):
+            s2.multi_commit({
+                "CORPUS": {"op": "delete_where",
+                           "predicate": "VOLUME >= 0"},
+                "IDX": ohlcv_data.iloc[100:110],
+            })
+    finally:
+        Store._publish_manifest_for_txn = orig_pub
+    s3 = Store(base, spark=spark, commit_protocol="manifest")  # recovers
+    assert len(s3["CORPUS"][:]) == 0  # delete applied by roll-forward
+    # 90 + the mid-fan-out txn's 10 rows; the pre-commit-crash batch
+    # (iloc[90:100]) was correctly never applied
+    assert len(s3["IDX"][:]) == 100
+    assert published == ["delete"]  # per-item op reached the manifest
+
+    # unknown op / missing item guards
+    with pytest.raises(ValueError, match="unknown multi_commit op"):
+        s3.multi_commit({"CORPUS": {"op": "truncate"}})
+    with pytest.raises(ValueError, match="does not exist"):
+        s3.multi_commit({"GHOST": {"op": "compact"}})
