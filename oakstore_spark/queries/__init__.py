@@ -117,6 +117,22 @@ BENCH_RETIRED: set[str] = {
     # block by q_mase_backtest)
     "q_ipw_ate",
     "q_seasonal_naive_backtest",
+    # r15 (r14 verdict ask #8): debut timings recorded in
+    # BENCH_DEBUTS.json (r14 driver blob, commit 026e75b), then
+    # retired as shape siblings — q_grouped_km (0.35s) times through
+    # q_kaplan_meier_churn's product-limit chain + one extra group
+    # key; q_aalen_johansen (0.46s) through the same per-t cell
+    # relation with the cause split; q_cox_ph2 (0.73s) through
+    # q_cox_ph's collapsed-cell Newton shape one covariate up (and
+    # r15's q_cox_stratified now times the keyed variant);
+    # q_grouped_auc (0.37s) through q_fairness_slices, which runs
+    # the identical keyed rank identity PLUS the calibration rollup
+    # in the same scan. All four stay registered + oracle-checked
+    # every rotation window.
+    "q_grouped_km",
+    "q_aalen_johansen",
+    "q_cox_ph2",
+    "q_grouped_auc",
     # r13: topic hard-EM debuted at 3.91s sf0.1 (the round's most
     # expensive new query) and retires on the EM/iterative-fit
     # sibling argument — the broadcast-out/aggregate-back loop is
