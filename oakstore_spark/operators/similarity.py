@@ -1955,6 +1955,142 @@ def build_ivfpq_index(
     )
 
 
+def rebalance_ivfpq_index(
+    corpus: DataFrame,
+    dim: int,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int | None = None,
+    m: int | None = None,
+    k: int | None = None,
+    sample_size: int = 100_000,
+    n_iter: int = 10,
+    seed: int = 42,
+    meta_cols: list[str] | None = None,
+) -> dict:
+    """REBALANCE step of the persisted IVFPQ index (r14 verdict
+    ask #2, PQ leg): :func:`add_to_ivfpq_index` encodes against a
+    FROZEN coarse quantizer + codebooks, so drift skews cells AND
+    inflates residual quantization error (the codes are residuals
+    against increasingly-wrong centroids). PQ codes are lossy — the
+    original vectors cannot be recovered from the index — so the
+    rebalance takes the CURRENT ``corpus`` relation (the standard
+    offline re-index every production PQ deployment runs) and:
+
+    1. retrains coarse centroids + residual codebooks on a
+       DETERMINISTIC sample (``sample_size`` smallest ``md5(id)``
+       values — order/partitioning independent);
+    2. re-encodes every corpus vector in one Arrow pass into a hidden
+       ``.rb-<tag>`` staging tree (reusing :func:`build_ivfpq_index`
+       end to end);
+    3. FS-rename swaps ``centroids``/``codebooks``/``codes`` into
+       place. Tombstones are NOT touched: deleted ids stay invisible
+       (the anti-join is id-keyed) even if the caller's corpus still
+       contains them.
+
+    Geometry (``n_cells``/``m``/``k``) defaults to the existing
+    index's. Returns ``{n_vectors, n_cells, max_cell_frac_before,
+    max_cell_frac_after}``.
+    """
+    spark = corpus.sparkSession
+
+    def max_frac(df: DataFrame) -> tuple[int, float]:
+        row = (
+            df.groupBy("_cell")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.sum("_n").alias("_t"), F.max("_n").alias("_m"))
+            .collect()[0]
+        )
+        total = int(row["_t"] or 0)
+        return total, (int(row["_m"] or 0) / total if total else 0.0)
+
+    old_codes = spark.read.parquet(f"{index_dir}/codes")
+    _, frac_before = max_frac(old_codes)
+    n_cells = int(
+        n_cells or spark.read.parquet(f"{index_dir}/centroids").count()
+    )
+    books = spark.read.parquet(f"{index_dir}/codebooks")
+    if m is None:
+        m = int(books.agg(F.max("subspace")).collect()[0][0]) + 1
+    if k is None:
+        k = int(books.agg(F.max("code")).collect()[0][0]) + 1
+    if meta_cols is None:
+        meta_cols = [
+            c
+            for c in old_codes.columns
+            if c not in (id_col, "codes", "_cell")
+        ]
+    dsub = dim // m
+
+    sample_pdf = (
+        corpus.select(
+            vec_col, F.md5(F.col(id_col).cast("string")).alias("_h")
+        )
+        .orderBy("_h")
+        .limit(sample_size)
+        .toPandas()
+    )
+    X = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]]
+    )
+    C = _spherical_kmeans(X, n_cells, n_iter, seed)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    res = X - C[(Xn @ C.T).argmax(axis=1)]
+    B = np.stack(
+        [
+            _lloyd_kmeans(
+                res[:, j * dsub:(j + 1) * dsub], k, n_iter, seed + j
+            )
+            for j in range(m)
+        ]
+    )
+
+    tag = uuid.uuid4().hex[:8]
+    stage = f"{index_dir}/.rb-{tag}"
+    build_ivfpq_index(
+        corpus,
+        dim,
+        stage,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        m=m,
+        k=k,
+        coarse_centroids=C,
+        pq_codebooks=B,
+        meta_cols=meta_cols,
+    )
+    n_total, frac_after = max_frac(
+        spark.read.parquet(f"{stage}/codes")
+    )
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def swap(sub: str) -> None:
+        cur = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{sub}")
+        new = jvm.org.apache.hadoop.fs.Path(f"{stage}/{sub}")
+        old = jvm.org.apache.hadoop.fs.Path(
+            f"{index_dir}/{sub}.old-{tag}"
+        )
+        fs = cur.getFileSystem(conf)
+        fs.rename(cur, old)
+        fs.rename(new, cur)
+        fs.delete(old, True)
+
+    for sub in ("codes", "centroids", "codebooks"):
+        swap(sub)
+    p = jvm.org.apache.hadoop.fs.Path(stage)
+    p.getFileSystem(conf).delete(p, True)
+    return {
+        "n_vectors": n_total,
+        "n_cells": n_cells,
+        "max_cell_frac_before": frac_before,
+        "max_cell_frac_after": frac_after,
+    }
+
+
 def add_to_ivfpq_index(
     new_vectors: DataFrame,
     index_dir: str,
