@@ -996,6 +996,130 @@ def logrank_test(
     )
 
 
+def psm_att(
+    df: DataFrame,
+    treat_col: str,
+    score_col: str,
+    outcome_col: str,
+    caliper: int | None = None,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Propensity-score MATCHING estimate of the average treatment
+    effect on the treated (Rosenbaum & Rubin 1983 — the observational
+    companion of the randomized DiD/CUPED family): each treated unit
+    is matched WITH REPLACEMENT to the nearest control propensity
+    score, and
+
+        ATT = mean_t [ y_t − ȳ_c(nearest control score) ]
+
+    ``score_col`` holds integer milli-propensities (the family
+    contract), so matching collapses to SCORE CELLS: every treated
+    unit at score s shares the one nearest control score s* (ties on
+    \\|s−s*\\| break to the LOWER s* — deterministic), and its matched
+    outcome is the mean control outcome at s* — exactly matching-to-
+    all-ties, the textbook discrete-score estimator. ``caliper``
+    (same integer units) drops treated cells with \\|s−s*\\| above it
+    from the estimate (reported, never silently).
+
+    Spark shape: ONE hash aggregate per arm to the score-cell
+    relations (bounded by score cardinality — the counted probe
+    fails fast past ``max_cells``), a broadcast cell-level nearest
+    join, and fixed-order folds over the s-ascending cell list for
+    every cross-cell float sum (the :func:`logrank_test` rule) — the
+    whole estimate replays in SQL. Returns ONE row: (n_treated,
+    n_control, n_matched, n_unmatched, sum_y_treated, att,
+    mean_treated, mean_matched_control); NULL att when no treated
+    cell matches.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(treat_col).cast("bigint")
+    s = F.col(score_col).cast("bigint")
+    y = F.col(outcome_col).cast("bigint")
+    spark = df.sparkSession
+    cells = df.groupBy(t.alias("t"), s.alias("s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(y).cast("bigint").alias("sum_y"),
+    )
+    probe = cells.limit(max_cells + 1).count()
+    if probe > max_cells:
+        raise ValueError(
+            f"more than max_cells={max_cells} distinct (treat, score) "
+            "cells: quantize the propensity first (the family "
+            "contract)"
+        )
+    tc = cells.where(F.col("t") == 1).select(
+        "s", F.col("n").alias("n_t"), F.col("sum_y").alias("sum_yt")
+    )
+    cc = cells.where(F.col("t") == 0).select(
+        F.col("s").alias("s_c"),
+        F.col("n").alias("n_c"),
+        F.col("sum_y").alias("sum_yc"),
+    )
+    pair_w = Window.partitionBy("s").orderBy(
+        F.abs(F.col("s") - F.col("s_c")), F.col("s_c")
+    )
+    matched = (
+        tc.join(F.broadcast(cc))
+        .withColumn("_rk", F.row_number().over(pair_w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+        .withColumn("dist", F.abs(F.col("s") - F.col("s_c")))
+    )
+    if caliper is not None:
+        matched = matched.withColumn(
+            "_ok", F.col("dist") <= F.lit(int(caliper))
+        )
+    else:
+        matched = matched.withColumn("_ok", F.lit(True))
+
+    def tsum(expr):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("s"), expr.alias("x")))
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r.getField("x"),
+        )
+
+    ok = F.col("_ok")
+    ybar_c = F.col("sum_yc").cast("double") / F.col("n_c")
+    agg = matched.agg(
+        F.coalesce(F.sum(F.when(ok, F.col("n_t"))), F.lit(0))
+        .cast("bigint").alias("n_matched"),
+        F.coalesce(F.sum(F.when(~ok, F.col("n_t"))), F.lit(0))
+        .cast("bigint").alias("n_unmatched"),
+        F.coalesce(F.sum(F.when(ok, F.col("sum_yt"))), F.lit(0))
+        .cast("bigint").alias("sum_y_treated"),
+        tsum(
+            F.when(ok, F.col("n_t") * ybar_c).otherwise(F.lit(0.0))
+        ).alias("ctrl_fold"),
+    )
+    arm_counts = {
+        int(r["t"]): int(r["n"])
+        for r in cells.groupBy("t").agg(F.sum("n").alias("n")).collect()
+    }
+    n_treated = arm_counts.get(1, 0)
+    n_control = arm_counts.get(0, 0)
+    nm = F.col("n_matched")
+    att = F.when(
+        nm > 0,
+        (F.col("sum_y_treated") - F.col("ctrl_fold")) / nm,
+    )
+    return agg.select(
+        F.lit(int(n_treated)).cast("bigint").alias("n_treated"),
+        F.lit(int(n_control)).cast("bigint").alias("n_control"),
+        "n_matched",
+        "n_unmatched",
+        "sum_y_treated",
+        att.alias("att"),
+        F.when(nm > 0, F.col("sum_y_treated").cast("double") / nm)
+        .alias("mean_treated"),
+        F.when(nm > 0, F.col("ctrl_fold") / nm)
+        .alias("mean_matched_control"),
+    )
+
+
 def event_study(
     df: DataFrame,
     group_col: str,

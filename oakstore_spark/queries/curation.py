@@ -3839,6 +3839,113 @@ def q_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_psm_att",
+    oracle="""
+    WITH units AS (
+      SELECT user_id,
+             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS t,
+             least(CAST(floor(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  AND ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  / 100.0) AS BIGINT), 1000) AS s,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  AND ts >= TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ), cells AS (
+      SELECT t, s, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sum_y
+      FROM units GROUP BY 1, 2
+    ), tc AS (
+      SELECT s, n AS n_t, sum_y AS sum_yt FROM cells WHERE t = 1
+    ), cc AS (
+      SELECT s AS s_c, n AS n_c, sum_y AS sum_yc
+      FROM cells WHERE t = 0
+    ), m AS (
+      SELECT s, n_t, sum_yt, s_c, n_c, sum_yc,
+             abs(s - s_c) AS dist,
+             row_number() OVER (
+               PARTITION BY s ORDER BY abs(s - s_c), s_c) AS rk
+      FROM tc CROSS JOIN cc
+    ), mm AS (
+      SELECT *, dist <= 25 AS ok FROM m WHERE rk = 1
+    ), agg AS (
+      SELECT
+        CAST(coalesce(sum(CASE WHEN ok THEN n_t END), 0) AS BIGINT)
+          AS n_matched,
+        CAST(coalesce(sum(CASE WHEN NOT ok THEN n_t END), 0)
+             AS BIGINT) AS n_unmatched,
+        CAST(coalesce(sum(CASE WHEN ok THEN sum_yt END), 0)
+             AS BIGINT) AS sum_y_treated,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list(CASE WHEN ok
+                    THEN n_t * (CAST(sum_yc AS DOUBLE) / n_c)
+                    ELSE 0.0 END ORDER BY s)),
+          (a, c) -> a + c) AS ctrl_fold
+      FROM mm
+    )
+    SELECT
+      (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM cells
+        WHERE t = 1) AS n_treated,
+      (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM cells
+        WHERE t = 0) AS n_control,
+      n_matched, n_unmatched, sum_y_treated,
+      round(CASE WHEN n_matched > 0
+            THEN (sum_y_treated - ctrl_fold) / n_matched END, 6)
+        AS att,
+      round(CASE WHEN n_matched > 0
+            THEN CAST(sum_y_treated AS DOUBLE) / n_matched END, 6)
+        AS mean_treated,
+      round(CASE WHEN n_matched > 0
+            THEN ctrl_fold / n_matched END, 6)
+        AS mean_matched_control
+    FROM agg
+    """,
+)
+def q_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score matching ATT (operators/experiments.psm_att,
+    r15): treated cohort user_id %% 3 == 0, integer milli-propensity
+    = the pre-period spend score, outcome = post-period purchase
+    cents. Score-cell collapse (one hash aggregate per arm, counted
+    cells guard), broadcast nearest-control-score match with the
+    (\|diff\|, lower-score) deterministic tie-break, caliper 25, and
+    fixed-order s-ascending folds for every cross-cell float sum —
+    the whole estimate replays in SQL."""
+    from oakstore_spark.operators.experiments import psm_att
+
+    e = table(spark, sf_dir, "events")
+    pre = F.when(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") < F.lit("2024-01-16").cast("timestamp")),
+        F.round(F.col("value") * 100).cast("bigint"),
+    )
+    post = F.when(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit("2024-01-16").cast("timestamp")),
+        F.round(F.col("value") * 100).cast("bigint"),
+    )
+    units = e.groupBy("user_id").agg(
+        F.when(F.col("user_id") % 3 == 0, 1).otherwise(0).alias("t"),
+        F.least(
+            F.floor(F.coalesce(F.sum(pre), F.lit(0)) / 100.0),
+            F.lit(1000),
+        ).cast("bigint").alias("s"),
+        F.coalesce(F.sum(post), F.lit(0)).cast("bigint").alias("y"),
+    )
+    out = psm_att(units, "t", "s", "y", caliper=25)
+    return out.select(
+        "n_treated", "n_control", "n_matched", "n_unmatched",
+        "sum_y_treated",
+        F.round("att", 6).alias("att"),
+        F.round("mean_treated", 6).alias("mean_treated"),
+        F.round("mean_matched_control", 6).alias(
+            "mean_matched_control"
+        ),
+    )
+
+
+@register(
     "q_fairness_slices",
     oracle=f"""
     WITH units AS ({_SCORED_UNITS_CTE}

@@ -2750,3 +2750,67 @@ def test_fairness_report_hand_case_and_component_parity(spark):
         # ece/brier bounded sanity on random scores
         assert 0.0 <= fr[g].ece <= 1.0
         assert 0.0 <= fr[g].brier <= 1.0
+
+
+def test_psm_att_hand_case_tiebreak_caliper_and_confound_recovery(spark):
+    """r15: propensity-score matching ATT. (1) hand case with exact
+    closed-form ATT; (2) |diff| ties break to the LOWER control
+    score; (3) caliper drops (and reports) unmatchable treated
+    cells; (4) on a planted confounded corpus (outcome = score +
+    effect*treat) matching recovers the effect while the naive
+    mean difference is badly biased; (5) no-controls and guard
+    paths."""
+    import pytest as _pytest
+
+    from oakstore_spark.operators.experiments import psm_att
+
+    # (1) + (2): treated at s=10 has controls at 8 and 12 (both
+    # |2|) -> matches s_c=8 (mean y 100); treated at s=20 matches
+    # s_c=12 (mean y 50, two controls 40+60)
+    rows = [
+        (1, 10, 300), (1, 10, 340),   # treated cell s=10: n=2
+        (1, 20, 500),                  # treated cell s=20: n=1
+        (0, 8, 100),
+        (0, 12, 40), (0, 12, 60),
+    ]
+    df = spark.createDataFrame(rows, "t long, s long, y long")
+    out = psm_att(df, "t", "s", "y").collect()[0]
+    assert out.n_treated == 3 and out.n_control == 3
+    assert out.n_matched == 3 and out.n_unmatched == 0
+    # att = mean over treated units of y - ybar_c(match):
+    #  (300-100) + (340-100) + (500-50) -> (200+240+450)/3
+    assert abs(out.att - (200 + 240 + 450) / 3) < 1e-9
+    assert out.mean_treated == (300 + 340 + 500) / 3
+
+    # (3) caliper 5: s=20 cell (dist 8 to s_c=12) drops out
+    out2 = psm_att(df, "t", "s", "y", caliper=5).collect()[0]
+    assert out2.n_matched == 2 and out2.n_unmatched == 1
+    assert abs(out2.att - (200 + 240) / 2) < 1e-9
+
+    # (4) confound: score drives BOTH treatment probability and the
+    # outcome; true effect = 7
+    import random
+
+    rng = random.Random(11)
+    rows4 = []
+    for i in range(4000):
+        s = rng.randrange(0, 101)
+        p_treat = 0.1 + 0.8 * (s / 100.0)
+        t = 1 if rng.random() < p_treat else 0
+        y = 10 * s + (7 if t else 0)
+        rows4.append((t, s, y))
+    d4 = spark.createDataFrame(rows4, "t long, s long, y long")
+    r4 = psm_att(d4, "t", "s", "y").collect()[0]
+    naive = (
+        d4.where("t=1").agg(F.avg("y")).collect()[0][0]
+        - d4.where("t=0").agg(F.avg("y")).collect()[0][0]
+    )
+    assert abs(r4.att - 7) < 2.0          # matching deconfounds
+    assert abs(naive - 7) > 50            # naive diff is score bias
+
+    # (5) no controls -> NULL att, counts honest; guard
+    d5 = spark.createDataFrame([(1, 5, 9)], "t long, s long, y long")
+    r5 = psm_att(d5, "t", "s", "y").collect()[0]
+    assert r5.att is None and r5.n_treated == 1 and r5.n_control == 0
+    with _pytest.raises(ValueError, match="max_cells"):
+        psm_att(d4, "t", "s", "y", max_cells=10)
