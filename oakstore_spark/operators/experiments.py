@@ -889,6 +889,122 @@ def cox_ph_stratified(
     )
 
 
+def logrank_test_stratified(
+    df: DataFrame,
+    arm_col: str,
+    duration_col: str,
+    event_col: str,
+    arm_a,
+    arm_b,
+    stratum_col: str,
+) -> DataFrame:
+    """STRATIFIED two-sample log-rank test (r15 — the adjudicator the
+    r14/r15 survival additions beg for: :func:`grouped_kaplan_meier`
+    draws per-cohort curves, :func:`cox_ph_stratified` fits a shared
+    effect over per-stratum baselines, and this tests that shared
+    effect non-parametrically). The statistic simply POOLS the
+    per-stratum Mantel moments — risk sets and expected splits are
+    computed WITHIN each stratum, then
+
+        chi2 = ( Σ_g (O_a,g − E_a,g) )² / Σ_g V_g
+
+    so a covariate that shifts baseline hazard across strata (site,
+    platform, cohort) can no longer masquerade as a treatment effect.
+
+    Same Spark shape as :func:`logrank_test` one key up: ONE hash
+    aggregate to the (stratum × duration) cell relation, per-stratum
+    prefix-window at-risk counts (bounded by cells, never subjects),
+    and (g, t)-ordered fixed folds for the cross-cell float sums —
+    the whole statistic replays in SQL. Returns one row: (n_strata,
+    n_times, o_a, e_a, o_b, e_b, var_sum, chi2); chi2 NULL when
+    ΣV = 0.
+    """
+    from pyspark.sql import Window as W
+
+    g = F.col(stratum_col).cast("bigint")
+    t = F.col(duration_col).cast("bigint")
+    e = F.col(event_col).cast("bigint")
+    a = F.col(arm_col) == arm_a
+    b = F.col(arm_col) == arm_b
+    per_t = (
+        df.where(a | b)
+        .groupBy(g.alias("g"), t.alias("t"))
+        .agg(
+            F.sum(F.when(a, e).otherwise(0)).alias("d_a"),
+            F.sum(F.when(b, e).otherwise(0)).alias("d_b"),
+            F.sum(F.when(a, 1).otherwise(0)).alias("c_a"),
+            F.sum(F.when(b, 1).otherwise(0)).alias("c_b"),
+        )
+    )
+    wpre = (
+        W.partitionBy("g").orderBy("t")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+
+    def at_risk(c: str):
+        total = F.sum(c).over(W.partitionBy("g"))
+        prior = F.coalesce(F.sum(c).over(wpre), F.lit(0))
+        return (total - prior).cast("bigint")
+
+    staged = per_t.select(
+        "g",
+        "t",
+        "d_a",
+        "d_b",
+        at_risk("c_a").alias("n_a"),
+        at_risk("c_b").alias("n_b"),
+    ).where(F.col("d_a") + F.col("d_b") >= 1)
+    n = (F.col("n_a") + F.col("n_b")).cast("bigint")
+    d = (F.col("d_a") + F.col("d_b")).cast("bigint")
+    dd = d.cast("double")
+    terms = staged.select(
+        "g",
+        "t",
+        "d_a",
+        "d_b",
+        (dd * F.col("n_a") / n).alias("e_a"),
+        (dd * F.col("n_b") / n).alias("e_b"),
+        F.when(
+            n > 1,
+            dd * F.col("n_a") / n * F.col("n_b") / n * (n - d)
+            / (n - 1),
+        ).otherwise(F.lit(0.0)).alias("v"),
+    )
+
+    def gtsum(c: str):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("g"), F.col("t"), F.col(c).alias("x")
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r.getField("x"),
+        )
+
+    agg = terms.agg(
+        F.countDistinct("g").cast("bigint").alias("n_strata"),
+        F.count(F.lit(1)).cast("bigint").alias("n_times"),
+        F.sum("d_a").cast("bigint").alias("o_a"),
+        F.sum("d_b").cast("bigint").alias("o_b"),
+        gtsum("e_a").alias("e_a"),
+        gtsum("e_b").alias("e_b"),
+        gtsum("v").alias("var_sum"),
+    )
+    chi2 = F.when(
+        F.col("var_sum") > 0,
+        (F.col("o_a") - F.col("e_a"))
+        * (F.col("o_a") - F.col("e_a"))
+        / F.col("var_sum"),
+    )
+    return agg.select(
+        "n_strata", "n_times", "o_a", "e_a", "o_b", "e_b", "var_sum",
+        chi2.alias("chi2"),
+    )
+
+
 def logrank_test(
     df: DataFrame,
     arm_col: str,

@@ -3500,6 +3500,117 @@ def q_cox_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_logrank_stratified",
+    oracle="""
+    WITH u AS (
+      SELECT user_id % 2 AS arm,
+             user_id % 3 AS g,
+             CAST(date_diff('day', CAST(min(ts) AS DATE),
+                  CAST(coalesce(
+                    min(CASE WHEN event_type = 'purchase' AND value > 300
+                             THEN ts END), max(ts)) AS DATE))
+                  AS BIGINT) AS dur,
+             CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                AND value > 300 THEN ts END) IS NOT NULL
+                  THEN 1 ELSE 0 END AS ev
+      FROM events GROUP BY user_id
+    ), per_t AS (
+      SELECT g, dur AS t,
+             CAST(sum(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS BIGINT)
+               AS d_a,
+             CAST(sum(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT)
+               AS d_b,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_b
+      FROM u GROUP BY g, dur
+    ), staged AS (
+      SELECT g, t, d_a, d_b,
+             CAST(sum(c_a) OVER (PARTITION BY g)
+                  - coalesce(sum(c_a) OVER (PARTITION BY g ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS n_a,
+             CAST(sum(c_b) OVER (PARTITION BY g)
+                  - coalesce(sum(c_b) OVER (PARTITION BY g ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS n_b
+      FROM per_t
+    ), ev AS (
+      SELECT g, t, d_a, d_b, n_a, n_b,
+             n_a + n_b AS n, d_a + d_b AS d
+      FROM staged WHERE d_a + d_b >= 1
+    ), terms AS (
+      SELECT g, t, d_a, d_b,
+             CAST(d AS DOUBLE) * n_a / n AS e_a,
+             CAST(d AS DOUBLE) * n_b / n AS e_b,
+             CASE WHEN n > 1
+                  THEN CAST(d AS DOUBLE) * n_a / n * n_b / n
+                       * (n - d) / (n - 1)
+                  ELSE 0.0 END AS v
+      FROM ev
+    ), agg AS (
+      SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_strata,
+             CAST(count(*) AS BIGINT) AS n_times,
+             CAST(sum(d_a) AS BIGINT) AS o_a,
+             CAST(sum(d_b) AS BIGINT) AS o_b,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(e_a ORDER BY g, t)), (x, y) -> x + y)
+               AS e_a,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(e_b ORDER BY g, t)), (x, y) -> x + y)
+               AS e_b,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(v ORDER BY g, t)), (x, y) -> x + y)
+               AS var_sum
+      FROM terms
+    )
+    SELECT n_strata, n_times, o_a,
+           round(e_a, 6) AS e_a, o_b, round(e_b, 6) AS e_b,
+           round(var_sum, 6) AS var_sum,
+           round(CASE WHEN var_sum > 0
+                THEN (o_a - e_a) * (o_a - e_a) / var_sum END, 6)
+             AS chi2
+    FROM agg
+    """,
+)
+def q_logrank_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED log-rank test
+    (operators/experiments.logrank_test_stratified, r15): the
+    q_logrank arms pooled over the user_id %% 3 strata the
+    q_cox_stratified fit conditions on — per-stratum risk sets and
+    Mantel moments, (g, t)-ordered fixed folds, one pinned chi2
+    chain."""
+    from oakstore_spark.operators.experiments import (
+        logrank_test_stratified,
+    )
+
+    e = table(spark, sf_dir, "events")
+    big = F.when(
+        (F.col("event_type") == "purchase") & (F.col("value") > 300),
+        F.col("ts"),
+    )
+    u = e.groupBy("user_id").agg(
+        (F.first("user_id") % 2).alias("arm"),
+        (F.first("user_id") % 3).cast("bigint").alias("g"),
+        F.datediff(
+            F.to_date(F.coalesce(F.min(big), F.max("ts"))),
+            F.to_date(F.min("ts")),
+        ).cast("bigint").alias("dur"),
+        F.when(F.min(big).isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    out = logrank_test_stratified(u, "arm", "dur", "ev", 0, 1, "g")
+    return out.select(
+        "n_strata", "n_times", "o_a",
+        F.round("e_a", 6).alias("e_a"),
+        "o_b",
+        F.round("e_b", 6).alias("e_b"),
+        F.round("var_sum", 6).alias("var_sum"),
+        F.round("chi2", 6).alias("chi2"),
+    )
+
+
+@register(
     "q_logrank",
     oracle="""
     WITH u AS (

@@ -2171,3 +2171,69 @@ def test_cox_ph_stratified_recovery_and_single_stratum_identity(spark):
     assert o2.beta is None and o2.se is None
     with _pytest.raises(ValueError, match="max_cells"):
         cox_ph_stratified(df, "dur", "ev", "x", "g", max_cells=10)
+
+
+def test_logrank_stratified_pools_and_deconfounds(spark):
+    """r15: stratified log-rank. (1) single stratum == plain
+    logrank_test bit-for-bit; (2) a stratum-confounded corpus (arms
+    imbalanced across strata with 10x baseline difference, NO true
+    effect) rejects under the POOLED test but not the stratified one;
+    (3) a true shared effect still rejects stratified."""
+    import math
+    import random
+
+    from oakstore_spark.operators.experiments import (
+        logrank_test,
+        logrank_test_stratified,
+    )
+
+    rng = random.Random(21)
+
+    def corpus(effect_hr: float, confound: bool):
+        rows = []
+        for i in range(3000):
+            g = i % 2
+            # confounded: arm 0 lives mostly in the low-hazard
+            # stratum, arm 1 in the high-hazard one
+            if confound:
+                arm = 0 if (rng.random() < (0.8 if g == 0 else 0.2)) else 1
+            else:
+                arm = i // 1500
+            lam = (0.005 if g == 0 else 0.05) * (
+                effect_hr if arm == 1 else 1.0
+            )
+            dur = -math.log(1.0 - rng.random()) / lam
+            cens = 300.0 * rng.random() + 30.0
+            ev = 1 if dur <= cens else 0
+            rows.append((arm, int(min(dur, cens)) + 1, ev, g))
+        return spark.createDataFrame(
+            rows, "arm long, dur long, ev long, g long"
+        )
+
+    # (1) single stratum bit-parity
+    d = corpus(1.0, confound=False).withColumn("g", F.lit(0))
+    s1 = logrank_test_stratified(d, "arm", "dur", "ev", 0, 1, "g").collect()[0]
+    p1 = logrank_test(d, "arm", "dur", "ev", 0, 1).collect()[0]
+    assert (s1.o_a, s1.e_a, s1.var_sum, s1.chi2) == (
+        p1.o_a, p1.e_a, p1.var_sum, p1.chi2
+    )
+    assert s1.n_strata == 1
+
+    # (2) pure confound: pooled fires, stratified does not
+    dc = corpus(1.0, confound=True)
+    pooled = logrank_test(dc, "arm", "dur", "ev", 0, 1).collect()[0]
+    strat = logrank_test_stratified(
+        dc, "arm", "dur", "ev", 0, 1, "g"
+    ).collect()[0]
+    assert pooled.chi2 > 10.0       # baseline imbalance masquerades
+    # stratification removes the confound (order-of-magnitude drop;
+    # residual chi2 is null-distribution noise)
+    assert strat.chi2 < 6.0 and strat.chi2 < pooled.chi2 / 5.0
+    assert strat.n_strata == 2
+
+    # (3) true shared effect HR=1.8 still detected stratified
+    de = corpus(1.8, confound=True)
+    se = logrank_test_stratified(
+        de, "arm", "dur", "ev", 0, 1, "g"
+    ).collect()[0]
+    assert se.chi2 > 10.0
