@@ -3909,7 +3909,7 @@ def q_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     = the pre-period spend score, outcome = post-period purchase
     cents. Score-cell collapse (one hash aggregate per arm, counted
     cells guard), broadcast nearest-control-score match with the
-    (\|diff\|, lower-score) deterministic tie-break, caliper 25, and
+    (|diff|, lower-score) deterministic tie-break, caliper 25, and
     fixed-order s-ascending folds for every cross-cell float sum —
     the whole estimate replays in SQL."""
     from oakstore_spark.operators.experiments import psm_att

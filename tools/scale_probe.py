@@ -136,6 +136,20 @@ def main() -> None:
                          "Bellman-Ford to the certified fixpoint; "
                          "asserts dist(v) == popcount(v) for EVERY "
                          "node (the closed form)")
+    ap.add_argument("--rebalancevecs", type=int, default=0,
+                    help="IVF rebalance probe: build on half the "
+                         "vectors, drift-add the other half under a "
+                         "different cluster seed, rebalance (retrain "
+                         "256 centroids + full reassign); reports "
+                         "rebalance throughput, skew before/after and "
+                         "post-rebalance recall@10 for drifted "
+                         "queries vs exact brute force")
+    ap.add_argument("--curationdocs", type=int, default=0,
+                    help="streaming curation-leg probe: this many "
+                         "synthetic docs (every 10th a near-copy) "
+                         "through text->vector->dedup->index in 3 "
+                         "availableNow micro-batches; asserts planted "
+                         "near-dups are turned away")
     ap.add_argument("--topicdocs", type=int, default=0,
                     help="topic-model hard-EM probe: this many "
                          "synthetic docs drawn from 4 disjoint "
@@ -1841,6 +1855,142 @@ def main() -> None:
         n_mined = contrastive_pairs(labeled, lq).count()
         out["contrastive_sec"] = round(time.time() - t0, 2)
         out["contrastive_pairs"] = int(n_mined)
+
+    if args.rebalancevecs:
+        from oakstore_spark.operators.similarity import (
+            add_to_ivf_index,
+            build_ivf_index,
+            cosine_topk,
+            rebalance_ivf_index,
+            search_ivf_index,
+        )
+
+        nv, dim = args.rebalancevecs, 64
+        half = nv // 2
+        # phase A: 500 clusters in one region of the hash space;
+        # phase B (DRIFT): 500 new clusters under a different hash
+        # seed, added against A's frozen quantizer
+        def mk(lo, hi, seed):
+            cl = F.col("id") % 500
+            return spark.range(lo, hi, 1, 64).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda j: (
+                        (F.hash(cl * 13 + j + seed) % 1000 / 500.0 - 1.0)
+                        + (
+                            F.hash(F.col("id") * 97 + j) % 1000
+                            / 2500.0 - 0.2
+                        )
+                    ).cast("float"),
+                ).alias("embedding"),
+            )
+
+        phase_a = mk(0, half, 0).persist()
+        phase_b = mk(half, nv, 7_777_777).persist()
+        phase_a.count(), phase_b.count()
+        idx = tempfile.mkdtemp(prefix="oak_rb_probe_")
+        build_ivf_index(
+            phase_a, dim=dim, index_dir=idx, n_centroids=128
+        )
+        add_to_ivf_index(phase_b, idx)
+        t0 = time.time()
+        stats = rebalance_ivf_index(spark, idx, n_centroids=256)
+        dt = time.time() - t0
+        out["rebalance_vecs"] = nv
+        out["rebalance_sec"] = round(dt, 2)
+        out["rebalance_vecs_per_sec"] = round(nv / dt)
+        out["rebalance_skew_before"] = round(
+            stats["max_cell_frac_before"], 5
+        )
+        out["rebalance_skew_after"] = round(
+            stats["max_cell_frac_after"], 5
+        )
+        # post-rebalance recall@10 for DRIFTED queries vs brute force
+        full = phase_a.unionByName(phase_b).persist()
+        qs = phase_b.where(
+            F.col("vec_id") % (half // 50) == 0
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        qs.persist()
+        t0 = time.time()
+        got = search_ivf_index(spark, idx, qs, k=10, n_probe=16).collect()
+        out["rebalance_search_sec"] = round(time.time() - t0, 2)
+        exact = {}
+        for r in cosine_topk(full, qs, k=10).collect():
+            exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(
+            1 for r in got if r["vec_id"] in exact.get(r["query_id"], set())
+        )
+        tot = sum(len(v) for v in exact.values())
+        out["rebalance_recall_at_10"] = (
+            round(hits / tot, 4) if tot else None
+        )
+        phase_a.unpersist(), phase_b.unpersist(), full.unpersist()
+
+    if args.curationdocs:
+        from oakstore_spark.streaming.curation import (
+            curation_ingest_stream,
+        )
+
+        nd = args.curationdocs
+        # every 10th doc is a near-copy of its predecessor (one token
+        # appended) so admission has real rejects across batches
+        base = spark.range(0, nd, 1, 64).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.hex(
+                        F.hash(
+                            (
+                                F.col("id")
+                                - (F.col("id") % 10 == 9).cast("long")
+                            )
+                            * 131
+                            + k
+                        )
+                    )
+                    for k in range(24)
+                ],
+                F.when(
+                    F.col("id") % 10 == 9, F.lit("zzdup")
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        root = Path(tempfile.mkdtemp(prefix="oak_cur_probe_"))
+        (root / "src").mkdir()
+        for b in range(3):
+            # ONE file per micro-batch: maxFilesPerTrigger=1 counts
+            # FILES, and spark.range's 64 partitions would otherwise
+            # fragment this into ~200 tiny batches of pure overhead
+            base.where(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(
+                str(root / "src" / f"f{b}")
+            )
+        t0 = time.time()
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(root / "src" / "f*"))
+        )
+        q = curation_ingest_stream(
+            stream,
+            str(root / "corpus"),
+            str(root / "sigs"),
+            str(root / "ivf"),
+            str(root / "ckpt"),
+            n_centroids=64,
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        n_adm = spark.read.parquet(str(root / "corpus")).count()
+        n_idx = spark.read.parquet(str(root / "ivf" / "vectors")).count()
+        out["curation_docs"] = nd
+        out["curation_sec"] = round(dt, 2)
+        out["curation_docs_per_sec"] = round(nd / dt)
+        out["curation_admitted"] = int(n_adm)
+        out["curation_indexed"] = int(n_idx)
+        # planted near-dups must be turned away (in-batch or vs index)
+        assert n_adm <= nd - int(nd // 10 * 0.8), (n_adm, nd)
 
     print(json.dumps(out))
 
