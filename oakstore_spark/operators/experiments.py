@@ -57,6 +57,171 @@ def _moment_sums(df: DataFrame, arm_col: str, value_col: str) -> DataFrame:
     )
 
 
+def rank_sum_test(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+) -> DataFrame:
+    """Wilcoxon–Mann–Whitney rank-sum test (Mann & Whitney 1947) —
+    the distribution-free A/B verdict :func:`welch_ttest` cannot give
+    on heavy-tailed metrics (revenue, latency): U counts how often an
+    arm-a value beats an arm-b value (ties half), and under H0
+
+        E[U] = n_a n_b / 2
+        Var[U] = n_a n_b (n+1)/12  −  n_a n_b Σ(t³−t) / (12 n (n−1))
+
+    with t the pooled tie-group sizes — the tie-corrected normal
+    approximation, z = (U − E[U]) / sqrt(Var[U]).
+
+    ``value_col`` integer-valued (the family contract), which makes
+    2U an exact BIGINT via the same rank identity :func:`~oakstore_
+    spark.operators.quality.roc_auc` uses (arm-a plays the positive
+    class) and Σ(t³−t) an exact BIGINT over the pooled distinct-value
+    cells. Spark shape: ONE hash aggregate to the distinct-value
+    relation, one prefix window bounded by value cardinality, one
+    rollup; z is one pinned chain. Returns one row: (n_a, n_b,
+    n_values, u2, tie_cubes, z, auc_a) — ``auc_a`` = U/(n_a n_b), the
+    effect-size companion (P(a > b) + ties/2); z NULL when an arm is
+    empty or Var ≤ 0 (all values tied).
+    """
+    from pyspark.sql import Window as W
+
+    v = F.col(value_col).cast("bigint")
+    ia = F.when(F.col(arm_col) == arm_a, 1).otherwise(0)
+    ib = F.when(F.col(arm_col) == arm_b, 1).otherwise(0)
+    per_v = (
+        df.where((F.col(arm_col) == arm_a) | (F.col(arm_col) == arm_b))
+        .groupBy(v.alias("v"))
+        .agg(
+            F.sum(ia).cast("bigint").alias("na_v"),
+            F.sum(ib).cast("bigint").alias("nb_v"),
+        )
+    )
+    wpre = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    staged = per_v.select(
+        "v",
+        "na_v",
+        "nb_v",
+        F.coalesce(F.sum("nb_v").over(wpre), F.lit(0)).alias(
+            "cum_b_below"
+        ),
+    )
+    t = (F.col("na_v") + F.col("nb_v")).cast("bigint")
+    agg = staged.agg(
+        F.sum("na_v").cast("bigint").alias("n_a"),
+        F.sum("nb_v").cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum(
+            F.col("na_v") * (2 * F.col("cum_b_below") + F.col("nb_v"))
+        ).cast("bigint").alias("u2"),
+        F.sum(t * t * t - t).cast("bigint").alias("tie_cubes"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    var_u = na * nb * (n + 1) / 12.0 - na * nb * F.col(
+        "tie_cubes"
+    ).cast("double") / (12.0 * n * (n - 1))
+    u = F.col("u2").cast("double") / 2.0
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var_u > 0),
+        (u - na * nb / 2.0) / F.sqrt(var_u),
+    )
+    auc_a = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.col("u2").cast("double") / (2.0 * na * nb),
+    )
+    return agg.select(
+        "n_a", "n_b", "n_values", "u2", "tie_cubes",
+        z.alias("z"), auc_a.alias("auc_a"),
+    )
+
+
+def trimmed_mean_diff(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    trim_frac: float = 0.05,
+) -> DataFrame:
+    """Trimmed-mean A/B difference — the robust location estimate a
+    heavy-tailed metric needs next to :func:`welch_ttest` (one whale
+    user moves a revenue mean; it cannot move a 5%-trimmed mean):
+    per arm, drop the k = floor(trim·n) lowest and highest UNITS and
+    average the rest.
+
+    ``value_col`` integer-valued, so the whole estimate is exact
+    order-statistics arithmetic over the per-arm distinct-value cell
+    relation: with cum(v) the units strictly below v, a cell (v, c)
+    keeps ``min(cum+c, n−k) − max(cum, k)`` units (clamped at 0) and
+    the trimmed sum Σ v·kept is an exact BIGINT — no sort of the unit
+    relation, no percentile approximation. One hash aggregate per
+    arm, one per-arm prefix window bounded by value cardinality, one
+    rollup; each mean is one pinned division. Returns one row:
+    (n_a, n_b, k_a, k_b, trimmed_sum_a, trimmed_sum_b, mean_a,
+    mean_b, diff); means NULL when trimming empties an arm.
+    """
+    from pyspark.sql import Window as W
+
+    if not 0.0 <= trim_frac < 0.5:
+        raise ValueError("trim_frac must be in [0, 0.5)")
+    v = F.col(value_col).cast("bigint")
+    per_v = (
+        df.where((F.col(arm_col) == arm_a) | (F.col(arm_col) == arm_b))
+        .groupBy(
+            F.when(F.col(arm_col) == arm_a, 0).otherwise(1).alias("arm"),
+            v.alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wpre = (
+        W.partitionBy("arm").orderBy("v")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wall = W.partitionBy("arm")
+    staged = per_v.select(
+        "arm",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(wpre), F.lit(0)).alias("cum"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+    )
+    k = F.floor(F.lit(float(trim_frac)) * F.col("n")).cast("bigint")
+    kept = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("cum") + F.col("c"), F.col("n") - k)
+        - F.greatest(F.col("cum"), k),
+    )
+    per_arm = staged.groupBy("arm").agg(
+        F.first("n").alias("n"),
+        F.first(k).alias("k"),
+        F.sum(F.col("v") * kept).cast("bigint").alias("tsum"),
+    )
+    rows = {int(r["arm"]): r for r in per_arm.collect()}
+    spark = df.sparkSession
+
+    def side(i: int):
+        r = rows.get(i)
+        if r is None:
+            return 0, 0, 0
+        return int(r["n"]), int(r["k"]), int(r["tsum"])
+
+    n_a, k_a, s_a = side(0)
+    n_b, k_b, s_b = side(1)
+    m_a = s_a / (n_a - 2 * k_a) if n_a - 2 * k_a > 0 else None
+    m_b = s_b / (n_b - 2 * k_b) if n_b - 2 * k_b > 0 else None
+    diff = (m_a - m_b) if (m_a is not None and m_b is not None) else None
+    return spark.createDataFrame(
+        [(n_a, n_b, k_a, k_b, s_a, s_b, m_a, m_b, diff)],
+        "n_a bigint, n_b bigint, k_a bigint, k_b bigint, "
+        "trimmed_sum_a bigint, trimmed_sum_b bigint, "
+        "mean_a double, mean_b double, diff double",
+    )
+
+
 def welch_ttest(
     df: DataFrame, arm_col: str, value_col: str, arm_a, arm_b
 ) -> DataFrame:

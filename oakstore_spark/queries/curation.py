@@ -3839,6 +3839,166 @@ def q_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_trimmed_mean",
+    oracle="""
+    WITH units AS (
+      SELECT user_id % 2 AS arm,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS v
+      FROM events GROUP BY user_id
+    ), per_v AS (
+      SELECT arm, v, CAST(count(*) AS BIGINT) AS c
+      FROM units GROUP BY arm, v
+    ), staged AS (
+      SELECT arm, v, c,
+             CAST(coalesce(sum(c) OVER (PARTITION BY arm ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY arm) AS BIGINT) AS n
+      FROM per_v
+    ), kept AS (
+      SELECT arm, n,
+             CAST(floor(0.05 * n) AS BIGINT) AS k,
+             greatest(CAST(0 AS BIGINT),
+               least(cum + c, n - CAST(floor(0.05 * n) AS BIGINT))
+               - greatest(cum, CAST(floor(0.05 * n) AS BIGINT)))
+               AS keep_c,
+             v
+      FROM staged
+    ), per_arm AS (
+      SELECT arm, CAST(max(n) AS BIGINT) AS n,
+             CAST(max(k) AS BIGINT) AS k,
+             CAST(sum(v * keep_c) AS BIGINT) AS tsum
+      FROM kept GROUP BY arm
+    )
+    SELECT
+      (SELECT n FROM per_arm WHERE arm = 0) AS n_a,
+      (SELECT n FROM per_arm WHERE arm = 1) AS n_b,
+      (SELECT k FROM per_arm WHERE arm = 0) AS k_a,
+      (SELECT k FROM per_arm WHERE arm = 1) AS k_b,
+      (SELECT tsum FROM per_arm WHERE arm = 0) AS trimmed_sum_a,
+      (SELECT tsum FROM per_arm WHERE arm = 1) AS trimmed_sum_b,
+      round((SELECT CAST(tsum AS DOUBLE) / (n - 2 * k) FROM per_arm
+             WHERE arm = 0 AND n - 2 * k > 0), 6) AS mean_a,
+      round((SELECT CAST(tsum AS DOUBLE) / (n - 2 * k) FROM per_arm
+             WHERE arm = 1 AND n - 2 * k > 0), 6) AS mean_b,
+      round((SELECT CAST(a.tsum AS DOUBLE) / (a.n - 2 * a.k)
+                    - CAST(b.tsum AS DOUBLE) / (b.n - 2 * b.k)
+             FROM per_arm a, per_arm b
+             WHERE a.arm = 0 AND b.arm = 1
+               AND a.n - 2 * a.k > 0 AND b.n - 2 * b.k > 0), 6)
+        AS diff
+    """,
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%%-trimmed-mean A/B difference
+    (operators/experiments.trimmed_mean_diff, r15): per-user total
+    purchase CENTS (the whale-dominated metric), parity arms — exact
+    order-statistics arithmetic over per-arm distinct-value cells
+    (clamped rank-overlap kept counts, BIGINT trimmed sums), one
+    pinned division per mean."""
+    from oakstore_spark.operators.experiments import trimmed_mean_diff
+
+    e = table(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("bigint"),
+    )
+    units = e.groupBy("user_id").agg(
+        (F.first("user_id") % 2).alias("arm"),
+        F.coalesce(F.sum(cents), F.lit(0)).cast("bigint").alias("v"),
+    )
+    out = trimmed_mean_diff(units, "arm", "v", 0, 1, trim_frac=0.05)
+    return out.select(
+        "n_a", "n_b", "k_a", "k_b", "trimmed_sum_a", "trimmed_sum_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("diff", 6).alias("diff"),
+    )
+
+
+@register(
+    "q_rank_sum",
+    oracle="""
+    WITH units AS (
+      SELECT user_id % 2 AS arm,
+             CAST(floor(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                  / 100.0) AS BIGINT) AS v
+      FROM events GROUP BY user_id
+    ), per_v AS (
+      SELECT v,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na_v,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb_v
+      FROM units GROUP BY v
+    ), staged AS (
+      SELECT v, na_v, nb_v,
+             CAST(coalesce(sum(nb_v) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum_b_below
+      FROM per_v
+    ), agg AS (
+      SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+             CAST(sum(nb_v) AS BIGINT) AS n_b,
+             CAST(count(*) AS BIGINT) AS n_values,
+             CAST(sum(na_v * (2 * cum_b_below + nb_v)) AS BIGINT)
+               AS u2,
+             CAST(sum((na_v + nb_v) * (na_v + nb_v) * (na_v + nb_v)
+                      - (na_v + nb_v)) AS BIGINT) AS tie_cubes
+      FROM staged
+    )
+    SELECT n_a, n_b, n_values, u2, tie_cubes,
+           round(CASE WHEN n_a > 0 AND n_b > 0 AND
+                 (CAST(n_a AS DOUBLE) * n_b * (n_a + n_b + 1) / 12.0
+                  - CAST(n_a AS DOUBLE) * n_b * tie_cubes
+                    / (12.0 * (n_a + n_b) * (n_a + n_b - 1))) > 0
+                 THEN (CAST(u2 AS DOUBLE) / 2.0
+                       - CAST(n_a AS DOUBLE) * n_b / 2.0)
+                      / sqrt(CAST(n_a AS DOUBLE) * n_b
+                             * ((n_a + n_b) + 1) / 12.0
+                             - CAST(n_a AS DOUBLE) * n_b * tie_cubes
+                               / (12.0 * (n_a + n_b)
+                                  * ((n_a + n_b) - 1)))
+                 END, 6) AS z,
+           round(CASE WHEN n_a > 0 AND n_b > 0
+                 THEN CAST(u2 AS DOUBLE)
+                      / (2.0 * CAST(n_a AS DOUBLE) * n_b) END, 6)
+             AS auc_a
+    FROM agg
+    """,
+)
+def q_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon-Mann-Whitney rank-sum test
+    (operators/experiments.rank_sum_test, r15): the distribution-free
+    A/B verdict on per-user total purchase DOLLARS (heavy-tailed —
+    exactly where q_ab_experiment's Welch t is fragile), parity arms.
+    2U exact BIGINT via the roc_auc rank identity, tie correction
+    from exact pooled tie-group cubes, z one pinned chain."""
+    from oakstore_spark.operators.experiments import rank_sum_test
+
+    e = table(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("bigint"),
+    )
+    units = e.groupBy("user_id").agg(
+        (F.first("user_id") % 2).alias("arm"),
+        F.floor(
+            F.coalesce(F.sum(cents), F.lit(0)) / 100.0
+        ).cast("bigint").alias("v"),
+    )
+    out = rank_sum_test(units, "arm", "v", 0, 1)
+    return out.select(
+        "n_a", "n_b", "n_values", "u2", "tie_cubes",
+        F.round("z", 6).alias("z"),
+        F.round("auc_a", 6).alias("auc_a"),
+    )
+
+
+@register(
     "q_psm_att",
     oracle="""
     WITH units AS (

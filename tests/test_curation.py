@@ -2814,3 +2814,111 @@ def test_psm_att_hand_case_tiebreak_caliper_and_confound_recovery(spark):
     assert r5.att is None and r5.n_treated == 1 and r5.n_control == 0
     with _pytest.raises(ValueError, match="max_cells"):
         psm_att(d4, "t", "s", "y", max_cells=10)
+
+
+def test_rank_sum_hand_cases_and_symmetry(spark):
+    """r15: Wilcoxon-Mann-Whitney rank-sum. Hand cases with
+    closed-form U/z (separated arms, interleaved arms, heavy ties),
+    arm-swap antisymmetry of z, all-tied -> z NULL with auc 0.5,
+    and the location-shift power check a Welch t on a heavy tail
+    underuses."""
+    import math
+
+    from oakstore_spark.operators.experiments import rank_sum_test
+
+    # fully separated: a = {1,2}, b = {3,4} -> U = 0
+    d = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (1, 4)], "arm long, v long"
+    )
+    r = rank_sum_test(d, "arm", "v", 0, 1).collect()[0]
+    assert r.u2 == 0 and r.auc_a == 0.0
+    # Var = 2*2*5/12 (no ties), z = (0-2)/sqrt(5/3)
+    assert abs(r.z - (0 - 2.0) / math.sqrt(2 * 2 * 5 / 12.0)) < 1e-12
+    # swap arms: z negates, auc mirrors
+    r2 = rank_sum_test(d, "arm", "v", 1, 0).collect()[0]
+    assert abs(r2.z + r.z) < 1e-12 and r2.auc_a == 1.0
+
+    # ties: a = {1,1}, b = {1,2} -> U = 2*0.5 + ... per pair:
+    # (1,1)x2 ties -> 0.5 each x2 pairs... u2 counts 2*wins+ties:
+    # pairs (a=1,b=1): tie x2; (a=1,b=2): loss x2 -> u2 = 2
+    dt = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 1), (1, 2)], "arm long, v long"
+    )
+    rt = rank_sum_test(dt, "arm", "v", 0, 1).collect()[0]
+    assert rt.u2 == 2 and rt.auc_a == 0.25
+    assert rt.tie_cubes == (3 ** 3 - 3)  # one pooled tie group of 3
+
+    # all tied -> variance 0 -> z NULL, auc exactly 1/2
+    da = spark.createDataFrame(
+        [(0, 5), (0, 5), (1, 5)], "arm long, v long"
+    )
+    ra = rank_sum_test(da, "arm", "v", 0, 1).collect()[0]
+    assert ra.z is None and ra.auc_a == 0.5
+
+    # heavy-tail location shift: lognormal-ish integers with b
+    # shifted up; rank-sum must fire decisively
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(2000):
+        base = int(math.exp(rng.gauss(3.0, 1.0)))
+        rows.append((0, base))
+        rows.append((1, base + rng.randrange(0, 8) + 3))
+    dh = spark.createDataFrame(rows, "arm long, v long")
+    rh = rank_sum_test(dh, "arm", "v", 0, 1).collect()[0]
+    assert rh.z < -8.0 and rh.auc_a < 0.45
+
+
+def test_trimmed_mean_diff_hand_cases_and_robustness(spark):
+    """r15: trimmed-mean A/B. (1) hand case with exact kept sets
+    across cell boundaries (ties straddling the trim cut); (2) a
+    whale outlier moves the plain mean but NOT the 10%-trimmed mean;
+    (3) trim 0 == plain means; (4) over-trim -> NULL; (5) guard."""
+    import pytest as _pytest
+
+    from oakstore_spark.operators.experiments import trimmed_mean_diff
+
+    # arm 0: values 1..10 (n=10, k=1 at 10%): drop 1 and 10 ->
+    # mean of 2..9 = 5.5. arm 1: [0,0,0,100,100] n=5, k=0 (floor .5)
+    rows = [(0, i) for i in range(1, 11)] + [
+        (1, 0), (1, 0), (1, 0), (1, 100), (1, 100)
+    ]
+    d = spark.createDataFrame(rows, "arm long, v long")
+    r = trimmed_mean_diff(d, "arm", "v", 0, 1, trim_frac=0.10).collect()[0]
+    assert (r.n_a, r.k_a) == (10, 1)
+    assert r.trimmed_sum_a == sum(range(2, 10))
+    assert r.mean_a == 5.5
+    assert (r.n_b, r.k_b) == (5, 0)
+    assert r.mean_b == 40.0
+    assert r.diff == 5.5 - 40.0
+
+    # ties straddling the cut: arm 0 = [1,1,1,9,9,9], k=1 -> keep
+    # two 1s and two 9s -> mean 5
+    d2 = spark.createDataFrame(
+        [(0, 1)] * 3 + [(0, 9)] * 3 + [(1, 5)],
+        "arm long, v long",
+    )
+    r2 = trimmed_mean_diff(d2, "arm", "v", 0, 1, trim_frac=1 / 6).collect()[0]
+    assert r2.mean_a == 5.0 and r2.trimmed_sum_a == 20
+
+    # whale robustness: identical arms except one 10^9 outlier in b
+    base = [(0, i % 50) for i in range(1000)] + [
+        (1, i % 50) for i in range(1000)
+    ]
+    whale = base + [(1, 10 ** 9)]
+    dw = spark.createDataFrame(whale, "arm long, v long")
+    rw = trimmed_mean_diff(dw, "arm", "v", 0, 1, trim_frac=0.10).collect()[0]
+    assert abs(rw.diff) < 0.5  # the whale is trimmed away
+    plain = trimmed_mean_diff(dw, "arm", "v", 0, 1, trim_frac=0.0).collect()[0]
+    assert plain.diff < -900_000  # ...but dominates the plain mean
+
+    # trim 0 == exact plain means
+    assert plain.mean_a == sum(i % 50 for i in range(1000)) / 1000
+
+    # over-trim empties an arm -> NULLs
+    d5 = spark.createDataFrame([(0, 1), (0, 2), (1, 3)], "arm long, v long")
+    r5 = trimmed_mean_diff(d5, "arm", "v", 0, 1, trim_frac=0.49).collect()[0]
+    assert r5.mean_b is None or r5.mean_b == 3.0  # k_b = floor(.49)=0
+    with _pytest.raises(ValueError, match="trim_frac"):
+        trimmed_mean_diff(d5, "arm", "v", 0, 1, trim_frac=0.5)
