@@ -702,3 +702,53 @@ def test_dp_histogram_single_aggregate_broadcast_grid(spark):
     assert "Window" not in plan
     # one scan node (formatted plans mention each node twice)
     assert plan.count("Scan parquet") == 2
+
+
+def test_fairness_report_single_scan_cell_bounded(spark):
+    """r15: fairness_report must derive AUC + calibration + Brier from
+    ONE scan — exactly one FileScan in the plan, the keyed prefix
+    window consuming the (keys x score) hash aggregate, and no join
+    (the two-level rollup replaces it)."""
+    from oakstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = plan_of(QUERIES["q_fairness_slices"](spark, SF_DIR))
+    # formatted mode prints each scan twice (tree node + detail
+    # section): exactly one physical scan == exactly two mentions
+    assert plan.count("Scan parquet") == 2
+    assert "Window" in plan and "HashAggregate" in plan
+    assert "Join" not in plan
+
+
+def test_rank_sum_and_trimmed_mean_cell_bounded(spark):
+    """r15: rank_sum_test / trimmed_mean_diff rank DISTINCT-value
+    cells, never unit rows — HashAggregate below the Window, single
+    scan, no cartesian/join machinery."""
+    from oakstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = plan_of(QUERIES["q_rank_sum"](spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 2  # one physical scan
+
+    # trimmed_mean returns a driver-built single row (the scan runs
+    # inside its bounded per-arm collect), so pin the SOURCE: the
+    # rank arithmetic must run on the per-arm distinct-value cells
+    # (groupBy + arm-partitioned window), never a unit-level sort
+    import ast
+    import inspect
+    import textwrap
+
+    from oakstore_spark.operators import experiments
+
+    code = textwrap.dedent(
+        inspect.getsource(experiments.trimmed_mean_diff)
+    )
+    fn = ast.parse(code).body[0]
+    body = fn.body[1:] if isinstance(fn.body[0], ast.Expr) else fn.body
+    tree = "\n".join(ast.unparse(stmt) for stmt in body)
+    assert "partitionBy('arm')" in tree.replace('"', "'")
+    assert ".groupBy(" in tree
+    assert "orderBy" in tree  # cell-level only (inside the window)
+    assert "approx" not in tree  # exact order statistics, no sketch
