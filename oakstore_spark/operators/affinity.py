@@ -161,23 +161,32 @@ def association_rules(
     pairs = frequent_pairs(
         df, basket_col, item_col, min_support, max_basket_items
     )
-    fwd = pairs.select(
-        F.col("item_a").alias("antecedent"),
-        F.col("item_b").alias("consequent"),
-        "n_ab",
-        F.col("n_a").alias("n_ante"),
-        F.col("n_b").alias("n_cons"),
-        "n_baskets",
-    )
-    rev = pairs.select(
-        F.col("item_b").alias("antecedent"),
-        F.col("item_a").alias("consequent"),
-        "n_ab",
-        F.col("n_b").alias("n_ante"),
-        F.col("n_a").alias("n_cons"),
-        "n_baskets",
-    )
-    rules = fwd.unionByName(rev).select(
+    # r15 optimization (guide §2.4): the fwd/rev UNION evaluated the
+    # whole frequent_pairs subtree (per-basket C(k,2) pair generation
+    # + pair-count aggregate) once per leg; a single explode of both
+    # directions keeps one evaluation. Row set identical.
+    rules = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                    F.col("n_ab"),
+                    F.col("n_a").alias("n_ante"),
+                    F.col("n_b").alias("n_cons"),
+                    F.col("n_baskets"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                    F.col("n_ab"),
+                    F.col("n_b").alias("n_ante"),
+                    F.col("n_a").alias("n_cons"),
+                    F.col("n_baskets"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.*").select(
         "antecedent",
         "consequent",
         "n_ab",
@@ -224,21 +233,30 @@ def item_neighbors(
     pairs = frequent_pairs(
         df, basket_col, item_col, min_support, max_basket_items
     )
-    fwd = pairs.select(
-        F.col("item_a").alias("item"),
-        F.col("item_b").alias("neighbor"),
-        "n_ab",
-        F.col("n_a").alias("n_i"),
-        F.col("n_b").alias("n_nb"),
-    )
-    rev = pairs.select(
-        F.col("item_b").alias("item"),
-        F.col("item_a").alias("neighbor"),
-        "n_ab",
-        F.col("n_b").alias("n_i"),
-        F.col("n_a").alias("n_nb"),
-    )
-    both = fwd.unionByName(rev).withColumn(
+    # r15 optimization (guide §2.4): the fwd/rev UNION evaluated the
+    # whole frequent_pairs subtree twice (the before plan shows the
+    # per-basket C(k,2) Generate + pair-count HashAggregate once per
+    # union leg); explode both directions from ONE evaluation instead.
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("item"),
+                    F.col("item_b").alias("neighbor"),
+                    F.col("n_ab"),
+                    F.col("n_a").alias("n_i"),
+                    F.col("n_b").alias("n_nb"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("item"),
+                    F.col("item_a").alias("neighbor"),
+                    F.col("n_ab"),
+                    F.col("n_b").alias("n_i"),
+                    F.col("n_a").alias("n_nb"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.*").withColumn(
         "cosine",
         F.col("n_ab").cast("double")
         / F.sqrt(F.col("n_i").cast("double") * F.col("n_nb")),

@@ -87,9 +87,22 @@ def bigram_logprob(
     The caller should pass pre-normalized text (single-space separated)
     so token positions agree with any external verifier.
     """
+    # r15 optimization (guide §2.3/§2.4): ``uni`` previously fed tot /
+    # u1 / u2 and ``bg`` fed bc plus the final scoring join as
+    # unpersisted sibling subtrees — column pruning defeats exchange
+    # reuse, so the corpus was re-tokenized for every branch. Persist
+    # the vocabulary-sized unigram relation and the per-doc bigram
+    # relation: the corpus is now scanned exactly twice (token pass +
+    # bigram pass) regardless of how many statistics derive from them.
+    from pyspark.storagelevel import StorageLevel
+
     ws = df.select(id_col, F.split(F.col(text_col), " ").alias("ws"))
     toks = ws.select(id_col, F.explode("ws").alias("term"))
-    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cu"))
+    uni = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     tot = uni.agg(F.sum("cu").alias("t"))
     bg = ws.filter(F.size("ws") >= 2).select(
         F.col(id_col),
@@ -97,7 +110,12 @@ def bigram_logprob(
             F.expr("transform(slice(ws, 1, size(ws) - 1), (w, i) -> struct(w AS w1, ws[i + 1] AS w2))")
         ).alias("p"),
     ).select(id_col, "p.w1", "p.w2")
-    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cbd = (
+        bg.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bc = cbd.groupBy("w1", "w2").agg(F.sum("cnt").alias("cb"))
     u1 = uni.select(F.col("term").alias("w1"), F.col("cu").alias("cu1"))
     u2 = uni.select(F.col("term").alias("w2"), F.col("cu").alias("cu2"))
     # Score each DISTINCT bigram once (all joins here are vocab-sized),
@@ -115,11 +133,21 @@ def bigram_logprob(
             ).alias("logp"),
         )
     )
-    scored = bg.join(bigram_logp, ["w1", "w2"]).select(id_col, "logp")
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.avg("logp").alias("avg_logprob"),
+    # weighted per-doc rollup over the DISTINCT (doc, bigram) relation:
+    # identical integers / identical mean (float addition order was
+    # already partition-dependent; the oracle rounds to 4 digits).
+    scored = cbd.join(bigram_logp, ["w1", "w2"]).select(
+        id_col, "cnt", "logp"
     )
+    out = scored.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        (F.sum(F.col("cnt") * F.col("logp")) / F.sum("cnt")).alias(
+            "avg_logprob"
+        ),
+    )
+    from oakstore_spark.operators.scaling import track_persisted
+
+    return track_persisted(out, uni, cbd)
 
 
 def redact_pii(col: Column | str) -> Column:
@@ -458,7 +486,26 @@ def kneser_ney_logprob(
             )
         ).alias("p"),
     ).select(id_col, "p.w1", "p.w2")
-    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    # r15 optimization (guide §2.3/§2.4): aggregate the corpus-sized
+    # bigram stream ONCE to the per-doc bigram relation and persist it;
+    # every corpus statistic and the final scoring join derive from it.
+    # Previously ``bg`` fed bc and the final join and ``bc`` fed four
+    # sibling rollups as unpersisted subtrees — column pruning makes
+    # them non-identical, exchange reuse never fires, and the corpus
+    # was tokenized+exploded FIVE times (see plans/r15/
+    # q_kneser_ney_lm_before.txt: 5 distinct parquet scans -> 1).
+    from pyspark.storagelevel import StorageLevel
+
+    cbd = (
+        bg.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bc = (
+        cbd.groupBy("w1", "w2")
+        .agg(F.sum("cnt").alias("cb"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ctx = bc.groupBy("w1").agg(
         F.sum("cb").alias("c1"), F.count(F.lit(1)).alias("n1f")
     )
@@ -481,11 +528,23 @@ def kneser_ney_logprob(
             ).alias("logp"),
         )
     )
-    scored = bg.join(bigram_logp, ["w1", "w2"]).select(id_col, "logp")
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.avg("logp").alias("avg_logprob"),
+    # score the per-doc DISTINCT bigram relation weighted by its
+    # occurrence count instead of re-streaming every corpus position:
+    # n_bigrams = sum(cnt) is the identical integer and
+    # sum(cnt*logp)/sum(cnt) the identical mean (float addition order
+    # was already partition-dependent; the oracle rounds to 4 digits).
+    scored = cbd.join(bigram_logp, ["w1", "w2"]).select(
+        id_col, "cnt", "logp"
     )
+    out = scored.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        (F.sum(F.col("cnt") * F.col("logp")) / F.sum("cnt")).alias(
+            "avg_logprob"
+        ),
+    )
+    from oakstore_spark.operators.scaling import track_persisted
+
+    return track_persisted(out, cbd, bc)
 
 
 def temperature_mix_sample(

@@ -1094,6 +1094,7 @@ def incremental_minhash_pairs(
     shingle_n: int = 3,
     estimate_margin: float = 0.1,
     driver_pairs_max_docs: int = 200_000,
+    presigned: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup detection: check an arriving batch against a
     PERSISTED signature index without re-signing or re-pairing the old
@@ -1120,9 +1121,20 @@ def incremental_minhash_pairs(
     r = n_hashes // bands
     lo_cut = threshold - estimate_margin
 
-    sig_new = minhash_signatures(
-        new_df, id_col, text_col, n_hashes, shingle_n
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ``presigned`` (r15 optimization, guide §1.2 step 1): a caller
+    # that already holds the batch's (id, shingles, sig) relation —
+    # the streaming curation leg signs once and reuses it for both
+    # admission and the index write — passes it here instead of
+    # paying a second signature pass. Must share
+    # n_hashes/shingle_n/seed with the index; caller owns its persist.
+    if presigned is not None:
+        sig_new = presigned
+        own_sig = False
+    else:
+        sig_new = minhash_signatures(
+            new_df, id_col, text_col, n_hashes, shingle_n
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        own_sig = True
     n_new = sig_new.count()
 
     out_schema = T.StructType(
@@ -1148,7 +1160,8 @@ def incremental_minhash_pairs(
             new_rows + _collect_sig_rows(index), threshold,
             n_hashes, bands, r, estimate_margin, None,
         )
-        sig_new.unpersist()
+        if own_sig:
+            sig_new.unpersist()
         full_schema = out_schema.add("vs_index", T.BooleanType())
         if pairs_pdf.empty:
             return spark.createDataFrame([], full_schema)
@@ -1748,8 +1761,13 @@ def edit_distance_pairs(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # global gram rarity; per-doc prefix = the k*q+1 rarest grams
     # (ties by gram, then pos — any deterministic selection is valid)
-    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_gf"))
-    ranked = grams.join(dfreq, "gram")
+    # r15 optimization (guide §2.4): rarity as a window count over the
+    # gram partition — the groupBy + join back shuffled the gram
+    # stream twice (agg exchange + join exchange); the window needs
+    # exactly one. Identical counts.
+    ranked = grams.withColumn(
+        "_gf", F.count(F.lit(1)).over(W.partitionBy("gram"))
+    )
     prefix = (
         ranked.groupBy("id")
         .agg(

@@ -2752,6 +2752,13 @@ def ips_evaluate(
         F.col(action_col).alias("action"),
         F.col("prob").cast("double").alias("_pi"),
     )
+    # r15 optimization (guide §2.4/§5): persist the action-universe-
+    # sized per-action relation — the propensity guard's eager collect
+    # used to run the corpus aggregate once at construction and the
+    # final agg ran it again at action time (2 corpus scans -> 1).
+    from pyspark.storagelevel import StorageLevel
+
+    per_a = per_a.persist(StorageLevel.MEMORY_AND_DISK)
     j = (
         per_a.join(F.broadcast(lp), "action", "left")
         .join(F.broadcast(tp), "action", "left")
@@ -2801,13 +2808,18 @@ def ips_evaluate(
         F.col("_sw2") > 0,
         F.col("_sw") * F.col("_sw") / F.col("_sw2"),
     )
-    return agg.select(
-        "n",
-        "n_actions",
-        ips.alias("ips_value"),
-        snips.alias("snips_value"),
-        ess.alias("ess"),
-        "max_weight",
+    from oakstore_spark.operators.scaling import track_persisted
+
+    return track_persisted(
+        agg.select(
+            "n",
+            "n_actions",
+            ips.alias("ips_value"),
+            snips.alias("snips_value"),
+            ess.alias("ess"),
+            "max_weight",
+        ),
+        per_a,
     )
 
 
@@ -2860,6 +2872,15 @@ def dr_evaluate(
         F.col(action_col).alias("action"),
         F.col("q").cast("double").alias("_q"),
     )
+    # r15 optimization (guide §2.4/§5): the propensity guard's eager
+    # collect used to evaluate the full corpus aggregate once at
+    # construction and the final agg evaluated it AGAIN at action
+    # time. Persist the action-universe-sized per-action relation so
+    # the corpus is scanned exactly once; the guard then reads the
+    # (tiny) cached relation.
+    from pyspark.storagelevel import StorageLevel
+
+    per_a = per_a.persist(StorageLevel.MEMORY_AND_DISK)
     j = (
         per_a.join(F.broadcast(lp), "action", "left")
         .join(F.broadcast(tp), "action", "left")
@@ -2917,13 +2938,18 @@ def dr_evaluate(
         F.max("_w").alias("max_weight"),
     ).crossJoin(F.broadcast(base))
     dr = F.col("_vq") + F.col("_corr") / F.col("n")
-    return agg.select(
-        "n",
-        "n_actions",
-        dr.alias("dr_value"),
-        (F.col("_rw") / F.col("n")).alias("ips_value"),
-        F.col("_vq").alias("model_value"),
-        "max_weight",
+    from oakstore_spark.operators.scaling import track_persisted
+
+    return track_persisted(
+        agg.select(
+            "n",
+            "n_actions",
+            dr.alias("dr_value"),
+            (F.col("_rw") / F.col("n")).alias("ips_value"),
+            F.col("_vq").alias("model_value"),
+            "max_weight",
+        ),
+        per_a,
     )
 
 

@@ -783,9 +783,22 @@ def label_propagation(
     w = W.partitionBy("node").orderBy(
         F.col("c").desc(), F.col("lab").asc()
     )
-    for _ in range(int(n_rounds)):
-        msgs = und.join(labels, und["src"] == labels["node"]).select(
-            F.col("dst").alias("node"), "lab"
+    # r15 optimization (guide §1.2/§2.4): pin every 4th round + the
+    # final one (the pagerank checkpoint_interval precedent) — an
+    # eager localCheckpoint is a full job per round and LPA's default
+    # budget is 3 rounds, so per-round pinning tripled the job count
+    # on a node-sized relation. Identical labels.
+    nr = int(n_rounds)
+    for i in range(nr):
+        # aliases: un-pinned rounds make labels share lineage with
+        # und, so the join must disambiguate by alias, not exprId
+        msgs = (
+            und.alias("_e")
+            .join(
+                labels.alias("_lb"),
+                F.col("_e.src") == F.col("_lb.node"),
+            )
+            .select(F.col("_e.dst").alias("node"), F.col("_lb.lab").alias("lab"))
         )
         counts = msgs.groupBy("node", "lab").agg(
             F.count(F.lit(1)).alias("c")
@@ -794,8 +807,9 @@ def label_propagation(
             counts.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("node", "lab")
-            .localCheckpoint(eager=True)
         )
+        if (i + 1) % 4 == 0 or i == nr - 1:
+            labels = labels.localCheckpoint(eager=True)
     out = labels.select("node", F.col("lab").alias("community"))
     from oakstore_spark.operators.scaling import track_persisted
 
@@ -905,8 +919,16 @@ def shortest_paths(
 
     dist = _pin(dist)
     if max_rounds is not None:
-        for _ in range(max_rounds):
-            dist = _pin(relax(dist))
+        # r15 optimization (guide §1.2/§2.4): pin every 4th round
+        # (the pagerank checkpoint_interval precedent) instead of
+        # every round — each eager pin is a full Spark job, and on
+        # node-sized relations the per-job floor dominates; a 4-deep
+        # relax lineage between pins is still O(1). Same fold of
+        # float additions — bit-identical distances.
+        for i in range(max_rounds):
+            dist = relax(dist)
+            if (i + 1) % 4 == 0 or i == max_rounds - 1:
+                dist = _pin(dist)
     else:
         # Bellman-Ford bound: V-1 rounds suffice without negative
         # cycles; the improvement check doubles as the early stop

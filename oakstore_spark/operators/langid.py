@@ -252,30 +252,72 @@ def classify_lang(
         .select("id", "gram", "doc_rank")
     )
 
-    langs = profiles.select("lang").distinct()
-    probe = doc_grams.crossJoin(F.broadcast(langs))
-    if pen_join is not None:
-        probe = probe.crossJoin(pen_join)
-    scored = (
-        probe.join(
-            F.broadcast(profiles.withColumnRenamed("rank", "lang_rank")),
-            ["lang", "gram"],
-            "left",
+    # r15 optimization (guide §2.3/§2.4): the old shape crossJoined
+    # every (doc, gram) row with every language (x n_langs rows),
+    # joined the profile table, then aggregated by (id, lang) and AGAIN
+    # by id — two extra corpus-sized exchanges on top of the doc-rank
+    # window. Instead: broadcast the profile PIVOTED to one row per
+    # gram (lang -> rank map), score every language map-side in one
+    # aggregation that REUSES the window's id partitioning (no new
+    # exchange), and take argmin/runner-up from an in-row sorted
+    # array. Language set and penalty are collected from the (tiny,
+    # persisted) profile relation at plan time. Identical integers,
+    # identical (oop, lang) tie-break.
+    from pyspark.storagelevel import StorageLevel
+
+    profiles = profiles.persist(StorageLevel.MEMORY_AND_DISK)
+    langs = [
+        r["lang"]
+        for r in profiles.select("lang").distinct().orderBy("lang").collect()
+    ]
+    if not langs:
+        profiles.unpersist()
+        return ids.select(
+            F.col("id").alias(id_col),
+            F.lit(None).cast("string").alias("pred_lang"),
+            F.lit(None).cast("long").alias("oop_distance"),
+            F.lit(None).cast("string").alias("runner_up_lang"),
+            F.lit(None).cast("long").alias("margin"),
         )
-        .groupBy("id", "lang")
-        .agg(
-            F.sum(
-                F.coalesce(
-                    F.abs(F.col("doc_rank") - F.col("lang_rank")),
-                    pen_col,
-                )
-            ).alias("oop")
+    gmap = F.broadcast(
+        profiles.groupBy("gram").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("lang", "rank"))
+            ).alias("_rmap")
         )
     )
-    # one sorted (oop, lang) struct list per doc — element 1 is the
+    probe = doc_grams.join(gmap, "gram", "left")
+    if pen_join is not None:
+        probe = probe.crossJoin(pen_join)
+    scored = probe.groupBy("id").agg(
+        *[
+            F.sum(
+                F.coalesce(
+                    F.abs(
+                        F.col("doc_rank")
+                        - F.element_at(F.col("_rmap"), F.lit(lang))
+                    ),
+                    pen_col,
+                )
+            ).alias(f"_oop_{i}")
+            for i, lang in enumerate(langs)
+        ]
+    )
+    # one sorted (oop, lang) struct array per doc — element 1 is the
     # argmin with the lang-ascending tie-break, element 2 the runner-up
-    best = scored.groupBy("id").agg(
-        F.sort_array(F.collect_list(F.struct("oop", "lang"))).alias("ss")
+    best = scored.select(
+        "id",
+        F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"_oop_{i}").alias("oop"),
+                        F.lit(lang).alias("lang"),
+                    )
+                    for i, lang in enumerate(langs)
+                ]
+            )
+        ).alias("ss"),
     )
     runner = F.try_element_at("ss", F.lit(2))  # null when only one lang
     out = best.select(
@@ -287,10 +329,15 @@ def classify_lang(
     )
     # blank/symbol-only docs have zero trigrams -> no scored rows;
     # surface them with a null prediction (degrade contract)
-    return ids.join(out, "id", "left").select(
-        F.col("id").alias(id_col),
-        "pred_lang",
-        "oop_distance",
-        "runner_up_lang",
-        "margin",
+    from oakstore_spark.operators.scaling import track_persisted
+
+    return track_persisted(
+        ids.join(out, "id", "left").select(
+            F.col("id").alias(id_col),
+            "pred_lang",
+            "oop_distance",
+            "runner_up_lang",
+            "margin",
+        ),
+        profiles,
     )

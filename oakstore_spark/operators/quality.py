@@ -55,22 +55,27 @@ def validate_expectations(
     for i, name in enumerate(names):
         aggs.append(F.sum(bads[name].cast("long")).alias(f"_v_{i}"))
     row = df.agg(*aggs)
-    out_rows = []
-    for i, name in enumerate(names):
-        out_rows.append(
-            row.select(
-                F.lit(name).alias("rule"),
-                F.col("_n").cast("long").alias("n_rows"),
-                F.col(f"_v_{i}").cast("long").alias("n_violations"),
-                (F.col(f"_v_{i}") / F.greatest(F.col("_n"), F.lit(1)))
-                .cast("double")
-                .alias("violation_rate"),
-                (F.col(f"_v_{i}") == 0).alias("passed"),
-            )
+    # r15 optimization (guide §2.4): one row per rule via explode of an
+    # in-row struct array — the previous union of per-rule selects over
+    # ``row`` re-evaluated the full-scan aggregate once PER RULE
+    # (plans/r15/q_expectations_report_before.txt: 5 distinct scans for
+    # 4 rules; explode keeps the same row order and schema with ONE
+    # aggregate evaluation).
+    per_rule = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("_n").cast("long").alias("n_rows"),
+            F.col(f"_v_{i}").cast("long").alias("n_violations"),
+            (F.col(f"_v_{i}") / F.greatest(F.col("_n"), F.lit(1)))
+            .cast("double")
+            .alias("violation_rate"),
+            (F.col(f"_v_{i}") == 0).alias("passed"),
         )
-    report = out_rows[0]
-    for o in out_rows[1:]:
-        report = report.unionByName(o)
+        for i, name in enumerate(names)
+    ]
+    report = row.select(
+        F.explode(F.array(*per_rule)).alias("_r")
+    ).select("_r.*")
     if id_col is None:
         return report.withColumn(
             "example_ids", F.lit(None).cast("array<string>")

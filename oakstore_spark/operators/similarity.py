@@ -984,9 +984,17 @@ def build_ivf_index(
 
     from oakstore_spark.operators.scaling import widen_partitions
 
+    # r15 optimization (guide §6): cluster by cell BEFORE the
+    # partitioned write. Without it every scan task scatters one tiny
+    # file into up to n_centroids cell dirs (tasks x cells commit
+    # pressure — measured ~1.5k files for a 2k-row corpus at 32
+    # tasks); one hash exchange on _cell makes it exactly one file
+    # per populated cell — the same committer fix the BM25 postings
+    # and IVFPQ codes writers already carry.
     (
         widen_partitions(corpus.select(id_col, vec_col, *meta_cols))
         .mapInPandas(assign_cells, cell_schema)
+        .repartition(n_centroids, F.col("_cell"))
         .write.mode("overwrite")
         .partitionBy("_cell")
         .parquet(f"{index_dir}/vectors")
@@ -1383,6 +1391,9 @@ def add_to_ivf_index(
     (
         widen_partitions(batch.select(id_col, vec_col, *meta_cols))
         .mapInPandas(assign_cells, cell_schema)
+        # cluster by cell before the partitioned append (guide §6):
+        # one file per touched cell instead of tasks x cells scatter
+        .repartition(int(C.shape[0]), F.col("_cell"))
         .write.mode("append")
         .partitionBy("_cell")
         .parquet(f"{index_dir}/vectors")
@@ -1495,6 +1506,8 @@ def rebalance_ivf_index(
     (
         widen_partitions(vectors.select(id_col, vec_col, *meta_cols))
         .mapInPandas(assign_cells, cell_schema)
+        # cluster by cell before the partitioned write (guide §6)
+        .repartition(k, F.col("_cell"))
         .write.partitionBy("_cell")
         .parquet(f"{index_dir}/vectors.rb-{tag}")
     )
@@ -2139,6 +2152,9 @@ def add_to_ivfpq_index(
     (
         widen_partitions(new_vectors.select(id_col, vec_col))
         .mapInPandas(_ivfpq_encoder(C, B, id_col, vec_col), code_schema)
+        # cluster by cell before the partitioned append (guide §6):
+        # one file per touched cell instead of tasks x cells scatter
+        .repartition(int(C.shape[0]), F.col("_cell"))
         .write.mode("append")
         .partitionBy("_cell")
         .parquet(f"{index_dir}/codes")

@@ -1706,13 +1706,26 @@ def doc_embed(
             ).cast("int").alias("bucket"),
         )
     )
-    tf = tb.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
+    # ONE corpus tokenization pass (r15 optimization, guide §2.3/§2.4):
+    # tf is persisted and BOTH corpus statistics are derived from it —
+    # df_b is the number of (doc, bucket) rows per bucket and n_docs
+    # the distinct docs of tf (identical sets by construction).  The
+    # previous three sibling aggregates over ``tb`` each re-tokenized
+    # and re-md5'd the corpus (column pruning makes the subtrees
+    # non-identical, so exchange reuse never fires): 3 scans -> 1.
+    # tf is bounded by n_docs x min(doc vocab, n_buckets) rows —
+    # MEMORY_AND_DISK, the same budget the minhash/LSH family persists.
+    from pyspark.storagelevel import StorageLevel
+
+    tf = (
+        tb.groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dfb = tb.groupBy("bucket").agg(
-        F.countDistinct(id_col).cast("bigint").alias("_dfb")
+    dfb = tf.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_dfb")
     )
-    nd = tb.agg(
+    nd = tf.agg(
         F.countDistinct(id_col).cast("bigint").alias("_nd")
     )
     w = dfb.crossJoin(F.broadcast(nd)).select(
@@ -1769,7 +1782,9 @@ def doc_embed(
                 }
             )
 
-    return per_doc.mapInPandas(kernel, out_schema)
+    from oakstore_spark.operators.scaling import track_persisted
+
+    return track_persisted(per_doc.mapInPandas(kernel, out_schema), tf)
 
 
 def pmi_collocations(
@@ -1916,24 +1931,23 @@ def rake_keywords(
         F.size(F.split(F.col("phrase"), " ")).alias("plen"),
         F.posexplode(F.split(F.col("phrase"), " ")).alias("wpos", "word"),
     )
-    stats = wo.groupBy("id", "word").agg(
-        F.count(F.lit(1)).alias("freq"),
-        F.sum("plen").alias("deg"),
+    # r15 optimization (guide §2.3/§2.4): word freq/deg as WINDOW sums
+    # over the (doc, word) partition of the ONE exploded relation —
+    # the previous groupBy + join-back re-tokenized the corpus (the
+    # occ subtree ran twice: once under stats, once under the distinct
+    # leg) and paid the extra join exchange. sw is the same pinned
+    # division of the same exact BIGINTs; scoring DISTINCT phrases
+    # only is preserved by the distinct over (id, phrase, wpos, word)
+    # — within a phrase each (wpos, word) is unique, so this equals
+    # the old phrase-level distinct + re-explode.
+    wword = W.partitionBy("id", "word")
+    score_w = (
+        F.sum("plen").over(wword).cast("double")
+        / F.count(F.lit(1)).over(wword)
     )
-    score_w = (F.col("deg").cast("double") / F.col("freq")).alias("sw")
-    # score DISTINCT phrases only (duplicate occurrences share the same
-    # word stats, hence the same score)
-    pw = (
-        occ.distinct()
-        .select(
-            "id",
-            "phrase",
-            F.posexplode(F.split(F.col("phrase"), " ")).alias(
-                "wpos", "word"
-            ),
-        )
-        .join(stats.select("id", "word", score_w), ["id", "word"])
-    )
+    pw = wo.select(
+        "id", "phrase", "wpos", "word", score_w.alias("sw")
+    ).distinct()
     folded = (
         pw.groupBy("id", "phrase")
         .agg(

@@ -353,6 +353,11 @@ def groupwise_zscore(
         list(schema_fields) + [T.StructField(z_col, T.DoubleType())]
     )
     cols = out_cols + keys
+    # r15 optimization (guide §4.1): ship ONLY the columns the kernel
+    # reads across the Arrow boundary — applyInPandas serializes every
+    # column of ``df`` into Python otherwise (events carries ts +
+    # event_type strings this function never touches).
+    df = df.select(*dict.fromkeys([*cols, value_col]))
 
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
         s = pdf[value_col].std(ddof=1)
@@ -1971,79 +1976,107 @@ def periodogram(
         (F.row_number().over(w) - 1).alias("_t"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    outs = []
-    for p in periods:
-        p = int(p)
-        per_phase = staged.groupBy(
-            *keys, (F.col("_t") % p).alias("_ph")
-        ).agg(
-            F.count(F.lit(1)).alias("nph"),
-            F.sum("_x").alias("sph"),
-            F.sum(F.col("_x") * F.col("_x")).alias("qph"),
+    # r15 optimization (guide §2.4): the per-candidate loop ran TWO
+    # hash aggregates plus a key self-join per period and unioned the
+    # k outputs (2k aggregates, k joins over the cached staged
+    # relation). One exploded pass aggregates every (key, period,
+    # phase) cell at once, key totals come from a window over the
+    # (keys, period) partition the aggregate just produced, and the
+    # cos/sin literal tables are indexed per period. Every BIGINT
+    # collapse, every fold order (phase-ascending within one period)
+    # and every float literal is unchanged — bit-identical output.
+    plist = [int(p) for p in periods]
+    exp = staged.select(
+        *keys,
+        "_x",
+        "_t",
+        F.explode(
+            F.array(*[F.lit(p) for p in plist])
+        ).alias("_p"),
+    )
+    per_phase = exp.groupBy(
+        *keys, "_p", (F.col("_t") % F.col("_p")).alias("_ph")
+    ).agg(
+        F.count(F.lit(1)).alias("nph"),
+        F.sum("_x").alias("sph"),
+        F.sum(F.col("_x") * F.col("_x")).alias("qph"),
+    )
+
+    def fold(term):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_ph"), term.alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r.getField("v"),
         )
 
-        def fold(term):
-            return F.aggregate(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("_ph"), term.alias("v"))
-                    )
-                ),
-                F.lit(0.0),
-                lambda acc, r: acc + r.getField("v"),
-            )
-
-        totals = per_phase.groupBy(*keys).agg(
-            F.sum("nph").cast("bigint").alias("n_obs"),
-            F.sum("sph").cast("bigint").alias("_s"),
-            F.sum("qph").cast("bigint").alias("_q"),
+    wk = W.partitionBy(*keys, "_p")
+    pp = (
+        per_phase.withColumn(
+            "n_obs", F.sum("nph").over(wk).cast("bigint")
         )
-        m = F.col("_s").cast("double") / F.col("n_obs")
-        # cos/sin literals computed driver-side once per phase — the
-        # generated oracle embeds the SAME repr() values
-        cosl = F.element_at(
+        .withColumn("_s", F.sum("sph").over(wk).cast("bigint"))
+        .withColumn("_q", F.sum("qph").over(wk).cast("bigint"))
+    )
+    m = F.col("_s").cast("double") / F.col("n_obs")
+    # cos/sin literals computed driver-side once per (period, phase) —
+    # the generated oracle embeds the SAME repr() values
+    pidx = F.array_position(
+        F.array(*[F.lit(p) for p in plist]), F.col("_p")
+    ).cast("int")
+    cosl = F.element_at(
+        F.element_at(
             F.array(*[
-                F.lit(math.cos(2.0 * math.pi * ph / p))
-                for ph in range(p)
+                F.array(*[
+                    F.lit(math.cos(2.0 * math.pi * ph / p))
+                    for ph in range(p)
+                ])
+                for p in plist
             ]),
-            (F.col("_ph") + 1).cast("int"),
-        )
-        sinl = F.element_at(
+            pidx,
+        ),
+        (F.col("_ph") + 1).cast("int"),
+    )
+    sinl = F.element_at(
+        F.element_at(
             F.array(*[
-                F.lit(math.sin(2.0 * math.pi * ph / p))
-                for ph in range(p)
+                F.array(*[
+                    F.lit(math.sin(2.0 * math.pi * ph / p))
+                    for ph in range(p)
+                ])
+                for p in plist
             ]),
-            (F.col("_ph") + 1).cast("int"),
-        )
-        centered = F.col("sph").cast("double") - F.col("nph") * m
-        agg = per_phase.join(totals, list(keys)).groupBy(*keys).agg(
-            F.max("n_obs").alias("n_obs"),
-            F.max("_s").alias("_s"),
-            F.max("_q").alias("_q"),
-            fold(centered * cosl).alias("c"),
-            fold(centered * sinl).alias("s"),
-        )
-        mm = F.col("_s").cast("double") / F.col("n_obs")
-        ss = F.col("_q").cast("double") - F.col("n_obs") * mm * mm
-        ratio = F.when(
-            (F.col("n_obs") >= p) & (ss > 0),
-            F.lit(2.0)
-            * (F.col("c") * F.col("c") + F.col("s") * F.col("s"))
-            / (F.col("n_obs") * ss),
-        )
-        outs.append(
-            agg.select(
-                *keys,
-                F.lit(p).cast("int").alias("period"),
-                "n_obs",
-                "c",
-                "s",
-                ratio.alias("power_ratio"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
+            pidx,
+        ),
+        (F.col("_ph") + 1).cast("int"),
+    )
+    centered = F.col("sph").cast("double") - F.col("nph") * m
+    agg = pp.groupBy(*keys, "_p").agg(
+        F.max("n_obs").alias("n_obs"),
+        F.max("_s").alias("_s"),
+        F.max("_q").alias("_q"),
+        fold(centered * cosl).alias("c"),
+        fold(centered * sinl).alias("s"),
+    )
+    mm = F.col("_s").cast("double") / F.col("n_obs")
+    ss = F.col("_q").cast("double") - F.col("n_obs") * mm * mm
+    ratio = F.when(
+        (F.col("n_obs") >= F.col("_p")) & (ss > 0),
+        F.lit(2.0)
+        * (F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+        / (F.col("n_obs") * ss),
+    )
+    out = agg.select(
+        *keys,
+        F.col("_p").cast("int").alias("period"),
+        "n_obs",
+        "c",
+        "s",
+        ratio.alias("power_ratio"),
+    )
     return track_persisted(out, staged)
 
 
@@ -2146,11 +2179,16 @@ def auto_seasonal_profile(
         F.count(F.lit(1)).cast("bigint").alias("n_phase"),
         F.sum("_x").cast("bigint").alias("_sp"),
     )
-    tot = per_phase.groupBy(*keys).agg(
-        F.sum("n_phase").cast("bigint").alias("_n"),
-        F.sum("_sp").cast("bigint").alias("_s"),
-    )
-    out = per_phase.join(tot, list(keys))
+    # r15 optimization (guide §2.4): the key totals used to be a
+    # groupBy + self-JOIN back on the keys, which re-evaluated the
+    # whole detect→stage→per-phase subtree once per join input (the
+    # before plan shows the periodogram chain twice). Window sums over
+    # the key partition are the same exact BIGINT totals from ONE
+    # evaluation, and the per-phase relation is already key-partitioned.
+    wk = W.partitionBy(*keys)
+    out = per_phase.withColumn(
+        "_n", F.sum("n_phase").over(wk).cast("bigint")
+    ).withColumn("_s", F.sum("_sp").over(wk).cast("bigint"))
     pm = F.col("_sp").cast("double") / F.col("n_phase")
     gm = F.col("_s").cast("double") / F.col("_n")
     return out.select(
@@ -2650,18 +2688,30 @@ def seasonal_anomalies(
         F.row_number().over(w1).alias("_r1"),
         F.count(F.lit(1)).over(wn).alias("_n"),
     )
-    med = ranked.where(
-        F.col("_r1") == F.ceil(F.col("_n") / 2)
-    ).select(*keys, F.col("residual").alias("med_resid"))
-    j = ranked.join(med, list(keys)).withColumn(
+    # r15 optimization (guide §2.4): the median and MAD selections used
+    # to be filter + self-JOIN back on the keys — every join input
+    # re-evaluated the whole decomposition subtree (12 distinct parquet
+    # scans in plans/r15/q_seasonal_anomalies_before.txt). Exactly one
+    # row per key satisfies _r1 == ceil(n/2), so max(when(...)) over
+    # the key partition IS that row's value — same type-1 order
+    # statistic, zero joins, one scan, and every window reuses the one
+    # key partitioning.
+    med_sel = F.when(
+        F.col("_r1") == F.ceil(F.col("_n") / 2), F.col("residual")
+    )
+    j = ranked.withColumn(
+        "med_resid", F.max(med_sel).over(wn)
+    ).withColumn(
         "_dev", F.abs(F.col("residual") - F.col("med_resid"))
     )
     w2 = W.partitionBy(*keys).orderBy("_dev", "rn")
     staged = j.withColumn("_r2", F.row_number().over(w2))
-    mad = staged.where(
-        F.col("_r2") == F.ceil(F.col("_n") / 2)
-    ).select(*keys, F.col("_dev").alias("mad_resid"))
-    return staged.join(mad, list(keys)).select(
+    mad_sel = F.when(
+        F.col("_r2") == F.ceil(F.col("_n") / 2), F.col("_dev")
+    )
+    return staged.withColumn(
+        "mad_resid", F.max(mad_sel).over(wn)
+    ).select(
         *keys,
         "rn",
         "x",
@@ -2781,37 +2831,69 @@ def rolling_active_users(
     wlead = W.partitionBy("u").orderBy("day")
     sentinel = hi + 1  # beyond the grid == "never again"
 
-    def window_counts(w: int, out: str) -> DataFrame:
-        nxt = F.coalesce(
-            F.lead("day").over(wlead), F.lit(sentinel)
-        )
-        end = F.least(nxt, F.col("day") + w)
-        deltas = (
-            ud.select("day", F.lit(1).alias("d"))
-            .unionByName(
-                ud.select(end.alias("day"), F.lit(-1).alias("d"))
-            )
-            .groupBy("day")
-            .agg(F.sum("d").alias("d"))
-        )
-        wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
-        return (
-            grid.join(deltas, "day", "left")
-            .select("day", F.coalesce("d", F.lit(0)).alias("d"))
-            .select(
-                "day",
-                F.sum("d").over(wcum).cast("bigint").alias(out),
-            )
-        )
-
-    dau = ud.groupBy("day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dau")
+    # r15 optimization (guide §2.4): the previous shape ran the lag
+    # window + interval-delta aggregate + grid join + prefix-sum
+    # window once PER window size, then joined dau/wau/mau on the day
+    # grid (2 window passes, 3 delta-sized aggregates, 3 grid joins,
+    # 2 global prefix sums). One pass emits all three contributions
+    # per activity interval — (+dau, +1, +1) at the activity day and
+    # the two -1 interval ends — so there is ONE lag window, ONE
+    # per-day aggregate, ONE grid join and ONE prefix-sum window.
+    # Identical exact integers: the per-day sums commute.
+    nxt = F.coalesce(F.lead("day").over(wlead), F.lit(sentinel))
+    ends = ud.select(
+        "day",
+        F.least(nxt, F.col("day") + w1).alias("_e1"),
+        F.least(nxt, F.col("day") + w2).alias("_e2"),
     )
+    deltas = (
+        ends.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("day").alias("day"),
+                        F.lit(1).alias("d0"),
+                        F.lit(1).alias("d1"),
+                        F.lit(1).alias("d2"),
+                    ),
+                    F.struct(
+                        F.col("_e1").alias("day"),
+                        F.lit(0).alias("d0"),
+                        F.lit(-1).alias("d1"),
+                        F.lit(0).alias("d2"),
+                    ),
+                    F.struct(
+                        F.col("_e2").alias("day"),
+                        F.lit(0).alias("d0"),
+                        F.lit(0).alias("d1"),
+                        F.lit(-1).alias("d2"),
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.*")
+        .groupBy("day")
+        .agg(
+            F.sum("d0").alias("d0"),
+            F.sum("d1").alias("d1"),
+            F.sum("d2").alias("d2"),
+        )
+    )
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
     out = (
-        grid.join(dau, "day", "left")
-        .select("day", F.coalesce("dau", F.lit(0)).alias("dau"))
-        .join(window_counts(w1, "wau"), "day")
-        .join(window_counts(w2, "mau"), "day")
+        grid.join(deltas, "day", "left")
+        .select(
+            "day",
+            F.coalesce("d0", F.lit(0)).alias("d0"),
+            F.coalesce("d1", F.lit(0)).alias("d1"),
+            F.coalesce("d2", F.lit(0)).alias("d2"),
+        )
+        .select(
+            "day",
+            F.col("d0").cast("bigint").alias("dau"),
+            F.sum("d1").over(wcum).cast("bigint").alias("wau"),
+            F.sum("d2").over(wcum).cast("bigint").alias("mau"),
+        )
     )
     from oakstore_spark.operators.scaling import track_persisted
 

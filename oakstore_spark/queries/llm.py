@@ -1428,9 +1428,17 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    first_seen = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    # r15 optimization (guide §2.4): first-seen doc per shingle as a
+    # WINDOW min over the shingle partition instead of groupBy + join
+    # back — the join re-evaluated the whole shingling subtree (2
+    # corpus scans -> 1) and cost an extra pair of exchanges; the
+    # window's per-group state is one running min. Identical integers.
+    from pyspark.sql import Window as _W
+
     return (
-        sh.join(first_seen, "g")
+        sh.withColumn(
+            "first_doc", F.min("doc_id").over(_W.partitionBy("g"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

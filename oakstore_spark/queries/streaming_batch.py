@@ -616,12 +616,22 @@ def q_stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.mkdir(parents=True)
     docs = table(spark, sf_dir, "documents")
     now = 1_700_000_000
+    # r15 optimization (guide §2.4): ONE partitioned write stages all
+    # three micro-batch files (previously three scan+filter+write jobs
+    # over the same table). repartition(3, "_b") is a correctness
+    # requirement here, not a tuning knob: each _b dir must hold
+    # exactly one file so the mtime-ordered move keeps whole batches.
+    stage = base / "stage"
+    (
+        docs.withColumn("_b", (F.col("doc_id") % 3).cast("int"))
+        .repartition(3, "_b")
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(str(stage))
+    )
     for b in range(3):
         p = src / f"part-{b}.parquet"
-        docs.where(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(base / f"stage{b}"))
-        src_file = next((base / f"stage{b}").glob("*.parquet"))
+        src_file = next((stage / f"_b={b}").glob("*.parquet"))
         shutil.move(str(src_file), p)
         os.utime(p, (now + 100 * b, now + 100 * b))
 

@@ -79,6 +79,7 @@ def curation_ingest_stream(
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         admitted = None
+        sigs = None
         try:
             # replay safety: never read this batch's own previous
             # signatures as "index" — see streaming/dedup.py
@@ -93,8 +94,21 @@ def curation_ingest_stream(
                 index = minhash_signatures(
                     batch_df.limit(0), id_col, text_col
                 )
+            # r15 optimization (guide §1.2 step 1): sign the batch
+            # ONCE and reuse the persisted (id, shingles, sig)
+            # relation for BOTH the admission check and the signature
+            # index write (a semi-join on the admitted ids replaces
+            # the previous second minhash_signatures pass — the
+            # signature of a doc is deterministic, so filtering the
+            # batch relation is byte-identical to re-signing).
+            from pyspark.storagelevel import StorageLevel
+
+            sigs = minhash_signatures(
+                batch_df, id_col, text_col
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             rejects = admission_rejects(
-                batch_df, index, id_col, text_col, threshold
+                batch_df, index, id_col, text_col, threshold,
+                presigned=sigs,
             )
             admitted = batch_df.join(
                 rejects.distinct(), id_col, "left_anti"
@@ -102,9 +116,15 @@ def curation_ingest_stream(
             admitted.write.mode("overwrite").parquet(
                 f"{corpus_dir}/batch={batch_id}"
             )
-            minhash_signatures(admitted, id_col, text_col).write.mode(
-                "overwrite"
-            ).parquet(f"{sig_index_dir}/batch={batch_id}")
+            (
+                sigs.join(
+                    admitted.select(F.col(id_col).alias("id")),
+                    "id",
+                    "left_semi",
+                )
+                .write.mode("overwrite")
+                .parquet(f"{sig_index_dir}/batch={batch_id}")
+            )
 
             emb = doc_embed(
                 admitted, text_col=text_col, id_col=id_col,
@@ -194,6 +214,9 @@ def curation_ingest_stream(
 
                 (
                     emb.mapInPandas(assign, out_schema)
+                    # cluster by cell before the partitioned write
+                    # (guide §6): one file per populated cell
+                    .repartition(int(CT.shape[1]), F.col("_cell"))
                     .write.mode("overwrite")
                     .partitionBy("_cell")
                     .parquet(f"{ivf_dir}/vectors/batch={batch_id}")
@@ -201,6 +224,8 @@ def curation_ingest_stream(
             finally:
                 emb.unpersist()
         finally:
+            if sigs is not None:
+                sigs.unpersist()
             if admitted is not None:
                 admitted.unpersist()
             batch_df.unpersist()

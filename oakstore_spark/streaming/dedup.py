@@ -40,6 +40,7 @@ def admission_rejects(
     id_col: str,
     text_col: str,
     threshold: float,
+    presigned: DataFrame | None = None,
 ) -> DataFrame:
     """The reject-id relation for one arriving micro-batch vs the
     persisted signature index: any batch doc near-dup of an index doc,
@@ -50,7 +51,8 @@ def admission_rejects(
     from oakstore_spark.operators.dedup import incremental_minhash_pairs
 
     pairs = incremental_minhash_pairs(
-        batch_df, index, id_col, text_col, threshold=threshold
+        batch_df, index, id_col, text_col, threshold=threshold,
+        presigned=presigned,
     )
     #   vs_index pair  -> the batch-side doc must go; taking BOTH
     #     sides is safe because index ids never occur in the
@@ -95,6 +97,7 @@ def dedup_admission_stream(
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         pairs = None
+        sigs = None
         try:
             # REPLAY SAFETY: a re-delivered batch must not see its own
             # previous output in the index — every doc it admitted last
@@ -116,8 +119,16 @@ def dedup_admission_stream(
             # is not guaranteed to cover the signature + band-join +
             # verify pipeline — without this it can evaluate twice per
             # micro-batch.
+            # r15 optimization: sign the batch ONCE — the persisted
+            # signature relation feeds the admission pair search AND
+            # the index write (semi-join below), replacing a second
+            # full signature pass over the admitted docs.
+            sigs = minhash_signatures(
+                batch_df, id_col, text_col
+            ).persist()
             pairs = incremental_minhash_pairs(
-                batch_df, index, id_col, text_col, threshold=threshold
+                batch_df, index, id_col, text_col, threshold=threshold,
+                presigned=sigs,
             ).persist()
             # Rejects stay a DataFrame end-to-end — no driver-side sets,
             # no isin() literal list, so a huge availableNow catch-up
@@ -148,11 +159,19 @@ def dedup_admission_stream(
             admitted.write.mode("overwrite").parquet(
                 f"{corpus_dir}/batch={batch_id}"
             )
-            minhash_signatures(admitted, id_col, text_col).write.mode(
-                "overwrite"
-            ).parquet(f"{index_dir}/batch={batch_id}")
+            (
+                sigs.join(
+                    admitted.select(F.col(id_col).alias("id")),
+                    "id",
+                    "left_semi",
+                )
+                .write.mode("overwrite")
+                .parquet(f"{index_dir}/batch={batch_id}")
+            )
             admitted.unpersist()
         finally:
+            if sigs is not None:
+                sigs.unpersist()
             if pairs is not None:
                 pairs.unpersist()
             batch_df.unpersist()
