@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 
@@ -825,6 +826,7 @@ def shortest_paths(
     dst_col: str = "dst",
     detect_negative_cycle: bool = True,
     checkpoint_dir: str | None = None,
+    driver_max_edges: int = 5_000_000,
 ) -> DataFrame:
     """Single-source weighted shortest paths (Bellman–Ford rounds) —
     the weighted member the graph family lacked next to the unweighted
@@ -865,6 +867,71 @@ def shortest_paths(
     spark = edges.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    # r15 optimization (guide §1.2 step 1): size-gated DRIVER fast
+    # path — the dedup_clusters / bradley_terry precedent. A fixed
+    # Bellman–Ford round is ~2 shuffles; on a node/edge relation that
+    # fits the driver, 18 rounds are pure per-stage scheduling floor.
+    # Bellman–Ford's float chain is min-based: every candidate is ONE
+    # addition dist(u)+w and every combine is min (exact, order-free
+    # for IEEE doubles), so the driver replay is bit-identical to the
+    # distributed rounds BY CONSTRUCTION — pinned by the forced-
+    # distributed parity pytest. driver_max_edges=0 forces the
+    # distributed path (CI parity hook).
+    if (
+        driver_max_edges > 0
+        and edges.limit(driver_max_edges + 1).count() <= driver_max_edges
+    ):
+        edge_rows = edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("double").alias("w"),
+        ).collect()
+        src_type = edges.schema[src_col].dataType
+        dist_map: dict = {source: 0.0}
+
+        def _relax_once(d: dict) -> tuple[dict, bool]:
+            new = dict(d)
+            changed = False
+            for r in edge_rows:
+                u = r["src"]
+                if u in d:
+                    cand = d[u] + r["w"]
+                    prev = new.get(r["dst"])
+                    if prev is None or cand < prev:
+                        new[r["dst"]] = cand
+                        changed = True
+            return new, changed
+
+        if n_rounds is not None:
+            for _ in range(int(n_rounds)):
+                dist_map, _ = _relax_once(dist_map)
+        else:
+            node_set = {r["src"] for r in edge_rows} | {
+                r["dst"] for r in edge_rows
+            }
+            for _ in range(max(len(node_set) - 1, 1)):
+                dist_map, changed = _relax_once(dist_map)
+                if not changed:
+                    break
+        if detect_negative_cycle:
+            _, still = _relax_once(dist_map)
+            if still:
+                raise ValueError(
+                    "relaxation still improves after the final round: "
+                    "negative cycle (fixpoint mode) or n_rounds too "
+                    "small to certify (fixed mode)"
+                )
+        out_schema = T.StructType(
+            [
+                T.StructField("node", src_type),
+                T.StructField("dist", T.DoubleType()),
+            ]
+        )
+        return spark.createDataFrame(
+            [(k, float(v)) for k, v in sorted(dist_map.items())],
+            out_schema,
+        )
 
     def _pin(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
@@ -922,13 +989,25 @@ def shortest_paths(
         # r15 optimization (guide §1.2/§2.4): pin every 4th round
         # (the pagerank checkpoint_interval precedent) instead of
         # every round — each eager pin is a full Spark job, and on
-        # node-sized relations the per-job floor dominates; a 4-deep
-        # relax lineage between pins is still O(1). Same fold of
-        # float additions — bit-identical distances.
+        # node-sized relations the per-job floor dominates. relax()
+        # references dist TWICE (union arm + join arm), so un-pinned
+        # rounds MUST be lazily persisted or the subtree doubles per
+        # round (2^interval evaluations at the pin — measured 2.9x
+        # slower before this persist). persist() schedules no job;
+        # the pin-job materializes each intermediate once and the
+        # second reference reads the cache. Same fold of float
+        # additions — bit-identical distances.
+        pending: list[DataFrame] = []
         for i in range(max_rounds):
             dist = relax(dist)
             if (i + 1) % 4 == 0 or i == max_rounds - 1:
                 dist = _pin(dist)
+                for h in pending:
+                    h.unpersist()
+                pending = []
+            else:
+                dist = dist.persist(StorageLevel.MEMORY_AND_DISK)
+                pending.append(dist)
     else:
         # Bellman-Ford bound: V-1 rounds suffice without negative
         # cycles; the improvement check doubles as the early stop

@@ -508,6 +508,49 @@ def test_shortest_paths_negative_edges_and_cycle_detection(spark):
     assert ok[6] == 6.0
 
 
+def test_shortest_paths_driver_distributed_parity(spark):
+    """r15: the size-gated driver fast path must be BIT-identical to
+    the forced-distributed rounds (driver_max_edges=0) — same reached
+    set, same doubles (Bellman–Ford is min-based, so the float chain
+    is order-free by construction) — on a graph with dyadic weights,
+    a negative edge, an unreachable node and a fixed round budget; and
+    both paths must certify the same negative cycle."""
+    import pytest as _pytest
+
+    from oakstore_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 1.25), (0, 2, 4.0), (1, 2, 1.5), (2, 3, 1.0),
+            (1, 3, 5.0), (3, 4, -0.5), (4, 5, 2.25), (9, 0, 1.0),
+            (5, 6, 0.75), (2, 6, 9.0),
+        ],
+        "src long, dst long, weight double",
+    )
+    for rounds in (None, 8):
+        drv = {
+            r.node: r.dist
+            for r in shortest_paths(edges, 0, n_rounds=rounds).collect()
+        }
+        dist = {
+            r.node: r.dist
+            for r in shortest_paths(
+                edges, 0, n_rounds=rounds, driver_max_edges=0
+            ).collect()
+        }
+        assert drv == dist  # exact double equality, both modes
+        assert 9 not in drv
+
+    cyc = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 1, -3.0)],
+        "src long, dst long, weight double",
+    )
+    with _pytest.raises(ValueError, match="negative cycle"):
+        shortest_paths(cyc, 0)
+    with _pytest.raises(ValueError, match="negative cycle"):
+        shortest_paths(cyc, 0, driver_max_edges=0)
+
+
 def test_personalized_pagerank_localization_and_uniform_equivalence(spark):
     """r14: pagerank(seeds=...) — (1) seeds = ALL nodes uniform must
     equal vanilla pagerank BIT-FOR-BIT (the teleport distribution is
