@@ -1154,10 +1154,22 @@ def incremental_minhash_pairs(
         <= driver_pairs_max_docs
     ):
         spark = new_df.sparkSession
-        new_rows = _collect_sig_rows(sig_new)
+        # r15 optimization (guide §2.4): ONE driver transfer for both
+        # relations — a flagged union replaces the two separate
+        # collect jobs (per streaming micro-batch this was 2 of the
+        # ~12 fixed-floor jobs). Same rows, new-first order preserved
+        # for the banding replay.
+        cols = ["id", "shingles", "sig"]
+        flagged = _collect_sig_rows(
+            sig_new.select(*cols, F.lit(True).alias("_new")).unionByName(
+                index.select(*cols, F.lit(False).alias("_new"))
+            )
+        )
+        new_rows = [r_ for r_ in flagged if r_["_new"]]
+        old_rows = [r_ for r_ in flagged if not r_["_new"]]
         new_ids = {row["id"] for row in new_rows}
         pairs_pdf = _minhash_pairs_driver_pdf(
-            new_rows + _collect_sig_rows(index), threshold,
+            new_rows + old_rows, threshold,
             n_hashes, bands, r, estimate_margin, None,
         )
         if own_sig:
