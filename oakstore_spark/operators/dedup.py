@@ -1135,8 +1135,6 @@ def incremental_minhash_pairs(
             new_df, id_col, text_col, n_hashes, shingle_n
         ).persist(StorageLevel.MEMORY_AND_DISK)
         own_sig = True
-    n_new = sig_new.count()
-
     out_schema = T.StructType(
         [
             T.StructField("id_a", new_df.schema[id_col].dataType),
@@ -1149,22 +1147,26 @@ def incremental_minhash_pairs(
     # gate, banding the combined signature rows in numpy beats four
     # distributed joins' fixed costs; pairs then filter to batch-touching
     # and re-orient. Identical output — the distributed path is CI-forced.
-    if (
-        index.limit(driver_pairs_max_docs + 1).count() + n_new
-        <= driver_pairs_max_docs
-    ):
+    #
+    # r15 optimization (guide §2.4): the GATE and the driver transfer
+    # are ONE job — collect the flagged union limited to cap+1 rows;
+    # len(rows) <= cap is exactly the old two-count condition
+    # (index.limit(cap+1).count() + sig_new.count() <= cap), and when
+    # it holds the limit returned EVERY row, so the collected set is
+    # complete. Previously this gate burned two count jobs before the
+    # collect (3 of the ~12 fixed-floor jobs per streaming
+    # micro-batch). Row order into the banding replay is irrelevant —
+    # _minhash_pairs_driver_pdf sorts by id. Overflow wastes one
+    # bounded cap+1-row transfer, noise next to the distributed LSH
+    # pipeline that path pays anyway.
+    cols = ["id", "shingles", "sig"]
+    flagged = _collect_sig_rows(
+        sig_new.select(*cols, F.lit(True).alias("_new"))
+        .unionByName(index.select(*cols, F.lit(False).alias("_new")))
+        .limit(driver_pairs_max_docs + 1)
+    )
+    if len(flagged) <= driver_pairs_max_docs:
         spark = new_df.sparkSession
-        # r15 optimization (guide §2.4): ONE driver transfer for both
-        # relations — a flagged union replaces the two separate
-        # collect jobs (per streaming micro-batch this was 2 of the
-        # ~12 fixed-floor jobs). Same rows, new-first order preserved
-        # for the banding replay.
-        cols = ["id", "shingles", "sig"]
-        flagged = _collect_sig_rows(
-            sig_new.select(*cols, F.lit(True).alias("_new")).unionByName(
-                index.select(*cols, F.lit(False).alias("_new"))
-            )
-        )
         new_rows = [r_ for r_ in flagged if r_["_new"]]
         old_rows = [r_ for r_ in flagged if not r_["_new"]]
         new_ids = {row["id"] for row in new_rows}

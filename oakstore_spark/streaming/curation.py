@@ -75,6 +75,16 @@ def curation_ingest_stream(
     from oakstore_spark.operators.similarity import _spherical_kmeans
     from oakstore_spark.operators.text import doc_embed
 
+    # r15 optimization (guide §1.2 step 1): the coarse quantizer is
+    # immutable once trained (deterministic k-means, written once with
+    # overwrite), yet every later micro-batch paid a read+collect job
+    # to load it back. Memoize the centroid matrix in the closure for
+    # the lifetime of this stream: values are identical to the parquet
+    # read-back by construction, a replayed first batch sees the same
+    # C it wrote, and a RESTARTED stream (fresh closure) still reads
+    # the persisted table — replay safety unchanged.
+    cent_cache: list[np.ndarray] = []
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
@@ -134,44 +144,48 @@ def curation_ingest_stream(
             # are admitted to the corpus but not indexable
             try:
                 cent_path = f"{ivf_dir}/centroids"
-                try:
-                    cent = spark.read.parquet(cent_path).orderBy(
-                        "cell"
-                    ).collect()
-                except Exception:
-                    cent = None
-                if cent is None:
-                    sample = (
-                        emb.select("embedding")
-                        .limit(kmeans_sample)
-                        .toPandas()
-                    )
-                    if len(sample) == 0:
-                        return  # nothing indexable yet; train later
-                    X = np.stack(
-                        [
-                            np.asarray(v, dtype=np.float64)
-                            for v in sample["embedding"]
-                        ]
-                    )
-                    k = min(n_centroids, X.shape[0])
-                    C = _spherical_kmeans(X, k, kmeans_iter, seed)
-                    rows = [
-                        (int(i), [float(x) for x in C[i]])
-                        for i in range(C.shape[0])
-                    ]
-                    spark.createDataFrame(
-                        rows, "cell int, centroid array<double>"
-                    ).coalesce(1).write.mode("overwrite").parquet(
-                        cent_path
-                    )
+                if cent_cache:
+                    C = cent_cache[0]
                 else:
-                    C = np.stack(
-                        [
-                            np.asarray(r["centroid"], dtype=np.float64)
-                            for r in cent
+                    try:
+                        cent = spark.read.parquet(cent_path).orderBy(
+                            "cell"
+                        ).collect()
+                    except Exception:
+                        cent = None
+                    if cent is None:
+                        sample = (
+                            emb.select("embedding")
+                            .limit(kmeans_sample)
+                            .toPandas()
+                        )
+                        if len(sample) == 0:
+                            return  # nothing indexable yet; train later
+                        X = np.stack(
+                            [
+                                np.asarray(v, dtype=np.float64)
+                                for v in sample["embedding"]
+                            ]
+                        )
+                        k = min(n_centroids, X.shape[0])
+                        C = _spherical_kmeans(X, k, kmeans_iter, seed)
+                        rows = [
+                            (int(i), [float(x) for x in C[i]])
+                            for i in range(C.shape[0])
                         ]
-                    )
+                        spark.createDataFrame(
+                            rows, "cell int, centroid array<double>"
+                        ).coalesce(1).write.mode("overwrite").parquet(
+                            cent_path
+                        )
+                    else:
+                        C = np.stack(
+                            [
+                                np.asarray(r["centroid"], dtype=np.float64)
+                                for r in cent
+                            ]
+                        )
+                    cent_cache.append(C)
                 CT = np.ascontiguousarray(C.T)
                 out_schema = T.StructType(
                     [
