@@ -1722,15 +1722,50 @@ def doc_embed(
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dfb = tf.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_dfb")
+    # The weight table is bounded by n_buckets rows, i.e. it is
+    # broadcast-sized BY CONSTRUCTION — collect its two inputs in ONE
+    # flagged-union job over the persisted tf relation instead of two
+    # nested broadcast subtrees (guide §1.2 step 1): leg _g=0 is the
+    # per-bucket df_b aggregate (shuffles <= n_buckets partial rows),
+    # leg _g=1 the global n_docs = countDistinct(id) (shuffles the
+    # map-side-deduped ids — exactly what the old lazy plan shuffled);
+    # previously each ran as its own BroadcastExchange job at action
+    # time and every cache consumer re-planned the pair. NOT a rollup:
+    # rollup+countDistinct would Expand the corpus-sized tf relation
+    # and shuffle ~2x its rows to track distinct ids PER BUCKET —
+    # strictly more shuffle bytes at scale (guide §2.3). The driver
+    # transfer is <= n_buckets + 1 tiny rows — the same bytes the old
+    # BroadcastExchange already pulled through the driver. Python `//`
+    # on non-negative ints is exactly SQL DIV, so _w is bit-identical.
+    stats = (
+        tf.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_v"))
+        .select(F.lit(0).alias("_g"), "bucket", "_v")
+        .unionAll(
+            tf.agg(
+                F.countDistinct(id_col).cast("bigint").alias("_v")
+            ).select(
+                F.lit(1).alias("_g"),
+                F.lit(None).cast("int").alias("bucket"),
+                "_v",
+            )
+        )
+        .collect()
     )
-    nd = tf.agg(
-        F.countDistinct(id_col).cast("bigint").alias("_nd")
+    # empty input: the global-aggregate leg still emits one row with
+    # _v = 0, so n_docs = 0 — w stays empty and the output is empty,
+    # exactly the old lazy plan's behavior (the default is belt and
+    # braces)
+    n_docs = next(
+        (int(r["_v"]) for r in stats if r["_g"] == 1), 0
     )
-    w = dfb.crossJoin(F.broadcast(nd)).select(
-        "bucket",
-        F.expr(f"(_nd * {scale}) DIV _dfb").cast("bigint").alias("_w"),
+    w_rows = [
+        (int(r["bucket"]), (n_docs * scale) // int(r["_v"]))
+        for r in stats
+        if r["_g"] == 0
+    ]
+    w = df.sparkSession.createDataFrame(
+        w_rows, "bucket int, _w bigint"
     )
     tfw = tf.join(F.broadcast(w), "bucket").select(
         id_col,

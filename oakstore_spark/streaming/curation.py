@@ -123,120 +123,154 @@ def curation_ingest_stream(
             admitted = batch_df.join(
                 rejects.distinct(), id_col, "left_anti"
             ).persist()
-            admitted.write.mode("overwrite").parquet(
-                f"{corpus_dir}/batch={batch_id}"
-            )
-            (
-                sigs.join(
-                    admitted.select(F.col(id_col).alias("id")),
-                    "id",
-                    "left_semi",
-                )
-                .write.mode("overwrite")
-                .parquet(f"{sig_index_dir}/batch={batch_id}")
-            )
 
-            emb = doc_embed(
-                admitted, text_col=text_col, id_col=id_col,
-                dim=dim, n_buckets=n_buckets, scale=scale,
-            ).persist()
-            # docs with no alphanumeric terms embed to nothing — they
-            # are admitted to the corpus but not indexable
-            try:
-                cent_path = f"{ivf_dir}/centroids"
-                if cent_cache:
-                    C = cent_cache[0]
-                else:
-                    try:
-                        cent = spark.read.parquet(cent_path).orderBy(
-                            "cell"
-                        ).collect()
-                    except Exception:
-                        cent = None
-                    if cent is None:
-                        sample = (
-                            emb.select("embedding")
-                            .limit(kmeans_sample)
-                            .toPandas()
-                        )
-                        if len(sample) == 0:
-                            return  # nothing indexable yet; train later
-                        X = np.stack(
-                            [
-                                np.asarray(v, dtype=np.float64)
-                                for v in sample["embedding"]
-                            ]
-                        )
-                        k = min(n_centroids, X.shape[0])
-                        C = _spherical_kmeans(X, k, kmeans_iter, seed)
-                        rows = [
-                            (int(i), [float(x) for x in C[i]])
-                            for i in range(C.shape[0])
-                        ]
-                        spark.createDataFrame(
-                            rows, "cell int, centroid array<double>"
-                        ).coalesce(1).write.mode("overwrite").parquet(
-                            cent_path
-                        )
-                    else:
-                        C = np.stack(
-                            [
-                                np.asarray(r["centroid"], dtype=np.float64)
-                                for r in cent
-                            ]
-                        )
-                    cent_cache.append(C)
-                CT = np.ascontiguousarray(C.T)
-                out_schema = T.StructType(
-                    [
-                        T.StructField(
-                            id_col, emb.schema[id_col].dataType
-                        ),
-                        T.StructField(
-                            "emb_q", T.ArrayType(T.LongType())
-                        ),
-                        T.StructField(
-                            "embedding", T.ArrayType(T.DoubleType())
-                        ),
-                        T.StructField("_cell", T.IntegerType()),
-                    ]
+            # r15 optimization (guide §2.6): the three sinks below —
+            # corpus append, signature-index append, embed->assign->IVF
+            # vector write — are mutually independent once `admitted`
+            # exists (distinct directories, no ordering between them),
+            # and each is a small job that leaves most cores idle at
+            # this per-batch scale. Run them from a thread pool so the
+            # scheduler back-fills: `admitted` (persisted) is computed
+            # once under the BlockManager's per-partition cache locks
+            # no matter which job touches a partition first. Replay
+            # semantics are unchanged — every sink is an overwrite of
+            # its own batch=<id> dir, so a failure in ANY branch fails
+            # the batch and the replay overwrites all three, exactly as
+            # the serial code did on a mid-sequence failure.
+            def write_corpus() -> None:
+                admitted.write.mode("overwrite").parquet(
+                    f"{corpus_dir}/batch={batch_id}"
                 )
 
-                def assign(batches):
-                    import pandas as pd  # noqa: F401
-
-                    for pdf in batches:
-                        if len(pdf) == 0:
-                            continue
-                        B = np.stack(
-                            [
-                                np.asarray(v, dtype=np.float64)
-                                for v in pdf["embedding"]
-                            ]
-                        )
-                        Bn = B / np.maximum(
-                            np.linalg.norm(B, axis=1, keepdims=True),
-                            1e-12,
-                        )
-                        out = pdf[
-                            [id_col, "emb_q", "embedding"]
-                        ].copy()
-                        out["_cell"] = (
-                            (Bn @ CT).argmax(axis=1).astype(np.int32)
-                        )
-                        yield out
-
+            def write_sigs() -> None:
                 (
-                    emb.mapInPandas(assign, out_schema)
-                    # cluster by cell before the partitioned write
-                    # (guide §6): one file per populated cell
-                    .repartition(int(CT.shape[1]), F.col("_cell"))
+                    sigs.join(
+                        admitted.select(F.col(id_col).alias("id")),
+                        "id",
+                        "left_semi",
+                    )
                     .write.mode("overwrite")
-                    .partitionBy("_cell")
-                    .parquet(f"{ivf_dir}/vectors/batch={batch_id}")
+                    .parquet(f"{sig_index_dir}/batch={batch_id}")
                 )
-            finally:
-                emb.unpersist()
+
+            def write_vectors() -> None:
+                emb = doc_embed(
+                    admitted, text_col=text_col, id_col=id_col,
+                    dim=dim, n_buckets=n_buckets, scale=scale,
+                ).persist()
+                # docs with no alphanumeric terms embed to nothing —
+                # they are admitted to the corpus but not indexable
+                try:
+                    cent_path = f"{ivf_dir}/centroids"
+                    if cent_cache:
+                        C = cent_cache[0]
+                    else:
+                        try:
+                            cent = spark.read.parquet(
+                                cent_path
+                            ).orderBy("cell").collect()
+                        except Exception:
+                            cent = None
+                        if cent is None:
+                            sample = (
+                                emb.select("embedding")
+                                .limit(kmeans_sample)
+                                .toPandas()
+                            )
+                            if len(sample) == 0:
+                                return  # nothing indexable yet
+                            X = np.stack(
+                                [
+                                    np.asarray(v, dtype=np.float64)
+                                    for v in sample["embedding"]
+                                ]
+                            )
+                            k = min(n_centroids, X.shape[0])
+                            C = _spherical_kmeans(
+                                X, k, kmeans_iter, seed
+                            )
+                            rows = [
+                                (int(i), [float(x) for x in C[i]])
+                                for i in range(C.shape[0])
+                            ]
+                            spark.createDataFrame(
+                                rows, "cell int, centroid array<double>"
+                            ).coalesce(1).write.mode(
+                                "overwrite"
+                            ).parquet(cent_path)
+                        else:
+                            C = np.stack(
+                                [
+                                    np.asarray(
+                                        r["centroid"], dtype=np.float64
+                                    )
+                                    for r in cent
+                                ]
+                            )
+                        cent_cache.append(C)
+                    CT = np.ascontiguousarray(C.T)
+                    out_schema = T.StructType(
+                        [
+                            T.StructField(
+                                id_col, emb.schema[id_col].dataType
+                            ),
+                            T.StructField(
+                                "emb_q", T.ArrayType(T.LongType())
+                            ),
+                            T.StructField(
+                                "embedding", T.ArrayType(T.DoubleType())
+                            ),
+                            T.StructField("_cell", T.IntegerType()),
+                        ]
+                    )
+
+                    def assign(batches):
+                        import pandas as pd  # noqa: F401
+
+                        for pdf in batches:
+                            if len(pdf) == 0:
+                                continue
+                            B = np.stack(
+                                [
+                                    np.asarray(v, dtype=np.float64)
+                                    for v in pdf["embedding"]
+                                ]
+                            )
+                            Bn = B / np.maximum(
+                                np.linalg.norm(
+                                    B, axis=1, keepdims=True
+                                ),
+                                1e-12,
+                            )
+                            out = pdf[
+                                [id_col, "emb_q", "embedding"]
+                            ].copy()
+                            out["_cell"] = (
+                                (Bn @ CT).argmax(axis=1).astype(np.int32)
+                            )
+                            yield out
+
+                    (
+                        emb.mapInPandas(assign, out_schema)
+                        # cluster by cell before the partitioned write
+                        # (guide §6): one file per populated cell
+                        .repartition(int(CT.shape[1]), F.col("_cell"))
+                        .write.mode("overwrite")
+                        .partitionBy("_cell")
+                        .parquet(f"{ivf_dir}/vectors/batch={batch_id}")
+                    )
+                finally:
+                    emb.unpersist()
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futs = [
+                    pool.submit(fn)
+                    for fn in (write_corpus, write_sigs, write_vectors)
+                ]
+                for fut in futs:
+                    fut.result()
         finally:
             if sigs is not None:
                 sigs.unpersist()

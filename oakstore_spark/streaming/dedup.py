@@ -156,18 +156,41 @@ def dedup_admission_stream(
             # of being forced through the driver
             admitted = batch_df.join(rejects.distinct(), id_col, "left_anti")
             admitted = admitted.persist()
-            admitted.write.mode("overwrite").parquet(
-                f"{corpus_dir}/batch={batch_id}"
-            )
-            (
-                sigs.join(
-                    admitted.select(F.col(id_col).alias("id")),
-                    "id",
-                    "left_semi",
+
+            # r15 optimization (guide §2.6): the corpus and index
+            # writes are independent once `admitted` exists (distinct
+            # dirs, no ordering) — overlap them so the second job's
+            # tasks back-fill cores the first leaves idle. `admitted`
+            # and `pairs` are persisted, so concurrent first use
+            # computes each partition once (BlockManager cache locks).
+            # Replay semantics unchanged: both are overwrites of this
+            # batch's own dir; a failure in either branch fails the
+            # batch and the replay overwrites both, exactly as a
+            # mid-sequence failure did serially.
+            def write_corpus() -> None:
+                admitted.write.mode("overwrite").parquet(
+                    f"{corpus_dir}/batch={batch_id}"
                 )
-                .write.mode("overwrite")
-                .parquet(f"{index_dir}/batch={batch_id}")
-            )
+
+            def write_sigs() -> None:
+                (
+                    sigs.join(
+                        admitted.select(F.col(id_col).alias("id")),
+                        "id",
+                        "left_semi",
+                    )
+                    .write.mode("overwrite")
+                    .parquet(f"{index_dir}/batch={batch_id}")
+                )
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(fn) for fn in (write_corpus, write_sigs)
+                ]
+                for fut in futs:
+                    fut.result()
             admitted.unpersist()
         finally:
             if sigs is not None:

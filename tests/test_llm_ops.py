@@ -2250,6 +2250,24 @@ def test_doc_embed_planted_recovery_and_contract(spark):
         assert max(others) < 0.6
 
 
+def test_doc_embed_empty_and_all_empty_corpus(spark):
+    """r15 optimization regression guard: the idf weight table is now
+    built from one rollup pass collected at construction. Spark's
+    Expand-based rollup emits ZERO rows on empty input (no grand-total
+    group), so an empty corpus — and a corpus whose every doc has zero
+    alphanumeric tokens — must still yield an empty result, not a
+    construction-time error."""
+    from oakstore_spark.operators.text import doc_embed
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert doc_embed(empty, dim=4, n_buckets=16).collect() == []
+
+    no_terms = spark.createDataFrame(
+        [(1, ""), (2, "!!!"), (3, "   ")], ["doc_id", "text"]
+    )
+    assert doc_embed(no_terms, dim=4, n_buckets=16).collect() == []
+
+
 def test_ivf_rebalance_restores_recall_preserves_meta_tombstones(
     spark, tmp_path
 ):
