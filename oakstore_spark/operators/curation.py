@@ -46,18 +46,37 @@ def unigram_logprob(
     table back onto the token stream and a per-doc aggregation. No
     corpus-sized shuffle: tokens join the vocab map-side.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
+
     toks = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    # r15 optimization (guide §2.3/§2.4): persist the VOCABULARY-sized
+    # term-frequency relation — the total-token row and the log-prob
+    # table both consumed it as unpersisted siblings, so the corpus
+    # was tokenized three times (tf for tot, tf again inside probs,
+    # then the scoring join). Now: one tokenize pass builds tf, one
+    # scores the stream (3 scans -> 2). The remaining two passes stay
+    # separate on purpose: folding the scoring join into a per-doc
+    # (term, count) relation would replace avg-over-tokens with a
+    # weighted sum — a different float fold than the declared query's
+    # oracle replays.
+    tf = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     tot = tf.agg(F.sum("n").alias("t"))
     probs = tf.crossJoin(F.broadcast(tot)).select(
         "term", F.log(F.col("n") / F.col("t")).alias("logp")
     )
-    return toks.join(F.broadcast(probs), "term").groupBy(id_col).agg(
+    out = toks.join(F.broadcast(probs), "term").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg("logp").alias("avg_logprob"),
     )
+    return track_persisted(out, tf)
 
 
 def bigram_logprob(
@@ -172,7 +191,19 @@ def balanced_mix_sample(
 
     Kept counts are binomial around the target (not exact) — the price
     of a map-side filter instead of a full per-group rank shuffle."""
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
+
+    # r15 optimization (guide §2.3/§2.4): persist the GROUP-universe-
+    # sized count relation — the min row and the fraction table both
+    # consumed it as unpersisted siblings, each re-scanning the source
+    # (3 scans -> 2; the final membership filter must see full rows).
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     m = counts.agg(F.min("c").alias("m"))
     frac = counts.crossJoin(F.broadcast(m)).select(
         group_col,
@@ -186,10 +217,11 @@ def balanced_mix_sample(
     keyhex = F.substring(
         F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 8
     )
-    return (
+    return track_persisted(
         df.join(F.broadcast(frac), group_col)
         .filter((F.col("f") >= 1.0) | (keyhex < F.col("thr")))
-        .drop("f", "thr")
+        .drop("f", "thr"),
+        counts,
     )
 
 
@@ -324,14 +356,26 @@ def target_mix_sample(
     Kept token counts are binomial around the target shares; groups
     absent from ``targets`` are dropped (weight 0).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
+
     tgt = F.create_map(
         *[x for kv in targets.items() for x in (F.lit(kv[0]), F.lit(float(kv[1])))]
     )
+    # r15 optimization (guide §2.3/§2.4): persist the GROUP-universe-
+    # sized token-count relation — the scale factor c and the
+    # per-group fraction table both consumed it as unpersisted
+    # siblings, each re-scanning the source (and re-evaluating the
+    # caller's token_count projection). 3 source scans -> 2: the
+    # remaining pair is this aggregate plus the final membership
+    # filter, which must see the full rows anyway.
     counts = (
         df.groupBy(group_col)
         .agg(F.sum(tokens_col).cast("double").alias("toks"))
         .withColumn("tgt", tgt[F.col(group_col)])
         .filter(F.col("tgt").isNotNull() & (F.col("tgt") > 0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     c = counts.agg(F.min(F.col("toks") / F.col("tgt")).alias("c"))
     frac = counts.crossJoin(F.broadcast(c)).select(
@@ -350,10 +394,11 @@ def target_mix_sample(
     keyhex = F.substring(
         F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 8
     )
-    return (
+    return track_persisted(
         df.join(F.broadcast(frac), group_col)
         .filter((F.col("f") >= 1.0) | (keyhex < F.col("thr")))
-        .drop("f", "thr")
+        .drop("f", "thr"),
+        counts,
     )
 
 
@@ -571,9 +616,18 @@ def temperature_mix_sample(
     rather than a hash oracle."""
     if temperature <= 0:
         raise ValueError("temperature must be positive")
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
+
     inv_t = 1.0 / float(temperature)
-    counts = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("double").alias("n")
+    # r15 optimization: same persist as balanced_mix_sample — the
+    # scale row and fraction table share ONE evaluation of the
+    # group-count relation instead of two source scans.
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if abs(temperature - 2.0) < 1e-12:
         w = F.sqrt(F.col("n"))
@@ -600,10 +654,11 @@ def temperature_mix_sample(
     keyhex = F.substring(
         F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 8
     )
-    return (
+    return track_persisted(
         df.join(F.broadcast(frac), group_col)
         .filter((F.col("f") >= 1.0) | (keyhex < F.col("thr")))
-        .drop("f", "thr")
+        .drop("f", "thr"),
+        counts,
     )
 
 

@@ -1926,12 +1926,22 @@ def msprt_curve(
     day = F.floor(
         F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)
     ).cast("bigint")
-    part = df.groupBy(
-        F.col(arm_col).alias("arm"), day.alias("day")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(x * x).alias("sx2"),
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
+
+    # r15 optimization (guide §2.3/§2.4): persist the (arm, day)
+    # partial-moment relation — bounded by arms x days. Both arm
+    # sides and the day grid consumed it as unpersisted siblings,
+    # each re-running the corpus aggregate (3 scans -> 1).
+    part = (
+        df.groupBy(F.col(arm_col).alias("arm"), day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(x * x).alias("sx2"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def side(arm, suf):
@@ -1999,12 +2009,15 @@ def msprt_curve(
     )
     wmin = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
     p_run = F.min("always_valid_p").over(wmin)
-    return staged.select(
-        "*",
-        p_run.alias("p_running"),
-        (p_run <= F.lit(float(alpha))).cast("int").alias(
-            "reject_by_now"
+    return track_persisted(
+        staged.select(
+            "*",
+            p_run.alias("p_running"),
+            (p_run <= F.lit(float(alpha))).cast("int").alias(
+                "reject_by_now"
+            ),
         ),
+        part,
     )
 
 
@@ -2525,13 +2538,28 @@ def post_stratified_mean(
     Returns one row per arm: (arm, n_units, n_strata_covered,
     raw_mean, post_strat_mean).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
+
     x = F.col(value_col).cast("bigint")
-    cells = df.groupBy(
-        F.col(arm_col).alias("arm"), F.col(stratum_col).alias("stratum")
-    ).agg(
-        F.count(x).alias("n_cell"),
-        F.sum(x).alias("sx_cell"),
-    ).where(F.col("n_cell") > 0)
+    # r15 optimization (guide §2.3/§2.4): persist the (arm, stratum)
+    # moment relation — bounded by arms x strata. The stratum-share
+    # aggregate, the totals row and the reweighting join each consumed
+    # it as unpersisted siblings, re-running the corpus aggregate
+    # (3 scans -> 1).
+    cells = (
+        df.groupBy(
+            F.col(arm_col).alias("arm"),
+            F.col(stratum_col).alias("stratum"),
+        )
+        .agg(
+            F.count(x).alias("n_cell"),
+            F.sum(x).alias("sx_cell"),
+        )
+        .where(F.col("n_cell") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     strata = cells.groupBy("stratum").agg(
         F.sum("n_cell").alias("n_s")
     )
@@ -2561,17 +2589,20 @@ def post_stratified_mean(
             lambda acc, r: acc + r.getField("t"),
         ).alias("_post"),
     )
-    return per_arm.select(
-        "arm",
-        "n_units",
-        "n_strata_covered",
-        (F.col("_sx").cast("double") / F.col("n_units")).alias(
-            "raw_mean"
+    return track_persisted(
+        per_arm.select(
+            "arm",
+            "n_units",
+            "n_strata_covered",
+            (F.col("_sx").cast("double") / F.col("n_units")).alias(
+                "raw_mean"
+            ),
+            F.when(
+                F.col("n_strata_covered") == F.col("_n_strata"),
+                F.col("_post"),
+            ).alias("post_strat_mean"),
         ),
-        F.when(
-            F.col("n_strata_covered") == F.col("_n_strata"),
-            F.col("_post"),
-        ).alias("post_strat_mean"),
+        cells,
     )
 
 
@@ -3216,12 +3247,21 @@ def cramers_v(
 
     Returns one row: (n, n_rows_cat, n_cols_cat, chi2, v).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
+
     a = F.col(a_col).cast("string")
     b = F.col(b_col).cast("string")
+    # r15 optimization (guide §2.3/§2.4): persist the contingency
+    # relation — bounded by the category-cardinality product, never
+    # row count. Without it the two margins, the totals row and the
+    # joined chi2 relation each re-ran the corpus aggregate (4 scans).
     cells = (
         df.where(a.isNotNull() & b.isNotNull())
         .groupBy(a.alias("_a"), b.alias("_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("_o"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ra = cells.groupBy("_a").agg(F.sum("_o").alias("_ra"))
     cb = cells.groupBy("_b").agg(F.sum("_o").alias("_cb"))
@@ -3276,8 +3316,11 @@ def cramers_v(
         mind > 0,
         F.sqrt(F.col("chi2") / (F.col("n").cast("double") * mind)),
     )
-    return agg.select(
-        "n", "n_rows_cat", "n_cols_cat", "chi2", v.alias("v")
+    return track_persisted(
+        agg.select(
+            "n", "n_rows_cat", "n_cols_cat", "chi2", v.alias("v")
+        ),
+        cells,
     )
 
 

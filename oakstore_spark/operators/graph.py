@@ -352,8 +352,19 @@ def anchor_text_stats(
             registered_domain("_host").alias("dst_domain"), "anchor"
         )
     )
-    per_anchor = rows.groupBy("dst_domain", "anchor").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # r15 optimization (guide §2.3/§2.4): persist the per-(domain,
+    # anchor) count relation — bounded by the anchor vocabulary, never
+    # the corpus. The election window and the totals aggregate both
+    # consumed it as unpersisted siblings, each re-running the HTML
+    # anchor extraction over every page (2 corpus scans -> 1).
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
+
+    per_anchor = (
+        rows.groupBy("dst_domain", "anchor")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     from pyspark.sql import Window as _W
 
@@ -376,14 +387,17 @@ def anchor_text_stats(
             "n_unique_anchors"
         ),
     )
-    return totals.join(top, "dst_domain", "left").select(
-        "dst_domain",
-        "n_links",
-        "n_unique_anchors",
-        "top_anchor",
-        F.coalesce("top_anchor_links", F.lit(0)).alias(
-            "top_anchor_links"
+    return track_persisted(
+        totals.join(top, "dst_domain", "left").select(
+            "dst_domain",
+            "n_links",
+            "n_unique_anchors",
+            "top_anchor",
+            F.coalesce("top_anchor_links", F.lit(0)).alias(
+                "top_anchor_links"
+            ),
         ),
+        per_anchor,
     )
 
 

@@ -121,10 +121,20 @@ def cohens_kappa(
     p_expected, kappa); kappa NULL when p_e = 1 (a single shared
     label — agreement is undefined, not perfect).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
+
     a = F.col(rater_a_col).cast("string")
     b = F.col(rater_b_col).cast("string")
-    cells = df.groupBy(a.alias("la"), b.alias("lb")).agg(
-        F.count(F.lit(1)).alias("n_ab")
+    # r15 optimization (guide §2.3/§2.4): persist the contingency
+    # relation — bounded by label cardinality squared. Both marginals
+    # and the diagonal agreement row consumed it as unpersisted
+    # siblings, each re-running the corpus aggregate (3 scans -> 1).
+    cells = (
+        df.groupBy(a.alias("la"), b.alias("lb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # rename the keys before joining: both marginals derive from the
     # same cells relation and Spark's ambiguous-self-join check
@@ -159,12 +169,15 @@ def cohens_kappa(
     po = F.col("n_agree").cast("double") / nd
     pe = F.col("s_rc").cast("double") / (nd * nd)
     kappa = F.when(pe < 1, (po - pe) / (1 - pe))
-    return j.select(
-        "n_items",
-        "n_categories",
-        po.alias("p_observed"),
-        pe.alias("p_expected"),
-        kappa.alias("kappa"),
+    return track_persisted(
+        j.select(
+            "n_items",
+            "n_categories",
+            po.alias("p_observed"),
+            pe.alias("p_expected"),
+            kappa.alias("kappa"),
+        ),
+        cells,
     )
 
 

@@ -686,10 +686,23 @@ def multiclass_report(
     summary names must not collide with a real class.  Returns
     (label, n_true, n_pred, tp, precision, recall, f1).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
+
     y = F.col(label_col).cast("string")
     p = F.col(pred_col).cast("string")
-    cells = df.groupBy(y.alias("_y"), p.alias("_p")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n")
+    # r15 optimization (guide §2.3/§2.4): persist the confusion
+    # relation — bounded by class-cardinality² rows, never row count.
+    # Without it, every downstream margin (truth / pred / diag /
+    # classes, then the rows→summary re-derivations) re-evaluated the
+    # cells subtree from the SOURCE — for q_multiclass_eval that meant
+    # 14 full corpus scans each re-running the ×6-language langid
+    # scoring. One corpus aggregate now feeds the whole report.
+    cells = (
+        df.groupBy(y.alias("_y"), p.alias("_p"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     truth = cells.groupBy(F.col("_y").alias("label")).agg(
         F.sum("_n").cast("bigint").alias("n_true")
@@ -774,7 +787,9 @@ def multiclass_report(
         acc.alias("recall"),
         acc.alias("f1"),
     )
-    return rows.unionByName(macro).unionByName(micro)
+    return track_persisted(
+        rows.unionByName(macro).unionByName(micro), cells
+    )
 
 
 def isotonic_calibrate(

@@ -714,8 +714,27 @@ def cohort_retention(
         # (date_trunc('week') differs on week-start conventions)
         pidx = F.floor(F.unix_micros(F.col(ts_col)) / plen).cast("long")
         cohort_start = F.col("_c") * plen
-    activity = df.select(u.alias("_u"), pidx.alias("_p")).distinct()
-    firsts = activity.groupBy("_u").agg(F.min("_p").alias("_c"))
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
+
+    # r15 optimization (guide §2.3/§2.4): persist the distinct
+    # (user, period) activity relation and the user-sized first-period
+    # relation — activity fed both the cohort tagging join and the
+    # firsts aggregate, and firsts fed both the join and the cohort
+    # sizes, so the corpus was scanned three times. Both persists are
+    # bounded: activity by users x active periods (two narrow
+    # columns), firsts by the user universe.
+    activity = (
+        df.select(u.alias("_u"), pidx.alias("_p"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    firsts = (
+        activity.groupBy("_u")
+        .agg(F.min("_p").alias("_c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cells = (
         activity.join(firsts, "_u")
         .groupBy("_c", (F.col("_p") - F.col("_c")).alias("period_offset"))
@@ -724,7 +743,7 @@ def cohort_retention(
     sizes = firsts.groupBy("_c").agg(
         F.count(F.lit(1)).alias("cohort_size")
     )
-    return (
+    return track_persisted(
         cells.join(sizes, "_c")
         .select(
             cohort_start.cast("long").alias("cohort_start_us"),
@@ -734,7 +753,9 @@ def cohort_retention(
             (F.col("n_active") / F.col("cohort_size"))
             .cast("double")
             .alias("retention_rate"),
-        )
+        ),
+        activity,
+        firsts,
     )
 
 
@@ -2613,6 +2634,17 @@ def decompose_classical(
     ).withColumn(
         "period_pos", ((F.col("rn") - 1) % m).cast("bigint")
     )
+    # r15 optimization (guide §2.3/§2.4): persist the (keys,
+    # period_pos) profile relation — bounded by keys x period. The
+    # key-total aggregate and the seasonal join both consumed it as
+    # unpersisted siblings, each re-running the corpus-wide trend
+    # window pass (3 source scans -> 2; the remaining pair is the
+    # profile build plus the final per-row join, which needs the
+    # full staged rows anyway).
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
+
     prof = (
         staged.groupBy(*keys, "period_pos")
         .agg(
@@ -2620,6 +2652,7 @@ def decompose_classical(
             F.count("_sd").alias("_np"),
         )
         .where(F.col("_np") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = prof.groupBy(*keys).agg(
         F.sum("_sp").alias("_st"), F.sum("_np").alias("_nt")
@@ -2634,17 +2667,22 @@ def decompose_classical(
         ).alias("seasonal"),
     )
     out = staged.join(prof2, [*keys, "period_pos"], "left")
-    return out.select(
-        *keys,
-        "rn",
-        "period_pos",
-        "x",
-        (F.col("_num").cast("double") / F.lit(2 * m)).alias("trend"),
-        "seasonal",
-        (
-            F.col("_sd").cast("double") / F.lit(2 * m)
-            - F.col("seasonal")
-        ).alias("residual"),
+    return track_persisted(
+        out.select(
+            *keys,
+            "rn",
+            "period_pos",
+            "x",
+            (F.col("_num").cast("double") / F.lit(2 * m)).alias(
+                "trend"
+            ),
+            "seasonal",
+            (
+                F.col("_sd").cast("double") / F.lit(2 * m)
+                - F.col("seasonal")
+            ).alias("residual"),
+        ),
+        prof,
     )
 
 
@@ -3416,22 +3454,44 @@ def kendall_tau(
         )
         base = g.select(*keys, "n_obs", s_stat.alias("s_stat"))
 
-    def tie_term(col, alias):
-        return (
-            df.groupBy(*keys, col.alias("_v"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
-            .groupBy(*keys)
-            .agg(
-                F.sum(
-                    F.col("_t") * (F.col("_t") - 1) / 2
-                ).cast("bigint").alias(alias)
+    # r15 optimization (guide §2.3/§2.4): both tie terms from ONE
+    # corpus pass — explode each row to (side, value) and aggregate
+    # the x- and y-side tied groups together, instead of two separate
+    # (key, value) aggregates each re-scanning the source, then ONE
+    # join instead of two. Semantics are identical: every row emits
+    # both sides, so each key's x- and y-groups (including the NULL
+    # value group) are exactly the old tie_term relations, and
+    # t(t-1)/2 stays integer-exact in doubles far below 2^53 so the
+    # fold order is irrelevant, same as before.
+    tie_src = df.select(
+        *keys,
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("_s"), x.alias("_v")),
+                F.struct(F.lit(1).alias("_s"), y.alias("_v")),
             )
-        )
-
-    j = (
-        base.join(tie_term(x, "_tx"), list(keys))
-        .join(tie_term(y, "_ty"), list(keys))
+        ).alias("_sv"),
+    ).select(
+        *keys,
+        F.col("_sv._s").alias("_s"),
+        F.col("_sv._v").alias("_v"),
     )
+
+    def tie_sum(side: int):
+        return F.sum(
+            F.when(
+                F.col("_s") == side,
+                F.col("_t") * (F.col("_t") - 1) / 2,
+            )
+        ).cast("bigint")
+
+    ties = (
+        tie_src.groupBy(*keys, "_s", "_v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
+        .groupBy(*keys)
+        .agg(tie_sum(0).alias("_tx"), tie_sum(1).alias("_ty"))
+    )
+    j = base.join(ties, list(keys))
     nn = F.col("n_obs")
     n0 = (nn * (nn - 1) / 2).cast("bigint")
     den2 = (n0 - F.col("_tx")).cast("double") * (

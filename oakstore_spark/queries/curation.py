@@ -551,11 +551,21 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB you additionally cap per-doc distinct terms and hash the
     pair key), document frequencies broadcast back onto the pair
     counts."""
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
+
     d = table(spark, sf_dir, "documents")
+    # r15 optimization (guide §2.3/§2.4): persist the distinct
+    # doc-term relation — the n_docs count, the document frequencies
+    # and BOTH legs of the per-document self-join consumed it, each
+    # re-tokenizing the corpus (4 scans -> 1). Bounded by distinct
+    # (doc, term) pairs, the same budget as the per-doc bigram persists.
     docterms = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_docs = docterms.select("doc_id").distinct().count()
     tf = docterms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -571,7 +581,7 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     fa = tf.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
     fb = tf.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
     n = float(n_docs)
-    return (
+    out = (
         pairs.join(F.broadcast(fa), "term_a")
         .join(F.broadcast(fb), "term_b")
         .select(
@@ -587,6 +597,7 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+    return track_persisted(out, docterms)
 
 
 @register(
@@ -1059,7 +1070,16 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is S rows and broadcast. Top pairs by Jaccard surface sources that
     are near-mirrors of each other (crawl duplicates) before they
     double-count in the training mix."""
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
+
     d = table(spark, sf_dir, "documents")
+    # r15 optimization (guide §2.3/§2.4): persist the distinct
+    # (source, term) relation — the size aggregate and BOTH legs of
+    # the term self-join consumed it as unpersisted siblings, each
+    # re-tokenizing the corpus (4 scans -> 1). Bounded by
+    # sources x vocabulary, the per-doc-bigram persist budget.
     tok = (
         d.select(
             "source",
@@ -1067,6 +1087,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("term") != "")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = tok.alias("a")
@@ -1084,7 +1105,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na")))
     sb = F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb")))
-    return (
+    out = (
         inter.join(sa, "src_a")
         .join(sb, "src_b")
         .select(
@@ -1102,6 +1123,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "src_a", "src_b")
         .limit(30)
     )
+    return track_persisted(out, tok)
 
 
 @register(
@@ -1588,6 +1610,10 @@ def q_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale shape as unigram_logprob (vocab-sized count relation
     joined onto the eval token stream); the split predicate is a pure
     row-key function so both engines fit on the identical corpus."""
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
+
     d = table(spark, sf_dir, "documents")
     is_train = (
         F.substring(
@@ -1599,11 +1625,19 @@ def q_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_train.alias("is_train"),
         F.explode(F.split(F.col("text"), " ")).alias("term"),
     ).where(F.col("term") != "")
-    tf = tok.where("is_train").groupBy("term").agg(
-        F.count(F.lit(1)).alias("n")
+    # r15 optimization (guide §2.3/§2.4): persist the VOCAB-sized
+    # train-split count relation — the totals row and the eval-side
+    # join consumed it as unpersisted siblings, each re-tokenizing
+    # the corpus (3 scans -> 2: train fit + eval score, which stay
+    # separate by the held-out design).
+    tf = (
+        tok.where("is_train")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = tf.agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("v"))
-    return (
+    out = (
         tok.where(~F.col("is_train"))
         .join(tf, "term", "left")
         .crossJoin(F.broadcast(tot))
@@ -1620,6 +1654,7 @@ def q_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+    return track_persisted(out, tf)
 
 
 @register(

@@ -1364,15 +1364,32 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .collect()[0][:2]
     )
-    t1 = tok.where(F.col("term") == w1).select("doc_id", "pos").alias("t1")
-    t2 = tok.where(F.col("term") == w2).select("doc_id", "pos").alias("t2")
+    # r15 optimization (guide §2.3/§2.4): fetch BOTH posting lists in
+    # ONE tokenize pass — the two join sides previously each re-ran
+    # normalize+posexplode over the corpus just to keep one term's
+    # postings. The persisted relation is exactly the two posting
+    # lists (tiny by construction); each side filters it, which is
+    # byte-identical to filtering the full token stream.
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
+
+    posts = (
+        tok.where(F.col("term").isin(w1, w2))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    t1 = posts.where(F.col("term") == w1).select("doc_id", "pos").alias("t1")
+    t2 = posts.where(F.col("term") == w2).select("doc_id", "pos").alias("t2")
     hits = t1.join(
         t2,
         (F.col("t1.doc_id") == F.col("t2.doc_id"))
         & (F.col("t2.pos") == F.col("t1.pos") + 1),
     )
-    return hits.groupBy(F.col("t1.doc_id").alias("doc_id")).agg(
-        F.count(F.lit(1)).alias("n_hits")
+    return track_persisted(
+        hits.groupBy(F.col("t1.doc_id").alias("doc_id")).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        ),
+        posts,
     )
 
 
@@ -1713,7 +1730,17 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.where(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding", "label"
     )
-    mined = contrastive_pairs(e, queries)
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
+
+    # r15 optimization (guide §2.3/§2.4): persist the mined relation —
+    # bounded at two rows per anchor. The pos/neg legs are filters
+    # over it; unpersisted, each leg re-ran the whole O(n·q) cosine
+    # mining kernel (2 corpus scans -> 1).
+    mined = contrastive_pairs(e, queries).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pos = mined.where(F.col("leg") == "pos").select(
         "query_id",
         F.col("vec_id").alias("pos_id"),
@@ -1724,7 +1751,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neg_id"),
         F.round("sim", 6).alias("neg_sim"),
     )
-    return pos.join(neg, "query_id")
+    return track_persisted(pos.join(neg, "query_id"), mined)
 
 
 # rank-biased overlap weights: W[m] = (1-p) * sum_{d=m..K} p^(d-1)/d — a

@@ -675,13 +675,21 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     medians. (Exact per-GROUP medians shuffle only each group, never
     globally — the global-sort caveat of q_percentiles doesn't apply.)"""
     e = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
-    med = e.groupBy("user_id").agg(F.median("value").alias("med"))
-    dev = e.join(med, "user_id").withColumn(
+    # r15 optimization (guide §2.4): both exact medians as WINDOW
+    # aggregates over the user partition instead of two groupBy
+    # median passes joined back — the same Median aggregate evaluates
+    # over the identical per-user rows (unbounded frame), so med/mad
+    # are value-identical, and the plan drops from four source scans
+    # plus two joins to ONE scan with every stage hash-partitioned on
+    # user_id (the flagging aggregate reuses the window's exchange).
+    # Skew is unchanged: a hot user occupied one reducer in the
+    # groupBy-median shape too.
+    wu = W.partitionBy("user_id")
+    dev = e.withColumn("med", F.median("value").over(wu)).withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("user_id").agg(F.median("adev").alias("mad"))
     k = 1.4826
-    flagged = dev.join(mad, "user_id")
+    flagged = dev.withColumn("mad", F.median("adev").over(wu))
     return flagged.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(

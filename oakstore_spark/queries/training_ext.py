@@ -142,12 +142,27 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc argmax is one window over the doc key. Score arithmetic is
     identical double ops from identical integers in both engines, so the
     (score DESC, word) tie-break elects the same winner."""
+    from pyspark.storagelevel import StorageLevel
+
+    from oakstore_spark.operators.scaling import track_persisted
+
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     ).filter(F.col("word") != "")
-    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # r15 optimization (guide §2.3/§2.4): persist the (doc, word, tf)
+    # relation and derive document frequency FROM it — tf holds exactly
+    # one row per distinct (doc, word), so count(*) per word equals the
+    # old countDistinct(doc_id) over the token stream bit-for-bit. The
+    # corpus is tokenized once instead of twice.
+    tf = (
+        toks.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     score = (
         F.col("tf").cast("double")
@@ -159,7 +174,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("score", score)
     )
     win = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
-    return (
+    out = (
         scored.withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") == 1)
         .select(
@@ -168,6 +183,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("tfidf"),
         )
     )
+    return track_persisted(out, tf)
 
 
 # --- stratified deterministic sampling ------------------------------------
