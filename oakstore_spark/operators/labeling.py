@@ -121,63 +121,76 @@ def cohens_kappa(
     p_expected, kappa); kappa NULL when p_e = 1 (a single shared
     label — agreement is undefined, not perfect).
     """
-    from pyspark.storagelevel import StorageLevel
+    from pyspark.sql import types as T
 
-    from oakstore_spark.operators.scaling import track_persisted
+    from oakstore_spark.operators.scaling import literal_rows_df
 
     a = F.col(rater_a_col).cast("string")
     b = F.col(rater_b_col).cast("string")
-    # r15 optimization (guide §2.3/§2.4): persist the contingency
-    # relation — bounded by label cardinality squared. Both marginals
-    # and the diagonal agreement row consumed it as unpersisted
-    # siblings, each re-running the corpus aggregate (3 scans -> 1).
+    # r16 optimization (r15 verdict ask #4, guide §1.2 step 1): the
+    # whole readout derives from the contingency relation (bounded by
+    # label cardinality squared BY CONSTRUCTION) — collect it in ONE
+    # job and compute the marginals, the diagonal and the kappa chain
+    # driver-side instead of persisting it for three downstream
+    # branches (the r15 persist shape was a measured local tax on a
+    # sub-second query). Every count/marginal product is an exact
+    # Python int (= the old exact BIGINT aggregates, order-free); the
+    # float chain is the identical pinned po/pe/kappa divisions.
+    # Construction is EAGER (one Spark job at call time; not
+    # composable over streaming input); the result is a literal row.
     cells = (
         df.groupBy(a.alias("la"), b.alias("lb"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .collect()
     )
-    # rename the keys before joining: both marginals derive from the
-    # same cells relation and Spark's ambiguous-self-join check
-    # rejects a raw rows["la"] == colsr["lb"] condition
-    rows = cells.groupBy("la").agg(F.sum("n_ab").alias("row_n")).select(
-        F.col("la").alias("lab_r"), "row_n"
+    schema = T.StructType(
+        [
+            T.StructField("n_items", T.LongType()),
+            T.StructField("n_categories", T.LongType()),
+            T.StructField("p_observed", T.DoubleType()),
+            T.StructField("p_expected", T.DoubleType()),
+            T.StructField("kappa", T.DoubleType()),
+        ]
     )
-    colsr = cells.groupBy("lb").agg(F.sum("n_ab").alias("col_n")).select(
-        F.col("lb").alias("lab_c"), "col_n"
-    )
-    marg = rows.join(
-        colsr, F.col("lab_r") == F.col("lab_c"), "full"
-    ).select(
-        F.coalesce(F.col("lab_r"), F.col("lab_c")).alias("lab"),
-        F.coalesce("row_n", F.lit(0)).alias("row_n"),
-        F.coalesce("col_n", F.lit(0)).alias("col_n"),
-    )
-    agg_m = marg.agg(
-        F.sum("row_n").cast("bigint").alias("n_items"),
-        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
-        F.sum(F.col("row_n") * F.col("col_n")).cast("bigint").alias(
-            "s_rc"
-        ),
-    )
-    agree = cells.where(F.col("la") == F.col("lb")).agg(
-        F.coalesce(F.sum("n_ab"), F.lit(0)).cast("bigint").alias(
-            "n_agree"
+    spark = df.sparkSession
+    if not cells:
+        # empty input: the old plan's full-join produced zero marginal
+        # rows, so n_items = NULL (sum over empty), n_categories = 0,
+        # and every float reads NULL
+        return literal_rows_df(
+            spark, [(None, 0, None, None, None)], schema
         )
+    row_n: dict = {}
+    col_n: dict = {}
+    n_agree = 0
+    for r_ in cells:
+        c = int(r_["n_ab"])
+        row_n[r_["la"]] = row_n.get(r_["la"], 0) + c
+        col_n[r_["lb"]] = col_n.get(r_["lb"], 0) + c
+        if r_["la"] is not None and r_["la"] == r_["lb"]:
+            n_agree += c
+    # NULL-label semantics replicate the old full join on lab_r =
+    # lab_c: SQL NULL never equals NULL, so a NULL row-marginal and a
+    # NULL col-marginal stay SEPARATE category rows (each pairing with
+    # an implicit 0 on the other side — contributing 0 to s_rc)
+    named = {k for k in row_n if k is not None} | {
+        k for k in col_n if k is not None
+    }
+    n_categories = (
+        len(named)
+        + (1 if None in row_n else 0)
+        + (1 if None in col_n else 0)
     )
-    j = agg_m.crossJoin(F.broadcast(agree))
-    nd = F.col("n_items").cast("double")
-    po = F.col("n_agree").cast("double") / nd
-    pe = F.col("s_rc").cast("double") / (nd * nd)
-    kappa = F.when(pe < 1, (po - pe) / (1 - pe))
-    return track_persisted(
-        j.select(
-            "n_items",
-            "n_categories",
-            po.alias("p_observed"),
-            pe.alias("p_expected"),
-            kappa.alias("kappa"),
-        ),
-        cells,
+    n_items = sum(row_n.values())
+    s_rc = sum(
+        row_n.get(lab, 0) * col_n.get(lab, 0) for lab in named
+    )
+    nd = float(n_items)
+    po = float(n_agree) / nd
+    pe = float(s_rc) / (nd * nd)
+    kappa = (po - pe) / (1 - pe) if pe < 1 else None
+    return literal_rows_df(
+        spark, [(n_items, n_categories, po, pe, kappa)], schema
     )
 
 

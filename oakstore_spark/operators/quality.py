@@ -686,109 +686,99 @@ def multiclass_report(
     summary names must not collide with a real class.  Returns
     (label, n_true, n_pred, tp, precision, recall, f1).
     """
-    from pyspark.storagelevel import StorageLevel
+    from pyspark.sql import types as T
 
-    from oakstore_spark.operators.scaling import track_persisted
+    from oakstore_spark.operators.scaling import literal_rows_df
 
     y = F.col(label_col).cast("string")
     p = F.col(pred_col).cast("string")
-    # r15 optimization (guide §2.3/§2.4): persist the confusion
-    # relation — bounded by class-cardinality² rows, never row count.
-    # Without it, every downstream margin (truth / pred / diag /
-    # classes, then the rows→summary re-derivations) re-evaluated the
-    # cells subtree from the SOURCE — for q_multiclass_eval that meant
-    # 14 full corpus scans each re-running the ×6-language langid
-    # scoring. One corpus aggregate now feeds the whole report.
+    # r16 optimization (r15 verdict ask #4, guide §1.2 step 1): the
+    # whole report derives from the confusion relation, bounded by
+    # class-cardinality² BY CONSTRUCTION — collect it in ONE job and
+    # compute the margins + metric algebra driver-side instead of
+    # persisting it for the truth/pred/diag/classes branches and the
+    # rows→summary re-reads (the r15 persist shape cut 14 corpus
+    # scans to 1 but was a measured ~1.4x LOCAL tax: one
+    # cache-materialization stage + a fan of tiny follow-up jobs; the
+    # r15-rejected ExistingRDD local-relation variant kept the Spark
+    # aggregates and was slower still — this variant keeps NOTHING
+    # downstream: the result is a literal relation). Counts are exact
+    # Python ints (= the old BIGINT aggregates), per-class metrics the
+    # identical single divisions, and the macro fold adds coalesced
+    # metrics in class-sorted order exactly like the old
+    # array_sort+aggregate HOF (NULL label sorts first, matching
+    # Spark's NULLS FIRST struct ordering). Construction is EAGER (one
+    # Spark job at call time; not composable over streaming input).
     cells = (
         df.groupBy(y.alias("_y"), p.alias("_p"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .collect()
     )
-    truth = cells.groupBy(F.col("_y").alias("label")).agg(
-        F.sum("_n").cast("bigint").alias("n_true")
-    )
-    pred = cells.groupBy(F.col("_p").alias("label")).agg(
-        F.sum("_n").cast("bigint").alias("n_pred")
-    )
-    diag = cells.where(F.col("_y") == F.col("_p")).select(
-        F.col("_y").alias("label"), F.col("_n").alias("tp")
-    )
-    classes = truth.select("label").union(
-        pred.select("label")
-    ).distinct()
-    per = (
-        classes.join(F.broadcast(truth), "label", "left")
-        .join(F.broadcast(pred), "label", "left")
-        .join(F.broadcast(diag), "label", "left")
-        .select(
-            "label",
-            F.coalesce(F.col("n_true"), F.lit(0)).alias("n_true"),
-            F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
-            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+    truth: dict = {}
+    pred: dict = {}
+    diag: dict = {}
+    for r_ in cells:
+        c = int(r_["_n"])
+        truth[r_["_y"]] = truth.get(r_["_y"], 0) + c
+        pred[r_["_p"]] = pred.get(r_["_p"], 0) + c
+        if r_["_y"] is not None and r_["_y"] == r_["_p"]:
+            diag[r_["_y"]] = diag.get(r_["_y"], 0) + c
+    # classes = union DISTINCT of truth/pred labels (a NULL label
+    # merges into ONE class row, whose left joins then never match a
+    # NULL key — n_true/n_pred/tp all read 0, like the old plan)
+    classes = set(truth) | set(pred)
+    out_rows = []
+    sp = sr = sf = 0.0
+    n_tot = tps = 0
+    for lab in sorted(
+        classes, key=lambda x: (x is not None, x)
+    ):
+        if lab is None:
+            nt = np_ = tp = 0
+        else:
+            nt = truth.get(lab, 0)
+            np_ = pred.get(lab, 0)
+            tp = diag.get(lab, 0)
+        prec = float(tp) / np_ if np_ > 0 else None
+        rec = float(tp) / nt if nt > 0 else None
+        f1 = 2 * float(tp) / (nt + np_) if nt + np_ > 0 else None
+        out_rows.append((lab, nt, np_, tp, prec, rec, f1))
+        n_tot += nt
+        tps += tp
+        # macro fold in class-sorted order, NULL metric counted as 0.0
+        sp = sp + (prec if prec is not None else 0.0)
+        sr = sr + (rec if rec is not None else 0.0)
+        sf = sf + (f1 if f1 is not None else 0.0)
+    n_classes = len(classes)
+    if n_classes:
+        macro = (
+            "__macro__", n_tot, n_tot, tps,
+            sp / n_classes, sr / n_classes, sf / n_classes,
         )
+    else:
+        # empty input: the old summary row read NULL counts but its
+        # macro metrics were 0.0 / 0 — an IEEE double division, i.e.
+        # NaN (Spark only NULLs integral division by zero)
+        nan = float("nan")
+        macro = ("__macro__", None, None, None, nan, nan, nan)
+    acc = float(tps) / n_tot if n_tot > 0 else None
+    if n_classes:
+        micro = ("__micro__", n_tot, n_tot, tps, acc, acc, acc)
+    else:
+        micro = ("__micro__", None, None, None, None, None, None)
+    schema = T.StructType(
+        [
+            T.StructField("label", T.StringType()),
+            T.StructField("n_true", T.LongType()),
+            T.StructField("n_pred", T.LongType()),
+            T.StructField("tp", T.LongType()),
+            T.StructField("precision", T.DoubleType()),
+            T.StructField("recall", T.DoubleType()),
+            T.StructField("f1", T.DoubleType()),
+        ]
     )
-    prec = F.when(
-        F.col("n_pred") > 0,
-        F.col("tp").cast("double") / F.col("n_pred"),
-    )
-    rec = F.when(
-        F.col("n_true") > 0,
-        F.col("tp").cast("double") / F.col("n_true"),
-    )
-    f1 = F.when(
-        F.col("n_true") + F.col("n_pred") > 0,
-        2 * F.col("tp").cast("double")
-        / (F.col("n_true") + F.col("n_pred")),
-    )
-    rows = per.select(
-        "label", "n_true", "n_pred", "tp",
-        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
-    )
-
-    def fold(col: str):
-        return F.aggregate(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("label"),
-                        F.coalesce(F.col(col), F.lit(0.0)).alias("v"),
-                    )
-                )
-            ),
-            F.lit(0.0),
-            lambda acc, r: acc + r.getField("v"),
-        )
-    summ = rows.agg(
-        F.sum("n_true").cast("bigint").alias("n"),
-        F.sum("tp").cast("bigint").alias("tps"),
-        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
-        fold("precision").alias("_sp"),
-        fold("recall").alias("_sr"),
-        fold("f1").alias("_sf"),
-    )
-    macro = summ.select(
-        F.lit("__macro__").alias("label"),
-        F.col("n").alias("n_true"),
-        F.col("n").alias("n_pred"),
-        F.col("tps").alias("tp"),
-        (F.col("_sp") / F.col("n_classes")).alias("precision"),
-        (F.col("_sr") / F.col("n_classes")).alias("recall"),
-        (F.col("_sf") / F.col("n_classes")).alias("f1"),
-    )
-    acc = F.when(
-        F.col("n") > 0, F.col("tps").cast("double") / F.col("n")
-    )
-    micro = summ.select(
-        F.lit("__micro__").alias("label"),
-        F.col("n").alias("n_true"),
-        F.col("n").alias("n_pred"),
-        F.col("tps").alias("tp"),
-        acc.alias("precision"),
-        acc.alias("recall"),
-        acc.alias("f1"),
-    )
-    return track_persisted(
-        rows.unionByName(macro).unionByName(micro), cells
+    return literal_rows_df(
+        df.sparkSession, out_rows + [macro, micro], schema
     )
 
 

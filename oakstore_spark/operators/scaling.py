@@ -265,3 +265,40 @@ def unpersist_deps(df: DataFrame, blocking: bool = False) -> int:
         h.unpersist(blocking)
     df._oakstore_persisted = []
     return len(deps)
+
+
+def literal_rows_df(spark, rows, schema):
+    """A DataFrame of DRIVER-COMPUTED rows as a pure LITERAL relation
+    (LocalTableScan after constant evaluation) — the endgame of the
+    bounded-statistic collect pattern (guide §1.2 step 1): an operator
+    whose final readout derives entirely from a bounded cells relation
+    collects that relation in ONE job, replays the identical float
+    chain driver-side, and emits the result as literals. Unlike
+    ``createDataFrame(rows)`` (RDD-backed ``Scan ExistingRDD`` — every
+    consumer re-pulls pickled rows through a Python runner; measured
+    slower than the plans it replaced in r15), a literal plan costs no
+    job, no Python worker and no shuffle to consume.
+
+    ``rows`` is a list of tuples aligned with ``schema`` (a StructType);
+    None values become typed NULL literals. Empty ``rows`` returns an
+    empty relation of the same schema.
+    """
+    from pyspark.sql import functions as F
+
+    if not rows:
+        return spark.createDataFrame([], schema)
+    fields = schema.fields
+
+    def cell(v, f):
+        if v is None:
+            return F.lit(None).cast(f.dataType).alias(f.name)
+        return F.lit(v).cast(f.dataType).alias(f.name)
+
+    structs = [
+        F.struct(*[cell(v, f) for v, f in zip(r, fields)]) for r in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("_r"))
+        .select(*[F.col("_r")[f.name].alias(f.name) for f in fields])
+    )
