@@ -1643,6 +1643,7 @@ def doc_embed(
     dim: int = 16,
     n_buckets: int = 1024,
     scale: int = 1024,
+    driver_max_tf_rows: int = 400_000,
 ) -> DataFrame:
     """In-engine document embeddings with ZERO external models (r13
     verdict ask #4): hashed TF-IDF x Johnson-Lindenstrauss signs,
@@ -1717,11 +1718,72 @@ def doc_embed(
     # MEMORY_AND_DISK, the same budget the minhash/LSH family persists.
     from pyspark.storagelevel import StorageLevel
 
-    tf = (
-        tb.groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    tf_plan = tb.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
     )
+    # r16 optimization (guide §1.2 step 1, the sssp/minhash gate
+    # precedent): size-gated DRIVER fast path. Under the gate, the tf
+    # relation transfers in ONE Arrow job and the whole idf + JL chain
+    # runs vectorized on the driver — replacing the stats collect
+    # (~7 AQE sub-jobs), the broadcast join, the collect_list groupBy
+    # and the mapInPandas kernel (~13 jobs measured for q_doc_embed).
+    # Bit-identical BY CONSTRUCTION: df_b / n_docs are exact integer
+    # counts of the same rows, w the same non-negative integer DIV,
+    # emb_q the same order-free int64 accumulation numpy already did
+    # inside the kernel (same wrap semantics), embedding the same
+    # float64 division. Gate+transfer are one `limit(cap+1)` pull (the
+    # r15 minhash pattern: complete iff <= cap); overflow or a NULL id
+    # (pandas NaN would corrupt the grouping) falls through to the
+    # distributed path. driver_max_tf_rows=0 forces the distributed
+    # path (CI parity hook).
+    if driver_max_tf_rows > 0:
+        pdf = tf_plan.limit(driver_max_tf_rows + 1).toPandas()
+        if len(pdf) <= driver_max_tf_rows and not (
+            len(pdf) and pdf[id_col].isna().any()
+        ):
+            out_schema = T.StructType(
+                [
+                    df.schema[id_col],
+                    T.StructField("emb_q", T.ArrayType(T.LongType())),
+                    T.StructField(
+                        "embedding", T.ArrayType(T.DoubleType())
+                    ),
+                ]
+            )
+            spark = df.sparkSession
+            if not len(pdf):
+                return spark.createDataFrame([], out_schema)
+            buckets = pdf["bucket"].to_numpy(np.int64)
+            tfv = pdf["tf"].to_numpy(np.int64)
+            df_b = np.bincount(buckets, minlength=n_buckets)
+            n_docs = int(pdf[id_col].nunique())
+            w_full = np.zeros(n_buckets, dtype=np.int64)
+            nz = df_b > 0
+            w_full[nz] = (n_docs * scale) // df_b[nz]
+            signs = np.empty((n_buckets, dim), dtype=np.int64)
+            for j in range(dim):
+                for b_ in range(n_buckets):
+                    h = hashlib.md5(f"{j}_{b_}".encode()).hexdigest()
+                    signs[b_, j] = 1 if h[0] < "8" else -1
+            codes, uniq = pd.factorize(pdf[id_col])
+            out = np.zeros((len(uniq), dim), dtype=np.int64)
+            np.add.at(
+                out, codes, signs[buckets] * (tfv * w_full[buckets])[:, None]
+            )
+            emb = out / float(scale)
+            rows = [
+                (uniq[i], out[i].tolist(), emb[i].tolist())
+                for i in range(len(uniq))
+            ]
+            # python-native id values so createDataFrame type-checks
+            # match the declared id type (numpy ints fail LongType)
+            rows = [
+                (r[0].item() if hasattr(r[0], "item") else r[0], r[1], r[2])
+                for r in rows
+            ]
+            return spark.createDataFrame(rows, out_schema)
+
+    tf = tf_plan.persist(StorageLevel.MEMORY_AND_DISK)
     # The weight table is bounded by n_buckets rows, i.e. it is
     # broadcast-sized BY CONSTRUCTION — collect its two inputs in ONE
     # flagged-union job over the persisted tf relation instead of two

@@ -714,48 +714,51 @@ def cohort_retention(
         # (date_trunc('week') differs on week-start conventions)
         pidx = F.floor(F.unix_micros(F.col(ts_col)) / plen).cast("long")
         cohort_start = F.col("_c") * plen
-    from pyspark.storagelevel import StorageLevel
+    from pyspark.sql import Window as W
 
-    from oakstore_spark.operators.scaling import track_persisted
-
-    # r15 optimization (guide §2.3/§2.4): persist the distinct
-    # (user, period) activity relation and the user-sized first-period
-    # relation — activity fed both the cohort tagging join and the
-    # firsts aggregate, and firsts fed both the join and the cohort
-    # sizes, so the corpus was scanned three times. Both persists are
-    # bounded: activity by users x active periods (two narrow
-    # columns), firsts by the user universe.
-    activity = (
-        df.select(u.alias("_u"), pidx.alias("_p"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    firsts = (
-        activity.groupBy("_u")
-        .agg(F.min("_p").alias("_c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # r16 optimization (r15 verdict ask #4, guide §2.4): single-pass
+    # window variant — the r15 two-persist shape (activity + firsts,
+    # then a tagging join and a sizes join) was a measured 1.4-1.8x
+    # LOCAL tax and pinned a corpus-derived relation. Instead: tag
+    # every (user, period) row with its cohort via min-over-user
+    # window, aggregate ONCE to (cohort, offset) carrying BOTH counts
+    # — n_active = count(_u) (distinct (u,p) rows make count equal the
+    # old countDistinct) and _n_all = count(*) — and read cohort_size
+    # as the offset-0 _n_all through a window over the tiny cells
+    # relation (every user is active in its own first period, so the
+    # offset-0 row is the firsts count by construction). One corpus
+    # scan, zero persists, zero joins. NULL-user semantics replicate
+    # the old plan exactly: the old tagging join dropped NULL users
+    # from n_active (NULL key never matches) while the firsts relation
+    # still counted them in cohort_size — here count(_u) skips them
+    # and count(*) keeps them; (cohort, offset) rows reachable only
+    # via NULL users read n_active = 0 and are filtered, as the old
+    # inner join implied.
+    activity = df.select(u.alias("_u"), pidx.alias("_p")).distinct()
+    tagged = activity.withColumn(
+        "_c", F.min("_p").over(W.partitionBy("_u"))
     )
     cells = (
-        activity.join(firsts, "_u")
-        .groupBy("_c", (F.col("_p") - F.col("_c")).alias("period_offset"))
-        .agg(F.countDistinct("_u").alias("n_active"))
+        tagged.groupBy(
+            "_c", (F.col("_p") - F.col("_c")).alias("period_offset")
+        )
+        .agg(
+            F.count("_u").alias("n_active"),
+            F.count(F.lit(1)).alias("_n_all"),
+        )
+        .where(F.col("n_active") > 0)
     )
-    sizes = firsts.groupBy("_c").agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
-    return track_persisted(
-        cells.join(sizes, "_c")
-        .select(
-            cohort_start.cast("long").alias("cohort_start_us"),
-            F.col("period_offset").cast("long"),
-            F.col("n_active").cast("long"),
-            F.col("cohort_size").cast("long"),
-            (F.col("n_active") / F.col("cohort_size"))
-            .cast("double")
-            .alias("retention_rate"),
-        ),
-        activity,
-        firsts,
+    cohort_size = F.max(
+        F.when(F.col("period_offset") == 0, F.col("_n_all"))
+    ).over(W.partitionBy("_c"))
+    return cells.select(
+        cohort_start.cast("long").alias("cohort_start_us"),
+        F.col("period_offset").cast("long"),
+        F.col("n_active").cast("long"),
+        cohort_size.cast("long").alias("cohort_size"),
+        (F.col("n_active") / cohort_size)
+        .cast("double")
+        .alias("retention_rate"),
     )
 
 

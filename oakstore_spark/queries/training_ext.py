@@ -142,23 +142,22 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc argmax is one window over the doc key. Score arithmetic is
     identical double ops from identical integers in both engines, so the
     (score DESC, word) tie-break elects the same winner."""
-    from pyspark.storagelevel import StorageLevel
-
-    from oakstore_spark.operators.scaling import track_persisted
-
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     ).filter(F.col("word") != "")
-    # r15 optimization (guide §2.3/§2.4): persist the (doc, word, tf)
-    # relation and derive document frequency FROM it — tf holds exactly
-    # one row per distinct (doc, word), so count(*) per word equals the
-    # old countDistinct(doc_id) over the token stream bit-for-bit. The
-    # corpus is tokenized once instead of twice.
-    tf = (
-        toks.groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # r15 derived document frequency from the (doc, word, tf) relation
+    # (one row per distinct (doc, word), so count(*) per word equals
+    # countDistinct(doc_id) bit-for-bit) and PERSISTED tf. r16
+    # (r15 verdict ask #4): the persist is dropped — tf is corpus-
+    # sized (doc x word pairs), so caching it is the guide §5
+    # anti-pattern at 100 TB (cache write + read of corpus-scale data
+    # vs one extra map-side tokenize), and locally it was a measured
+    # tax (r15 bench 1.4x; interleaved A/B this round: no-persist
+    # ~0.9x). The dfreq branch re-evaluates the tokenize subtree:
+    # 2 map-side scans, unchanged values.
+    tf = toks.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("tf")
     )
     dfreq = tf.groupBy("word").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
@@ -174,7 +173,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("score", score)
     )
     win = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
-    out = (
+    return (
         scored.withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") == 1)
         .select(
@@ -183,7 +182,6 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("tfidf"),
         )
     )
-    return track_persisted(out, tf)
 
 
 # --- stratified deterministic sampling ------------------------------------

@@ -157,7 +157,13 @@ def curation_ingest_stream(
                 emb = doc_embed(
                     admitted, text_col=text_col, id_col=id_col,
                     dim=dim, n_buckets=n_buckets, scale=scale,
-                ).persist()
+                )
+                # r16: persist only while the quantizer is untrained —
+                # that is the only batch where emb is consumed twice
+                # (kmeans sample + the indexed write); on steady-state
+                # batches the persist was pure cache overhead
+                if not cent_cache:
+                    emb = emb.persist()
                 # docs with no alphanumeric terms embed to nothing —
                 # they are admitted to the corpus but not indexable
                 try:
@@ -264,9 +270,16 @@ def curation_ingest_stream(
 
             from concurrent.futures import ThreadPoolExecutor
 
+            from pyspark.util import inheritable_thread_target
+
+            # r16 (r15 ADVICE, medium): wrap each sink so the JVM
+            # thread-local properties foreachBatch set on THIS thread
+            # (streaming job group/tags, scheduler pool) propagate to
+            # the pool threads — StreamingQuery.stop() can then cancel
+            # in-flight sink jobs and the UI attributes them correctly
             with ThreadPoolExecutor(max_workers=3) as pool:
                 futs = [
-                    pool.submit(fn)
+                    pool.submit(inheritable_thread_target(fn))
                     for fn in (write_corpus, write_sigs, write_vectors)
                 ]
                 for fut in futs:

@@ -185,9 +185,16 @@ def dedup_admission_stream(
 
             from concurrent.futures import ThreadPoolExecutor
 
+            from pyspark.util import inheritable_thread_target
+
+            # r16 (r15 ADVICE, medium): inherit the foreachBatch
+            # thread's JVM-local properties (streaming job group/tags,
+            # scheduler pool) into the sink threads so stop() can
+            # cancel in-flight sink jobs and the UI attributes them
             with ThreadPoolExecutor(max_workers=2) as pool:
                 futs = [
-                    pool.submit(fn) for fn in (write_corpus, write_sigs)
+                    pool.submit(inheritable_thread_target(fn))
+                    for fn in (write_corpus, write_sigs)
                 ]
                 for fut in futs:
                     fut.result()

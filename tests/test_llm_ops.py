@@ -2251,21 +2251,65 @@ def test_doc_embed_planted_recovery_and_contract(spark):
 
 
 def test_doc_embed_empty_and_all_empty_corpus(spark):
-    """r15 optimization regression guard: the idf weight table is now
-    built from one rollup pass collected at construction. Spark's
-    Expand-based rollup emits ZERO rows on empty input (no grand-total
-    group), so an empty corpus — and a corpus whose every doc has zero
-    alphanumeric tokens — must still yield an empty result, not a
-    construction-time error."""
+    """Empty-corpus regression guard (construction is eager): an empty
+    corpus — and a corpus whose every doc has zero alphanumeric tokens
+    — must yield an empty result, not a construction-time error, on
+    BOTH paths: the r16 size-gated driver fast path (empty tf pull)
+    and the distributed path, whose idf weight table is one flagged-
+    union collect where the global-aggregate leg always emits one
+    row (_v = 0) on empty input, so n_docs = 0 and the weight table
+    stays empty."""
     from oakstore_spark.operators.text import doc_embed
 
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert doc_embed(empty, dim=4, n_buckets=16).collect() == []
+    assert (
+        doc_embed(
+            empty, dim=4, n_buckets=16, driver_max_tf_rows=0
+        ).collect()
+        == []
+    )
 
     no_terms = spark.createDataFrame(
         [(1, ""), (2, "!!!"), (3, "   ")], ["doc_id", "text"]
     )
     assert doc_embed(no_terms, dim=4, n_buckets=16).collect() == []
+    assert (
+        doc_embed(
+            no_terms, dim=4, n_buckets=16, driver_max_tf_rows=0
+        ).collect()
+        == []
+    )
+
+
+def test_doc_embed_driver_distributed_parity(spark):
+    """r16 regression guard: the size-gated driver fast path must be
+    BIT-identical to the forced-distributed path
+    (driver_max_tf_rows=0) — same doc set, same exact int64 emb_q,
+    same float64 embedding — including string ids and docs that share
+    buckets (idf weights below 1 doc^-1 exercise the integer DIV)."""
+    from oakstore_spark.operators.text import doc_embed
+
+    df = spark.createDataFrame(
+        [
+            ("a", "alpha beta gamma alpha"),
+            ("b", "beta delta"),
+            ("c", "epsilon zeta eta theta iota kappa"),
+            ("d", ""),
+        ],
+        ["doc_id", "text"],
+    )
+    fast = {
+        r["doc_id"]: (list(r.emb_q), list(r.embedding))
+        for r in doc_embed(df, dim=6, n_buckets=32).collect()
+    }
+    slow = {
+        r["doc_id"]: (list(r.emb_q), list(r.embedding))
+        for r in doc_embed(
+            df, dim=6, n_buckets=32, driver_max_tf_rows=0
+        ).collect()
+    }
+    assert fast == slow and set(fast) == {"a", "b", "c"}
 
 
 def test_ivf_rebalance_restores_recall_preserves_meta_tombstones(
